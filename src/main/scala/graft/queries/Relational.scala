@@ -1,0 +1,573 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Relational operator surface (SURVEY.md §2.1-2.7, §2.14).
+  *
+  * The reference delegates full relational SQL to DuckDB through
+  * pg_deeplake (`cpp/deeplake_pg/duckdb_executor.cpp:377`); our engine
+  * delegates to Catalyst. Queries below exercise the same shapes its
+  * TPC-H corpus does (`postgres/tests/sql/tpch/1.sql`..`22.sql`,
+  * `postgres/tests/sql/join.sql`), adapted to the driver's testdata
+  * schema. Every query is declarative DataFrame code: filters and
+  * projections reach the parquet scan (pushdown), joins pick
+  * broadcast/sort-merge via Catalyst + AQE, aggregates do partial
+  * (map-side) aggregation before the shuffle.
+  */
+object Relational extends QueryModule {
+
+  private def ts(s: String) = lit(s).cast("timestamp")
+
+  override def qs: Seq[(String, Q)] = Seq(
+
+    // ---- aggregation / group by (TPC-H Q1 shape; tql.md relational agg path)
+    "q1_pricing_summary" -> Q(
+      (s, dir) => {
+        table(s, dir, "lineitem")
+          .filter(col("l_shipdate") <= ts("1998-09-02 00:00:00"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            round(sum(col("l_quantity")), 2).as("sum_qty"),
+            round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+            round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+            round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+            round(avg(col("l_quantity")), 4).as("avg_qty"),
+            round(avg(col("l_extendedprice")), 4).as("avg_price"),
+            round(avg(col("l_discount")), 6).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |round(sum(l_quantity),2) AS sum_qty,
+             |round(sum(l_extendedprice),2) AS sum_base_price,
+             |round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+             |round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
+             |round(avg(l_quantity),4) AS avg_qty,
+             |round(avg(l_extendedprice),4) AS avg_price,
+             |round(avg(l_discount),6) AS avg_disc,
+             |count(*) AS count_order
+             |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin.replace('\n', ' ')),
+      doc = "hash-agg with 8 aggregates; map-side partial agg before shuffle"),
+
+    // ---- scalar aggregate with selective filter (TPC-H Q6 shape)
+    "q6_revenue_forecast" -> Q(
+      (s, dir) => {
+        table(s, dir, "lineitem")
+          .filter(
+            col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+            col("l_shipdate") <  ts("1997-01-01 00:00:00") &&
+            col("l_discount").between(0.02, 0.04) &&
+            col("l_quantity") < 25)
+          .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+      },
+      Some("SELECT round(sum(l_extendedprice*l_discount),2) AS revenue FROM lineitem " +
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' " +
+        "AND l_discount BETWEEN 0.02 AND 0.04 AND l_quantity < 25"),
+      doc = "all four predicates push to the parquet scan"),
+
+    // ---- 3-way join + group + top-k (TPC-H Q3 shape)
+    "q3_top_revenue_orders" -> Q(
+      (s, dir) => {
+        val c = table(s, dir, "customer").filter(col("c_mktsegment") === "MACHINERY")
+        val o = table(s, dir, "orders").filter(col("o_orderdate") < ts("1997-06-01 00:00:00"))
+        val l = table(s, dir, "lineitem").filter(col("l_shipdate") > ts("1997-06-01 00:00:00"))
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+          .select(col("l_orderkey"), col("revenue"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"), col("o_orderpriority"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT l_orderkey,
+             |round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+             |strftime(o_orderdate,'%Y-%m-%d') AS orderdate, o_orderpriority
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |WHERE c_mktsegment = 'MACHINERY'
+             |AND o_orderdate < TIMESTAMP '1997-06-01' AND l_shipdate > TIMESTAMP '1997-06-01'
+             |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+             |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin.replace('\n', ' ')),
+      doc = "customer dim broadcasts; TakeOrderedAndProject for the top-k"),
+
+    // ---- 6-way star join (TPC-H Q5 shape: local-supplier revenue by nation)
+    "q5_local_supplier_revenue" -> Q(
+      (s, dir) => {
+        table(s, dir, "lineitem")
+          .join(table(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(table(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(table(s, dir, "supplier"),
+            col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+          .join(table(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+          .join(table(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+          .filter(col("r_name") === "ASIA" &&
+            col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+            col("o_orderdate") <  ts("1998-01-01 00:00:00"))
+          .groupBy(col("n_name"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      },
+      Some("""SELECT n_name, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01'
+             |AND o_orderdate < TIMESTAMP '1998-01-01'
+             |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin.replace('\n', ' ')),
+      doc = "dims broadcast; only the lineitem-orders join shuffles at scale"),
+
+    // ---- existence-correlated count (TPC-H Q4 shape)
+    "q4_late_shipment_priority" -> Q(
+      (s, dir) => {
+        val o = table(s, dir, "orders")
+        val late = table(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_shipdate"))
+        o.join(late,
+            col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+            "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority, count(*) AS order_count FROM orders
+             |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
+             |AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin.replace('\n', ' ')),
+      doc = "EXISTS decorrelates to left-semi join"),
+
+    // ---- joins: left outer with null-generating side
+    "q_join_left_outer" -> Q(
+      (s, dir) => {
+        val c = table(s, dir, "customer")
+        val o = table(s, dir, "orders")
+        c.join(o, col("c_custkey") === col("o_custkey"), "left")
+          .groupBy(col("c_custkey"), col("c_name"))
+          .agg(count(col("o_orderkey")).as("n_orders"),
+            round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("total_spent"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
+             |round(coalesce(sum(o_totalprice),0),2) AS total_spent
+             |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+             |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin.replace('\n', ' '))),
+
+    // ---- joins: semi (EXISTS)
+    "q_join_semi" -> Q(
+      (s, dir) => {
+        val c = table(s, dir, "customer")
+        val o = table(s, dir, "orders").filter(col("o_orderstatus") === "F")
+        c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+          .select(col("c_custkey"), col("c_name"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("SELECT c_custkey, c_name FROM customer WHERE EXISTS " +
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F') " +
+        "ORDER BY c_custkey")),
+
+    // ---- joins: anti (NOT EXISTS): customers with no large order
+    "q_join_anti" -> Q(
+      (s, dir) => {
+        val c = table(s, dir, "customer")
+        val o = table(s, dir, "orders").filter(col("o_totalprice") > 400000)
+        c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE NOT EXISTS " +
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000) " +
+        "ORDER BY c_custkey")),
+
+    // ---- joins: full outer (mixed null sides)
+    "q_join_full_outer" -> Q(
+      (s, dir) => {
+        val cn = table(s, dir, "customer").groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("n_customers"))
+        val sn = table(s, dir, "supplier").groupBy(col("s_nationkey"))
+          .agg(count(lit(1)).as("n_suppliers"))
+        cn.join(sn, col("c_nationkey") === col("s_nationkey"), "full")
+          .select(
+            coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+            coalesce(col("n_customers"), lit(0L)).as("n_customers"),
+            coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"))
+          .orderBy(col("nationkey"))
+      },
+      Some("""SELECT coalesce(c_nationkey, s_nationkey) AS nationkey,
+             |coalesce(n_customers, 0) AS n_customers, coalesce(n_suppliers, 0) AS n_suppliers
+             |FROM (SELECT c_nationkey, count(*) AS n_customers FROM customer GROUP BY c_nationkey) cn
+             |FULL JOIN (SELECT s_nationkey, count(*) AS n_suppliers FROM supplier GROUP BY s_nationkey) sn
+             |ON c_nationkey = s_nationkey ORDER BY nationkey""".stripMargin.replace('\n', ' '))),
+
+    // ---- joins: cross
+    "q_join_cross" -> Q(
+      (s, dir) => {
+        val r = table(s, dir, "region").select(col("r_name"))
+        val st = table(s, dir, "orders").select(col("o_orderstatus")).distinct()
+        r.crossJoin(st).orderBy(col("r_name"), col("o_orderstatus"))
+      },
+      Some("SELECT r_name, o_orderstatus FROM region CROSS JOIN " +
+        "(SELECT DISTINCT o_orderstatus FROM orders) s ORDER BY r_name, o_orderstatus")),
+
+    // ---- joins: right outer
+    "q_join_right_outer" -> Q(
+      (s, dir) => {
+        val o = table(s, dir, "orders").filter(col("o_totalprice") > 450000)
+        val c = table(s, dir, "customer")
+        o.join(c, col("o_custkey") === col("c_custkey"), "right")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("n_big_orders"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, count(o_orderkey) AS n_big_orders
+             |FROM (SELECT * FROM orders WHERE o_totalprice > 450000) o
+             |RIGHT JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin.replace('\n', ' '))),
+
+    // ---- set ops: UNION (bag semantics like TQL merged_dataset -> count-verified)
+    "q_setop_union" -> Q(
+      (s, dir) => {
+        val a = table(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        val b = table(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+        a.unionByName(b).groupBy(col("nationkey")).agg(count(lit(1)).as("n"))
+          .orderBy(col("nationkey"))
+      },
+      Some("SELECT nationkey, count(*) AS n FROM (SELECT c_nationkey AS nationkey FROM customer " +
+        "UNION ALL SELECT s_nationkey FROM supplier) u GROUP BY nationkey ORDER BY nationkey")),
+
+    // ---- set ops: INTERSECT
+    "q_setop_intersect" -> Q(
+      (s, dir) => {
+        val a = table(s, dir, "customer").filter(col("c_acctbal") > 8000)
+          .select(col("c_nationkey").as("nationkey"))
+        val b = table(s, dir, "supplier").filter(col("s_acctbal") > 8000)
+          .select(col("s_nationkey").as("nationkey"))
+        a.intersect(b).orderBy(col("nationkey"))
+      },
+      Some("SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 8000 " +
+        "INTERSECT SELECT s_nationkey FROM supplier WHERE s_acctbal > 8000 ORDER BY nationkey")),
+
+    // ---- set ops: EXCEPT — custkeys that ordered but hold a low balance
+    "q_setop_except" -> Q(
+      (s, dir) => {
+        val a = table(s, dir, "orders").select(col("o_custkey").as("custkey"))
+        val b = table(s, dir, "customer").filter(col("c_acctbal") < 5000)
+          .select(col("c_custkey").as("custkey"))
+        a.except(b).orderBy(col("custkey"))
+      },
+      Some("SELECT o_custkey AS custkey FROM orders EXCEPT " +
+        "SELECT c_custkey FROM customer WHERE c_acctbal < 5000 ORDER BY custkey")),
+
+    // ---- per-branch ORDER/LIMIT then merge (TQL set_operation carries its own
+    // order+limit per branch: cpp/query_core/statement.hpp:64-84)
+    "q_union_branch_limits" -> Q(
+      (s, dir) => {
+        val o = table(s, dir, "orders")
+        val top = o.orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(5)
+          .select(col("o_orderkey"), col("o_totalprice"), lit("top").as("branch"))
+        val bottom = o.orderBy(col("o_totalprice").asc, col("o_orderkey")).limit(5)
+          .select(col("o_orderkey"), col("o_totalprice"), lit("bottom").as("branch"))
+        top.unionByName(bottom).orderBy(col("branch"), col("o_orderkey"))
+      },
+      Some("""SELECT * FROM (
+             |(SELECT o_orderkey, o_totalprice, 'top' AS branch FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 5)
+             |UNION ALL
+             |(SELECT o_orderkey, o_totalprice, 'bottom' AS branch FROM orders ORDER BY o_totalprice ASC, o_orderkey LIMIT 5)
+             |) u ORDER BY branch, o_orderkey""".stripMargin.replace('\n', ' '))),
+
+    // ---- DISTINCT
+    "q_distinct" -> Q(
+      (s, dir) => table(s, dir, "customer").select(col("c_mktsegment")).distinct()
+        .orderBy(col("c_mktsegment")),
+      Some("SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment")),
+
+    // ---- count distinct + grouped distinct
+    "q_count_distinct" -> Q(
+      (s, dir) => {
+        table(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            countDistinct(col("l_partkey")).as("n_parts"),
+            countDistinct(col("l_suppkey")).as("n_supps"),
+            count(lit(1)).as("n_rows"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, " +
+        "count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")),
+
+    // ---- HAVING
+    "q_having" -> Q(
+      (s, dir) => {
+        table(s, dir, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("spent"))
+          .filter(col("n") >= 15)
+          .orderBy(col("o_custkey"))
+      },
+      Some("SELECT o_custkey, count(*) AS n, round(sum(o_totalprice),2) AS spent " +
+        "FROM orders GROUP BY o_custkey HAVING count(*) >= 15 ORDER BY o_custkey")),
+
+    // ---- window: rank per partition (PG-path window fns via DuckDB -> Catalyst Window)
+    "q_window_rank" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        table(s, dir, "orders")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 2)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+          .orderBy(col("o_custkey"), col("rn"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+             |SELECT o_custkey, o_orderkey, o_totalprice,
+             |row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |FROM orders) t WHERE rn <= 2 ORDER BY o_custkey, rn""".stripMargin.replace('\n', ' '))),
+
+    // ---- window: running aggregate
+    "q_window_running_sum" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        table(s, dir, "orders")
+          .filter(col("o_custkey") < 100)
+          .select(col("o_custkey"), col("o_orderkey"),
+            round(sum(col("o_totalprice")).over(w), 2).as("running_total"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS running_total
+             |FROM orders WHERE o_custkey < 100 ORDER BY o_custkey, o_orderkey""".stripMargin.replace('\n', ' '))),
+
+    // ---- window: lag/lead deltas
+    "q_window_lag" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+        table(s, dir, "events")
+          .filter(col("user_id") < 20)
+          .select(col("user_id"), col("event_id"),
+            round(col("value") - lag(col("value"), 1, 0.0).over(w), 2).as("delta"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""SELECT user_id, event_id,
+             |round(value - lag(value, 1, 0.0) OVER (PARTITION BY user_id ORDER BY ts, event_id),2) AS delta
+             |FROM events WHERE user_id < 20 ORDER BY user_id, event_id""".stripMargin.replace('\n', ' '))),
+
+    // ---- top-k (ORDER BY ... LIMIT -> TakeOrderedAndProject; SURVEY §2.6)
+    "q_topk_orders" -> Q(
+      (s, dir) => table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(10),
+      Some("SELECT o_orderkey, o_totalprice FROM orders " +
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10")),
+
+    // ---- LIMIT with OFFSET
+    "q_limit_offset" -> Q(
+      (s, dir) => table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .orderBy(col("o_orderkey")).offset(10).limit(20),
+      Some("SELECT o_orderkey, o_custkey FROM orders ORDER BY o_orderkey LIMIT 20 OFFSET 10")),
+
+    // ---- LIMIT x PERCENT (TQL tql.md:631-634): computed limit
+    "q_limit_percent" -> Q(
+      (s, dir) => {
+        val o = table(s, dir, "orders")
+        val n = o.count()
+        val k = math.max(1L, n / 100L) // 1 PERCENT
+        o.select(col("o_orderkey"), col("o_totalprice"))
+          .orderBy(col("o_orderkey")).limit(k.toInt)
+      },
+      Some("SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey " +
+        "LIMIT (SELECT greatest(1, count(*)//100) FROM orders)")),
+
+    // ---- CASE / conditional buckets
+    "q_case_buckets" -> Q(
+      (s, dir) => {
+        table(s, dir, "orders")
+          .select(
+            when(col("o_totalprice") < 100000, "small")
+              .when(col("o_totalprice") < 300000, "medium")
+              .otherwise("large").as("bucket"))
+          .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+          .orderBy(col("bucket"))
+      },
+      Some("""SELECT CASE WHEN o_totalprice < 100000 THEN 'small'
+             |WHEN o_totalprice < 300000 THEN 'medium' ELSE 'large' END AS bucket,
+             |count(*) AS n FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin.replace('\n', ' '))),
+
+    // ---- LIKE / ILIKE (TQL glob `*`/`?` -> `%`/`_`; tql.md:207-228)
+    "q_like_patterns" -> Q(
+      (s, dir) => {
+        table(s, dir, "part")
+          .filter(col("p_name").like("%red%") || col("p_name").ilike("SMALL%"))
+          .select(col("p_partkey"), col("p_name"))
+          .orderBy(col("p_partkey"))
+      },
+      Some("SELECT p_partkey, p_name FROM part WHERE p_name LIKE '%red%' " +
+        "OR p_name ILIKE 'SMALL%' ORDER BY p_partkey")),
+
+    // ---- IN / BETWEEN / NOT
+    "q_in_between" -> Q(
+      (s, dir) => {
+        table(s, dir, "part")
+          .filter(col("p_size").isin(1, 5, 9, 13) &&
+            col("p_retailprice").between(500.0, 1500.0) &&
+            !(col("p_brand") === "Brand#13"))
+          .select(col("p_partkey"), col("p_brand"), col("p_size"), col("p_retailprice"))
+          .orderBy(col("p_partkey"))
+      },
+      Some("SELECT p_partkey, p_brand, p_size, p_retailprice FROM part " +
+        "WHERE p_size IN (1,5,9,13) AND p_retailprice BETWEEN 500.0 AND 1500.0 " +
+        "AND NOT (p_brand = 'Brand#13') ORDER BY p_partkey")),
+
+    // ---- IS NULL handling over outer-join nulls
+    "q_null_handling" -> Q(
+      (s, dir) => {
+        val c = table(s, dir, "customer")
+        val o = table(s, dir, "orders")
+        c.join(o, col("c_custkey") === col("o_custkey"), "left")
+          .select(col("c_custkey"),
+            col("o_orderkey").isNull.as("no_order"),
+            coalesce(col("o_totalprice"), lit(-1.0)).as("price_or_default"))
+          .groupBy(col("no_order"))
+          .agg(count(lit(1)).as("n"), round(avg(col("price_or_default")), 2).as("avg_p"))
+          .orderBy(col("no_order"))
+      },
+      Some("""SELECT no_order, count(*) AS n, round(avg(price_or_default),2) AS avg_p FROM (
+             |SELECT c_custkey, o_orderkey IS NULL AS no_order,
+             |coalesce(o_totalprice, -1.0) AS price_or_default
+             |FROM customer LEFT JOIN orders ON c_custkey = o_custkey) t
+             |GROUP BY no_order ORDER BY no_order""".stripMargin.replace('\n', ' '))),
+
+    // ---- COUNT(*) metadata fast path (reference:
+    // cpp/deeplake_pg/is_pure_count_star_query.hpp:24; Spark answers from
+    // parquet row-group metadata)
+    "q_count_star" -> Q(
+      (s, dir) => table(s, dir, "lineitem").agg(count(lit(1)).as("n")),
+      Some("SELECT count(*) AS n FROM lineitem")),
+
+    // ---- JSON access (TQL meta['k']; tql.md:143-166) on events.props
+    "q_json_extract" -> Q(
+      (s, dir) => {
+        table(s, dir, "events")
+          .select(col("event_type"),
+            get_json_object(col("props"), "$.k").cast("int").as("k"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), round(avg(col("k")), 4).as("avg_k"),
+            max(col("k")).as("max_k"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, count(*) AS n,
+             |round(avg(CAST(json_extract_string(props,'$.k') AS INTEGER)),4) AS avg_k,
+             |max(CAST(json_extract_string(props,'$.k') AS INTEGER)) AS max_k
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin.replace('\n', ' '))),
+
+    // ---- date/time functions (PG path date_time.sql analog)
+    "q_date_functions" -> Q(
+      (s, dir) => {
+        table(s, dir, "orders")
+          .select(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month"),
+            col("o_totalprice"))
+          .groupBy(col("month"))
+          .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("monthly_total"))
+          .orderBy(col("month"))
+      },
+      Some("""SELECT strftime(date_trunc('month', o_orderdate),'%Y-%m-%d') AS month,
+             |count(*) AS n_orders, round(sum(o_totalprice),2) AS monthly_total
+             |FROM orders GROUP BY 1 ORDER BY month""".stripMargin.replace('\n', ' '))),
+
+    // ---- extract parts + conditional agg
+    "q_date_extract" -> Q(
+      (s, dir) => {
+        table(s, dir, "orders")
+          .select(year(col("o_orderdate")).as("yr"), quarter(col("o_orderdate")).as("qtr"),
+            col("o_totalprice"))
+          .groupBy(col("yr"), col("qtr"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(when(col("o_totalprice") > 250000, col("o_totalprice")).otherwise(0.0)), 2)
+              .as("big_order_total"))
+          .orderBy(col("yr"), col("qtr"))
+      },
+      Some("""SELECT CAST(year(o_orderdate) AS INTEGER) AS yr, CAST(quarter(o_orderdate) AS INTEGER) AS qtr, count(*) AS n,
+             |round(sum(CASE WHEN o_totalprice > 250000 THEN o_totalprice ELSE 0.0 END),2) AS big_order_total
+             |FROM orders GROUP BY 1, 2 ORDER BY yr, qtr""".stripMargin.replace('\n', ' '))),
+
+    // ---- column statistics (reference ColumnStatistics __init__.pyi:1283;
+    // column_statistics.cpp) -> ANALYZE-style profile
+    "q_column_stats" -> Q(
+      (s, dir) => {
+        table(s, dir, "lineitem")
+          .agg(
+            count(lit(1)).as("total_rows"),
+            countDistinct(col("l_partkey")).as("n_distinct_partkey"),
+            round(min(col("l_extendedprice")), 2).as("min_price"),
+            round(max(col("l_extendedprice")), 2).as("max_price"),
+            round(avg(col("l_extendedprice")), 4).as("avg_price"),
+            round(stddev_samp(col("l_extendedprice")), 4).as("std_price"),
+            sum(col("l_quantity").isNull.cast("long")).as("null_qty"))
+      },
+      Some("""SELECT count(*) AS total_rows, count(DISTINCT l_partkey) AS n_distinct_partkey,
+             |round(min(l_extendedprice),2) AS min_price, round(max(l_extendedprice),2) AS max_price,
+             |round(avg(l_extendedprice),4) AS avg_price, round(stddev_samp(l_extendedprice),4) AS std_price,
+             |sum(CAST(l_extendedprice IS NULL AS BIGINT)) AS null_qty
+             |FROM lineitem""".stripMargin.replace('\n', ' '))),
+
+    // ---- TQL ROW_NUMBER(): zero-based row offset (tql.md:427-431).
+    // Parity note: global row numbering is inherently sequential; at scale
+    // use zipWithIndex-style partition offsets instead of a global window.
+    "q_row_number" -> Q(
+      (s, dir) => {
+        val w = Window.orderBy(col("o_orderkey"))
+        table(s, dir, "orders")
+          .filter(col("o_custkey") === 7)
+          .select(col("o_orderkey"), (row_number().over(w) - 1).as("row_number"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("SELECT o_orderkey, CAST(row_number() OVER (ORDER BY o_orderkey) - 1 AS INTEGER) " +
+        "AS row_number FROM orders WHERE o_custkey = 7 ORDER BY o_orderkey")),
+
+    // ---- correlated scalar subquery (TPC-H Q17 shape)
+    "q17_small_quantity_revenue" -> Q(
+      (s, dir) => {
+        val l = table(s, dir, "lineitem")
+        val p = table(s, dir, "part").filter(col("p_brand") === "Brand#3")
+        val avgQty = l.groupBy(col("l_partkey").as("ap_partkey"))
+          .agg((avg(col("l_quantity")) * 0.5).as("half_avg_qty"))
+        l.join(p, col("l_partkey") === col("p_partkey"))
+          .join(avgQty, col("l_partkey") === col("ap_partkey"))
+          .filter(col("l_quantity") < col("half_avg_qty"))
+          .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
+      },
+      Some("""SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+             |FROM lineitem JOIN part ON p_partkey = l_partkey
+             |WHERE p_brand = 'Brand#3' AND l_quantity <
+             |(SELECT 0.5 * avg(l_quantity) FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey)""".stripMargin.replace('\n', ' ')),
+      doc = "correlated scalar subquery decorrelated to aggregate+join"),
+
+    // ---- grouping sets / rollup
+    "q_rollup" -> Q(
+      (s, dir) => {
+        table(s, dir, "lineitem")
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+          .select(
+            coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+            coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+            col("n"), col("qty"))
+          .orderBy(col("returnflag"), col("linestatus"))
+      },
+      Some("""SELECT coalesce(l_returnflag,'ALL') AS returnflag,
+             |coalesce(l_linestatus,'ALL') AS linestatus, count(*) AS n,
+             |round(sum(l_quantity),2) AS qty
+             |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+             |ORDER BY returnflag, linestatus""".stripMargin.replace('\n', ' ')))
+  )
+}

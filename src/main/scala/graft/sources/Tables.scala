@@ -1,0 +1,39 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Catalog over the driver's parquet corpus (TESTDATA.md).
+  *
+  * Mirrors the reference's URL->dataset resolution (deeplake
+  * `cpp/tql/executor.hpp:82` `get_data_source`) at the smallest useful
+  * scale: a scale-factor directory is the "storage root", one parquet
+  * file per table. Reads go through `spark.read.parquet`, so Catalyst
+  * projection pruning and predicate pushdown reach the scan for free.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Open one table. `dir` is a scale-factor dir like /root/testdata/sf0.01
+    *
+    * `events.ts` is stored as parquet TIMESTAMP(NANOS), which Spark has no
+    * native type for. We read it as a nanosecond long (`ts_ns`, exact —
+    * used for ordering parity with the nanosecond-precision oracle) and
+    * derive a microsecond `ts` TimestampType column for date functions.
+    */
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    require(all.contains(name), s"unknown table $name")
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      import org.apache.spark.sql.functions._
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumnRenamed("ts", "ts_ns")
+        .withColumn("ts", timestamp_micros((col("ts_ns") / 1000L).cast("long")))
+    } else spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** Register every table as a temp view so spark.sql can see them. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    all.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+}
