@@ -13,7 +13,8 @@ import graft.queries._
 object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
-    Relational)
+    Relational,
+    VectorQueries)
 
   private lazy val allQs: Seq[(String, Q)] = {
     val qs = modules.flatMap(_.qs)

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+import graft.functions.gf
+
+/** Similarity search over an embedding column (SURVEY.md §2.9; reference
+  * top-k routing `cpp/query_core/top_k_search_info.hpp:17`,
+  * `cpp/deeplake_pg/index_search.cpp:114-133`).
+  *
+  * Brute force is the exact baseline (reference: linear scan when no index
+  * holder answers). The scale path (`cpp/query_core/search_config.hpp`
+  * Clustered index analog) is [[graft.operators.AnnIndex]].
+  *
+  * Scale design: queries are broadcast (a query set is small by
+  * definition); the corpus is never shuffled in full. Top-k runs in two
+  * phases — a per-input-partition local top-k (window over
+  * (query, spark_partition_id), each partition holds only its own rows)
+  * followed by a global top-k over the k×numPartitions survivors. No
+  * single reducer ever sees the whole corpus.
+  */
+object SimilaritySearch {
+
+  /** Exact top-k neighbors for each query row.
+    *
+    * @param corpus   (id, embedding) rows — arbitrarily large
+    * @param queries  (qid, embedding) rows — small, broadcastable
+    * @param score    similarity column builder, higher = closer
+    *                 (e.g. gf.cosine_similarity); pass a distance with
+    *                 `ascending = true` for metric search
+    * @return (qid, id, score, rank) with rank 1..k per qid
+    */
+  def bruteForceTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int,
+      score: (Column, Column) => Column = gf.cosine_similarity(_, _),
+      ascending: Boolean = false): DataFrame = {
+    val q = broadcast(queries.select(col(queryId).as("qid"), col(queryVec).as("q_vec")))
+    val scored = corpus
+      .select(col(corpusId).as("id"), col(corpusVec).as("c_vec"))
+      .crossJoin(q)
+      .select(col("qid"), col("id"), score(col("c_vec"), col("q_vec")).as("score"))
+    val ord = if (ascending) Seq(col("score").asc, col("id").asc)
+              else Seq(col("score").desc, col("id").asc)
+    // phase 1: local top-k inside each input partition — no corpus shuffle
+    val local = scored
+      .withColumn("p", spark_partition_id())
+      .withColumn("lr", row_number().over(
+        Window.partitionBy(col("qid"), col("p")).orderBy(ord: _*)))
+      .filter(col("lr") <= k)
+      .drop("p", "lr")
+    // phase 2: global top-k over the small survivor set
+    local
+      .withColumn("rank", row_number().over(Window.partitionBy(col("qid")).orderBy(ord: _*)))
+      .filter(col("rank") <= k)
+  }
+}

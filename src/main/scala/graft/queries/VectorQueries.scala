@@ -1,0 +1,226 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.functions.gf
+import graft.operators.SimilaritySearch
+
+/** Vector similarity + array/tensor scalar surface (SURVEY.md §2.9/2.10)
+  * over the `embeddings` table (64-dim float vectors, int label).
+  *
+  * Oracle parity note: DuckDB's native list functions accumulate FLOAT[]
+  * in single precision; every oracle casts `embedding::DOUBLE[]` so both
+  * engines fold in double, then results are round()ed on both sides.
+  */
+object VectorQueries extends QueryModule {
+
+  private val E = "embeddings"
+
+  override def qs: Seq[(String, Q)] = Seq(
+
+    // ---- brute-force cosine top-k (ORDER BY score DESC LIMIT k; the
+    // linear path of tql top_k_search_info)
+    "q_vec_cosine_topk" -> Q(
+      (s, dir) => {
+        val e = table(s, dir, E)
+        val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+        e.crossJoin(broadcast(q))
+          .select(col("vec_id"),
+            round(gf.cosine_similarity(col("embedding"), col("qv")), 6).as("cos_sim"))
+          .orderBy(col("cos_sim").desc, col("vec_id"))
+          .limit(10)
+      },
+      Some("""SELECT e.vec_id, round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]),6) AS cos_sim
+             |FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+             |ORDER BY cos_sim DESC, e.vec_id LIMIT 10""".stripMargin.replace('\n', ' '))),
+
+    // ---- euclidean nearest (ascending distance)
+    "q_vec_l2_topk" -> Q(
+      (s, dir) => {
+        val e = table(s, dir, E)
+        val q = e.filter(col("vec_id") === 7).select(col("embedding").as("qv"))
+        e.filter(col("vec_id") =!= 7).crossJoin(broadcast(q))
+          .select(col("vec_id"),
+            round(gf.l2_norm(col("embedding"), col("qv")), 6).as("l2_dist"))
+          .orderBy(col("l2_dist").asc, col("vec_id"))
+          .limit(10)
+      },
+      Some("""SELECT e.vec_id, round(list_distance(e.embedding::DOUBLE[], q.embedding::DOUBLE[]),6) AS l2_dist
+             |FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 7) q
+             |WHERE e.vec_id <> 7 ORDER BY l2_dist ASC, e.vec_id LIMIT 10""".stripMargin.replace('\n', ' '))),
+
+    // ---- dot-product ranking
+    "q_vec_dot_topk" -> Q(
+      (s, dir) => {
+        val e = table(s, dir, E)
+        val q = e.filter(col("vec_id") === 3).select(col("embedding").as("qv"))
+        e.crossJoin(broadcast(q))
+          .select(col("vec_id"),
+            round(gf.dot(col("embedding"), col("qv")), 6).as("dot_score"))
+          .orderBy(col("dot_score").desc, col("vec_id"))
+          .limit(10)
+      },
+      Some("""SELECT e.vec_id, round(list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[]),6) AS dot_score
+             |FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 3) q
+             |ORDER BY dot_score DESC, e.vec_id LIMIT 10""".stripMargin.replace('\n', ' '))),
+
+    // ---- L1 (manhattan) distance
+    "q_vec_l1_topk" -> Q(
+      (s, dir) => {
+        val e = table(s, dir, E)
+        val q = e.filter(col("vec_id") === 11).select(col("embedding").as("qv"))
+        e.filter(col("vec_id") =!= 11).crossJoin(broadcast(q))
+          .select(col("vec_id"),
+            round(gf.l1_norm(col("embedding"), col("qv")), 6).as("l1_dist"))
+          .orderBy(col("l1_dist").asc, col("vec_id"))
+          .limit(10)
+      },
+      Some("""SELECT e.vec_id,
+             |round(list_aggregate(list_transform(range(1, len(e.embedding)+1),
+             |  i -> abs(e.embedding[i]::DOUBLE - q.embedding[i]::DOUBLE)), 'sum'),6) AS l1_dist
+             |FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 11) q
+             |WHERE e.vec_id <> 11 ORDER BY l1_dist ASC, e.vec_id LIMIT 10""".stripMargin.replace('\n', ' '))),
+
+    // ---- hamming distance over binary-quantized vectors (maxsim_bq analog)
+    "q_vec_hamming_quantized" -> Q(
+      (s, dir) => {
+        val e = table(s, dir, E)
+        val q = e.filter(col("vec_id") === 0)
+          .select(gf.quantize(col("embedding")).as("qv"))
+        e.crossJoin(broadcast(q))
+          .select(col("vec_id"),
+            gf.hamming_distance(gf.quantize(col("embedding")), col("qv")).as("hamming"))
+          .orderBy(col("hamming").asc, col("vec_id"))
+          .limit(10)
+      },
+      Some("""SELECT e.vec_id,
+             |list_aggregate(list_transform(range(1, len(e.embedding)+1),
+             |  i -> CASE WHEN (e.embedding[i] >= 0) <> (q.embedding[i] >= 0) THEN 1 ELSE 0 END), 'sum')::BIGINT AS hamming
+             |FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+             |ORDER BY hamming ASC, e.vec_id LIMIT 10""".stripMargin.replace('\n', ' '))),
+
+    // ---- MAXSIM late interaction: each label's vectors form a bag (doc);
+    // query bag = vectors 0..2 (tql.md:114-136)
+    "q_vec_maxsim" -> Q(
+      (s, dir) => {
+        val e = table(s, dir, E)
+        val bags = e.groupBy(col("label"))
+          .agg(collect_list(col("embedding")).as("bag"))
+        val qbag = e.filter(col("vec_id") < 3)
+          .agg(collect_list(col("embedding")).as("qbag"))
+        bags.crossJoin(broadcast(qbag))
+          .select(col("label"), round(gf.maxsim(col("bag"), col("qbag")), 6).as("maxsim_score"))
+          .orderBy(col("label"))
+      },
+      Some("""SELECT label, round(sum(mx),6) AS maxsim_score FROM (
+             |SELECT d.label, q.vec_id AS qid,
+             |max(list_cosine_similarity(d.embedding::DOUBLE[], q.embedding::DOUBLE[])) AS mx
+             |FROM embeddings d, (SELECT * FROM embeddings WHERE vec_id < 3) q
+             |GROUP BY d.label, q.vec_id) t
+             |GROUP BY label ORDER BY label""".stripMargin.replace('\n', ' '))),
+
+    // ---- per-row vector norms aggregated by label
+    "q_vec_norm_stats" -> Q(
+      (s, dir) => {
+        table(s, dir, E)
+          .select(col("label"), gf.l2_norm(col("embedding")).as("nrm"))
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n"),
+            round(avg(col("nrm")), 6).as("avg_norm"),
+            round(min(col("nrm")), 6).as("min_norm"),
+            round(max(col("nrm")), 6).as("max_norm"))
+          .orderBy(col("label"))
+      },
+      Some("""SELECT label, count(*) AS n,
+             |round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))),6) AS avg_norm,
+             |round(min(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))),6) AS min_norm,
+             |round(max(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))),6) AS max_norm
+             |FROM embeddings GROUP BY label ORDER BY label""".stripMargin.replace('\n', ' '))),
+
+    // ---- bulk k-NN: top-3 neighbors for each of 5 query vectors
+    // (SimilaritySearch operator: broadcast queries, two-phase top-k)
+    "q_vec_knn_bulk" -> Q(
+      (s, dir) => {
+        val e = table(s, dir, E)
+        val queries = e.filter(col("vec_id") < 5)
+        SimilaritySearch.bruteForceTopK(
+            e.filter(col("vec_id") >= 5), "vec_id", "embedding",
+            queries, "vec_id", "embedding", k = 3)
+          .select(col("qid"), col("rank"), col("id").as("neighbor_id"),
+            round(col("score"), 6).as("cos_sim"))
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some("""SELECT qid, rank, neighbor_id, cos_sim FROM (
+             |SELECT q.vec_id AS qid, e.vec_id AS neighbor_id,
+             |round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]),6) AS cos_sim,
+             |CAST(row_number() OVER (PARTITION BY q.vec_id
+             |  ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC, e.vec_id) AS INTEGER) AS rank
+             |FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id < 5) q
+             |WHERE e.vec_id >= 5) t WHERE rank <= 3 ORDER BY qid, rank""".stripMargin.replace('\n', ' '))),
+
+    // ---- array indexing + slicing (tql.md:587-604): col[0], col[-1], col[0:8]
+    "q_array_indexing" -> Q(
+      (s, dir) => {
+        table(s, dir, E)
+          .filter(col("vec_id") < 50)
+          .select(col("vec_id"),
+            round(element_at(col("embedding"), 1).cast("double"), 6).as("first_el"),
+            round(element_at(col("embedding"), -1).cast("double"), 6).as("last_el"),
+            round(gf.tsum(slice(col("embedding"), 1, 8)), 6).as("head_sum"),
+            size(col("embedding")).as("dim"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""SELECT vec_id, round(embedding[1]::DOUBLE,6) AS first_el,
+             |round(embedding[-1]::DOUBLE,6) AS last_el,
+             |round(list_aggregate(embedding[1:8]::DOUBLE[], 'sum'),6) AS head_sum,
+             |len(embedding) AS dim
+             |FROM embeddings WHERE vec_id < 50 ORDER BY vec_id""".stripMargin.replace('\n', ' '))),
+
+    // ---- ANY / ALL / ALL_STRICT over array predicates (tql.md:435-451)
+    "q_array_any_all" -> Q(
+      (s, dir) => {
+        val e = table(s, dir, E)
+        e.select(
+            gf.any_(transform(col("embedding"), x => x > 0.25f)).as("has_big"),
+            gf.all_(transform(col("embedding"), x => x > -0.5f)).as("all_moderate"))
+          .groupBy(col("has_big"), col("all_moderate"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("has_big"), col("all_moderate"))
+      },
+      Some("""SELECT list_aggregate(list_transform(embedding, x -> x > 0.25), 'bool_or') AS has_big,
+             |list_aggregate(list_transform(embedding, x -> x > -0.5), 'bool_and') AS all_moderate,
+             |count(*) AS n FROM embeddings GROUP BY 1, 2 ORDER BY has_big, all_moderate""".stripMargin.replace('\n', ' '))),
+
+    // ---- within-row tensor reductions (TQL SUM/AVG/AMIN/AMAX;
+    // cpp/nd/functions.hpp:79-149)
+    "q_tensor_reduce" -> Q(
+      (s, dir) => {
+        table(s, dir, E)
+          .filter(col("vec_id") < 100)
+          .select(col("vec_id"),
+            round(gf.tsum(col("embedding")), 6).as("t_sum"),
+            round(gf.tavg(col("embedding")), 6).as("t_avg"),
+            round(gf.tmin(col("embedding")).cast("double"), 6).as("t_min"),
+            round(gf.tmax(col("embedding")).cast("double"), 6).as("t_max"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""SELECT vec_id, round(list_aggregate(embedding::DOUBLE[], 'sum'),6) AS t_sum,
+             |round(list_aggregate(embedding::DOUBLE[], 'sum') / len(embedding),6) AS t_avg,
+             |round(list_aggregate(embedding, 'min')::DOUBLE,6) AS t_min,
+             |round(list_aggregate(embedding, 'max')::DOUBLE,6) AS t_max
+             |FROM embeddings WHERE vec_id < 100 ORDER BY vec_id""".stripMargin.replace('\n', ' '))),
+
+    // ---- quantize + elementwise ops: sum of sign bits = (#pos - #neg)
+    "q_array_quantize" -> Q(
+      (s, dir) => {
+        table(s, dir, E)
+          .select(col("label"), gf.tsum(gf.quantize(col("embedding"))).as("sign_balance"))
+          .groupBy(col("label"))
+          .agg(round(avg(col("sign_balance")), 6).as("avg_sign_balance"),
+            count(lit(1)).as("n"))
+          .orderBy(col("label"))
+      },
+      Some("""SELECT label,
+             |round(avg(list_aggregate(list_transform(embedding, x -> CASE WHEN x >= 0 THEN 1.0 ELSE -1.0 END), 'sum')),6) AS avg_sign_balance,
+             |count(*) AS n FROM embeddings GROUP BY label ORDER BY label""".stripMargin.replace('\n', ' ')))
+  )
+}

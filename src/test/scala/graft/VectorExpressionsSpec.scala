@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.gf
+
+class VectorExpressionsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def df2(a: Array[Float], b: Array[Float]) = {
+    import spark.implicits._
+    Seq((a, b)).toDF("a", "b")
+  }
+  private def d1(c: org.apache.spark.sql.Column, a: Array[Float], b: Array[Float]): Double =
+    df2(a, b).select(c.as("r")).head().getDouble(0)
+
+  test("cosine similarity matches hand computation") {
+    val a = Array(1.0f, 2.0f, 3.0f); val b = Array(4.0f, 5.0f, 6.0f)
+    val expected = 32.0 / (math.sqrt(14.0) * math.sqrt(77.0))
+    assert(math.abs(d1(gf.cosine_similarity(col("a"), col("b")), a, b) - expected) < 1e-12)
+  }
+
+  test("cosine of identical vectors is 1") {
+    val a = Array(0.5f, -0.25f, 0.125f)
+    assert(math.abs(d1(gf.cosine_similarity(col("a"), col("b")), a, a) - 1.0) < 1e-12)
+  }
+
+  test("dot / l1 / l2 / linf") {
+    val a = Array(1.0f, 2.0f, 3.0f); val b = Array(2.0f, 2.0f, 1.0f)
+    assert(d1(gf.dot(col("a"), col("b")), a, b) === 9.0)
+    assert(d1(gf.l1_norm(col("a"), col("b")), a, b) === 3.0)
+    assert(math.abs(d1(gf.l2_norm(col("a"), col("b")), a, b) - math.sqrt(5.0)) < 1e-12)
+    assert(d1(gf.linf_norm(col("a"), col("b")), a, b) === 2.0)
+  }
+
+  test("hamming counts differing elements incl. length mismatch") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 9.0f))).toDF("a", "b")
+    val r = df.select(gf.hamming_distance(col("a"), col("b")).as("h")).head().getLong(0)
+    assert(r === 2L) // one differing + one length overhang
+  }
+
+  test("null array yields null") {
+    import spark.implicits._
+    val df = Seq((Some(Array(1.0f)), Option.empty[Array[Float]])).toDF("a", "b")
+    assert(df.select(gf.cosine_similarity(col("a"), col("b"))).head().isNullAt(0))
+  }
+
+  test("maxsim = sum over query of max cosine over doc") {
+    import spark.implicits._
+    val doc = Array(Array(1.0f, 0.0f), Array(0.0f, 1.0f))
+    val query = Array(Array(1.0f, 0.0f), Array(1.0f, 1.0f))
+    val df = Seq((doc, query)).toDF("doc", "q")
+    val got = df.select(gf.maxsim(col("doc"), col("q")).as("m")).head().getDouble(0)
+    // q1: max(1, 0) = 1 ; q2: max(1/sqrt2, 1/sqrt2) = 1/sqrt2
+    assert(math.abs(got - (1.0 + 1.0 / math.sqrt(2.0))) < 1e-12)
+  }
+
+  test("vector expressions run inside whole-stage codegen over a real scan") {
+    // a local Seq would be constant-folded into LocalTableScan, so read parquet
+    val e = graft.sources.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val df = e.select(gf.cosine_similarity(col("embedding"), col("embedding")).as("c"))
+    // codegen stages print as `*(n)` in the simple plan string
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [cosine_similarity"),
+      s"expected cosine_similarity inside a codegen stage:\n$plan")
+    val vals = df.collect().map(_.getDouble(0))
+    assert(vals.forall(v => math.abs(v - 1.0) < 1e-9), "self-cosine must be 1")
+  }
+
+  test("any/all/all_strict semantics incl. empty array") {
+    import spark.implicits._
+    val df = Seq(
+      (1, Array(true, false)), (2, Array(true, true)), (3, Array.empty[Boolean])
+    ).toDF("id", "c")
+    val r = df.select(col("id"), gf.any_(col("c")).as("any"),
+        gf.all_(col("c")).as("all"), gf.all_strict(col("c")).as("alls"))
+      .orderBy(col("id")).collect()
+    assert(r(0).getBoolean(1) && !r(0).getBoolean(2) && !r(0).getBoolean(3))
+    assert(r(1).getBoolean(1) && r(1).getBoolean(2) && r(1).getBoolean(3))
+    assert(!r(2).getBoolean(1) && r(2).getBoolean(2) && !r(2).getBoolean(3)) // ALL true, ALL_STRICT false on empty
+  }
+
+  test("quantize / tsum / mean_pool_rows") {
+    import spark.implicits._
+    val df = Seq(Tuple1(Array(0.5f, -0.5f, 0.0f))).toDF("a")
+    assert(df.select(gf.tsum(gf.quantize(col("a")))).head().getDouble(0) === 1.0)
+    val bag = Seq(Tuple1(Array(Array(1.0f, 3.0f), Array(3.0f, 5.0f)))).toDF("bag")
+    val pooled = bag.select(gf.mean_pool_rows(col("bag"))).head().getSeq[Double](0)
+    assert(pooled === Seq(2.0, 4.0))
+  }
+}
