@@ -14,7 +14,8 @@ object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
     Relational,
-    VectorQueries)
+    VectorQueries,
+    DocumentQueries)
 
   private lazy val allQs: Seq[(String, Q)] = {
     val qs = modules.flatMap(_.qs)

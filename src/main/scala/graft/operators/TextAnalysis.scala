@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis kernel for large-scale training-data pipelines:
+  * tokenization, shingling, MinHash signatures, SimHash, language-ID
+  * heuristic, quality scoring, fingerprinting.
+  *
+  * Everything is pure Column composition over codegen'd higher-order
+  * functions — no UDFs — so whole-stage codegen applies and the same
+  * logic is expressible 1:1 in the DuckDB oracle (md5 is the shared
+  * deterministic hash across engines; MinHash uses *lexicographic min of
+  * md5 hex strings* as its random-permutation proxy, which both engines
+  * order identically).
+  */
+object TextAnalysis {
+
+  /** whitespace tokenization (corpus is pre-normalized lowercase) */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** n-word shingles (distinct), empty when the doc is shorter than n */
+  def shingles(w: Column, n: Int = 3): Column = {
+    val mk = transform(sequence(lit(1), size(w) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(k => element_at(w, i + lit(k))): _*))
+    array_distinct(when(size(w) >= n, mk).otherwise(array().cast("array<string>")))
+  }
+
+  /** MinHash signature: for seed i, min_{s in shingles} md5("i:" || s).
+    * One column per hash; lexicographic min over hex strings. */
+  def minhashSig(sh: Column, numHashes: Int): Seq[Column] =
+    (0 until numHashes).map(i => array_min(transform(sh, s => md5(concat(lit(s"$i:"), s)))))
+
+  /** LSH band keys over a signature: bands of `rowsPerBand` consecutive
+    * hashes, each band hashed to one key. */
+  def bandKeys(sig: Seq[Column], rowsPerBand: Int): Seq[Column] =
+    sig.grouped(rowsPerBand).map(g => md5(concat(g: _*))).toSeq
+
+  /** 16-bit SimHash as a '0'/'1' string: bit p is the majority vote of
+    * (p-th hex digit of md5(token) >= '8') over all tokens. Hex digits
+    * 8-9,a-f are exactly the ">= '8'" range in ASCII order. */
+  def simhash16(w: Column): Column = {
+    val n = size(w)
+    concat((1 to 16).map { p =>
+      val ones = aggregate(
+        transform(w, t => when(substring(md5(t), p, 1) >= "8", 1).otherwise(0)),
+        lit(0), (a, x) => a + x)
+      when(ones * 2 >= n, lit("1")).otherwise(lit("0"))
+    }: _*)
+  }
+
+  /** token-set Jaccard similarity between two distinct-element arrays */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  // ---- language-ID heuristic (marker-word scoring) ----
+  // The heuristic is the operator; its accuracy on synthetic text is not
+  // the point — determinism and scale are. Marker sets are arbitrary but
+  // fixed, tiebreak order is en > fr > es > zh > de.
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "data"),
+    "fr" -> Seq("query", "table"),
+    "es" -> Seq("row", "line"),
+    "zh" -> Seq("hash", "key"),
+    "de" -> Seq("group", "sort"))
+
+  def markerScore(w: Column, markers: Seq[String]): Column =
+    size(filter(w, t => markers.map(m => t === m).reduce(_ || _)))
+
+  def langIdPredict(w: Column): Column = {
+    val scores = langMarkers.map { case (lang, ms) => lang -> markerScore(w, ms) }
+    val best = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("unknown")) { case ((lang, sc), els) =>
+      when(sc === best && best > 0, lang).otherwise(els)
+    }
+  }
+
+  // ---- quality scoring ----
+  val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to")
+
+  /** deterministic [0,1] quality score from length, lexical diversity,
+    * stopword density and mean word length */
+  def qualityScore(text: Column): Column = {
+    val w = tokens(text)
+    val nTok = size(w).cast("double")
+    val uniqRatio = size(array_distinct(w)) / nTok
+    val stopRatio = markerScore(w, stopwords) / nTok
+    val avgWordLen = (length(text) - nTok + 1) / nTok
+    round(
+      least(nTok / 50.0, lit(1.0)) * 0.3 +
+      uniqRatio * 0.3 +
+      (lit(1.0) - stopRatio) * 0.2 +
+      least(avgWordLen / 6.0, lit(1.0)) * 0.2, 6)
+  }
+
+  /** bag fingerprint: md5 over the sorted distinct token set — catches
+    * reordered / repeated-token duplicates (rolling-hash analog) */
+  def bagFingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+
+  /** crude BPE-ish token-count estimate: word tokens + ceil(chars/4) blend */
+  def estTokenCount(text: Column): Column =
+    size(tokens(text)) + ceil(length(text) / lit(16.0)).cast("int")
+}

@@ -1,0 +1,185 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, TextAnalysis => TA}
+
+/** Training-data pipeline surface over `documents` + `embeddings`:
+  * deduplication (exact / MinHash-LSH / SimHash / n-gram Jaccard /
+  * embedding-cosine), text analysis (language-ID, quality scoring, token
+  * counting, fingerprinting), keyword search.
+  *
+  * Every dedup variant here carries a full DuckDB oracle: the shared
+  * deterministic hash is md5, and MinHash uses lexicographic-min over
+  * md5 hex strings, so candidate generation is bit-identical across
+  * engines (no engine-specific hash functions anywhere).
+  */
+object DocumentQueries extends QueryModule {
+
+  // ---- shared oracle SQL fragments (kept in lockstep with TextAnalysis) ----
+  private val shingleCte =
+    """t AS (SELECT doc_id, lang, length(text) AS len, string_split(text,' ') AS w FROM documents),
+      |s AS (SELECT doc_id, len, CASE WHEN len(w) >= 3
+      |  THEN list_distinct(list_transform(range(1, len(w)-1), i -> w[i]||' '||w[i+1]||' '||w[i+2]))
+      |  ELSE []::VARCHAR[] END AS sh FROM t)""".stripMargin.replace('\n', ' ')
+
+  private val jacSql =
+    "len(list_intersect(sa.sh, sb.sh))::DOUBLE / len(list_distinct(list_concat(sa.sh, sb.sh)))"
+
+  private val sigSql = (0 until 8)
+    .map(i => s"list_aggregate(list_transform(sh, x -> md5('$i:'||x)),'min')")
+    .mkString("[", ", ", "]")
+
+  private val simhashSql = (1 to 16)
+    .map(p => s"CASE WHEN 2*list_aggregate(list_transform(w, x -> CASE WHEN substring(md5(x),$p,1) >= '8' THEN 1 ELSE 0 END),'sum') >= len(w) THEN '1' ELSE '0' END")
+    .mkString("concat(", ", ", ")")
+
+  private val langScoreSql = TA.langMarkers.map { case (lang, ms) =>
+    s"len(list_filter(w, x -> x IN (${ms.map(m => s"'$m'").mkString(",")}))) AS s_$lang"
+  }.mkString(", ")
+
+  private val langBest = "greatest(s_en, s_fr, s_es, s_zh, s_de)"
+  private val langPredSql = TA.langMarkers.map(_._1)
+    .map(l => s"WHEN s_$l = $langBest AND $langBest > 0 THEN '$l'")
+    .mkString("CASE ", " ", " ELSE 'unknown' END")
+
+  override def qs: Seq[(String, Q)] = Seq(
+
+    // ---- exact dedup: corpus duplication profile
+    "q_dedup_exact_stats" -> Q(
+      (s, dir) => Dedup.exactStats(table(s, dir, "documents"), "text"),
+      Some("""WITH g AS (SELECT md5(text) AS h, count(*) AS c FROM documents GROUP BY 1)
+             |SELECT sum(c)::BIGINT AS n_docs, count(*) AS n_unique,
+             |sum(CASE WHEN c > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_groups,
+             |sum(CASE WHEN c > 1 THEN c - 1 ELSE 0 END)::BIGINT AS n_redundant
+             |FROM g""".stripMargin.replace('\n', ' '))),
+
+    // ---- exact dedup: keeper mapping (dropped -> kept)
+    "q_dedup_exact_mapping" -> Q(
+      (s, dir) => Dedup.exactDupMapping(table(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("dropped_id")),
+      Some("""WITH d AS (SELECT doc_id, md5(text) AS h FROM documents),
+             |g AS (SELECT h, min(doc_id) AS keeper, count(*) AS c FROM d GROUP BY h)
+             |SELECT d.doc_id AS dropped_id, g.keeper AS kept_id
+             |FROM d JOIN g USING(h) WHERE g.c > 1 AND d.doc_id <> g.keeper
+             |ORDER BY dropped_id""".stripMargin.replace('\n', ' '))),
+
+    // ---- n-gram Jaccard near-dup pairs (length-blocked exact verify)
+    "q_dedup_ngram_jaccard" -> Q(
+      (s, dir) => Dedup.ngramJaccardPairs(table(s, dir, "documents"),
+          "doc_id", "text", threshold = 0.8, window = 20)
+        .orderBy(col("id_a"), col("id_b")),
+      Some(s"""WITH $shingleCte
+              |SELECT id_a, id_b, jac FROM (
+              |  SELECT sa.doc_id AS id_a, sb.doc_id AS id_b, round($jacSql, 6) AS jac
+              |  FROM s sa JOIN s sb ON sa.doc_id < sb.doc_id AND abs(sa.len - sb.len) <= 20) p
+              |WHERE jac >= 0.8 ORDER BY id_a, id_b""".stripMargin.replace('\n', ' '))),
+
+    // ---- MinHash + LSH near-dup pairs (8 hashes, 4 bands of 2)
+    "q_dedup_minhash_lsh" -> Q(
+      (s, dir) => Dedup.minhashLshPairs(table(s, dir, "documents"),
+          "doc_id", "text", threshold = 0.8)
+        .orderBy(col("id_a"), col("id_b")),
+      Some(s"""WITH $shingleCte,
+              |m AS (SELECT doc_id, $sigSql AS sig FROM s),
+              |bd AS (SELECT doc_id, i AS band_idx, md5(sig[2*i+1] || sig[2*i+2]) AS band_key
+              |       FROM m, range(4) AS r(i)),
+              |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              |         FROM bd a JOIN bd b ON a.band_idx = b.band_idx
+              |         AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+              |SELECT id_a, id_b, jac FROM (
+              |  SELECT c.id_a, c.id_b, round($jacSql, 6) AS jac
+              |  FROM cand c JOIN s sa ON sa.doc_id = c.id_a JOIN s sb ON sb.doc_id = c.id_b) p
+              |WHERE jac >= 0.8 ORDER BY id_a, id_b""".stripMargin.replace('\n', ' '))),
+
+    // ---- SimHash signature buckets (collision groups)
+    "q_dedup_simhash" -> Q(
+      (s, dir) => Dedup.simhashBuckets(table(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("sig")),
+      Some(s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+              |sg AS (SELECT doc_id, $simhashSql AS sig FROM t)
+              |SELECT sig, count(*) AS n, list(doc_id ORDER BY doc_id) AS member_ids
+              |FROM sg GROUP BY sig HAVING count(*) > 1 ORDER BY sig""".stripMargin.replace('\n', ' '))),
+
+    // ---- embedding-cosine near-dup pairs
+    "q_dedup_embedding" -> Q(
+      (s, dir) => Dedup.embeddingNearDupPairs(table(s, dir, "embeddings"),
+          "vec_id", "embedding", threshold = 0.4)
+        .orderBy(col("id_a"), col("id_b")),
+      Some("""SELECT id_a, id_b, cos_sim FROM (
+             |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]),6) AS cos_sim
+             |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) p
+             |WHERE cos_sim > 0.4 ORDER BY id_a, id_b""".stripMargin.replace('\n', ' '))),
+
+    // ---- token counting + fingerprinting per doc
+    "q_text_token_stats" -> Q(
+      (s, dir) => {
+        val d = table(s, dir, "documents").filter(col("doc_id") < 100)
+        val w = TA.tokens(col("text"))
+        d.select(col("doc_id"),
+            size(w).as("n_tokens"),
+            size(array_distinct(w)).as("n_uniq"),
+            TA.estTokenCount(col("text")).as("est_bpe_tokens"),
+            TA.bagFingerprint(col("text")).as("fingerprint"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, len(string_split(text,' ')) AS n_tokens,
+             |len(list_distinct(string_split(text,' '))) AS n_uniq,
+             |(len(string_split(text,' ')) + ceil(length(text)/16.0))::INTEGER AS est_bpe_tokens,
+             |md5(array_to_string(list_sort(list_distinct(string_split(text,' '))),' ')) AS fingerprint
+             |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin.replace('\n', ' '))),
+
+    // ---- quality scoring aggregated by language
+    "q_text_quality" -> Q(
+      (s, dir) => {
+        table(s, dir, "documents")
+          .select(col("lang"), TA.qualityScore(col("text")).as("q"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n"),
+            round(avg(col("q")), 4).as("avg_quality"),
+            round(min(col("q")), 6).as("min_quality"),
+            round(max(col("q")), 6).as("max_quality"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""WITH t AS (SELECT lang, length(text) AS c, string_split(text,' ') AS w FROM documents),
+              |q AS (SELECT lang, round(
+              |  0.3 * least(len(w)/50.0, 1.0) +
+              |  0.3 * (len(list_distinct(w))::DOUBLE / len(w)) +
+              |  0.2 * (1.0 - len(list_filter(w, x -> x IN (${TA.stopwords.map(s0 => s"'$s0'").mkString(",")})))::DOUBLE / len(w)) +
+              |  0.2 * least(((c - len(w) + 1.0) / len(w)) / 6.0, 1.0), 6) AS q FROM t)
+              |SELECT lang, count(*) AS n, round(avg(q),4) AS avg_quality,
+              |round(min(q),6) AS min_quality, round(max(q),6) AS max_quality
+              |FROM q GROUP BY lang ORDER BY lang""".stripMargin.replace('\n', ' '))),
+
+    // ---- language-ID heuristic: confusion counts vs actual lang column
+    "q_text_langid" -> Q(
+      (s, dir) => {
+        val w = TA.tokens(col("text"))
+        table(s, dir, "documents")
+          .select(col("lang").as("actual_lang"), TA.langIdPredict(w).as("predicted"))
+          .groupBy(col("actual_lang"), col("predicted"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("actual_lang"), col("predicted"))
+      },
+      Some(s"""WITH t AS (SELECT lang, string_split(text,' ') AS w FROM documents),
+              |sc AS (SELECT lang, $langScoreSql FROM t),
+              |p AS (SELECT lang, $langPredSql AS predicted FROM sc)
+              |SELECT lang AS actual_lang, predicted, count(*) AS n
+              |FROM p GROUP BY 1, 2 ORDER BY actual_lang, predicted""".stripMargin.replace('\n', ' '))),
+
+    // ---- keyword search (TQL CONTAINS; tql.md:179-185)
+    "q_text_contains" -> Q(
+      (s, dir) => {
+        val w = TA.tokens(col("text"))
+        table(s, dir, "documents")
+          .filter(array_contains(w, "spark") && array_contains(w, "join"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("lang"))
+      },
+      Some("""SELECT lang, count(*) AS n FROM documents
+             |WHERE list_contains(string_split(text,' '), 'spark')
+             |AND list_contains(string_split(text,' '), 'join')
+             |GROUP BY lang ORDER BY lang""".stripMargin.replace('\n', ' ')))
+  )
+}
