@@ -15,7 +15,10 @@ object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
     Relational,
     VectorQueries,
-    DocumentQueries)
+    DocumentQueries,
+    SequenceQueries,
+    SearchQueries,
+    AnnQueries)
 
   private lazy val allQs: Seq[(String, Q)] = {
     val qs = modules.flatMap(_.qs)

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** BM25 text relevance (SURVEY.md §2.9; reference BM25 index
+  * `docs/docs/advanced/tql.md:170-176`, search routing
+  * `cpp/deeplake_pg/index_search.cpp:135-169`).
+  *
+  * The reference maintains a BM25 index (df, avgdl) incrementally; we
+  * compute corpus stats as DataFrames — at scale these are the "index
+  * tables": (term, df) is tiny after aggregation and broadcast-joins to
+  * the postings. Scoring never shuffles the corpus: postings are built
+  * with one explode + hash-agg, query terms filter via broadcast
+  * semi-join, and the final agg groups by doc id.
+  *
+  * Formula (Okapi BM25, k1=1.2, b=0.75, Lucene-style idf):
+  *   idf(t)  = ln(1 + (N - df + 0.5)/(df + 0.5))
+  *   score   = sum_t idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+  */
+object Bm25 {
+  val K1 = 1.2
+  val B = 0.75
+
+  /** postings: one row per (doc, term) with tf and dl */
+  def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        size(split(col(textCol), " ")).as("dl"),
+        explode(split(col(textCol), " ")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** corpus stats: (N, avgdl) single row + (term, df) table */
+  def corpusStats(post: DataFrame): (DataFrame, DataFrame) = {
+    val docStats = post.groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val termDf = post.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+    (docStats, termDf)
+  }
+
+  /** BM25 scores for a bag of query terms: (doc_id, score) for every doc
+    * containing at least one query term. */
+  def score(spark: SparkSession, docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val post = postings(docs, idCol, textCol)
+    val (docStats, termDf) = corpusStats(post)
+    val q = broadcast(queryTerms.distinct.toDF("term"))
+    post.join(q, "term")
+      .join(broadcast(termDf), "term")
+      .crossJoin(broadcast(docStats))
+      .select(col("doc_id"),
+        (log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") * (K1 + 1)) /
+          (col("tf") + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / col("avgdl")))).as("term_score"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("term_score")).as("score"))
+  }
+
+  /** Matching DuckDB oracle SQL for [[score]] over the `documents` table. */
+  def oracleSql(queryTerms: Seq[String], roundTo: Int, k: Int): String = {
+    val terms = queryTerms.distinct.map(t => s"'$t'").mkString(", ")
+    s"""WITH post AS (
+       |  SELECT doc_id, len(string_split(text,' ')) AS dl, t.term, count(*) AS tf
+       |  FROM documents, unnest(string_split(text,' ')) AS t(term)
+       |  GROUP BY doc_id, dl, t.term),
+       |stats AS (SELECT count(DISTINCT doc_id) AS n_docs,
+       |          (SELECT avg(dl) FROM (SELECT DISTINCT doc_id, dl FROM post)) AS avgdl FROM post),
+       |tdf AS (SELECT term, count(DISTINCT doc_id) AS df FROM post GROUP BY term)
+       |SELECT doc_id, round(sum(
+       |  ln(1.0 + (n_docs - df + 0.5)/(df + 0.5)) * (tf * ${K1 + 1}) /
+       |  (tf + $K1 * (1 - $B + $B * dl / avgdl))), $roundTo) AS bm25
+       |FROM post JOIN tdf USING(term) CROSS JOIN stats
+       |WHERE term IN ($terms)
+       |GROUP BY doc_id
+       |ORDER BY bm25 DESC, doc_id LIMIT $k""".stripMargin.replace('\n', ' ')
+  }
+}

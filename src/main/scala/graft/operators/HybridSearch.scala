@@ -1,0 +1,35 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+/** Hybrid (vector + text) score fusion — reference
+  * `cpp/deeplake_pg/hybrid_query_merge.hpp:27-130`: softmax-normalize each
+  * result set's scores (clamped at 700 before exp, matching the
+  * reference), then weighted-sum (default 0.5/0.5) and take top-k.
+  *
+  * Pure DataFrame composition: two scored sets -> per-set softmax via a
+  * global-agg broadcast (max + sum are two tiny aggregates, not a window
+  * over the corpus) -> full outer join on id -> weighted sum.
+  */
+object HybridSearch {
+
+  /** softmax-normalize `score` within df: exp(s - max) / sum(exp(s - max)) */
+  def softmaxScores(scored: DataFrame): DataFrame = {
+    val m = scored.agg(max(col("score"))).head().getDouble(0)
+    val clamped = least(col("score") - lit(m), lit(700.0))
+    val withExp = scored.select(col("id"), exp(clamped).as("e"))
+    val z = withExp.agg(sum(col("e"))).head().getDouble(0)
+    withExp.select(col("id"), (col("e") / lit(z)).as("p"))
+  }
+
+  /** fuse two (id, score) sets with weight alpha on the first */
+  def fuse(vec: DataFrame, text: DataFrame, alpha: Double = 0.5): DataFrame = {
+    val v = softmaxScores(vec).withColumnRenamed("p", "p_vec")
+    val t = softmaxScores(text).withColumnRenamed("p", "p_text")
+    v.join(t, Seq("id"), "full")
+      .select(col("id"),
+        (coalesce(col("p_vec"), lit(0.0)) * alpha +
+         coalesce(col("p_text"), lit(0.0)) * (1 - alpha)).as("hybrid_score"))
+  }
+}

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** TQL SAMPLE BY: weighted random sampling (SURVEY.md §2.8;
+  * `cpp/query_core/sample_statement.hpp:15-106`, `tql.md:333-348`).
+  *
+  * Without replacement uses the A-ExpJ weighted reservoir key
+  * `-ln(u)/w` (Efraimidis-Spirakis): the n smallest keys are an exact
+  * weighted sample. Distributed cost is one TakeOrdered (per-partition
+  * top-n, then merge of n-row heaps) — no full sort, no single reducer
+  * holding the corpus.
+  *
+  * `RANDOM()` seeding: rand(seed) is deterministic per (seed, partition,
+  * row-in-partition), mirroring the reference's seedable `deeplake.random`.
+  */
+object Sampling {
+
+  /** SAMPLE BY weight LIMIT n (no replacement). Rows with weight <= 0 are
+    * never sampled (reference clamps the same way). */
+  def weightedSample(df: DataFrame, weight: Column, n: Int, seed: Long = 42L): DataFrame =
+    df.withColumn("__w", weight.cast("double"))
+      .filter(col("__w") > 0)
+      .withColumn("__key", -log(rand(seed)) / col("__w"))
+      .orderBy(col("__key").asc)
+      .limit(n)
+      .drop("__w", "__key")
+
+  /** SAMPLE BY weight REPLACE true LIMIT n: expected-count replication —
+    * each row is emitted Poisson-ish floor(n*w/W + u) times. One pass +
+    * a generator; exact multinomial would need a driver-side cumsum. */
+  def weightedSampleWithReplacement(df: DataFrame, weight: Column, n: Int,
+      seed: Long = 42L): DataFrame = {
+    val withW = df.withColumn("__w", weight.cast("double")).filter(col("__w") > 0)
+    val total = withW.agg(sum(col("__w"))).head().getDouble(0)
+    withW
+      .withColumn("__copies",
+        floor(col("__w") / total * n + rand(seed)).cast("int"))
+      .withColumn("__rep", explode(sequence(lit(1), col("__copies"))))
+      .drop("__w", "__copies", "__rep")
+  }
+
+  /** MAX_WEIGHT(cond1: w1, cond2: w2, ...) — max weight among matching
+    * conditions (`cpp/query_core/expr.hpp:158` arg_pairs; tql.md:336-347) */
+  def maxWeight(pairs: (Column, Double)*): Column =
+    greatest(pairs.map { case (c, w) => when(c, lit(w)).otherwise(lit(0.0)) }: _*)
+
+  /** SUM_WEIGHT(cond1: w1, ...) — sum of weights of matching conditions */
+  def sumWeight(pairs: (Column, Double)*): Column =
+    pairs.map { case (c, w) => when(c, lit(w)).otherwise(lit(0.0)) }.reduce(_ + _)
+
+  /** SAMPLE BY fraction (uniform) */
+  def fractionSample(df: DataFrame, fraction: Double, seed: Long = 42L): DataFrame =
+    df.sample(withReplacement = false, fraction, seed)
+}

@@ -1,0 +1,69 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.functions.gf
+import graft.operators.{Bm25, HybridSearch}
+
+/** Text relevance + hybrid retrieval (SURVEY.md §2.9: BM25_SIMILARITY,
+  * hybrid softmax fusion `cpp/deeplake_pg/hybrid_query_merge.hpp`).
+  */
+object SearchQueries extends QueryModule {
+
+  private val terms = Seq("spark", "join", "fast")
+
+  override def qs: Seq[(String, Q)] = Seq(
+
+    // ---- BM25 relevance top-k
+    "q_bm25_topk" -> Q(
+      (s, dir) => {
+        Bm25.score(s, table(s, dir, "documents"), "doc_id", "text", terms)
+          .select(col("doc_id"), round(col("score"), 6).as("bm25"))
+          .orderBy(col("bm25").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some(Bm25.oracleSql(terms, roundTo = 6, k = 20))),
+
+    // ---- hybrid search: cosine + BM25, softmax-fused 0.5/0.5
+    "q_hybrid_search" -> Q(
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+        val vecScores = e.crossJoin(broadcast(qv))
+          .select(col("vec_id").as("id"),
+            gf.cosine_similarity(col("embedding"), col("qv")).as("score"))
+        val textScores = Bm25.score(s, table(s, dir, "documents"), "doc_id", "text", terms)
+          .select(col("doc_id").as("id"), col("score"))
+        HybridSearch.fuse(vecScores, textScores, alpha = 0.5)
+          .select(col("id"), round(col("hybrid_score"), 6).as("hybrid_score"))
+          .orderBy(col("hybrid_score").desc, col("id"))
+          .limit(20)
+      },
+      Some {
+        val bm25Post =
+          """post AS (
+            |  SELECT doc_id, len(string_split(text,' ')) AS dl, t.term, count(*) AS tf
+            |  FROM documents, unnest(string_split(text,' ')) AS t(term)
+            |  GROUP BY doc_id, dl, t.term),
+            |stats AS (SELECT count(DISTINCT doc_id) AS n_docs,
+            |          (SELECT avg(dl) FROM (SELECT DISTINCT doc_id, dl FROM post)) AS avgdl FROM post),
+            |tdf AS (SELECT term, count(DISTINCT doc_id) AS df FROM post GROUP BY term),
+            |ts AS (SELECT doc_id AS id, sum(
+            |  ln(1.0 + (n_docs - df + 0.5)/(df + 0.5)) * (tf * 2.2) /
+            |  (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))) AS score
+            |  FROM post JOIN tdf USING(term) CROSS JOIN stats
+            |  WHERE term IN ('spark','join','fast') GROUP BY doc_id)""".stripMargin
+        s"""WITH vs AS (SELECT e.vec_id AS id,
+           |  list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS score
+           |  FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q),
+           |vexp AS (SELECT id, exp(least(score - (SELECT max(score) FROM vs), 700)) AS e FROM vs),
+           |vp AS (SELECT id, e / (SELECT sum(e) FROM vexp) AS p_vec FROM vexp),
+           |$bm25Post,
+           |texp AS (SELECT id, exp(least(score - (SELECT max(score) FROM ts), 700)) AS e FROM ts),
+           |tp AS (SELECT id, e / (SELECT sum(e) FROM texp) AS p_text FROM texp)
+           |SELECT coalesce(vp.id, tp.id) AS id,
+           |round(coalesce(p_vec, 0)*0.5 + coalesce(p_text, 0)*0.5, 6) AS hybrid_score
+           |FROM vp FULL JOIN tp ON vp.id = tp.id
+           |ORDER BY hybrid_score DESC, id LIMIT 20""".stripMargin.replace('\n', ' ')
+      })
+  )
+}

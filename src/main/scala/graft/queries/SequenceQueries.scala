@@ -1,0 +1,119 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Grouping, Sampling}
+
+/** TQL-specific reshaping operators (SURVEY.md §2.4, §2.8): sequence
+  * GROUP BY / UNGROUP, EXPAND BY patch tiling, weighted sampling.
+  */
+object SequenceQueries extends QueryModule {
+
+  override def qs: Seq[(String, Q)] = Seq(
+
+    // ---- GROUP BY -> ordered sequences (group_statement across_type time)
+    "q_group_sequence" -> Q(
+      (s, dir) => {
+        Grouping.groupToSequences(
+            table(s, dir, "lineitem").filter(col("l_orderkey") < 200),
+            keys = Seq("l_orderkey"), ordCol = "l_linenumber",
+            valueCols = Seq("l_quantity"))
+          .select(col("l_orderkey"), col("l_quantity_seq").as("qty_seq"),
+            size(col("l_quantity_seq")).as("seq_len"))
+          .orderBy(col("l_orderkey"))
+      },
+      Some("""SELECT l_orderkey, list(l_quantity ORDER BY l_linenumber, l_quantity) AS qty_seq,
+             |count(*)::INTEGER AS seq_len FROM lineitem WHERE l_orderkey < 200
+             |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin.replace('\n', ' '))),
+
+    // ---- UNGROUP: sequences back to rows with 0-based position
+    "q_ungroup_roundtrip" -> Q(
+      (s, dir) => {
+        val grouped = Grouping.groupToSequences(
+          table(s, dir, "lineitem").filter(col("l_orderkey") < 100),
+          keys = Seq("l_orderkey"), ordCol = "l_linenumber",
+          valueCols = Seq("l_quantity"))
+        Grouping.ungroup(grouped, "l_quantity_seq", keep = Seq("l_orderkey"))
+          .orderBy(col("l_orderkey"), col("pos"))
+      },
+      Some("""SELECT l_orderkey,
+             |CAST(row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity) - 1 AS INTEGER) AS pos,
+             |l_quantity AS value
+             |FROM lineitem WHERE l_orderkey < 100 ORDER BY l_orderkey, pos""".stripMargin.replace('\n', ' '))),
+
+    // ---- sequence grouping over event streams (per-user event history)
+    "q_group_events" -> Q(
+      (s, dir) => {
+        Grouping.groupToSequences(
+            table(s, dir, "events").filter(col("user_id") < 10),
+            keys = Seq("user_id"), ordCol = "ts_ns", valueCols = Seq("event_type"))
+          .select(col("user_id"), col("event_type_seq"),
+            size(col("event_type_seq")).as("n_events"),
+            element_at(col("event_type_seq"), 1).as("first_event"),
+            element_at(col("event_type_seq"), -1).as("last_event"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id, list(event_type ORDER BY ts, event_type) AS event_type_seq,
+             |count(*)::INTEGER AS n_events,
+             |(list(event_type ORDER BY ts, event_type))[1] AS first_event,
+             |(list(event_type ORDER BY ts, event_type))[-1] AS last_event
+             |FROM events WHERE user_id < 10 GROUP BY user_id ORDER BY user_id""".stripMargin.replace('\n', ' '))),
+
+    // ---- EXPAND BY 4 4: tile 8x8 tensors (embeddings reshaped) into 4 patches
+    "q_expand_patches" -> Q(
+      (s, dir) => {
+        val e = table(s, dir, "embeddings").filter(col("vec_id") < 10)
+        Grouping.expandBy(e, "embedding", rows = 8, cols = 8, h = 4, w = 4,
+            keep = Seq("vec_id"))
+          .select(col("vec_id"), col("patch_idx"),
+            transform(col("patch"), x => round(x.cast("double"), 6)).as("patch"))
+          .orderBy(col("vec_id"), col("patch_idx"))
+      },
+      Some("""SELECT vec_id, p.i::INTEGER AS patch_idx,
+             |list_transform(range(0, 16), k ->
+             |  round(embedding[((p.i//2)*4 + k//4)*8 + (p.i%2)*4 + (k%4) + 1]::DOUBLE, 6)) AS patch
+             |FROM embeddings, range(4) AS p(i) WHERE vec_id < 10
+             |ORDER BY vec_id, patch_idx""".stripMargin.replace('\n', ' '))),
+
+    // ---- tumbling-window aggregation over the event stream (batch form;
+    // the Structured Streaming twin lives in graft.streaming)
+    "q_events_hourly" -> Q(
+      (s, dir) => {
+        table(s, dir, "events")
+          .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00").as("hour"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+          .orderBy(col("hour"), col("event_type"))
+      },
+      Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+             |event_type, count(*) AS n, round(sum(value),2) AS total_value
+             |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin.replace('\n', ' '))),
+
+    // ---- SAMPLE BY weight LIMIT n (seeded; not SQL-expressible -> rows-only)
+    "q_sample_weighted" -> Q(
+      (s, dir) => {
+        Sampling.weightedSample(
+            table(s, dir, "lineitem"), col("l_quantity"), n = 100)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+      },
+      None,
+      doc = "A-ExpJ weighted reservoir; deterministic under the fixed seed"),
+
+    // ---- SAMPLE BY MAX_WEIGHT(cond: w, ...) (tql.md:336-347)
+    "q_sample_max_weight" -> Q(
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+        Sampling.weightedSample(li,
+            Sampling.maxWeight(
+              (col("l_returnflag") === "R") -> 10.0,
+              (col("l_quantity") > 40) -> 5.0,
+              lit(true) -> 1.0),
+            n = 200)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("l_returnflag"))
+      },
+      None,
+      doc = "R-flag rows weighted 10x; sampled composition skews accordingly")
+  )
+}

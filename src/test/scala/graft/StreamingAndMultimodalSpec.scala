@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.Multimodal
+import graft.streaming.EventStream
+
+class StreamingAndMultimodalSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("streaming hourly counts match the batch computation exactly") {
+    val q = EventStream.runToMemorySink(spark, dir, "stream_hourly")
+    try {
+      val streamed = spark.table("stream_hourly")
+        .orderBy(col("hour"), col("event_type")).collect()
+      val batch = graft.sources.Tables(spark, dir, "events")
+        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00").as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+        .orderBy(col("hour"), col("event_type")).collect()
+      assert(streamed.length === batch.length)
+      assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
+    } finally q.stop()
+  }
+
+  test("multimodal: binary payload -> stub decode keeps schema and determinism") {
+    val docs = graft.sources.Tables(spark, dir, "documents").limit(20)
+    val withBin = Multimodal.withBinaryPayload(docs, "text")
+    assert(withBin.schema("payload").dataType.typeName === "binary")
+    assert(withBin.schema("payload").metadata.getString("htype") === "image")
+    val decoded = Multimodal.decodeImages(withBin, "doc_id")
+    val rows = decoded.collect()
+    assert(rows.length === 20)
+    assert(rows.forall { r =>
+      r.getAs[Int]("width") == 8 && r.getAs[scala.collection.Seq[Float]]("pixels").length == 64
+    })
+    // deterministic: same input -> same pixels
+    val again = Multimodal.decodeImages(withBin, "doc_id").collect()
+    assert(rows.map(_.getAs[scala.collection.Seq[Float]]("pixels").toList).toSeq ===
+      again.map(_.getAs[scala.collection.Seq[Float]]("pixels").toList).toSeq)
+  }
+
+  test("multimodal: resize halves dimensions, frame sampling strides") {
+    val docs = graft.sources.Tables(spark, dir, "documents").limit(5)
+    val decoded = Multimodal.decodeImages(
+      Multimodal.withBinaryPayload(docs, "text"), "doc_id")
+    val small = Multimodal.resize(decoded, 4, 4).collect()
+    assert(small.forall(_.getAs[scala.collection.Seq[Float]]("pixels").length == 16))
+    val framed = Multimodal.sampleFrames(decoded, "pixels", 8).collect()
+    assert(framed.forall(_.getAs[scala.collection.Seq[Float]]("pixels_sampled").length == 8))
+  }
+}
