@@ -46,24 +46,27 @@ object Dedup {
     docs.select(col(idCol).as("id"), length(col(textCol)).as("len"),
       shingles(tokens(col(textCol))).as("sh"))
 
-  /** exact n-gram Jaccard near-dup pairs, blocked by text length
-    * (|len_a - len_b| <= window). The blocking predicate becomes an
-    * equi-join: right side explodes to its 3 adjacent length buckets, so
-    * Spark shuffles on the bucket key instead of nested-looping. */
+  /** exact n-gram Jaccard near-dup pairs over the WHOLE corpus via an
+    * inverted shingle index: explode to (shingle, id) postings, self-join
+    * on the shingle to count common shingles per pair, then
+    * jac = common / (|A| + |B| - common) — exact, and never materializes
+    * a per-pair array intersection. Cost is sum over shingles of df^2
+    * (rare-shingle dominated); a pathological hot shingle would be
+    * salted/split before the join at real scale. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double, window: Int = 20): DataFrame = {
+      threshold: Double): DataFrame = {
     val s = shingled(docs, idCol, textCol)
-    val bucket = floor(col("len") / window)
-    val left = s.select(col("id").as("id_a"), col("len").as("len_a"),
-      col("sh").as("sh_a"), bucket.as("bk"))
-    val right = s.select(col("id").as("id_b"), col("len").as("len_b"),
-        col("sh").as("sh_b"), bucket.as("b0"))
-      .withColumn("bk", explode(array(col("b0") - 1, col("b0"), col("b0") + 1)))
-    left.join(right, Seq("bk"))
-      .filter(col("id_a") < col("id_b") &&
-        abs(col("len_a") - col("len_b")) <= window)
+    val sizes = s.select(col("id"), size(col("sh")).as("cnt"))
+    val posts = s.select(col("id"), explode(col("sh")).as("shingle"))
+    val common = posts.as("a").join(posts.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("c"))
+    common
+      .join(broadcast(sizes.select(col("id").as("id_a"), col("cnt").as("cnt_a"))), "id_a")
+      .join(broadcast(sizes.select(col("id").as("id_b"), col("cnt").as("cnt_b"))), "id_b")
       .select(col("id_a"), col("id_b"),
-        round(jaccard(col("sh_a"), col("sh_b")), 6).as("jac"))
+        round(col("c").cast("double") / (col("cnt_a") + col("cnt_b") - col("c")), 6).as("jac"))
       .filter(col("jac") >= threshold)
   }
 
@@ -75,17 +78,20 @@ object Dedup {
     val s = shingled(docs, idCol, textCol)
     val sig = minhashSig(col("sh"), numHashes)
     val bands = bandKeys(sig, rowsPerBand)
-    val banded = s.select(
-      col("id"), col("sh"),
+    // carry only (id, band) through the candidate join; shingle sets
+    // rejoin afterwards for the (much smaller) verify step
+    val banded = s.select(col("id"),
       posexplode(array(bands: _*)).as(Seq("band_idx", "band_key")))
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
         col("a.band_key") === col("b.band_key") &&
         col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    cand.select(col("id_a"), col("id_b"),
+    cand
+      .join(s.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(s.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
         round(jaccard(col("sh_a"), col("sh_b")), 6).as("jac"))
       .filter(col("jac") >= threshold)
   }

@@ -63,15 +63,15 @@ object DocumentQueries extends QueryModule {
              |FROM d JOIN g USING(h) WHERE g.c > 1 AND d.doc_id <> g.keeper
              |ORDER BY dropped_id""".stripMargin.replace('\n', ' '))),
 
-    // ---- n-gram Jaccard near-dup pairs (length-blocked exact verify)
+    // ---- n-gram Jaccard near-dup pairs (inverted shingle index, exact)
     "q_dedup_ngram_jaccard" -> Q(
       (s, dir) => Dedup.ngramJaccardPairs(table(s, dir, "documents"),
-          "doc_id", "text", threshold = 0.8, window = 20)
+          "doc_id", "text", threshold = 0.8)
         .orderBy(col("id_a"), col("id_b")),
       Some(s"""WITH $shingleCte
               |SELECT id_a, id_b, jac FROM (
               |  SELECT sa.doc_id AS id_a, sb.doc_id AS id_b, round($jacSql, 6) AS jac
-              |  FROM s sa JOIN s sb ON sa.doc_id < sb.doc_id AND abs(sa.len - sb.len) <= 20) p
+              |  FROM s sa JOIN s sb ON sa.doc_id < sb.doc_id) p
               |WHERE jac >= 0.8 ORDER BY id_a, id_b""".stripMargin.replace('\n', ' '))),
 
     // ---- MinHash + LSH near-dup pairs (8 hashes, 4 bands of 2)
