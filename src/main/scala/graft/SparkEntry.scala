@@ -14,6 +14,7 @@ object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
     Relational,
+    TpchMore,
     VectorQueries,
     DocumentQueries,
     SequenceQueries,
