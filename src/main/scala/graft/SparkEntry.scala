@@ -16,6 +16,7 @@ object SparkEntry {
     Relational,
     TpchMore,
     VectorQueries,
+    TensorQueries,
     DocumentQueries,
     SequenceQueries,
     SearchQueries,

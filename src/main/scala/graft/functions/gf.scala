@@ -71,6 +71,24 @@ object gf {
   /** FLAT(a): flatten one nesting level (`cpp/nd/functions.hpp:127`). */
   def flat(a: Column): Column = flatten(a)
 
+  /** TRANSPOSE(a): transpose a 2-D row-major array-of-arrays
+    * (`cpp/nd/functions.hpp:141`). Assumes rectangular input. */
+  def transpose(a: Column): Column =
+    transform(
+      sequence(lit(1), size(element_at(a, 1))),
+      j => transform(a, row => element_at(row, j)))
+
+  /** BINCOUNT(a, nbins): per-row histogram of non-negative int bins
+    * (`cpp/nd/statistics.hpp:10-35`). Element values outside [0, nbins)
+    * are ignored, matching numpy.bincount over clipped input. */
+  def bincount(a: Column, nbins: Int): Column =
+    transform(
+      sequence(lit(0), lit(nbins - 1)),
+      k => size(filter(a, x => x.cast("long") === k.cast("long"))))
+
+  /** KEYS(json): object keys of a JSON string (tql.md:517-521). */
+  def keys(j: Column): Column = json_object_keys(j)
+
   /** MEAN_POOL_ROWS(a): mean-pool a bag of embeddings down to one vector
     * (`cpp/nd/norm.hpp:44`, used by maxsim_pooled prefilter). */
   def mean_pool_rows(bag: Column): Column = {

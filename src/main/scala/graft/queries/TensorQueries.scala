@@ -1,0 +1,232 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.functions.gf
+
+/** Remaining array/tensor scalar surface (SURVEY.md §2.10) not covered by
+  * VectorQueries: SHAPE, NONZERO, ISCLOSE, BINCOUNT, FLAT/TRANSPOSE,
+  * LOGICAL_AND/OR, KEYS(json), DATA(col,i), MEAN_POOL_ROWS, within-row
+  * MEAN/STDEV/MEDIAN, UNGROUP split variants, and the sampling fraction /
+  * random-shuffle paths (§2.6, §2.8).
+  */
+object TensorQueries extends QueryModule {
+
+  private val E = "embeddings"
+
+  override def qs: Seq[(String, Q)] = Seq(
+
+    // ---- SHAPE(a) (tql.md:408-412)
+    "q_array_shape" -> Q(
+      (s, dir) => {
+        table(s, dir, E)
+          .filter(col("vec_id") < 20)
+          .select(col("vec_id"), gf.shape(col("embedding")).as("shp"),
+            size(col("embedding")).as("dim"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""SELECT vec_id, [len(embedding)] AS shp, len(embedding) AS dim
+             |FROM embeddings WHERE vec_id < 20 ORDER BY vec_id""".stripMargin.replace('\n', ' '))),
+
+    // ---- NONZERO(a): indices of non-zero elements (tql.md:419-423)
+    "q_array_nonzero" -> Q(
+      (s, dir) => {
+        val thresholded = transform(col("embedding"),
+          x => when(x > 0.2f, x).otherwise(lit(0.0f)))
+        table(s, dir, E)
+          .filter(col("vec_id") < 40)
+          .select(col("vec_id"),
+            slice(gf.nonzero(thresholded), 1, 5).as("first_nz"),
+            size(gf.nonzero(thresholded)).as("n_nz"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""SELECT vec_id,
+             |list_filter(range(0, len(embedding)), i -> embedding[i+1] > 0.2)[1:5] AS first_nz,
+             |len(list_filter(range(0, len(embedding)), i -> embedding[i+1] > 0.2)) AS n_nz
+             |FROM embeddings WHERE vec_id < 40 ORDER BY vec_id""".stripMargin.replace('\n', ' '))),
+
+    // ---- ISCLOSE(a, b, rtol, atol) between consecutive rows
+    // (`cpp/nd/comparison.hpp:17`)
+    "q_array_isclose" -> Q(
+      (s, dir) => {
+        val e = table(s, dir, E)
+        val a = e.select(col("vec_id"), col("embedding").as("ea"))
+        val b = e.select((col("vec_id") - 1).as("vec_id"), col("embedding").as("eb"))
+        a.join(b, "vec_id")
+          .filter(col("vec_id") < 50)
+          .select(col("vec_id"),
+            size(filter(gf.isclose(col("ea"), col("eb"), rtol = 0.5, atol = 0.1),
+              x => x)).as("n_close"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""SELECT a.vec_id,
+             |list_aggregate(list_transform(range(1, len(a.embedding)+1),
+             |  i -> CASE WHEN abs(a.embedding[i]::DOUBLE - b.embedding[i]::DOUBLE)
+             |    <= 0.1 + 0.5 * abs(b.embedding[i]::DOUBLE) THEN 1 ELSE 0 END), 'sum')::BIGINT AS n_close
+             |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+             |WHERE a.vec_id < 50 ORDER BY a.vec_id""".stripMargin.replace('\n', ' '))),
+
+    // ---- BINCOUNT: per-row histogram (`cpp/nd/statistics.hpp:10-35`)
+    "q_array_bincount" -> Q(
+      (s, dir) => {
+        val bins = transform(col("embedding"),
+          x => least(lit(7L), greatest(lit(0L),
+            floor((x.cast("double") + 1.0d) * 2.0d).cast("long"))))
+        table(s, dir, E)
+          .filter(col("vec_id") < 30)
+          .select(col("vec_id"), gf.bincount(bins, 8).as("hist"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""SELECT vec_id, list_transform(range(0, 8), k ->
+             |len(list_filter(embedding, x ->
+             |  least(7, greatest(0, floor((x::DOUBLE + 1.0) * 2.0)::BIGINT)) = k))) AS hist
+             |FROM embeddings WHERE vec_id < 30 ORDER BY vec_id""".stripMargin.replace('\n', ' '))),
+
+    // ---- FLAT + TRANSPOSE of a 2-D tensor (`cpp/nd/functions.hpp:127,141`)
+    "q_array_flat_transpose" -> Q(
+      (s, dir) => {
+        val mat = array(slice(col("embedding"), 1, 4), slice(col("embedding"), 5, 4))
+        table(s, dir, E)
+          .filter(col("vec_id") < 25)
+          .select(col("vec_id"),
+            transform(gf.flat(gf.transpose(mat)),
+              x => round(x.cast("double"), 6)).as("t_flat"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""SELECT vec_id, [round(embedding[1]::DOUBLE,6), round(embedding[5]::DOUBLE,6),
+             |round(embedding[2]::DOUBLE,6), round(embedding[6]::DOUBLE,6),
+             |round(embedding[3]::DOUBLE,6), round(embedding[7]::DOUBLE,6),
+             |round(embedding[4]::DOUBLE,6), round(embedding[8]::DOUBLE,6)] AS t_flat
+             |FROM embeddings WHERE vec_id < 25 ORDER BY vec_id""".stripMargin.replace('\n', ' '))),
+
+    // ---- LOGICAL_AND / LOGICAL_OR elementwise (`cpp/nd/logical.hpp:14-16`)
+    "q_array_logical" -> Q(
+      (s, dir) => {
+        val a = transform(col("embedding"), x => x > 0.0f)
+        val b = transform(col("embedding"), x => x < 0.2f)
+        table(s, dir, E)
+          .select(col("vec_id"),
+            size(filter(gf.logical_and(a, b), x => x)).as("n_and"),
+            size(filter(gf.logical_or(a, b), x => x)).as("n_or"))
+          .filter(col("vec_id") < 60)
+          .orderBy(col("vec_id"))
+      },
+      Some("""SELECT vec_id,
+             |len(list_filter(embedding, x -> x > 0.0 AND x < 0.2)) AS n_and,
+             |len(list_filter(embedding, x -> x > 0.0 OR x < 0.2)) AS n_or
+             |FROM embeddings WHERE vec_id < 60 ORDER BY vec_id""".stripMargin.replace('\n', ' '))),
+
+    // ---- KEYS(json) + JSON key access (tql.md:517-521, :143-166)
+    "q_json_keys" -> Q(
+      (s, dir) => {
+        table(s, dir, "events")
+          .filter(col("event_id") < 50)
+          .select(col("event_id"), gf.keys(col("props")).as("prop_keys"),
+            get_json_object(col("props"), "$.k").cast("long").as("k_value"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, json_keys(props) AS prop_keys,
+             |json_extract(props, '$.k')::BIGINT AS k_value
+             |FROM events WHERE event_id < 50 ORDER BY event_id""".stripMargin.replace('\n', ' '))),
+
+    // ---- DATA(col, i): compare every row to the value at absolute row 0
+    // (tql.md:414-417 — constant per query, broadcast scalar)
+    "q_data_at" -> Q(
+      (s, dir) => {
+        val ev = table(s, dir, "events")
+        val ref = ev.filter(col("event_id") === 0).select(col("value").as("ref_value"))
+        ev.filter(col("event_id") < 30)
+          .crossJoin(broadcast(ref))
+          .select(col("event_id"), round(col("value"), 6).as("value"),
+            round(col("value") - col("ref_value"), 6).as("delta_vs_row0"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT e.event_id, round(e.value,6) AS value,
+             |round(e.value - r.ref_value,6) AS delta_vs_row0
+             |FROM events e, (SELECT value AS ref_value FROM events WHERE event_id = 0) r
+             |WHERE e.event_id < 30 ORDER BY e.event_id""".stripMargin.replace('\n', ' '))),
+
+    // ---- MEAN_POOL_ROWS over per-label embedding bags (`cpp/nd/norm.hpp:44`)
+    "q_mean_pool" -> Q(
+      (s, dir) => {
+        table(s, dir, E)
+          .groupBy(col("label"))
+          .agg(collect_list(col("embedding")).as("bag"))
+          .select(col("label"),
+            round(element_at(gf.mean_pool_rows(col("bag")), 1), 6).as("d1"),
+            round(element_at(gf.mean_pool_rows(col("bag")), 2), 6).as("d2"),
+            round(element_at(gf.mean_pool_rows(col("bag")), 3), 6).as("d3"),
+            round(element_at(gf.mean_pool_rows(col("bag")), 4), 6).as("d4"))
+          .orderBy(col("label"))
+      },
+      Some("""SELECT label, round(avg(embedding[1]::DOUBLE),6) AS d1,
+             |round(avg(embedding[2]::DOUBLE),6) AS d2,
+             |round(avg(embedding[3]::DOUBLE),6) AS d3,
+             |round(avg(embedding[4]::DOUBLE),6) AS d4
+             |FROM embeddings GROUP BY label ORDER BY label""".stripMargin.replace('\n', ' '))),
+
+    // ---- within-row MEAN/STDEV/MEDIAN (`cpp/nd/statistics.hpp:10-35`)
+    "q_tensor_stats" -> Q(
+      (s, dir) => {
+        val xs = transform(col("embedding"), x => x.cast("double"))
+        val n = size(col("embedding")).cast("double")
+        val mean = gf.tsum(xs) / n
+        val sumsq = aggregate(xs, lit(0.0d), (acc, x) => acc + x * x)
+        val stdev = sqrt((sumsq - n * mean * mean) / (n - lit(1.0d)))
+        val sorted = array_sort(xs)
+        val median = (element_at(sorted, 32) + element_at(sorted, 33)) / 2.0d
+        table(s, dir, E)
+          .filter(col("vec_id") < 80)
+          .select(col("vec_id"), round(mean, 6).as("t_mean"),
+            round(stdev, 6).as("t_stdev"), round(median, 6).as("t_median"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""SELECT vec_id,
+             |round(list_aggregate(embedding::DOUBLE[], 'sum') / len(embedding),6) AS t_mean,
+             |round(list_aggregate(embedding::DOUBLE[], 'stddev_samp'),6) AS t_stdev,
+             |round(list_aggregate(embedding::DOUBLE[], 'median'),6) AS t_median
+             |FROM embeddings WHERE vec_id < 80 ORDER BY vec_id""".stripMargin.replace('\n', ' '))),
+
+    // ---- UNGROUP split_by_number: explode each vector into 4 equal chunks
+    // (`cpp/query_core/ungroup_statement.hpp:15-101`)
+    "q_ungroup_split_number" -> Q(
+      (s, dir) => {
+        val chunks = transform(sequence(lit(0), lit(3)),
+          i => slice(col("embedding"), i * 16 + 1, lit(16)))
+        table(s, dir, E)
+          .filter(col("vec_id") < 20)
+          .select(col("vec_id"), posexplode(chunks).as(Seq("chunk_idx", "chunk")))
+          .select(col("vec_id"), col("chunk_idx"),
+            round(gf.tsum(col("chunk")), 6).as("chunk_sum"),
+            size(col("chunk")).as("chunk_len"))
+          .orderBy(col("vec_id"), col("chunk_idx"))
+      },
+      Some("""SELECT e.vec_id, r.range::INT AS chunk_idx,
+             |round(list_aggregate(e.embedding[(r.range*16+1):(r.range*16+16)]::DOUBLE[], 'sum'),6) AS chunk_sum,
+             |len(e.embedding[(r.range*16+1):(r.range*16+16)]) AS chunk_len
+             |FROM embeddings e CROSS JOIN range(4) r
+             |WHERE e.vec_id < 20 ORDER BY e.vec_id, chunk_idx""".stripMargin.replace('\n', ' '))),
+
+    // ---- SAMPLE BY fraction (tql.md:641-643) — seeded Bernoulli sample;
+    // not SQL-reproducible across engines -> rows-only check
+    "q_sample_fraction" -> Q(
+      (s, dir) => {
+        table(s, dir, E)
+          .sample(withReplacement = false, fraction = 0.1, seed = 42L)
+          .select(col("vec_id"), col("label"))
+          .orderBy(col("vec_id"))
+      },
+      None,
+      doc = "seeded Bernoulli sample; engine-specific RNG -> rows-only check"),
+
+    // ---- ORDER BY RANDOM() shuffle (tql.md:523-532) — seeded, rows-only
+    "q_shuffle_random" -> Q(
+      (s, dir) => {
+        table(s, dir, "events")
+          .orderBy(rand(42L), col("event_id"))
+          .select(col("event_id"), col("event_type"))
+          .limit(20)
+      },
+      None,
+      doc = "seeded random shuffle; engine-specific RNG -> rows-only check")
+  )
+}
