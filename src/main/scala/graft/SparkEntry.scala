@@ -17,6 +17,7 @@ object SparkEntry {
     TpchMore,
     VectorQueries,
     TensorQueries,
+    TqlQueries,
     DocumentQueries,
     SequenceQueries,
     SearchQueries,

@@ -1,0 +1,451 @@
+package graft.dialect
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+import graft.functions.gf
+import graft.operators.{Grouping, Sampling}
+
+/** TQL → DataFrame compiler (SURVEY.md §7 `dialect/`).
+  *
+  * Mirrors the reference pipeline (`cpp/tql/executor.hpp`,
+  * `cpp/query_core/statement.hpp:86-106` statement = {select_list, where,
+  * order, limit, sampler, group, ungroup}) but emits a Catalyst logical
+  * plan instead of compiled functors: FROM/JOIN → WHERE → GROUP/UNGROUP →
+  * SELECT → SAMPLE → ORDER → LIMIT/OFFSET, set ops across statements.
+  * All execution stays declarative, so pushdown/pruning/codegen apply.
+  *
+  * TQL-specific semantics implemented here:
+  *  - elementwise arithmetic/comparison on array columns (zip_with /
+  *    transform), so `L2_NORM(a - b)` works like `cpp/nd/arithmetic.hpp`
+  *  - 0-based array indexing with Python negatives + [a:b:c] slices
+  *    (`tql.md:587-604`); string index on a JSON column = key access
+  *  - glob LIKE/ILIKE: `*`→`%`, `?`→`_` (`tql.md:207-228`)
+  *  - GROUP BY reshapes to ordered sequences; reductions (SUM/AVG/...)
+  *    then act per group (`tql.md:472`, `group_statement.hpp`)
+  *  - SAMPLE BY weight [REPLACE] consumes LIMIT as the sample size
+  *    (`sample_statement.hpp:15-106`)
+  *  - `?` positional params bound as literals (`expr.hpp:107-126`)
+  */
+object Tql {
+
+  val defaultSeed = 42L
+
+  /** Compile + run against the driver's scale-factor dir tables. */
+  def query(spark: SparkSession, dir: String, tql: String,
+      params: Seq[Any] = Nil): DataFrame =
+    compile(spark, tql, name => graft.sources.Tables(spark, dir, name), params)
+
+  def compile(spark: SparkSession, tql: String, resolve: String => DataFrame,
+      params: Seq[Any] = Nil): DataFrame = {
+    val q = TqlParser(tql)
+    val branches = q.selects.map(s => compileSelect(spark, s, resolve, params))
+    q.ops.zip(branches.tail).foldLeft(branches.head) {
+      case (acc, ("UNION", b)) => acc.unionByName(b)
+      case (acc, ("INTERSECT", b)) => acc.intersect(b)
+      case (acc, ("EXCEPT", b)) => acc.except(b)
+      case (_, (op, _)) => throw new IllegalArgumentException(s"bad set op $op")
+    }
+  }
+
+  // ---------------------------------------------------------------- select
+
+  private case class Env(df: DataFrame, aliases: Map[String, DataFrame])
+
+  private def compileSelect(spark: SparkSession, sel: ast.Select,
+      resolve: String => DataFrame, params: Seq[Any]): DataFrame = {
+
+    // FROM + JOINs
+    val (baseDf, baseAlias, ordName) = source(spark, sel.from, resolve, params)
+    var env = Env(baseDf, baseAlias)
+    sel.joins.foreach { j =>
+      val (rdf, ralias, _) = source(spark, j.src, resolve, params)
+      val joined =
+        if (j.tpe == "cross") env.df.crossJoin(rdf)
+        else if (j.using.nonEmpty) env.df.join(rdf, j.using, j.tpe)
+        else {
+          val tmpEnv = Env(env.df.crossJoin(rdf), env.aliases ++ ralias)
+          env.df.join(rdf, expr(tmpEnv, j.on.get, params), j.tpe)
+        }
+      env = Env(joined, env.aliases ++ ralias)
+    }
+
+    // WHERE
+    sel.where.foreach(w => env = env.copy(df = env.df.filter(expr(env, w, params))))
+
+    // GROUP BY → sequence reshape (keys stay scalar, every other column
+    // referenced downstream becomes an ordered array)
+    if (sel.groupBy.nonEmpty) {
+      val keyed = sel.groupBy.zipWithIndex.map { case (p, i) =>
+        val name = p.alias.getOrElse(p.e match {
+          case ast.Ref(parts) => parts.last
+          case _ => s"g$i"
+        })
+        (name, p.e)
+      }
+      var df = env.df
+      val ord = if (df.columns.contains(ordName)) ordName else df.columns.head
+      keyed.foreach { case (name, e) =>
+        if (!df.columns.contains(name)) df = df.withColumn(name, expr(env.copy(df = df), e, params))
+      }
+      val keyNames = keyed.map(_._1)
+      val referenced = (sel.projs.flatMap(p => refs(p.e)) ++
+        sel.orderBy.flatMap(o => refs(o.e)) ++
+        sel.sampleBy.toSeq.flatMap(s => refs(s._1))).distinct
+      val seqCols = referenced.filterNot(keyNames.contains)
+        .filter(df.columns.contains).filterNot(_ == ord)
+      var g = Grouping.groupToSequences(df, keyNames, ord, seqCols)
+      seqCols.foreach(v => g = g.withColumnRenamed(s"${v}_seq", v))
+      env = Env(g, Map.empty)
+    }
+
+    // UNGROUP BY col → posexplode the sequence back to rows
+    sel.ungroup.foreach { c =>
+      val others = env.df.columns.filterNot(_ == c).toSeq
+      env = Env(env.df.select(others.map(col) :+
+        posexplode(col(c)).as(Seq("pos", c)): _*), Map.empty)
+    }
+
+    // SELECT list: stage every projection under a temp name so ORDER BY can
+    // reference either select aliases or source columns without ambiguity
+    val projs = sel.projs
+    val hasStar = projs.exists(_.e == ast.Star)
+    val nonStar = projs.filterNot(_.e == ast.Star)
+    val finals = nonStar.zipWithIndex.map { case (p, i) =>
+      val name = p.alias.getOrElse(p.e match {
+        case ast.Ref(parts) => parts.last
+        case _ => s"col$i"
+      })
+      (s"__p$i", name, p.e)
+    }
+    val staged = env.df.select(
+      col("*") +: finals.map { case (tmp, _, e) => expr(env, e, params).as(tmp) }: _*)
+    var sEnv = Env(staged, env.aliases)
+
+    // SAMPLE BY weight [REPLACE b] LIMIT n — the limit is the sample size
+    var limit = sel.limit
+    sel.sampleBy.foreach { case (wExpr, replace) =>
+      val w = expr(sEnv, substAliases(wExpr, finals), params)
+      val n = limit.map(l => evalInt(l._1, params)).getOrElse(
+        throw new IllegalArgumentException("SAMPLE BY requires LIMIT n"))
+      limit = None
+      val sampled =
+        if (replace) Sampling.weightedSampleWithReplacement(sEnv.df, w, n, defaultSeed)
+        else Sampling.weightedSample(sEnv.df, w, n, defaultSeed)
+      sEnv = sEnv.copy(df = sampled)
+    }
+
+    // ORDER BY (select aliases rewritten onto their staged temp columns)
+    if (sel.orderBy.nonEmpty) {
+      val cols = sel.orderBy.map { o =>
+        val c = expr(sEnv, substAliases(o.e, finals), params)
+        if (o.asc) c.asc else c.desc
+      }
+      sEnv = sEnv.copy(df = sEnv.df.orderBy(cols: _*))
+    }
+
+    // LIMIT [PERCENT] [OFFSET]
+    limit.foreach { case (nE, pct) =>
+      val n = evalInt(nE, params)
+      val k = if (pct) (sEnv.df.count() * n / 100.0).toInt else n
+      sEnv = sEnv.copy(df = sel.offset match {
+        case Some(off) => sEnv.df.offset(evalInt(off, params)).limit(k)
+        case None => sEnv.df.limit(k)
+      })
+    }
+
+    // final projection
+    val srcCols = env.df.columns.toSeq
+    val outCols =
+      (if (hasStar) srcCols.map(c => col(c)) else Nil) ++
+        finals.map { case (tmp, name, _) => col(tmp).as(name) }
+    sEnv.df.select(outCols: _*)
+  }
+
+  private def evalInt(e: ast.Expr, params: Seq[Any]): Int = e match {
+    case ast.Lit(v: Long) => v.toInt
+    case ast.Param(i) =>
+      require(i < params.size, s"missing value for parameter ?$i")
+      params(i) match {
+        case n: Number => n.intValue
+        case x => throw new IllegalArgumentException(s"LIMIT/OFFSET param must be int, got $x")
+      }
+    case x => throw new IllegalArgumentException(s"LIMIT/OFFSET must be literal or ?, got $x")
+  }
+
+  /** Rewrite select-alias references to their staged temp columns. */
+  private def substAliases(e: ast.Expr, finals: Seq[(String, String, ast.Expr)]): ast.Expr = {
+    val byName = finals.map { case (tmp, name, _) => name -> tmp }.toMap
+    def go(x: ast.Expr): ast.Expr = x match {
+      case ast.Ref(Seq(n)) if byName.contains(n) => ast.Ref(Seq(byName(n)))
+      case ast.Fn(n, args, pairs) =>
+        ast.Fn(n, args.map(go), pairs.map { case (a, b) => (go(a), go(b)) })
+      case ast.Un(op, a) => ast.Un(op, go(a))
+      case ast.Bin(op, a, b) => ast.Bin(op, go(a), go(b))
+      case ast.Between(a, lo, hi, neg) => ast.Between(go(a), go(lo), go(hi), neg)
+      case ast.In(a, items, neg) => ast.In(go(a), items.map(go), neg)
+      case ast.ArrayLit(items) => ast.ArrayLit(items.map(go))
+      case ast.Index(a, i) => ast.Index(go(a), go(i))
+      case ast.Slice(a, lo, hi, st) => ast.Slice(go(a), lo.map(go), hi.map(go), st.map(go))
+      case other => other
+    }
+    go(e)
+  }
+
+  private def refs(e: ast.Expr): Seq[String] = e match {
+    case ast.Ref(parts) => Seq(parts.last)
+    case ast.Fn(_, args, pairs) =>
+      args.flatMap(refs) ++ pairs.flatMap { case (a, b) => refs(a) ++ refs(b) }
+    case ast.Un(_, a) => refs(a)
+    case ast.Bin(_, a, b) => refs(a) ++ refs(b)
+    case ast.Between(a, lo, hi, _) => refs(a) ++ refs(lo) ++ refs(hi)
+    case ast.In(a, items, _) => refs(a) ++ items.flatMap(refs)
+    case ast.ArrayLit(items) => items.flatMap(refs)
+    case ast.Index(a, i) => refs(a) ++ refs(i)
+    case ast.Slice(a, lo, hi, st) =>
+      refs(a) ++ (lo.toSeq ++ hi.toSeq ++ st.toSeq).flatMap(refs)
+    case _ => Nil
+  }
+
+  private def source(spark: SparkSession, s: ast.Source,
+      resolve: String => DataFrame, params: Seq[Any]): (DataFrame, Map[String, DataFrame], String) =
+    s match {
+      case ast.TableRef(name, alias) =>
+        val df = resolve(name)
+        val aliases = (alias.toSeq :+ name).map(_ -> df).toMap
+        (df, aliases, df.columns.head)
+      case ast.SubQuery(q, alias) =>
+        val branches = q.selects.map(sel => compileSelect(spark, sel, resolve, params))
+        val df = q.ops.zip(branches.tail).foldLeft(branches.head) {
+          case (acc, ("UNION", b)) => acc.unionByName(b)
+          case (acc, ("INTERSECT", b)) => acc.intersect(b)
+          case (acc, ("EXCEPT", b)) => acc.except(b)
+          case (_, (op, _)) => throw new IllegalArgumentException(s"bad set op $op")
+        }
+        (df, alias.map(_ -> df).toMap, df.columns.head)
+    }
+
+  // ------------------------------------------------------------ expressions
+
+  private def dtype(env: Env, c: Column): DataType =
+    env.df.select(c).schema.head.dataType
+
+  private def isArray(env: Env, c: Column): Boolean =
+    dtype(env, c).isInstanceOf[ArrayType]
+
+  private def expr(env: Env, e: ast.Expr, params: Seq[Any]): Column = e match {
+    case ast.Lit(null) => lit(null)
+    case ast.Lit(v) => lit(v)
+    case ast.Star => col("*")
+    case ast.Param(i) =>
+      require(i < params.size, s"missing value for parameter ?$i")
+      lit(params(i))
+    case ast.Ref(Seq(name)) => col(name)
+    case ast.Ref(Seq(alias, name)) =>
+      env.aliases.get(alias).map(_(name)).getOrElse(col(s"$alias.$name"))
+    case ast.Ref(parts) => col(parts.mkString("."))
+    case ast.ArrayLit(items) => array(items.map(expr(env, _, params)): _*)
+
+    case ast.Un("-", a) => -expr(env, a, params)
+    case ast.Un("NOT", a) => !expr(env, a, params)
+    case ast.Un("ISNULL", a) => expr(env, a, params).isNull
+    case ast.Un("ISNOTNULL", a) => expr(env, a, params).isNotNull
+    case ast.Un(op, _) => throw new IllegalArgumentException(s"bad unary op $op")
+
+    case ast.Bin(op, l, r) => binary(env, op, l, r, params)
+
+    case ast.Between(a, lo, hi, neg) =>
+      val c = expr(env, a, params).between(expr(env, lo, params), expr(env, hi, params))
+      if (neg) !c else c
+    case ast.In(a, items, neg) =>
+      val c = expr(env, a, params).isin(items.map {
+        case ast.Lit(v) => v
+        case x => throw new IllegalArgumentException(s"IN items must be literals, got $x")
+      }: _*)
+      if (neg) !c else c
+
+    case ast.Index(a, i) => index(env, a, i, params)
+    case ast.Slice(a, lo, hi, st) => sliceCol(env, a, lo, hi, st, params)
+    case ast.Fn(name, args, pairs) => fn(env, name, args, pairs, params)
+  }
+
+  private def binary(env: Env, op: String, l: ast.Expr, r: ast.Expr,
+      params: Seq[Any]): Column = {
+    val (lc, rc) = (expr(env, l, params), expr(env, r, params))
+    op match {
+      case "AND" | "OR" =>
+        val (la, ra) = (isArray(env, lc), isArray(env, rc))
+        if (la && ra)
+          if (op == "AND") gf.logical_and(lc, rc) else gf.logical_or(lc, rc)
+        else if (op == "AND") lc && rc else lc || rc
+      case "LIKE" => lc.like(glob(r, params))
+      case "ILIKE" => lc.ilike(glob(r, params))
+      case _ =>
+        val f: (Column, Column) => Column = op match {
+          case "+" => _ + _
+          case "-" => _ - _
+          case "*" => _ * _
+          case "/" => _ / _
+          case "%" => _ % _
+          case "=" => _ === _
+          case "!=" => _ =!= _
+          case "<" => _ < _
+          case "<=" => _ <= _
+          case ">" => _ > _
+          case ">=" => _ >= _
+          case o => throw new IllegalArgumentException(s"bad binary op $o")
+        }
+        // elementwise lift over array operands (cpp/nd/arithmetic.hpp,
+        // comparison.hpp: scalars broadcast over tensors)
+        (isArray(env, lc), isArray(env, rc)) match {
+          case (true, true) => zip_with(lc, rc, (x, y) => f(x, y))
+          case (true, false) => transform(lc, x => f(x, rc))
+          case (false, true) => transform(rc, y => f(lc, y))
+          case (false, false) => f(lc, rc)
+        }
+    }
+  }
+
+  /** TQL glob pattern → SQL LIKE pattern (`tql.md:212-228`). */
+  private def glob(p: ast.Expr, params: Seq[Any]): String = p match {
+    case ast.Lit(s: String) =>
+      s.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
+        .replace('*', '%').replace('?', '_')
+    case x => throw new IllegalArgumentException(s"LIKE pattern must be a string literal, got $x")
+  }
+
+  /** 0-based index with Python negatives; string key = JSON/struct access. */
+  private def index(env: Env, a: ast.Expr, i: ast.Expr, params: Seq[Any]): Column = {
+    val base = expr(env, a, params)
+    i match {
+      case ast.Lit(key: String) =>
+        dtype(env, base) match {
+          case _: StructType => base.getField(key)
+          case _: MapType => base.getItem(key)
+          case _ => get_json_object(base, s"$$.$key") // JSON string column
+        }
+      case _ =>
+        val idx = expr(env, i, params).cast("int")
+        // element_at is 1-based and supports -1 = last, matching Python
+        element_at(base, when(idx >= 0, idx + 1).otherwise(idx))
+    }
+  }
+
+  /** Python slice [lo:hi:step] over an array column (tql.md:587-604). */
+  private def sliceCol(env: Env, a: ast.Expr, lo: Option[ast.Expr],
+      hi: Option[ast.Expr], st: Option[ast.Expr], params: Seq[Any]): Column = {
+    val arr = expr(env, a, params)
+    val n = size(arr)
+    def norm(e: Option[ast.Expr], dflt: Column): Column = e match {
+      case None => dflt
+      case Some(x) =>
+        val c = expr(env, x, params).cast("int")
+        greatest(lit(0), least(n, when(c < 0, c + n).otherwise(c)))
+    }
+    val loC = norm(lo, lit(0))
+    val hiC = norm(hi, n)
+    val stC = st.map(expr(env, _, params).cast("int")).getOrElse(lit(1))
+    // indices lo, lo+step, ... < hi  (empty slice keeps the element type)
+    when(hiC > loC,
+      transform(sequence(loC, hiC - 1, stC), i => element_at(arr, i + 1)))
+      .otherwise(slice(arr, 1, 0))
+  }
+
+  // ---------------------------------------------------------------- functions
+
+  private def fn(env: Env, name: String, argsAst: Seq[ast.Expr],
+      pairsAst: Seq[(ast.Expr, ast.Expr)], params: Seq[Any]): Column = {
+    def args: Seq[Column] = argsAst.map(expr(env, _, params))
+    def a0 = args(0)
+    def a1 = args(1)
+    def pairs: Seq[(Column, Column)] =
+      pairsAst.map { case (c, w) => (expr(env, c, params), expr(env, w, params)) }
+    def reduceArray(f: Column => Column): Column = {
+      require(isArray(env, a0),
+        s"$name is a within-row tensor reduction; argument must be an array column")
+      f(a0)
+    }
+    name match {
+      case "COSINE_SIMILARITY" => gf.cosine_similarity(a0, a1)
+      case "DOT" => gf.dot(a0, a1)
+      case "L1_NORM" =>
+        if (args.size == 2) gf.l1_norm(a0, a1)
+        else gf.tsum(transform(a0, x => abs(x)))
+      case "L2_NORM" => if (args.size == 2) gf.l2_norm(a0, a1) else gf.l2_norm(a0)
+      case "LINF_NORM" =>
+        if (args.size == 2) gf.linf_norm(a0, a1)
+        else gf.tmax(transform(a0, x => abs(x.cast("double"))))
+      case "HAMMING_DISTANCE" => gf.hamming_distance(a0, a1)
+      case "MAXSIM" => gf.maxsim(a0, a1)
+      case "QUANTIZE" => gf.quantize(a0)
+      case "MEAN_POOL_ROWS" => gf.mean_pool_rows(a0)
+      case "SHAPE" => gf.shape(a0)
+      case "NONZERO" => gf.nonzero(a0)
+      case "KEYS" => gf.keys(a0)
+      case "FLAT" => gf.flat(a0)
+      case "TRANSPOSE" => gf.transpose(a0)
+      case "ISCLOSE" =>
+        val rtol = if (args.size > 2) args(2) else lit(1e-5)
+        val atol = if (args.size > 3) args(3) else lit(1e-8)
+        zip_with(a0, a1, (x, y) => abs(x - y) <= atol + rtol * abs(y))
+      case "ANY" => gf.any_(a0)
+      case "ALL" => gf.all_(a0)
+      case "ALL_STRICT" => gf.all_strict(a0)
+      case "LOGICAL_AND" => gf.logical_and(a0, a1)
+      case "LOGICAL_OR" => gf.logical_or(a0, a1)
+      case "SUM" => reduceArray(gf.tsum)
+      case "AVG" | "MEAN" => reduceArray(gf.tavg)
+      case "PROD" => reduceArray(gf.tprod)
+      // fold in double so results are precision-stable across engines
+      // (f32 storage, f64 arithmetic — SURVEY §1.2 deviation note)
+      case "AMIN" | "MIN" => reduceArray(a => gf.tmin(a).cast("double"))
+      case "AMAX" | "MAX" => reduceArray(a => gf.tmax(a).cast("double"))
+      case "STDEV" => reduceArray { arr =>
+        val xs = transform(arr, _.cast("double"))
+        val n = size(arr).cast("double")
+        val mean = gf.tsum(xs) / n
+        val sumsq = aggregate(xs, lit(0.0d), (acc, x) => acc + x * x)
+        sqrt((sumsq - n * mean * mean) / (n - lit(1.0d)))
+      }
+      case "MEDIAN" => reduceArray { arr =>
+        val sorted = array_sort(transform(arr, _.cast("double")))
+        val n = size(arr)
+        val loEl = element_at(sorted, ((n + 1) / 2).cast("int"))
+        val hiEl = element_at(sorted, (n / 2 + 1).cast("int"))
+        (loEl + hiEl) / 2.0d
+      }
+      case "BINCOUNT" =>
+        val nbins = argsAst(1) match {
+          case ast.Lit(v: Long) => v.toInt
+          case x => throw new IllegalArgumentException(s"BINCOUNT(a, nbins) needs int literal, got $x")
+        }
+        gf.bincount(a0, nbins)
+      case "ROUND" =>
+        // fold in double: Spark's round(float) stays float, which is not
+        // precision-stable against engines that round in f64
+        val scale = if (args.size > 1) argsAst(1) match {
+          case ast.Lit(v: Long) => v.toInt
+          case _ => 0
+        } else 0
+        round(a0.cast("double"), scale)
+      case "SQRT" => if (isArray(env, a0)) transform(a0, x => sqrt(x)) else sqrt(a0)
+      case "ABS" => if (isArray(env, a0)) transform(a0, x => abs(x)) else abs(a0)
+      case "RANDOM" => (rand(defaultSeed) * Int.MaxValue).cast("int")
+      case "ROW_NUMBER" =>
+        row_number().over(Window.orderBy(monotonically_increasing_id())) - 1
+      case "CONTAINS" =>
+        array_contains(split(lower(a0), "[^a-z0-9]+"), lower(a1))
+      case "EQUALS" => a0 === a1
+      case "MAX_WEIGHT" =>
+        greatest(pairs.map { case (c, w) => when(c, w.cast("double")).otherwise(lit(0.0)) }: _*)
+      case "SUM_WEIGHT" =>
+        pairs.map { case (c, w) => when(c, w.cast("double")).otherwise(lit(0.0)) }
+          .reduce(_ + _)
+      case other =>
+        // fall through to any Spark SQL builtin / session-registered function
+        call_function(other.toLowerCase, args: _*)
+    }
+  }
+}

@@ -1,0 +1,108 @@
+package graft.queries
+
+import graft.dialect.Tql
+
+/** Queries expressed in TQL and compiled through the dialect frontend
+  * (graft.dialect.Tql), oracle-checked like every other operator — proves
+  * the parser/compiler pipeline end-to-end, not just the operators it
+  * lowers to. TQL surface per `docs/docs/advanced/tql.md`; grammar notes
+  * in TqlParser.scala.
+  */
+object TqlQueries extends QueryModule {
+
+  override def qs: Seq[(String, Q)] = Seq(
+
+    // projection + arithmetic + where + order + limit
+    "q_tql_filter_project" -> Q(
+      (s, dir) => Tql.query(s, dir,
+        """SELECT l_orderkey, l_linenumber, ROUND(l_quantity * l_extendedprice, 2) AS gross
+          |FROM lineitem WHERE l_quantity > 45 AND l_discount BETWEEN 0.02 AND 0.08
+          |ORDER BY gross DESC, l_orderkey, l_linenumber LIMIT 25""".stripMargin),
+      Some("""SELECT l_orderkey, l_linenumber, round(l_quantity * l_extendedprice, 2) AS gross
+             |FROM lineitem WHERE l_quantity > 45 AND l_discount BETWEEN 0.02 AND 0.08
+             |ORDER BY gross DESC, l_orderkey, l_linenumber LIMIT 25""".stripMargin.replace('\n', ' '))),
+
+    // join with qualified refs + glob LIKE translation
+    "q_tql_join_like" -> Q(
+      (s, dir) => Tql.query(s, dir,
+        """SELECT o.o_orderkey, c.c_name, o.o_totalprice
+          |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+          |WHERE c.c_name LIKE '*1?8*' ORDER BY o.o_orderkey LIMIT 30""".stripMargin),
+      Some("""SELECT o.o_orderkey, c.c_name, o.o_totalprice
+             |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+             |WHERE c.c_name LIKE '%1_8%' ORDER BY o.o_orderkey LIMIT 30""".stripMargin.replace('\n', ' '))),
+
+    // array indexing (0-based + negative) and python slice via the dialect
+    "q_tql_array_slice" -> Q(
+      (s, dir) => Tql.query(s, dir,
+        """SELECT vec_id, ROUND(embedding[0], 6) AS first_el, ROUND(embedding[-1], 6) AS last_el,
+          |ROUND(SUM(embedding[0:8]), 6) AS head_sum
+          |FROM embeddings WHERE vec_id < 40 ORDER BY vec_id""".stripMargin),
+      Some("""SELECT vec_id, round(embedding[1]::DOUBLE,6) AS first_el,
+             |round(embedding[-1]::DOUBLE,6) AS last_el,
+             |round(list_aggregate(embedding[1:8]::DOUBLE[], 'sum'),6) AS head_sum
+             |FROM embeddings WHERE vec_id < 40 ORDER BY vec_id""".stripMargin.replace('\n', ' '))),
+
+    // vector top-k through the dialect (ORDER BY score DESC LIMIT k path,
+    // `cpp/tql/tql.hpp:171` check_for_top_k_binary_function_search)
+    "q_tql_vector_topk" -> Q(
+      (s, dir) => Tql.query(s, dir,
+        """SELECT e.vec_id, ROUND(COSINE_SIMILARITY(e.embedding, q.embedding), 6) AS score
+          |FROM embeddings e JOIN embeddings q ON q.vec_id = 0
+          |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin),
+      Some("""SELECT e.vec_id, round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]),6) AS score
+             |FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+             |ORDER BY score DESC, e.vec_id LIMIT 10""".stripMargin.replace('\n', ' '))),
+
+    // GROUP BY sequence reshape + per-group reduction (tql.md:472)
+    "q_tql_group_reduce" -> Q(
+      (s, dir) => Tql.query(s, dir,
+        """SELECT user_id, ROUND(SUM(value), 6) AS total, ROUND(AVG(value), 6) AS mean
+          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
+      Some("""SELECT user_id, round(sum(value),6) AS total, round(avg(value),6) AS mean
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin.replace('\n', ' '))),
+
+    // set ops with per-branch order+limit (`cpp/query_core/statement.hpp:64-84`)
+    "q_tql_union_branches" -> Q(
+      (s, dir) => Tql.query(s, dir,
+        """SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 400000
+          |ORDER BY o_totalprice DESC, o_orderkey LIMIT 5
+          |UNION SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice < 5000
+          |ORDER BY o_totalprice ASC, o_orderkey LIMIT 5""".stripMargin),
+      Some("""(SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 400000
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 5)
+             |UNION ALL
+             |(SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice < 5000
+             |ORDER BY o_totalprice ASC, o_orderkey LIMIT 5)""".stripMargin.replace('\n', ' '))),
+
+    // JSON key access through string indexing (tql.md:143-166)
+    "q_tql_json_access" -> Q(
+      (s, dir) => Tql.query(s, dir,
+        """SELECT event_id, props['k'] AS k_str FROM events
+          |WHERE event_id < 40 ORDER BY event_id""".stripMargin),
+      Some("""SELECT event_id, json_extract_string(props, '$.k') AS k_str
+             |FROM events WHERE event_id < 40 ORDER BY event_id""".stripMargin.replace('\n', ' '))),
+
+    // positional params (`cpp/tql/tql.hpp:81-103` prepare/run_batch)
+    "q_tql_params" -> Q(
+      (s, dir) => Tql.query(s, dir,
+        """SELECT s_suppkey, s_name FROM supplier WHERE s_acctbal > ?
+          |ORDER BY s_suppkey LIMIT ?""".stripMargin,
+        params = Seq(5000.0, 12L)),
+      Some("""SELECT s_suppkey, s_name FROM supplier WHERE s_acctbal > 5000.0
+             |ORDER BY s_suppkey LIMIT 12""".stripMargin.replace('\n', ' '))),
+
+    // within-row tensor reductions + elementwise compare via dialect
+    "q_tql_tensor_fns" -> Q(
+      (s, dir) => Tql.query(s, dir,
+        """SELECT vec_id, ROUND(SUM(ABS(embedding)), 6) AS l1_mass,
+          |ROUND(AMAX(embedding), 6) AS biggest,
+          |SUM(SHAPE(embedding)) AS dim
+          |FROM embeddings WHERE vec_id < 60 ORDER BY vec_id""".stripMargin),
+      Some("""SELECT vec_id,
+             |round(list_aggregate(list_transform(embedding::DOUBLE[], x -> abs(x)), 'sum'),6) AS l1_mass,
+             |round(list_aggregate(embedding, 'max')::DOUBLE,6) AS biggest,
+             |len(embedding)::DOUBLE AS dim
+             |FROM embeddings WHERE vec_id < 60 ORDER BY vec_id""".stripMargin.replace('\n', ' ')))
+  )
+}
