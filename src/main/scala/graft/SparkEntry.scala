@@ -21,6 +21,7 @@ object SparkEntry {
     DocumentQueries,
     SequenceQueries,
     SearchQueries,
+    IndexQueries,
     AnnQueries)
 
   private lazy val allQs: Seq[(String, Q)] = {

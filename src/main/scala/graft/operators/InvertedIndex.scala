@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Inverted + numeric secondary indexes with index_holder-style routing
+  * (SURVEY.md §2.9; reference `cpp/query_core/index_holder.hpp:18-44`
+  * can_run_query/run_query, `text_search_info.hpp:28-52` contains/equals,
+  * `inverted_index_search_info.hpp:14-40` equals/between/less, DuckDB-side
+  * short-circuit `cpp/deeplake_pg/duckdb_deeplake_scan.cpp:209-301`).
+  *
+  * Spark-native shape: a posting table (term, doc_id) — the roaring-bitmap
+  * analog is the *relational* posting set, which joins and intersects via
+  * hash semi-joins instead of bitmap ANDs. At 100 TB the posting table is
+  * partitioned by term (the groupBy that builds it already hash-partitions
+  * that way), so a keyword lookup touches one partition and the doc
+  * semi-join is a broadcast of the matched ids when selective.
+  *
+  * The reference composes a pre-filter bitmap into index search
+  * (`index_holder::run_query(..., filter)` :33); `searchDocs` mirrors that
+  * by taking an optional pre-filtered doc set.
+  */
+object InvertedIndex {
+
+  /** Tokenizer shared by index build and query side. */
+  def terms(text: Column): Column = split(lower(text), "[^a-z0-9]+")
+
+  /** Build a text inverted index: one row per distinct (term, doc_id). */
+  def build(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), explode(terms(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+      .distinct()
+
+  /** Build a numeric index: (value, doc_id), sorted-by-value analog of the
+    * reference's NumericIndex (`types.pyi:180`). */
+  def buildNumeric(df: DataFrame, idCol: String, valueCol: String): DataFrame =
+    df.select(col(valueCol).as("value"), col(idCol).as("doc_id"))
+
+  /** CONTAINS(col, 'kw'): doc ids whose text contains every given term. */
+  def containsAll(index: DataFrame, ts: Seq[String]): DataFrame = {
+    require(ts.nonEmpty, "CONTAINS needs at least one term")
+    val lowered = ts.map(_.toLowerCase).distinct
+    index.filter(col("term").isin(lowered: _*))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("term")).as("__hits"))
+      .filter(col("__hits") === lowered.size)
+      .select(col("doc_id"))
+  }
+
+  /** Any-of-terms match (OR of postings = union of posting sets). */
+  def containsAny(index: DataFrame, ts: Seq[String]): DataFrame =
+    index.filter(col("term").isin(ts.map(_.toLowerCase).distinct: _*))
+      .select(col("doc_id")).distinct()
+
+  /** Numeric index search: equals / between / less-than etc. */
+  def numericWhere(index: DataFrame, cond: Column): DataFrame =
+    index.filter(cond).select(col("doc_id")).distinct()
+
+  /** Compose an index answer with the source table: semi-join the matched
+    * ids back to docs (the filtered_dataset composition,
+    * `cpp/heimdall_common/filtered_dataset.hpp:14`). */
+  def searchDocs(docs: DataFrame, idCol: String, matched: DataFrame): DataFrame =
+    docs.join(broadcast(matched.withColumnRenamed("doc_id", idCol)), Seq(idCol), "left_semi")
+
+  // ------------------------------------------------------- index routing
+
+  /** Registered index kinds for one column — the index_holder analog. */
+  sealed trait Holder { def index: DataFrame }
+  final case class TextIndex(index: DataFrame) extends Holder
+  final case class NumericIndex(index: DataFrame) extends Holder
+
+  final case class Key(table: String, column: String)
+
+  /** Session-level index registry: can_run_query/run_query routing.
+    * Falls back to a linear scan predicate when no index exists, exactly
+    * like the reference's linear path (`cpp/tql/tql.hpp` step 6). */
+  final class Registry {
+    private var holders: Map[Key, Holder] = Map.empty
+
+    def registerText(table: String, column: String, index: DataFrame): Unit =
+      holders += Key(table, column) -> TextIndex(index)
+
+    def registerNumeric(table: String, column: String, index: DataFrame): Unit =
+      holders += Key(table, column) -> NumericIndex(index)
+
+    def canRun(table: String, column: String): Boolean =
+      holders.contains(Key(table, column))
+
+    /** CONTAINS via index when registered, else tokenizing scan. */
+    def contains(docs: DataFrame, table: String, idCol: String, textCol: String,
+        ts: Seq[String]): DataFrame =
+      holders.get(Key(table, textCol)) match {
+        case Some(TextIndex(idx)) => searchDocs(docs, idCol, containsAll(idx, ts))
+        case _ =>
+          ts.map(_.toLowerCase).distinct
+            .map(t => array_contains(terms(docs(textCol)), t))
+            .reduce(_ && _) match { case cond => docs.filter(cond) }
+      }
+
+    /** Numeric equals/between via index when registered, else scan. */
+    def numericRange(docs: DataFrame, table: String, idCol: String,
+        valueCol: String, lo: Double, hi: Double): DataFrame =
+      holders.get(Key(table, valueCol)) match {
+        case Some(NumericIndex(idx)) =>
+          searchDocs(docs, idCol,
+            numericWhere(idx, col("value").between(lo, hi)))
+        case _ => docs.filter(docs(valueCol).between(lo, hi))
+      }
+  }
+}

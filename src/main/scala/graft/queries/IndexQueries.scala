@@ -1,0 +1,62 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.operators.InvertedIndex
+
+/** Inverted/numeric index search surface (SURVEY.md §2.9 text indexes,
+  * §4.1 filter→index rewrite). Each query builds the posting table and
+  * answers the filter from it (semi-join composition), which is the
+  * Spark-native equivalent of the reference's roaring-bitmap index
+  * short-circuit — the oracle checks the *result* matches a plain scan.
+  */
+object IndexQueries extends QueryModule {
+
+  override def qs: Seq[(String, Q)] = Seq(
+
+    // CONTAINS(col, a) AND CONTAINS(col, b) answered from the inverted index
+    "q_inverted_contains_all" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val idx = InvertedIndex.build(docs, "doc_id", "text")
+        InvertedIndex.searchDocs(docs, "doc_id",
+            InvertedIndex.containsAll(idx, Seq("vector", "spark")))
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, lang, n_chars FROM documents
+             |WHERE list_contains(string_split(lower(text), ' '), 'vector')
+             |AND list_contains(string_split(lower(text), ' '), 'spark')
+             |ORDER BY doc_id""".stripMargin.replace('\n', ' '))),
+
+    // OR of posting sets (union), aggregated per language
+    "q_inverted_contains_any" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val idx = InvertedIndex.build(docs, "doc_id", "text")
+        InvertedIndex.searchDocs(docs, "doc_id",
+            InvertedIndex.containsAny(idx, Seq("vector", "stream")))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+          .orderBy(col("lang"))
+      },
+      Some("""SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+             |FROM documents
+             |WHERE list_contains(string_split(lower(text), ' '), 'vector')
+             |OR list_contains(string_split(lower(text), ' '), 'stream')
+             |GROUP BY lang ORDER BY lang""".stripMargin.replace('\n', ' '))),
+
+    // numeric secondary index: BETWEEN answered by index + semi-join
+    "q_numeric_index_range" -> Q(
+      (s, dir) => {
+        val ev = table(s, dir, "events")
+        val idx = InvertedIndex.buildNumeric(ev, "event_id", "value")
+        InvertedIndex.searchDocs(ev, "event_id",
+            InvertedIndex.numericWhere(idx, col("value").between(99.0, 100.0)))
+          .select(col("event_id"), col("event_type"), round(col("value"), 6).as("value"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, event_type, round(value,6) AS value FROM events
+             |WHERE value BETWEEN 99.0 AND 100.0
+             |ORDER BY event_id""".stripMargin.replace('\n', ' ')))
+  )
+}

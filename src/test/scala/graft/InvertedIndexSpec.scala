@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.operators.InvertedIndex
+
+/** Index routing: indexed answers must equal linear-scan answers, and the
+  * registry must fall back to a scan when no index is registered
+  * (reference index_holder.can_run_query/run_query contract). */
+class InvertedIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("inverted-index-spec")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def docs = graft.sources.Tables(spark, dir, "documents")
+
+  test("indexed CONTAINS equals linear-scan CONTAINS") {
+    val idx = InvertedIndex.build(docs, "doc_id", "text")
+    val viaIndex = InvertedIndex.searchDocs(docs, "doc_id",
+        InvertedIndex.containsAll(idx, Seq("vector", "query")))
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    val viaScan = docs.filter(
+        array_contains(InvertedIndex.terms(col("text")), "vector") &&
+        array_contains(InvertedIndex.terms(col("text")), "query"))
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(viaIndex == viaScan)
+    assert(viaIndex.nonEmpty)
+  }
+
+  test("registry routes through index when registered, scan otherwise") {
+    val reg = new InvertedIndex.Registry
+    val scanned = reg.contains(docs, "documents", "doc_id", "text", Seq("vector"))
+      .select("doc_id").orderBy("doc_id").collect().toSeq
+    assert(!reg.canRun("documents", "text"))
+    reg.registerText("documents", "text", InvertedIndex.build(docs, "doc_id", "text"))
+    assert(reg.canRun("documents", "text"))
+    val routed = reg.contains(docs, "documents", "doc_id", "text", Seq("vector"))
+      .select("doc_id").orderBy("doc_id").collect().toSeq
+    assert(routed == scanned)
+  }
+
+  test("numeric index range equals scan range") {
+    val ev = graft.sources.Tables(spark, dir, "events")
+    val reg = new InvertedIndex.Registry
+    reg.registerNumeric("events", "value", InvertedIndex.buildNumeric(ev, "event_id", "value"))
+    val routed = reg.numericRange(ev, "events", "event_id", "value", 10.0, 20.0)
+      .select("event_id").orderBy("event_id").collect().map(_.getLong(0)).toSeq
+    val scanned = ev.filter(col("value").between(10.0, 20.0))
+      .select("event_id").orderBy("event_id").collect().map(_.getLong(0)).toSeq
+    assert(routed == scanned && routed.nonEmpty)
+  }
+}
