@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.sources.Batches
+
+/** SQL-visible vector kernel via SparkSessionExtensions + batches export. */
+class ExtensionsAndBatchesSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.extensions", "graft.GraftExtensions")
+    .config("spark.ui.enabled", "false")
+    .appName("extensions-spec")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("vector kernel callable from SQL, matches Column API") {
+    graft.sources.Tables(spark, dir, "embeddings").createOrReplaceTempView("emb")
+    val viaSql = spark.sql(
+      """SELECT e.vec_id,
+        |  cosine_similarity(e.embedding, q.embedding) AS cos,
+        |  l2_distance(e.embedding, q.embedding) AS l2,
+        |  dot_product(e.embedding, q.embedding) AS dp,
+        |  hamming_distance(e.embedding, q.embedding) AS hd
+        |FROM emb e JOIN emb q ON q.vec_id = 0
+        |ORDER BY cos DESC, e.vec_id LIMIT 5""".stripMargin).collect()
+    assert(viaSql.length == 5)
+    assert(viaSql.head.getLong(0) == 0L)
+    assert(math.abs(viaSql.head.getDouble(1) - 1.0) < 1e-6)
+    assert(math.abs(viaSql.head.getDouble(2)) < 1e-3) // self-distance ~ 0
+    assert(viaSql.head.getLong(4) == 0L) // self hamming = 0
+  }
+
+  test("explain shows the native expressions inside the plan (no UDF)") {
+    graft.sources.Tables(spark, dir, "embeddings").createOrReplaceTempView("emb2")
+    val plan = spark.sql(
+      "SELECT cosine_similarity(embedding, embedding) FROM emb2")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("cosine_similarity") || plan.contains("CosineSimilarity"))
+    assert(!plan.toLowerCase.contains("batchevalpython"))
+  }
+
+  test("batches cuts the stream into fixed-size groups") {
+    val df = graft.sources.Tables(spark, dir, "region") // 5 rows
+    val bs = Batches.batches(df, 2).toSeq
+    assert(bs.map(_.size) == Seq(2, 2, 1))
+    val dropped = Batches.batches(df, 2, dropLast = true).toSeq
+    assert(dropped.map(_.size) == Seq(2, 2))
+  }
+
+  test("foreachPartitionBatches consumes executor-side") {
+    val acc = spark.sparkContext.longAccumulator("rows")
+    Batches.foreachPartitionBatches(
+      graft.sources.Tables(spark, dir, "events"), 64)(b => acc.add(b.size))
+    assert(acc.value == graft.sources.Tables(spark, dir, "events").count())
+  }
+}
