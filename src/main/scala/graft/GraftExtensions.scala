@@ -18,6 +18,23 @@ import graft.functions._
   * after which `spark.sql("SELECT cosine_similarity(a, b) ...")` plans the
   * codegen'd Catalyst expressions directly (no UDF boundary).
   */
+object GraftExtensions {
+  /** Register the same functions into an already-running session (the
+    * analog of the reference's runtime `register_function`,
+    * `cpp/tql/tql.hpp:179-201`) — used when the session was built without
+    * `spark.sql.extensions`. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.registerFunction(spark, "cosine_similarity", args => CosineSimilarity(args(0), args(1)))
+    Bridge.registerFunction(spark, "dot_product", args => DotProduct(args(0), args(1)))
+    Bridge.registerFunction(spark, "l1_distance", args => VectorDistance(args(0), args(1), 1))
+    Bridge.registerFunction(spark, "l2_distance", args => VectorDistance(args(0), args(1), 2))
+    Bridge.registerFunction(spark, "linf_distance", args => VectorDistance(args(0), args(1), Int.MaxValue))
+    Bridge.registerFunction(spark, "hamming_distance", args => HammingDistance(args(0), args(1)))
+    Bridge.registerFunction(spark, "maxsim", args => MaxSim(args(0), args(1)))
+  }
+}
+
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def info(name: String, usage: String) =

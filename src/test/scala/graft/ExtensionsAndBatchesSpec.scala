@@ -21,7 +21,12 @@ class ExtensionsAndBatchesSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
+  // getOrCreate may hand back a session built by an earlier suite (no
+  // extensions config applied) — runtime registration covers that path
+  private def withFns: SparkSession = { GraftExtensions.register(spark); spark }
+
   test("vector kernel callable from SQL, matches Column API") {
+    withFns
     graft.sources.Tables(spark, dir, "embeddings").createOrReplaceTempView("emb")
     val viaSql = spark.sql(
       """SELECT e.vec_id,
@@ -39,6 +44,7 @@ class ExtensionsAndBatchesSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("explain shows the native expressions inside the plan (no UDF)") {
+    withFns
     graft.sources.Tables(spark, dir, "embeddings").createOrReplaceTempView("emb2")
     val plan = spark.sql(
       "SELECT cosine_similarity(embedding, embedding) FROM emb2")
