@@ -22,11 +22,14 @@ object Bm25 {
   val K1 = 1.2
   val B = 0.75
 
-  /** postings: one row per (doc, term) with tf and dl */
+  /** postings: one row per (doc, term) with tf and dl.
+    * Repartition by doc id first — a single-partition scan would
+    * serialize tokenize+explode (see Dedup.shingled note). */
   def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
-        size(split(col(textCol), " ")).as("dl"),
-        explode(split(col(textCol), " ")).as("term"))
+    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__toks"))
+      .select(col("doc_id"), size(col("__toks")).as("dl"),
+        explode(col("__toks")).as("term"))
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
 

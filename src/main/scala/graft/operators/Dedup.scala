@@ -41,30 +41,48 @@ object Dedup {
       .select(col("id").as("dropped_id"), col("keeper").as("kept_id"))
   }
 
-  /** (id, shingle-set, blocking key) prep shared by near-dup variants */
+  /** (id, shingle-set, blocking key) prep shared by near-dup variants.
+    * Hash-repartitions by id first: a small parquet table arrives as ONE
+    * scan partition, which would serialize all the per-row shingling —
+    * the cheap fixed-width shuffle buys full-cluster parallelism for the
+    * expensive expression work that follows. */
   private def shingled(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("id"), length(col(textCol)).as("len"),
-      shingles(tokens(col(textCol))).as("sh"))
+    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      // tokens materialized in their own projection: inlining the split()
+      // into the ~3n element_at sites inside shingles() would re-split the
+      // text O(n) times per row (HOFs evaluate interpreted, no CSE)
+      .select(col(idCol).as("id"), length(col(textCol)).as("len"),
+        tokens(col(textCol)).as("__toks"))
+      .select(col("id"), col("len"), shingles(col("__toks")).as("sh"))
 
-  /** exact n-gram Jaccard near-dup pairs over the WHOLE corpus via an
-    * inverted shingle index: explode to (shingle, id) postings, self-join
-    * on the shingle to count common shingles per pair, then
-    * jac = common / (|A| + |B| - common) — exact, and never materializes
-    * a per-pair array intersection. Cost is sum over shingles of df^2
-    * (rare-shingle dominated); a pathological hot shingle would be
-    * salted/split before the join at real scale. */
+  /** exact n-gram Jaccard near-dup pairs via PPJoin-style prefix
+    * filtering: sort each doc's shingle set under a common total order
+    * (lexicographic — correctness only needs ANY shared order), join only
+    * on the first floor((1-t)*|set|)+1 shingles — a pair with jac >= t
+    * MUST share a prefix shingle — then exact-verify candidates with one
+    * array_intersect. A size-ratio bound (jac <= min/max set sizes)
+    * prunes inside the join condition. vs the naive full inverted-index
+    * pair join this cuts the candidate blowup ~(1-t)^2 while staying
+    * exact. (Classic PPJoin orders by global df for tighter pruning; the
+    * extra postings-aggregate pass costs more than it saves until the
+    * prefix join, not set prep, dominates.) */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double): DataFrame = {
-    val s = shingled(docs, idCol, textCol)
-    val sizes = s.select(col("id"), size(col("sh")).as("cnt"))
-    val posts = s.select(col("id"), explode(col("sh")).as("shingle"))
-    val common = posts.as("a").join(posts.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("c"))
-    common
-      .join(broadcast(sizes.select(col("id").as("id_a"), col("cnt").as("cnt_a"))), "id_a")
-      .join(broadcast(sizes.select(col("id").as("id_b"), col("cnt").as("cnt_b"))), "id_b")
+    val s = shingled(docs, idCol, textCol).filter(size(col("sh")) > 0)
+    val ordered = s.select(col("id"), array_sort(col("sh")).as("sh"),
+      size(col("sh")).as("cnt"))
+    val plen = (floor(lit(1.0 - threshold) * col("cnt")) + 1).cast("int")
+    val prefix = ordered.select(col("id"), col("cnt"),
+      explode(slice(col("sh"), lit(1), plen)).as("shingle"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id") &&
+        col("a.cnt") * threshold <= col("b.cnt") &&
+        col("b.cnt") * threshold <= col("a.cnt"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    val setsA = ordered.select(col("id").as("id_a"), col("sh").as("sh_a"), col("cnt").as("cnt_a"))
+    val setsB = ordered.select(col("id").as("id_b"), col("sh").as("sh_b"), col("cnt").as("cnt_b"))
+    cand.join(setsA, "id_a").join(setsB, "id_b")
+      .withColumn("c", size(array_intersect(col("sh_a"), col("sh_b"))))
       .select(col("id_a"), col("id_b"),
         round(col("c").cast("double") / (col("cnt_a") + col("cnt_b") - col("c")), 6).as("jac"))
       .filter(col("jac") >= threshold)
@@ -108,7 +126,10 @@ object Dedup {
     * (same-cluster candidates only). Here: brute pairs, id_a < id_b. */
   def embeddingNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
-    val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    // repartition the streamed side so the O(n^2) kernel work fans out
+    // across all cores instead of one scan partition
+    val a = emb.repartition(emb.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
     val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
     a.join(b, col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),

@@ -14,13 +14,16 @@ import org.apache.spark.sql.DataFrame
   */
 object HybridSearch {
 
-  /** softmax-normalize `score` within df: exp(s - max) / sum(exp(s - max)) */
+  /** softmax-normalize `score` within df: exp(s - max) / sum(exp(s - max)).
+    * The two scalar stats join in lazily as broadcast single-row DFs —
+    * no driver-side action, so the (possibly expensive) scoring plan
+    * stays one job and its exchanges get reused instead of recomputed. */
   def softmaxScores(scored: DataFrame): DataFrame = {
-    val m = scored.agg(max(col("score"))).head().getDouble(0)
-    val clamped = least(col("score") - lit(m), lit(700.0))
-    val withExp = scored.select(col("id"), exp(clamped).as("e"))
-    val z = withExp.agg(sum(col("e"))).head().getDouble(0)
-    withExp.select(col("id"), (col("e") / lit(z)).as("p"))
+    val m = scored.agg(max(col("score")).as("m"))
+    val withExp = scored.crossJoin(broadcast(m))
+      .select(col("id"), exp(least(col("score") - col("m"), lit(700.0))).as("e"))
+    val z = withExp.agg(sum(col("e")).as("z"))
+    withExp.crossJoin(broadcast(z)).select(col("id"), (col("e") / col("z")).as("p"))
   }
 
   /** fuse two (id, score) sets with weight alpha on the first */
