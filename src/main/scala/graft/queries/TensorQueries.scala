@@ -206,6 +206,23 @@ object TensorQueries extends QueryModule {
              |FROM embeddings e CROSS JOIN range(4) r
              |WHERE e.vec_id < 20 ORDER BY e.vec_id, chunk_idx""".stripMargin.replace('\n', ' '))),
 
+    // ---- most-common-values stats (§2.4 ColumnStatistics MCV arrays,
+    // `cpp/deeplake_pg/column_statistics.cpp:166-192`)
+    "q_mcv_stats" -> Q(
+      (s, dir) => {
+        val li = table(s, dir, "part")
+        val n = li.count().toDouble
+        li.groupBy(col("p_brand"))
+          .agg(count(lit(1)).as("c"))
+          .select(col("p_brand"), col("c"),
+            round(col("c") / n, 6).as("freq"))
+          .orderBy(col("c").desc, col("p_brand"))
+          .limit(10)
+      },
+      Some("""SELECT p_brand, c, round(c / (SELECT count(*)::DOUBLE FROM part), 6) AS freq
+             |FROM (SELECT p_brand, count(*) AS c FROM part GROUP BY p_brand) t
+             |ORDER BY c DESC, p_brand LIMIT 10""".stripMargin.replace('\n', ' '))),
+
     // ---- SAMPLE BY fraction (tql.md:641-643) — seeded Bernoulli sample;
     // not SQL-reproducible across engines -> rows-only check
     "q_sample_fraction" -> Q(
