@@ -114,9 +114,26 @@ object Dedup {
       .filter(col("jac") >= threshold)
   }
 
-  /** SimHash bucket groups: docs sharing a 16-bit simhash signature */
+  /** SimHash bucket groups: docs sharing a 16-bit simhash signature.
+    * Same parallelize+materialize-tokens shape as `shingled` (the sig
+    * references the token array per bit position). */
   def simhashBuckets(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("id"), simhash16(tokens(col(textCol))).as("sig"))
+    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("__toks"))
+      // md5 once per token; the naive form (md5 inside each of the 16
+      // bit-position lambdas) hashes every token 16x
+      .select(col("id"), size(col("__toks")).as("__n"),
+        transform(col("__toks"), t => md5(t)).as("__h"))
+      // one aggregate pass accumulates all 16 bit counts
+      .select(col("id"), col("__n"),
+        aggregate(col("__h"), array_repeat(lit(0), 16),
+          (acc, h) => zip_with(acc, sequence(lit(1), lit(16)),
+            (a, p) => a + when(h.substr(p, lit(1)) >= "8", 1).otherwise(0)))
+          .as("__ones"))
+      .select(col("id"),
+        concat((1 to 16).map(p =>
+          when(element_at(col("__ones"), p) * 2 >= col("__n"), lit("1"))
+            .otherwise(lit("0"))): _*).as("sig"))
       .groupBy(col("sig"))
       .agg(count(lit(1)).as("n"), sort_array(collect_list(col("id"))).as("member_ids"))
       .filter(col("n") > 1)
