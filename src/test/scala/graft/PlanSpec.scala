@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Physical-plan quality gates: predicate pushdown and column pruning
+  * reach the parquet scan, dimension joins broadcast, aggregations have
+  * map-side partials, and the vector kernel stays native (no UDF nodes).
+  * These are the properties that make the same plans viable at 100 TB. */
+class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("plan-spec")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("filters push into the parquet scan (q6 shape)") {
+    val p = planOf("q6_revenue_forecast")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("l_shipdate"), p) // the selective predicate reached the scan
+  }
+
+  test("column pruning: scan reads only referenced columns") {
+    val df = graft.sources.Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"))
+      .filter(col("l_quantity") > 10)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReadSchema"), p)
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_extendedprice"), readSchema)
+  }
+
+  test("dimension joins broadcast (TPC-H q5 shape)") {
+    val p = planOf("q5_local_supplier_revenue")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("aggregation is partial (map-side combine) before the shuffle") {
+    val p = planOf("q1_pricing_summary")
+    assert(p.contains("partial_sum") || p.contains("partial_avg"), p)
+  }
+
+  test("vector kernel plans as native expressions inside codegen") {
+    val p = planOf("q_vec_cosine_topk")
+    assert(p.contains("cosine_similarity") || p.contains("CosineSimilarity"), p)
+    assert(!p.toLowerCase.contains("batchevalpython"), p)
+    // (AQE prints isFinalPlan=false pre-execution, so codegen spans are
+    // not visible here — the no-UDF check above is the invariant)
+    // exact top-k lowers to TakeOrderedAndProject, not global sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("count(*) answers from parquet metadata (no full column read)") {
+    val df = graft.sources.Tables(spark, dir, "lineitem").groupBy().count()
+    val p = df.queryExecution.executedPlan.toString
+    // Spark's parquet count uses an empty read schema
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("struct<>") || !p.contains("ReadSchema"), p)
+  }
+}
