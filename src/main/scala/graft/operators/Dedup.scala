@@ -46,14 +46,20 @@ object Dedup {
     * scan partition, which would serialize all the per-row shingling —
     * the cheap fixed-width shuffle buys full-cluster parallelism for the
     * expensive expression work that follows. */
-  private def shingled(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
+  private def shingled(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    docs.repartition(par, col(idCol))
       // tokens materialized in their own projection: inlining the split()
       // into the ~3n element_at sites inside shingles() would re-split the
       // text O(n) times per row (HOFs evaluate interpreted, no CSE)
       .select(col(idCol).as("id"), length(col(textCol)).as("len"),
         tokens(col(textCol)).as("__toks"))
       .select(col("id"), col("len"), shingles(col("__toks")).as("sh"))
+      // second exchange right AFTER the expensive shingling: downstream
+      // operators reference this frame 3x (postings + both verify sides)
+      // and ReuseExchange materializes everything above it once
+      .repartition(par, col("id"))
+  }
 
   /** exact n-gram Jaccard near-dup pairs via PPJoin-style prefix
     * filtering: sort each doc's shingle set under a common total order

@@ -33,12 +33,14 @@ object Sampling {
   def weightedSampleWithReplacement(df: DataFrame, weight: Column, n: Int,
       seed: Long = 42L): DataFrame = {
     val withW = df.withColumn("__w", weight.cast("double")).filter(col("__w") > 0)
-    val total = withW.agg(sum(col("__w"))).head().getDouble(0)
-    withW
+    // total weight joins in lazily as a broadcast single-row DF — no
+    // driver action, the scoring plan stays one job
+    val total = withW.agg(sum(col("__w")).as("__total"))
+    withW.crossJoin(broadcast(total))
       .withColumn("__copies",
-        floor(col("__w") / total * n + rand(seed)).cast("int"))
+        floor(col("__w") / col("__total") * n + rand(seed)).cast("int"))
       .withColumn("__rep", explode(sequence(lit(1), col("__copies"))))
-      .drop("__w", "__copies", "__rep")
+      .drop("__w", "__total", "__copies", "__rep")
   }
 
   /** MAX_WEIGHT(cond1: w1, cond2: w2, ...) — max weight among matching
