@@ -25,6 +25,10 @@ object GraftExtensions {
     * `spark.sql.extensions`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     import org.apache.spark.sql.graft.Bridge
+    val rewrite = graft.plans.IndexRewrite(spark)
+    if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[graft.plans.IndexRewrite]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ rewrite
     Bridge.registerFunction(spark, "cosine_similarity", args => CosineSimilarity(args(0), args(1)))
     Bridge.registerFunction(spark, "dot_product", args => DotProduct(args(0), args(1)))
     Bridge.registerFunction(spark, "l1_distance", args => VectorDistance(args(0), args(1), 1))
@@ -47,6 +51,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // filter→index rewrite (SURVEY §4.1): CONTAINS predicates over tables
+    // with a registered inverted index become posting-table semi-joins
+    ext.injectOptimizerRule(session => graft.plans.IndexRewrite(session))
     ext.injectFunction((FunctionIdentifier("cosine_similarity"),
       info("cosine_similarity", "cosine_similarity(a, b) - cosine similarity of two vectors"),
       binary(CosineSimilarity) _))

@@ -1,0 +1,99 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{ArrayContains, AttributeReference, EqualTo, Expression, Literal, PredicateHelper, StringSplit, Lower}
+import org.apache.spark.sql.catalyst.plans.LeftSemi
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, JoinHint, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions.{col, lit}
+
+/** Filter→index rewrite (SURVEY.md §4.1; reference
+  * `cpp/deeplake_pg/duckdb_deeplake_scan.cpp:209-301`
+  * try_get_index_searcher + `cpp/query_core/index_holder.hpp:30-40`):
+  * a linear-scan keyword predicate
+  * `array_contains(split(lower(text), sep), 'term')` over a table whose
+  * text column has a registered inverted index becomes a LEFT SEMI join
+  * with the (term, doc_id) posting table — the relational analog of
+  * answering the filter from a roaring bitmap and intersecting.
+  *
+  * The index must be persisted (parquet path registered in
+  * [[IndexCatalog]]); the rule plans a FRESH scan of it per application,
+  * which keeps expression IDs disjoint from the query plan without any
+  * tree re-instantiation.
+  *
+  * Injected via `graft.GraftExtensions` (injectOptimizerRule).
+  */
+object IndexCatalog {
+  /** (lowercased table root path, column name) -> (index parquet path, id column) */
+  final case class Entry(indexPath: String, idCol: String)
+  @volatile private var entries: Map[(String, String), Entry] = Map.empty
+
+  def register(tableRootPath: String, column: String, indexPath: String,
+      idCol: String): Unit =
+    entries += (norm(tableRootPath), column) -> Entry(indexPath, idCol)
+
+  def clear(): Unit = entries = Map.empty
+
+  def lookup(tableRootPath: String, column: String): Option[Entry] =
+    entries.get((norm(tableRootPath), column))
+
+  private def norm(p: String): String =
+    p.stripPrefix("file:").stripSuffix("/")
+}
+
+case class IndexRewrite(spark: SparkSession) extends Rule[LogicalPlan]
+    with PredicateHelper {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case f @ Filter(cond, child) =>
+      // peel index-answerable CONTAINS conjuncts off the predicate; each
+      // becomes one semi-join (the reference ANDs roaring bitmaps and
+      // leaves the residual filter in place, index_holder.hpp:33)
+      val conjuncts = splitConjunctivePredicates(cond)
+      val (rewritten, residual) = conjuncts.partition(indexable(child, _).isDefined)
+      if (rewritten.isEmpty) f
+      else {
+        val base = residual.reduceOption(org.apache.spark.sql.catalyst.expressions.And)
+          .map(Filter(_, child)).getOrElse(child)
+        rewritten.foldLeft(base) { (acc, c) =>
+          val (entry, childId, term) = indexable(child, c).get
+          val matched = spark.read.parquet(entry.indexPath)
+            .filter(col("term") === lit(term))
+            .select(col("doc_id"))
+            .queryExecution.analyzed // fresh scan -> disjoint expr ids
+          Join(acc, matched, LeftSemi,
+            Some(EqualTo(childId, matched.output.head)), JoinHint.NONE)
+        }
+      }
+  }
+
+  /** Some((index entry, child id attribute, term)) when `e` is a
+    * CONTAINS-shaped predicate answerable from a registered index. */
+  private def indexable(child: LogicalPlan, e: Expression)
+      : Option[(IndexCatalog.Entry, AttributeReference, String)] = e match {
+    case ArrayContains(
+        StringSplit(Lower(attr: AttributeReference), _, _), Literal(term, _)) =>
+      for {
+        rootPath <- scanRootPath(child)
+        entry <- IndexCatalog.lookup(rootPath, attr.name)
+        childId <- child.output.collectFirst {
+          case a: AttributeReference if a.name == entry.idCol => a
+        }
+      } yield (entry, childId, term.toString)
+    case _ => None
+  }
+
+  /** Root path of the single file-source relation feeding this subtree
+    * (conservative: bail out unless exactly one). */
+  private def scanRootPath(plan: LogicalPlan): Option[String] = {
+    val rels = plan.collectLeaves().collect {
+      case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+        fs.location.rootPaths.map(_.toString)
+    }
+    rels match {
+      case Seq(Seq(single)) => Some(single)
+      case _ => None
+    }
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.operators.InvertedIndex
+import graft.plans.IndexCatalog
+
+/** Optimizer rule: a linear-scan CONTAINS predicate over a table with a
+  * registered inverted index is rewritten to a posting-table LEFT SEMI
+  * join, and the rewritten plan returns identical rows. */
+class IndexRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val docsPath = "/root/testdata/sf0.001/documents.parquet"
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("index-rewrite-spec")
+    .getOrCreate()
+
+  override def afterAll(): Unit = { IndexCatalog.clear(); spark.stop() }
+
+  private def containsScan(term: String) =
+    spark.read.parquet(docsPath).filter(
+      array_contains(split(lower(col("text")), "[^a-z0-9]+"), term))
+
+  test("contains filter rewrites to a posting-table semi-join") {
+    // expected rows with NO rule installed
+    val want = containsScan("vector").select("doc_id").orderBy("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+
+    // persist + register the inverted index, install the rule
+    val idxPath = Files.createTempDirectory("graft-idx").toString + "/text_idx"
+    InvertedIndex.build(spark.read.parquet(docsPath), "doc_id", "text")
+      .write.parquet(idxPath)
+    IndexCatalog.register(docsPath, "text", idxPath, "doc_id")
+    GraftExtensions.register(spark)
+
+    val q = containsScan("vector")
+    val plan = q.queryExecution.optimizedPlan.toString
+    assert(plan.contains("LeftSemi"), plan)
+    assert(!plan.toLowerCase.contains("array_contains"), plan)
+
+    val got = q.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("multiple CONTAINS conjuncts chain semi-joins, residual filter stays") {
+    IndexCatalog.clear() // oracle rows computed with no index registered
+    val want = spark.read.parquet(docsPath).filter(
+        array_contains(split(lower(col("text")), "[^a-z0-9]+"), "vector") &&
+        array_contains(split(lower(col("text")), "[^a-z0-9]+"), "query"))
+      .filter(col("n_chars") > 50)
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+
+    val idxPath = Files.createTempDirectory("graft-idx2").toString + "/text_idx"
+    InvertedIndex.build(spark.read.parquet(docsPath), "doc_id", "text")
+      .write.parquet(idxPath)
+    IndexCatalog.register(docsPath, "text", idxPath, "doc_id")
+    GraftExtensions.register(spark)
+
+    val q = spark.read.parquet(docsPath).filter(
+      array_contains(split(lower(col("text")), "[^a-z0-9]+"), "vector") &&
+      array_contains(split(lower(col("text")), "[^a-z0-9]+"), "query") &&
+      col("n_chars") > 50)
+    val plan = q.queryExecution.optimizedPlan.toString
+    assert(plan.split("LeftSemi").length == 3, plan) // two semi-joins
+    assert(plan.contains("n_chars"), plan) // residual predicate kept
+
+    val got = q.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(got == want)
+  }
+
+  test("unregistered tables keep the linear scan") {
+    IndexCatalog.clear()
+    GraftExtensions.register(spark)
+    val plan = containsScan("vector").queryExecution.optimizedPlan.toString
+    assert(!plan.contains("LeftSemi"), plan)
+    assert(plan.toLowerCase.contains("array_contains"), plan)
+  }
+}
