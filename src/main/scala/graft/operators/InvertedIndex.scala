@@ -65,9 +65,10 @@ object InvertedIndex {
   // ------------------------------------------------------- index routing
 
   /** Registered index kinds for one column — the index_holder analog. */
-  sealed trait Holder { def index: DataFrame }
+  sealed trait Holder
   final case class TextIndex(index: DataFrame) extends Holder
   final case class NumericIndex(index: DataFrame) extends Holder
+  final case class EmbeddingIndex(index: AnnIndex.Index) extends Holder
 
   final case class Key(table: String, column: String)
 
@@ -82,6 +83,9 @@ object InvertedIndex {
 
     def registerNumeric(table: String, column: String, index: DataFrame): Unit =
       holders += Key(table, column) -> NumericIndex(index)
+
+    def registerEmbedding(table: String, column: String, index: AnnIndex.Index): Unit =
+      holders += Key(table, column) -> EmbeddingIndex(index)
 
     def canRun(table: String, column: String): Boolean =
       holders.contains(Key(table, column))
@@ -105,6 +109,21 @@ object InvertedIndex {
           searchDocs(docs, idCol,
             numericWhere(idx, col("value").between(lo, hi)))
         case _ => docs.filter(docs(valueCol).between(lo, hi))
+      }
+
+    /** Vector top-k: ANN cluster-pruned search when an embedding index is
+      * registered (the `ORDER BY score DESC LIMIT k` fast path,
+      * `cpp/query_core/top_k_search_info.hpp:17-44`), else exact brute
+      * force — the linear path. Output schema matches in both routes. */
+    def vectorTopK(docs: DataFrame, table: String, idCol: String,
+        vecCol: String, queries: DataFrame, qIdCol: String, qVecCol: String,
+        k: Int, config: AnnIndex.SearchConfig = AnnIndex.SearchConfig()): DataFrame =
+      holders.get(Key(table, vecCol)) match {
+        case Some(EmbeddingIndex(idx)) =>
+          AnnIndex.search(idx, queries, qIdCol, qVecCol, k, config)
+        case _ =>
+          SimilaritySearch.bruteForceTopK(docs, idCol, vecCol,
+            queries, qIdCol, qVecCol, k)
       }
   }
 }

@@ -58,6 +58,24 @@ object Multimodal {
         element_at(col("pixels"), (sy * col("width") + sx + 1).cast("int"))
       }).as("pixels"))
 
+  /** feature extraction over decoded images: deterministic per-image
+    * stats vector (mean/std/min/max of pixels) — the stub stands in for a
+    * real embedding model; the contract (decoded frame -> fixed-width
+    * float feature column, pure Column math, no shuffle) is the real one */
+  def extractFeatures(decoded: DataFrame): DataFrame = {
+    val xs = transform(col("pixels"), x => x.cast("double"))
+    val n = size(col("pixels")).cast("double")
+    val mean = aggregate(xs, lit(0.0d), (a, x) => a + x) / n
+    val sumsq = aggregate(xs, lit(0.0d), (a, x) => a + x * x)
+    decoded
+      .withColumn("__xs", xs)
+      .withColumn("features", array(
+        aggregate(col("__xs"), lit(0.0d), (a, x) => a + x) / n,
+        sqrt((sumsq - n * mean * mean) / n),
+        array_min(col("__xs")), array_max(col("__xs"))))
+      .drop("__xs")
+  }
+
   /** frame sampling for sequence (video-like) columns: every `stride`-th
     * element of an array column, the UNGROUP/sequence analog for media */
   def sampleFrames(df: DataFrame, seqCol: String, stride: Int): DataFrame =

@@ -49,6 +49,26 @@ class InvertedIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(routed == scanned)
   }
 
+  test("vector top-k routes to ANN when registered, brute force otherwise") {
+    import graft.operators.AnnIndex
+    val emb = graft.sources.Tables(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 3)
+    val corpus = emb.filter(col("vec_id") >= 3)
+    val reg = new InvertedIndex.Registry
+    val brute = reg.vectorTopK(corpus, "embeddings", "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 5)
+      .select("qid", "rank", "id").orderBy("qid", "rank").collect().toSeq
+    // exhaustive probe (huge cluster factor) must reproduce exact results
+    reg.registerEmbedding("embeddings", "embedding",
+      AnnIndex.build(corpus, "vec_id", "embedding", nClusters = 4))
+    val routed = reg.vectorTopK(corpus, "embeddings", "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 5,
+        AnnIndex.SearchConfig(clusterSearchFactor = 100.0))
+      .select("qid", "rank", "id").orderBy("qid", "rank").collect().toSeq
+    assert(routed == brute)
+    assert(brute.size == 15)
+  }
+
   test("numeric index range equals scan range") {
     val ev = graft.sources.Tables(spark, dir, "events")
     val reg = new InvertedIndex.Registry

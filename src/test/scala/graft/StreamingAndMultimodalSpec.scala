@@ -56,4 +56,17 @@ class StreamingAndMultimodalSpec extends AnyFunSuite {
     val framed = Multimodal.sampleFrames(decoded, "pixels", 8).collect()
     assert(framed.forall(_.getAs[scala.collection.Seq[Float]]("pixels_sampled").length == 8))
   }
+
+  test("multimodal: feature extraction emits fixed-width stats vector") {
+    val docs = graft.sources.Tables(spark, dir, "documents").limit(5)
+    val decoded = Multimodal.decodeImages(
+      Multimodal.withBinaryPayload(docs, "text"), "doc_id")
+    val feats = Multimodal.extractFeatures(decoded).collect()
+    assert(feats.forall(_.getAs[scala.collection.Seq[Double]]("features").length == 4))
+    feats.foreach { r =>
+      val Seq(mean, std, mn, mx) = r.getAs[scala.collection.Seq[Double]]("features").toSeq
+      assert(mn <= mean && mean <= mx)
+      assert(std >= 0.0)
+    }
+  }
 }
