@@ -92,6 +92,17 @@ object TqlQueries extends QueryModule {
       Some("""SELECT s_suppkey, s_name FROM supplier WHERE s_acctbal > 5000.0
              |ORDER BY s_suppkey LIMIT 12""".stripMargin.replace('\n', ' '))),
 
+    // keyword CONTAINS through the dialect (tql.md:179-185)
+    "q_tql_contains" -> Q(
+      (s, dir) => Tql.query(s, dir,
+        """SELECT doc_id, lang, n_chars FROM documents
+          |WHERE CONTAINS(text, 'vector') AND CONTAINS(text, 'spark')
+          |ORDER BY doc_id""".stripMargin),
+      Some("""SELECT doc_id, lang, n_chars FROM documents
+             |WHERE list_contains(string_split(lower(text), ' '), 'vector')
+             |AND list_contains(string_split(lower(text), ' '), 'spark')
+             |ORDER BY doc_id""".stripMargin.replace('\n', ' '))),
+
     // within-row tensor reductions + elementwise compare via dialect
     "q_tql_tensor_fns" -> Q(
       (s, dir) => Tql.query(s, dir,
