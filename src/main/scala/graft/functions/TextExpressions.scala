@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** WORD_SHINGLES(tokens, n): distinct n-word shingles of a token array,
+  * space-joined — the hot inner loop of every near-dup operator
+  * (SURVEY.md §2 training-pipeline dedup).
+  *
+  * Native codegen replaces the composed-HOF form
+  * `array_distinct(transform(sequence(...), i -> concat_ws(...)))`, which
+  * evaluates interpreted (higher-order lambdas never enter whole-stage
+  * codegen) and re-reads the token array per element. One tight loop with
+  * a LinkedHashSet reproduces array_distinct's first-occurrence order
+  * exactly. Empty result when the doc has fewer than n tokens.
+  */
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"shingle width must be >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"input must be array<string>, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val num = arr.numElements()
+    val set = new java.util.LinkedHashSet[UTF8String]()
+    val sep = UTF8String.fromString(" ")
+    var i = 0
+    while (i + n - 1 < num) {
+      val parts = new Array[UTF8String](n)
+      var k = 0
+      while (k < n) { parts(k) = arr.getUTF8String(i + k); k += 1 }
+      set.add(UTF8String.concatWs(sep, parts: _*))
+      i += 1
+    }
+    new GenericArrayData(set.toArray.asInstanceOf[Array[Any]])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val utf8 = "org.apache.spark.unsafe.types.UTF8String"
+      val sep = ctx.addReferenceObj("shingleSep", UTF8String.fromString(" "), utf8)
+      val set = ctx.freshName("set")
+      val parts = ctx.freshName("parts")
+      val num = ctx.freshName("num")
+      val i = ctx.freshName("i")
+      val k = ctx.freshName("k")
+      s"""
+         |final int $num = $a.numElements();
+         |final java.util.LinkedHashSet<$utf8> $set = new java.util.LinkedHashSet<$utf8>();
+         |final $utf8[] $parts = new $utf8[$n];
+         |for (int $i = 0; $i + ${n - 1} < $num; $i++) {
+         |  for (int $k = 0; $k < $n; $k++) {
+         |    $parts[$k] = $a.getUTF8String($i + $k);
+         |  }
+         |  $set.add($utf8.concatWs($sep, $parts));
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($set.toArray());
+         |""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}

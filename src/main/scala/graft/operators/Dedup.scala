@@ -75,7 +75,11 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double): DataFrame = {
     val s = shingled(docs, idCol, textCol).filter(size(col("sh")) > 0)
-    val ordered = s.select(col("id"), array_sort(col("sh")).as("sh"),
+    // shingles become 64-bit hashes for the join keys AND the verify
+    // intersection: fixed-width shuffle rows, codegen'd long compares;
+    // set sizes and intersections are unchanged barring a 2^-64 collision
+    val ordered = s.select(col("id"),
+      array_sort(transform(col("sh"), x => xxhash64(x))).as("sh"),
       size(col("sh")).as("cnt"))
     val plen = (floor(lit(1.0 - threshold) * col("cnt")) + 1).cast("int")
     val prefix = ordered.select(col("id"), col("cnt"),

@@ -19,12 +19,12 @@ object TextAnalysis {
   /** whitespace tokenization (corpus is pre-normalized lowercase) */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** n-word shingles (distinct), empty when the doc is shorter than n */
-  def shingles(w: Column, n: Int = 3): Column = {
-    val mk = transform(sequence(lit(1), size(w) - (n - 1)),
-      i => concat_ws(" ", (0 until n).map(k => element_at(w, i + lit(k))): _*))
-    array_distinct(when(size(w) >= n, mk).otherwise(array().cast("array<string>")))
-  }
+  /** n-word shingles (distinct), empty when the doc is shorter than n —
+    * native codegen expression (see graft.functions.WordShingles) */
+  def shingles(w: Column, n: Int = 3): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.WordShingles(
+        org.apache.spark.sql.graft.Bridge.expression(w), n))
 
   /** MinHash signature: for seed i, min_{s in shingles} md5("i:" || s).
     * One column per hash; lexicographic min over hex strings. */
