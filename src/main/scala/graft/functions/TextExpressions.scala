@@ -71,3 +71,66 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): WordShingles =
     copy(child = newChild)
 }
+
+/** MINHASH_SIG(shingles, numHashes): per hash seed i, the lexicographic
+  * minimum of md5Hex("i:" + shingle) over the shingle set — one native
+  * loop instead of numHashes interpreted transform/array_min pipelines.
+  * Identical values to `array_min(transform(sh, s -> md5('i:' || s)))`
+  * (hex strings compare bytewise = lexicographically). Null entries for
+  * an empty shingle set, matching array_min's null on empty input. */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+  require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"input must be array<string>, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    new GenericArrayData(MinHashSignature.compute(arr, numHashes)
+      .asInstanceOf[Array[Any]])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val helper = MinHashSignature.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"""
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  (Object[]) $helper.compute($a, $numHashes));
+         |""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+object MinHashSignature {
+  /** shared tight loop: hex md5 minima per seed (called from codegen) */
+  def compute(arr: ArrayData, numHashes: Int): Array[UTF8String] = {
+    val num = arr.numElements()
+    val out = new Array[UTF8String](numHashes)
+    var h = 0
+    while (h < numHashes) {
+      val prefix = s"$h:".getBytes("UTF-8")
+      var best: String = null
+      var i = 0
+      while (i < num) {
+        val sb = arr.getUTF8String(i).getBytes
+        val buf = new Array[Byte](prefix.length + sb.length)
+        System.arraycopy(prefix, 0, buf, 0, prefix.length)
+        System.arraycopy(sb, 0, buf, prefix.length, sb.length)
+        val hex = org.apache.commons.codec.digest.DigestUtils.md5Hex(buf)
+        if (best == null || hex.compareTo(best) < 0) best = hex
+        i += 1
+      }
+      out(h) = if (best == null) null else UTF8String.fromString(best)
+      h += 1
+    }
+    out
+  }
+}

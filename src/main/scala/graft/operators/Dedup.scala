@@ -104,11 +104,20 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
     val s = shingled(docs, idCol, textCol)
-    val sig = minhashSig(col("sh"), numHashes)
-    val bands = bandKeys(sig, rowsPerBand)
+    // native one-loop signature (graft.functions.MinHashSignature),
+    // staged as a column so band keys read it instead of recomputing
+    val withSig = s.select(col("id"),
+      org.apache.spark.sql.graft.Bridge.column(
+        graft.functions.MinHashSignature(
+          org.apache.spark.sql.graft.Bridge.expression(col("sh")), numHashes))
+        .as("__sig"))
+    val bands = (0 until numHashes / rowsPerBand).map { b =>
+      md5(concat((0 until rowsPerBand).map(r =>
+        element_at(col("__sig"), b * rowsPerBand + r + 1)): _*))
+    }
     // carry only (id, band) through the candidate join; shingle sets
     // rejoin afterwards for the (much smaller) verify step
-    val banded = s.select(col("id"),
+    val banded = withSig.select(col("id"),
       posexplode(array(bands: _*)).as(Seq("band_idx", "band_key")))
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
