@@ -94,10 +94,11 @@ object DocumentQueries extends QueryModule {
     // ---- SimHash signature buckets (collision groups)
     "q_dedup_simhash" -> Q(
       (s, dir) => Dedup.simhashBuckets(table(s, dir, "documents"), "doc_id", "text")
+        .withColumn("member_ids", concat_ws(",", col("member_ids")))
         .orderBy(col("sig")),
       Some(s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
               |sg AS (SELECT doc_id, $simhashSql AS sig FROM t)
-              |SELECT sig, count(*) AS n, list(doc_id ORDER BY doc_id) AS member_ids
+              |SELECT sig, count(*) AS n, array_to_string(list(doc_id ORDER BY doc_id), ',') AS member_ids
               |FROM sg GROUP BY sig HAVING count(*) > 1 ORDER BY sig""".stripMargin.replace('\n', ' '))),
 
     // ---- embedding-cosine near-dup pairs

@@ -39,7 +39,7 @@ object IndexQueries extends QueryModule {
           .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
           .orderBy(col("lang"))
       },
-      Some("""SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+      Some("""SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
              |FROM documents
              |WHERE list_contains(string_split(lower(text), ' '), 'vector')
              |OR list_contains(string_split(lower(text), ' '), 'stream')

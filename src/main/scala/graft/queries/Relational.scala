@@ -517,7 +517,7 @@ object Relational extends QueryModule {
       Some("""SELECT count(*) AS total_rows, count(DISTINCT l_partkey) AS n_distinct_partkey,
              |round(min(l_extendedprice),2) AS min_price, round(max(l_extendedprice),2) AS max_price,
              |round(avg(l_extendedprice),4) AS avg_price, round(stddev_samp(l_extendedprice),4) AS std_price,
-             |sum(CAST(l_extendedprice IS NULL AS BIGINT)) AS null_qty
+             |sum(CAST(l_quantity IS NULL AS BIGINT))::BIGINT AS null_qty
              |FROM lineitem""".stripMargin.replace('\n', ' '))),
 
     // ---- TQL ROW_NUMBER(): zero-based row offset (tql.md:427-431).

@@ -17,11 +17,16 @@ object SequenceQueries extends QueryModule {
             table(s, dir, "lineitem").filter(col("l_orderkey") < 200),
             keys = Seq("l_orderkey"), ordCol = "l_linenumber",
             valueCols = Seq("l_quantity"))
-          .select(col("l_orderkey"), col("l_quantity_seq").as("qty_seq"),
+          .select(col("l_orderkey"),
+            // serialize: driver row-sort can't order array cells; quantities
+            // are scaled to integer hundredths for engine-stable formatting
+            concat_ws(",", transform(col("l_quantity_seq"),
+              q => round(q.cast("double") * 100d).cast("long"))).as("qty_seq"),
             size(col("l_quantity_seq")).as("seq_len"))
           .orderBy(col("l_orderkey"))
       },
-      Some("""SELECT l_orderkey, list(l_quantity ORDER BY l_linenumber, l_quantity) AS qty_seq,
+      Some("""SELECT l_orderkey, array_to_string(list_transform(
+             |list(l_quantity ORDER BY l_linenumber, l_quantity), q -> round(q*100)::BIGINT), ',') AS qty_seq,
              |count(*)::INTEGER AS seq_len FROM lineitem WHERE l_orderkey < 200
              |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin.replace('\n', ' '))),
 
@@ -46,13 +51,13 @@ object SequenceQueries extends QueryModule {
         Grouping.groupToSequences(
             table(s, dir, "events").filter(col("user_id") < 10),
             keys = Seq("user_id"), ordCol = "ts_ns", valueCols = Seq("event_type"))
-          .select(col("user_id"), col("event_type_seq"),
+          .select(col("user_id"), concat_ws(",", col("event_type_seq")).as("event_type_seq"),
             size(col("event_type_seq")).as("n_events"),
             element_at(col("event_type_seq"), 1).as("first_event"),
             element_at(col("event_type_seq"), -1).as("last_event"))
           .orderBy(col("user_id"))
       },
-      Some("""SELECT user_id, list(event_type ORDER BY ts, event_type) AS event_type_seq,
+      Some("""SELECT user_id, array_to_string(list(event_type ORDER BY ts, event_type), ',') AS event_type_seq,
              |count(*)::INTEGER AS n_events,
              |(list(event_type ORDER BY ts, event_type))[1] AS first_event,
              |(list(event_type ORDER BY ts, event_type))[-1] AS last_event
@@ -65,12 +70,13 @@ object SequenceQueries extends QueryModule {
         Grouping.expandBy(e, "embedding", rows = 8, cols = 8, h = 4, w = 4,
             keep = Seq("vec_id"))
           .select(col("vec_id"), col("patch_idx"),
-            transform(col("patch"), x => round(x.cast("double"), 6)).as("patch"))
+            concat_ws(",", transform(col("patch"),
+              x => round(x.cast("double") * 1e6d).cast("long"))).as("patch"))
           .orderBy(col("vec_id"), col("patch_idx"))
       },
       Some("""SELECT vec_id, p.i::INTEGER AS patch_idx,
-             |list_transform(range(0, 16), k ->
-             |  round(embedding[((p.i//2)*4 + k//4)*8 + (p.i%2)*4 + (k%4) + 1]::DOUBLE, 6)) AS patch
+             |array_to_string(list_transform(range(0, 16), k ->
+             |  round(embedding[((p.i//2)*4 + k//4)*8 + (p.i%2)*4 + (k%4) + 1]::DOUBLE * 1e6)::BIGINT), ',') AS patch
              |FROM embeddings, range(4) AS p(i) WHERE vec_id < 10
              |ORDER BY vec_id, patch_idx""".stripMargin.replace('\n', ' '))),
 

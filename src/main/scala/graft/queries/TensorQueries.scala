@@ -15,16 +15,17 @@ object TensorQueries extends QueryModule {
 
   override def qs: Seq[(String, Q)] = Seq(
 
-    // ---- SHAPE(a) (tql.md:408-412)
+    // ---- SHAPE(a) (tql.md:408-412). Output joined as a string: the driver's
+    // row-sort cannot order array cells, so array results are serialized.
     "q_array_shape" -> Q(
       (s, dir) => {
         table(s, dir, E)
           .filter(col("vec_id") < 20)
-          .select(col("vec_id"), gf.shape(col("embedding")).as("shp"),
+          .select(col("vec_id"), concat_ws(",", gf.shape(col("embedding"))).as("shp"),
             size(col("embedding")).as("dim"))
           .orderBy(col("vec_id"))
       },
-      Some("""SELECT vec_id, [len(embedding)] AS shp, len(embedding) AS dim
+      Some("""SELECT vec_id, len(embedding)::VARCHAR AS shp, len(embedding) AS dim
              |FROM embeddings WHERE vec_id < 20 ORDER BY vec_id""".stripMargin.replace('\n', ' '))),
 
     // ---- NONZERO(a): indices of non-zero elements (tql.md:419-423)
@@ -35,12 +36,12 @@ object TensorQueries extends QueryModule {
         table(s, dir, E)
           .filter(col("vec_id") < 40)
           .select(col("vec_id"),
-            slice(gf.nonzero(thresholded), 1, 5).as("first_nz"),
+            concat_ws(",", slice(gf.nonzero(thresholded), 1, 5)).as("first_nz"),
             size(gf.nonzero(thresholded)).as("n_nz"))
           .orderBy(col("vec_id"))
       },
       Some("""SELECT vec_id,
-             |list_filter(range(0, len(embedding)), i -> embedding[i+1] > 0.2)[1:5] AS first_nz,
+             |array_to_string(list_filter(range(0, len(embedding)), i -> embedding[i+1] > 0.2)[1:5], ',') AS first_nz,
              |len(list_filter(range(0, len(embedding)), i -> embedding[i+1] > 0.2)) AS n_nz
              |FROM embeddings WHERE vec_id < 40 ORDER BY vec_id""".stripMargin.replace('\n', ' '))),
 
@@ -73,12 +74,12 @@ object TensorQueries extends QueryModule {
             floor((x.cast("double") + 1.0d) * 2.0d).cast("long"))))
         table(s, dir, E)
           .filter(col("vec_id") < 30)
-          .select(col("vec_id"), gf.bincount(bins, 8).as("hist"))
+          .select(col("vec_id"), concat_ws(",", gf.bincount(bins, 8)).as("hist"))
           .orderBy(col("vec_id"))
       },
-      Some("""SELECT vec_id, list_transform(range(0, 8), k ->
+      Some("""SELECT vec_id, array_to_string(list_transform(range(0, 8), k ->
              |len(list_filter(embedding, x ->
-             |  least(7, greatest(0, floor((x::DOUBLE + 1.0) * 2.0)::BIGINT)) = k))) AS hist
+             |  least(7, greatest(0, floor((x::DOUBLE + 1.0) * 2.0)::BIGINT)) = k))), ',') AS hist
              |FROM embeddings WHERE vec_id < 30 ORDER BY vec_id""".stripMargin.replace('\n', ' '))),
 
     // ---- FLAT + TRANSPOSE of a 2-D tensor (`cpp/nd/functions.hpp:127,141`)
@@ -88,14 +89,14 @@ object TensorQueries extends QueryModule {
         table(s, dir, E)
           .filter(col("vec_id") < 25)
           .select(col("vec_id"),
-            transform(gf.flat(gf.transpose(mat)),
-              x => round(x.cast("double"), 6)).as("t_flat"))
+            concat_ws(",", transform(gf.flat(gf.transpose(mat)),
+              x => round(x.cast("double") * 1e6d).cast("long"))).as("t_flat"))
           .orderBy(col("vec_id"))
       },
-      Some("""SELECT vec_id, [round(embedding[1]::DOUBLE,6), round(embedding[5]::DOUBLE,6),
-             |round(embedding[2]::DOUBLE,6), round(embedding[6]::DOUBLE,6),
-             |round(embedding[3]::DOUBLE,6), round(embedding[7]::DOUBLE,6),
-             |round(embedding[4]::DOUBLE,6), round(embedding[8]::DOUBLE,6)] AS t_flat
+      Some("""SELECT vec_id, array_to_string([round(embedding[1]::DOUBLE*1e6)::BIGINT, round(embedding[5]::DOUBLE*1e6)::BIGINT,
+             |round(embedding[2]::DOUBLE*1e6)::BIGINT, round(embedding[6]::DOUBLE*1e6)::BIGINT,
+             |round(embedding[3]::DOUBLE*1e6)::BIGINT, round(embedding[7]::DOUBLE*1e6)::BIGINT,
+             |round(embedding[4]::DOUBLE*1e6)::BIGINT, round(embedding[8]::DOUBLE*1e6)::BIGINT], ',') AS t_flat
              |FROM embeddings WHERE vec_id < 25 ORDER BY vec_id""".stripMargin.replace('\n', ' '))),
 
     // ---- LOGICAL_AND / LOGICAL_OR elementwise (`cpp/nd/logical.hpp:14-16`)
@@ -120,11 +121,11 @@ object TensorQueries extends QueryModule {
       (s, dir) => {
         table(s, dir, "events")
           .filter(col("event_id") < 50)
-          .select(col("event_id"), gf.keys(col("props")).as("prop_keys"),
+          .select(col("event_id"), concat_ws(",", gf.keys(col("props"))).as("prop_keys"),
             get_json_object(col("props"), "$.k").cast("long").as("k_value"))
           .orderBy(col("event_id"))
       },
-      Some("""SELECT event_id, json_keys(props) AS prop_keys,
+      Some("""SELECT event_id, array_to_string(json_keys(props), ',') AS prop_keys,
              |json_extract(props, '$.k')::BIGINT AS k_value
              |FROM events WHERE event_id < 50 ORDER BY event_id""".stripMargin.replace('\n', ' '))),
 
