@@ -120,12 +120,16 @@ object MinHashSignature {
       var best: String = null
       var i = 0
       while (i < num) {
-        val sb = arr.getUTF8String(i).getBytes
-        val buf = new Array[Byte](prefix.length + sb.length)
-        System.arraycopy(prefix, 0, buf, 0, prefix.length)
-        System.arraycopy(sb, 0, buf, prefix.length, sb.length)
-        val hex = org.apache.commons.codec.digest.DigestUtils.md5Hex(buf)
-        if (best == null || hex.compareTo(best) < 0) best = hex
+        // input arrays may carry null entries (containsNull accepted);
+        // array_min(transform(...)) skips nulls, so the native loop must too
+        if (!arr.isNullAt(i)) {
+          val sb = arr.getUTF8String(i).getBytes
+          val buf = new Array[Byte](prefix.length + sb.length)
+          System.arraycopy(prefix, 0, buf, 0, prefix.length)
+          System.arraycopy(sb, 0, buf, prefix.length, sb.length)
+          val hex = org.apache.commons.codec.digest.DigestUtils.md5Hex(buf)
+          if (best == null || hex.compareTo(best) < 0) best = hex
+        }
         i += 1
       }
       out(h) = if (best == null) null else UTF8String.fromString(best)

@@ -18,19 +18,21 @@ import org.apache.spark.sql.types._
   */
 trait VectorArrayOp { self: Expression =>
   protected def checkArray(e: Expression, side: String): TypeCheckResult = e.dataType match {
-    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(FloatType | DoubleType | ByteType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"$side must be array<float|double>, got ${other.catalogString}")
+      s"$side must be array<float|double|tinyint>, got ${other.catalogString}")
   }
   protected def elemType(e: Expression): DataType =
     e.dataType.asInstanceOf[ArrayType].elementType
   /** java source to read element `i` of `arr` as double */
   protected def readJ(e: Expression, arr: String, i: String): String = elemType(e) match {
     case FloatType => s"(double) $arr.getFloat($i)"
+    case ByteType  => s"(double) $arr.getByte($i)"
     case _         => s"$arr.getDouble($i)"
   }
   protected def readS(e: Expression, arr: ArrayData, i: Int): Double = elemType(e) match {
     case FloatType => arr.getFloat(i).toDouble
+    case ByteType  => arr.getByte(i).toDouble
     case _         => arr.getDouble(i)
   }
 }

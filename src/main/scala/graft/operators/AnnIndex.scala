@@ -4,24 +4,29 @@ import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import graft.functions.gf
 
 /** Clustered ANN index (SURVEY.md §2.9) — the Spark analog of the
-  * reference's `Clustered` embedding index (k-means centroids; search
-  * scans the closest clusters only, then exact-reranks):
-  * `cpp/query_core/search_config.hpp:18-161`,
+  * reference's `Clustered` / `ClusteredQuantized` embedding indexes
+  * (k-means centroids; search scans the closest clusters only, then
+  * exact-reranks): `cpp/query_core/search_config.hpp:18-161`,
   * `cpp/deeplake_pg/index_search.cpp:114-133`.
   *
-  * Build is an MLlib KMeans batch job; the "index" is two DataFrames a
-  * user persists as parquet: (cluster_id, centroid) — tiny, broadcastable
-  * — and (id, cluster_id) assignments co-partitioned with the corpus.
-  * Search prunes to the top-`nProbe` clusters per query (a broadcast
-  * centroid scan, no shuffle), then exact-reranks candidates with the
-  * codegen'd cosine kernel. Knobs mirror the reference: `accuracy_factor`
-  * scales the rerank candidate pool, `cluster_search_accuracy_factor`
-  * scales how many clusters are probed (default/high_accuracy/balanced/
-  * fast presets in the reference map to these two numbers).
+  * Build is an MLlib KMeans batch job; the "index" is two DataFrames
+  * persisted as parquet via [[save]]: (cluster_id, centroid) — tiny,
+  * broadcastable — and (id, cluster_id[, vec_q]) assignments
+  * co-partitioned with the corpus. Search prunes to the top-`nProbe`
+  * clusters per query (a broadcast centroid scan, no shuffle), then
+  * reranks candidates.
+  *
+  * Knobs mirror the reference (`search_config.hpp:104-161`):
+  * `cluster_search_accuracy_factor` scales how many clusters are probed;
+  * `accuracy_factor` applies to the QUANTIZED index — candidates are
+  * scored on the int8 form first and only the top `k * accuracy_factor`
+  * pay the exact rerank, so a larger factor monotonically improves
+  * recall. On the plain (non-quantized) index every candidate is scored
+  * exactly, which is already the recall ceiling for the probed clusters.
   */
 object AnnIndex {
 
@@ -30,30 +35,67 @@ object AnnIndex {
       accuracyFactor: Int = 10,
       clusterSearchFactor: Double = 1.0)
 
-  final case class Index(centroids: DataFrame, assignments: DataFrame, nClusters: Int)
+  final case class Index(centroids: DataFrame, assignments: DataFrame,
+      nClusters: Int, quantized: Boolean)
+
+  /** Symmetric per-vector int8 quantization: q_i = round(127 * v_i /
+    * max|v|). Cosine is scale-invariant, so the per-vector scale cancels
+    * and cosine over vec_q approximates cosine over vec — the cheap
+    * candidate score of the reference's ClusteredQuantized
+    * (`search_config.hpp:104-136`). */
+  private[operators] def quantizeVec(vec: Column): Column = {
+    val maxAbs = aggregate(vec, lit(0.0),
+      (acc, x) => greatest(acc, abs(x.cast("double"))))
+    transform(vec,
+      x => round(x.cast("double") * lit(127.0) / greatest(maxAbs, lit(1e-30)))
+        .cast("byte"))
+  }
 
   /** Build a clustered index. `buildMultiplier` scales k-means iterations
-    * (reference index_build_config.build_multiplier, default 4). */
+    * (reference index_build_config.build_multiplier, default 4);
+    * `quantized` additionally stores the int8 form of every vector
+    * (ClusteredQuantized analog). */
   def build(emb: DataFrame, idCol: String, vecCol: String,
-      nClusters: Int, buildMultiplier: Int = 4, seed: Long = 42L): Index = {
+      nClusters: Int, buildMultiplier: Int = 4, seed: Long = 42L,
+      quantized: Boolean = false): Index = {
     val feat = emb.select(col(idCol).as("id"),
       col(vecCol).as("vec"),
       array_to_vector(transform(col(vecCol), _.cast("double"))).as("features"))
     val model = new KMeans()
       .setK(nClusters).setSeed(seed).setMaxIter(5 * buildMultiplier)
       .fit(feat)
-    val assignments = model.transform(feat)
+    val base = model.transform(feat)
       .select(col("id"), col("vec"), col("prediction").as("cluster_id"))
+    val assignments =
+      if (quantized) base.withColumn("vec_q", quantizeVec(col("vec")))
+      else base
     val spark = emb.sparkSession
     import spark.implicits._
     val centroids = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
       .toSeq.toDF("cluster_id", "centroid")
-    Index(centroids, assignments, nClusters)
+    Index(centroids, assignments, nClusters, quantized)
   }
 
-  /** Top-k approximate neighbors per query via cluster pruning + exact
-    * rerank. Queries broadcast; corpus touched only in probed clusters. */
+  /** Persist the index as two parquet tables under `dir` — build once,
+    * search many (the reference maintains index artifacts the same way;
+    * queries must never pay the KMeans build). */
+  def save(index: Index, dir: String): Unit = {
+    index.centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    index.assignments.write.mode("overwrite").parquet(s"$dir/assignments")
+  }
+
+  def load(spark: SparkSession, dir: String): Index = {
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    val assignments = spark.read.parquet(s"$dir/assignments")
+    Index(centroids, assignments, centroids.count().toInt,
+      quantized = assignments.columns.contains("vec_q"))
+  }
+
+  /** Top-k approximate neighbors per query via cluster pruning + rerank.
+    * Queries broadcast; corpus touched only in probed clusters. On a
+    * quantized index the int8 score gates the pool to `k *
+    * accuracyFactor` candidates per query before the exact rerank. */
   def search(index: Index, queries: DataFrame, qIdCol: String, qVecCol: String,
       k: Int, config: SearchConfig = SearchConfig()): DataFrame = {
     val nProbe = math.max(1, math.min(index.nClusters,
@@ -67,26 +109,45 @@ object AnnIndex {
             col("cluster_id"))))
       .filter(col("c_rank") <= nProbe)
       .select(col("qid"), col("q_vec"), col("cluster_id"))
-    // candidates = corpus rows in probed clusters; exact rerank
-    val rerankPool = k * math.max(1, config.accuracyFactor)
-    val scored = probed.join(index.assignments, "cluster_id")
-      .select(col("qid"), col("id"),
-        gf.cosine_similarity(col("vec"), col("q_vec")).as("score"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("score").desc, col("id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= math.min(k, rerankPool))
+    if (!index.quantized) {
+      // plain Clustered: every candidate in a probed cluster is scored
+      // exactly — accuracyFactor has nothing left to widen here
+      probed.join(index.assignments, "cluster_id")
+        .select(col("qid"), col("id"),
+          gf.cosine_similarity(col("vec"), col("q_vec")).as("score"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+    } else {
+      // ClusteredQuantized: stage 1 scores the int8 form (1/4 the bytes,
+      // same codegen kernel) and keeps top rerankPool per query; stage 2
+      // exact-reranks only those survivors
+      val rerankPool = k * math.max(1, config.accuracyFactor)
+      val wq = Window.partitionBy(col("qid"))
+        .orderBy(col("score_q").desc, col("id"))
+      probed.withColumn("q_vec_q", quantizeVec(col("q_vec")))
+        .join(index.assignments, "cluster_id")
+        .select(col("qid"), col("id"), col("vec"), col("q_vec"),
+          gf.cosine_similarity(col("vec_q"), col("q_vec_q")).as("score_q"))
+        .withColumn("rank_q", row_number().over(wq))
+        .filter(col("rank_q") <= rerankPool)
+        .select(col("qid"), col("id"),
+          gf.cosine_similarity(col("vec"), col("q_vec")).as("score"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+    }
   }
 
   /** exact-vs-ann recall@k (quality gate analog of the reference's
     * test_embedding_quality.py) */
   def recallAtK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, config: SearchConfig = SearchConfig(),
-      nClusters: Int = 16): Double = {
+      nClusters: Int = 16, quantized: Boolean = false): Double = {
     val exact = SimilaritySearch.bruteForceTopK(
         corpus, idCol, vecCol, queries, idCol, vecCol, k)
       .select(col("qid"), col("id"))
-    val idx = build(corpus, idCol, vecCol, nClusters)
+    val idx = build(corpus, idCol, vecCol, nClusters, quantized = quantized)
     val approx = search(idx, queries, idCol, vecCol, k, config)
       .select(col("qid"), col("id"))
     val hits = exact.intersect(approx).count().toDouble

@@ -41,23 +41,60 @@ object Bm25 {
     (docStats, termDf)
   }
 
-  /** BM25 scores for a bag of query terms: (doc_id, score) for every doc
-    * containing at least one query term. */
-  def score(spark: SparkSession, docs: DataFrame, idCol: String, textCol: String,
-      queryTerms: Seq[String]): DataFrame = {
-    import spark.implicits._
+  /** Maintained BM25 index: the postings plus both stats tables — what
+    * the reference keeps incrementally (`index_search.cpp:135-169`).
+    * Built once ([[buildIndex]]/[[save]]), scored many ([[scoreWithIndex]]). */
+  final case class Index(postings: DataFrame, docStats: DataFrame, termDf: DataFrame)
+
+  def buildIndex(docs: DataFrame, idCol: String, textCol: String): Index = {
     val post = postings(docs, idCol, textCol)
     val (docStats, termDf) = corpusStats(post)
-    val q = broadcast(queryTerms.distinct.toDF("term"))
-    post.join(q, "term")
-      .join(broadcast(termDf), "term")
-      .crossJoin(broadcast(docStats))
+    Index(post, docStats, termDf)
+  }
+
+  /** Persist as three parquet tables. The postings are written FIRST and
+    * the stats derived from the written parquet, so the corpus is
+    * tokenized exactly once across all three artifacts. */
+  def save(spark: SparkSession, docs: DataFrame, idCol: String, textCol: String,
+      dir: String): Unit = {
+    postings(docs, idCol, textCol).write.mode("overwrite").parquet(s"$dir/postings")
+    val post = spark.read.parquet(s"$dir/postings")
+    val (docStats, termDf) = corpusStats(post)
+    docStats.write.mode("overwrite").parquet(s"$dir/doc_stats")
+    termDf.write.mode("overwrite").parquet(s"$dir/term_df")
+  }
+
+  def load(spark: SparkSession, dir: String): Index = Index(
+    spark.read.parquet(s"$dir/postings"),
+    spark.read.parquet(s"$dir/doc_stats"),
+    spark.read.parquet(s"$dir/term_df"))
+
+  /** BM25 scores for a bag of query terms against a maintained index:
+    * (doc_id, score) for every doc containing at least one query term.
+    * The term filter pushes into the postings scan; df and corpus stats
+    * broadcast — the corpus itself is never re-tokenized. */
+  def scoreWithIndex(index: Index, queryTerms: Seq[String]): DataFrame = {
+    val lowered = queryTerms.distinct
+    index.postings.filter(col("term").isin(lowered: _*))
+      .join(broadcast(index.termDf.filter(col("term").isin(lowered: _*))), "term")
+      .crossJoin(broadcast(index.docStats))
       .select(col("doc_id"),
         (log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
           (col("tf") * (K1 + 1)) /
           (col("tf") + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / col("avgdl")))).as("term_score"))
       .groupBy(col("doc_id"))
       .agg(sum(col("term_score")).as("score"))
+  }
+
+  /** Ad-hoc BM25 (no maintained index): tokenizes once — the postings are
+    * cached so the three consumers (score join, docStats, termDf) don't
+    * each re-run the scan→tokenize→explode→agg subtree. */
+  def score(spark: SparkSession, docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String]): DataFrame = {
+    val post = postings(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (docStats, termDf) = corpusStats(post)
+    scoreWithIndex(Index(post, docStats, termDf), queryTerms)
   }
 
   /** Matching DuckDB oracle SQL for [[score]] over the `documents` table. */

@@ -111,10 +111,12 @@ object Dedup {
         graft.functions.MinHashSignature(
           org.apache.spark.sql.graft.Bridge.expression(col("sh")), numHashes))
         .as("__sig"))
-    val bands = (0 until numHashes / rowsPerBand).map { b =>
-      md5(concat((0 until rowsPerBand).map(r =>
-        element_at(col("__sig"), b * rowsPerBand + r + 1)): _*))
-    }
+    // band layout MUST match TextAnalysis.bandKeys (grouped => a trailing
+    // partial band when rowsPerBand doesn't divide numHashes) so both LSH
+    // surfaces produce identical candidate sets for the same parameters
+    val bands = (0 until numHashes).grouped(rowsPerBand).map { idxs =>
+      md5(concat(idxs.map(i => element_at(col("__sig"), i + 1)): _*))
+    }.toSeq
     // carry only (id, band) through the candidate join; shingle sets
     // rejoin afterwards for the (much smaller) verify step
     val banded = withSig.select(col("id"),
@@ -157,19 +159,52 @@ object Dedup {
       .agg(count(lit(1)).as("n"), sort_array(collect_list(col("id"))).as("member_ids"))
       .filter(col("n") > 1)
 
-  /** embedding-cosine near-dup pairs. Exact all-pairs within blocks is
-    * O(n^2); at scale route through AnnIndex cluster assignment first
-    * (same-cluster candidates only). Here: brute pairs, id_a < id_b. */
+  /** embedding-cosine near-dup pairs via LOSSLESS angular cluster
+    * blocking. Every vector gets a primary block (nearest centroid by
+    * cosine) and joins the expanded block of every centroid within
+    * `angle(v, nearest) + arccos(threshold)`. For any qualifying pair
+    * (a, b) with cos(a,b) >= t, take wlog a the member closer to its own
+    * centroid; by the spherical triangle inequality
+    *   angle(b, c(a)) <= angle(a,b) + angle(a, c(a))
+    *                  <= arccos(t) + angle(b, c(b))  (wlog)
+    * so b's expanded membership includes a's primary block — the
+    * primary×expanded equi-join on cluster_id provably generates every
+    * qualifying pair, and the cosine kernel verifies candidates inline.
+    *
+    * Scale behavior: at tight thresholds (0.9+, the real near-dup
+    * setting) the expanded radius is small and candidates stay near
+    * per-cluster; at loose thresholds the radius widens and work decays
+    * gracefully toward all-pairs — but always as a partitioned hash
+    * equi-join on cluster_id, never a BroadcastNestedLoopJoin.
+    *
+    * Pass `centroids` (cluster_id, centroid) from a persisted
+    * [[AnnIndex]] to skip the inline KMeans fit. */
   def embeddingNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
-      threshold: Double): DataFrame = {
-    // repartition the streamed side so the O(n^2) kernel work fans out
-    // across all cores instead of one scan partition
-    val a = emb.repartition(emb.sparkSession.sparkContext.defaultParallelism, col(idCol))
-      .select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
-    val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
-    a.join(b, col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        round(graft.functions.gf.cosine_similarity(col("v_a"), col("v_b")), 6).as("cos_sim"))
+      threshold: Double, nClusters: Int = 16,
+      centroids: Option[DataFrame] = None): DataFrame = {
+    val par = emb.sparkSession.sparkContext.defaultParallelism
+    val v = emb.repartition(par, col(idCol))
+      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val cents = centroids.getOrElse(
+      AnnIndex.build(v, "id", "vec", nClusters).centroids)
+    // clamp into acos domain (kernel may return 1 + ulp)
+    def ang(c: Column): Column = acos(greatest(lit(-1.0), least(lit(1.0), c)))
+    val sims = v.crossJoin(broadcast(cents))
+      .select(col("id"), col("vec"), col("cluster_id"),
+        graft.functions.gf.cosine_similarity(col("vec"), col("centroid")).as("cs"))
+      .withColumn("best", max(col("cs")).over(Window.partitionBy(col("id"))))
+    val primary = sims.filter(col("cs") === col("best"))
+      .select(col("cluster_id"), col("id").as("id_p"), col("vec").as("vec_p"))
+    val expanded = sims
+      .filter(ang(col("cs")) <= ang(col("best")) + lit(math.acos(threshold)) + lit(1e-9))
+      .select(col("cluster_id"), col("id").as("id_e"), col("vec").as("vec_e"))
+    primary.join(expanded, "cluster_id")
+      .filter(col("id_p") =!= col("id_e"))
+      .select(least(col("id_p"), col("id_e")).as("id_a"),
+        greatest(col("id_p"), col("id_e")).as("id_b"),
+        round(graft.functions.gf.cosine_similarity(col("vec_p"), col("vec_e")), 6)
+          .as("cos_sim"))
       .filter(col("cos_sim") > threshold)
+      .dropDuplicates("id_a", "id_b")
   }
 }

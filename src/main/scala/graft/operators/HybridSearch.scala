@@ -15,9 +15,10 @@ import org.apache.spark.sql.DataFrame
 object HybridSearch {
 
   /** softmax-normalize `score` within df: exp(s - max) / sum(exp(s - max)).
-    * The two scalar stats join in lazily as broadcast single-row DFs —
-    * no driver-side action, so the (possibly expensive) scoring plan
-    * stays one job and its exchanges get reused instead of recomputed. */
+    * The softmax needs the scored set three times (max, sum, final
+    * projection) — the caller is expected to hand in a CACHED frame
+    * ([[fuse]] does) so the scoring pipeline runs once; the two scalar
+    * stats then join back in as broadcast single-row DFs. */
   def softmaxScores(scored: DataFrame): DataFrame = {
     val m = scored.agg(max(col("score")).as("m"))
     val withExp = scored.crossJoin(broadcast(m))
@@ -26,10 +27,13 @@ object HybridSearch {
     withExp.crossJoin(broadcast(z)).select(col("id"), (col("e") / col("z")).as("p"))
   }
 
-  /** fuse two (id, score) sets with weight alpha on the first */
+  /** fuse two (id, score) sets with weight alpha on the first. Each input
+    * is persisted first: its (possibly expensive) scoring pipeline runs
+    * once instead of once per softmax statistic. */
   def fuse(vec: DataFrame, text: DataFrame, alpha: Double = 0.5): DataFrame = {
-    val v = softmaxScores(vec).withColumnRenamed("p", "p_vec")
-    val t = softmaxScores(text).withColumnRenamed("p", "p_text")
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val v = softmaxScores(vec.persist(MEMORY_AND_DISK)).withColumnRenamed("p", "p_vec")
+    val t = softmaxScores(text.persist(MEMORY_AND_DISK)).withColumnRenamed("p", "p_text")
     v.join(t, Seq("id"), "full")
       .select(col("id"),
         (coalesce(col("p_vec"), lit(0.0)) * alpha +

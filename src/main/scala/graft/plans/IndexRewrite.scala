@@ -68,12 +68,20 @@ case class IndexRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       }
   }
 
+  /** Regex the posting tables are tokenized with (InvertedIndex.terms).
+    * A split on ANY other separator has different tokenization semantics
+    * and must NOT be answered from the index. */
+  private val IndexTokenizer = "[^a-z0-9]+"
+
   /** Some((index entry, child id attribute, term)) when `e` is a
     * CONTAINS-shaped predicate answerable from a registered index. */
   private def indexable(child: LogicalPlan, e: Expression)
       : Option[(IndexCatalog.Entry, AttributeReference, String)] = e match {
     case ArrayContains(
-        StringSplit(Lower(attr: AttributeReference), _, _), Literal(term, _)) =>
+        StringSplit(Lower(attr: AttributeReference),
+          Literal(sep, _), Literal(limit, _)), Literal(term, _))
+        if sep != null && sep.toString == IndexTokenizer &&
+          limit != null && limit.toString == "-1" =>
       for {
         rootPath <- scanRootPath(child)
         entry <- IndexCatalog.lookup(rootPath, attr.name)

@@ -101,10 +101,12 @@ object DocumentQueries extends QueryModule {
               |SELECT sig, count(*) AS n, array_to_string(list(doc_id ORDER BY doc_id), ',') AS member_ids
               |FROM sg GROUP BY sig HAVING count(*) > 1 ORDER BY sig""".stripMargin.replace('\n', ' '))),
 
-    // ---- embedding-cosine near-dup pairs
+    // ---- embedding-cosine near-dup pairs (cluster-blocked; centroids
+    // come from the persisted ANN index so no KMeans fit at query time)
     "q_dedup_embedding" -> Q(
       (s, dir) => Dedup.embeddingNearDupPairs(table(s, dir, "embeddings"),
-          "vec_id", "embedding", threshold = 0.4)
+          "vec_id", "embedding", threshold = 0.4,
+          centroids = Some(graft.operators.IndexStore.ann(s, dir).centroids))
         .orderBy(col("id_a"), col("id_b")),
       Some("""SELECT id_a, id_b, cos_sim FROM (
              |SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -1,13 +1,14 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.operators.InvertedIndex
+import graft.operators.{IndexStore, InvertedIndex}
 
 /** Inverted/numeric index search surface (SURVEY.md §2.9 text indexes,
-  * §4.1 filter→index rewrite). Each query builds the posting table and
-  * answers the filter from it (semi-join composition), which is the
-  * Spark-native equivalent of the reference's roaring-bitmap index
-  * short-circuit — the oracle checks the *result* matches a plain scan.
+  * §4.1 filter→index rewrite). The text queries answer the filter from
+  * the PERSISTED posting table ([[IndexStore]]) via semi-join
+  * composition — the Spark-native equivalent of the reference's
+  * roaring-bitmap index short-circuit; the oracle checks the *result*
+  * matches a plain scan.
   */
 object IndexQueries extends QueryModule {
 
@@ -17,7 +18,7 @@ object IndexQueries extends QueryModule {
     "q_inverted_contains_all" -> Q(
       (s, dir) => {
         val docs = table(s, dir, "documents")
-        val idx = InvertedIndex.build(docs, "doc_id", "text")
+        val idx = IndexStore.inverted(s, dir)
         InvertedIndex.searchDocs(docs, "doc_id",
             InvertedIndex.containsAll(idx, Seq("vector", "spark")))
           .select(col("doc_id"), col("lang"), col("n_chars"))
@@ -32,7 +33,7 @@ object IndexQueries extends QueryModule {
     "q_inverted_contains_any" -> Q(
       (s, dir) => {
         val docs = table(s, dir, "documents")
-        val idx = InvertedIndex.build(docs, "doc_id", "text")
+        val idx = IndexStore.inverted(s, dir)
         InvertedIndex.searchDocs(docs, "doc_id",
             InvertedIndex.containsAny(idx, Seq("vector", "stream")))
           .groupBy(col("lang"))

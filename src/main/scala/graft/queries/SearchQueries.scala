@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.functions.gf
-import graft.operators.{Bm25, HybridSearch}
+import graft.operators.{Bm25, HybridSearch, IndexStore}
 
 /** Text relevance + hybrid retrieval (SURVEY.md §2.9: BM25_SIMILARITY,
   * hybrid softmax fusion `cpp/deeplake_pg/hybrid_query_merge.hpp`).
@@ -13,10 +13,11 @@ object SearchQueries extends QueryModule {
 
   override def qs: Seq[(String, Q)] = Seq(
 
-    // ---- BM25 relevance top-k
+    // ---- BM25 relevance top-k (scored against the persisted index —
+    // the corpus is never tokenized at query time)
     "q_bm25_topk" -> Q(
       (s, dir) => {
-        Bm25.score(s, table(s, dir, "documents"), "doc_id", "text", terms)
+        Bm25.scoreWithIndex(IndexStore.bm25(s, dir), terms)
           .select(col("doc_id"), round(col("score"), 6).as("bm25"))
           .orderBy(col("bm25").desc, col("doc_id"))
           .limit(20)
@@ -31,7 +32,7 @@ object SearchQueries extends QueryModule {
         val vecScores = e.crossJoin(broadcast(qv))
           .select(col("vec_id").as("id"),
             gf.cosine_similarity(col("embedding"), col("qv")).as("score"))
-        val textScores = Bm25.score(s, table(s, dir, "documents"), "doc_id", "text", terms)
+        val textScores = Bm25.scoreWithIndex(IndexStore.bm25(s, dir), terms)
           .select(col("doc_id").as("id"), col("score"))
         HybridSearch.fuse(vecScores, textScores, alpha = 0.5)
           .select(col("id"), round(col("hybrid_score"), 6).as("hybrid_score"))

@@ -89,9 +89,11 @@ object Snapshots {
     commit(root, segments(root, currentVersion(root)) :+ newSegment(root, aligned))
   }
 
-  /** DELETE WHERE cond — copy-on-write rewrite of surviving rows. */
+  /** DELETE WHERE cond — copy-on-write rewrite of surviving rows.
+    * SQL DELETE semantics: rows where cond is NULL are NOT deleted, so the
+    * survivor filter is NOT(coalesce(cond, false)), never a bare NOT. */
   def deleteWhere(spark: SparkSession, root: String, cond: Column): Long =
-    rewrite(spark, root, _.filter(!cond))
+    rewrite(spark, root, _.filter(!coalesce(cond, lit(false))))
 
   /** UPDATE col = value WHERE cond — copy-on-write. */
   def update(spark: SparkSession, root: String, colName: String, value: Column,

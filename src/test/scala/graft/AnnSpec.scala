@@ -32,6 +32,23 @@ class AnnSpec extends AnyFunSuite {
     assert(r === 1.0, s"recall@10 = $r (exhaustive probe must equal exact)")
   }
 
+  test("quantized index: recall@10 non-decreasing in accuracyFactor") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val rs = Seq(1, 3, 10).map { af =>
+      AnnIndex.recallAtK(spark, emb, queries, "vec_id", "embedding", k = 10,
+        AnnIndex.SearchConfig(accuracyFactor = af), nClusters = 16, quantized = true)
+    }
+    assert(rs == rs.sorted, s"recall must be non-decreasing in accuracyFactor: $rs")
+  }
+
+  test("quantized index recall@10 >= 0.9 vs brute force (all clusters probed)") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val r = AnnIndex.recallAtK(spark, emb, queries, "vec_id", "embedding", k = 10,
+      AnnIndex.SearchConfig(accuracyFactor = 10, clusterSearchFactor = 4.0),
+      nClusters = 16, quantized = true)
+    assert(r >= 0.9, s"quantized recall@10 = $r")
+  }
+
   test("search returns exactly k ranked rows per query") {
     val idx = AnnIndex.build(emb, "vec_id", "embedding", nClusters = 8)
     val res = AnnIndex.search(idx, emb.filter(col("vec_id") === 0), "vec_id", "embedding", 5)

@@ -50,6 +50,62 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.forall(r => r.getDouble(2) > 0.4))
   }
 
+  test("cluster-blocked embedding dedup finds the same pairs as all-pairs") {
+    val e = graft.sources.Tables(spark, sf001, "embeddings")
+    val blocked = Dedup.embeddingNearDupPairs(e, "vec_id", "embedding", 0.4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact oracle: brute-force all-pairs
+    val v = e.select(col("vec_id"), col("embedding"))
+    val exact = v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        graft.functions.gf.cosine_similarity(col("a.embedding"), col("b.embedding")).as("c"))
+      .filter(round(col("c"), 6) > 0.4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked == exact,
+      s"missed: ${(exact -- blocked).take(5)}; spurious: ${(blocked -- exact).take(5)}")
+  }
+
+  test("Dedup LSH banding matches TextAnalysis.bandKeys incl. partial final band") {
+    import graft.operators.{TextAnalysis => TA}
+    val d = docs(sf001)
+    // numHashes=7, rowsPerBand=2 -> 4 bands, the last one partial
+    val viaDedup = Dedup.minhashLshPairs(d, "doc_id", "text", 0.8,
+        numHashes = 7, rowsPerBand = 2)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // independent surface: HOF minhash signature + TextAnalysis.bandKeys
+    val sh = TA.shingles(TA.tokens(col("text")))
+    val sig = TA.minhashSig(sh, numHashes = 7)
+    val bands = TA.bandKeys(sig, rowsPerBand = 2)
+    val banded = d.select(col("doc_id").as("id"),
+      posexplode(array(bands: _*)).as(Seq("band_idx", "band_key")))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_key") === col("b.band_key") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    val shDf = d.select(col("doc_id").as("id"), sh.as("sh"))
+    val viaTA = cand
+      .join(shDf.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(shDf.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .filter(TA.jaccard(col("sh_a"), col("sh_b")) >= 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaDedup == viaTA,
+      s"only-dedup: ${(viaDedup -- viaTA).take(5)}; only-TA: ${(viaTA -- viaDedup).take(5)}")
+  }
+
+  test("MinHashSignature skips null shingles and matches the HOF form") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.Bridge
+    val df = Seq((1L, Seq("alpha", null, "beta")), (2L, Seq[String](null)))
+      .toDF("id", "sh")
+    val native = df.orderBy("id").select(Bridge.column(
+        graft.functions.MinHashSignature(Bridge.expression(col("sh")), 4)).as("s"))
+      .collect().map(_.getSeq[String](0))
+    val hof = df.orderBy("id").select(array((0 until 4).map(i =>
+        array_min(transform(col("sh"), x => md5(concat(lit(s"$i:"), x))))): _*).as("s"))
+      .collect().map(_.getSeq[String](0))
+    assert(native.toSeq.map(_.toSeq) == hof.toSeq.map(_.toSeq))
+  }
+
   test("simhash buckets only contain groups of 2+") {
     val b = Dedup.simhashBuckets(docs(sf001), "doc_id", "text").collect()
     assert(b.forall(_.getLong(1) >= 2))

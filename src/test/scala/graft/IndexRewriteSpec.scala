@@ -77,6 +77,29 @@ class IndexRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want)
   }
 
+  test("wrong-separator split is NOT rewritten (tokenization mismatch)") {
+    // the posting table is tokenized with [^a-z0-9]+; a predicate that
+    // splits on ',' has different semantics and must stay a linear scan
+    val idxPath = Files.createTempDirectory("graft-idx3").toString + "/text_idx"
+    InvertedIndex.build(spark.read.parquet(docsPath), "doc_id", "text")
+      .write.parquet(idxPath)
+    IndexCatalog.register(docsPath, "text", idxPath, "doc_id")
+    GraftExtensions.register(spark)
+
+    val q = spark.read.parquet(docsPath).filter(
+      array_contains(split(lower(col("text")), ","), "vector"))
+    val plan = q.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("LeftSemi"), plan)
+    assert(plan.toLowerCase.contains("array_contains"), plan)
+
+    // split with a bounded limit also changes semantics -> no rewrite
+    val q2 = spark.read.parquet(docsPath).filter(
+      array_contains(split(lower(col("text")), "[^a-z0-9]+", 2), "vector"))
+    val plan2 = q2.queryExecution.optimizedPlan.toString
+    assert(!plan2.contains("LeftSemi"), plan2)
+    IndexCatalog.clear()
+  }
+
   test("unregistered tables keep the linear scan") {
     IndexCatalog.clear()
     GraftExtensions.register(spark)

@@ -69,6 +69,17 @@ class SnapshotsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Snapshots.open(spark, root, Some(1L)).count() == 10)
   }
 
+  test("deleteWhere keeps rows whose predicate is NULL (SQL DELETE semantics)") {
+    val root = freshRoot()
+    import spark.implicits._
+    // v is NULL for id=2: DELETE WHERE v > 15 must delete ONLY id=3
+    Snapshots.create(spark, root,
+      Seq((1L, Some(10.0)), (2L, None), (3L, Some(20.0))).toDF("id", "v"))
+    Snapshots.deleteWhere(spark, root, col("v") > 15.0)
+    val ids = Snapshots.open(spark, root).select("id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(1L, 2L), "NULL-predicate row must survive the delete")
+  }
+
   test("add/drop/rename column") {
     val root = freshRoot()
     import spark.implicits._
