@@ -33,14 +33,52 @@ object Tql {
 
   val defaultSeed = 42L
 
+  // ---- prepared/parameterized plan reuse (`cpp/tql/tql.hpp:81-103`
+  // prepare_query/run_batch; `cpp/tql/executor.hpp:49,107` query cache).
+  // Query text parses once (global AST cache); a Prepared additionally
+  // caches the compiled DataFrame per parameter binding, so a repeated
+  // run returns the SAME frame — whose analyzed/optimized plan Spark
+  // reuses — skipping parse, compile, and analysis entirely.
+
+  /** observability counters (spec-gated: a cache hit must not bump these) */
+  private[graft] val parseCount = new java.util.concurrent.atomic.AtomicLong
+  private[graft] val compileCount = new java.util.concurrent.atomic.AtomicLong
+
+  private val astCache =
+    new java.util.concurrent.ConcurrentHashMap[String, ast.Query]()
+
+  private def parseCached(tql: String): ast.Query =
+    astCache.computeIfAbsent(tql, t => { parseCount.incrementAndGet(); TqlParser(t) })
+
+  /** A parsed-once, compiled-per-binding query handle. */
+  final class Prepared private[Tql] (spark: SparkSession,
+      resolve: String => DataFrame, q: ast.Query) {
+    private val plans =
+      new java.util.concurrent.ConcurrentHashMap[Seq[Any], DataFrame]()
+    /** compile (or fetch) the plan for one parameter binding */
+    def run(params: Seq[Any] = Nil): DataFrame =
+      plans.computeIfAbsent(params, p => compileAst(spark, q, resolve, p))
+    /** run_batch: one DataFrame per binding, plan-cached across calls */
+    def runBatch(paramSets: Seq[Seq[Any]]): Seq[DataFrame] = paramSets.map(run)
+  }
+
+  /** Prepare against the driver's scale-factor dir tables. */
+  def prepare(spark: SparkSession, dir: String, tql: String): Prepared =
+    new Prepared(spark, name => graft.sources.Tables(spark, dir, name),
+      parseCached(tql))
+
   /** Compile + run against the driver's scale-factor dir tables. */
   def query(spark: SparkSession, dir: String, tql: String,
       params: Seq[Any] = Nil): DataFrame =
     compile(spark, tql, name => graft.sources.Tables(spark, dir, name), params)
 
   def compile(spark: SparkSession, tql: String, resolve: String => DataFrame,
-      params: Seq[Any] = Nil): DataFrame = {
-    val q = TqlParser(tql)
+      params: Seq[Any] = Nil): DataFrame =
+    compileAst(spark, parseCached(tql), resolve, params)
+
+  private def compileAst(spark: SparkSession, q: ast.Query,
+      resolve: String => DataFrame, params: Seq[Any]): DataFrame = {
+    compileCount.incrementAndGet()
     val branches = q.selects.map(s => compileSelect(spark, s, resolve, params))
     q.ops.zip(branches.tail).foldLeft(branches.head) {
       case (acc, ("UNION", b)) => acc.unionByName(b)
@@ -72,8 +110,41 @@ object Tql {
       env = Env(joined, env.aliases ++ ralias)
     }
 
+    // ROW_NUMBER() pre-pass: the zero-based dataset offset is stamped
+    // BEFORE the filter (reference: `SELECT *, ROW_NUMBER() WHERE
+    // ROW_NUMBER() < 100` filters on pre-filter offsets, tql.md:416-421)
+    // via the distributed zipWithIndex-style plan — never an
+    // unpartitioned window over the data
+    val allExprs = sel.projs.map(_.e) ++ sel.where.toSeq ++
+      sel.groupBy.map(_.e) ++ sel.orderBy.map(_.e) ++ sel.sampleBy.map(_._1).toSeq
+    if (allExprs.exists(usesFn(_, "ROW_NUMBER")))
+      env = env.copy(df = graft.operators.RowNumber.withRowNumber(env.df, RowNumCol))
+
     // WHERE
     sel.where.foreach(w => env = env.copy(df = env.df.filter(expr(env, w, params))))
+
+    // EXPAND BY h w [OVERLAP]: tile the (single) tensor column into
+    // patches. Patch dims come from the clause; the tensor's own dims
+    // come from a one-row metadata peek (the reference reads them from
+    // the column's htype; flat arrays here are assumed square, which
+    // matches the reference's imaging examples — tql.md:370-386)
+    sel.expand.foreach { ex =>
+      val tcol = env.df.schema.fields
+        .find(_.dataType.isInstanceOf[ArrayType])
+        .getOrElse(throw new IllegalArgumentException(
+          "EXPAND BY requires an array (tensor) column in the source"))
+        .name
+      val n = env.df.select(size(col(tcol))).limit(1).collect()(0).getInt(0)
+      val side = math.sqrt(n.toDouble).toInt
+      require(side * side == n,
+        s"EXPAND BY on a flat array needs a square tensor; $tcol has $n elements")
+      val keep = env.df.columns.filterNot(c => c == tcol || c == RowNumCol).toSeq
+      val alias = ex.alias.getOrElse("patch")
+      val tiled = Grouping.expandBy(env.df, tcol, side, side, ex.h, ex.w,
+          ex.overlap, keep)
+        .withColumnRenamed("patch", alias)
+      env = Env(tiled, Map.empty)
+    }
 
     // GROUP BY → sequence reshape (keys stay scalar, every other column
     // referenced downstream becomes an ordered array)
@@ -101,11 +172,19 @@ object Tql {
       env = Env(g, Map.empty)
     }
 
-    // UNGROUP BY col → posexplode the sequence back to rows
-    sel.ungroup.foreach { c =>
+    // UNGROUP BY col [SPLIT n | SPLIT [lengths]] → explode the sequence
+    // back to rows (split variants chunk it first —
+    // `ungroup_statement.hpp:15-19`)
+    sel.ungroup.foreach { ug =>
+      val c = ug.col
       val others = env.df.columns.filterNot(_ == c).toSeq
-      env = Env(env.df.select(others.map(col) :+
-        posexplode(col(c)).as(Seq("pos", c)): _*), Map.empty)
+      val exploded = (ug.splitNumber, ug.splitLengths) match {
+        case (Some(n), _) => Grouping.ungroupSplitByNumber(env.df, c, n, others)
+        case (_, Some(ls)) => Grouping.ungroupSplitByLengths(env.df, c, ls, others)
+        case _ => env.df.select(others.map(col) :+
+          posexplode(col(c)).as(Seq("pos", c)): _*)
+      }
+      env = Env(exploded, Map.empty)
     }
 
     // SELECT list: stage every projection under a temp name so ORDER BY can
@@ -149,15 +228,29 @@ object Tql {
     // LIMIT [PERCENT] [OFFSET]
     limit.foreach { case (nE, pct) =>
       val n = evalInt(nE, params)
-      val k = if (pct) (sEnv.df.count() * n / 100.0).toInt else n
-      sEnv = sEnv.copy(df = sel.offset match {
-        case Some(off) => sEnv.df.offset(evalInt(off, params)).limit(k)
-        case None => sEnv.df.limit(k)
-      })
+      val off = sel.offset.map(evalInt(_, params))
+      if (!pct) {
+        sEnv = sEnv.copy(df = off match {
+          case Some(o) => sEnv.df.offset(o).limit(n)
+          case None => sEnv.df.limit(n)
+        })
+      } else {
+        // LIMIT n PERCENT stays lazy: a distributed row number filtered
+        // against the broadcast total — no eager count() job at compile
+        // time (the count runs inside the query's own job)
+        val rnCol = "__limit_rn"
+        val rn = graft.operators.RowNumber.withRowNumber(sEnv.df, rnCol)
+        val cnt = sEnv.df.agg(count(lit(1)).cast("double").as("__limit_total"))
+        val lo = lit(off.getOrElse(0).toLong)
+        val k = floor(col("__limit_total") * n / 100.0).cast("long")
+        sEnv = sEnv.copy(df = rn.crossJoin(broadcast(cnt))
+          .filter(col(rnCol) >= lo && col(rnCol) < lo + k)
+          .drop(rnCol, "__limit_total"))
+      }
     }
 
-    // final projection
-    val srcCols = env.df.columns.toSeq
+    // final projection (the internal row-number column never leaks into *)
+    val srcCols = env.df.columns.toSeq.filterNot(_ == RowNumCol)
     val outCols =
       (if (hasStar) srcCols.map(c => col(c)) else Nil) ++
         finals.map { case (tmp, name, _) => col(tmp).as(name) }
@@ -192,6 +285,25 @@ object Tql {
       case other => other
     }
     go(e)
+  }
+
+  /** internal column carrying the distributed ROW_NUMBER() value */
+  private val RowNumCol = "__rownum"
+
+  /** does `e` contain a call to function `name` anywhere? */
+  private def usesFn(e: ast.Expr, name: String): Boolean = e match {
+    case ast.Fn(n, args, pairs) =>
+      n == name || args.exists(usesFn(_, name)) ||
+        pairs.exists { case (a, b) => usesFn(a, name) || usesFn(b, name) }
+    case ast.Un(_, a) => usesFn(a, name)
+    case ast.Bin(_, a, b) => usesFn(a, name) || usesFn(b, name)
+    case ast.Between(a, lo, hi, _) => Seq(a, lo, hi).exists(usesFn(_, name))
+    case ast.In(a, items, _) => (a +: items).exists(usesFn(_, name))
+    case ast.ArrayLit(items) => items.exists(usesFn(_, name))
+    case ast.Index(a, i) => usesFn(a, name) || usesFn(i, name)
+    case ast.Slice(a, lo, hi, st) =>
+      (a +: (lo.toSeq ++ hi.toSeq ++ st.toSeq)).exists(usesFn(_, name))
+    case _ => false
   }
 
   private def refs(e: ast.Expr): Seq[String] = e match {
@@ -379,6 +491,8 @@ object Tql {
         else gf.tmax(transform(a0, x => abs(x.cast("double"))))
       case "HAMMING_DISTANCE" => gf.hamming_distance(a0, a1)
       case "MAXSIM" => gf.maxsim(a0, a1)
+      case "MAXSIM_POOLED" => gf.maxsim_pooled(a0, a1)
+      case "MAXSIM_BQ" => gf.maxsim_bq(a0, a1)
       case "QUANTIZE" => gf.quantize(a0)
       case "MEAN_POOL_ROWS" => gf.mean_pool_rows(a0)
       case "SHAPE" => gf.shape(a0)
@@ -434,7 +548,33 @@ object Tql {
       case "ABS" => if (isArray(env, a0)) transform(a0, x => abs(x)) else abs(a0)
       case "RANDOM" => (rand(defaultSeed) * Int.MaxValue).cast("int")
       case "ROW_NUMBER" =>
-        row_number().over(Window.orderBy(monotonically_increasing_id())) - 1
+        // stamped by the compileSelect pre-pass (distributed plan)
+        col(RowNumCol)
+      case "DATA" =>
+        // DATA(col, i): the value of `col` at 0-based row i of the current
+        // frame, bound as a constant (tql.md:414-417 — the reference
+        // materializes the sample and binds it into the expression). A
+        // limit-(i+1) single-row lookup, not a scan.
+        val i = argsAst(1) match {
+          case ast.Lit(v: Long) => v.toInt
+          case x => throw new IllegalArgumentException(s"DATA(col, i) needs int literal, got $x")
+        }
+        val rows = env.df.select(expr(env, argsAst(0), params).as("__data"))
+          .limit(i + 1).collect()
+        require(rows.length == i + 1, s"DATA row index $i out of range (${rows.length} rows)")
+        // numeric constants bind in double (f32 storage, f64 arithmetic —
+        // the repo-wide precision-stability policy), so downstream
+        // elementwise math runs in f64 like every other engine's would
+        // NB: Row.get returns mutable.ArraySeq for array columns, which is
+        // NOT scala.Seq (immutable) under 2.13 — match collection.Seq
+        rows.last.get(0) match {
+          case s: scala.collection.Seq[_] => array(s.toSeq.map {
+            case f: Float => lit(f.toDouble)
+            case x => lit(x)
+          }: _*)
+          case f: Float => lit(f.toDouble)
+          case v => lit(v)
+        }
       case "CONTAINS" =>
         array_contains(split(lower(a0), "[^a-z0-9]+"), lower(a1))
       case "EQUALS" => a0 === a1

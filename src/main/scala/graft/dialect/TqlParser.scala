@@ -30,6 +30,12 @@ object ast {
   case class Slice(e: Expr, lo: Option[Expr], hi: Option[Expr], step: Option[Expr]) extends Expr
 
   case class Proj(e: Expr, alias: Option[String])
+  /** EXPAND BY h [w] [OVERLAP [bool]] [AS name] (vendored grammar
+    * opt_expand, `bison_parser.y:875-884`; `tql.md:370-386`) */
+  case class Expand(h: Int, w: Int, overlap: Boolean, alias: Option[String])
+  /** UNGROUP BY col [SPLIT n | SPLIT [l1, ...]] — split variants per
+    * `cpp/query_core/ungroup_statement.hpp:15-19` */
+  case class Ungroup(col: String, splitNumber: Option[Int], splitLengths: Option[Seq[Int]])
   sealed trait Source { def alias: Option[String] }
   case class TableRef(name: String, alias: Option[String]) extends Source
   case class SubQuery(q: Query, alias: Option[String]) extends Source
@@ -40,8 +46,9 @@ object ast {
       from: Source,
       joins: Seq[JoinClause],
       where: Option[Expr],
+      expand: Option[Expand],
       groupBy: Seq[Proj],
-      ungroup: Option[String],
+      ungroup: Option[Ungroup],
       sampleBy: Option[(Expr, Boolean)], // (weight expr, with replacement)
       orderBy: Seq[OrderItem],
       limit: Option[(Expr, Boolean)], // (count expr: literal or ?, isPercent)
@@ -64,7 +71,8 @@ private[dialect] object Lexer {
     "ASC", "DESC", "LIMIT", "OFFSET", "PERCENT", "REPLACE", "AS", "AND",
     "OR", "NOT", "IN", "BETWEEN", "LIKE", "ILIKE", "IS", "NULL", "TRUE",
     "FALSE", "ARRAY", "JOIN", "INNER", "LEFT", "RIGHT", "FULL", "OUTER",
-    "CROSS", "ON", "USING", "UNION", "INTERSECT", "EXCEPT")
+    "CROSS", "ON", "USING", "UNION", "INTERSECT", "EXCEPT",
+    "EXPAND", "OVERLAP", "SPLIT")
 
   def lex(s: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
@@ -151,6 +159,33 @@ class TqlParser(input: String) {
     Query(selects.result(), ops.result())
   }
 
+  /** EXPAND BY h [w] [OVERLAP [bool]] [AS name] — the reference's docs
+    * show the clause both directly after the select list and after WHERE
+    * (`tql.md:372-382`); both positions are accepted. OVERLAP default
+    * when the keyword is absent is false (per the documented examples;
+    * the vendored grammar's empty-default-true at `bison_parser.y:884`
+    * contradicts its own docs). */
+  private def parseExpand(): Option[Expand] =
+    if (!eatKw("EXPAND")) None
+    else {
+      expectKw("BY")
+      def intLit(): Int = next() match {
+        case NumL(v) => v.toInt
+        case t => fail(s"expected EXPAND BY integer, found $t")
+      }
+      val h = intLit()
+      val w = peek match { case NumL(_) => intLit(); case _ => h }
+      val overlap =
+        if (eatKw("OVERLAP")) peek match {
+          case Kw("TRUE") => pos += 1; true
+          case Kw("FALSE") => pos += 1; false
+          case _ => true
+        }
+        else false
+      val alias = if (eatKw("AS")) Some(parseIdent()) else None
+      Some(Expand(h, w, overlap, alias))
+    }
+
   private def parseSelect(): Select = {
     expectKw("SELECT")
     val projs = parseProjList()
@@ -163,16 +198,37 @@ class TqlParser(input: String) {
         joins += parseJoin()
       case _ => joining = false
     }
+    var expand = parseExpand()
     val where = if (eatKw("WHERE")) Some(parseExpr()) else None
+    if (expand.isEmpty) expand = parseExpand()
     var groupBy: Seq[Proj] = Nil
-    var ungroup: Option[String] = None
+    var ungroup: Option[Ungroup] = None
     if (eatKw("GROUP")) {
       expectKw("BY")
       groupBy = parseGroupKeys()
     }
     if (eatKw("UNGROUP")) {
       expectKw("BY")
-      ungroup = Some(parseIdent())
+      val c = parseIdent()
+      ungroup = Some(
+        if (eatKw("SPLIT")) peek match {
+          case NumL(n) => pos += 1; Ungroup(c, Some(n.toInt), None)
+          case Sym("[") =>
+            pos += 1
+            val ls = Seq.newBuilder[Int]
+            var more = peek != Sym("]")
+            while (more) {
+              next() match {
+                case NumL(v) => ls += v.toInt
+                case t => fail(s"expected SPLIT length, found $t")
+              }
+              more = eatSym(",")
+            }
+            expectSym("]")
+            Ungroup(c, None, Some(ls.result()))
+          case t => fail(s"expected SPLIT count or [lengths], found $t")
+        }
+        else Ungroup(c, None, None))
     }
     var sampleBy: Option[(Expr, Boolean)] = None
     if (eatKw("SAMPLE")) {
@@ -210,7 +266,7 @@ class TqlParser(input: String) {
         case t => fail(s"expected OFFSET count, found $t")
       })
     }
-    Select(projs, from, joins.result(), where, groupBy, ungroup, sampleBy,
+    Select(projs, from, joins.result(), where, expand, groupBy, ungroup, sampleBy,
       orderBy, limit, offset)
   }
 

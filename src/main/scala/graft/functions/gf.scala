@@ -89,6 +89,18 @@ object gf {
   /** KEYS(json): object keys of a JSON string (tql.md:517-521). */
   def keys(j: Column): Column = json_object_keys(j)
 
+  /** MAXSIM_POOLED(doc, query): maxsim against the mean-pooled document
+    * (`cpp/nd/norm.hpp:46`) — the cheap one-vector prefilter form. With a
+    * single pooled doc row the per-query-token max degenerates to
+    * cos(q_i, pooled), so this is sum_i cos(q_i, mean_pool(doc)). */
+  def maxsim_pooled(doc: Column, query: Column): Column =
+    maxsim(array(mean_pool_rows(doc)), query)
+
+  /** MAXSIM_BQ(doc, query): maxsim over binary-quantized {-1,+1} token
+    * embeddings (`cpp/nd/norm.hpp:48`) — 1-bit cosine approximation. */
+  def maxsim_bq(doc: Column, query: Column): Column =
+    maxsim(transform(doc, r => quantize(r)), transform(query, r => quantize(r)))
+
   /** MEAN_POOL_ROWS(a): mean-pool a bag of embeddings down to one vector
     * (`cpp/nd/norm.hpp:44`, used by maxsim_pooled prefilter). */
   def mean_pool_rows(bag: Column): Column = {

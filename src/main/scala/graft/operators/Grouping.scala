@@ -34,6 +34,28 @@ object Grouping {
   def ungroup(df: DataFrame, seqCol: String, keep: Seq[String]): DataFrame =
     df.select(keep.map(col) :+ posexplode(col(seqCol)).as(Seq("pos", "value")): _*)
 
+  /** UNGROUP BY c SPLIT n (`ungroup_statement.hpp:18` split_by_number):
+    * split each sequence into n equal-length chunks, one output row per
+    * chunk with its 0-based chunk position. Pure generator — no shuffle. */
+  def ungroupSplitByNumber(df: DataFrame, seqCol: String, n: Int,
+      keep: Seq[String]): DataFrame = {
+    val cl = (size(col(seqCol)) / n).cast("int")
+    val chunks = transform(sequence(lit(0), lit(n - 1)),
+      i => slice(col(seqCol), i * cl + 1, cl))
+    df.select(keep.map(col) :+ posexplode(chunks).as(Seq("pos", seqCol)): _*)
+  }
+
+  /** UNGROUP BY c SPLIT [l1, l2, ...] (`ungroup_statement.hpp:19`
+    * split_by_lengths): chunks of the given lengths, in order. */
+  def ungroupSplitByLengths(df: DataFrame, seqCol: String, lengths: Seq[Int],
+      keep: Seq[String]): DataFrame = {
+    val starts = lengths.scanLeft(0)(_ + _)
+    val chunks = array(lengths.zip(starts).map { case (len, st) =>
+      slice(col(seqCol), st + 1, len)
+    }: _*)
+    df.select(keep.map(col) :+ posexplode(chunks).as(Seq("pos", seqCol)): _*)
+  }
+
   /** EXPAND BY h w: tile a flat row-major (rows x cols) tensor column into
     * non-overlapping h x w patches (overlap = stride h/2, w/2), emitting
     * (patch_idx, patch) rows. Pure Column composition -> codegen'd; the

@@ -36,6 +36,18 @@ object InvertedIndex {
   def buildNumeric(df: DataFrame, idCol: String, valueCol: String): DataFrame =
     df.select(col(valueCol).as("value"), col(idCol).as("doc_id"))
 
+  /** Build an exact full-text index: (md5(text), doc_id) — the analog of
+    * the reference's EQUALS-answerable TextIndex
+    * (`cpp/query_core/text_search_info.hpp:28-52`). Hashing keeps the
+    * index rows fixed-width regardless of document length; an EQUALS
+    * predicate probes `th = md5(literal)` and semi-joins the ids back. */
+  def buildExact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(md5(col(textCol)).as("th"), col(idCol).as("doc_id"))
+
+  /** EQUALS(col, 'value'): doc ids via the exact index. */
+  def equalsMatch(exactIndex: DataFrame, value: String): DataFrame =
+    exactIndex.filter(col("th") === md5(lit(value))).select(col("doc_id")).distinct()
+
   /** CONTAINS(col, 'kw'): doc ids whose text contains every given term. */
   def containsAll(index: DataFrame, ts: Seq[String]): DataFrame = {
     require(ts.nonEmpty, "CONTAINS needs at least one term")

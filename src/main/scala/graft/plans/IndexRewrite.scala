@@ -25,18 +25,25 @@ import org.apache.spark.sql.functions.{col, lit}
   * Injected via `graft.GraftExtensions` (injectOptimizerRule).
   */
 object IndexCatalog {
-  /** (lowercased table root path, column name) -> (index parquet path, id column) */
+  /** index kinds: Contains = tokenized posting table (term, doc_id);
+    * Equals = exact full-text table (md5 hash, doc_id),
+    * `cpp/query_core/text_search_info.hpp:28-52` */
+  val Contains = "contains"
+  val Equals = "equals"
+
+  /** (table root path, column, kind) -> (index parquet path, id column) */
   final case class Entry(indexPath: String, idCol: String)
-  @volatile private var entries: Map[(String, String), Entry] = Map.empty
+  @volatile private var entries: Map[(String, String, String), Entry] = Map.empty
 
   def register(tableRootPath: String, column: String, indexPath: String,
-      idCol: String): Unit =
-    entries += (norm(tableRootPath), column) -> Entry(indexPath, idCol)
+      idCol: String, kind: String = Contains): Unit =
+    entries += (norm(tableRootPath), column, kind) -> Entry(indexPath, idCol)
 
   def clear(): Unit = entries = Map.empty
 
-  def lookup(tableRootPath: String, column: String): Option[Entry] =
-    entries.get((norm(tableRootPath), column))
+  def lookup(tableRootPath: String, column: String,
+      kind: String = Contains): Option[Entry] =
+    entries.get((norm(tableRootPath), column, kind))
 
   private def norm(p: String): String =
     p.stripPrefix("file:").stripSuffix("/")
@@ -57,10 +64,16 @@ case class IndexRewrite(spark: SparkSession) extends Rule[LogicalPlan]
         val base = residual.reduceOption(org.apache.spark.sql.catalyst.expressions.And)
           .map(Filter(_, child)).getOrElse(child)
         rewritten.foldLeft(base) { (acc, c) =>
-          val (entry, childId, term) = indexable(child, c).get
-          val matched = spark.read.parquet(entry.indexPath)
-            .filter(col("term") === lit(term))
-            .select(col("doc_id"))
+          val (entry, childId, value, kind) = indexable(child, c).get
+          val probe = kind match {
+            case IndexCatalog.Equals =>
+              spark.read.parquet(entry.indexPath)
+                .filter(col("th") === org.apache.spark.sql.functions.md5(lit(value)))
+            case _ =>
+              spark.read.parquet(entry.indexPath)
+                .filter(col("term") === lit(value))
+          }
+          val matched = probe.select(col("doc_id"))
             .queryExecution.analyzed // fresh scan -> disjoint expr ids
           Join(acc, matched, LeftSemi,
             Some(EqualTo(childId, matched.output.head)), JoinHint.NONE)
@@ -73,24 +86,33 @@ case class IndexRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     * and must NOT be answered from the index. */
   private val IndexTokenizer = "[^a-z0-9]+"
 
-  /** Some((index entry, child id attribute, term)) when `e` is a
-    * CONTAINS-shaped predicate answerable from a registered index. */
+  /** Some((index entry, child id attribute, value, kind)) when `e` is a
+    * CONTAINS- or EQUALS-shaped predicate answerable from a registered
+    * index of the matching kind. */
   private def indexable(child: LogicalPlan, e: Expression)
-      : Option[(IndexCatalog.Entry, AttributeReference, String)] = e match {
+      : Option[(IndexCatalog.Entry, AttributeReference, String, String)] = e match {
     case ArrayContains(
         StringSplit(Lower(attr: AttributeReference),
           Literal(sep, _), Literal(limit, _)), Literal(term, _))
         if sep != null && sep.toString == IndexTokenizer &&
           limit != null && limit.toString == "-1" =>
-      for {
-        rootPath <- scanRootPath(child)
-        entry <- IndexCatalog.lookup(rootPath, attr.name)
-        childId <- child.output.collectFirst {
-          case a: AttributeReference if a.name == entry.idCol => a
-        }
-      } yield (entry, childId, term.toString)
+      lookup(child, attr, term, IndexCatalog.Contains)
+    case EqualTo(attr: AttributeReference, Literal(v, _)) if v != null =>
+      lookup(child, attr, v, IndexCatalog.Equals)
+    case EqualTo(Literal(v, _), attr: AttributeReference) if v != null =>
+      lookup(child, attr, v, IndexCatalog.Equals)
     case _ => None
   }
+
+  private def lookup(child: LogicalPlan, attr: AttributeReference, value: Any,
+      kind: String): Option[(IndexCatalog.Entry, AttributeReference, String, String)] =
+    for {
+      rootPath <- scanRootPath(child)
+      entry <- IndexCatalog.lookup(rootPath, attr.name, kind)
+      childId <- child.output.collectFirst {
+        case a: AttributeReference if a.name == entry.idCol => a
+      }
+    } yield (entry, childId, value.toString, kind)
 
   /** Root path of the single file-source relation feeding this subtree
     * (conservative: bail out unless exactly one). */

@@ -525,10 +525,13 @@ object Relational extends QueryModule {
     // use zipWithIndex-style partition offsets instead of a global window.
     "q_row_number" -> Q(
       (s, dir) => {
-        val w = Window.orderBy(col("o_orderkey"))
-        table(s, dir, "orders")
+        // distributed zipWithIndex-style numbering over the sorted frame —
+        // no unpartitioned window funneling the data through one task
+        val sorted = table(s, dir, "orders")
           .filter(col("o_custkey") === 7)
-          .select(col("o_orderkey"), (row_number().over(w) - 1).as("row_number"))
+          .orderBy(col("o_orderkey"))
+        graft.operators.RowNumber.withRowNumber(sorted, "row_number")
+          .select(col("o_orderkey"), col("row_number").cast("int").as("row_number"))
           .orderBy(col("o_orderkey"))
       },
       Some("SELECT o_orderkey, CAST(row_number() OVER (ORDER BY o_orderkey) - 1 AS INTEGER) " +

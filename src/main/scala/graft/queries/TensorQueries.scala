@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.functions.gf
+import graft.operators.Grouping
 
 /** Remaining array/tensor scalar surface (SURVEY.md §2.10) not covered by
   * VectorQueries: SHAPE, NONZERO, ISCLOSE, BINCOUNT, FLAT/TRANSPOSE,
@@ -206,6 +207,56 @@ object TensorQueries extends QueryModule {
              |len(e.embedding[(r.range*16+1):(r.range*16+16)]) AS chunk_len
              |FROM embeddings e CROSS JOIN range(4) r
              |WHERE e.vec_id < 20 ORDER BY e.vec_id, chunk_idx""".stripMargin.replace('\n', ' '))),
+
+    // ---- UNGROUP split_by_lengths: explicit chunk lengths
+    // (`cpp/query_core/ungroup_statement.hpp:19`)
+    "q_ungroup_split_lengths" -> Q(
+      (s, dir) => {
+        Grouping.ungroupSplitByLengths(
+            table(s, dir, E).filter(col("vec_id") < 20),
+            "embedding", Seq(8, 24, 32), keep = Seq("vec_id"))
+          .select(col("vec_id"), col("pos").as("chunk_idx"),
+            round(gf.tsum(col("embedding")), 6).as("chunk_sum"),
+            size(col("embedding")).as("chunk_len"))
+          .orderBy(col("vec_id"), col("chunk_idx"))
+      },
+      Some("""SELECT vec_id, c.i::INTEGER AS chunk_idx,
+             |round(list_aggregate((CASE c.i WHEN 0 THEN embedding[1:8] WHEN 1 THEN embedding[9:32]
+             |  ELSE embedding[33:64] END)::DOUBLE[], 'sum'),6) AS chunk_sum,
+             |(CASE c.i WHEN 0 THEN 8 WHEN 1 THEN 24 ELSE 32 END)::INTEGER AS chunk_len
+             |FROM embeddings CROSS JOIN range(3) AS c(i)
+             |WHERE vec_id < 20 ORDER BY vec_id, chunk_idx""".stripMargin.replace('\n', ' '))),
+
+    // ---- PROD within-row reduction (`cpp/nd/functions.hpp:79-149`).
+    // Elements are scaled x10 first so the 6-element product is O(1) —
+    // raw products land at ~1e-9 where round(6) collapses everything to
+    // +/-0.0 and the engines disagree on the zero's sign
+    "q_array_prod" -> Q(
+      (s, dir) => {
+        table(s, dir, E).filter(col("vec_id") < 30)
+          .select(col("vec_id"),
+            round(gf.tprod(transform(slice(col("embedding"), 1, 6),
+              x => x.cast("double") * 10)), 6).as("prod6"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""SELECT vec_id, round(list_aggregate(list_transform(embedding[1:6], x -> x::DOUBLE * 10), 'product'),6) AS prod6
+             |FROM embeddings WHERE vec_id < 30 ORDER BY vec_id""".stripMargin.replace('\n', ' '))),
+
+    // ---- ALL vs ALL_STRICT empty-array semantics (tql.md:435-451:
+    // ALL is true on an empty condition array, ALL_STRICT is false)
+    "q_array_all_strict" -> Q(
+      (s, dir) => {
+        val f = filter(col("embedding"), x => x.cast("double") > 2.0)
+        val b = transform(f, x => x.cast("double") > 2.0)
+        table(s, dir, E).filter(col("vec_id") < 40)
+          .select(col("vec_id"),
+            gf.all_(b).as("all_on_maybe_empty"),
+            gf.all_strict(b).as("strict_v"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""SELECT vec_id, true AS all_on_maybe_empty,
+             |(len(list_filter(embedding, x -> x::DOUBLE > 2.0)) > 0) AS strict_v
+             |FROM embeddings WHERE vec_id < 40 ORDER BY vec_id""".stripMargin.replace('\n', ' '))),
 
     // ---- most-common-values stats (§2.4 ColumnStatistics MCV arrays,
     // `cpp/deeplake_pg/column_statistics.cpp:166-192`)

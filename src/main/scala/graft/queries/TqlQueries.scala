@@ -103,6 +103,75 @@ object TqlQueries extends QueryModule {
              |AND list_contains(string_split(lower(text), ' '), 'spark')
              |ORDER BY doc_id""".stripMargin.replace('\n', ' '))),
 
+    // EXPAND BY h w AS alias through the dialect (tql.md:370-386) — tiles
+    // the 8x8 (flat-64) embedding into four 4x4 patches
+    "q_tql_expand" -> Q(
+      (s, dir) => Tql.query(s, dir,
+        """SELECT vec_id, patch_idx, ROUND(SUM(patch), 6) AS patch_sum
+          |FROM embeddings WHERE vec_id < 10 EXPAND BY 4 4 AS patch
+          |ORDER BY vec_id, patch_idx""".stripMargin),
+      Some("""SELECT vec_id, p.i::INTEGER AS patch_idx,
+             |round(list_aggregate(list_transform(range(0, 16), k ->
+             |  embedding[((p.i//2)*4 + k//4)*8 + (p.i%2)*4 + (k%4) + 1]::DOUBLE), 'sum'),6) AS patch_sum
+             |FROM embeddings, range(4) AS p(i) WHERE vec_id < 10
+             |ORDER BY vec_id, patch_idx""".stripMargin.replace('\n', ' '))),
+
+    // DATA(col, i) sample binding through the dialect (tql.md:414-417)
+    "q_tql_data_at" -> Q(
+      (s, dir) => Tql.query(s, dir,
+        """SELECT vec_id, ROUND(L2_NORM(embedding - DATA(embedding, 10)), 6) AS dist
+          |FROM embeddings WHERE vec_id < 30 ORDER BY vec_id""".stripMargin),
+      Some("""SELECT e.vec_id, round(list_distance(e.embedding::DOUBLE[], q.embedding::DOUBLE[]),6) AS dist
+             |FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 10) q
+             |WHERE e.vec_id < 30 ORDER BY e.vec_id""".stripMargin.replace('\n', ' '))),
+
+    // UNGROUP BY col SPLIT n through the dialect (split_by_number,
+    // `cpp/query_core/ungroup_statement.hpp:18`)
+    "q_tql_ungroup_split" -> Q(
+      (s, dir) => Tql.query(s, dir,
+        """SELECT vec_id, pos AS chunk_idx, ROUND(SUM(embedding), 6) AS chunk_sum
+          |FROM embeddings WHERE vec_id < 20 UNGROUP BY embedding SPLIT 4
+          |ORDER BY vec_id, chunk_idx""".stripMargin),
+      Some("""SELECT e.vec_id, r.range::INTEGER AS chunk_idx,
+             |round(list_aggregate(e.embedding[(r.range*16+1):(r.range*16+16)]::DOUBLE[], 'sum'),6) AS chunk_sum
+             |FROM embeddings e CROSS JOIN range(4) r
+             |WHERE e.vec_id < 20 ORDER BY e.vec_id, chunk_idx""".stripMargin.replace('\n', ' '))),
+
+    // ROW_NUMBER() — zero-based dataset offset stamped pre-WHERE via the
+    // distributed zipWithIndex plan (tql.md:416-421)
+    "q_tql_row_number" -> Q(
+      (s, dir) => Tql.query(s, dir,
+        """SELECT o_orderkey, ROW_NUMBER() AS rn FROM orders
+          |WHERE o_custkey = 7 ORDER BY o_orderkey""".stripMargin),
+      Some("""SELECT o_orderkey, rn FROM
+             |(SELECT o_orderkey, o_custkey, CAST(row_number() OVER (ORDER BY o_orderkey) - 1 AS BIGINT) AS rn
+             |FROM orders) t WHERE o_custkey = 7 ORDER BY o_orderkey""".stripMargin.replace('\n', ' '))),
+
+    // EQUALS keyword (tql.md:187-193)
+    "q_text_equals" -> Q(
+      (s, dir) => Tql.query(s, dir,
+        """SELECT doc_id, lang, n_chars FROM documents
+          |WHERE EQUALS(lang, 'en') ORDER BY doc_id""".stripMargin),
+      Some("""SELECT doc_id, lang, n_chars FROM documents
+             |WHERE lang = 'en' ORDER BY doc_id""".stripMargin.replace('\n', ' '))),
+
+    // SUM_WEIGHT / MAX_WEIGHT pair expressions projected deterministically
+    // (`cpp/query_core/expr.hpp:158` cond:weight pairs; tql.md:336-347)
+    "q_sum_weight" -> Q(
+      (s, dir) => Tql.query(s, dir,
+        """SELECT l_orderkey, l_linenumber,
+          |SUM_WEIGHT(l_returnflag == 'R': 10.0, l_quantity > 40: 5.0) AS sw,
+          |MAX_WEIGHT(l_returnflag == 'R': 10.0, l_quantity > 40: 5.0) AS mw
+          |FROM lineitem WHERE l_orderkey < 40
+          |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |(CASE WHEN l_returnflag = 'R' THEN 10.0 ELSE 0.0 END
+             | + CASE WHEN l_quantity > 40 THEN 5.0 ELSE 0.0 END)::DOUBLE AS sw,
+             |greatest(CASE WHEN l_returnflag = 'R' THEN 10.0 ELSE 0.0 END,
+             |         CASE WHEN l_quantity > 40 THEN 5.0 ELSE 0.0 END)::DOUBLE AS mw
+             |FROM lineitem WHERE l_orderkey < 40
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin.replace('\n', ' '))),
+
     // within-row tensor reductions + elementwise compare via dialect
     "q_tql_tensor_fns" -> Q(
       (s, dir) => Tql.query(s, dir,

@@ -80,6 +80,23 @@ object VectorQueries extends QueryModule {
              |FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 11) q
              |WHERE e.vec_id <> 11 ORDER BY l1_dist ASC, e.vec_id LIMIT 10""".stripMargin.replace('\n', ' '))),
 
+    // ---- Chebyshev (L-infinity) distance top-k (`cpp/nd/norm.hpp`)
+    "q_vec_linf_topk" -> Q(
+      (s, dir) => {
+        val e = table(s, dir, E)
+        val q = e.filter(col("vec_id") === 7).select(col("embedding").as("qv"))
+        e.filter(col("vec_id") =!= 7).crossJoin(broadcast(q))
+          .select(col("vec_id"),
+            round(gf.linf_norm(col("embedding"), col("qv")), 6).as("linf_dist"))
+          .orderBy(col("linf_dist").asc, col("vec_id"))
+          .limit(10)
+      },
+      Some("""SELECT e.vec_id,
+             |round(list_aggregate(list_transform(range(1, len(e.embedding)+1),
+             |  i -> abs(e.embedding[i]::DOUBLE - q.embedding[i]::DOUBLE)), 'max'),6) AS linf_dist
+             |FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 7) q
+             |WHERE e.vec_id <> 7 ORDER BY linf_dist ASC, e.vec_id LIMIT 10""".stripMargin.replace('\n', ' '))),
+
     // ---- hamming distance over binary-quantized vectors (maxsim_bq analog)
     "q_vec_hamming_quantized" -> Q(
       (s, dir) => {
@@ -114,6 +131,53 @@ object VectorQueries extends QueryModule {
       Some("""SELECT label, round(sum(mx),6) AS maxsim_score FROM (
              |SELECT d.label, q.vec_id AS qid,
              |max(list_cosine_similarity(d.embedding::DOUBLE[], q.embedding::DOUBLE[])) AS mx
+             |FROM embeddings d, (SELECT * FROM embeddings WHERE vec_id < 3) q
+             |GROUP BY d.label, q.vec_id) t
+             |GROUP BY label ORDER BY label""".stripMargin.replace('\n', ' '))),
+
+    // ---- MAXSIM_POOLED: maxsim against the mean-pooled doc bag — the
+    // one-vector prefilter variant (`cpp/nd/norm.hpp:46`)
+    "q_vec_maxsim_pooled" -> Q(
+      (s, dir) => {
+        val e = table(s, dir, E)
+        val bags = e.groupBy(col("label"))
+          .agg(collect_list(col("embedding")).as("bag"))
+        val qbag = e.filter(col("vec_id") < 3)
+          .agg(collect_list(col("embedding")).as("qbag"))
+        bags.crossJoin(broadcast(qbag))
+          .select(col("label"),
+            round(gf.maxsim_pooled(col("bag"), col("qbag")), 6).as("pooled_score"))
+          .orderBy(col("label"))
+      },
+      Some("""WITH ex AS (
+             |  SELECT label, u.i AS dim, avg(embedding[u.i]::DOUBLE) AS m
+             |  FROM embeddings, range(1, 65) u(i) GROUP BY label, u.i
+             |), pooled AS (
+             |  SELECT label, list(m ORDER BY dim) AS pv FROM ex GROUP BY label
+             |)
+             |SELECT p.label, round(sum(list_cosine_similarity(p.pv, q.embedding::DOUBLE[])),6) AS pooled_score
+             |FROM pooled p, (SELECT * FROM embeddings WHERE vec_id < 3) q
+             |GROUP BY p.label ORDER BY p.label""".stripMargin.replace('\n', ' '))),
+
+    // ---- MAXSIM_BQ: maxsim over binary-quantized token embeddings
+    // (`cpp/nd/norm.hpp:48`; cos of {-1,+1} vectors = dot/dim, exact)
+    "q_vec_maxsim_bq" -> Q(
+      (s, dir) => {
+        val e = table(s, dir, E)
+        val bags = e.groupBy(col("label"))
+          .agg(collect_list(col("embedding")).as("bag"))
+        val qbag = e.filter(col("vec_id") < 3)
+          .agg(collect_list(col("embedding")).as("qbag"))
+        bags.crossJoin(broadcast(qbag))
+          .select(col("label"),
+            round(gf.maxsim_bq(col("bag"), col("qbag")), 6).as("bq_score"))
+          .orderBy(col("label"))
+      },
+      Some("""SELECT label, round(sum(mx),6) AS bq_score FROM (
+             |SELECT d.label, q.vec_id AS qid,
+             |max(list_cosine_similarity(
+             |  list_transform(d.embedding, x -> CASE WHEN x >= 0 THEN 1.0 ELSE -1.0 END),
+             |  list_transform(q.embedding, x -> CASE WHEN x >= 0 THEN 1.0 ELSE -1.0 END))) AS mx
              |FROM embeddings d, (SELECT * FROM embeddings WHERE vec_id < 3) q
              |GROUP BY d.label, q.vec_id) t
              |GROUP BY label ORDER BY label""".stripMargin.replace('\n', ' '))),

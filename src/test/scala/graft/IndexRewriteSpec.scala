@@ -100,6 +100,51 @@ class IndexRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     IndexCatalog.clear()
   }
 
+  test("dialect CONTAINS routes through a registered index (semi-join plan)") {
+    val idxPath = Files.createTempDirectory("graft-idx4").toString + "/text_idx"
+    InvertedIndex.build(spark.read.parquet(docsPath), "doc_id", "text")
+      .write.parquet(idxPath)
+    IndexCatalog.register(docsPath, "text", idxPath, "doc_id")
+    GraftExtensions.register(spark)
+
+    val q = graft.dialect.Tql.query(spark, "/root/testdata/sf0.001",
+      "SELECT doc_id FROM documents WHERE CONTAINS(text, 'vector') ORDER BY doc_id")
+    val plan = q.queryExecution.optimizedPlan.toString
+    assert(plan.contains("LeftSemi"), plan)
+
+    IndexCatalog.clear()
+    val want = graft.dialect.Tql.query(spark, "/root/testdata/sf0.001",
+        "SELECT doc_id FROM documents WHERE CONTAINS(text, 'vector') ORDER BY doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    val got = q.collect().map(_.getLong(0)).toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("EQUALS predicate routes through a registered exact-text index") {
+    IndexCatalog.clear()
+    // oracle rows with no index: plain equality scan on lang
+    val want = spark.read.parquet(docsPath).filter(col("lang") === "en")
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+
+    val idxPath = Files.createTempDirectory("graft-idx5").toString + "/exact_idx"
+    InvertedIndex.buildExact(spark.read.parquet(docsPath), "doc_id", "lang")
+      .write.parquet(idxPath)
+    IndexCatalog.register(docsPath, "lang", idxPath, "doc_id", IndexCatalog.Equals)
+    GraftExtensions.register(spark)
+
+    val q = spark.read.parquet(docsPath).filter(col("lang") === "en")
+    val plan = q.queryExecution.optimizedPlan.toString
+    assert(plan.contains("LeftSemi"), plan)
+
+    val got = q.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(got == want && got.nonEmpty)
+
+    // a different column's equality is untouched
+    val q2 = spark.read.parquet(docsPath).filter(col("source") === "x")
+    assert(!q2.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
+    IndexCatalog.clear()
+  }
+
   test("unregistered tables keep the linear scan") {
     IndexCatalog.clear()
     GraftExtensions.register(spark)

@@ -174,4 +174,122 @@ class TqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.length == 10)
     assert(got.forall(_.getSeq[Int](2) == Seq(64)))
   }
+
+  test("EXPAND BY tiles the tensor column into patches (matches operator)") {
+    val got = Tql.query(spark, dir,
+      """SELECT vec_id, patch_idx, SUM(patch) AS s FROM embeddings
+        |WHERE vec_id < 5 EXPAND BY 4 4 AS patch ORDER BY vec_id, patch_idx""".stripMargin)
+    val want = graft.operators.Grouping.expandBy(
+        tbl("embeddings").filter(col("vec_id") < 5), "embedding",
+        rows = 8, cols = 8, h = 4, w = 4, keep = Seq("vec_id"))
+      .select(col("vec_id"), col("patch_idx"), gf.tsum(col("patch")).as("s"))
+      .orderBy(col("vec_id"), col("patch_idx"))
+    assert(got.collect().toSeq == want.collect().toSeq)
+    assert(got.count() == 5 * 4) // 2x2 patches per 8x8 tensor
+    // OVERLAP halves the stride: 3 patch rows per axis on 8x8/4x4
+    val ov = Tql.query(spark, dir,
+      """SELECT vec_id, patch_idx FROM embeddings
+        |WHERE vec_id < 2 EXPAND BY 4 4 OVERLAP AS patch ORDER BY vec_id, patch_idx""".stripMargin)
+    assert(ov.count() == 2 * 9)
+  }
+
+  test("UNGROUP BY ... SPLIT n and SPLIT [lengths]") {
+    val byN = Tql.query(spark, dir,
+      """SELECT vec_id, pos, SUM(embedding) AS s FROM embeddings
+        |WHERE vec_id < 4 UNGROUP BY embedding SPLIT 4 ORDER BY vec_id, pos""".stripMargin)
+    assert(byN.count() == 16)
+    val whole = Tql.query(spark, dir,
+      "SELECT vec_id, SUM(embedding) AS s FROM embeddings WHERE vec_id < 4 ORDER BY vec_id")
+      .collect().map(r => (r.getAs[Number](0).intValue, r.getDouble(1))).toMap
+    // chunk sums reassemble to the whole-row sum
+    byN.groupBy(col("vec_id")).agg(sum(col("s")).as("t")).collect().foreach { r =>
+      assert(math.abs(r.getDouble(1) - whole(r.getAs[Number](0).intValue)) < 1e-6)
+    }
+    val byLen = Tql.query(spark, dir,
+      """SELECT vec_id, pos, SHAPE(embedding)[0] AS len FROM embeddings
+        |WHERE vec_id < 3 UNGROUP BY embedding SPLIT [8, 24, 32] ORDER BY vec_id, pos""".stripMargin)
+    val lens = byLen.collect().map(r =>
+      (r.getAs[Number](1).intValue, r.getAs[Number](2).intValue))
+    assert(lens.toSeq.distinct.sorted == Seq((0, 8), (1, 24), (2, 32)))
+  }
+
+  test("DATA(col, i) binds the row-i value as a constant") {
+    val got = Tql.query(spark, dir,
+      """SELECT vec_id, L2_NORM(embedding - DATA(embedding, 3)) AS d
+        |FROM embeddings WHERE vec_id < 10 ORDER BY vec_id""".stripMargin).collect()
+    // the row the constant came from is at distance zero to itself
+    assert(math.abs(got(3).getDouble(1)) < 1e-5)
+    assert(got.count(r => math.abs(r.getDouble(1)) > 0.1) >= 8)
+  }
+
+  test("ROW_NUMBER is stamped pre-WHERE by a distributed (partitioned-window) plan") {
+    val got = Tql.query(spark, dir,
+      "SELECT event_id, ROW_NUMBER() AS rn FROM events WHERE ROW_NUMBER() < 7 ORDER BY rn")
+    val rows = got.collect()
+    // pre-filter semantics: offsets 0..6 of the dataset, in dataset order
+    assert(rows.map(_.getLong(1)).toSeq == (0L until 7L))
+    // and they correspond to the first 7 rows of the raw scan
+    val firstIds = tbl("events").select(col("event_id")).limit(7)
+      .collect().map(_.getLong(0)).toSeq
+    assert(rows.map(_.getLong(0)).toSeq == firstIds)
+    // the data-bearing row_number window must be partitioned (zipWithIndex
+    // plan); only the tiny per-partition-count window may be global
+    val plan = got.queryExecution.executedPlan.toString
+    val rnWindowLines = plan.linesIterator.filter(l =>
+      l.contains("row_number()") && l.contains("Window")).toSeq
+    assert(rnWindowLines.nonEmpty, plan)
+    rnWindowLines.foreach(l => assert(l.contains("_pid"), l))
+  }
+
+  test("LIMIT PERCENT compiles lazily (no eager count job)") {
+    // any compile runs table-resolution (parquet listing) jobs; the old
+    // bug was ONE EXTRA full count() job for PERCENT — so compare against
+    // a plain-LIMIT compile of the same query
+    def jobsDuring(tag: String)(body: => Unit): Int = {
+      spark.sparkContext.setJobGroup(tag, tag)
+      body
+      Thread.sleep(300) // let job-start events land in the status store
+      spark.sparkContext.clearJobGroup()
+      spark.sparkContext.statusTracker.getJobIdsForGroup(tag).length
+    }
+    val plain = jobsDuring("lp-plain") {
+      Tql.query(spark, dir, "SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 10")
+    }
+    var df: org.apache.spark.sql.DataFrame = null
+    val pct = jobsDuring("lp-pct") {
+      df = Tql.query(spark, dir,
+        "SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 10 PERCENT")
+    }
+    assert(pct == plain, s"LIMIT PERCENT compile launched ${pct - plain} extra job(s)")
+    // and the result still honors floor(total * pct / 100)
+    val total = tbl("orders").count()
+    assert(df.count() == (total * 10 / 100.0).toInt)
+  }
+
+  test("prepare/runBatch: parse once, plan-cache per binding (tql.hpp:81-103)") {
+    val text = """SELECT o_orderkey FROM orders WHERE o_totalprice > ?
+                 |ORDER BY o_orderkey LIMIT ?""".stripMargin
+    val p = Tql.prepare(spark, dir, text)
+    val parsesAfterPrepare = Tql.parseCount.get()
+
+    val first = p.runBatch(Seq(Seq(350000.0, 3L), Seq(100000.0, 5L)))
+    val firstRows = first.map(_.collect().toSeq)
+    val compilesAfterFirst = Tql.compileCount.get()
+
+    // second batch with the same bindings: no re-parse, no re-compile,
+    // and the very same DataFrame instances (analyzed plan reused)
+    val second = p.runBatch(Seq(Seq(350000.0, 3L), Seq(100000.0, 5L)))
+    assert(Tql.parseCount.get() == parsesAfterPrepare)
+    assert(Tql.compileCount.get() == compilesAfterFirst)
+    assert(first.zip(second).forall { case (a, b) => a eq b })
+    assert(second.map(_.collect().toSeq) == firstRows)
+
+    // preparing the same text again doesn't re-parse either
+    Tql.prepare(spark, dir, text)
+    assert(Tql.parseCount.get() == parsesAfterPrepare)
+
+    // a new binding compiles exactly once more
+    p.run(Seq(0.0, 1L))
+    assert(Tql.compileCount.get() == compilesAfterFirst + 1)
+  }
 }
