@@ -185,21 +185,51 @@ object Dedup {
     val par = emb.sparkSession.sparkContext.defaultParallelism
     val v = emb.repartition(par, col(idCol))
       .select(col(idCol).as("id"), col(vecCol).as("vec"))
-    val cents = centroids.getOrElse(
+    val centsDf = centroids.getOrElse(
       AnnIndex.build(v, "id", "vec", nClusters).centroids)
+    // centroids are tiny (k rows) — bind them as an in-plan literal array
+    // indexed by cluster_id, so ALL per-vector centroid similarities are
+    // one map-side projection: no n-x-k crossJoin frame, no per-id window
+    // shuffle to find the primary cluster
+    val cents = centsDf.select(col("cluster_id"), col("centroid")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1)
+    require(cents.map(_._1).toSeq == cents.indices, "cluster ids must be 0..k-1")
+    val centVecs = array(cents.map { case (_, cv) =>
+      array(cv.map(x => lit(x)): _*)
+    }: _*)
+    val nC = cents.length
     // clamp into acos domain (kernel may return 1 + ulp)
     def ang(c: Column): Column = acos(greatest(lit(-1.0), least(lit(1.0), c)))
-    val sims = v.crossJoin(broadcast(cents))
-      .select(col("id"), col("vec"), col("cluster_id"),
-        graft.functions.gf.cosine_similarity(col("vec"), col("centroid")).as("cs"))
-      .withColumn("best", max(col("cs")).over(Window.partitionBy(col("id"))))
-    val primary = sims.filter(col("cs") === col("best"))
-      .select(col("cluster_id"), col("id").as("id_p"), col("vec").as("vec_p"))
-    val expanded = sims
-      .filter(ang(col("cs")) <= ang(col("best")) + lit(math.acos(threshold)) + lit(1e-9))
-      .select(col("cluster_id"), col("id").as("id_e"), col("vec").as("vec_e"))
-    primary.join(expanded, "cluster_id")
-      .filter(col("id_p") =!= col("id_e"))
+    val idxs = sequence(lit(0), lit(nC - 1))
+    // __cs staged as its own projection: downstream consumers reference
+    // the materialized array instead of re-running k cosine kernels
+    val staged = v
+      .withColumn("__cs", transform(centVecs,
+        c => graft.functions.gf.cosine_similarity(col("vec"), c)))
+      .withColumn("__best", array_max(col("__cs")))
+    val withClusters = staged
+      .withColumn("__primary", element_at(
+        filter(idxs, i => element_at(col("__cs"), i + 1) === col("__best")), 1))
+      .withColumn("__exp", filter(idxs,
+        i => ang(element_at(col("__cs"), i + 1)) <=
+          ang(col("__best")) + lit(math.acos(threshold)) + lit(1e-9)))
+    // each side carries its angle to the JOIN cluster's centroid: the
+    // spherical triangle inequality angle(p,e) >= |ang_p - ang_e| makes
+    // |ang_p - ang_e| <= arccos(t) a NECESSARY condition for a qualifying
+    // pair — a one-double compare that prunes candidates before the
+    // d-dimensional cosine kernel ever runs (still lossless)
+    val primary = withClusters.select(col("__primary").as("cluster_id"),
+      col("id").as("id_p"), col("vec").as("vec_p"),
+      ang(col("__best")).as("ang_p"))
+    val expanded = withClusters
+      .select(col("id").as("id_e"), col("vec").as("vec_e"), col("__cs"),
+        explode(col("__exp")).as("cluster_id"))
+      .select(col("cluster_id"), col("id_e"), col("vec_e"),
+        ang(element_at(col("__cs"), col("cluster_id") + 1)).as("ang_e"))
+    primary.join(expanded,
+        primary("cluster_id") === expanded("cluster_id") &&
+        col("id_p") =!= col("id_e") &&
+        abs(col("ang_p") - col("ang_e")) <= lit(math.acos(threshold) + 1e-9))
       .select(least(col("id_p"), col("id_e")).as("id_a"),
         greatest(col("id_p"), col("id_e")).as("id_b"),
         round(graft.functions.gf.cosine_similarity(col("vec_p"), col("vec_e")), 6)

@@ -8,31 +8,66 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Versioned dataset lifecycle (SURVEY.md §2.14): append/commit, delete,
-  * update, add/drop/rename column, time-travel open, history — the
-  * relational slice of the reference's version control
+  * update, add/drop/rename column, time-travel open, history, branches,
+  * tags, merge — the relational slice of the reference's version control
   * (`Dataset.append` `__init__.pyi:3368-3426`, `commit` :3436,
   * `delete` :3428, `add_column`/`remove_column`/`rename_column`
-  * :3282-3341, `History` :3843, time-travel `Branch.open` :903).
+  * :3282-3341, `History` :3843, time-travel + branches `Branch.open`
+  * :903, tags :2942-2952).
   *
   * Layout (Delta-style, manifest-per-version):
   * {{{
-  *   root/seg-00001/          parquet segment (immutable once written)
-  *   root/_v/00001.manifest   newline-separated segment names for that version
+  *   root/seg-00001/            parquet segment (immutable once written)
+  *   root/_v/00001.manifest     main branch: segment names for that version
+  *   root/_v/b_<name>/NNNNN.manifest   other branches' version chains
+  *   root/_refs/branches/<name>    "<sourceBranch>:<sourceVersion>" branch point
+  *   root/_refs/tags/<name>        "<branch>:<version>" pinned snapshot
   * }}}
   *
   * Scale behavior: `append` writes ONLY the new rows as a fresh segment and
   * the new manifest references old segments — O(delta), never O(table).
   * Mutations (delete/update/DDL) are copy-on-write rewrites — O(table), the
-  * same cost class as the reference's chunk rewrite. Reads open the
-  * manifest's segment list with one `spark.read.parquet(paths*)`, so
-  * partition pruning / pushdown behave exactly as a plain parquet table.
+  * same cost class as the reference's chunk rewrite. Branching copies one
+  * manifest (O(1), segments shared); merge splices the branch's appended
+  * segments into the target manifest — again O(manifest), no data moves.
+  * Reads open the manifest's segment list with one
+  * `spark.read.parquet(paths*)`, so partition pruning / pushdown behave
+  * exactly as a plain parquet table.
   */
 object Snapshots {
 
-  private def vDir(root: String): Path = Paths.get(root, "_v")
+  val Main = "main"
 
-  private def versions(root: String): Seq[Long] = {
-    val d = vDir(root)
+  private def vDir(root: String, branch: String): Path =
+    if (branch == Main) Paths.get(root, "_v")
+    else Paths.get(root, "_v", s"b_$branch")
+
+  private def refFile(root: String, kind: String, name: String): Path =
+    Paths.get(root, "_refs", kind, name)
+
+  private def listRefs(root: String, kind: String): Seq[String] = {
+    val d = Paths.get(root, "_refs", kind)
+    if (!Files.exists(d)) Seq.empty
+    else Files.list(d).iterator().asScala.map(_.getFileName.toString).toSeq.sorted
+  }
+
+  private def writeRef(root: String, kind: String, name: String,
+      branch: String, version: Long): Unit = {
+    val f = refFile(root, kind, name)
+    Files.createDirectories(f.getParent)
+    Files.write(f, s"$branch:$version".getBytes(StandardCharsets.UTF_8))
+  }
+
+  private def readRef(root: String, kind: String, name: String): (String, Long) = {
+    val f = refFile(root, kind, name)
+    require(Files.exists(f), s"no $kind named $name under $root")
+    val Array(b, v) = new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
+      .trim.split(":", 2)
+    (b, v.toLong)
+  }
+
+  private def versions(root: String, branch: String): Seq[Long] = {
+    val d = vDir(root, branch)
     if (!Files.exists(d)) Seq.empty
     else Files.list(d).iterator().asScala
       .map(_.getFileName.toString)
@@ -41,22 +76,23 @@ object Snapshots {
       .toSeq.sorted
   }
 
-  /** Latest committed version, or 0 if the dataset doesn't exist. */
-  def currentVersion(root: String): Long = versions(root).lastOption.getOrElse(0L)
+  /** Latest committed version on `branch`, or 0 if it doesn't exist. */
+  def currentVersion(root: String, branch: String = Main): Long =
+    versions(root, branch).lastOption.getOrElse(0L)
 
-  def history(root: String): Seq[Long] = versions(root)
+  def history(root: String, branch: String = Main): Seq[Long] = versions(root, branch)
 
-  private def segments(root: String, v: Long): Seq[String] = {
-    val f = vDir(root).resolve(f"$v%05d.manifest")
-    require(Files.exists(f), s"version $v does not exist under $root")
+  private def segments(root: String, v: Long, branch: String): Seq[String] = {
+    val f = vDir(root, branch).resolve(f"$v%05d.manifest")
+    require(Files.exists(f), s"version $v does not exist on branch $branch under $root")
     new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
       .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
   }
 
-  private def commit(root: String, segs: Seq[String]): Long = {
-    val v = currentVersion(root) + 1
-    Files.createDirectories(vDir(root))
-    Files.write(vDir(root).resolve(f"$v%05d.manifest"),
+  private def commit(root: String, segs: Seq[String], branch: String): Long = {
+    val v = currentVersion(root, branch) + 1
+    Files.createDirectories(vDir(root, branch))
+    Files.write(vDir(root, branch).resolve(f"$v%05d.manifest"),
       segs.mkString("\n").getBytes(StandardCharsets.UTF_8))
     v
   }
@@ -67,51 +103,110 @@ object Snapshots {
     name
   }
 
-  /** Open the dataset at `version` (default: latest). */
-  def open(spark: SparkSession, root: String, version: Option[Long] = None): DataFrame = {
-    val v = version.getOrElse(currentVersion(root))
-    val paths = segments(root, v).map(s => Paths.get(root, s).toString)
+  /** Open the dataset at `version` (default: latest) on `branch`. */
+  def open(spark: SparkSession, root: String, version: Option[Long] = None,
+      branch: String = Main): DataFrame = {
+    val v = version.getOrElse(currentVersion(root, branch))
+    val paths = segments(root, v, branch).map(s => Paths.get(root, s).toString)
     spark.read.parquet(paths: _*)
   }
 
   /** Create version 1 from `df`. */
   def create(spark: SparkSession, root: String, df: DataFrame): Long = {
-    require(versions(root).isEmpty, s"dataset already exists at $root")
-    commit(root, Seq(newSegment(root, df)))
+    require(versions(root, Main).isEmpty, s"dataset already exists at $root")
+    commit(root, Seq(newSegment(root, df)), Main)
   }
 
   /** Append rows — writes only the delta segment (schema must match). */
-  def append(spark: SparkSession, root: String, df: DataFrame): Long = {
-    val cur = open(spark, root)
+  def append(spark: SparkSession, root: String, df: DataFrame,
+      branch: String = Main): Long = {
+    val cur = open(spark, root, branch = branch)
     require(df.columns.sorted.sameElements(cur.columns.sorted),
       s"append schema mismatch: ${df.columns.mkString(",")} vs ${cur.columns.mkString(",")}")
     val aligned = df.select(cur.columns.map(col): _*)
-    commit(root, segments(root, currentVersion(root)) :+ newSegment(root, aligned))
+    commit(root,
+      segments(root, currentVersion(root, branch), branch) :+ newSegment(root, aligned),
+      branch)
   }
 
   /** DELETE WHERE cond — copy-on-write rewrite of surviving rows.
     * SQL DELETE semantics: rows where cond is NULL are NOT deleted, so the
     * survivor filter is NOT(coalesce(cond, false)), never a bare NOT. */
-  def deleteWhere(spark: SparkSession, root: String, cond: Column): Long =
-    rewrite(spark, root, _.filter(!coalesce(cond, lit(false))))
+  def deleteWhere(spark: SparkSession, root: String, cond: Column,
+      branch: String = Main): Long =
+    rewrite(spark, root, _.filter(!coalesce(cond, lit(false))), branch)
 
   /** UPDATE col = value WHERE cond — copy-on-write. */
   def update(spark: SparkSession, root: String, colName: String, value: Column,
-      cond: Column): Long =
+      cond: Column, branch: String = Main): Long =
     rewrite(spark, root,
-      _.withColumn(colName, when(cond, value).otherwise(col(colName))))
+      _.withColumn(colName, when(cond, value).otherwise(col(colName))), branch)
 
   /** ADD COLUMN with a default value (`add_column` `__init__.pyi:3282`). */
-  def addColumn(spark: SparkSession, root: String, name: String, value: Column): Long =
-    rewrite(spark, root, _.withColumn(name, value))
+  def addColumn(spark: SparkSession, root: String, name: String, value: Column,
+      branch: String = Main): Long =
+    rewrite(spark, root, _.withColumn(name, value), branch)
 
-  def dropColumn(spark: SparkSession, root: String, name: String): Long =
-    rewrite(spark, root, _.drop(name))
+  def dropColumn(spark: SparkSession, root: String, name: String,
+      branch: String = Main): Long =
+    rewrite(spark, root, _.drop(name), branch)
 
-  def renameColumn(spark: SparkSession, root: String, from: String, to: String): Long =
-    rewrite(spark, root, _.withColumnRenamed(from, to))
+  def renameColumn(spark: SparkSession, root: String, from: String, to: String,
+      branch: String = Main): Long =
+    rewrite(spark, root, _.withColumnRenamed(from, to), branch)
 
   private def rewrite(spark: SparkSession, root: String,
-      f: DataFrame => DataFrame): Long =
-    commit(root, Seq(newSegment(root, f(open(spark, root)))))
+      f: DataFrame => DataFrame, branch: String): Long =
+    commit(root, Seq(newSegment(root, f(open(spark, root, branch = branch)))), branch)
+
+  // ------------------------------------------------------ branches & tags
+
+  /** Create `name` from `from`@`at` (default: its head). O(1): copies one
+    * manifest; segments are shared, no data moves (`Branch.open` :903). */
+  def createBranch(root: String, name: String, from: String = Main,
+      at: Option[Long] = None): Unit = {
+    require(name != Main, "main always exists")
+    require(versions(root, name).isEmpty, s"branch $name already exists")
+    val v = at.getOrElse(currentVersion(root, from))
+    commit(root, segments(root, v, from), name)
+    writeRef(root, "branches", name, from, v)
+  }
+
+  def branches(root: String): Seq[String] = Main +: listRefs(root, "branches")
+
+  /** (source branch, source version) this branch was cut from. */
+  def branchPoint(root: String, name: String): (String, Long) =
+    readRef(root, "branches", name)
+
+  /** Merge `from`'s appended segments into `into` (its origin branch).
+    * Append-only merge: the branch must not have rewritten the segments it
+    * inherited (copy-on-write mutations conflict by construction — the
+    * reference rejects those merges the same way); new segments splice
+    * into the target manifest with no data movement. */
+  def merge(spark: SparkSession, root: String, from: String,
+      into: String = Main): Long = {
+    val (src, atV) = branchPoint(root, from)
+    require(src == into, s"branch $from was cut from $src, not $into")
+    val base = segments(root, atV, into)
+    val fromSegs = segments(root, currentVersion(root, from), from)
+    require(base.forall(fromSegs.contains),
+      s"branch $from rewrote inherited segments; only append-only branches merge cleanly")
+    val newOnBranch = fromSegs.filterNot(base.contains)
+    val intoSegs = segments(root, currentVersion(root, into), into)
+    commit(root, intoSegs ++ newOnBranch.filterNot(intoSegs.contains), into)
+  }
+
+  /** Pin `branch`@`version` (default: head) under a tag name (:2942-2952). */
+  def tag(root: String, name: String, branch: String = Main,
+      version: Option[Long] = None): Unit =
+    writeRef(root, "tags", name, branch,
+      version.getOrElse(currentVersion(root, branch)))
+
+  def tags(root: String): Seq[String] = listRefs(root, "tags")
+
+  /** Open the snapshot a tag points at. */
+  def openTag(spark: SparkSession, root: String, name: String): DataFrame = {
+    val (b, v) = readRef(root, "tags", name)
+    open(spark, root, Some(v), b)
+  }
 }

@@ -93,4 +93,49 @@ class SnapshotsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // time travel sees the pre-DDL schema
     assert(Snapshots.open(spark, root, Some(1L)).columns.toSeq == Seq("id", "s"))
   }
+
+  test("branches: O(1) cut, isolated appends, append-only merge") {
+    val root = freshRoot()
+    import spark.implicits._
+    Snapshots.create(spark, root, Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+
+    Snapshots.createBranch(root, "dev")
+    assert(Snapshots.branches(root) == Seq("main", "dev").sorted ||
+           Snapshots.branches(root) == Seq("main", "dev"))
+    assert(Snapshots.branchPoint(root, "dev") == ("main", 1L))
+
+    // appends on dev are invisible on main, and vice versa
+    Snapshots.append(spark, root, Seq((3L, "c")).toDF("id", "s"), branch = "dev")
+    assert(Snapshots.open(spark, root, branch = "dev").count() == 3)
+    assert(Snapshots.open(spark, root).count() == 2)
+    Snapshots.append(spark, root, Seq((9L, "z")).toDF("id", "s"))
+    assert(Snapshots.open(spark, root, branch = "dev").count() == 3)
+
+    // merge splices dev's delta into main without data movement
+    Snapshots.merge(spark, root, "dev")
+    val ids = Snapshots.open(spark, root).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L, 9L))
+
+    // a branch that rewrote inherited segments refuses the merge
+    Snapshots.createBranch(root, "cow")
+    Snapshots.deleteWhere(spark, root, col("id") === 1L, branch = "cow")
+    assertThrows[IllegalArgumentException](Snapshots.merge(spark, root, "cow"))
+  }
+
+  test("tags pin a branch version") {
+    val root = freshRoot()
+    import spark.implicits._
+    Snapshots.create(spark, root, Seq(1L, 2L).toDF("id"))
+    Snapshots.tag(root, "v1.0")
+    Snapshots.append(spark, root, Seq(3L).toDF("id"))
+    assert(Snapshots.open(spark, root).count() == 3)
+    assert(Snapshots.openTag(spark, root, "v1.0").count() == 2)
+    assert(Snapshots.tags(root) == Seq("v1.0"))
+    // tag on a branch head
+    Snapshots.createBranch(root, "exp")
+    Snapshots.append(spark, root, Seq(4L).toDF("id"), branch = "exp")
+    Snapshots.tag(root, "exp-snap", branch = "exp")
+    assert(Snapshots.openTag(spark, root, "exp-snap").count() == 4)
+  }
 }
