@@ -167,8 +167,11 @@ object Tql {
         sel.sampleBy.toSeq.flatMap(s => refs(s._1))).distinct
       val seqCols = referenced.filterNot(keyNames.contains)
         .filter(df.columns.contains).filterNot(_ == ord)
-      var g = Grouping.groupToSequences(df, keyNames, ord, seqCols)
-      seqCols.foreach(v => g = g.withColumnRenamed(s"${v}_seq", v))
+      var g =
+        if (sel.acrossSpace) Grouping.groupAcrossSpace(df, keyNames, ord, seqCols)
+        else Grouping.groupToSequences(df, keyNames, ord, seqCols)
+      val suffix = if (sel.acrossSpace) "_cat" else "_seq"
+      seqCols.foreach(v => g = g.withColumnRenamed(s"$v$suffix", v))
       env = Env(g, Map.empty)
     }
 

@@ -48,6 +48,7 @@ object ast {
       where: Option[Expr],
       expand: Option[Expand],
       groupBy: Seq[Proj],
+      acrossSpace: Boolean,
       ungroup: Option[Ungroup],
       sampleBy: Option[(Expr, Boolean)], // (weight expr, with replacement)
       orderBy: Seq[OrderItem],
@@ -72,7 +73,7 @@ private[dialect] object Lexer {
     "OR", "NOT", "IN", "BETWEEN", "LIKE", "ILIKE", "IS", "NULL", "TRUE",
     "FALSE", "ARRAY", "JOIN", "INNER", "LEFT", "RIGHT", "FULL", "OUTER",
     "CROSS", "ON", "USING", "UNION", "INTERSECT", "EXCEPT",
-    "EXPAND", "OVERLAP", "SPLIT")
+    "EXPAND", "OVERLAP", "SPLIT", "ACROSS", "TIME", "SPACE")
 
   def lex(s: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
@@ -202,10 +203,16 @@ class TqlParser(input: String) {
     val where = if (eatKw("WHERE")) Some(parseExpr()) else None
     if (expand.isEmpty) expand = parseExpand()
     var groupBy: Seq[Proj] = Nil
+    var acrossSpace = false
     var ungroup: Option[Ungroup] = None
     if (eatKw("GROUP")) {
       expectKw("BY")
       groupBy = parseGroupKeys()
+      // [ACROSS TIME|SPACE], default TIME (`bison_parser.y:886-888`)
+      if (eatKw("ACROSS")) {
+        if (eatKw("SPACE")) acrossSpace = true
+        else expectKw("TIME")
+      }
     }
     if (eatKw("UNGROUP")) {
       expectKw("BY")
@@ -266,8 +273,8 @@ class TqlParser(input: String) {
         case t => fail(s"expected OFFSET count, found $t")
       })
     }
-    Select(projs, from, joins.result(), where, expand, groupBy, ungroup, sampleBy,
-      orderBy, limit, offset)
+    Select(projs, from, joins.result(), where, expand, groupBy, acrossSpace,
+      ungroup, sampleBy, orderBy, limit, offset)
   }
 
   private def parseProjList(): Seq[Proj] = {

@@ -30,6 +30,21 @@ object Grouping {
     df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** GROUP BY ... ACROSS SPACE (`group_statement.hpp:15-19`
+    * across_type_t::space; grammar `bison_parser.y:886-888`): samples
+    * CONCATENATE along the spatial axis instead of stacking as a
+    * sequence — each valueCol becomes one contiguous tensor per key
+    * (tile-stitching), still deterministically ordered by the ordinal. */
+  def groupAcrossSpace(df: DataFrame, keys: Seq[String], ordCol: String,
+      valueCols: Seq[String]): DataFrame = {
+    val aggs = valueCols.map { v =>
+      flatten(transform(
+        sort_array(collect_list(struct(col(ordCol).as("o"), col(v).as("v")))),
+        s => s.getField("v"))).as(s"${v}_cat")
+    }
+    df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** UNGROUP: explode a sequence column back to rows with 0-based pos */
   def ungroup(df: DataFrame, seqCol: String, keep: Seq[String]): DataFrame =
     df.select(keep.map(col) :+ posexplode(col(seqCol)).as(Seq("pos", "value")): _*)

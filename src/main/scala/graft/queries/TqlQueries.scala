@@ -172,6 +172,19 @@ object TqlQueries extends QueryModule {
              |FROM lineitem WHERE l_orderkey < 40
              |ORDER BY l_orderkey, l_linenumber""".stripMargin.replace('\n', ' '))),
 
+    // GROUP BY ... ACROSS SPACE: samples concatenate along the spatial
+    // axis into one contiguous tensor per key (`group_statement.hpp:15-19`,
+    // grammar `bison_parser.y:886-888`)
+    "q_tql_group_across_space" -> Q(
+      (s, dir) => Tql.query(s, dir,
+        """SELECT label, SHAPE(embedding) AS cat_shape, ROUND(SUM(embedding), 6) AS cat_sum
+          |FROM embeddings WHERE vec_id < 50
+          |GROUP BY label ACROSS SPACE ORDER BY label""".stripMargin),
+      Some("""SELECT label, [(count(*)*64)::INTEGER] AS cat_shape,
+             |round(sum(list_aggregate(embedding::DOUBLE[], 'sum')),6) AS cat_sum
+             |FROM embeddings WHERE vec_id < 50
+             |GROUP BY label ORDER BY label""".stripMargin.replace('\n', ' '))),
+
     // within-row tensor reductions + elementwise compare via dialect
     "q_tql_tensor_fns" -> Q(
       (s, dir) => Tql.query(s, dir,

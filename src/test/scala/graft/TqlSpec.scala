@@ -266,6 +266,18 @@ class TqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.count() == (total * 10 / 100.0).toInt)
   }
 
+  test("GROUP BY ACROSS SPACE concatenates; ACROSS TIME (default) stacks") {
+    val time = Tql.query(spark, dir,
+      "SELECT label, SHAPE(embedding) AS shp FROM embeddings GROUP BY label ACROSS TIME ORDER BY label")
+    // sequence of 64-d rows: outer SHAPE = group size
+    val space = Tql.query(spark, dir,
+      "SELECT label, SHAPE(embedding) AS shp FROM embeddings GROUP BY label ACROSS SPACE ORDER BY label")
+    val t = time.collect().map(r => r.getAs[Number](0).intValue -> r.getSeq[Int](1).head).toMap
+    val sp = space.collect().map(r => r.getAs[Number](0).intValue -> r.getSeq[Int](1).head).toMap
+    // spatial concat length = 64 * sequence length, for every label
+    assert(t.nonEmpty && t.forall { case (l, n) => sp(l) == 64 * n })
+  }
+
   test("prepare/runBatch: parse once, plan-cache per binding (tql.hpp:81-103)") {
     val text = """SELECT o_orderkey FROM orders WHERE o_totalprice > ?
                  |ORDER BY o_orderkey LIMIT ?""".stripMargin
