@@ -22,7 +22,24 @@ object Tables {
     * used for ordering parity with the nanosecond-precision oracle) and
     * derive a microsecond `ts` TimestampType column for date functions.
     */
+  /** URL-shaped dataset reference: `scheme://...` (s3a/gs/abfs/file —
+    * any Hadoop FS the cluster has credentials for), an absolute path, or
+    * an explicit `.parquet`/`.csv` suffix. The reference resolves these in
+    * `get_data_source` (`cpp/tql/executor.hpp:82`); here the Hadoop
+    * FileSystem layer does the remote I/O and credential handling, so the
+    * same `spark.read` plan (pushdown, pruning) applies to any store. */
+  def isUrl(ref: String): Boolean =
+    ref.contains("://") || ref.startsWith("/") ||
+      ref.endsWith(".parquet") || ref.endsWith(".csv")
+
+  /** Open a dataset by URL/path (FROM "s3://bucket/ds" form). */
+  def openUrl(spark: SparkSession, url: String): DataFrame =
+    if (url.endsWith(".csv"))
+      spark.read.option("header", "true").option("inferSchema", "true").csv(url)
+    else spark.read.parquet(url)
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (isUrl(name)) return openUrl(spark, name)
     require(all.contains(name), s"unknown table $name")
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

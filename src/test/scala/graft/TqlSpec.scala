@@ -278,6 +278,19 @@ class TqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.nonEmpty && t.forall { case (l, n) => sp(l) == 64 * n })
   }
 
+  test("FROM \"url\" resolves a path/URL dataset (executor.hpp:82 get_data_source)") {
+    val got = Tql.query(spark, dir,
+      s"""SELECT r_regionkey, r_name FROM "file://$dir/region.parquet"
+         |ORDER BY r_regionkey""".stripMargin)
+    val want = tbl("region").select(col("r_regionkey"), col("r_name"))
+      .orderBy(col("r_regionkey"))
+    assert(got.collect().toSeq == want.collect().toSeq)
+    // bare absolute path works too
+    val p = Tql.query(spark, dir,
+      s"SELECT r_regionkey FROM '$dir/region.parquet'")
+    assert(p.count() == want.count())
+  }
+
   test("prepare/runBatch: parse once, plan-cache per binding (tql.hpp:81-103)") {
     val text = """SELECT o_orderkey FROM orders WHERE o_totalprice > ?
                  |ORDER BY o_orderkey LIMIT ?""".stripMargin
