@@ -55,6 +55,10 @@ object Bench {
       "q_text_langid", "q_events_hourly", "q_window_rank")
     System.err.println("[bench] per-query seconds: " + results
       .map { case (k, v) => f"$k=$v%.3f" }.mkString(" "))
+    val drift = headline -- results.map(_._1).toSet
+    if (drift.nonEmpty)
+      System.err.println(
+        s"[bench] WARNING: headline names missing from query set (stale list?): ${drift.mkString(",")}")
     val qs = results.filter(r => headline.contains(r._1))
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

@@ -177,10 +177,10 @@ object TqlQueries extends QueryModule {
     // grammar `bison_parser.y:886-888`)
     "q_tql_group_across_space" -> Q(
       (s, dir) => Tql.query(s, dir,
-        """SELECT label, SHAPE(embedding) AS cat_shape, ROUND(SUM(embedding), 6) AS cat_sum
+        """SELECT label, SHAPE(embedding)[0] AS cat_len, ROUND(SUM(embedding), 6) AS cat_sum
           |FROM embeddings WHERE vec_id < 50
           |GROUP BY label ACROSS SPACE ORDER BY label""".stripMargin),
-      Some("""SELECT label, [(count(*)*64)::INTEGER] AS cat_shape,
+      Some("""SELECT label, (count(*)*64)::INTEGER AS cat_len,
              |round(sum(list_aggregate(embedding::DOUBLE[], 'sum')),6) AS cat_sum
              |FROM embeddings WHERE vec_id < 50
              |GROUP BY label ORDER BY label""".stripMargin.replace('\n', ' '))),

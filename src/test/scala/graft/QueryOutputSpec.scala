@@ -22,7 +22,7 @@ class QueryOutputSpec extends AnyFunSuite with BeforeAndAfterAll {
   override def afterAll(): Unit = spark.stop()
 
   test("all SparkEntry queries emit scalar-only output schemas") {
-    val sf = "/root/testdata/sf0.001"
+    val sf = sys.env.getOrElse("GRAFT_TESTDATA", "/root/testdata/sf0.001")
     val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       fn(spark, sf).schema.fields.collect {
         case f if f.dataType.isInstanceOf[ArrayType]

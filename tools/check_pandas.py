@@ -30,7 +30,11 @@ def canon(df):
     df = df.sort_values(by=list(df.columns))  # throws on ndarray cells
     cells = []
     for row in df.itertuples(index=False):
-        cells.append(tuple(round(v, 6) if isinstance(v, float) else v for v in row))
+        # round BEFORE keying so near-equal floats can't sort differently
+        # between engines; normalize -0.0 so the zero's sign can't either
+        cells.append(tuple(round(v, 6) + 0.0 if isinstance(v, float) else v
+                           for v in row))
+    cells.sort(key=lambda t: tuple(str(x) for x in t))
     return list(df.columns), cells
 
 npass = nfail = 0
@@ -51,10 +55,20 @@ for name, sql in sorted(oracle.items()):
         print(f"FAIL {name}: rowcount {len(grows)} vs {len(wrows)}")
         nfail += 1
     else:
+        import math
+        def cell_eq(a, b):
+            # dtype-sensitive on purpose (the driver hash includes reprs of
+            # int64-vs-float64 etc.), but float VALUES compare with a
+            # tolerance so a last-ulp difference under round(6) can't fail
+            if type(a) is not type(b):
+                return False
+            if isinstance(a, float):
+                return math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9)
+            return repr(a) == repr(b)
         bad = [(g, w) for g, w in zip(grows, wrows)
-               if repr(g) != repr(w)]
+               if len(g) != len(w) or not all(cell_eq(x, y) for x, y in zip(g, w))]
         if bad:
-            print(f"FAIL {name}: {len(bad)}/{len(grows)} value-reprs differ; "
+            print(f"FAIL {name}: {len(bad)}/{len(grows)} rows differ; "
                   f"first: spark={bad[0][0]} duck={bad[0][1]}")
             nfail += 1
         else:
