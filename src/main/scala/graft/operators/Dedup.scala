@@ -77,10 +77,13 @@ object Dedup {
     val s = shingled(docs, idCol, textCol).filter(size(col("sh")) > 0)
     // shingles become 64-bit hashes for the join keys AND the verify
     // intersection: fixed-width shuffle rows, codegen'd long compares;
-    // set sizes and intersections are unchanged barring a 2^-64 collision
+    // set sizes and intersections are unchanged barring a 2^-64 collision.
+    // Persisted explicitly: three consumers (prefix explode + both verify
+    // sides) would otherwise each re-run the expensive shingling subtree
     val ordered = s.select(col("id"),
       array_sort(transform(col("sh"), x => xxhash64(x))).as("sh"),
       size(col("sh")).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val plen = (floor(lit(1.0 - threshold) * col("cnt")) + 1).cast("int")
     val prefix = ordered.select(col("id"), col("cnt"),
       explode(slice(col("sh"), lit(1), plen)).as("shingle"))
@@ -103,7 +106,10 @@ object Dedup {
     * band key, verified with exact shingle Jaccard >= threshold. */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    // persisted: the signature pass and both verify-join sides would each
+    // re-run the shingling subtree otherwise
     val s = shingled(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // native one-loop signature (graft.functions.MinHashSignature),
     // staged as a column so band keys read it instead of recomputing
     val withSig = s.select(col("id"),
