@@ -94,6 +94,32 @@ object SequenceQueries extends QueryModule {
              |event_type, count(*) AS n, round(sum(value),2) AS total_value
              |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin.replace('\n', ' '))),
 
+    // ---- gap-based sessionization via native session windows (stateful
+    // streaming twin in graft.streaming.EventStream.userSessions; Spark's
+    // rule: an event exactly `gap` after the previous one starts a NEW
+    // session, i.e. window end = last event + gap, exclusive)
+    "q_user_sessions" -> Q(
+      (s, dir) => {
+        val ev = table(s, dir, "events").filter(col("user_id") < 20)
+        ev.groupBy(col("user_id"),
+            session_window(col("ts"), "30 minutes").as("sw"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("user_id"),
+            unix_micros(col("sw.start")).as("start_us"),
+            unix_micros(col("sw.end")).as("end_us"),
+            col("n_events"))
+          .orderBy(col("user_id"), col("start_us"))
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events WHERE user_id < 20),
+             |f AS (SELECT user_id, us, CASE WHEN us - lag(us) OVER
+             |  (PARTITION BY user_id ORDER BY us) >= 1800000000 THEN 1 ELSE 0 END AS nw FROM e),
+             |s AS (SELECT user_id, us, sum(nw) OVER
+             |  (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid FROM f)
+             |SELECT user_id, min(us) AS start_us, max(us) + 1800000000 AS end_us,
+             |count(*) AS n_events
+             |FROM s GROUP BY user_id, sid
+             |ORDER BY user_id, start_us""".stripMargin.replace('\n', ' '))),
+
     // ---- SAMPLE BY weight LIMIT n (seeded; not SQL-expressible -> rows-only)
     "q_sample_weighted" -> Q(
       (s, dir) => {

@@ -46,7 +46,10 @@ object Tables {
       import org.apache.spark.sql.functions._
       spark.read.parquet(s"$dir/$name.parquet")
         .withColumnRenamed("ts", "ts_ns")
-        .withColumn("ts", timestamp_micros((col("ts_ns") / 1000L).cast("long")))
+        // integer DIV, not `/`: Column./ is DOUBLE division, which rounds
+        // 18-digit nanos up by 1us for some values (truncation must match
+        // the oracle's epoch_us exactly)
+        .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 

@@ -25,7 +25,8 @@ object EventStream {
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
       .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros((col("ts_ns") / 1000L).cast("long")))
+      // integer DIV, not `/` (double division rounds some nanos up 1us)
+      .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
   }
 
   /** watermarked tumbling-window counts per event type */
@@ -37,11 +38,29 @@ object EventStream {
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:00").as("hour"),
         col("event_type"), col("n"), col("total_value"))
 
+  /** Per-user sessionization via native session windows (gap-based
+    * stateful streaming — the Spark-idiomatic form of
+    * mapGroupsWithState sessionization; state merges windows closer than
+    * the gap, the watermark bounds it). Works identically on batch
+    * frames, so the DuckDB-oracled batch twin (q_user_sessions) pins the
+    * semantics and the spec checks stream == batch. */
+  def userSessions(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("sw.start")).as("start_us"),
+        unix_micros(col("sw.end")).as("end_us"),
+        col("n_events"))
+
   /** run to completion against the (finite) file source into a memory
     * sink; returns the sink table name */
-  def runToMemorySink(spark: SparkSession, dir: String, name: String): StreamingQuery = {
-    val q = hourlyCounts(readEvents(spark, dir))
-      .writeStream.outputMode("complete")
+  def runToMemorySink(spark: SparkSession, dir: String, name: String): StreamingQuery =
+    runToMemorySink(hourlyCounts(readEvents(spark, dir)), name, "complete")
+
+  def runToMemorySink(out: DataFrame, name: String, mode: String): StreamingQuery = {
+    val q = out.writeStream.outputMode(mode)
       .format("memory").queryName(name)
       .start()
     q.processAllAvailable()

@@ -30,6 +30,24 @@ class StreamingAndMultimodalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming session windows match the batch sessionization exactly") {
+    val q = EventStream.runToMemorySink(
+      EventStream.userSessions(
+        EventStream.readEvents(spark, dir).filter(col("user_id") < 20)),
+      "stream_sessions", "complete")
+    try {
+      val streamed = spark.table("stream_sessions")
+        .orderBy(col("user_id"), col("start_us")).collect()
+      val batch = EventStream.userSessions(
+          graft.sources.Tables(spark, dir, "events").filter(col("user_id") < 20))
+        .orderBy(col("user_id"), col("start_us")).collect()
+      assert(streamed.length === batch.length)
+      assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
+      // sessions are genuinely gap-split: some user has more than one
+      assert(batch.map(_.getLong(0)).distinct.length < batch.length)
+    } finally q.stop()
+  }
+
   test("multimodal: binary payload -> stub decode keeps schema and determinism") {
     val docs = graft.sources.Tables(spark, dir, "documents").limit(20)
     val withBin = Multimodal.withBinaryPayload(docs, "text")
