@@ -33,6 +33,21 @@ object Bench {
       graft.sources.Tables(spark, sfDir, t).write.format("noop").mode("overwrite").save()
     }
     graft.operators.IndexStore.warmAll(spark, sfDir)
+    // scan warm-up alone leaves the exchange/broadcast/hash-agg/window/
+    // sort machinery cold, so the first measured query (alphabetically
+    // q10) was billed ~3 s of one-time framework init; run one tiny
+    // query through those operators first
+    locally {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val li = graft.sources.Tables(spark, sfDir, "lineitem").limit(2000)
+      val ord = graft.sources.Tables(spark, sfDir, "orders").limit(2000)
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .groupBy(col("l_returnflag")).agg(sum(col("l_quantity")).as("s"))
+        .withColumn("r", row_number().over(Window.orderBy(col("l_returnflag"))))
+        .orderBy(col("s").desc)
+        .write.format("noop").mode("overwrite").save()
+    }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

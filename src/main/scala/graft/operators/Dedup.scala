@@ -243,4 +243,51 @@ object Dedup {
       .filter(col("cos_sim") > threshold)
       .dropDuplicates("id_a", "id_b")
   }
+
+  /** Connected components over an undirected near-dup pair list:
+    * (id, component_id) where component_id = min id reachable, for every
+    * id that appears in `pairs`. Turns pair output of any near-dup
+    * variant into dedup GROUPS (keeper = the component id itself).
+    *
+    * Algorithm: min-label propagation + pointer jumping. Each round
+    * (a) lowers every node's label to the min over its neighbors'
+    * labels, then (b) jumps label -> label(label). Propagation alone
+    * needs O(diameter) rounds; the jump step doubles resolved-pointer
+    * depth per round, giving O(log n) rounds even on path-shaped
+    * components. Each round is two hash-shuffle joins over (id, lbl)
+    * pairs — never an all-pairs product — and `localCheckpoint`
+    * truncates the iterative lineage so plans stay flat at scale.
+    * Labels only decrease, so convergence = zero lowered labels. */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 30): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e0 = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+    val edges = e0.union(e0.select(col("dst"), col("src")))
+      .distinct().persist(MEMORY_AND_DISK)
+    // init: label = min(self, direct neighbors); symmetric edges mean
+    // groupBy(src) enumerates every node
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(least(first(col("src")), min(col("dst"))).as("lbl"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("lbl")).as("nlbl"))
+      val prop = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+        .select(labels("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+      val jumped = prop.as("x")
+        .join(prop.as("y"), col("x.lbl") === col("y.id"), "left")
+        .select(col("x.id").as("id"),
+          least(col("x.lbl"), coalesce(col("y.lbl"), col("x.lbl"))).as("lbl"))
+        .localCheckpoint()
+      val lowered = jumped.as("n").join(labels.as("o"), "id")
+        .filter(col("n.lbl") < col("o.lbl")).count()
+      labels = jumped
+      converged = lowered == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id"), col("lbl").as("component_id"))
+  }
 }
