@@ -101,4 +101,31 @@ object TextAnalysis {
   /** crude BPE-ish token-count estimate: word tokens + ceil(chars/4) blend */
   def estTokenCount(text: Column): Column =
     size(tokens(text)) + ceil(length(text) / lit(16.0)).cast("int")
+
+  /** non-distinct word bigrams — repetition detection must keep
+    * duplicates (unlike [[shingles]], which dedups for set Jaccard) */
+  def bigrams(w: Column): Column =
+    when(size(w) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(w) - 1),
+        i => concat(element_at(w, i), lit(" "), element_at(w, i + 1))))
+
+  /** Overlapping token-window chunking (pretraining/RAG prep): one row
+    * per (doc, chunk); chunk i covers tokens [1 + i*stride,
+    * 1 + i*stride + chunkSize - 1], stride = chunkSize - overlap; the
+    * final chunk may be shorter. Map-side only (sequence + posexplode) —
+    * no shuffle, scales linearly with corpus bytes. */
+  def chunkTokens(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, chunkSize: Int, overlap: Int): org.apache.spark.sql.DataFrame = {
+    require(overlap >= 0 && overlap < chunkSize, "need 0 <= overlap < chunkSize")
+    val stride = chunkSize - overlap
+    docs.select(col(idCol), tokens(col(textCol)).as("__w"))
+      .select(col(idCol), col("__w"),
+        posexplode(sequence(lit(1), size(col("__w")), lit(stride)))
+          .as(Seq("chunk_idx", "__start")))
+      .select(col(idCol), col("chunk_idx"),
+        slice(col("__w"), col("__start"), lit(chunkSize)).as("__chunk"))
+      .select(col(idCol), col("chunk_idx"),
+        size(col("__chunk")).as("n_chunk_tokens"),
+        concat_ws(" ", col("__chunk")).as("chunk_text"))
+  }
 }

@@ -114,6 +114,103 @@ object DocumentQueries extends QueryModule {
              |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) p
              |WHERE cos_sim > 0.4 ORDER BY id_a, id_b""".stripMargin.replace('\n', ' '))),
 
+    // ---- near-dup pairs -> dedup groups: connected components with a
+    // min-id keeper per component (oracle: recursive-CTE transitive
+    // closure over the identical MinHash-LSH pair set)
+    "q_dedup_components" -> Q(
+      (s, dir) => {
+        val pairs = Dedup.minhashLshPairs(table(s, dir, "documents"),
+          "doc_id", "text", threshold = 0.8)
+        val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+        val sizes = cc.groupBy(col("component_id"))
+          .agg(count(lit(1)).as("component_size"))
+        cc.join(sizes, "component_id")
+          .select(col("id").as("doc_id"), col("component_id"), col("component_size"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE $shingleCte,
+              |m AS (SELECT doc_id, $sigSql AS sig FROM s),
+              |bd AS (SELECT doc_id, i AS band_idx, md5(sig[2*i+1] || sig[2*i+2]) AS band_key
+              |       FROM m, range(4) AS r(i)),
+              |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              |         FROM bd a JOIN bd b ON a.band_idx = b.band_idx
+              |         AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+              |pr AS (SELECT id_a, id_b FROM (
+              |  SELECT c.id_a, c.id_b, round($jacSql, 6) AS jac
+              |  FROM cand c JOIN s sa ON sa.doc_id = c.id_a JOIN s sb ON sb.doc_id = c.id_b) p
+              |  WHERE jac >= 0.8),
+              |e AS (SELECT id_a AS a, id_b AS b FROM pr UNION SELECT id_b, id_a FROM pr),
+              |walk(a, b) AS (SELECT a, b FROM e
+              |  UNION SELECT w.a, e2.b FROM walk w JOIN e e2 ON w.b = e2.a),
+              |lab AS (SELECT a AS doc_id, least(a, min(b)) AS component_id FROM walk GROUP BY a)
+              |SELECT doc_id, component_id,
+              |count(*) OVER (PARTITION BY component_id) AS component_size
+              |FROM lab ORDER BY doc_id""".stripMargin.replace('\n', ' '))),
+
+    // ---- overlapping token-window chunking (pretraining/RAG prep)
+    "q_text_chunk" -> Q(
+      (s, dir) => TA.chunkTokens(
+          table(s, dir, "documents").filter(col("doc_id") < 50),
+          "doc_id", "text", chunkSize = 20, overlap = 5)
+        .orderBy(col("doc_id"), col("chunk_idx")),
+      Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents WHERE doc_id < 50),
+             |c AS (SELECT doc_id, CAST((st-1)//15 AS INT) AS chunk_idx,
+             |      w[st:least(st+19, len(w))] AS ch
+             |      FROM t, unnest(range(1, len(w)+1, 15)) AS r(st))
+             |SELECT doc_id, chunk_idx, len(ch) AS n_chunk_tokens,
+             |array_to_string(ch,' ') AS chunk_text
+             |FROM c ORDER BY doc_id, chunk_idx""".stripMargin.replace('\n', ' '))),
+
+    // ---- repetition profile (Gopher/C4-style quality filter inputs):
+    // top-bigram dominance + duplicate-token fraction per doc
+    "q_text_repetition" -> Q(
+      (s, dir) => {
+        val d = table(s, dir, "documents").filter(col("doc_id") < 100)
+        val w = TA.tokens(col("text"))
+        val st = d.select(col("doc_id"), size(w).as("n_tokens"),
+          size(array_distinct(w)).as("n_uniq"))
+        val ct = d.select(col("doc_id"), explode(TA.bigrams(w)).as("bg"))
+          .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+        val tp = ct.groupBy(col("doc_id"))
+          .agg(max(col("c")).as("top_bigram_n"), sum(col("c")).as("n_bigrams"))
+        tp.join(st, "doc_id")
+          .select(col("doc_id"), col("n_bigrams"), col("top_bigram_n"),
+            round(col("top_bigram_n").cast("double") / col("n_bigrams"), 6)
+              .as("top_bigram_frac"),
+            round(lit(1.0) - col("n_uniq").cast("double") / col("n_tokens"), 6)
+              .as("dup_token_frac"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents WHERE doc_id < 100),
+             |st AS (SELECT doc_id, len(w) AS n_tokens, len(list_distinct(w)) AS n_uniq FROM t),
+             |bg AS (SELECT doc_id, w[i]||' '||w[i+1] AS bg FROM t, unnest(range(1, len(w))) AS r(i)),
+             |ct AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+             |tp AS (SELECT doc_id, max(c) AS top_bigram_n, sum(c)::BIGINT AS n_bigrams FROM ct GROUP BY 1)
+             |SELECT tp.doc_id, n_bigrams, top_bigram_n,
+             |round(top_bigram_n::DOUBLE / n_bigrams, 6) AS top_bigram_frac,
+             |round(1.0 - n_uniq::DOUBLE / n_tokens, 6) AS dup_token_frac
+             |FROM tp JOIN st ON tp.doc_id = st.doc_id
+             |ORDER BY tp.doc_id""".stripMargin.replace('\n', ' '))),
+
+    // ---- deterministic md5-bucket train/valid/test split (reproducible
+    // across engines, runs, and data orderings — no RNG state)
+    "q_split_hash" -> Q(
+      (s, dir) => {
+        val h = substring(md5(col("doc_id").cast("string")), 1, 1)
+        table(s, dir, "documents")
+          .select(col("lang"),
+            when(h <= "c", "train").when(h <= "e", "valid").otherwise("test")
+              .as("split"))
+          .groupBy(col("split"), col("lang")).agg(count(lit(1)).as("n"))
+          .orderBy(col("split"), col("lang"))
+      },
+      Some("""WITH t AS (SELECT lang,
+             |CASE WHEN substring(md5(doc_id::VARCHAR),1,1) <= 'c' THEN 'train'
+             |WHEN substring(md5(doc_id::VARCHAR),1,1) <= 'e' THEN 'valid'
+             |ELSE 'test' END AS split FROM documents)
+             |SELECT split, lang, count(*) AS n FROM t
+             |GROUP BY 1, 2 ORDER BY split, lang""".stripMargin.replace('\n', ' '))),
+
     // ---- token counting + fingerprinting per doc
     "q_text_token_stats" -> Q(
       (s, dir) => {

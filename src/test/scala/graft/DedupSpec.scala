@@ -111,4 +111,31 @@ class DedupSpec extends AnyFunSuite {
     assert(b.forall(_.getLong(1) >= 2))
     assert(b.forall(r => r.getString(0).length === 16 && r.getString(0).forall(c => c == '0' || c == '1')))
   }
+
+  test("connected components: chain, separate pair, and transitive merge") {
+    import spark.implicits._
+    // chain 1-2-3-4 (path shape exercises pointer jumping), pair 10-11,
+    // and a late edge 4-5 merging into the chain
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (5L, 4L))
+      .toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("chunkTokens covers every token with the declared overlap") {
+    import spark.implicits._
+    val doc = (1 to 47).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, doc)).toDF("doc_id", "text")
+    val ch = graft.operators.TextAnalysis.chunkTokens(df, "doc_id", "text", 20, 5)
+      .orderBy("chunk_idx").collect()
+    // starts at 1, 16, 31, 46 -> sizes 20, 20, 17, 2
+    assert(ch.map(_.getInt(2)).toSeq === Seq(20, 20, 17, 2))
+    assert(ch.head.getString(3).startsWith("t1 t2 "))
+    // consecutive chunks share exactly `overlap` tokens at the seam
+    val c0 = ch(0).getString(3).split(" ")
+    val c1 = ch(1).getString(3).split(" ")
+    assert(c0.takeRight(5).toSeq === c1.take(5).toSeq)
+  }
 }
