@@ -55,4 +55,20 @@ object Sampling {
   /** SAMPLE BY fraction (uniform) */
   def fractionSample(df: DataFrame, fraction: Double, seed: Long = 42L): DataFrame =
     df.sample(withReplacement = false, fraction, seed)
+
+  /** Deterministic stratified downsampling: the `n` rows per stratum
+    * whose md5(key) sorts lowest. Hash order is a uniform-but-reproducible
+    * shuffle, so this IS a random sample — yet engine-independent
+    * (oracle-checkable) and stable under re-runs, data reordering, and
+    * incremental appends (a row's in/out status can only change when a
+    * lower-hash row arrives). One window shuffle on the stratum key;
+    * class-balancing for training corpora at any scale. */
+  def stratifiedHashSample(df: DataFrame, stratum: Column, key: Column,
+      n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(stratum).orderBy(md5(key.cast("string")))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= n)
+      .drop("__rk")
+  }
 }

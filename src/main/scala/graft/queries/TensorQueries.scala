@@ -287,6 +287,20 @@ object TensorQueries extends QueryModule {
       None,
       doc = "seeded Bernoulli sample; engine-specific RNG -> rows-only check"),
 
+    // ---- deterministic stratified sample: n-per-stratum by md5 order —
+    // random in distribution yet engine-independent, so FULLY
+    // oracle-checked (unlike RNG-seeded sampling)
+    "q_sample_stratified" -> Q(
+      (s, dir) => graft.operators.Sampling.stratifiedHashSample(
+          table(s, dir, "documents"), col("lang"), col("doc_id"), 10)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("lang"), col("doc_id")),
+      Some("""SELECT doc_id, lang FROM (
+             |SELECT doc_id, lang, row_number() OVER (
+             |  PARTITION BY lang ORDER BY md5(doc_id::VARCHAR)) AS rk
+             |FROM documents) t WHERE rk <= 10
+             |ORDER BY lang, doc_id""".stripMargin.replace('\n', ' '))),
+
     // ---- ORDER BY RANDOM() shuffle (tql.md:523-532) — seeded, rows-only
     "q_shuffle_random" -> Q(
       (s, dir) => {

@@ -15,14 +15,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object EventStream {
 
-  /** open the events dir as a file-source stream */
-  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+  /** open the events dir as a file-source stream; `glob` widens the file
+    * filter (e.g. "*.parquet" for a multi-file landing dir) */
+  def readEvents(spark: SparkSession, dir: String, glob: String = "events.parquet"): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val schema = spark.read.option("pathGlobFilter", glob).parquet(dir).schema
     // the table is a single parquet FILE; the file stream source wants a
     // directory, so stream the parent dir filtered to this one file
     spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
+      .option("pathGlobFilter", glob)
       .parquet(dir)
       .withColumnRenamed("ts", "ts_ns")
       // integer DIV, not `/` (double division rounds some nanos up 1us)
@@ -53,6 +54,15 @@ object EventStream {
         unix_micros(col("sw.start")).as("start_us"),
         unix_micros(col("sw.end")).as("end_us"),
         col("n_events"))
+
+  /** Streaming exact dedup: watermark-bounded state keeps the FIRST
+    * arrival per key and expires once the watermark passes — the
+    * streaming twin of exact dedup for at-least-once ingest (duplicate
+    * deliveries land within the watermark horizon; state size stays
+    * bounded by the horizon, not the stream length). */
+  def dedupEvents(events: DataFrame, keys: Seq[String] = Seq("event_id")): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
   /** run to completion against the (finite) file source into a memory
     * sink; returns the sink table name */

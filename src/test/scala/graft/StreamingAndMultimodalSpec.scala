@@ -48,6 +48,28 @@ class StreamingAndMultimodalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops re-delivered events within the watermark") {
+    // simulate at-least-once delivery: the same events file lands twice
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_dedup").toFile
+    try {
+      val src = new java.io.File(s"$dir/events.parquet").toPath
+      java.nio.file.Files.copy(src, new java.io.File(tmp, "a.parquet").toPath)
+      java.nio.file.Files.copy(src, new java.io.File(tmp, "b.parquet").toPath)
+      val deduped = EventStream.dedupEvents(
+        EventStream.readEvents(spark, tmp.toString, glob = "*.parquet"))
+      val q = EventStream.runToMemorySink(deduped.select(col("event_id")),
+        "stream_dedup", "append")
+      try {
+        val n = spark.table("stream_dedup").count()
+        val expected = spark.read.parquet(s"$dir/events.parquet")
+          .select("event_id").distinct().count()
+        assert(n === expected)
+      } finally q.stop()
+    } finally {
+      tmp.listFiles().foreach(_.delete()); tmp.delete()
+    }
+  }
+
   test("multimodal: binary payload -> stub decode keeps schema and determinism") {
     val docs = graft.sources.Tables(spark, dir, "documents").limit(20)
     val withBin = Multimodal.withBinaryPayload(docs, "text")
