@@ -92,6 +92,35 @@ object AnnIndex {
       quantized = assignments.columns.contains("vec_q"))
   }
 
+  /** Absorb appended vectors WITHOUT a KMeans refit: each new vector is
+    * assigned to its nearest existing centroid via a map-side projection
+    * over the (tiny, literal-bound) centroid array — no shuffle, and the
+    * existing corpus is untouched. This is the IVF insert pattern:
+    * centroids drift only under distribution shift, so periodic rebuilds
+    * (a batch job) bracket many cheap absorbs. Recall for absorbed rows
+    * equals the index's normal probed-cluster recall. */
+  def appendAssign(index: Index, newEmb: DataFrame, idCol: String,
+      vecCol: String): Index = {
+    val cents = index.centroids.select(col("cluster_id"), col("centroid")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1)
+    require(cents.map(_._1).toSeq == cents.indices, "cluster ids must be 0..k-1")
+    val centVecs = array(cents.map { case (_, cv) =>
+      array(cv.map(x => lit(x)): _*)
+    }: _*)
+    val idxs = sequence(lit(0), lit(cents.length - 1))
+    val assigned0 = newEmb
+      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("__cs", transform(centVecs,
+        c => gf.cosine_similarity(col("vec"), c)))
+      .withColumn("cluster_id", element_at(
+        filter(idxs, i => element_at(col("__cs"), i + 1) === array_max(col("__cs"))), 1))
+      .select(col("id"), col("vec"), col("cluster_id"))
+    val assigned =
+      if (index.quantized) assigned0.withColumn("vec_q", quantizeVec(col("vec")))
+      else assigned0
+    index.copy(assignments = index.assignments.unionByName(assigned))
+  }
+
   /** Top-k approximate neighbors per query via cluster pruning + rerank.
     * Queries broadcast; corpus touched only in probed clusters. On a
     * quantized index the int8 score gates the pool to `k *

@@ -64,6 +64,26 @@ object Bm25 {
     termDf.write.mode("overwrite").parquet(s"$dir/term_df")
   }
 
+  /** O(delta) index maintenance on append: tokenize ONLY the new docs,
+    * then merge stats algebraically — doc counts and per-term document
+    * frequencies are additive across disjoint doc sets, and avgdl merges
+    * as a count-weighted mean. The existing corpus is never re-read;
+    * this is the reference's incremental BM25 maintenance
+    * (`cpp/deeplake_pg/sync_worker.cpp`) in DataFrame form. */
+  def appendToIndex(index: Index, newDocs: DataFrame, idCol: String,
+      textCol: String): Index = {
+    val post2 = postings(newDocs, idCol, textCol)
+    val (ds2, tdf2) = corpusStats(post2)
+    val docStats = index.docStats.select(col("n_docs"), col("avgdl"))
+      .unionByName(ds2)
+      .agg((sum(col("n_docs") * col("avgdl")) / sum(col("n_docs"))).as("avgdl"),
+        sum(col("n_docs")).as("n_docs"))
+      .select(col("n_docs"), col("avgdl"))
+    val termDf = index.termDf.unionByName(tdf2)
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+    Index(index.postings.unionByName(post2), docStats, termDf)
+  }
+
   def load(spark: SparkSession, dir: String): Index = Index(
     spark.read.parquet(s"$dir/postings"),
     spark.read.parquet(s"$dir/doc_stats"),

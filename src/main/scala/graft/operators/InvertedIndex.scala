@@ -31,6 +31,16 @@ object InvertedIndex {
       .filter(col("term") =!= "")
       .distinct()
 
+  /** O(delta) incremental maintenance on append: postings are purely
+    * per-doc, so newly landed docs contribute exactly their own rows —
+    * no re-tokenization of the existing corpus. Identical to a full
+    * rebuild whenever the appended ids are fresh (the snapshot append
+    * path guarantees that). The reference maintains its text indexes the
+    * same way on WAL sync (`cpp/deeplake_pg/sync_worker.cpp`). */
+  def append(index: DataFrame, newDocs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    index.unionByName(build(newDocs, idCol, textCol))
+
   /** Build a numeric index: (value, doc_id), sorted-by-value analog of the
     * reference's NumericIndex (`types.pyi:180`). */
   def buildNumeric(df: DataFrame, idCol: String, valueCol: String): DataFrame =

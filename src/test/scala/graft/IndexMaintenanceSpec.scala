@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{AnnIndex, Bm25, InvertedIndex}
+
+/** Incremental index maintenance: appending new rows must be O(delta) —
+  * never a full rebuild — and (for text indexes) EXACTLY equal to the
+  * rebuild. Mirrors the reference's WAL-sync index maintenance
+  * (`cpp/deeplake_pg/sync_worker.cpp`). */
+class IndexMaintenanceSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+  private def docs = graft.sources.Tables(spark, dir, "documents")
+  private def emb = graft.sources.Tables(spark, dir, "embeddings")
+
+  test("inverted index: append equals full rebuild") {
+    val old = docs.filter(col("doc_id") % 5 =!= 0)
+    val fresh = docs.filter(col("doc_id") % 5 === 0)
+    val incremental = InvertedIndex.append(
+      InvertedIndex.build(old, "doc_id", "text"), fresh, "doc_id", "text")
+    val full = InvertedIndex.build(docs, "doc_id", "text")
+    assert(incremental.exceptAll(full).isEmpty && full.exceptAll(incremental).isEmpty)
+  }
+
+  test("bm25 index: append merges stats exactly (scores match full rebuild)") {
+    val old = docs.filter(col("doc_id") % 5 =!= 0)
+    val fresh = docs.filter(col("doc_id") % 5 === 0)
+    val incremental = Bm25.appendToIndex(
+      Bm25.buildIndex(old, "doc_id", "text"), fresh, "doc_id", "text")
+    val full = Bm25.buildIndex(docs, "doc_id", "text")
+    val terms = Seq("spark", "join", "data")
+    def scores(ix: Bm25.Index) = Bm25.scoreWithIndex(ix, terms)
+      .select(col("doc_id"), round(col("score"), 9).as("score"))
+      .orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
+    assert(scores(incremental) === scores(full))
+  }
+
+  test("ann index: absorbed vectors are findable at full recall for self-queries") {
+    val old = emb.filter(col("vec_id") % 5 =!= 0)
+    val fresh = emb.filter(col("vec_id") % 5 === 0)
+    val idx = AnnIndex.appendAssign(
+      AnnIndex.build(old, "vec_id", "embedding", nClusters = 8),
+      fresh, "vec_id", "embedding")
+    assert(idx.assignments.count() === emb.count())
+    // a self-query's nearest neighbor is itself (cos = 1): every absorbed
+    // vector must surface in its own top-1
+    val queries = fresh.limit(20).select(col("vec_id"), col("embedding"))
+    val top1 = AnnIndex.search(idx, queries, "vec_id", "embedding", k = 1)
+      .select(col("qid"), col("id")).collect()
+    assert(top1.nonEmpty)
+    assert(top1.forall(r => r.getLong(0) === r.getLong(1)))
+  }
+}
