@@ -61,6 +61,25 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("embedding near-dup plans as hash equi-join, never nested-loop all-pairs") {
+    val p = planOf("q_dedup_embedding")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("row numbering is distributed (per-partition window + broadcast offsets)") {
+    val p = planOf("q_row_number")
+    // the data-sized window partitions by spark_partition_id; only the
+    // numPartitions-row offset frame is globally windowed
+    assert(p.contains("spark_partition_id") || p.contains("SPARK_PARTITION_ID"), p)
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("bm25 searches the persisted index artifact, not an inline rebuild") {
+    val p = planOf("q_bm25_topk")
+    assert(p.contains("graft-index-cache"), p)
+  }
+
   test("count(*) answers from parquet metadata (no full column read)") {
     val df = graft.sources.Tables(spark, dir, "lineitem").groupBy().count()
     val p = df.queryExecution.executedPlan.toString
