@@ -276,11 +276,14 @@ object Dedup {
         .groupBy(col("src")).agg(min(col("lbl")).as("nlbl"))
       val prop = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
         .select(labels("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+      // lazy checkpoint: the convergence count below is the ONE action per
+      // round — it materializes the checkpoint as a side effect instead of
+      // paying a separate eager-checkpoint job first
       val jumped = prop.as("x")
         .join(prop.as("y"), col("x.lbl") === col("y.id"), "left")
         .select(col("x.id").as("id"),
           least(col("x.lbl"), coalesce(col("y.lbl"), col("x.lbl"))).as("lbl"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val lowered = jumped.as("n").join(labels.as("o"), "id")
         .filter(col("n.lbl") < col("o.lbl")).count()
       labels = jumped
