@@ -50,6 +50,10 @@ object Bench {
     }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // drop persisted frames from the previous query: leftover cache
+      // blocks from 100+ earlier queries otherwise evict-churn the block
+      // manager and couple one query's timing to another's footprint
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>

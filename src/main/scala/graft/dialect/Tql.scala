@@ -67,6 +67,35 @@ object Tql {
     new Prepared(spark, name => graft.sources.Tables(spark, dir, name),
       parseCached(tql))
 
+  /** Materialized query cache — the executor-side result cache the
+    * reference keys by (query, params) (`cpp/tql/executor.hpp:107`
+    * `query_cache_`). A hit returns the SAME persisted DataFrame: zero
+    * re-parse, re-compile, or re-execute; Spark reads the cached blocks.
+    * Capacity-bounded LRU; evicted entries unpersist their blocks. */
+  object ResultCache {
+    private[graft] var maxEntries = 32
+    private type K = (String, String, Seq[Any])
+    private val lru = new java.util.LinkedHashMap[K, DataFrame](16, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[K, DataFrame]): Boolean =
+        if (size() > maxEntries) { e.getValue.unpersist(blocking = false); true }
+        else false
+    }
+    def run(spark: SparkSession, dir: String, tql: String,
+        params: Seq[Any] = Nil): DataFrame = lru.synchronized {
+      val k = (dir, tql, params)
+      Option(lru.get(k)).getOrElse {
+        val df = query(spark, dir, tql, params)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        lru.put(k, df)
+        df
+      }
+    }
+    def invalidate(): Unit = lru.synchronized {
+      lru.values.forEach(_.unpersist(false)); lru.clear()
+    }
+    private[graft] def entries: Int = lru.synchronized(lru.size())
+  }
+
   /** Compile + run against the driver's scale-factor dir tables. */
   def query(spark: SparkSession, dir: String, tql: String,
       params: Seq[Any] = Nil): DataFrame =

@@ -106,10 +106,13 @@ object Dedup {
     * band key, verified with exact shingle Jaccard >= threshold. */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
-    // persisted: the signature pass and both verify-join sides would each
-    // re-run the shingling subtree otherwise
+    // NOT persisted: `shingled` ends in a repartition, so ReuseExchange
+    // already computes the shingling once and shares it across the
+    // signature pass and both verify-join sides. Caching the raw
+    // shingle-string arrays (unlike ngram's fixed-width hash arrays)
+    // costs more in serialization than the shared exchange saves —
+    // measured ~2x slower at sf0.1.
     val s = shingled(docs, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // native one-loop signature (graft.functions.MinHashSignature),
     // staged as a column so band keys read it instead of recomputing
     val withSig = s.select(col("id"),
@@ -261,7 +264,11 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 30): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // materialize the pair list ONCE before symmetrizing: both union
+    // branches would otherwise re-run the (expensive) candidate pipeline
+    // that produced the pairs; the pair list itself is small
     val e0 = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .localCheckpoint()
     val edges = e0.union(e0.select(col("dst"), col("src")))
       .distinct().persist(MEMORY_AND_DISK)
     // init: label = min(self, direct neighbors); symmetric edges mean

@@ -317,4 +317,26 @@ class TqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     p.run(Seq(0.0, 1L))
     assert(Tql.compileCount.get() == compilesAfterFirst + 1)
   }
+
+  test("materialized result cache: hit returns the same persisted frame (executor.hpp:107)") {
+    Tql.ResultCache.invalidate()
+    val text = "SELECT n_name, n_regionkey FROM nation WHERE n_regionkey < 3 ORDER BY n_name"
+    val a = Tql.ResultCache.run(spark, dir, text)
+    val rows = a.collect().toSeq
+    val compiles = Tql.compileCount.get()
+    // hit: same instance, no recompile, cached blocks present
+    val b = Tql.ResultCache.run(spark, dir, text)
+    assert(a eq b)
+    assert(Tql.compileCount.get() == compiles)
+    assert(a.storageLevel.useMemory || a.storageLevel.useDisk)
+    assert(b.collect().toSeq == rows)
+    // different params -> different entry
+    val c = Tql.ResultCache.run(spark, dir,
+      "SELECT n_name FROM nation WHERE n_regionkey = ? ORDER BY n_name", Seq(1))
+    assert(!(c eq a) && Tql.ResultCache.entries == 2)
+    // invalidate unpersists and empties
+    Tql.ResultCache.invalidate()
+    assert(Tql.ResultCache.entries == 0)
+    assert(a.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+  }
 }
