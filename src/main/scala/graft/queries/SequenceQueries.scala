@@ -94,6 +94,23 @@ object SequenceQueries extends QueryModule {
              |event_type, count(*) AS n, round(sum(value),2) AS total_value
              |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin.replace('\n', ' '))),
 
+    // ---- sliding-window counts (2h window, 1h slide): each event lands
+    // in exactly two hour-aligned windows — batch twin of the streaming
+    // sliding aggregation (EventStream.slidingCounts)
+    "q_events_sliding" -> Q(
+      (s, dir) => {
+        table(s, dir, "events")
+          .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(date_format(col("window.start"), "yyyy-MM-dd HH:00").as("win_start"),
+            col("event_type"), col("n"))
+          .orderBy(col("win_start"), col("event_type"))
+      },
+      Some("""WITH e AS (SELECT date_trunc('hour', ts) AS h, event_type FROM events),
+             |w AS (SELECT h - to_hours(o) AS ws, event_type FROM e, unnest([0, 1]) AS t(o))
+             |SELECT strftime(ws, '%Y-%m-%d %H:00') AS win_start, event_type, count(*) AS n
+             |FROM w GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin.replace('\n', ' '))),
+
     // ---- gap-based sessionization via native session windows (stateful
     // streaming twin in graft.streaming.EventStream.userSessions; Spark's
     // rule: an event exactly `gap` after the previous one starts a NEW

@@ -39,6 +39,17 @@ object EventStream {
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:00").as("hour"),
         col("event_type"), col("n"), col("total_value"))
 
+  /** Sliding-window counts (2h window, 1h slide): each event lands in
+    * exactly two hour-aligned windows. Works identically on batch frames
+    * (the DuckDB-oracled q_events_sliding is the batch twin). */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:00").as("win_start"),
+        col("event_type"), col("n"))
+
   /** Per-user sessionization via native session windows (gap-based
     * stateful streaming — the Spark-idiomatic form of
     * mapGroupsWithState sessionization; state merges windows closer than

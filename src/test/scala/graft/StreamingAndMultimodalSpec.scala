@@ -48,6 +48,21 @@ class StreamingAndMultimodalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming sliding windows match the batch computation exactly") {
+    val q = EventStream.runToMemorySink(
+      EventStream.slidingCounts(EventStream.readEvents(spark, dir)),
+      "stream_sliding", "complete")
+    try {
+      val streamed = spark.table("stream_sliding")
+        .orderBy(col("win_start"), col("event_type")).collect()
+      val batch = EventStream.slidingCounts(
+          graft.sources.Tables(spark, dir, "events"))
+        .orderBy(col("win_start"), col("event_type")).collect()
+      assert(streamed.length === batch.length)
+      assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops re-delivered events within the watermark") {
     // simulate at-least-once delivery: the same events file lands twice
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream_dedup").toFile

@@ -8,7 +8,7 @@ Usage: python3 tools/check.py [sfDir] [outDir]
      columns sorted by name, rows sorted by all columns, exact value match
      (floats compared to 1e-9 after both sides' own round()).
 """
-import json, math, sys
+import json, math, os, sys
 import duckdb
 
 SFDIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -45,8 +45,13 @@ def close(a, b):
         return len(a) == len(b) and all(close(x, y) for x, y in zip(a, b))
     return a == b
 
-npass = nfail = 0
+npass = nfail = nskip = 0
 for name, sql in sorted(oracle.items()):
+    # a filtered Verify run (3rd arg) dumps a subset; absent dirs are
+    # "not requested", not failures
+    if not os.path.isdir(f"{OUT}/{name}"):
+        nskip += 1
+        continue
     try:
         got = con.sql(f"SELECT * FROM read_parquet('{OUT}/{name}/*.parquet')")
         gcols, grows = norm(got.fetchall(), [c.lower() for c in got.columns])
@@ -72,5 +77,6 @@ for name, sql in sorted(oracle.items()):
         print(f"PASS {name} ({len(grows)} rows)")
         npass += 1
 
-print(f"\n{npass} passed, {nfail} failed, {len(oracle)} total")
+skipped = f", {nskip} not dumped" if nskip else ""
+print(f"\n{npass} passed, {nfail} failed, {len(oracle)} total{skipped}")
 sys.exit(1 if nfail else 0)
