@@ -33,20 +33,35 @@ object Bench {
       graft.sources.Tables(spark, sfDir, t).write.format("noop").mode("overwrite").save()
     }
     graft.operators.IndexStore.warmAll(spark, sfDir)
-    // scan warm-up alone leaves the exchange/broadcast/hash-agg/window/
-    // sort machinery cold, so the first measured query (alphabetically
-    // q10) was billed ~3 s of one-time framework init; run one tiny
-    // query through those operators first
+    // codegen/JIT warm pass: run every query SHAPE once against a tiny
+    // (256-row) slice of the corpus. Whole-stage-codegen classes are
+    // cached by generated source and the JIT warms on the same methods,
+    // so the measured loop pays data-processing cost, not each query's
+    // one-time compile (the reference's operators are AOT-compiled C++;
+    // without this, single-run timings swing ±3s on sub-second queries
+    // depending on which query first triggers a code shape)
     locally {
-      import org.apache.spark.sql.expressions.Window
-      import org.apache.spark.sql.functions._
-      val li = graft.sources.Tables(spark, sfDir, "lineitem").limit(2000)
-      val ord = graft.sources.Tables(spark, sfDir, "orders").limit(2000)
-      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-        .groupBy(col("l_returnflag")).agg(sum(col("l_quantity")).as("s"))
-        .withColumn("r", row_number().over(Window.orderBy(col("l_returnflag"))))
-        .orderBy(col("s").desc)
-        .write.format("noop").mode("overwrite").save()
+      val d = new java.io.File("target/bench-warm").getAbsolutePath
+      val ready = new java.io.File(d, "_GRAFT_READY")
+      if (!ready.exists()) {
+        // raw read (nanosAsLong set first so events' TIMESTAMP(NANOS) is
+        // readable); the rewritten slice round-trips through Tables the
+        // same way the original does
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        graft.sources.Tables.all.foreach { t =>
+          spark.read.parquet(s"$sfDir/$t.parquet").limit(256)
+            .write.mode("overwrite").parquet(s"$d/$t.parquet")
+        }
+        java.nio.file.Files.write(ready.toPath, Array.emptyByteArray)
+      }
+      graft.operators.IndexStore.warmAll(spark, d)
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        spark.catalog.clearCache()
+        try fn(spark, d).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] warm $name failed: ${e.getMessage}")
+        }
+      }
     }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -67,13 +67,23 @@ object TextAnalysis {
   def markerScore(w: Column, markers: Seq[String]): Column =
     size(filter(w, t => markers.map(m => t === m).reduce(_ || _)))
 
-  def langIdPredict(w: Column): Column = {
-    val scores = langMarkers.map { case (lang, ms) => lang -> markerScore(w, ms) }
+  /** per-language marker scores, one pass over the token array each */
+  def langScores(w: Column): Seq[(String, Column)] =
+    langMarkers.map { case (lang, ms) => lang -> markerScore(w, ms) }
+
+  /** argmax + tiebreak over ALREADY-MATERIALIZED score columns. Callers
+    * should stage [[langScores]] in their own projection first: `filter`
+    * HOFs evaluate interpreted (outside codegen) with no CSE, and this
+    * expression references each score ~7 times — inlined, that's ~35
+    * interpreted token-scans per row instead of 5. */
+  def langIdFromScores(scores: Seq[(String, Column)]): Column = {
     val best = greatest(scores.map(_._2): _*)
     scores.foldRight(lit("unknown")) { case ((lang, sc), els) =>
       when(sc === best && best > 0, lang).otherwise(els)
     }
   }
+
+  def langIdPredict(w: Column): Column = langIdFromScores(langScores(w))
 
   // ---- quality scoring ----
   val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to")

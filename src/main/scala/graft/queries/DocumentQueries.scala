@@ -255,8 +255,14 @@ object DocumentQueries extends QueryModule {
     "q_text_langid" -> Q(
       (s, dir) => {
         val w = TA.tokens(col("text"))
-        table(s, dir, "documents")
-          .select(col("lang").as("actual_lang"), TA.langIdPredict(w).as("predicted"))
+        // scores staged in their own projection: each interpreted marker
+        // scan runs once per row; the argmax reads materialized ints
+        val staged = table(s, dir, "documents")
+          .select(col("lang").as("actual_lang") +:
+            TA.langScores(w).map { case (l, sc) => sc.as(s"__s_$l") }: _*)
+        staged
+          .select(col("actual_lang"), TA.langIdFromScores(
+            TA.langMarkers.map { case (l, _) => l -> col(s"__s_$l") }).as("predicted"))
           .groupBy(col("actual_lang"), col("predicted"))
           .agg(count(lit(1)).as("n"))
           .orderBy(col("actual_lang"), col("predicted"))
