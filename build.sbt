@@ -31,4 +31,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++ {
+  // shuffle/spill to tmpfs: this host's OS disk has ~100x the small-file
+  // latency of memory (warm 100k-row groupBy: 10s on /tmp vs 0.55s on
+  // /dev/shm). On a real cluster spark.local.dir is instance-local NVMe;
+  // this is the single-node analog. See graft.core.FastLocalDir.
+  val shm = new java.io.File("/dev/shm")
+  if (shm.isDirectory && shm.canWrite) Seq("-Dspark.local.dir=/dev/shm/graft-spark-local")
+  else Seq.empty
+}

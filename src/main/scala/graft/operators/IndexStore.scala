@@ -23,6 +23,10 @@ import graft.sources.Tables
   */
 object IndexStore {
 
+  // kept on the OS disk (not tmpfs): artifacts are build-once-per-dataset
+  // and the disk copy survives JVM restarts and host reboots, so repeated
+  // bench/verify runs never pay the build again — matching the reference,
+  // where the index lives next to the dataset in durable storage
   private val root: String = sys.env.getOrElse("GRAFT_INDEX_CACHE",
     new File("target/graft-index-cache").getAbsolutePath)
 
@@ -48,20 +52,28 @@ object IndexStore {
     dir.toString
   }
 
-  /** plain Clustered ANN index over embeddings(vec_id, embedding) */
-  def ann(spark: SparkSession, sfDir: String, nClusters: Int = 16): AnnIndex.Index =
-    AnnIndex.load(spark, ensure(artifactDir(sfDir, s"ann$nClusters")) { d =>
-      AnnIndex.save(AnnIndex.build(
-        Tables(spark, sfDir, "embeddings"), "vec_id", "embedding", nClusters), d)
-    })
-
-  /** ClusteredQuantized ANN index (int8 candidate form stored) */
-  def annQuantized(spark: SparkSession, sfDir: String, nClusters: Int = 16): AnnIndex.Index =
-    AnnIndex.load(spark, ensure(artifactDir(sfDir, s"annq$nClusters")) { d =>
+  /** One KMeans fit backs BOTH ANN artifacts: the quantized index is a
+    * superset of the plain one (same centroids/assignments + the int8
+    * form), so the store persists the quantized layout once and serves
+    * the plain Clustered index as a projection that drops `vec_q`.
+    * The fit — the expensive part of the build — runs exactly once per
+    * dataset. */
+  private def annArtifact(spark: SparkSession, sfDir: String, nClusters: Int): String =
+    ensure(artifactDir(sfDir, s"annq$nClusters")) { d =>
       AnnIndex.save(AnnIndex.build(
         Tables(spark, sfDir, "embeddings"), "vec_id", "embedding", nClusters,
         quantized = true), d)
-    })
+    }
+
+  /** plain Clustered ANN index over embeddings(vec_id, embedding) */
+  def ann(spark: SparkSession, sfDir: String, nClusters: Int = 16): AnnIndex.Index = {
+    val idx = AnnIndex.load(spark, annArtifact(spark, sfDir, nClusters))
+    idx.copy(assignments = idx.assignments.drop("vec_q"), quantized = false)
+  }
+
+  /** ClusteredQuantized ANN index (int8 candidate form stored) */
+  def annQuantized(spark: SparkSession, sfDir: String, nClusters: Int = 16): AnnIndex.Index =
+    AnnIndex.load(spark, annArtifact(spark, sfDir, nClusters))
 
   /** inverted text index over documents(doc_id, text) */
   def inverted(spark: SparkSession, sfDir: String): DataFrame =
@@ -80,9 +92,13 @@ object IndexStore {
     * from Bench warm-up so index construction is billed to the build
     * phase, exactly like the reference's maintained indexes. */
   def warmAll(spark: SparkSession, sfDir: String): Unit = {
-    ann(spark, sfDir)
-    annQuantized(spark, sfDir)
-    inverted(spark, sfDir)
-    bm25(spark, sfDir)
+    def timed(name: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      f
+      System.err.println(f"[index] $name ready in ${(System.nanoTime() - t0) / 1e9}%.1fs ($sfDir)")
+    }
+    timed("ann")(annQuantized(spark, sfDir)) // also serves the plain ann() projection
+    timed("inverted")(inverted(spark, sfDir))
+    timed("bm25")(bm25(spark, sfDir))
   }
 }
