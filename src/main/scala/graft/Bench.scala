@@ -80,7 +80,7 @@ object Bench {
       // so it must never eat the harness's bench budget; queries not
       // warmed in time just compile inside their measured run, exactly as
       // before this pass existed.
-      val warmBudgetSec = sys.env.getOrElse("SPARK_GRAFT_WARM_BUDGET", "90").toInt
+      val warmBudgetSec = sys.env.getOrElse("SPARK_GRAFT_WARM_BUDGET", "120").toInt
       val warmT0 = System.nanoTime()
       var skipped = 0
       val warmOrder = SparkEntry.queries.toSeq.sortBy { case (n, _) =>
@@ -104,7 +104,7 @@ object Bench {
     // the skip count disclosed) beats a timeout that reports nothing.
     // Headline queries run first so the per-query numbers the harness
     // records are always present.
-    val benchBudgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "360").toInt
+    val benchBudgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "330").toInt
     val loop0 = System.nanoTime()
     val measureOrder = SparkEntry.queries.toSeq.sortBy { case (n, _) =>
       (!Headline.names.contains(n), n)

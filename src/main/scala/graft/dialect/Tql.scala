@@ -99,7 +99,25 @@ object Tql {
   /** Compile + run against the driver's scale-factor dir tables. */
   def query(spark: SparkSession, dir: String, tql: String,
       params: Seq[Any] = Nil): DataFrame =
-    compile(spark, tql, name => graft.sources.Tables(spark, dir, name), params)
+    compile(spark, tql, {
+      case ast.SelfTable => throw new IllegalArgumentException(
+        "FROM-less query needs a dataset context: use Tql.queryDataset(ds, ...)")
+      case name => graft.sources.Tables(spark, dir, name)
+    }, params)
+
+  /** The reference's main entry `ds.query("SELECT * WHERE ...")`
+    * (`tql.md:14-30`): FROM defaults to the dataset itself; explicit
+    * FROM "url" references still resolve through the Hadoop FS layer. */
+  def queryDataset(ds: DataFrame, tql: String, params: Seq[Any] = Nil): DataFrame = {
+    val spark = ds.sparkSession
+    compile(spark, tql, {
+      case ast.SelfTable => ds
+      case url if graft.sources.Tables.isUrl(url) =>
+        graft.sources.Tables.openUrl(spark, url)
+      case name => throw new IllegalArgumentException(
+        s"dataset query resolves only the dataset itself or URL refs, got: $name")
+    }, params)
+  }
 
   def compile(spark: SparkSession, tql: String, resolve: String => DataFrame,
       params: Seq[Any] = Nil): DataFrame =

@@ -22,6 +22,19 @@ object TqlQueries extends QueryModule {
              |FROM lineitem WHERE l_quantity > 45 AND l_discount BETWEEN 0.02 AND 0.08
              |ORDER BY gross DESC, l_orderkey, l_linenumber LIMIT 25""".stripMargin.replace('\n', ' '))),
 
+    // the ds.query form: FROM omitted, the dataset itself is the source
+    // (tql.md:14-30 basic usage; subqueries keep the implicit source too)
+    "q_tql_implicit_from" -> Q(
+      (s, dir) => Tql.queryDataset(
+        graft.sources.Tables(s, dir, "documents"),
+        """SELECT source, lang, ROUND(SUM(n_chars), 1) AS total_chars, ROUND(AVG(n_chars), 4) AS avg_chars
+          |FROM (SELECT * WHERE n_chars > 400 AND lang != 'de')
+          |GROUP BY source, lang ORDER BY source, lang""".stripMargin),
+      Some("""SELECT source, lang, round(sum(n_chars) * 1.0, 1) AS total_chars,
+             |round(avg(n_chars), 4) AS avg_chars
+             |FROM (SELECT * FROM documents WHERE n_chars > 400 AND lang != 'de')
+             |GROUP BY source, lang ORDER BY source, lang""".stripMargin.replace('\n', ' '))),
+
     // join with qualified refs + glob LIKE translation
     "q_tql_join_like" -> Q(
       (s, dir) => Tql.query(s, dir,

@@ -291,6 +291,25 @@ class TqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.count() == want.count())
   }
 
+  test("implicit FROM: ds.query form queries the dataset itself (tql.md:14-30)") {
+    val docs = tbl("documents")
+    val got = Tql.queryDataset(docs,
+      "SELECT doc_id, n_chars WHERE n_chars > 500 ORDER BY doc_id LIMIT 7")
+    val want = docs.select(col("doc_id"), col("n_chars"))
+      .filter(col("n_chars") > 500).orderBy(col("doc_id")).limit(7)
+    assert(got.collect().toSeq == want.collect().toSeq)
+    // subqueries keep the implicit source (tql.md:266-276)
+    val sub = Tql.queryDataset(docs,
+      "SELECT doc_id FROM (SELECT * WHERE n_chars > 500) WHERE lang = 'en' ORDER BY doc_id")
+    val wantSub = docs.filter(col("n_chars") > 500 && col("lang") === "en")
+      .select(col("doc_id")).orderBy(col("doc_id"))
+    assert(sub.collect().toSeq == wantSub.collect().toSeq)
+    // a FROM-less query without a dataset context is a clear error
+    val e = intercept[IllegalArgumentException](
+      Tql.query(spark, dir, "SELECT doc_id WHERE n_chars > 500").collect())
+    assert(e.getMessage.contains("queryDataset"))
+  }
+
   test("prepare/runBatch: parse once, plan-cache per binding (tql.hpp:81-103)") {
     val text = """SELECT o_orderkey FROM orders WHERE o_totalprice > ?
                  |ORDER BY o_orderkey LIMIT ?""".stripMargin
