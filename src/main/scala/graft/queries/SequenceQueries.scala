@@ -137,6 +137,22 @@ object SequenceQueries extends QueryModule {
              |FROM s GROUP BY user_id, sid
              |ORDER BY user_id, start_us""".stripMargin.replace('\n', ' '))),
 
+    // ---- per-user running profile through the CUSTOM-state operator
+    // (flatMapGroupsWithState; EventStream.userProfiles) — the same code
+    // path streams with Update-mode state, and the batch execution here
+    // is what the oracle pins (round via rint inside the operator)
+    "q_user_profiles" -> Q(
+      (s, dir) => {
+        graft.streaming.EventStream.userProfiles(table(s, dir, "events"))
+          .toDF()
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id, count(*) AS n_events,
+             |round(sum(value), 2) AS total_value,
+             |count(DISTINCT event_type) AS n_types,
+             |max(epoch_us(ts)) AS last_ts_us
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin.replace('\n', ' '))),
+
     // ---- SAMPLE BY weight LIMIT n (seeded; not SQL-expressible -> rows-only)
     "q_sample_weighted" -> Q(
       (s, dir) => {

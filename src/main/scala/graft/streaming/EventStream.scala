@@ -1,8 +1,8 @@
 package graft.streaming
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.StreamingQuery
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, StreamingQuery}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 
 /** Structured Streaming ingest over the `events` table (Spark-native
   * extension — SURVEY.md §2.13: the reference has no continuous queries,
@@ -74,6 +74,50 @@ object EventStream {
   def dedupEvents(events: DataFrame, keys: Seq[String] = Seq("event_id")): DataFrame =
     events.withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
+  /** input/state/output rows for the custom-state profile operator */
+  final case class EventRow(user_id: Long, event_type: String, value: Double, ts_us: Long)
+  final case class UserState(n: Long, total: Double, lastTs: Long, types: Seq[String])
+  final case class UserProfile(user_id: Long, n_events: Long, total_value: Double,
+      n_types: Int, last_ts_us: Long)
+
+  /** Per-user running profile via CUSTOM state (flatMapGroupsWithState):
+    * cumulative event count, value total, distinct-type count (types are
+    * a small closed set, so the state stays O(1) per user), and last-seen
+    * event time. Each micro-batch emits the updated profile row for every
+    * user it touched (Update mode) — the change-capture shape a feature
+    * store ingests.
+    *
+    * State is keyed by user and bounded: at scale idle users would expire
+    * via an event-time timeout against the watermark; the finite replay
+    * here never needs to drop state, so NoTimeout keeps the operator
+    * deterministic for the batch-parity check. The SAME code runs on a
+    * batch frame (Spark executes mapGroups-with-state over batch input as
+    * one invocation per key with empty initial state), which is what the
+    * DuckDB-oracled driver query pins down.
+    */
+  def userProfiles(events: DataFrame): Dataset[UserProfile] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("event_type"), col("value"),
+        unix_micros(col("ts")).as("ts_us"))
+      .as[EventRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserState, UserProfile](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) { (uid, rows, state) =>
+        val prev = state.getOption.getOrElse(UserState(0L, 0.0, Long.MinValue, Nil))
+        val next = rows.foldLeft(prev) { (s, e) =>
+          UserState(s.n + 1, s.total + e.value, math.max(s.lastTs, e.ts_us),
+            if (s.types.contains(e.event_type)) s.types else s.types :+ e.event_type)
+        }
+        state.update(next)
+        // HALF_UP to match SQL round(x, 2) on both engines
+        val rounded = BigDecimal(next.total)
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+        Iterator(UserProfile(uid, next.n, rounded, next.types.size, next.lastTs))
+      }
+  }
 
   /** run to completion against the (finite) file source into a memory
     * sink; returns the sink table name */

@@ -85,6 +85,31 @@ class StreamingAndMultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("custom-state user profiles: streaming updates converge to the batch result") {
+    val q = EventStream.runToMemorySink(
+      EventStream.userProfiles(
+        EventStream.readEvents(spark, dir).filter(col("user_id") < 20)).toDF(),
+      "stream_profiles", "update")
+    try {
+      // Update mode emits one row per touched user per micro-batch;
+      // profiles are cumulative (n_events strictly grows), so the final
+      // state per user is its max-n_events row
+      val streamed = spark.table("stream_profiles")
+        .withColumn("__rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id")).orderBy(col("n_events").desc)))
+        .filter(col("__rk") === 1).drop("__rk")
+        .orderBy(col("user_id")).collect()
+      val batch = EventStream.userProfiles(
+          graft.sources.Tables(spark, dir, "events").filter(col("user_id") < 20))
+        .toDF().orderBy(col("user_id")).collect()
+      assert(streamed.length === batch.length)
+      assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
+      // the state actually accumulated: someone saw more than one event type
+      assert(batch.exists(_.getInt(3) > 1))
+    } finally q.stop()
+  }
+
   test("multimodal: binary payload -> stub decode keeps schema and determinism") {
     val docs = graft.sources.Tables(spark, dir, "documents").limit(20)
     val withBin = Multimodal.withBinaryPayload(docs, "text")
