@@ -105,6 +105,92 @@ object Tql {
       case name => graft.sources.Tables(spark, dir, name)
     }, params)
 
+  /** Capability gating (`cpp/tql/options.hpp:7-31`): embedders restrict
+    * what query text may do (a web-facing endpoint disallows nested
+    * queries or grouping; a pure filter context disallows projection
+    * lists). Violations throw BEFORE compilation; `parsingOnly` stops
+    * after the validation pass. `useIndex=false` disables the ANN top-k
+    * route (the reference's linear path). Presets mirror the reference's
+    * named configs. */
+  final case class Options(
+      allowNestedQuery: Boolean = true,
+      allowSelectionList: Boolean = true,
+      allowGroup: Boolean = true,
+      allowUngroup: Boolean = true,
+      useIndex: Boolean = true,
+      parsingOnly: Boolean = false)
+
+  object Options {
+    val allowEverything: Options = Options()
+    val filterOnly: Options = Options(allowNestedQuery = false,
+      allowSelectionList = false, allowGroup = false, allowUngroup = false)
+    val oneLevelFilterOnly: Options = filterOnly
+    val linearOnly: Options = Options(useIndex = false)
+    val webEnvironment: Options = Options(allowNestedQuery = false,
+      allowGroup = false, allowUngroup = false)
+  }
+
+  /** Validate a parsed query against capability options; throws on the
+    * first violation. Returns the AST so parsingOnly callers can stop
+    * here. */
+  private def validate(q: ast.Query, opts: Options): ast.Query = {
+    def deny(what: String): Nothing =
+      throw new IllegalArgumentException(s"query uses $what, disallowed by options")
+    def checkSel(sel: ast.Select, nested: Boolean): Unit = {
+      if (nested && !opts.allowNestedQuery) deny("a nested query")
+      if (!opts.allowSelectionList &&
+          !(sel.projs.size == 1 && sel.projs.head.e == ast.Star))
+        deny("a selection list")
+      if (!opts.allowGroup && sel.groupBy.nonEmpty) deny("GROUP BY")
+      if (!opts.allowUngroup && sel.ungroup.nonEmpty) deny("UNGROUP BY")
+      (sel.from +: sel.joins.map(_.src)).foreach {
+        case ast.SubQuery(sub, _) => sub.selects.foreach(checkSel(_, nested = true))
+        case _ => ()
+      }
+    }
+    q.selects.foreach(checkSel(_, nested = false))
+    q
+  }
+
+  /** Gated entry: validate against `opts`, then compile unless
+    * parsingOnly. */
+  def queryWithOptions(spark: SparkSession, dir: String, tql: String,
+      opts: Options, params: Seq[Any] = Nil): Option[DataFrame] = {
+    val q = validate(parseCached(tql), opts)
+    if (opts.parsingOnly) None
+    else Some {
+      val saved = indexRoutingEnabled.get()
+      indexRoutingEnabled.set(opts.useIndex)
+      try compileAst(spark, q,
+        {
+          case ast.SelfTable => throw new IllegalArgumentException(
+            "FROM-less query needs a dataset context: use Tql.queryDataset(ds, ...)")
+          case name => graft.sources.Tables(spark, dir, name)
+        }, params)
+      finally indexRoutingEnabled.set(saved)
+    }
+  }
+
+  /** use_index gate for the ANN route (linear_only preset) */
+  private val indexRoutingEnabled =
+    ThreadLocal.withInitial[Boolean](() => true)
+
+  /** `explain_query` analog (`python/deeplake/__init__.pyi:837`,
+    * `cpp/tql/explain_query_result.hpp`): a human-readable plan plus a
+    * machine-readable JSON form, WITHOUT executing. The formatted text is
+    * Spark's physical explain (scan pushdown, exchanges, codegen spans —
+    * the things worth auditing before a 100 TB run); the JSON is the
+    * optimized logical plan tree. */
+  final case class ExplainResult(result: String, resultJson: String)
+
+  def explainQuery(spark: SparkSession, dir: String, tql: String,
+      params: Seq[Any] = Nil): ExplainResult = {
+    val qe = query(spark, dir, tql, params).queryExecution
+    ExplainResult(
+      qe.explainString(org.apache.spark.sql.execution.FormattedMode),
+      qe.optimizedPlan.toJSON)
+  }
+
   /** The reference's main entry `ds.query("SELECT * WHERE ...")`
     * (`tql.md:14-30`): FROM defaults to the dataset itself; explicit
     * FROM "url" references still resolve through the Hadoop FS layer. */
@@ -155,6 +241,31 @@ object Tql {
           env.df.join(rdf, expr(tmpEnv, j.on.get, params), j.tpe)
         }
       env = Env(joined, env.aliases ++ ralias)
+    }
+
+    // ORDER BY COSINE_SIMILARITY(col, const) DESC LIMIT k over a table
+    // with a registered embedding index → restrict the scan to the
+    // index's top-k candidates first (reference `cpp/tql/tql.hpp:171`
+    // check_for_top_k_binary_function_search): a broadcast semi-join with
+    // k ids replaces ranking the whole corpus; the ORDER/LIMIT below then
+    // orders only the candidates, so schema and tiebreak semantics are
+    // unchanged (result is approximate exactly like the reference's
+    // index route). Conservatively skipped when WHERE/joins/grouping
+    // would have to compose into the index search.
+    if (indexRoutingEnabled.get()) annTopKRoute(sel, params).foreach { case (vecCol, qVec, k) =>
+      sel.from match {
+        case ast.TableRef(tname, _) =>
+          graft.operators.AnnIndex.Catalog.lookup(tname, vecCol).foreach { entry =>
+            import spark.implicits._
+            val qdf = Seq((0, qVec)).toDF("qid", "q_vec")
+            val cand = graft.operators.AnnIndex
+              .search(entry.index, qdf, "qid", "q_vec", k, entry.config)
+              .select(col("id").as("__ann_cand_id"))
+            env = env.copy(df = env.df.join(broadcast(cand),
+              env.df(entry.idCol) === col("__ann_cand_id"), "left_semi"))
+          }
+        case _ => ()
+      }
     }
 
     // ROW_NUMBER() pre-pass: the zero-based dataset offset is stamped
@@ -305,6 +416,65 @@ object Tql {
       (if (hasStar) srcCols.map(c => col(c)) else Nil) ++
         finals.map { case (tmp, name, _) => col(tmp).as(name) }
     sEnv.df.select(outCols: _*)
+  }
+
+  /** Detect the indexed-top-k shape: single-statement, no WHERE / joins /
+    * grouping / sampling, primary ORDER key `COSINE_SIMILARITY(col,
+    * const-vector)` DESC (directly or via a SELECT alias), plain LIMIT k.
+    * Returns (vector column, query vector, k). */
+  private def annTopKRoute(sel: ast.Select,
+      params: Seq[Any]): Option[(String, Seq[Double], Int)] = {
+    if (sel.joins.nonEmpty || sel.where.nonEmpty || sel.groupBy.nonEmpty ||
+        sel.ungroup.nonEmpty || sel.sampleBy.nonEmpty || sel.expand.nonEmpty ||
+        sel.offset.nonEmpty || sel.orderBy.isEmpty || sel.orderBy.head.asc)
+      return None
+    val k = sel.limit match {
+      case Some((e, false)) => evalInt(e, params)
+      case _ => return None
+    }
+    val ordExpr = sel.orderBy.head.e match {
+      // ORDER BY score where SELECT ... AS score
+      case ast.Ref(Seq(n)) =>
+        sel.projs.collectFirst {
+          case ast.Proj(pe, Some(a)) if a.equalsIgnoreCase(n) => pe
+        }.getOrElse(sel.orderBy.head.e)
+      case other => other
+    }
+    // ROUND(sim, d) orders like sim up to d-decimal ties — candidates are
+    // identical, so the route applies through the wrapper
+    val unwrapped = ordExpr match {
+      case ast.Fn("ROUND", Seq(inner, _), Seq()) => inner
+      case other => other
+    }
+    unwrapped match {
+      case ast.Fn("COSINE_SIMILARITY", Seq(ast.Ref(Seq(c)), v), Seq()) =>
+        constVector(v, params).map(vec => (c, vec, k))
+      case _ => None
+    }
+  }
+
+  /** a constant query vector: ARRAY[...] of numeric literals/params, or a
+    * whole-vector `?` binding */
+  private def constVector(e: ast.Expr, params: Seq[Any]): Option[Seq[Double]] = e match {
+    case ast.ArrayLit(items) =>
+      def num(e: ast.Expr): Option[Double] = e match {
+        case ast.Lit(x: Long) => Some(x.toDouble)
+        case ast.Lit(x: Double) => Some(x)
+        case ast.Un("-", inner) => num(inner).map(-_)
+        case ast.Param(i) if i < params.size => params(i) match {
+          case n: Number => Some(n.doubleValue)
+          case _ => None
+        }
+        case _ => None
+      }
+      val vals = items.map(num)
+      if (vals.forall(_.isDefined)) Some(vals.map(_.get)) else None
+    case ast.Param(i) if i < params.size => params(i) match {
+      case s: Seq[_] if s.forall(_.isInstanceOf[Number]) =>
+        Some(s.map(_.asInstanceOf[Number].doubleValue))
+      case _ => None
+    }
+    case _ => None
   }
 
   private def evalInt(e: ast.Expr, params: Seq[Any]): Int = e match {

@@ -35,6 +35,26 @@ object AnnIndex {
       accuracyFactor: Int = 10,
       clusterSearchFactor: Double = 1.0)
 
+  /** Session-level embedding-index routing for the dialect's
+    * `ORDER BY COSINE_SIMILARITY(col, const) DESC LIMIT k` fast path
+    * (reference `cpp/tql/tql.hpp:171`
+    * check_for_top_k_binary_function_search → `top_k_search_info.hpp`).
+    * Keyed by (table, vector column); `idCol` names the table's id
+    * column the candidate semi-join keys on. */
+  object Catalog {
+    final case class Entry(index: Index, idCol: String, config: SearchConfig)
+    @volatile private var entries: Map[(String, String), Entry] = Map.empty
+
+    def register(table: String, vecCol: String, idCol: String, index: Index,
+        config: SearchConfig = SearchConfig()): Unit =
+      entries += (table, vecCol) -> Entry(index, idCol, config)
+
+    def lookup(table: String, vecCol: String): Option[Entry] =
+      entries.get((table, vecCol))
+
+    def clear(): Unit = entries = Map.empty
+  }
+
   final case class Index(centroids: DataFrame, assignments: DataFrame,
       nClusters: Int, quantized: Boolean)
 

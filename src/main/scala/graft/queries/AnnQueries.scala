@@ -40,6 +40,24 @@ object AnnQueries extends QueryModule {
       None,
       doc = "ClusteredQuantized: int8 candidate scan gates the exact rerank pool"),
 
+    // the SAME fast path reached from TQL text: ORDER BY
+    // COSINE_SIMILARITY(col, const) DESC LIMIT k over a table whose
+    // embedding column is registered in AnnIndex.Catalog routes to the
+    // index (check_for_top_k_binary_function_search, `cpp/tql/tql.hpp:171`)
+    "q_tql_ann_topk" -> Q(
+      (s, dir) => {
+        AnnIndex.Catalog.register("embeddings", "embedding", "vec_id",
+          IndexStore.ann(s, dir))
+        val qv = table(s, dir, "embeddings").filter(col("vec_id") === 0)
+          .select(col("embedding")).collect()(0).getSeq[Float](0)
+        val arr = qv.mkString("ARRAY[", ", ", "]")
+        graft.dialect.Tql.query(s, dir,
+          s"""SELECT vec_id, ROUND(COSINE_SIMILARITY(embedding, $arr), 6) AS score
+             |FROM embeddings ORDER BY score DESC, vec_id LIMIT 10""".stripMargin)
+      },
+      None,
+      doc = "dialect-routed indexed top-k: broadcast candidate semi-join, no full-corpus ranking"),
+
     "q_vec_ann_high_accuracy" -> Q(
       (s, dir) => {
         val idx = IndexStore.annQuantized(s, dir)

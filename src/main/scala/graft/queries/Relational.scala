@@ -571,6 +571,31 @@ object Relational extends QueryModule {
              |coalesce(l_linestatus,'ALL') AS linestatus, count(*) AS n,
              |round(sum(l_quantity),2) AS qty
              |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
-             |ORDER BY returnflag, linestatus""".stripMargin.replace('\n', ' ')))
+             |ORDER BY returnflag, linestatus""".stripMargin.replace('\n', ' '))),
+
+    // ---- incrementally maintained aggregate: state(history) ⊕ state(delta)
+    // must equal a full recompute (IncrementalAgg; the oracle aggregates
+    // the WHOLE table in one pass — associativity is the contract)
+    "q_incremental_agg" -> Q(
+      (s, dir) => {
+        import graft.operators.IncrementalAgg
+        val li = table(s, dir, "lineitem")
+        val keys = Seq("l_returnflag", "l_linestatus")
+        val history = IncrementalAgg.state(
+          li.filter(col("l_orderkey") % 5 =!= 0), keys, "l_extendedprice")
+        val delta = IncrementalAgg.state(
+          li.filter(col("l_orderkey") % 5 === 0), keys, "l_extendedprice")
+        IncrementalAgg.readout(IncrementalAgg.merge(history, delta, keys), keys)
+          .select(col("l_returnflag"), col("l_linestatus"), col("n"),
+            round(col("s"), 2).as("total"), round(col("mean"), 4).as("mean"),
+            round(col("mn"), 2).as("mn"), round(col("mx"), 2).as("mx"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+             |round(sum(l_extendedprice),2) AS total,
+             |round(sum(l_extendedprice)/count(*),4) AS mean,
+             |round(min(l_extendedprice),2) AS mn, round(max(l_extendedprice),2) AS mx
+             |FROM lineitem GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin.replace('\n', ' ')))
   )
 }

@@ -310,6 +310,78 @@ class TqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("queryDataset"))
   }
 
+  test("explainQuery returns formatted plan + JSON tree without executing (pyi:837)") {
+    val ex = Tql.explainQuery(spark, dir,
+      "SELECT l_orderkey, l_quantity FROM lineitem WHERE l_quantity > 45")
+    assert(ex.result.contains("Physical Plan"))
+    // pushdown is visible in the explain output — the point of the API
+    assert(ex.result.contains("PushedFilters"), ex.result)
+    assert(ex.resultJson.startsWith("[") && ex.resultJson.contains("\"class\""))
+  }
+
+  test("ORDER BY cosine DESC LIMIT k routes through a registered ANN index (tql.hpp:171)") {
+    import graft.operators.AnnIndex
+    val emb = tbl("embeddings")
+    val idx = AnnIndex.build(emb, "vec_id", "embedding", 8)
+    AnnIndex.Catalog.register("embeddings", "embedding", "vec_id", idx)
+    try {
+      val qv = emb.filter(col("vec_id") === 0).select(col("embedding"))
+        .collect()(0).getSeq[Float](0).map(_.toDouble)
+      val arr = qv.mkString("ARRAY[", ", ", "]")
+      val sql = s"""SELECT vec_id, ROUND(COSINE_SIMILARITY(embedding, $arr), 6) AS score
+                   |FROM embeddings ORDER BY score DESC LIMIT 5""".stripMargin
+      val routed = Tql.query(spark, dir, sql)
+      // the scan is restricted by the candidate semi-join
+      assert(routed.queryExecution.executedPlan.toString.contains("LeftSemi"),
+        routed.queryExecution.executedPlan.toString)
+      val spark2 = spark
+      import spark2.implicits._
+      val direct = AnnIndex.search(idx,
+          Seq((0, qv)).toDF("qid", "q_vec"), "qid", "q_vec", 5)
+        .select(col("id")).collect().map(_.getLong(0)).toSet
+      assert(routed.collect().map(_.getLong(0)).toSet === direct)
+      // without a registered index the same text takes the exact path
+      AnnIndex.Catalog.clear()
+      val exact = Tql.query(spark, dir, sql)
+      assert(!exact.queryExecution.executedPlan.toString.contains("LeftSemi"))
+      assert(exact.count() === 5)
+    } finally AnnIndex.Catalog.clear()
+  }
+
+  test("capability options gate query shapes (options.hpp:7-31)") {
+    // filter_only: SELECT * + WHERE passes; a selection list is refused
+    assert(Tql.queryWithOptions(spark, dir,
+      "SELECT * FROM lineitem WHERE l_quantity > 45", Tql.Options.filterOnly)
+      .get.count() > 0)
+    val e1 = intercept[IllegalArgumentException](Tql.queryWithOptions(spark, dir,
+      "SELECT l_orderkey FROM lineitem", Tql.Options.filterOnly))
+    assert(e1.getMessage.contains("selection list"))
+    // nested query refusal
+    val e2 = intercept[IllegalArgumentException](Tql.queryWithOptions(spark, dir,
+      "SELECT * FROM (SELECT * FROM lineitem WHERE l_quantity > 45)",
+      Tql.Options.webEnvironment))
+    assert(e2.getMessage.contains("nested"))
+    // parsing_only: validates without compiling
+    assert(Tql.queryWithOptions(spark, dir,
+      "SELECT l_orderkey FROM lineitem",
+      Tql.Options.allowEverything.copy(parsingOnly = true)).isEmpty)
+    // linear_only: same indexed-top-k text compiles WITHOUT the route
+    import graft.operators.AnnIndex
+    AnnIndex.Catalog.register("embeddings", "embedding", "vec_id",
+      AnnIndex.build(tbl("embeddings"), "vec_id", "embedding", 8))
+    try {
+      val qv = tbl("embeddings").filter(col("vec_id") === 0)
+        .select(col("embedding")).collect()(0).getSeq[Float](0).map(_.toDouble)
+      val sql = s"""SELECT vec_id FROM embeddings
+                   |ORDER BY COSINE_SIMILARITY(embedding, ${qv.mkString("ARRAY[", ",", "]")}) DESC
+                   |LIMIT 5""".stripMargin
+      val linear = Tql.queryWithOptions(spark, dir, sql, Tql.Options.linearOnly).get
+      assert(!linear.queryExecution.executedPlan.toString.contains("LeftSemi"))
+      val routed = Tql.queryWithOptions(spark, dir, sql, Tql.Options.allowEverything).get
+      assert(routed.queryExecution.executedPlan.toString.contains("LeftSemi"))
+    } finally AnnIndex.Catalog.clear()
+  }
+
   test("prepare/runBatch: parse once, plan-cache per binding (tql.hpp:81-103)") {
     val text = """SELECT o_orderkey FROM orders WHERE o_totalprice > ?
                  |ORDER BY o_orderkey LIMIT ?""".stripMargin
