@@ -520,6 +520,23 @@ object Relational extends QueryModule {
              |sum(CAST(l_quantity IS NULL AS BIGINT))::BIGINT AS null_qty
              |FROM lineitem""".stripMargin.replace('\n', ' '))),
 
+    // ---- sketch-based stats (operators/Sketches): HLL distinct +
+    // mergeable approx percentiles — fixed-size map-side state vs the
+    // full value shuffle exact stats need. Approximate by design →
+    // rows-only check; SketchesSpec gates the error bounds vs exact.
+    "q_sketch_stats" -> Q(
+      (s, dir) => {
+        graft.operators.Sketches.profile(
+            table(s, dir, "lineitem"), Seq("l_returnflag"), "l_extendedprice")
+          .select(col("l_returnflag"), col("n"), col("approx_distinct"),
+            round(element_at(col("p50_p95_p99"), 1), 2).as("p50"),
+            round(element_at(col("p50_p95_p99"), 3), 2).as("p99"),
+            round(col("mn"), 2).as("mn"), round(col("mx"), 2).as("mx"))
+          .orderBy(col("l_returnflag"))
+      },
+      None,
+      doc = "HLL++ distinct (~2.3% rsd) and GK percentile sketches; error-gated in SketchesSpec"),
+
     // ---- TQL ROW_NUMBER(): zero-based row offset (tql.md:427-431).
     // Parity note: global row numbering is inherently sequential; at scale
     // use zipWithIndex-style partition offsets instead of a global window.
