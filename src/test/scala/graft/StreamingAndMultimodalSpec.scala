@@ -110,6 +110,35 @@ class StreamingAndMultimodalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("multimodal: real header parsing extracts format + dimensions from bytes") {
+    def png(w: Int, h: Int): Array[Byte] = {
+      val b = new java.io.ByteArrayOutputStream()
+      b.write(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+      b.write(Array(0, 0, 0, 13).map(_.toByte)); b.write("IHDR".getBytes)
+      b.write(java.nio.ByteBuffer.allocate(8).putInt(w).putInt(h).array())
+      b.toByteArray
+    }
+    val jpeg = Array(0xFF, 0xD8, 0xFF, 0xC0, 0x00, 0x11, 0x08,
+      0x01, 0xE0, 0x02, 0x80, 0x03).map(_.toByte) // SOF0: 640x480
+    val gif = "GIF89a".getBytes ++ Array(0x80, 0x02, 0xE0, 0x01, 0, 0).map(_.toByte)
+    val bmp = "BM".getBytes ++ new Array[Byte](16) ++
+      java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .putInt(640).putInt(480).array() ++ new Array[Byte](4)
+    assert(Multimodal.parseImageHeader(png(640, 480)) === (("png", 640, 480)))
+    assert(Multimodal.parseImageHeader(jpeg) === (("jpeg", 640, 480)))
+    assert(Multimodal.parseImageHeader(gif) === (("gif", 640, 480)))
+    assert(Multimodal.parseImageHeader(bmp) === (("bmp", 640, 480)))
+    assert(Multimodal.parseImageHeader("hello".getBytes) === (("unknown", -1, -1)))
+
+    // and through the distributed path
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq((1L, png(12, 34)), (2L, "nope".getBytes)).toDF("id", "payload")
+    val info = Multimodal.imageInfo(df, "id").orderBy("id").collect()
+    assert(info(0).getString(1) === "png" && info(0).getInt(2) === 12 && info(0).getInt(3) === 34)
+    assert(info(1).getString(1) === "unknown")
+  }
+
   test("multimodal: binary payload -> stub decode keeps schema and determinism") {
     val docs = graft.sources.Tables(spark, dir, "documents").limit(20)
     val withBin = Multimodal.withBinaryPayload(docs, "text")
