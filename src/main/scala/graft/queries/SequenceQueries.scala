@@ -153,6 +153,29 @@ object SequenceQueries extends QueryModule {
              |max(epoch_us(ts)) AS last_ts_us
              |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin.replace('\n', ' '))),
 
+    // ---- as-of join (operators/AsOfJoin): each click joined to the most
+    // recent purchase by the same user; the oracle is DuckDB's native
+    // ASOF JOIN. Times compare as exact nanosecond longs on both sides.
+    "q_asof_join" -> Q(
+      (s, dir) => {
+        import graft.operators.AsOfJoin
+        val ev = table(s, dir, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts_ns"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts_ns"))
+          .agg(max(col("value")).as("r_value"))
+        AsOfJoin.asOf(clicks, purchases, "user_id", "ts_ns", Seq("r_value"))
+          .select(col("event_id"), round(col("r_value"), 2).as("last_purchase_value"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+             |r AS (SELECT user_id, ts, max(value) AS r_value FROM events
+             |      WHERE event_type = 'purchase' GROUP BY user_id, ts)
+             |SELECT l.event_id, round(r.r_value, 2) AS last_purchase_value
+             |FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+             |ORDER BY l.event_id""".stripMargin.replace('\n', ' '))),
+
     // ---- SAMPLE BY weight LIMIT n (seeded; not SQL-expressible -> rows-only)
     "q_sample_weighted" -> Q(
       (s, dir) => {
