@@ -176,6 +176,31 @@ object SequenceQueries extends QueryModule {
              |FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
              |ORDER BY l.event_id""".stripMargin.replace('\n', ' '))),
 
+    // ---- bucketed range join (operators/RangeJoin): clicks landing in
+    // the hour after each purchase by the same user; equi-join on
+    // (user, bin) + residual BETWEEN — never a nested-loop range join
+    "q_range_join" -> Q(
+      (s, dir) => {
+        import graft.operators.RangeJoin
+        val hourNs = 3600L * 1000 * 1000 * 1000
+        val ev = table(s, dir, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts_ns").as("t"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts_ns").as("lo"),
+            (col("ts_ns") + hourNs).as("hi"))
+        RangeJoin.pointInInterval(clicks, "t", purchases, "lo", "hi",
+            Seq("user_id"), binWidth = hourNs)
+          .groupBy(col("event_id")).agg(count(lit(1)).as("n_clicks"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH c AS (SELECT user_id, epoch_ns(ts) AS t FROM events WHERE event_type = 'click'),
+             |p AS (SELECT event_id, user_id, epoch_ns(ts) AS lo,
+             |      epoch_ns(ts) + 3600000000000 AS hi FROM events WHERE event_type = 'purchase')
+             |SELECT p.event_id, count(*) AS n_clicks
+             |FROM p JOIN c ON c.user_id = p.user_id AND c.t BETWEEN p.lo AND p.hi
+             |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin.replace('\n', ' '))),
+
     // ---- SAMPLE BY weight LIMIT n (seeded; not SQL-expressible -> rows-only)
     "q_sample_weighted" -> Q(
       (s, dir) => {

@@ -80,6 +80,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("graft-index-cache"), p)
   }
 
+  test("range join and as-of join never plan a nested loop") {
+    Seq("q_range_join", "q_asof_join").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+  }
+
   test("count(*) answers from parquet metadata (no full column read)") {
     val df = graft.sources.Tables(spark, dir, "lineitem").groupBy().count()
     val p = df.queryExecution.executedPlan.toString
