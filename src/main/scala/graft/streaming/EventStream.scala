@@ -75,6 +75,28 @@ object EventStream {
     events.withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Stream-stream event-time interval join: clicks landing within
+    * `window` after a purchase by the same user. Both sides carry
+    * watermarks so Spark bounds the join state: a purchase can stop
+    * waiting for clicks once the click watermark passes its upper bound,
+    * and vice versa — the streaming twin of the batch RangeJoin
+    * (q_range_join), and the SAME code executes on batch frames (the
+    * spec checks stream == batch). */
+  def purchaseClickJoin(clicks: DataFrame, purchases: DataFrame,
+      window: String = "1 hour"): DataFrame = {
+    val c = clicks.withWatermark("ts", "1 hour")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+    val p = purchases.withWatermark("ts", "2 hours")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+    c.join(p,
+        col("c_user") === col("p_user") &&
+        col("c_ts") >= col("p_ts") &&
+        col("c_ts") <= col("p_ts") + expr(s"interval $window"), "inner")
+      .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"))
+  }
+
   /** input/state/output rows for the custom-state profile operator */
   final case class EventRow(user_id: Long, event_type: String, value: Double, ts_us: Long)
   final case class UserState(n: Long, total: Double, lastTs: Long, types: Seq[String])

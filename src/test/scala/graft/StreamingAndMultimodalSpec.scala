@@ -110,6 +110,24 @@ class StreamingAndMultimodalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the batch computation exactly") {
+    def sides(src: org.apache.spark.sql.DataFrame) = (
+      src.filter(col("event_type") === "click"),
+      src.filter(col("event_type") === "purchase"))
+    val (sc, sp) = sides(EventStream.readEvents(spark, dir))
+    val q = EventStream.runToMemorySink(
+      EventStream.purchaseClickJoin(sc, sp), "stream_rjoin", "append")
+    try {
+      val streamed = spark.table("stream_rjoin")
+        .orderBy("purchase_id", "click_id").collect()
+      val (bc, bp) = sides(graft.sources.Tables(spark, dir, "events"))
+      val batch = EventStream.purchaseClickJoin(bc, bp)
+        .orderBy("purchase_id", "click_id").collect()
+      assert(batch.nonEmpty)
+      assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
+    } finally q.stop()
+  }
+
   test("multimodal: real header parsing extracts format + dimensions from bytes") {
     def png(w: Int, h: Int): Array[Byte] = {
       val b = new java.io.ByteArrayOutputStream()
