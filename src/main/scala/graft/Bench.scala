@@ -12,6 +12,22 @@ import org.apache.spark.sql.SparkSession
   *    output columns and under-report)
   *  - one warm-up action first so JVM/codegen/session startup is not
   *    billed to the first query
+  *
+  * Validity notes (this host has documented multi-minute degradation
+  * windows where identical queries swing 0.7s <-> 30s):
+  *  - a cheap fixed-shape sentinel is timed at run start, after the
+  *    headline block, and at run end; if max/min sentinel time > 3x
+  *    the run stamps "degraded":true in the JSON so the artifact
+  *    self-discloses that its numbers are untrustworthy
+  *  - if degradation is detected right after the headline block, the
+  *    run pauses and re-measures the headline block once; the cleaner
+  *    pass (by sentinel ratio) is reported
+  *  - headline queries are measured with >=3 reps and report the
+  *    MEDIAN; they are exempt from the bench budget so the per-query
+  *    numbers the harness records are always present (reps 2..n are
+  *    the only part of the headline block a blown budget may skip)
+  *  - only the non-headline tail is budget-skippable, and the JSON
+  *    separates "skipped" (budget) from unknown headline names
   */
 object Headline {
   /** the per-query numbers the harness records in BENCH_r{N}.json */
@@ -25,6 +41,13 @@ object Headline {
 }
 
 object Bench {
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.isEmpty) 0.0
+    else if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
+
   def main(args: Array[String]): Unit = {
     graft.core.FastLocalDir.install()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -99,57 +122,123 @@ object Bench {
       phase("warm pass done")
     }
 
-    // Hard wall-clock budget for the measured loop: the JSON line must be
-    // emitted even on a degraded host — a partially-measured bench (with
-    // the skip count disclosed) beats a timeout that reports nothing.
-    // Headline queries run first so the per-query numbers the harness
-    // records are always present.
-    val benchBudgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "330").toInt
-    val loop0 = System.nanoTime()
-    val measureOrder = SparkEntry.queries.toSeq.sortBy { case (n, _) =>
-      (!Headline.names.contains(n), n)
+    // names in the headline list that don't exist in SparkEntry.queries —
+    // a genuinely stale list, reported separately from budget skips
+    val known = SparkEntry.queries.keySet
+    val unknownHeadliners = Headline.names -- known
+    if (unknownHeadliners.nonEmpty)
+      System.err.println(
+        s"[bench] WARNING: headline names not in SparkEntry.queries (stale list): ${unknownHeadliners.mkString(",")}")
+    val headlineNames = (Headline.names & known).toSeq.sorted
+    val tailNames = (known -- Headline.names).toSeq.sorted
+
+    def run1(name: String): Double = {
+      // drop persisted frames from the previous query: leftover cache
+      // blocks from 100+ earlier queries otherwise evict-churn the block
+      // manager and couple one query's timing to another's footprint
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      try SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
+      (System.nanoTime() - t0) / 1e9
     }
-    val results = measureOrder.flatMap { case (name, fn) =>
-      if ((System.nanoTime() - loop0) / 1e9 > benchBudgetSec) None
-      else {
-        // drop persisted frames from the previous query: leftover cache
-        // blocks from 100+ earlier queries otherwise evict-churn the block
-        // manager and couple one query's timing to another's footprint
-        spark.catalog.clearCache()
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+
+    // host-health sentinel: a fixed cheap scan-agg shape, median of 3 —
+    // it measures the machine, not the library, so any large swing
+    // between checkpoints flags the whole run as untrustworthy
+    val sentinelDf = graft.sources.Tables(spark, sfDir, "lineitem")
+    def sentinel(): Double = median((1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      sentinelDf.groupBy("l_returnflag").count()
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    })
+
+    val benchBudgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "330").toInt
+    val headReps = sys.env.getOrElse("SPARK_GRAFT_HEAD_REPS", "3").toInt
+    val loop0 = System.nanoTime()
+    def elapsed(): Double = (System.nanoTime() - loop0) / 1e9
+
+    // Headline block: rep 1 is unconditional (per-query numbers must
+    // always be present); reps 2..n refine the median while the budget
+    // allows. Returns (per-query medians, sentinel-after).
+    def headlinePass(): (Map[String, Double], Double) = {
+      val reps = headlineNames.map { n => n -> scala.collection.mutable.ArrayBuffer(run1(n)) }.toMap
+      (2 to headReps).foreach { _ =>
+        headlineNames.foreach { n =>
+          if (elapsed() < benchBudgetSec) reps(n) += run1(n)
         }
-        Some(name -> (System.nanoTime() - t0) / 1e9)
+      }
+      val meds = reps.map { case (n, ts) => n -> median(ts.toSeq) }
+      (meds, sentinel())
+    }
+
+    // three unmeasured sentinel runs so codegen compile + JIT warmup on
+    // the sentinel shape aren't billed to the first measured checkpoint
+    // (a slow-looking start sentinel would be indistinguishable from a
+    // host degradation window)
+    (1 to 3).foreach { _ =>
+      sentinelDf.groupBy("l_returnflag").count()
+        .write.format("noop").mode("overwrite").save()
+    }
+    val sentinelStart = sentinel()
+    phase(f"sentinel start: $sentinelStart%.2fs")
+    var (headMedians, sentinelMid) = headlinePass()
+    phase(f"headline pass done; sentinel: $sentinelMid%.2fs")
+    var sentinels = Seq(sentinelStart, sentinelMid)
+    def ratio(xs: Seq[Double]): Double = xs.max / math.max(xs.min, 1e-9)
+    // degradation right after the headline block: pause, let the host
+    // window pass, and re-measure the headline block once
+    if (ratio(sentinels) > 3.0 && elapsed() < benchBudgetSec) {
+      System.err.println(
+        f"[bench] sentinel drift ${ratio(sentinels)}%.1fx after headline block — pausing 20s and retrying once")
+      Thread.sleep(20000)
+      val s = sentinel()
+      if (s / math.max(math.min(sentinelStart, s), 1e-9) < 3.0) {
+        val (h2, s2) = headlinePass()
+        headMedians = h2
+        sentinels = Seq(s, s2)
+        phase(f"headline retry done; sentinel: $s2%.2fs")
       }
     }
-    val nSkipped = SparkEntry.queries.size - results.size
-    if (nSkipped > 0)
-      System.err.println(s"[bench] bench budget (${benchBudgetSec}s) hit; $nSkipped queries unmeasured")
-    phase("measured loop done")
+
+    // non-headline tail: single rep, budget-skippable
+    val tailResults = tailNames.flatMap { n =>
+      if (elapsed() > benchBudgetSec) None else Some(n -> run1(n))
+    }
+    val budgetSkipped = tailNames.size - tailResults.size
+    if (budgetSkipped > 0)
+      System.err.println(s"[bench] bench budget (${benchBudgetSec}s) hit; $budgetSkipped tail queries unmeasured (budget, not stale list)")
+    val sentinelEnd = sentinel()
+    sentinels = sentinels :+ sentinelEnd
+    val degraded = ratio(sentinels) > 3.0
+    phase(f"measured loop done; sentinel end: $sentinelEnd%.2fs degraded=$degraded")
+
+    val results = headMedians.toSeq ++ tailResults
     // Per-query detail goes to stderr (full suite); the single stdout JSON
     // line carries the total plus a headline subset only — the driver's
     // output-capture window is finite and a 100-entry map overflows it,
     // leaving the line unparseable.
-    val headline = Headline.names
-    System.err.println("[bench] per-query seconds: " + results
+    System.err.println("[bench] per-query seconds: " + results.sortBy(_._1)
       .map { case (k, v) => f"$k=$v%.3f" }.mkString(" "))
-    val drift = headline -- results.map(_._1).toSet
-    if (drift.nonEmpty)
-      System.err.println(
-        s"[bench] WARNING: headline names missing from query set (stale list?): ${drift.mkString(",")}")
-    val qs = results.filter(r => headline.contains(r._1))
+    val qs = headMedians.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    // total = one number per query (headline medians + tail singles) so
+    // cross-round totals stay comparable to a full single-rep run
     val total = results.map(_._2).sum
-    val meta = s""""measured":${results.size},"skipped":$nSkipped"""
+    val sentinelJson = sentinels.map(s => f"$s%.3f").mkString("[", ",", "]")
+    val meta =
+      s""""measured":${results.size},"skipped":$budgetSkipped,"unknown_headliners":${unknownHeadliners.size},""" +
+        s""""degraded":$degraded,"sentinel_sec":$sentinelJson,"head_reps":$headReps"""
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec",$meta,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // stdout under sbt arrives prefixed with "[info] " and never parses —
     // the machine-readable copy (with the FULL per-query map) goes to a file
-    val fullQs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val fullQs = results.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val fullLine =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec",$meta,"queries":$fullQs,"sf":"$sfDir"}"""

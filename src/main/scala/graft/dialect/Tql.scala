@@ -250,16 +250,24 @@ object Tql {
     // k ids replaces ranking the whole corpus; the ORDER/LIMIT below then
     // orders only the candidates, so schema and tiebreak semantics are
     // unchanged (result is approximate exactly like the reference's
-    // index route). Conservatively skipped when WHERE/joins/grouping
-    // would have to compose into the index search.
+    // index route). A WHERE clause composes into the search as a
+    // candidate pre-filter (the reference runs index queries against a
+    // filter bitmap — `cpp/query_core/index_holder.hpp:33`): ids
+    // surviving the filter gate the assignment scan, and the search
+    // adaptively widens its cluster probe when the filter starves the
+    // candidate pool. Joins/grouping still disable the route.
     if (indexRoutingEnabled.get()) annTopKRoute(sel, params).foreach { case (vecCol, qVec, k) =>
       sel.from match {
         case ast.TableRef(tname, _) =>
           graft.operators.AnnIndex.Catalog.lookup(tname, vecCol).foreach { entry =>
             import spark.implicits._
             val qdf = Seq((0, qVec)).toDF("qid", "q_vec")
+            val filterIds = sel.where.map { w =>
+              env.df.filter(expr(env, w, params)).select(col(entry.idCol).as("id"))
+            }
             val cand = graft.operators.AnnIndex
-              .search(entry.index, qdf, "qid", "q_vec", k, entry.config)
+              .search(entry.index, qdf, "qid", "q_vec", k, entry.config,
+                idFilter = filterIds)
               .select(col("id").as("__ann_cand_id"))
             env = env.copy(df = env.df.join(broadcast(cand),
               env.df(entry.idCol) === col("__ann_cand_id"), "left_semi"))
@@ -418,15 +426,20 @@ object Tql {
     sEnv.df.select(outCols: _*)
   }
 
-  /** Detect the indexed-top-k shape: single-statement, no WHERE / joins /
+  /** Detect the indexed-top-k shape: single-statement, no joins /
     * grouping / sampling, primary ORDER key `COSINE_SIMILARITY(col,
     * const-vector)` DESC (directly or via a SELECT alias), plain LIMIT k.
+    * A WHERE clause is allowed (it becomes the search's id pre-filter)
+    * unless it uses ROW_NUMBER (stamped after routing) or RANDOM
+    * (recomputing it for the filter frame would see different draws).
     * Returns (vector column, query vector, k). */
   private def annTopKRoute(sel: ast.Select,
       params: Seq[Any]): Option[(String, Seq[Double], Int)] = {
-    if (sel.joins.nonEmpty || sel.where.nonEmpty || sel.groupBy.nonEmpty ||
+    if (sel.joins.nonEmpty || sel.groupBy.nonEmpty ||
         sel.ungroup.nonEmpty || sel.sampleBy.nonEmpty || sel.expand.nonEmpty ||
         sel.offset.nonEmpty || sel.orderBy.isEmpty || sel.orderBy.head.asc)
+      return None
+    if (sel.where.exists(w => usesFn(w, "ROW_NUMBER") || usesFn(w, "RANDOM")))
       return None
     val k = sel.limit match {
       case Some((e, false)) => evalInt(e, params)

@@ -141,50 +141,112 @@ object AnnIndex {
     index.copy(assignments = index.assignments.unionByName(assigned))
   }
 
+  /** Two-phase per-query top-n (same pattern as
+    * SimilaritySearch.bruteForceTopK): local top-n inside each input
+    * partition, then global top-n over the n×numPartitions survivors —
+    * no single reducer ever ranks one query's whole candidate set.
+    * Output carries a 1-based `rank` column. */
+  private def topNPerQuery(scored: DataFrame, ord: Seq[Column], n: Int): DataFrame = {
+    val local = scored
+      .withColumn("__p", spark_partition_id())
+      .withColumn("__lr", row_number().over(
+        Window.partitionBy(col("qid"), col("__p")).orderBy(ord: _*)))
+      .filter(col("__lr") <= n)
+      .drop("__p", "__lr")
+    local
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(ord: _*)))
+      .filter(col("rank") <= n)
+  }
+
   /** Top-k approximate neighbors per query via cluster pruning + rerank.
     * Queries broadcast; corpus touched only in probed clusters. On a
     * quantized index the int8 score gates the pool to `k *
-    * accuracyFactor` candidates per query before the exact rerank. */
+    * accuracyFactor` candidates per query before the exact rerank.
+    *
+    * `idFilter` composes a WHERE pre-filter into the index search (the
+    * reference runs index queries against a filter bitmap —
+    * `cpp/query_core/index_holder.hpp:33` run_query(..., roaring filter);
+    * `cpp/query_core/top_k_search_info.hpp:17-44` carries filter_expr):
+    * only ids present in the frame's first column are candidates. A
+    * selective filter starves probed clusters, so the initial probe
+    * count is scaled by 1/selectivity (same expected candidate count as
+    * the unfiltered search) and then adaptively doubled until every
+    * query has min(k, survivors) results or all clusters are probed.
+    * The adaptive loop runs driver-side actions, so a filtered search
+    * is eager where an unfiltered one is lazy. */
   def search(index: Index, queries: DataFrame, qIdCol: String, qVecCol: String,
-      k: Int, config: SearchConfig = SearchConfig()): DataFrame = {
-    val nProbe = math.max(1, math.min(index.nClusters,
-      math.ceil(math.sqrt(index.nClusters.toDouble) * config.clusterSearchFactor).toInt))
+      k: Int, config: SearchConfig = SearchConfig(),
+      idFilter: Option[DataFrame] = None): DataFrame = {
     val q = queries.select(col(qIdCol).as("qid"), col(qVecCol).as("q_vec"))
-    // rank clusters per query over the broadcast centroid table
-    val probed = q.crossJoin(broadcast(index.centroids))
-      .withColumn("c_rank", row_number().over(
-        Window.partitionBy(col("qid"))
-          .orderBy(gf.cosine_similarity(col("q_vec"), col("centroid")).desc,
-            col("cluster_id"))))
-      .filter(col("c_rank") <= nProbe)
-      .select(col("qid"), col("q_vec"), col("cluster_id"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("score").desc, col("id"))
-    if (!index.quantized) {
-      // plain Clustered: every candidate in a probed cluster is scored
-      // exactly — accuracyFactor has nothing left to widen here
-      probed.join(index.assignments, "cluster_id")
-        .select(col("qid"), col("id"),
-          gf.cosine_similarity(col("vec"), col("q_vec")).as("score"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= k)
-    } else {
-      // ClusteredQuantized: stage 1 scores the int8 form (1/4 the bytes,
-      // same codegen kernel) and keeps top rerankPool per query; stage 2
-      // exact-reranks only those survivors
-      val rerankPool = k * math.max(1, config.accuracyFactor)
-      val wq = Window.partitionBy(col("qid"))
-        .orderBy(col("score_q").desc, col("id"))
-      probed.withColumn("q_vec_q", quantizeVec(col("q_vec")))
-        .join(index.assignments, "cluster_id")
-        .select(col("qid"), col("id"), col("vec"), col("q_vec"),
-          gf.cosine_similarity(col("vec_q"), col("q_vec_q")).as("score_q"))
-        .withColumn("rank_q", row_number().over(wq))
-        .filter(col("rank_q") <= rerankPool)
-        .select(col("qid"), col("id"),
-          gf.cosine_similarity(col("vec"), col("q_vec")).as("score"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= k)
+    val assignBase = idFilter match {
+      case Some(ids) =>
+        val f = ids.select(col(ids.columns.head).as("id")).distinct()
+        index.assignments.join(f, Seq("id"), "left_semi")
+      case None => index.assignments
+    }
+    val nProbe0 = math.max(1, math.min(index.nClusters,
+      math.ceil(math.sqrt(index.nClusters.toDouble) * config.clusterSearchFactor).toInt))
+
+    def once(nProbe: Int): DataFrame = {
+      // rank clusters per query over the broadcast centroid table
+      val probed = q.crossJoin(broadcast(index.centroids))
+        .withColumn("c_rank", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(gf.cosine_similarity(col("q_vec"), col("centroid")).desc,
+              col("cluster_id"))))
+        .filter(col("c_rank") <= nProbe)
+        .select(col("qid"), col("q_vec"), col("cluster_id"))
+      if (!index.quantized) {
+        // plain Clustered: every candidate in a probed cluster is scored
+        // exactly — accuracyFactor has nothing left to widen here
+        val scored = probed.join(assignBase, "cluster_id")
+          .select(col("qid"), col("id"),
+            gf.cosine_similarity(col("vec"), col("q_vec")).as("score"))
+        topNPerQuery(scored, Seq(col("score").desc, col("id")), k)
+      } else {
+        // ClusteredQuantized: stage 1 scores the int8 form (1/4 the bytes,
+        // same codegen kernel) and keeps top rerankPool per query; stage 2
+        // exact-reranks only those survivors. The stage-1 gate is itself
+        // two-phase, so no reducer sees all probed candidates of a query.
+        val rerankPool = k * math.max(1, config.accuracyFactor)
+        val gated = topNPerQuery(
+          probed.withColumn("q_vec_q", quantizeVec(col("q_vec")))
+            .join(assignBase, "cluster_id")
+            .select(col("qid"), col("id"), col("vec"), col("q_vec"),
+              gf.cosine_similarity(col("vec_q"), col("q_vec_q")).as("score_q")),
+          Seq(col("score_q").desc, col("id")), rerankPool)
+          .drop("rank")
+        // survivors are <= rerankPool per query, so this global window
+        // ranks a small bounded set, not the probed clusters
+        gated.select(col("qid"), col("id"),
+            gf.cosine_similarity(col("vec"), col("q_vec")).as("score"))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy(col("qid")).orderBy(col("score").desc, col("id"))))
+          .filter(col("rank") <= k)
+      }
+    }
+
+    idFilter match {
+      case None => once(nProbe0)
+      case Some(_) =>
+        val total = math.max(1L, index.assignments.count())
+        val avail = assignBase.count()
+        val selectivity = math.max(avail.toDouble / total, 1.0 / index.nClusters)
+        var nProbe = math.min(index.nClusters,
+          math.ceil(nProbe0 / selectivity).toInt)
+        val want = math.min(k.toLong, avail)
+        val nQueries = q.count()
+        var res = once(nProbe)
+        var done = nProbe >= index.nClusters || want == 0
+        while (!done) {
+          val counts = res.groupBy("qid").count().collect()
+          val deficient = counts.length < nQueries ||
+            counts.exists(_.getLong(1) < want)
+          if (!deficient || nProbe >= index.nClusters) done = true
+          else { nProbe = math.min(index.nClusters, nProbe * 2); res = once(nProbe) }
+        }
+        res
     }
   }
 

@@ -58,6 +58,26 @@ object AnnQueries extends QueryModule {
       None,
       doc = "dialect-routed indexed top-k: broadcast candidate semi-join, no full-corpus ranking"),
 
+    // WHERE composes into the index search as a candidate pre-filter
+    // (reference runs index queries against a filter bitmap,
+    // `cpp/query_core/index_holder.hpp:33`): only filter survivors are
+    // candidates, and the probe widens adaptively when the filter
+    // starves a cluster
+    "q_tql_ann_filtered" -> Q(
+      (s, dir) => {
+        AnnIndex.Catalog.register("embeddings", "embedding", "vec_id",
+          IndexStore.ann(s, dir))
+        val qv = table(s, dir, "embeddings").filter(col("vec_id") === 0)
+          .select(col("embedding")).collect()(0).getSeq[Float](0)
+        val arr = qv.mkString("ARRAY[", ", ", "]")
+        graft.dialect.Tql.query(s, dir,
+          s"""SELECT vec_id, ROUND(COSINE_SIMILARITY(embedding, $arr), 6) AS score
+             |FROM embeddings WHERE vec_id % 5 == 0
+             |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin)
+      },
+      None,
+      doc = "filtered indexed top-k: WHERE gates the index probe, nProbe widens adaptively"),
+
     "q_vec_ann_high_accuracy" -> Q(
       (s, dir) => {
         val idx = IndexStore.annQuantized(s, dir)

@@ -49,6 +49,42 @@ class AnnSpec extends AnyFunSuite {
     assert(r >= 0.9, s"quantized recall@10 = $r")
   }
 
+  test("filtered search recall@10 >= 0.9 under a 20%-selective filter") {
+    // WHERE composition (reference index_holder.hpp:33 run_query over a
+    // filter bitmap): candidates come only from filter survivors, and
+    // the probe widens by 1/selectivity so recall doesn't collapse
+    val queries = emb.filter(col("vec_id") < 10)
+    val keep = emb.filter(col("vec_id") % 5 === 0)
+    val exact = graft.operators.SimilaritySearch.bruteForceTopK(
+        keep, "vec_id", "embedding", queries, "vec_id", "embedding", 10)
+      .select(col("qid"), col("id"))
+    val idx = AnnIndex.build(emb, "vec_id", "embedding", nClusters = 16)
+    val approx = AnnIndex.search(idx, queries, "vec_id", "embedding", 10,
+        idFilter = Some(keep.select(col("vec_id"))))
+      .select(col("qid"), col("id"))
+    val r = exact.intersect(approx).count().toDouble / exact.count().toDouble
+    assert(r >= 0.9, s"filtered recall@10 = $r")
+    // nothing outside the filter leaks into the result
+    val badIds = approx.filter(col("id") % 5 =!= 0).count()
+    assert(badIds === 0)
+  }
+
+  test("filtered search widens the probe when the filter starves clusters") {
+    // a filter keeping only 12 rows (< corpus/nClusters) cannot fill
+    // k=10 from sqrt(16)=4 probed clusters without adaptive widening
+    val queries = emb.filter(col("vec_id") < 3)
+    val keep = emb.filter(col("vec_id") % 83 === 0)
+    val nKeep = keep.count()
+    val idx = AnnIndex.build(emb, "vec_id", "embedding", nClusters = 16)
+    val res = AnnIndex.search(idx, queries, "vec_id", "embedding", 10,
+      idFilter = Some(keep.select(col("vec_id"))))
+    val counts = res.groupBy("qid").count().collect()
+    assert(counts.length === 3)
+    // every query returns min(k, survivors) rows — the probe reached
+    // every cluster the survivors live in
+    counts.foreach(r => assert(r.getLong(1) === math.min(10L, nKeep), r.toString))
+  }
+
   test("search returns exactly k ranked rows per query") {
     val idx = AnnIndex.build(emb, "vec_id", "embedding", nClusters = 8)
     val res = AnnIndex.search(idx, emb.filter(col("vec_id") === 0), "vec_id", "embedding", 5)

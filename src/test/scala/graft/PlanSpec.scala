@@ -88,6 +88,17 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("ann search top-k is two-phase (no single-reducer per-query window over probed candidates)") {
+    // the candidate-ranking window must partition by (qid, input
+    // partition) first — a window on qid alone would funnel every
+    // candidate of all probed clusters for a query through one task
+    Seq("q_vec_ann_topk", "q_vec_ann_quantized").foreach { q =>
+      val p = planOf(q)
+      assert(p.contains("spark_partition_id") || p.contains("SPARK_PARTITION_ID"),
+        s"$q: candidate ranking lacks the per-partition local phase\n$p")
+    }
+  }
+
   test("count(*) answers from parquet metadata (no full column read)") {
     val df = graft.sources.Tables(spark, dir, "lineitem").groupBy().count()
     val p = df.queryExecution.executedPlan.toString

@@ -310,6 +310,38 @@ class TqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("queryDataset"))
   }
 
+  test("ANN route composes with a WHERE pre-filter (index_holder.hpp:33)") {
+    import graft.operators.AnnIndex
+    val emb = tbl("embeddings")
+    val idx = AnnIndex.build(emb, "vec_id", "embedding", 8)
+    AnnIndex.Catalog.register("embeddings", "embedding", "vec_id", idx)
+    try {
+      val qv = emb.filter(col("vec_id") === 0).select(col("embedding"))
+        .collect()(0).getSeq[Float](0).map(_.toDouble)
+      val arr = qv.mkString("ARRAY[", ", ", "]")
+      val sql = s"""SELECT vec_id, ROUND(COSINE_SIMILARITY(embedding, $arr), 6) AS score
+                   |FROM embeddings WHERE vec_id % 5 == 0
+                   |ORDER BY score DESC LIMIT 5""".stripMargin
+      val routed = Tql.query(spark, dir, sql)
+      // the route fired even with WHERE present: candidate semi-join in plan
+      assert(routed.queryExecution.executedPlan.toString.contains("LeftSemi"),
+        routed.queryExecution.executedPlan.toString)
+      val rows = routed.collect()
+      assert(rows.length === 5)
+      // every result satisfies the predicate (filter gated the probe AND
+      // still applies downstream)
+      assert(rows.forall(_.getLong(0) % 5 === 0), rows.mkString(","))
+      // identical to the direct filtered index search
+      val spark2 = spark
+      import spark2.implicits._
+      val direct = AnnIndex.search(idx,
+          Seq((0, qv)).toDF("qid", "q_vec"), "qid", "q_vec", 5,
+          idFilter = Some(emb.filter(col("vec_id") % 5 === 0).select(col("vec_id"))))
+        .select(col("id")).collect().map(_.getLong(0)).toSet
+      assert(rows.map(_.getLong(0)).toSet === direct)
+    } finally AnnIndex.Catalog.clear()
+  }
+
   test("explainQuery returns formatted plan + JSON tree without executing (pyi:837)") {
     val ex = Tql.explainQuery(spark, dir,
       "SELECT l_orderkey, l_quantity FROM lineitem WHERE l_quantity > 45")
