@@ -24,35 +24,46 @@ import org.apache.spark.sql.functions._
   * (duplicate right timestamps make "the" as-of row ambiguous in any
   * engine). Inner semantics: left rows with no earlier right row drop;
   * pass `keepUnmatched = true` for the left-outer form.
+  *
+  * The carried state is the whole right row packed as a struct, not the
+  * individual value columns: a right row whose value column is genuinely
+  * NULL still *matches* (the left row gets that NULL, exactly like
+  * DuckDB ASOF) instead of the window reaching past it to an older
+  * non-null value. `rightValueCols` must be disjoint from the left
+  * frame's columns — a collision would yield duplicate output names.
   */
 object AsOfJoin {
 
   def asOf(left: DataFrame, right: DataFrame, keyCol: String, timeCol: String,
       rightValueCols: Seq[String], keepUnmatched: Boolean = false): DataFrame = {
     val leftCols = left.columns.toSeq
+    val leftCarry = leftCols.filterNot(c => c == keyCol || c == timeCol)
+    val collisions = rightValueCols.intersect(leftCols)
+    require(collisions.isEmpty,
+      s"rightValueCols collide with left columns: ${collisions.mkString(", ")}")
+    // the most recent right ROW travels as one nullable struct: non-null
+    // whenever a right row exists, even if every value inside is NULL
+    val payloadType = org.apache.spark.sql.types.StructType(
+      rightValueCols.map(c => right.schema(c)))
     val l = left
       .withColumn("__side", lit(1))
       .select(Seq(col(keyCol), col(timeCol), col("__side")) ++
-        leftCols.filterNot(c => c == keyCol || c == timeCol).map(col) ++
-        rightValueCols.map(c => lit(null).cast(
-          right.schema(c).dataType).as(s"__r_$c")): _*)
+        leftCarry.map(col) :+
+        lit(null).cast(payloadType).as("__r_payload"): _*)
     val r = right
       .withColumn("__side", lit(0))
       .select(Seq(col(keyCol), col(timeCol), col("__side")) ++
-        leftCols.filterNot(c => c == keyCol || c == timeCol)
-          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightValueCols.map(c => col(c).as(s"__r_$c")): _*)
+        leftCarry.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(rightValueCols.map(col): _*).as("__r_payload"): _*)
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(timeCol), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = l.unionByName(r)
-      .select(Seq(col(keyCol), col(timeCol), col("__side")) ++
-        leftCols.filterNot(c => c == keyCol || c == timeCol).map(col) ++
-        rightValueCols.map(c =>
-          last(col(s"__r_$c"), ignoreNulls = true).over(w).as(c)): _*)
+      .withColumn("__r", last(col("__r_payload"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .drop("__side")
-    if (keepUnmatched) carried
-    else carried.filter(rightValueCols.map(c => col(c).isNotNull).reduce(_ && _))
+    val matched = if (keepUnmatched) carried else carried.filter(col("__r").isNotNull)
+    matched.select(Seq(col(keyCol), col(timeCol)) ++
+      leftCarry.map(col) ++
+      rightValueCols.map(c => col("__r").getField(c).as(c)): _*)
   }
 }

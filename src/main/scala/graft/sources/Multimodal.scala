@@ -7,13 +7,13 @@ import org.apache.spark.sql.DataFrame
   * are binary payloads + typed metadata over physical columns;
   * `cpp/deeplake_core/type.hpp:43-63`, `types.pyi:1011` Image).
   *
-  * The PIXEL decode kernel is STUBBED (this container ships no image
-  * codecs — see decodeImages) with a deterministic byte-derived fake, but
-  * everything around it is real and tested: binary payload column,
-  * per-partition batch decode via Dataset.mapPartitions (the Scala analog
-  * of mapInPandas batch UDFs), fixed output schema, column-metadata tags —
-  * and [[imageInfo]]'s container-header parsing (format detection +
-  * dimensions for PNG/JPEG/GIF/BMP) needs no codec and is NOT stubbed.
+  * Pixel decode is REAL: [[decodeImages]] reads PNG/JPEG/GIF/BMP through
+  * the JDK's built-in `javax.imageio` (no external codec library), as a
+  * per-partition batch via Dataset.mapPartitions (the Scala analog of
+  * mapInPandas batch UDFs; reference codec layer:
+  * `cpp/codecs/compression.hpp`). [[imageInfo]] additionally parses
+  * container headers directly (format detection + dimensions) without
+  * instantiating pixels — the metadata fast path.
   */
 object Multimodal {
 
@@ -30,24 +30,70 @@ object Multimodal {
     df.withColumn(payloadCol, col(srcCol).cast("binary").as(payloadCol, meta))
   }
 
-  /** STUB decode ??? -> deterministic fake: an 8x8 single-channel image
-    * whose pixels are payload bytes scaled to [0,1]. A real deployment
-    * swaps the body for an actual codec (e.g. TwelveMonkeys/JavaCV on the
-    * executor classpath); the partitioning, schema and batch shape stay
-    * exactly as tested here. */
+  /** REAL pixel decode via the JDK's built-in `javax.imageio`
+    * (PNG/JPEG/GIF/BMP/WBMP — no external codec library required).
+    * Pixels come out channel-interleaved, row-major, scaled to [0,1] by
+    * the sample bit depth; palette (indexed-color) images are expanded
+    * to 3-channel RGB. Payloads ImageIO cannot decode yield
+    * (width=-1, height=-1, channels=0, pixels=[]) rather than failing
+    * the whole batch — a corrupt sample in a 100-TB corpus must not
+    * kill the job. */
   def decodeImages(df: DataFrame, idCol: String, payloadCol: String = "payload"): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long").as("id"), col(payloadCol).as("payload"))
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, bytes) =>
-        val side = 8
-        val px = Array.tabulate(side * side) { i =>
-          if (bytes.isEmpty) 0f else (bytes(i % bytes.length) & 0xFF) / 255.0f
-        }
-        DecodedImage(id, side, side, 1, px)
-      })
+      .mapPartitions(_.map { case (id, bytes) => decodeOne(id, bytes) })
       .toDF()
+  }
+
+  private[graft] def decodeOne(id: Long, bytes: Array[Byte]): DecodedImage = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null) DecodedImage(id, -1, -1, 0, Array.empty[Float])
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      if (img.getColorModel.isInstanceOf[java.awt.image.IndexColorModel]) {
+        // palette image: raster samples are palette INDICES, not colors —
+        // expand through the color model to RGB
+        val px = new Array[Float](w * h * 3)
+        var y = 0
+        var i = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            px(i) = ((rgb >> 16) & 0xFF) / 255.0f
+            px(i + 1) = ((rgb >> 8) & 0xFF) / 255.0f
+            px(i + 2) = (rgb & 0xFF) / 255.0f
+            i += 3
+            x += 1
+          }
+          y += 1
+        }
+        DecodedImage(id, w, h, 3, px)
+      } else {
+        val raster = img.getRaster
+        val c = raster.getNumBands
+        // getPixels returns samples in band order (R,G,B[,A] even for
+        // BGR-stored images); normalize by the band's bit depth so
+        // 16-bit PNGs also land in [0,1]
+        val maxSample = ((1L << raster.getSampleModel.getSampleSize(0)) - 1).toFloat
+        val row = new Array[Int](w * c)
+        val px = new Array[Float](w * h * c)
+        var y = 0
+        var i = 0
+        while (y < h) {
+          raster.getPixels(0, y, w, 1, row)
+          var j = 0
+          while (j < w * c) { px(i) = row(j) / maxSample; i += 1; j += 1 }
+          y += 1
+        }
+        DecodedImage(id, w, h, c, px)
+      }
+    }
   }
 
   /** parsed container metadata: REAL (not stubbed) — format detection and
@@ -95,8 +141,11 @@ object Multimodal {
         else {
           val m = u8(b, i + 1)
           val isSof = m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC
-          if (isSof) { res = ("jpeg", be16(b, i + 7), be16(b, i + 5)); done = true }
-          else if (m == 0xD8 || (m >= 0xD0 && m <= 0xD9) || m == 0xFF) i += 2
+          if (m == 0xFF) i += 1 // fill byte: 0xFF pads until the real marker
+          else if (isSof) { res = ("jpeg", be16(b, i + 7), be16(b, i + 5)); done = true }
+          else if (m == 0xD9) done = true // EOI with no frame seen
+          else if (m == 0x00) i += 2 // stuffed literal 0xFF in entropy data
+          else if (m == 0xD8 || (m >= 0xD0 && m <= 0xD7) || m == 0x01) i += 2 // standalone
           else i += 2 + be16(b, i + 2)
         }
       }
@@ -109,14 +158,19 @@ object Multimodal {
     else ("unknown", -1, -1)
   }
 
-  /** nearest-neighbor resize on a decoded image (pure Column math) */
+  /** nearest-neighbor resize on a decoded image (pure Column math over
+    * the channel-interleaved pixel layout) */
   def resize(decoded: DataFrame, newW: Int, newH: Int): DataFrame =
     decoded.select(col("id"), lit(newW).as("width"), lit(newH).as("height"),
       col("channels"),
-      transform(sequence(lit(0), lit(newW * newH - 1)), k => {
-        val sy = floor(floor(k / newW) * col("height") / newH).cast("int")
-        val sx = floor((k % newW) * col("width") / newW).cast("int")
-        element_at(col("pixels"), (sy * col("width") + sx + 1).cast("int"))
+      transform(sequence(lit(0), lit(newW * newH) * col("channels") - 1), k => {
+        val c = col("channels")
+        val pix = floor(k / c).cast("int") // destination pixel index
+        val ch = k % c
+        val sy = floor(floor(pix / newW) * col("height") / newH).cast("int")
+        val sx = floor((pix % newW) * col("width") / newW).cast("int")
+        element_at(col("pixels"),
+          ((sy * col("width") + sx) * c + ch + 1).cast("int"))
       }).as("pixels"))
 
   /** feature extraction over decoded images: deterministic per-image

@@ -99,7 +99,7 @@ object EventStream {
 
   /** input/state/output rows for the custom-state profile operator */
   final case class EventRow(user_id: Long, event_type: String, value: Double, ts_us: Long)
-  final case class UserState(n: Long, total: Double, lastTs: Long, types: Seq[String])
+  final case class UserState(n: Long, total: BigDecimal, lastTs: Long, types: Seq[String])
   final case class UserProfile(user_id: Long, n_events: Long, total_value: Double,
       n_types: Int, last_ts_us: Long)
 
@@ -128,14 +128,18 @@ object EventStream {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[UserState, UserProfile](
         OutputMode.Update, GroupStateTimeout.NoTimeout) { (uid, rows, state) =>
-        val prev = state.getOption.getOrElse(UserState(0L, 0.0, Long.MinValue, Nil))
+        val prev = state.getOption.getOrElse(UserState(0L, BigDecimal(0), Long.MinValue, Nil))
+        // totals accumulate as exact BigDecimal (each double's shortest
+        // decimal form), so the fold is order-insensitive: a
+        // partition-iterator reorder can't flip round(total, 2) on a
+        // .005 boundary the way float addition order could
         val next = rows.foldLeft(prev) { (s, e) =>
-          UserState(s.n + 1, s.total + e.value, math.max(s.lastTs, e.ts_us),
+          UserState(s.n + 1, s.total + BigDecimal(e.value), math.max(s.lastTs, e.ts_us),
             if (s.types.contains(e.event_type)) s.types else s.types :+ e.event_type)
         }
         state.update(next)
         // HALF_UP to match SQL round(x, 2) on both engines
-        val rounded = BigDecimal(next.total)
+        val rounded = next.total
           .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
         Iterator(UserProfile(uid, next.n, rounded, next.types.size, next.lastTs))
       }

@@ -40,4 +40,31 @@ class AsOfJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(outer.length === 5)
     assert(outer(0).getString(2) === "a" && outer(0).isNullAt(3))
   }
+
+  test("a right row with a NULL value matches and yields NULL (DuckDB ASOF semantics)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val left = Seq(("u1", 12L, "x"), ("u1", 22L, "y")).toDF("k", "t", "tag")
+    // t=20 right row exists but its value is NULL: the t=22 left row must
+    // match IT (null result), not reach back to the t=10 value
+    val right = Seq(("u1", 10L, Some(1.0)), ("u1", 20L, None))
+      .toDF("k", "t", "v")
+    val inner = AsOfJoin.asOf(left, right, "k", "t", Seq("v"))
+      .orderBy("t").collect()
+    // both left rows matched a right ROW, so inner keeps both
+    assert(inner.length === 2)
+    assert(inner(0).getString(2) === "x" && inner(0).getDouble(3) === 1.0)
+    assert(inner(1).getString(2) === "y" && inner(1).isNullAt(3))
+  }
+
+  test("rightValueCols colliding with left columns are rejected") {
+    val spark2 = spark
+    import spark2.implicits._
+    val left = Seq(("u1", 1L, "x")).toDF("k", "t", "tag")
+    val right = Seq(("u1", 1L, "r")).toDF("k", "t", "tag")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(left, right, "k", "t", Seq("tag"))
+    }
+    assert(e.getMessage.contains("collide"))
+  }
 }

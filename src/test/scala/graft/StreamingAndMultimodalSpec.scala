@@ -147,6 +147,15 @@ class StreamingAndMultimodalSpec extends AnyFunSuite {
     assert(Multimodal.parseImageHeader(gif) === (("gif", 640, 480)))
     assert(Multimodal.parseImageHeader(bmp) === (("bmp", 640, 480)))
     assert(Multimodal.parseImageHeader("hello".getBytes) === (("unknown", -1, -1)))
+    // 0xFF fill bytes pad until the real marker: FF FF C0 must still
+    // find the SOF (advance-by-2 would land on C0 and desync)
+    val jpegFill = Array(0xFF, 0xD8, 0xFF, 0xFF, 0xC0, 0x00, 0x11, 0x08,
+      0x01, 0xE0, 0x02, 0x80, 0x03).map(_.toByte)
+    assert(Multimodal.parseImageHeader(jpegFill) === (("jpeg", 640, 480)))
+    // EOI terminates the walk (no frame header -> unknown dimensions)
+    val jpegEoi = Array(0xFF, 0xD8, 0xFF, 0xD9, 0xFF, 0xC0, 0x00, 0x11, 0x08,
+      0x01, 0xE0, 0x02, 0x80, 0x03).map(_.toByte)
+    assert(Multimodal.parseImageHeader(jpegEoi) === (("jpeg", -1, -1)))
 
     // and through the distributed path
     val spark2 = spark
@@ -157,43 +166,102 @@ class StreamingAndMultimodalSpec extends AnyFunSuite {
     assert(info(1).getString(1) === "unknown")
   }
 
-  test("multimodal: binary payload -> stub decode keeps schema and determinism") {
+  /** encode a deterministic w×h RGB test image with the given format
+    * through ImageIO (the spec's ground truth comes from reading the
+    * same bytes back on the driver) */
+  private def testImage(w: Int, h: Int, format: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((x * 37 + y) % 256 << 16) | ((y * 53 + x) % 256 << 8) | ((x * y + 7) % 256))
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, format, out), s"ImageIO can't write $format")
+    out.toByteArray
+  }
+
+  test("multimodal: real decode (javax.imageio) matches ImageIO ground truth pixel-for-pixel") {
+    val spark2 = spark
+    import spark2.implicits._
+    val pngBytes = testImage(6, 4, "png")
+    val bmpBytes = testImage(5, 3, "bmp")
+    val df = Seq((1L, pngBytes), (2L, bmpBytes), (3L, "not an image".getBytes))
+      .toDF("id", "payload")
+    val rows = Multimodal.decodeImages(df, "id").orderBy("id").collect()
+    assert(rows.length === 3)
+    // undecodable payload degrades to an empty row, never a task failure
+    assert(rows(2).getAs[Int]("width") === -1 &&
+      rows(2).getAs[scala.collection.Seq[Float]]("pixels").isEmpty)
+    Seq((rows(0), pngBytes, 6, 4), (rows(1), bmpBytes, 5, 3)).foreach {
+      case (r, bytes, w, h) =>
+        assert(r.getAs[Int]("width") === w && r.getAs[Int]("height") === h)
+        assert(r.getAs[Int]("channels") === 3)
+        val px = r.getAs[scala.collection.Seq[Float]]("pixels")
+        assert(px.length === w * h * 3)
+        // ground truth: same bytes through ImageIO on the driver
+        val truth = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        for (y <- 0 until h; x <- 0 until w) {
+          val rgb = truth.getRGB(x, y)
+          val base = (y * w + x) * 3
+          assert(math.abs(px(base) - ((rgb >> 16) & 0xFF) / 255.0f) < 1e-6, s"R at ($x,$y)")
+          assert(math.abs(px(base + 1) - ((rgb >> 8) & 0xFF) / 255.0f) < 1e-6, s"G at ($x,$y)")
+          assert(math.abs(px(base + 2) - (rgb & 0xFF) / 255.0f) < 1e-6, s"B at ($x,$y)")
+        }
+    }
+  }
+
+  test("multimodal: palette GIF expands to RGB through the color model") {
+    val spark2 = spark
+    import spark2.implicits._
+    val gifBytes = testImage(4, 4, "gif")
+    val rows = Multimodal.decodeImages(Seq((1L, gifBytes)).toDF("id", "payload"), "id").collect()
+    val r = rows(0)
+    assert(r.getAs[Int]("channels") === 3)
+    val px = r.getAs[scala.collection.Seq[Float]]("pixels")
+    val truth = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(gifBytes))
+    // palette indices must have been mapped to colors, matching getRGB
+    for (y <- 0 until 4; x <- 0 until 4) {
+      val rgb = truth.getRGB(x, y)
+      val base = (y * 4 + x) * 3
+      assert(math.abs(px(base) - ((rgb >> 16) & 0xFF) / 255.0f) < 1e-6, s"R at ($x,$y)")
+    }
+  }
+
+  test("multimodal: binary payload column carries htype metadata") {
     val docs = graft.sources.Tables(spark, dir, "documents").limit(20)
     val withBin = Multimodal.withBinaryPayload(docs, "text")
     assert(withBin.schema("payload").dataType.typeName === "binary")
     assert(withBin.schema("payload").metadata.getString("htype") === "image")
-    val decoded = Multimodal.decodeImages(withBin, "doc_id")
-    val rows = decoded.collect()
-    assert(rows.length === 20)
-    assert(rows.forall { r =>
-      r.getAs[Int]("width") == 8 && r.getAs[scala.collection.Seq[Float]]("pixels").length == 64
-    })
-    // deterministic: same input -> same pixels
-    val again = Multimodal.decodeImages(withBin, "doc_id").collect()
-    assert(rows.map(_.getAs[scala.collection.Seq[Float]]("pixels").toList).toSeq ===
-      again.map(_.getAs[scala.collection.Seq[Float]]("pixels").toList).toSeq)
   }
 
   test("multimodal: resize halves dimensions, frame sampling strides") {
-    val docs = graft.sources.Tables(spark, dir, "documents").limit(5)
-    val decoded = Multimodal.decodeImages(
-      Multimodal.withBinaryPayload(docs, "text"), "doc_id")
+    val spark2 = spark
+    import spark2.implicits._
+    val df = (1L to 5L).map(i => (i, testImage(8, 8, "png"))).toDF("id", "payload")
+    val decoded = Multimodal.decodeImages(df, "id")
     val small = Multimodal.resize(decoded, 4, 4).collect()
-    assert(small.forall(_.getAs[scala.collection.Seq[Float]]("pixels").length == 16))
+    // 4x4 spatial, 3 interleaved channels preserved
+    assert(small.forall(_.getAs[scala.collection.Seq[Float]]("pixels").length == 48))
     val framed = Multimodal.sampleFrames(decoded, "pixels", 8).collect()
-    assert(framed.forall(_.getAs[scala.collection.Seq[Float]]("pixels_sampled").length == 8))
+    assert(framed.forall(_.getAs[scala.collection.Seq[Float]]("pixels_sampled").length == 24))
   }
 
-  test("multimodal: feature extraction emits fixed-width stats vector") {
-    val docs = graft.sources.Tables(spark, dir, "documents").limit(5)
-    val decoded = Multimodal.decodeImages(
-      Multimodal.withBinaryPayload(docs, "text"), "doc_id")
+  test("multimodal: feature extraction consumes real decoded pixels") {
+    val spark2 = spark
+    import spark2.implicits._
+    val bytes = testImage(6, 6, "png")
+    val df = Seq((1L, bytes)).toDF("id", "payload")
+    val decoded = Multimodal.decodeImages(df, "id")
     val feats = Multimodal.extractFeatures(decoded).collect()
     assert(feats.forall(_.getAs[scala.collection.Seq[Double]]("features").length == 4))
-    feats.foreach { r =>
-      val Seq(mean, std, mn, mx) = r.getAs[scala.collection.Seq[Double]]("features").toSeq
-      assert(mn <= mean && mean <= mx)
-      assert(std >= 0.0)
+    val Seq(mean, std, mn, mx) = feats(0).getAs[scala.collection.Seq[Double]]("features").toSeq
+    assert(mn <= mean && mean <= mx)
+    assert(std > 0.0) // a real image has pixel variance; the old stub is gone
+    // cross-check the mean against ImageIO ground truth
+    val truth = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val vals = for (y <- 0 until 6; x <- 0 until 6; c <- 0 until 3) yield {
+      val rgb = truth.getRGB(x, y)
+      ((rgb >> (16 - 8 * c)) & 0xFF) / 255.0
     }
+    assert(math.abs(mean - vals.sum / vals.size) < 1e-6)
   }
 }
