@@ -16,10 +16,46 @@ import TextAnalysis._
   *    keys (LSH band keys, simhash buckets, length buckets), each a plain
   *    shuffle join; only candidate pairs pay the exact-verify cost
   *  - pair enumeration within a bucket uses a self-equi-join on the
-  *    bucket key; skewed buckets would salt-split first (a bucket with
-  *    millions of identical docs is itself a finding)
+  *    bucket key; keys hotter than `hotKeyThreshold` (a stop-shingle, a
+  *    boilerplate band) are salt-split `numSalts` ways first so no
+  *    reducer owns a hot key's quadratic pair work alone
   */
 object Dedup {
+
+  /** Frequency-adaptive salted pair self-join: enumerate (a, b) row
+    * pairs of `df` sharing `keyCols`, subject to `extraCond` over the
+    * aliased sides "a"/"b". Keys with more than `hotKeyThreshold` rows
+    * (computed exactly — one partial-agg shuffle of key counts, then a
+    * broadcast of the tiny hot set) are split `numSalts` ways: the left
+    * side gets a deterministic per-row salt, the right side replicates
+    * across all salts, so a hot key's |K|² pair work spreads over
+    * `numSalts` reducers instead of one. Cold keys join untouched.
+    * Pair sets are identical to the unsalted join (`a.id < b.id` style
+    * ordering must come from `extraCond`). */
+  private def saltedPairJoin(df: DataFrame, keyCols: Seq[String],
+      extraCond: Column, outCols: Seq[String],
+      hotKeyThreshold: Int, numSalts: Int): DataFrame = {
+    val keyEq = keyCols.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _)
+    val hot = df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > hotKeyThreshold)
+      .select(keyCols.map(col): _*)
+      .withColumn("__hot", lit(1))
+    val marked = df.join(broadcast(hot), keyCols, "left")
+    val cold = marked.filter(col("__hot").isNull).drop("__hot")
+    val hotRows = marked.filter(col("__hot") === 1).drop("__hot")
+    val coldPairs = cold.as("a").join(cold.as("b"), keyEq && extraCond)
+      .select(outCols.map(c => col(s"a.$c").as(s"${c}_a")) ++
+        outCols.map(c => col(s"b.$c").as(s"${c}_b")): _*)
+    val saltedA = hotRows.withColumn("__salt",
+      pmod(xxhash64(col(outCols.head)), lit(numSalts)).cast("int"))
+    val replB = hotRows.withColumn("__salt",
+      explode(sequence(lit(0), lit(numSalts - 1))))
+    val hotPairs = saltedA.as("a").join(replB.as("b"),
+        keyEq && col("a.__salt") === col("b.__salt") && extraCond)
+      .select(outCols.map(c => col(s"a.$c").as(s"${c}_a")) ++
+        outCols.map(c => col(s"b.$c").as(s"${c}_b")): _*)
+    coldPairs.union(hotPairs)
+  }
 
   /** one-row corpus duplication profile */
   def exactStats(docs: DataFrame, textCol: String): DataFrame = {
@@ -73,7 +109,8 @@ object Dedup {
     * extra postings-aggregate pass costs more than it saves until the
     * prefix join, not set prep, dominates.) */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, hotKeyThreshold: Int = 100000,
+      numSalts: Int = 16): DataFrame = {
     val s = shingled(docs, idCol, textCol).filter(size(col("sh")) > 0)
     // shingles become 64-bit hashes for the join keys AND the verify
     // intersection: fixed-width shuffle rows, codegen'd long compares;
@@ -87,11 +124,14 @@ object Dedup {
     val plen = (floor(lit(1.0 - threshold) * col("cnt")) + 1).cast("int")
     val prefix = ordered.select(col("id"), col("cnt"),
       explode(slice(col("sh"), lit(1), plen)).as("shingle"))
-    val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id") &&
+    // stop-shingles shared by > hotKeyThreshold docs salt-split so one
+    // reducer never owns a hot shingle's quadratic candidate work
+    val cand = saltedPairJoin(prefix, Seq("shingle"),
+        col("a.id") < col("b.id") &&
         col("a.cnt") * threshold <= col("b.cnt") &&
-        col("b.cnt") * threshold <= col("a.cnt"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+        col("b.cnt") * threshold <= col("a.cnt"),
+        Seq("id"), hotKeyThreshold, numSalts)
+      .distinct()
     val setsA = ordered.select(col("id").as("id_a"), col("sh").as("sh_a"), col("cnt").as("cnt_a"))
     val setsB = ordered.select(col("id").as("id_b"), col("sh").as("sh_b"), col("cnt").as("cnt_b"))
     cand.join(setsA, "id_a").join(setsB, "id_b")
@@ -105,7 +145,8 @@ object Dedup {
     * `numHashes/rowsPerBand` band keys, candidates = docs sharing any
     * band key, verified with exact shingle Jaccard >= threshold. */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double, numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+      threshold: Double, numHashes: Int = 8, rowsPerBand: Int = 2,
+      hotKeyThreshold: Int = 100000, numSalts: Int = 16): DataFrame = {
     // NOT persisted: `shingled` ends in a repartition, so ReuseExchange
     // already computes the shingling once and shares it across the
     // signature pass and both verify-join sides. Caching the raw
@@ -130,11 +171,10 @@ object Dedup {
     // rejoin afterwards for the (much smaller) verify step
     val banded = withSig.select(col("id"),
       posexplode(array(bands: _*)).as(Seq("band_idx", "band_key")))
-    val cand = banded.as("a").join(banded.as("b"),
-        col("a.band_idx") === col("b.band_idx") &&
-        col("a.band_key") === col("b.band_key") &&
-        col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    // a boilerplate band key shared by > hotKeyThreshold docs (mass-
+    // duplicated templates are routine in web corpora) salt-splits
+    val cand = saltedPairJoin(banded, Seq("band_idx", "band_key"),
+        col("a.id") < col("b.id"), Seq("id"), hotKeyThreshold, numSalts)
       .dropDuplicates("id_a", "id_b")
     cand
       .join(s.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
@@ -146,8 +186,39 @@ object Dedup {
 
   /** SimHash bucket groups: docs sharing a 16-bit simhash signature.
     * Same parallelize+materialize-tokens shape as `shingled` (the sig
-    * references the token array per bit position). */
-  def simhashBuckets(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    * references the token array per bit position).
+    *
+    * Returns (sig, n, member_sample): the bucket SIZE plus only the
+    * `memberSampleCap` smallest member ids — a megabucket of identical
+    * boilerplate (routine in web corpora) must not materialize an
+    * unbounded id array in one aggregation row. The sample is selected
+    * with a two-phase min-k (per-input-partition then global), so no
+    * single task ever holds a whole megabucket either. Consumers that
+    * need every member join the full (id, sig) mapping from
+    * [[simhashSignatures]] instead. */
+  def simhashBuckets(docs: DataFrame, idCol: String, textCol: String,
+      memberSampleCap: Int = 100): DataFrame = {
+    val sigs = simhashSignatures(docs, idCol, textCol)
+    val counts = sigs.groupBy(col("sig")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+    val localW = Window.partitionBy(col("sig"), col("__p")).orderBy(col("id"))
+    val globalW = Window.partitionBy(col("sig")).orderBy(col("id"))
+    val sample = sigs
+      .withColumn("__p", spark_partition_id())
+      .withColumn("__r", row_number().over(localW))
+      .filter(col("__r") <= memberSampleCap)
+      .drop("__p", "__r")
+      .withColumn("__r", row_number().over(globalW))
+      .filter(col("__r") <= memberSampleCap)
+      .groupBy(col("sig"))
+      .agg(sort_array(collect_list(col("id"))).as("member_sample"))
+    counts.join(sample, "sig")
+      .select(col("sig"), col("n"), col("member_sample"))
+  }
+
+  /** full (id, sig) simhash mapping — the unbounded-group-safe surface
+    * for consumers that need every bucket member */
+  def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.repartition(docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
       .select(col(idCol).as("id"), tokens(col(textCol)).as("__toks"))
       // md5 once per token; the naive form (md5 inside each of the 16
@@ -164,9 +235,6 @@ object Dedup {
         concat((1 to 16).map(p =>
           when(element_at(col("__ones"), p) * 2 >= col("__n"), lit("1"))
             .otherwise(lit("0"))): _*).as("sig"))
-      .groupBy(col("sig"))
-      .agg(count(lit(1)).as("n"), sort_array(collect_list(col("id"))).as("member_ids"))
-      .filter(col("n") > 1)
 
   /** embedding-cosine near-dup pairs via LOSSLESS angular cluster
     * blocking. Every vector gets a primary block (nearest centroid by

@@ -92,13 +92,17 @@ object DocumentQueries extends QueryModule {
               |WHERE jac >= 0.8 ORDER BY id_a, id_b""".stripMargin.replace('\n', ' '))),
 
     // ---- SimHash signature buckets (collision groups)
+    // member lists are CAPPED samples (100 smallest ids): a megabucket
+    // of identical boilerplate must not materialize an unbounded array
+    // in one aggregation row; the oracle slices its sorted list the
+    // same way
     "q_dedup_simhash" -> Q(
       (s, dir) => Dedup.simhashBuckets(table(s, dir, "documents"), "doc_id", "text")
-        .withColumn("member_ids", concat_ws(",", col("member_ids")))
+        .withColumn("member_sample", concat_ws(",", col("member_sample")))
         .orderBy(col("sig")),
       Some(s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
               |sg AS (SELECT doc_id, $simhashSql AS sig FROM t)
-              |SELECT sig, count(*) AS n, array_to_string(list(doc_id ORDER BY doc_id), ',') AS member_ids
+              |SELECT sig, count(*) AS n, array_to_string((list(doc_id ORDER BY doc_id))[1:100], ',') AS member_sample
               |FROM sg GROUP BY sig HAVING count(*) > 1 ORDER BY sig""".stripMargin.replace('\n', ' '))),
 
     // ---- embedding-cosine near-dup pairs (cluster-blocked; centroids

@@ -112,6 +112,59 @@ class DedupSpec extends AnyFunSuite {
     assert(b.forall(r => r.getString(0).length === 16 && r.getString(0).forall(c => c == '0' || c == '1')))
   }
 
+  test("simhash megabucket: member list is a capped sample, count stays exact") {
+    import spark.implicits._
+    // 10^4 identical docs = one bucket; the old collect_list form would
+    // materialize all 10^4 ids in a single aggregation row
+    val many = (1L to 10000L).map(i => (i, "the same boilerplate text repeated"))
+      .toDF("doc_id", "text")
+    val b = Dedup.simhashBuckets(many, "doc_id", "text", memberSampleCap = 100).collect()
+    assert(b.length === 1)
+    assert(b(0).getLong(1) === 10000L)
+    val sample = b(0).getAs[scala.collection.Seq[Long]]("member_sample")
+    assert(sample.length === 100)
+    assert(sample.toSeq === (1L to 100L)) // the 100 SMALLEST ids, deterministic
+    // the full mapping remains available for consumers that need it
+    assert(Dedup.simhashSignatures(many, "doc_id", "text").count() === 10000L)
+  }
+
+  test("hot-shingle salting: planted hot key yields identical pairs with bounded reducers") {
+    import spark.implicits._
+    // 60 docs sharing a hot head (a stop-shingle in every prefix) with
+    // distinct tails; plus 6 true near-dup docs. threshold low enough
+    // that prefixes cover the hot shingle.
+    val hotDocs = (1L to 60L).map(i =>
+      (i, s"common stop words everywhere here tail$i a$i b$i c$i d$i e$i f$i g$i h$i"))
+    val dupDocs = (101L to 106L).map(i =>
+      (i, "nearly identical duplicated body with trivial variation number " + (i % 2)))
+    val df = (hotDocs ++ dupDocs).toDF("doc_id", "text")
+    val unsalted = Dedup.ngramJaccardPairs(df, "doc_id", "text", 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val salted = Dedup.ngramJaccardPairs(df, "doc_id", "text", 0.6,
+        hotKeyThreshold = 10, numSalts = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(salted === unsalted, "salting must not change the pair set")
+    // the salted plan really engages the hot path (salt column + union)
+    val plan = Dedup.ngramJaccardPairs(df, "doc_id", "text", 0.6,
+      hotKeyThreshold = 10, numSalts = 4).queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"), plan.take(2000))
+    assert(plan.contains("Union"), plan.take(2000))
+  }
+
+  test("LSH band salting: identical pairs under a hot band key") {
+    import spark.implicits._
+    // near-identical docs share every band -> those bands are hot keys
+    val df = ((1L to 30L).map(i => (i, "shared boilerplate body for every doc exactly")) ++
+      (31L to 36L).map(i => (i, s"unique content document number $i with words w$i x$i")))
+      .toDF("doc_id", "text")
+    val unsalted = Dedup.minhashLshPairs(df, "doc_id", "text", 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val salted = Dedup.minhashLshPairs(df, "doc_id", "text", 0.8,
+        hotKeyThreshold = 5, numSalts = 4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(salted === unsalted)
+  }
+
   test("connected components: chain, separate pair, and transitive merge") {
     import spark.implicits._
     // chain 1-2-3-4 (path shape exercises pointer jumping), pair 10-11,
