@@ -586,7 +586,16 @@ object Tql {
     case ast.Star => col("*")
     case ast.Param(i) =>
       require(i < params.size, s"missing value for parameter ?$i")
-      lit(params(i))
+      params(i) match {
+        // vector params bind as array literals, usable anywhere an
+        // expression is (reference param_expr binds array params —
+        // `cpp/query_core/expr.hpp:107-126`), e.g. a projection
+        // `COSINE_SIMILARITY(emb, ?)`
+        case s: Seq[_] => array(s.map(x => lit(x)): _*)
+        case a: Array[_] if !a.isInstanceOf[Array[Byte]] =>
+          array(a.toSeq.map(x => lit(x)): _*)
+        case v => lit(v)
+      }
     case ast.Ref(Seq(name)) => col(name)
     case ast.Ref(Seq(alias, name)) =>
       env.aliases.get(alias).map(_(name)).getOrElse(col(s"$alias.$name"))

@@ -82,6 +82,14 @@ object IndexStore {
         .write.mode("overwrite").parquet(d)
     })
 
+  /** JSON path index over events(event_id, props), path $.k */
+  def json(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(ensure(artifactDir(sfDir, "json_props")) { d =>
+      InvertedIndex.buildJson(Tables(spark, sfDir, "events"), "event_id",
+          "props", Seq("$.k"))
+        .write.mode("overwrite").parquet(d)
+    })
+
   /** BM25 index (postings + stats) over documents(doc_id, text) */
   def bm25(spark: SparkSession, sfDir: String): Bm25.Index =
     Bm25.load(spark, ensure(artifactDir(sfDir, "bm25_text")) { d =>
@@ -100,5 +108,6 @@ object IndexStore {
     timed("ann")(annQuantized(spark, sfDir)) // also serves the plain ann() projection
     timed("inverted")(inverted(spark, sfDir))
     timed("bm25")(bm25(spark, sfDir))
+    timed("json")(json(spark, sfDir))
   }
 }

@@ -58,6 +58,29 @@ object InvertedIndex {
   def equalsMatch(exactIndex: DataFrame, value: String): DataFrame =
     exactIndex.filter(col("th") === md5(lit(value))).select(col("doc_id")).distinct()
 
+  /** Build a JSON path index over a JSON-string column: posting rows
+    * (path, vh, doc_id) with vh = md5 of the value at `path` in
+    * get_json_object's textual form (reference JsonIndex
+    * `python/deeplake/types.pyi:220`; indexed JSONB lookups
+    * `postgres/tests/sql/bluesky_queries.sql:12-40`). Hashing keeps rows
+    * fixed-width regardless of value size; docs lacking a path
+    * contribute no row for it. */
+  def buildJson(df: DataFrame, idCol: String, jsonCol: String,
+      paths: Seq[String]): DataFrame = {
+    require(paths.nonEmpty, "JSON index needs at least one path")
+    df.select(col(idCol).as("doc_id"),
+        explode(array(paths.map(p => struct(lit(p).as("path"),
+          get_json_object(col(jsonCol), p).as("v"))): _*)).as("pv"))
+      .filter(col("pv.v").isNotNull)
+      .select(col("pv.path").as("path"), md5(col("pv.v")).as("vh"), col("doc_id"))
+  }
+
+  /** get_json_object(col, path) = 'value': doc ids via the JSON index.
+    * `value` compares in the same textual form the index hashed. */
+  def jsonEquals(jsonIndex: DataFrame, path: String, value: String): DataFrame =
+    jsonIndex.filter(col("path") === path && col("vh") === md5(lit(value)))
+      .select(col("doc_id")).distinct()
+
   /** CONTAINS(col, 'kw'): doc ids whose text contains every given term. */
   def containsAll(index: DataFrame, ts: Seq[String]): DataFrame = {
     require(ts.nonEmpty, "CONTAINS needs at least one term")

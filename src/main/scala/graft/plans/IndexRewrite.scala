@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{ArrayContains, AttributeReference, EqualTo, Expression, Literal, PredicateHelper, StringSplit, Lower}
+import org.apache.spark.sql.catalyst.expressions.{ArrayContains, AttributeReference, EqualTo, Expression, GetJsonObject, Literal, PredicateHelper, StringSplit, Lower}
 import org.apache.spark.sql.catalyst.plans.LeftSemi
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, JoinHint, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -27,17 +27,26 @@ import org.apache.spark.sql.functions.{col, lit}
 object IndexCatalog {
   /** index kinds: Contains = tokenized posting table (term, doc_id);
     * Equals = exact full-text table (md5 hash, doc_id),
-    * `cpp/query_core/text_search_info.hpp:28-52` */
+    * `cpp/query_core/text_search_info.hpp:28-52`; Json = JSON path
+    * posting table (path, value hash, doc_id),
+    * `python/deeplake/types.pyi:220` JsonIndex */
   val Contains = "contains"
   val Equals = "equals"
+  val Json = "json"
 
-  /** (table root path, column, kind) -> (index parquet path, id column) */
-  final case class Entry(indexPath: String, idCol: String)
+  /** (table root path, column, kind) -> (index parquet path, id column,
+    * and — for Json — the paths the posting table actually holds: a
+    * predicate on any OTHER path must stay a linear scan, because the
+    * index has no postings for it and a semi-join would wrongly drop
+    * matching rows) */
+  final case class Entry(indexPath: String, idCol: String,
+      jsonPaths: Seq[String] = Nil)
   @volatile private var entries: Map[(String, String, String), Entry] = Map.empty
 
   def register(tableRootPath: String, column: String, indexPath: String,
-      idCol: String, kind: String = Contains): Unit =
-    entries += (norm(tableRootPath), column, kind) -> Entry(indexPath, idCol)
+      idCol: String, kind: String = Contains,
+      jsonPaths: Seq[String] = Nil): Unit =
+    entries += (norm(tableRootPath), column, kind) -> Entry(indexPath, idCol, jsonPaths)
 
   def clear(): Unit = entries = Map.empty
 
@@ -64,11 +73,17 @@ case class IndexRewrite(spark: SparkSession) extends Rule[LogicalPlan]
         val base = residual.reduceOption(org.apache.spark.sql.catalyst.expressions.And)
           .map(Filter(_, child)).getOrElse(child)
         rewritten.foldLeft(base) { (acc, c) =>
-          val (entry, childId, value, kind) = indexable(child, c).get
-          val probe = kind match {
+          val p = indexable(child, c).get
+          import p.{entry, childId, value}
+          val md5f = org.apache.spark.sql.functions.md5 _
+          val probe = p.kind match {
             case IndexCatalog.Equals =>
               spark.read.parquet(entry.indexPath)
-                .filter(col("th") === org.apache.spark.sql.functions.md5(lit(value)))
+                .filter(col("th") === md5f(lit(value)))
+            case IndexCatalog.Json =>
+              spark.read.parquet(entry.indexPath)
+                .filter(col("path") === lit(p.jsonPath.get) &&
+                  col("vh") === md5f(lit(value)))
             case _ =>
               spark.read.parquet(entry.indexPath)
                 .filter(col("term") === lit(value))
@@ -86,17 +101,34 @@ case class IndexRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     * and must NOT be answered from the index. */
   private val IndexTokenizer = "[^a-z0-9]+"
 
-  /** Some((index entry, child id attribute, value, kind)) when `e` is a
-    * CONTAINS- or EQUALS-shaped predicate answerable from a registered
-    * index of the matching kind. */
-  private def indexable(child: LogicalPlan, e: Expression)
-      : Option[(IndexCatalog.Entry, AttributeReference, String, String)] = e match {
+  /** An index probe extracted from one predicate conjunct. */
+  private final case class Probe(entry: IndexCatalog.Entry,
+      childId: AttributeReference, value: String, kind: String,
+      jsonPath: Option[String] = None)
+
+  /** Some(probe) when `e` is a CONTAINS-, EQUALS-, or JSON-path-equality
+    * shaped predicate answerable from a registered index of the matching
+    * kind. */
+  private def indexable(child: LogicalPlan, e: Expression): Option[Probe] = e match {
     case ArrayContains(
         StringSplit(Lower(attr: AttributeReference),
           Literal(sep, _), Literal(limit, _)), Literal(term, _))
         if sep != null && sep.toString == IndexTokenizer &&
           limit != null && limit.toString == "-1" =>
       lookup(child, attr, term, IndexCatalog.Contains)
+    // get_json_object(attr, path) = 'v' — answerable from a JSON path
+    // index holding md5 hashes of the same textual value form, but ONLY
+    // for paths the index was built with
+    case EqualTo(GetJsonObject(attr: AttributeReference, Literal(path, _)), Literal(v, _))
+        if v != null && path != null =>
+      lookup(child, attr, v, IndexCatalog.Json)
+        .filter(_.entry.jsonPaths.contains(path.toString))
+        .map(_.copy(jsonPath = Some(path.toString)))
+    case EqualTo(Literal(v, _), GetJsonObject(attr: AttributeReference, Literal(path, _)))
+        if v != null && path != null =>
+      lookup(child, attr, v, IndexCatalog.Json)
+        .filter(_.entry.jsonPaths.contains(path.toString))
+        .map(_.copy(jsonPath = Some(path.toString)))
     case EqualTo(attr: AttributeReference, Literal(v, _)) if v != null =>
       lookup(child, attr, v, IndexCatalog.Equals)
     case EqualTo(Literal(v, _), attr: AttributeReference) if v != null =>
@@ -105,14 +137,14 @@ case class IndexRewrite(spark: SparkSession) extends Rule[LogicalPlan]
   }
 
   private def lookup(child: LogicalPlan, attr: AttributeReference, value: Any,
-      kind: String): Option[(IndexCatalog.Entry, AttributeReference, String, String)] =
+      kind: String): Option[Probe] =
     for {
       rootPath <- scanRootPath(child)
       entry <- IndexCatalog.lookup(rootPath, attr.name, kind)
       childId <- child.output.collectFirst {
         case a: AttributeReference if a.name == entry.idCol => a
       }
-    } yield (entry, childId, value.toString, kind)
+    } yield Probe(entry, childId, value.toString, kind)
 
   /** Root path of the single file-source relation feeding this subtree
     * (conservative: bail out unless exactly one). */

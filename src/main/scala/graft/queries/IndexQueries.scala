@@ -29,6 +29,22 @@ object IndexQueries extends QueryModule {
              |AND list_contains(string_split(lower(text), ' '), 'spark')
              |ORDER BY doc_id""".stripMargin.replace('\n', ' '))),
 
+    // JSON path equality answered from the persisted JSON index
+    // (JsonIndex, types.pyi:220; bluesky_queries.sql:12-40): probe
+    // (path, md5(value)) postings, semi-join ids back to the table
+    "q_json_indexed" -> Q(
+      (s, dir) => {
+        val events = table(s, dir, "events")
+        val idx = IndexStore.json(s, dir)
+        InvertedIndex.searchDocs(events, "event_id",
+            InvertedIndex.jsonEquals(idx, "$.k", "42"))
+          .select(col("event_id"), col("user_id"), col("event_type"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, user_id, event_type FROM events
+             |WHERE json_extract_string(props, '$.k') = '42'
+             |ORDER BY event_id""".stripMargin.replace('\n', ' '))),
+
     // OR of posting sets (union), aggregated per language
     "q_inverted_contains_any" -> Q(
       (s, dir) => {

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.dialect.Tql
+import org.apache.spark.sql.functions.col
 
 /** Queries expressed in TQL and compiled through the dialect frontend
   * (graft.dialect.Tql), oracle-checked like every other operator — proves
@@ -104,6 +105,24 @@ object TqlQueries extends QueryModule {
         params = Seq(5000.0, 12L)),
       Some("""SELECT s_suppkey, s_name FROM supplier WHERE s_acctbal > 5000.0
              |ORDER BY s_suppkey LIMIT 12""".stripMargin.replace('\n', ' '))),
+
+    // vector ? params bind as array literals inside expressions
+    // (reference param_expr, `cpp/query_core/expr.hpp:107-126`); routed
+    // through the linear path so the oracle compares exact results
+    "q_tql_params_vector" -> Q(
+      (s, dir) => {
+        val qv = table(s, dir, "embeddings").filter(col("vec_id") === 0)
+          .select(col("embedding")).collect()(0).getSeq[Float](0)
+        Tql.queryWithOptions(s, dir,
+          """SELECT vec_id, ROUND(COSINE_SIMILARITY(embedding, ?), 6) AS score
+            |FROM embeddings WHERE vec_id < 40
+            |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
+          Tql.Options.linearOnly, params = Seq(qv)).get
+      },
+      Some("""SELECT e.vec_id, round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]),6) AS score
+             |FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+             |WHERE e.vec_id < 40
+             |ORDER BY score DESC, e.vec_id LIMIT 10""".stripMargin.replace('\n', ' '))),
 
     // keyword CONTAINS through the dialect (tql.md:179-185)
     "q_tql_contains" -> Q(

@@ -145,6 +145,41 @@ class IndexRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     IndexCatalog.clear()
   }
 
+  test("JSON path equality routes through a registered JSON index") {
+    IndexCatalog.clear()
+    val eventsPath = "/root/testdata/sf0.001/events.parquet"
+    // events.ts is TIMESTAMP(NANOS): raw parquet reads need the legacy
+    // long mapping (Tables sets this too)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // oracle rows with no index: plain get_json_object scan
+    val want = spark.read.parquet(eventsPath)
+      .filter(get_json_object(col("props"), "$.k") === "42")
+      .select("event_id").orderBy("event_id").collect().map(_.getLong(0)).toSeq
+
+    val idxPath = Files.createTempDirectory("graft-idx6").toString + "/json_idx"
+    InvertedIndex.buildJson(spark.read.parquet(eventsPath), "event_id",
+        "props", Seq("$.k"))
+      .write.parquet(idxPath)
+    IndexCatalog.register(eventsPath, "props", idxPath, "event_id",
+      IndexCatalog.Json, jsonPaths = Seq("$.k"))
+    GraftExtensions.register(spark)
+
+    val q = spark.read.parquet(eventsPath)
+      .filter(get_json_object(col("props"), "$.k") === "42")
+    val plan = q.queryExecution.optimizedPlan.toString
+    assert(plan.contains("LeftSemi"), plan)
+
+    val got = q.select("event_id").orderBy("event_id").collect().map(_.getLong(0)).toSeq
+    assert(got == want && got.nonEmpty)
+
+    // an UNINDEXED path on the same column must stay a linear scan: the
+    // posting table only holds the registered paths
+    val q2 = spark.read.parquet(eventsPath)
+      .filter(get_json_object(col("props"), "$.missing") === "42")
+    assert(!q2.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
+    IndexCatalog.clear()
+  }
+
   test("unregistered tables keep the linear scan") {
     IndexCatalog.clear()
     GraftExtensions.register(spark)

@@ -310,6 +310,22 @@ class TqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("queryDataset"))
   }
 
+  test("vector ? params bind as array literals in projections (expr.hpp:107-126)") {
+    val emb = tbl("embeddings")
+    val qv = emb.filter(col("vec_id") === 0).select(col("embedding"))
+      .collect()(0).getSeq[Float](0)
+    val viaParam = Tql.query(spark, dir,
+      "SELECT vec_id, ROUND(COSINE_SIMILARITY(embedding, ?), 6) AS score " +
+        "FROM embeddings WHERE vec_id < 10 ORDER BY vec_id",
+      params = Seq(qv))
+    val direct = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id"),
+        round(graft.functions.gf.cosine_similarity(col("embedding"),
+          array(qv.map(x => lit(x)): _*)), 6).as("score"))
+      .orderBy("vec_id")
+    assert(viaParam.collect().map(_.toSeq).toSeq === direct.collect().map(_.toSeq).toSeq)
+  }
+
   test("ANN route composes with a WHERE pre-filter (index_holder.hpp:33)") {
     import graft.operators.AnnIndex
     val emb = tbl("embeddings")
