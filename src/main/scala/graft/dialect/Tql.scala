@@ -99,11 +99,13 @@ object Tql {
   /** Compile + run against the driver's scale-factor dir tables. */
   def query(spark: SparkSession, dir: String, tql: String,
       params: Seq[Any] = Nil): DataFrame =
-    compile(spark, tql, {
-      case ast.SelfTable => throw new IllegalArgumentException(
-        "FROM-less query needs a dataset context: use Tql.queryDataset(ds, ...)")
-      case name => graft.sources.Tables(spark, dir, name)
-    }, params)
+    withDataset(dir) {
+      compile(spark, tql, {
+        case ast.SelfTable => throw new IllegalArgumentException(
+          "FROM-less query needs a dataset context: use Tql.queryDataset(ds, ...)")
+        case name => graft.sources.Tables(spark, dir, name)
+      }, params)
+    }
 
   /** Capability gating (`cpp/tql/options.hpp:7-31`): embedders restrict
     * what query text may do (a web-facing endpoint disallows nested
@@ -118,7 +120,12 @@ object Tql {
       allowGroup: Boolean = true,
       allowUngroup: Boolean = true,
       useIndex: Boolean = true,
-      parsingOnly: Boolean = false)
+      parsingOnly: Boolean = false,
+      /** per-query Hadoop/FS conf overrides (credentials, endpoints,
+        * scheme impls) applied to `FROM "url"` scans only — the
+        * reference carries creds in query params
+        * (`cpp/tql/executor.hpp:82`, `cpp/storage/provider_base.hpp`) */
+      storageOptions: Map[String, String] = Map.empty)
 
   object Options {
     val allowEverything: Options = Options()
@@ -161,19 +168,55 @@ object Tql {
     else Some {
       val saved = indexRoutingEnabled.get()
       indexRoutingEnabled.set(opts.useIndex)
-      try compileAst(spark, q,
-        {
-          case ast.SelfTable => throw new IllegalArgumentException(
-            "FROM-less query needs a dataset context: use Tql.queryDataset(ds, ...)")
-          case name => graft.sources.Tables(spark, dir, name)
-        }, params)
-      finally indexRoutingEnabled.set(saved)
+      try withDataset(dir) {
+        compileAst(spark, q,
+          {
+            case ast.SelfTable => throw new IllegalArgumentException(
+              "FROM-less query needs a dataset context: use Tql.queryDataset(ds, ...)")
+            case name => graft.sources.Tables(spark, dir, name, opts.storageOptions)
+          }, params)
+      } finally indexRoutingEnabled.set(saved)
     }
   }
 
   /** use_index gate for the ANN route (linear_only preset) */
   private val indexRoutingEnabled =
     ThreadLocal.withInitial[Boolean](() => true)
+
+  /** Dataset-provided functions discovered at query time (reference
+    * `cpp/tql/functions_registry.hpp:15-33`; lookup during input
+    * resolution `cpp/tql/input.hpp:109-152`): a dataset ships its own
+    * named functions, callable from TQL only when querying THAT dataset.
+    * Keyed by (dataset dir, upper-cased name); consulted by the
+    * expression compiler's fallthrough before Spark's builtin/session
+    * function resolution, so a dataset function shadows a same-named
+    * builtin for its own dataset and is invisible elsewhere. */
+  object DatasetFunctions {
+    type Impl = Seq[Column] => Column
+    @volatile private var entries: Map[(String, String), Impl] = Map.empty
+
+    def register(dir: String, name: String, impl: Impl): Unit =
+      entries += (norm(dir), name.toUpperCase) -> impl
+
+    def lookup(dir: String, name: String): Option[Impl] =
+      entries.get((norm(dir), name.toUpperCase))
+
+    def clear(): Unit = entries = Map.empty
+
+    private def norm(d: String): String = d.stripSuffix("/")
+  }
+
+  /** dataset dir of the query being compiled (dynamic scope, like
+    * indexRoutingEnabled) — gives the expression compiler its
+    * DatasetFunctions key */
+  private val currentDataset =
+    ThreadLocal.withInitial[Option[String]](() => None)
+
+  private def withDataset[T](dir: String)(f: => T): T = {
+    val saved = currentDataset.get()
+    currentDataset.set(Some(dir))
+    try f finally currentDataset.set(saved)
+  }
 
   /** `explain_query` analog (`python/deeplake/__init__.pyi:837`,
     * `cpp/tql/explain_query_result.hpp`): a human-readable plan plus a
@@ -826,8 +869,12 @@ object Tql {
         pairs.map { case (c, w) => when(c, w.cast("double")).otherwise(lit(0.0)) }
           .reduce(_ + _)
       case other =>
-        // fall through to any Spark SQL builtin / session-registered function
-        call_function(other.toLowerCase, args: _*)
+        // dataset-provided functions first (functions_registry.hpp:15-33),
+        // then any Spark SQL builtin / session-registered function
+        currentDataset.get()
+          .flatMap(d => DatasetFunctions.lookup(d, other))
+          .map(impl => impl(args))
+          .getOrElse(call_function(other.toLowerCase, args: _*))
     }
   }
 }

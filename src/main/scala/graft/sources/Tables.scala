@@ -32,14 +32,28 @@ object Tables {
     ref.contains("://") || ref.startsWith("/") ||
       ref.endsWith(".parquet") || ref.endsWith(".csv")
 
-  /** Open a dataset by URL/path (FROM "s3://bucket/ds" form). */
-  def openUrl(spark: SparkSession, url: String): DataFrame =
+  /** Open a dataset by URL/path (FROM "s3://bucket/ds" form).
+    *
+    * `hadoopOpts` are per-READ Hadoop/FS configuration overrides (access
+    * keys, endpoints, custom scheme impls — the reference carries
+    * credentials in query params, `cpp/tql/executor.hpp:82` +
+    * `cpp/storage/provider_base.hpp`): Spark merges reader options into
+    * a cloned Hadoop conf for this scan only, so one query can open a
+    * bucket with its own credentials without mutating the cluster-wide
+    * configuration or other concurrent queries. */
+  def openUrl(spark: SparkSession, url: String,
+      hadoopOpts: Map[String, String] = Map.empty): DataFrame =
     if (url.endsWith(".csv"))
-      spark.read.option("header", "true").option("inferSchema", "true").csv(url)
-    else spark.read.parquet(url)
+      spark.read.options(hadoopOpts)
+        .option("header", "true").option("inferSchema", "true").csv(url)
+    else spark.read.options(hadoopOpts).parquet(url)
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    if (isUrl(name)) return openUrl(spark, name)
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    apply(spark, dir, name, Map.empty)
+
+  def apply(spark: SparkSession, dir: String, name: String,
+      hadoopOpts: Map[String, String]): DataFrame = {
+    if (isUrl(name)) return openUrl(spark, name, hadoopOpts)
     require(all.contains(name), s"unknown table $name")
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -8,6 +8,19 @@ import org.scalatest.BeforeAndAfterAll
 import graft.dialect.Tql
 import graft.functions.gf
 
+/** Test FileSystem: local passthrough behind a custom scheme that
+  * REQUIRES a credential in the Hadoop conf it is initialized with —
+  * proves per-query storage options reach the FS layer. */
+class CredentialedLocalFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "graftfs"
+  override def getUri: java.net.URI = java.net.URI.create("graftfs:///")
+  override def initialize(uri: java.net.URI,
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
+    require(conf.get("graftfs.secret") == "letmein", "graftfs: missing credential")
+    super.initialize(uri, conf)
+  }
+}
+
 /** TQL dialect frontend: parse + compile + execute against sf0.001,
   * cross-checked with directly-built DataFrames. */
 class TqlSpec extends AnyFunSuite with BeforeAndAfterAll {
@@ -308,6 +321,53 @@ class TqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     val e = intercept[IllegalArgumentException](
       Tql.query(spark, dir, "SELECT doc_id WHERE n_chars > 500").collect())
     assert(e.getMessage.contains("queryDataset"))
+  }
+
+  test("dataset-provided functions resolve at query time, only for their dataset (functions_registry.hpp:15-33)") {
+    Tql.DatasetFunctions.clear()
+    try {
+      Tql.DatasetFunctions.register(dir, "GROSS_VALUE",
+        args => round(args(0) * args(1), 2))
+      val got = Tql.query(spark, dir,
+        """SELECT l_orderkey, GROSS_VALUE(l_quantity, l_extendedprice) AS g
+          |FROM lineitem WHERE l_orderkey < 10 ORDER BY l_orderkey, g""".stripMargin)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val want = tbl("lineitem").filter(col("l_orderkey") < 10)
+        .select(col("l_orderkey"),
+          round(col("l_quantity") * col("l_extendedprice"), 2).as("g"))
+        .orderBy(col("l_orderkey"), col("g"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got === want && got.nonEmpty)
+      // the SAME text against a dataset that does NOT provide the
+      // function fails to resolve
+      val e = intercept[Exception] {
+        Tql.query(spark, "/root/testdata/sf0.01",
+          "SELECT GROSS_VALUE(l_quantity, l_extendedprice) AS g FROM lineitem")
+          .collect()
+      }
+      assert(e.getMessage.toLowerCase.contains("gross_value"), e.getMessage)
+    } finally Tql.DatasetFunctions.clear()
+  }
+
+  test("FROM url opens a custom FS scheme with per-query credentials (executor.hpp:82)") {
+    val url = "graftfs:///root/testdata/sf0.001/documents.parquet"
+    val creds = Map(
+      "fs.graftfs.impl" -> classOf[CredentialedLocalFs].getName,
+      "fs.graftfs.impl.disable.cache" -> "true",
+      "graftfs.secret" -> "letmein")
+    val sql = s"""SELECT doc_id FROM "$url" ORDER BY doc_id"""
+    val df = Tql.queryWithOptions(spark, dir, sql,
+      Tql.Options(storageOptions = creds)).get
+    val direct = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count()
+    assert(df.count() === direct)
+    // without the credential the same query can't open the scheme
+    intercept[Exception] {
+      Tql.queryWithOptions(spark, dir, sql,
+        Tql.Options(storageOptions = creds - "graftfs.secret")).get.count()
+    }
+    // and the cluster-wide conf was never mutated
+    assert(spark.sparkContext.hadoopConfiguration.get("fs.graftfs.impl") == null)
+    assert(spark.sparkContext.hadoopConfiguration.get("graftfs.secret") == null)
   }
 
   test("vector ? params bind as array literals in projections (expr.hpp:107-126)") {
