@@ -266,7 +266,14 @@ object Tql {
 
   // ---------------------------------------------------------------- select
 
-  private case class Env(df: DataFrame, aliases: Map[String, DataFrame])
+  /** `fnOverrides`: function calls compiled to a pre-computed column —
+    * used by index routes whose score only exists as a join output
+    * (BM25_SIMILARITY has no per-row formula without the index). */
+  private case class Env(df: DataFrame, aliases: Map[String, DataFrame],
+      fnOverrides: Map[String, Column] = Map.empty)
+
+  /** internal column carrying a routed BM25 score (never leaks into *) */
+  private val Bm25ScoreCol = "__bm25_score"
 
   private def compileSelect(spark: SparkSession, sel: ast.Select,
       resolve: String => DataFrame, params: Seq[Any]): DataFrame = {
@@ -314,6 +321,34 @@ object Tql {
               .select(col("id").as("__ann_cand_id"))
             env = env.copy(df = env.df.join(broadcast(cand),
               env.df(entry.idCol) === col("__ann_cand_id"), "left_semi"))
+          }
+        case _ => ()
+      }
+    }
+
+    // BM25_SIMILARITY(col, 'query') — the BM25 arm of the same top-k
+    // routing (`cpp/deeplake_pg/index_search.cpp:135-169`): the score
+    // only exists via the maintained index (idf/avgdl are corpus
+    // statistics, not per-row formulas), so the route joins the scored
+    // candidates and compiles every BM25_SIMILARITY call to that score
+    // column. A WHERE pre-filters the scored ids; docs sharing no query
+    // term drop (inner join), matching the reference's index search.
+    if (indexRoutingEnabled.get()) bm25Route(sel).foreach { case (tcol, qtext) =>
+      sel.from match {
+        case ast.TableRef(tname, _) =>
+          graft.operators.Bm25.Catalog.lookup(tname, tcol).foreach { entry =>
+            val filterIds = sel.where.map { w =>
+              env.df.filter(expr(env, w, params)).select(col(entry.idCol))
+            }
+            val terms = qtext.split(" ").toSeq.filter(_.nonEmpty)
+            val cand = graft.operators.Bm25
+              .scoreWithIndex(entry.index, terms, idFilter = filterIds)
+              .select(col("doc_id").as("__bm25_id"), col("score").as(Bm25ScoreCol))
+            env = env.copy(
+              df = env.df.join(cand,
+                env.df(entry.idCol) === col("__bm25_id"), "inner").drop("__bm25_id"),
+              fnOverrides = env.fnOverrides +
+                ("BM25_SIMILARITY" -> col(Bm25ScoreCol)))
           }
         case _ => ()
       }
@@ -462,7 +497,8 @@ object Tql {
     }
 
     // final projection (the internal row-number column never leaks into *)
-    val srcCols = env.df.columns.toSeq.filterNot(_ == RowNumCol)
+    val srcCols = env.df.columns.toSeq
+      .filterNot(c => c == RowNumCol || c == Bm25ScoreCol)
     val outCols =
       (if (hasStar) srcCols.map(c => col(c)) else Nil) ++
         finals.map { case (tmp, name, _) => col(tmp).as(name) }
@@ -567,6 +603,35 @@ object Tql {
   private val RowNumCol = "__rownum"
 
   /** does `e` contain a call to function `name` anywhere? */
+  /** The unique (text column, query text) a select's BM25_SIMILARITY
+    * calls agree on — None when absent, ambiguous, or the select shape
+    * can't route (joins/grouping/expand/sampling). */
+  private def bm25Route(sel: ast.Select): Option[(String, String)] = {
+    if (sel.joins.nonEmpty || sel.groupBy.nonEmpty || sel.ungroup.nonEmpty ||
+        sel.sampleBy.nonEmpty || sel.expand.nonEmpty)
+      return None
+    def collect(e: ast.Expr): Seq[(String, String)] = e match {
+      case ast.Fn("BM25_SIMILARITY", Seq(ast.Ref(Seq(c)), ast.Lit(q: String)), Seq()) =>
+        Seq((c, q))
+      case ast.Fn(_, args, pairs) =>
+        args.flatMap(collect) ++ pairs.flatMap { case (a, b) => collect(a) ++ collect(b) }
+      case ast.Un(_, a) => collect(a)
+      case ast.Bin(_, a, b) => collect(a) ++ collect(b)
+      case ast.Between(a, lo, hi, _) => Seq(a, lo, hi).flatMap(collect)
+      case ast.In(a, items, _) => (a +: items).flatMap(collect)
+      case ast.ArrayLit(items) => items.flatMap(collect)
+      case ast.Index(a, i) => collect(a) ++ collect(i)
+      case ast.Slice(a, lo, hi, st) =>
+        (a +: (lo.toSeq ++ hi.toSeq ++ st.toSeq)).flatMap(collect)
+      case _ => Nil
+    }
+    val uses = (sel.projs.map(_.e) ++ sel.orderBy.map(_.e)).flatMap(collect).distinct
+    uses match {
+      case Seq(one) => Some(one)
+      case _ => None
+    }
+  }
+
   private def usesFn(e: ast.Expr, name: String): Boolean = e match {
     case ast.Fn(n, args, pairs) =>
       n == name || args.exists(usesFn(_, name)) ||
@@ -763,6 +828,17 @@ object Tql {
       require(isArray(env, a0),
         s"$name is a within-row tensor reduction; argument must be an array column")
       f(a0)
+    }
+    // routed-score overrides first: the route pre-computed this call's
+    // value as a join output column (see bm25Route)
+    env.fnOverrides.get(name) match {
+      case Some(c) => return c
+      case None if name == "BM25_SIMILARITY" =>
+        throw new IllegalArgumentException(
+          "BM25_SIMILARITY requires a registered BM25 index " +
+            "(Bm25.Catalog.register) and a routable select shape " +
+            "(no joins/grouping; one distinct (column, query) usage)")
+      case None => ()
     }
     name match {
       case "COSINE_SIMILARITY" => gf.cosine_similarity(a0, a1)

@@ -22,6 +22,26 @@ object Bm25 {
   val K1 = 1.2
   val B = 0.75
 
+  /** Session-level BM25 index routing for the dialect's
+    * `ORDER BY BM25_SIMILARITY(col, 'query') DESC LIMIT k` path — the
+    * BM25 arm of the reference's
+    * check_for_top_k_binary_function_search (`cpp/tql/tql.hpp:171`,
+    * BM25 search routing `cpp/deeplake_pg/index_search.cpp:135-169`).
+    * Keyed by (table, text column); `idCol` names the table's id column
+    * candidates join back on. */
+  object Catalog {
+    final case class Entry(index: Index, idCol: String)
+    @volatile private var entries: Map[(String, String), Entry] = Map.empty
+
+    def register(table: String, textCol: String, idCol: String, index: Index): Unit =
+      entries += (table, textCol) -> Entry(index, idCol)
+
+    def lookup(table: String, textCol: String): Option[Entry] =
+      entries.get((table, textCol))
+
+    def clear(): Unit = entries = Map.empty
+  }
+
   /** postings: one row per (doc, term) with tf and dl.
     * Repartition by doc id first — a single-partition scan would
     * serialize tokenize+explode (see Dedup.shingled note). */
@@ -93,9 +113,20 @@ object Bm25 {
     * (doc_id, score) for every doc containing at least one query term.
     * The term filter pushes into the postings scan; df and corpus stats
     * broadcast — the corpus itself is never re-tokenized. */
-  def scoreWithIndex(index: Index, queryTerms: Seq[String]): DataFrame = {
+  def scoreWithIndex(index: Index, queryTerms: Seq[String],
+      idFilter: Option[DataFrame] = None): DataFrame = {
     val lowered = queryTerms.distinct
-    index.postings.filter(col("term").isin(lowered: _*))
+    // WHERE pre-filter composition (index_holder.hpp:33): only ids
+    // surviving the filter are scored/ranked; corpus stats (idf, avgdl)
+    // stay global, exactly as an index search over a filter bitmap
+    val base = idFilter match {
+      case Some(ids) =>
+        index.postings.join(
+          ids.select(col(ids.columns.head).as("doc_id")).distinct(),
+          Seq("doc_id"), "left_semi")
+      case None => index.postings
+    }
+    base.filter(col("term").isin(lowered: _*))
       .join(broadcast(index.termDf.filter(col("term").isin(lowered: _*))), "term")
       .crossJoin(broadcast(index.docStats))
       .select(col("doc_id"),

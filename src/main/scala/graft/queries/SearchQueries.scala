@@ -24,6 +24,19 @@ object SearchQueries extends QueryModule {
       },
       Some(Bm25.oracleSql(terms, roundTo = 6, k = 20))),
 
+    // ---- the SAME BM25 search reached from TQL text:
+    // ORDER BY BM25_SIMILARITY(text, 'query') DESC LIMIT k routes
+    // through the registered index (BM25 arm of
+    // check_for_top_k_binary_function_search; index_search.cpp:135-169)
+    "q_tql_bm25_topk" -> Q(
+      (s, dir) => {
+        Bm25.Catalog.register("documents", "text", "doc_id", IndexStore.bm25(s, dir))
+        graft.dialect.Tql.query(s, dir,
+          s"""SELECT doc_id, ROUND(BM25_SIMILARITY(text, '${terms.mkString(" ")}'), 6) AS bm25
+             |FROM documents ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin)
+      },
+      Some(Bm25.oracleSql(terms, roundTo = 6, k = 20))),
+
     // ---- hybrid search: cosine + BM25, softmax-fused 0.5/0.5
     "q_hybrid_search" -> Q(
       (s, dir) => {

@@ -370,6 +370,44 @@ class TqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sparkContext.hadoopConfiguration.get("graftfs.secret") == null)
   }
 
+  test("BM25_SIMILARITY routes through a registered index, composes with WHERE (index_search.cpp:135-169)") {
+    import graft.operators.Bm25
+    val docs = tbl("documents")
+    val idx = Bm25.buildIndex(docs, "doc_id", "text")
+    Bm25.Catalog.register("documents", "text", "doc_id", idx)
+    try {
+      val routed = Tql.query(spark, dir,
+        """SELECT doc_id, ROUND(BM25_SIMILARITY(text, 'spark join'), 6) AS s
+          |FROM documents ORDER BY s DESC, doc_id LIMIT 10""".stripMargin)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val direct = Bm25.scoreWithIndex(idx, Seq("spark", "join"))
+        .select(col("doc_id"), round(col("score"), 6).as("s"))
+        .orderBy(col("s").desc, col("doc_id")).limit(10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(routed === direct && routed.nonEmpty)
+
+      // WHERE composes as a pre-filter on the scored ids
+      val filtered = Tql.query(spark, dir,
+        """SELECT doc_id, ROUND(BM25_SIMILARITY(text, 'spark join'), 6) AS s
+          |FROM documents WHERE n_chars > 300 ORDER BY s DESC, doc_id LIMIT 10""".stripMargin)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val directF = Bm25.scoreWithIndex(idx, Seq("spark", "join"),
+          idFilter = Some(docs.filter(col("n_chars") > 300).select(col("doc_id"))))
+        .select(col("doc_id"), round(col("score"), 6).as("s"))
+        .orderBy(col("s").desc, col("doc_id")).limit(10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(filtered === directF && filtered.nonEmpty)
+
+      // without a registered index the function fails with a clear error
+      Bm25.Catalog.clear()
+      val e = intercept[IllegalArgumentException] {
+        Tql.query(spark, dir,
+          "SELECT doc_id, BM25_SIMILARITY(text, 'spark') AS s FROM documents ORDER BY s DESC LIMIT 5")
+      }
+      assert(e.getMessage.contains("BM25_SIMILARITY"))
+    } finally Bm25.Catalog.clear()
+  }
+
   test("vector ? params bind as array literals in projections (expr.hpp:107-126)") {
     val emb = tbl("embeddings")
     val qv = emb.filter(col("vec_id") === 0).select(col("embedding"))
