@@ -17,44 +17,61 @@ import org.apache.spark.sql.functions._
   * over the observed min/max (one tiny agg to fetch bounds), bit
   * interleave via shifts/ors, then a range repartition + within-partition
   * sort on the z-value so each output file covers a compact Morton range.
+  *
+  * Supports 2..6 clustered columns; per-column bucket bits shrink as
+  * columns are added (min(16, 62/n)) so the z-value stays in a long —
+  * the usual resolution/width trade every z-order implementation makes.
   */
 object ZOrder {
 
-  private val Bits = 16 // per-column bucket bits; 2 cols => 32-bit z-value
+  private def bitsPerCol(n: Int): Int = math.min(16, 62 / n)
 
-  /** interleave the low `Bits` bits of a and b (a gets even positions) */
-  private def interleave(a: Column, b: Column): Column =
-    (0 until Bits).map { i =>
+  /** round-robin interleave of the low `bits` bits of each column:
+    * bit i of column j lands at position i*n + j */
+  private def interleave(cols: Seq[Column], bits: Int): Column = {
+    val n = cols.size
+    (for { i <- 0 until bits; j <- cols.indices } yield {
       val bit = lit(1L << i)
-      (shiftleft(a.bitwiseAND(bit), i) // bit i -> position 2i
-        .bitwiseOR(shiftleft(b.bitwiseAND(bit), i + 1))) // bit i -> 2i+1
-    }.reduce((x, y) => x.bitwiseOR(y))
-
-  /** z-value column for two numeric columns, bucketed equi-width over
-    * their observed [min, max] */
-  def zValue(df: DataFrame, c1: String, c2: String): Column = {
-    val b = df.agg(
-      min(col(c1)).cast("double"), max(col(c1)).cast("double"),
-      min(col(c2)).cast("double"), max(col(c2)).cast("double")).collect()(0)
-    def bucket(c: String, lo: Double, hi: Double): Column = {
-      val span = math.max(hi - lo, Double.MinPositiveValue)
-      least(lit((1 << Bits) - 1), floor(
-        (col(c).cast("double") - lit(lo)) / lit(span) * ((1 << Bits) - 1)))
-        .cast("long")
-    }
-    interleave(bucket(c1, b.getDouble(0), b.getDouble(1)),
-      bucket(c2, b.getDouble(2), b.getDouble(3)))
+      shiftleft(cols(j).bitwiseAND(bit), i * (n - 1) + j)
+    }).reduce((x, y) => x.bitwiseOR(y))
   }
 
+  /** z-value column for 2..6 numeric columns, each bucketed equi-width
+    * over its observed [min, max] */
+  def zValue(df: DataFrame, cs: Seq[String]): Column = {
+    require(cs.size >= 2 && cs.size <= 6,
+      s"z-order clusters 2..6 columns, got ${cs.size}")
+    val bits = bitsPerCol(cs.size)
+    val aggs = cs.flatMap(c =>
+      Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
+    val bounds = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val bucketed = cs.zipWithIndex.map { case (c, i) =>
+      val (lo, hi) = (bounds.getDouble(2 * i), bounds.getDouble(2 * i + 1))
+      val span = math.max(hi - lo, Double.MinPositiveValue)
+      least(lit((1 << bits) - 1), floor(
+        (col(c).cast("double") - lit(lo)) / lit(span) * ((1 << bits) - 1)))
+        .cast("long")
+    }
+    interleave(bucketed, bits)
+  }
+
+  /** two-column form (kept for the common case) */
+  def zValue(df: DataFrame, c1: String, c2: String): Column =
+    zValue(df, Seq(c1, c2))
+
   /** Rewrite `df` as `numFiles` parquet files clustered on the Morton
-    * order of (c1, c2). Range partitioning gives each file a compact
+    * order of `cs`. Range partitioning gives each file a compact
     * z-range; the within-partition sort tightens per-row-group min/max
     * stats inside each file. */
-  def writeZOrdered(df: DataFrame, path: String, c1: String, c2: String,
+  def writeZOrdered(df: DataFrame, path: String, cs: Seq[String],
       numFiles: Int): Unit =
-    df.withColumn("__z", zValue(df, c1, c2))
+    df.withColumn("__z", zValue(df, cs))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
       .write.mode("overwrite").parquet(path)
+
+  def writeZOrdered(df: DataFrame, path: String, c1: String, c2: String,
+      numFiles: Int): Unit =
+    writeZOrdered(df, path, Seq(c1, c2), numFiles)
 }
