@@ -25,36 +25,60 @@ object Dedup {
   /** Frequency-adaptive salted pair self-join: enumerate (a, b) row
     * pairs of `df` sharing `keyCols`, subject to `extraCond` over the
     * aliased sides "a"/"b". Keys with more than `hotKeyThreshold` rows
-    * (computed exactly — one partial-agg shuffle of key counts, then a
-    * broadcast of the tiny hot set) are split `numSalts` ways: the left
-    * side gets a deterministic per-row salt, the right side replicates
-    * across all salts, so a hot key's |K|² pair work spreads over
-    * `numSalts` reducers instead of one. Cold keys join untouched.
-    * Pair sets are identical to the unsalted join (`a.id < b.id` style
-    * ordering must come from `extraCond`). */
+    * are split `numSalts` ways: the left side gets a deterministic
+    * per-row salt, the right side replicates across all salts, so a hot
+    * key's |K|² pair work spreads over `numSalts` reducers instead of
+    * one. Cold keys join untouched. Pair sets are identical to the
+    * unsalted join (`a.id < b.id` style ordering must come from
+    * `extraCond`).
+    *
+    * Detection is a PERFORMANCE routing decision — both paths produce
+    * identical pairs — so for large thresholds it runs on a
+    * deterministic 1/128 hash sample of the rows (a key with 100k+ rows
+    * is unmissable in the sample; a borderline miss only costs speed,
+    * never correctness). The hot set is collected to the driver: in the
+    * common no-hot-keys case the measured plan is exactly the plain
+    * join — no marker join, no union. */
   private def saltedPairJoin(df: DataFrame, keyCols: Seq[String],
       extraCond: Column, outCols: Seq[String],
       hotKeyThreshold: Int, numSalts: Int): DataFrame = {
     val keyEq = keyCols.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _)
-    val hot = df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__n"))
-      .filter(col("__n") > hotKeyThreshold)
+    def pairs(l: DataFrame, r: DataFrame, cond: Column): DataFrame =
+      l.as("a").join(r.as("b"), cond)
+        .select(outCols.map(c => col(s"a.$c").as(s"${c}_a")) ++
+          outCols.map(c => col(s"b.$c").as(s"${c}_b")): _*)
+
+    val sampleMod = 128
+    val useSample = hotKeyThreshold >= 10 * sampleMod
+    val rowHash = xxhash64((keyCols ++ outCols).map(col): _*)
+    val probe = if (useSample) df.filter(pmod(rowHash, lit(sampleMod)) === 0) else df
+    val thresh =
+      if (useSample) math.max(1L, hotKeyThreshold.toLong / sampleMod)
+      else hotKeyThreshold.toLong
+    // a system with MANY distinct hot keys has a different problem; 1000
+    // bounds the driver collect
+    val hotKeys = probe.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > thresh)
       .select(keyCols.map(col): _*)
-      .withColumn("__hot", lit(1))
-    val marked = df.join(broadcast(hot), keyCols, "left")
-    val cold = marked.filter(col("__hot").isNull).drop("__hot")
-    val hotRows = marked.filter(col("__hot") === 1).drop("__hot")
-    val coldPairs = cold.as("a").join(cold.as("b"), keyEq && extraCond)
-      .select(outCols.map(c => col(s"a.$c").as(s"${c}_a")) ++
-        outCols.map(c => col(s"b.$c").as(s"${c}_b")): _*)
-    val saltedA = hotRows.withColumn("__salt",
-      pmod(xxhash64(col(outCols.head)), lit(numSalts)).cast("int"))
-    val replB = hotRows.withColumn("__salt",
-      explode(sequence(lit(0), lit(numSalts - 1))))
-    val hotPairs = saltedA.as("a").join(replB.as("b"),
-        keyEq && col("a.__salt") === col("b.__salt") && extraCond)
-      .select(outCols.map(c => col(s"a.$c").as(s"${c}_a")) ++
-        outCols.map(c => col(s"b.$c").as(s"${c}_b")): _*)
-    coldPairs.union(hotPairs)
+      .limit(1000).collect()
+
+    if (hotKeys.isEmpty) pairs(df, df, keyEq && extraCond)
+    else {
+      val spark = df.sparkSession
+      val hot = spark.createDataFrame(
+          java.util.Arrays.asList(hotKeys: _*), df.select(keyCols.map(col): _*).schema)
+        .withColumn("__hot", lit(1))
+      val marked = df.join(broadcast(hot), keyCols, "left")
+      val cold = marked.filter(col("__hot").isNull).drop("__hot")
+      val hotRows = marked.filter(col("__hot") === 1).drop("__hot")
+      val saltedA = hotRows.withColumn("__salt",
+        pmod(xxhash64(col(outCols.head)), lit(numSalts)).cast("int"))
+      val replB = hotRows.withColumn("__salt",
+        explode(sequence(lit(0), lit(numSalts - 1))))
+      pairs(cold, cold, keyEq && extraCond)
+        .union(pairs(saltedA, replB,
+          keyEq && col("a.__salt") === col("b.__salt") && extraCond))
+    }
   }
 
   /** one-row corpus duplication profile */
