@@ -156,7 +156,7 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     })
 
-    val benchBudgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "330").toInt
+    val benchBudgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "450").toInt
     val headReps = sys.env.getOrElse("SPARK_GRAFT_HEAD_REPS", "3").toInt
     val loop0 = System.nanoTime()
     def elapsed(): Double = (System.nanoTime() - loop0) / 1e9
@@ -170,6 +170,10 @@ object Bench {
         headlineNames.foreach { n =>
           if (elapsed() < benchBudgetSec) reps(n) += run1(n)
         }
+      }
+      headlineNames.foreach { n =>
+        System.err.println(s"[bench] headline reps $n: " +
+          reps(n).map(t => f"$t%.2f").mkString(" "))
       }
       val meds = reps.map { case (n, ts) => n -> median(ts.toSeq) }
       (meds, sentinel())
