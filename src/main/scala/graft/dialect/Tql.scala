@@ -218,6 +218,27 @@ object Tql {
     try f finally currentDataset.set(saved)
   }
 
+  /** table identity of the FROM-less (SelfTable) source — lets index
+    * routes fire for `ds.query("... ORDER BY COSINE_SIMILARITY(...)")`
+    * where the reference resolves indexes off the dataset handle itself
+    * (`cpp/tql/tql.hpp:171` runs against the open dataset, not a name) */
+  private val currentTable =
+    ThreadLocal.withInitial[Option[String]](() => None)
+
+  private def withTable[T](table: String)(f: => T): T = {
+    val saved = currentTable.get()
+    currentTable.set(Some(table))
+    try f finally currentTable.set(saved)
+  }
+
+  /** source table name the index routes key on: explicit FROM name, or —
+    * for a FROM-less select — the open handle's table */
+  private def routeTable(from: ast.Source): Option[String] = from match {
+    case ast.TableRef(ast.SelfTable, _) => currentTable.get()
+    case ast.TableRef(n, _) => Some(n)
+    case _ => None
+  }
+
   /** `explain_query` analog (`python/deeplake/__init__.pyi:837`,
     * `cpp/tql/explain_query_result.hpp`): a human-readable plan plus a
     * machine-readable JSON form, WITHOUT executing. The formatted text is
@@ -248,6 +269,34 @@ object Tql {
     }, params)
   }
 
+  /** The reference's `deeplake.open(url)` handle (`python/deeplake/
+    * __init__.pyi:700`): a named dataset whose FROM-less queries keep
+    * their identity, so dataset-scoped functions, the ANN top-k route
+    * and the BM25 route all fire exactly as they would with an explicit
+    * `FROM <table>`. Sibling tables in the same dir stay addressable by
+    * name (the reference joins datasets under one org the same way). */
+  final case class DatasetHandle(spark: SparkSession, dir: String, table: String) {
+    def df: DataFrame = graft.sources.Tables(spark, dir, table)
+    def query(tql: String, params: Seq[Any] = Nil): DataFrame =
+      withDataset(dir)(withTable(table) {
+        compile(spark, tql, {
+          case ast.SelfTable => df
+          case url if graft.sources.Tables.isUrl(url) =>
+            graft.sources.Tables.openUrl(spark, url)
+          case name => graft.sources.Tables(spark, dir, name)
+        }, params)
+      })
+    def explainQuery(tql: String, params: Seq[Any] = Nil): ExplainResult = {
+      val qe = query(tql, params).queryExecution
+      ExplainResult(
+        qe.explainString(org.apache.spark.sql.execution.FormattedMode),
+        qe.optimizedPlan.toJSON)
+    }
+  }
+
+  def open(spark: SparkSession, dir: String, table: String): DatasetHandle =
+    DatasetHandle(spark, dir, table)
+
   def compile(spark: SparkSession, tql: String, resolve: String => DataFrame,
       params: Seq[Any] = Nil): DataFrame =
     compileAst(spark, parseCached(tql), resolve, params)
@@ -256,11 +305,29 @@ object Tql {
       resolve: String => DataFrame, params: Seq[Any]): DataFrame = {
     compileCount.incrementAndGet()
     val branches = q.selects.map(s => compileSelect(spark, s, resolve, params))
-    q.ops.zip(branches.tail).foldLeft(branches.head) {
+    val df = q.ops.zip(branches.tail).foldLeft(branches.head) {
       case (acc, ("UNION", b)) => acc.unionByName(b)
       case (acc, ("INTERSECT", b)) => acc.intersect(b)
       case (acc, ("EXCEPT", b)) => acc.except(b)
       case (_, (op, _)) => throw new IllegalArgumentException(s"bad set op $op")
+    }
+    q.explain match {
+      case None => df
+      case Some(mode) =>
+        // EXPLAIN statement: one row, one `plan` column — the statement
+        // never executes the query (mirrors Spark SQL's EXPLAIN output
+        // shape and the reference's explain_query result object)
+        import org.apache.spark.sql.execution._
+        val qe = df.queryExecution
+        val text = mode match {
+          case "JSON" => qe.optimizedPlan.toJSON
+          case "EXTENDED" => qe.explainString(ExtendedMode)
+          case "CODEGEN" => qe.explainString(CodegenMode)
+          case "COST" => qe.explainString(CostMode)
+          case _ => qe.explainString(FormattedMode)
+        }
+        spark.createDataset(Seq(text))(org.apache.spark.sql.Encoders.STRING)
+          .toDF("plan")
     }
   }
 
@@ -307,8 +374,8 @@ object Tql {
     // adaptively widens its cluster probe when the filter starves the
     // candidate pool. Joins/grouping still disable the route.
     if (indexRoutingEnabled.get()) annTopKRoute(sel, params).foreach { case (vecCol, qVec, k) =>
-      sel.from match {
-        case ast.TableRef(tname, _) =>
+      routeTable(sel.from) match {
+        case Some(tname) =>
           graft.operators.AnnIndex.Catalog.lookup(tname, vecCol).foreach { entry =>
             import spark.implicits._
             val qdf = Seq((0, qVec)).toDF("qid", "q_vec")
@@ -334,8 +401,8 @@ object Tql {
     // column. A WHERE pre-filters the scored ids; docs sharing no query
     // term drop (inner join), matching the reference's index search.
     if (indexRoutingEnabled.get()) bm25Route(sel).foreach { case (tcol, qtext) =>
-      sel.from match {
-        case ast.TableRef(tname, _) =>
+      routeTable(sel.from) match {
+        case Some(tname) =>
           graft.operators.Bm25.Catalog.lookup(tname, tcol).foreach { entry =>
             val filterIds = sel.where.map { w =>
               env.df.filter(expr(env, w, params)).select(col(entry.idCol))

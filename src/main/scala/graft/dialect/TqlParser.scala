@@ -58,7 +58,10 @@ object ast {
       orderBy: Seq[OrderItem],
       limit: Option[(Expr, Boolean)], // (count expr: literal or ?, isPercent)
       offset: Option[Expr])
-  case class Query(selects: Seq[Select], ops: Seq[String]) // ops.size == selects.size-1
+  // ops.size == selects.size-1; explain = Some(mode) when the statement
+  // is EXPLAIN-prefixed (mode: FORMATTED | JSON | EXTENDED | CODEGEN | COST)
+  case class Query(selects: Seq[Select], ops: Seq[String],
+      explain: Option[String] = None)
 }
 
 private[dialect] object Lexer {
@@ -77,7 +80,7 @@ private[dialect] object Lexer {
     "OR", "NOT", "IN", "BETWEEN", "LIKE", "ILIKE", "IS", "NULL", "TRUE",
     "FALSE", "ARRAY", "JOIN", "INNER", "LEFT", "RIGHT", "FULL", "OUTER",
     "CROSS", "ON", "USING", "UNION", "INTERSECT", "EXCEPT",
-    "EXPAND", "OVERLAP", "SPLIT", "ACROSS", "TIME", "SPACE")
+    "EXPAND", "OVERLAP", "SPLIT", "ACROSS", "TIME", "SPACE", "EXPLAIN")
 
   def lex(s: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
@@ -145,6 +148,18 @@ class TqlParser(input: String) {
     throw new IllegalArgumentException(s"TQL parse error at token $pos: $msg\n  in: $input")
 
   def parse(): Query = {
+    // EXPLAIN [FORMATTED|JSON|EXTENDED|CODEGEN|COST] <query> — plan text
+    // instead of rows (explain_query analog, `python/deeplake/__init__
+    // .pyi:837`; the mode word is an ident, not reserved, so columns
+    // named `json` etc. keep working)
+    val explainMode: Option[String] =
+      if (!eatKw("EXPLAIN")) None
+      else peek match {
+        case Ident(m) if Set("FORMATTED", "JSON", "EXTENDED", "CODEGEN",
+            "COST").contains(m.toUpperCase) =>
+          pos += 1; Some(m.toUpperCase)
+        case _ => Some("FORMATTED")
+      }
     val first = parseSelect()
     val selects = Seq.newBuilder[Select]
     val ops = Seq.newBuilder[String]
@@ -161,7 +176,7 @@ class TqlParser(input: String) {
       case EOF => ()
       case t => fail(s"trailing token $t")
     }
-    Query(selects.result(), ops.result())
+    Query(selects.result(), ops.result(), explainMode)
   }
 
   /** EXPAND BY h [w] [OVERLAP [bool]] [AS name] — the reference's docs

@@ -323,6 +323,56 @@ class TqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("queryDataset"))
   }
 
+  test("open() handle: FROM-less queries keep identity — ANN/BM25 routes + dataset functions fire (pyi:700)") {
+    import graft.operators.{AnnIndex, Bm25}
+    val ds = Tql.open(spark, dir, "embeddings")
+    val emb = ds.df
+    val idx = AnnIndex.build(emb, "vec_id", "embedding", 8)
+    AnnIndex.Catalog.register("embeddings", "embedding", "vec_id", idx)
+    Tql.DatasetFunctions.clear()
+    try {
+      val qv = emb.filter(col("vec_id") === 0).select(col("embedding"))
+        .collect()(0).getSeq[Float](0).map(_.toDouble)
+      val arr = qv.mkString("ARRAY[", ", ", "]")
+      // no FROM — the handle supplies both the frame and the route key
+      val routed = ds.query(
+        s"""SELECT vec_id, ROUND(COSINE_SIMILARITY(embedding, $arr), 6) AS score
+           |ORDER BY score DESC LIMIT 5""".stripMargin)
+      assert(routed.queryExecution.executedPlan.toString.contains("LeftSemi"),
+        routed.queryExecution.executedPlan.toString)
+      val spark2 = spark
+      import spark2.implicits._
+      val direct = AnnIndex.search(idx,
+          Seq((0, qv)).toDF("qid", "q_vec"), "qid", "q_vec", 5)
+        .select(col("id")).collect().map(_.getLong(0)).toSet
+      assert(routed.collect().map(_.getLong(0)).toSet === direct)
+      // the raw-frame form (no identity) still takes the exact path
+      val anon = Tql.queryDataset(emb,
+        s"""SELECT vec_id, ROUND(COSINE_SIMILARITY(embedding, $arr), 6) AS score
+           |ORDER BY score DESC LIMIT 5""".stripMargin)
+      assert(!anon.queryExecution.executedPlan.toString.contains("LeftSemi"))
+      // dataset-scoped functions resolve through the handle's dir
+      Tql.DatasetFunctions.register(dir, "VEC_HEAD", args => args(0).getItem(0))
+      val fn = ds.query("SELECT vec_id, VEC_HEAD(embedding) AS h ORDER BY vec_id LIMIT 3")
+      assert(fn.collect().length === 3)
+      // BM25 route fires FROM-less off a documents handle
+      val docsDs = Tql.open(spark, dir, "documents")
+      val bmIdx = Bm25.buildIndex(docsDs.df, "doc_id", "text")
+      Bm25.Catalog.register("documents", "text", "doc_id", bmIdx)
+      val bm = docsDs.query(
+        """SELECT doc_id, ROUND(BM25_SIMILARITY(text, 'spark join'), 4) AS s
+          |ORDER BY s DESC, doc_id LIMIT 5""".stripMargin)
+      val bmDirect = Bm25.scoreWithIndex(bmIdx, Seq("spark", "join"))
+        .orderBy(col("score").desc, col("doc_id")).limit(5)
+        .collect().map(_.getLong(0)).toSeq
+      assert(bm.collect().map(_.getLong(0)).toSeq === bmDirect)
+      // sibling tables in the same dir stay addressable by name
+      assert(ds.query("SELECT doc_id FROM documents LIMIT 3").count() === 3)
+    } finally {
+      AnnIndex.Catalog.clear(); Bm25.Catalog.clear(); Tql.DatasetFunctions.clear()
+    }
+  }
+
   test("dataset-provided functions resolve at query time, only for their dataset (functions_registry.hpp:15-33)") {
     Tql.DatasetFunctions.clear()
     try {
@@ -454,6 +504,26 @@ class TqlSpec extends AnyFunSuite with BeforeAndAfterAll {
         .select(col("id")).collect().map(_.getLong(0)).toSet
       assert(rows.map(_.getLong(0)).toSet === direct)
     } finally AnnIndex.Catalog.clear()
+  }
+
+  test("EXPLAIN statement: plan text as a one-row result, query not executed") {
+    val rows = Tql.query(spark, dir,
+      "EXPLAIN SELECT l_orderkey, l_quantity FROM lineitem WHERE l_quantity > 45")
+      .collect()
+    assert(rows.length === 1 && rows(0).schema.fieldNames.toSeq === Seq("plan"))
+    val plan = rows(0).getString(0)
+    assert(plan.contains("Physical Plan") && plan.contains("PushedFilters"), plan)
+    // mode words are plain identifiers, not reserved
+    val json = Tql.query(spark, dir,
+      "EXPLAIN JSON SELECT l_orderkey FROM lineitem").collect()(0).getString(0)
+    assert(json.startsWith("[") && json.contains("\"class\""))
+    val cost = Tql.query(spark, dir,
+      "EXPLAIN COST SELECT l_orderkey FROM lineitem").collect()(0).getString(0)
+    assert(cost.contains("Optimized Logical Plan"), cost)
+    // a column named like a mode word still parses (not a keyword)
+    val k = Tql.queryDataset(
+      spark.range(3).toDF("json"), "SELECT json WHERE json > 0")
+    assert(k.count() === 2)
   }
 
   test("explainQuery returns formatted plan + JSON tree without executing (pyi:837)") {
