@@ -264,4 +264,156 @@ object AnnIndex {
     val hits = exact.intersect(approx).count().toDouble
     hits / exact.count().toDouble
   }
+
+  // ------------------------------------------------------------- IVF-PQ
+
+  /** Product-quantization codebooks: `books(j)(c)` is the
+    * dsub-dimensional sub-centroid for code `c` of subspace `j`. Tiny
+    * (m * ksub * dsub floats, ~64 KiB at defaults) — driver-held and
+    * bound as in-plan literals, never shuffled. */
+  final case class PqCodebooks(books: Array[Array[Array[Float]]]) {
+    def m: Int = books.length
+    def ksub: Int = books.head.length
+    def dsub: Int = books.head.head.length
+  }
+
+  /** IVF-PQ index: the coarse clustered layout of [[Index]] plus an
+    * m-byte PQ code per vector. The candidate stage scores codes via
+    * per-query lookup tables (asymmetric distance computation), touching
+    * m table lookups per candidate instead of d multiplies — the
+    * memory-bound analog of the reference's quantized candidate scan
+    * (`cpp/query_core/search_config.hpp:104-136`), at 4 B/dim → 1 B/8
+    * dims. Exactness is restored by the same top-(k*accuracyFactor)
+    * rerank as [[search]] on the quantized index. */
+  final case class PqIndex(centroids: DataFrame, assignments: DataFrame,
+      codebooks: PqCodebooks, nClusters: Int)
+
+  /** v / max(|v|_2, eps), floats (cosine over normalized vectors is a
+    * plain inner product — what the PQ lookup tables approximate) */
+  private def l2normalize(vec: Column): Column = {
+    val n = greatest(gf.l2_norm(vec), lit(1e-30))
+    transform(vec, x => (x.cast("double") / n).cast("float"))
+  }
+
+  private def bookLit(cb: PqCodebooks, j: Int): Column =
+    array(cb.books(j).map(c => array(c.map(x => lit(x)): _*)): _*)
+
+  /** nearest sub-centroid per subspace: codes(j) in [0, ksub) */
+  private def pqCodes(vecn: Column, cb: PqCodebooks): Column =
+    array((0 until cb.m).map { j =>
+      val sub = slice(vecn, j * cb.dsub + 1, cb.dsub)
+      val dists = transform(bookLit(cb, j), c => gf.l2_norm(sub, c))
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }: _*)
+
+  /** Build an IVF-PQ index: the coarse KMeans of [[build]], then one
+    * KMeans per subspace over the L2-normalized subvectors. Vector dim
+    * must divide `m`. Encoding minimizes per-subspace L2 reconstruction
+    * error, the standard surrogate for inner-product fidelity. */
+  def buildPq(emb: DataFrame, idCol: String, vecCol: String,
+      nClusters: Int, m: Int = 8, ksub: Int = 64,
+      buildMultiplier: Int = 4, seed: Long = 42L): PqIndex = {
+    val coarse = build(emb, idCol, vecCol, nClusters, buildMultiplier, seed)
+    val dim = emb.select(size(col(vecCol))).first().getInt(0)
+    require(dim % m == 0, s"vector dim $dim must divide into m=$m subspaces")
+    val dsub = dim / m
+    val base = coarse.assignments.withColumn("__vn", l2normalize(col("vec")))
+      .persist()
+    val books = Array.tabulate(m) { j =>
+      val feats = base.select(array_to_vector(
+        transform(slice(col("__vn"), j * dsub + 1, dsub), _.cast("double")))
+        .as("features"))
+      new KMeans().setK(ksub).setSeed(seed + j + 1)
+        .setMaxIter(5 * buildMultiplier).fit(feats)
+        .clusterCenters.map(_.toArray.map(_.toFloat))
+    }
+    val cb = PqCodebooks(books)
+    // materialize codes off the cached base, then release it
+    val assignments = base.withColumn("codes", pqCodes(col("__vn"), cb))
+      .drop("__vn").localCheckpoint()
+    base.unpersist()
+    PqIndex(coarse.centroids, assignments, cb, coarse.nClusters)
+  }
+
+  def savePq(index: PqIndex, dir: String): Unit = {
+    index.centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    index.assignments.write.mode("overwrite").parquet(s"$dir/assignments")
+    val spark = index.centroids.sparkSession
+    import spark.implicits._
+    val flat = for {
+      (book, j) <- index.codebooks.books.zipWithIndex.toSeq
+      (c, code) <- book.zipWithIndex.toSeq
+    } yield (j, code, c.toSeq)
+    flat.toDF("subspace", "code", "centroid")
+      .write.mode("overwrite").parquet(s"$dir/codebooks")
+  }
+
+  def loadPq(spark: SparkSession, dir: String): PqIndex = {
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    val assignments = spark.read.parquet(s"$dir/assignments")
+    val rows = spark.read.parquet(s"$dir/codebooks").collect()
+    val m = rows.map(_.getInt(0)).max + 1
+    val books = Array.tabulate(m) { j =>
+      rows.filter(_.getInt(0) == j).sortBy(_.getInt(1))
+        .map(_.getSeq[Float](2).toArray)
+    }
+    PqIndex(centroids, assignments, PqCodebooks(books), centroids.count().toInt)
+  }
+
+  /** Top-k per query on the PQ index. Same probe as [[search]]; the
+    * candidate stage replaces the int8 kernel with ADC — per query, an
+    * m x ksub table of (query subvector) . (sub-centroid) inner products
+    * is computed ONCE against the literal-bound codebooks (map-side, no
+    * shuffle), and each candidate's approximate score is m table
+    * lookups over its codes. Survivor pool (k * accuracyFactor per
+    * query, two-phase) pays the exact cosine rerank. */
+  def searchPq(index: PqIndex, queries: DataFrame, qIdCol: String,
+      qVecCol: String, k: Int, config: SearchConfig = SearchConfig()): DataFrame = {
+    val cb = index.codebooks
+    val q = queries.select(col(qIdCol).as("qid"), col(qVecCol).as("q_vec"))
+      .withColumn("__qn", l2normalize(col("q_vec")))
+      .withColumn("__lut", array((0 until cb.m).map { j =>
+        transform(bookLit(cb, j),
+          c => gf.dot(slice(col("__qn"), j * cb.dsub + 1, cb.dsub), c))
+      }: _*))
+      .drop("__qn")
+    val nProbe = math.max(1, math.min(index.nClusters,
+      math.ceil(math.sqrt(index.nClusters.toDouble) * config.clusterSearchFactor).toInt))
+    val probed = q.crossJoin(broadcast(index.centroids))
+      .withColumn("c_rank", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(gf.cosine_similarity(col("q_vec"), col("centroid")).desc,
+            col("cluster_id"))))
+      .filter(col("c_rank") <= nProbe)
+      .select(col("qid"), col("q_vec"), col("__lut"), col("cluster_id"))
+    val rerankPool = k * math.max(1, config.accuracyFactor)
+    val adc = aggregate(
+      zip_with(col("codes"), col("__lut"), (cd, t) => element_at(t, cd + 1)),
+      lit(0.0), (acc, x) => acc + x)
+    val gated = topNPerQuery(
+      probed.join(index.assignments, "cluster_id")
+        .select(col("qid"), col("id"), col("vec"), col("q_vec"),
+          adc.as("score_q")),
+      Seq(col("score_q").desc, col("id")), rerankPool)
+      .drop("rank")
+    gated.select(col("qid"), col("id"),
+        gf.cosine_similarity(col("vec"), col("q_vec")).as("score"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("score").desc, col("id"))))
+      .filter(col("rank") <= k)
+  }
+
+  /** exact-vs-PQ recall@k */
+  def recallAtKPq(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, config: SearchConfig = SearchConfig(),
+      nClusters: Int = 16, m: Int = 8, ksub: Int = 64): Double = {
+    val exact = SimilaritySearch.bruteForceTopK(
+        corpus, idCol, vecCol, queries, idCol, vecCol, k)
+      .select(col("qid"), col("id"))
+    val idx = buildPq(corpus, idCol, vecCol, nClusters, m, ksub)
+    val approx = searchPq(idx, queries, idCol, vecCol, k, config)
+      .select(col("qid"), col("id"))
+    val hits = exact.intersect(approx).count().toDouble
+    hits / exact.count().toDouble
+  }
 }

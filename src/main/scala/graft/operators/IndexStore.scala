@@ -75,6 +75,16 @@ object IndexStore {
   def annQuantized(spark: SparkSession, sfDir: String, nClusters: Int = 16): AnnIndex.Index =
     AnnIndex.load(spark, annArtifact(spark, sfDir, nClusters))
 
+  /** IVF-PQ index over embeddings(vec_id, embedding): coarse clusters +
+    * m-byte PQ codes; candidate scan is table lookups, not float math */
+  def annPq(spark: SparkSession, sfDir: String, nClusters: Int = 16,
+      m: Int = 8, ksub: Int = 64): AnnIndex.PqIndex =
+    AnnIndex.loadPq(spark, ensure(artifactDir(sfDir, s"annpq$nClusters-$m-$ksub")) { d =>
+      AnnIndex.savePq(AnnIndex.buildPq(
+        Tables(spark, sfDir, "embeddings"), "vec_id", "embedding",
+        nClusters, m, ksub), d)
+    })
+
   /** inverted text index over documents(doc_id, text) */
   def inverted(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(ensure(artifactDir(sfDir, "inverted_text")) { d =>
@@ -106,6 +116,7 @@ object IndexStore {
       System.err.println(f"[index] $name ready in ${(System.nanoTime() - t0) / 1e9}%.1fs ($sfDir)")
     }
     timed("ann")(annQuantized(spark, sfDir)) // also serves the plain ann() projection
+    timed("annPq")(annPq(spark, sfDir))
     timed("inverted")(inverted(spark, sfDir))
     timed("bm25")(bm25(spark, sfDir))
     timed("json")(json(spark, sfDir))

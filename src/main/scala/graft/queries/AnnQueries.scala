@@ -78,6 +78,18 @@ object AnnQueries extends QueryModule {
       None,
       doc = "filtered indexed top-k: WHERE gates the index probe, nProbe widens adaptively"),
 
+    "q_vec_ann_pq" -> Q(
+      (s, dir) => {
+        val idx = IndexStore.annPq(s, dir)
+        val queries = table(s, dir, "embeddings").filter(col("vec_id") < 5)
+        AnnIndex.searchPq(idx, queries, "vec_id", "embedding", k = 10)
+          .select(col("qid"), col("rank"), col("id").as("neighbor_id"),
+            round(col("score"), 6).as("cos_sim"))
+          .orderBy(col("qid"), col("rank"))
+      },
+      None,
+      doc = "IVF-PQ: per-query ADC lookup tables score m-byte codes, exact rerank on survivors"),
+
     "q_vec_ann_high_accuracy" -> Q(
       (s, dir) => {
         val idx = IndexStore.annQuantized(s, dir)

@@ -85,6 +85,38 @@ class AnnSpec extends AnyFunSuite {
     counts.foreach(r => assert(r.getLong(1) === math.min(10L, nKeep), r.toString))
   }
 
+  test("IVF-PQ recall@10 >= 0.6 at default config") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val r = AnnIndex.recallAtKPq(spark, emb, queries, "vec_id", "embedding",
+      k = 10, AnnIndex.SearchConfig(), nClusters = 16)
+    assert(r >= 0.6, s"pq recall@10 = $r")
+  }
+
+  test("IVF-PQ recall@10 >= 0.9 with all clusters probed and a wide rerank pool") {
+    // exhaustive probe isolates PQ-gate loss: the ADC ordering only has
+    // to keep true neighbors inside the top k*accuracyFactor for the
+    // exact rerank to recover them
+    val queries = emb.filter(col("vec_id") < 10)
+    val r = AnnIndex.recallAtKPq(spark, emb, queries, "vec_id", "embedding",
+      k = 10, AnnIndex.SearchConfig(accuracyFactor = 10, clusterSearchFactor = 4.0),
+      nClusters = 16)
+    assert(r >= 0.9, s"pq recall@10 = $r")
+  }
+
+  test("IVF-PQ index round-trips through save/load with identical results") {
+    val tmp = java.nio.file.Files.createTempDirectory("pqidx").toString
+    val idx = AnnIndex.buildPq(emb, "vec_id", "embedding", nClusters = 8, m = 8, ksub = 16)
+    AnnIndex.savePq(idx, tmp)
+    val loaded = AnnIndex.loadPq(spark, tmp)
+    assert(loaded.codebooks.m === 8 && loaded.codebooks.ksub === 16)
+    val queries = emb.filter(col("vec_id") < 3)
+    val a = AnnIndex.searchPq(idx, queries, "vec_id", "embedding", 5)
+      .select("qid", "rank", "id").collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    val b = AnnIndex.searchPq(loaded, queries, "vec_id", "embedding", 5)
+      .select("qid", "rank", "id").collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    assert(a === b)
+  }
+
   test("search returns exactly k ranked rows per query") {
     val idx = AnnIndex.build(emb, "vec_id", "embedding", nClusters = 8)
     val res = AnnIndex.search(idx, emb.filter(col("vec_id") === 0), "vec_id", "embedding", 5)
