@@ -319,18 +319,49 @@ object Dedup {
     // |ang_p - ang_e| <= arccos(t) a NECESSARY condition for a qualifying
     // pair — a one-double compare that prunes candidates before the
     // d-dimensional cosine kernel ever runs (still lossless)
-    val primary = withClusters.select(col("__primary").as("cluster_id"),
+    // Per-cluster salt fan-out: with k clusters and k < cores (or one
+    // dominant cluster), the equi-join on cluster_id leaves reducers
+    // idle / one reducer hot. Each cluster whose PRIMARY membership
+    // exceeds ~2 tasks' worth is split across s_c salt buckets: primary
+    // rows take salt = hash(id) % s_c, expanded rows replicate s_c ways,
+    // so every qualifying pair still meets exactly once and the key
+    // space grows to sum(s_c) >= cores. Replication is bounded (s_c <=
+    // 16) and costs expanded-side shuffle volume only on the clusters
+    // that need it — clusters already small keep s_c = 1 and pay
+    // nothing. The counts frame is k rows (k = nClusters), so the
+    // driver collect is trivially bounded.
+    val sizes = withClusters.groupBy(col("__primary")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    val totalN = math.max(1L, sizes.values.sum)
+    val target = math.max(1L, totalN / (2L * par))
+    val saltOf = Array.tabulate(nC)(c =>
+      math.min(16L, math.ceil(sizes.getOrElse(c, 0L).toDouble / target).toLong)
+        .toInt.max(1))
+    val saltArr = array(saltOf.map(s => lit(s)): _*)
+
+    val primary0 = withClusters.select(col("__primary").as("cluster_id"),
       col("id").as("id_p"), col("vec").as("vec_p"),
       ang(col("__best")).as("ang_p"))
-    val expanded = withClusters
+    val expanded0 = withClusters
       .select(col("id").as("id_e"), col("vec").as("vec_e"), col("__cs"),
         explode(col("__exp")).as("cluster_id"))
       .select(col("cluster_id"), col("id_e"), col("vec_e"),
         ang(element_at(col("__cs"), col("cluster_id") + 1)).as("ang_e"))
+    val noSkew = saltOf.forall(_ == 1)
+    val (primary, expanded) =
+      if (noSkew) (primary0, expanded0)
+      else (
+        primary0.withColumn("__salt",
+          pmod(xxhash64(col("id_p")), element_at(saltArr, col("cluster_id") + 1))
+            .cast("int")),
+        expanded0.withColumn("__salt", explode(
+          sequence(lit(0), element_at(saltArr, col("cluster_id") + 1) - 1))))
+    val joinCond = primary("cluster_id") === expanded("cluster_id") &&
+      col("id_p") =!= col("id_e") &&
+      abs(col("ang_p") - col("ang_e")) <= lit(math.acos(threshold) + 1e-9)
     primary.join(expanded,
-        primary("cluster_id") === expanded("cluster_id") &&
-        col("id_p") =!= col("id_e") &&
-        abs(col("ang_p") - col("ang_e")) <= lit(math.acos(threshold) + 1e-9))
+        if (noSkew) joinCond
+        else joinCond && primary("__salt") === expanded("__salt"))
       .select(least(col("id_p"), col("id_e")).as("id_a"),
         greatest(col("id_p"), col("id_e")).as("id_b"),
         round(graft.functions.gf.cosine_similarity(col("vec_p"), col("vec_e")), 6)

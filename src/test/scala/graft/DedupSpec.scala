@@ -65,6 +65,30 @@ class DedupSpec extends AnyFunSuite {
       s"missed: ${(exact -- blocked).take(5)}; spurious: ${(blocked -- exact).take(5)}")
   }
 
+  test("embedding dedup with a planted dominant cluster still matches all-pairs") {
+    // 80% of vectors share one direction (one hot cluster_id in the
+    // primary x expanded join) — the per-cluster salt fan-out must
+    // neither drop nor duplicate pairs
+    import spark.implicits._
+    val dim = 8
+    val rows = (0L until 300L).map { i =>
+      val base = if (i % 5 != 4) Array.tabulate(dim)(d => 1.0f + 0.001f * ((i * 7 + d) % 11))
+      else Array.tabulate(dim)(d => (if (d % 2 == 0) 1.0f else -1.0f) * (1.0f + 0.01f * ((i + d) % 7)))
+      (i, base.toSeq)
+    }
+    val e = rows.toDF("vec_id", "embedding")
+    val blocked = Dedup.embeddingNearDupPairs(e, "vec_id", "embedding", 0.9, nClusters = 4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val v = e.select(col("vec_id"), col("embedding"))
+    val exact = v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        graft.functions.gf.cosine_similarity(col("a.embedding"), col("b.embedding")).as("c"))
+      .filter(round(col("c"), 6) > 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked == exact,
+      s"missed: ${(exact -- blocked).take(5)}; spurious: ${(blocked -- exact).take(5)}")
+  }
+
   test("Dedup LSH banding matches TextAnalysis.bandKeys incl. partial final band") {
     import graft.operators.{TextAnalysis => TA}
     val d = docs(sf001)
