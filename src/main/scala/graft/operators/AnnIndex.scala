@@ -119,8 +119,13 @@ object AnnIndex {
     * centroids drift only under distribution shift, so periodic rebuilds
     * (a batch job) bracket many cheap absorbs. Recall for absorbed rows
     * equals the index's normal probed-cluster recall. */
-  def appendAssign(index: Index, newEmb: DataFrame, idCol: String,
-      vecCol: String): Index = {
+  /** The assignment DELTA for `newEmb` (same schema as
+    * `index.assignments`): nearest-centroid id via a map-side projection
+    * over the literal-bound centroid array — no shuffle, no refit.
+    * [[appendAssign]] unions it in-session; the streaming maintainer
+    * appends it to the persisted assignments instead. */
+  def assignDelta(index: Index, newEmb: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
     val cents = index.centroids.select(col("cluster_id"), col("centroid")).collect()
       .map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1)
     require(cents.map(_._1).toSeq == cents.indices, "cluster ids must be 0..k-1")
@@ -135,11 +140,14 @@ object AnnIndex {
       .withColumn("cluster_id", element_at(
         filter(idxs, i => element_at(col("__cs"), i + 1) === array_max(col("__cs"))), 1))
       .select(col("id"), col("vec"), col("cluster_id"))
-    val assigned =
-      if (index.quantized) assigned0.withColumn("vec_q", quantizeVec(col("vec")))
-      else assigned0
-    index.copy(assignments = index.assignments.unionByName(assigned))
+    if (index.quantized) assigned0.withColumn("vec_q", quantizeVec(col("vec")))
+    else assigned0
   }
+
+  def appendAssign(index: Index, newEmb: DataFrame, idCol: String,
+      vecCol: String): Index =
+    index.copy(assignments = index.assignments.unionByName(
+      assignDelta(index, newEmb, idCol, vecCol)))
 
   /** Two-phase per-query top-n (same pattern as
     * SimilaritySearch.bruteForceTopK): local top-n inside each input

@@ -20,6 +20,26 @@ class IndexMaintenanceSpec extends AnyFunSuite {
   private def docs = graft.sources.Tables(spark, dir, "documents")
   private def emb = graft.sources.Tables(spark, dir, "embeddings")
 
+  test("streaming ANN maintenance: absorbed micro-batches become searchable") {
+    val tmp = java.nio.file.Files.createTempDirectory("annstream").toString
+    val idxDir = s"$tmp/index"; val inDir = s"$tmp/in"; val ck = s"$tmp/ck"
+    val old = emb.filter(col("vec_id") % 5 =!= 0)
+    val fresh = emb.filter(col("vec_id") % 5 === 0)
+    AnnIndex.save(AnnIndex.build(old, "vec_id", "embedding", 8), idxDir)
+    fresh.write.parquet(inDir)
+    val stream = spark.readStream.schema(fresh.schema).parquet(inDir)
+    val q = graft.streaming.StreamingAnn.maintain(
+      stream, idxDir, "vec_id", "embedding", ck)
+    q.processAllAvailable(); q.stop()
+    val idx = graft.streaming.StreamingAnn.current(spark, idxDir)
+    assert(idx.assignments.count() === emb.count())
+    // with every cluster probed, a streamed row's top-1 is itself
+    val res = AnnIndex.search(idx, fresh.limit(3), "vec_id", "embedding", 1,
+      AnnIndex.SearchConfig(clusterSearchFactor = 8.0)).collect()
+    assert(res.length === 3)
+    assert(res.forall(r => r.getAs[Long]("qid") == r.getAs[Long]("id")), res.mkString(";"))
+  }
+
   test("inverted index: append equals full rebuild") {
     val old = docs.filter(col("doc_id") % 5 =!= 0)
     val fresh = docs.filter(col("doc_id") % 5 === 0)
