@@ -29,6 +29,9 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[graft.plans.IndexRewrite]))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ rewrite
+    if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[graft.plans.CboHints]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.CboHints(spark)
     Bridge.registerFunction(spark, "cosine_similarity", args => CosineSimilarity(args(0), args(1)))
     Bridge.registerFunction(spark, "dot_product", args => DotProduct(args(0), args(1)))
     Bridge.registerFunction(spark, "l1_distance", args => VectorDistance(args(0), args(1), 1))
@@ -54,6 +57,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // filter→index rewrite (SURVEY §4.1): CONTAINS predicates over tables
     // with a registered inverted index become posting-table semi-joins
     ext.injectOptimizerRule(session => graft.plans.IndexRewrite(session))
+    // stats-driven broadcast hints (MCV-aware filtered-side estimates)
+    ext.injectOptimizerRule(session => graft.plans.CboHints(session))
     ext.injectFunction((FunctionIdentifier("cosine_similarity"),
       info("cosine_similarity", "cosine_similarity(a, b) - cosine similarity of two vectors"),
       binary(CosineSimilarity) _))

@@ -297,9 +297,42 @@ object Tql {
   def open(spark: SparkSession, dir: String, table: String): DatasetHandle =
     DatasetHandle(spark, dir, table)
 
+  /** `ANALYZE <table> [(col, ...)]` — the PG/DuckDB ANALYZE analog the
+    * reference gets from its host engines: computes row count, per-column
+    * NDV/min/max and MCV frequencies into [[graft.plans.StatsCatalog]],
+    * where the CboHints optimizer rule (GraftExtensions) uses them for
+    * MCV-aware broadcast decisions on later queries. Returns a one-row
+    * summary. Column list defaults to every atomic top-level column. */
+  private val AnalyzeRe =
+    """(?is)^\s*ANALYZE\s+([A-Za-z_]\w*)\s*(?:\(\s*([^)]*?)\s*\))?\s*$""".r
+
+  private def runAnalyze(spark: SparkSession, table: String, colsSpec: String,
+      resolve: String => DataFrame): DataFrame = {
+    val df = resolve(table)
+    val cols =
+      if (colsSpec == null || colsSpec.trim.isEmpty)
+        df.schema.fields.filter { f =>
+          import org.apache.spark.sql.types._
+          f.dataType match {
+            case _: NumericType | StringType | BooleanType | DateType |
+                 TimestampType | TimestampNTZType => true
+            case _ => false
+          }
+        }.map(_.name).toSeq
+      else colsSpec.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val stats = graft.plans.StatsCatalog.analyze(df, cols).getOrElse(
+      throw new IllegalArgumentException(
+        s"ANALYZE $table: not a single file-source scan, cannot key stats"))
+    import spark.implicits._
+    Seq((table, stats.rowCount, cols.length.toLong))
+      .toDF("table_name", "row_count", "num_cols")
+  }
+
   def compile(spark: SparkSession, tql: String, resolve: String => DataFrame,
-      params: Seq[Any] = Nil): DataFrame =
-    compileAst(spark, parseCached(tql), resolve, params)
+      params: Seq[Any] = Nil): DataFrame = tql match {
+    case AnalyzeRe(table, colsSpec) => runAnalyze(spark, table, colsSpec, resolve)
+    case _ => compileAst(spark, parseCached(tql), resolve, params)
+  }
 
   private def compileAst(spark: SparkSession, q: ast.Query,
       resolve: String => DataFrame, params: Seq[Any]): DataFrame = {

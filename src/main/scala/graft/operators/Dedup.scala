@@ -370,6 +370,47 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** Cross-corpus decontamination (train/eval overlap audit — the check
+    * every pretraining pipeline runs before shipping a corpus): for each
+    * eval doc, its n-gram CONTAINMENT in each overlapping train doc,
+    * |shingles(eval) ∩ shingles(train)| / |shingles(eval)|, reported for
+    * pairs at or above `threshold`.
+    *
+    * Plan shape: both corpora explode to (shingle, id) postings and
+    * equi-join on the shingle — candidate pairs only ever form through a
+    * shared shingle, never a cross product. Train-side stop-shingles
+    * (document frequency > `maxShingleDf`) are dropped BEFORE the pair
+    * join: a boilerplate shingle shared by 1% of a 100 TB corpus would
+    * otherwise create a quadratic hot key, and carries no contamination
+    * signal. Dropping affects only the numerator, so reported
+    * containment is a lower bound (exact when no shingle exceeds the
+    * cap — the spec's setting). */
+  def crossCorpusContainment(train: DataFrame, trainIdCol: String,
+      trainTextCol: String, evalDf: DataFrame, evalIdCol: String,
+      evalTextCol: String, n: Int = 3, threshold: Double = 0.8,
+      maxShingleDf: Long = 100000L): DataFrame = {
+    val par = train.sparkSession.sparkContext.defaultParallelism
+    def prep(df: DataFrame, id: String, text: String): DataFrame =
+      df.repartition(par, col(id))
+        .select(col(id).as("id"), tokens(col(text)).as("__toks"))
+        .select(col("id"), shingles(col("__toks"), n).as("sh"))
+    val tPost = prep(train, trainIdCol, trainTextCol)
+      .select(col("id").as("train_id"), explode(col("sh")).as("s"))
+    val dfCounts = tPost.groupBy("s").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxShingleDf).select("s")
+    val ePost = prep(evalDf, evalIdCol, evalTextCol)
+      .withColumn("n_sh", size(col("sh")))
+      .filter(col("n_sh") > 0)
+      .select(col("id").as("eval_id"), col("n_sh"), explode(col("sh")).as("s"))
+    tPost.join(dfCounts, "s")
+      .join(ePost, "s")
+      .groupBy("train_id", "eval_id", "n_sh").agg(count(lit(1)).as("overlap"))
+      .withColumn("containment", col("overlap") / col("n_sh"))
+      .filter(col("containment") >= threshold)
+      .select(col("eval_id"), col("train_id"),
+        round(col("containment"), 6).as("containment"))
+  }
+
   /** Connected components over an undirected near-dup pair list:
     * (id, component_id) where component_id = min id reachable, for every
     * id that appears in `pairs`. Turns pair output of any near-dup

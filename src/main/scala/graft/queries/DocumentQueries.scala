@@ -74,6 +74,28 @@ object DocumentQueries extends QueryModule {
               |  FROM s sa JOIN s sb ON sa.doc_id < sb.doc_id) p
               |WHERE jac >= 0.8 ORDER BY id_a, id_b""".stripMargin.replace('\n', ' '))),
 
+    // ---- cross-corpus decontamination (train/eval n-gram containment):
+    // the pre-ship audit every pretraining pipeline runs — which eval
+    // docs leak into the training split, by shingle containment
+    "q_decontaminate" -> Q(
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+        Dedup.crossCorpusContainment(
+            d.filter(col("doc_id") % 3 =!= 0), "doc_id", "text",
+            d.filter(col("doc_id") % 3 === 0), "doc_id", "text",
+            n = 3, threshold = 0.5)
+          .orderBy(col("eval_id"), col("train_id"))
+      },
+      Some(s"""WITH $shingleCte,
+              |tp AS (SELECT doc_id AS train_id, unnest(sh) AS sg FROM s WHERE doc_id % 3 <> 0),
+              |ep AS (SELECT doc_id AS eval_id, len(sh) AS n_sh, unnest(sh) AS sg
+              |       FROM s WHERE doc_id % 3 = 0 AND len(sh) > 0),
+              |m AS (SELECT train_id, eval_id, n_sh, count(*) AS overlap
+              |      FROM tp JOIN ep USING (sg) GROUP BY 1, 2, 3)
+              |SELECT eval_id, train_id, round(overlap * 1.0 / n_sh, 6) AS containment
+              |FROM m WHERE overlap * 1.0 / n_sh >= 0.5
+              |ORDER BY eval_id, train_id""".stripMargin.replace('\n', ' '))),
+
     // ---- MinHash + LSH near-dup pairs (8 hashes, 4 bands of 2)
     "q_dedup_minhash_lsh" -> Q(
       (s, dir) => Dedup.minhashLshPairs(table(s, dir, "documents"),

@@ -97,6 +97,14 @@ object TqlQueries extends QueryModule {
       Some("""SELECT event_id, json_extract_string(props, '$.k') AS k_str
              |FROM events WHERE event_id < 40 ORDER BY event_id""".stripMargin.replace('\n', ' '))),
 
+    // ANALYZE statement: computes StatsCatalog entries (row count, NDV,
+    // min/max, MCVs) the CboHints broadcast rule consumes — the PG/DuckDB
+    // ANALYZE analog (pg_statistic MCV lists) reachable from the dialect
+    "q_tql_analyze" -> Q(
+      (s, dir) => Tql.query(s, dir, "ANALYZE documents (lang, source, n_chars)"),
+      Some("""SELECT 'documents' AS table_name, count(*) AS row_count,
+             |CAST(3 AS BIGINT) AS num_cols FROM documents""".stripMargin.replace('\n', ' '))),
+
     // positional params (`cpp/tql/tql.hpp:81-103` prepare/run_batch)
     "q_tql_params" -> Q(
       (s, dir) => Tql.query(s, dir,

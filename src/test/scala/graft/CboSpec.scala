@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.StatsCatalog
+
+/** MCV-aware CBO broadcast hints: Spark's size-only estimator passes a
+  * Filter's size through unchanged, so a selectively-filtered dimension
+  * never broadcasts once the raw table is over the threshold. With
+  * ANALYZE'd stats, the rare-value filter is estimated tiny (broadcast
+  * hint fires) while the SKEWED common-value filter is estimated from
+  * its true MCV frequency (no hint — a 1/ndv guess would have wrongly
+  * broadcast 90% of the table). */
+class CboSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private lazy val tmp = {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("cbo").toString
+    // dim: 90% 'common', the rest spread over 100 rare values (20 rows each)
+    (0L until 20000L).map { i =>
+      (i, if (i % 10 != 9) "common" else s"rare_${i % 1000}", i * 3)
+    }.toDF("k", "grp", "payload").write.parquet(s"$d/dim")
+    (0L until 50000L).map(i => (i, i % 20000)).toDF("fid", "fk")
+      .write.parquet(s"$d/fact")
+    d
+  }
+
+  private def dim = spark.read.parquet(s"$tmp/dim")
+  private def fact = spark.read.parquet(s"$tmp/fact")
+
+  private def planOf(grpValue: String): String = {
+    val f = fact
+    val d = dim.filter(col("grp") === grpValue)
+    f.join(d, f("fk") === d("k")).queryExecution.executedPlan.toString
+  }
+
+  private def withCboConfs[T](f: => T): T = {
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.enabled").map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.graft.cbo.broadcastBytes", (64 * 1024).toString)
+    try f
+    finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
+  test("rare-value filter broadcasts; skewed MCV filter does not; no stats no hint") {
+    withCboConfs {
+      StatsCatalog.clear()
+      // without stats: Spark alone (threshold -1) sort-merge-joins both
+      assert(!planOf("rare_9").contains("BroadcastHashJoin"))
+
+      val stats = StatsCatalog.analyze(dim, Seq("grp")).get
+      assert(stats.rowCount === 20000L)
+      assert(stats.cols("grp").mcvs("common") === 18000L)
+
+      // rare value: ~20 rows estimated -> broadcast hint fires
+      assert(planOf("rare_9").contains("BroadcastHashJoin"))
+      // skewed value: MCV says 18000 rows (over the 64 KiB budget) -> no
+      // hint, even though 1/ndv would have estimated ~198 rows
+      assert(!planOf("common").contains("BroadcastHashJoin"))
+      StatsCatalog.clear()
+    }
+  }
+
+  test("range selectivity: narrow numeric band broadcasts, wide band does not") {
+    withCboConfs {
+      StatsCatalog.clear()
+      StatsCatalog.analyze(dim, Seq("payload"))
+      def planFor(cond: org.apache.spark.sql.Column): String = {
+        val f = fact
+        val d = dim.filter(cond)
+        f.join(d, f("fk") === d("k")).queryExecution.executedPlan.toString
+      }
+      // payload uniform on [0, 59997]: top 1% -> tiny; bottom 95% -> big
+      assert(planFor(col("payload") > lit(59400L)).contains("BroadcastHashJoin"))
+      assert(!planFor(col("payload") > lit(3000L)).contains("BroadcastHashJoin"))
+      StatsCatalog.clear()
+    }
+  }
+
+  test("join results identical with and without the hint") {
+    withCboConfs {
+      StatsCatalog.clear()
+      def run(): Seq[Seq[Any]] = {
+        val f = fact
+        val d = dim.filter(col("grp") === "rare_9")
+        f.join(d, f("fk") === d("k")).collect().map(_.toSeq).toSeq
+          .sortBy(_.toString)
+      }
+      val plain = run()
+      StatsCatalog.analyze(dim, Seq("grp"))
+      val hinted = run()
+      assert(hinted.nonEmpty && (plain.toSeq == hinted.toSeq))
+      StatsCatalog.clear()
+    }
+  }
+}

@@ -65,6 +65,32 @@ class DedupSpec extends AnyFunSuite {
       s"missed: ${(exact -- blocked).take(5)}; spurious: ${(blocked -- exact).take(5)}")
   }
 
+  test("cross-corpus containment matches all-pairs brute force; df cap bounds work") {
+    import graft.operators.{TextAnalysis => TA}
+    val d = docs(sf001)
+    val train = d.filter(col("doc_id") % 3 =!= 0)
+    val ev = d.filter(col("doc_id") % 3 === 0)
+    val got = Dedup.crossCorpusContainment(train, "doc_id", "text",
+        ev, "doc_id", "text", n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    def sh(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), TA.shingles(TA.tokens(col("text")), 3).as("sh"))
+    val e = sh(ev).filter(size(col("sh")) > 0)
+      .select(col("doc_id").as("eval_id"), col("sh").as("esh"))
+    val t = sh(train).select(col("doc_id").as("train_id"), col("sh").as("tsh"))
+    val bf = e.crossJoin(t)
+      .select(col("eval_id"), col("train_id"),
+        (size(array_intersect(col("esh"), col("tsh"))).cast("double") /
+          size(col("esh"))).as("c"))
+      .filter(col("c") >= 0.5)
+      .select(col("eval_id"), col("train_id"), round(col("c"), 6).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == bf, s"missed: ${(bf -- got).take(5)}; spurious: ${(got -- bf).take(5)}")
+    // a zero df cap drops every train shingle -> no candidate can form
+    assert(Dedup.crossCorpusContainment(train, "doc_id", "text",
+      ev, "doc_id", "text", n = 3, threshold = 0.5, maxShingleDf = 0).count() === 0)
+  }
+
   test("embedding dedup with a planted dominant cluster still matches all-pairs") {
     // 80% of vectors share one direction (one hot cluster_id in the
     // primary x expanded join) — the per-cluster salt fan-out must

@@ -37,6 +37,19 @@ class TqlSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private def tbl(name: String) = graft.sources.Tables(spark, dir, name)
 
+  test("ANALYZE populates the stats catalog with exact MCV frequencies") {
+    graft.plans.StatsCatalog.clear()
+    val row = Tql.query(spark, dir, "ANALYZE documents (lang)").collect()(0)
+    assert(row.getString(0) === "documents")
+    val docs = tbl("documents")
+    assert(row.getLong(1) === docs.count())
+    assert(row.getLong(2) === 1L)
+    val st = graft.plans.StatsCatalog.lookup(s"$dir/documents.parquet").get
+    val top = docs.groupBy("lang").count().orderBy(col("count").desc).collect()(0)
+    assert(st.cols("lang").mcvs(top.getString(0)) === top.getLong(1))
+    graft.plans.StatsCatalog.clear()
+  }
+
   test("projection + where + order + limit") {
     val got = Tql.query(spark, dir,
       """SELECT l_orderkey, l_quantity * l_extendedprice AS gross
