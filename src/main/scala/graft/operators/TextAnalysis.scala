@@ -138,4 +138,45 @@ object TextAnalysis {
         size(col("__chunk")).as("n_chunk_tokens"),
         concat_ws(" ", col("__chunk")).as("chunk_text"))
   }
+
+  /** Sequence packing (pretraining batch prep): assign every doc to a
+    * packed bin of at most `maxTokens` tokens, minimizing padding waste.
+    * First-fit-decreasing INSIDE each partition (genuine per-partition
+    * imperative logic — the rare mapPartitions case), so packing is
+    * embarrassingly parallel: no shuffle beyond one deterministic
+    * repartition by id, and bin ids are globally unique as
+    * (partition << 32 | local bin). FFD within a partition wastes at
+    * most ~2/9 over that partition's optimum; cross-partition packing
+    * would serialize the corpus for a few percent of padding.
+    * Docs longer than `maxTokens` get a dedicated bin (callers chunk
+    * them first — [[chunkTokens]]).
+    * Output: (id, bin_id, n_tokens). */
+  def packSequences(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      nTokensCol: String, maxTokens: Int): org.apache.spark.sql.DataFrame = {
+    require(maxTokens > 0, "maxTokens must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val par = spark.sparkContext.defaultParallelism
+    docs.select(col(idCol).cast("long").as("id"),
+        col(nTokensCol).cast("int").as("n"))
+      .repartition(par, col("id"))
+      .as[(Long, Int)]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        // FFD: longest-first (id tiebreak keeps packing deterministic
+        // for a fixed partitioning)
+        val rows = it.toArray.sortBy { case (id, n) => (-n, id) }
+        val space = scala.collection.mutable.ArrayBuffer.empty[Int]
+        rows.iterator.map { case (id, n) =>
+          val b =
+            if (n >= maxTokens) { space += 0; space.length - 1 }
+            else space.indexWhere(_ >= n) match {
+              case -1 => space += (maxTokens - n); space.length - 1
+              case i => space(i) -= n; i
+            }
+          (id, (pid.toLong << 32) | b.toLong, n)
+        }
+      }
+      .toDF("id", "bin_id", "n_tokens")
+  }
 }

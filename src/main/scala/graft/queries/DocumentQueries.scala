@@ -74,6 +74,19 @@ object DocumentQueries extends QueryModule {
               |  FROM s sa JOIN s sb ON sa.doc_id < sb.doc_id) p
               |WHERE jac >= 0.8 ORDER BY id_a, id_b""".stripMargin.replace('\n', ' '))),
 
+    // ---- sequence packing (pretraining batch prep): FFD bins inside
+    // each partition, no shuffle; seeded only by the deterministic
+    // id-hash partitioning (no oracle: bin ids are engine-internal)
+    "q_pack_sequences" -> Q(
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+          .select(col("doc_id"), TA.estTokenCount(col("text")).as("nt"))
+        TA.packSequences(d, "doc_id", "nt", maxTokens = 2048)
+          .orderBy(col("id"))
+      },
+      None,
+      doc = "first-fit-decreasing sequence packing into 2048-token bins, per-partition imperative"),
+
     // ---- cross-corpus decontamination (train/eval n-gram containment):
     // the pre-ship audit every pretraining pipeline runs — which eval
     // docs leak into the training split, by shingle containment

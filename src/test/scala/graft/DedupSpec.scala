@@ -65,6 +65,26 @@ class DedupSpec extends AnyFunSuite {
       s"missed: ${(exact -- blocked).take(5)}; spurious: ${(blocked -- exact).take(5)}")
   }
 
+  test("sequence packing: every doc once, no bin overflow, bounded waste") {
+    import graft.operators.{TextAnalysis => TA}
+    val d = docs(sf001).select(col("doc_id"),
+      TA.estTokenCount(col("text")).as("nt"))
+    val n = d.count()
+    val total = d.agg(sum("nt")).collect()(0).getLong(0)
+    val packed = TA.packSequences(d, "doc_id", "nt", maxTokens = 2048)
+    assert(packed.count() === n)
+    assert(packed.select("id").distinct().count() === n)
+    val bins = packed.groupBy("bin_id")
+      .agg(sum("n_tokens").as("s"), count(lit(1)).as("c")).collect()
+    bins.foreach { r =>
+      assert(r.getLong(1) <= 2048 || r.getLong(2) === 1L, r.toString)
+    }
+    // waste bound: FFD per partition — bins within 1.5x ideal + one
+    // partial bin per partition (4 partitions in this session)
+    val ideal = math.ceil(total / 2048.0)
+    assert(bins.length <= ideal * 1.5 + 5, s"bins=${bins.length} ideal=$ideal")
+  }
+
   test("cross-corpus containment matches all-pairs brute force; df cap bounds work") {
     import graft.operators.{TextAnalysis => TA}
     val d = docs(sf001)
