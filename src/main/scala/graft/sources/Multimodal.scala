@@ -197,4 +197,182 @@ object Multimodal {
     df.withColumn(s"${seqCol}_sampled",
       filter(transform(col(seqCol), (x, i) => when(i % stride === 0, x)),
         x => x.isNotNull))
+
+  // ------------------------------------------------------------- audio
+
+  /** decoded-audio row: per-clip signal features the real pipeline would
+    * feed a filter/embedding stage (duration, loudness, zero-crossing
+    * rate — the standard cheap audio-quality screens) */
+  final case class DecodedAudio(id: Long, sample_rate: Int, n_channels: Int,
+      n_frames: Long, duration_s: Double, rms: Double, zcr: Double,
+      peak: Double)
+
+  /** REAL audio decode via the JDK's built-in `javax.sound.sampled`
+    * (WAV/AIFF/AU PCM — no external codec library): per-partition batch
+    * decode to a mono mix, emitting per-clip features. Compressed
+    * codecs (mp3/ogg/aac) are outside the JDK; those payloads yield
+    * sample_rate=-1 rows instead of failing the batch (same corrupt-
+    * sample posture as [[decodeImages]]). */
+  def decodeAudio(df: DataFrame, idCol: String, payloadCol: String = "payload"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(payloadCol).as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => decodeAudioOne(id, bytes) })
+      .toDF()
+  }
+
+  private[graft] def decodeAudioOne(id: Long, bytes: Array[Byte]): DecodedAudio = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    try {
+      val ais = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+      val fmt = ais.getFormat
+      val enc = fmt.getEncoding
+      require(enc == AudioFormat.Encoding.PCM_SIGNED ||
+        enc == AudioFormat.Encoding.PCM_UNSIGNED, s"non-PCM encoding $enc")
+      val bits = fmt.getSampleSizeInBits
+      require(bits == 8 || bits == 16, s"unsupported sample size $bits")
+      val ch = fmt.getChannels
+      val frameSize = fmt.getFrameSize
+      val data = ais.readAllBytes()
+      val n = data.length / frameSize
+      val bytesPerSample = bits / 8
+      var i = 0
+      var sumSq = 0.0; var peak = 0.0; var crossings = 0L; var prevSign = 0
+      while (i < n) {
+        var c = 0
+        var mix = 0.0
+        while (c < ch) {
+          val o = i * frameSize + c * bytesPerSample
+          val v =
+            if (bits == 8) {
+              if (enc == AudioFormat.Encoding.PCM_UNSIGNED) ((data(o) & 0xFF) - 128) / 128.0
+              else data(o) / 128.0
+            } else {
+              val (lo, hi) = if (fmt.isBigEndian) (o + 1, o) else (o, o + 1)
+              (((data(hi) << 8) | (data(lo) & 0xFF)).toShort) / 32768.0
+            }
+          mix += v
+          c += 1
+        }
+        mix /= ch
+        sumSq += mix * mix
+        if (math.abs(mix) > peak) peak = math.abs(mix)
+        val sign = if (mix > 0) 1 else if (mix < 0) -1 else prevSign
+        if (prevSign != 0 && sign != 0 && sign != prevSign) crossings += 1
+        if (sign != 0) prevSign = sign
+        i += 1
+      }
+      val rate = fmt.getSampleRate.toInt
+      DecodedAudio(id, rate, ch, n.toLong,
+        if (rate > 0) n.toDouble / rate else 0.0,
+        if (n > 0) math.sqrt(sumSq / n) else 0.0,
+        if (n > 1) crossings.toDouble / (n - 1) else 0.0, peak)
+    } catch {
+      case _: Exception => DecodedAudio(id, -1, 0, 0L, 0.0, 0.0, 0.0, 0.0)
+    }
+  }
+
+  /** metadata fast path for audio: parse the RIFF/WAVE header directly
+    * (format tag, channels, sample rate, bit depth, data size →
+    * duration) without touching the PCM payload — the audio analog of
+    * [[imageInfo]]'s header-only walk. */
+  def audioInfo(df: DataFrame, idCol: String, payloadCol: String = "payload"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(payloadCol).as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) =>
+        val (fmtName, ch, rate, bits, frames) = parseWavHeader(b)
+        (id, fmtName, ch, rate, bits, frames,
+          if (rate > 0) frames.toDouble / rate else 0.0)
+      })
+      .toDF("id", "format", "n_channels", "sample_rate", "bits_per_sample",
+        "n_frames", "duration_s")
+  }
+
+  /** ("wav", channels, sampleRate, bits, frames), or ("unknown", 0...) */
+  private[graft] def parseWavHeader(b: Array[Byte]): (String, Int, Int, Int, Long) = {
+    def fourcc(i: Int): String = new String(b, i, 4, "US-ASCII")
+    if (b.length < 44 || fourcc(0) != "RIFF" || fourcc(8) != "WAVE")
+      return ("unknown", 0, 0, 0, 0L)
+    var i = 12
+    var ch = 0; var rate = 0; var bits = 0; var dataLen = -1L
+    while (i + 8 <= b.length && (dataLen < 0 || ch == 0)) {
+      val id = fourcc(i)
+      val size = le32(b, i + 4).toLong & 0xFFFFFFFFL
+      if (id == "fmt " && i + 24 <= b.length) {
+        ch = le16(b, i + 10)
+        rate = le32(b, i + 12)
+        bits = le16(b, i + 22)
+      } else if (id == "data") dataLen = size
+      // chunks are word-aligned: odd sizes carry a pad byte
+      i += 8 + size.toInt + (size.toInt & 1)
+    }
+    if (ch == 0 || bits == 0) ("unknown", 0, 0, 0, 0L)
+    else ("wav", ch, rate, bits,
+      if (dataLen >= 0) dataLen / (ch.toLong * (bits / 8)) else 0L)
+  }
+
+  // ------------------------------------------------------------- video
+
+  /** metadata fast path for video: walk the MP4/ISO-BMFF box structure
+    * (pure byte parsing, no codec) for brand, movie duration
+    * (moov/mvhd timescale+duration) and track dimensions (trak/tkhd
+    * 16.16 fixed-point width/height). Frame DECODE needs a codec the
+    * JDK does not ship — that stage stays behind [[sampleFrames]]'s
+    * array contract; the container metadata here is real. */
+  def videoInfo(df: DataFrame, idCol: String, payloadCol: String = "payload"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(payloadCol).as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) =>
+        val (brand, dur, w, h) = parseMp4(b)
+        (id, brand, dur, w, h)
+      })
+      .toDF("id", "brand", "duration_s", "width", "height")
+  }
+
+  /** (brand, durationSeconds, width, height) or ("unknown", 0, -1, -1) */
+  private[graft] def parseMp4(b: Array[Byte]): (String, Double, Int, Int) = {
+    def fourcc(i: Int): String = new String(b, i, 4, "US-ASCII")
+    var brand = "unknown"; var dur = 0.0; var w = -1; var h = -1
+    def walk(from: Int, to: Int): Unit = {
+      var i = from
+      while (i + 8 <= to) {
+        val size = be32(b, i).toLong & 0xFFFFFFFFL
+        val tpe = fourcc(i + 4)
+        val end = if (size == 0) to else (i + size).toInt
+        if (size < 8 || end > to) return
+        tpe match {
+          case "ftyp" => brand = fourcc(i + 8)
+          case "moov" | "trak" => walk(i + 8, end)
+          case "mvhd" =>
+            val v = u8(b, i + 8)
+            if (v == 0 && i + 28 <= to) {
+              val timescale = be32(b, i + 20)
+              val duration = be32(b, i + 24).toLong & 0xFFFFFFFFL
+              if (timescale > 0) dur = duration.toDouble / timescale
+            } else if (v == 1 && i + 40 <= to) {
+              val timescale = be32(b, i + 28)
+              val duration = (be32(b, i + 32).toLong << 32) |
+                (be32(b, i + 36).toLong & 0xFFFFFFFFL)
+              if (timescale > 0) dur = duration.toDouble / timescale
+            }
+          case "tkhd" =>
+            val v = u8(b, i + 8)
+            // width/height are the LAST two 16.16 fields of the box
+            if (end - 8 >= i + 8 && (v == 0 || v == 1)) {
+              w = be32(b, end - 8) >>> 16
+              h = be32(b, end - 4) >>> 16
+            }
+          case _ => ()
+        }
+        i = end
+      }
+    }
+    if (b.length >= 8) walk(0, b.length)
+    (brand, dur, w, h)
+  }
 }

@@ -264,4 +264,84 @@ class StreamingAndMultimodalSpec extends AnyFunSuite {
     }
     assert(math.abs(mean - vals.sum / vals.size) < 1e-6)
   }
+
+  /** 16-bit mono PCM WAV of a sine at `freq` Hz, amplitude `amp` */
+  private def sineWav(rate: Int, freq: Double, amp: Double, nFrames: Int): Array[Byte] = {
+    import javax.sound.sampled._
+    val pcm = new Array[Byte](nFrames * 2)
+    var i = 0
+    while (i < nFrames) {
+      val s = (amp * math.sin(2 * math.Pi * freq * i / rate) * 32767).toInt.toShort
+      pcm(2 * i) = (s & 0xFF).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(rate.toFloat, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("multimodal audio: real WAV decode (javax.sound.sampled) yields correct signal features") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rate = 8000; val n = 4000
+    val wav = sineWav(rate, freq = 440.0, amp = 0.5, nFrames = n)
+    val df = Seq((1L, wav), (2L, "not audio".getBytes)).toDF("id", "payload")
+    val rows = Multimodal.decodeAudio(df, "id").orderBy("id").collect()
+    val a = rows(0)
+    assert(a.getInt(1) === rate && a.getInt(2) === 1 && a.getLong(3) === n.toLong)
+    assert(math.abs(a.getDouble(4) - 0.5) < 1e-9)             // duration
+    assert(math.abs(a.getDouble(5) - 0.5 / math.sqrt(2)) < 0.01) // rms of a sine
+    assert(math.abs(a.getDouble(6) - 2 * 440.0 / rate) < 0.01)   // zcr ~ 2f/rate
+    assert(math.abs(a.getDouble(7) - 0.5) < 0.01)             // peak
+    assert(rows(1).getInt(1) === -1)                          // corrupt row survives
+  }
+
+  test("multimodal audio: header-only WAV metadata matches the encoder") {
+    val spark2 = spark
+    import spark2.implicits._
+    val wav = sineWav(11025, 220.0, 0.3, 5512)
+    val df = Seq((1L, wav), (2L, Array[Byte](1, 2, 3))).toDF("id", "payload")
+    val rows = Multimodal.audioInfo(df, "id").orderBy("id").collect()
+    val a = rows(0)
+    assert(a.getString(1) === "wav" && a.getInt(2) === 1 &&
+      a.getInt(3) === 11025 && a.getInt(4) === 16 && a.getLong(5) === 5512L)
+    assert(math.abs(a.getDouble(6) - 0.5) < 1e-3)
+    assert(rows(1).getString(1) === "unknown")
+  }
+
+  test("multimodal video: MP4 box walk extracts brand, duration and track dimensions") {
+    val spark2 = spark
+    import spark2.implicits._
+    def box(tpe: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length).put(tpe.getBytes("US-ASCII")).put(payload)
+      bb.array()
+    }
+    // mvhd v0: verflags, ctime, mtime, timescale=1000, duration=2500, tail zeros
+    val mvhd = {
+      val bb = java.nio.ByteBuffer.allocate(100)
+      bb.putInt(0).putInt(0).putInt(0).putInt(1000).putInt(2500)
+      box("mvhd", bb.array())
+    }
+    // tkhd v0: 84-byte payload, width/height 16.16 in the last 8 bytes
+    val tkhd = {
+      val bb = java.nio.ByteBuffer.allocate(84)
+      bb.position(76)
+      bb.putInt(640 << 16).putInt(360 << 16)
+      box("tkhd", bb.array())
+    }
+    val mp4 = box("ftyp", "isom".getBytes ++ Array.fill[Byte](4)(0)) ++
+      box("moov", mvhd ++ box("trak", tkhd))
+    val df = Seq((1L, mp4), (2L, "AVI?".getBytes)).toDF("id", "payload")
+    val rows = Multimodal.videoInfo(df, "id").orderBy("id").collect()
+    val v = rows(0)
+    assert(v.getString(1) === "isom")
+    assert(math.abs(v.getDouble(2) - 2.5) < 1e-9)
+    assert(v.getInt(3) === 640 && v.getInt(4) === 360)
+    assert(rows(1).getString(1) === "unknown")
+  }
 }
