@@ -92,11 +92,17 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the candidate-ranking window must partition by (qid, input
     // partition) first — a window on qid alone would funnel every
     // candidate of all probed clusters for a query through one task
-    Seq("q_vec_ann_topk", "q_vec_ann_quantized").foreach { q =>
+    Seq("q_vec_ann_topk", "q_vec_ann_quantized", "q_vec_ann_pq").foreach { q =>
       val p = planOf(q)
       assert(p.contains("spark_partition_id") || p.contains("SPARK_PARTITION_ID"),
         s"$q: candidate ranking lacks the per-partition local phase\n$p")
     }
+  }
+
+  test("decontamination joins only through shingle postings (no nested-loop, no cartesian)") {
+    val p = planOf("q_decontaminate")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"decontamination must candidate-join on shingles only\n$p")
   }
 
   test("count(*) answers from parquet metadata (no full column read)") {
