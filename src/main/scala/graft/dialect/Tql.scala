@@ -409,18 +409,28 @@ object Tql {
     if (indexRoutingEnabled.get()) annTopKRoute(sel, params).foreach { case (vecCol, qVec, k) =>
       routeTable(sel.from) match {
         case Some(tname) =>
-          graft.operators.AnnIndex.Catalog.lookup(tname, vecCol).foreach { entry =>
+          val A = graft.operators.AnnIndex
+          val plain = A.Catalog.lookup(tname, vecCol)
+          // PQ route fires only when no plain/quantized entry exists (the
+          // plain index is the more exact artifact for the same column)
+          val pq = if (plain.isEmpty) A.Catalog.lookupPq(tname, vecCol) else None
+          plain.map(_.idCol).orElse(pq.map(_.idCol)).foreach { idCol =>
             import spark.implicits._
             val qdf = Seq((0, qVec)).toDF("qid", "q_vec")
             val filterIds = sel.where.map { w =>
-              env.df.filter(expr(env, w, params)).select(col(entry.idCol).as("id"))
+              env.df.filter(expr(env, w, params)).select(col(idCol).as("id"))
             }
-            val cand = graft.operators.AnnIndex
-              .search(entry.index, qdf, "qid", "q_vec", k, entry.config,
-                idFilter = filterIds)
-              .select(col("id").as("__ann_cand_id"))
-            env = env.copy(df = env.df.join(broadcast(cand),
-              env.df(entry.idCol) === col("__ann_cand_id"), "left_semi"))
+            val cand = plain match {
+              case Some(entry) => A.search(entry.index, qdf, "qid", "q_vec", k,
+                entry.config, idFilter = filterIds)
+              case None =>
+                val pe = pq.get
+                A.searchPq(pe.index, qdf, "qid", "q_vec", k, pe.config,
+                  idFilter = filterIds)
+            }
+            env = env.copy(df = env.df.join(
+              broadcast(cand.select(col("id").as("__ann_cand_id"))),
+              env.df(idCol) === col("__ann_cand_id"), "left_semi"))
           }
         case _ => ()
       }

@@ -43,16 +43,27 @@ object AnnIndex {
     * column the candidate semi-join keys on. */
   object Catalog {
     final case class Entry(index: Index, idCol: String, config: SearchConfig)
+    final case class PqEntry(index: PqIndex, idCol: String, config: SearchConfig)
     @volatile private var entries: Map[(String, String), Entry] = Map.empty
+    @volatile private var pqEntries: Map[(String, String), PqEntry] = Map.empty
 
     def register(table: String, vecCol: String, idCol: String, index: Index,
         config: SearchConfig = SearchConfig()): Unit =
       entries += (table, vecCol) -> Entry(index, idCol, config)
 
+    /** IVF-PQ route registration (a plain entry for the same (table,
+      * column) wins — it is the more exact index) */
+    def registerPq(table: String, vecCol: String, idCol: String, index: PqIndex,
+        config: SearchConfig = SearchConfig()): Unit =
+      pqEntries += (table, vecCol) -> PqEntry(index, idCol, config)
+
     def lookup(table: String, vecCol: String): Option[Entry] =
       entries.get((table, vecCol))
 
-    def clear(): Unit = entries = Map.empty
+    def lookupPq(table: String, vecCol: String): Option[PqEntry] =
+      pqEntries.get((table, vecCol))
+
+    def clear(): Unit = { entries = Map.empty; pqEntries = Map.empty }
   }
 
   final case class Index(centroids: DataFrame, assignments: DataFrame,
@@ -235,28 +246,38 @@ object AnnIndex {
       }
     }
 
-    idFilter match {
-      case None => once(nProbe0)
-      case Some(_) =>
-        val total = math.max(1L, index.assignments.count())
-        val avail = assignBase.count()
-        val selectivity = math.max(avail.toDouble / total, 1.0 / index.nClusters)
-        var nProbe = math.min(index.nClusters,
-          math.ceil(nProbe0 / selectivity).toInt)
-        val want = math.min(k.toLong, avail)
-        val nQueries = q.count()
-        var res = once(nProbe)
-        var done = nProbe >= index.nClusters || want == 0
-        while (!done) {
-          val counts = res.groupBy("qid").count().collect()
-          val deficient = counts.length < nQueries ||
-            counts.exists(_.getLong(1) < want)
-          if (!deficient || nProbe >= index.nClusters) done = true
-          else { nProbe = math.min(index.nClusters, nProbe * 2); res = once(nProbe) }
-        }
-        res
-    }
+    adaptiveSearch(index.assignments, assignBase, index.nClusters, nProbe0,
+      k, q.count(), idFilter.isDefined, once)
   }
+
+  /** The filtered-search driver loop shared by [[search]] and
+    * [[searchPq]]: scale the initial probe by 1/selectivity (same
+    * expected candidate count as an unfiltered search), then double
+    * `nProbe` until every query has min(k, survivors) results or all
+    * clusters are probed. Unfiltered searches stay fully lazy
+    * (`nQueries` is never forced). */
+  private def adaptiveSearch(allAssignments: DataFrame, assignBase: DataFrame,
+      nClusters: Int, nProbe0: Int, k: Int, nQueries: => Long,
+      filtered: Boolean, once: Int => DataFrame): DataFrame =
+    if (!filtered) once(nProbe0)
+    else {
+      val total = math.max(1L, allAssignments.count())
+      val avail = assignBase.count()
+      val selectivity = math.max(avail.toDouble / total, 1.0 / nClusters)
+      var nProbe = math.min(nClusters, math.ceil(nProbe0 / selectivity).toInt)
+      val want = math.min(k.toLong, avail)
+      val nQ = nQueries
+      var res = once(nProbe)
+      var done = nProbe >= nClusters || want == 0
+      while (!done) {
+        val counts = res.groupBy("qid").count().collect()
+        val deficient = counts.length < nQ ||
+          counts.exists(_.getLong(1) < want)
+        if (!deficient || nProbe >= nClusters) done = true
+        else { nProbe = math.min(nClusters, nProbe * 2); res = once(nProbe) }
+      }
+      res
+    }
 
   /** exact-vs-ann recall@k (quality gate analog of the reference's
     * test_embedding_quality.py) */
@@ -376,7 +397,8 @@ object AnnIndex {
     * lookups over its codes. Survivor pool (k * accuracyFactor per
     * query, two-phase) pays the exact cosine rerank. */
   def searchPq(index: PqIndex, queries: DataFrame, qIdCol: String,
-      qVecCol: String, k: Int, config: SearchConfig = SearchConfig()): DataFrame = {
+      qVecCol: String, k: Int, config: SearchConfig = SearchConfig(),
+      idFilter: Option[DataFrame] = None): DataFrame = {
     val cb = index.codebooks
     val q = queries.select(col(qIdCol).as("qid"), col(qVecCol).as("q_vec"))
       .withColumn("__qn", l2normalize(col("q_vec")))
@@ -385,30 +407,42 @@ object AnnIndex {
           c => gf.dot(slice(col("__qn"), j * cb.dsub + 1, cb.dsub), c))
       }: _*))
       .drop("__qn")
-    val nProbe = math.max(1, math.min(index.nClusters,
+    val assignBase = idFilter match {
+      case Some(ids) =>
+        val f = ids.select(col(ids.columns.head).as("id")).distinct()
+        index.assignments.join(f, Seq("id"), "left_semi")
+      case None => index.assignments
+    }
+    val nProbe0 = math.max(1, math.min(index.nClusters,
       math.ceil(math.sqrt(index.nClusters.toDouble) * config.clusterSearchFactor).toInt))
-    val probed = q.crossJoin(broadcast(index.centroids))
-      .withColumn("c_rank", row_number().over(
-        Window.partitionBy(col("qid"))
-          .orderBy(gf.cosine_similarity(col("q_vec"), col("centroid")).desc,
-            col("cluster_id"))))
-      .filter(col("c_rank") <= nProbe)
-      .select(col("qid"), col("q_vec"), col("__lut"), col("cluster_id"))
-    val rerankPool = k * math.max(1, config.accuracyFactor)
-    val adc = aggregate(
-      zip_with(col("codes"), col("__lut"), (cd, t) => element_at(t, cd + 1)),
-      lit(0.0), (acc, x) => acc + x)
-    val gated = topNPerQuery(
-      probed.join(index.assignments, "cluster_id")
-        .select(col("qid"), col("id"), col("vec"), col("q_vec"),
-          adc.as("score_q")),
-      Seq(col("score_q").desc, col("id")), rerankPool)
-      .drop("rank")
-    gated.select(col("qid"), col("id"),
-        gf.cosine_similarity(col("vec"), col("q_vec")).as("score"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("score").desc, col("id"))))
-      .filter(col("rank") <= k)
+
+    def once(nProbe: Int): DataFrame = {
+      val probed = q.crossJoin(broadcast(index.centroids))
+        .withColumn("c_rank", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(gf.cosine_similarity(col("q_vec"), col("centroid")).desc,
+              col("cluster_id"))))
+        .filter(col("c_rank") <= nProbe)
+        .select(col("qid"), col("q_vec"), col("__lut"), col("cluster_id"))
+      val rerankPool = k * math.max(1, config.accuracyFactor)
+      val adc = aggregate(
+        zip_with(col("codes"), col("__lut"), (cd, t) => element_at(t, cd + 1)),
+        lit(0.0), (acc, x) => acc + x)
+      val gated = topNPerQuery(
+        probed.join(assignBase, "cluster_id")
+          .select(col("qid"), col("id"), col("vec"), col("q_vec"),
+            adc.as("score_q")),
+        Seq(col("score_q").desc, col("id")), rerankPool)
+        .drop("rank")
+      gated.select(col("qid"), col("id"),
+          gf.cosine_similarity(col("vec"), col("q_vec")).as("score"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("score").desc, col("id"))))
+        .filter(col("rank") <= k)
+    }
+
+    adaptiveSearch(index.assignments, assignBase, index.nClusters, nProbe0,
+      k, q.count(), idFilter.isDefined, once)
   }
 
   /** exact-vs-PQ recall@k */

@@ -90,6 +90,26 @@ object AnnQueries extends QueryModule {
       None,
       doc = "IVF-PQ: per-query ADC lookup tables score m-byte codes, exact rerank on survivors"),
 
+    // PQ arm of the same dialect route: with only a PQ index registered
+    // for the column, ORDER BY COSINE_SIMILARITY ... LIMIT k (plus a
+    // WHERE pre-filter) searches the PQ artifact
+    "q_tql_ann_pq" -> Q(
+      (s, dir) => {
+        AnnIndex.Catalog.clear()
+        AnnIndex.Catalog.registerPq("embeddings", "embedding", "vec_id",
+          IndexStore.annPq(s, dir))
+        val qv = table(s, dir, "embeddings").filter(col("vec_id") === 0)
+          .select(col("embedding")).collect()(0).getSeq[Float](0)
+        val arr = qv.mkString("ARRAY[", ", ", "]")
+        try graft.dialect.Tql.query(s, dir,
+          s"""SELECT vec_id, ROUND(COSINE_SIMILARITY(embedding, $arr), 6) AS score
+             |FROM embeddings WHERE vec_id % 2 == 0
+             |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin)
+        finally AnnIndex.Catalog.clear()
+      },
+      None,
+      doc = "dialect-routed IVF-PQ top-k with WHERE pre-filter (ADC scan, exact rerank)"),
+
     "q_vec_ann_high_accuracy" -> Q(
       (s, dir) => {
         val idx = IndexStore.annQuantized(s, dir)

@@ -103,6 +103,22 @@ class AnnSpec extends AnyFunSuite {
     assert(r >= 0.9, s"pq recall@10 = $r")
   }
 
+  test("IVF-PQ filtered search: no filter leak, probe widens, recall holds") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val keep = emb.filter(col("vec_id") % 5 === 0)
+    val exact = graft.operators.SimilaritySearch.bruteForceTopK(
+        keep, "vec_id", "embedding", queries, "vec_id", "embedding", 10)
+      .select(col("qid"), col("id"))
+    val idx = AnnIndex.buildPq(emb, "vec_id", "embedding", nClusters = 16)
+    val approx = AnnIndex.searchPq(idx, queries, "vec_id", "embedding", 10,
+        AnnIndex.SearchConfig(accuracyFactor = 10, clusterSearchFactor = 2.0),
+        idFilter = Some(keep.select(col("vec_id"))))
+      .select(col("qid"), col("id"))
+    val r = exact.intersect(approx).count().toDouble / exact.count().toDouble
+    assert(r >= 0.85, s"pq filtered recall@10 = $r")
+    assert(approx.filter(col("id") % 5 =!= 0).count() === 0)
+  }
+
   test("IVF-PQ index round-trips through save/load with identical results") {
     val tmp = java.nio.file.Files.createTempDirectory("pqidx").toString
     val idx = AnnIndex.buildPq(emb, "vec_id", "embedding", nClusters = 8, m = 8, ksub = 16)
