@@ -48,17 +48,68 @@ object StatsCatalog {
   }
 
   @volatile private var entries: Map[String, TableStats] = Map.empty
+  private val missCache = scala.collection.concurrent.TrieMap.empty[String, Unit]
 
-  def register(tableRootPath: String, stats: TableStats): Unit =
+  /** Disk cache for ANALYZE output (the pg_statistic-persistence analog:
+    * stats survive the session that computed them, so a later Bench /
+    * Verify JVM plans with them without re-scanning). Keyed by md5 of
+    * the table root path; format is private to this codebase. */
+  @volatile private[graft] var cacheDir: java.io.File =
+    new java.io.File(sys.env.getOrElse("GRAFT_STATS_CACHE", "target/graft-stats"))
+
+  def register(tableRootPath: String, stats: TableStats): Unit = {
     entries += norm(tableRootPath) -> stats
+    missCache.remove(norm(tableRootPath))
+  }
 
-  def lookup(tableRootPath: String): Option[TableStats] =
-    entries.get(norm(tableRootPath))
+  def lookup(tableRootPath: String): Option[TableStats] = {
+    val key = norm(tableRootPath)
+    entries.get(key).orElse {
+      if (missCache.contains(key)) None
+      else tryLoad(key) match {
+        case some @ Some(stats) => entries += key -> stats; some
+        case None => missCache.put(key, ()); None
+      }
+    }
+  }
 
-  def isEmpty: Boolean = entries.isEmpty
-  def clear(): Unit = entries = Map.empty
+  /** fast bail for the optimizer rule: no in-memory stats AND no disk
+    * cache means estimation can never succeed */
+  def inactive: Boolean = entries.isEmpty && !cacheDir.exists()
+
+  /** drops in-memory state only — persisted ANALYZE output reloads on
+    * the next lookup */
+  def clear(): Unit = { entries = Map.empty; missCache.clear() }
+
+  /** drops memory AND disk (test isolation / re-ANALYZE from scratch) */
+  def clearAll(): Unit = {
+    clear()
+    Option(cacheDir.listFiles()).foreach(_.foreach(_.delete()))
+  }
 
   private def norm(p: String): String = p.stripPrefix("file:").stripSuffix("/")
+
+  private def fileFor(key: String): java.io.File = {
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    new java.io.File(cacheDir, s"$md5.v1.bin")
+  }
+
+  private def persist(key: String, stats: TableStats): Unit = {
+    cacheDir.mkdirs()
+    val out = new java.io.ObjectOutputStream(
+      new java.io.FileOutputStream(fileFor(key)))
+    try out.writeObject(stats) finally out.close()
+  }
+
+  private def tryLoad(key: String): Option[TableStats] = {
+    val f = fileFor(key)
+    if (!f.isFile) None
+    else try {
+      val in = new java.io.ObjectInputStream(new java.io.FileInputStream(f))
+      try Some(in.readObject().asInstanceOf[TableStats]) finally in.close()
+    } catch { case _: Exception => None }
+  }
 
   /** Compute and register stats for a file-backed DataFrame (must be a
     * single-relation scan so the root path is unambiguous). One
@@ -88,6 +139,7 @@ object StatsCatalog {
       val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes.toLong
       val stats = TableStats(n, bytes, cols)
       register(root, stats)
+      persist(norm(root), stats)
       stats
     }
   }
@@ -106,7 +158,7 @@ case class CboHints(spark: SparkSession) extends Rule[LogicalPlan]
       .getOrElse(10L * 1024 * 1024)
 
   override def apply(plan: LogicalPlan): LogicalPlan =
-    if (StatsCatalog.isEmpty) plan
+    if (StatsCatalog.inactive) plan
     else plan.transformUp {
       case j @ Join(l, r, tpe, _, JoinHint.NONE) =>
         val lB = estimateBytes(l)

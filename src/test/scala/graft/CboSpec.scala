@@ -56,7 +56,7 @@ class CboSpec extends AnyFunSuite {
 
   test("rare-value filter broadcasts; skewed MCV filter does not; no stats no hint") {
     withCboConfs {
-      StatsCatalog.clear()
+      StatsCatalog.clearAll()
       // without stats: Spark alone (threshold -1) sort-merge-joins both
       assert(!planOf("rare_9").contains("BroadcastHashJoin"))
 
@@ -69,13 +69,13 @@ class CboSpec extends AnyFunSuite {
       // skewed value: MCV says 18000 rows (over the 64 KiB budget) -> no
       // hint, even though 1/ndv would have estimated ~198 rows
       assert(!planOf("common").contains("BroadcastHashJoin"))
-      StatsCatalog.clear()
+      StatsCatalog.clearAll()
     }
   }
 
   test("range selectivity: narrow numeric band broadcasts, wide band does not") {
     withCboConfs {
-      StatsCatalog.clear()
+      StatsCatalog.clearAll()
       StatsCatalog.analyze(dim, Seq("payload"))
       def planFor(cond: org.apache.spark.sql.Column): String = {
         val f = fact
@@ -85,13 +85,35 @@ class CboSpec extends AnyFunSuite {
       // payload uniform on [0, 59997]: top 1% -> tiny; bottom 95% -> big
       assert(planFor(col("payload") > lit(59400L)).contains("BroadcastHashJoin"))
       assert(!planFor(col("payload") > lit(3000L)).contains("BroadcastHashJoin"))
+      StatsCatalog.clearAll()
+    }
+  }
+
+  test("ANALYZE output persists to disk and reloads after a catalog clear") {
+    val savedDir = StatsCatalog.cacheDir
+    StatsCatalog.cacheDir =
+      java.nio.file.Files.createTempDirectory("graft-stats").toFile
+    try {
       StatsCatalog.clear()
+      val d = dim
+      StatsCatalog.analyze(d, Seq("grp"))
+      val root = s"$tmp/dim"
+      assert(StatsCatalog.lookup(root).isDefined)
+      StatsCatalog.clear() // memory dropped, disk survives
+      val reloaded = StatsCatalog.lookup(root)
+      assert(reloaded.isDefined, "persisted stats must reload on lookup")
+      assert(reloaded.get.cols("grp").mcvs("common") === 18000L)
+      StatsCatalog.clearAll() // disk dropped too
+      assert(StatsCatalog.lookup(root).isEmpty)
+    } finally {
+      StatsCatalog.clearAll()
+      StatsCatalog.cacheDir = savedDir
     }
   }
 
   test("join results identical with and without the hint") {
     withCboConfs {
-      StatsCatalog.clear()
+      StatsCatalog.clearAll()
       def run(): Seq[Seq[Any]] = {
         val f = fact
         val d = dim.filter(col("grp") === "rare_9")
@@ -102,7 +124,7 @@ class CboSpec extends AnyFunSuite {
       StatsCatalog.analyze(dim, Seq("grp"))
       val hinted = run()
       assert(hinted.nonEmpty && (plain.toSeq == hinted.toSeq))
-      StatsCatalog.clear()
+      StatsCatalog.clearAll()
     }
   }
 }
