@@ -327,18 +327,36 @@ object AnnIndex {
   private def bookLit(cb: PqCodebooks, j: Int): Column =
     array(cb.books(j).map(c => array(c.map(x => lit(x)): _*)): _*)
 
-  /** nearest sub-centroid per subspace: codes(j) in [0, ksub) */
-  private def pqCodes(vecn: Column, cb: PqCodebooks): Column =
+  /** nearest sub-centroid per subspace of the residual: codes(j) in
+    * [0, ksub) */
+  private def pqCodes(residual: Column, cb: PqCodebooks): Column =
     array((0 until cb.m).map { j =>
-      val sub = slice(vecn, j * cb.dsub + 1, cb.dsub)
+      val sub = slice(residual, j * cb.dsub + 1, cb.dsub)
       val dists = transform(bookLit(cb, j), c => gf.l2_norm(sub, c))
       (array_position(dists, array_min(dists)) - 1).cast("int")
     }: _*)
 
+  /** normalized centroids as an in-plan literal array indexed by
+    * cluster_id (cosine lives on the unit sphere — residuals must be
+    * taken there too) */
+  private def normalizedCentroidLit(centroids: DataFrame): Column = {
+    val cents = centroids.select(col("cluster_id"), col("centroid")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1)
+    require(cents.map(_._1).toSeq == cents.indices, "cluster ids must be 0..k-1")
+    array(cents.map { case (_, cv) =>
+      val n = math.max(1e-30, math.sqrt(cv.map(x => x.toDouble * x).sum))
+      array(cv.map(x => lit((x / n).toFloat)): _*)
+    }: _*)
+  }
+
   /** Build an IVF-PQ index: the coarse KMeans of [[build]], then one
-    * KMeans per subspace over the L2-normalized subvectors. Vector dim
-    * must divide `m`. Encoding minimizes per-subspace L2 reconstruction
-    * error, the standard surrogate for inner-product fidelity. */
+    * KMeans per subspace over the RESIDUALS `vnorm - centroid_norm` —
+    * the canonical IVF-PQ arrangement: the coarse index explains the
+    * cluster-level direction, so the codebooks spend their entire
+    * codebook budget on the (much smaller) within-cluster displacement.
+    * Vector dim must divide `m`. Encoding minimizes per-subspace L2
+    * reconstruction error, the standard surrogate for inner-product
+    * fidelity. */
   def buildPq(emb: DataFrame, idCol: String, vecCol: String,
       nClusters: Int, m: Int = 8, ksub: Int = 64,
       buildMultiplier: Int = 4, seed: Long = 42L): PqIndex = {
@@ -346,11 +364,15 @@ object AnnIndex {
     val dim = emb.select(size(col(vecCol))).first().getInt(0)
     require(dim % m == 0, s"vector dim $dim must divide into m=$m subspaces")
     val dsub = dim / m
-    val base = coarse.assignments.withColumn("__vn", l2normalize(col("vec")))
+    val centLit = normalizedCentroidLit(coarse.centroids)
+    val base = coarse.assignments
+      .withColumn("__res", zip_with(
+        l2normalize(col("vec")), element_at(centLit, col("cluster_id") + 1),
+        (v, c) => (v - c).cast("float")))
       .persist()
     val books = Array.tabulate(m) { j =>
       val feats = base.select(array_to_vector(
-        transform(slice(col("__vn"), j * dsub + 1, dsub), _.cast("double")))
+        transform(slice(col("__res"), j * dsub + 1, dsub), _.cast("double")))
         .as("features"))
       new KMeans().setK(ksub).setSeed(seed + j + 1)
         .setMaxIter(5 * buildMultiplier).fit(feats)
@@ -358,8 +380,8 @@ object AnnIndex {
     }
     val cb = PqCodebooks(books)
     // materialize codes off the cached base, then release it
-    val assignments = base.withColumn("codes", pqCodes(col("__vn"), cb))
-      .drop("__vn").localCheckpoint()
+    val assignments = base.withColumn("codes", pqCodes(col("__res"), cb))
+      .drop("__res").localCheckpoint()
     base.unpersist()
     PqIndex(coarse.centroids, assignments, cb, coarse.nClusters)
   }
@@ -400,13 +422,13 @@ object AnnIndex {
       qVecCol: String, k: Int, config: SearchConfig = SearchConfig(),
       idFilter: Option[DataFrame] = None): DataFrame = {
     val cb = index.codebooks
+    val centLit = normalizedCentroidLit(index.centroids)
     val q = queries.select(col(qIdCol).as("qid"), col(qVecCol).as("q_vec"))
       .withColumn("__qn", l2normalize(col("q_vec")))
       .withColumn("__lut", array((0 until cb.m).map { j =>
         transform(bookLit(cb, j),
           c => gf.dot(slice(col("__qn"), j * cb.dsub + 1, cb.dsub), c))
       }: _*))
-      .drop("__qn")
     val assignBase = idFilter match {
       case Some(ids) =>
         val f = ids.select(col(ids.columns.head).as("id")).distinct()
@@ -423,7 +445,11 @@ object AnnIndex {
             .orderBy(gf.cosine_similarity(col("q_vec"), col("centroid")).desc,
               col("cluster_id"))))
         .filter(col("c_rank") <= nProbe)
-        .select(col("qid"), col("q_vec"), col("__lut"), col("cluster_id"))
+        .select(col("qid"), col("q_vec"), col("__lut"), col("cluster_id"),
+          // cluster-level term of the residual decomposition:
+          // dot(qn, vn^) = dot(qn, cent_n) + dot(qn, residual^)
+          gf.dot(col("__qn"), element_at(centLit, col("cluster_id") + 1))
+            .as("__qc"))
       val rerankPool = k * math.max(1, config.accuracyFactor)
       val adc = aggregate(
         zip_with(col("codes"), col("__lut"), (cd, t) => element_at(t, cd + 1)),
@@ -431,7 +457,7 @@ object AnnIndex {
       val gated = topNPerQuery(
         probed.join(assignBase, "cluster_id")
           .select(col("qid"), col("id"), col("vec"), col("q_vec"),
-            adc.as("score_q")),
+            (col("__qc") + adc).as("score_q")),
         Seq(col("score_q").desc, col("id")), rerankPool)
         .drop("rank")
       gated.select(col("qid"), col("id"),

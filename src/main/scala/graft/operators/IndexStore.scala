@@ -79,7 +79,7 @@ object IndexStore {
     * m-byte PQ codes; candidate scan is table lookups, not float math */
   def annPq(spark: SparkSession, sfDir: String, nClusters: Int = 16,
       m: Int = 8, ksub: Int = 64): AnnIndex.PqIndex =
-    AnnIndex.loadPq(spark, ensure(artifactDir(sfDir, s"annpq$nClusters-$m-$ksub")) { d =>
+    AnnIndex.loadPq(spark, ensure(artifactDir(sfDir, s"annpq2-$nClusters-$m-$ksub")) { d =>
       AnnIndex.savePq(AnnIndex.buildPq(
         Tables(spark, sfDir, "embeddings"), "vec_id", "embedding",
         nClusters, m, ksub), d)

@@ -89,6 +89,7 @@ class AnnSpec extends AnyFunSuite {
     val queries = emb.filter(col("vec_id") < 10)
     val r = AnnIndex.recallAtKPq(spark, emb, queries, "vec_id", "embedding",
       k = 10, AnnIndex.SearchConfig(), nClusters = 16)
+    info(s"pq default recall@10 = $r")
     assert(r >= 0.6, s"pq recall@10 = $r")
   }
 
@@ -100,6 +101,7 @@ class AnnSpec extends AnyFunSuite {
     val r = AnnIndex.recallAtKPq(spark, emb, queries, "vec_id", "embedding",
       k = 10, AnnIndex.SearchConfig(accuracyFactor = 10, clusterSearchFactor = 4.0),
       nClusters = 16)
+    info(s"pq exhaustive recall@10 = $r")
     assert(r >= 0.9, s"pq recall@10 = $r")
   }
 
