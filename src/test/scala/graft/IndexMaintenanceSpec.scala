@@ -40,6 +40,36 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     assert(res.forall(r => r.getAs[Long]("qid") == r.getAs[Long]("id")), res.mkString(";"))
   }
 
+  test("streaming text-index maintenance: appended segments merge to the full rebuild") {
+    import graft.streaming.StreamingText
+    val tmp = java.nio.file.Files.createTempDirectory("textstream").toString
+    val old = docs.filter(col("doc_id") % 5 =!= 0)
+    val fresh = docs.filter(col("doc_id") % 5 === 0)
+    // batch-built base; the stream appends segments on top of it
+    Bm25.save(spark, old, "doc_id", "text", s"$tmp/bm25")
+    InvertedIndex.build(old, "doc_id", "text").write.parquet(s"$tmp/inv")
+    fresh.write.parquet(s"$tmp/in")
+    val q1 = StreamingText.maintainBm25(
+      spark.readStream.schema(fresh.schema).parquet(s"$tmp/in"),
+      s"$tmp/bm25", "doc_id", "text", s"$tmp/ck1")
+    q1.processAllAvailable(); q1.stop()
+    val q2 = StreamingText.maintainInverted(
+      spark.readStream.schema(fresh.schema).parquet(s"$tmp/in"),
+      s"$tmp/inv", "doc_id", "text", s"$tmp/ck2")
+    q2.processAllAvailable(); q2.stop()
+
+    val inc = StreamingText.currentInverted(spark, s"$tmp/inv")
+    val full = InvertedIndex.build(docs, "doc_id", "text")
+    assert(inc.exceptAll(full).isEmpty && full.exceptAll(inc).isEmpty)
+
+    val terms = Seq("spark", "join", "data")
+    def scores(ix: Bm25.Index) = Bm25.scoreWithIndex(ix, terms)
+      .select(col("doc_id"), round(col("score"), 9).as("score"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    assert(scores(StreamingText.currentBm25(spark, s"$tmp/bm25")) ===
+      scores(Bm25.buildIndex(docs, "doc_id", "text")))
+  }
+
   test("inverted index: append equals full rebuild") {
     val old = docs.filter(col("doc_id") % 5 =!= 0)
     val fresh = docs.filter(col("doc_id") % 5 === 0)
