@@ -3,9 +3,9 @@ package graft.plans
 import scala.util.Try
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual, Literal, Or, PredicateHelper}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, EqualTo, ExprId, Expression, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual, Literal, Or, PredicateHelper}
 import org.apache.spark.sql.catalyst.plans.{Cross, Inner, LeftAnti, LeftOuter, LeftSemi, RightOuter}
-import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Filter, HintInfo, Join, JoinHint, LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, BROADCAST, Filter, GlobalLimit, HintInfo, Join, JoinHint, LocalLimit, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.functions.{approx_count_distinct, col, count, lit, max, min}
@@ -147,9 +147,12 @@ object StatsCatalog {
 
 /** Sets a BROADCAST hint on the provably-small side of a hint-less join,
   * using [[StatsCatalog]] cardinalities propagated through Filter /
-  * Project / SubqueryAlias. Conservative by construction: no stats for a
-  * side's relation, or any unrecognized operator in between, means no
-  * estimate and no hint — Spark plans exactly as before. */
+  * Project / SubqueryAlias / Limit — and through inner Joins and
+  * Aggregates, so a multi-table subtree (filtered dim JOIN dim, or a
+  * low-NDV group-by) is itself recognized as broadcastable into an outer
+  * fact join. Conservative by construction: no stats for a side's
+  * relation, or any unrecognized operator in between, means no estimate
+  * and no hint — Spark plans exactly as before. */
 case class CboHints(spark: SparkSession) extends Rule[LogicalPlan]
     with PredicateHelper {
 
@@ -174,65 +177,153 @@ case class CboHints(spark: SparkSession) extends Rule[LogicalPlan]
         else j
     }
 
+  /** Estimate for a subtree: output rows, decoded bytes per row, and the
+    * column stats still visible in the subtree's output (keyed by ExprId
+    * so self-joins with duplicate column names stay unambiguous).
+    * `baseRows` is the row count of the attribute's SOURCE table — MCV
+    * frequencies and NDVs are fractions of that, not of the (already
+    * filtered) subtree cardinality. */
+  private case class AttrStats(cs: StatsCatalog.ColStats, baseRows: Long)
+  private case class Est(rows: Double, bytesPerRow: Double,
+      cols: Map[ExprId, AttrStats])
+
   /** estimated in-memory bytes of `plan`, None when any part is
     * un-estimable */
   private def estimateBytes(plan: LogicalPlan): Option[Long] =
-    for {
-      root <- CboHints.scanRootPath(plan)
-      stats <- StatsCatalog.lookup(root)
-      rows <- estimateRows(plan, stats)
-    } yield math.ceil(rows * stats.bytesPerRow).toLong
+    estimate(plan).map(e => math.ceil(e.rows * e.bytesPerRow).toLong)
 
-  private def estimateRows(plan: LogicalPlan, stats: StatsCatalog.TableStats): Option[Double] =
-    plan match {
-      case LogicalRelation(_: HadoopFsRelation, _, _, _, _) =>
-        Some(stats.rowCount.toDouble)
-      case Filter(cond, child) =>
-        estimateRows(child, stats).map { base =>
-          splitConjunctivePredicates(cond)
-            .map(selectivity(_, stats)).product * base
+  /** Bottom-up cardinality propagation. Conservative: any operator this
+    * doesn't recognize kills the estimate (no hint) rather than guessing.
+    * Joins use the textbook equi-join formula
+    * |L JOIN R| = |L|x|R| / max(ndv_L, ndv_R) per key pair (NDVs capped
+    * by each side's estimated rows — a filter that kept 20 rows cannot
+    * contribute 20k distinct keys), so a small filtered-dim JOIN dim
+    * subtree is itself recognized as broadcastable into a fact join. */
+  private def estimate(plan: LogicalPlan): Option[Est] = plan match {
+    case rel @ LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+      for {
+        root <- fs.location.rootPaths.map(_.toString) match {
+          case Seq(single) => Some(single); case _ => None
         }
-      case Project(_, child) => estimateRows(child, stats)
-      case SubqueryAlias(_, child) => estimateRows(child, stats)
-      case _ => None
-    }
+        stats <- StatsCatalog.lookup(root)
+      } yield Est(stats.rowCount.toDouble, stats.bytesPerRow,
+        rel.output.flatMap(a => stats.cols.get(a.name)
+          .map(cs => a.exprId -> AttrStats(cs, stats.rowCount))).toMap)
+    case Filter(cond, child) =>
+      estimate(child).map { e =>
+        val sel = splitConjunctivePredicates(cond)
+          .map(selectivity(_, e.cols)).product
+        e.copy(rows = sel * e.rows)
+      }
+    case Project(list, child) =>
+      estimate(child).map { e =>
+        val kept = list.flatMap {
+          case a: Attribute => e.cols.get(a.exprId).map(a.exprId -> _)
+          case al @ Alias(a: Attribute, _) => e.cols.get(a.exprId).map(al.exprId -> _)
+          case _ => None
+        }.toMap
+        e.copy(cols = kept)
+      }
+    case SubqueryAlias(_, child) => estimate(child)
+    case GlobalLimit(Literal(n: Int, _), child) =>
+      estimate(child).map(e => e.copy(rows = math.min(n.toDouble, e.rows)))
+    case LocalLimit(Literal(n: Int, _), child) =>
+      estimate(child).map(e => e.copy(rows = math.min(n.toDouble, e.rows)))
+    case Aggregate(groupingExprs, aggExprs, child, _) =>
+      estimate(child).flatMap { e =>
+        if (groupingExprs.isEmpty) Some(Est(1.0, e.bytesPerRow, Map.empty))
+        else {
+          // output rows = product of key NDVs, capped by input rows;
+          // unknown-NDV keys kill the estimate (could be near-unique)
+          val ndvs = groupingExprs.map {
+            case a: Attribute =>
+              e.cols.get(a.exprId).map(s => math.min(s.cs.ndv.toDouble, e.rows))
+            case _ => None
+          }
+          if (ndvs.exists(_.isEmpty)) None
+          else {
+            val kept = aggExprs.flatMap {
+              case a: Attribute => e.cols.get(a.exprId).map(a.exprId -> _)
+              case al @ Alias(a: Attribute, _) => e.cols.get(a.exprId).map(al.exprId -> _)
+              case _ => None
+            }.toMap
+            Some(Est(math.min(ndvs.flatten.product, e.rows), e.bytesPerRow, kept))
+          }
+        }
+      }
+    case Join(l, r, tpe, cond, _) if tpe == Inner || tpe == Cross =>
+      for {
+        lE <- estimate(l)
+        rE <- estimate(r)
+        conjuncts = cond.toSeq.flatMap(splitConjunctivePredicates)
+        (equi, residual) = conjuncts.partition {
+          case EqualTo(a: AttributeReference, b: AttributeReference) =>
+            (lE.cols.contains(a.exprId) && rE.cols.contains(b.exprId)) ||
+              (lE.cols.contains(b.exprId) && rE.cols.contains(a.exprId))
+          case _ => false
+        }
+        keyFactors <- traverseOpt(equi) {
+          case EqualTo(a: AttributeReference, b: AttributeReference) =>
+            val (la, ra) =
+              if (lE.cols.contains(a.exprId)) (a.exprId, b.exprId)
+              else (b.exprId, a.exprId)
+            for {
+              ls <- lE.cols.get(la)
+              rs <- rE.cols.get(ra)
+            } yield math.max(math.min(ls.cs.ndv.toDouble, lE.rows),
+              math.min(rs.cs.ndv.toDouble, rE.rows)).max(1.0)
+          case _ => None
+        }
+      } yield {
+        val merged = lE.cols ++ rE.cols
+        val resSel = residual.map(selectivity(_, merged)).product
+        Est(lE.rows * rE.rows / keyFactors.product * resSel,
+          lE.bytesPerRow + rE.bytesPerRow, merged)
+      }
+    case _ => None
+  }
 
-  private def selectivity(e: Expression, stats: StatsCatalog.TableStats): Double = e match {
-    case EqualTo(a: AttributeReference, Literal(v, _)) => eqSel(a.name, v, stats)
-    case EqualTo(Literal(v, _), a: AttributeReference) => eqSel(a.name, v, stats)
+  private def traverseOpt[A, B](xs: Seq[A])(f: A => Option[B]): Option[Seq[B]] = {
+    val out = xs.map(f)
+    if (out.exists(_.isEmpty)) None else Some(out.flatten)
+  }
+
+  private def selectivity(e: Expression, cols: Map[ExprId, AttrStats]): Double = e match {
+    case EqualTo(a: AttributeReference, Literal(v, _)) => eqSel(a, v, cols)
+    case EqualTo(Literal(v, _), a: AttributeReference) => eqSel(a, v, cols)
     case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
-      math.min(1.0, vs.map(l => eqSel(a.name, l.asInstanceOf[Literal].value, stats)).sum)
-    case GreaterThan(a: AttributeReference, Literal(v, _)) => rangeSel(a.name, v, stats, upper = true)
-    case GreaterThanOrEqual(a: AttributeReference, Literal(v, _)) => rangeSel(a.name, v, stats, upper = true)
-    case LessThan(a: AttributeReference, Literal(v, _)) => rangeSel(a.name, v, stats, upper = false)
-    case LessThanOrEqual(a: AttributeReference, Literal(v, _)) => rangeSel(a.name, v, stats, upper = false)
-    case And(x, y) => selectivity(x, stats) * selectivity(y, stats)
-    case Or(x, y) => math.min(1.0, selectivity(x, stats) + selectivity(y, stats))
+      math.min(1.0, vs.map(l => eqSel(a, l.asInstanceOf[Literal].value, cols)).sum)
+    case GreaterThan(a: AttributeReference, Literal(v, _)) => rangeSel(a, v, cols, upper = true)
+    case GreaterThanOrEqual(a: AttributeReference, Literal(v, _)) => rangeSel(a, v, cols, upper = true)
+    case LessThan(a: AttributeReference, Literal(v, _)) => rangeSel(a, v, cols, upper = false)
+    case LessThanOrEqual(a: AttributeReference, Literal(v, _)) => rangeSel(a, v, cols, upper = false)
+    case And(x, y) => selectivity(x, cols) * selectivity(y, cols)
+    case Or(x, y) => math.min(1.0, selectivity(x, cols) + selectivity(y, cols))
     case IsNotNull(_) => 1.0
     case _ => 0.25
   }
 
-  private def eqSel(colName: String, v: Any, stats: StatsCatalog.TableStats): Double =
-    stats.cols.get(colName) match {
-      case Some(cs) =>
-        val n = math.max(1L, stats.rowCount).toDouble
+  private def eqSel(a: AttributeReference, v: Any, cols: Map[ExprId, AttrStats]): Double =
+    cols.get(a.exprId) match {
+      case Some(AttrStats(cs, baseRows)) =>
+        val n = math.max(1L, baseRows).toDouble
         val key = if (v == null) "" else v.toString
         cs.mcvs.get(key) match {
           case Some(c) => c / n
           case None =>
             // the value is NOT one of the top-k: spread the non-MCV mass
             // over the non-MCV distinct values
-            val rest = math.max(0L, stats.rowCount - cs.mcvs.values.sum)
+            val rest = math.max(0L, baseRows - cs.mcvs.values.sum)
             val restNdv = math.max(1L, cs.ndv - cs.mcvs.size)
             (rest.toDouble / restNdv) / n
         }
       case None => 0.1
     }
 
-  private def rangeSel(colName: String, v: Any, stats: StatsCatalog.TableStats,
+  private def rangeSel(a: AttributeReference, v: Any, cols: Map[ExprId, AttrStats],
       upper: Boolean): Double =
     (for {
-      cs <- stats.cols.get(colName)
+      AttrStats(cs, _) <- cols.get(a.exprId)
       lo <- cs.min
       hi <- cs.max
       x <- Try(v.toString.toDouble).toOption

@@ -111,6 +111,51 @@ class CboSpec extends AnyFunSuite {
     }
   }
 
+  test("join-output cardinality: a filtered-dim JOIN dim subtree broadcasts into the fact join") {
+    withCboConfs {
+      StatsCatalog.clearAll()
+      import spark.implicits._
+      val d2dir = s"$tmp/dim2"
+      if (!new java.io.File(d2dir).exists())
+        (0L until 20000L).map(i => (i, s"name_$i")).toDF("k2", "nm")
+          .write.parquet(d2dir)
+      val dim2 = spark.read.parquet(d2dir)
+
+      def outerPlan(): String = {
+        val sub = dim.filter(col("grp") === "rare_9")
+          .join(dim2, col("k") === col("k2"))
+        fact.join(sub, col("fk") === col("k"))
+          .queryExecution.executedPlan.toString
+      }
+      // stats on the single relations only — the JOIN subtree has no root
+      // path, so pre-join-estimation code could never hint this
+      StatsCatalog.analyze(dim, Seq("grp", "k"))
+      StatsCatalog.analyze(dim2, Seq("k2"))
+      // |filtered dim| ~ 20; |filtered JOIN dim2| ~ 20*20000/20000 = 20
+      // rows -> both the inner and the outer join broadcast
+      val p = outerPlan()
+      assert(p.sliding("BroadcastHashJoin".length)
+        .count(_ == "BroadcastHashJoin") >= 2, p)
+      StatsCatalog.clearAll()
+    }
+  }
+
+  test("aggregate cardinality: a low-NDV group-by subtree broadcasts") {
+    withCboConfs {
+      StatsCatalog.clearAll()
+      StatsCatalog.analyze(dim, Seq("grp", "k"))
+      def planFor(groupCol: String): String = {
+        val agg = dim.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+        dim.join(agg, groupCol).queryExecution.executedPlan.toString
+      }
+      // ndv(grp) ~ 101 -> tiny aggregate output -> broadcast
+      assert(planFor("grp").contains("BroadcastHashJoin"))
+      // ndv(k) = 20000 -> aggregate output is the whole table -> no hint
+      assert(!planFor("k").contains("BroadcastHashJoin"))
+      StatsCatalog.clearAll()
+    }
+  }
+
   test("join results identical with and without the hint") {
     withCboConfs {
       StatsCatalog.clearAll()
