@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** PII detection / redaction for training-data pipelines (the
+  * Dolma/CCNet-style scrub pass every pretraining corpus goes through
+  * before release): regex detectors for emails, phone numbers, IPv4
+  * addresses and SSN-shaped ids, with a chained-replace redactor.
+  *
+  * Pure codegen'd Column composition (`rlike` / `regexp_replace`, no
+  * UDFs), so the scrub is a map-only stage: no shuffle, linear in corpus
+  * bytes, and exactly expressible in the DuckDB oracle (patterns are
+  * shared verbatim — both engines speak the common regex subset used
+  * here: character classes, bounded repetition, no backrefs or
+  * lookaround, which RE2 lacks).
+  *
+  * Redaction applies patterns in [[patterns]] order on both engines, so
+  * overlapping matches resolve identically.
+  */
+object Pii {
+
+  /** (name, regex, replacement) — regex kept to the Java/RE2 common
+    * subset. Order matters and is part of the contract: email before ip
+    * (a dotted-digit domain must redact as email, not ip), id before
+    * phone (disjoint shapes today, but the order pins behavior). */
+  val patterns: Seq[(String, String, String)] = Seq(
+    ("email", "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<EMAIL>"),
+    ("id", "[0-9]{3}-[0-9]{2}-[0-9]{4}", "<ID>"),
+    ("phone", "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+    ("ip", "([0-9]{1,3}\\.){3}[0-9]{1,3}", "<IP>"))
+
+  /** per-type boolean detectors, one rlike each */
+  def flags(text: Column): Seq[(String, Column)] =
+    patterns.map { case (n, p, _) => n -> text.rlike(p) }
+
+  /** scrubbed text: every match of every pattern replaced by its
+    * sentinel, in declaration order */
+  def redact(text: Column): Column =
+    patterns.foldLeft(text) { case (c, (_, p, r)) => regexp_replace(c, p, r) }
+
+  /** number of redactions performed = sentinel occurrences in the
+    * scrubbed text (sentinels cannot occur pre-scrub: '<'/'>' are not in
+    * any pattern's alphabet) */
+  def redactionCount(redacted: Column): Column =
+    patterns.map { case (_, _, r) =>
+      ((length(redacted) - length(replace(redacted, lit(r), lit("")))) /
+        r.length).cast("int")
+    }.reduce(_ + _)
+}

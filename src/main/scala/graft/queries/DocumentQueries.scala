@@ -1,7 +1,8 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, TextAnalysis => TA}
+import graft.operators.{Dedup, Pii, TextAnalysis => TA}
 
 /** Training-data pipeline surface over `documents` + `embeddings`:
   * deduplication (exact / MinHash-LSH / SimHash / n-gram Jaccard /
@@ -41,6 +42,37 @@ object DocumentQueries extends QueryModule {
   private val langPredSql = TA.langMarkers.map(_._1)
     .map(l => s"WHEN s_$l = $langBest AND $langBest > 0 THEN '$l'")
     .mkString("CASE ", " ", " ELSE 'unknown' END")
+
+  // ---- PII fixtures: the synthetic corpus is plain words, so both
+  // engines enrich 3/4 of the docs with identical doc_id-derived PII
+  // tokens (email, phone, ip, ssn-shaped id) before scrubbing —
+  // deterministic, driver-data-derived input that actually exercises
+  // the redactor. Regexes interpolate from Pii.patterns verbatim.
+  private def piiEnrichSpark(doc: Column, text: Column): Column = {
+    val d = doc.cast("string")
+    concat(text, when(doc % 4 =!= 3, concat(
+      lit(" contact user"), d, lit("@mail.com call +1-"),
+      lpad(((doc * 7) % 1000).cast("string"), 3, "0"), lit("-"),
+      lpad(((doc * 13) % 10000).cast("string"), 4, "0"),
+      lit(" from 10."), (doc % 256).cast("string"), lit(".0."),
+      ((doc * 3) % 256).cast("string"),
+      lit(" id "), lpad((doc % 1000).cast("string"), 3, "0"), lit("-"),
+      lpad((doc % 100).cast("string"), 2, "0"), lit("-"),
+      lpad((doc % 10000).cast("string"), 4, "0"))).otherwise(lit("")))
+  }
+
+  private val piiEnrichSql =
+    """text || CASE WHEN doc_id % 4 <> 3 THEN ' contact user' || doc_id ||
+      |'@mail.com call +1-' || lpad((doc_id*7 % 1000)::VARCHAR, 3, '0') ||
+      |'-' || lpad((doc_id*13 % 10000)::VARCHAR, 4, '0') ||
+      |' from 10.' || (doc_id % 256) || '.0.' || (doc_id*3 % 256) ||
+      |' id ' || lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-' ||
+      |lpad((doc_id % 100)::VARCHAR, 2, '0') || '-' ||
+      |lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END""".stripMargin.replace('\n', ' ')
+
+  private val duckRedactSql = Pii.patterns.foldLeft("text2") {
+    case (e, (_, p, r)) => s"regexp_replace($e, '$p', '$r', 'g')"
+  }
 
   override def qs: Seq[(String, Q)] = Seq(
 
@@ -311,6 +343,45 @@ object DocumentQueries extends QueryModule {
               |p AS (SELECT lang, $langPredSql AS predicted FROM sc)
               |SELECT lang AS actual_lang, predicted, count(*) AS n
               |FROM p GROUP BY 1, 2 ORDER BY actual_lang, predicted""".stripMargin.replace('\n', ' '))),
+
+    // ---- PII incidence profile per language (map-only detectors)
+    "q_pii_stats" -> Q(
+      (s, dir) => {
+        val staged = table(s, dir, "documents")
+          .select(col("lang") +: Pii.flags(
+            piiEnrichSpark(col("doc_id"), col("text")))
+            .map { case (n, f) => f.as(s"__f_$n") }: _*)
+        staged.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            Pii.patterns.map { case (n, _, _) =>
+              sum(when(col(s"__f_$n"), 1).otherwise(0)).as(s"n_$n")
+            }: _*)
+          .orderBy(col("lang"))
+      },
+      Some(s"""WITH t AS (SELECT lang, $piiEnrichSql AS text2 FROM documents)
+              |SELECT lang, count(*) AS n_docs,
+              |${Pii.patterns.map { case (n, p, _) =>
+                 s"sum(CASE WHEN regexp_matches(text2, '$p') THEN 1 ELSE 0 END)::BIGINT AS n_$n"
+               }.mkString(", ")}
+              |FROM t GROUP BY lang ORDER BY lang""".stripMargin.replace('\n', ' '))),
+
+    // ---- PII redaction (chained regexp_replace scrub, shared pattern
+    // order; n_redactions = sentinel occurrences in the scrubbed text)
+    "q_pii_redact" -> Q(
+      (s, dir) => {
+        val red = Pii.redact(piiEnrichSpark(col("doc_id"), col("text")))
+        table(s, dir, "documents").filter(col("doc_id") < 60)
+          .select(col("doc_id"), red.as("clean_text"),
+            Pii.redactionCount(red).as("n_redactions"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $piiEnrichSql AS text2 FROM documents WHERE doc_id < 60),
+              |r AS (SELECT doc_id, $duckRedactSql AS clean_text FROM t)
+              |SELECT doc_id, clean_text,
+              |(${Pii.patterns.map { case (_, _, rep) =>
+                 s"(length(clean_text) - length(replace(clean_text, '$rep', ''))) // ${rep.length}"
+               }.mkString(" + ")})::INT AS n_redactions
+              |FROM r ORDER BY doc_id""".stripMargin.replace('\n', ' '))),
 
     // ---- keyword search (TQL CONTAINS; tql.md:179-185)
     "q_text_contains" -> Q(
