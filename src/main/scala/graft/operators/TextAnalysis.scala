@@ -103,6 +103,53 @@ object TextAnalysis {
       least(avgWordLen / 6.0, lit(1.0)) * 0.2, 6)
   }
 
+  // ---- Gopher/C4-style rule-based quality filtering ----
+  // Public heuristics from the Gopher (Rae et al. 2021, §A1.1) and C4
+  // (Raffel et al. 2020) corpus-cleaning recipes, adapted to fixed
+  // thresholds. Pure Column math over whitespace tokens and physical
+  // lines — map-side only, no shuffle, scales linearly with bytes.
+
+  /** whitespace tokenization for possibly multi-line text */
+  def wsTokens(text: Column): Column = split(text, "\\s+")
+
+  /** physical lines of a document */
+  def docLines(text: Column): Column = split(text, "\n")
+
+  /** Per-doc rule metrics. Callers should stage these in their own
+    * projection before computing [[ruleFlags]] — `filter`/`aggregate`
+    * HOFs evaluate interpreted with no CSE (same caveat as
+    * [[langIdFromScores]]). */
+  def ruleMetrics(text: Column): Seq[(String, Column)] = {
+    val ws = wsTokens(text)
+    val ln = docLines(text)
+    val nW = size(ws).cast("double")
+    val nL = size(ln).cast("double")
+    Seq(
+      "n_words" -> size(ws),
+      "mean_word_len" -> round(
+        aggregate(transform(ws, x => length(x)), lit(0), (a, x) => a + x)
+          .cast("double") / nW, 6),
+      "alpha_frac" -> round(size(filter(ws, x => x.rlike("[a-z]"))) / nW, 6),
+      "bullet_frac" -> round(size(filter(ln, x => x.startsWith("- "))) / nL, 6),
+      "ellipsis_frac" -> round(size(filter(ln, x => x.endsWith("..."))) / nL, 6),
+      "stop_count" -> markerScore(ws, stopwords))
+  }
+
+  /** Pass/fail flag per rule, given a resolver from metric name to the
+    * ALREADY-MATERIALIZED metric column. Thresholds follow Gopher:
+    * word count bounds, mean-word-length band, ≥90% alphabetic words,
+    * ≤50% bullet lines, ≤30% ellipsis lines, ≥2 stopwords. */
+  def ruleFlags(m: String => Column): Seq[(String, Column)] = Seq(
+    "f_words" -> (m("n_words") >= 20 && m("n_words") <= 100000),
+    "f_mean_len" -> (m("mean_word_len") >= 2.5 && m("mean_word_len") <= 8.0),
+    "f_alpha" -> (m("alpha_frac") >= 0.9),
+    "f_bullet" -> (m("bullet_frac") <= 0.5),
+    "f_ellipsis" -> (m("ellipsis_frac") <= 0.3),
+    "f_stop" -> (m("stop_count") >= 2))
+
+  /** conjunction of all rule flags */
+  def ruleKeep(flags: Seq[Column]): Column = flags.reduce(_ && _)
+
   /** bag fingerprint: md5 over the sorted distinct token set — catches
     * reordered / repeated-token duplicates (rolling-hash analog) */
   def bagFingerprint(text: Column): Column =

@@ -74,6 +74,52 @@ object DocumentQueries extends QueryModule {
     case (e, (_, p, r)) => s"regexp_replace($e, '$p', '$r', 'g')"
   }
 
+  // ---- quality-rule fixtures: the synthetic corpus is single-line word
+  // soup, so (PII-fixture pattern) both engines enrich deterministic
+  // doc_id-derived classes with the structure each Gopher rule inspects:
+  // mod-11 truncation (word-count rule), mod-7 bullet lines / ellipsis
+  // lines / symbol words (alpha rule) / long words (mean-len rule).
+  private def qrEnrichSpark(doc: Column, text: Column): Column = {
+    val base = when(doc % 11 === 0,
+        concat_ws(" ", slice(split(text, " "), 1, 8)))
+      .otherwise(text)
+    val dec = when(doc % 7 === 0,
+        lit("\n- alpha beta\n- gamma delta\n- epsilon zeta"))
+      .when(doc % 7 === 1, lit("\nto be continued...\nmore to come..."))
+      .when(doc % 7 === 2, concat(lit("\n"), repeat(lit("## "), 39), lit("##")))
+      .when(doc % 7 === 3,
+        concat(lit("\n"), repeat(lit("longwordalphabetagamma "), 59),
+          lit("longwordalphabetagamma")))
+      .otherwise(lit(""))
+    concat(base, dec)
+  }
+
+  private val qrEnrichSql =
+    """CASE WHEN doc_id % 11 = 0
+      |  THEN array_to_string((string_split(text,' '))[1:8], ' ') ELSE text END ||
+      |CASE WHEN doc_id % 7 = 0 THEN chr(10) || '- alpha beta' || chr(10) || '- gamma delta' || chr(10) || '- epsilon zeta'
+      |WHEN doc_id % 7 = 1 THEN chr(10) || 'to be continued...' || chr(10) || 'more to come...'
+      |WHEN doc_id % 7 = 2 THEN chr(10) || repeat('## ', 39) || '##'
+      |WHEN doc_id % 7 = 3 THEN chr(10) || repeat('longwordalphabetagamma ', 59) || 'longwordalphabetagamma'
+      |ELSE '' END""".stripMargin.replace('\n', ' ')
+
+  // metric SQL over text2, kept in lockstep with TextAnalysis.ruleMetrics
+  private val qrMetricsSql =
+    s"""len(ws) AS n_words,
+      |round(list_aggregate(list_transform(ws, x -> length(x)), 'sum')::DOUBLE / len(ws), 6) AS mean_word_len,
+      |round(len(list_filter(ws, x -> regexp_matches(x, '[a-z]')))::DOUBLE / len(ws), 6) AS alpha_frac,
+      |round(len(list_filter(ln, x -> starts_with(x, '- ')))::DOUBLE / len(ln), 6) AS bullet_frac,
+      |round(len(list_filter(ln, x -> ends_with(x, '...')))::DOUBLE / len(ln), 6) AS ellipsis_frac,
+      |len(list_filter(ws, x -> x IN (${TA.stopwords.map(s0 => s"'$s0'").mkString(",")}))) AS stop_count""".stripMargin.replace('\n', ' ')
+
+  private val qrFlagsSql =
+    """(n_words >= 20 AND n_words <= 100000) AS f_words,
+      |(mean_word_len >= 2.5 AND mean_word_len <= 8.0) AS f_mean_len,
+      |(alpha_frac >= 0.9) AS f_alpha,
+      |(bullet_frac <= 0.5) AS f_bullet,
+      |(ellipsis_frac <= 0.3) AS f_ellipsis,
+      |(stop_count >= 2) AS f_stop""".stripMargin.replace('\n', ' ')
+
   override def qs: Seq[(String, Q)] = Seq(
 
     // ---- exact dedup: corpus duplication profile
@@ -382,6 +428,71 @@ object DocumentQueries extends QueryModule {
                  s"(length(clean_text) - length(replace(clean_text, '$rep', ''))) // ${rep.length}"
                }.mkString(" + ")})::INT AS n_redactions
               |FROM r ORDER BY doc_id""".stripMargin.replace('\n', ' '))),
+
+    // ---- Gopher-style rule-based quality filter: per-doc metrics + flags
+    "q_quality_rules" -> Q(
+      (s, dir) => {
+        val enriched = table(s, dir, "documents").filter(col("doc_id") < 120)
+          .select(col("doc_id"),
+            qrEnrichSpark(col("doc_id"), col("text")).as("text2"))
+        val m = enriched.select(col("doc_id") +:
+          TA.ruleMetrics(col("text2")).map { case (n, c) => c.as(n) }: _*)
+        val flags = TA.ruleFlags(n => col(n))
+        val sel = (col("doc_id") +: m.columns.tail.toSeq.map(col(_))) ++
+          flags.map { case (n, c) => c.as(n) } :+
+          TA.ruleKeep(flags.map(_._2)).as("keep")
+        m.select(sel: _*).orderBy(col("doc_id"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $qrEnrichSql AS text2 FROM documents WHERE doc_id < 120),
+              |w2 AS (SELECT doc_id, regexp_split_to_array(text2, '\\s+') AS ws,
+              |       string_split(text2, chr(10)) AS ln FROM t),
+              |m AS (SELECT doc_id, $qrMetricsSql FROM w2)
+              |SELECT doc_id, n_words, mean_word_len, alpha_frac, bullet_frac,
+              |ellipsis_frac, stop_count, $qrFlagsSql,
+              |(n_words >= 20 AND n_words <= 100000 AND mean_word_len >= 2.5
+              | AND mean_word_len <= 8.0 AND alpha_frac >= 0.9 AND bullet_frac <= 0.5
+              | AND ellipsis_frac <= 0.3 AND stop_count >= 2) AS keep
+              |FROM m ORDER BY doc_id""".stripMargin.replace('\n', ' '))),
+
+    // ---- quality filter applied corpus-wide: per-language keep/drop
+    // profile with per-rule failure counts (the report a pipeline
+    // publishes before dropping 30% of its crawl)
+    "q_quality_rules_agg" -> Q(
+      (s, dir) => {
+        val enriched = table(s, dir, "documents")
+          .select(col("lang"),
+            qrEnrichSpark(col("doc_id"), col("text")).as("text2"))
+        val m = enriched.select(col("lang") +:
+          TA.ruleMetrics(col("text2")).map { case (n, c) => c.as(n) }: _*)
+        val flags = TA.ruleFlags(n => col(n))
+        val f = m.select(col("lang") +:
+          flags.map { case (n, c) => c.as(n) } :+
+          TA.ruleKeep(flags.map(_._2)).as("keep"): _*)
+        val aggs = count(lit(1)).as("n_docs") +:
+          sum(when(col("keep"), 1).otherwise(0)).as("n_keep") +:
+          flags.map { case (n, _) =>
+            sum(when(!col(n), 1).otherwise(0)).as(s"n_fail_${n.stripPrefix("f_")}")
+          }
+        f.groupBy(col("lang")).agg(aggs.head, aggs.tail: _*)
+          .orderBy(col("lang"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, lang, $qrEnrichSql AS text2 FROM documents),
+              |w2 AS (SELECT doc_id, lang, regexp_split_to_array(text2, '\\s+') AS ws,
+              |       string_split(text2, chr(10)) AS ln FROM t),
+              |m AS (SELECT doc_id, lang, $qrMetricsSql FROM w2),
+              |f AS (SELECT lang, $qrFlagsSql,
+              |  (n_words >= 20 AND n_words <= 100000 AND mean_word_len >= 2.5
+              |   AND mean_word_len <= 8.0 AND alpha_frac >= 0.9 AND bullet_frac <= 0.5
+              |   AND ellipsis_frac <= 0.3 AND stop_count >= 2) AS keep FROM m)
+              |SELECT lang, count(*) AS n_docs,
+              |sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_keep,
+              |sum(CASE WHEN f_words THEN 0 ELSE 1 END)::BIGINT AS n_fail_words,
+              |sum(CASE WHEN f_mean_len THEN 0 ELSE 1 END)::BIGINT AS n_fail_mean_len,
+              |sum(CASE WHEN f_alpha THEN 0 ELSE 1 END)::BIGINT AS n_fail_alpha,
+              |sum(CASE WHEN f_bullet THEN 0 ELSE 1 END)::BIGINT AS n_fail_bullet,
+              |sum(CASE WHEN f_ellipsis THEN 0 ELSE 1 END)::BIGINT AS n_fail_ellipsis,
+              |sum(CASE WHEN f_stop THEN 0 ELSE 1 END)::BIGINT AS n_fail_stop
+              |FROM f GROUP BY lang ORDER BY lang""".stripMargin.replace('\n', ' '))),
 
     // ---- keyword search (TQL CONTAINS; tql.md:179-185)
     "q_text_contains" -> Q(

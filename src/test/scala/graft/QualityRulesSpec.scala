@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{TextAnalysis => TA}
+
+/** Gopher-style rule-based quality filtering: each rule must fire on a
+  * document crafted to violate exactly that rule, and a clean document
+  * must pass all of them. */
+class QualityRulesSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val clean =
+    "the quick brown fox jumps over a lazy dog and then runs far away " +
+    "to the old mill where it naps until dusk settles over the quiet valley"
+  private val docs: Seq[(String, String)] = Seq(
+    "clean" -> clean,
+    "short" -> "the alpha and beta gamma",
+    "long_words" -> (Seq.fill(30)("pneumonoultramicroscopicsilico").mkString(" ") +
+      " the a of and to"),
+    "symbols" -> (clean + " " + Seq.fill(40)("##").mkString(" ")),
+    "bullets" -> (clean +
+      "\n- alpha beta gamma delta epsilon" +
+      "\n- zeta eta theta iota kappa" +
+      "\n- lambda mu nu xi omicron"),
+    "ellipsis" -> (clean + "\nto be continued...\nand more..."),
+    "no_stopwords" -> Seq.fill(25)("zzz").mkString(" "))
+
+  private lazy val flagsByName: Map[String, Map[String, Boolean]] = {
+    import spark.implicits._
+    val df = docs.toDF("name", "text")
+    val m = df.select(col("name") +:
+      TA.ruleMetrics(col("text")).map { case (n, c) => c.as(n) }: _*)
+    val flags = TA.ruleFlags(n => col(n))
+    val f = m.select(col("name") +:
+      flags.map { case (n, c) => c.as(n) } :+
+      TA.ruleKeep(flags.map(_._2)).as("keep"): _*)
+    f.collect().map { r =>
+      r.getString(0) -> f.columns.tail.zipWithIndex
+        .map { case (c, i) => c -> r.getBoolean(i + 1) }.toMap
+    }.toMap
+  }
+
+  test("clean document passes every rule") {
+    assert(flagsByName("clean").forall(_._2), flagsByName("clean").toString)
+  }
+
+  test("each crafted violation trips exactly its rule") {
+    val expectFail = Map(
+      "short" -> "f_words",
+      "long_words" -> "f_mean_len",
+      "symbols" -> "f_alpha",
+      "bullets" -> "f_bullet",
+      "ellipsis" -> "f_ellipsis",
+      "no_stopwords" -> "f_stop")
+    expectFail.foreach { case (doc, rule) =>
+      val fl = flagsByName(doc)
+      assert(!fl(rule), s"$doc should fail $rule: $fl")
+      assert(!fl("keep"), s"$doc must be dropped")
+      val otherFails = fl.filter { case (k, v) => k != rule && k != "keep" && !v }
+      assert(otherFails.isEmpty, s"$doc unexpectedly also fails $otherFails")
+    }
+  }
+}
