@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
 /** Sketch-based column statistics — the 100 TB replacement for the exact
@@ -33,4 +34,73 @@ object Sketches {
           .as("p50_p95_p99"),
         min(col(valueCol)).as("mn"),
         max(col(valueCol)).as("mx"))
+
+  /** Misra-Gries frequent-items summary with `k` counters: a mergeable,
+    * fixed-size heavy-hitter sketch (Misra & Gries 1982; merge rule from
+    * Agarwal et al., "Mergeable Summaries", PODS 2012). Guarantee: every
+    * item with true frequency > n/(k+1) survives, and each kept counter
+    * undercounts by at most n/(k+1). State is a bounded map — map-side
+    * partial aggregation, tiny merge, no value shuffle. */
+  final class MisraGries(k: Int)
+      extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+    require(k > 0, "need at least one counter")
+
+    /** Reduce to <= k entries: subtract the (k+1)-th largest counter
+      * value from every counter and drop the non-positive ones. At most
+      * k counters exceed that value, and the total subtracted mass over
+      * a run is bounded by n/(k+1) per surviving counter. */
+    private def shrink(b: Map[String, Long]): Map[String, Long] =
+      if (b.size <= k) b
+      else {
+        val dec = b.valuesIterator.toArray.sorted(Ordering[Long].reverse).apply(k)
+        b.collect { case (t, c) if c > dec => t -> (c - dec) }
+      }
+
+    override def zero: Map[String, Long] = Map.empty
+
+    override def reduce(b: Map[String, Long], t: String): Map[String, Long] =
+      if (t == null) b
+      else shrink(b.updated(t, b.getOrElse(t, 0L) + 1L))
+
+    override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+      val m = b.foldLeft(a) { case (acc, (t, c)) =>
+        acc.updated(t, acc.getOrElse(t, 0L) + c)
+      }
+      shrink(m)
+    }
+
+    override def finish(b: Map[String, Long]): Map[String, Long] = b
+    override def bufferEncoder: Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+    override def outputEncoder: Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+  }
+
+  /** Exact heavy hitters by two-pass sketch-then-verify: pass 1 runs the
+    * [[MisraGries]] summary (fixed-size state, no shuffle of values) to
+    * get a candidate set that provably contains every item with count
+    * >= threshold (requires threshold > n/(k+1), checked at runtime);
+    * pass 2 exact-counts ONLY the <= k candidates (broadcast isin
+    * filter) and keeps those at/above threshold. Output is deterministic
+    * and exact even though the sketch itself is merge-order dependent —
+    * the classic two-pass heavy-hitter pattern, turned oracle-checkable.
+    */
+  def heavyHitters(df: DataFrame, itemCol: String, threshold: Long,
+      k: Int = 4096): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val items = df.select(col(itemCol).cast("string")).as[String]
+    val mg = new MisraGries(k)
+    val (total, summary) = {
+      val agg = items.select(count(lit(1)), udaf(mg, Encoders.STRING)(col(itemCol)))
+      val r = agg.head()
+      (r.getLong(0), r.getMap[String, Long](1))
+    }
+    require(threshold > total / (k + 1).toLong,
+      s"threshold $threshold is below the sketch guarantee n/(k+1) = ${total / (k + 1)}; raise k")
+    val candidates = summary.keys.toSeq
+    df.filter(col(itemCol).isin(candidates: _*))
+      .groupBy(col(itemCol)).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= threshold)
+  }
 }

@@ -494,6 +494,36 @@ object DocumentQueries extends QueryModule {
               |sum(CASE WHEN f_stop THEN 0 ELSE 1 END)::BIGINT AS n_fail_stop
               |FROM f GROUP BY lang ORDER BY lang""".stripMargin.replace('\n', ' '))),
 
+    // ---- vocabulary building: exact corpus-wide top-k tokens (the
+    // tokenizer-training precursor). explode + hash-agg with map-side
+    // combine; top-k is TakeOrderedAndProject, never a full sort.
+    "q_vocab_topk" -> Q(
+      (s, dir) => table(s, dir, "documents")
+        .select(explode(TA.tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token")).limit(50),
+      Some("""WITH tok AS (SELECT unnest(string_split(text,' ')) AS token FROM documents)
+             |SELECT token, count(*) AS n FROM tok GROUP BY token
+             |ORDER BY n DESC, token LIMIT 50""".stripMargin.replace('\n', ' '))),
+
+    // ---- exact heavy hitters via two-pass Misra-Gries sketch-then-
+    // verify: fixed-size mergeable summary finds a provably complete
+    // candidate set, then only the <= k candidates are exact-counted.
+    // Threshold = 1% of corpus tokens (> n/(k+1), so zero false
+    // negatives); output is exact, hence the full DuckDB oracle.
+    "q_token_heavy_hitters" -> Q(
+      (s, dir) => {
+        val tok = table(s, dir, "documents")
+          .select(explode(TA.tokens(col("text"))).as("token"))
+        val th = math.max(1L, tok.count() / 100L)
+        graft.operators.Sketches.heavyHitters(tok, "token", th)
+          .orderBy(col("token"))
+      },
+      Some("""WITH tok AS (SELECT unnest(string_split(text,' ')) AS token FROM documents)
+             |SELECT token, count(*) AS n FROM tok GROUP BY token
+             |HAVING count(*) >= (SELECT greatest(count(*)//100, 1) FROM tok)
+             |ORDER BY token""".stripMargin.replace('\n', ' '))),
+
     // ---- keyword search (TQL CONTAINS; tql.md:179-185)
     "q_text_contains" -> Q(
       (s, dir) => {

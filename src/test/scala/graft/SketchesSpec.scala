@@ -43,4 +43,36 @@ class SketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
     val grouped = Sketches.profile(li, Seq("l_returnflag"), "l_extendedprice")
     assert(grouped.count() === 3)
   }
+
+  test("Misra-Gries two-pass heavy hitters are exact under a vocab far larger than k") {
+    import spark.implicits._
+    // 4 planted heavy items (>= 500 each) + 2000-item uniform tail (~5 each),
+    // shuffled across 8 partitions; k=64 counters << 2004 distinct items
+    val heavy = Seq.tabulate(4)(i => Seq.fill(500 + 37 * i)(s"hot_$i")).flatten
+    val tail = Seq.tabulate(2000)(i => Seq.fill(5)(s"cold_$i")).flatten
+    val df = scala.util.Random.shuffle(heavy ++ tail).toDF("token").repartition(8)
+    val n = df.count()
+    val threshold = 400L
+    assert(threshold > n / 65, "threshold must exceed the sketch guarantee bound")
+    val got = Sketches.heavyHitters(df, "token", threshold, k = 64)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = df.groupBy("token").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= threshold)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === exact, s"got $got vs exact $exact")
+    assert(got.keySet === Set("hot_0", "hot_1", "hot_2", "hot_3"))
+  }
+
+  test("Misra-Gries summary never exceeds k counters and keeps true heavies") {
+    val mg = new Sketches.MisraGries(8)
+    val stream = scala.util.Random.shuffle(
+      Seq.fill(300)("big") ++ (1 to 500).map(i => s"small_${i % 100}"))
+    val b = stream.foldLeft(mg.zero)(mg.reduce)
+    assert(b.size <= 8, s"summary grew to ${b.size}")
+    assert(b.contains("big"), "item with freq > n/(k+1) must survive")
+    // merge path: two half-streams merged == bounded too
+    val (l, r) = stream.splitAt(stream.length / 2)
+    val merged = mg.merge(l.foldLeft(mg.zero)(mg.reduce), r.foldLeft(mg.zero)(mg.reduce))
+    assert(merged.size <= 8 && merged.contains("big"))
+  }
 }
