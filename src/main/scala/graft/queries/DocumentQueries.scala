@@ -524,6 +524,18 @@ object DocumentQueries extends QueryModule {
              |HAVING count(*) >= (SELECT greatest(count(*)//100, 1) FROM tok)
              |ORDER BY token""".stripMargin.replace('\n', ' '))),
 
+    // ---- distributed BPE merge training (tokenizer prep). Runs over
+    // the distinct-word table; one explode+hash-agg per round, argmax
+    // row only to the driver. Deterministic (exact long scores, total
+    // tie-break) but iterative — not SQL-expressible, so the oracle is
+    // the single-node reference implementation in BpeSpec.
+    "q_bpe_merges" -> Q(
+      (s, dir) => graft.operators.Bpe
+        .trainDF(s, table(s, dir, "documents"), "text", numMerges = 12)
+        .orderBy(col("rank")),
+      None,
+      doc = "BPE merge training, spec-gated against a single-node reference implementation"),
+
     // ---- keyword search (TQL CONTAINS; tql.md:179-185)
     "q_text_contains" -> Q(
       (s, dir) => {
