@@ -159,6 +159,95 @@ object Snapshots {
       f: DataFrame => DataFrame, branch: String): Long =
     commit(root, Seq(newSegment(root, f(open(spark, root, branch = branch)))), branch)
 
+  // ------------------------------------------------- table maintenance
+
+  private def segmentBytes(root: String, seg: String): Long =
+    Files.walk(Paths.get(root, seg)).iterator().asScala
+      .filter(Files.isRegularFile(_)).map(Files.size).sum
+
+  /** OPTIMIZE: bin-pack segments smaller than `targetBytes` into
+    * ~targetBytes outputs and commit a new version referencing the
+    * compacted segment plus the untouched large ones. Cost is
+    * O(small-file bytes), never O(table): large segments are not read.
+    * Older versions still reference the original small segments —
+    * time travel is unaffected until [[expireVersions]] + [[vacuum]]. */
+  def optimize(spark: SparkSession, root: String,
+      targetBytes: Long = 128L << 20, branch: String = Main): Long = {
+    val cur = currentVersion(root, branch)
+    val segs = segments(root, cur, branch)
+    val (small, large) = segs.partition(s => segmentBytes(root, s) < targetBytes)
+    if (small.size <= 1) cur
+    else {
+      val df = spark.read.parquet(small.map(s => Paths.get(root, s).toString): _*)
+      val total = small.map(segmentBytes(root, _)).sum
+      val nOut = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
+      commit(root, large :+ newSegment(root, df.repartition(nOut)), branch)
+    }
+  }
+
+  /** Drop old manifests on `branch`, keeping the newest `keepLast` and
+    * any version pinned by a tag. Returns the expired versions. Segments
+    * only become deletable once no manifest references them — run
+    * [[vacuum]] afterwards to reclaim the bytes. */
+  def expireVersions(root: String, keepLast: Int, branch: String = Main): Seq[Long] = {
+    require(keepLast >= 1, "must keep at least the current version")
+    val vs = versions(root, branch)
+    val tagged = listRefs(root, "tags")
+      .map(readRef(root, "tags", _))
+      .collect { case (b, v) if b == branch => v }.toSet
+    val expired = vs.dropRight(keepLast).filterNot(tagged)
+    expired.foreach(v => Files.delete(vDir(root, branch).resolve(f"$v%05d.manifest")))
+    expired
+  }
+
+  /** VACUUM: delete segment directories referenced by no manifest on any
+    * branch. Safe by construction — a segment is only unreachable once
+    * every manifest mentioning it has been expired. Returns the deleted
+    * segment names. */
+  def vacuum(root: String): Seq[String] = {
+    val referenced = (for {
+      b <- branches(root)
+      v <- versions(root, b)
+      s <- segments(root, v, b)
+    } yield s).toSet
+    val onDisk = Files.list(Paths.get(root)).iterator().asScala
+      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("seg-"))
+      .map(_.getFileName.toString).toSeq
+    val dead = onDisk.filterNot(referenced).sorted
+    dead.foreach { s =>
+      Files.walk(Paths.get(root, s)).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(Files.delete(_))
+    }
+    dead
+  }
+
+  /** Row-level changes between two versions: the snapshot's columns plus
+    * a `change` column ('insert' | 'delete'). Append-only (or
+    * delete-only) version pairs take the manifest fast path — ONLY the
+    * delta segments are read, no shuffle, O(delta). Arbitrary pairs
+    * (e.g. across a copy-on-write rewrite) fall back to a content diff:
+    * two exceptAll hash shuffles over both snapshots. */
+  def diff(spark: SparkSession, root: String, fromV: Long, toV: Long,
+      branch: String = Main): DataFrame = {
+    val a = segments(root, fromV, branch)
+    val b = segments(root, toV, branch)
+    def read(segs: Seq[String]): DataFrame =
+      spark.read.parquet(segs.map(s => Paths.get(root, s).toString): _*)
+    if (fromV == toV || a == b)
+      open(spark, root, Some(toV), branch).limit(0)
+        .withColumn("change", lit("insert"))
+    else if (a.forall(b.contains))
+      read(b.filterNot(a.contains)).withColumn("change", lit("insert"))
+    else if (b.forall(a.contains))
+      read(a.filterNot(b.contains)).withColumn("change", lit("delete"))
+    else {
+      val from = open(spark, root, Some(fromV), branch)
+      val to = open(spark, root, Some(toV), branch)
+      to.exceptAll(from).withColumn("change", lit("insert"))
+        .unionByName(from.exceptAll(to).withColumn("change", lit("delete")))
+    }
+  }
+
   // ------------------------------------------------------ branches & tags
 
   /** Create `name` from `from`@`at` (default: its head). O(1): copies one

@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
@@ -121,6 +122,76 @@ class SnapshotsSpec extends AnyFunSuite with BeforeAndAfterAll {
     Snapshots.createBranch(root, "cow")
     Snapshots.deleteWhere(spark, root, col("id") === 1L, branch = "cow")
     assertThrows[IllegalArgumentException](Snapshots.merge(spark, root, "cow"))
+  }
+
+  test("optimize bin-packs small segments; expire + vacuum reclaim them") {
+    val root = freshRoot()
+    import spark.implicits._
+    Snapshots.create(spark, root, Seq((1L, "a")).toDF("id", "s"))
+    (2L to 6L).foreach(i =>
+      Snapshots.append(spark, root, Seq((i, s"r$i")).toDF("id", "s")))
+    val before = Snapshots.open(spark, root).collect().map(_.getLong(0)).toSet
+    def segDirs() = Files.list(java.nio.file.Paths.get(root)).iterator()
+      .asScala.map(_.getFileName.toString).filter(_.startsWith("seg-")).toSeq
+    assert(segDirs().size == 6)
+
+    val vOpt = Snapshots.optimize(spark, root, targetBytes = 1L << 20)
+    // data identical, one compacted segment in the new manifest
+    assert(Snapshots.open(spark, root).collect().map(_.getLong(0)).toSet == before)
+    assert(Snapshots.open(spark, root, Some(vOpt)).inputFiles.length < 6)
+    // old versions still time-travel (their segments are untouched)
+    assert(Snapshots.open(spark, root, Some(3L)).count() == 3)
+    // second optimize is a no-op (single small segment left)
+    assert(Snapshots.optimize(spark, root, targetBytes = 1L << 20) == vOpt)
+
+    // expire everything but the head, then vacuum the orphaned segments
+    val expired = Snapshots.expireVersions(root, keepLast = 1)
+    assert(expired == (1L to 6L))
+    val dead = Snapshots.vacuum(root)
+    assert(dead.size == 6, s"vacuum removed $dead")
+    assert(Snapshots.open(spark, root).collect().map(_.getLong(0)).toSet == before)
+    intercept[IllegalArgumentException](Snapshots.open(spark, root, Some(3L)))
+  }
+
+  test("expireVersions keeps tagged snapshots; vacuum keeps branch-shared segments") {
+    val root = freshRoot()
+    import spark.implicits._
+    Snapshots.create(spark, root, Seq((1L, "a")).toDF("id", "s"))
+    Snapshots.append(spark, root, Seq((2L, "b")).toDF("id", "s"))
+    Snapshots.tag(root, "keepme", version = Some(1L))
+    Snapshots.createBranch(root, "dev")
+    Snapshots.append(spark, root, Seq((3L, "c")).toDF("id", "s"))
+    val expired = Snapshots.expireVersions(root, keepLast = 1)
+    assert(!expired.contains(1L), "tagged version must survive expiry")
+    // vacuum removes nothing: v1 tagged, v2 segments shared with branch dev
+    assert(Snapshots.vacuum(root).isEmpty)
+    assert(Snapshots.openTag(spark, root, "keepme").count() == 1)
+    assert(Snapshots.open(spark, root, branch = "dev").count() == 2)
+  }
+
+  test("diff: append-only pairs use the manifest fast path; rewrites content-diff") {
+    val root = freshRoot()
+    import spark.implicits._
+    Snapshots.create(spark, root, Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    Snapshots.append(spark, root, Seq((3L, "c"), (4L, "d")).toDF("id", "s"))
+    // append-only: inserts come straight from the delta segment
+    val d12 = Snapshots.diff(spark, root, 1L, 2L)
+    assert(d12.filter(col("change") === "insert").collect()
+      .map(_.getLong(0)).toSet == Set(3L, 4L))
+    assert(d12.filter(col("change") === "delete").count() == 0)
+    // the fast path must read ONLY the delta segment, not the full snapshot
+    assert(d12.inputFiles.length == Snapshots.open(spark, root, Some(2L))
+      .inputFiles.length - Snapshots.open(spark, root, Some(1L)).inputFiles.length)
+    // reversed pair reports deletes
+    val d21 = Snapshots.diff(spark, root, 2L, 1L)
+    assert(d21.collect().forall(_.getString(2) == "delete"))
+    // copy-on-write rewrite: content diff finds exactly the deleted row
+    Snapshots.deleteWhere(spark, root, col("id") === 3L)
+    val d23 = Snapshots.diff(spark, root, 2L, 3L)
+    val changes = d23.collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(changes == Set((3L, "delete")))
+    // same-version diff is empty
+    assert(Snapshots.diff(spark, root, 2L, 2L).count() == 0)
   }
 
   test("tags pin a branch version") {
