@@ -1,6 +1,11 @@
 package graft.sources
 
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
 
 /** Training-export surface (SURVEY.md §2.13): the reference's
   * `DatasetView.batches(batch_size, drop_last)` / `pytorch()` /
@@ -31,4 +36,49 @@ object Batches {
     df.foreachPartition { (rows: Iterator[Row]) =>
       rows.grouped(batchSize).foreach(b => f(b.toSeq))
     }
+
+  // ------------------------------------------------- sharded export
+
+  final case class ShardInfo(shardId: Int, rows: Long, bytes: Long, path: String)
+
+  /** Sharded training export (WebDataset-style layout): the dataset is
+    * split into ceil(n / targetRowsPerShard) shards by a deterministic
+    * hash of `idCol` (same rows → same shard on every run), written as
+    * one `shard_id=N` directory per shard in `format` (parquet / json
+    * for JSONL / csv), plus a `_manifest.json` recording per-shard row
+    * and byte counts — what a downstream dataloader reads to plan epochs
+    * without listing data files.
+    *
+    * Scale shape: one count, one hash-partitioned shuffle write; shard
+    * row counts ride the same shuffle as a groupBy before the write.
+    * Each shard is written by exactly one task (hash-colocated), so a
+    * shard is one file. */
+  def exportShards(df: DataFrame, idCol: String, outDir: String,
+      targetRowsPerShard: Long, format: String = "parquet"): Seq[ShardInfo] = {
+    require(targetRowsPerShard > 0, "targetRowsPerShard must be positive")
+    val n = df.count()
+    val nShards = math.max(1L, (n + targetRowsPerShard - 1) / targetRowsPerShard).toInt
+    val sharded = df.withColumn("shard_id",
+      pmod(xxhash64(col(idCol)), lit(nShards.toLong)).cast("int"))
+    val counts = sharded.groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("rows")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    sharded.repartition(nShards, col("shard_id"))
+      .sortWithinPartitions(col("shard_id"), col(idCol))
+      .write.mode("overwrite").partitionBy("shard_id").format(format).save(outDir)
+    val infos = (0 until nShards).map { sid =>
+      val dir = Paths.get(outDir, s"shard_id=$sid")
+      val bytes =
+        if (!Files.exists(dir)) 0L
+        else Files.walk(dir).iterator().asScala
+          .filter(Files.isRegularFile(_)).map(Files.size).sum
+      ShardInfo(sid, counts.getOrElse(sid, 0L), bytes, dir.toString)
+    }
+    val manifest = infos.map { s =>
+      s"""{"shard_id": ${s.shardId}, "rows": ${s.rows}, "bytes": ${s.bytes}, "path": "shard_id=${s.shardId}"}"""
+    }.mkString("[\n", ",\n", "\n]")
+    Files.write(Paths.get(outDir, "_manifest.json"),
+      manifest.getBytes(StandardCharsets.UTF_8))
+    infos
+  }
 }

@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -66,5 +68,46 @@ class ExtensionsAndBatchesSpec extends AnyFunSuite with BeforeAndAfterAll {
     Batches.foreachPartitionBatches(
       graft.sources.Tables(spark, dir, "events"), 64)(b => acc.add(b.size))
     assert(acc.value == graft.sources.Tables(spark, dir, "events").count())
+  }
+
+  test("exportShards writes one file per shard, a manifest, and round-trips") {
+    val docs = graft.sources.Tables(spark, dir, "documents")
+      .select("doc_id", "text", "lang")
+    val n = docs.count()
+    val out = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    val infos = Batches.exportShards(docs, "doc_id", out, targetRowsPerShard = 20)
+    val expectShards = ((n + 19) / 20).toInt
+    assert(infos.size == expectShards)
+    assert(infos.map(_.rows).sum == n, "manifest row counts must cover the dataset")
+    assert(infos.forall(_.bytes > 0), "every shard directory must hold data")
+    // one data file per shard (hash-colocated write)
+    infos.foreach { s =>
+      val files = java.nio.file.Files.list(java.nio.file.Paths.get(s.path))
+        .iterator().asScala.map(_.getFileName.toString)
+        .filterNot(f => f.startsWith("_") || f.startsWith(".")).toSeq
+      assert(files.size == 1, s"shard ${s.shardId} has files $files")
+    }
+    // manifest parses and matches the returned infos
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(out, "_manifest.json")))
+    assert(infos.forall(s => manifest.contains(s""""shard_id": ${s.shardId}, "rows": ${s.rows}""")))
+    // roundtrip: shard_id partition column + identical data
+    val back = spark.read.parquet(out)
+    assert(back.count() == n)
+    assert(back.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      docs.select("doc_id").collect().map(_.getLong(0)).toSet)
+    // re-export is deterministic: same rows land in the same shards
+    val out2 = java.nio.file.Files.createTempDirectory("graft-shards2").toString
+    val infos2 = Batches.exportShards(docs, "doc_id", out2, targetRowsPerShard = 20)
+    assert(infos.map(s => s.shardId -> s.rows) == infos2.map(s => s.shardId -> s.rows))
+  }
+
+  test("exportShards emits JSONL shards when asked") {
+    val docs = graft.sources.Tables(spark, dir, "documents").select("doc_id", "lang")
+    val out = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+    val infos = Batches.exportShards(docs, "doc_id", out, 25, format = "json")
+    assert(infos.map(_.rows).sum == docs.count())
+    val back = spark.read.json(out)
+    assert(back.count() == docs.count())
   }
 }
