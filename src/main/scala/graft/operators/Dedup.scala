@@ -370,6 +370,50 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** Random-hyperplane LSH blocking for embedding near-dup (Charikar
+    * 2002, public) — the KMeans-free, data-independent alternative to
+    * [[embeddingNearDupPairs]] for when no index artifact exists and a
+    * cluster fit is not worth it (one-shot scans, streaming appends).
+    * `numBits` pseudo-random hyperplanes derive deterministically from
+    * `seed` and bind as in-plan literals; signature bit p =
+    * (dot(v, plane_p) >= 0); bits group into `bands` band keys that
+    * drive the same salted candidate equi-join as the text LSH;
+    * survivors verify with the exact cosine kernel, so precision is 1.
+    * Candidate recall for a pair at angle θ is 1-(1-(1-θ/π)^r)^b
+    * (r = numBits/bands) — probabilistic, hence spec-gated (recall
+    * floor vs the lossless cluster-blocked pair set) rather than
+    * oracle-checked. */
+  def rpLshNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, numBits: Int = 16, bands: Int = 8,
+      seed: Long = 42L, hotKeyThreshold: Int = 100000,
+      numSalts: Int = 16): DataFrame = {
+    require(numBits % bands == 0, "bands must divide numBits")
+    val dim = emb.select(size(col(vecCol)).as("d")).head().getInt(0)
+    val rnd = new scala.util.Random(seed)
+    val planes = Array.fill(numBits, dim)(rnd.nextGaussian().toFloat)
+    val v = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val bitCols = planes.map { p =>
+      when(graft.functions.gf.dot(col("vec"), array(p.map(lit(_)): _*)) >= 0,
+        lit("1")).otherwise(lit("0"))
+    }
+    val rowsPerBand = numBits / bands
+    val sig = v.select(col("id"), concat(bitCols.toSeq: _*).as("__sig"))
+    val bandKeys = (0 until bands).map(b =>
+      substring(col("__sig"), b * rowsPerBand + 1, rowsPerBand))
+    val banded = sig.select(col("id"),
+      posexplode(array(bandKeys: _*)).as(Seq("band_idx", "band_key")))
+    val cand = saltedPairJoin(banded, Seq("band_idx", "band_key"),
+        col("a.id") < col("b.id"), Seq("id"), hotKeyThreshold, numSalts)
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .join(v.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
+      .join(v.select(col("id").as("id_b"), col("vec").as("vec_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(graft.functions.gf.cosine_similarity(col("vec_a"), col("vec_b")), 6)
+          .as("cos_sim"))
+      .filter(col("cos_sim") > threshold)
+  }
+
   /** Cross-corpus decontamination (train/eval overlap audit — the check
     * every pretraining pipeline runs before shipping a corpus): for each
     * eval doc, its n-gram CONTAINMENT in each overlapping train doc,

@@ -56,6 +56,39 @@ object Sampling {
   def fractionSample(df: DataFrame, fraction: Double, seed: Long = 42L): DataFrame =
     df.sample(withReplacement = false, fraction, seed)
 
+  /** Deterministic uniform in (0, 1]: a 31-ary fold of the md5 hex
+    * characters of `key` mod 1000003 — expressible identically in any
+    * engine with string md5 (the DuckDB oracle mirrors it with
+    * list_reduce), so samplers built on it are reproducible AND
+    * oracle-checkable, unlike rand(seed) whose value depends on the
+    * physical partition layout. */
+  def hashUniform(key: Column): Column = {
+    val h = md5(key.cast("string"))
+    val code = aggregate(
+      transform(sequence(lit(1), lit(32)), i => ascii(h.substr(i, lit(1))).cast("long")),
+      lit(0L), (a, x) => (a * 31L + x) % 1000003L)
+    (code + lit(1)).cast("double") / 1000004.0
+  }
+
+  /** Weighted per-group sampling without replacement (the per-stratum
+    * form of SAMPLE BY): the `n` rows per group with the smallest
+    * Efraimidis-Spirakis key -ln(u)/w, u = [[hashUniform]](key). Exactly
+    * the weighted-reservoir distribution, but deterministic and
+    * engine-independent. One window shuffle on the group key (same cost
+    * class as [[stratifiedHashSample]]); rows with weight <= 0 never
+    * sample. */
+  def weightedHashSamplePerGroup(df: DataFrame, stratum: Column, key: Column,
+      weight: Column, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // the HOF-built key is interpreted (no codegen/CSE): stage it once
+    val staged = df.filter(weight.cast("double") > 0)
+      .withColumn("__k", -log(hashUniform(key)) / weight.cast("double"))
+    val w = Window.partitionBy(stratum).orderBy(col("__k").asc, key)
+    staged.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= n)
+      .drop("__k", "__rk")
+  }
+
   /** Deterministic stratified downsampling: the `n` rows per stratum
     * whose md5(key) sorts lowest. Hash order is a uniform-but-reproducible
     * shuffle, so this IS a random sample — yet engine-independent

@@ -231,6 +231,16 @@ object DocumentQueries extends QueryModule {
              |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) p
              |WHERE cos_sim > 0.4 ORDER BY id_a, id_b""".stripMargin.replace('\n', ' '))),
 
+    // ---- embedding near-dup via random-hyperplane LSH blocking
+    // (KMeans-free alternative; probabilistic candidate recall, so
+    // spec-gated — DedupSpec asserts subset-of-lossless + recall floor)
+    "q_dedup_embedding_rplsh" -> Q(
+      (s, dir) => Dedup.rpLshNearDupPairs(table(s, dir, "embeddings"),
+          "vec_id", "embedding", threshold = 0.4)
+        .orderBy(col("id_a"), col("id_b")),
+      None,
+      doc = "random-hyperplane LSH embedding near-dup; recall-gated in DedupSpec"),
+
     // ---- near-dup pairs -> dedup groups: connected components with a
     // min-id keeper per component (oracle: recursive-CTE transitive
     // closure over the identical MinHash-LSH pair set)

@@ -301,6 +301,26 @@ object TensorQueries extends QueryModule {
              |FROM documents) t WHERE rk <= 10
              |ORDER BY lang, doc_id""".stripMargin.replace('\n', ' '))),
 
+    // ---- deterministic WEIGHTED per-group sample: Efraimidis-Spirakis
+    // keys over a hash-derived uniform — the weighted-reservoir
+    // distribution, yet engine-independent and FULLY oracle-checked
+    // (DuckDB mirrors the md5-fold uniform with list_reduce)
+    "q_sample_group_weighted" -> Q(
+      (s, dir) => graft.operators.Sampling.weightedHashSamplePerGroup(
+          table(s, dir, "documents"), col("lang"), col("doc_id"),
+          col("n_chars"), 5)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("lang"), col("doc_id")),
+      Some("""WITH t AS (SELECT doc_id, lang, n_chars, md5(doc_id::VARCHAR) AS h FROM documents),
+             |u AS (SELECT doc_id, lang, n_chars,
+             |  (list_reduce(list_prepend(0, list_transform(range(1,33),
+             |     i -> ascii(substr(h, CAST(i AS INT), 1)))),
+             |   (a, b) -> (a*31 + b) % 1000003) + 1) / 1000004.0 AS uu FROM t),
+             |r AS (SELECT doc_id, lang, n_chars, row_number() OVER (
+             |  PARTITION BY lang ORDER BY -ln(uu)/n_chars, doc_id) AS rk FROM u)
+             |SELECT doc_id, lang, n_chars FROM r WHERE rk <= 5
+             |ORDER BY lang, doc_id""".stripMargin.replace('\n', ' '))),
+
     // ---- ORDER BY RANDOM() shuffle (tql.md:523-532) — seeded, rows-only
     "q_shuffle_random" -> Q(
       (s, dir) => {

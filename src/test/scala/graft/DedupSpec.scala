@@ -111,6 +111,23 @@ class DedupSpec extends AnyFunSuite {
       ev, "doc_id", "text", n = 3, threshold = 0.5, maxShingleDf = 0).count() === 0)
   }
 
+  test("RP-LSH embedding blocking: perfect precision, high recall vs the lossless set") {
+    val e = graft.sources.Tables(spark, sf001, "embeddings")
+    val exact = Dedup.embeddingNearDupPairs(e, "vec_id", "embedding", 0.4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.rpLshNearDupPairs(e, "vec_id", "embedding", 0.4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "verified pairs must all be true near-dups")
+    if (exact.nonEmpty) {
+      val recall = lsh.size.toDouble / exact.size
+      assert(recall >= 0.8, s"recall $recall (${lsh.size}/${exact.size})")
+    }
+    // deterministic: same seed, any layout
+    val again = Dedup.rpLshNearDupPairs(e.repartition(7), "vec_id", "embedding", 0.4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == lsh)
+  }
+
   test("embedding dedup with a planted dominant cluster still matches all-pairs") {
     // 80% of vectors share one direction (one hot cluster_id in the
     // primary x expanded join) — the per-cluster salt fan-out must
