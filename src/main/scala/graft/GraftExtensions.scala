@@ -39,6 +39,11 @@ object GraftExtensions {
     Bridge.registerFunction(spark, "linf_distance", args => VectorDistance(args(0), args(1), Int.MaxValue))
     Bridge.registerFunction(spark, "hamming_distance", args => HammingDistance(args(0), args(1)))
     Bridge.registerFunction(spark, "maxsim", args => MaxSim(args(0), args(1)))
+    // NOTE: the text-pipeline scalar surface (QUALITY_SCORE,
+    // EST_TOKEN_COUNT, BAG_FINGERPRINT) is registered in
+    // graft.dialect.Tql.GlobalFunctions as Column compositions — those
+    // build on higher-order functions with no single Catalyst node, so
+    // they cannot go through this expression-builder registry.
   }
 }
 

@@ -206,6 +206,27 @@ object Tql {
     private def norm(d: String): String = d.stripSuffix("/")
   }
 
+  /** Engine-global TQL scalar functions implemented as Column
+    * compositions (the text-pipeline surface: quality scoring, token
+    * estimates, fingerprints). Consulted by the expression compiler
+    * after dataset-scoped functions and before Spark's builtin/session
+    * registry, so a dataset function can still shadow one of these for
+    * its own dataset. Column-level on purpose: these compose
+    * higher-order functions that have no single Catalyst node to hand
+    * to the session function registry. */
+  object GlobalFunctions {
+    type Impl = Seq[Column] => Column
+    @volatile private var entries: Map[String, Impl] = Map(
+      "QUALITY_SCORE" -> (a => graft.operators.TextAnalysis.qualityScore(a.head)),
+      "EST_TOKEN_COUNT" -> (a => graft.operators.TextAnalysis.estTokenCount(a.head)),
+      "BAG_FINGERPRINT" -> (a => graft.operators.TextAnalysis.bagFingerprint(a.head)))
+
+    def register(name: String, impl: Impl): Unit =
+      entries += name.toUpperCase -> impl
+
+    def lookup(name: String): Option[Impl] = entries.get(name.toUpperCase)
+  }
+
   /** dataset dir of the query being compiled (dynamic scope, like
     * indexRoutingEnabled) — gives the expression compiler its
     * DatasetFunctions key */
@@ -1059,6 +1080,7 @@ object Tql {
         // then any Spark SQL builtin / session-registered function
         currentDataset.get()
           .flatMap(d => DatasetFunctions.lookup(d, other))
+          .orElse(GlobalFunctions.lookup(other))
           .map(impl => impl(args))
           .getOrElse(call_function(other.toLowerCase, args: _*))
     }

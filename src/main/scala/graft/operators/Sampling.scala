@@ -89,6 +89,31 @@ object Sampling {
       .drop("__k", "__rk")
   }
 
+  /** Domain-mixing resampler: build a corpus matching prescribed domain
+    * proportions (the "data mixture" step of pretraining-corpus
+    * assembly). Quota per domain = floor(totalN * share / Σshares);
+    * each domain contributes its quota of rows by md5(key) order —
+    * uniform-in-distribution yet deterministic, layout-independent, and
+    * engine-expressible (fully oracle-checkable). A domain short of its
+    * quota contributes everything it has (the shortfall is visible in
+    * the output counts); domains absent from `targets` contribute
+    * nothing. One window shuffle on the domain key. */
+  def domainMix(df: DataFrame, domain: Column, key: Column,
+      targets: Map[String, Double], totalN: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val z = targets.values.sum
+    require(z > 0, "target shares must sum to a positive mass")
+    // epsilon absorbs float error in Σshares (0.4+0.2+0.2+0.1+0.1 sums
+    // to 1.0000000000000002 — bare floor would shave every quota by 1)
+    val quotaCol = targets.foldLeft(lit(0L)) { case (acc, (d, w)) =>
+      when(domain === d, lit(math.floor(totalN * w / z + 1e-9).toLong)).otherwise(acc)
+    }
+    val w = Window.partitionBy(domain).orderBy(md5(key.cast("string")))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= quotaCol)
+      .drop("__rk")
+  }
+
   /** Deterministic stratified downsampling: the `n` rows per stratum
     * whose md5(key) sorts lowest. Hash order is a uniform-but-reproducible
     * shuffle, so this IS a random sample — yet engine-independent

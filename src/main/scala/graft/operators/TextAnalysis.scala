@@ -166,6 +166,43 @@ object TextAnalysis {
       .otherwise(transform(sequence(lit(1), size(w) - 1),
         i => concat(element_at(w, i), lit(" "), element_at(w, i + 1))))
 
+  /** Bigram language-model scoring — the CCNet-style (Wenzek et al.
+    * 2020, public) perplexity quality filter, with the n-gram LM trained
+    * in-engine instead of imported: add-α smoothed bigram model
+    * P(w2|w1) = (B(w1w2)+α) / (U(w1)+α·V) over the `train` corpus, and
+    * each `score` doc rated by bits-per-bigram −avg log2 P (perplexity
+    * = 2^bits). Low bits = fluent/common text; high bits = rare or
+    * garbled — the standard pretraining quality signal.
+    *
+    * Plan shape: two explode+hash-agg passes build the count tables
+    * (both orders-of-magnitude smaller than the corpus), the vocab size
+    * rides in as a broadcast single-row frame (no driver action), and
+    * scoring is explode + two equi-joins against the count tables +
+    * per-doc re-agg. OOV-safe via left joins (α smoothing keeps P > 0).
+    */
+  def bigramLmScore(train: org.apache.spark.sql.DataFrame,
+      score: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      alpha: Double = 0.5): org.apache.spark.sql.DataFrame = {
+    val trainToks = train.select(tokens(col(textCol)).as("w"))
+    val uni = trainToks.select(explode(col("w")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("u"))
+    val vocab = uni.agg(count(lit(1)).as("nv"))
+    val big = trainToks.select(explode(bigrams(col("w"))).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("b"))
+    val docBg = score
+      .select(col(idCol).as("id"), explode(bigrams(tokens(col(textCol)))).as("bg"))
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+    docBg.join(big, Seq("bg"), "left")
+      .join(uni, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("id"),
+        (-log2((coalesce(col("b"), lit(0L)) + lit(alpha)) /
+          (coalesce(col("u"), lit(0L)) + lit(alpha) * col("nv")))).as("bits"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(col("bits")), 6).as("bits_per_bigram"))
+  }
+
   /** Overlapping token-window chunking (pretraining/RAG prep): one row
     * per (doc, chunk); chunk i covers tokens [1 + i*stride,
     * 1 + i*stride + chunkSize - 1], stride = chunkSize - overlap; the

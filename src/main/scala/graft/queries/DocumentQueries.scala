@@ -504,6 +504,30 @@ object DocumentQueries extends QueryModule {
               |sum(CASE WHEN f_stop THEN 0 ELSE 1 END)::BIGINT AS n_fail_stop
               |FROM f GROUP BY lang ORDER BY lang""".stripMargin.replace('\n', ' '))),
 
+    // ---- CCNet-style perplexity quality filter: bits-per-bigram under
+    // an add-0.5-smoothed bigram LM trained on the corpus itself (low
+    // bits = fluent, high = rare/garbled). LM trained in-engine; scored
+    // docs join the (small) count tables, never the corpus.
+    "q_perplexity_score" -> Q(
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+        TA.bigramLmScore(d, d.filter(col("doc_id") < 100), "doc_id", "text")
+          .withColumnRenamed("id", "doc_id")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+             |uni AS (SELECT w1, count(*) AS u FROM (SELECT unnest(w) AS w1 FROM t) GROUP BY w1),
+             |v AS (SELECT count(*) AS nv FROM uni),
+             |bg AS (SELECT doc_id, w[i]||' '||w[i+1] AS bgs, w[i] AS w1
+             |       FROM t, unnest(range(1, len(w))) AS r(i)),
+             |bc AS (SELECT bgs, count(*) AS b FROM bg GROUP BY bgs),
+             |sc AS (SELECT doc_id, -log2((b + 0.5) / (u + 0.5 * nv)) AS bits
+             |       FROM bg JOIN bc USING (bgs) JOIN uni USING (w1) CROSS JOIN v
+             |       WHERE doc_id < 100)
+             |SELECT doc_id, count(*) AS n_bigrams,
+             |round(avg(bits), 6) AS bits_per_bigram
+             |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace('\n', ' '))),
+
     // ---- vocabulary building: exact corpus-wide top-k tokens (the
     // tokenizer-training precursor). explode + hash-agg with map-side
     // combine; top-k is TakeOrderedAndProject, never a full sort.

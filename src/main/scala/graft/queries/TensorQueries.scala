@@ -301,6 +301,23 @@ object TensorQueries extends QueryModule {
              |FROM documents) t WHERE rk <= 10
              |ORDER BY lang, doc_id""".stripMargin.replace('\n', ' '))),
 
+    // ---- domain-mixing resampler: hit a prescribed lang mixture
+    // (en 40% / fr 20% / es 20% / zh 10% / de 10% of 200) with
+    // deterministic md5-order takes — fully oracle-checked
+    "q_domain_mix" -> Q(
+      (s, dir) => graft.operators.Sampling.domainMix(
+          table(s, dir, "documents"), col("lang"), col("doc_id"),
+          Map("en" -> 0.4, "fr" -> 0.2, "es" -> 0.2, "zh" -> 0.1, "de" -> 0.1),
+          totalN = 200L)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        .orderBy(col("lang")),
+      Some("""WITH r AS (SELECT lang, row_number() OVER (
+             |  PARTITION BY lang ORDER BY md5(doc_id::VARCHAR)) AS rk FROM documents)
+             |SELECT lang, count(*) AS n FROM r
+             |WHERE rk <= CASE lang WHEN 'en' THEN 80 WHEN 'fr' THEN 40
+             |  WHEN 'es' THEN 40 WHEN 'zh' THEN 20 WHEN 'de' THEN 20 ELSE 0 END
+             |GROUP BY lang ORDER BY lang""".stripMargin.replace('\n', ' '))),
+
     // ---- deterministic WEIGHTED per-group sample: Efraimidis-Spirakis
     // keys over a hash-derived uniform — the weighted-reservoir
     // distribution, yet engine-independent and FULLY oracle-checked

@@ -143,6 +143,26 @@ object TqlQueries extends QueryModule {
              |AND list_contains(string_split(lower(text), ' '), 'spark')
              |ORDER BY doc_id""".stripMargin.replace('\n', ' '))),
 
+    // text-pipeline scalar functions through the dialect: engine-global
+    // TQL functions (Tql.GlobalFunctions) resolved by the expression
+    // compiler between dataset-scoped functions and Spark's registry —
+    // the TQL analog of the reference's registered SQL functions
+    "q_tql_quality" -> Q(
+      (s, dir) => Tql.query(s, dir,
+        """SELECT doc_id, QUALITY_SCORE(text) AS q,
+          |EST_TOKEN_COUNT(text) AS nt, BAG_FINGERPRINT(text) AS fp
+          |FROM documents WHERE doc_id < 80 ORDER BY doc_id""".stripMargin),
+      Some(s"""WITH t AS (SELECT doc_id, length(text) AS c, string_split(text,' ') AS w
+              |          FROM documents WHERE doc_id < 80)
+              |SELECT doc_id, round(
+              |  0.3 * least(len(w)/50.0, 1.0) +
+              |  0.3 * (len(list_distinct(w))::DOUBLE / len(w)) +
+              |  0.2 * (1.0 - len(list_filter(w, x -> x IN (${graft.operators.TextAnalysis.stopwords.map(s0 => s"'$s0'").mkString(",")})))::DOUBLE / len(w)) +
+              |  0.2 * least(((c - len(w) + 1.0) / len(w)) / 6.0, 1.0), 6) AS q,
+              |(len(w) + ceil(c/16.0))::INTEGER AS nt,
+              |md5(array_to_string(list_sort(list_distinct(w)),' ')) AS fp
+              |FROM t ORDER BY doc_id""".stripMargin.replace('\n', ' '))),
+
     // EXPAND BY h w AS alias through the dialect (tql.md:370-386) — tiles
     // the 8x8 (flat-64) embedding into four 4x4 patches
     "q_tql_expand" -> Q(

@@ -50,6 +50,25 @@ class QualityRulesSpec extends AnyFunSuite {
     assert(flagsByName("clean").forall(_._2), flagsByName("clean").toString)
   }
 
+  test("bigram LM scores fluent in-domain text below garbled OOV text") {
+    import spark.implicits._
+    val train = Seq.tabulate(50)(i =>
+      (i.toLong, "the cat sat on the mat and the dog sat on the rug"))
+      .toDF("id", "text")
+    val probe = Seq(
+      (1000L, "the cat sat on the mat"),         // in-domain bigrams
+      (1001L, "zq xv jk wq pf gh tz")            // fully OOV
+    ).toDF("id", "text")
+    val scored = TA.bigramLmScore(train, probe, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scored(1000L) + 1.0 < scored(1001L),
+      s"fluent ${scored(1000L)} must beat OOV ${scored(1001L)} by > 1 bit")
+    // an all-OOV doc costs exactly log2(V) bits per bigram (P = 1/V)
+    val vocab = 8 // distinct train words
+    assert(math.abs(scored(1001L) - math.log(vocab) / math.log(2)) < 1e-4,
+      s"all-OOV must cost log2(V) bits, got ${scored(1001L)}")
+  }
+
   test("each crafted violation trips exactly its rule") {
     val expectFail = Map(
       "short" -> "f_words",
