@@ -138,3 +138,34 @@ object MinHashSignature {
     out
   }
 }
+
+/** NORMALIZE_UNICODE(text): Unicode normalization (NFC/NFD/NFKC/NFKD)
+  * via `java.text.Normalizer` as a native codegen expression — Spark
+  * has no builtin normalizer, and web-crawl text mixes composed and
+  * decomposed forms that break exact dedup/fingerprinting. The DuckDB
+  * oracle's `nfc_normalize` matches form = NFC. */
+case class NormalizeUnicode(child: Expression, form: String) extends UnaryExpression {
+  require(Set("NFC", "NFD", "NFKC", "NFKD")(form), s"unknown form $form")
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"input must be string, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      input.asInstanceOf[UTF8String].toString,
+      java.text.Normalizer.Form.valueOf(form)))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"""${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+         |  java.text.Normalizer.normalize($a.toString(),
+         |    java.text.Normalizer.Form.$form));""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): NormalizeUnicode =
+    copy(child = newChild)
+}

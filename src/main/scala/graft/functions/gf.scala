@@ -30,6 +30,16 @@ object gf {
   def hamming_distance(a: Column, b: Column): Column = c2(HammingDistance)(a, b)
   def maxsim(doc: Column, query: Column): Column = c2(MaxSim)(doc, query)
 
+  // ---- unicode text normalization (native codegen expression) ----
+  def normalize_unicode(c: Column, form: String = "NFC"): Column =
+    Bridge.column(NormalizeUnicode(Bridge.expression(c), form))
+
+  /** accent folding: NFD-decompose then drop combining marks (\p{Mn}) —
+    * DuckDB's strip_accents equivalent for Latin-script text */
+  def strip_accents(c: Column): Column =
+    org.apache.spark.sql.functions.regexp_replace(
+      normalize_unicode(c, "NFD"), "\\p{Mn}", "")
+
   // ---- array/tensor scalar functions composed from built-ins ----
   // (tql.md:435-451) ANY/ALL over array elements; ALL true on empty,
   // ALL_STRICT false on empty.

@@ -504,6 +504,35 @@ object DocumentQueries extends QueryModule {
               |sum(CASE WHEN f_stop THEN 0 ELSE 1 END)::BIGINT AS n_fail_stop
               |FROM f GROUP BY lang ORDER BY lang""".stripMargin.replace('\n', ' '))),
 
+    // ---- unicode normalization (NFC compose + accent fold). The ASCII
+    // corpus is enriched (PII-fixture pattern) with doc_id-derived
+    // decomposed/precomposed sequences so normalization has real work:
+    // mod-3 classes append combining-mark text (NFC shortens it) or
+    // precomposed accents (strip_accents folds them).
+    "q_text_normalize" -> Q(
+      (s, dir) => {
+        val text2 = concat(col("text"),
+          when(col("doc_id") % 3 === 0, lit(" cafe\u0301 nai\u0308ve"))
+            .when(col("doc_id") % 3 === 1, lit(" d\u00e9j\u00e0 vu"))
+            .otherwise(lit("")))
+        table(s, dir, "documents").filter(col("doc_id") < 90)
+          .select(col("doc_id"),
+            length(text2).as("raw_len"),
+            graft.functions.gf.normalize_unicode(text2).as("nfc"),
+            length(graft.functions.gf.normalize_unicode(text2)).as("nfc_len"),
+            graft.functions.gf.strip_accents(
+              graft.functions.gf.normalize_unicode(text2)).as("folded"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id, text ||
+             |  CASE WHEN doc_id % 3 = 0 THEN ' cafe' || chr(769) || ' nai' || chr(776) || 've'
+             |  WHEN doc_id % 3 = 1 THEN ' d' || chr(233) || 'j' || chr(224) || ' vu'
+             |  ELSE '' END AS text2 FROM documents WHERE doc_id < 90)
+             |SELECT doc_id, length(text2) AS raw_len, nfc_normalize(text2) AS nfc,
+             |length(nfc_normalize(text2)) AS nfc_len,
+             |strip_accents(nfc_normalize(text2)) AS folded
+             |FROM t ORDER BY doc_id""".stripMargin.replace('\n', ' '))),
+
     // ---- CCNet-style perplexity quality filter: bits-per-bigram under
     // an add-0.5-smoothed bigram LM trained on the corpus itself (low
     // bits = fluent, high = rare/garbled). LM trained in-engine; scored
