@@ -100,7 +100,95 @@ object Snapshots {
   private def newSegment(root: String, df: DataFrame): String = {
     val name = f"seg-${System.nanoTime()}%d"
     df.write.parquet(Paths.get(root, name).toString)
+    writeSegmentStats(root, name, df)
     name
+  }
+
+  // --------------------------------------------- segment-level statistics
+  // Delta/Iceberg-style data skipping: each segment carries a sidecar of
+  // per-column min/max for orderable atomic columns, computed from the
+  // delta being written (O(delta), one agg job). [[openPruned]] consults
+  // the sidecars to drop whole segments BEFORE Spark ever lists their
+  // files — coarser than parquet row-group stats but zero-IO: the
+  // manifest + k sidecar JSONs replace listing/footer-reading every file
+  // of every segment. Segments without a sidecar (pre-feature) are
+  // always read.
+
+  private def statsFile(root: String, seg: String): Path =
+    Paths.get(root, s"$seg.stats.json")
+
+  private def jsonEscape(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  private def writeSegmentStats(root: String, seg: String, df: DataFrame): Unit = {
+    import org.apache.spark.sql.types._
+    val statCols = df.schema.fields.filter(f => f.dataType match {
+      case _: NumericType | StringType | DateType | TimestampType => true
+      case _ => false
+    }).map(_.name)
+    if (statCols.nonEmpty) {
+      val aggs = statCols.flatMap(c => Seq(
+        min(col(c)).cast("string").as(s"__mn_$c"),
+        max(col(c)).cast("string").as(s"__mx_$c")))
+      val r = df.agg(aggs.head, aggs.tail: _*).head()
+      val entries = statCols.zipWithIndex.map { case (c, i) =>
+        val mn = r.getString(2 * i); val mx = r.getString(2 * i + 1)
+        def v(x: String) = if (x == null) "null" else "\"" + jsonEscape(x) + "\""
+        s""""${jsonEscape(c)}": {"min": ${v(mn)}, "max": ${v(mx)}}"""
+      }
+      Files.write(statsFile(root, seg),
+        entries.mkString("{", ", ", "}").getBytes(StandardCharsets.UTF_8))
+    }
+  }
+
+  /** (min, max) strings recorded for `col` in `seg`'s sidecar, if any. */
+  def segmentStats(root: String, seg: String, colName: String): Option[(String, String)] = {
+    val f = statsFile(root, seg)
+    if (!Files.exists(f)) None
+    else {
+      // minimal parse of the flat {"col": {"min": "..", "max": ".."}} shape
+      val txt = new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
+      val p = java.util.regex.Pattern.compile(
+        "\"" + java.util.regex.Pattern.quote(colName) +
+          "\"\\s*:\\s*\\{\"min\":\\s*(\"(?:[^\"\\\\]|\\\\.)*\"|null),\\s*\"max\":\\s*(\"(?:[^\"\\\\]|\\\\.)*\"|null)\\}")
+      val m = p.matcher(txt)
+      if (!m.find()) None
+      else {
+        def un(s: String): String =
+          if (s == "null") null
+          else s.substring(1, s.length - 1)
+            .replace("\\\"", "\"").replace("\\\\", "\\")
+        Option((un(m.group(1)), un(m.group(2))))
+      }
+    }
+  }
+
+  /** Open `branch`@`version` reading ONLY the segments whose recorded
+    * [min, max] for `colName` overlaps [lo, hi] (numeric comparison for
+    * numeric columns, lexicographic otherwise; bounds inclusive).
+    * Segments lacking stats are conservatively kept, so the result
+    * ALWAYS equals `open().filter(lo <= col && col <= hi)` applied by
+    * the caller — pruning is an IO optimization, never a semantic one.
+    * The caller still applies its own filter for row-level precision. */
+  def openPruned(spark: SparkSession, root: String, colName: String,
+      lo: Double, hi: Double, version: Option[Long] = None,
+      branch: String = Main): DataFrame = {
+    val v = version.getOrElse(currentVersion(root, branch))
+    val keep = segments(root, v, branch).filter { seg =>
+      segmentStats(root, seg, colName) match {
+        case Some((mn, mx)) if mn != null && mx != null =>
+          try { mx.toDouble >= lo && mn.toDouble <= hi }
+          catch { case _: NumberFormatException => true }
+        case _ => true
+      }
+    }
+    if (keep.isEmpty)
+      open(spark, root, Some(v), branch).limit(0)
+    else spark.read.parquet(keep.map(s => Paths.get(root, s).toString): _*)
   }
 
   /** Open the dataset at `version` (default: latest) on `branch`. */
@@ -217,6 +305,7 @@ object Snapshots {
     dead.foreach { s =>
       Files.walk(Paths.get(root, s)).iterator().asScala.toSeq
         .sortBy(-_.getNameCount).foreach(Files.delete(_))
+      Files.deleteIfExists(statsFile(root, s))
     }
     dead
   }

@@ -39,7 +39,8 @@ class SnapshotsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Snapshots.open(spark, root, Some(1L)).count() == 2)
     assert(Snapshots.history(root) == Seq(1L, 2L))
     // appending wrote exactly one new segment, not a table rewrite
-    val segs = new java.io.File(root).listFiles().count(_.getName.startsWith("seg-"))
+    val segs = new java.io.File(root).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("seg-"))
     assert(segs == 2)
   }
 
@@ -132,7 +133,8 @@ class SnapshotsSpec extends AnyFunSuite with BeforeAndAfterAll {
       Snapshots.append(spark, root, Seq((i, s"r$i")).toDF("id", "s")))
     val before = Snapshots.open(spark, root).collect().map(_.getLong(0)).toSet
     def segDirs() = Files.list(java.nio.file.Paths.get(root)).iterator()
-      .asScala.map(_.getFileName.toString).filter(_.startsWith("seg-")).toSeq
+      .asScala.filter(Files.isDirectory(_))
+      .map(_.getFileName.toString).filter(_.startsWith("seg-")).toSeq
     assert(segDirs().size == 6)
 
     val vOpt = Snapshots.optimize(spark, root, targetBytes = 1L << 20)
@@ -192,6 +194,32 @@ class SnapshotsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(changes == Set((3L, "delete")))
     // same-version diff is empty
     assert(Snapshots.diff(spark, root, 2L, 2L).count() == 0)
+  }
+
+  test("segment min/max sidecars prune whole segments in openPruned") {
+    val root = freshRoot()
+    import spark.implicits._
+    // three appends with disjoint id ranges -> three segments with stats
+    Snapshots.create(spark, root, (1L to 100L).map(i => (i, s"r$i")).toDF("id", "s"))
+    Snapshots.append(spark, root, (101L to 200L).map(i => (i, s"r$i")).toDF("id", "s"))
+    Snapshots.append(spark, root, (201L to 300L).map(i => (i, s"r$i")).toDF("id", "s"))
+    val all = Snapshots.open(spark, root)
+    val pruned = Snapshots.openPruned(spark, root, "id", 120, 180)
+    // reads only the middle segment's files
+    assert(pruned.inputFiles.length < all.inputFiles.length,
+      s"${pruned.inputFiles.length} vs ${all.inputFiles.length}")
+    // identical rows once the caller applies its row-level filter
+    val want = all.filter(col("id").between(120, 180))
+      .collect().map(_.getLong(0)).toSet
+    val got = pruned.filter(col("id").between(120, 180))
+      .collect().map(_.getLong(0)).toSet
+    assert(got == want && want.size == 61)
+    // out-of-range scan reads nothing
+    assert(Snapshots.openPruned(spark, root, "id", 1000, 2000).count() == 0)
+    // string column stats exist but non-numeric ranges stay conservative
+    assert(Snapshots.segmentStats(root,
+      Snapshots.open(spark, root).inputFiles.head
+        .split("/").dropRight(1).last, "s").nonEmpty)
   }
 
   test("tags pin a branch version") {
