@@ -70,6 +70,43 @@ class IndexMaintenanceSpec extends AnyFunSuite {
       scores(Bm25.buildIndex(docs, "doc_id", "text")))
   }
 
+  test("streaming heavy hitters: merged segments keep true heavies within the MG bound") {
+    import graft.streaming.StreamingSketch
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("hhstream").toString
+    val k = 16
+    // three "batches" of planted-heavy + uniform-tail traffic
+    val mkBatch = (b: Int) =>
+      (Seq.fill(300)(s"hot_a") ++ Seq.fill(200)(s"hot_b") ++
+        (1 to 500).map(i => s"cold_${b}_${i % 250}")).map(Tuple1(_))
+    (0 until 3).foreach { b =>
+      mkBatch(b).toDF("item").write.mode("append").parquet(s"$tmp/in")
+    }
+    val q = StreamingSketch.maintainHeavyHitters(
+      spark.readStream.schema("item STRING")
+        .option("maxFilesPerTrigger", 2).parquet(s"$tmp/in"),
+      s"$tmp/hh", "item", k, s"$tmp/ck")
+    q.processAllAvailable(); q.stop()
+
+    val got = StreamingSketch.currentHeavyHitters(spark, s"$tmp/hh", k)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.size <= k)
+    val n = 3L * (300 + 200 + 500)
+    val bound = 2 * n / (k + 1)
+    // true heavies (900, 600 >> bound) must survive with counts in
+    // [true - bound, true]
+    Seq("hot_a" -> 900L, "hot_b" -> 600L).foreach { case (item, truth) =>
+      assert(got.contains(item), s"$item missing from $got")
+      assert(got(item) <= truth && got(item) >= truth - bound,
+        s"$item estimate ${got(item)} outside [${truth - bound}, $truth]")
+    }
+    // compaction preserves the merged summary
+    StreamingSketch.compact(spark, s"$tmp/hh", k)
+    val after = StreamingSketch.currentHeavyHitters(spark, s"$tmp/hh", k)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after == got)
+  }
+
   test("inverted index: append equals full rebuild") {
     val old = docs.filter(col("doc_id") % 5 =!= 0)
     val fresh = docs.filter(col("doc_id") % 5 === 0)

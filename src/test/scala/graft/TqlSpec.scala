@@ -412,6 +412,28 @@ class TqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally Tql.DatasetFunctions.clear()
   }
 
+  test("global TQL functions resolve everywhere; dataset functions shadow them") {
+    Tql.DatasetFunctions.clear()
+    try {
+      // global: QUALITY_SCORE available with no registration at all
+      val g = Tql.query(spark, dir,
+        "SELECT doc_id, QUALITY_SCORE(text) AS q FROM documents WHERE doc_id < 5 ORDER BY doc_id")
+        .collect()
+      assert(g.length === 5 && g.forall(r => r.getDouble(1) >= 0 && r.getDouble(1) <= 1))
+      // a dataset-scoped function of the same name wins for its dataset
+      Tql.DatasetFunctions.register(dir, "QUALITY_SCORE", _ => lit(-1.0))
+      val shadowed = Tql.query(spark, dir,
+        "SELECT QUALITY_SCORE(text) AS q FROM documents WHERE doc_id < 5")
+        .collect().map(_.getDouble(0))
+      assert(shadowed.forall(_ == -1.0), shadowed.mkString(","))
+      // other datasets still see the global
+      val other = Tql.query(spark, "/root/testdata/sf0.01",
+        "SELECT QUALITY_SCORE(text) AS q FROM documents WHERE doc_id < 5")
+        .collect().map(_.getDouble(0))
+      assert(other.forall(q => q >= 0 && q <= 1))
+    } finally Tql.DatasetFunctions.clear()
+  }
+
   test("FROM url opens a custom FS scheme with per-query credentials (executor.hpp:82)") {
     val url = "graftfs:///root/testdata/sf0.001/documents.parquet"
     val creds = Map(
