@@ -219,7 +219,9 @@ object Tql {
     @volatile private var entries: Map[String, Impl] = Map(
       "QUALITY_SCORE" -> (a => graft.operators.TextAnalysis.qualityScore(a.head)),
       "EST_TOKEN_COUNT" -> (a => graft.operators.TextAnalysis.estTokenCount(a.head)),
-      "BAG_FINGERPRINT" -> (a => graft.operators.TextAnalysis.bagFingerprint(a.head)))
+      "BAG_FINGERPRINT" -> (a => graft.operators.TextAnalysis.bagFingerprint(a.head)),
+      "NORMALIZE_UNICODE" -> (a => graft.functions.gf.normalize_unicode(a.head)),
+      "STRIP_ACCENTS" -> (a => graft.functions.gf.strip_accents(a.head)))
 
     def register(name: String, impl: Impl): Unit =
       entries += name.toUpperCase -> impl

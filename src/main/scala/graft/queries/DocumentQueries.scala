@@ -599,6 +599,46 @@ object DocumentQueries extends QueryModule {
       None,
       doc = "BPE merge training, spec-gated against a single-node reference implementation"),
 
+    // ---- END-TO-END corpus pipeline: the composition every pretraining
+    // team actually ships — Gopher rule filter (raw text) → exact-dedup
+    // keeper pass (anti-join the dropped ids) → domain-mix quota take.
+    // Three operators chained as one declarative plan, fully
+    // oracle-checked.
+    "q_corpus_pipeline" -> Q(
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+        val m = d.select(col("doc_id") +: col("lang") +:
+          TA.ruleMetrics(col("text")).map { case (n, c) => c.as(n) }: _*)
+        val flags = TA.ruleFlags(n => col(n))
+        val survivors = m.filter(TA.ruleKeep(flags.map(_._2)))
+          .select(col("doc_id"), col("lang"))
+        val dropped = Dedup.exactDupMapping(d, "doc_id", "text")
+          .select(col("dropped_id").as("doc_id"))
+        val deduped = survivors.join(dropped, Seq("doc_id"), "left_anti")
+        graft.operators.Sampling.domainMix(deduped, col("lang"), col("doc_id"),
+            Map("en" -> 0.4, "fr" -> 0.2, "es" -> 0.2, "zh" -> 0.1, "de" -> 0.1),
+            totalN = 100L)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH w2 AS (SELECT doc_id, lang, regexp_split_to_array(text, '\\s+') AS ws,
+              |       string_split(text, chr(10)) AS ln FROM documents),
+              |m AS (SELECT doc_id, lang, $qrMetricsSql FROM w2),
+              |keepd AS (SELECT doc_id, lang FROM m
+              |  WHERE n_words >= 20 AND n_words <= 100000 AND mean_word_len >= 2.5
+              |  AND mean_word_len <= 8.0 AND alpha_frac >= 0.9 AND bullet_frac <= 0.5
+              |  AND ellipsis_frac <= 0.3 AND stop_count >= 2),
+              |h AS (SELECT doc_id, md5(text) AS hh FROM documents),
+              |g AS (SELECT hh, min(doc_id) AS keeper, count(*) AS c FROM h GROUP BY hh),
+              |dups AS (SELECT h.doc_id FROM h JOIN g USING (hh)
+              |  WHERE g.c > 1 AND h.doc_id <> g.keeper),
+              |ded AS (SELECT * FROM keepd WHERE doc_id NOT IN (SELECT doc_id FROM dups)),
+              |r AS (SELECT doc_id, lang, row_number() OVER (
+              |  PARTITION BY lang ORDER BY md5(doc_id::VARCHAR)) AS rk FROM ded)
+              |SELECT doc_id, lang FROM r WHERE rk <= CASE lang
+              |  WHEN 'en' THEN 40 WHEN 'fr' THEN 20 WHEN 'es' THEN 20
+              |  WHEN 'zh' THEN 10 WHEN 'de' THEN 10 ELSE 0 END
+              |ORDER BY doc_id""".stripMargin.replace('\n', ' '))),
+
     // ---- keyword search (TQL CONTAINS; tql.md:179-185)
     "q_text_contains" -> Q(
       (s, dir) => {

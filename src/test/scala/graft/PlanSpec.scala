@@ -112,4 +112,38 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
     assert(readSchema.contains("struct<>") || !p.contains("ReadSchema"), p)
   }
+
+  test("vocab top-k plans as TakeOrdered, never a global sort") {
+    val p = planOf("q_vocab_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("quality rules are map-only: no Exchange in the per-doc query") {
+    val p = planOf("q_quality_rules")
+    // one TakeOrdered-style collect for ORDER BY is fine; the metric
+    // computation itself must not shuffle
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("perplexity scoring joins count tables without nested loops") {
+    val p = planOf("q_perplexity_score")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct")
+      // the 1-row vocab frame rides a broadcast nested loop by design —
+      // only forbid it between row-bearing sides
+      || p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1, p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("RP-LSH embedding dedup joins only through band keys (no all-pairs)") {
+    val p = planOf("q_dedup_embedding_rplsh")
+    assert(!p.contains("CartesianProduct"), p)
+    val bnlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj == 0, s"$bnlj nested-loop joins\n$p")
+  }
+
+  test("heavy hitters second pass is a selective filter + hash agg") {
+    val p = planOf("q_token_heavy_hitters")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
 }
