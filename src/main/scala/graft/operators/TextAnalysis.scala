@@ -263,4 +263,68 @@ object TextAnalysis {
       }
       .toDF("id", "bin_id", "n_tokens")
   }
+
+  /** Exact top-`vocabSize` corpus vocabulary with dense ids 0..V-1
+    * (count desc, token asc — fully deterministic). The top-k is
+    * TakeOrderedAndProject over a map-side-combined hash-agg; the id
+    * assignment windows over the ALREADY-LIMITED vocab frame (≤ V rows),
+    * never the corpus. Output: (token, n, tok_id). */
+  def vocabulary(train: org.apache.spark.sql.DataFrame, textCol: String,
+      vocabSize: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    train.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(vocabSize)
+      .withColumn("tok_id", (row_number().over(
+        Window.orderBy(col("n").desc, col("token"))) - 1).cast("int"))
+  }
+
+  /** Tokenizer-apply: encode each doc's token sequence as an int-id
+    * array against a trained [[vocabulary]] (the text→ids step every
+    * training pipeline runs after tokenizer training; OOV → `oovId`).
+    * The vocab is vocab-sized, not corpus-sized, so the token→id join
+    * broadcasts; token order is restored by ONE groupBy(id) re-agg that
+    * sorts (pos, id) structs map-side — no window over the corpus.
+    * Output: (id, n_tokens, n_oov, token_ids). */
+  def encodeWithVocab(train: org.apache.spark.sql.DataFrame,
+      docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      vocabSize: Int, oovId: Int = -1): org.apache.spark.sql.DataFrame = {
+    val vocab = vocabulary(train, textCol, vocabSize).select("token", "tok_id")
+    docs.select(col(idCol).as("id"),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "token")))
+      .join(broadcast(vocab), Seq("token"), "left")
+      .withColumn("tid", coalesce(col("tok_id"), lit(oovId)))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("tok_id").isNull, 1)).as("n_oov"),
+        transform(array_sort(collect_list(struct(col("pos"), col("tid")))),
+          s => s.getField("tid")).as("token_ids"))
+  }
+
+  /** Smoothed TF-IDF term weighting (the scikit-learn formula, public:
+    * idf = ln((1+N)/(1+df)) + 1), top `perDoc` terms per doc. Plan
+    * shape: one (id, term) hash-agg for tf; df derives from tf's
+    * (already distinct) pairs by a second, much smaller agg; the df
+    * table is vocabulary-sized so the scoring join broadcasts, and the
+    * corpus-wide doc count rides as a broadcast one-row frame — the
+    * corpus shuffles exactly once. The per-doc rank windows over one
+    * doc's distinct terms (bounded by doc length), never the corpus.
+    * Output: (id, term, tf, tfidf, rk). */
+  def tfIdf(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, perDoc: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", round(col("tf") *
+        (log((lit(1.0) + col("n_docs")) / (lit(1.0) + col("df"))) + 1), 6))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("tfidf").desc, col("term"))))
+      .filter(col("rk") <= perDoc)
+      .select(col("id"), col("term"), col("tf"), col("tfidf"), col("rk"))
+  }
 }

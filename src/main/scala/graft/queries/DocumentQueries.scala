@@ -569,6 +569,53 @@ object DocumentQueries extends QueryModule {
              |SELECT token, count(*) AS n FROM tok GROUP BY token
              |ORDER BY n DESC, token LIMIT 50""".stripMargin.replace('\n', ' '))),
 
+    // ---- tokenizer-apply: encode docs as token-id arrays against the
+    // trained top-64 vocabulary (ids by count desc, token asc; OOV=-1).
+    // Broadcast token->id join + one order-restoring re-agg.
+    "q_vocab_encode" -> Q(
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+        TA.encodeWithVocab(d, d.filter(col("doc_id") < 60), "doc_id", "text",
+            vocabSize = 64)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tok AS (SELECT unnest(string_split(text,' ')) AS token FROM documents),
+             |v AS (SELECT token, count(*) AS n FROM tok GROUP BY token
+             |      ORDER BY n DESC, token LIMIT 64),
+             |vid AS (SELECT token, (row_number() OVER (ORDER BY n DESC, token) - 1)::INT AS tok_id FROM v),
+             |t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents WHERE doc_id < 60),
+             |p AS (SELECT doc_id, i AS pos, w[i] AS token FROM t, unnest(range(1, len(w)+1)) AS r(i)),
+             |j AS (SELECT doc_id, pos, tok_id FROM p LEFT JOIN vid USING (token))
+             |SELECT doc_id, count(*) AS n_tokens,
+             |sum(CASE WHEN tok_id IS NULL THEN 1 ELSE 0 END) AS n_oov,
+             |list(coalesce(tok_id, -1) ORDER BY pos) AS token_ids
+             |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace('\n', ' '))),
+
+    // ---- smoothed TF-IDF (sklearn formula), top-3 terms per doc:
+    // corpus shuffles once into the (id, term) tf agg; df + doc count
+    // ride as broadcasts; the rank window covers one doc's terms only.
+    "q_tfidf_topterms" -> Q(
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+        TA.tfIdf(d, "doc_id", "text", perDoc = 3)
+          .withColumnRenamed("id", "doc_id")
+          .filter(col("doc_id") < 100)
+          .orderBy(col("doc_id"), col("rk"))
+      },
+      Some("""WITH t AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+             |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+             |n AS (SELECT count(*) AS n_docs FROM documents),
+             |sc AS (SELECT doc_id, term, tf,
+             |  round(tf * (ln((1.0+n_docs)/(1.0+df)) + 1), 6) AS tfidf
+             |  FROM tf JOIN df USING (term) CROSS JOIN n),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+             |  ORDER BY tfidf DESC, term) AS rk FROM sc)
+             |SELECT doc_id, term, tf, tfidf, rk FROM r
+             |WHERE rk <= 3 AND doc_id < 100
+             |ORDER BY doc_id, rk""".stripMargin.replace('\n', ' '))),
+
     // ---- exact heavy hitters via two-pass Misra-Gries sketch-then-
     // verify: fixed-size mergeable summary finds a provably complete
     // candidate set, then only the <= k candidates are exact-counted.

@@ -141,6 +141,20 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bnlj == 0, s"$bnlj nested-loop joins\n$p")
   }
 
+  test("vocab encode joins token ids by broadcast, never sort-merge") {
+    val p = planOf("q_vocab_encode")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("tfidf broadcasts the df table; corpus never joins a big side") {
+    val p = planOf("q_tfidf_topterms")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    // the 1-row doc-count frame rides a broadcast nested loop by design
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1, p)
+  }
+
   test("heavy hitters second pass is a selective filter + hash agg") {
     val p = planOf("q_token_heavy_hitters")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
