@@ -327,4 +327,41 @@ object TextAnalysis {
       .filter(col("rk") <= perDoc)
       .select(col("id"), col("term"), col("tf"), col("tfidf"), col("rk"))
   }
+
+  /** PMI co-occurrence statistics (the association measure behind
+    * word-embedding / collocation pipelines, Church & Hanks 1990):
+    * unordered token pairs within a +-`window` skip-window, scored
+    * pmi = log2(P(a,b) / (P(a)P(b))). Pair generation is MAP-SIDE
+    * (nested array transform + one explode — never a positions
+    * self-join, which would be quadratic per doc), so the corpus
+    * shuffles exactly once into the (a,b) hash-agg; unigram counts are
+    * vocabulary-sized broadcasts and both totals ride as broadcast
+    * one-row frames. Output: (a, b, c_ab, pmi) for pairs with
+    * c_ab >= minCount. */
+  def pmiPairs(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      window: Int = 2, minCount: Long = 2): org.apache.spark.sql.DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val base = docs.select(tokens(col(textCol)).as("w"))
+    val prs = base.select(explode(flatten(
+        transform(sequence(lit(1), size(col("w"))), i =>
+          transform(
+            filter(sequence(lit(1), lit(window)), d => d + i <= size(col("w"))),
+            d => struct(
+              least(element_at(col("w"), i), element_at(col("w"), i + d)).as("a"),
+              greatest(element_at(col("w"), i), element_at(col("w"), i + d)).as("b"))))))
+        .as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val cooc = prs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+    val uni = base.select(explode(col("w")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val tPair = cooc.agg(sum(col("c_ab")).as("t_pair"))
+    val tTok = uni.agg(sum(col("c")).as("t_tok"))
+    cooc.filter(col("c_ab") >= minCount)
+      .join(broadcast(uni.select(col("tok").as("a"), col("c").as("c_a"))), Seq("a"))
+      .join(broadcast(uni.select(col("tok").as("b"), col("c").as("c_b"))), Seq("b"))
+      .crossJoin(broadcast(tPair)).crossJoin(broadcast(tTok))
+      .select(col("a"), col("b"), col("c_ab"),
+        round(log2((col("c_ab") / col("t_pair")) /
+          ((col("c_a") / col("t_tok")) * (col("c_b") / col("t_tok")))), 6).as("pmi"))
+  }
 }

@@ -616,6 +616,28 @@ object DocumentQueries extends QueryModule {
              |WHERE rk <= 3 AND doc_id < 100
              |ORDER BY doc_id, rk""".stripMargin.replace('\n', ' '))),
 
+    // ---- PMI collocations: +-2 skip-window pair counts, map-side pair
+    // generation (no positions self-join), one hash-agg shuffle;
+    // unigrams + totals ride as broadcasts.
+    "q_pmi_pairs" -> Q(
+      (s, dir) => TA.pmiPairs(table(s, dir, "documents"), "text",
+          window = 2, minCount = 25)
+        .orderBy(col("a"), col("b")),
+      Some("""WITH t AS (SELECT string_split(text,' ') AS w FROM documents),
+             |pr AS (SELECT least(w[i], w[i+d]) AS a, greatest(w[i], w[i+d]) AS b
+             |       FROM t, unnest(range(1, len(w)+1)) AS r(i), unnest([1,2]) AS s(d)
+             |       WHERE i + d <= len(w)),
+             |co AS (SELECT a, b, count(*) AS c_ab FROM pr GROUP BY a, b),
+             |uni AS (SELECT unnest(w) AS tok FROM t),
+             |u AS (SELECT tok, count(*) AS c FROM uni GROUP BY tok),
+             |tp AS (SELECT count(*) AS t_pair FROM pr),
+             |tt AS (SELECT count(*) AS t_tok FROM uni)
+             |SELECT a, b, c_ab, round(log2((1.0*c_ab / t_pair) /
+             |  ((1.0*ua.c / t_tok) * (1.0*ub.c / t_tok))), 6) AS pmi
+             |FROM co JOIN u ua ON ua.tok = a JOIN u ub ON ub.tok = b
+             |CROSS JOIN tp CROSS JOIN tt
+             |WHERE c_ab >= 25 ORDER BY a, b""".stripMargin.replace('\n', ' '))),
+
     // ---- exact heavy hitters via two-pass Misra-Gries sketch-then-
     // verify: fixed-size mergeable summary finds a provably complete
     // candidate set, then only the <= k candidates are exact-counted.

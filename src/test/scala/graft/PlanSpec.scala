@@ -155,6 +155,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1, p)
   }
 
+  test("pmi pairs never self-join positions; unigrams ride broadcasts") {
+    val p = planOf("q_pmi_pairs")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // exactly the two 1-row totals frames may ride broadcast nested loops
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 2, p)
+  }
+
   test("heavy hitters second pass is a selective filter + hash agg") {
     val p = planOf("q_token_heavy_hitters")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
