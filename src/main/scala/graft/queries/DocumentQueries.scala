@@ -338,6 +338,21 @@ object DocumentQueries extends QueryModule {
              |SELECT split, lang, count(*) AS n FROM t
              |GROUP BY 1, 2 ORDER BY split, lang""".stripMargin.replace('\n', ' '))),
 
+    // ---- seeded epoch shuffle: deterministic per-epoch permutation as
+    // (shard, position) coordinates — per-shard rank windows, no global
+    // sort; bit-stable across engines via md5.
+    "q_epoch_shuffle" -> Q(
+      (s, dir) => graft.sources.Batches.epochShuffle(
+          table(s, dir, "documents").select(col("doc_id")),
+          "doc_id", seed = 7L, numShards = 4)
+        .orderBy(col("shard_id"), col("position")),
+      Some("""WITH t AS (SELECT doc_id, md5('7:'||doc_id::VARCHAR) AS h FROM documents),
+             |s AS (SELECT doc_id, h,
+             |  (('0x'||substring(h,1,8))::BIGINT % 4)::INT AS shard_id FROM t)
+             |SELECT doc_id, shard_id,
+             |(row_number() OVER (PARTITION BY shard_id ORDER BY h, doc_id) - 1) AS position
+             |FROM s ORDER BY shard_id, position""".stripMargin.replace('\n', ' '))),
+
     // ---- token counting + fingerprinting per doc
     "q_text_token_stats" -> Q(
       (s, dir) => {

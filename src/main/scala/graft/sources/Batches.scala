@@ -37,6 +37,32 @@ object Batches {
       rows.grouped(batchSize).foreach(b => f(b.toSeq))
     }
 
+  /** Seeded epoch shuffle (the per-epoch reshuffle every training data
+    * loader needs): a deterministic global permutation keyed by
+    * (seed, id) — md5("seed:id") order — materialized as (shard_id,
+    * position) coordinates rather than a single global sort: shard =
+    * hash prefix mod `numShards`, position = rank within the shard.
+    * Ranks window over ONE shard's rows each, so the permutation costs
+    * one hash shuffle + per-shard local sorts — no global sort, no
+    * driver funnel; a loader reads shard files in position order and
+    * the concatenation across shards is the epoch's permutation.
+    * Different seeds give independent permutations; the same seed is
+    * bit-stable across runs and engines (md5, no engine hash). */
+  def epochShuffle(df: DataFrame, idCol: String, seed: Long,
+      numShards: Int): DataFrame = {
+    require(numShards > 0, "numShards must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val h = md5(concat_ws(":", lit(seed.toString), col(idCol).cast("string")))
+    df.withColumn("__h", h)
+      .withColumn("shard_id", pmod(
+        conv(substring(col("__h"), 1, 8), 16, 10).cast("long"),
+        lit(numShards.toLong)).cast("int"))
+      .withColumn("position", (row_number().over(
+        Window.partitionBy(col("shard_id")).orderBy(col("__h"), col(idCol)))
+        - 1).cast("long"))
+      .drop("__h")
+  }
+
   // ------------------------------------------------- sharded export
 
   final case class ShardInfo(shardId: Int, rows: Long, bytes: Long, path: String)

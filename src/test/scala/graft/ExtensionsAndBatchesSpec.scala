@@ -110,4 +110,30 @@ class ExtensionsAndBatchesSpec extends AnyFunSuite with BeforeAndAfterAll {
     val back = spark.read.json(out)
     assert(back.count() == docs.count())
   }
+
+  test("epochShuffle: a permutation per seed, stable for a seed, seed-independent across seeds") {
+    val docs = graft.sources.Tables(spark, dir, "documents").select("doc_id")
+    val n = docs.count()
+    val e1 = Batches.epochShuffle(docs, "doc_id", seed = 1L, numShards = 4)
+    // every row appears exactly once, positions are 0..count-1 per shard
+    assert(e1.count() == n)
+    assert(e1.select("doc_id").distinct().count() == n)
+    import org.apache.spark.sql.functions._
+    val perShard = e1.groupBy("shard_id")
+      .agg(count(lit(1)).as("c"), min("position").as("lo"), max("position").as("hi"))
+      .collect()
+    perShard.foreach { r =>
+      assert(r.getAs[Long]("lo") == 0L)
+      assert(r.getAs[Long]("hi") == r.getAs[Long]("c") - 1)
+    }
+    // deterministic for a fixed seed
+    val e1b = Batches.epochShuffle(docs, "doc_id", seed = 1L, numShards = 4)
+    assert(e1.exceptAll(e1b).isEmpty && e1b.exceptAll(e1).isEmpty)
+    // a different seed yields a genuinely different permutation
+    val e2 = Batches.epochShuffle(docs, "doc_id", seed = 2L, numShards = 4)
+    val moved = e1.as("a").join(e2.as("b"), "doc_id")
+      .filter(col("a.shard_id") =!= col("b.shard_id") ||
+        col("a.position") =!= col("b.position")).count()
+    assert(moved > n / 2, s"only $moved of $n rows moved between seeds")
+  }
 }
