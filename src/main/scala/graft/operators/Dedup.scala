@@ -508,4 +508,28 @@ object Dedup {
     edges.unpersist()
     labels.select(col("id"), col("lbl").as("component_id"))
   }
+
+  /** Leakage-safe train/valid/test split: near-duplicate docs must land
+    * in the SAME split, or the test set leaks training data (the
+    * contamination failure dedup-unaware random splits cause). The
+    * split key is the doc's duplicate-component id ([[connectedComponents]]
+    * over `pairs`; singletons key on their own id), bucketed by first
+    * md5 hex char — train <= `trainUpTo` < valid <= `validUpTo` < test,
+    * matching the engine's deterministic hash-split convention. One
+    * broadcast-or-hash join of docs against the (small, pairs-sized)
+    * component map; engine-independent and oracle-checkable. */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String, bCol: String, trainUpTo: String = "c",
+      validUpTo: String = "e"): DataFrame = {
+    val cc = connectedComponents(pairs, aCol, bCol)
+      .select(col("id").as(idCol), col("component_id"))
+    val h = substring(md5(col("group_key").cast("string")), 1, 1)
+    docs.join(cc, Seq(idCol), "left")
+      .withColumn("group_key",
+        coalesce(col("component_id"), col(idCol).cast("long")))
+      .drop("component_id")
+      .withColumn("split",
+        when(h <= trainUpTo, "train").when(h <= validUpTo, "valid")
+          .otherwise("test"))
+  }
 }

@@ -114,6 +114,39 @@ object Sampling {
       .drop("__rk")
   }
 
+  /** Domain mixing WITH replacement (oversampling): when a domain's
+    * quota exceeds its population, rows replicate deterministically —
+    * every row gets floor(quota/avail) copies and the first
+    * quota mod avail rows (md5 order) one more, so the output hits the
+    * quota EXACTLY and upweighting is as even as integers allow (the
+    * standard fix for under-represented domains in a data mixture;
+    * epoch-level repetition à la Muennighoff et al. 2023). Output adds
+    * `dup_idx` (1..copies) so downstream sees distinct rows. Same
+    * single window shuffle as [[domainMix]]; replication is a map-side
+    * explode of an integer sequence, never a join. */
+  def domainMixOversample(df: DataFrame, domain: Column, key: Column,
+      targets: Map[String, Double], totalN: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val z = targets.values.sum
+    require(z > 0, "target shares must sum to a positive mass")
+    val quotaCol = targets.foldLeft(lit(0L)) { case (acc, (d, w)) =>
+      when(domain === d, lit(math.floor(totalN * w / z + 1e-9).toLong)).otherwise(acc)
+    }
+    val w = Window.partitionBy(domain).orderBy(md5(key.cast("string")))
+    df.withColumn("__rk", row_number().over(w).cast("long"))
+      .withColumn("__avail", count(lit(1)).over(Window.partitionBy(domain)))
+      .withColumn("__quota", quotaCol)
+      .withColumn("__copies",
+        when(col("__quota") <= col("__avail"),
+          when(col("__rk") <= col("__quota"), lit(1L)).otherwise(lit(0L)))
+        .otherwise(floor(col("__quota") / col("__avail")).cast("long") +
+          when(col("__rk") <= pmod(col("__quota"), col("__avail")), lit(1L))
+            .otherwise(lit(0L))))
+      .filter(col("__copies") > 0)
+      .withColumn("dup_idx", explode(sequence(lit(1L), col("__copies"))))
+      .drop("__rk", "__avail", "__quota", "__copies")
+  }
+
   /** Deterministic stratified downsampling: the `n` rows per stratum
     * whose md5(key) sorts lowest. Hash order is a uniform-but-reproducible
     * shuffle, so this IS a random sample — yet engine-independent

@@ -274,6 +274,41 @@ object DocumentQueries extends QueryModule {
               |count(*) OVER (PARTITION BY component_id) AS component_size
               |FROM lab ORDER BY doc_id""".stripMargin.replace('\n', ' '))),
 
+    // ---- leakage-safe split: near-duplicates (LSH pairs -> connected
+    // components) bucket by COMPONENT id, so every near-dup group lands
+    // in one split — the dedup-aware split that prevents train/test
+    // contamination. Fully oracle-checked (recursive-CTE components).
+    "q_split_leakage_safe" -> Q(
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+        val pairs = Dedup.minhashLshPairs(d, "doc_id", "text", threshold = 0.8)
+        Dedup.leakageSafeSplit(d, "doc_id", pairs, "id_a", "id_b")
+          .select(col("doc_id"), col("lang"), col("group_key"), col("split"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE $shingleCte,
+              |m AS (SELECT doc_id, $sigSql AS sig FROM s),
+              |bd AS (SELECT doc_id, i AS band_idx, md5(sig[2*i+1] || sig[2*i+2]) AS band_key
+              |       FROM m, range(4) AS r(i)),
+              |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              |         FROM bd a JOIN bd b ON a.band_idx = b.band_idx
+              |         AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+              |pr AS (SELECT id_a, id_b FROM (
+              |  SELECT c.id_a, c.id_b, round($jacSql, 6) AS jac
+              |  FROM cand c JOIN s sa ON sa.doc_id = c.id_a JOIN s sb ON sb.doc_id = c.id_b) p
+              |  WHERE jac >= 0.8),
+              |e AS (SELECT id_a AS a, id_b AS b FROM pr UNION SELECT id_b, id_a FROM pr),
+              |walk(a, b) AS (SELECT a, b FROM e
+              |  UNION SELECT w.a, e2.b FROM walk w JOIN e e2 ON w.b = e2.a),
+              |lab AS (SELECT a AS doc_id, least(a, min(b)) AS component_id FROM walk GROUP BY a),
+              |g AS (SELECT d.doc_id, d.lang, coalesce(lab.component_id, d.doc_id) AS group_key
+              |      FROM documents d LEFT JOIN lab USING (doc_id))
+              |SELECT doc_id, lang, group_key,
+              |CASE WHEN substring(md5(group_key::VARCHAR),1,1) <= 'c' THEN 'train'
+              |WHEN substring(md5(group_key::VARCHAR),1,1) <= 'e' THEN 'valid'
+              |ELSE 'test' END AS split
+              |FROM g ORDER BY doc_id""".stripMargin.replace('\n', ' '))),
+
     // ---- overlapping token-window chunking (pretraining/RAG prep)
     "q_text_chunk" -> Q(
       (s, dir) => TA.chunkTokens(

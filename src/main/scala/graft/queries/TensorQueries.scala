@@ -318,6 +318,29 @@ object TensorQueries extends QueryModule {
              |  WHEN 'es' THEN 40 WHEN 'zh' THEN 20 WHEN 'de' THEN 20 ELSE 0 END
              |GROUP BY lang ORDER BY lang""".stripMargin.replace('\n', ' '))),
 
+    // ---- domain mixing WITH replacement: zh/fr quotas exceed their
+    // populations, so rows replicate deterministically (floor copies +
+    // md5-order remainder) to hit the mixture exactly — oversampling
+    // for under-represented domains, fully oracle-checked
+    "q_domain_mix_oversample" -> Q(
+      (s, dir) => graft.operators.Sampling.domainMixOversample(
+          table(s, dir, "documents"), col("lang"), col("doc_id"),
+          Map("en" -> 0.2, "zh" -> 0.5, "fr" -> 0.3), totalN = 400L)
+        .select(col("doc_id"), col("lang"), col("dup_idx"))
+        .orderBy(col("doc_id"), col("dup_idx")),
+      Some("""WITH r AS (SELECT doc_id, lang, row_number() OVER (
+             |  PARTITION BY lang ORDER BY md5(doc_id::VARCHAR)) AS rk,
+             |  count(*) OVER (PARTITION BY lang) AS avail FROM documents),
+             |q AS (SELECT doc_id, lang, rk, avail, CASE lang WHEN 'en' THEN 80
+             |  WHEN 'zh' THEN 200 WHEN 'fr' THEN 120 ELSE 0 END AS quota FROM r),
+             |c AS (SELECT doc_id, lang, CASE WHEN quota <= avail
+             |  THEN CASE WHEN rk <= quota THEN 1 ELSE 0 END
+             |  ELSE quota // avail + CASE WHEN rk <= quota % avail THEN 1 ELSE 0 END
+             |  END AS copies FROM q)
+             |SELECT doc_id, lang, unnest(range(1, copies+1)) AS dup_idx
+             |FROM c WHERE copies > 0
+             |ORDER BY doc_id, dup_idx""".stripMargin.replace('\n', ' '))),
+
     // ---- deterministic WEIGHTED per-group sample: Efraimidis-Spirakis
     // keys over a hash-derived uniform — the weighted-reservoir
     // distribution, yet engine-independent and FULLY oracle-checked

@@ -264,6 +264,42 @@ class DedupSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("leakageSafeSplit keeps every duplicate component inside one split") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = (1L to 40L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // two chains (1-2-3, 10-11) plus singletons
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val split = graft.operators.Dedup
+      .leakageSafeSplit(docs, "doc_id", pairs, "id_a", "id_b")
+    assert(split.count() == 40)
+    // every group maps to exactly one split
+    val perGroup = split.groupBy("group_key")
+      .agg(countDistinct(col("split")).as("ns")).collect()
+    assert(perGroup.forall(_.getAs[Long]("ns") == 1L))
+    // linked docs share both group and split
+    val m = split.select("doc_id", "group_key", "split").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(m(1L) == m(2L) && m(2L) == m(3L))
+    assert(m(10L) == m(11L))
+  }
+
+  test("domainMixOversample hits quotas exactly, replicating evenly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = ((1 to 30).map(i => (i.toLong, "big")) ++
+      (31 to 35).map(i => (i.toLong, "small"))).toDF("id", "dom")
+    val out = graft.operators.Sampling.domainMixOversample(
+      df, col("dom"), col("id"), Map("big" -> 0.5, "small" -> 0.5), 40L)
+    val counts = out.groupBy("dom").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("big" -> 20L, "small" -> 20L))
+    // small domain (5 rows, quota 20): every row gets exactly 4 copies
+    val reps = out.filter(col("dom") === "small").groupBy("id").count()
+      .collect().map(_.getLong(1)).toSet
+    assert(reps == Set(4L))
+  }
+
   test("chunkTokens covers every token with the declared overlap") {
     import spark.implicits._
     val doc = (1 to 47).map(i => s"t$i").mkString(" ")
