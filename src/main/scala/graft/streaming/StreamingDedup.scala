@@ -1,0 +1,105 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.{Dedup, TextAnalysis}
+
+/** Streaming near-duplicate detection: [[Dedup.minhashLshPairs]]
+  * maintained incrementally over an unbounded document stream — the
+  * ingestion-time dedup a training-data pipeline runs so near-dups are
+  * caught as documents ARRIVE, not in a nightly batch (the reference
+  * keeps its indexes fresh the same way: `cpp/deeplake_pg/
+  * sync_worker.cpp` background sync).
+  *
+  * LSM-style like [[StreamingText]]: state lives in a persisted
+  * artifact (band-key postings + hashed shingle sets + verified
+  * pairs), NOT the Spark state store, so executor memory stays flat
+  * regardless of history size. Per micro-batch the work is
+  * O(batch + matches):
+  *   - batch-internal pairs via the batch LSH (same salted band join
+  *     as the batch operator),
+  *   - cross-batch CANDIDATES via one equi-join of the batch's band
+  *     keys against the persisted postings (history is never
+  *     re-shingled),
+  *   - only candidates pay the exact-Jaccard verify, with history's
+  *     shingle sets read from the artifact,
+  *   - then the batch's postings + shingles APPEND (a handful of new
+  *     parquet files; nothing read-modify-writes).
+  * Band layout and signature math are identical to the batch
+  * operator, so stream-accumulated pairs equal the single-shot batch
+  * result on the same corpus (spec-gated).
+  */
+object StreamingDedup {
+
+  /** (id, sh) shingle sets + (id, band_idx, band_key) postings for a
+    * batch — same native MinHash signature and grouped band layout as
+    * [[Dedup.minhashLshPairs]] / [[TextAnalysis.bandKeys]]. */
+  private def shinglesAndBands(docs: DataFrame, idCol: String,
+      textCol: String, numHashes: Int, rowsPerBand: Int): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.graft.Bridge
+    val s = docs
+      .select(col(idCol).cast("long").as("id"),
+        TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col("id"), TextAnalysis.shingles(col("__toks")).as("sh"))
+    val withSig = s.select(col("id"),
+      Bridge.column(graft.functions.MinHashSignature(
+        Bridge.expression(col("sh")), numHashes)).as("__sig"))
+    val bands = (0 until numHashes).grouped(rowsPerBand).map { idxs =>
+      md5(concat(idxs.map(i => element_at(col("__sig"), i + 1)): _*))
+    }.toSeq
+    val banded = withSig.select(col("id"),
+      posexplode(array(bands: _*)).as(Seq("band_idx", "band_key")))
+    (s, banded)
+  }
+
+  def maintainNearDup(stream: DataFrame, dir: String, idCol: String,
+      textCol: String, threshold: Double, checkpoint: String,
+      numHashes: Int = 8, rowsPerBand: Int = 2): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val (s0, banded0) = shinglesAndBands(batch, idCol, textCol,
+          numHashes, rowsPerBand)
+        // shingle/sign the batch ONCE; both the pair math and the
+        // artifact appends read the materialized forms
+        val s = s0.localCheckpoint()
+        val banded = banded0.localCheckpoint()
+        val internal = Dedup.minhashLshPairs(batch, idCol, textCol,
+          threshold, numHashes, rowsPerBand)
+        val cross =
+          if (!new java.io.File(s"$dir/postings").exists()) internal.limit(0)
+          else {
+            val hist = spark.read.parquet(s"$dir/postings")
+            val histSh = spark.read.parquet(s"$dir/shingles")
+            banded
+              .join(hist.select(col("id").as("old_id"),
+                col("band_idx"), col("band_key")), Seq("band_idx", "band_key"))
+              .select(col("old_id"), col("id").as("new_id"))
+              .filter(col("old_id") =!= col("new_id"))
+              .distinct()
+              .join(histSh.select(col("id").as("old_id"), col("sh").as("sh_a")), "old_id")
+              .join(s.select(col("id").as("new_id"), col("sh").as("sh_b")), "new_id")
+              .select(
+                least(col("old_id"), col("new_id")).as("id_a"),
+                greatest(col("old_id"), col("new_id")).as("id_b"),
+                round(TextAnalysis.jaccard(col("sh_a"), col("sh_b")), 6).as("jac"))
+              .filter(col("jac") >= threshold)
+          }
+        // pairs first, then the state appends: a batch must never
+        // candidate-join against its own postings
+        internal.unionByName(cross)
+          .write.mode("append").parquet(s"$dir/pairs")
+        banded.write.mode("append").parquet(s"$dir/postings")
+        s.write.mode("append").parquet(s"$dir/shingles")
+        ()
+      }
+      .start()
+
+  /** all near-dup pairs found so far (accumulates across batches) */
+  def currentPairs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/pairs")
+}

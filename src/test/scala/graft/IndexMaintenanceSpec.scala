@@ -144,4 +144,41 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     assert(top1.nonEmpty)
     assert(top1.forall(r => r.getLong(0) === r.getLong(1)))
   }
+
+  test("streaming near-dup: accumulated pairs equal the single-shot batch LSH") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("neardupstream").toString
+    // planted corpus: doc i and doc 100+i share 40 words except the
+    // last (3-shingle jaccard ~ 0.854 >= 0.8); vocab is per-pair so
+    // unrelated docs share nothing. The two halves land in separate
+    // micro-batches, so every true pair is CROSS-batch; a third file
+    // adds batch-INTERNAL pairs (ids 200/201 duplicate each other).
+    def words(i: Int, n: Int) = (1 to n).map(j => s"d${i}_w$j")
+    val half1 = (1 to 15).map(i => (i.toLong, words(i, 40).mkString(" ")))
+    val half2 = (1 to 15).map(i =>
+      ((100 + i).toLong, (words(i, 39) :+ s"d${i}_CHANGED").mkString(" ")))
+    val half3 = Seq(
+      (200L, words(999, 40).mkString(" ")),
+      (201L, (words(999, 39) :+ "d999_CHANGED").mkString(" ")))
+    half1.toDF("doc_id", "text").repartition(1).write.parquet(s"$tmp/in/f=1")
+    half2.toDF("doc_id", "text").repartition(1).write.parquet(s"$tmp/in/f=2")
+    half3.toDF("doc_id", "text").repartition(1).write.parquet(s"$tmp/in/f=3")
+    val all = (half1 ++ half2 ++ half3).toDF("doc_id", "text")
+
+    val q = graft.streaming.StreamingDedup.maintainNearDup(
+      spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in/*"),
+      s"$tmp/nd", "doc_id", "text", threshold = 0.8, s"$tmp/ck")
+    q.processAllAvailable(); q.stop()
+
+    val got = graft.streaming.StreamingDedup.currentPairs(spark, s"$tmp/nd")
+      .select("id_a", "id_b", "jac").distinct()
+    val want = graft.operators.Dedup
+      .minhashLshPairs(all, "doc_id", "text", threshold = 0.8)
+      .select("id_a", "id_b", "jac")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      s"stream=${got.collect().toSeq} batch=${want.collect().toSeq}")
+    // and the planted pairs really are found
+    assert(got.count() >= 10)
+  }
 }
