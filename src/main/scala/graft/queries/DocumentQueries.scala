@@ -628,6 +628,8 @@ object DocumentQueries extends QueryModule {
         TA.encodeWithVocab(d, d.filter(col("doc_id") < 60), "doc_id", "text",
             vocabSize = 64)
           .withColumnRenamed("id", "doc_id")
+          // driver comparator sorts rows in pandas: arrays serialize
+          .withColumn("token_ids", concat_ws(" ", col("token_ids")))
           .orderBy(col("doc_id"))
       },
       Some("""WITH tok AS (SELECT unnest(string_split(text,' ')) AS token FROM documents),
@@ -639,7 +641,7 @@ object DocumentQueries extends QueryModule {
              |j AS (SELECT doc_id, pos, tok_id FROM p LEFT JOIN vid USING (token))
              |SELECT doc_id, count(*) AS n_tokens,
              |sum(CASE WHEN tok_id IS NULL THEN 1 ELSE 0 END) AS n_oov,
-             |list(coalesce(tok_id, -1) ORDER BY pos) AS token_ids
+             |array_to_string(list(coalesce(tok_id, -1) ORDER BY pos), ' ') AS token_ids
              |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace('\n', ' '))),
 
     // ---- smoothed TF-IDF (sklearn formula), top-3 terms per doc:
