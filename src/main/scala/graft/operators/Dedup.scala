@@ -509,6 +509,71 @@ object Dedup {
     labels.select(col("id"), col("lbl").as("component_id"))
   }
 
+  /** Blocked fuzzy join on edit distance (record linkage / entity
+    * resolution): all (left, right) pairs with
+    * levenshtein(leftStr, rightStr) <= maxDist, WITHOUT an all-pairs
+    * scan. Candidate blocking is the PassJoin pigeonhole (Li et al.,
+    * VLDB 2011, public): split each right string into maxDist+1
+    * segments — at most maxDist edits cannot touch them all, so a
+    * true match must contain one segment EXACTLY, shifted by at most
+    * maxDist. Both sides therefore emit O(maxDist²) short substring
+    * keys MAP-SIDE, candidates come from one (len, seg_idx, seg)
+    * equi-join, and only candidates pay the levenshtein verify
+    * (Spark's codegen'd builtin). Blocking is COMPLETE — the oracle
+    * compares against brute force — and the plan is the usual dedup
+    * shape: explode, hash-join, verify; no nested loop anywhere. */
+  def fuzzyJoin(left: DataFrame, leftId: String, leftStr: String,
+      right: DataFrame, rightId: String, rightStr: String,
+      maxDist: Int): DataFrame = {
+    require(maxDist >= 1, "maxDist must be >= 1")
+    val k = maxDist + 1
+    def segLen(total: Column, i: Column) =
+      floor(total / lit(k)).cast("int") +
+        when(i < total % lit(k), 1).otherwise(0)
+    def segStart(total: Column, i: Column) = // 0-based
+      (i * floor(total / lit(k)).cast("int") + least(i, total % lit(k)))
+        .cast("int")
+    // right side: its own d+1 segments
+    val r = right.select(col(rightId).as("id_r"), col(rightStr).as("s_r"))
+      .withColumn("len_r", length(col("s_r")))
+      .withColumn("i", explode(sequence(lit(0), lit(maxDist))))
+      .withColumn("seg", col("s_r").substr(
+        segStart(col("len_r"), col("i")) + 1, segLen(col("len_r"), col("i"))))
+      .filter(length(col("seg")) >= 1)
+      .select(col("id_r"), col("len_r"), col("i"), col("seg"))
+    // left side: for every compatible right length and segment index,
+    // the substrings at positions within +-maxDist of that segment
+    val l0 = left.select(col(leftId).as("id_l"), col(leftStr).as("s_l"))
+      .withColumn("len_l", length(col("s_l")))
+      .withColumn("len_r", explode(sequence(
+        col("len_l") - maxDist, col("len_l") + maxDist)))
+      .filter(col("len_r") >= 1)
+      .withColumn("i", explode(sequence(lit(0), lit(maxDist))))
+      .withColumn("sl", segLen(col("len_r"), col("i")))
+      .withColumn("ss", segStart(col("len_r"), col("i")))
+      .filter(col("sl") >= 1)
+    val lo = greatest(lit(0), col("ss") - maxDist)
+    val hi = least(col("len_l") - col("sl"), col("ss") + maxDist)
+    val l = l0
+      .withColumn("p", explode(when(lo <= hi, sequence(lo, hi))
+        .otherwise(array().cast("array<int>"))))
+      .withColumn("seg", col("s_l").substr(col("p") + 1, col("sl")))
+      .select(col("id_l"), col("s_l"), col("len_r"), col("i"), col("seg"))
+    l.join(r, Seq("len_r", "i", "seg"))
+      .select(col("id_l"), col("s_l"), col("id_r")).distinct()
+      .join(right.select(col(rightId).as("id_r"), col(rightStr).as("s_r")), "id_r")
+      .select(col("id_l"), col("id_r"),
+        levenshtein(col("s_l"), col("s_r")).as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
+
+  /** self-join form: unordered pairs (id_a < id_b) within `maxDist` */
+  def fuzzySelfJoin(df: DataFrame, idCol: String, strCol: String,
+      maxDist: Int): DataFrame =
+    fuzzyJoin(df, idCol, strCol, df, idCol, strCol, maxDist)
+      .filter(col("id_l") < col("id_r"))
+      .select(col("id_l").as("id_a"), col("id_r").as("id_b"), col("dist"))
+
   /** Leakage-safe train/valid/test split: near-duplicate docs must land
     * in the SAME split, or the test set leaks training data (the
     * contamination failure dedup-unaware random splits cause). The

@@ -318,6 +318,54 @@ object TensorQueries extends QueryModule {
              |  WHEN 'es' THEN 40 WHEN 'zh' THEN 20 WHEN 'de' THEN 20 ELSE 0 END
              |GROUP BY lang ORDER BY lang""".stripMargin.replace('\n', ' '))),
 
+    // ---- blocked fuzzy self-join (record linkage): PassJoin pigeonhole
+    // segment blocking + levenshtein verify; the oracle is BRUTE FORCE,
+    // so a pass certifies the blocking found every pair (completeness)
+    "q_fuzzy_join" -> Q(
+      (s, dir) => graft.operators.Dedup.fuzzySelfJoin(
+          table(s, dir, "supplier"), "s_suppkey", "s_name", maxDist = 1)
+        .orderBy(col("id_a"), col("id_b")),
+      Some("""SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+             |levenshtein(a.s_name, b.s_name) AS dist
+             |FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+             |WHERE levenshtein(a.s_name, b.s_name) <= 1
+             |ORDER BY id_a, id_b""".stripMargin.replace('\n', ' '))),
+
+    // ---- equi-width histogram profile: bounds ride as a broadcast
+    // 1-row frame (no driver action), bucketing is pure map-side math
+    "q_histogram" -> Q(
+      (s, dir) => {
+        val e = table(s, dir, "events")
+        val bounds = e.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+        e.select(col("value")).crossJoin(broadcast(bounds))
+          .select(least(lit(15), floor((col("value") - col("lo")) /
+            (col("hi") - col("lo")) * 16)).cast("int").as("bucket"))
+          .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+          .orderBy(col("bucket"))
+      },
+      Some("""WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events)
+             |SELECT least(15, floor((value - lo) / (hi - lo) * 16))::INT AS bucket,
+             |count(*) AS n FROM events CROSS JOIN b
+             |GROUP BY 1 ORDER BY bucket""".stripMargin.replace('\n', ' '))),
+
+    // ---- exact interpolated per-group percentiles (profiling): one
+    // partial-agg pass; Spark percentile == DuckDB quantile_cont
+    "q_percentiles_group" -> Q(
+      (s, dir) => table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+             |round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+             |round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+             |round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+             |count(*) AS n FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin.replace('\n', ' '))),
+
     // ---- domain mixing WITH replacement: zh/fr quotas exceed their
     // populations, so rows replicate deterministically (floor copies +
     // md5-order remainder) to hit the mixture exactly — oversampling

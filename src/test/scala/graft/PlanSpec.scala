@@ -163,6 +163,11 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 2, p)
   }
 
+  test("fuzzy join blocks through segment keys, never an all-pairs loop") {
+    val p = planOf("q_fuzzy_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("heavy hitters second pass is a selective filter + hash agg") {
     val p = planOf("q_token_heavy_hitters")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
