@@ -429,14 +429,17 @@ object Tql {
     // surviving the filter gate the assignment scan, and the search
     // adaptively widens its cluster probe when the filter starves the
     // candidate pool. Joins/grouping still disable the route.
-    if (indexRoutingEnabled.get()) annTopKRoute(sel, params).foreach { case (vecCol, qVec, k) =>
+    if (indexRoutingEnabled.get()) annTopKRoute(sel, params).foreach { case (vecCol, qVec, k, metric) =>
       routeTable(sel.from) match {
         case Some(tname) =>
           val A = graft.operators.AnnIndex
           val plain = A.Catalog.lookup(tname, vecCol)
           // PQ route fires only when no plain/quantized entry exists (the
-          // plain index is the more exact artifact for the same column)
-          val pq = if (plain.isEmpty) A.Catalog.lookupPq(tname, vecCol) else None
+          // plain index is the more exact artifact for the same column);
+          // PQ's ADC tables approximate the inner product, so it serves
+          // cosine only
+          val pq = if (plain.isEmpty && metric == "cosine")
+            A.Catalog.lookupPq(tname, vecCol) else None
           plain.map(_.idCol).orElse(pq.map(_.idCol)).foreach { idCol =>
             import spark.implicits._
             val qdf = Seq((0, qVec)).toDF("qid", "q_vec")
@@ -445,7 +448,7 @@ object Tql {
             }
             val cand = plain match {
               case Some(entry) => A.search(entry.index, qdf, "qid", "q_vec", k,
-                entry.config, idFilter = filterIds)
+                entry.config, idFilter = filterIds, metric = metric)
               case None =>
                 val pe = pq.get
                 A.searchPq(pe.index, qdf, "qid", "q_vec", k, pe.config,
@@ -646,10 +649,10 @@ object Tql {
     * (recomputing it for the filter frame would see different draws).
     * Returns (vector column, query vector, k). */
   private def annTopKRoute(sel: ast.Select,
-      params: Seq[Any]): Option[(String, Seq[Double], Int)] = {
+      params: Seq[Any]): Option[(String, Seq[Double], Int, String)] = {
     if (sel.joins.nonEmpty || sel.groupBy.nonEmpty ||
         sel.ungroup.nonEmpty || sel.sampleBy.nonEmpty || sel.expand.nonEmpty ||
-        sel.offset.nonEmpty || sel.orderBy.isEmpty || sel.orderBy.head.asc)
+        sel.offset.nonEmpty || sel.orderBy.isEmpty)
       return None
     if (sel.where.exists(w => usesFn(w, "ROW_NUMBER") || usesFn(w, "RANDOM")))
       return None
@@ -671,9 +674,14 @@ object Tql {
       case ast.Fn("ROUND", Seq(inner, _), Seq()) => inner
       case other => other
     }
+    // cosine serves the DESCENDING top-k; L2 distance the ASCENDING one
+    // (reference order_type::ascending — top_k_search_info.hpp:35)
+    val asc = sel.orderBy.head.asc
     unwrapped match {
-      case ast.Fn("COSINE_SIMILARITY", Seq(ast.Ref(Seq(c)), v), Seq()) =>
-        constVector(v, params).map(vec => (c, vec, k))
+      case ast.Fn("COSINE_SIMILARITY", Seq(ast.Ref(Seq(c)), v), Seq()) if !asc =>
+        constVector(v, params).map(vec => (c, vec, k, "cosine"))
+      case ast.Fn("L2_NORM", Seq(ast.Bin("-", ast.Ref(Seq(c)), v)), Seq()) if asc =>
+        constVector(v, params).map(vec => (c, vec, k, "l2"))
       case _ => None
     }
   }

@@ -193,10 +193,25 @@ object AnnIndex {
     * the unfiltered search) and then adaptively doubled until every
     * query has min(k, survivors) results or all clusters are probed.
     * The adaptive loop runs driver-side actions, so a filtered search
-    * is eager where an unfiltered one is lazy. */
+    * is eager where an unfiltered one is lazy.
+    *
+    * `metric` is "cosine" (descending similarity — the default) or "l2"
+    * (ascending Euclidean distance, the reference's
+    * `ORDER BY L2_NORM(emb - ARRAY[...]) ASC` shape with
+    * order_type::ascending — `cpp/query_core/top_k_search_info.hpp:35`).
+    * The same index serves both: KMeans centroids ARE Euclidean cells,
+    * so L2 probes the closest-centroid clusters directly. The int8
+    * candidate gate is cosine-only (per-vector quantization scale
+    * cancels under cosine but not under L2), so an L2 search on a
+    * quantized index scores the probed candidates exactly. */
   def search(index: Index, queries: DataFrame, qIdCol: String, qVecCol: String,
       k: Int, config: SearchConfig = SearchConfig(),
-      idFilter: Option[DataFrame] = None): DataFrame = {
+      idFilter: Option[DataFrame] = None, metric: String = "cosine"): DataFrame = {
+    require(metric == "cosine" || metric == "l2", s"unknown metric $metric")
+    val cosine = metric == "cosine"
+    def score(a: Column, b: Column): Column =
+      if (cosine) gf.cosine_similarity(a, b) else gf.l2_norm(a, b)
+    def ord(c: Column): Column = if (cosine) c.desc else c.asc
     val q = queries.select(col(qIdCol).as("qid"), col(qVecCol).as("q_vec"))
     val assignBase = idFilter match {
       case Some(ids) =>
@@ -212,17 +227,18 @@ object AnnIndex {
       val probed = q.crossJoin(broadcast(index.centroids))
         .withColumn("c_rank", row_number().over(
           Window.partitionBy(col("qid"))
-            .orderBy(gf.cosine_similarity(col("q_vec"), col("centroid")).desc,
+            .orderBy(ord(score(col("q_vec"), col("centroid"))),
               col("cluster_id"))))
         .filter(col("c_rank") <= nProbe)
         .select(col("qid"), col("q_vec"), col("cluster_id"))
-      if (!index.quantized) {
-        // plain Clustered: every candidate in a probed cluster is scored
-        // exactly — accuracyFactor has nothing left to widen here
-        val scored = probed.join(assignBase, "cluster_id")
+      if (!index.quantized || !cosine) {
+        // plain Clustered (or L2 on any index): every candidate in a
+        // probed cluster is scored exactly — accuracyFactor has nothing
+        // left to widen here
+        val scored = probed.join(assignBase.drop("vec_q"), "cluster_id")
           .select(col("qid"), col("id"),
-            gf.cosine_similarity(col("vec"), col("q_vec")).as("score"))
-        topNPerQuery(scored, Seq(col("score").desc, col("id")), k)
+            score(col("vec"), col("q_vec")).as("score"))
+        topNPerQuery(scored, Seq(ord(col("score")), col("id")), k)
       } else {
         // ClusteredQuantized: stage 1 scores the int8 form (1/4 the bytes,
         // same codegen kernel) and keeps top rerankPool per query; stage 2

@@ -58,6 +58,22 @@ object AnnQueries extends QueryModule {
       None,
       doc = "dialect-routed indexed top-k: broadcast candidate semi-join, no full-corpus ranking"),
 
+    // L2 ascending top-k routes to the SAME index (reference
+    // `ORDER BY L2_NORM(emb - ARRAY[...]) ASC`, order_type::ascending)
+    "q_tql_ann_l2" -> Q(
+      (s, dir) => {
+        AnnIndex.Catalog.register("embeddings", "embedding", "vec_id",
+          IndexStore.ann(s, dir))
+        val qv = table(s, dir, "embeddings").filter(col("vec_id") === 0)
+          .select(col("embedding")).collect()(0).getSeq[Float](0)
+        val arr = qv.mkString("ARRAY[", ", ", "]")
+        graft.dialect.Tql.query(s, dir,
+          s"""SELECT vec_id, ROUND(L2_NORM(embedding - $arr), 6) AS dist
+             |FROM embeddings ORDER BY dist ASC, vec_id LIMIT 10""".stripMargin)
+      },
+      None,
+      doc = "dialect-routed L2 ascending indexed top-k (reference order_type::ascending)"),
+
     // WHERE composes into the index search as a candidate pre-filter
     // (reference runs index queries against a filter bitmap,
     // `cpp/query_core/index_holder.hpp:33`): only filter survivors are

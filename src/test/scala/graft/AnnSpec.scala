@@ -142,4 +142,31 @@ class AnnSpec extends AnyFunSuite {
     assert(res.length === 5)
     assert(res.map(_.getAs[Int]("rank")).sorted.toSeq === Seq(1, 2, 3, 4, 5))
   }
+
+  test("l2 metric: exhaustive probe equals exact nearest, default probe recalls >= 0.6") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.gf
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("q_vec"))
+    val exact = emb.crossJoin(queries)
+      .withColumn("d", gf.l2_norm(col("embedding"), col("q_vec")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("d").asc, col("vec_id"))))
+      .filter(col("rk") <= 10).select(col("qid"), col("vec_id").as("id"))
+    val idx = AnnIndex.build(emb, "vec_id", "embedding", nClusters = 16)
+    def recall(cfg: AnnIndex.SearchConfig): Double = {
+      val approx = AnnIndex.search(idx, queries, "qid", "q_vec", 10, cfg,
+        metric = "l2").select("qid", "id")
+      exact.intersect(approx).count().toDouble / exact.count()
+    }
+    assert(recall(AnnIndex.SearchConfig(clusterSearchFactor = 8.0)) === 1.0)
+    assert(recall(AnnIndex.SearchConfig()) >= 0.6)
+    // quantized index serves l2 too (exact scoring, no int8 gate)
+    val qidx = AnnIndex.build(emb, "vec_id", "embedding", nClusters = 16,
+      quantized = true)
+    val r = AnnIndex.search(qidx, queries, "qid", "q_vec", 10,
+      AnnIndex.SearchConfig(clusterSearchFactor = 8.0), metric = "l2")
+      .select("qid", "id")
+    assert(exact.intersect(r).count().toDouble / exact.count() === 1.0)
+  }
 }
