@@ -366,6 +366,21 @@ object TensorQueries extends QueryModule {
              |count(*) AS n FROM lineitem GROUP BY l_returnflag
              |ORDER BY l_returnflag""".stripMargin.replace('\n', ' '))),
 
+    // ---- correlation profile: pairwise Pearson over numeric columns in
+    // ONE partial-agg pass (co-moment merge is associative)
+    "q_corr_matrix" -> Q(
+      (s, dir) => table(s, dir, "lineitem")
+        .agg(
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price"),
+          round(corr(col("l_quantity"), col("l_discount")), 6).as("qty_disc"),
+          round(corr(col("l_extendedprice"), col("l_discount")), 6).as("price_disc"),
+          round(corr(col("l_extendedprice"), col("l_tax")), 6).as("price_tax")),
+      Some("""SELECT round(corr(l_quantity, l_extendedprice), 6) AS qty_price,
+             |round(corr(l_quantity, l_discount), 6) AS qty_disc,
+             |round(corr(l_extendedprice, l_discount), 6) AS price_disc,
+             |round(corr(l_extendedprice, l_tax), 6) AS price_tax
+             |FROM lineitem""".stripMargin.replace('\n', ' '))),
+
     // ---- domain mixing WITH replacement: zh/fr quotas exceed their
     // populations, so rows replicate deterministically (floor copies +
     // md5-order remainder) to hit the mixture exactly — oversampling

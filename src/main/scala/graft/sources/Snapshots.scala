@@ -230,6 +230,40 @@ object Snapshots {
     rewrite(spark, root,
       _.withColumn(colName, when(cond, value).otherwise(col(colName))), branch)
 
+  /** MERGE INTO (upsert) by key — the Delta/Iceberg MERGE shape over
+    * the versioned table: source rows REPLACE current rows sharing
+    * `keyCols`; source rows with no match insert. `source` must be
+    * key-unique (the caller dedupes; with duplicate source keys the
+    * replacement row would be ambiguous).
+    *
+    * Two cost classes, chosen by `insertOnly`:
+    *  - `insertOnly = true`: dedupe-on-ingest — only NEW keys append,
+    *    existing rows never rewrite. O(delta) write (one anti-join read
+    *    + a delta-sized segment), the path to run per-batch at 100 TB.
+    *  - full upsert: copy-on-write like the other DML — survivors
+    *    (current ANTI-JOIN source on the keys) + source commit as the
+    *    new version. O(table) rewrite, the usual MERGE cost without
+    *    file-level pruning. */
+  def mergeInto(spark: SparkSession, root: String, source: DataFrame,
+      keyCols: Seq[String], branch: String = Main,
+      insertOnly: Boolean = false): Long = {
+    val cur = open(spark, root, branch = branch)
+    require(source.columns.sorted.sameElements(cur.columns.sorted),
+      s"merge schema mismatch: ${source.columns.mkString(",")} vs ${cur.columns.mkString(",")}")
+    val aligned = source.select(cur.columns.map(col): _*)
+    if (insertOnly) {
+      val fresh = aligned.join(cur.select(keyCols.map(col): _*).distinct(),
+        keyCols, "left_anti")
+      commit(root,
+        segments(root, currentVersion(root, branch), branch) :+ newSegment(root, fresh),
+        branch)
+    } else {
+      val survivors = cur.join(aligned.select(keyCols.map(col): _*).distinct(),
+        keyCols, "left_anti")
+      commit(root, Seq(newSegment(root, survivors.unionByName(aligned))), branch)
+    }
+  }
+
   /** ADD COLUMN with a default value (`add_column` `__init__.pyi:3282`). */
   def addColumn(spark: SparkSession, root: String, name: String, value: Column,
       branch: String = Main): Long =

@@ -102,4 +102,40 @@ object StreamingDedup {
   /** all near-dup pairs found so far (accumulates across batches) */
   def currentPairs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/pairs")
+
+  /** EXACT dedup across the entire stream history with no state-store
+    * growth (Spark's own `dropDuplicates` needs a watermark or keeps
+    * every key in executor state forever): the seen-hash set lives in a
+    * persisted parquet table of fixed-width md5 rows. Per batch:
+    * collapse within-batch duplicates (min-id keeper per hash), ANTI-
+    * JOIN the batch's hashes against the seen set (a plain hash join —
+    * at any history size the shuffled rows are fixed-width hashes, and
+    * the batch side broadcasts), emit survivors to `dir/unique`, append
+    * their hashes. First arrival wins, matching dedupe-on-ingest. */
+  def maintainExactDedup(stream: DataFrame, dir: String, idCol: String,
+      textCol: String, checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val hashed = batch.withColumn("__h", md5(col(textCol)))
+        val keepers = hashed
+          .withColumn("__rk", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("__h")).orderBy(col(idCol))))
+          .filter(col("__rk") === 1).drop("__rk")
+        val fresh =
+          (if (!new java.io.File(s"$dir/hashes").exists()) keepers
+           else keepers.join(spark.read.parquet(s"$dir/hashes"),
+             Seq("__h"), "left_anti"))
+            .localCheckpoint()
+        fresh.drop("__h").write.mode("append").parquet(s"$dir/unique")
+        fresh.select(col("__h")).write.mode("append").parquet(s"$dir/hashes")
+        ()
+      }
+      .start()
+
+  def currentUnique(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/unique")
 }

@@ -181,4 +181,26 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     // and the planted pairs really are found
     assert(got.count() >= 10)
   }
+
+  test("streaming exact dedup: history-wide, first arrival wins, no state store") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("exdedupstream").toString
+    // duplicate texts WITHIN a file and ACROSS files
+    Seq((1L, "alpha"), (2L, "beta"), (3L, "alpha"))
+      .toDF("doc_id", "text").repartition(1).write.parquet(s"$tmp/in/f=1")
+    Seq((10L, "beta"), (11L, "gamma"), (12L, "gamma"))
+      .toDF("doc_id", "text").repartition(1).write.parquet(s"$tmp/in/f=2")
+    val q = graft.streaming.StreamingDedup.maintainExactDedup(
+      spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in/*"),
+      s"$tmp/xd", "doc_id", "text", s"$tmp/ck")
+    q.processAllAvailable(); q.stop()
+    val uniq = graft.streaming.StreamingDedup.currentUnique(spark, s"$tmp/xd")
+      .collect().map(r => r.getAs[String]("text") -> r.getAs[Long]("doc_id"))
+    // one survivor per distinct text, and the keeper is the min id of
+    // its earliest batch (within-batch keeper = min id)
+    assert(uniq.map(_._1).sorted.toSeq == Seq("alpha", "beta", "gamma"))
+    assert(uniq.toMap.get("alpha").contains(1L))
+    assert(uniq.toMap.get("gamma").contains(11L))
+  }
 }

@@ -222,6 +222,29 @@ class SnapshotsSpec extends AnyFunSuite with BeforeAndAfterAll {
         .split("/").dropRight(1).last, "s").nonEmpty)
   }
 
+  test("mergeInto upserts by key; insertOnly appends only new keys") {
+    val root = freshRoot()
+    import spark.implicits._
+    Snapshots.create(spark, root,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"))
+    val v0 = Snapshots.currentVersion(root)
+    // upsert: 2 updates, 4 inserts
+    Snapshots.mergeInto(spark, root,
+      Seq((2L, "B"), (4L, "D")).toDF("id", "s"), Seq("id"))
+    val after = Snapshots.open(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(after == Map(1L -> "a", 2L -> "B", 3L -> "c", 4L -> "D"))
+    // time travel: pre-merge version intact
+    assert(Snapshots.open(spark, root, Some(v0)).count() == 3)
+    // insertOnly: existing key 1 is NOT rewritten, key 5 appends
+    Snapshots.mergeInto(spark, root,
+      Seq((1L, "ZZZ"), (5L, "e")).toDF("id", "s"), Seq("id"),
+      insertOnly = true)
+    val after2 = Snapshots.open(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(after2 == Map(1L -> "a", 2L -> "B", 3L -> "c", 4L -> "D", 5L -> "e"))
+  }
+
   test("tags pin a branch version") {
     val root = freshRoot()
     import spark.implicits._
