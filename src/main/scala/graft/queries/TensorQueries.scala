@@ -352,11 +352,14 @@ object TensorQueries extends QueryModule {
     // partial-agg pass; Spark percentile == DuckDB quantile_cont
     "q_percentiles_group" -> Q(
       (s, dir) => table(s, dir, "lineitem")
+        // double, not decimal: exact within the oracle's 4-decimal
+        // compare, and the percentile buffer is fixed-width primitives
+        .select(col("l_returnflag"), col("l_extendedprice").cast("double").as("p"))
         .groupBy(col("l_returnflag"))
         .agg(
-          round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
-          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
+          round(expr("percentile(p, 0.25)"), 4).as("p25"),
+          round(expr("percentile(p, 0.5)"), 4).as("p50"),
+          round(expr("percentile(p, 0.75)"), 4).as("p75"),
           count(lit(1)).as("n"))
         .orderBy(col("l_returnflag")),
       Some("""SELECT l_returnflag,
