@@ -521,7 +521,15 @@ object Dedup {
     * equi-join, and only candidates pay the levenshtein verify
     * (Spark's codegen'd builtin). Blocking is COMPLETE — the oracle
     * compares against brute force — and the plan is the usual dedup
-    * shape: explode, hash-join, verify; no nested loop anywhere. */
+    * shape: explode, hash-join, verify; no nested loop anywhere.
+    *
+    * Skew note: a shared long prefix (id-style strings, templated
+    * names) makes one segment key hot, and the candidate join fans out
+    * quadratically on it — the same hot-key exposure as every blocked
+    * self-join here. It is a plain shuffle join, so AQE's skew-join
+    * split spreads a hot key's partitions automatically; corpora that
+    * are DEGENERATE on purpose (every string shares half its content)
+    * should pre-group by the shared prefix and fuzzy-join the suffix. */
   def fuzzyJoin(left: DataFrame, leftId: String, leftStr: String,
       right: DataFrame, rightId: String, rightStr: String,
       maxDist: Int): DataFrame = {

@@ -304,21 +304,25 @@ object TextAnalysis {
   /** Smoothed TF-IDF term weighting (the scikit-learn formula, public:
     * idf = ln((1+N)/(1+df)) + 1), top `perDoc` terms per doc. Plan
     * shape: one (id, term) hash-agg for tf; df derives from tf's
-    * (already distinct) pairs by a second, much smaller agg; the df
-    * table is vocabulary-sized so the scoring join broadcasts, and the
+    * (already distinct) pairs by a second, much smaller agg; the
     * corpus-wide doc count rides as a broadcast one-row frame — the
     * corpus shuffles exactly once. The per-doc rank windows over one
     * doc's distinct terms (bounded by doc length), never the corpus.
+    * `broadcastDf` (default) broadcasts the vocabulary-sized df table
+    * into the scoring join; set it false when the corpus vocabulary
+    * exceeds broadcast size (a 100M-term web crawl) — the scoring join
+    * then shuffles on `term`, which tf is already partitioned by.
     * Output: (id, term, tf, tfidf, rk). */
   def tfIdf(docs: org.apache.spark.sql.DataFrame, idCol: String,
-      textCol: String, perDoc: Int): org.apache.spark.sql.DataFrame = {
+      textCol: String, perDoc: Int,
+      broadcastDf: Boolean = true): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tf = docs
       .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
       .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    tf.join(broadcast(df), Seq("term"))
+    tf.join(if (broadcastDf) broadcast(df) else df, Seq("term"))
       .crossJoin(broadcast(nDocs))
       .withColumn("tfidf", round(col("tf") *
         (log((lit(1.0) + col("n_docs")) / (lit(1.0) + col("df"))) + 1), 6))

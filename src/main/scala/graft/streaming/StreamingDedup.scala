@@ -16,8 +16,11 @@ import graft.operators.{Dedup, TextAnalysis}
   * LSM-style like [[StreamingText]]: state lives in a persisted
   * artifact (band-key postings + hashed shingle sets + verified
   * pairs), NOT the Spark state store, so executor memory stays flat
-  * regardless of history size. Per micro-batch the work is
-  * O(batch + matches):
+  * regardless of history size. Per micro-batch the COMPUTE is
+  * O(batch + matches), on top of one columnar scan of the postings
+  * table for the cross-batch join (O(history) IO — the cost every
+  * index-file design pays without a point-lookup store; amortized by
+  * batch size and bounded by periodic postings compaction):
   *   - batch-internal pairs via the batch LSH (same salted band join
   *     as the batch operator),
   *   - cross-batch CANDIDATES via one equi-join of the batch's band
@@ -110,8 +113,9 @@ object StreamingDedup {
     * collapse within-batch duplicates (min-id keeper per hash), ANTI-
     * JOIN the batch's hashes against the seen set (a plain hash join —
     * at any history size the shuffled rows are fixed-width hashes, and
-    * the batch side broadcasts), emit survivors to `dir/unique`, append
-    * their hashes. First arrival wins, matching dedupe-on-ingest. */
+    * the batch side broadcasts; the seen-set scan is O(history) IO per
+    * batch, amortized by batch size), emit survivors to `dir/unique`,
+    * append their hashes. First arrival wins (dedupe-on-ingest). */
   def maintainExactDedup(stream: DataFrame, dir: String, idCol: String,
       textCol: String, checkpoint: String): StreamingQuery =
     stream.writeStream
