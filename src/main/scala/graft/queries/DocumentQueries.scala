@@ -668,6 +668,29 @@ object DocumentQueries extends QueryModule {
              |WHERE rk <= 3 AND doc_id < 100
              |ORDER BY doc_id, rk""".stripMargin.replace('\n', ' '))),
 
+    // ---- model-based quality filtering: distill the Gopher rules into
+    // a hashed-BoW logistic regression (CCNet/LLaMA-style classifier),
+    // train on a labeled slice, score the rest. Deterministic (hash
+    // features, fixed L-BFGS init) but not SQL-expressible -> no_oracle;
+    // the learning itself is gated by QualityRulesSpec's AUC test.
+    "q_quality_model" -> Q(
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+        val m = d.select(col("doc_id") +: col("text") +:
+          TA.ruleMetrics(col("text")).map { case (n, c) => c.as(n) }: _*)
+        val flags = TA.ruleFlags(n => col(n))
+        val labeled = m.withColumn("label",
+          TA.ruleKeep(flags.map(_._2)).cast("int"))
+        val model = graft.operators.QualityModel.train(
+          labeled.filter(col("doc_id") % 2 === 0), "text", "label", maxIter = 15)
+        graft.operators.QualityModel.score(
+            model, labeled.filter(col("doc_id") % 2 === 1), "text")
+          .select(col("doc_id"), col("label"), col("quality_prob"))
+          .orderBy(col("doc_id")).limit(100)
+      },
+      None,
+      doc = "rule-distilled quality classifier scores, AUC-gated in QualityRulesSpec"),
+
     // ---- PMI collocations: +-2 skip-window pair counts, map-side pair
     // generation (no positions self-join), one hash-agg shuffle;
     // unigrams + totals ride as broadcasts.

@@ -85,4 +85,28 @@ class QualityRulesSpec extends AnyFunSuite {
       assert(otherFails.isEmpty, s"$doc unexpectedly also fails $otherFails")
     }
   }
+
+  test("quality classifier learns a planted signal (held-out AUC >= 0.95)") {
+    import spark.implicits._
+    import graft.operators.QualityModel
+    val docs = (1 to 400).map { i =>
+      val label = i % 2
+      val base = (1 to 30).map(j => s"w${(i * 7 + j * 13) % 50}")
+      val text =
+        if (label == 1) (base ++ Seq("informative", "thorough", "cited")).mkString(" ")
+        else (base ++ Seq("clickbait", "spam")).mkString(" ")
+      (i.toLong, text, label)
+    }.toDF("id", "text", "label")
+    // mod-4 residues 0,1 train and 2,3 hold out: BOTH classes on each side
+    val train = docs.filter(col("id") % 4 < 2)
+    val heldOut = docs.filter(col("id") % 4 >= 2)
+    val m = QualityModel.train(train, "text", "label")
+    val auc = QualityModel.auc(m, heldOut, "text", "label")
+    assert(auc >= 0.95, s"held-out AUC = $auc")
+    // scored probabilities separate the classes on held-out docs
+    val scored = QualityModel.score(m, heldOut, "text")
+    val avg = scored.groupBy("label").agg(mean("quality_prob").as("p"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(avg(1) > avg(0) + 0.3, s"class separation too weak: $avg")
+  }
 }
