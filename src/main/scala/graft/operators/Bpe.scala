@@ -120,4 +120,29 @@ object Bpe {
       }
       .toDF("w", "segmentation", "n_symbols")
   }
+
+  /** Doc-level BPE encode — the tokenizer-APPLY step over the corpus:
+    * every doc's token stream becomes its subword stream. Each DISTINCT
+    * word is segmented exactly once ([[segment]] runs over the distinct-
+    * word table, the same collapse [[train]] uses), then the corpus's
+    * pos-exploded tokens equi-join that segmentation table (distinct
+    * words ≪ corpus, so the join broadcasts) and ONE per-doc re-agg
+    * restores token order map-side — no per-occurrence re-segmentation,
+    * no window over the corpus.
+    * Output: (id, n_words, n_subwords, subwords — space-joined). */
+  def encodeDocs(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[Merge], endOfWord: String = "</w>"): DataFrame = {
+    val seg = segment(docs, textCol, merges, endOfWord)
+      .select(col("w"), col("segmentation"), col("n_symbols"))
+    docs.select(col(idCol).as("id"),
+        posexplode(split(col(textCol), "\\s+")).as(Seq("pos", "w")))
+      .filter(length(col("w")) > 0)
+      .join(broadcast(seg), Seq("w"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_symbols")).as("n_subwords"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("segmentation")))),
+          s => s.getField("segmentation"))).as("subwords"))
+  }
 }

@@ -743,6 +743,22 @@ object DocumentQueries extends QueryModule {
       None,
       doc = "BPE merge training, spec-gated against a single-node reference implementation"),
 
+    // ---- tokenizer APPLY: doc-level BPE encode with the trained
+    // merges — distinct words segment once, the corpus joins the
+    // (broadcast) segmentation table, one re-agg restores order
+    "q_bpe_encode" -> Q(
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+        val merges = graft.operators.Bpe.train(
+          d.filter(col("doc_id") < 200), "text", numMerges = 12)
+        graft.operators.Bpe.encodeDocs(
+            d.filter(col("doc_id") < 40), "doc_id", "text", merges)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy(col("doc_id"))
+      },
+      None,
+      doc = "doc-level BPE encoding, spec-gated (BpeSpec order/stitching test)"),
+
     // ---- END-TO-END corpus pipeline: the composition every pretraining
     // team actually ships — Gopher rule filter (raw text) → exact-dedup
     // keeper pass (anti-join the dropped ids) → domain-mix quota take.

@@ -80,4 +80,24 @@ class BpeSpec extends AnyFunSuite {
     // frequent word should compress to few symbols
     assert(seg("low")._2 <= 2, s"'low' stayed ${seg("low")}")
   }
+
+  test("doc-level encode stitches per-word segmentations in token order") {
+    import spark.implicits._
+    val df = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val merges = Bpe.train(df, "text", 12)
+    val seg = Bpe.segment(df, "text", merges).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val enc = Bpe.encodeDocs(df, "doc_id", "text", merges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val byId = enc.map(e => e._1 -> e).toMap
+    corpus.zipWithIndex.foreach { case (text, i) =>
+      val words = text.split("\\s+").filter(_.nonEmpty)
+      val expected = words.map(seg).mkString(" ")
+      val (_, nw, ns, sub) = byId(i.toLong)
+      assert(nw == words.length)
+      assert(sub == expected, s"doc $i: $sub != $expected")
+      assert(ns == expected.split(" ").length)
+    }
+  }
 }
