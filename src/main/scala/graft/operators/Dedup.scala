@@ -509,6 +509,23 @@ object Dedup {
     labels.select(col("id"), col("lbl").as("component_id"))
   }
 
+  /** Semantic deduplication (SemDeDup — Abbas et al. 2023, public):
+    * prune embedding-space near-duplicates keeping ONE representative
+    * per duplicate group. Composition of the engine's pieces — cluster-
+    * blocked cosine pair generation ([[embeddingNearDupPairs]], no
+    * all-pairs), [[connectedComponents]] to group transitive dups, and
+    * a min-id keeper anti-join — returned as the SURVIVING rows of
+    * `emb`. The only new cost over pair generation is the (pairs-sized,
+    * tiny) component computation and one keeper anti-join. */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nClusters: Int = 16): DataFrame = {
+    val pairs = embeddingNearDupPairs(emb, idCol, vecCol, threshold, nClusters)
+    val dropped = connectedComponents(pairs, "id_a", "id_b")
+      .filter(col("id") =!= col("component_id"))
+      .select(col("id").as(idCol))
+    emb.join(dropped, Seq(idCol), "left_anti")
+  }
+
   /** Blocked fuzzy join on edit distance (record linkage / entity
     * resolution): all (left, right) pairs with
     * levenshtein(leftStr, rightStr) <= maxDist, WITHOUT an all-pairs

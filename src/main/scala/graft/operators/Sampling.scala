@@ -114,6 +114,23 @@ object Sampling {
       .drop("__rk")
   }
 
+  /** Temperature-scaled mixture targets (the mT5/XLM-R low-resource
+    * upweighting practice, public): share_d ∝ count_d^(1/T). T=1
+    * reproduces natural proportions; T→∞ approaches uniform — the
+    * standard knob for keeping small domains represented without
+    * hand-written shares. Domain counts are a tiny driver-side map
+    * (one hash-agg); feed the result to [[domainMix]] /
+    * [[domainMixOversample]]. */
+  def temperatureTargets(df: DataFrame, domain: Column,
+      temperature: Double): Map[String, Double] = {
+    require(temperature > 0, "temperature must be positive")
+    df.groupBy(domain.as("__d")).agg(count(lit(1)).as("__c")).collect()
+      .filter(!_.isNullAt(0))
+      .map(r => r.get(0).toString ->
+        math.pow(r.getLong(1).toDouble, 1.0 / temperature))
+      .toMap
+  }
+
   /** Domain mixing WITH replacement (oversampling): when a domain's
     * quota exceeds its population, rows replicate deterministically —
     * every row gets floor(quota/avail) copies and the first

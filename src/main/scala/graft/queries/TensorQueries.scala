@@ -407,6 +407,27 @@ object TensorQueries extends QueryModule {
              |FROM c WHERE copies > 0
              |ORDER BY doc_id, dup_idx""".stripMargin.replace('\n', ' '))),
 
+    // ---- temperature-scaled mixture (mT5 practice): quotas ∝ count^(1/2)
+    // upweight small langs without hand-written shares; the oracle
+    // recomputes the same sqrt-scaled quotas from the data
+    "q_domain_mix_temperature" -> Q(
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+        graft.operators.Sampling.domainMix(d, col("lang"), col("doc_id"),
+            graft.operators.Sampling.temperatureTargets(d, col("lang"), 2.0),
+            totalN = 200L)
+          .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+             |sh AS (SELECT lang, sqrt(cnt) AS w, (SELECT sum(sqrt(cnt)) FROM c) AS z FROM c),
+             |q AS (SELECT lang, floor(200 * w / z + 1e-9)::BIGINT AS quota FROM sh),
+             |r AS (SELECT lang, row_number() OVER (
+             |  PARTITION BY lang ORDER BY md5(doc_id::VARCHAR)) AS rk FROM documents)
+             |SELECT r.lang AS lang, count(*) AS n FROM r JOIN q ON r.lang = q.lang
+             |WHERE rk <= quota GROUP BY r.lang
+             |ORDER BY r.lang""".stripMargin.replace('\n', ' '))),
+
     // ---- deterministic WEIGHTED per-group sample: Efraimidis-Spirakis
     // keys over a hash-derived uniform — the weighted-reservoir
     // distribution, yet engine-independent and FULLY oracle-checked

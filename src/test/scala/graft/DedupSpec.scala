@@ -300,6 +300,23 @@ class DedupSpec extends AnyFunSuite {
     assert(reps == Set(4L))
   }
 
+  test("semanticDedup keeps one representative per embedding-dup group") {
+    import spark.implicits._
+    // orthogonal one-hot base vectors; ids 100+i duplicate i exactly
+    def vec(i: Int): Seq[Float] =
+      (0 until 24).map(j => if (j == i) 1.0f else 0.0f)
+    val rows = (0 until 24).map(i => (i.toLong, vec(i))) ++
+      (0 until 8).map(i => ((100 + i).toLong, vec(i)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val kept = graft.operators.Dedup
+      .semanticDedup(emb, "vec_id", "embedding", threshold = 0.999, nClusters = 4)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // every dup group keeps exactly its min id; singletons survive
+    assert((0 until 24).forall(i => kept.contains(i.toLong)))
+    assert((0 until 8).forall(i => !kept.contains((100 + i).toLong)),
+      s"kept=$kept")
+  }
+
   test("chunkTokens covers every token with the declared overlap") {
     import spark.implicits._
     val doc = (1 to 47).map(i => s"t$i").mkString(" ")
