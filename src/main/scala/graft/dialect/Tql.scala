@@ -221,7 +221,8 @@ object Tql {
       "EST_TOKEN_COUNT" -> (a => graft.operators.TextAnalysis.estTokenCount(a.head)),
       "BAG_FINGERPRINT" -> (a => graft.operators.TextAnalysis.bagFingerprint(a.head)),
       "NORMALIZE_UNICODE" -> (a => graft.functions.gf.normalize_unicode(a.head)),
-      "STRIP_ACCENTS" -> (a => graft.functions.gf.strip_accents(a.head)))
+      "STRIP_ACCENTS" -> (a => graft.functions.gf.strip_accents(a.head)),
+      "PII_REDACT" -> (a => graft.operators.Pii.redact(a.head)))
 
     def register(name: String, impl: Impl): Unit =
       entries += name.toUpperCase -> impl

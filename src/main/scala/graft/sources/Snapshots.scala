@@ -196,7 +196,10 @@ object Snapshots {
       branch: String = Main): DataFrame = {
     val v = version.getOrElse(currentVersion(root, branch))
     val paths = segments(root, v, branch).map(s => Paths.get(root, s).toString)
-    spark.read.parquet(paths: _*)
+    // mergeSchema: segments written before a column was added simply
+    // lack it; the merged read null-fills them (schema-evolution
+    // merge-on-read, footer-only cost)
+    spark.read.option("mergeSchema", "true").parquet(paths: _*)
   }
 
   /** Create version 1 from `df`. */
@@ -205,13 +208,23 @@ object Snapshots {
     commit(root, Seq(newSegment(root, df)), Main)
   }
 
-  /** Append rows — writes only the delta segment (schema must match). */
+  /** Append rows — writes only the delta segment. By default the schema
+    * must match; `allowSchemaEvolution` accepts NEW columns (old
+    * segments null-fill them at read via the merged-schema open) and
+    * MISSING columns (the new segment null-fills at read) — Delta-style
+    * `mergeSchema` append, still O(delta) write. */
   def append(spark: SparkSession, root: String, df: DataFrame,
-      branch: String = Main): Long = {
+      branch: String = Main, allowSchemaEvolution: Boolean = false): Long = {
     val cur = open(spark, root, branch = branch)
-    require(df.columns.sorted.sameElements(cur.columns.sorted),
-      s"append schema mismatch: ${df.columns.mkString(",")} vs ${cur.columns.mkString(",")}")
-    val aligned = df.select(cur.columns.map(col): _*)
+    if (!allowSchemaEvolution) {
+      require(df.columns.sorted.sameElements(cur.columns.sorted),
+        s"append schema mismatch: ${df.columns.mkString(",")} vs ${cur.columns.mkString(",")}")
+    }
+    val shared = cur.columns.filter(df.columns.contains)
+    val aligned =
+      if (allowSchemaEvolution)
+        df.select((shared ++ df.columns.filterNot(cur.columns.contains)).map(col): _*)
+      else df.select(cur.columns.map(col): _*)
     commit(root,
       segments(root, currentVersion(root, branch), branch) :+ newSegment(root, aligned),
       branch)

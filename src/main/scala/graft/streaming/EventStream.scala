@@ -97,6 +97,16 @@ object EventStream {
       .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"))
   }
 
+  /** Stream-static dimension enrichment: a streaming fact LEFT-joined
+    * to a small static dimension. The dim broadcasts, so the stream
+    * stays map-side (no shuffle, no state) and Spark re-resolves the
+    * static side per micro-batch — the slowly-changing-dimension
+    * enrichment every event pipeline runs. The SAME code executes on a
+    * batch frame (spec gates stream == batch). */
+  def enrich(events: DataFrame, dim: DataFrame,
+      keys: Seq[String]): DataFrame =
+    events.join(broadcast(dim), keys, "left")
+
   /** input/state/output rows for the custom-state profile operator */
   final case class EventRow(user_id: Long, event_type: String, value: Double, ts_us: Long)
   final case class UserState(n: Long, total: BigDecimal, lastTs: Long, types: Seq[String])

@@ -245,6 +245,29 @@ class SnapshotsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(after2 == Map(1L -> "a", 2L -> "B", 3L -> "c", 4L -> "D", 5L -> "e"))
   }
 
+  test("schema evolution: appended new column null-fills old segments at read") {
+    val root = freshRoot()
+    import spark.implicits._
+    Snapshots.create(spark, root, Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    // strict append still rejects a drifted schema
+    intercept[IllegalArgumentException] {
+      Snapshots.append(spark, root, Seq((3L, "c", 0.5)).toDF("id", "s", "score"))
+    }
+    Snapshots.append(spark, root, Seq((3L, "c", 0.5)).toDF("id", "s", "score"),
+      allowSchemaEvolution = true)
+    val cur = Snapshots.open(spark, root)
+    assert(cur.columns.sorted.toSeq == Seq("id", "s", "score"))
+    val byId = cur.collect().map(r =>
+      r.getLong(r.fieldIndex("id")) ->
+        (if (r.isNullAt(r.fieldIndex("score"))) None
+         else Some(r.getDouble(r.fieldIndex("score"))))).toMap
+    assert(byId == Map(1L -> None, 2L -> None, 3L -> Some(0.5)))
+    // an evolved table accepts appends missing the new column too
+    Snapshots.append(spark, root, Seq((4L, "d")).toDF("id", "s"),
+      allowSchemaEvolution = true)
+    assert(Snapshots.open(spark, root).count() == 4)
+  }
+
   test("tags pin a branch version") {
     val root = freshRoot()
     import spark.implicits._

@@ -85,6 +85,26 @@ class StreamingAndMultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("stream-static dimension enrichment matches the batch join exactly") {
+    import spark.implicits._
+    val dim = (0L until 50L).map(u => (u, s"seg${u % 3}")).toDF("user_id", "segment")
+    val enriched = EventStream.enrich(
+      EventStream.readEvents(spark, dir).filter(col("user_id") < 50),
+      dim, Seq("user_id"))
+    val q = EventStream.runToMemorySink(
+      enriched.select(col("event_id"), col("segment")), "stream_enrich", "append")
+    try {
+      val got = spark.table("stream_enrich").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val want = EventStream.enrich(
+          graft.sources.Tables(spark, dir, "events").filter(col("user_id") < 50),
+          dim, Seq("user_id"))
+        .select(col("event_id"), col("segment")).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == want && got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("custom-state user profiles: streaming updates converge to the batch result") {
     val q = EventStream.runToMemorySink(
       EventStream.userProfiles(

@@ -431,6 +431,13 @@ class TqlSpec extends AnyFunSuite with BeforeAndAfterAll {
         "SELECT QUALITY_SCORE(text) AS q FROM documents WHERE doc_id < 5")
         .collect().map(_.getDouble(0))
       assert(other.forall(q => q >= 0 && q <= 1))
+      // PII_REDACT is TQL-callable: scrub inline-built PII
+      val red = Tql.query(spark, dir,
+        """SELECT PII_REDACT(CONCAT(text, ' mail bob@x.io from 10.1.2.3')) AS t
+          |FROM documents WHERE doc_id < 3""".stripMargin)
+        .collect().map(_.getString(0))
+      assert(red.forall(t => t.contains("<EMAIL>") && t.contains("<IP>")
+        && !t.contains("bob@x.io")), red.mkString("\n"))
     } finally Tql.DatasetFunctions.clear()
   }
 
