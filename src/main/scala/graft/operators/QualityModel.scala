@@ -44,23 +44,18 @@ object QualityModel {
       .fit(feat), dim)
   }
 
-  /** Score docs: input columns + `quality_prob` (P(label=1)). */
-  def score(model: Model, docs: DataFrame, textCol: String): DataFrame = {
-    val firstElem = udfFreeSecond _
-    val scored = model.lr
+  /** Score docs: input columns + `quality_prob` (P(label=1), extracted
+    * from the probability vector via the native vector_to_array
+    * expression — no Scala UDF). */
+  def score(model: Model, docs: DataFrame, textCol: String): DataFrame =
+    model.lr
       .setPredictionCol("__pred").setRawPredictionCol("__raw")
       .setProbabilityCol("__prob")
       .transform(featurize(docs, textCol, model.dim))
-    firstElem(scored)
+      .withColumn("quality_prob",
+        round(element_at(
+          org.apache.spark.ml.functions.vector_to_array(col("__prob")), 2), 6))
       .drop("features", "__pred", "__raw", "__prob")
-  }
-
-  /** extract P(1) from the probability vector without a Scala UDF:
-    * vector_to_array is a native MLlib expression */
-  private def udfFreeSecond(scored: DataFrame): DataFrame =
-    scored.withColumn("quality_prob",
-      round(element_at(
-        org.apache.spark.ml.functions.vector_to_array(col("__prob")), 2), 6))
 
   /** held-out ROC AUC (MLlib evaluator over the P(1) score) — the spec
     * gate */

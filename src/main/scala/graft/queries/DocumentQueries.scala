@@ -668,6 +668,19 @@ object DocumentQueries extends QueryModule {
              |WHERE rk <= 3 AND doc_id < 100
              |ORDER BY doc_id, rk""".stripMargin.replace('\n', ' '))),
 
+    // ---- SemDeDup: embedding near-dup groups keep one representative;
+    // the pieces (pair generation, components) carry their own full
+    // oracles (q_dedup_embedding, q_dedup_components); the composition
+    // is gated by DedupSpec's planted-group test
+    "q_semantic_dedup" -> Q(
+      (s, dir) => graft.operators.Dedup.semanticDedup(
+          table(s, dir, "embeddings"), "vec_id", "embedding",
+          threshold = 0.99, nClusters = 16)
+        .groupBy(col("label")).agg(count(lit(1)).as("n_kept"))
+        .orderBy(col("label")),
+      None,
+      doc = "SemDeDup keeper counts by label; composition spec-gated in DedupSpec"),
+
     // ---- model-based quality filtering: distill the Gopher rules into
     // a hashed-BoW logistic regression (CCNet/LLaMA-style classifier),
     // train on a labeled slice, score the rest. Deterministic (hash

@@ -106,6 +106,14 @@ object StreamingDedup {
   def currentPairs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/pairs")
 
+  /** duplicate GROUPS over everything seen so far: connected components
+    * of the accumulated pair table. The pair table is matches-sized
+    * (tiny next to the corpus), so recomputing components on read is
+    * cheap; stream-accumulated pairs equal the batch operator's, so
+    * these components equal the batch components (spec-gated). */
+  def currentComponents(spark: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(currentPairs(spark, dir), "id_a", "id_b")
+
   /** EXACT dedup across the entire stream history with no state-store
     * growth (Spark's own `dropDuplicates` needs a watermark or keeps
     * every key in executor state forever): the seen-hash set lives in a

@@ -180,6 +180,11 @@ class IndexMaintenanceSpec extends AnyFunSuite {
       s"stream=${got.collect().toSeq} batch=${want.collect().toSeq}")
     // and the planted pairs really are found
     assert(got.count() >= 10)
+    // stream-accumulated components equal the batch components
+    val gotCc = graft.streaming.StreamingDedup
+      .currentComponents(spark, s"$tmp/nd")
+    val wantCc = graft.operators.Dedup.connectedComponents(want, "id_a", "id_b")
+    assert(gotCc.exceptAll(wantCc).isEmpty && wantCc.exceptAll(gotCc).isEmpty)
   }
 
   test("streaming exact dedup: history-wide, first arrival wins, no state store") {
