@@ -640,7 +640,7 @@ object DocumentQueries extends QueryModule {
              |p AS (SELECT doc_id, i AS pos, w[i] AS token FROM t, unnest(range(1, len(w)+1)) AS r(i)),
              |j AS (SELECT doc_id, pos, tok_id FROM p LEFT JOIN vid USING (token))
              |SELECT doc_id, count(*) AS n_tokens,
-             |sum(CASE WHEN tok_id IS NULL THEN 1 ELSE 0 END) AS n_oov,
+             |sum(CASE WHEN tok_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
              |array_to_string(list(coalesce(tok_id, -1) ORDER BY pos), ' ') AS token_ids
              |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace('\n', ' '))),
 

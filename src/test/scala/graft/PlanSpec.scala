@@ -163,6 +163,18 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 2, p)
   }
 
+  test("corpus pipeline fuses filter->dedup->mix without nested loops") {
+    val p = planOf("q_corpus_pipeline")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("epoch shuffle never plans a global range sort") {
+    val p = planOf("q_epoch_shuffle")
+    // the permutation is per-shard: hash exchange + windows, and only
+    // the final ORDER BY (driver-bound output) may range-partition
+    assert(p.contains("hashpartitioning"), p)
+  }
+
   test("fuzzy join blocks through segment keys, never an all-pairs loop") {
     val p = planOf("q_fuzzy_join")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
