@@ -176,19 +176,36 @@ object Snapshots {
     * The caller still applies its own filter for row-level precision. */
   def openPruned(spark: SparkSession, root: String, colName: String,
       lo: Double, hi: Double, version: Option[Long] = None,
+      branch: String = Main): DataFrame =
+    openPrunedAll(spark, root, Seq((colName, lo, hi)), version, branch)
+
+  /** segment survives the [lo, hi] conjunct on `colName`? (missing or
+    * unparsable stats keep the segment — pruning is IO-only) */
+  private def segOverlaps(root: String, seg: String, colName: String,
+      lo: Double, hi: Double): Boolean =
+    segmentStats(root, seg, colName) match {
+      case Some((mn, mx)) if mn != null && mx != null =>
+        try { mx.toDouble >= lo && mn.toDouble <= hi }
+        catch { case _: NumberFormatException => true }
+      case _ => true
+    }
+
+  /** Multi-column conjunctive pruning — the Z-order payoff at the table
+    * layer: a segment out of range on ANY conjunct cannot hold a
+    * surviving row, so predicates on SEVERAL clustered columns multiply
+    * their skipping power. Same contract as [[openPruned]]: always a
+    * superset of the true result; callers apply the row filter. */
+  def openPrunedAll(spark: SparkSession, root: String,
+      ranges: Seq[(String, Double, Double)], version: Option[Long] = None,
       branch: String = Main): DataFrame = {
     val v = version.getOrElse(currentVersion(root, branch))
     val keep = segments(root, v, branch).filter { seg =>
-      segmentStats(root, seg, colName) match {
-        case Some((mn, mx)) if mn != null && mx != null =>
-          try { mx.toDouble >= lo && mn.toDouble <= hi }
-          catch { case _: NumberFormatException => true }
-        case _ => true
-      }
+      ranges.forall { case (c, lo, hi) => segOverlaps(root, seg, c, lo, hi) }
     }
     if (keep.isEmpty)
       open(spark, root, Some(v), branch).limit(0)
-    else spark.read.parquet(keep.map(s => Paths.get(root, s).toString): _*)
+    else spark.read.option("mergeSchema", "true")
+      .parquet(keep.map(s => Paths.get(root, s).toString): _*)
   }
 
   /** Open the dataset at `version` (default: latest) on `branch`. */

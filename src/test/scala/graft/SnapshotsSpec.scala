@@ -220,6 +220,25 @@ class SnapshotsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Snapshots.segmentStats(root,
       Snapshots.open(spark, root).inputFiles.head
         .split("/").dropRight(1).last, "s").nonEmpty)
+    // conjunctive pruning: a second column's range compounds skipping
+    val root2 = freshRoot()
+    Snapshots.create(spark, root2,
+      (1L to 100L).map(i => (i, i % 10)).toDF("id", "b"))
+    Snapshots.append(spark, root2,
+      (101L to 200L).map(i => (i, 10 + i % 10)).toDF("id", "b"))
+    Snapshots.append(spark, root2,
+      (201L to 300L).map(i => (i, 20 + i % 10)).toDF("id", "b"))
+    // id range admits segments 2+3, b range only segment 2
+    val multi = Snapshots.openPrunedAll(spark, root2,
+      Seq(("id", 150.0, 300.0), ("b", 10.0, 19.0)))
+    val all2 = Snapshots.open(spark, root2)
+    assert(multi.inputFiles.length < all2.inputFiles.length / 2 + 1,
+      s"${multi.inputFiles.length} vs ${all2.inputFiles.length}")
+    val want2 = all2.filter(col("id").between(150, 300) && col("b").between(10, 19))
+      .collect().map(_.getLong(0)).toSet
+    val got2 = multi.filter(col("id").between(150, 300) && col("b").between(10, 19))
+      .collect().map(_.getLong(0)).toSet
+    assert(got2 == want2 && want2.nonEmpty)
   }
 
   test("mergeInto upserts by key; insertOnly appends only new keys") {
