@@ -317,6 +317,21 @@ class TqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.count() == want.count())
   }
 
+  test("cross-source join: two dataset URLs in one query (tql.md:232-246)") {
+    val d2 = "/root/testdata/sf0.01"
+    val got = Tql.query(spark, dir,
+      s"""SELECT a.r_regionkey, a.r_name, b.n_name
+         |FROM "file://$dir/region.parquet" AS a
+         |JOIN "file://$d2/nation.parquet" AS b ON a.r_regionkey == b.n_regionkey
+         |ORDER BY a.r_regionkey, b.n_name""".stripMargin)
+    val want = tbl("region").as("a")
+      .join(graft.sources.Tables(spark, d2, "nation").as("b"),
+        col("a.r_regionkey") === col("b.n_regionkey"))
+      .select(col("a.r_regionkey"), col("a.r_name"), col("b.n_name"))
+      .orderBy(col("a.r_regionkey"), col("b.n_name"))
+    assert(got.collect().toSeq == want.collect().toSeq && got.count() == 25)
+  }
+
   test("implicit FROM: ds.query form queries the dataset itself (tql.md:14-30)") {
     val docs = tbl("documents")
     val got = Tql.queryDataset(docs,
