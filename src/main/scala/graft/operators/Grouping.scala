@@ -27,7 +27,9 @@ object Grouping {
         sort_array(collect_list(struct(col(ordCol).as("o"), col(v).as("v")))),
         s => s.getField("v")).as(s"${v}_seq")
     }
-    df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    // no sequence columns referenced -> the group rows are just the keys
+    if (aggs.isEmpty) df.select(keys.map(col): _*).distinct()
+    else df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
   /** GROUP BY ... ACROSS SPACE (`group_statement.hpp:15-19`
@@ -42,7 +44,8 @@ object Grouping {
         sort_array(collect_list(struct(col(ordCol).as("o"), col(v).as("v")))),
         s => s.getField("v"))).as(s"${v}_cat")
     }
-    df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    if (aggs.isEmpty) df.select(keys.map(col): _*).distinct()
+    else df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
   /** UNGROUP: explode a sequence column back to rows with 0-based pos */

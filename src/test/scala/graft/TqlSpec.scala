@@ -332,6 +332,31 @@ class TqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.collect().toSeq == want.collect().toSeq && got.count() == 25)
   }
 
+  test("GROUP BY with no sequence columns yields the distinct keys") {
+    val got = Tql.query(spark, dir,
+      "SELECT lang FROM documents GROUP BY lang ORDER BY lang")
+      .collect().map(_.getString(0)).toSeq
+    val want = tbl("documents").select("lang").distinct()
+      .orderBy("lang").collect().map(_.getString(0)).toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("concurrent queries: parallel TQL execution matches sequential (rag.md §4 query_async)") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val texts = (0 until 8).map(i =>
+      s"SELECT n_regionkey, n_name FROM nation WHERE n_nationkey > $i " +
+        "ORDER BY n_name LIMIT 7")
+    val sequential = texts.map(t =>
+      Tql.query(spark, dir, t).collect().map(_.toSeq).toSeq)
+    val parallel = Await.result(
+      Future.sequence(texts.map(t => Future {
+        Tql.query(spark, dir, t).collect().map(_.toSeq).toSeq
+      })), 120.seconds)
+    assert(parallel == sequential)
+  }
+
   test("implicit FROM: ds.query form queries the dataset itself (tql.md:14-30)") {
     val docs = tbl("documents")
     val got = Tql.queryDataset(docs,
