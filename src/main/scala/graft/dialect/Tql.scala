@@ -587,17 +587,35 @@ object Tql {
       col("*") +: finals.map { case (tmp, _, e) => expr(env, e, params).as(tmp) }: _*)
     var sEnv = Env(staged, env.aliases)
 
-    // SAMPLE BY weight [REPLACE b] LIMIT n — the limit is the sample size
+    // SAMPLE BY weight [REPLACE b] LIMIT n — the limit is the sample
+    // size. Without a LIMIT, a constant fraction in (0, 1] is the
+    // documented Bernoulli form (`tql.md:641`: "SAMPLE BY 0.1 -- 10%
+    // random sample") — a seeded per-row coin flip, no count pass.
     var limit = sel.limit
     sel.sampleBy.foreach { case (wExpr, replace) =>
-      val w = expr(sEnv, substAliases(wExpr, finals), params)
-      val n = limit.map(l => evalInt(l._1, params)).getOrElse(
-        throw new IllegalArgumentException("SAMPLE BY requires LIMIT n"))
-      limit = None
-      val sampled =
-        if (replace) Sampling.weightedSampleWithReplacement(sEnv.df, w, n, defaultSeed)
-        else Sampling.weightedSample(sEnv.df, w, n, defaultSeed)
-      sEnv = sEnv.copy(df = sampled)
+      val constFrac: Option[Double] = wExpr match {
+        case ast.Lit(v: Double) => Some(v)
+        case ast.Lit(v: Long) => Some(v.toDouble)
+        case ast.Param(i) if i < params.size => params(i) match {
+          case n: Number => Some(n.doubleValue)
+          case _ => None
+        }
+        case _ => None
+      }
+      (constFrac, limit) match {
+        case (Some(f), None) if f > 0 && f <= 1 && !replace =>
+          sEnv = sEnv.copy(df = sEnv.df.sample(withReplacement = false, f, defaultSeed))
+        case _ =>
+          val w = expr(sEnv, substAliases(wExpr, finals), params)
+          val n = limit.map(l => evalInt(l._1, params)).getOrElse(
+            throw new IllegalArgumentException(
+              "SAMPLE BY requires LIMIT n (or a constant fraction in (0,1] without LIMIT)"))
+          limit = None
+          val sampled =
+            if (replace) Sampling.weightedSampleWithReplacement(sEnv.df, w, n, defaultSeed)
+            else Sampling.weightedSample(sEnv.df, w, n, defaultSeed)
+          sEnv = sEnv.copy(df = sampled)
+      }
     }
 
     // ORDER BY (select aliases rewritten onto their staged temp columns)

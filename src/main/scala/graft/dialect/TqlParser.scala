@@ -160,7 +160,7 @@ class TqlParser(input: String) {
           pos += 1; Some(m.toUpperCase)
         case _ => Some("FORMATTED")
       }
-    val first = parseSelect()
+    val first = parseBranch()
     val selects = Seq.newBuilder[Select]
     val ops = Seq.newBuilder[String]
     selects += first
@@ -169,7 +169,7 @@ class TqlParser(input: String) {
       case Kw(op @ ("UNION" | "INTERSECT" | "EXCEPT")) =>
         pos += 1
         ops += op
-        selects += parseSelect()
+        selects += parseBranch()
       case _ => going = false
     }
     peek match {
@@ -177,6 +177,22 @@ class TqlParser(input: String) {
       case t => fail(s"trailing token $t")
     }
     Query(selects.result(), ops.result(), explainMode)
+  }
+
+  /** A set-op branch: a SELECT, optionally parenthesized — the
+    * reference documents the parenthesized form
+    * (`tql.md:350-366`: "(SELECT ... LIMIT 10) UNION (SELECT ...)"),
+    * which is how per-branch ORDER/LIMIT reads naturally. */
+  private def parseBranch(): Select =
+    if (eatSym("(")) {
+      val s = if (peekIsSym("(")) parseBranch() else parseSelect()
+      expectSym(")")
+      s
+    } else parseSelect()
+
+  private def peekIsSym(s: String): Boolean = peek match {
+    case Sym(x) => x == s
+    case _ => false
   }
 
   /** EXPAND BY h [w] [OVERLAP [bool]] [AS name] — the reference's docs
@@ -345,14 +361,14 @@ class TqlParser(input: String) {
   }
 
   private def parse0Subquery(): Query = {
-    val first = parseSelect()
+    val first = parseBranch()
     val selects = Seq.newBuilder[Select]
     val ops = Seq.newBuilder[String]
     selects += first
     var going = true
     while (going) peek match {
       case Kw(op @ ("UNION" | "INTERSECT" | "EXCEPT")) =>
-        pos += 1; ops += op; selects += parseSelect()
+        pos += 1; ops += op; selects += parseBranch()
       case _ => going = false
     }
     Query(selects.result(), ops.result())

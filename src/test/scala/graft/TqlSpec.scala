@@ -332,6 +332,28 @@ class TqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.collect().toSeq == want.collect().toSeq && got.count() == 25)
   }
 
+  test("parenthesized set-op branches parse (tql.md:350-366 documented form)") {
+    val got = Tql.query(spark, dir,
+      """(SELECT n_name FROM nation WHERE n_regionkey == 0 ORDER BY n_name LIMIT 3)
+        |UNION
+        |(SELECT n_name FROM nation WHERE n_regionkey == 1 ORDER BY n_name LIMIT 2)""".stripMargin)
+    assert(got.count() == 5)
+  }
+
+  test("SAMPLE BY constant fraction without LIMIT is a seeded Bernoulli sample (tql.md:641)") {
+    val a = Tql.query(spark, "/root/testdata/sf0.01",
+      "SELECT doc_id FROM documents SAMPLE BY 0.2").collect().map(_.getLong(0)).toSeq
+    // plausibly-sized subset, deterministic across runs
+    assert(a.length > 20 && a.length < 500 * 2 / 5)
+    val b = Tql.query(spark, "/root/testdata/sf0.01",
+      "SELECT doc_id FROM documents SAMPLE BY 0.2").collect().map(_.getLong(0)).toSeq
+    assert(a == b)
+    // weight-expression form still requires LIMIT
+    intercept[IllegalArgumentException] {
+      Tql.query(spark, dir, "SELECT n_name FROM nation SAMPLE BY n_nationkey").collect()
+    }
+  }
+
   test("GROUP BY with no sequence columns yields the distinct keys") {
     val got = Tql.query(spark, dir,
       "SELECT lang FROM documents GROUP BY lang ORDER BY lang")
