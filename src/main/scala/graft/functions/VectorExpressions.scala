@@ -53,7 +53,9 @@ abstract class BinaryVectorFold extends BinaryExpression with VectorArrayOp {
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    evalScala(x, y, math.min(x.numElements(), y.numElements()))
+    require(x.numElements() == y.numElements(),
+      s"$prettyName: vector length mismatch (${x.numElements()} vs ${y.numElements()})")
+    evalScala(x, y, x.numElements())
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -64,8 +66,15 @@ abstract class BinaryVectorFold extends BinaryExpression with VectorArrayOp {
       val vb = ctx.freshName("vb")
       val acc = (0 until accCount).map(k => ctx.freshName(s"acc$k"))
       val (init, step, finish) = loopBody(acc, va, vb, ev.value.toString)
+      // a silent min() here would truncate a mismatched pair and return
+      // a plausible-but-wrong number; shape mismatches fail loudly like
+      // the reference's nd-array ops
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |if ($a.numElements() != $b.numElements()) {
+         |  throw new IllegalArgumentException("$prettyName: vector length mismatch ("
+         |    + $a.numElements() + " vs " + $b.numElements() + ")");
+         |}
+         |final int $n = $a.numElements();
          |$init
          |for (int $i = 0; $i < $n; $i++) {
          |  final double $va = ${readJ(left, a, i)};

@@ -72,7 +72,10 @@ object gf {
     * array; `cpp/nd/functions.hpp:79-149`). */
   def tsum(a: Column): Column =
     aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double"))
-  def tavg(a: Column): Column = tsum(a) / size(a)
+  // NULL (not a divide-by-zero crash) for an empty array, matching SQL
+  // AVG-of-nothing
+  def tavg(a: Column): Column =
+    tsum(a) / when(size(a) === 0, lit(null)).otherwise(size(a))
   def tmin(a: Column): Column = array_min(a)
   def tmax(a: Column): Column = array_max(a)
   def tprod(a: Column): Column =

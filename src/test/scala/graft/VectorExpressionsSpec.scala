@@ -94,4 +94,21 @@ class VectorExpressionsSpec extends AnyFunSuite {
     val pooled = bag.select(gf.mean_pool_rows(col("bag"))).head().getSeq[Double](0)
     assert(pooled === Seq(2.0, 4.0))
   }
+
+  test("vector kernels reject mismatched lengths; AVG of empty is NULL") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+    val e = intercept[Exception] {
+      df.select(gf.cosine_similarity(col("a"), col("b"))).collect()
+    }
+    def root(t: Throwable): Throwable =
+      if (t.getCause == null || t.getCause == t) t else root(t.getCause)
+    assert(root(e).getMessage.contains("length mismatch"), root(e).getMessage)
+    // nulls still propagate as null, not as an error
+    val withNull = Seq((Array(1.0f), Option.empty[Array[Float]])).toDF("a", "b")
+    assert(withNull.select(gf.dot(col("a"), col("b"))).head().isNullAt(0))
+    // AVG/MEAN over an empty slice is NULL
+    val empty = Seq(Tuple1(Array.empty[Float])).toDF("a")
+    assert(empty.select(gf.tavg(col("a"))).head().isNullAt(0))
+  }
 }
