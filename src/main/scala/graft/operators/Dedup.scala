@@ -558,30 +558,33 @@ object Dedup {
     def segStart(total: Column, i: Column) = // 0-based
       (i * floor(total / lit(k)).cast("int") + least(i, total % lit(k)))
         .cast("int")
-    // right side: its own d+1 segments
+    // right side: its own d+1 segments. A string shorter than d+1 has
+    // EMPTY segments; they must still post (an empty segment matches at
+    // any position), or short-string pairs ("a"~"b" at d=1) are missed.
     val r = right.select(col(rightId).as("id_r"), col(rightStr).as("s_r"))
       .withColumn("len_r", length(col("s_r")))
       .withColumn("i", explode(sequence(lit(0), lit(maxDist))))
       .withColumn("seg", col("s_r").substr(
         segStart(col("len_r"), col("i")) + 1, segLen(col("len_r"), col("i"))))
-      .filter(length(col("seg")) >= 1)
       .select(col("id_r"), col("len_r"), col("i"), col("seg"))
     // left side: for every compatible right length and segment index,
-    // the substrings at positions within +-maxDist of that segment
+    // the substrings at positions within +-maxDist of that segment; a
+    // zero-length segment needs exactly one (empty) probe key
     val l0 = left.select(col(leftId).as("id_l"), col(leftStr).as("s_l"))
       .withColumn("len_l", length(col("s_l")))
       .withColumn("len_r", explode(sequence(
         col("len_l") - maxDist, col("len_l") + maxDist)))
-      .filter(col("len_r") >= 1)
+      .filter(col("len_r") >= 0)
       .withColumn("i", explode(sequence(lit(0), lit(maxDist))))
       .withColumn("sl", segLen(col("len_r"), col("i")))
       .withColumn("ss", segStart(col("len_r"), col("i")))
-      .filter(col("sl") >= 1)
     val lo = greatest(lit(0), col("ss") - maxDist)
     val hi = least(col("len_l") - col("sl"), col("ss") + maxDist)
     val l = l0
-      .withColumn("p", explode(when(lo <= hi, sequence(lo, hi))
-        .otherwise(array().cast("array<int>"))))
+      .withColumn("p", explode(
+        when(col("sl") === 0, array(lit(0)))
+          .otherwise(when(lo <= hi, sequence(lo, hi))
+            .otherwise(array().cast("array<int>")))))
       .withColumn("seg", col("s_l").substr(col("p") + 1, col("sl")))
       .select(col("id_l"), col("s_l"), col("len_r"), col("i"), col("seg"))
     l.join(r, Seq("len_r", "i", "seg"))

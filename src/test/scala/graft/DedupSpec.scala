@@ -317,6 +317,28 @@ class DedupSpec extends AnyFunSuite {
       s"kept=$kept")
   }
 
+  test("fuzzyJoin stays complete on short strings (brute-force parity incl. empties)") {
+    import spark.implicits._
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val strs = Seq("", "a", "b", "ab", "ba", "abc", "xyz", "ax", "x", "abcd")
+    val df = strs.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "s")
+    val got = graft.operators.Dedup.fuzzySelfJoin(df, "id", "s", 1)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for {
+      (a, i) <- strs.zipWithIndex; (b, j) <- strs.zipWithIndex
+      if i < j && lev(a, b) <= 1
+    } yield (i.toLong, j.toLong)).toSet
+    assert(got == want, s"got=$got want=$want")
+  }
+
   test("chunkTokens covers every token with the declared overlap") {
     import spark.implicits._
     val doc = (1 to 47).map(i => s"t$i").mkString(" ")
