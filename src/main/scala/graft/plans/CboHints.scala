@@ -153,8 +153,7 @@ object StatsCatalog {
   * fact join. Conservative by construction: no stats for a side's
   * relation, or any unrecognized operator in between, means no estimate
   * and no hint — Spark plans exactly as before. */
-case class CboHints(spark: SparkSession) extends Rule[LogicalPlan]
-    with PredicateHelper {
+case class CboHints(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def thresholdBytes: Long =
     Try(spark.conf.get("spark.graft.cbo.broadcastBytes").toLong)
@@ -164,8 +163,8 @@ case class CboHints(spark: SparkSession) extends Rule[LogicalPlan]
     if (StatsCatalog.inactive) plan
     else plan.transformUp {
       case j @ Join(l, r, tpe, _, JoinHint.NONE) =>
-        val lB = estimateBytes(l)
-        val rB = estimateBytes(r)
+        val lB = CboEstimator.estimateBytes(l)
+        val rB = CboEstimator.estimateBytes(r)
         def small(b: Option[Long]) = b.exists(_ <= thresholdBytes)
         val canL = tpe match { case Inner | Cross | RightOuter => true; case _ => false }
         val canR = tpe match { case Inner | Cross | LeftOuter | LeftSemi | LeftAnti => true; case _ => false }
@@ -176,6 +175,13 @@ case class CboHints(spark: SparkSession) extends Rule[LogicalPlan]
         else if (pickL) j.copy(hint = JoinHint(Some(HintInfo(Some(BROADCAST))), None))
         else j
     }
+}
+
+/** Bottom-up cardinality/width estimation over [[StatsCatalog]] stats,
+  * shared by [[CboHints]] (broadcast side choice) and [[JoinReorder]]
+  * (join order choice). Conservative: any unrecognized operator kills
+  * the estimate rather than guessing. */
+private[plans] object CboEstimator extends PredicateHelper {
 
   /** Estimate for a subtree: output rows, decoded bytes per row, and the
     * column stats still visible in the subtree's output (keyed by ExprId
@@ -183,13 +189,13 @@ case class CboHints(spark: SparkSession) extends Rule[LogicalPlan]
     * `baseRows` is the row count of the attribute's SOURCE table — MCV
     * frequencies and NDVs are fractions of that, not of the (already
     * filtered) subtree cardinality. */
-  private case class AttrStats(cs: StatsCatalog.ColStats, baseRows: Long)
-  private case class Est(rows: Double, bytesPerRow: Double,
+  final case class AttrStats(cs: StatsCatalog.ColStats, baseRows: Long)
+  final case class Est(rows: Double, bytesPerRow: Double,
       cols: Map[ExprId, AttrStats])
 
   /** estimated in-memory bytes of `plan`, None when any part is
     * un-estimable */
-  private def estimateBytes(plan: LogicalPlan): Option[Long] =
+  def estimateBytes(plan: LogicalPlan): Option[Long] =
     estimate(plan).map(e => math.ceil(e.rows * e.bytesPerRow).toLong)
 
   /** Bottom-up cardinality propagation. Conservative: any operator this
@@ -199,7 +205,7 @@ case class CboHints(spark: SparkSession) extends Rule[LogicalPlan]
     * by each side's estimated rows — a filter that kept 20 rows cannot
     * contribute 20k distinct keys), so a small filtered-dim JOIN dim
     * subtree is itself recognized as broadcastable into a fact join. */
-  private def estimate(plan: LogicalPlan): Option[Est] = plan match {
+  def estimate(plan: LogicalPlan): Option[Est] = plan match {
     case rel @ LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
       for {
         root <- fs.location.rootPaths.map(_.toString) match {
