@@ -65,14 +65,24 @@ object Bench {
     def phase(name: String): Unit =
       System.err.println(f"[bench] t=${(System.nanoTime() - bench0) / 1e9}%.1fs $name")
 
+    // Everything that can break per-table or per-index is isolated: one
+    // broken table must never zero the whole round's artifact (r6 lost
+    // its entire bench to a single unreadable table in this loop). The
+    // names land in the JSON's "errors" list.
+    val errors = scala.collection.mutable.LinkedHashSet.empty[String]
+
     // warm-up: touch every table once (codegen + file index + JIT) and
     // build the persisted index artifacts — index construction is a
     // once-per-dataset batch job, not part of any query's measured time
     graft.sources.Tables.all.foreach { t =>
-      graft.sources.Tables(spark, sfDir, t).write.format("noop").mode("overwrite").save()
+      try graft.sources.Tables(spark, sfDir, t).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        errors += s"table:$t"
+        System.err.println(s"[bench] table $t unreadable: ${e.getMessage}")
+      }
     }
     phase("tables warmed")
-    graft.operators.IndexStore.warmAll(spark, sfDir)
+    graft.operators.IndexStore.warmAll(spark, sfDir).foreach(n => errors += s"index:$n")
     phase("index artifacts ready")
     // codegen/JIT warm pass: run every query SHAPE once against a tiny
     // (256-row) slice of the corpus. Whole-stage-codegen classes are
@@ -85,13 +95,16 @@ object Bench {
       val d = new java.io.File("target/bench-warm").getAbsolutePath
       val ready = new java.io.File(d, "_GRAFT_READY")
       if (!ready.exists()) {
-        // raw read (nanosAsLong set first so events' TIMESTAMP(NANOS) is
-        // readable); the rewritten slice round-trips through Tables the
-        // same way the original does
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        // raw read; the rewritten slice round-trips through Tables the
+        // same way the original does (the schema-adaptive events read
+        // handles either corpus generation). Per-table isolation: a
+        // broken table just leaves its slice absent.
         graft.sources.Tables.all.foreach { t =>
-          spark.read.parquet(s"$sfDir/$t.parquet").limit(256)
+          try spark.read.parquet(s"$sfDir/$t.parquet").limit(256)
             .write.mode("overwrite").parquet(s"$d/$t.parquet")
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] warm slice $t failed: ${e.getMessage}")
+          }
         }
         java.nio.file.Files.write(ready.toPath, Array.emptyByteArray)
       }
@@ -132,29 +145,38 @@ object Bench {
     val headlineNames = (Headline.names & known).toSeq.sorted
     val tailNames = (known -- Headline.names).toSeq.sorted
 
-    def run1(name: String): Double = {
+    def run1(name: String): Option[Double] = {
       // drop persisted frames from the previous query: leftover cache
       // blocks from 100+ earlier queries otherwise evict-churn the block
       // manager and couple one query's timing to another's footprint
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
+      try {
+        SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
+        errors += s"query:$name"
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        None
       }
-      (System.nanoTime() - t0) / 1e9
     }
 
     // host-health sentinel: a fixed cheap scan-agg shape, median of 3 —
     // it measures the machine, not the library, so any large swing
     // between checkpoints flags the whole run as untrustworthy
-    val sentinelDf = graft.sources.Tables(spark, sfDir, "lineitem")
-    def sentinel(): Double = median((1 to 3).map { _ =>
+    val sentinelDf =
+      try Some(graft.sources.Tables(spark, sfDir, "lineitem"))
+      catch { case e: Throwable =>
+        errors += "sentinel:lineitem"
+        System.err.println(s"[bench] sentinel table unreadable: ${e.getMessage}")
+        None
+      }
+    def sentinel(): Double = sentinelDf.fold(0.0)(df => median((1 to 3).map { _ =>
       val t0 = System.nanoTime()
-      sentinelDf.groupBy("l_returnflag").count()
+      df.groupBy("l_returnflag").count()
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
-    })
+    }))
 
     val benchBudgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "450").toInt
     val headReps = sys.env.getOrElse("SPARK_GRAFT_HEAD_REPS", "3").toInt
@@ -165,17 +187,22 @@ object Bench {
     // always be present); reps 2..n refine the median while the budget
     // allows. Returns (per-query medians, sentinel-after).
     def headlinePass(): (Map[String, Double], Double) = {
-      val reps = headlineNames.map { n => n -> scala.collection.mutable.ArrayBuffer(run1(n)) }.toMap
+      val reps = headlineNames.map { n =>
+        n -> scala.collection.mutable.ArrayBuffer(run1(n).toSeq: _*)
+      }.toMap
       (2 to headReps).foreach { _ =>
         headlineNames.foreach { n =>
-          if (elapsed() < benchBudgetSec) reps(n) += run1(n)
+          // a query that already failed is not retried — its error is
+          // recorded once and its slot yields to the rest of the pass
+          if (elapsed() < benchBudgetSec && !errors.contains(s"query:$n"))
+            reps(n) ++= run1(n)
         }
       }
       headlineNames.foreach { n =>
         System.err.println(s"[bench] headline reps $n: " +
-          reps(n).map(t => f"$t%.2f").mkString(" "))
+          (if (reps(n).isEmpty) "FAILED" else reps(n).map(t => f"$t%.2f").mkString(" ")))
       }
-      val meds = reps.map { case (n, ts) => n -> median(ts.toSeq) }
+      val meds = reps.collect { case (n, ts) if ts.nonEmpty => n -> median(ts.toSeq) }.toMap
       (meds, sentinel())
     }
 
@@ -183,9 +210,11 @@ object Bench {
     // the sentinel shape aren't billed to the first measured checkpoint
     // (a slow-looking start sentinel would be indistinguishable from a
     // host degradation window)
-    (1 to 3).foreach { _ =>
-      sentinelDf.groupBy("l_returnflag").count()
-        .write.format("noop").mode("overwrite").save()
+    sentinelDf.foreach { df =>
+      (1 to 3).foreach { _ =>
+        df.groupBy("l_returnflag").count()
+          .write.format("noop").mode("overwrite").save()
+      }
     }
     val sentinelStart = sentinel()
     phase(f"sentinel start: $sentinelStart%.2fs")
@@ -209,10 +238,12 @@ object Bench {
     }
 
     // non-headline tail: single rep, budget-skippable
+    var tailAttempted = 0
     val tailResults = tailNames.flatMap { n =>
-      if (elapsed() > benchBudgetSec) None else Some(n -> run1(n))
+      if (elapsed() > benchBudgetSec) None
+      else { tailAttempted += 1; run1(n).map(n -> _) }
     }
-    val budgetSkipped = tailNames.size - tailResults.size
+    val budgetSkipped = tailNames.size - tailAttempted
     if (budgetSkipped > 0)
       System.err.println(s"[bench] bench budget (${benchBudgetSec}s) hit; $budgetSkipped tail queries unmeasured (budget, not stale list)")
     val sentinelEnd = sentinel()
@@ -234,9 +265,10 @@ object Bench {
     // cross-round totals stay comparable to a full single-rep run
     val total = results.map(_._2).sum
     val sentinelJson = sentinels.map(s => f"$s%.3f").mkString("[", ",", "]")
+    val errorsJson = errors.map(e => "\"" + e + "\"").mkString("[", ",", "]")
     val meta =
       s""""measured":${results.size},"skipped":$budgetSkipped,"unknown_headliners":${unknownHeadliners.size},""" +
-        s""""degraded":$degraded,"sentinel_sec":$sentinelJson,"head_reps":$headReps"""
+        s""""errors":$errorsJson,"degraded":$degraded,"sentinel_sec":$sentinelJson,"head_reps":$headReps"""
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec",$meta,"queries":$qs,"sf":"$sfDir"}"""
     println(line)

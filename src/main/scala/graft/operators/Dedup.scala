@@ -171,20 +171,26 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, numHashes: Int = 8, rowsPerBand: Int = 2,
       hotKeyThreshold: Int = 100000, numSalts: Int = 16): DataFrame = {
-    // NOT persisted: `shingled` ends in a repartition, so ReuseExchange
-    // already computes the shingling once and shares it across the
-    // signature pass and both verify-join sides. Caching the raw
-    // shingle-string arrays (unlike ngram's fixed-width hash arrays)
-    // costs more in serialization than the shared exchange saves —
-    // measured ~2x slower at sf0.1.
     val s = shingled(docs, idCol, textCol)
-    // native one-loop signature (graft.functions.MinHashSignature),
-    // staged as a column so band keys read it instead of recomputing
-    val withSig = s.select(col("id"),
+    // One narrow frame carries everything downstream needs — the minhash
+    // signature (band keys read it instead of recomputing) plus the
+    // shingle set as sorted 64-bit hashes (fixed-width verify rows, long
+    // compares; intersect/union counts unchanged barring a 2^-64
+    // collision, same trick as ngramJaccardPairs). Persisted ONCE so the
+    // expensive shingling+signature subtree runs exactly once across all
+    // its consumers: saltedPairJoin's hot-key probe is its OWN job
+    // (ReuseExchange cannot help across actions — r6 measured 13x
+    // regression from exactly that recompute), plus both candidate-join
+    // sides and both verify sides. The raw shingle strings are dropped
+    // before the cache: caching them measured ~2x slower at sf0.1.
+    val staged = s.select(col("id"),
       org.apache.spark.sql.graft.Bridge.column(
         graft.functions.MinHashSignature(
           org.apache.spark.sql.graft.Bridge.expression(col("sh")), numHashes))
-        .as("__sig"))
+        .as("__sig"),
+      array_sort(transform(col("sh"), x => xxhash64(x))).as("shh"),
+      size(col("sh")).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // band layout MUST match TextAnalysis.bandKeys (grouped => a trailing
     // partial band when rowsPerBand doesn't divide numHashes) so both LSH
     // surfaces produce identical candidate sets for the same parameters
@@ -193,7 +199,7 @@ object Dedup {
     }.toSeq
     // carry only (id, band) through the candidate join; shingle sets
     // rejoin afterwards for the (much smaller) verify step
-    val banded = withSig.select(col("id"),
+    val banded = staged.select(col("id"),
       posexplode(array(bands: _*)).as(Seq("band_idx", "band_key")))
     // a boilerplate band key shared by > hotKeyThreshold docs (mass-
     // duplicated templates are routine in web corpora) salt-splits
@@ -201,10 +207,15 @@ object Dedup {
         col("a.id") < col("b.id"), Seq("id"), hotKeyThreshold, numSalts)
       .dropDuplicates("id_a", "id_b")
     cand
-      .join(s.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(s.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .join(staged.select(col("id").as("id_a"), col("shh").as("sh_a"),
+        col("cnt").as("cnt_a")), "id_a")
+      .join(staged.select(col("id").as("id_b"), col("shh").as("sh_b"),
+        col("cnt").as("cnt_b")), "id_b")
+      // |A∩B| / |A∪B| over the hashed sets; 0/0 -> null -> filtered, the
+      // same empty-set behavior as TextAnalysis.jaccard on the raw sets
+      .withColumn("c", size(array_intersect(col("sh_a"), col("sh_b"))))
       .select(col("id_a"), col("id_b"),
-        round(jaccard(col("sh_a"), col("sh_b")), 6).as("jac"))
+        round(col("c").cast("double") / (col("cnt_a") + col("cnt_b") - col("c")), 6).as("jac"))
       .filter(col("jac") >= threshold)
   }
 

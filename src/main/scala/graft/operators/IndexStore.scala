@@ -108,17 +108,29 @@ object IndexStore {
 
   /** Build every artifact the benchmark queries search against — called
     * from Bench warm-up so index construction is billed to the build
-    * phase, exactly like the reference's maintained indexes. */
-  def warmAll(spark: SparkSession, sfDir: String): Unit = {
+    * phase, exactly like the reference's maintained indexes.
+    *
+    * Fault-tolerant: one broken source table must not zero the whole
+    * bench round, so each artifact build is isolated and the names of
+    * the ones that failed are returned for the artifact's "errors" list.
+    */
+  def warmAll(spark: SparkSession, sfDir: String): Seq[String] = {
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     def timed(name: String)(f: => Unit): Unit = {
       val t0 = System.nanoTime()
-      f
-      System.err.println(f"[index] $name ready in ${(System.nanoTime() - t0) / 1e9}%.1fs ($sfDir)")
+      try {
+        f
+        System.err.println(f"[index] $name ready in ${(System.nanoTime() - t0) / 1e9}%.1fs ($sfDir)")
+      } catch { case e: Throwable =>
+        failed += name
+        System.err.println(s"[index] $name FAILED: ${e.getMessage}")
+      }
     }
     timed("ann")(annQuantized(spark, sfDir)) // also serves the plain ann() projection
     timed("annPq")(annPq(spark, sfDir))
     timed("inverted")(inverted(spark, sfDir))
     timed("bm25")(bm25(spark, sfDir))
     timed("json")(json(spark, sfDir))
+    failed.toSeq
   }
 }

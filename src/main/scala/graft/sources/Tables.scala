@@ -17,10 +17,14 @@ object Tables {
 
   /** Open one table. `dir` is a scale-factor dir like /root/testdata/sf0.01
     *
-    * `events.ts` is stored as parquet TIMESTAMP(NANOS), which Spark has no
-    * native type for. We read it as a nanosecond long (`ts_ns`, exact —
-    * used for ordering parity with the nanosecond-precision oracle) and
-    * derive a microsecond `ts` TimestampType column for date functions.
+    * `events.ts` arrives in whatever parquet logical type the corpus
+    * generator chose — TIMESTAMP(MICROS) NTZ in the current generation,
+    * TIMESTAMP(NANOS) (read as a long) in earlier ones. Schema comes from
+    * the dataset, not an assumption (the reference resolves source schema
+    * per-dataset too, `cpp/tql/executor.hpp:82` `get_data_source`), so we
+    * branch on the type actually read and normalize to two columns:
+    * `ts` TimestampType (for date functions) and `ts_ns` nanosecond long
+    * (exact ordering parity with DuckDB's `epoch_ns`).
     */
   /** URL-shaped dataset reference: `scheme://...` (s3a/gs/abfs/file —
     * any Hadoop FS the cluster has credentials for), an absolute path, or
@@ -56,14 +60,29 @@ object Tables {
     if (isUrl(name)) return openUrl(spark, name, hadoopOpts)
     require(all.contains(name), s"unknown table $name")
     if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       import org.apache.spark.sql.functions._
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumnRenamed("ts", "ts_ns")
-        // integer DIV, not `/`: Column./ is DOUBLE division, which rounds
-        // 18-digit nanos up by 1us for some values (truncation must match
-        // the oracle's epoch_us exactly)
-        .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
+      import org.apache.spark.sql.types._
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case LongType =>
+          // TIMESTAMP(NANOS) corpus read under nanosAsLong: nanos arrive
+          // as a BIGINT. Integer DIV, not `/`: Column./ is DOUBLE
+          // division, which rounds 18-digit nanos up by 1us for some
+          // values (truncation must match the oracle's epoch_us exactly).
+          raw.withColumnRenamed("ts", "ts_ns")
+            .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
+        case _: TimestampNTZType | _: TimestampType =>
+          // TIMESTAMP(MICROS) corpus (NTZ or UTC-adjusted). Session TZ is
+          // UTC, so the NTZ->timestamp cast is exact, and micros*1000
+          // equals DuckDB's epoch_ns on the same file — every nanosecond
+          // oracle holds unchanged.
+          raw.withColumn("ts", col("ts").cast(TimestampType))
+            .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+        case other =>
+          throw new IllegalStateException(
+            s"events.ts has unsupported type $other; expected " +
+              "timestamp/timestamp_ntz (micros corpus) or bigint (nanos)")
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 

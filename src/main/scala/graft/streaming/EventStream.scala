@@ -9,25 +9,33 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   * so this goes beyond parity: watermarked tumbling-window aggregation
   * exactly matching the batch q_events_hourly results).
   *
-  * The parquet file source reads TIMESTAMP(NANOS) as long (nanosAsLong),
-  * so the stream derives the microsecond event-time column the same way
-  * graft.sources.Tables does — batch/stream parity by construction.
+  * The stream derives `ts`/`ts_ns` from whatever logical type the corpus
+  * stores (TIMESTAMP(MICROS) NTZ currently; nanos-as-long in older
+  * generations) the same way graft.sources.Tables does — batch/stream
+  * parity by construction.
   */
 object EventStream {
 
   /** open the events dir as a file-source stream; `glob` widens the file
     * filter (e.g. "*.parquet" for a multi-file landing dir) */
   def readEvents(spark: SparkSession, dir: String, glob: String = "events.parquet"): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import org.apache.spark.sql.types._
     val schema = spark.read.option("pathGlobFilter", glob).parquet(dir).schema
     // the table is a single parquet FILE; the file stream source wants a
     // directory, so stream the parent dir filtered to this one file
-    spark.readStream.schema(schema)
+    val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", glob)
       .parquet(dir)
-      .withColumnRenamed("ts", "ts_ns")
-      // integer DIV, not `/` (double division rounds some nanos up 1us)
-      .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
+    schema("ts").dataType match {
+      case LongType =>
+        stream.withColumnRenamed("ts", "ts_ns")
+          // integer DIV, not `/` (double division rounds some nanos up 1us)
+          .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
+      case _ =>
+        // micros corpus; UTC session makes the NTZ cast exact
+        stream.withColumn("ts", col("ts").cast(TimestampType))
+          .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+    }
   }
 
   /** watermarked tumbling-window counts per event type */
