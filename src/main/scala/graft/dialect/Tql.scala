@@ -506,22 +506,35 @@ object Tql {
 
     // EXPAND BY h w [OVERLAP]: tile the (single) tensor column into
     // patches. Patch dims come from the clause; the tensor's own dims
-    // come from a one-row metadata peek (the reference reads them from
-    // the column's htype; flat arrays here are assumed square, which
-    // matches the reference's imaging examples — tql.md:370-386)
+    // come from the column's "shape" metadata when present (the analog
+    // of the reference reading them from the column's htype,
+    // `cpp/heimdall_common/spatial_column.hpp:19` — attach with
+    // Multimodal.withShape), so rectangular tensors tile correctly;
+    // without metadata a one-row peek assumes square, matching the
+    // reference's imaging examples (tql.md:370-386)
     sel.expand.foreach { ex =>
-      val tcol = env.df.schema.fields
+      val fld = env.df.schema.fields
         .find(_.dataType.isInstanceOf[ArrayType])
         .getOrElse(throw new IllegalArgumentException(
           "EXPAND BY requires an array (tensor) column in the source"))
-        .name
-      val n = env.df.select(size(col(tcol))).limit(1).collect()(0).getInt(0)
-      val side = math.sqrt(n.toDouble).toInt
-      require(side * side == n,
-        s"EXPAND BY on a flat array needs a square tensor; $tcol has $n elements")
+      val tcol = fld.name
+      val (rows, cols) =
+        if (fld.metadata.contains("shape")) {
+          val dims = fld.metadata.getLongArray("shape")
+          require(dims.length == 2,
+            s"EXPAND BY needs 2-d shape metadata on $tcol, got ${dims.mkString("x")}")
+          (dims(0).toInt, dims(1).toInt)
+        } else {
+          val n = env.df.select(size(col(tcol))).limit(1).collect()(0).getInt(0)
+          val side = math.sqrt(n.toDouble).toInt
+          require(side * side == n,
+            s"EXPAND BY on a flat array needs a square tensor (or shape " +
+              s"metadata for rectangles); $tcol has $n elements")
+          (side, side)
+        }
       val keep = env.df.columns.filterNot(c => c == tcol || c == RowNumCol).toSeq
       val alias = ex.alias.getOrElse("patch")
-      val tiled = Grouping.expandBy(env.df, tcol, side, side, ex.h, ex.w,
+      val tiled = Grouping.expandBy(env.df, tcol, rows, cols, ex.h, ex.w,
           ex.overlap, keep)
         .withColumnRenamed("patch", alias)
       env = Env(tiled, Map.empty)
@@ -1017,6 +1030,32 @@ object Tql {
       case "QUANTIZE" => gf.quantize(a0)
       case "MEAN_POOL_ROWS" => gf.mean_pool_rows(a0)
       case "SHAPE" => gf.shape(a0)
+      // sample_info tensor property (`cpp/tql/tensor_property.hpp:7-12`):
+      // binary payloads parse their real container headers (image/WAV/MP4
+      // via graft.functions.SampleInfo); array tensors report element
+      // dtype + logical shape ("shape" column metadata when declared —
+      // Multimodal.withShape — else the flat length)
+      case "SAMPLE_INFO" =>
+        dtype(env, a0) match {
+          case BinaryType =>
+            org.apache.spark.sql.graft.Bridge.column(
+              graft.functions.SampleInfo(
+                org.apache.spark.sql.graft.Bridge.expression(a0)))
+          case ArrayType(et, _) =>
+            val metaDims = argsAst.head match {
+              case ast.Ref(parts) =>
+                env.df.schema.fields.find(_.name == parts.last)
+                  .filter(_.metadata.contains("shape"))
+                  .map(_.metadata.getLongArray("shape").toSeq)
+              case _ => None
+            }
+            val shapeCol = metaDims
+              .map(ds => array(ds.map(d => lit(d)): _*))
+              .getOrElse(array(size(a0).cast("long")))
+            struct(lit(et.simpleString).as("dtype"), shapeCol.as("shape"))
+          case other => struct(lit(other.simpleString).as("dtype"),
+            array().cast("array<bigint>").as("shape"))
+        }
       case "NONZERO" => gf.nonzero(a0)
       case "KEYS" => gf.keys(a0)
       case "FLAT" => gf.flat(a0)

@@ -1,0 +1,71 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SAMPLE_INFO(payload): per-sample container metadata for a binary
+  * multimodal column — the engine's form of the reference's
+  * `sample_info` tensor property (`cpp/tql/tensor_property.hpp:7-12`,
+  * surfaced per-sample in python as `sample.sample_info`).
+  *
+  * Detection order image -> WAV -> MP4 over the real byte headers
+  * (graft.sources.Multimodal parsers — no codec library, pure header
+  * walks). The struct carries the union of the modality fields; fields a
+  * format doesn't define are null. Unknown payloads yield
+  * format="unknown" with all-null fields rather than failing the batch.
+  *
+  * CodegenFallback, deliberately: header parsing is per-sample metadata
+  * extraction (the reference PRECOMPUTES sample_info at ingest), not a
+  * hot query loop — correctness and bounded work matter, codegen does
+  * not.
+  */
+case class SampleInfo(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = SampleInfo.schema
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"SAMPLE_INFO expects a binary payload column, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    val (imgFmt, w, h) = graft.sources.Multimodal.parseImageHeader(b)
+    if (imgFmt != "unknown")
+      InternalRow(UTF8String.fromString(imgFmt), w, h, null, null, null)
+    else {
+      val (wavFmt, ch, rate, _, frames) = graft.sources.Multimodal.parseWavHeader(b)
+      if (wavFmt != "unknown")
+        InternalRow(UTF8String.fromString(wavFmt), null, null, ch, rate,
+          if (rate > 0) frames.toDouble / rate else null)
+      else {
+        val (brand, dur, vw, vh) = graft.sources.Multimodal.parseMp4(b)
+        if (brand != "unknown")
+          InternalRow(UTF8String.fromString(brand),
+            if (vw >= 0) vw else null, if (vh >= 0) vh else null,
+            null, null, dur)
+        else InternalRow(UTF8String.fromString("unknown"),
+          null, null, null, null, null)
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SampleInfo =
+    copy(child = newChild)
+}
+
+object SampleInfo {
+  val schema: StructType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("channels", IntegerType, nullable = true),
+    StructField("sample_rate", IntegerType, nullable = true),
+    StructField("duration", DoubleType, nullable = true)))
+}

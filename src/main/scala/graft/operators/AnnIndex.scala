@@ -277,6 +277,11 @@ object AnnIndex {
       filtered: Boolean, once: Int => DataFrame): DataFrame =
     if (!filtered) once(nProbe0)
     else {
+      // the filtered assignment view is read by the selectivity count and
+      // EVERY probe attempt (each a separate job — exchange reuse never
+      // spans them); persist once so a deficiency retry re-probes the
+      // cached semi-join instead of re-scanning the assignment table
+      assignBase.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val total = math.max(1L, allAssignments.count())
       val avail = assignBase.count()
       val selectivity = math.max(avail.toDouble / total, 1.0 / nClusters)

@@ -176,6 +176,41 @@ object TqlQueries extends QueryModule {
              |FROM embeddings, range(4) AS p(i) WHERE vec_id < 10
              |ORDER BY vec_id, patch_idx""".stripMargin.replace('\n', ' '))),
 
+    // EXPAND BY over a RECTANGULAR tensor: dims come from the column's
+    // "shape" metadata (Multimodal.withShape — the htype-dims analog,
+    // `cpp/heimdall_common/spatial_column.hpp:19`), not a square
+    // assumption: the flat-64 embedding is declared 4x16 and tiled into
+    // four 2x8 patches
+    "q_tql_expand_rect" -> Q(
+      (s, dir) => Tql.queryDataset(
+        graft.sources.Multimodal.withShape(
+          graft.sources.Tables(s, dir, "embeddings"), "embedding", 4, 16),
+        """SELECT vec_id, patch_idx, ROUND(SUM(patch), 6) AS patch_sum
+          |WHERE vec_id < 10 EXPAND BY 2 8 AS patch
+          |ORDER BY vec_id, patch_idx""".stripMargin),
+      Some("""SELECT vec_id, p.i::INTEGER AS patch_idx,
+             |round(list_aggregate(list_transform(range(0, 16), k ->
+             |  embedding[((p.i//2)*2 + k//8)*16 + (p.i%2)*8 + (k%8) + 1]::DOUBLE), 'sum'),6) AS patch_sum
+             |FROM embeddings, range(4) AS p(i) WHERE vec_id < 10
+             |ORDER BY vec_id, patch_idx""".stripMargin.replace('\n', ' '))),
+
+    // sample_info tensor property through the dialect
+    // (`cpp/tql/tensor_property.hpp:7-12`): dtype + logical shape of an
+    // array tensor, dims from the column's shape metadata (the binary
+    // header path — real image/WAV/MP4 parsing — is gated in
+    // MultimodalSpec, since DuckDB can't parse containers)
+    "q_tql_sample_info" -> Q(
+      (s, dir) => Tql.queryDataset(
+        graft.sources.Multimodal.withShape(
+          graft.sources.Tables(s, dir, "embeddings"), "embedding", 4, 16),
+        """SELECT vec_id, SAMPLE_INFO(embedding)['dtype'] AS dtype,
+          |SAMPLE_INFO(embedding)['shape'][0] AS d0,
+          |SAMPLE_INFO(embedding)['shape'][1] AS d1
+          |WHERE vec_id < 25 ORDER BY vec_id""".stripMargin),
+      Some("""SELECT vec_id, 'float' AS dtype, 4::BIGINT AS d0, 16::BIGINT AS d1
+             |FROM embeddings WHERE vec_id < 25 ORDER BY vec_id"""
+        .stripMargin.replace('\n', ' '))),
+
     // DATA(col, i) sample binding through the dialect (tql.md:414-417)
     "q_tql_data_at" -> Q(
       (s, dir) => Tql.query(s, dir,

@@ -30,6 +30,19 @@ object Multimodal {
     df.withColumn(payloadCol, col(srcCol).cast("binary").as(payloadCol, meta))
   }
 
+  /** Stamp a flat tensor column with its logical 2-d dims as "shape"
+    * column metadata — the engine's form of the reference's htype dims
+    * (`cpp/heimdall_common/spatial_column.hpp:19`): EXPAND BY reads it
+    * to tile rectangular tensors. Metadata rides the schema, so it
+    * survives projections that keep the column and costs nothing at
+    * execution time. */
+  def withShape(df: DataFrame, tensorCol: String, rows: Int, cols: Int): DataFrame = {
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .withMetadata(df.schema(tensorCol).metadata)
+      .putLongArray("shape", Array(rows.toLong, cols.toLong)).build()
+    df.withColumn(tensorCol, col(tensorCol).as(tensorCol, meta))
+  }
+
   /** REAL pixel decode via the JDK's built-in `javax.imageio`
     * (PNG/JPEG/GIF/BMP/WBMP — no external codec library required).
     * Pixels come out channel-interleaved, row-major, scaled to [0,1] by

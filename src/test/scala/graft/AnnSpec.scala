@@ -83,6 +83,10 @@ class AnnSpec extends AnyFunSuite {
     // every query returns min(k, survivors) rows — the probe reached
     // every cluster the survivors live in
     counts.foreach(r => assert(r.getLong(1) === math.min(10L, nKeep), r.toString))
+    // the retry plan probes the PERSISTED filtered-assignment view — a
+    // deficiency widening must not re-scan the assignment table per try
+    assert(res.queryExecution.optimizedPlan.toString.contains("InMemoryRelation"),
+      "filtered probe should read the cached assignment semi-join")
   }
 
   test("IVF-PQ recall@10 >= 0.6 at default config") {

@@ -364,4 +364,36 @@ class StreamingAndMultimodalSpec extends AnyFunSuite {
     assert(v.getInt(3) === 640 && v.getInt(4) === 360)
     assert(rows(1).getString(1) === "unknown")
   }
+
+  test("SAMPLE_INFO: per-sample metadata as a TQL property (tensor_property.hpp:7-12)") {
+    val spark2 = spark
+    import spark2.implicits._
+    // binary payloads: real container headers through the dialect
+    val png = testImage(12, 8, "png")
+    val wav = sineWav(8000, 440.0, 0.5, 4000)
+    val df = Seq((1L, png), (2L, wav), (3L, "mystery bytes".getBytes))
+      .toDF("id", "payload")
+    val out = graft.dialect.Tql.queryDataset(df,
+      """SELECT id, SAMPLE_INFO(payload)['format'] AS fmt,
+        |SAMPLE_INFO(payload)['width'] AS w,
+        |SAMPLE_INFO(payload)['sample_rate'] AS rate,
+        |SAMPLE_INFO(payload)['duration'] AS dur
+        |ORDER BY id""".stripMargin).collect()
+    assert(out(0).getString(1) === "png" && out(0).getInt(2) === 12)
+    assert(out(1).getString(1) === "wav" && out(1).getInt(3) === 8000)
+    assert(math.abs(out(1).getDouble(4) - 0.5) < 1e-9)
+    assert(out(2).getString(1) === "unknown" && out(2).isNullAt(2))
+
+    // array tensors: dtype + logical shape — flat fallback vs declared dims
+    val emb = Seq((1L, Array(1f, 2f, 3f, 4f, 5f, 6f))).toDF("id", "vec")
+    val flat = graft.dialect.Tql.queryDataset(emb,
+      "SELECT id, SAMPLE_INFO(vec)['dtype'] AS dt, SAMPLE_INFO(vec)['shape'] AS sh")
+      .collect()
+    assert(flat(0).getString(1) === "float")
+    assert(flat(0).getSeq[Long](2) === Seq(6L))
+    val rect = graft.dialect.Tql.queryDataset(
+      Multimodal.withShape(emb, "vec", 2, 3),
+      "SELECT id, SAMPLE_INFO(vec)['shape'] AS sh").collect()
+    assert(rect(0).getSeq[Long](1) === Seq(2L, 3L))
+  }
 }
