@@ -451,4 +451,132 @@ object Snapshots {
     val (b, v) = readRef(root, "tags", name)
     open(spark, root, Some(v), b)
   }
+
+  // --------------------------------------- async commit & replication
+  // The reference runs commits and remote sync off the foreground path
+  // (async commit `__init__.pyi:3451`, push/pull `__init__.pyi:
+  // 3505-3565`, background WAL shipping `cpp/deeplake_pg/
+  // sync_worker.cpp`). Same shape here: ONE daemon sync worker applies
+  // queued commits/pushes in submission order — the WAL property, later
+  // work never lands before earlier work — and replication copies
+  // segment data BEFORE the manifest that references it, so a reader of
+  // the destination can never open a version whose segments haven't
+  // arrived. Replication goes through the Hadoop FileSystem API, so the
+  // remote side can be any configured scheme (file:, hdfs:, s3a:, ...);
+  // only missing versions ship — O(delta), never O(dataset).
+
+  private lazy val syncWorker =
+    java.util.concurrent.Executors.newSingleThreadExecutor(r => {
+      val t = new Thread(r, "graft-snapshot-sync"); t.setDaemon(true); t
+    })
+
+  private def submit[T](body: => T): java.util.concurrent.Future[T] =
+    syncWorker.submit(new java.util.concurrent.Callable[T] {
+      def call(): T = body
+    })
+
+  /** Queue an append on the sync worker; the foreground returns
+    * immediately. Queued operations apply in submission order. */
+  def appendAsync(spark: SparkSession, root: String, df: DataFrame,
+      branch: String = Main): java.util.concurrent.Future[Long] =
+    submit(append(spark, root, df, branch))
+
+  /** Block until every previously queued async operation has applied. */
+  def flushAsync(): Unit = submit(()).get()
+
+  /** Push: ship every version `remote` lacks. Returns the shipped
+    * "branch:version" ids (empty = already in sync). */
+  def push(spark: SparkSession, root: String, remote: String): Seq[String] =
+    replicate(spark, root, remote)
+
+  /** Pull: fetch every version `remote` has that this root lacks. */
+  def pull(spark: SparkSession, root: String, remote: String): Seq[String] =
+    replicate(spark, remote, root)
+
+  /** Queue a push on the sync worker (the background WAL-shipping
+    * analog): ingest keeps appending while earlier versions replicate. */
+  def pushAsync(spark: SparkSession, root: String,
+      remote: String): java.util.concurrent.Future[Seq[String]] =
+    submit(replicate(spark, root, remote))
+
+  private def readUtf8(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): String = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+  }
+
+  private def writeUtf8(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, s: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(s.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  /** Copy every manifest (and the segments it references) that `to`
+    * lacks, branch by branch, version-ascending; fast-forward only —
+    * a same-numbered manifest with different content means the two
+    * roots diverged, which replication refuses (the reference's push
+    * rejects non-fast-forward heads the same way). */
+  private def replicate(spark: SparkSession, fromRoot: String,
+      toRoot: String): Seq[String] = {
+    import org.apache.hadoop.fs.{FileUtil, FileSystem, Path => HPath}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val srcRoot = new HPath(fromRoot)
+    val dstRoot = new HPath(toRoot)
+    val sfs = srcRoot.getFileSystem(conf)
+    val dfs = dstRoot.getFileSystem(conf)
+    def ls(fs: FileSystem, p: HPath): Seq[org.apache.hadoop.fs.FileStatus] =
+      if (fs.exists(p)) fs.listStatus(p).toSeq else Seq.empty
+
+    val srcV = new HPath(srcRoot, "_v")
+    val dstV = new HPath(dstRoot, "_v")
+    val branchDirs: Seq[(String, HPath, HPath)] =
+      (Main, srcV, dstV) +:
+        ls(sfs, srcV).filter(st => st.isDirectory && st.getPath.getName.startsWith("b_"))
+          .map(st => (st.getPath.getName.stripPrefix("b_"), st.getPath,
+            new HPath(dstV, st.getPath.getName)))
+
+    val shipped = scala.collection.mutable.ArrayBuffer.empty[String]
+    branchDirs.foreach { case (branch, sdir, ddir) =>
+      val have = ls(dfs, ddir).map(_.getPath.getName)
+        .filter(_.endsWith(".manifest")).toSet
+      val srcManifests = ls(sfs, sdir).map(_.getPath.getName)
+        .filter(_.endsWith(".manifest")).sorted
+      // fast-forward check on the newest shared version
+      srcManifests.filter(have.contains).lastOption.foreach { shared =>
+        require(
+          readUtf8(sfs, new HPath(sdir, shared)) ==
+            readUtf8(dfs, new HPath(ddir, shared)),
+          s"$branch@${shared.stripSuffix(".manifest")} diverged between " +
+            s"$fromRoot and $toRoot; replication is fast-forward only")
+      }
+      srcManifests.filterNot(have.contains).foreach { mName =>
+        val body = readUtf8(sfs, new HPath(sdir, mName))
+        body.split("\n").map(_.trim).filter(_.nonEmpty).foreach { seg =>
+          val dSeg = new HPath(dstRoot, seg)
+          if (!dfs.exists(dSeg)) {
+            FileUtil.copy(sfs, new HPath(srcRoot, seg), dfs, dSeg, false, true, conf)
+            val sStats = new HPath(srcRoot, s"$seg.stats.json")
+            if (sfs.exists(sStats))
+              FileUtil.copy(sfs, sStats, dfs,
+                new HPath(dstRoot, s"$seg.stats.json"), false, true, conf)
+          }
+        }
+        dfs.mkdirs(ddir)
+        writeUtf8(dfs, new HPath(ddir, mName), body) // manifest LAST
+        shipped += s"$branch:${mName.stripSuffix(".manifest").toLong}"
+      }
+    }
+    // refs (branch points, tags) are tiny pointer files; they follow the
+    // manifests so a ref never precedes the version it names
+    Seq("branches", "tags").foreach { kind =>
+      val sdir = new HPath(new HPath(srcRoot, "_refs"), kind)
+      ls(sfs, sdir).foreach { st =>
+        val dst = new HPath(new HPath(new HPath(dstRoot, "_refs"), kind),
+          st.getPath.getName)
+        dfs.mkdirs(dst.getParent)
+        writeUtf8(dfs, dst, readUtf8(sfs, st.getPath))
+      }
+    }
+    shipped.toSeq
+  }
 }

@@ -302,4 +302,60 @@ class SnapshotsSpec extends AnyFunSuite with BeforeAndAfterAll {
     Snapshots.tag(root, "exp-snap", branch = "exp")
     assert(Snapshots.openTag(spark, root, "exp-snap").count() == 4)
   }
+
+  test("async appends apply in submission order and flush awaits them") {
+    val root = freshRoot()
+    import spark.implicits._
+    Snapshots.create(spark, root, Seq(1L).toDF("id"))
+    val f2 = Snapshots.appendAsync(spark, root, Seq(2L).toDF("id"))
+    val f3 = Snapshots.appendAsync(spark, root, Seq(3L).toDF("id"))
+    Snapshots.flushAsync()
+    // single sync worker = total order: versions land 2 then 3
+    assert(f2.get() == 2L && f3.get() == 3L)
+    assert(Snapshots.open(spark, root).orderBy("id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("push/pull replicate only missing versions, segments before manifests") {
+    val root = freshRoot()
+    val remote = freshRoot()
+    import spark.implicits._
+    Snapshots.create(spark, root, Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    Snapshots.append(spark, root, Seq((3L, "c")).toDF("id", "s"))
+    Snapshots.tag(root, "v2")
+    val shipped1 = Snapshots.push(spark, root, remote)
+    assert(shipped1 == Seq("main:1", "main:2"))
+    assert(Snapshots.open(spark, remote).count() == 3)
+    assert(Snapshots.openTag(spark, remote, "v2").count() == 3)
+    // incremental: a second push with nothing new ships nothing
+    assert(Snapshots.push(spark, root, remote).isEmpty)
+    // only the delta ships after one more local append
+    Snapshots.append(spark, root, Seq((4L, "d")).toDF("id", "s"))
+    assert(Snapshots.push(spark, root, remote) == Seq("main:3"))
+    assert(Snapshots.open(spark, remote).count() == 4)
+    // remote-side commit flows back via pull, branches included
+    Snapshots.createBranch(remote, "exp")
+    Snapshots.append(spark, remote, Seq((5L, "e")).toDF("id", "s"), branch = "exp")
+    val pulled = Snapshots.pull(spark, root, remote)
+    assert(pulled.toSet == Set("exp:1", "exp:2"))
+    assert(Snapshots.open(spark, root, branch = "exp").count() == 5)
+    // async push returns a future that completes with the shipped ids
+    Snapshots.append(spark, root, Seq((6L, "f")).toDF("id", "s"))
+    assert(Snapshots.pushAsync(spark, root, remote).get() == Seq("main:4"))
+    assert(Snapshots.open(spark, remote).count() == 5)
+  }
+
+  test("replication refuses diverged histories (fast-forward only)") {
+    val root = freshRoot()
+    val remote = freshRoot()
+    import spark.implicits._
+    Snapshots.create(spark, root, Seq(1L).toDF("id"))
+    Snapshots.push(spark, root, remote)
+    // both sides commit a DIFFERENT version 2
+    Snapshots.append(spark, root, Seq(2L).toDF("id"))
+    Snapshots.append(spark, remote, Seq(99L).toDF("id"))
+    intercept[IllegalArgumentException] {
+      Snapshots.push(spark, root, remote)
+    }
+  }
 }
