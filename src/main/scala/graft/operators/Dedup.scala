@@ -411,8 +411,12 @@ object Dedup {
     val sig = v.select(col("id"), concat(bitCols.toSeq: _*).as("__sig"))
     val bandKeys = (0 until bands).map(b =>
       substring(col("__sig"), b * rowsPerBand + 1, rowsPerBand))
+    // persisted for the same reason as minhashLshPairs' staged frame:
+    // the hot-key probe is its own job, so without a cache it re-runs
+    // the numBits dot-product signature pass end to end
     val banded = sig.select(col("id"),
       posexplode(array(bandKeys: _*)).as(Seq("band_idx", "band_key")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = saltedPairJoin(banded, Seq("band_idx", "band_key"),
         col("a.id") < col("b.id"), Seq("id"), hotKeyThreshold, numSalts)
       .dropDuplicates("id_a", "id_b")
