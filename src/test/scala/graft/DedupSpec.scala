@@ -43,6 +43,20 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("LSH plans stage their band frame in a cache (probe-job recompute guard)") {
+    // saltedPairJoin's hot-key probe is a separate ACTION: without a
+    // persisted band frame it re-runs the whole shingle/signature
+    // subtree per job (the r6 13x minhash regression). The persist is a
+    // measured decision — keep this red if someone removes it again.
+    def cached(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.toString.contains("InMemoryRelation")
+    assert(cached(Dedup.minhashLshPairs(docs(sf001), "doc_id", "text", 0.8)),
+      "minhashLshPairs must persist its staged signature frame")
+    val e = graft.sources.Tables(spark, sf001, "embeddings")
+    assert(cached(Dedup.rpLshNearDupPairs(e, "vec_id", "embedding", 0.4)),
+      "rpLshNearDupPairs must persist its band frame")
+  }
+
   test("embedding near-dup pairs are symmetric-free and above threshold") {
     val e = graft.sources.Tables(spark, sf001, "embeddings")
     val pairs = Dedup.embeddingNearDupPairs(e, "vec_id", "embedding", 0.4).collect()
