@@ -288,14 +288,24 @@ object AnnIndex {
       var nProbe = math.min(nClusters, math.ceil(nProbe0 / selectivity).toInt)
       val want = math.min(k.toLong, avail)
       val nQ = nQueries
-      var res = once(nProbe)
+      // each attempt's RESULT is persisted before the deficiency count:
+      // it is at most nQueries*k rows, and without the cache the count
+      // action and the caller's real action would each run the whole
+      // probe/score plan end to end — twice the candidate scan per query
+      def attempt(p: Int): DataFrame =
+        once(p).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var res = attempt(nProbe)
       var done = nProbe >= nClusters || want == 0
       while (!done) {
         val counts = res.groupBy("qid").count().collect()
         val deficient = counts.length < nQ ||
           counts.exists(_.getLong(1) < want)
         if (!deficient || nProbe >= nClusters) done = true
-        else { nProbe = math.min(nClusters, nProbe * 2); res = once(nProbe) }
+        else {
+          nProbe = math.min(nClusters, nProbe * 2)
+          res.unpersist()
+          res = attempt(nProbe)
+        }
       }
       res
     }
