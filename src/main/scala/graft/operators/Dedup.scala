@@ -429,6 +429,63 @@ object Dedup {
       .filter(col("cos_sim") > threshold)
   }
 
+  /** Exact repeated-span profile (the substring-level dedup metric of
+    * Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better" — public): every token position whose n-token gram
+    * occurs MORE THAN ONCE across the corpus (licenses, boilerplate,
+    * templated spam) is duplicated; overlapping/adjacent duplicated
+    * positions merge into maximal spans per document. Returns one row
+    * per doc: (id, n_tokens, n_dup_spans, dup_tokens, dup_frac) —
+    * dup_frac is the filter signal (docs that are mostly repeated
+    * corpus text), the span bounds feed span-removal rewrites.
+    *
+    * Plan shape at 100 TB: grams become 64-bit hashes map-side, so the
+    * corpus-frequency pass is ONE hash-shuffle over fixed-width rows
+    * with map-side partial aggregation; duplicated positions come back
+    * via a semi-join on the gram hash; the span merge is the classic
+    * gaps-and-islands window PARTITIONED BY doc id — no global sort,
+    * no driver state, nothing quadratic anywhere. */
+  def repeatedSpanProfile(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 5): DataFrame = {
+    require(n >= 1, "span gram size must be >= 1")
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val toks = docs.repartition(par, col(idCol))
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("w"))
+      .select(col("id"), col("w"), size(col("w")).as("n_tokens"))
+    // (id, pos, gram): gram = xxhash64 of the n-token window starting at
+    // 0-based pos; docs shorter than n emit nothing and rejoin with
+    // zeros at the end. The sequence guard matters: sequence(1, 0)
+    // COUNTS DOWN, it is not empty.
+    val grams = toks.select(col("id"),
+      posexplode(when(size(col("w")) >= n,
+        transform(sequence(lit(1), size(col("w")) - (n - 1)),
+          i => xxhash64(concat_ws(" ", slice(col("w"), i, lit(n))))))
+        .otherwise(array().cast("array<bigint>")))
+        .as(Seq("pos", "gram")))
+    val dupGrams = grams.groupBy(col("gram")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select("gram")
+    val dpos = grams.join(dupGrams, Seq("gram"), "left_semi")
+    // gaps-and-islands: a duplicated position starts a new span iff it
+    // begins past the furthest token any earlier span covers
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val prevEnd = max(col("pos") + n)
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val spans = dpos
+      .withColumn("ni", when(col("pos") > coalesce(prevEnd, lit(-1)), 1).otherwise(0))
+      .withColumn("isl", sum(col("ni")).over(w))
+      .groupBy(col("id"), col("isl"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + n).as("e"))
+    val perDoc = spans.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_dup_spans"), sum(col("e") - col("s")).as("dup_tokens"))
+    toks.select(col("id"), col("n_tokens"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        round(coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+          greatest(col("n_tokens"), lit(1)), 6).as("dup_frac"))
+  }
+
   /** Cross-corpus decontamination (train/eval overlap audit — the check
     * every pretraining pipeline runs before shipping a corpus): for each
     * eval doc, its n-gram CONTAINMENT in each overlapping train doc,

@@ -241,6 +241,41 @@ object DocumentQueries extends QueryModule {
       None,
       doc = "random-hyperplane LSH embedding near-dup; recall-gated in DedupSpec"),
 
+    // ---- exact repeated-span profile (substring-level dedup metric,
+    // Lee et al. 2022): corpus-duplicated 5-grams merged to maximal
+    // per-doc spans; oracle replays the gram counting + gaps-and-islands
+    // span merge in DuckDB over the raw gram STRINGS (the engine uses
+    // xxhash64 grams — identical output barring a 2^-64 collision)
+    "q_dedup_repeated_spans" -> Q(
+      (s, dir) => Dedup.repeatedSpanProfile(table(s, dir, "documents"),
+          "doc_id", "text", n = 5)
+        .select(col("id").as("doc_id"), col("n_tokens"),
+          col("n_dup_spans"), col("dup_tokens"), col("dup_frac"))
+        .orderBy(col("doc_id")),
+      Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |g0 AS (SELECT doc_id, w, unnest(range(1, greatest(len(w) - 3, 1))) AS i
+             |       FROM tok WHERE len(w) >= 5),
+             |g AS (SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+4], ' ') AS gram FROM g0),
+             |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+             |d AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM dup)),
+             |m AS (SELECT doc_id, pos, CASE WHEN pos > coalesce(max(pos + 5) OVER
+             |        (PARTITION BY doc_id ORDER BY pos
+             |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+             |      THEN 1 ELSE 0 END AS ni FROM d),
+             |i2 AS (SELECT doc_id, pos, sum(ni) OVER
+             |        (PARTITION BY doc_id ORDER BY pos) AS isl FROM m),
+             |sp AS (SELECT doc_id, isl, min(pos) AS s, max(pos) + 5 AS e
+             |       FROM i2 GROUP BY doc_id, isl),
+             |pd AS (SELECT doc_id, count(*)::BIGINT AS n_dup_spans,
+             |       sum(e - s)::BIGINT AS dup_tokens FROM sp GROUP BY doc_id)
+             |SELECT t.doc_id, len(t.w)::INTEGER AS n_tokens,
+             |coalesce(pd.n_dup_spans, 0)::BIGINT AS n_dup_spans,
+             |coalesce(pd.dup_tokens, 0)::BIGINT AS dup_tokens,
+             |round(coalesce(pd.dup_tokens, 0)::DOUBLE / greatest(len(t.w), 1), 6) AS dup_frac
+             |FROM tok t LEFT JOIN pd USING (doc_id)
+             |ORDER BY doc_id""".stripMargin.replace('\n', ' ')),
+      doc = "corpus-duplicated 5-gram spans per doc (exact substring dedup metric)"),
+
     // ---- near-dup pairs -> dedup groups: connected components with a
     // min-id keeper per component (oracle: recursive-CTE transitive
     // closure over the identical MinHash-LSH pair set)
