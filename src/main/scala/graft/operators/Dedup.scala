@@ -429,6 +429,52 @@ object Dedup {
       .filter(col("cos_sim") > threshold)
   }
 
+  /** Banded hamming near-dup pairs over fixed-width bit fingerprints
+    * (array<int> of 0/1 — SimHash, image aHash, any binary sketch):
+    * all (a, b) with hamming(bits) <= maxDist, WITHOUT an all-pairs
+    * scan and with COMPLETE blocking by pigeonhole — the bits split
+    * into maxDist+1 contiguous bands, and <= maxDist differing bits
+    * cannot touch all of them, so every true pair shares at least one
+    * band EXACTLY. Candidates come from the usual salted band
+    * equi-join; only candidates pay the exact HAMMING_DISTANCE kernel.
+    * The exactness argument is the same pigeonhole as the PassJoin
+    * fuzzy join ([[fuzzyJoin]]), transplanted from edit space to
+    * Hamming space. */
+  def hammingNearDupPairs(fps: DataFrame, idCol: String, bitsCol: String,
+      maxDist: Int, hotKeyThreshold: Int = 100000,
+      numSalts: Int = 16): DataFrame = {
+    require(maxDist >= 0, "maxDist must be >= 0")
+    val nBands = maxDist + 1
+    val v = fps.select(col(idCol).as("id"), col(bitsCol).as("bits"))
+    val width = v.select(size(col("bits"))).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(0)
+    if (width == 0) return v.sparkSession.emptyDataFrame
+      .selectExpr("CAST(NULL AS BIGINT) id_a", "CAST(NULL AS BIGINT) id_b",
+        "CAST(NULL AS INT) dist").limit(0)
+    // band i covers [start_i, start_i + len_i): first (width % nBands)
+    // bands get the extra bit, same split rule as PassJoin segments
+    val base = width / nBands
+    val extra = width % nBands
+    val bandCols = (0 until nBands).map { i =>
+      val start = i * base + math.min(i, extra)
+      val len = base + (if (i < extra) 1 else 0)
+      concat_ws("", slice(col("bits"), start + 1, len))
+    }
+    val banded = v.select(col("id"),
+      posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_key")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = saltedPairJoin(banded, Seq("band_idx", "band_key"),
+        col("a.id") < col("b.id"), Seq("id"), hotKeyThreshold, numSalts)
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .join(v.select(col("id").as("id_a"), col("bits").as("bits_a")), "id_a")
+      .join(v.select(col("id").as("id_b"), col("bits").as("bits_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        graft.functions.gf.hamming_distance(col("bits_a"), col("bits_b"))
+          .cast("int").as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
+
   /** Exact repeated-span profile (the substring-level dedup metric of
     * Lee et al. 2022, "Deduplicating Training Data Makes Language
     * Models Better" — public): every token position whose n-token gram

@@ -204,6 +204,31 @@ object Multimodal {
       .drop("__xs")
   }
 
+  /** 64-bit average-hash (aHash) perceptual fingerprint over decoded
+    * images: downsample to 8x8 via [[resize]], gray = channel mean per
+    * cell, bit k = (gray(k) >= image mean). Returns (id, bits) with
+    * `bits` an array<int> of 64 0/1 flags — the form the banded hamming
+    * pair join ([[graft.operators.Dedup.hammingNearDupPairs]]) and the
+    * HAMMING_DISTANCE kernel consume directly. Undecodable images
+    * (channels=0) drop: no pixels, no fingerprint.
+    *
+    * Pure Column math over the decoded frame — no shuffle, no UDF; the
+    * gray array is staged once so the mean and the bit pass don't each
+    * re-run the channel fold. */
+  def aHash64(decoded: DataFrame): DataFrame = {
+    val small = resize(decoded.filter(col("channels") > 0), 8, 8)
+    val c = col("channels")
+    val gray = transform(sequence(lit(0), lit(63)), k =>
+      aggregate(sequence(lit(0), c - 1), lit(0.0d),
+        (a, ch) => a + element_at(col("pixels"), (k * c + ch + 1).cast("int"))) / c)
+    small
+      .withColumn("__g", gray)
+      .withColumn("__m", aggregate(col("__g"), lit(0.0d), (a, x) => a + x) / 64.0d)
+      .select(col("id"),
+        transform(col("__g"), x => when(x >= col("__m"), 1).otherwise(0))
+          .cast("array<tinyint>").as("bits"))
+  }
+
   /** frame sampling for sequence (video-like) columns: every `stride`-th
     * element of an array column, the UNGROUP/sequence analog for media */
   def sampleFrames(df: DataFrame, seqCol: String, stride: Int): DataFrame =

@@ -365,6 +365,51 @@ class StreamingAndMultimodalSpec extends AnyFunSuite {
     assert(rows(1).getString(1) === "unknown")
   }
 
+  test("image near-dup: aHash + banded hamming pairs match brute force on real pixels") {
+    val spark2 = spark
+    import spark2.implicits._
+    // four base images; ids 10x+1 are light perturbations (a few pixels)
+    // of 10x, so each pair should land within a small hamming radius
+    def img(seedShift: Int, perturb: Int): Array[Byte] = {
+      val w = 32; val h = 32
+      val im = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        im.setRGB(x, y, (((x + seedShift) * 37 + y) % 256 << 16) |
+          ((y * 53 + x) % 256 << 8) | ((x * y + 7) % 256))
+      // perturb a handful of pixels — a near-dup, not an exact dup
+      for (p <- 0 until perturb) im.setRGB(p % w, (p * 7) % h, 0xFFFFFF)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "png", out)
+      out.toByteArray
+    }
+    val df = Seq(
+      (10L, img(0, 0)), (11L, img(0, 6)),
+      (20L, img(64, 0)), (21L, img(64, 6)),
+      (30L, img(130, 0)), (40L, img(200, 0)),
+      (99L, "not an image".getBytes)).toDF("id", "payload")
+    val fps = Multimodal.aHash64(Multimodal.decodeImages(df, "id"))
+    val rows = fps.collect()
+    assert(rows.length === 6, "undecodable payloads must drop, not fingerprint")
+    assert(rows.forall(_.getSeq[Byte](1).size === 64))
+
+    val maxDist = 6
+    val pairs = graft.operators.Dedup
+      .hammingNearDupPairs(fps, "id", "bits", maxDist)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // brute-force oracle over the same fingerprints
+    val fp = rows.map(r => r.getLong(0) -> r.getSeq[Byte](1)).toMap
+    val exact = (for {
+      a <- fp.keys; b <- fp.keys if a < b
+      d = fp(a).zip(fp(b)).count { case (x, y) => x != y } if d <= maxDist
+    } yield (a, b, d)).toSet
+    assert(pairs.toSet === exact, "banded blocking must be COMPLETE (pigeonhole)")
+    // the planted perturbed twins are found; unrelated bases are not
+    val found = pairs.map(p => (p._1, p._2)).toSet
+    assert(found.contains((10L, 11L)) && found.contains((20L, 21L)))
+    assert(!found.contains((30L, 40L)))
+  }
+
   test("SAMPLE_INFO: per-sample metadata as a TQL property (tensor_property.hpp:7-12)") {
     val spark2 = spark
     import spark2.implicits._
