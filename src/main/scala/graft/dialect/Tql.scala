@@ -518,23 +518,34 @@ object Tql {
         .getOrElse(throw new IllegalArgumentException(
           "EXPAND BY requires an array (tensor) column in the source"))
       val tcol = fld.name
+      // a TRUE 2-d tensor (array<array<_>>) carries its dims in the
+      // data: flatten row-major and peek (rows, cols) once — the direct
+      // analog of the reference's spatial column knowing its own shape
+      val nested = fld.dataType.asInstanceOf[ArrayType]
+        .elementType.isInstanceOf[ArrayType]
+      var df0 = env.df
       val (rows, cols) =
-        if (fld.metadata.contains("shape")) {
+        if (nested) {
+          val r = df0.select(size(col(tcol)),
+            size(element_at(col(tcol), 1))).limit(1).collect()(0)
+          df0 = df0.withColumn(tcol, flatten(col(tcol)))
+          (r.getInt(0), r.getInt(1))
+        } else if (fld.metadata.contains("shape")) {
           val dims = fld.metadata.getLongArray("shape")
           require(dims.length == 2,
             s"EXPAND BY needs 2-d shape metadata on $tcol, got ${dims.mkString("x")}")
           (dims(0).toInt, dims(1).toInt)
         } else {
-          val n = env.df.select(size(col(tcol))).limit(1).collect()(0).getInt(0)
+          val n = df0.select(size(col(tcol))).limit(1).collect()(0).getInt(0)
           val side = math.sqrt(n.toDouble).toInt
           require(side * side == n,
             s"EXPAND BY on a flat array needs a square tensor (or shape " +
               s"metadata for rectangles); $tcol has $n elements")
           (side, side)
         }
-      val keep = env.df.columns.filterNot(c => c == tcol || c == RowNumCol).toSeq
+      val keep = df0.columns.filterNot(c => c == tcol || c == RowNumCol).toSeq
       val alias = ex.alias.getOrElse("patch")
-      val tiled = Grouping.expandBy(env.df, tcol, rows, cols, ex.h, ex.w,
+      val tiled = Grouping.expandBy(df0, tcol, rows, cols, ex.h, ex.w,
           ex.overlap, keep)
         .withColumnRenamed("patch", alias)
       env = Env(tiled, Map.empty)

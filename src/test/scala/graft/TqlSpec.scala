@@ -219,6 +219,20 @@ class TqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ov.count() == 2 * 9)
   }
 
+  test("EXPAND BY on a true 2-d tensor reads dims from the nested shape") {
+    val spark2 = spark
+    import spark2.implicits._
+    // one 2x6 tensor: rows [1..6] and [7..12]; EXPAND BY 2 3 -> two 2x3
+    // patches, left half and right half
+    val df = Seq((1L, Array(Array(1d, 2d, 3d, 4d, 5d, 6d),
+      Array(7d, 8d, 9d, 10d, 11d, 12d)))).toDF("id", "t")
+    val got = Tql.queryDataset(df,
+      "SELECT id, patch_idx, SUM(patch) AS s EXPAND BY 2 3 AS patch ORDER BY patch_idx")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    // left half 1+2+3+7+8+9, right half 4+5+6+10+11+12
+    assert(got.toSeq == Seq((1L, 0, 30.0), (1L, 1, 48.0)))
+  }
+
   test("UNGROUP BY ... SPLIT n and SPLIT [lengths]") {
     val byN = Tql.query(spark, dir,
       """SELECT vec_id, pos, SUM(embedding) AS s FROM embeddings
