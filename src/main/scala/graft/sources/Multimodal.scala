@@ -240,10 +240,12 @@ object Multimodal {
 
   /** decoded-audio row: per-clip signal features the real pipeline would
     * feed a filter/embedding stage (duration, loudness, zero-crossing
-    * rate — the standard cheap audio-quality screens) */
+    * rate — the standard cheap audio-quality screens), plus a 64-window
+    * RMS energy contour (the loudness envelope [[audioFingerprint64]]
+    * hashes for perceptual near-dup) */
   final case class DecodedAudio(id: Long, sample_rate: Int, n_channels: Int,
       n_frames: Long, duration_s: Double, rms: Double, zcr: Double,
-      peak: Double)
+      peak: Double, contour: Array[Double])
 
   /** REAL audio decode via the JDK's built-in `javax.sound.sampled`
     * (WAV/AIFF/AU PCM — no external codec library): per-partition batch
@@ -277,6 +279,8 @@ object Multimodal {
       val bytesPerSample = bits / 8
       var i = 0
       var sumSq = 0.0; var peak = 0.0; var crossings = 0L; var prevSign = 0
+      val winSq = new Array[Double](64)
+      val winN = new Array[Long](64)
       while (i < n) {
         var c = 0
         var mix = 0.0
@@ -295,6 +299,9 @@ object Multimodal {
         }
         mix /= ch
         sumSq += mix * mix
+        val w = (i.toLong * 64 / n).toInt
+        winSq(w) += mix * mix
+        winN(w) += 1
         if (math.abs(mix) > peak) peak = math.abs(mix)
         val sign = if (mix > 0) 1 else if (mix < 0) -1 else prevSign
         if (prevSign != 0 && sign != 0 && sign != prevSign) crossings += 1
@@ -302,14 +309,32 @@ object Multimodal {
         i += 1
       }
       val rate = fmt.getSampleRate.toInt
+      val contour = Array.tabulate(64)(k =>
+        if (winN(k) > 0) math.sqrt(winSq(k) / winN(k)) else 0.0)
       DecodedAudio(id, rate, ch, n.toLong,
         if (rate > 0) n.toDouble / rate else 0.0,
         if (n > 0) math.sqrt(sumSq / n) else 0.0,
-        if (n > 1) crossings.toDouble / (n - 1) else 0.0, peak)
+        if (n > 1) crossings.toDouble / (n - 1) else 0.0, peak,
+        if (n >= 64) contour else Array.empty[Double])
     } catch {
-      case _: Exception => DecodedAudio(id, -1, 0, 0L, 0.0, 0.0, 0.0, 0.0)
+      case _: Exception =>
+        DecodedAudio(id, -1, 0, 0L, 0.0, 0.0, 0.0, 0.0, Array.empty[Double])
     }
   }
+
+  /** 64-bit perceptual audio fingerprint: bit k = (window-k RMS >= clip
+    * mean RMS) over the 64-window loudness envelope — pitch-invariant,
+    * envelope-sensitive, the audio analog of [[aHash64]]. Same contract:
+    * (id, bits array<tinyint>) feeding
+    * [[graft.operators.Dedup.hammingNearDupPairs]] and the
+    * HAMMING_DISTANCE kernel; undecodable or sub-64-frame clips drop. */
+  def audioFingerprint64(decoded: DataFrame): DataFrame =
+    decoded.filter(col("sample_rate") > 0 && size(col("contour")) === 64)
+      .withColumn("__m",
+        aggregate(col("contour"), lit(0.0d), (a, x) => a + x) / 64.0d)
+      .select(col("id"),
+        transform(col("contour"), x => when(x >= col("__m"), 1).otherwise(0))
+          .cast("array<tinyint>").as("bits"))
 
   /** metadata fast path for audio: parse the RIFF/WAVE header directly
     * (format tag, channels, sample rate, bit depth, data size →

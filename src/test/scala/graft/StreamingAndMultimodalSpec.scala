@@ -304,6 +304,43 @@ class StreamingAndMultimodalSpec extends AnyFunSuite {
     out.toByteArray
   }
 
+  test("audio near-dup: envelope fingerprints pair same-loudness clips across pitch") {
+    val spark2 = spark
+    import spark2.implicits._
+    // amplitude-modulated tones: the fingerprint hashes the LOUDNESS
+    // envelope, so the same envelope at a different pitch is a near-dup
+    // and a reversed envelope is not
+    def amWav(freq: Double, env: Double => Double): Array[Byte] = {
+      import javax.sound.sampled._
+      val rate = 8000; val nFrames = 8000
+      val pcm = new Array[Byte](nFrames * 2)
+      for (i <- 0 until nFrames) {
+        val amp = env(i.toDouble / nFrames)
+        val s = (amp * math.sin(2 * math.Pi * freq * i / rate) * 32767).toInt.toShort
+        pcm(2 * i) = (s & 0xFF).toByte
+        pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+      }
+      val fmt = new AudioFormat(rate.toFloat, 16, 1, true, false)
+      val out = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong),
+        AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val ramp = (t: Double) => 0.1 + 0.8 * t
+    val df = Seq(
+      (1L, amWav(440.0, ramp)), (2L, amWav(523.25, ramp)), // same envelope
+      (3L, amWav(440.0, t => 0.9 - 0.8 * t)),              // reversed
+      (9L, "static noise".getBytes)).toDF("id", "payload")
+    val fps = Multimodal.audioFingerprint64(Multimodal.decodeAudio(df, "id"))
+    assert(fps.count() === 3, "undecodable clips must drop")
+    val pairs = graft.operators.Dedup
+      .hammingNearDupPairs(fps, "id", "bits", maxDist = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)),
+      "same envelope pairs across pitch; a reversed envelope does not")
+  }
+
   test("multimodal audio: real WAV decode (javax.sound.sampled) yields correct signal features") {
     val spark2 = spark
     import spark2.implicits._
