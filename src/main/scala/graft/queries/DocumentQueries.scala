@@ -218,6 +218,28 @@ object DocumentQueries extends QueryModule {
               |SELECT sig, count(*) AS n, array_to_string((list(doc_id ORDER BY doc_id))[1:100], ',') AS member_sample
               |FROM sg GROUP BY sig HAVING count(*) > 1 ORDER BY sig""".stripMargin.replace('\n', ' '))),
 
+    // ---- simhash near-dup PAIRS within hamming distance 2: the banded
+    // hamming join (complete pigeonhole blocking, maxDist+1 bands) over
+    // 16-bit simhash fingerprints; oracle brute-forces the same
+    // distance over the replicated simhash in DuckDB
+    "q_dedup_simhash_hamming" -> Q(
+      (s, dir) => {
+        val fps = table(s, dir, "documents").select(col("doc_id").as("id"),
+          split(TA.simhash16(TA.tokens(col("text"))), "")
+            .cast("array<tinyint>").as("bits"))
+        Dedup.hammingNearDupPairs(fps, "id", "bits", maxDist = 2)
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("dist"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+              |sg AS (SELECT doc_id, $simhashSql AS sig FROM t)
+              |SELECT doc_a, doc_b, dist FROM (
+              |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |len(list_filter(range(1,17), p -> substring(a.sig,p,1) != substring(b.sig,p,1)))::INTEGER AS dist
+              |FROM sg a JOIN sg b ON a.doc_id < b.doc_id) x
+              |WHERE dist <= 2 ORDER BY doc_a, doc_b""".stripMargin.replace('\n', ' ')),
+      doc = "complete banded hamming pairs over simhash bits (dist <= 2)"),
+
     // ---- embedding-cosine near-dup pairs (cluster-blocked; centroids
     // come from the persisted ANN index so no KMeans fit at query time)
     "q_dedup_embedding" -> Q(
