@@ -221,13 +221,15 @@ object DocumentQueries extends QueryModule {
     // ---- simhash near-dup PAIRS within hamming distance 2: the banded
     // hamming join (complete pigeonhole blocking, maxDist+1 bands) over
     // 16-bit simhash fingerprints; oracle brute-forces the same
-    // distance over the replicated simhash in DuckDB
+    // distance over the replicated simhash in DuckDB. dist <= 1: in a
+    // 16-bit space dist <= 2 admits ~0.2% of RANDOM pairs, which on a
+    // template-heavy corpus is a quadratic output for no extra signal
     "q_dedup_simhash_hamming" -> Q(
       (s, dir) => {
         val fps = table(s, dir, "documents").select(col("doc_id").as("id"),
           split(TA.simhash16(TA.tokens(col("text"))), "")
             .cast("array<tinyint>").as("bits"))
-        Dedup.hammingNearDupPairs(fps, "id", "bits", maxDist = 2)
+        Dedup.hammingNearDupPairs(fps, "id", "bits", maxDist = 1)
           .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("dist"))
           .orderBy(col("doc_a"), col("doc_b"))
       },
@@ -237,8 +239,8 @@ object DocumentQueries extends QueryModule {
               |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
               |len(list_filter(range(1,17), p -> substring(a.sig,p,1) != substring(b.sig,p,1)))::INTEGER AS dist
               |FROM sg a JOIN sg b ON a.doc_id < b.doc_id) x
-              |WHERE dist <= 2 ORDER BY doc_a, doc_b""".stripMargin.replace('\n', ' ')),
-      doc = "complete banded hamming pairs over simhash bits (dist <= 2)"),
+              |WHERE dist <= 1 ORDER BY doc_a, doc_b""".stripMargin.replace('\n', ' ')),
+      doc = "complete banded hamming pairs over simhash bits (dist <= 1)"),
 
     // ---- embedding-cosine near-dup pairs (cluster-blocked; centroids
     // come from the persisted ANN index so no KMeans fit at query time)
