@@ -55,6 +55,12 @@ class DedupSpec extends AnyFunSuite {
     val e = graft.sources.Tables(spark, sf001, "embeddings")
     assert(cached(Dedup.rpLshNearDupPairs(e, "vec_id", "embedding", 0.4)),
       "rpLshNearDupPairs must persist its band frame")
+    val fps = e.limit(50).select(col("vec_id").as("id"),
+      org.apache.spark.sql.functions.transform(col("embedding"),
+        x => org.apache.spark.sql.functions.when(x > 0, 1).otherwise(0))
+        .cast("array<tinyint>").as("bits"))
+    assert(cached(Dedup.hammingNearDupPairs(fps, "id", "bits", 2)),
+      "hammingNearDupPairs must persist its band frame")
   }
 
   test("embedding near-dup pairs are symmetric-free and above threshold") {
