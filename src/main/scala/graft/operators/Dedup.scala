@@ -532,6 +532,85 @@ object Dedup {
           greatest(col("n_tokens"), lit(1)), 6).as("dup_frac"))
   }
 
+  /** Per-doc n-gram novelty profile — the inverse lens of
+    * [[repeatedSpanProfile]]: instead of measuring how much of a doc is
+    * duplicated elsewhere, measure how much of it is UNIQUE to the
+    * corpus. For each doc: the count of distinct n-grams, the count of
+    * those appearing in no other doc (corpus doc-frequency 1), and their
+    * ratio — the "novelty fraction" used to rank documents for
+    * data-curation passes that upweight fresh content.
+    *
+    * Plan shape: grams become fixed-width xxhash64 keys before any
+    * shuffle; the corpus-repeated gram set (df > 1, usually the small
+    * side under Zipf) is computed with one hash-agg and drives a
+    * left-semi join, so per-doc novel counts are n_grams minus the
+    * semi-join hit count — the df=1 majority never joins anything.
+    * No windows, no all-pairs; two hash shuffles total. */
+  def noveltyProfile(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 5): DataFrame = {
+    require(n >= 1, "gram size must be >= 1")
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val toks = docs.repartition(par, col(idCol))
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("w"))
+    // distinct gram hashes per doc (sequence(1,0) counts DOWN — guard it)
+    val grams = toks.select(col("id"),
+      explode(when(size(col("w")) >= n,
+        array_distinct(transform(sequence(lit(1), size(col("w")) - (n - 1)),
+          i => xxhash64(concat_ws(" ", slice(col("w"), i, lit(n)))))))
+        .otherwise(array().cast("array<bigint>"))).as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per-doc distinct => count(*) per gram IS its document frequency
+    val repeated = grams.groupBy(col("g")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select("g")
+    val perDoc = grams.groupBy(col("id")).agg(count(lit(1)).as("n_grams"))
+    val nRep = grams.join(repeated, Seq("g"), "left_semi")
+      .groupBy(col("id")).agg(count(lit(1)).as("n_rep"))
+    toks.select(col("id"))
+      .join(perDoc, Seq("id"), "left").join(nRep, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        (coalesce(col("n_grams"), lit(0L)) - coalesce(col("n_rep"), lit(0L)))
+          .as("n_novel"))
+      .withColumn("novelty_frac", round(col("n_novel").cast("double") /
+        greatest(col("n_grams"), lit(1L)), 6))
+  }
+
+  /** Semantic (embedding-space) decontamination — the companion to the
+    * n-gram [[crossCorpusContainment]]: paraphrased or re-formatted eval
+    * contamination that shares no exact n-grams still lands nearby in
+    * embedding space. For each eval vector: how many train vectors
+    * exceed `threshold` cosine similarity, and the best-matching train
+    * id/similarity (ties break to the smaller train id).
+    *
+    * Plan shape: the eval set is small by nature (benchmarks are KBs
+    * against a 100 TB corpus), so it BROADCASTS and the train corpus is
+    * scanned exactly once, map-side — no shuffle of train rows at all;
+    * the only exchange is the per-eval-id aggregation over surviving
+    * matches. Exact semantics (no blocking loss), so fully
+    * oracle-checkable. For eval sets too big to broadcast, compose
+    * [[embeddingNearDupPairs]]'s cluster blocking instead. */
+  def embeddingDecontaminate(train: DataFrame, trainIdCol: String,
+      trainVecCol: String, evalDf: DataFrame, evalIdCol: String,
+      evalVecCol: String, threshold: Double): DataFrame = {
+    val par = train.sparkSession.sparkContext.defaultParallelism
+    val t = train.repartition(par, col(trainIdCol))
+      .select(col(trainIdCol).as("train_id"), col(trainVecCol).as("tv"))
+    val e = evalDf.select(col(evalIdCol).as("eval_id"), col(evalVecCol).as("ev"))
+    // deliberate broadcast nested-loop: exact brute-force semantics,
+    // distributed over train partitions; compare the UNROUNDED kernel
+    // against the threshold (matches the oracle's double compare), round
+    // only for output
+    t.crossJoin(broadcast(e))
+      .withColumn("sim", graft.functions.gf.cosine_similarity(col("tv"), col("ev")))
+      .filter(col("sim") > threshold)
+      .groupBy(col("eval_id"))
+      .agg(count(lit(1)).as("n_matches"),
+        max(struct(round(col("sim"), 6).as("s"), (-col("train_id")).as("nt")))
+          .as("b"))
+      .select(col("eval_id"), col("n_matches"),
+        (-col("b.nt")).as("best_train_id"), col("b.s").as("best_sim"))
+  }
+
   /** Cross-corpus decontamination (train/eval overlap audit — the check
     * every pretraining pipeline runs before shipping a corpus): for each
     * eval doc, its n-gram CONTAINMENT in each overlapping train doc,

@@ -179,4 +179,39 @@ object Sampling {
       .filter(col("__rk") <= n)
       .drop("__rk")
   }
+
+  /** Deterministic round-robin domain interleave — the curriculum-order
+    * complement of [[domainMix]]: instead of choosing WHICH rows enter
+    * the mixture, fix the ORDER they are consumed so domains spread
+    * maximally evenly (one row per domain per round) rather than
+    * arriving in source-clustered runs that destabilize training.
+    *
+    * Output adds (slot, round): slot = the domain's dense index (by
+    * domain-name order), round = the row's md5(seed:key) rank within its
+    * domain. Reading in (round, slot) order interleaves domains
+    * round-robin with a per-round domain rotation fixed by slot order;
+    * within a domain, rows arrive in seeded-hash (i.e. shuffled) order.
+    * Like [[graft.sources.Batches.epochShuffle]], the order is emitted
+    * as sort COORDINATES, not a materialized global sort — a writer
+    * range-partitions on (round, slot) and no single reducer ever owns
+    * the whole order. Slots come from the tiny distinct-domain frame
+    * (window over #domains rows only) and broadcast back; rounds are one
+    * per-domain rank window — the same shuffle shape as
+    * [[stratifiedHashSample]]. Deterministic and engine-expressible:
+    * fully oracle-checkable. */
+  def interleaveDomains(df: DataFrame, domain: Column, key: Column,
+      seed: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val slots = df.select(domain.as("__dom")).distinct()
+      .withColumn("slot",
+        (row_number().over(Window.orderBy(col("__dom"))) - 1).cast("int"))
+    val h = md5(concat_ws(":", lit(seed.toString), key.cast("string")))
+    df.withColumn("__dom", domain).withColumn("__h", h)
+      .join(broadcast(slots), "__dom")
+      .withColumn("round", (row_number().over(
+        Window.partitionBy(col("__dom")).orderBy(col("__h"), key)) - 1)
+        .cast("long"))
+      .drop("__h")
+      .withColumnRenamed("__dom", "domain")
+  }
 }

@@ -187,6 +187,35 @@ object DocumentQueries extends QueryModule {
               |FROM m WHERE overlap * 1.0 / n_sh >= 0.5
               |ORDER BY eval_id, train_id""".stripMargin.replace('\n', ' '))),
 
+    // ---- semantic decontamination: the embedding-space twin of the
+    // n-gram audit — paraphrased eval leakage that shares no exact
+    // shingles still lands nearby in embedding space. Exact brute-force
+    // semantics (eval broadcasts, train scanned once map-side), so the
+    // oracle is a full cross compare.
+    "q_decontaminate_semantic" -> Q(
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        Dedup.embeddingDecontaminate(
+            e.filter(col("vec_id") % 10 =!= 0), "vec_id", "embedding",
+            e.filter(col("vec_id") % 10 === 0), "vec_id", "embedding",
+            threshold = 0.35)
+          .orderBy(col("eval_id"))
+      },
+      Some("""WITH f AS (
+             |SELECT e.vec_id AS eval_id, t.vec_id AS train_id,
+             |  list_cosine_similarity(t.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS sim
+             |FROM embeddings t JOIN embeddings e
+             |  ON t.vec_id % 10 <> 0 AND e.vec_id % 10 = 0
+             |WHERE list_cosine_similarity(t.embedding::DOUBLE[], e.embedding::DOUBLE[]) > 0.35),
+             |c AS (SELECT eval_id, count(*) AS n_matches FROM f GROUP BY eval_id),
+             |b AS (SELECT eval_id, train_id AS best_train_id, round(sim, 6) AS best_sim,
+             |      row_number() OVER (PARTITION BY eval_id
+             |        ORDER BY round(sim, 6) DESC, train_id) AS rn FROM f)
+             |SELECT c.eval_id, c.n_matches, b.best_train_id, b.best_sim
+             |FROM c JOIN b USING (eval_id) WHERE b.rn = 1
+             |ORDER BY eval_id""".stripMargin.replace('\n', ' ')),
+      doc = "embedding-space train/eval contamination (broadcast eval, exact cosine)"),
+
     // ---- MinHash + LSH near-dup pairs (8 hashes, 4 bands of 2)
     "q_dedup_minhash_lsh" -> Q(
       (s, dir) => Dedup.minhashLshPairs(table(s, dir, "documents"),
@@ -299,6 +328,30 @@ object DocumentQueries extends QueryModule {
              |FROM tok t LEFT JOIN pd USING (doc_id)
              |ORDER BY doc_id""".stripMargin.replace('\n', ' ')),
       doc = "corpus-duplicated 5-gram spans per doc (exact substring dedup metric)"),
+
+    // ---- per-doc n-gram novelty: inverse of the repeated-span lens —
+    // what fraction of a doc's distinct 5-grams exist nowhere else
+    "q_ngram_novelty" -> Q(
+      (s, dir) => Dedup.noveltyProfile(table(s, dir, "documents"),
+          "doc_id", "text", n = 5)
+        .select(col("id").as("doc_id"), col("n_grams"), col("n_novel"),
+          col("novelty_frac"))
+        .orderBy(col("doc_id")),
+      Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |g0 AS (SELECT doc_id, w, unnest(range(1, greatest(len(w) - 3, 1))) AS i
+             |       FROM tok WHERE len(w) >= 5),
+             |g AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS gram FROM g0),
+             |rep AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+             |pg AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
+             |pr AS (SELECT doc_id, count(*) AS n_rep FROM g
+             |       WHERE gram IN (SELECT gram FROM rep) GROUP BY doc_id)
+             |SELECT t.doc_id, coalesce(pg.n_grams, 0)::BIGINT AS n_grams,
+             |(coalesce(pg.n_grams, 0) - coalesce(pr.n_rep, 0))::BIGINT AS n_novel,
+             |round((coalesce(pg.n_grams, 0) - coalesce(pr.n_rep, 0))::DOUBLE /
+             |  greatest(coalesce(pg.n_grams, 0), 1), 6) AS novelty_frac
+             |FROM tok t LEFT JOIN pg USING (doc_id) LEFT JOIN pr USING (doc_id)
+             |ORDER BY doc_id""".stripMargin.replace('\n', ' ')),
+      doc = "per-doc distinct-5-gram novelty fraction (corpus df=1 grams)"),
 
     // ---- near-dup pairs -> dedup groups: connected components with a
     // min-id keeper per component (oracle: recursive-CTE transitive

@@ -318,6 +318,25 @@ object TensorQueries extends QueryModule {
              |  WHEN 'es' THEN 40 WHEN 'zh' THEN 20 WHEN 'de' THEN 20 ELSE 0 END
              |GROUP BY lang ORDER BY lang""".stripMargin.replace('\n', ' '))),
 
+    // ---- round-robin domain interleave: curriculum ORDER, not
+    // membership — (round, slot) coordinates spread domains one row per
+    // round; md5-seeded within-domain shuffle, fully oracle-checked
+    "q_interleave_domains" -> Q(
+      (s, dir) => graft.operators.Sampling.interleaveDomains(
+          table(s, dir, "documents"), col("lang"), col("doc_id"), seed = 7L)
+        .select(col("doc_id"), col("domain"), col("slot"), col("round"))
+        .orderBy(col("round"), col("slot"), col("doc_id")),
+      Some("""WITH s AS (SELECT lang AS domain,
+             |  (row_number() OVER (ORDER BY lang) - 1)::INTEGER AS slot
+             |  FROM (SELECT DISTINCT lang FROM documents)),
+             |r AS (SELECT doc_id, lang AS domain,
+             |      md5('7:' || doc_id::VARCHAR) AS h FROM documents)
+             |SELECT r.doc_id, r.domain, s.slot,
+             |(row_number() OVER (PARTITION BY r.domain ORDER BY r.h, r.doc_id) - 1)::BIGINT AS round
+             |FROM r JOIN s USING (domain)
+             |ORDER BY round, slot, doc_id""".stripMargin.replace('\n', ' ')),
+      doc = "deterministic round-robin domain interleave as (round, slot) order coordinates"),
+
     // ---- blocked fuzzy self-join (record linkage): PassJoin pigeonhole
     // segment blocking + levenshtein verify; the oracle is BRUTE FORCE,
     // so a pass certifies the blocking found every pair (completeness)

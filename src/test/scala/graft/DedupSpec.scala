@@ -105,6 +105,50 @@ class DedupSpec extends AnyFunSuite {
     assert(bins.length <= ideal * 1.5 + 5, s"bins=${bins.length} ideal=$ideal")
   }
 
+  test("noveltyProfile: hand-computed grams, internal repeats deduped, short docs zero") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c"),     // 2-grams: {a b, b c}
+      (2L, "a b d"),     // {a b, b d}
+      (3L, "x y"),       // {x y}
+      (4L, "a b a b"),   // windows a b / b a / a b -> distinct {a b, b a}
+      (5L, "solo")       // shorter than n: zero grams
+    ).toDF("doc_id", "text")
+    val r = Dedup.noveltyProfile(d, "doc_id", "text", n = 2)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    // df: "a b" -> 3 docs (1,2,4); everything else df=1
+    assert(r(1L) === ((2L, 1L, 0.5)))
+    assert(r(2L) === ((2L, 1L, 0.5)))
+    assert(r(3L) === ((1L, 1L, 1.0)))
+    assert(r(4L) === ((2L, 1L, 0.5)))
+    assert(r(5L) === ((0L, 0L, 0.0)))
+  }
+
+  test("embeddingDecontaminate: planted matches, counts, min-id tie-break") {
+    import spark.implicits._
+    val train = Seq(
+      (10L, Seq(1.0f, 0.0f)),
+      (11L, Seq(1.0f, 0.0f)),          // identical twin of 10 — tie on sim
+      (12L, Seq(0.9f, 0.4359f)),       // cos vs (1,0) ~ 0.9
+      (13L, Seq(0.0f, 1.0f))           // orthogonal
+    ).toDF("vec_id", "embedding")
+    val evalDf = Seq(
+      (1L, Seq(1.0f, 0.0f)),           // matches 10, 11, 12 at t=0.5
+      (2L, Seq(-1.0f, 0.0f))           // matches nothing
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.embeddingDecontaminate(
+        train, "vec_id", "embedding", evalDf, "vec_id", "embedding",
+        threshold = 0.5)
+      .collect().map(r =>
+        r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.keySet === Set(1L))
+    val (n, bestId, bestSim) = out(1L)
+    assert(n === 3L)
+    assert(bestId === 10L, "equal-sim tie must break to the smaller train id")
+    assert(bestSim === 1.0)
+  }
+
   test("cross-corpus containment matches all-pairs brute force; df cap bounds work") {
     import graft.operators.{TextAnalysis => TA}
     val d = docs(sf001)

@@ -45,4 +45,40 @@ class WeightedSampleSpec extends AnyFunSuite {
     val heavyShare = got.count(_ <= 100).toDouble / got.length
     assert(heavyShare > 0.25, f"heavy rows underrepresented: $heavyShare%.3f")
   }
+
+  test("interleaveDomains: dense slots, per-domain round ranks, even prefixes") {
+    import spark.implicits._
+    // 3 domains with sizes 5 / 3 / 2
+    val df = ((1 to 5).map(i => (i.toLong, "a")) ++
+      (6 to 8).map(i => (i.toLong, "b")) ++
+      (9 to 10).map(i => (i.toLong, "c"))).toDF("id", "dom")
+    val out = Sampling.interleaveDomains(df, col("dom"), col("id"), seed = 7L)
+      .select(col("id"), col("domain"), col("slot"), col("round")).collect()
+    assert(out.length === 10, "every row appears exactly once")
+    // slots are the dense 0..k-1 index in domain-name order
+    val slotOf = out.map(r => r.getString(1) -> r.getInt(2)).toMap
+    assert(slotOf === Map("a" -> 0, "b" -> 1, "c" -> 2))
+    // rounds within a domain are exactly 0..n_d-1 (a permutation rank)
+    val byDom = out.groupBy(_.getString(1))
+    assert(byDom("a").map(_.getLong(3)).sorted.toSeq === (0L until 5L))
+    assert(byDom("b").map(_.getLong(3)).sorted.toSeq === (0L until 3L))
+    assert(byDom("c").map(_.getLong(3)).sorted.toSeq === (0L until 2L))
+    // while every domain still has rows, each round holds one row per
+    // domain — the round-robin guarantee
+    val round0 = out.filter(_.getLong(3) === 0L).map(_.getString(1)).sorted
+    val round1 = out.filter(_.getLong(3) === 1L).map(_.getString(1)).sorted
+    assert(round0.toSeq === Seq("a", "b", "c"))
+    assert(round1.toSeq === Seq("a", "b", "c"))
+    // determinism: same seed -> same coordinates; different seed -> a
+    // different within-domain order (with 5! x 3! x 2! arrangements the
+    // collision odds are negligible)
+    val again = Sampling.interleaveDomains(df, col("dom"), col("id"), seed = 7L)
+      .select(col("id"), col("round")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.map(r => r.getLong(0) -> r.getLong(3)).toMap === again)
+    val other = Sampling.interleaveDomains(df, col("dom"), col("id"), seed = 8L)
+      .select(col("id"), col("round")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(other !== again, "a different seed must reshuffle the order")
+  }
 }
