@@ -101,6 +101,7 @@ object Snapshots {
     val name = f"seg-${System.nanoTime()}%d"
     df.write.parquet(Paths.get(root, name).toString)
     writeSegmentStats(root, name, df)
+    writeSegmentBlooms(df.sparkSession, root, name)
     name
   }
 
@@ -202,6 +203,135 @@ object Snapshots {
     val keep = segments(root, v, branch).filter { seg =>
       ranges.forall { case (c, lo, hi) => segOverlaps(root, seg, c, lo, hi) }
     }
+    if (keep.isEmpty)
+      open(spark, root, Some(v), branch).limit(0)
+    else spark.read.option("mergeSchema", "true")
+      .parquet(keep.map(s => Paths.get(root, s).toString): _*)
+  }
+
+  // ---------------------------------------------- bloom-filter sidecars
+  // Point-lookup data skipping, the complement of min/max range stats:
+  // a high-cardinality column with no clustered layout (ids, hashes,
+  // keys) has useless min/max bounds — every segment's range covers
+  // every value — but a per-segment Bloom filter answers "might this
+  // segment contain v?" with fpp false-positive odds from a few bytes
+  // per row. Delta ships the same feature as per-file bloom indexes.
+  // Built with Spark's public sketch aggregate (df.stat.bloomFilter —
+  // distributed treeAggregate, no driver materialization of values),
+  // written once per DELTA segment at append time (O(delta)); readers
+  // drop whole segments before Spark lists any file. As with range
+  // stats, pruning is IO-only: segments lacking a bloom are kept.
+
+  private def bloomConfFile(root: String): Path = Paths.get(root, "_bloom.json")
+  private def bloomFile(root: String, seg: String, colName: String): Path =
+    Paths.get(root, s"$seg.bloom.$colName")
+
+  /** (columns, fpp) the table is configured to maintain blooms for. */
+  private def bloomConf(root: String): (Seq[String], Double) = {
+    val f = bloomConfFile(root)
+    if (!Files.exists(f)) (Nil, 0.01)
+    else {
+      val txt = new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
+      val lb = txt.indexOf('['); val rb = txt.indexOf(']')
+      val cols =
+        if (lb < 0 || rb < lb) Nil
+        else "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(txt.substring(lb, rb))
+          .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\")).toSeq
+      val fpp = "\"fpp\":\\s*([0-9.eE+-]+)".r.findFirstMatchIn(txt)
+        .map(_.group(1).toDouble).getOrElse(0.01)
+      (cols, fpp)
+    }
+  }
+
+  private def writeSegmentBlooms(spark: SparkSession, root: String,
+      seg: String): Unit = {
+    val (cols, fpp) = bloomConf(root)
+    if (cols.nonEmpty) {
+      val sdf = spark.read.parquet(Paths.get(root, seg).toString)
+      val present = cols.filter(sdf.columns.contains)
+      if (present.nonEmpty) {
+        val n = math.max(1L, sdf.count())
+        present.foreach { c =>
+          val bf = sdf.stat.bloomFilter(c, n, fpp)
+          val bos = new java.io.ByteArrayOutputStream()
+          bf.writeTo(bos)
+          Files.write(bloomFile(root, seg, c), bos.toByteArray)
+        }
+      }
+    }
+  }
+
+  /** Turn on bloom maintenance for `cols` (integral or string types —
+    * the sketch hashes longs and UTF-8 bytes): every FUTURE delta
+    * segment gets a bloom sidecar at append time, and the CURRENT
+    * version's segments backfill once here (the only non-O(delta) step,
+    * run once per table). `fpp` trades sidecar bytes for skipping
+    * precision (~ -1.44 log2(fpp) bits/row). */
+  def enableBloom(spark: SparkSession, root: String, cols: Seq[String],
+      fpp: Double = 0.01, branch: String = Main): Unit = {
+    require(cols.nonEmpty, "need at least one bloom column")
+    require(fpp > 0 && fpp < 1, "fpp must be in (0, 1)")
+    import org.apache.spark.sql.types._
+    val schema = open(spark, root, branch = branch).schema
+    cols.foreach { c =>
+      val ok = schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType | StringType => true
+        case _ => false
+      }
+      require(ok, s"bloom column $c must be integral or string, " +
+        s"got ${schema(c).dataType}")
+    }
+    Files.write(bloomConfFile(root),
+      cols.map(c => "\"" + jsonEscape(c) + "\"")
+        .mkString("{\"cols\": [", ", ", s"], \"fpp\": $fpp}")
+        .getBytes(StandardCharsets.UTF_8))
+    segments(root, currentVersion(root, branch), branch).foreach { seg =>
+      if (cols.exists(c => !Files.exists(bloomFile(root, seg, c))))
+        writeSegmentBlooms(spark, root, seg)
+    }
+  }
+
+  /** segment might contain `value` in `colName`? Bloom answers when
+    * present; otherwise fall back to the range sidecar; otherwise keep
+    * (pruning is IO-only, never semantic). */
+  private def segMightContain(root: String, seg: String, colName: String,
+      value: Any): Boolean = {
+    val f = bloomFile(root, seg, colName)
+    if (Files.exists(f)) {
+      val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(Files.readAllBytes(f)))
+      value match {
+        case n: Number => bf.mightContainLong(n.longValue())
+        case s: String => bf.mightContainString(s)
+        // a type the sketch cannot hash: keep the segment (IO-only
+        // pruning must never throw)
+        case other =>
+          try bf.mightContain(other)
+          catch { case _: IllegalArgumentException => true }
+      }
+    } else value match {
+      case n: Number =>
+        val d = n.doubleValue(); segOverlaps(root, seg, colName, d, d)
+      case s: String => segmentStats(root, seg, colName) match {
+        case Some((mn, mx)) if mn != null && mx != null =>
+          mn <= s && s <= mx
+        case _ => true
+      }
+      case _ => true
+    }
+  }
+
+  /** Open `branch`@`version` reading ONLY segments that might contain
+    * `colName = value` — bloom sidecars for scattered high-cardinality
+    * keys, range sidecars as fallback. Always a superset of the true
+    * match set (bloom false positives, conservative keeps); the caller
+    * applies the row filter, exactly as with [[openPruned]]. */
+  def openPrunedEq(spark: SparkSession, root: String, colName: String,
+      value: Any, version: Option[Long] = None,
+      branch: String = Main): DataFrame = {
+    val v = version.getOrElse(currentVersion(root, branch))
+    val keep = segments(root, v, branch)
+      .filter(seg => segMightContain(root, seg, colName, value))
     if (keep.isEmpty)
       open(spark, root, Some(v), branch).limit(0)
     else spark.read.option("mergeSchema", "true")
@@ -370,6 +500,11 @@ object Snapshots {
       Files.walk(Paths.get(root, s)).iterator().asScala.toSeq
         .sortBy(-_.getNameCount).foreach(Files.delete(_))
       Files.deleteIfExists(statsFile(root, s))
+      // bloom sidecars of the dead segment (one per configured column,
+      // plus any from columns since removed from the config)
+      Files.list(Paths.get(root)).iterator().asScala
+        .filter(_.getFileName.toString.startsWith(s"$s.bloom."))
+        .toSeq.foreach(Files.delete(_))
     }
     dead
   }

@@ -241,6 +241,59 @@ class SnapshotsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got2 == want2 && want2.nonEmpty)
   }
 
+  test("bloom sidecars prune scattered keys min/max cannot; appends auto-maintain") {
+    val root = freshRoot()
+    import spark.implicits._
+    // keys are md5-scattered across segments: every segment's
+    // lexicographic [min, max] covers essentially the whole key space,
+    // so RANGE stats cannot prune a point lookup — the bloom must
+    def key(i: Long): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    Snapshots.create(spark, root, (1L to 100L).map(i => (i, key(i))).toDF("id", "k"))
+    Snapshots.append(spark, root, (101L to 200L).map(i => (i, key(i))).toDF("id", "k"))
+    Snapshots.enableBloom(spark, root, Seq("k"), fpp = 0.001)
+    // post-enable appends write their bloom automatically (O(delta))
+    Snapshots.append(spark, root, (201L to 300L).map(i => (i, key(i))).toDF("id", "k"))
+    val all = Snapshots.open(spark, root)
+    // range stats alone keep everything for this probe (scattered keys)
+    val probe = key(250L) // lives only in segment 3
+    val ranged = Snapshots.openPruned(spark, root, "id", 1, 300)
+    assert(ranged.inputFiles.length == all.inputFiles.length)
+    // the bloom path reads a strict subset — and the right rows survive
+    val pruned = Snapshots.openPrunedEq(spark, root, "k", probe)
+    assert(pruned.inputFiles.length < all.inputFiles.length,
+      s"${pruned.inputFiles.length} vs ${all.inputFiles.length}")
+    val got = pruned.filter(col("k") === probe).collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(250L))
+    // integral lookup goes through the same path
+    Snapshots.enableBloom(spark, root, Seq("k", "id"), fpp = 0.001)
+    val byId = Snapshots.openPrunedEq(spark, root, "id", 42L)
+    assert(byId.inputFiles.length < all.inputFiles.length)
+    assert(byId.filter(col("id") === 42L).count() == 1)
+    // a value present nowhere prunes everything (modulo fpp at 0.001
+    // over 3 segments — deterministic bloom, stable outcome)
+    assert(Snapshots.openPrunedEq(spark, root, "k", "nope").count() == 0)
+    // identity contract: for EVERY key, pruned+filter == full filter
+    val sample = Seq(1L, 99L, 101L, 199L, 201L, 299L).map(key)
+    sample.foreach { k =>
+      val a = Snapshots.openPrunedEq(spark, root, "k", k)
+        .filter(col("k") === k).collect().map(_.getLong(0)).toSet
+      val b = all.filter(col("k") === k).collect().map(_.getLong(0)).toSet
+      assert(a == b && a.size == 1)
+    }
+    // non-bloom, non-stats column value keeps everything (conservative)
+    val noBloom = Snapshots.openPrunedEq(spark, root, "k",
+      new java.lang.StringBuilder("x")) // unhandled type -> keep all
+    assert(noBloom.inputFiles.length == all.inputFiles.length)
+    // double-typed columns are rejected loudly
+    val root2 = freshRoot()
+    Snapshots.create(spark, root2, Seq((1L, 0.5)).toDF("id", "d"))
+    intercept[IllegalArgumentException] {
+      Snapshots.enableBloom(spark, root2, Seq("d"))
+    }
+  }
+
   test("mergeInto upserts by key; insertOnly appends only new keys") {
     val root = freshRoot()
     import spark.implicits._
