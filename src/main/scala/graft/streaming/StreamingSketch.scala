@@ -59,4 +59,78 @@ object StreamingSketch {
     merged.toDF("item", "cnt")
       .coalesce(1).write.mode("overwrite").parquet(dir)
   }
+
+  // ------------------------------------------- streaming percentiles
+  // Mergeable quantile summaries in the same LSM posture: each
+  // micro-batch reduces (distributed percentile_approx, map-side
+  // partial agg) to an EQUI-DEPTH summary of `numPoints` (value,
+  // weight) rows — the batch's quantile points at ranks (i+0.5)/B,
+  // each carrying weight n_batch/B. A weighted union of equi-depth
+  // summaries is itself a quantile summary: each point displaces at
+  // most (n_b/B)/N of total rank mass, so the merged rank error is
+  // bounded by ~1/B plus the per-batch sketch error — independent of
+  // the number of batches. Readers never see item-level data; the
+  // summary store is B rows per batch until compaction folds it back
+  // to B rows total.
+
+  /** per-batch equi-depth quantile summary rows appended to `dir` */
+  def maintainPercentiles(stream: DataFrame, dir: String, valueCol: String,
+      numPoints: Int, checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val n = batch.count()
+        if (n > 0) {
+          val qs = (0 until numPoints).map(i => (i + 0.5) / numPoints)
+          val vals = batch.agg(percentile_approx(
+              col(valueCol).cast("double"),
+              array(qs.map(lit(_)): _*), lit(10000)).as("v"))
+            .head().getSeq[Double](0)
+          vals.map(v => (v, n.toDouble / numPoints)).toDF("value", "weight")
+            .coalesce(1).write.mode("append").parquet(dir)
+        }
+        ()
+      }
+      .start()
+
+  /** Merge-on-read weighted percentiles over every summary segment.
+    * The summary frame is numPoints x batches rows (compaction resets
+    * it to numPoints), so the driver-side weighted scan is bounded —
+    * like [[currentHeavyHitters]], it never touches item-level data. */
+  def currentPercentiles(spark: SparkSession, dir: String,
+      ps: Seq[Double]): Map[Double, Double] = {
+    val pts = spark.read.parquet(dir).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1))).sortBy(_._1)
+    require(pts.nonEmpty, s"no percentile summary at $dir")
+    val total = pts.map(_._2).sum
+    ps.map { p =>
+      require(p >= 0 && p <= 1, s"percentile $p out of [0,1]")
+      var cum = 0.0
+      val hit = pts.find { case (_, w) => cum += w; cum >= p * total }
+      p -> hit.getOrElse(pts.last)._1
+    }.toMap
+  }
+
+  /** compaction: refold every segment into one equi-depth summary of
+    * `numPoints` rows (weighted quantile points of the merged summary) */
+  def compactPercentiles(spark: SparkSession, dir: String,
+      numPoints: Int): Unit = {
+    val pts = spark.read.parquet(dir).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1))).sortBy(_._1)
+    if (pts.nonEmpty) {
+      val total = pts.map(_._2).sum
+      val merged = (0 until numPoints).map { i =>
+        val target = (i + 0.5) / numPoints * total
+        var cum = 0.0
+        val hit = pts.find { case (_, w) => cum += w; cum >= target }
+        (hit.getOrElse(pts.last)._1, total / numPoints)
+      }
+      import spark.implicits._
+      merged.toDF("value", "weight")
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+    }
+  }
 }

@@ -107,6 +107,48 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     assert(after == got)
   }
 
+  test("streaming percentiles: merged summaries track exact quantiles within 1/B") {
+    import graft.streaming.StreamingSketch
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("pctstream").toString
+    val B = 64
+    // three batches from DIFFERENT ranges, so no single batch's summary
+    // can answer alone: [0,1000), [1000,3000), [3000,6000)
+    val batches = Seq(
+      (0 until 1000).map(_.toDouble),
+      (0 until 2000).map(i => 1000.0 + i),
+      (0 until 3000).map(i => 3000.0 + i))
+    batches.foreach(b =>
+      b.map(Tuple1(_)).toDF("v").write.mode("append").parquet(s"$tmp/in"))
+    val q = StreamingSketch.maintainPercentiles(
+      spark.readStream.schema("v DOUBLE")
+        .option("maxFilesPerTrigger", 2).parquet(s"$tmp/in"),
+      s"$tmp/pct", "v", B, s"$tmp/ck")
+    q.processAllAvailable(); q.stop()
+
+    val all = batches.flatten.sorted
+    val n = all.length
+    def trueRank(v: Double): Double = all.count(_ <= v).toDouble / n
+    val ps = Seq(0.1, 0.5, 0.9, 0.99)
+    val got = StreamingSketch.currentPercentiles(spark, s"$tmp/pct", ps)
+    // rank error bound: 1/B equi-depth discretization + sketch slack
+    val eps = 2.0 / B
+    ps.foreach { p =>
+      val r = trueRank(got(p))
+      assert(math.abs(r - p) <= eps,
+        s"p=$p returned ${got(p)} at true rank $r (|err| > $eps)")
+    }
+    // compaction folds B x batches rows back to B, same answers within bound
+    StreamingSketch.compactPercentiles(spark, s"$tmp/pct", B)
+    assert(spark.read.parquet(s"$tmp/pct").count() == B)
+    val after = StreamingSketch.currentPercentiles(spark, s"$tmp/pct", ps)
+    ps.foreach { p =>
+      val r = trueRank(after(p))
+      assert(math.abs(r - p) <= 2 * eps,
+        s"post-compaction p=$p at true rank $r (|err| > ${2 * eps})")
+    }
+  }
+
   test("inverted index: append equals full rebuild") {
     val old = docs.filter(col("doc_id") % 5 =!= 0)
     val fresh = docs.filter(col("doc_id") % 5 === 0)
