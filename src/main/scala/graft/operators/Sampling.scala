@@ -180,6 +180,50 @@ object Sampling {
       .drop("__rk")
   }
 
+  /** Cluster-prototype sampling (coreset selection): the `perCluster`
+    * vectors NEAREST their cluster centroid by cosine — the prototypical
+    * core of every region of embedding space, the standard seed for
+    * dataset distillation / curriculum curation. With
+    * `farthest = true` it returns the boundary rows instead (the
+    * active-learning pick: examples the clustering is least sure of).
+    * Deterministic given a centroid set (pass a persisted
+    * [[AnnIndex]] artifact's centroids — built once, reused).
+    *
+    * Plan shape: centroids are k tiny rows — they bind as an in-plan
+    * literal array, so the best-cluster assignment and similarity are
+    * ONE map-side projection over the corpus (no join, no shuffle);
+    * selection is one per-cluster rank window, the
+    * [[stratifiedHashSample]] shuffle shape. Ties break on id, so
+    * output is bit-stable across layouts. */
+  def prototypeSample(emb: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, perCluster: Int,
+      farthest: Boolean = false): DataFrame = {
+    require(perCluster > 0, "perCluster must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val cents = centroids.select(col("cluster_id"), col("centroid")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1)
+    require(cents.map(_._1).toSeq == cents.indices, "cluster ids must be 0..k-1")
+    val centVecs = array(cents.map { case (_, cv) =>
+      array(cv.map(x => lit(x)): _*)
+    }: _*)
+    val idxs = sequence(lit(0), lit(cents.length - 1))
+    val staged = emb
+      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("__cs", transform(centVecs,
+        c => graft.functions.gf.cosine_similarity(col("vec"), c)))
+      .withColumn("__best", array_max(col("__cs")))
+      .withColumn("cluster_id", element_at(
+        filter(idxs, i => element_at(col("__cs"), i + 1) === col("__best")), 1))
+    val ord =
+      if (farthest) Seq(col("__best").asc, col("id").asc)
+      else Seq(col("__best").desc, col("id").asc)
+    val w = Window.partitionBy(col("cluster_id")).orderBy(ord: _*)
+    staged.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= perCluster)
+      .select(col("id"), col("cluster_id"),
+        round(col("__best"), 6).as("centroid_sim"))
+  }
+
   /** Deterministic round-robin domain interleave — the curriculum-order
     * complement of [[domainMix]]: instead of choosing WHICH rows enter
     * the mixture, fix the ORDER they are consumed so domains spread

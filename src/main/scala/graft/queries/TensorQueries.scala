@@ -337,6 +337,19 @@ object TensorQueries extends QueryModule {
              |ORDER BY round, slot, doc_id""".stripMargin.replace('\n', ' ')),
       doc = "deterministic round-robin domain interleave as (round, slot) order coordinates"),
 
+    // ---- cluster-prototype sampling (coreset selection): nearest-to-
+    // centroid representatives per embedding cluster off the persisted
+    // ANN artifact. Deterministic given the artifact, but KMeans is not
+    // SQL-expressible -> no_oracle; selection law gated in
+    // WeightedSampleSpec on hand-built clusters.
+    "q_sample_prototypes" -> Q(
+      (s, dir) => graft.operators.Sampling.prototypeSample(
+          table(s, dir, "embeddings"), "vec_id", "embedding",
+          graft.operators.IndexStore.ann(s, dir).centroids, perCluster = 5)
+        .orderBy(col("cluster_id"), col("centroid_sim").desc, col("id")),
+      None,
+      doc = "5 nearest-to-centroid prototypes per cluster (coreset selection)"),
+
     // ---- blocked fuzzy self-join (record linkage): PassJoin pigeonhole
     // segment blocking + levenshtein verify; the oracle is BRUTE FORCE,
     // so a pass certifies the blocking found every pair (completeness)

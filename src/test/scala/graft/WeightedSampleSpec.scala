@@ -81,4 +81,35 @@ class WeightedSampleSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(other !== again, "a different seed must reshuffle the order")
   }
+
+  test("prototypeSample picks nearest-to-centroid per cluster; farthest flips") {
+    import spark.implicits._
+    // two orthogonal centroids; vectors at known angles to each
+    val cents = Seq((0, Seq(1.0f, 0.0f)), (1, Seq(0.0f, 1.0f)))
+      .toDF("cluster_id", "centroid")
+    def at(deg: Double): Seq[Float] = {
+      val r = math.toRadians(deg)
+      Seq(math.cos(r).toFloat, math.sin(r).toFloat)
+    }
+    // cluster 0 (nearer x-axis): ids 1..4 at 5/10/20/40 deg
+    // cluster 1 (nearer y-axis): ids 5..7 at 85/70/50 deg
+    val emb = Seq(
+      (1L, at(5)), (2L, at(10)), (3L, at(20)), (4L, at(40)),
+      (5L, at(85)), (6L, at(70)), (7L, at(50))
+    ).toDF("vec_id", "embedding")
+    val near = Sampling.prototypeSample(emb, "vec_id", "embedding", cents, 2)
+      .collect().map(r => (r.getInt(1), r.getLong(0))).sorted.toSeq
+    assert(near === Seq((0, 1L), (0, 2L), (1, 5L), (1, 6L)))
+    val far = Sampling.prototypeSample(emb, "vec_id", "embedding", cents, 2,
+        farthest = true)
+      .collect().map(r => (r.getInt(1), r.getLong(0))).sorted.toSeq
+    assert(far === Seq((0, 3L), (0, 4L), (1, 6L), (1, 7L)))
+    // perCluster beyond a cluster's population returns the whole cluster
+    val allOf = Sampling.prototypeSample(emb, "vec_id", "embedding", cents, 10)
+    assert(allOf.count() === 7)
+    // determinism across runs
+    val again = Sampling.prototypeSample(emb, "vec_id", "embedding", cents, 2)
+      .collect().map(r => (r.getInt(1), r.getLong(0))).sorted.toSeq
+    assert(again === near)
+  }
 }
