@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Ordered-event analytics over a (user, timestamp, type) stream: funnel
+  * conversion and cohort retention — the two queries every product/event
+  * warehouse runs daily, expressed so each step is a plain hash
+  * equi-join or aggregation (no per-user collect_list, no UDAF walking
+  * event arrays).
+  *
+  * Scale notes (100 TB of events):
+  *  - funnel: step k is ONE equi-join on the user key between the raw
+  *    events of that step's type (filtered at the scan by a pushed
+  *    predicate) and the previous step's (user, ts) frame — which only
+  *    SHRINKS as k grows. Never a per-user sort, never an array build.
+  *  - retention: two hash shuffles (first-seen agg + the cohort/offset
+  *    distinct-count), both on the user key; the events->firstSeen join
+  *    is a plain equi-join AQE can co-locate.
+  */
+object EventAnalytics {
+
+  /** Ordered funnel: for `steps` = (s1, s2, ... sk), a user converts to
+    * stage k iff they performed sk STRICTLY AFTER their stage-(k-1)
+    * conversion time, where the conversion time is the EARLIEST such
+    * valid occurrence (the standard "first touch, strictly ordered"
+    * funnel definition). Returns one row per stage:
+    * (stage_idx, stage, n_users).
+    *
+    * Strictly-after matters: a user who purchases before ever viewing
+    * does not count as a view→purchase conversion. */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val base = events.select(col(userCol).as("u"), col(tsCol).as("t"),
+      col(typeCol).as("et"))
+    // stage frames: (u, t_k) — each strictly smaller than the last
+    val stageFrames = steps.zipWithIndex.foldLeft(List.empty[DataFrame]) {
+      case (acc, (step, i)) =>
+        val stepEvents = base.filter(col("et") === step)
+        val frame = acc match {
+          case Nil =>
+            stepEvents.groupBy(col("u")).agg(min(col("t")).as("t"))
+          case prev :: _ =>
+            stepEvents
+              .join(prev.select(col("u"), col("t").as("__pt")), "u")
+              .filter(col("t") > col("__pt"))
+              .groupBy(col("u")).agg(min(col("t")).as("t"))
+        }
+        frame :: acc
+    }.reverse
+    stageFrames.zip(steps).zipWithIndex.map { case ((f, s), i) =>
+      f.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("stage_idx"), lit(s).as("stage"),
+          col("n_users"))
+    }.reduce(_.union(_))
+  }
+
+  /** Cohort retention: users cohort by the DAY of their first event;
+    * (cohort_day, day_offset) counts the cohort's users active exactly
+    * `day_offset` days after joining, for offsets 0..maxOffsetDays.
+    * Offset 0 is the cohort size (everyone is active on their first
+    * day). Returns (cohort_day, day_offset, n_active). */
+  def retentionCohorts(events: DataFrame, userCol: String, tsCol: String,
+      maxOffsetDays: Int): DataFrame = {
+    require(maxOffsetDays >= 0, "maxOffsetDays must be >= 0")
+    val base = events.select(col(userCol).as("u"),
+      to_date(col(tsCol)).as("d"))
+    val firstSeen = base.groupBy(col("u")).agg(min(col("d")).as("cohort_day"))
+    base.join(firstSeen, "u")
+      .withColumn("day_offset", datediff(col("d"), col("cohort_day")))
+      .filter(col("day_offset") <= maxOffsetDays)
+      .select(col("u"), col("cohort_day"), col("day_offset")).distinct()
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("n_active"))
+  }
+
+  /** Lag-debounce: suppress events closer than `gapNs` nanoseconds to
+    * the PREVIOUS event of the same (user, type) — telemetry
+    * double-fire cleaning. Predecessor-distance semantics (each event
+    * compares to its immediate predecessor, kept or not): one window
+    * over the (user, type) key, deterministic, engine-expressible.
+    * Returns the surviving rows. */
+  def debounce(events: DataFrame, userCol: String, tsNsCol: String,
+      typeCol: String, gapNs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol), col(typeCol))
+      .orderBy(col(tsNsCol))
+    events.withColumn("__prev", lag(col(tsNsCol), 1).over(w))
+      .filter(col("__prev").isNull ||
+        col(tsNsCol) - col("__prev") >= gapNs)
+      .drop("__prev")
+  }
+}

@@ -201,6 +201,62 @@ object SequenceQueries extends QueryModule {
              |FROM p JOIN c ON c.user_id = p.user_id AND c.t BETWEEN p.lo AND p.hi
              |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin.replace('\n', ' '))),
 
+    // ---- ordered funnel (first-touch, strictly ordered): stage k's
+    // frame is ONE user-key equi-join against stage k-1's shrinking
+    // (user, ts) frame — never a per-user event-array build
+    "q_funnel" -> Q(
+      (s, dir) => graft.operators.EventAnalytics.funnel(
+          table(s, dir, "events"), "user_id", "ts", "event_type",
+          Seq("view", "click", "purchase"))
+        .orderBy(col("stage_idx")),
+      Some("""WITH s1 AS (SELECT user_id AS u, min(epoch_us(ts)) AS t FROM events
+             |  WHERE event_type = 'view' GROUP BY 1),
+             |s2 AS (SELECT e.user_id AS u, min(epoch_us(e.ts)) AS t FROM events e
+             |  JOIN s1 ON e.user_id = s1.u
+             |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t GROUP BY 1),
+             |s3 AS (SELECT e.user_id AS u, min(epoch_us(e.ts)) AS t FROM events e
+             |  JOIN s2 ON e.user_id = s2.u
+             |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t GROUP BY 1)
+             |SELECT 1 AS stage_idx, 'view' AS stage, (SELECT count(*) FROM s1) AS n_users
+             |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+             |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+             |ORDER BY stage_idx""".stripMargin.replace('\n', ' ')),
+      doc = "view -> click -> purchase conversion counts, strictly ordered"),
+
+    // ---- cohort retention: users cohort by first-seen day; per
+    // (cohort_day, day_offset) distinct active users
+    "q_retention_cohorts" -> Q(
+      (s, dir) => graft.operators.EventAnalytics.retentionCohorts(
+          table(s, dir, "events"), "user_id", "ts", maxOffsetDays = 7)
+        .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+          col("day_offset").cast("long").as("day_offset"), col("n_active"))
+        .orderBy(col("cohort_day"), col("day_offset")),
+      Some("""WITH b AS (SELECT user_id AS u, ts::DATE AS d FROM events),
+             |fs AS (SELECT u, min(d) AS cd FROM b GROUP BY u),
+             |a AS (SELECT DISTINCT b.u, fs.cd, datediff('day', fs.cd, b.d) AS o
+             |      FROM b JOIN fs ON b.u = fs.u WHERE datediff('day', fs.cd, b.d) <= 7)
+             |SELECT strftime(cd, '%Y-%m-%d') AS cohort_day, o AS day_offset,
+             |count(*) AS n_active FROM a GROUP BY 1, 2
+             |ORDER BY cohort_day, day_offset""".stripMargin.replace('\n', ' ')),
+      doc = "day-granularity cohort retention over offsets 0..7"),
+
+    // ---- lag-debounce: telemetry double-fire suppression — drop events
+    // within 60s of the previous event of the same (user, type)
+    "q_events_debounce" -> Q(
+      (s, dir) => graft.operators.EventAnalytics.debounce(
+          table(s, dir, "events").filter(col("user_id") < 30),
+          "user_id", "ts_ns", "event_type", gapNs = 60000000000L)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts_ns"))
+        .orderBy(col("event_id")),
+      Some("""SELECT event_id, user_id, event_type, ts_ns FROM (
+             |SELECT event_id, user_id, event_type, epoch_ns(ts) AS ts_ns,
+             |  epoch_ns(ts) - lag(epoch_ns(ts)) OVER (
+             |    PARTITION BY user_id, event_type ORDER BY epoch_ns(ts)) AS gap
+             |FROM events WHERE user_id < 30) t
+             |WHERE gap IS NULL OR gap >= 60000000000
+             |ORDER BY event_id""".stripMargin.replace('\n', ' ')),
+      doc = "suppress same-(user,type) events within 60s of their predecessor"),
+
     // ---- SAMPLE BY weight LIMIT n (seeded; not SQL-expressible -> rows-only)
     "q_sample_weighted" -> Q(
       (s, dir) => {

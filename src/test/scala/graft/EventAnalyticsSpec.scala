@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.EventAnalytics
+
+/** Ordered funnel, cohort retention, lag-debounce: the semantics the
+  * oracles can't explain — strict ordering, offset-0 cohort identity,
+  * predecessor-distance suppression — pinned on hand-built sequences. */
+class EventAnalyticsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def ts(min: Int): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+
+  test("funnel: strictly-after ordering; out-of-order users do not convert") {
+    import spark.implicits._
+    val ev = Seq(
+      // u1: clean view(1) -> click(2) -> purchase(3): converts all stages
+      (1L, ts(1), "view"), (1L, ts(2), "click"), (1L, ts(3), "purchase"),
+      // u2: purchase BEFORE view: stops at stage 1
+      (2L, ts(5), "purchase"), (2L, ts(6), "view"),
+      // u3: view only
+      (3L, ts(1), "view"),
+      // u4: click with no view: appears in NO stage
+      (4L, ts(1), "click"),
+      // u5: view(1), click(2), but an EARLIER purchase(1) does not count;
+      // the later purchase(4) does
+      (5L, ts(1), "view"), (5L, ts(2), "click"),
+      (5L, ts(1), "purchase"), (5L, ts(4), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val got = EventAnalytics.funnel(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).sorted
+    assert(got.toSeq === Seq(
+      (1, "view", 4L),      // u1, u2, u3, u5
+      (2, "click", 2L),     // u1, u5
+      (3, "purchase", 2L))) // u1, u5 (u5 via the later purchase)
+  }
+
+  test("funnel: same-timestamp events are NOT strictly after (no conversion)") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, ts(1), "view"), (1L, ts(1), "click")
+    ).toDF("user_id", "ts", "event_type")
+    val got = EventAnalytics.funnel(ev, "user_id", "ts", "event_type",
+        Seq("view", "click"))
+      .collect().map(r => (r.getInt(0), r.getLong(2))).toMap
+    assert(got === Map(1 -> 1L, 2 -> 0L))
+  }
+
+  test("retention: offset 0 equals cohort size; later offsets dedupe per day") {
+    import spark.implicits._
+    def d(day: Int, min: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-$day%02d 00:$min%02d:00")
+    val ev = Seq(
+      (1L, d(1, 0)), (1L, d(1, 30)),       // u1 joins day 1, twice that day
+      (1L, d(3, 0)), (1L, d(3, 5)),        // back on day 3 (two events, one active)
+      (2L, d(1, 0)),                       // u2 joins day 1, never returns
+      (3L, d(2, 0)), (3L, d(2, 10))        // u3 joins day 2
+    ).toDF("user_id", "ts")
+    val got = EventAnalytics.retentionCohorts(ev, "user_id", "ts", 7)
+      .collect().map(r =>
+        (r.getDate(0).toString, r.getInt(1), r.getLong(2))).sorted.toSeq
+    assert(got === Seq(
+      ("2024-01-01", 0, 2L),  // u1 + u2
+      ("2024-01-01", 2, 1L),  // u1 back on day 3 (offset 2), deduped
+      ("2024-01-02", 0, 1L))) // u3
+  }
+
+  test("debounce: predecessor-distance semantics, per (user, type) key") {
+    import spark.implicits._
+    val ev = Seq(
+      // u1/click at ns 0, 50, 120, 130: 50 dropped (gap 50 < 100),
+      // 120 kept (gap 70 from the DROPPED 50? no — predecessor semantics:
+      // 120 - 50 = 70 < 100 -> dropped too), 130 - 120 = 10 -> dropped
+      (1L, 0L, "click"), (2L, 50L, "click"), (3L, 120L, "click"), (4L, 130L, "click"),
+      // other type interleaves freely
+      (5L, 60L, "view"),
+      // other user unaffected
+      (6L, 10L, "click")
+    ).map { case (id, t, et) => (id, 1L + (if (id == 6L) 1L else 0L), t, et) }
+      .map { case (id, u, t, et) => (id, if (id == 6L) 2L else 1L, t, et) }
+      .toDF("event_id", "user_id", "ts_ns", "event_type")
+    val kept = EventAnalytics.debounce(ev, "user_id", "ts_ns", "event_type", 100L)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept === Seq(1L, 5L, 6L))
+  }
+}
