@@ -222,7 +222,8 @@ object Tql {
       "BAG_FINGERPRINT" -> (a => graft.operators.TextAnalysis.bagFingerprint(a.head)),
       "NORMALIZE_UNICODE" -> (a => graft.functions.gf.normalize_unicode(a.head)),
       "STRIP_ACCENTS" -> (a => graft.functions.gf.strip_accents(a.head)),
-      "PII_REDACT" -> (a => graft.operators.Pii.redact(a.head)))
+      "PII_REDACT" -> (a => graft.operators.Pii.redact(a.head)),
+      "DEFLATE_RATIO" -> (a => graft.functions.gf.deflate_ratio(a.head)))
 
     def register(name: String, impl: Impl): Unit =
       entries += name.toUpperCase -> impl

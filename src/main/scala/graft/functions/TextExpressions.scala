@@ -169,3 +169,50 @@ case class NormalizeUnicode(child: Expression, form: String) extends UnaryExpres
   override protected def withNewChildInternal(newChild: Expression): NormalizeUnicode =
     copy(child = newChild)
 }
+
+/** Static kernel shared by DeflateRatio's interpreted and generated
+  * paths (codegen calls it by fully-qualified name). */
+object TextKernels {
+  /** deflate(bytes).length / bytes.length at zlib level 6 (raw stream,
+    * no header), the Gopher/Dolma compression-ratio quality heuristic:
+    * templated/repetitive junk compresses far below natural text.
+    * Empty input defines as 1.0 (nothing to compress). */
+  def deflateRatio(s: UTF8String): Double = {
+    val bytes = s.getBytes
+    if (bytes.length == 0) 1.0
+    else {
+      val d = new java.util.zip.Deflater(6, true)
+      try {
+        d.setInput(bytes); d.finish()
+        val buf = new Array[Byte](4096)
+        var n = 0L
+        while (!d.finished()) n += d.deflate(buf)
+        n.toDouble / bytes.length
+      } finally d.end()
+    }
+  }
+}
+
+/** DEFLATE_RATIO(text): compressed-size / raw-size quality signal
+  * (Rae et al. 2021 "Gopher" repetition filters; Dolma's zlib ratio) as
+  * a native codegen expression — a Deflater pass per row, map-side
+  * only, no shuffle anywhere. */
+case class DeflateRatio(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"input must be string, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.deflateRatio(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TextKernels.deflateRatio($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): DeflateRatio =
+    copy(child = newChild)
+}

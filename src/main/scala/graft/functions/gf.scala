@@ -36,6 +36,11 @@ object gf {
 
   /** accent folding: NFD-decompose then drop combining marks (\p{Mn}) —
     * DuckDB's strip_accents equivalent for Latin-script text */
+  /** compression-ratio quality signal: deflate(bytes)/bytes at level 6
+    * — templated/repetitive junk scores far below natural text */
+  def deflate_ratio(c: Column): Column =
+    Bridge.column(DeflateRatio(Bridge.expression(c)))
+
   def strip_accents(c: Column): Column =
     org.apache.spark.sql.functions.regexp_replace(
       normalize_unicode(c, "NFD"), "\\p{Mn}", "")

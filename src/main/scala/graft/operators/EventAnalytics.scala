@@ -75,6 +75,27 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n_active"))
   }
 
+  /** First-order Markov transition profile over per-user event-type
+    * sequences: counts and row-normalized probabilities of each
+    * (from_type → to_type) step, the input to next-event models and
+    * behavioral anomaly baselines. One lag window over the user key
+    * (the [[debounce]] shuffle shape) then one hash-agg; ties at equal
+    * timestamps break on the id column so the sequence — and therefore
+    * the matrix — is deterministic. */
+  def transitionMatrix(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val steps = events
+      .withColumn("__from", lag(col(typeCol), 1).over(w))
+      .filter(col("__from").isNotNull)
+      .groupBy(col("__from").as("from_type"), col(typeCol).as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = Window.partitionBy(col("from_type"))
+    steps.withColumn("p", round(col("n") /
+        sum(col("n")).over(totals), 6))
+  }
+
   /** Lag-debounce: suppress events closer than `gapNs` nanoseconds to
     * the PREVIOUS event of the same (user, type) — telemetry
     * double-fire cleaning. Predecessor-distance semantics (each event

@@ -793,6 +793,20 @@ object DocumentQueries extends QueryModule {
       None,
       doc = "SemDeDup keeper counts by label; composition spec-gated in DedupSpec"),
 
+    // ---- compression-ratio quality signal (Gopher/Dolma zlib
+    // heuristic): native Deflater codegen expression, map-side only.
+    // DuckDB has no deflate -> rows-only; the kernel law (repetitive
+    // text compresses below natural text, empty = 1.0, null-safe,
+    // driver-reference parity) is gated in QualityRulesSpec.
+    "q_text_compression" -> Q(
+      (s, dir) => table(s, dir, "documents")
+        .select(col("doc_id"),
+          round(graft.functions.gf.deflate_ratio(col("text")), 6)
+            .as("deflate_ratio"))
+        .orderBy(col("doc_id")),
+      None,
+      doc = "per-doc deflate-compression ratio (low = templated/repetitive junk)"),
+
     // ---- model-based quality filtering: distill the Gopher rules into
     // a hashed-BoW logistic regression (CCNet/LLaMA-style classifier),
     // train on a labeled slice, score the rest. Deterministic (hash

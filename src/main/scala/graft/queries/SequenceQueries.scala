@@ -257,6 +257,22 @@ object SequenceQueries extends QueryModule {
              |ORDER BY event_id""".stripMargin.replace('\n', ' ')),
       doc = "suppress same-(user,type) events within 60s of their predecessor"),
 
+    // ---- first-order Markov transitions over per-user event sequences
+    "q_event_transitions" -> Q(
+      (s, dir) => graft.operators.EventAnalytics.transitionMatrix(
+          table(s, dir, "events"), "user_id", "ts_ns", "event_type", "event_id")
+        .orderBy(col("from_type"), col("to_type")),
+      Some("""WITH s AS (SELECT user_id, event_type,
+             |  lag(event_type) OVER (PARTITION BY user_id
+             |    ORDER BY epoch_ns(ts), event_id) AS from_type
+             |FROM events),
+             |c AS (SELECT from_type, event_type AS to_type, count(*) AS n
+             |      FROM s WHERE from_type IS NOT NULL GROUP BY 1, 2)
+             |SELECT from_type, to_type, n,
+             |round(n * 1.0 / sum(n) OVER (PARTITION BY from_type), 6) AS p
+             |FROM c ORDER BY from_type, to_type""".stripMargin.replace('\n', ' ')),
+      doc = "event-type Markov transition counts + row-normalized probabilities"),
+
     // ---- SAMPLE BY weight LIMIT n (seeded; not SQL-expressible -> rows-only)
     "q_sample_weighted" -> Q(
       (s, dir) => {

@@ -109,4 +109,39 @@ class QualityRulesSpec extends AnyFunSuite {
       .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
     assert(avg(1) > avg(0) + 0.3, s"class separation too weak: $avg")
   }
+
+  test("deflate ratio: repetitive text compresses below natural; edge cases") {
+    import spark.implicits._
+    val natural = "the quick brown fox jumps over a lazy dog while " +
+      "seventeen wizards briskly mix quartz goblets of vivid jam"
+    val repetitive = "spam spam spam " * 40
+    val df = Seq(
+      (1L, natural), (2L, repetitive), (3L, ""), (4L, null: String)
+    ).toDF("id", "text")
+    val got = df.select(col("id"),
+        graft.functions.gf.deflate_ratio(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else java.lang.Double.valueOf(r.getDouble(1)))).toMap
+    assert(got(4L) == null, "null text must stay null")
+    assert(got(3L) == 1.0, "empty text defines as 1.0")
+    assert(got(2L).doubleValue < 0.1, s"repetitive ratio ${got(2L)}")
+    assert(got(1L).doubleValue > 2 * got(2L).doubleValue,
+      s"natural ${got(1L)} vs repetitive ${got(2L)}")
+    // parity with a direct driver-side Deflater reference
+    def ref(s: String): Double = {
+      val b = s.getBytes("UTF-8")
+      val d = new java.util.zip.Deflater(6, true)
+      d.setInput(b); d.finish()
+      val buf = new Array[Byte](4096); var n = 0L
+      while (!d.finished()) n += d.deflate(buf)
+      d.end(); n.toDouble / b.length
+    }
+    assert(got(1L).doubleValue === ref(natural))
+    assert(got(2L).doubleValue === ref(repetitive))
+    // reachable from TQL as a global function
+    val via = graft.dialect.Tql.queryDataset(df.filter(col("id") <= 2),
+      "SELECT id, DEFLATE_RATIO(text) AS r ORDER BY id")
+    val tql = via.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(tql(1L) === got(1L).doubleValue && tql(2L) === got(2L).doubleValue)
+  }
 }
