@@ -36,9 +36,13 @@ object StatsCatalog {
   /** `mcvs` maps the value's textual form to its exact row count —
     * equality on an MCV uses the true frequency (catches the skewed
     * value a 1/ndv guess would call rare); equality elsewhere spreads
-    * the REMAINING mass over the remaining ndv. */
+    * the REMAINING mass over the remaining ndv. `hll` carries the
+    * column's DataSketches HLL state (values hashed as strings), the
+    * mergeable half of NDV: [[StatsCatalog.mergeDelta]] unions it with
+    * a delta's sketch so distinct counts stay fresh under appends
+    * without rescanning history. */
   final case class ColStats(ndv: Long, min: Option[Double], max: Option[Double],
-      mcvs: Map[String, Long])
+      mcvs: Map[String, Long], hll: Option[Array[Byte]] = None)
 
   final case class TableStats(rowCount: Long, bytesOnDisk: Long,
       cols: Map[String, ColStats]) {
@@ -92,7 +96,9 @@ object StatsCatalog {
   private def fileFor(key: String): java.io.File = {
     val md5 = java.security.MessageDigest.getInstance("MD5")
       .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    new java.io.File(cacheDir, s"$md5.v1.bin")
+    // v2: ColStats gained the hll field (old v1 files deserialize to
+    // the wrong shape; a fresh suffix sidesteps them cleanly)
+    new java.io.File(cacheDir, s"$md5.v2.bin")
   }
 
   private def persist(key: String, stats: TableStats): Unit = {
@@ -119,8 +125,13 @@ object StatsCatalog {
   def analyze(df: DataFrame, statCols: Seq[String], mcvK: Int = 16): Option[TableStats] = {
     CboHints.scanRootPath(df.queryExecution.analyzed).map { root =>
       val numeric = df.schema.fields.map(f => f.name -> f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]).toMap
+      // NDV comes from a DataSketches HLL over the STRING form of the
+      // value (one hash domain for every column type): the sketch IS
+      // the persisted state, so a later delta's sketch unions into it
+      // (mergeDelta) and the estimate never needs a history rescan
       val aggs = count(lit(1)).as("__n") +: statCols.flatMap { c =>
-        Seq(approx_count_distinct(col(c)).as(s"__ndv_$c")) ++
+        Seq(org.apache.spark.sql.functions.hll_sketch_agg(
+          col(c).cast("string")).as(s"__hll_$c")) ++
           (if (numeric(c)) Seq(min(col(c)).cast("double").as(s"__min_$c"),
             max(col(c)).cast("double").as(s"__max_$c")) else Nil)
       }
@@ -131,10 +142,11 @@ object StatsCatalog {
           .orderBy(col("__c").desc).limit(mcvK).collect()
           .filter(!_.isNullAt(0))
           .map(r => r.get(0).toString -> r.getLong(1)).toMap
-        c -> ColStats(row.getAs[Long](s"__ndv_$c"),
+        val sketch = row.getAs[Array[Byte]](s"__hll_$c")
+        c -> ColStats(estimateNdv(df.sparkSession, sketch),
           if (numeric(c)) Option(row.getAs[java.lang.Double](s"__min_$c")).map(_.toDouble) else None,
           if (numeric(c)) Option(row.getAs[java.lang.Double](s"__max_$c")).map(_.toDouble) else None,
-          mcvs)
+          mcvs, Option(sketch))
       }.toMap
       val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes.toLong
       val stats = TableStats(n, bytes, cols)
@@ -142,6 +154,97 @@ object StatsCatalog {
       persist(norm(root), stats)
       stats
     }
+  }
+
+  private def estimateNdv(spark: SparkSession, sketch: Array[Byte]): Long = {
+    if (sketch == null) 0L
+    else {
+      import spark.implicits._
+      Seq(Tuple1(sketch)).toDF("s")
+        .select(org.apache.spark.sql.functions.hll_sketch_estimate(col("s")))
+        .head().getLong(0)
+    }
+  }
+
+  /** Incremental ANALYZE: absorb an appended `delta` into `root`'s
+    * registered stats WITHOUT rescanning history — the stats-freshness
+    * half of dedupe-on-ingest pipelines, where the fact table grows by
+    * streaming appends but the planner should keep seeing current
+    * cardinalities.
+    *
+    * Merge rules, per column:
+    *  - rowCount / bytes: add (exact)
+    *  - min / max: widen (exact)
+    *  - NDV: HLL sketch union (the PODS-mergeability argument again;
+    *    estimate error stays the sketch's, independent of how many
+    *    deltas merged in)
+    *  - MCVs: counts for the union of (old MCV keys ∪ delta top-k)
+    *    merge as old + exact-delta-count, then top-k re-trim. A value
+    *    absent from the old MCV list contributes only its delta count —
+    *    an undercount bounded by the old list's smallest frequency, the
+    *    standard lossy-merge bound. Only the DELTA is ever scanned.
+    *
+    * Fails loudly if `root` has no sketch-bearing stats (run
+    * [[analyze]] once first — legacy v1 stats carried no sketch). */
+  def mergeDelta(spark: SparkSession, tableRootPath: String,
+      delta: DataFrame, mcvK: Int = 16): TableStats = {
+    val key = norm(tableRootPath)
+    val old = lookup(tableRootPath).getOrElse(
+      throw new IllegalStateException(s"no stats for $tableRootPath — ANALYZE first"))
+    val statCols = old.cols.keys.toSeq.sorted
+    statCols.foreach { c =>
+      require(old.cols(c).hll.isDefined,
+        s"stats for $tableRootPath($c) predate sketches — re-ANALYZE once")
+    }
+    val numeric = delta.schema.fields.map(f =>
+      f.name -> f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]).toMap
+    val aggs = count(lit(1)).as("__n") +: statCols.flatMap { c =>
+      Seq(org.apache.spark.sql.functions.hll_sketch_agg(
+        col(c).cast("string")).as(s"__hll_$c")) ++
+        (if (numeric(c)) Seq(min(col(c)).cast("double").as(s"__min_$c"),
+          max(col(c)).cast("double").as(s"__max_$c")) else Nil)
+    }
+    val row = delta.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val dn = row.getAs[Long]("__n")
+    val cols = statCols.map { c =>
+      val oldC = old.cols(c)
+      // candidate MCV keys: whatever was hot before, plus whatever is
+      // hot in the delta; ONE delta aggregation covers both
+      val deltaTop = delta.groupBy(col(c)).agg(count(lit(1)).as("__c"))
+        .orderBy(col("__c").desc).limit(mcvK).collect()
+        .filter(!_.isNullAt(0)).map(r => r.get(0).toString -> r.getLong(1)).toMap
+      val oldOnly = oldC.mcvs.keySet -- deltaTop.keySet
+      val oldKeyCounts =
+        if (oldOnly.isEmpty) Map.empty[String, Long]
+        else delta.groupBy(col(c).cast("string").as("__k"))
+          .agg(count(lit(1)).as("__c"))
+          .filter(col("__k").isin(oldOnly.toSeq: _*))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val deltaCounts = deltaTop ++ oldKeyCounts
+      val merged = (oldC.mcvs.keySet ++ deltaTop.keySet).map { k =>
+        k -> (oldC.mcvs.getOrElse(k, 0L) + deltaCounts.getOrElse(k, 0L))
+      }.toSeq.sortBy(-_._2).take(mcvK).toMap
+      val dSketch = row.getAs[Array[Byte]](s"__hll_$c")
+      val union =
+        if (dSketch == null) oldC.hll.get
+        else {
+          import spark.implicits._
+          Seq((oldC.hll.get, dSketch)).toDF("a", "b")
+            .select(org.apache.spark.sql.functions.hll_union(col("a"), col("b")))
+            .head().getAs[Array[Byte]](0)
+        }
+      val dMin = if (numeric(c)) Option(row.getAs[java.lang.Double](s"__min_$c")).map(_.toDouble) else None
+      val dMax = if (numeric(c)) Option(row.getAs[java.lang.Double](s"__max_$c")).map(_.toDouble) else None
+      c -> ColStats(estimateNdv(spark, union),
+        (oldC.min.toSeq ++ dMin.toSeq).reduceOption(math.min(_, _)),
+        (oldC.max.toSeq ++ dMax.toSeq).reduceOption(math.max(_, _)),
+        merged, Some(union))
+    }.toMap
+    val dBytes = delta.queryExecution.optimizedPlan.stats.sizeInBytes.toLong
+    val stats = TableStats(old.rowCount + dn, old.bytesOnDisk + dBytes, cols)
+    register(tableRootPath, stats)
+    persist(key, stats)
+    stats
   }
 }
 

@@ -172,4 +172,55 @@ class CboSpec extends AnyFunSuite {
       StatsCatalog.clearAll()
     }
   }
+
+  test("mergeDelta: appended stats match a full re-ANALYZE without a history scan") {
+    import spark.implicits._
+    val savedDir = StatsCatalog.cacheDir
+    StatsCatalog.cacheDir =
+      java.nio.file.Files.createTempDirectory("graft-stats").toFile
+    val root = java.nio.file.Files.createTempDirectory("cbo-inc").toString
+    try {
+      StatsCatalog.clear()
+      def rows(lo: Long, hi: Long) = (lo until hi).map { i =>
+        (i, if (i % 5 == 0) "hot" else s"v$i", i.toDouble)
+      }.toDF("id", "grp", "x")
+      rows(0, 2000).write.parquet(s"$root/t")
+      val base = spark.read.parquet(s"$root/t")
+      StatsCatalog.analyze(base, Seq("grp", "x"))
+
+      // delta extends the value range and adds a NEW hot key
+      val delta = (2000L until 3000L).map { i =>
+        (i, if (i % 2 == 0) "hot2" else "hot", i.toDouble)
+      }.toDF("id", "grp", "x")
+      val merged = StatsCatalog.mergeDelta(spark, s"$root/t", delta)
+
+      // exact merges: rowCount adds, min/max widen
+      assert(merged.rowCount === 3000L)
+      assert(merged.cols("x").min.contains(0.0))
+      assert(merged.cols("x").max.contains(2999.0))
+
+      // MCVs: both hot keys carry their exact total counts
+      // hot: 400 (base) + 500 (delta odd ids) ; hot2: 500
+      assert(merged.cols("grp").mcvs("hot") === 900L)
+      assert(merged.cols("grp").mcvs("hot2") === 500L)
+
+      // NDV within sketch error of a full recompute
+      delta.write.mode("append").parquet(s"$root/t")
+      StatsCatalog.clearAll()
+      val full = StatsCatalog.analyze(
+        spark.read.parquet(s"$root/t"), Seq("grp", "x")).get
+      val (m, f) = (merged.cols("grp").ndv, full.cols("grp").ndv)
+      assert(math.abs(m - f).toDouble / f < 0.05, s"merged ndv $m vs full $f")
+      val (mx, fx) = (merged.cols("x").ndv, full.cols("x").ndv)
+      assert(math.abs(mx - fx).toDouble / fx < 0.05, s"merged x ndv $mx vs full $fx")
+
+      // merging without prior stats fails loudly
+      intercept[IllegalStateException] {
+        StatsCatalog.mergeDelta(spark, s"$root/nope", delta)
+      }
+    } finally {
+      StatsCatalog.clearAll()
+      StatsCatalog.cacheDir = savedDir
+    }
+  }
 }
