@@ -92,6 +92,46 @@ object InvertedIndex {
       .select(col("doc_id"))
   }
 
+  /** Build a POSITIONAL inverted index: one row per (term, doc_id, pos)
+    * occurrence — the phrase-query upgrade of [[build]]. Same per-doc
+    * O(delta) maintenance argument: positions are doc-local, so appends
+    * contribute exactly their own rows. */
+  def buildPositional(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(terms(col(textCol))).as(Seq("pos", "term")))
+      .filter(col("term") =!= "")
+
+  /** PHRASE(w1 w2 ... wk): doc ids containing the words CONSECUTIVELY.
+    * Offset-normalize then count: an occurrence of term i at position p
+    * votes for base position p - i; a base with k distinct correct
+    * votes is a phrase hit. ONE postings filter (k terms) + one
+    * hash-agg on (doc, base) + the per-doc distinct — no k-way
+    * self-join, no per-doc arrays. Repeated words in the phrase are
+    * handled by counting distinct OFFSETS, not distinct terms. */
+  def phraseMatch(positional: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase needs at least one word")
+    val words = phrase.map(_.toLowerCase)
+    if (words.length == 1)
+      return positional.filter(col("term") === words.head)
+        .select(col("doc_id")).distinct()
+    // term -> the offsets it must appear at (a word can repeat)
+    val offsets = words.zipWithIndex.groupBy(_._1)
+      .map { case (w, ps) => w -> ps.map(_._2) }
+    val offMap = map(offsets.toSeq.flatMap { case (w, os) =>
+      Seq(lit(w), array(os.map(o => lit(o)): _*))
+    }: _*)
+    positional.filter(col("term").isin(words.distinct: _*))
+      .select(col("doc_id"), col("pos"),
+        explode(element_at(offMap, col("term"))).as("off"))
+      .select(col("doc_id"), (col("pos") - col("off")).as("base"), col("off"))
+      .filter(col("base") >= 0)
+      .groupBy(col("doc_id"), col("base"))
+      .agg(countDistinct(col("off")).as("__hits"))
+      .filter(col("__hits") === words.length)
+      .select(col("doc_id")).distinct()
+  }
+
   /** Any-of-terms match (OR of postings = union of posting sets). */
   def containsAny(index: DataFrame, ts: Seq[String]): DataFrame =
     index.filter(col("term").isin(ts.map(_.toLowerCase).distinct: _*))

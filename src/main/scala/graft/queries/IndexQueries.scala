@@ -29,6 +29,25 @@ object IndexQueries extends QueryModule {
              |AND list_contains(string_split(lower(text), ' '), 'spark')
              |ORDER BY doc_id""".stripMargin.replace('\n', ' '))),
 
+    // consecutive-words phrase query over a positional posting table:
+    // occurrences offset-normalize to a base position, k distinct
+    // correct offsets = a phrase hit (one filter + one hash-agg, no
+    // k-way self-join). Corpus is single-space [a-z0-9] text, so the
+    // oracle is an exact padded-substring match.
+    "q_phrase_search" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val pos = InvertedIndex.buildPositional(docs, "doc_id", "text")
+        InvertedIndex.searchDocs(docs, "doc_id",
+            InvertedIndex.phraseMatch(pos, Seq("stream", "table", "hash")))
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, lang, n_chars FROM documents
+             |WHERE ' ' || text || ' ' LIKE '% stream table hash %'
+             |ORDER BY doc_id""".stripMargin.replace('\n', ' ')),
+      doc = "positional-index phrase match for consecutive words"),
+
     // JSON path equality answered from the persisted JSON index
     // (JsonIndex, types.pyi:220; bluesky_queries.sql:12-40): probe
     // (path, md5(value)) postings, semi-join ids back to the table

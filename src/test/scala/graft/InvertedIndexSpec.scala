@@ -79,4 +79,28 @@ class InvertedIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("event_id").orderBy("event_id").collect().map(_.getLong(0)).toSeq
     assert(routed == scanned && routed.nonEmpty)
   }
+
+  test("phrase match: consecutive only, repeated words, order sensitivity") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "big data systems win"),        // has "big data"
+      (2L, "data big systems"),            // words present, wrong order
+      (3L, "big systems data"),            // words present, not adjacent
+      (4L, "say big big data twice"),      // repeated-word phrase source
+      (5L, "big data big data"),           // phrase twice (still one hit)
+      (6L, "nothing relevant here")
+    ).toDF("doc_id", "text")
+    val pos = InvertedIndex.buildPositional(docs, "doc_id", "text")
+    def hits(phrase: String*): Seq[Long] =
+      InvertedIndex.phraseMatch(pos, phrase)
+        .collect().map(_.getLong(0)).sorted.toSeq
+    assert(hits("big", "data") === Seq(1L, 4L, 5L))
+    assert(hits("data", "big") === Seq(2L, 5L))
+    // repeated word in the phrase must demand BOTH positions
+    assert(hits("big", "big", "data") === Seq(4L))
+    // single word degenerates to containsAny semantics
+    assert(hits("systems") === Seq(1L, 2L, 3L))
+    // no match returns empty, not an error
+    assert(hits("big", "nothing") === Seq.empty)
+  }
 }
