@@ -107,4 +107,124 @@ object Batches {
       manifest.getBytes(StandardCharsets.UTF_8))
     infos
   }
+
+  // ------------------------------------------------- tar shard export
+
+  /** One POSIX ustar (1988) member header + data, padded to 512-byte
+    * blocks. Hand-rolled because the JDK ships no tar writer; the
+    * format is 512 fixed offsets and an octal checksum, validated in
+    * the spec against GNU tar itself. */
+  private[sources] def tarMember(name: String, data: Array[Byte],
+      out: java.io.OutputStream): Unit = {
+    require(name.getBytes(StandardCharsets.UTF_8).length <= 100,
+      s"ustar member name over 100 bytes: $name")
+    val h = new Array[Byte](512)
+    def put(off: Int, s: String): Unit = {
+      val b = s.getBytes(StandardCharsets.UTF_8)
+      System.arraycopy(b, 0, h, off, b.length)
+    }
+    put(0, name)                                   // name[100]
+    put(100, "0000644")                            // mode[8] (NUL-terminated)
+    put(108, "0000000")                            // uid[8]
+    put(116, "0000000")                            // gid[8]
+    put(124, f"${data.length}%011o")               // size[12] octal
+    put(136, "00000000000")                        // mtime[12] (epoch: reproducible)
+    java.util.Arrays.fill(h, 148, 156, ' '.toByte) // chksum[8] = spaces while summing
+    h(156) = '0'                                   // typeflag: regular file
+    put(257, "ustar")                              // magic[6] "ustar\0"
+    h(262) = 0
+    put(263, "00")                                 // version[2]
+    put(265, "graft")                              // uname[32]
+    put(297, "graft")                              // gname[32]
+    val sum = h.foldLeft(0L)((a, b) => a + (b & 0xff))
+    put(148, f"$sum%06o")                          // chksum: 6 octal + NUL + space
+    h(154) = 0
+    h(155) = ' '.toByte
+    out.write(h)
+    out.write(data)
+    val pad = (512 - data.length % 512) % 512
+    if (pad > 0) out.write(new Array[Byte](pad))
+  }
+
+  /** WebDataset-style tar shard export: each sample's members land as
+    * consecutive `<key>.<ext>` files in one `.tar` per shard — THE
+    * sequential-read layout multimodal training loaders stream (tar
+    * keeps a sample's text/image/metadata adjacent on disk, so a
+    * dataloader never seeks). `members` maps file extensions to binary
+    * or string columns; keys assign to ceil(n/targetRowsPerShard)
+    * shards by deterministic hash, samples sort by key inside a shard
+    * and member order follows `members` — the archive is byte-stable
+    * across runs and layouts (member mtime pinned to epoch).
+    *
+    * Scale shape: one count + one hash-partitioned shuffle; every
+    * shard's rows land in exactly one task, which streams its tar
+    * straight to disk (nothing buffers a whole shard in memory).
+    * A `_manifest.json` records per-shard samples/bytes for epoch
+    * planning. */
+  def exportTarShards(df: DataFrame, keyCol: String,
+      members: Seq[(String, String)], outDir: String,
+      targetRowsPerShard: Long): Seq[ShardInfo] = {
+    require(members.nonEmpty, "need at least one member column")
+    require(targetRowsPerShard > 0, "targetRowsPerShard must be positive")
+    import org.apache.spark.sql.types.{BinaryType, StringType}
+    val exts = members.map(_._1)
+    val memberCols = members.map { case (ext, c) =>
+      df.schema(c).dataType match {
+        case BinaryType => col(c)
+        case StringType => col(c).cast("binary")
+        case other => throw new IllegalArgumentException(
+          s"member column $c must be binary or string, got $other")
+      }
+    }
+    val n = df.count()
+    val nShards = math.max(1L, (n + targetRowsPerShard - 1) / targetRowsPerShard).toInt
+    Files.createDirectories(Paths.get(outDir))
+    val prepared = df.select(col(keyCol).cast("string").as("__key"),
+        array(memberCols.map(c => coalesce(c, lit(Array.empty[Byte]))): _*).as("__data"))
+      .withColumn("__shard",
+        pmod(xxhash64(col("__key")), lit(nShards.toLong)).cast("int"))
+      .repartition(nShards, col("__shard"))
+      .sortWithinPartitions(col("__shard"), col("__key"))
+    // per-shard sample counts from a key-only aggregation (cheap scan;
+    // the data columns never join this job)
+    val counts = df.select(col(keyCol).cast("string").as("__key"))
+      .groupBy(pmod(xxhash64(col("__key")), lit(nShards.toLong)).cast("int")
+        .as("__shard"))
+      .agg(count(lit(1)).as("__n")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val outDirB = outDir
+    val extsB = exts
+    prepared.foreachPartition { (rows: Iterator[Row]) =>
+      var cur: Option[(Int, java.io.OutputStream)] = None
+      def close(): Unit = cur.foreach { case (_, os) =>
+        os.write(new Array[Byte](1024)) // two zero blocks = end of archive
+        os.close()
+      }
+      rows.foreach { r =>
+        val sid = r.getInt(2)
+        if (!cur.exists(_._1 == sid)) {
+          close()
+          cur = Some(sid -> new java.io.BufferedOutputStream(
+            Files.newOutputStream(Paths.get(outDirB, f"shard-$sid%05d.tar"))))
+        }
+        val key = r.getString(0)
+        val datas = r.getSeq[Array[Byte]](1)
+        extsB.zip(datas).foreach { case (ext, bytes) =>
+          tarMember(s"$key.$ext", bytes, cur.get._2)
+        }
+      }
+      close()
+    }
+    val infos = (0 until nShards).map { sid =>
+      val tarPath = Paths.get(outDir, f"shard-$sid%05d.tar")
+      val bytes = if (Files.exists(tarPath)) Files.size(tarPath) else 0L
+      ShardInfo(sid, counts.getOrElse(sid, 0L), bytes, tarPath.toString)
+    }
+    val manifest = infos.map { s =>
+      s"""{"shard_id": ${s.shardId}, "samples": ${s.rows}, "bytes": ${s.bytes}, "path": "${Paths.get(s.path).getFileName}"}"""
+    }.mkString("[\n", ",\n", "\n]")
+    Files.write(Paths.get(outDir, "_manifest.json"),
+      manifest.getBytes(StandardCharsets.UTF_8))
+    infos
+  }
 }

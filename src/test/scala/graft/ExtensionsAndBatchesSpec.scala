@@ -136,4 +136,54 @@ class ExtensionsAndBatchesSpec extends AnyFunSuite with BeforeAndAfterAll {
         col("a.position") =!= col("b.position")).count()
     assert(moved > n / 2, s"only $moved of $n rows moved between seeds")
   }
+
+  test("tar shard export: GNU tar reads the archives; layout, manifest, determinism") {
+    import spark.implicits._
+    import scala.sys.process._
+    val out = java.nio.file.Files.createTempDirectory("tarshards").toString
+    val docs = (1 to 37).map(i =>
+      (i.toLong, s"text of doc $i", s"""{"id":$i}""")).toDF("doc_id", "text", "meta")
+    val infos = Batches.exportTarShards(docs, "doc_id",
+      Seq("txt" -> "text", "json" -> "meta"), out, targetRowsPerShard = 10)
+    assert(infos.map(_.rows).sum === 37L)
+    val nonEmpty = infos.filter(_.rows > 0)
+    assert(nonEmpty.size >= 2, "hash sharding should populate several shards")
+    nonEmpty.foreach(s => assert(new java.io.File(s.path).isFile, s.path))
+    // GNU tar accepts the hand-rolled ustar format; members list with a
+    // sample's files ADJACENT and samples in key order
+    val sh = nonEmpty.head
+    val names = Seq("tar", "-tf", sh.path).!!.trim.split("\n").toSeq
+    assert(names.length === sh.rows * 2, s"$names")
+    names.grouped(2).foreach { g =>
+      val k = g(0).stripSuffix(".txt")
+      assert(g(0) == s"$k.txt" && g(1) == s"$k.json", s"sample not adjacent: $g")
+    }
+    val keys = names.grouped(2).map(_.head.stripSuffix(".txt")).toSeq
+    assert(keys == keys.sorted, "samples must sort by key inside a shard")
+    // extraction round-trips exact bytes
+    val xd = java.nio.file.Files.createTempDirectory("tarx").toString
+    assert(Seq("tar", "-xf", sh.path, "-C", xd).! === 0)
+    keys.take(3).foreach { k =>
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(xd, s"$k.txt")), "UTF-8")
+      assert(txt === s"text of doc $k")
+      val js = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(xd, s"$k.json")), "UTF-8")
+      assert(js === s"""{"id":$k}""")
+    }
+    // manifest names every shard with its sample count
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(out, "_manifest.json")), "UTF-8")
+    nonEmpty.foreach(s => assert(
+      manifest.contains(s""""shard_id": ${s.shardId}, "samples": ${s.rows}""")))
+    // byte-stable: a re-export yields identical archives (epoch mtimes)
+    val out2 = java.nio.file.Files.createTempDirectory("tarshards2").toString
+    Batches.exportTarShards(docs.repartition(7), "doc_id",
+      Seq("txt" -> "text", "json" -> "meta"), out2, targetRowsPerShard = 10)
+    val a = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(sh.path))
+    val b = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      out2, java.nio.file.Paths.get(sh.path).getFileName.toString))
+    assert(java.util.Arrays.equals(a, b),
+      "archives must be byte-identical across runs and input layouts")
+  }
 }
