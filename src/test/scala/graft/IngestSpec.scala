@@ -71,4 +71,36 @@ class IngestSpec extends AnyFunSuite with BeforeAndAfterAll {
     val bb = annotations.filter(col("ann_id") === 10).select(col("bbox")).head.getSeq[Double](0)
     assert(bb == Seq(0.0, 10.0, 50.0, 60.0))
   }
+
+  test("jsonl round-trip: schema inferred, rows preserved") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("jsonl").toString
+    val df = Seq((1L, "alpha", 0.5), (2L, "beta", 1.5), (3L, "gamma", 2.5))
+      .toDF("id", "name", "score")
+    Ingest.toJsonl(df, s"$dir/out")
+    val back = Ingest.fromJsonl(spark, s"$dir/out")
+    assert(back.count() === 3)
+    val row = back.filter(col("id") === 2L).head()
+    assert(row.getAs[String]("name") === "beta")
+    assert(row.getAs[Double]("score") === 1.5)
+  }
+
+  test("tar shards read back: every member, exact bytes, no disk extraction") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("tarrt").toString
+    val docs = (1 to 25).map(i => (i.toLong, s"doc number $i", s"m$i"))
+      .toDF("doc_id", "text", "meta")
+    graft.sources.Batches.exportTarShards(docs, "doc_id",
+      Seq("txt" -> "text", "json" -> "meta"), out, targetRowsPerShard = 8)
+    val back = Ingest.fromTarShards(spark, out)
+    assert(back.count() === 50) // 25 samples x 2 members
+    val texts = back.filter(col("ext") === "txt")
+      .select(col("key"), col("data").cast("string"))
+      .collect().map(r => r.getString(0).toLong -> r.getString(1)).toMap
+    assert(texts.size === 25)
+    (1 to 25).foreach(i => assert(texts(i.toLong) === s"doc number $i"))
+    // shard column tracks the archive a member came from
+    val shards = back.select("shard").distinct().collect().map(_.getString(0))
+    assert(shards.forall(_.startsWith("shard-")) && shards.length >= 2)
+  }
 }
