@@ -34,17 +34,35 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
+  /** `direction`: "backward" (latest right with rt <= lt — the default
+    * and DuckDB's `l.ts >= r.ts`) or "forward" (EARLIEST right with
+    * rt >= lt — the upcoming-event lookup; DuckDB's `l.ts <= r.ts`).
+    * Forward is the same one-shuffle union-window plan scanned in
+    * descending time order, with right still sorting before left at
+    * equal timestamps so `>=` stays inclusive.
+    *
+    * `tolerance`: maximum staleness (backward) / lead (forward) in the
+    * time column's own units — a match farther than this from the left
+    * row is no match at all (pandas merge_asof's tolerance). Requires a
+    * numeric time column. */
   def asOf(left: DataFrame, right: DataFrame, keyCol: String, timeCol: String,
-      rightValueCols: Seq[String], keepUnmatched: Boolean = false): DataFrame = {
+      rightValueCols: Seq[String], keepUnmatched: Boolean = false,
+      direction: String = "backward",
+      tolerance: Option[Long] = None): DataFrame = {
+    require(Set("backward", "forward")(direction),
+      s"direction must be backward|forward, got $direction")
     val leftCols = left.columns.toSeq
     val leftCarry = leftCols.filterNot(c => c == keyCol || c == timeCol)
     val collisions = rightValueCols.intersect(leftCols)
     require(collisions.isEmpty,
       s"rightValueCols collide with left columns: ${collisions.mkString(", ")}")
-    // the most recent right ROW travels as one nullable struct: non-null
-    // whenever a right row exists, even if every value inside is NULL
+    // the nearest right ROW travels as one nullable struct: non-null
+    // whenever a right row exists, even if every value inside is NULL.
+    // The right TIME rides inside it so tolerance can compare after the
+    // window without a second join.
     val payloadType = org.apache.spark.sql.types.StructType(
-      rightValueCols.map(c => right.schema(c)))
+      rightValueCols.map(c => right.schema(c)) :+
+        org.apache.spark.sql.types.StructField("__rt", right.schema(timeCol).dataType))
     val l = left
       .withColumn("__side", lit(1))
       .select(Seq(col(keyCol), col(timeCol), col("__side")) ++
@@ -54,14 +72,28 @@ object AsOfJoin {
       .withColumn("__side", lit(0))
       .select(Seq(col(keyCol), col(timeCol), col("__side")) ++
         leftCarry.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
-        struct(rightValueCols.map(col): _*).as("__r_payload"): _*)
+        struct(rightValueCols.map(col) :+ col(timeCol).as("__rt"): _*)
+          .as("__r_payload"): _*)
+    val timeOrd =
+      if (direction == "backward") col(timeCol).asc else col(timeCol).desc
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(timeCol), col("__side"))
+      .orderBy(timeOrd, col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = l.unionByName(r)
-      .withColumn("__r", last(col("__r_payload"), ignoreNulls = true).over(w))
+      .withColumn("__r0", last(col("__r_payload"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-    val matched = if (keepUnmatched) carried else carried.filter(col("__r").isNotNull)
+    val withinTol = tolerance match {
+      case None => col("__r0").isNotNull
+      case Some(t) =>
+        val gap =
+          if (direction == "backward") col(timeCol) - col("__r0").getField("__rt")
+          else col("__r0").getField("__rt") - col(timeCol)
+        col("__r0").isNotNull && gap <= t
+    }
+    val resolved = carried.withColumn("__r",
+      when(withinTol, col("__r0")).otherwise(lit(null).cast(payloadType)))
+    val matched =
+      if (keepUnmatched) resolved else resolved.filter(col("__r").isNotNull)
     matched.select(Seq(col(keyCol), col(timeCol)) ++
       leftCarry.map(col) ++
       rightValueCols.map(c => col("__r").getField(c).as(c)): _*)

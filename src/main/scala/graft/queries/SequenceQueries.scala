@@ -176,6 +176,34 @@ object SequenceQueries extends QueryModule {
              |FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
              |ORDER BY l.event_id""".stripMargin.replace('\n', ' '))),
 
+    // ---- forward as-of with tolerance (pandas merge_asof parity):
+    // each click joined to the NEXT purchase within 24h; oracle is
+    // DuckDB's native ASOF with the inequality flipped + a tolerance
+    // post-filter
+    "q_asof_forward" -> Q(
+      (s, dir) => {
+        import graft.operators.AsOfJoin
+        val ev = table(s, dir, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts_ns"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts_ns"))
+          .agg(max(col("value")).as("r_value"))
+        AsOfJoin.asOf(clicks, purchases, "user_id", "ts_ns", Seq("r_value"),
+            direction = "forward", tolerance = Some(86400L * 1000000000L))
+          .select(col("event_id"), round(col("r_value"), 2).as("next_purchase_value"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH l AS (SELECT event_id, user_id, epoch_ns(ts) AS t FROM events
+             |  WHERE event_type = 'click'),
+             |r AS (SELECT user_id, epoch_ns(ts) AS t, max(value) AS r_value FROM events
+             |      WHERE event_type = 'purchase' GROUP BY user_id, epoch_ns(ts))
+             |SELECT l.event_id, round(r.r_value, 2) AS next_purchase_value
+             |FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.t <= r.t
+             |WHERE r.t - l.t <= 86400000000000
+             |ORDER BY l.event_id""".stripMargin.replace('\n', ' ')),
+      doc = "forward as-of join (next purchase within 24h of each click)"),
+
     // ---- bucketed range join (operators/RangeJoin): clicks landing in
     // the hour after each purchase by the same user; equi-join on
     // (user, bin) + residual BETWEEN — never a nested-loop range join

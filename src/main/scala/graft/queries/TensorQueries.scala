@@ -401,6 +401,38 @@ object TensorQueries extends QueryModule {
              |count(*) AS n FROM lineitem GROUP BY l_returnflag
              |ORDER BY l_returnflag""".stripMargin.replace('\n', ' '))),
 
+    // ---- winsorized (percentile-clipped) statistics: outlier-robust
+    // feature cleaning — exact [p01, p99] bounds ride as a broadcast
+    // 1-row frame (no driver action), clamping is map-side math;
+    // Spark's exact percentile == DuckDB quantile_cont, so fully
+    // oracle-checked
+    "q_winsorize" -> Q(
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_extendedprice").cast("double").as("p"))
+        val bounds = li.agg(expr("percentile(p, 0.01)").as("lo"),
+          expr("percentile(p, 0.99)").as("hi"))
+        li.crossJoin(broadcast(bounds))
+          .withColumn("w", least(greatest(col("p"), col("lo")), col("hi")))
+          .groupBy(col("l_returnflag"))
+          .agg(round(min(col("lo")), 4).as("lo"), round(min(col("hi")), 4).as("hi"),
+            round(avg(col("p")), 4).as("avg_raw"),
+            round(avg(col("w")), 4).as("avg_winsorized"),
+            sum((col("p") =!= col("w")).cast("long")).as("n_clipped"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""WITH b AS (SELECT quantile_cont(l_extendedprice, 0.01) AS lo,
+             |  quantile_cont(l_extendedprice, 0.99) AS hi FROM lineitem),
+             |c AS (SELECT l_returnflag, l_extendedprice::DOUBLE AS p,
+             |  least(greatest(l_extendedprice::DOUBLE, lo), hi) AS w, lo, hi
+             |  FROM lineitem, b)
+             |SELECT l_returnflag, round(min(lo), 4) AS lo, round(min(hi), 4) AS hi,
+             |round(avg(p), 4) AS avg_raw, round(avg(w), 4) AS avg_winsorized,
+             |sum(CAST(p <> w AS BIGINT))::BIGINT AS n_clipped
+             |FROM c GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin.replace('\n', ' ')),
+      doc = "percentile-clipped robust statistics (winsorization at [p01, p99])"),
+
     // ---- correlation profile: pairwise Pearson over numeric columns in
     // ONE partial-agg pass (co-moment merge is associative)
     "q_corr_matrix" -> Q(

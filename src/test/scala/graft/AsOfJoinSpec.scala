@@ -67,4 +67,41 @@ class AsOfJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(e.getMessage.contains("collide"))
   }
+
+  test("forward direction takes the earliest at-or-after row; ties inclusive") {
+    val spark2 = spark
+    import spark2.implicits._
+    val left = Seq(("u1", 5L, "a"), ("u1", 10L, "b"), ("u1", 21L, "c"),
+      ("u2", 1L, "d")).toDF("k", "t", "tag")
+    val right = Seq(("u1", 10L, 1.0), ("u1", 20L, 2.0)).toDF("k", "t", "v")
+    val got = AsOfJoin.asOf(left, right, "k", "t", Seq("v"),
+        direction = "forward")
+      .collect().map(r => r.getString(2) -> r.getDouble(3)).toMap
+    // a(5)->10, b(10)->10 (inclusive tie), c(21)-> none, u2 none
+    assert(got === Map("a" -> 1.0, "b" -> 1.0))
+    val outer = AsOfJoin.asOf(left, right, "k", "t", Seq("v"),
+        keepUnmatched = true, direction = "forward")
+      .collect().map(r => r.getString(2) ->
+        (if (r.isNullAt(3)) null else java.lang.Double.valueOf(r.getDouble(3)))).toMap
+    assert(outer("c") == null && outer("d") == null && outer("a") == 1.0)
+  }
+
+  test("tolerance turns too-distant matches into non-matches, both directions") {
+    val spark2 = spark
+    import spark2.implicits._
+    val left = Seq(("u1", 100L, "a"), ("u1", 200L, "b")).toDF("k", "t", "tag")
+    val right = Seq(("u1", 95L, 1.0), ("u1", 260L, 2.0)).toDF("k", "t", "v")
+    // backward, tol 10: a matches 95 (gap 5); b's nearest earlier row is
+    // 95 (gap 105) -> dropped, NOT promoted to a farther-but-in-tol row
+    val back = AsOfJoin.asOf(left, right, "k", "t", Seq("v"),
+        tolerance = Some(10L))
+      .collect().map(r => r.getString(2) -> r.getDouble(3)).toMap
+    assert(back === Map("a" -> 1.0))
+    // forward, tol 70: b matches 260 (lead 60); a's nearest later row is
+    // 260 (lead 160) -> no match
+    val fwd = AsOfJoin.asOf(left, right, "k", "t", Seq("v"),
+        direction = "forward", tolerance = Some(70L))
+      .collect().map(r => r.getString(2) -> r.getDouble(3)).toMap
+    assert(fwd === Map("b" -> 2.0))
+  }
 }
