@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.ml.feature.PCA
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Embedding-space transforms for curation pipelines. PCA reduction is
+  * the standard pre-step before clustering / SemDeDup at scale (SemDeDup
+  * itself operates on dimensionality-reduced embeddings): cut a 768-d
+  * column to 32-128 dims once, then every downstream pairwise kernel
+  * costs proportionally less.
+  *
+  * Scale shape: the covariance accumulates via treeAggregate (d x d
+  * driver matrix — bounded by embedding WIDTH, never row count); the
+  * fitted projection matrix broadcasts and the transform is one
+  * map-side matrix-vector multiply per row. No shuffles anywhere.
+  */
+object EmbeddingOps {
+
+  final case class PcaModel(model: org.apache.spark.ml.feature.PCAModel) {
+    /** fraction of variance captured per component (descending) */
+    def explainedVariance: Array[Double] = model.explainedVariance.toArray
+    /** project `emb`'s vector column to the fitted k dims (map-side) */
+    def transform(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+      model.transform(prep(emb, idCol, vecCol))
+        .select(col("id").as(idCol),
+          vector_to_array(col("__pca"), "float32").as(s"${vecCol}_pca"))
+  }
+
+  private def prep(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb.select(col(idCol).as("id"),
+      array_to_vector(col(vecCol).cast("array<double>")).as("__features"))
+
+  /** Fit a k-component PCA on the embedding column. Deterministic given
+    * the data (dense eigendecomposition of the Gramian) up to component
+    * SIGN — norms, distances, and explained variance are sign-invariant
+    * and fully stable. */
+  def fitPca(emb: DataFrame, idCol: String, vecCol: String, k: Int): PcaModel = {
+    require(k > 0, "k must be positive")
+    PcaModel(new PCA().setInputCol("__features").setOutputCol("__pca")
+      .setK(k).fit(prep(emb, idCol, vecCol)))
+  }
+
+  /** fit + transform in one call */
+  def pcaReduce(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame =
+    fitPca(emb, idCol, vecCol, k).transform(emb, idCol, vecCol)
+}

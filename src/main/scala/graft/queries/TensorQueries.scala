@@ -337,6 +337,23 @@ object TensorQueries extends QueryModule {
              |ORDER BY round, slot, doc_id""".stripMargin.replace('\n', ' ')),
       doc = "deterministic round-robin domain interleave as (round, slot) order coordinates"),
 
+    // ---- PCA embedding reduction (SemDeDup's pre-step): projected
+    // coordinates are sign-indeterminate across BLAS builds, so the
+    // output is the sign-INVARIANT per-row projection norm; the
+    // subspace law (planted low-rank data reconstructs exactly,
+    // variance ordering, orthonormal loadings) is gated in DedupSpec
+    "q_vec_pca" -> Q(
+      (s, dir) => {
+        val red = graft.operators.EmbeddingOps.pcaReduce(
+          table(s, dir, "embeddings"), "vec_id", "embedding", k = 8)
+        red.select(col("vec_id"),
+            round(sqrt(aggregate(col("embedding_pca"),
+              lit(0.0), (a, x) => a + x * x)), 4).as("pca_norm"))
+          .orderBy(col("vec_id"))
+      },
+      None,
+      doc = "8-dim PCA projection norms per embedding (sign-invariant output)"),
+
     // ---- cluster-prototype sampling (coreset selection): nearest-to-
     // centroid representatives per embedding cluster off the persisted
     // ANN artifact. Deterministic given the artifact, but KMeans is not

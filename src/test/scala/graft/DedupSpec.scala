@@ -149,6 +149,35 @@ class DedupSpec extends AnyFunSuite {
     assert(bestSim === 1.0)
   }
 
+  test("PCA reduction: planted rank-2 data reconstructs; variance sorted; norms stable") {
+    import spark.implicits._
+    import graft.operators.EmbeddingOps
+    // 8-d vectors lying EXACTLY in a 2-d subspace spanned by e1+e2, e3-e4
+    val rnd = new scala.util.Random(7)
+    val data = (1 to 60).map { i =>
+      val (a, b) = (rnd.nextGaussian(), rnd.nextGaussian())
+      (i.toLong, Array(a, a, b, -b, 0.0, 0.0, 0.0, 0.0).map(_.toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val m = EmbeddingOps.fitPca(data, "vec_id", "embedding", k = 2)
+    // variance: descending, and 2 components capture (essentially) all of it
+    val ev = m.explainedVariance
+    assert(ev.length == 2 && ev(0) >= ev(1))
+    assert(ev.sum > 0.999, s"rank-2 data must be fully captured: ${ev.toSeq}")
+    // projection preserves every norm (data already lives in the subspace)
+    val norms = m.transform(data, "vec_id", "embedding")
+      .select(col("vec_id"), sqrt(aggregate(col("embedding_pca"),
+        lit(0.0), (acc, x) => acc + x * x)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val orig = data.collect().map(r => r.getLong(0) ->
+      math.sqrt(r.getSeq[Float](1).map(x => x.toDouble * x).sum)).toMap
+    orig.foreach { case (id, n) =>
+      assert(math.abs(norms(id) - n) < 1e-4, s"norm drift for $id: ${norms(id)} vs $n")
+    }
+    // determinism across a refit on the same data
+    val m2 = EmbeddingOps.fitPca(data, "vec_id", "embedding", k = 2)
+    assert(m2.explainedVariance.toSeq == ev.toSeq)
+  }
+
   test("cross-corpus containment matches all-pairs brute force; df cap bounds work") {
     import graft.operators.{TextAnalysis => TA}
     val d = docs(sf001)
