@@ -75,6 +75,52 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n_active"))
   }
 
+  /** Trailing time-window rolling aggregate: for every event, the
+    * sum/count of `valueCol` over the SAME KEY's events in the trailing
+    * `windowNs` (inclusive of the current row) — the feature every
+    * fraud/recommendation pipeline computes ("spend in the last 24h").
+    * RANGE frame over the numeric time column: one window shuffle on
+    * the key, no self-join, no explode of the window contents. */
+  def rollingWindow(events: DataFrame, keyCol: String, tsNsCol: String,
+      valueCol: String, windowNs: Long): DataFrame = {
+    require(windowNs > 0, "windowNs must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsNsCol))
+      .rangeBetween(-(windowNs - 1), 0)
+    events
+      .withColumn("rolling_sum", sum(col(valueCol)).over(w))
+      .withColumn("rolling_n", count(lit(1)).over(w))
+  }
+
+  /** Time-series resampling with forward fill: per key, a REGULAR
+    * `step` grid spanning that key's observed range, carrying the last
+    * observed value forward across gaps — what turns irregular event
+    * streams into model-ready regular series. The grid generates
+    * map-side from per-key bounds (sequence + explode — never a
+    * cross join with a calendar table); observations attach by plain
+    * equi-join; the fill is one last(ignoreNulls) window. `step` is a
+    * SQL interval string like "1 hour" and `truncUnit` the matching
+    * date_trunc unit observations bucket to. */
+  def resampleFill(events: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, step: String = "1 hour",
+      truncUnit: String = "hour"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // max, not avg: the bucket representative must be accumulation-
+    // order independent so resampled series are bit-stable across
+    // layouts (and engine-comparable)
+    val obs = events
+      .groupBy(col(keyCol).as("k"), date_trunc(truncUnit, col(tsCol)).as("t"))
+      .agg(max(col(valueCol)).as("v"))
+    val grid = obs.groupBy(col("k"))
+      .agg(min(col("t")).as("lo"), max(col("t")).as("hi"))
+      .select(col("k"), explode(expr(s"sequence(lo, hi, interval $step)")).as("t"))
+    val w = Window.partitionBy(col("k")).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(obs, Seq("k", "t"), "left")
+      .withColumn("v_filled", last(col("v"), ignoreNulls = true).over(w))
+      .select(col("k").as(keyCol), col("t"), col("v"), col("v_filled"))
+  }
+
   /** First-order Markov transition profile over per-user event-type
     * sequences: counts and row-normalized probabilities of each
     * (from_type → to_type) step, the input to next-event models and

@@ -285,6 +285,48 @@ object SequenceQueries extends QueryModule {
              |ORDER BY event_id""".stripMargin.replace('\n', ' ')),
       doc = "suppress same-(user,type) events within 60s of their predecessor"),
 
+    // ---- trailing 24h rolling aggregate per user: RANGE frame over
+    // the numeric time column — one window shuffle, no self-join
+    "q_rolling_window" -> Q(
+      (s, dir) => graft.operators.EventAnalytics.rollingWindow(
+          table(s, dir, "events").filter(col("user_id") < 30)
+            .select(col("event_id"), col("user_id"), col("ts_ns"), col("value")),
+          "user_id", "ts_ns", "value", windowNs = 86400L * 1000000000L)
+        .select(col("event_id"), round(col("rolling_sum"), 2).as("rolling_sum"),
+          col("rolling_n"))
+        .orderBy(col("event_id")),
+      Some("""SELECT event_id, round(sum(value) OVER w, 2) AS rolling_sum,
+             |count(*) OVER w AS rolling_n
+             |FROM (SELECT event_id, user_id, epoch_ns(ts) AS t, value
+             |      FROM events WHERE user_id < 30)
+             |WINDOW w AS (PARTITION BY user_id ORDER BY t
+             |  RANGE BETWEEN 86399999999999 PRECEDING AND CURRENT ROW)
+             |ORDER BY event_id""".stripMargin.replace('\n', ' ')),
+      doc = "per-user trailing-24h rolling sum/count (RANGE window frame)"),
+
+    // ---- hourly resampling with forward fill: regular grid from
+    // map-side sequence explode, observations equi-join, one
+    // last(ignoreNulls) window carries values across gaps
+    "q_resample_fill" -> Q(
+      (s, dir) => graft.operators.EventAnalytics.resampleFill(
+          table(s, dir, "events").filter(col("user_id") < 6),
+          "user_id", "ts", "value")
+        .select(col("user_id"),
+          date_format(col("t"), "yyyy-MM-dd HH:00").as("hour"),
+          round(col("v"), 2).as("v"), round(col("v_filled"), 2).as("v_filled"))
+        .orderBy(col("user_id"), col("hour")),
+      Some("""WITH obs AS (SELECT user_id AS k, date_trunc('hour', ts) AS t,
+             |  max(value) AS v FROM events WHERE user_id < 6 GROUP BY 1, 2),
+             |b AS (SELECT k, min(t) AS lo, max(t) AS hi FROM obs GROUP BY k),
+             |g AS (SELECT k, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS t FROM b),
+             |j AS (SELECT g.k, g.t, obs.v FROM g LEFT JOIN obs ON g.k = obs.k AND g.t = obs.t)
+             |SELECT k AS user_id, strftime(t, '%Y-%m-%d %H:00') AS hour,
+             |round(v, 2) AS v,
+             |round(last_value(v IGNORE NULLS) OVER (PARTITION BY k ORDER BY t
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS v_filled
+             |FROM j ORDER BY user_id, hour""".stripMargin.replace('\n', ' ')),
+      doc = "hourly regular-grid resampling with forward fill per user"),
+
     // ---- first-order Markov transitions over per-user event sequences
     "q_event_transitions" -> Q(
       (s, dir) => graft.operators.EventAnalytics.transitionMatrix(

@@ -46,4 +46,35 @@ class IncrementalAggSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(m.getDouble(4) === f.getDouble(4))                   // max
     }
   }
+
+  test("materialized view: O(delta) refreshes equal a full recompute; compaction folds") {
+    import graft.operators.MaterializedAgg
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("matview").toString + "/v"
+    val keys = Seq("g")
+    def rows(lo: Int, hi: Int) =
+      (lo until hi).map(i => (s"g${i % 3}", i.toDouble)).toDF("g", "x")
+    MaterializedAgg.create(rows(0, 100), keys, "x", dir)
+    MaterializedAgg.refresh(rows(100, 250), keys, "x", dir)
+    MaterializedAgg.refresh(rows(250, 300), keys, "x", dir)
+    def readout(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+        .toMap
+    val got = readout(MaterializedAgg.read(spark, dir, keys))
+    val full = readout(IncrementalAgg.readout(
+      IncrementalAgg.state(rows(0, 300), keys, "x"), keys))
+    assert(got === full, "maintained view must equal a full recompute")
+    // segments accumulated (1 create + 2 refresh writes); compaction
+    // folds them and preserves the readout
+    MaterializedAgg.compact(spark, dir, keys)
+    assert(readout(MaterializedAgg.read(spark, dir, keys)) === full)
+    // post-compaction refreshes keep working
+    MaterializedAgg.refresh(rows(300, 330), keys, "x", dir)
+    val got2 = readout(MaterializedAgg.read(spark, dir, keys))
+    val full2 = readout(IncrementalAgg.readout(
+      IncrementalAgg.state(rows(0, 330), keys, "x"), keys))
+    assert(got2 === full2)
+  }
 }
