@@ -39,6 +39,19 @@ object MaterializedAgg {
   def read(spark: SparkSession, dir: String, keys: Seq[String]): DataFrame =
     IncrementalAgg.readout(state(spark, dir, keys), keys)
 
+  /** Ingest-time maintenance: every micro-batch folds into the view as
+    * one O(batch) state-segment append — the Structured Streaming twin
+    * of [[refresh]], same files, same readers. */
+  def maintain(stream: DataFrame, keys: Seq[String], valueCol: String,
+      dir: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) refresh(batch, keys, valueCol, dir)
+      }
+      .start()
+
   /** fold the accumulated segments back to one (bounds read cost):
     * the merged state lands in a sibling dir first, then swaps in —
     * never an overwrite of a path being read */

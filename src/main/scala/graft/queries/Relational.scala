@@ -502,6 +502,32 @@ object Relational extends QueryModule {
 
     // ---- column statistics (reference ColumnStatistics __init__.pyi:1283;
     // column_statistics.cpp) -> ANALYZE-style profile
+    // ---- data-quality expectations (DLT/Great-Expectations pattern):
+    // named per-row rules, NULL results count as violations; one
+    // map-side projection + one aggregation
+    "q_expectations" -> Q(
+      (s, dir) => graft.operators.Expectations.summary(
+          table(s, dir, "lineitem"),
+          Seq(
+            "positive_qty" -> (col("l_quantity") > 0),
+            "low_discount" -> col("l_discount").between(0.0, 0.05),
+            "tax_range" -> col("l_tax").between(0.0, 0.08),
+            "flag_known" -> col("l_returnflag").isin("A", "N", "R")))
+        .orderBy(col("rule")),
+      Some("""WITH c AS (SELECT count(*) AS n,
+             |sum(CAST(NOT coalesce(l_quantity > 0, false) AS BIGINT)) AS v1,
+             |sum(CAST(NOT coalesce(l_discount BETWEEN 0.0 AND 0.05, false) AS BIGINT)) AS v2,
+             |sum(CAST(NOT coalesce(l_tax BETWEEN 0.0 AND 0.08, false) AS BIGINT)) AS v3,
+             |sum(CAST(NOT coalesce(l_returnflag IN ('A','N','R'), false) AS BIGINT)) AS v4
+             |FROM lineitem)
+             |SELECT 'positive_qty' AS rule, v1 AS n_violations,
+             |  round(v1 * 1.0 / greatest(n, 1), 6) AS violation_frac, n AS n_rows FROM c
+             |UNION ALL SELECT 'low_discount', v2, round(v2 * 1.0 / greatest(n, 1), 6), n FROM c
+             |UNION ALL SELECT 'tax_range', v3, round(v3 * 1.0 / greatest(n, 1), 6), n FROM c
+             |UNION ALL SELECT 'flag_known', v4, round(v4 * 1.0 / greatest(n, 1), 6), n FROM c
+             |ORDER BY rule""".stripMargin.replace('\n', ' ')),
+      doc = "per-rule data-quality violation summary over lineitem"),
+
     "q_column_stats" -> Q(
       (s, dir) => {
         table(s, dir, "lineitem")

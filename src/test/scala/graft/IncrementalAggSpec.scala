@@ -77,4 +77,27 @@ class IncrementalAggSpec extends AnyFunSuite with BeforeAndAfterAll {
       IncrementalAgg.state(rows(0, 330), keys, "x"), keys))
     assert(got2 === full2)
   }
+
+  test("streaming view maintenance: micro-batches fold into the same state files") {
+    import graft.operators.MaterializedAgg
+    val spark2 = spark
+    import spark2.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("matstream").toString
+    val keys = Seq("g")
+    // three input files -> micro-batches
+    (0 until 3).foreach { b =>
+      (b * 100 until (b + 1) * 100).map(i => (s"g${i % 4}", i.toDouble))
+        .toDF("g", "x").write.mode("append").parquet(s"$tmp/in")
+    }
+    val q = MaterializedAgg.maintain(
+      spark.readStream.schema("g STRING, x DOUBLE")
+        .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in"),
+      keys, "x", s"$tmp/view", s"$tmp/ck")
+    q.processAllAvailable(); q.stop()
+    val got = MaterializedAgg.read(spark, s"$tmp/view", keys)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = (0 until 300).groupBy(i => s"g${i % 4}")
+      .map { case (k, v) => k -> v.size.toLong }
+    assert(got === want, "streamed view must equal the batch truth")
+  }
 }

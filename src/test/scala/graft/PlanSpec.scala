@@ -185,4 +185,37 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("HashAggregate"), p)
   }
+
+  test("funnel stages chain as hash equi-joins, never nested loops") {
+    val p = planOf("q_funnel")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the strictly-after condition rides the join output as a Filter,
+    // the join itself stays keyed on the user column
+    assert(p.contains("Join") || p.contains("HashJoin"), p)
+  }
+
+  test("phrase search: one postings filter + hash aggs, no k-way self-join") {
+    val p = planOf("q_phrase_search")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("rolling window is a single RANGE frame, no self-join") {
+    val p = planOf("q_rolling_window")
+    assert(!p.contains("Join"), s"rolling window must not join:\n$p")
+    assert(p.contains("Window"), p)
+  }
+
+  test("resample grid generates by explode, not a calendar cross join") {
+    val p = planOf("q_resample_fill")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Generate") || p.contains("explode"), p)
+  }
+
+  test("expectations are map-side: no exchange before the single summary agg") {
+    val p = planOf("q_expectations")
+    assert(!p.contains("Join"), p)
+    // one aggregation tree over the scan; rule flags never shuffle rows
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
+  }
 }

@@ -110,6 +110,34 @@ class QualityRulesSpec extends AnyFunSuite {
     assert(avg(1) > avg(0) + 0.3, s"class separation too weak: $avg")
   }
 
+  test("expectations: NULL counts as violation; valid/quarantine partition exactly") {
+    import spark.implicits._
+    import graft.operators.Expectations
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, Some(5), "ok"),        // passes both
+      (2L, Some(-1), "ok"),       // fails positive
+      (3L, None, "ok"),           // NULL qty -> fails positive (unprovable)
+      (4L, Some(5), "")           // fails nonempty
+    ).toDF("id", "qty", "name")
+    val rules = Seq(
+      "positive" -> (col("qty") > 0),
+      "nonempty" -> (org.apache.spark.sql.functions.length(col("name")) > 0))
+    val ann = Expectations.annotate(df, rules)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](3).toList).toMap
+    assert(ann(1L) === Nil)
+    assert(ann(2L) === List("positive"))
+    assert(ann(3L) === List("positive"))
+    assert(ann(4L) === List("nonempty"))
+    val sum = Expectations.summary(df, rules)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+    assert(sum("positive") === ((2L, 4L)) && sum("nonempty") === ((1L, 4L)))
+    val validIds = Expectations.valid(df, rules).collect().map(_.getLong(0)).toSet
+    val quarIds = Expectations.quarantine(df, rules).collect().map(_.getLong(0)).toSet
+    assert(validIds === Set(1L) && quarIds === Set(2L, 3L, 4L))
+    assert((validIds ++ quarIds) === Set(1L, 2L, 3L, 4L), "exact partition")
+  }
+
   test("deflate ratio: repetitive text compresses below natural; edge cases") {
     import spark.implicits._
     val natural = "the quick brown fox jumps over a lazy dog while " +
