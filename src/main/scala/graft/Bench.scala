@@ -37,7 +37,10 @@ object Headline {
     "q21_waiting_suppliers", "q_dedup_minhash_lsh", "q_dedup_embedding",
     "q_dedup_ngram_jaccard", "q_vec_cosine_topk", "q_vec_ann_topk",
     "q_hybrid_search", "q_bm25_topk", "q_inverted_contains_all",
-    "q_text_langid", "q_events_hourly", "q_window_rank")
+    "q_text_langid", "q_events_hourly", "q_window_rank",
+    // round-7 surface: event analytics, phrase search, repeated spans
+    "q_funnel", "q_phrase_search", "q_rolling_window",
+    "q_dedup_repeated_spans")
 }
 
 object Bench {

@@ -137,6 +137,27 @@ object InvertedIndex {
     index.filter(col("term").isin(ts.map(_.toLowerCase).distinct: _*))
       .select(col("doc_id")).distinct()
 
+  /** Typo-tolerant CONTAINS: docs containing any indexed term within
+    * `maxDist` edits of the query term. The query expands against the
+    * index's DISTINCT TERM table (vocabulary-sized, not corpus-sized)
+    * through [[Dedup.fuzzyJoin]]'s PassJoin segment blocking — the
+    * expansion never scans postings, and matched terms drive the plain
+    * postings union. Returns (doc_id, term, dist) so callers can rank
+    * exact hits first. */
+  def fuzzyContains(index: DataFrame, term: String,
+      maxDist: Int = 1): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val vocab = index.select(col("term")).distinct()
+      .withColumn("__tid", col("term"))
+    val q = Seq((0L, term.toLowerCase)).toDF("qid", "qterm")
+    val matched = Dedup.fuzzyJoin(q, "qid", "qterm",
+        vocab, "__tid", "term", maxDist)
+      .select(col("id_r").as("term"), col("dist"))
+    index.join(matched, Seq("term"))
+      .select(col("doc_id"), col("term"), col("dist")).distinct()
+  }
+
   /** Numeric index search: equals / between / less-than etc. */
   def numericWhere(index: DataFrame, cond: Column): DataFrame =
     index.filter(cond).select(col("doc_id")).distinct()

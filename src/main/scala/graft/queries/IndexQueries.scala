@@ -29,6 +29,23 @@ object IndexQueries extends QueryModule {
              |AND list_contains(string_split(lower(text), ' '), 'spark')
              |ORDER BY doc_id""".stripMargin.replace('\n', ' '))),
 
+    // typo-tolerant CONTAINS: the query term expands against the
+    // vocabulary-sized distinct-term table via PassJoin blocking, then
+    // matched terms drive the plain postings union
+    "q_fuzzy_contains" -> Q(
+      (s, dir) => InvertedIndex.fuzzyContains(
+          IndexStore.inverted(s, dir), "vectr", maxDist = 1)
+        .orderBy(col("doc_id"), col("term")),
+      Some("""WITH v AS (SELECT DISTINCT unnest(string_split(lower(text), ' ')) AS term
+             |  FROM documents),
+             |m AS (SELECT term, levenshtein(term, 'vectr') AS dist FROM v
+             |      WHERE term <> '' AND levenshtein(term, 'vectr') <= 1),
+             |p AS (SELECT DISTINCT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS term
+             |      FROM documents)
+             |SELECT DISTINCT p.doc_id, p.term, m.dist FROM p JOIN m USING (term)
+             |ORDER BY doc_id, term""".stripMargin.replace('\n', ' ')),
+      doc = "edit-distance-1 typo-tolerant term search via vocabulary expansion"),
+
     // consecutive-words phrase query over a positional posting table:
     // occurrences offset-normalize to a base position, k distinct
     // correct offsets = a phrase hit (one filter + one hash-agg, no

@@ -131,19 +131,41 @@ object Snapshots {
       case _: NumericType | StringType | DateType | TimestampType => true
       case _ => false
     }).map(_.name)
-    if (statCols.nonEmpty) {
-      val aggs = statCols.flatMap(c => Seq(
-        min(col(c)).cast("string").as(s"__mn_$c"),
-        max(col(c)).cast("string").as(s"__mx_$c")))
-      val r = df.agg(aggs.head, aggs.tail: _*).head()
-      val entries = statCols.zipWithIndex.map { case (c, i) =>
-        val mn = r.getString(2 * i); val mx = r.getString(2 * i + 1)
+    // row count rides the same single-agg pass: COUNT(*) over the
+    // versioned table then answers from k sidecar reads (fastCount)
+    val aggs = count(lit(1)).as("__rows") +: statCols.flatMap(c => Seq(
+      min(col(c)).cast("string").as(s"__mn_$c"),
+      max(col(c)).cast("string").as(s"__mx_$c"))).toSeq
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    val entries = s""""__rows": ${r.getLong(0)}""" +:
+      statCols.zipWithIndex.map { case (c, i) =>
+        val mn = r.getString(1 + 2 * i); val mx = r.getString(2 + 2 * i)
         def v(x: String) = if (x == null) "null" else "\"" + jsonEscape(x) + "\""
         s""""${jsonEscape(c)}": {"min": ${v(mn)}, "max": ${v(mx)}}"""
       }
-      Files.write(statsFile(root, seg),
-        entries.mkString("{", ", ", "}").getBytes(StandardCharsets.UTF_8))
+    Files.write(statsFile(root, seg),
+      entries.mkString("{", ", ", "}").getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** COUNT(*) at `version` from sidecar metadata alone — the manifest
+    * fast path every lakehouse count goes through (Delta's
+    * computeStats, parquet footer counts). Falls back to a real count
+    * the moment ANY segment lacks a recorded row count (pre-feature
+    * segments), so the answer is always exact. */
+  def fastCount(spark: SparkSession, root: String,
+      version: Option[Long] = None, branch: String = Main): Long = {
+    val v = version.getOrElse(currentVersion(root, branch))
+    val segs = segments(root, v, branch)
+    val counts = segs.map { seg =>
+      val f = statsFile(root, seg)
+      if (!Files.exists(f)) None
+      else {
+        val txt = new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
+        "\"__rows\":\\s*(\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toLong)
+      }
     }
+    if (counts.forall(_.isDefined)) counts.flatten.sum
+    else open(spark, root, Some(v), branch).count()
   }
 
   /** (min, max) strings recorded for `col` in `seg`'s sidecar, if any. */

@@ -80,6 +80,20 @@ class InvertedIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(routed == scanned && routed.nonEmpty)
   }
 
+  test("fuzzyContains finds docs through 1-edit term variants only") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "vector search engine"),
+      (2L, "vectors of numbers"),     // "vectors" is 1 edit from "vector"
+      (3L, "victor runs fast"),       // "victor" is 1 edit from "vector"
+      (4L, "nothing related")
+    ).toDF("doc_id", "text")
+    val idx = InvertedIndex.build(docs, "doc_id", "text")
+    val got = InvertedIndex.fuzzyContains(idx, "vector", maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).sorted.toSeq
+    assert(got === Seq((1L, "vector", 0), (2L, "vectors", 1), (3L, "victor", 1)))
+  }
+
   test("phrase match: consecutive only, repeated words, order sensitivity") {
     import spark.implicits._
     val docs = Seq(

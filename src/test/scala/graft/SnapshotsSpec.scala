@@ -294,6 +294,21 @@ class SnapshotsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("fastCount answers from sidecars, falls back when one is missing") {
+    val root = freshRoot()
+    import spark.implicits._
+    Snapshots.create(spark, root, (1L to 120L).map(i => (i, s"r$i")).toDF("id", "s"))
+    Snapshots.append(spark, root, (121L to 200L).map(i => (i, s"r$i")).toDF("id", "s"))
+    assert(Snapshots.fastCount(spark, root) === 200L)
+    // time travel counts the old manifest
+    assert(Snapshots.fastCount(spark, root, Some(1L)) === 120L)
+    // delete one sidecar: the count must stay exact via the fallback
+    val seg = new java.io.File(root).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("seg-")).head.getName
+    java.nio.file.Files.delete(java.nio.file.Paths.get(root, s"$seg.stats.json"))
+    assert(Snapshots.fastCount(spark, root) === 200L)
+  }
+
   test("mergeInto upserts by key; insertOnly appends only new keys") {
     val root = freshRoot()
     import spark.implicits._
