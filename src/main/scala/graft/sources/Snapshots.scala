@@ -82,6 +82,26 @@ object Snapshots {
 
   def history(root: String, branch: String = Main): Seq[Long] = versions(root, branch)
 
+  /** Version AS OF a wall-clock instant (Delta's `timestampAsOf`): the
+    * greatest version whose manifest was committed at or before
+    * `tsMillis`. Commit time is the manifest file's mtime — written
+    * once, never rewritten, so it IS the commit instant. Fails loudly
+    * when the dataset didn't exist yet. */
+  def versionAsOf(root: String, tsMillis: Long, branch: String = Main): Long = {
+    val vs = versions(root, branch).filter { v =>
+      Files.getLastModifiedTime(
+        vDir(root, branch).resolve(f"$v%05d.manifest")).toMillis <= tsMillis
+    }
+    require(vs.nonEmpty,
+      s"no version of $root ($branch) existed at or before $tsMillis")
+    vs.max
+  }
+
+  /** Open the dataset as of a wall-clock instant. */
+  def openAsOf(spark: SparkSession, root: String, tsMillis: Long,
+      branch: String = Main): DataFrame =
+    open(spark, root, Some(versionAsOf(root, tsMillis, branch)), branch)
+
   private def segments(root: String, v: Long, branch: String): Seq[String] = {
     val f = vDir(root, branch).resolve(f"$v%05d.manifest")
     require(Files.exists(f), s"version $v does not exist on branch $branch under $root")
@@ -397,6 +417,24 @@ object Snapshots {
     commit(root,
       segments(root, currentVersion(root, branch), branch) :+ newSegment(root, aligned),
       branch)
+  }
+
+  /** Expectations-enforced append (the DLT ingest gate): rows meeting
+    * every rule append as one O(delta) segment; violating rows are
+    * RETURNED, annotated with the rules they failed, for the caller's
+    * quarantine sink — bad data never lands in the table, and the
+    * caller decides its fate. One pass over the delta. */
+  def appendWithExpectations(spark: SparkSession, root: String,
+      df: DataFrame, rules: Seq[(String, Column)],
+      branch: String = Main): (Long, DataFrame) = {
+    val annotated = graft.operators.Expectations.annotate(df, rules)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val good = annotated.filter(size(col("failed_expectations")) === 0)
+      .drop("failed_expectations")
+    val bad = annotated.filter(size(col("failed_expectations")) > 0)
+    val v = append(spark, root, good, branch)
+    annotated.unpersist(blocking = false)
+    (v, bad)
   }
 
   /** DELETE WHERE cond — copy-on-write rewrite of surviving rows.

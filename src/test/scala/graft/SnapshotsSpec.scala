@@ -294,6 +294,38 @@ class SnapshotsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("openAsOf reads the version committed at-or-before an instant") {
+    val root = freshRoot()
+    import spark.implicits._
+    Snapshots.create(spark, root, Seq((1L, "a")).toDF("id", "s"))
+    val afterV1 = System.currentTimeMillis()
+    Thread.sleep(1100) // manifest mtimes have second granularity on some fs
+    Snapshots.append(spark, root, Seq((2L, "b")).toDF("id", "s"))
+    assert(Snapshots.versionAsOf(root, afterV1) === 1L)
+    assert(Snapshots.openAsOf(spark, root, afterV1).count() === 1L)
+    assert(Snapshots.openAsOf(spark, root, System.currentTimeMillis()).count() === 2L)
+    intercept[IllegalArgumentException] {
+      Snapshots.versionAsOf(root, 1000L) // 1970: nothing existed
+    }
+  }
+
+  test("appendWithExpectations lands only valid rows, returns quarantine with reasons") {
+    val root = freshRoot()
+    import spark.implicits._
+    Snapshots.create(spark, root, Seq((1L, 5.0)).toDF("id", "x"))
+    val delta = Seq((2L, 3.0), (3L, -1.0), (4L, 100.0)).toDF("id", "x")
+    val rules = Seq(
+      "positive" -> (col("x") > 0),
+      "bounded" -> (col("x") < 50))
+    val (v, quarantine) = Snapshots.appendWithExpectations(spark, root, delta, rules)
+    assert(v === 2L)
+    assert(Snapshots.open(spark, root).collect().map(_.getLong(0)).toSet ===
+      Set(1L, 2L), "only the fully-valid row appends")
+    val q = quarantine.collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](2).toList).toMap
+    assert(q === Map(3L -> List("positive"), 4L -> List("bounded")))
+  }
+
   test("fastCount answers from sidecars, falls back when one is missing") {
     val root = freshRoot()
     import spark.implicits._
