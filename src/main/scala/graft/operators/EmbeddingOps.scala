@@ -46,4 +46,20 @@ object EmbeddingOps {
   def pcaReduce(emb: DataFrame, idCol: String, vecCol: String,
       k: Int): DataFrame =
     fitPca(emb, idCol, vecCol, k).transform(emb, idCol, vecCol)
+
+  /** Per-label element-wise mean vectors (class centroids — prototype
+    * classifiers, per-class drift monitoring, cluster seeding).
+    * MLlib's Summarizer is the aggregation: a FIXED-WIDTH d-double
+    * buffer per label with map-side combine — the n×d explode a naive
+    * (label, dim) aggregation would shuffle never exists. Returns
+    * (label, centroid, n). */
+  def labelCentroids(emb: DataFrame, labelCol: String,
+      vecCol: String): DataFrame = {
+    import org.apache.spark.ml.stat.Summarizer
+    emb.select(col(labelCol).as("label"),
+        array_to_vector(col(vecCol).cast("array<double>")).as("__v"))
+      .groupBy(col("label"))
+      .agg(Summarizer.mean(col("__v")).as("__m"), count(lit(1)).as("n"))
+      .select(col("label"), vector_to_array(col("__m")).as("centroid"), col("n"))
+  }
 }

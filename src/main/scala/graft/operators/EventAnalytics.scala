@@ -75,6 +75,34 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n_active"))
   }
 
+  /** Burst-collapse debounce: keep only the FIRST event of each
+    * gap-burst — a burst lasts while consecutive same-(user,type)
+    * events keep arriving within `gapNs` of the PREVIOUS one (session
+    * semantics: followers extend the burst), and ends after a quiet
+    * gap. [[debounce]]'s chain-aware sibling: there, a rapid chain
+    * yields one keeper per >= gap step; here, an arbitrarily long
+    * rapid-fire chain collapses to exactly its first event.
+    * Gaps-and-islands over one lag window — same shuffle shape, fully
+    * oracle-expressible. */
+  def debounceStrict(events: DataFrame, userCol: String, tsNsCol: String,
+      typeCol: String, gapNs: Long): DataFrame = {
+    require(gapNs > 0, "gapNs must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol), col(typeCol))
+      .orderBy(col(tsNsCol))
+    events
+      .withColumn("__prev", lag(col(tsNsCol), 1).over(w))
+      .withColumn("__ni", when(col("__prev").isNull ||
+        col(tsNsCol) - col("__prev") >= gapNs, 1).otherwise(0))
+      .withColumn("__isl", sum(col("__ni")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__first", row_number().over(
+        Window.partitionBy(col(userCol), col(typeCol), col("__isl"))
+          .orderBy(col(tsNsCol))))
+      .filter(col("__first") === 1)
+      .drop("__prev", "__ni", "__isl", "__first")
+  }
+
   /** Trailing time-window rolling aggregate: for every event, the
     * sum/count of `valueCol` over the SAME KEY's events in the trailing
     * `windowNs` (inclusive of the current row) — the feature every

@@ -285,6 +285,27 @@ object SequenceQueries extends QueryModule {
              |ORDER BY event_id""".stripMargin.replace('\n', ' ')),
       doc = "suppress same-(user,type) events within 60s of their predecessor"),
 
+    // ---- burst-collapse debounce: an arbitrarily long rapid-fire
+    // chain keeps exactly its first event (gaps-and-islands)
+    "q_events_debounce_burst" -> Q(
+      (s, dir) => graft.operators.EventAnalytics.debounceStrict(
+          table(s, dir, "events").filter(col("user_id") < 30),
+          "user_id", "ts_ns", "event_type", gapNs = 60000000000L)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts_ns"))
+        .orderBy(col("event_id")),
+      Some("""WITH e AS (SELECT event_id, user_id, event_type, epoch_ns(ts) AS t
+             |  FROM events WHERE user_id < 30),
+             |f AS (SELECT *, CASE WHEN t - lag(t) OVER w >= 60000000000
+             |      OR lag(t) OVER w IS NULL THEN 1 ELSE 0 END AS ni FROM e
+             |      WINDOW w AS (PARTITION BY user_id, event_type ORDER BY t)),
+             |i AS (SELECT *, sum(ni) OVER (PARTITION BY user_id, event_type
+             |      ORDER BY t ROWS UNBOUNDED PRECEDING) AS isl FROM f),
+             |k AS (SELECT *, row_number() OVER (PARTITION BY user_id, event_type, isl
+             |      ORDER BY t) AS rk FROM i)
+             |SELECT event_id, user_id, event_type, t AS ts_ns FROM k WHERE rk = 1
+             |ORDER BY event_id""".stripMargin.replace('\n', ' ')),
+      doc = "burst-collapse debounce: first event per gap-burst survives"),
+
     // ---- trailing 24h rolling aggregate per user: RANGE frame over
     // the numeric time column — one window shuffle, no self-join
     "q_rolling_window" -> Q(

@@ -337,6 +337,24 @@ object TensorQueries extends QueryModule {
              |ORDER BY round, slot, doc_id""".stripMargin.replace('\n', ' ')),
       doc = "deterministic round-robin domain interleave as (round, slot) order coordinates"),
 
+    // ---- per-label class centroids: Summarizer's fixed-width buffer
+    // (no n x d explode before the shuffle); output flattens to
+    // (label, dim, value) scalar rows for the comparator
+    "q_vec_label_centroids" -> Q(
+      (s, dir) => graft.operators.EmbeddingOps.labelCentroids(
+          table(s, dir, "embeddings"), "label", "embedding")
+        .select(col("label"), posexplode(col("centroid")).as(Seq("dim", "v")),
+          col("n"))
+        .select(col("label"), col("dim"), round(col("v"), 6).as("v"), col("n"))
+        .orderBy(col("label"), col("dim")),
+      Some("""WITH x AS (SELECT label, embedding,
+             |  unnest(range(1, len(embedding) + 1)) AS i FROM embeddings)
+             |SELECT label, (i - 1)::INTEGER AS dim,
+             |round(avg(embedding[i]), 6) AS v, count(*) AS n
+             |FROM x GROUP BY label, i
+             |ORDER BY label, dim""".stripMargin.replace('\n', ' ')),
+      doc = "element-wise mean embedding per label (class centroids)"),
+
     // ---- PCA embedding reduction (SemDeDup's pre-step): projected
     // coordinates are sign-indeterminate across BLAS builds, so the
     // output is the sign-INVARIANT per-row projection norm; the

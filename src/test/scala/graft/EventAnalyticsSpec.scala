@@ -73,6 +73,44 @@ class EventAnalyticsSpec extends AnyFunSuite {
       ("2024-01-02", 0, 1L))) // u3
   }
 
+  test("debounceStrict collapses a rapid-fire chain to one keeper; debounce does not") {
+    import spark.implicits._
+    // chain at 0,50,120,130 with gap 100: every consecutive step < 100
+    // except 50->120 (70 < 100 too) — one unbroken burst => ONE keeper.
+    // A later isolated event at 400 starts a new burst.
+    val ev = Seq(
+      (1L, 1L, 0L, "click"), (2L, 1L, 50L, "click"),
+      (3L, 1L, 120L, "click"), (4L, 1L, 130L, "click"),
+      (5L, 1L, 400L, "click")
+    ).toDF("event_id", "user_id", "ts_ns", "event_type")
+    val strict = EventAnalytics.debounceStrict(ev, "user_id", "ts_ns",
+        "event_type", 100L).collect().map(_.getLong(0)).sorted.toSeq
+    assert(strict === Seq(1L, 5L))
+    // lag-debounce keeps any event >= gap from its immediate predecessor:
+    // here every consecutive gap < 100 except 130->400
+    val lagKept = EventAnalytics.debounce(ev, "user_id", "ts_ns",
+        "event_type", 100L).collect().map(_.getLong(0)).sorted.toSeq
+    assert(lagKept === Seq(1L, 5L)) // same here...
+    // ...the semantics split when a chain has an internal >= gap step
+    val ev2 = Seq(
+      (1L, 1L, 0L, "click"), (2L, 1L, 110L, "click"), (3L, 1L, 160L, "click")
+    ).toDF("event_id", "user_id", "ts_ns", "event_type")
+    assert(EventAnalytics.debounce(ev2, "user_id", "ts_ns", "event_type", 100L)
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+    assert(EventAnalytics.debounceStrict(ev2, "user_id", "ts_ns", "event_type", 100L)
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+    // and when the chain is unbroken but long: strict keeps 1, lag keeps 1 too;
+    // the distinguishing case is gap-steps inside a burst window
+    val ev3 = Seq(
+      (1L, 1L, 0L, "click"), (2L, 1L, 90L, "click"), (3L, 1L, 180L, "click")
+    ).toDF("event_id", "user_id", "ts_ns", "event_type")
+    // each step 90 < 100: lag drops 2 and 3; strict also one burst -> keeper 1
+    assert(EventAnalytics.debounceStrict(ev3, "user_id", "ts_ns", "event_type", 100L)
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L))
+    assert(EventAnalytics.debounce(ev3, "user_id", "ts_ns", "event_type", 100L)
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L))
+  }
+
   test("debounce: predecessor-distance semantics, per (user, type) key") {
     import spark.implicits._
     val ev = Seq(
