@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift monitoring between a reference window and a
+  * current window of the same feature — the check that tells a training
+  * pipeline its incoming data no longer looks like what the model was
+  * built on.
+  *
+  * PSI (population stability index), the industry-standard scorecard
+  * metric: bin by the REFERENCE distribution's exact quantiles (equal
+  * expected mass — drift shows up as mass imbalance, not bin-edge
+  * artifacts), then PSI = Σ (p_cur − p_ref) · ln(p_cur / p_ref) with
+  * ε-smoothing for empty bins. Rule of thumb: < 0.1 stable, 0.1–0.25
+  * drifting, > 0.25 broken.
+  *
+  * Plan shape: the reference's quantile edges are ONE exact-percentile
+  * aggregate broadcast as a 1-row frame; both sides bucket map-side
+  * against the literal edges and pay one small (nBins-row) aggregation
+  * each. Neither side ever joins the other's rows.
+  */
+object Drift {
+
+  /** per-bin breakdown: (bin, n_ref, n_cur, p_ref, p_cur, psi_term) */
+  def psiBins(ref: DataFrame, cur: DataFrame, valueCol: String,
+      nBins: Int = 10, eps: Double = 1e-4): DataFrame = {
+    require(nBins >= 2, "need at least 2 bins")
+    val qs = (1 until nBins).map(_.toDouble / nBins)
+    val edgeCols = qs.zipWithIndex.map { case (q, i) =>
+      expr(s"percentile($valueCol, $q)").as(s"__e$i")
+    }
+    val edges = ref.agg(edgeCols.head, edgeCols.tail: _*)
+    def binned(df: DataFrame, side: String): DataFrame = {
+      // bin = number of edges strictly below the value — map-side math
+      // against the broadcast 1-row edge frame
+      val b = (0 until nBins - 1).map(i =>
+        when(col(valueCol) > col(s"__e$i"), 1).otherwise(0))
+        .reduce[Column](_ + _)
+      df.select(col(valueCol)).crossJoin(broadcast(edges))
+        .select(b.as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as(s"n_$side"))
+    }
+    val r = binned(ref, "ref")
+    val c = binned(cur, "cur")
+    val nr = ref.count().toDouble
+    val nc = cur.count().toDouble
+    r.join(c, Seq("bin"), "full")
+      .select(col("bin"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+      .withColumn("p_ref", greatest(col("n_ref") / nr, lit(eps)))
+      .withColumn("p_cur", greatest(col("n_cur") / nc, lit(eps)))
+      .withColumn("psi_term",
+        (col("p_cur") - col("p_ref")) * log(col("p_cur") / col("p_ref")))
+  }
+
+  /** the scalar PSI */
+  def psi(ref: DataFrame, cur: DataFrame, valueCol: String,
+      nBins: Int = 10, eps: Double = 1e-4): Double =
+    psiBins(ref, cur, valueCol, nBins, eps)
+      .agg(sum(col("psi_term"))).head().getDouble(0)
+}

@@ -348,6 +348,47 @@ object SequenceQueries extends QueryModule {
              |FROM j ORDER BY user_id, hour""".stripMargin.replace('\n', ' ')),
       doc = "hourly regular-grid resampling with forward fill per user"),
 
+    // ---- PSI drift monitor: click values (reference) vs purchase
+    // values (current), binned by the reference's exact deciles —
+    // edges broadcast, both sides bucket map-side, no cross-side join
+    "q_drift_psi" -> Q(
+      (s, dir) => {
+        val ev = table(s, dir, "events")
+        graft.operators.Drift.psiBins(
+            ev.filter(col("event_type") === "click"),
+            ev.filter(col("event_type") === "purchase"),
+            "value", nBins = 10)
+          .select(col("bin"), col("n_ref"), col("n_cur"),
+            round(col("p_ref"), 6).as("p_ref"), round(col("p_cur"), 6).as("p_cur"),
+            round(col("psi_term"), 6).as("psi_term"))
+          .orderBy(col("bin"))
+      },
+      Some {
+        val edgeDefs = (1 until 10).map(i =>
+          s"quantile_cont(value, 0.$i) AS e${i - 1}").mkString(", ")
+        val binExpr = (0 until 9).map(i =>
+          s"CASE WHEN value > e$i THEN 1 ELSE 0 END").mkString(" + ")
+        s"""WITH ref AS (SELECT value FROM events WHERE event_type = 'click'),
+           |cur AS (SELECT value FROM events WHERE event_type = 'purchase'),
+           |e AS (SELECT $edgeDefs FROM ref),
+           |br AS (SELECT ($binExpr) AS bin FROM ref, e),
+           |bc AS (SELECT ($binExpr) AS bin FROM cur, e),
+           |cr AS (SELECT bin, count(*) AS n_ref FROM br GROUP BY bin),
+           |cc AS (SELECT bin, count(*) AS n_cur FROM bc GROUP BY bin),
+           |j AS (SELECT coalesce(cr.bin, cc.bin) AS bin,
+           |      coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+           |      FROM cr FULL JOIN cc ON cr.bin = cc.bin),
+           |p AS (SELECT bin, n_ref, n_cur,
+           |      greatest(n_ref * 1.0 / (SELECT count(*) FROM ref), 0.0001) AS p_ref,
+           |      greatest(n_cur * 1.0 / (SELECT count(*) FROM cur), 0.0001) AS p_cur
+           |      FROM j)
+           |SELECT bin, n_ref, n_cur, round(p_ref, 6) AS p_ref,
+           |round(p_cur, 6) AS p_cur,
+           |round((p_cur - p_ref) * ln(p_cur / p_ref), 6) AS psi_term
+           |FROM p ORDER BY bin""".stripMargin.replace('\n', ' ')
+      },
+      doc = "population stability index bins: click vs purchase value distributions"),
+
     // ---- first-order Markov transitions over per-user event sequences
     "q_event_transitions" -> Q(
       (s, dir) => graft.operators.EventAnalytics.transitionMatrix(

@@ -111,6 +111,24 @@ class EventAnalyticsSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L))
   }
 
+  test("PSI: identical distributions score ~0; a shifted one crosses the alarm line") {
+    import spark.implicits._
+    import graft.operators.Drift
+    val rnd = new scala.util.Random(11)
+    val ref = (1 to 2000).map(_ => rnd.nextGaussian()).toDF("value")
+    val same = (1 to 2000).map(_ => rnd.nextGaussian()).toDF("value")
+    val shifted = (1 to 2000).map(_ => rnd.nextGaussian() + 1.5).toDF("value")
+    val psiSame = Drift.psi(ref, same, "value")
+    val psiShift = Drift.psi(ref, shifted, "value")
+    assert(psiSame < 0.05, s"same-distribution PSI too high: $psiSame")
+    assert(psiShift > 0.25, s"shifted PSI must alarm: $psiShift")
+    // bins partition both sides completely
+    val bins = Drift.psiBins(ref, shifted, "value").collect()
+    assert(bins.map(_.getLong(1)).sum === 2000L)
+    assert(bins.map(_.getLong(2)).sum === 2000L)
+    assert(bins.map(_.getInt(0)).sorted.toSeq === (0 until 10))
+  }
+
   test("debounce: predecessor-distance semantics, per (user, type) key") {
     import spark.implicits._
     val ev = Seq(
