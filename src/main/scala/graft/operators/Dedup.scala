@@ -319,12 +319,17 @@ object Dedup {
       .withColumn("__cs", transform(centVecs,
         c => graft.functions.gf.cosine_similarity(col("vec"), c)))
       .withColumn("__best", array_max(col("__cs")))
+    // persisted: THREE consumers (the sizes probe job below, then the
+    // primary and expanded sides of the pair join) would each re-run
+    // the k-cosine-kernel projection otherwise — the most expensive
+    // map work in the operator
     val withClusters = staged
       .withColumn("__primary", element_at(
         filter(idxs, i => element_at(col("__cs"), i + 1) === col("__best")), 1))
       .withColumn("__exp", filter(idxs,
         i => ang(element_at(col("__cs"), i + 1)) <=
           ang(col("__best")) + lit(math.acos(threshold)) + lit(1e-9)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // each side carries its angle to the JOIN cluster's centroid: the
     // spherical triangle inequality angle(p,e) >= |ang_p - ang_e| makes
     // |ang_p - ang_e| <= arccos(t) a NECESSARY condition for a qualifying

@@ -60,4 +60,37 @@ object Drift {
       nBins: Int = 10, eps: Double = 1e-4): Double =
     psiBins(ref, cur, valueCol, nBins, eps)
       .agg(sum(col("psi_term"))).head().getDouble(0)
+
+  /** Categorical drift via Jensen-Shannon divergence — PSI's companion
+    * for label/source/language columns where quantile bins make no
+    * sense. Per category c: js_term = ½·p_ref·ln(p_ref/m) +
+    * ½·p_cur·ln(p_cur/m) with m = (p_ref+p_cur)/2 and ε-smoothing; the
+    * sum is bounded [0, ln 2], symmetric, and never infinite — the
+    * properties that make JS the standard choice over raw KL for
+    * monitoring. Two tiny per-side aggregations + one full join on the
+    * category key; the rows of one side never meet the other's. */
+  def jsBins(ref: DataFrame, cur: DataFrame, catCol: String,
+      eps: Double = 1e-6): DataFrame = {
+    def shares(df: DataFrame, side: String): DataFrame =
+      df.groupBy(col(catCol).cast("string").as("category"))
+        .agg(count(lit(1)).as(s"n_$side"))
+    val nr = ref.count().toDouble
+    val nc = cur.count().toDouble
+    shares(ref, "ref").join(shares(cur, "cur"), Seq("category"), "full")
+      .select(col("category"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+      .withColumn("p_ref", greatest(col("n_ref") / nr, lit(eps)))
+      .withColumn("p_cur", greatest(col("n_cur") / nc, lit(eps)))
+      .withColumn("__m", (col("p_ref") + col("p_cur")) / 2)
+      .withColumn("js_term",
+        (col("p_ref") * log(col("p_ref") / col("__m")) +
+          col("p_cur") * log(col("p_cur") / col("__m"))) / 2)
+      .drop("__m")
+  }
+
+  /** the scalar JS divergence (nats, in [0, ln 2]) */
+  def jsDivergence(ref: DataFrame, cur: DataFrame, catCol: String,
+      eps: Double = 1e-6): Double =
+    jsBins(ref, cur, catCol, eps).agg(sum(col("js_term"))).head().getDouble(0)
 }

@@ -389,6 +389,38 @@ object SequenceQueries extends QueryModule {
       },
       doc = "population stability index bins: click vs purchase value distributions"),
 
+    // ---- categorical drift (JS divergence): event-type mix of the
+    // month's first half vs second half
+    "q_drift_js" -> Q(
+      (s, dir) => {
+        val ev = table(s, dir, "events")
+        graft.operators.Drift.jsBins(
+            ev.filter(col("ts") < lit("2024-01-16").cast("timestamp")),
+            ev.filter(col("ts") >= lit("2024-01-16").cast("timestamp")),
+            "event_type")
+          .select(col("category"), col("n_ref"), col("n_cur"),
+            round(col("p_ref"), 6).as("p_ref"), round(col("p_cur"), 6).as("p_cur"),
+            round(col("js_term"), 6).as("js_term"))
+          .orderBy(col("category"))
+      },
+      Some("""WITH r AS (SELECT event_type FROM events WHERE ts < TIMESTAMP '2024-01-16'),
+             |c AS (SELECT event_type FROM events WHERE ts >= TIMESTAMP '2024-01-16'),
+             |cr AS (SELECT event_type AS category, count(*) AS n_ref FROM r GROUP BY 1),
+             |cc AS (SELECT event_type AS category, count(*) AS n_cur FROM c GROUP BY 1),
+             |j AS (SELECT coalesce(cr.category, cc.category) AS category,
+             |      coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+             |      FROM cr FULL JOIN cc ON cr.category = cc.category),
+             |p AS (SELECT category, n_ref, n_cur,
+             |      greatest(n_ref * 1.0 / (SELECT count(*) FROM r), 0.000001) AS p_ref,
+             |      greatest(n_cur * 1.0 / (SELECT count(*) FROM c), 0.000001) AS p_cur
+             |      FROM j)
+             |SELECT category, n_ref, n_cur, round(p_ref, 6) AS p_ref,
+             |round(p_cur, 6) AS p_cur,
+             |round((p_ref * ln(p_ref / ((p_ref + p_cur) / 2)) +
+             |       p_cur * ln(p_cur / ((p_ref + p_cur) / 2))) / 2, 6) AS js_term
+             |FROM p ORDER BY category""".stripMargin.replace('\n', ' ')),
+      doc = "Jensen-Shannon category drift: event-type mix, first vs second half-month"),
+
     // ---- first-order Markov transitions over per-user event sequences
     "q_event_transitions" -> Q(
       (s, dir) => graft.operators.EventAnalytics.transitionMatrix(

@@ -129,6 +129,22 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(bins.map(_.getInt(0)).sorted.toSeq === (0 until 10))
   }
 
+  test("JS divergence: 0 for identical mixes, ln 2 for disjoint, symmetric") {
+    import spark.implicits._
+    import graft.operators.Drift
+    val a = (Seq.fill(300)("x") ++ Seq.fill(100)("y")).toDF("c")
+    val b = (Seq.fill(600)("x") ++ Seq.fill(200)("y")).toDF("c") // same mix, 2x size
+    assert(math.abs(Drift.jsDivergence(a, b, "c")) < 1e-9)
+    val z = Seq.fill(100)("z").toDF("c")
+    val dj = Drift.jsDivergence(a, z, "c")
+    assert(math.abs(dj - math.log(2)) < 1e-3, s"disjoint JS should be ln2, got $dj")
+    val mixed = (Seq.fill(100)("x") ++ Seq.fill(300)("y")).toDF("c")
+    val d1 = Drift.jsDivergence(a, mixed, "c")
+    val d2 = Drift.jsDivergence(mixed, a, "c")
+    assert(math.abs(d1 - d2) < 1e-12, "JS must be symmetric")
+    assert(d1 > 0.05 && d1 < math.log(2))
+  }
+
   test("debounce: predecessor-distance semantics, per (user, type) key") {
     import spark.implicits._
     val ev = Seq(
