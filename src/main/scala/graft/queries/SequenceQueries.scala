@@ -421,6 +421,30 @@ object SequenceQueries extends QueryModule {
              |FROM p ORDER BY category""".stripMargin.replace('\n', ' ')),
       doc = "Jensen-Shannon category drift: event-type mix, first vs second half-month"),
 
+    // ---- exact two-sample KS statistic (bin-free drift): one tagged
+    // union + one value-ordered RANGE window + a max
+    "q_drift_ks" -> Q(
+      (s, dir) => {
+        val s2 = s
+        import s2.implicits._
+        val ev = table(s, dir, "events")
+        Seq(Tuple1(BigDecimal(graft.operators.Drift.ks(
+            ev.filter(col("event_type") === "click"),
+            ev.filter(col("event_type") === "purchase"), "value"))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+          .toDF("ks_stat")
+      },
+      Some("""WITH r AS (SELECT value AS v FROM events WHERE event_type = 'click'),
+             |c AS (SELECT value AS v FROM events WHERE event_type = 'purchase'),
+             |u AS (SELECT v, 1 AS tr, 0 AS tc FROM r
+             |      UNION ALL SELECT v, 0, 1 FROM c),
+             |g AS (SELECT abs(sum(tr) OVER w * 1.0 / (SELECT count(*) FROM r) -
+             |             sum(tc) OVER w * 1.0 / (SELECT count(*) FROM c)) AS gap
+             |      FROM u WINDOW w AS (ORDER BY v
+             |        RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             |SELECT round(max(gap), 6) AS ks_stat FROM g""".stripMargin.replace('\n', ' ')),
+      doc = "exact Kolmogorov-Smirnov distance between click and purchase values"),
+
     // ---- first-order Markov transitions over per-user event sequences
     "q_event_transitions" -> Q(
       (s, dir) => graft.operators.EventAnalytics.transitionMatrix(

@@ -145,6 +145,24 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(d1 > 0.05 && d1 < math.log(2))
   }
 
+  test("KS statistic: exact on hand-computed samples, detects shift, 0 on identity") {
+    import spark.implicits._
+    import graft.operators.Drift
+    // hand-computable: ref {1,2,3,4}, cur {3,4,5,6}: sup gap = 1/2 at x in [2,3)...
+    // ECDFs: F_ref(2)=.5 F_cur(2)=0 -> gap .5; F_ref(4)=1 F_cur(4)=.5 -> .5
+    val ref = Seq(1.0, 2.0, 3.0, 4.0).toDF("v")
+    val cur = Seq(3.0, 4.0, 5.0, 6.0).toDF("v")
+    assert(math.abs(Drift.ks(ref, cur, "v") - 0.5) < 1e-12)
+    // identity: identical samples -> 0 exactly (ties resolved jointly)
+    assert(Drift.ks(ref, ref, "v") === 0.0)
+    // a planted mean shift shows a large D on gaussians
+    val rnd = new scala.util.Random(13)
+    val a = (1 to 1500).map(_ => rnd.nextGaussian()).toDF("v")
+    val b = (1 to 1500).map(_ => rnd.nextGaussian() + 1.0).toDF("v")
+    val d = Drift.ks(a, b, "v")
+    assert(d > 0.3, s"1-sigma shift must show: $d") // theoretical ~0.38
+  }
+
   test("debounce: predecessor-distance semantics, per (user, type) key") {
     import spark.implicits._
     val ev = Seq(
