@@ -26,11 +26,17 @@ object Drift {
   def psiBins(ref: DataFrame, cur: DataFrame, valueCol: String,
       nBins: Int = 10, eps: Double = 1e-4): DataFrame = {
     require(nBins >= 2, "need at least 2 bins")
+    // NULLs are excluded on BOTH sides (counts and denominators) to
+    // match percentile(), which ignores them when placing the edges —
+    // otherwise a NULL-heavy current window reads as mass piled into
+    // the lowest decile. Track NULL rate separately if it matters.
+    val refNn = ref.filter(col(valueCol).isNotNull)
+    val curNn = cur.filter(col(valueCol).isNotNull)
     val qs = (1 until nBins).map(_.toDouble / nBins)
     val edgeCols = qs.zipWithIndex.map { case (q, i) =>
       expr(s"percentile($valueCol, $q)").as(s"__e$i")
     }
-    val edges = ref.agg(edgeCols.head, edgeCols.tail: _*)
+    val edges = refNn.agg(edgeCols.head, edgeCols.tail: _*)
     def binned(df: DataFrame, side: String): DataFrame = {
       // bin = number of edges strictly below the value — map-side math
       // against the broadcast 1-row edge frame
@@ -41,10 +47,10 @@ object Drift {
         .select(b.as("bin"))
         .groupBy(col("bin")).agg(count(lit(1)).as(s"n_$side"))
     }
-    val r = binned(ref, "ref")
-    val c = binned(cur, "cur")
-    val nr = ref.count().toDouble
-    val nc = cur.count().toDouble
+    val r = binned(refNn, "ref")
+    val c = binned(curNn, "cur")
+    val nr = refNn.count().toDouble
+    val nc = curNn.count().toDouble
     r.join(c, Seq("bin"), "full")
       .select(col("bin"),
         coalesce(col("n_ref"), lit(0L)).as("n_ref"),
@@ -98,27 +104,79 @@ object Drift {
     * member of the drift family: D = sup_x |F_ref(x) − F_cur(x)|,
     * sensitive to ANY distributional difference, no binning choices.
     *
-    * Distributed shape: union both sides tagged, ONE global sort-by-
-    * value window computes both running ECDFs in a single pass, and
-    * the sup is one max aggregation. The window is a global ORDER BY —
-    * the price of an exact sup; for 100 TB use [[psi]] (bounded bins)
-    * and reserve exact KS for the sampled slices where its sensitivity
-    * matters. Ties handled exactly: the ECDF step at a tied value
-    * applies both sides' mass before the gap is read (rangeBetween
-    * frame = all rows with value <= current). */
-  def ks(ref: DataFrame, cur: DataFrame, valueCol: String): Double = {
+    * Distributed shape (the zipWithIndex/[[RowNumber]] pattern — no
+    * global-ORDER-BY window anywhere):
+    *   1. tagged union, then ONE hash aggregation collapses ties to a
+    *      single row per distinct value carrying both sides' mass —
+    *      the ECDF step at a tied value applies jointly, exactly
+    *   2. range-repartition by value (partition id order == value
+    *      order) and sort within partitions
+    *   3. per-partition (ref, cur) totals — one row per range
+    *      partition, a bounded driver artifact — prefix-summed on the
+    *      driver into start offsets (no window at all, so no
+    *      single-partition WindowExec exists anywhere in the operator)
+    *   4. broadcast the offsets back; each partition's running sums +
+    *      its prefix offset give both exact ECDFs in parallel; the sup
+    *      is one max aggregation.
+    * The collapsed frame is persisted between the totals pass and the
+    * gap pass — AQE may otherwise coalesce the range shuffle
+    * differently across the two jobs and shift partition ids. Callers
+    * that keep the returned frame lazy should `unpersistKs` when done;
+    * [[ks]] does so itself. */
+  def ksGaps(ref: DataFrame, cur: DataFrame, valueCol: String,
+      nRef: Double, nCur: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val u = ref.select(col(valueCol).cast("double").as("__ks_v"),
+        lit(1L).as("__r"), lit(0L).as("__c"))
+      .unionByName(cur.select(col(valueCol).cast("double").as("__ks_v"),
+        lit(0L).as("__r"), lit(1L).as("__c")))
+    val perV = u.groupBy(col("__ks_v"))
+      .agg(sum(col("__r")).as("__r"), sum(col("__c")).as("__c"))
+    val parts = perV.repartitionByRange(col("__ks_v"))
+      .sortWithinPartitions(col("__ks_v"))
+      .withColumn("__ks_pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = parts.groupBy(col("__ks_pid"))
+      .agg(sum(col("__r")).as("__tr"), sum(col("__c")).as("__tc"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val offRows = {
+      var or = 0L; var oc = 0L
+      totals.map { case (pid, tr, tc) =>
+        val row = (pid, or, oc); or += tr; oc += tc; row
+      }.toSeq
+    }
+    val spark0 = ref.sparkSession
+    import spark0.implicits._
+    val offs = offRows.toDF("__ks_pid", "__or", "__oc")
+    val w = Window.partitionBy(col("__ks_pid")).orderBy(col("__ks_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gaps = parts.join(broadcast(offs), "__ks_pid")
+      .select(col("__ks_v").as("value"),
+        ((col("__or") + sum(col("__r")).over(w)) / nRef).as("f_ref"),
+        ((col("__oc") + sum(col("__c")).over(w)) / nCur).as("f_cur"))
+      .withColumn("gap", abs(col("f_ref") - col("f_cur")))
+    lastKsParts.set(parts)
+    gaps
+  }
+
+  // the persisted collapsed frame of the most recent ksGaps on this
+  // thread, so eager callers can release it after their action
+  private val lastKsParts = new ThreadLocal[DataFrame]
+
+  /** release the persisted intermediate of this thread's last [[ksGaps]] */
+  def unpersistKs(): Unit = {
+    val p = lastKsParts.get()
+    if (p != null) { p.unpersist(false); lastKsParts.remove() }
+  }
+
+  /** the scalar D = max over [[ksGaps]] */
+  def ks(ref: DataFrame, cur: DataFrame, valueCol: String): Double = {
     val nr = ref.count().toDouble
     val nc = cur.count().toDouble
     require(nr > 0 && nc > 0, "both samples must be non-empty")
-    val u = ref.select(col(valueCol).cast("double").as("v"), lit(1).as("__r"),
-        lit(0).as("__c"))
-      .unionByName(cur.select(col(valueCol).cast("double").as("v"),
-        lit(0).as("__r"), lit(1).as("__c")))
-    val w = Window.orderBy(col("v"))
-      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
-    u.withColumn("__gap", abs(
-        sum(col("__r")).over(w) / nr - sum(col("__c")).over(w) / nc))
-      .agg(max(col("__gap"))).head().getDouble(0)
+    try ksGaps(ref, cur, valueCol, nr, nc)
+      .agg(max(col("gap"))).head().getDouble(0)
+    finally unpersistKs()
   }
 }

@@ -520,11 +520,11 @@ object Relational extends QueryModule {
              |sum(CAST(NOT coalesce(l_tax BETWEEN 0.0 AND 0.08, false) AS BIGINT)) AS v3,
              |sum(CAST(NOT coalesce(l_returnflag IN ('A','N','R'), false) AS BIGINT)) AS v4
              |FROM lineitem)
-             |SELECT 'positive_qty' AS rule, v1 AS n_violations,
+             |SELECT 'positive_qty' AS rule, v1::BIGINT AS n_violations,
              |  round(v1 * 1.0 / greatest(n, 1), 6) AS violation_frac, n AS n_rows FROM c
-             |UNION ALL SELECT 'low_discount', v2, round(v2 * 1.0 / greatest(n, 1), 6), n FROM c
-             |UNION ALL SELECT 'tax_range', v3, round(v3 * 1.0 / greatest(n, 1), 6), n FROM c
-             |UNION ALL SELECT 'flag_known', v4, round(v4 * 1.0 / greatest(n, 1), 6), n FROM c
+             |UNION ALL SELECT 'low_discount', v2::BIGINT, round(v2 * 1.0 / greatest(n, 1), 6), n FROM c
+             |UNION ALL SELECT 'tax_range', v3::BIGINT, round(v3 * 1.0 / greatest(n, 1), 6), n FROM c
+             |UNION ALL SELECT 'flag_known', v4::BIGINT, round(v4 * 1.0 / greatest(n, 1), 6), n FROM c
              |ORDER BY rule""".stripMargin.replace('\n', ' ')),
       doc = "per-rule data-quality violation summary over lineitem"),
 

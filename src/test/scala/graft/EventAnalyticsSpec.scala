@@ -129,6 +129,25 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(bins.map(_.getInt(0)).sorted.toSeq === (0 until 10))
   }
 
+  test("PSI: NULLs are excluded from counts and denominators, not binned as low-decile mass") {
+    import spark.implicits._
+    import graft.operators.Drift
+    val rnd = new scala.util.Random(17)
+    val ref = (1 to 2000).map(_ => rnd.nextGaussian()).toDF("value")
+    val cur = (1 to 2000).map(_ => rnd.nextGaussian()).toDF("value")
+    // a NULL-heavy current window must NOT read as drift: the non-NULL
+    // values follow the reference distribution exactly
+    val curNulls = cur.select(col("value")).unionByName(
+      (1 to 3000).map(_ => Option.empty[Double]).toDF("value"))
+    val psiClean = Drift.psi(ref, cur, "value")
+    val psiWithNulls = Drift.psi(ref, curNulls, "value")
+    assert(math.abs(psiWithNulls - psiClean) < 1e-9,
+      s"NULL rows changed PSI: $psiClean vs $psiWithNulls")
+    // denominators count only non-NULL rows
+    val bins = Drift.psiBins(ref, curNulls, "value").collect()
+    assert(bins.map(_.getLong(2)).sum === 2000L, "NULLs leaked into bin counts")
+  }
+
   test("JS divergence: 0 for identical mixes, ln 2 for disjoint, symmetric") {
     import spark.implicits._
     import graft.operators.Drift

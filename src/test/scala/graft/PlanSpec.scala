@@ -75,6 +75,26 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("exact KS running ECDFs are distributed (per-partition window + broadcast offsets)") {
+    val ev = graft.sources.Tables(spark, dir, "events")
+    val g = graft.operators.Drift.ksGaps(
+      ev.filter(col("event_type") === "click"),
+      ev.filter(col("event_type") === "purchase"), "value", 100.0, 100.0)
+    val p = g.queryExecution.executedPlan.toString
+    assert(p.contains("spark_partition_id") || p.contains("SPARK_PARTITION_ID"), p)
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"), p)
+    // every window ordered by the value column must partition by the
+    // stamped pid; only the numPartitions-row offsets frame (ordered by
+    // __ks_pid itself) may be globally windowed
+    val specs = """windowspecdefinition\(([^()]*)""".r
+      .findAllMatchIn(p).map(_.group(1)).toList
+    assert(specs.nonEmpty, p)
+    specs.filter(_.contains("__ks_v")).foreach { s =>
+      assert(s.contains("__ks_pid"),
+        s"value-ordered window is not pid-partitioned: $s\n$p")
+    }
+  }
+
   test("bm25 searches the persisted index artifact, not an inline rebuild") {
     val p = planOf("q_bm25_topk")
     assert(p.contains("graft-index-cache"), p)
