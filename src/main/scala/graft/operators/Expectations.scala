@@ -25,17 +25,21 @@ object Expectations {
       array_sort(filter(array(flags: _*), x => x.isNotNull)))
   }
 
-  /** per-rule violation counts + fractions over the whole frame */
+  /** per-rule violation counts + fractions over the whole frame.
+    * Internal agg columns are indexed (`__v_0` …), never derived from
+    * rule names — a name containing dots or backticks (legal for
+    * annotate/valid/quarantine) must not break the col() resolution
+    * here. */
   def summary(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
     require(rules.nonEmpty, "need at least one expectation")
-    val aggs = rules.map { case (name, cond) =>
-      sum((!coalesce(cond, lit(false))).cast("long")).as(s"__v_$name")
+    val aggs = rules.zipWithIndex.map { case ((_, cond), i) =>
+      sum((!coalesce(cond, lit(false))).cast("long")).as(s"__v_$i")
     }
     val counted = df.agg(count(lit(1)).as("__n"), aggs: _*)
-    val rows = rules.map { case (name, _) =>
+    val rows = rules.zipWithIndex.map { case ((name, _), i) =>
       counted.select(lit(name).as("rule"),
-        col(s"__v_$name").as("n_violations"),
-        round(col(s"__v_$name") / greatest(col("__n"), lit(1L)), 6)
+        col(s"__v_$i").as("n_violations"),
+        round(col(s"__v_$i") / greatest(col("__n"), lit(1L)), 6)
           .as("violation_frac"),
         col("__n").as("n_rows"))
     }

@@ -52,16 +52,41 @@ object MaterializedAgg {
       }
       .start()
 
-  /** fold the accumulated segments back to one (bounds read cost):
-    * the merged state lands in a sibling dir first, then swaps in —
-    * never an overwrite of a path being read */
+  /** Fold the accumulated segments back to one (bounds read cost).
+    * Concurrent-append-safe: the segment FILES are snapshotted first,
+    * only those files are merged, and only those files are deleted —
+    * a segment appended mid-compaction (e.g. by a [[maintain]]
+    * micro-batch) is neither read nor removed, it simply survives.
+    * Crash window: a crash after the compacted segment lands but
+    * before the old files are dropped leaves a transient double count
+    * that the next [[compact]] repairs; there is no ordering that
+    * loses appended state. */
   def compact(spark: SparkSession, dir: String, keys: Seq[String]): Unit = {
-    import java.nio.file.{Files, Paths}
+    import java.nio.file.{Files, Path, Paths}
     import scala.jdk.CollectionConverters._
-    val tmp = s"$dir.compacting"
-    state(spark, dir, keys).write.mode("overwrite").parquet(tmp)
-    Files.walk(Paths.get(dir)).iterator().asScala.toSeq
-      .sortBy(-_.getNameCount).foreach(Files.delete(_))
-    Files.move(Paths.get(tmp), Paths.get(dir))
+    def partFiles(root: Path): Seq[Path] = {
+      val walk = Files.walk(root)
+      try walk.iterator().asScala.filter(p => Files.isRegularFile(p) &&
+        p.getFileName.toString.startsWith("part-")).toList
+      finally walk.close()
+    }
+    val snapshot = partFiles(Paths.get(dir))
+    if (snapshot.nonEmpty) {
+      val segs = spark.read.parquet(snapshot.map(_.toString): _*)
+      val tmp = s"$dir.compacting"
+      IncrementalAgg.merge(segs.limit(0), segs, keys)
+        .write.mode("overwrite").parquet(tmp)
+      // swap in: new compacted files first (readers may double-count for
+      // an instant), then drop exactly the snapshotted segments
+      partFiles(Paths.get(tmp)).foreach { p =>
+        Files.move(p, Paths.get(dir).resolve(
+          s"compacted-${java.util.UUID.randomUUID()}-${p.getFileName}"))
+      }
+      snapshot.foreach(Files.deleteIfExists(_))
+      val tw = Files.walk(Paths.get(tmp))
+      try tw.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+        .foreach(Files.deleteIfExists(_))
+      finally tw.close()
+    }
   }
 }

@@ -333,28 +333,42 @@ object Snapshots {
     }
   }
 
-  /** segment might contain `value` in `colName`? Bloom answers when
+  /** Segment might contain `value` in `colName`? Bloom answers when
     * present; otherwise fall back to the range sidecar; otherwise keep
-    * (pruning is IO-only, never semantic). */
+    * (pruning is IO-only, never semantic). The probe dispatches on the
+    * COLUMN's type, not the runtime type of `value`: the bloom was
+    * built in the column's hash domain (longs for integral columns,
+    * UTF-8 bytes for strings), so a cross-domain probe (e.g. a String
+    * against an integral column, reachable via implicit casts in the
+    * caller's filter) would hash garbage and prune live segments. Any
+    * domain mismatch keeps the segment. */
   private def segMightContain(root: String, seg: String, colName: String,
-      value: Any): Boolean = {
+      value: Any, dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    val integral = dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    val numeric = integral || (dt match {
+      case FloatType | DoubleType | _: DecimalType => true
+      case _ => false
+    })
     val f = bloomFile(root, seg, colName)
     if (Files.exists(f)) {
       val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
         new java.io.ByteArrayInputStream(Files.readAllBytes(f)))
-      value match {
-        case n: Number => bf.mightContainLong(n.longValue())
-        case s: String => bf.mightContainString(s)
-        // a type the sketch cannot hash: keep the segment (IO-only
-        // pruning must never throw)
-        case other =>
-          try bf.mightContain(other)
-          catch { case _: IllegalArgumentException => true }
+      (value, dt) match {
+        // only an exactly-integral number may probe an integral column
+        case (n: Number, _) if integral &&
+            n.longValue().toDouble == n.doubleValue() =>
+          bf.mightContainLong(n.longValue())
+        case (s: String, StringType) => bf.mightContainString(s)
+        case _ => true // cross-domain probe: keep (IO-only pruning)
       }
-    } else value match {
-      case n: Number =>
+    } else (value, dt) match {
+      case (n: Number, _) if numeric =>
         val d = n.doubleValue(); segOverlaps(root, seg, colName, d, d)
-      case s: String => segmentStats(root, seg, colName) match {
+      case (s: String, StringType) => segmentStats(root, seg, colName) match {
         case Some((mn, mx)) if mn != null && mx != null =>
           mn <= s && s <= mx
         case _ => true
@@ -372,8 +386,11 @@ object Snapshots {
       value: Any, version: Option[Long] = None,
       branch: String = Main): DataFrame = {
     val v = version.getOrElse(currentVersion(root, branch))
+    val dt = open(spark, root, Some(v), branch).schema
+      .find(_.name == colName).map(_.dataType)
+      .getOrElse(org.apache.spark.sql.types.NullType)
     val keep = segments(root, v, branch)
-      .filter(seg => segMightContain(root, seg, colName, value))
+      .filter(seg => segMightContain(root, seg, colName, value, dt))
     if (keep.isEmpty)
       open(spark, root, Some(v), branch).limit(0)
     else spark.read.option("mergeSchema", "true")
@@ -433,8 +450,13 @@ object Snapshots {
       .drop("failed_expectations")
     val bad = annotated.filter(size(col("failed_expectations")) > 0)
     val v = append(spark, root, good, branch)
+    // pin the quarantine rows BEFORE releasing the annotated frame: a
+    // later evaluation would otherwise recompute from the source df and,
+    // for a non-deterministic input, disagree with the rows actually
+    // gated out of the append
+    val badPinned = bad.localCheckpoint(true)
     annotated.unpersist(blocking = false)
-    (v, bad)
+    (v, badPinned)
   }
 
   /** DELETE WHERE cond — copy-on-write rewrite of surviving rows.

@@ -136,6 +136,13 @@ class QualityRulesSpec extends AnyFunSuite {
     val quarIds = Expectations.quarantine(df, rules).collect().map(_.getLong(0)).toSet
     assert(validIds === Set(1L) && quarIds === Set(2L, 3L, 4L))
     assert((validIds ++ quarIds) === Set(1L, 2L, 3L, 4L), "exact partition")
+    // rule names with dots/backticks are legal everywhere, including
+    // summary (internal agg columns are indexed, not name-derived)
+    val dotted = Seq("qty.positive" -> (col("qty") > 0),
+      "name`nonempty" -> (org.apache.spark.sql.functions.length(col("name")) > 0))
+    val dsum = Expectations.summary(df, dotted)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dsum("qty.positive") === 2L && dsum("name`nonempty") === 1L)
   }
 
   test("deflate ratio: repetitive text compresses below natural; edge cases") {

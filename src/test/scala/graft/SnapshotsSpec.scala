@@ -286,6 +286,17 @@ class SnapshotsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val noBloom = Snapshots.openPrunedEq(spark, root, "k",
       new java.lang.StringBuilder("x")) // unhandled type -> keep all
     assert(noBloom.inputFiles.length == all.inputFiles.length)
+    // cross-domain probes never prune: the bloom hashes in the COLUMN's
+    // domain, so a String against the integral id column (implicit-cast
+    // reachable) or a Number against the string k column keeps all
+    // segments instead of hashing garbage and dropping live ones
+    assert(Snapshots.openPrunedEq(spark, root, "id", "42")
+      .inputFiles.length == all.inputFiles.length)
+    assert(Snapshots.openPrunedEq(spark, root, "k", 42L)
+      .inputFiles.length == all.inputFiles.length)
+    // a fractional probe of an integral column is likewise conservative
+    assert(Snapshots.openPrunedEq(spark, root, "id", 42.5)
+      .inputFiles.length == all.inputFiles.length)
     // double-typed columns are rejected loudly
     val root2 = freshRoot()
     Snapshots.create(spark, root2, Seq((1L, 0.5)).toDF("id", "d"))
