@@ -22,9 +22,14 @@ import org.apache.spark.sql.functions._
   */
 object Drift {
 
-  /** per-bin breakdown: (bin, n_ref, n_cur, p_ref, p_cur, psi_term) */
+  /** per-bin breakdown: (bin, n_ref, n_cur, p_ref, p_cur, psi_term).
+    * `approxEdges` swaps the exact percentile (value→count map state,
+    * grows with distinct cardinality) for approx_percentile's
+    * fixed-size sketch — the 100 TB posture; exact stays the default
+    * for oracle parity. */
   def psiBins(ref: DataFrame, cur: DataFrame, valueCol: String,
-      nBins: Int = 10, eps: Double = 1e-4): DataFrame = {
+      nBins: Int = 10, eps: Double = 1e-4,
+      approxEdges: Boolean = false, accuracy: Int = 10000): DataFrame = {
     require(nBins >= 2, "need at least 2 bins")
     // NULLs are excluded on BOTH sides (counts and denominators) to
     // match percentile(), which ignores them when placing the edges —
@@ -34,7 +39,8 @@ object Drift {
     val curNn = cur.filter(col(valueCol).isNotNull)
     val qs = (1 until nBins).map(_.toDouble / nBins)
     val edgeCols = qs.zipWithIndex.map { case (q, i) =>
-      expr(s"percentile($valueCol, $q)").as(s"__e$i")
+      (if (approxEdges) expr(s"approx_percentile($valueCol, $q, $accuracy)")
+       else expr(s"percentile($valueCol, $q)")).cast("double").as(s"__e$i")
     }
     val edges = refNn.agg(edgeCols.head, edgeCols.tail: _*)
     def binned(df: DataFrame, side: String): DataFrame = {
@@ -63,8 +69,9 @@ object Drift {
 
   /** the scalar PSI */
   def psi(ref: DataFrame, cur: DataFrame, valueCol: String,
-      nBins: Int = 10, eps: Double = 1e-4): Double =
-    psiBins(ref, cur, valueCol, nBins, eps)
+      nBins: Int = 10, eps: Double = 1e-4,
+      approxEdges: Boolean = false, accuracy: Int = 10000): Double =
+    psiBins(ref, cur, valueCol, nBins, eps, approxEdges, accuracy)
       .agg(sum(col("psi_term"))).head().getDouble(0)
 
   /** Categorical drift via Jensen-Shannon divergence — PSI's companion

@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Outlier-robust numeric cleaning (winsorization): clamp a value
+  * column to its [loQ, hiQ] quantile bounds. The bounds ride as a
+  * broadcast 1-row frame — no driver action — and the clamp is
+  * map-side math.
+  *
+  * Two bound postures:
+  *   - exact (default): Spark's `percentile`, whose aggregation state
+  *     is a value→count map — bit-exact against a SQL oracle, but the
+  *     state grows with distinct-value cardinality, the wrong trade at
+  *     100 TB on high-cardinality doubles;
+  *   - `approxBounds = true`: `approx_percentile` (Greenwald-Khanna),
+  *     fixed-size state with rank error ≤ 1/accuracy — the scale
+  *     posture, same plan shape otherwise.
+  */
+object Robust {
+
+  /** `df` + `lo`, `hi` (the quantile bounds) + `__w` (the clamped
+    * value). Callers aggregate or project from there. */
+  def winsorize(df: DataFrame, valueCol: String,
+      loQ: Double = 0.01, hiQ: Double = 0.99,
+      approxBounds: Boolean = false, accuracy: Int = 10000): DataFrame = {
+    require(0 <= loQ && loQ < hiQ && hiQ <= 1, s"bad quantiles [$loQ, $hiQ]")
+    def q(p: Double) =
+      if (approxBounds) expr(s"approx_percentile($valueCol, $p, $accuracy)")
+      else expr(s"percentile($valueCol, $p)")
+    val bounds = df.agg(q(loQ).cast("double").as("lo"),
+      q(hiQ).cast("double").as("hi"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn("__w",
+        least(greatest(col(valueCol).cast("double"), col("lo")), col("hi")))
+  }
+}

@@ -440,15 +440,14 @@ object TensorQueries extends QueryModule {
     // feature cleaning — exact [p01, p99] bounds ride as a broadcast
     // 1-row frame (no driver action), clamping is map-side math;
     // Spark's exact percentile == DuckDB quantile_cont, so fully
-    // oracle-checked
+    // oracle-checked. operators.Robust also offers approxBounds
+    // (fixed-size sketch state) for high-cardinality columns at scale.
     "q_winsorize" -> Q(
       (s, dir) => {
         val li = table(s, dir, "lineitem")
           .select(col("l_returnflag"), col("l_extendedprice").cast("double").as("p"))
-        val bounds = li.agg(expr("percentile(p, 0.01)").as("lo"),
-          expr("percentile(p, 0.99)").as("hi"))
-        li.crossJoin(broadcast(bounds))
-          .withColumn("w", least(greatest(col("p"), col("lo")), col("hi")))
+        graft.operators.Robust.winsorize(li, "p")
+          .withColumnRenamed("__w", "w")
           .groupBy(col("l_returnflag"))
           .agg(round(min(col("lo")), 4).as("lo"), round(min(col("hi")), 4).as("hi"),
             round(avg(col("p")), 4).as("avg_raw"),

@@ -148,6 +148,35 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(bins.map(_.getLong(2)).sum === 2000L, "NULLs leaked into bin counts")
   }
 
+  test("approx-bounds posture: sketch edges track exact within rank error, same verdicts") {
+    import spark.implicits._
+    import graft.operators.{Drift, Robust}
+    val rnd = new scala.util.Random(23)
+    val ref = (1 to 4000).map(_ => rnd.nextGaussian()).toDF("value")
+    val cur = (1 to 4000).map(_ => rnd.nextGaussian() + 1.5).toDF("value")
+    // PSI: approx edges give the same drift verdict and a close score
+    val exact = Drift.psi(ref, cur, "value")
+    val approx = Drift.psi(ref, cur, "value", approxEdges = true)
+    assert(approx > 0.25, s"approx PSI must still alarm: $approx")
+    assert(math.abs(approx - exact) < 0.15 * exact,
+      s"approx PSI drifted from exact: $exact vs $approx")
+    // winsorize: approx bounds land within the quantile neighborhood of
+    // exact (rank error 1/accuracy over n=4000 -> a few order stats)
+    val df = ref
+    def bounds(a: Boolean) = Robust.winsorize(df, "value", approxBounds = a)
+      .select(col("lo"), col("hi")).head()
+    val (el, eh) = { val r = bounds(false); (r.getDouble(0), r.getDouble(1)) }
+    val (al, ah) = { val r = bounds(true); (r.getDouble(0), r.getDouble(1)) }
+    val sorted = df.collect().map(_.getDouble(0)).sorted
+    def rank(v: Double) = sorted.count(_ <= v)
+    assert(math.abs(rank(al) - rank(el)) <= 8, s"lo rank gap: $el vs $al")
+    assert(math.abs(rank(ah) - rank(eh)) <= 8, s"hi rank gap: $eh vs $ah")
+    // clamped means agree closely
+    def wMean(a: Boolean) = Robust.winsorize(df, "value", approxBounds = a)
+      .agg(avg(col("__w"))).head().getDouble(0)
+    assert(math.abs(wMean(true) - wMean(false)) < 1e-2)
+  }
+
   test("JS divergence: 0 for identical mixes, ln 2 for disjoint, symmetric") {
     import spark.implicits._
     import graft.operators.Drift
