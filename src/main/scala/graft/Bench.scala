@@ -40,7 +40,10 @@ object Headline {
     "q_text_langid", "q_events_hourly", "q_window_rank",
     // round-7 surface: event analytics, phrase search, repeated spans
     "q_funnel", "q_phrase_search", "q_rolling_window",
-    "q_dedup_repeated_spans")
+    "q_dedup_repeated_spans",
+    // round-8 promotions (r7 verdict): the slowest registered query and
+    // the heavy ANN/resample shapes join the tracked set
+    "q_winsorize", "q_vec_ann_pq", "q_resample_fill")
 }
 
 object Bench {

@@ -229,6 +229,48 @@ class StreamingAndMultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal: Link columns resolve through Hadoop FS and decode == direct decode") {
+    val spark2 = spark
+    import spark2.implicits._
+    // linked payload files on disk (the Link htype stores a URL/path;
+    // resolution dereferences it to bytes at read time)
+    val dir = java.nio.file.Files.createTempDirectory("links")
+    val pngBytes = testImage(6, 4, "png")
+    val bmpBytes = testImage(5, 3, "bmp")
+    val p1 = dir.resolve("a.png"); java.nio.file.Files.write(p1, pngBytes)
+    val p2 = dir.resolve("b.bmp"); java.nio.file.Files.write(p2, bmpBytes)
+    val links = Seq(
+      (1L, "x", p1.toUri.toString),
+      (2L, "y", p2.toString),                     // bare path works too
+      (3L, "z", dir.resolve("missing.png").toString), // absent -> NULL payload
+      (4L, "w", null.asInstanceOf[String]))       // NULL link -> NULL payload
+      .toDF("id", "tag", "img_link")
+    val resolved = Multimodal.resolveLinks(links, "img_link")
+    // original columns survive, payload appends
+    assert(resolved.columns.toSeq === Seq("id", "tag", "img_link", "payload"))
+    val byId = resolved.collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("payload")).toMap
+    assert(byId(1L).toSeq === pngBytes.toSeq)
+    assert(byId(2L).toSeq === bmpBytes.toSeq)
+    assert(byId(3L) == null && byId(4L) == null)
+    // resolve -> decode equals direct decode of the same bytes;
+    // unresolvable links classify as corrupt samples, not task failures
+    val viaLinks = Multimodal.decodeImages(resolved, "id").orderBy("id").collect()
+    val direct = Multimodal.decodeImages(
+      Seq((1L, pngBytes), (2L, bmpBytes)).toDF("id", "payload"), "id")
+      .orderBy("id").collect()
+    (0 until 2).foreach { i =>
+      assert(viaLinks(i).getAs[Int]("width") === direct(i).getAs[Int]("width"))
+      assert(viaLinks(i).getAs[scala.collection.Seq[Float]]("pixels") ===
+        direct(i).getAs[scala.collection.Seq[Float]]("pixels"))
+    }
+    assert(viaLinks(2).getAs[Int]("width") === -1)
+    assert(viaLinks(3).getAs[Int]("width") === -1)
+    // size cap: an over-limit object degrades to NULL, not an OOM risk
+    val capped = Multimodal.resolveLinks(links.filter(col("id") === 1L),
+      "img_link", maxBytes = 4L)
+    assert(capped.collect().head.getAs[Array[Byte]]("payload") == null)
+  }
+
   test("multimodal: palette GIF expands to RGB through the color model") {
     val spark2 = spark
     import spark2.implicits._
