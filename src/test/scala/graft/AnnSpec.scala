@@ -109,6 +109,49 @@ class AnnSpec extends AnyFunSuite {
     assert(r >= 0.9, s"pq recall@10 = $r")
   }
 
+  test("IVF-PQ knob matrix: accuracy_factor 5/10/20 x cluster fraction 0.5/2/8 behave like the reference's") {
+    // the reference's search_config.hpp:30-100 defines the same two
+    // knobs; this matrix pins their SEMANTICS on searchPq: accuracy
+    // factor widens the exact-rerank pool (recall non-decreasing, by
+    // construction: the rerank of a superset pool can only improve),
+    // cluster fraction widens the probe, and the generous corner must
+    // reach the 0.9 gate the other index kinds already meet
+    import graft.operators.SimilaritySearch
+    val queries = emb.filter(col("vec_id") < 10)
+    val k = 10
+    val exact = SimilaritySearch.bruteForceTopK(
+        emb, "vec_id", "embedding", queries, "vec_id", "embedding", k)
+      .select(col("qid"), col("id")).persist()
+    val nExact = exact.count().toDouble
+    val idx = AnnIndex.buildPq(emb, "vec_id", "embedding", nClusters = 16)
+    val afs = Seq(5, 10, 20)
+    val cfs = Seq(0.5, 2.0, 8.0)
+    val recall = (for (af <- afs; cf <- cfs) yield {
+      val approx = AnnIndex.searchPq(idx, queries, "vec_id", "embedding", k,
+          AnnIndex.SearchConfig(accuracyFactor = af, clusterSearchFactor = cf))
+        .select(col("qid"), col("id"))
+      val r = exact.intersect(approx).count().toDouble / nExact
+      info(f"af=$af cf=$cf recall@10 = $r%.3f")
+      (af, cf) -> r
+    }).toMap
+    exact.unpersist()
+    // recall non-decreasing in accuracyFactor at every cluster fraction
+    cfs.foreach { cf =>
+      val rs = afs.map(af => recall((af, cf)))
+      assert(rs == rs.sorted,
+        s"recall must be non-decreasing in accuracyFactor at cf=$cf: $rs")
+    }
+    // widening the probe never costs much and the trend is upward
+    afs.foreach { af =>
+      val rs = cfs.map(cf => recall((af, cf)))
+      assert(rs.last >= rs.head - 1e-9,
+        s"full probe must beat the narrow probe at af=$af: $rs")
+    }
+    // the generous corner meets the same 0.9 gate as Clustered/Quantized
+    assert(recall((10, 8.0)) >= 0.9, s"af=10 cf=8: ${recall((10, 8.0))}")
+    assert(recall((20, 8.0)) >= 0.9, s"af=20 cf=8: ${recall((20, 8.0))}")
+  }
+
   test("IVF-PQ filtered search: no filter leak, probe widens, recall holds") {
     val queries = emb.filter(col("vec_id") < 10)
     val keep = emb.filter(col("vec_id") % 5 === 0)
