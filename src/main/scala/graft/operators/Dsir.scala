@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** DSIR-style importance weighting for data selection (Xie et al. 2023,
+  * "Data Selection for Language Models via Importance Resampling" —
+  * public method): score each raw document by how much more likely its
+  * word-n-gram bag is under a TARGET domain's feature model than under
+  * the RAW corpus's own, log w(x) = Σ_g c_g(x)·[ln p̂_T(g) − ln p̂_R(g)]
+  * with add-α smoothing, then select by weight — the standard recipe
+  * for skewing a web-scale corpus toward a quality/target domain
+  * without training a classifier.
+  *
+  * Features are unigrams+bigrams of whitespace tokens, optionally
+  * hashed into a fixed bucket space (`hashBuckets` — the paper's
+  * posture: feature state bounded at any corpus size; the count tables
+  * become ≤B rows and broadcast, so scoring is map-side + ONE doc
+  * re-agg shuffle). Exact-gram mode keeps string features (vocab-sized
+  * count tables, equi-joined) and is what the SQL oracle checks; the
+  * spec gates hashed-vs-exact ranking agreement.
+  */
+object Dsir {
+  import TextAnalysis.{tokens, bigrams}
+
+  /** unigrams ++ bigrams, duplicates kept (counts matter) */
+  private def grams(text: Column): Column = {
+    val w = tokens(text)
+    concat(w, bigrams(w))
+  }
+
+  /** (id, n_grams, log_weight) for every raw doc. */
+  def logWeights(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, alpha: Double = 0.5,
+      hashBuckets: Option[Int] = None): DataFrame = {
+    require(alpha > 0, "need alpha > 0 (smoothing keeps probabilities finite)")
+    def bucketed(c: Column): Column = hashBuckets match {
+      case Some(b) => pmod(xxhash64(c), lit(b.toLong))
+      case None => c
+    }
+    val docG = raw.select(col(idCol).as("id"),
+        explode(grams(col(textCol))).as("g0"))
+      .select(col("id"), bucketed(col("g0")).as("g"))
+    val tgtG = target.select(explode(grams(col(textCol))).as("g0"))
+      .select(bucketed(col("g0")).as("g"))
+    val rc = docG.groupBy(col("g")).agg(count(lit(1)).as("rc"))
+    val tc = tgtG.groupBy(col("g")).agg(count(lit(1)).as("tc"))
+    val ratio0 = rc.join(tc, Seq("g"), "full")
+      .select(col("g"), coalesce(col("rc"), lit(0L)).as("rc"),
+        coalesce(col("tc"), lit(0L)).as("tc"))
+    val ratio = if (hashBuckets.isDefined) broadcast(ratio0) else ratio0
+    // model constants as a broadcast 1-row frame — no driver action.
+    // V = observed feature count in exact mode, the full bucket space
+    // when hashing (the fixed feature domain the models live over).
+    val consts = broadcast(ratio0.agg(
+      sum(col("rc")).as("nr"), sum(col("tc")).as("nt"),
+      hashBuckets.map(b => lit(b.toLong).as("v"))
+        .getOrElse(count(lit(1)).as("v"))))
+    docG.join(ratio, Seq("g"), "left")
+      .crossJoin(consts)
+      .select(col("id"),
+        (log((coalesce(col("tc"), lit(0L)) + lit(alpha)) /
+            (col("nt") + lit(alpha) * col("v"))) -
+          log((coalesce(col("rc"), lit(0L)) + lit(alpha)) /
+            (col("nr") + lit(alpha) * col("v")))).as("lr"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("lr")).as("log_weight"))
+  }
+
+  /** Importance RESAMPLING: draw `n` docs without replacement with
+    * probability ∝ w(x)^(1/temperature), via the Gumbel-top-k trick —
+    * key = logw/T + Gumbel(seed, id), take the n largest. Seeded and
+    * deterministic; the perturbed top-n lowers to TakeOrderedAndProject
+    * (never a global sort). */
+  def select(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, n: Int, alpha: Double = 0.5,
+      hashBuckets: Option[Int] = None, temperature: Double = 1.0,
+      seed: Long = 42L): DataFrame = {
+    require(temperature > 0, "temperature must be positive")
+    val w = logWeights(raw, target, idCol, textCol, alpha, hashBuckets)
+    val u = (pmod(xxhash64(col("id"), lit(seed)), lit(1000000000L))
+      .cast("double") + lit(0.5)) / lit(1e9)
+    w.withColumn("gumbel_key",
+        col("log_weight") / lit(temperature) - log(-log(u)))
+      .orderBy(col("gumbel_key").desc, col("id"))
+      .limit(n)
+  }
+}

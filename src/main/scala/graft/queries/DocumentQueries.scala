@@ -938,6 +938,80 @@ object DocumentQueries extends QueryModule {
               |  WHEN 'zh' THEN 10 WHEN 'de' THEN 10 ELSE 0 END
               |ORDER BY doc_id""".stripMargin.replace('\n', ' '))),
 
+    // ---- DSIR importance weighting (Xie et al. 2023, public method):
+    // target-vs-raw n-gram log-likelihood ratio per doc — the data-
+    // selection scorer that skews a web corpus toward a target domain
+    // without a trained classifier. Exact-gram mode here (full oracle);
+    // the hashed-feature mode (bounded state, broadcast count tables)
+    // is spec-gated against this one in DedupSpec.
+    "q_dsir_weights" -> Q(
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+        graft.operators.Dsir.logWeights(
+            d, d.filter(col("source") === "src0"), "doc_id", "text")
+          .select(col("id").as("doc_id"), col("n_grams"),
+            round(col("log_weight"), 6).as("log_weight"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, source, string_split(text,' ') AS w FROM documents),
+              |gr AS (SELECT doc_id, source, unnest(w) AS g FROM t
+              |  UNION ALL
+              |  SELECT doc_id, source, w[i]||' '||w[i+1] FROM t, unnest(range(1, len(w))) AS r(i)),
+              |rcnt AS (SELECT g, count(*) AS rc FROM gr GROUP BY g),
+              |tcnt AS (SELECT g, count(*) AS tc FROM gr WHERE source = 'src0' GROUP BY g),
+              |ratio AS (SELECT coalesce(rcnt.g, tcnt.g) AS g, coalesce(rc, 0) AS rc,
+              |  coalesce(tc, 0) AS tc FROM rcnt FULL JOIN tcnt ON rcnt.g = tcnt.g),
+              |c AS (SELECT sum(rc) AS nr, sum(tc) AS nt, count(*) AS v FROM ratio),
+              |sc AS (SELECT doc_id, ln((tc + 0.5)/(nt + 0.5*v)) - ln((rc + 0.5)/(nr + 0.5*v)) AS lr
+              |  FROM gr JOIN ratio USING (g) CROSS JOIN c)
+              |SELECT doc_id, count(*) AS n_grams, round(sum(lr), 6) AS log_weight
+              |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace('\n', ' ')),
+      doc = "DSIR importance log-weights: target-domain vs corpus n-gram likelihood ratio"),
+
+    // deterministic top-k by importance weight (the temperature->0
+    // selection); TakeOrderedAndProject, never a global sort
+    "q_dsir_topk" -> Q(
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+        graft.operators.Dsir.logWeights(
+            d, d.filter(col("source") === "src0"), "doc_id", "text")
+          .select(col("id").as("doc_id"),
+            round(col("log_weight"), 6).as("log_weight"))
+          .orderBy(col("log_weight").desc, col("doc_id")).limit(100)
+      },
+      Some(s"""WITH t AS (SELECT doc_id, source, string_split(text,' ') AS w FROM documents),
+              |gr AS (SELECT doc_id, source, unnest(w) AS g FROM t
+              |  UNION ALL
+              |  SELECT doc_id, source, w[i]||' '||w[i+1] FROM t, unnest(range(1, len(w))) AS r(i)),
+              |rcnt AS (SELECT g, count(*) AS rc FROM gr GROUP BY g),
+              |tcnt AS (SELECT g, count(*) AS tc FROM gr WHERE source = 'src0' GROUP BY g),
+              |ratio AS (SELECT coalesce(rcnt.g, tcnt.g) AS g, coalesce(rc, 0) AS rc,
+              |  coalesce(tc, 0) AS tc FROM rcnt FULL JOIN tcnt ON rcnt.g = tcnt.g),
+              |c AS (SELECT sum(rc) AS nr, sum(tc) AS nt, count(*) AS v FROM ratio),
+              |sc AS (SELECT doc_id, ln((tc + 0.5)/(nt + 0.5*v)) - ln((rc + 0.5)/(nr + 0.5*v)) AS lr
+              |  FROM gr JOIN ratio USING (g) CROSS JOIN c),
+              |dw AS (SELECT doc_id, round(sum(lr), 6) AS log_weight FROM sc GROUP BY doc_id)
+              |SELECT doc_id, log_weight FROM dw
+              |ORDER BY log_weight DESC, doc_id LIMIT 100""".stripMargin.replace('\n', ' ')),
+      doc = "top-100 docs by DSIR importance weight (deterministic selection)"),
+
+    // seeded Gumbel-top-k importance RESAMPLE (the paper's sampled
+    // selection) — randomized by design, so rows-only here; DedupSpec
+    // gates determinism, weight-monotone selection odds, and
+    // hashed-vs-exact ranking agreement
+    "q_dsir_sample" -> Q(
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+        graft.operators.Dsir.select(
+            d, d.filter(col("source") === "src0"), "doc_id", "text",
+            n = 100, temperature = 2.0, seed = 42L)
+          .select(col("id").as("doc_id"),
+            round(col("log_weight"), 6).as("log_weight"))
+          .orderBy(col("doc_id"))
+      },
+      None,
+      doc = "Gumbel-top-k DSIR resample: P(select) proportional to w^(1/T), seeded"),
+
     // ---- keyword search (TQL CONTAINS; tql.md:179-185)
     "q_text_contains" -> Q(
       (s, dir) => {

@@ -432,6 +432,63 @@ class DedupSpec extends AnyFunSuite {
     assert(got == want, s"got=$got want=$want")
   }
 
+  test("DSIR: target docs outscore off-target; hashed features track exact ranking") {
+    import graft.operators.Dsir
+    val d = docs(sf001)
+    val target = d.filter(col("source") === "src0")
+    val exact = Dsir.logWeights(d, target, "doc_id", "text")
+      .select(col("id"), col("log_weight")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // every doc is scored exactly once
+    assert(exact.size === d.count())
+    // the scorer must, on average, rank the target domain's own docs
+    // above the rest — the defining property of importance weighting
+    val tgtIds = target.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val (tgtW, restW) = exact.partition { case (id, _) => tgtIds(id) }
+    val tgtMean = tgtW.values.sum / tgtW.size
+    val restMean = restW.values.sum / restW.size
+    assert(tgtMean > restMean,
+      s"target mean $tgtMean must beat off-target mean $restMean")
+    // hashed-feature mode (bounded state) agrees with exact on ranking:
+    // Spearman-style check via top-quartile overlap
+    val hashed = Dsir.logWeights(d, target, "doc_id", "text",
+        hashBuckets = Some(4096))
+      .select(col("id"), col("log_weight")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val q = exact.size / 4
+    val topExact = exact.toSeq.sortBy(-_._2).take(q).map(_._1).toSet
+    val topHashed = hashed.toSeq.sortBy(-_._2).take(q).map(_._1).toSet
+    val overlap = (topExact & topHashed).size.toDouble / q
+    assert(overlap >= 0.7, s"hashed/exact top-quartile overlap $overlap")
+  }
+
+  test("DSIR Gumbel resample: deterministic per seed, n rows, weight-monotone odds") {
+    import graft.operators.Dsir
+    val d = docs(sf001)
+    val target = d.filter(col("source") === "src0")
+    def draw(seed: Long) = Dsir.select(d, target, "doc_id", "text",
+        n = 60, temperature = 1.0, seed = seed)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    val a = draw(7L)
+    assert(a.size === 60)
+    assert(draw(7L) === a, "same seed must reproduce the same sample")
+    assert(draw(8L) !== a, "different seeds must vary the sample")
+    // selection frequency across seeds grows with weight: the top
+    // weight decile must be picked far more often than the bottom
+    val w = Dsir.logWeights(d, target, "doc_id", "text")
+      .select(col("id"), col("log_weight")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    val byW = w.sortBy(-_._2).map(_._1)
+    val dec = byW.length / 10
+    val top = byW.take(dec).toSet
+    val bottom = byW.takeRight(dec).toSet
+    val picks = (1L to 20L).map(draw)
+    val topHits = picks.map(p => (p & top).size).sum.toDouble
+    val bottomHits = picks.map(p => (p & bottom).size).sum.toDouble
+    assert(topHits > 2 * (bottomHits + 1),
+      s"top-decile hits $topHits must dominate bottom-decile $bottomHits")
+  }
+
   test("chunkTokens covers every token with the declared overlap") {
     import spark.implicits._
     val doc = (1 to 47).map(i => s"t$i").mkString(" ")

@@ -95,6 +95,18 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("DSIR top-k lowers to TakeOrderedAndProject; hashed mode broadcasts the count tables") {
+    val p = planOf("q_dsir_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    val d = graft.sources.Tables(spark, dir, "documents")
+    val hashed = graft.operators.Dsir.logWeights(
+      d, d.filter(col("source") === "src0"), "doc_id", "text",
+      hashBuckets = Some(4096))
+    val hp = hashed.queryExecution.executedPlan.toString
+    assert(hp.contains("BroadcastExchange") || hp.contains("BroadcastHashJoin"),
+      s"bounded-bucket ratio table must broadcast\n$hp")
+  }
+
   test("bm25 searches the persisted index artifact, not an inline rebuild") {
     val p = planOf("q_bm25_topk")
     assert(p.contains("graft-index-cache"), p)
