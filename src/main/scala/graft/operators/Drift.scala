@@ -38,11 +38,16 @@ object Drift {
     val refNn = ref.filter(col(valueCol).isNotNull)
     val curNn = cur.filter(col(valueCol).isNotNull)
     val qs = (1 until nBins).map(_.toDouble / nBins)
-    val edgeCols = qs.zipWithIndex.map { case (q, i) =>
-      (if (approxEdges) expr(s"approx_percentile($valueCol, $q, $accuracy)")
-       else expr(s"percentile($valueCol, $q)")).cast("double").as(s"__e$i")
-    }
-    val edges = refNn.agg(edgeCols.head, edgeCols.tail: _*)
+    // ONE percentile aggregate over the quantile array — nBins-1
+    // separate percentile() calls would each carry their own
+    // value->count map state
+    val qArr = qs.mkString("array(", ", ", ")")
+    val edgeArr =
+      if (approxEdges) expr(s"approx_percentile($valueCol, $qArr, $accuracy)")
+      else expr(s"percentile($valueCol, $qArr)")
+    val edges = refNn.agg(edgeArr.as("__earr"))
+      .select(qs.indices.map(i =>
+        element_at(col("__earr"), i + 1).cast("double").as(s"__e$i")): _*)
     def binned(df: DataFrame, side: String): DataFrame = {
       // bin = number of edges strictly below the value — map-side math
       // against the broadcast 1-row edge frame

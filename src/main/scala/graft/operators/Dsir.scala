@@ -38,16 +38,23 @@ object Dsir {
       case Some(b) => pmod(xxhash64(c), lit(b.toLong))
       case None => c
     }
+    // the doc-gram frame feeds BOTH the raw count table and the scoring
+    // join; persisting it avoids re-exploding the corpus (the staged-
+    // frame pattern the MinHash/banded dedups use)
     val docG = raw.select(col(idCol).as("id"),
         explode(grams(col(textCol))).as("g0"))
       .select(col("id"), bucketed(col("g0")).as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tgtG = target.select(explode(grams(col(textCol))).as("g0"))
       .select(bucketed(col("g0")).as("g"))
     val rc = docG.groupBy(col("g")).agg(count(lit(1)).as("rc"))
     val tc = tgtG.groupBy(col("g")).agg(count(lit(1)).as("tc"))
+    // ratio feeds the constants agg AND the scoring join — persist the
+    // (vocab-bounded) table rather than recomputing both count passes
     val ratio0 = rc.join(tc, Seq("g"), "full")
       .select(col("g"), coalesce(col("rc"), lit(0L)).as("rc"),
         coalesce(col("tc"), lit(0L)).as("tc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ratio = if (hashBuckets.isDefined) broadcast(ratio0) else ratio0
     // model constants as a broadcast 1-row frame — no driver action.
     // V = observed feature count in exact mode, the full bucket space

@@ -62,4 +62,35 @@ object EmbeddingOps {
       .agg(Summarizer.mean(col("__v")).as("__m"), count(lit(1)).as("n"))
       .select(col("label"), vector_to_array(col("__m")).as("centroid"), col("n"))
   }
+
+  /** Label-outlier scores (the cleanlab-style mislabeled-sample QA
+    * check, public method — Northcutt et al. 2021 frame label noise
+    * detection via per-class statistics): each sample's L2 distance to
+    * its OWN label's centroid, z-scored within the label. A large z
+    * means the sample sits far from its class — a mislabel, an
+    * ambiguous sample, or genuine class spread worth auditing before
+    * training.
+    *
+    * Scale shape: centroids are one fixed-width Summarizer agg (k×d,
+    * broadcast back), distance is map-side array math, per-label
+    * (μ, σ) is a k-row agg broadcast back — two tiny broadcasts, zero
+    * data-sized shuffles beyond the centroid agg itself.
+    * Returns (id, label, dist, z). */
+  def labelOutliers(emb: DataFrame, idCol: String, labelCol: String,
+      vecCol: String): DataFrame = {
+    val cents = labelCentroids(emb, labelCol, vecCol)
+      .select(col("label"), col("centroid"))
+    val dists = emb.select(col(idCol).as("id"), col(labelCol).as("label"),
+        col(vecCol).cast("array<double>").as("__e"))
+      .join(broadcast(cents), "label")
+      .select(col("id"), col("label"),
+        sqrt(aggregate(
+          zip_with(col("__e"), col("centroid"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x)).as("dist"))
+    val stats = dists.groupBy(col("label"))
+      .agg(avg(col("dist")).as("__mu"), stddev_samp(col("dist")).as("__sigma"))
+    dists.join(broadcast(stats), "label")
+      .select(col("id"), col("label"), col("dist"),
+        ((col("dist") - col("__mu")) / col("__sigma")).as("z"))
+  }
 }

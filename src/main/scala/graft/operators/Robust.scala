@@ -25,11 +25,16 @@ object Robust {
       loQ: Double = 0.01, hiQ: Double = 0.99,
       approxBounds: Boolean = false, accuracy: Int = 10000): DataFrame = {
     require(0 <= loQ && loQ < hiQ && hiQ <= 1, s"bad quantiles [$loQ, $hiQ]")
-    def q(p: Double) =
-      if (approxBounds) expr(s"approx_percentile($valueCol, $p, $accuracy)")
-      else expr(s"percentile($valueCol, $p)")
-    val bounds = df.agg(q(loQ).cast("double").as("lo"),
-      q(hiQ).cast("double").as("hi"))
+    // ONE percentile aggregate with an array of quantiles: separate
+    // percentile() calls each carry their own value->count map state —
+    // the array form shares a single map for both bounds
+    val both =
+      if (approxBounds)
+        expr(s"approx_percentile($valueCol, array($loQ, $hiQ), $accuracy)")
+      else expr(s"percentile($valueCol, array($loQ, $hiQ))")
+    val bounds = df.agg(both.as("__b"))
+      .select(element_at(col("__b"), 1).cast("double").as("lo"),
+        element_at(col("__b"), 2).cast("double").as("hi"))
     df.crossJoin(broadcast(bounds))
       .withColumn("__w",
         least(greatest(col(valueCol).cast("double"), col("lo")), col("hi")))

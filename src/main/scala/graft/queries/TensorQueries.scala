@@ -355,6 +355,31 @@ object TensorQueries extends QueryModule {
              |ORDER BY label, dim""".stripMargin.replace('\n', ' ')),
       doc = "element-wise mean embedding per label (class centroids)"),
 
+    // ---- label-outlier scores (cleanlab-style mislabeled-sample QA):
+    // distance to own label centroid, z-scored within the label —
+    // broadcast centroids + broadcast per-label stats, map-side math
+    "q_vec_label_outliers" -> Q(
+      (s, dir) => graft.operators.EmbeddingOps.labelOutliers(
+          table(s, dir, "embeddings"), "vec_id", "label", "embedding")
+        .select(col("id").as("vec_id"), col("label"),
+          round(col("dist"), 6).as("dist"), round(col("z"), 6).as("z"))
+        .orderBy(round(col("z"), 6).desc, col("vec_id")).limit(50),
+      Some("""WITH x AS (SELECT vec_id, label, embedding,
+             |  unnest(range(1, len(embedding) + 1)) AS i FROM embeddings),
+             |cent AS (SELECT label, i, avg(embedding[i]) AS c FROM x GROUP BY label, i),
+             |d AS (SELECT vec_id, x.label,
+             |  sqrt(sum((embedding[x.i] - c) * (embedding[x.i] - c))) AS dist
+             |  FROM x JOIN cent ON x.label = cent.label AND x.i = cent.i
+             |  GROUP BY vec_id, x.label),
+             |st AS (SELECT label, avg(dist) AS mu, stddev_samp(dist) AS sigma
+             |  FROM d GROUP BY label)
+             |SELECT vec_id, label, round(dist, 6) AS dist,
+             |round((dist - mu) / sigma, 6) AS z
+             |FROM d JOIN st USING (label)
+             |ORDER BY round((dist - mu) / sigma, 6) DESC, vec_id
+             |LIMIT 50""".stripMargin.replace('\n', ' ')),
+      doc = "per-label outlier z-scores: distance to own class centroid (label-noise audit)"),
+
     // ---- PCA embedding reduction (SemDeDup's pre-step): projected
     // coordinates are sign-indeterminate across BLAS builds, so the
     // output is the sign-INVARIANT per-row projection norm; the

@@ -432,6 +432,29 @@ class DedupSpec extends AnyFunSuite {
     assert(got == want, s"got=$got want=$want")
   }
 
+  test("labelOutliers: a planted far sample tops its label's z-scores") {
+    import graft.operators.EmbeddingOps
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    // two tight clusters + one planted far point inside label 0
+    val rows =
+      (1L to 50L).map(i => (i, 0, Array.fill(8)(rnd.nextGaussian().toFloat * 0.1f))) ++
+      (51L to 100L).map(i => (i, 1, Array.fill(8)(5f + rnd.nextGaussian().toFloat * 0.1f))) :+
+      ((999L, 0, Array.fill(8)(3f)))
+    val emb = rows.toDF("vec_id", "label", "embedding")
+    val out = EmbeddingOps.labelOutliers(emb, "vec_id", "label", "embedding")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getDouble(3)))
+    // every row scored, planted point has the max z of label 0 by far
+    assert(out.length === rows.length)
+    val label0 = out.filter(_._2 == 0)
+    val planted = label0.find(_._1 == 999L).get
+    assert(planted._4 === label0.map(_._4).max)
+    assert(planted._4 > 3.0, s"planted z = ${planted._4}")
+    // within-label z-scores are standardized: mean ~0, sd ~1
+    val zs = label0.map(_._4)
+    assert(math.abs(zs.sum / zs.length) < 1e-9)
+  }
+
   test("DSIR: target docs outscore off-target; hashed features track exact ranking") {
     import graft.operators.Dsir
     val d = docs(sf001)
