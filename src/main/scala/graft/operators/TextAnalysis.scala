@@ -38,15 +38,18 @@ object TextAnalysis {
 
   /** 16-bit SimHash as a '0'/'1' string: bit p is the majority vote of
     * (p-th hex digit of md5(token) >= '8') over all tokens. Hex digits
-    * 8-9,a-f are exactly the ">= '8'" range in ASCII order. */
+    * 8-9,a-f are exactly the ">= '8'" range in ASCII order.
+    * md5 runs ONCE per token (one aggregate accumulates all 16 bit
+    * counts) — a per-bit formulation would hash every token 16x. */
   def simhash16(w: Column): Column = {
     val n = size(w)
-    concat((1 to 16).map { p =>
-      val ones = aggregate(
-        transform(w, t => when(substring(md5(t), p, 1) >= "8", 1).otherwise(0)),
-        lit(0), (a, x) => a + x)
-      when(ones * 2 >= n, lit("1")).otherwise(lit("0"))
-    }: _*)
+    val ones = aggregate(
+      transform(w, t => md5(t)),
+      array_repeat(lit(0), 16),
+      (acc, h) => zip_with(acc, sequence(lit(1), lit(16)),
+        (a, p) => a + when(h.substr(p, lit(1)) >= "8", 1).otherwise(0)))
+    concat_ws("",
+      transform(ones, c => when(c * 2 >= n, lit("1")).otherwise(lit("0"))))
   }
 
   /** token-set Jaccard similarity between two distinct-element arrays */

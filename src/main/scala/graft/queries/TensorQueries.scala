@@ -448,11 +448,15 @@ object TensorQueries extends QueryModule {
         // compare, and the percentile buffer is fixed-width primitives
         .select(col("l_returnflag"), col("l_extendedprice").cast("double").as("p"))
         .groupBy(col("l_returnflag"))
-        .agg(
-          round(expr("percentile(p, 0.25)"), 4).as("p25"),
-          round(expr("percentile(p, 0.5)"), 4).as("p50"),
-          round(expr("percentile(p, 0.75)"), 4).as("p75"),
+        // ONE percentile agg over the quantile array (three separate
+        // calls would each carry a per-group value->count map)
+        .agg(expr("percentile(p, array(0.25, 0.5, 0.75))").as("__q"),
           count(lit(1)).as("n"))
+        .select(col("l_returnflag"),
+          round(element_at(col("__q"), 1), 4).as("p25"),
+          round(element_at(col("__q"), 2), 4).as("p50"),
+          round(element_at(col("__q"), 3), 4).as("p75"),
+          col("n"))
         .orderBy(col("l_returnflag")),
       Some("""SELECT l_returnflag,
              |round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
