@@ -74,6 +74,78 @@ object Dsir {
       .agg(count(lit(1)).as("n_grams"), sum(col("lr")).as("log_weight"))
   }
 
+  // ---- maintained feature-count state (the LSM posture every index
+  // maintainer here uses): gram counts are algebraic (plain sums), so
+  // an append absorbs as ONE O(delta) segment write — history text is
+  // never re-exploded — and readers merge segments with a groupBy.
+
+  /** materialize a corpus's feature counts: segment zero */
+  def writeCounts(docs: DataFrame, textCol: String, dir: String,
+      hashBuckets: Option[Int] = None): Unit =
+    countSegment(docs, textCol, hashBuckets)
+      .write.mode("overwrite").parquet(dir)
+
+  /** absorb appended docs: count ONLY the delta, append its segment */
+  def absorbCounts(delta: DataFrame, textCol: String, dir: String,
+      hashBuckets: Option[Int] = None): Unit =
+    countSegment(delta, textCol, hashBuckets)
+      .write.mode("append").parquet(dir)
+
+  /** merge-on-read current counts: (g, c) — one groupBy IS the
+    * algebraic merge of however many segments accumulated */
+  def readCounts(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    spark.read.parquet(dir).groupBy(col("g")).agg(sum(col("c")).as("c"))
+
+  private def countSegment(docs: DataFrame, textCol: String,
+      hashBuckets: Option[Int]): DataFrame = {
+    val g = docs.select(explode(grams(col(textCol))).as("g0"))
+    val keyed = hashBuckets match {
+      case Some(b) => g.select(pmod(xxhash64(col("g0")), lit(b.toLong)).as("g"))
+      case None => g.select(col("g0").cast("string").as("g"))
+    }
+    keyed.groupBy(col("g")).agg(count(lit(1)).as("c"))
+  }
+
+  /** [[logWeights]] against MAINTAINED count state instead of inline
+    * aggregation — the serving shape: the corpus-sized explode happens
+    * once per absorb, scoring reads only the (vocab- or B-bounded)
+    * merged tables. Both mode and bucketing must match how the state
+    * was written. */
+  def logWeightsFromCounts(raw: DataFrame, idCol: String, textCol: String,
+      rawCounts: DataFrame, targetCounts: DataFrame, alpha: Double = 0.5,
+      hashBuckets: Option[Int] = None): DataFrame = {
+    require(alpha > 0, "need alpha > 0")
+    def bucketed(c: Column): Column = hashBuckets match {
+      case Some(b) => pmod(xxhash64(c), lit(b.toLong)).cast("string")
+      case None => c
+    }
+    val docG = raw.select(col(idCol).as("id"),
+        explode(grams(col(textCol))).as("g0"))
+      .select(col("id"), bucketed(col("g0")).as("g"))
+    val ratio0 = rawCounts.select(col("g").cast("string").as("g"),
+        col("c").as("rc"))
+      .join(targetCounts.select(col("g").cast("string").as("g"),
+        col("c").as("tc")), Seq("g"), "full")
+      .select(col("g"), coalesce(col("rc"), lit(0L)).as("rc"),
+        coalesce(col("tc"), lit(0L)).as("tc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ratio = if (hashBuckets.isDefined) broadcast(ratio0) else ratio0
+    val consts = broadcast(ratio0.agg(
+      sum(col("rc")).as("nr"), sum(col("tc")).as("nt"),
+      hashBuckets.map(b => lit(b.toLong).as("v"))
+        .getOrElse(count(lit(1)).as("v"))))
+    docG.join(ratio, Seq("g"), "left")
+      .crossJoin(consts)
+      .select(col("id"),
+        (log((coalesce(col("tc"), lit(0L)) + lit(alpha)) /
+            (col("nt") + lit(alpha) * col("v"))) -
+          log((coalesce(col("rc"), lit(0L)) + lit(alpha)) /
+            (col("nr") + lit(alpha) * col("v")))).as("lr"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("lr")).as("log_weight"))
+  }
+
   /** Importance RESAMPLING: draw `n` docs without replacement with
     * probability ∝ w(x)^(1/temperature), via the Gumbel-top-k trick —
     * key = logw/T + Gumbel(seed, id), take the n largest. Seeded and

@@ -485,6 +485,30 @@ class DedupSpec extends AnyFunSuite {
     assert(overlap >= 0.7, s"hashed/exact top-quartile overlap $overlap")
   }
 
+  test("DSIR maintained counts: absorb == full rebuild, scoring from state matches inline") {
+    import graft.operators.Dsir
+    val d = docs(sf001)
+    val target = d.filter(col("source") === "src0")
+    val tmp = java.nio.file.Files.createTempDirectory("dsir").toString
+    // build raw-count state from half the corpus, absorb the rest —
+    // the O(delta) path must equal counting everything at once
+    val half = d.count() / 2
+    Dsir.writeCounts(d.filter(col("doc_id") < half), "text", s"$tmp/raw")
+    Dsir.absorbCounts(d.filter(col("doc_id") >= half), "text", s"$tmp/raw")
+    Dsir.writeCounts(target, "text", s"$tmp/tgt")
+    val fromState = Dsir.logWeightsFromCounts(d, "doc_id", "text",
+        Dsir.readCounts(spark, s"$tmp/raw"), Dsir.readCounts(spark, s"$tmp/tgt"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val inline = Dsir.logWeights(d, target, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(fromState.keySet === inline.keySet)
+    fromState.foreach { case (id, (n, w)) =>
+      assert(n === inline(id)._1, s"gram count diverged for doc $id")
+      assert(math.abs(w - inline(id)._2) < 1e-9,
+        s"state-scored weight diverged for doc $id: $w vs ${inline(id)._2}")
+    }
+  }
+
   test("DSIR Gumbel resample: deterministic per seed, n rows, weight-monotone odds") {
     import graft.operators.Dsir
     val d = docs(sf001)
