@@ -43,7 +43,9 @@ object Headline {
     "q_dedup_repeated_spans",
     // round-8 promotions (r7 verdict): the slowest registered query and
     // the heavy ANN/resample shapes join the tracked set
-    "q_winsorize", "q_vec_ann_pq", "q_resample_fill")
+    "q_winsorize", "q_vec_ann_pq", "q_resample_fill",
+    // round-8 additions: the new heavy operators track from day one
+    "q_dsir_weights", "q_vec_label_outliers", "q_dedup_simhash_hamming")
 }
 
 object Bench {
