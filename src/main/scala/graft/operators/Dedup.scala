@@ -827,4 +827,87 @@ object Dedup {
         when(h <= trainUpTo, "train").when(h <= validUpTo, "valid")
           .otherwise("test"))
   }
+
+  /** Chunk-level exact dedup with document reassembly — the
+    * paragraph-dedup of web-corpus pipelines (RefinedWeb/Dolma drop
+    * repeated paragraphs, not whole documents) expressed over
+    * single-line corpora by chunking on fixed `chunkWords` word
+    * windows. A chunk survives iff it is the corpus-wide FIRST
+    * occurrence of its text, "first" = lexicographic min (doc, idx);
+    * every doc rebuilds from its surviving chunks in original order.
+    * Returns (id, n_chunks, n_kept, text_clean) with text_clean NULL
+    * when nothing survives.
+    *
+    * Two hash shuffles at any scale: the keeper decision is a map-side
+    * combinable min-struct agg on md5(chunk) (fixed-width keys — a
+    * boilerplate chunk repeated a billion times partial-aggregates to
+    * one row per map task), the rebuild one doc-key agg; the
+    * chunks-to-keeper equi-join co-partitions on the chunk hash under
+    * AQE. Never a window over raw chunk text, never a self-join. */
+  def chunkDedup(docs: DataFrame, idCol: String, textCol: String,
+      chunkWords: Int): DataFrame = {
+    require(chunkWords > 0, "chunkWords must be positive")
+    val chunks = TextAnalysis
+      .chunkTokens(docs, idCol, textCol, chunkWords, 0)
+      .select(col(idCol).as("id"), col("chunk_idx"), col("chunk_text"),
+        md5(col("chunk_text")).as("__h"))
+    val keeper = chunks
+      .groupBy(col("__h"))
+      .agg(min(struct(col("id"), col("chunk_idx"))).as("__keep"))
+    chunks.join(keeper, "__h")
+      .withColumn("__kept", col("__keep.id") === col("id") &&
+        col("__keep.chunk_idx") === col("chunk_idx"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("__kept"), 1L).otherwise(0L)).as("n_kept"),
+        array_sort(collect_list(when(col("__kept"),
+          struct(col("chunk_idx"), col("chunk_text"))))).as("__surv"))
+      .withColumn("text_clean",
+        when(col("n_kept") > 0,
+          array_join(transform(col("__surv"), _.getField("chunk_text")), " ")))
+      .drop("__surv")
+  }
+
+  /** Cross-source corpus-overlap matrix: exact Jaccard similarity of
+    * the distinct 3-gram shingle sets of every pair of `groupCol`
+    * values — the contamination/redundancy audit run before mixing
+    * corpora ("how much of source B is already in source A?").
+    * Returns (group_a, group_b, n_a, n_b, n_common, jaccard) for pairs
+    * with group_a < group_b and n_common > 0.
+    *
+    * Scale shape: ONE distinct-(group, shingle-hash) shuffle, then a
+    * per-shingle group-SET agg — bounded by the group count, never by
+    * row count — whose pair fan-out is |sets|² per shingle. Shingles
+    * present in more than `dfCap` groups (universal boilerplate — the
+    * quadratic hazard when groups number in the thousands) are dropped
+    * under the same stop-shingle posture as [[crossCorpusContainment]];
+    * the final (group, group) agg is dimension-table sized. */
+  def corpusOverlap(docs: DataFrame, groupCol: String, textCol: String,
+      dfCap: Int = Int.MaxValue): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val e = docs
+      .repartition(par, col(groupCol), col(textCol))
+      .select(col(groupCol).as("g"), tokens(col(textCol)).as("__toks"))
+      .select(col("g"), explode(shingles(col("__toks"))).as("sh"))
+      .select(col("g"), xxhash64(col("sh")).as("h"))
+      .distinct()
+    val sizes = e.groupBy(col("g")).agg(count(lit(1)).as("n"))
+    val pairs = e.groupBy(col("h"))
+      .agg(array_sort(collect_set(col("g"))).as("gs"))
+      .filter(size(col("gs")).between(2, dfCap))
+      .select(explode(flatten(transform(col("gs"), a =>
+        transform(filter(col("gs"), b => b > a),
+          b => struct(a.as("ga"), b.as("gb")))))).as("p"))
+      .groupBy(col("p.ga").as("group_a"), col("p.gb").as("group_b"))
+      .agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(broadcast(sizes.select(col("g").as("group_a"), col("n").as("n_a"))),
+        "group_a")
+      .join(broadcast(sizes.select(col("g").as("group_b"), col("n").as("n_b"))),
+        "group_b")
+      .withColumn("jaccard", col("n_common").cast("double") /
+        (col("n_a") + col("n_b") - col("n_common")))
+      .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
+        col("n_common"), col("jaccard"))
+  }
 }

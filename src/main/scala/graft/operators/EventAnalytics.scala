@@ -120,6 +120,38 @@ object EventAnalytics {
       .withColumn("rolling_n", count(lit(1)).over(w))
   }
 
+  /** Trailing z-score anomaly detection: every event is scored against
+    * its OWN key's baseline — mean/stddev of `valueCol` over the
+    * trailing `windowNs` EXCLUDING the current row (so an outlier never
+    * dilutes its own baseline). Events with fewer than `minN` baseline
+    * observations, or a degenerate (zero/NULL) stddev, score NULL and
+    * never flag — a cold-start series cannot alarm. Returns the input
+    * annotated with (baseline_n, baseline_mean, z, is_anomaly).
+    *
+    * One RANGE window per key — no self-join, no window-content explode;
+    * partitioning by the fine-grained key (user, type) keeps per-task
+    * state bounded at 100 TB where partitioning by type alone would
+    * funnel a hot event type through one task. */
+  def anomalies(events: DataFrame, keyCols: Seq[String], tsNsCol: String,
+      valueCol: String, windowNs: Long, minN: Int = 5,
+      threshold: Double = 3.0): DataFrame = {
+    require(windowNs > 0, "windowNs must be positive")
+    require(minN >= 2, "minN must be >= 2 (stddev needs two points)")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(tsNsCol))
+      .rangeBetween(-windowNs, -1)
+    val scored = events
+      .withColumn("baseline_n", count(col(valueCol)).over(w))
+      .withColumn("baseline_mean", avg(col(valueCol)).over(w))
+      .withColumn("__sd", stddev_samp(col(valueCol)).over(w))
+      .withColumn("z",
+        when(col("baseline_n") >= minN && col("__sd") > 0,
+          (col(valueCol) - col("baseline_mean")) / col("__sd")))
+    scored
+      .withColumn("is_anomaly", coalesce(abs(col("z")) > threshold, lit(false)))
+      .drop("__sd")
+  }
+
   /** Time-series resampling with forward fill: per key, a REGULAR
     * `step` grid spanning that key's observed range, carrying the last
     * observed value forward across gaps — what turns irregular event

@@ -1012,6 +1012,67 @@ object DocumentQueries extends QueryModule {
       None,
       doc = "Gumbel-top-k DSIR resample: P(select) proportional to w^(1/T), seeded"),
 
+    // ---- chunk-level exact dedup with doc reassembly (the paragraph
+    // dedup of RefinedWeb/Dolma). The synthetic corpus has no naturally
+    // repeated 8-word windows, so both engines prepend identical
+    // doc_id-derived boilerplate chunks (the PII-fixture pattern):
+    // 1/3 of docs share one leading chunk, 1/4 share another, 1/12 both
+    // — exercising multi-chunk drops and rebuild ordering.
+    "q_dedup_chunks" -> Q(
+      (s, dir) => {
+        val p1 = "standard boilerplate disclaimer repeated across many documents verbatim"
+        val p2 = "shared header template text appears in every feed"
+        val d = table(s, dir, "documents").select(col("doc_id"),
+          concat(
+            when(col("doc_id") % 4 === 0, lit(p2 + " ")).otherwise(lit("")),
+            when(col("doc_id") % 3 === 0, lit(p1 + " ")).otherwise(lit("")),
+            col("text")).as("text"))
+        graft.operators.Dedup.chunkDedup(d, "doc_id", "text", 8)
+          .select(col("id").as("doc_id"), col("n_chunks"), col("n_kept"),
+            col("text_clean"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |  (CASE WHEN doc_id % 4 = 0 THEN 'shared header template text appears in every feed ' ELSE '' END) ||
+             |  (CASE WHEN doc_id % 3 = 0 THEN 'standard boilerplate disclaimer repeated across many documents verbatim ' ELSE '' END) ||
+             |  text AS text FROM documents),
+             |t AS (SELECT doc_id, string_split(text, ' ') AS w FROM d),
+             |c AS (SELECT doc_id, i AS chunk_idx,
+             |  array_to_string(w[(i*8+1):(i*8+8)], ' ') AS chunk_text
+             |  FROM t, unnest(range(0, (len(w)+7)//8)) AS r(i)),
+             |k AS (SELECT *, row_number() OVER (PARTITION BY chunk_text
+             |  ORDER BY doc_id, chunk_idx) AS rn FROM c)
+             |SELECT doc_id, count(*) AS n_chunks,
+             |  sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+             |  string_agg(CASE WHEN rn = 1 THEN chunk_text END, ' ' ORDER BY chunk_idx) AS text_clean
+             |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace('\n', ' ')),
+      doc = "chunk-level exact dedup: corpus-wide first-occurrence keeper, docs rebuilt from surviving chunks"),
+
+    // ---- cross-source overlap audit: exact shingle-set Jaccard for
+    // every source pair (the "how redundant are my corpora" check run
+    // before fixing mixture weights)
+    "q_corpus_overlap" -> Q(
+      (s, dir) => graft.operators.Dedup.corpusOverlap(
+          table(s, dir, "documents"), "source", "text")
+        .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
+          col("n_common"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("group_a"), col("group_b")),
+      Some("""WITH t AS (SELECT doc_id, source, string_split(text,' ') AS w FROM documents),
+             |s AS (SELECT doc_id, source, CASE WHEN len(w) >= 3
+             |  THEN list_distinct(list_transform(range(1, len(w)-1), i -> w[i]||' '||w[i+1]||' '||w[i+2]))
+             |  ELSE []::VARCHAR[] END AS sh FROM t),
+             |e AS (SELECT DISTINCT source, g FROM
+             |  (SELECT source, unnest(sh) AS g FROM s)),
+             |sz AS (SELECT source, count(*) AS n FROM e GROUP BY source),
+             |ix AS (SELECT a.source AS group_a, b.source AS group_b, count(*) AS n_common
+             |  FROM e a JOIN e b ON a.g = b.g AND a.source < b.source GROUP BY 1, 2)
+             |SELECT group_a, group_b, na.n AS n_a, nb.n AS n_b, n_common,
+             |  round(n_common::DOUBLE / (na.n + nb.n - n_common), 6) AS jaccard
+             |FROM ix JOIN sz na ON ix.group_a = na.source
+             |JOIN sz nb ON ix.group_b = nb.source
+             |ORDER BY group_a, group_b""".stripMargin.replace('\n', ' ')),
+      doc = "pairwise corpus overlap: exact 3-gram shingle Jaccard between sources"),
+
     // ---- keyword search (TQL CONTAINS; tql.md:179-185)
     "q_text_contains" -> Q(
       (s, dir) => {

@@ -325,6 +325,39 @@ object SequenceQueries extends QueryModule {
              |ORDER BY event_id""".stripMargin.replace('\n', ' ')),
       doc = "per-user trailing-24h rolling sum/count (RANGE window frame)"),
 
+    // ---- trailing z-score anomaly detection: each event scored
+    // against its own (user, type) series' preceding-window stats —
+    // the current row never dilutes its own baseline
+    "q_events_anomaly" -> Q(
+      (s, dir) => graft.operators.EventAnalytics.anomalies(
+          table(s, dir, "events").filter(col("user_id") < 40)
+            .select(col("event_id"), col("user_id"), col("event_type"),
+              col("ts_ns"), col("value")),
+          Seq("user_id", "event_type"), "ts_ns", "value",
+          windowNs = 30L * 86400L * 1000000000L, minN = 5, threshold = 2.0)
+        .filter(col("z").isNotNull)
+        // mean rounds at 6dp, NOT 4: value sits on a 0.01 grid, so the
+        // n-row mean can land EXACTLY on a 4dp half-boundary where the
+        // engines' round-half rules diverge; at 6dp the attainable grid
+        // (0.01/n) never touches a boundary for n < 20000. z is
+        // irrational (sqrt) — no boundary coincidence at any precision.
+        .select(col("event_id"), col("baseline_n"),
+          round(col("baseline_mean"), 6).as("baseline_mean"),
+          round(col("z"), 4).as("z"), col("is_anomaly"))
+        .orderBy(col("event_id")),
+      Some("""SELECT event_id, baseline_n, round(baseline_mean, 6) AS baseline_mean,
+             |round(z, 4) AS z, (abs(z) > 2.0) AS is_anomaly FROM (
+             |  SELECT event_id, count(value) OVER w AS baseline_n,
+             |    avg(value) OVER w AS baseline_mean,
+             |    CASE WHEN count(value) OVER w >= 5 AND stddev_samp(value) OVER w > 0
+             |      THEN (value - avg(value) OVER w) / stddev_samp(value) OVER w END AS z
+             |  FROM (SELECT event_id, user_id, event_type, epoch_ns(ts) AS t, value
+             |        FROM events WHERE user_id < 40)
+             |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY t
+             |    RANGE BETWEEN 2592000000000000 PRECEDING AND 1 PRECEDING))
+             |WHERE z IS NOT NULL ORDER BY event_id""".stripMargin.replace('\n', ' ')),
+      doc = "trailing z-score anomaly detection per (user, type) series (preceding-only RANGE baseline)"),
+
     // ---- hourly resampling with forward fill: regular grid from
     // map-side sequence explode, observations equi-join, one
     // last(ignoreNulls) window carries values across gaps

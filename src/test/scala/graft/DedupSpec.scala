@@ -550,4 +550,45 @@ class DedupSpec extends AnyFunSuite {
     val c1 = ch(1).getString(3).split(" ")
     assert(c0.takeRight(5).toSeq === c1.take(5).toSeq)
   }
+
+  test("chunkDedup: first-occurrence keeper, rebuild order, all-dropped doc") {
+    import spark.implicits._
+    // chunkWords = 2. doc1 owns "a b" and "c d"; doc2 repeats "a b"
+    // mid-doc; doc3 is entirely made of doc1's chunks -> nothing
+    // survives; doc4 repeats a chunk WITHIN itself
+    val d = Seq(
+      (1L, "a b c d"),
+      (2L, "x y a b z"),       // chunks: "x y", "a b"(dup), "z"
+      (3L, "a b c d"),         // both chunks dup -> NULL text_clean
+      (4L, "p q p q r")        // "p q", "p q"(self-dup), "r"
+    ).toDF("doc_id", "text")
+    val got = Dedup.chunkDedup(d, "doc_id", "text", 2)
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.getString(3)))).toSeq
+    assert(got === Seq(
+      (1L, 2L, 2L, Some("a b c d")),
+      (2L, 3L, 2L, Some("x y z")),   // dup chunk excised, order kept
+      (3L, 2L, 0L, None),            // fully deduplicated doc
+      (4L, 3L, 2L, Some("p q r")))) // within-doc repeat collapses too
+  }
+
+  test("corpusOverlap: exact pair Jaccard; dfCap drops universal shingles") {
+    import spark.implicits._
+    // 3-gram shingles: s1 = {a b c, b c d} (from "a b c d"),
+    // s2 = {a b c} exactly, s3 disjoint
+    val d = Seq(
+      (1L, "s1", "a b c d"),
+      (2L, "s2", "a b c"),
+      (3L, "s3", "x y z w")
+    ).toDF("doc_id", "source", "text")
+    val got = Dedup.corpusOverlap(d, "source", "text")
+      .orderBy("group_a", "group_b")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq
+    // only the overlapping pair appears: |s1|=2, |s2|=1, inter=1 -> 1/2
+    assert(got === Seq(("s1", "s2", 2L, 1L, 1L, 0.5)))
+    // a dfCap below the shared shingle's source count removes the pair
+    assert(Dedup.corpusOverlap(d, "source", "text", dfCap = 1).count() === 0L)
+  }
 }

@@ -229,4 +229,41 @@ class EventAnalyticsSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(kept === Seq(1L, 5L, 6L))
   }
+
+  test("anomalies: self-excluded baseline, cold start, zero-variance degradation") {
+    import spark.implicits._
+    // u1: alternating 10/12 warm-up, then a spike of 100 at t=7, then 10
+    val u1 = (1 to 6).map(t => (100L + t, 1L, "m", t.toLong,
+      if (t % 2 == 0) 12.0 else 10.0)) ++
+      Seq((107L, 1L, "m", 7L, 100.0), (108L, 1L, "m", 8L, 10.0))
+    // u2: constant series then a jump — zero baseline variance never flags
+    val u2 = (1 to 6).map(t => (200L + t, 2L, "m", t.toLong, 5.0)) :+
+      (207L, 2L, "m", 7L, 50.0)
+    val ev = (u1 ++ u2).toDF("event_id", "user_id", "event_type", "ts_ns", "value")
+    val got = EventAnalytics.anomalies(ev, Seq("user_id", "event_type"),
+        "ts_ns", "value", windowNs = 100L, minN = 5, threshold = 3.0)
+      .select("event_id", "baseline_n", "baseline_mean", "z", "is_anomaly")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]),
+          Option(r.get(3)).map(_.asInstanceOf[Double]), r.getBoolean(4)))
+      .toMap
+
+    // cold start: fewer than minN baseline rows -> NULL z, never flags
+    (101L to 105L).foreach { id =>
+      assert(got(id)._1 < 5 && got(id)._3.isEmpty && !got(id)._4, s"event $id")
+    }
+    // the spike scores against the PRE-spike stats only (self-excluded):
+    // baseline mean 11 over {10,12,10,12,10,12}, sd ~1.095 -> z ~81
+    val (n7, m7, z7, f7) = got(107L)
+    assert(n7 === 6L && math.abs(m7.get - 11.0) < 1e-9)
+    assert(z7.get > 50 && f7)
+    // the row AFTER the spike sees the spike in ITS baseline (n=7,
+    // mean ~23.7) and does not flag at 3 sigma
+    val (n8, m8, z8, f8) = got(108L)
+    assert(n8 === 7L && math.abs(m8.get - 166.0 / 7) < 1e-9 && !f8)
+    assert(z8.get < 0) // below its inflated baseline mean
+    // zero-variance baseline: z NULL, not flagged — even for a 10x jump
+    val (n207, _, z207, f207) = got(207L)
+    assert(n207 === 6L && z207.isEmpty && !f207)
+  }
 }
