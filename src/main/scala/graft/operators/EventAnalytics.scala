@@ -120,6 +120,34 @@ object EventAnalytics {
       .withColumn("rolling_n", count(lit(1)).over(w))
   }
 
+  /** Top-k common event paths: the `steps`-long ordered journeys users
+    * actually take ("view > click > purchase"), ranked by frequency —
+    * the sequence-mining sibling of [[transitionMatrix]] (which only
+    * sees adjacent pairs). Deterministic sequences via the id
+    * tie-break; a user's trailing events shorter than `steps` emit
+    * nothing. One per-user window (lead chain — no array build), one
+    * hash-agg, and the rank lowers to TakeOrderedAndProject: the
+    * path-count frame is at most |types|^steps rows regardless of
+    * corpus size. */
+  def topPaths(events: DataFrame, userCol: String, tsNsCol: String,
+      typeCol: String, idCol: String, steps: Int = 3,
+      k: Int = 20): DataFrame = {
+    require(steps >= 2, "a path needs at least 2 steps")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsNsCol), col(idCol))
+    val base = events.select(col(userCol), col(tsNsCol), col(idCol),
+      col(typeCol).as("__s0"))
+    val withLeads = (1 until steps).foldLeft(base) { (d, i) =>
+      d.withColumn(s"__s$i", lead(col("__s0"), i).over(w))
+    }
+    withLeads
+      .filter((1 until steps).map(i => col(s"__s$i").isNotNull).reduce(_ && _))
+      .select(concat_ws(" > ", (0 until steps).map(i => col(s"__s$i")): _*)
+        .as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path")).limit(k)
+  }
+
   /** Trailing z-score anomaly detection: every event is scored against
     * its OWN key's baseline — mean/stddev of `valueCol` over the
     * trailing `windowNs` EXCLUDING the current row (so an outlier never

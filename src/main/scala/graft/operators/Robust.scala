@@ -39,4 +39,27 @@ object Robust {
       .withColumn("__w",
         least(greatest(col(valueCol).cast("double"), col("lo")), col("hi")))
   }
+
+  /** Median-absolute-deviation outlier scoring — the robust z-score
+    * (0.6745 · (x − median) / MAD) that a single extreme value cannot
+    * corrupt the way it corrupts mean/stddev. Two percentile aggregates
+    * (median, then median of |x − median|), each a broadcast 1-row
+    * frame, the score map-side; `approxBounds` swaps both to the
+    * fixed-state sketch exactly as [[winsorize]]. A zero/NULL MAD
+    * (constant-majority column) scores NULL — never a division blowup.
+    * Returns df + `med`, `mad`, `robust_z`. */
+  def madScore(df: DataFrame, valueCol: String,
+      approxBounds: Boolean = false, accuracy: Int = 10000): DataFrame = {
+    def med(c: String) =
+      if (approxBounds) expr(s"approx_percentile($c, 0.5, $accuracy)")
+      else expr(s"percentile($c, 0.5)")
+    val m = df.agg(med(valueCol).cast("double").as("med"))
+    val withMed = df.crossJoin(broadcast(m))
+    val a = withMed.select(abs(col(valueCol).cast("double") - col("med")).as("__d"))
+      .agg(med("__d").cast("double").as("mad"))
+    withMed.crossJoin(broadcast(a))
+      .withColumn("robust_z",
+        when(col("mad") > 0,
+          lit(0.6745) * (col(valueCol).cast("double") - col("med")) / col("mad")))
+  }
 }

@@ -325,6 +325,21 @@ object SequenceQueries extends QueryModule {
              |ORDER BY event_id""".stripMargin.replace('\n', ' ')),
       doc = "per-user trailing-24h rolling sum/count (RANGE window frame)"),
 
+    // ---- top event paths: the 3-step journeys users actually take,
+    // by frequency (sequence mining; transitions only see pairs)
+    "q_event_paths" -> Q(
+      (s, dir) => graft.operators.EventAnalytics.topPaths(
+          table(s, dir, "events"), "user_id", "ts_ns", "event_type",
+          "event_id", steps = 3, k = 20),
+      Some("""WITH s AS (SELECT event_type AS s0,
+             |  lead(event_type, 1) OVER w AS s1, lead(event_type, 2) OVER w AS s2
+             |  FROM events WINDOW w AS (PARTITION BY user_id
+             |    ORDER BY epoch_ns(ts), event_id))
+             |SELECT s0 || ' > ' || s1 || ' > ' || s2 AS path, count(*) AS n
+             |FROM s WHERE s1 IS NOT NULL AND s2 IS NOT NULL
+             |GROUP BY path ORDER BY n DESC, path LIMIT 20""".stripMargin.replace('\n', ' ')),
+      doc = "top-20 3-step user journeys (lead-chain path mining, TakeOrdered rank)"),
+
     // ---- trailing z-score anomaly detection: each event scored
     // against its own (user, type) series' preceding-window stats —
     // the current row never dilutes its own baseline

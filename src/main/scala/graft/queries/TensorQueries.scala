@@ -496,6 +496,33 @@ object TensorQueries extends QueryModule {
              |ORDER BY l_returnflag""".stripMargin.replace('\n', ' ')),
       doc = "percentile-clipped robust statistics (winsorization at [p01, p99])"),
 
+    // ---- MAD robust z: the outlier score a single extreme value
+    // cannot corrupt (0.6745 (x - med) / MAD, flag at the standard 3.5)
+    "q_robust_mad" -> Q(
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_extendedprice").cast("double").as("p"))
+        graft.operators.Robust.madScore(li, "p")
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            sum((abs(col("robust_z")) > 3.5).cast("long")).as("n_outliers"),
+            round(min(col("med")), 4).as("med"), round(min(col("mad")), 4).as("mad"),
+            round(min(col("robust_z")), 6).as("z_min"),
+            round(max(col("robust_z")), 6).as("z_max"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""WITH m AS (SELECT quantile_cont(l_extendedprice::DOUBLE, 0.5) AS med FROM lineitem),
+             |a AS (SELECT quantile_cont(abs(l_extendedprice::DOUBLE - med), 0.5) AS mad
+             |      FROM lineitem, m),
+             |c AS (SELECT l_returnflag, med, mad,
+             |  0.6745 * (l_extendedprice::DOUBLE - med) / mad AS z FROM lineitem, m, a)
+             |SELECT l_returnflag, count(*) AS n,
+             |sum(CAST(abs(z) > 3.5 AS BIGINT))::BIGINT AS n_outliers,
+             |round(min(med), 4) AS med, round(min(mad), 4) AS mad,
+             |round(min(z), 6) AS z_min, round(max(z), 6) AS z_max
+             |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin.replace('\n', ' ')),
+      doc = "median-absolute-deviation robust z outlier profile per return flag"),
+
     // ---- correlation profile: pairwise Pearson over numeric columns in
     // ONE partial-agg pass (co-moment merge is associative)
     "q_corr_matrix" -> Q(

@@ -85,6 +85,80 @@ class StreamingAndMultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming anomaly scores equal the batch operator across a mid-series batch split") {
+    import graft.streaming.StreamingAnomaly
+    val winNs = 30L * 86400L * 1000000000L
+    val batchEv = graft.sources.Tables(spark, dir, "events")
+      .filter(col("user_id") < 15)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts_ns"), col("value"))
+    val expected = graft.operators.EventAnalytics.anomalies(batchEv,
+        Seq("user_id", "event_type"), "ts_ns", "value", winNs, 5, 2.0)
+      .select("event_id", "baseline_n", "baseline_mean", "z", "is_anomaly")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]),
+        Option(r.get(3)).map(_.asInstanceOf[Double]), r.getBoolean(4))).toMap
+    // split the corpus at the time median so every active series is cut
+    // mid-window, land the halves as two files, drive two micro-batches
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    // numeric time for the split point (ts is NTZ here; long in old corpora)
+    val tsNum = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => col("ts").cast("double")
+      case _ => unix_micros(col("ts").cast("timestamp")).cast("double")
+    }
+    val cut = raw.select(percentile_approx(tsNum, lit(0.5), lit(10000)))
+      .head.getDouble(0)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_anom").toFile
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = new java.io.File(tmp, s"stage_$name")
+      df.coalesce(1).write.parquet(stage.toString)
+      val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(tmp, s"$name.parquet").toPath)
+    }
+    try {
+      land(raw.filter(tsNum <= cut), "a")
+      val streamed = StreamingAnomaly.score(
+        graft.streaming.EventStream.readEvents(spark, tmp.toString,
+            glob = "[ab].parquet")
+          .filter(col("user_id") < 15),
+        Seq("user_id", "event_type"), "event_id", "ts_ns", "value",
+        winNs, 5, 2.0).toDF()
+      val q = graft.streaming.EventStream.runToMemorySink(
+        streamed, "stream_anom", "append")
+      try {
+        land(raw.filter(tsNum > cut), "b")
+        q.processAllAvailable()
+        val got = spark.table("stream_anom")
+          .collect().map(r => r.getLong(0) -> (r.getLong(1),
+            Option(r.get(2)).map(_.asInstanceOf[Double]),
+            Option(r.get(3)).map(_.asInstanceOf[Double]), r.getBoolean(4))).toMap
+        assert(got.size === expected.size)
+        // at least one series actually straddles the split (state carried)
+        assert(spark.table("stream_anom").count() === expected.size.toLong)
+        expected.foreach { case (id, (n, m, z, flag)) =>
+          val (gn, gm, gz, gflag) = got(id)
+          assert(gn === n, s"baseline_n for event $id")
+          assert(gflag === flag, s"is_anomaly for event $id")
+          assert(m.isDefined === gm.isDefined && z.isDefined === gz.isDefined)
+          m.foreach(e => assert(math.abs(e - gm.get) < 1e-8, s"mean for $id"))
+          z.foreach(e => assert(math.abs(e - gz.get) < 1e-6, s"z for $id"))
+        }
+        // the second chunk contains scored events whose baselines span
+        // the split — i.e. baseline_n larger than chunk-b-only history
+        val bIds = spark.read.parquet(s"$tmp/b.parquet")
+          .filter(col("user_id") < 15).select("event_id")
+          .collect().map(_.getLong(0)).toSet
+        assert(bIds.exists(id => got.get(id).exists(_._1 >= 5)))
+      } finally q.stop()
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(tmp)
+    }
+  }
+
   test("stream-static dimension enrichment matches the batch join exactly") {
     import spark.implicits._
     val dim = (0L until 50L).map(u => (u, s"seg${u % 3}")).toDF("user_id", "segment")
