@@ -250,4 +250,38 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // one aggregation tree over the scan; rule flags never shuffle rows
     assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
   }
+
+  test("chunk dedup: hash equi-join on the chunk hash, never a window over raw chunks") {
+    val p = planOf("q_dedup_chunks")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Window"), s"keeper must be an agg+join, not a window:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
+  test("corpus overlap: pair fan-out from bounded source sets; sizes ride broadcasts") {
+    val p = planOf("q_corpus_overlap")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), s"size joins must broadcast:\n$p")
+  }
+
+  test("anomaly scoring is one fine-grained-key window, no self-join") {
+    val p = planOf("q_events_anomaly")
+    assert(!p.contains("Join"), s"anomalies must not join:\n$p")
+    assert(p.contains("Window"), p)
+  }
+
+  test("event paths: lead-chain window, rank lowers to TakeOrdered (no global sort)") {
+    val p = planOf("q_event_paths")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("MAD score: percentile bounds attach as 1-row broadcasts, never a shuffle join") {
+    val p = planOf("q_robust_mad")
+    // the med/mad frames are single rows: crossJoin(broadcast(...)) is
+    // the CORRECT plan shape for them (a keyed shuffle join would be
+    // pure overhead); the row-scoring side must never sort-merge
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"bounds must broadcast, not shuffle:\n$p")
+  }
 }
