@@ -45,7 +45,8 @@ object Headline {
     // the heavy ANN/resample shapes join the tracked set
     "q_winsorize", "q_vec_ann_pq", "q_resample_fill",
     // round-8 additions: the new heavy operators track from day one
-    "q_dsir_weights", "q_vec_label_outliers", "q_dedup_simhash_hamming")
+    "q_dsir_weights", "q_vec_label_outliers", "q_dedup_simhash_hamming",
+    "q_dedup_chunks", "q_corpus_overlap")
 }
 
 object Bench {

@@ -523,6 +523,53 @@ object TensorQueries extends QueryModule {
              |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin.replace('\n', ' ')),
       doc = "median-absolute-deviation robust z outlier profile per return flag"),
 
+    // ---- equal-frequency discretization: decile binning against ONE
+    // broadcast array-percentile edge frame, map-side bin math
+    "q_discretize" -> Q(
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+          .select(col("l_extendedprice").cast("double").as("v"))
+        graft.operators.Features.discretize(li, "v", bins = 10)
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("n"),
+            round(min(col("v")), 2).as("v_min"), round(max(col("v")), 2).as("v_max"))
+          .orderBy(col("bin"))
+      },
+      Some("""WITH e AS (SELECT quantile_cont(l_extendedprice::DOUBLE,
+             |  [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS edges FROM lineitem),
+             |b AS (SELECT l_extendedprice::DOUBLE AS v,
+             |  len(list_filter(edges, x -> l_extendedprice::DOUBLE >= x))::INT AS bin
+             |  FROM lineitem, e)
+             |SELECT bin, count(*) AS n, round(min(v), 2) AS v_min,
+             |round(max(v), 2) AS v_max
+             |FROM b GROUP BY bin ORDER BY bin""".stripMargin.replace('\n', ' ')),
+      doc = "equal-frequency decile discretization (quantile-edge binning)"),
+
+    // ---- categorical encoders: smoothed target mean + frequency,
+    // category table folded with the broadcast prior, broadcast encode join
+    "q_cat_encode" -> Q(
+      (s, dir) => {
+        val o = table(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            col("o_totalprice").cast("double").as("y"))
+        graft.operators.Features.targetEncode(o, "o_orderpriority", "y")
+          .filter(col("o_orderkey") < 2000)
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            round(col("target_enc"), 4).as("target_enc"),
+            round(col("freq_enc"), 6).as("freq_enc"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""WITH p AS (SELECT avg(o_totalprice::DOUBLE) AS prior, count(*) AS total FROM orders),
+             |s AS (SELECT o_orderpriority, count(*) AS n, sum(o_totalprice::DOUBLE) AS sm
+             |      FROM orders GROUP BY 1),
+             |enc AS (SELECT o_orderpriority, (sm + prior * 10.0) / (n + 10.0) AS te,
+             |  n::DOUBLE / total AS fe FROM s, p)
+             |SELECT o.o_orderkey, o.o_orderpriority, round(te, 4) AS target_enc,
+             |round(fe, 6) AS freq_enc
+             |FROM orders o JOIN enc USING (o_orderpriority)
+             |WHERE o.o_orderkey < 2000 ORDER BY o.o_orderkey""".stripMargin.replace('\n', ' ')),
+      doc = "smoothed target encoding + frequency encoding of a categorical"),
+
     // ---- correlation profile: pairwise Pearson over numeric columns in
     // ONE partial-agg pass (co-moment merge is associative)
     "q_corr_matrix" -> Q(

@@ -159,6 +159,58 @@ class StreamingAndMultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming PSI drift equals the batch operator across micro-batches") {
+    import graft.streaming.StreamingDrift
+    val ev = graft.sources.Tables(spark, dir, "events")
+    val ref = ev.filter(col("user_id") % 2 === 0).select(col("value"))
+    val cur = ev.filter(col("user_id") % 2 === 1)
+      .select(col("event_id"), col("value"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_psi").toFile
+    val stateDir = s"$tmp/state"
+    val landDir = new java.io.File(tmp, "in"); landDir.mkdirs()
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = new java.io.File(tmp, s"stage_$name")
+      df.coalesce(1).write.parquet(stage.toString)
+      val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(landDir, s"$name.parquet").toPath)
+    }
+    try {
+      val edges = StreamingDrift.freezeReference(ref, "value", stateDir)
+      assert(StreamingDrift.loadEdges(spark, stateDir).toSeq === edges.toSeq)
+      val mid = cur.select(percentile_approx(col("event_id"), lit(0.5), lit(100000)))
+        .head.get(0).toString.toDouble
+      land(cur.filter(col("event_id") <= mid), "a")
+      val stream = spark.readStream.schema(cur.schema).parquet(landDir.toString)
+      val q = StreamingDrift.maintainPsi(stream, "value", edges, stateDir,
+        s"$tmp/ckpt")
+      try {
+        q.processAllAvailable()
+        land(cur.filter(col("event_id") > mid), "b")
+        q.processAllAvailable()
+      } finally q.stop()
+      val streamed = StreamingDrift.currentPsiBins(spark, stateDir)
+        .collect().map(r => r.getInt(0) ->
+          (r.getLong(1), r.getLong(2), r.getDouble(5))).toMap
+      val batch = graft.operators.Drift.psiBins(ref, cur.select(col("value")), "value")
+        .collect().map(r => r.getInt(0) ->
+          (r.getLong(1), r.getLong(2), r.getDouble(5))).toMap
+      assert(streamed.keySet === batch.keySet)
+      batch.foreach { case (bin, (nr, nc, term)) =>
+        val (snr, snc, sterm) = streamed(bin)
+        assert(snr === nr && snc === nc, s"bin $bin counts")
+        assert(math.abs(sterm - term) < 1e-12, s"bin $bin psi term")
+      }
+      val batchPsi = graft.operators.Drift.psi(ref, cur.select(col("value")), "value")
+      assert(math.abs(StreamingDrift.currentPsi(spark, stateDir) - batchPsi) < 1e-12)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(tmp)
+    }
+  }
+
   test("stream-static dimension enrichment matches the batch join exactly") {
     import spark.implicits._
     val dim = (0L until 50L).map(u => (u, s"seg${u % 3}")).toDF("user_id", "segment")
