@@ -93,4 +93,20 @@ object EmbeddingOps {
       .select(col("id"), col("label"), col("dist"),
         ((col("dist") - col("__mu")) / col("__sigma")).as("z"))
   }
+
+  /** Matryoshka truncation (Kusupati et al. 2022): keep the first
+    * `dims` components and L2-renormalize — the storage/latency lever
+    * of MRL-trained embeddings (search the short prefix, rerank with
+    * the full vector). Map-side only; a zero prefix degrades to NULL
+    * rather than dividing by zero. Cosine ranking over the output is
+    * identical with or without the renorm (scale invariance), so the
+    * renorm exists for the dot-product consumers. */
+  def matryoshka(emb: DataFrame, vecCol: String, dims: Int,
+      outCol: String = "vec_trunc"): DataFrame = {
+    require(dims >= 1, "dims must be >= 1")
+    val t = slice(col(vecCol).cast("array<double>"), 1, dims)
+    val n = sqrt(aggregate(t, lit(0.0), (acc, x) => acc + x * x))
+    emb.withColumn(outCol,
+      when(n > 0, transform(t, x => x / n)))
+  }
 }

@@ -1073,6 +1073,36 @@ object DocumentQueries extends QueryModule {
              |ORDER BY group_a, group_b""".stripMargin.replace('\n', ' ')),
       doc = "pairwise corpus overlap: exact 3-gram shingle Jaccard between sources"),
 
+    // ---- one-pass corpus data card: the dataset-summary row every
+    // curation run logs. One aggregation tree (the multi-distinct
+    // expands map-side); at 100 TB the distincts would swap to
+    // approx_count_distinct — exact here for the oracle.
+    "q_corpus_summary" -> Q(
+      (s, dir) => table(s, dir, "documents")
+        .select(col("text"), col("lang"), col("source"), col("n_chars"),
+          size(TA.tokens(col("text"))).as("n_toks"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(md5(col("text"))).as("n_unique_texts"),
+          countDistinct(col("lang")).as("n_langs"),
+          countDistinct(col("source")).as("n_sources"),
+          sum(col("n_toks")).as("total_tokens"),
+          round(avg(col("n_chars")), 4).as("avg_chars"),
+          expr("percentile(n_chars, array(0.5, 0.9))").as("__p"))
+        .select(col("n_docs"), col("n_unique_texts"), col("n_langs"),
+          col("n_sources"), col("total_tokens"), col("avg_chars"),
+          element_at(col("__p"), 1).as("p50_chars"),
+          element_at(col("__p"), 2).as("p90_chars")),
+      Some("""SELECT count(*) AS n_docs,
+             |count(DISTINCT md5(text)) AS n_unique_texts,
+             |count(DISTINCT lang) AS n_langs,
+             |count(DISTINCT source) AS n_sources,
+             |sum(len(string_split(text, ' ')))::BIGINT AS total_tokens,
+             |round(avg(n_chars), 4) AS avg_chars,
+             |quantile_cont(n_chars, 0.5) AS p50_chars,
+             |quantile_cont(n_chars, 0.9) AS p90_chars
+             |FROM documents""".stripMargin.replace('\n', ' ')),
+      doc = "one-pass corpus data card: counts, distincts, token totals, length quantiles"),
+
     // ---- keyword search (TQL CONTAINS; tql.md:179-185)
     "q_text_contains" -> Q(
       (s, dir) => {

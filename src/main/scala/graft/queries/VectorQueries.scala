@@ -33,6 +33,27 @@ object VectorQueries extends QueryModule {
              |FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
              |ORDER BY cos_sim DESC, e.vec_id LIMIT 10""".stripMargin.replace('\n', ' '))),
 
+    // ---- Matryoshka prefix retrieval: cosine over the truncated+
+    // renormalized 16-dim prefix (the MRL search-short/rerank-full
+    // lever); renormed dot == prefix cosine by scale invariance
+    "q_vec_truncate_topk" -> Q(
+      (s, dir) => {
+        val t = graft.operators.EmbeddingOps.matryoshka(
+          table(s, dir, E), "embedding", 16)
+        val q = t.filter(col("vec_id") === 0).select(col("vec_trunc").as("qv"))
+        t.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+          .select(col("vec_id"),
+            round(gf.dot(col("vec_trunc"), col("qv")), 6).as("cos_sim"))
+          .orderBy(col("cos_sim").desc, col("vec_id"))
+          .limit(20)
+      },
+      Some("""SELECT e.vec_id, round(list_cosine_similarity(
+             |  e.embedding[1:16]::DOUBLE[], q.embedding[1:16]::DOUBLE[]), 6) AS cos_sim
+             |FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+             |WHERE e.vec_id <> 0
+             |ORDER BY cos_sim DESC, e.vec_id LIMIT 20""".stripMargin.replace('\n', ' ')),
+      doc = "Matryoshka 16-dim prefix cosine retrieval (truncate + renormalize)"),
+
     // ---- euclidean nearest (ascending distance)
     "q_vec_l2_topk" -> Q(
       (s, dir) => {

@@ -111,4 +111,34 @@ class VectorExpressionsSpec extends AnyFunSuite {
     val empty = Seq(Tuple1(Array.empty[Float])).toDF("a")
     assert(empty.select(gf.tavg(col("a"))).head().isNullAt(0))
   }
+
+  test("matryoshka: unit norm, full-dims identity ranking, zero prefix -> NULL") {
+    import spark.implicits._
+    import graft.operators.EmbeddingOps
+    val df = Seq(
+      (1L, Array(3.0f, 4.0f, 0.0f, 1.0f)),
+      (2L, Array(1.0f, 0.0f, 2.0f, 2.0f)),
+      (3L, Array(0.0f, 0.0f, 5.0f, 5.0f)) // zero 2-dim prefix
+    ).toDF("id", "embedding")
+    val t2 = EmbeddingOps.matryoshka(df, "embedding", 2)
+      .select(col("id"), col("vec_trunc")).collect()
+      .map(r => r.getLong(0) ->
+        Option(r.get(1)).map(_.asInstanceOf[scala.collection.Seq[Double]])).toMap
+    // renormalized: (3,4) -> (0.6, 0.8)
+    assert(t2(1L).get.zip(Seq(0.6, 0.8)).forall { case (a, b) => math.abs(a - b) < 1e-9 })
+    // every non-null output has unit L2 norm
+    t2.values.flatten.foreach { v =>
+      assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-9)
+    }
+    // zero prefix degrades to NULL, not a divide-by-zero vector
+    assert(t2(3L).isEmpty)
+    // dims = full width: renormed dot equals full cosine for every pair
+    val t4 = EmbeddingOps.matryoshka(df, "embedding", 4)
+    val both = t4.select(col("id"), col("vec_trunc"), col("embedding"))
+    val x = both.as("a").crossJoin(both.as("b"))
+      .select(gf.dot(col("a.vec_trunc"), col("b.vec_trunc")).as("d"),
+        gf.cosine_similarity(col("a.embedding"), col("b.embedding")).as("c"))
+      .collect()
+    x.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-6))
+  }
 }
