@@ -150,4 +150,57 @@ object StreamingDedup {
 
   def currentUnique(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/unique")
+
+  /** Streaming CHUNK-level dedup (the paragraph dedup of
+    * [[Dedup.chunkDedup]] at ingest time): the seen-set is chunk
+    * hashes, so a new document sheds the boilerplate blocks history
+    * already owns the moment it lands. Per batch: chunk map-side,
+    * pick the within-batch first occurrence per hash (min (id, idx) —
+    * the batch operator's keeper rule), anti-join the fixed-width
+    * hashes against the persisted seen set, rebuild EVERY batch doc
+    * from its surviving chunks, emit to `dir/docs`, append the
+    * survivors' hashes. For id-ordered arrival the accumulated output
+    * equals the batch operator on the full corpus (spec-gated across a
+    * mid-corpus split). */
+  def maintainChunkDedup(stream: DataFrame, dir: String, idCol: String,
+      textCol: String, chunkWords: Int, checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val chunks = graft.operators.TextAnalysis
+          .chunkTokens(batch, idCol, textCol, chunkWords, 0)
+          .select(col(idCol).as("id"), col("chunk_idx"), col("chunk_text"),
+            md5(col("chunk_text")).as("__h"))
+          .localCheckpoint()
+        val keeper = chunks.groupBy(col("__h"))
+          .agg(min(struct(col("id"), col("chunk_idx"))).as("__keep"))
+        val freshKeeper =
+          (if (!new java.io.File(s"$dir/chunk_hashes").exists()) keeper
+           else keeper.join(spark.read.parquet(s"$dir/chunk_hashes"),
+             Seq("__h"), "left_anti"))
+            .localCheckpoint()
+        val rebuilt = chunks.join(freshKeeper, Seq("__h"), "left")
+          .withColumn("__kept", col("__keep.id") === col("id") &&
+            col("__keep.chunk_idx") === col("chunk_idx"))
+          .groupBy(col("id"))
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when(col("__kept"), 1L).otherwise(0L)).as("n_kept"),
+            array_sort(collect_list(when(col("__kept"),
+              struct(col("chunk_idx"), col("chunk_text"))))).as("__surv"))
+          .withColumn("text_clean",
+            when(col("n_kept") > 0, array_join(
+              transform(col("__surv"), _.getField("chunk_text")), " ")))
+          .drop("__surv")
+        rebuilt.write.mode("append").parquet(s"$dir/docs")
+        freshKeeper.select(col("__h"))
+          .write.mode("append").parquet(s"$dir/chunk_hashes")
+        ()
+      }
+      .start()
+
+  /** every streamed doc's rebuilt form so far */
+  def currentChunkDeduped(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/docs")
 }

@@ -159,6 +159,54 @@ class StreamingAndMultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming chunk dedup equals the batch operator for id-ordered arrival") {
+    import graft.streaming.StreamingDedup
+    // boilerplate-enriched corpus (the q_dedup_chunks fixture) so
+    // cross-document chunk dupes actually exist
+    val p1 = "standard boilerplate disclaimer repeated across many documents verbatim"
+    val docs = graft.sources.Tables(spark, dir, "documents")
+      .select(col("doc_id"), concat(
+        when(col("doc_id") % 3 === 0, lit(p1 + " ")).otherwise(lit("")),
+        col("text")).as("text"))
+    val expected = graft.operators.Dedup.chunkDedup(docs, "doc_id", "text", 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.getString(3)))).toMap
+    val mid = docs.select(percentile_approx(col("doc_id"), lit(0.5), lit(100000)))
+      .head.get(0).toString.toDouble
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_chunk").toFile
+    val landDir = new java.io.File(tmp, "in"); landDir.mkdirs()
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = new java.io.File(tmp, s"stage_$name")
+      df.coalesce(1).write.parquet(stage.toString)
+      val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(landDir, s"$name.parquet").toPath)
+    }
+    try {
+      land(docs.filter(col("doc_id") <= mid), "a")
+      val stream = spark.readStream.schema(docs.schema).parquet(landDir.toString)
+      val q = StreamingDedup.maintainChunkDedup(stream, s"$tmp/state",
+        "doc_id", "text", 8, s"$tmp/ckpt")
+      try {
+        q.processAllAvailable()
+        land(docs.filter(col("doc_id") > mid), "b")
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = StreamingDedup.currentChunkDeduped(spark, s"$tmp/state")
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), Option(r.getString(3)))).toMap
+      assert(got.size === expected.size)
+      assert(got === expected)
+      // the dedup actually bit: some doc lost its boilerplate chunk
+      assert(expected.values.exists { case (n, k, _) => k < n })
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(tmp)
+    }
+  }
+
   test("streaming PSI drift equals the batch operator across micro-batches") {
     import graft.streaming.StreamingDrift
     val ev = graft.sources.Tables(spark, dir, "events")
