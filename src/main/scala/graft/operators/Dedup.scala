@@ -847,10 +847,14 @@ object Dedup {
   def chunkDedup(docs: DataFrame, idCol: String, textCol: String,
       chunkWords: Int): DataFrame = {
     require(chunkWords > 0, "chunkWords must be positive")
+    // the chunk frame feeds the keeper agg AND the rebuild join —
+    // persist so the corpus-wide explode happens once (staged-frame
+    // pattern of the MinHash/DSIR operators)
     val chunks = TextAnalysis
       .chunkTokens(docs, idCol, textCol, chunkWords, 0)
       .select(col(idCol).as("id"), col("chunk_idx"), col("chunk_text"),
         md5(col("chunk_text")).as("__h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keeper = chunks
       .groupBy(col("__h"))
       .agg(min(struct(col("id"), col("chunk_idx"))).as("__keep"))
@@ -891,6 +895,9 @@ object Dedup {
       .select(col("g"), explode(shingles(col("__toks"))).as("sh"))
       .select(col("g"), xxhash64(col("sh")).as("h"))
       .distinct()
+      // feeds the size agg AND the source-set agg: persist so the
+      // shingle explode + distinct shuffle run once
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = e.groupBy(col("g")).agg(count(lit(1)).as("n"))
     val pairs = e.groupBy(col("h"))
       .agg(array_sort(collect_set(col("g"))).as("gs"))

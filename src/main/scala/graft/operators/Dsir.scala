@@ -34,9 +34,13 @@ object Dsir {
       textCol: String, alpha: Double = 0.5,
       hashBuckets: Option[Int] = None): DataFrame = {
     require(alpha > 0, "need alpha > 0 (smoothing keeps probabilities finite)")
+    // exact mode ALSO keys on xxhash64: count tables and the scoring
+    // join then shuffle fixed-width longs instead of bigram strings
+    // (the hashed-shingle posture of the jaccard dedups — per-gram
+    // counts are hash-invariant absent 64-bit collisions)
     def bucketed(c: Column): Column = hashBuckets match {
       case Some(b) => pmod(xxhash64(c), lit(b.toLong))
-      case None => c
+      case None => xxhash64(c)
     }
     // the doc-gram frame feeds BOTH the raw count table and the scoring
     // join; persisting it avoids re-exploding the corpus (the staged-

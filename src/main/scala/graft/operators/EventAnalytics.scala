@@ -120,6 +120,26 @@ object EventAnalytics {
       .withColumn("rolling_n", count(lit(1)).over(w))
   }
 
+  /** Per-series linear trend: OLS slope, intercept and R² of value
+    * over time for each key — the "is this metric drifting" primitive
+    * (the regression counterpart of [[graft.operators.Drift]]'s
+    * distribution tests). regr_* aggregates are algebraic co-moment
+    * sums: ONE map-side-combined hash agg, no window, no sort. Time
+    * enters in `tUnitNs` units so slopes are human-readable
+    * (per-hour/per-day), not per-nanosecond. */
+  def trend(events: DataFrame, keyCols: Seq[String], tsNsCol: String,
+      valueCol: String, tUnitNs: Long = 3600L * 1000000000L): DataFrame = {
+    require(tUnitNs > 0, "tUnitNs must be positive")
+    val t = col(tsNsCol).cast("double") / lit(tUnitNs.toDouble)
+    events
+      .select(keyCols.map(col) :+ t.as("__t") :+ col(valueCol).as("__v"): _*)
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        expr("regr_slope(__v, __t)").as("slope"),
+        expr("regr_intercept(__v, __t)").as("intercept"),
+        expr("regr_r2(__v, __t)").as("r2"))
+  }
+
   /** Top-k common event paths: the `steps`-long ordered journeys users
     * actually take ("view > click > purchase"), ranked by frequency —
     * the sequence-mining sibling of [[transitionMatrix]] (which only

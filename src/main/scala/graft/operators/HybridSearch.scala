@@ -39,4 +39,27 @@ object HybridSearch {
         (coalesce(col("p_vec"), lit(0.0)) * alpha +
          coalesce(col("p_text"), lit(0.0)) * (1 - alpha)).as("hybrid_score"))
   }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) — the score-free
+    * fusion that needs no calibration between heterogeneous scorers:
+    * each (id, score) set truncates to its top `n` (TakeOrdered — from
+    * there everything is result-set sized), ranks within the
+    * truncation, and rrf(id) = Σ_sets 1/(k + rank). Ties break by id,
+    * so ranks are deterministic. The rank window runs over an n-row
+    * frame — a bounded artifact, not a corpus sort. Returns
+    * (id, n_lists, rrf_score). */
+  def rrf(sets: Seq[DataFrame], n: Int = 100, k: Int = 60): DataFrame = {
+    require(sets.nonEmpty, "need at least one result set")
+    require(n >= 1 && k >= 0, "bad truncation/constant")
+    import org.apache.spark.sql.expressions.Window
+    val ranked = sets.map { s =>
+      s.orderBy(col("score").desc, col("id")).limit(n)
+        .withColumn("__rk", row_number().over(
+          Window.orderBy(col("score").desc, col("id"))))
+        .select(col("id"), (lit(1.0) / (lit(k) + col("__rk"))).as("__r"))
+    }
+    ranked.reduce(_.unionByName(_))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_lists"), sum(col("__r")).as("rrf_score"))
+  }
 }

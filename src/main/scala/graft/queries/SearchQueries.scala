@@ -37,6 +37,52 @@ object SearchQueries extends QueryModule {
       },
       Some(Bm25.oracleSql(terms, roundTo = 6, k = 20))),
 
+    // ---- reciprocal-rank fusion: the calibration-free hybrid (RRF,
+    // Cormack et al. 2009) — rank-only fusion of the same two scorers
+    "q_hybrid_rrf" -> Q(
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+        val vecScores = e.crossJoin(broadcast(qv))
+          .select(col("vec_id").as("id"),
+            gf.cosine_similarity(col("embedding"), col("qv")).as("score"))
+        val textScores = Bm25.scoreWithIndex(IndexStore.bm25(s, dir), terms)
+          .select(col("doc_id").as("id"), col("score"))
+        HybridSearch.rrf(Seq(vecScores, textScores), n = 100, k = 60)
+          .select(col("id"), col("n_lists"),
+            round(col("rrf_score"), 6).as("rrf_score"))
+          .orderBy(col("rrf_score").desc, col("id"))
+          .limit(20)
+      },
+      Some {
+        val bm25Post =
+          """post AS (
+            |  SELECT doc_id, len(string_split(text,' ')) AS dl, t.term, count(*) AS tf
+            |  FROM documents, unnest(string_split(text,' ')) AS t(term)
+            |  GROUP BY doc_id, dl, t.term),
+            |stats AS (SELECT count(DISTINCT doc_id) AS n_docs,
+            |          (SELECT avg(dl) FROM (SELECT DISTINCT doc_id, dl FROM post)) AS avgdl FROM post),
+            |tdf AS (SELECT term, count(DISTINCT doc_id) AS df FROM post GROUP BY term),
+            |ts AS (SELECT doc_id AS id, sum(
+            |  ln(1.0 + (n_docs - df + 0.5)/(df + 0.5)) * (tf * 2.2) /
+            |  (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))) AS score
+            |  FROM post JOIN tdf USING(term) CROSS JOIN stats
+            |  WHERE term IN ('spark','join','fast') GROUP BY doc_id)""".stripMargin
+        s"""WITH vs AS (SELECT e.vec_id AS id,
+           |  list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS score
+           |  FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q),
+           |$bm25Post,
+           |vr AS (SELECT id, row_number() OVER (ORDER BY score DESC, id) AS rk
+           |       FROM vs ORDER BY score DESC, id LIMIT 100),
+           |tr AS (SELECT id, row_number() OVER (ORDER BY score DESC, id) AS rk
+           |       FROM ts ORDER BY score DESC, id LIMIT 100),
+           |u AS (SELECT id, rk FROM vr UNION ALL SELECT id, rk FROM tr)
+           |SELECT id, count(*) AS n_lists, round(sum(1.0/(60 + rk)), 6) AS rrf_score
+           |FROM u GROUP BY id
+           |ORDER BY rrf_score DESC, id LIMIT 20""".stripMargin.replace('\n', ' ')
+      },
+      doc = "reciprocal-rank fusion of cosine + BM25 top-100 lists (k = 60)"),
+
     // ---- hybrid search: cosine + BM25, softmax-fused 0.5/0.5
     "q_hybrid_search" -> Q(
       (s, dir) => {

@@ -325,6 +325,23 @@ object SequenceQueries extends QueryModule {
              |ORDER BY event_id""".stripMargin.replace('\n', ' ')),
       doc = "per-user trailing-24h rolling sum/count (RANGE window frame)"),
 
+    // ---- per-type linear trend: algebraic regr_* aggregates, one
+    // map-side-combined hash agg (the "is this metric drifting" check)
+    "q_events_trend" -> Q(
+      (s, dir) => graft.operators.EventAnalytics.trend(
+          table(s, dir, "events"), Seq("event_type"), "ts_ns", "value")
+        .select(col("event_type"), col("n"),
+          round(col("slope"), 6).as("slope"),
+          round(col("intercept"), 4).as("intercept"),
+          round(col("r2"), 6).as("r2"))
+        .orderBy(col("event_type")),
+      Some("""SELECT event_type, count(*) AS n,
+             |round(regr_slope(value, epoch_ns(ts) / 3600000000000.0), 6) AS slope,
+             |round(regr_intercept(value, epoch_ns(ts) / 3600000000000.0), 4) AS intercept,
+             |round(regr_r2(value, epoch_ns(ts) / 3600000000000.0), 6) AS r2
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin.replace('\n', ' ')),
+      doc = "per-type OLS trend: slope/intercept/R^2 of value over time (per-hour units)"),
+
     // ---- top event paths: the 3-step journeys users actually take,
     // by frequency (sequence mining; transitions only see pairs)
     "q_event_paths" -> Q(
