@@ -47,4 +47,24 @@ object Pii {
       ((length(redacted) - length(replace(redacted, lit(r), lit("")))) /
         r.length).cast("int")
     }.reduce(_ + _)
+
+  /** k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala
+    * et al. 2007 — the release-gate check for quasi-identifier
+    * combinations): one row per equivalence class over `quasiCols`
+    * with its size and the count of distinct `sensitiveCol` values;
+    * a class re-identifies (k-violation) when fewer than k rows share
+    * the quasi tuple, and leaks (l-violation) when the class carries
+    * fewer than l distinct sensitive values. ONE hash aggregate over
+    * the quasi tuple — map-side combined, output bounded by the class
+    * count, never a self-join. */
+  def kAnonymity(df: org.apache.spark.sql.DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, k: Int = 5, l: Int = 2): org.apache.spark.sql.DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier")
+    require(k >= 1 && l >= 1, "k and l must be positive")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(col(sensitiveCol)).as("n_sensitive"))
+      .withColumn("k_violation", col("class_size") < k)
+      .withColumn("l_violation", col("n_sensitive") < l)
+  }
 }

@@ -40,6 +40,29 @@ object Robust {
         least(greatest(col(valueCol).cast("double"), col("lo")), col("hi")))
   }
 
+  /** Per-group winsorization: each group clamps to ITS OWN quantile
+    * bounds (per-domain clipping — a global bound would let one
+    * heavy-tailed domain set everyone's limits). ONE grouped
+    * array-percentile aggregate (group-count rows) joins back by
+    * broadcast, the clamp stays map-side; `approxBounds` as in
+    * [[winsorize]]. Adds `lo`, `hi`, `__w`. */
+  def winsorizeByGroup(df: DataFrame, groupCol: String, valueCol: String,
+      loQ: Double = 0.01, hiQ: Double = 0.99,
+      approxBounds: Boolean = false, accuracy: Int = 10000): DataFrame = {
+    require(0 <= loQ && loQ < hiQ && hiQ <= 1, s"bad quantiles [$loQ, $hiQ]")
+    val both =
+      if (approxBounds)
+        expr(s"approx_percentile($valueCol, array($loQ, $hiQ), $accuracy)")
+      else expr(s"percentile($valueCol, array($loQ, $hiQ))")
+    val bounds = df.groupBy(col(groupCol)).agg(both.as("__b"))
+      .select(col(groupCol),
+        element_at(col("__b"), 1).cast("double").as("lo"),
+        element_at(col("__b"), 2).cast("double").as("hi"))
+    df.join(broadcast(bounds), Seq(groupCol))
+      .withColumn("__w",
+        least(greatest(col(valueCol).cast("double"), col("lo")), col("hi")))
+  }
+
   /** Median-absolute-deviation outlier scoring — the robust z-score
     * (0.6745 · (x − median) / MAD) that a single extreme value cannot
     * corrupt the way it corrupts mean/stddev. Two percentile aggregates

@@ -528,6 +528,21 @@ object Relational extends QueryModule {
              |ORDER BY rule""".stripMargin.replace('\n', ' ')),
       doc = "per-rule data-quality violation summary over lineitem"),
 
+    // ---- k-anonymity / l-diversity release gate: equivalence classes
+    // over the quasi-identifier tuple, ONE map-side-combined hash agg
+    "q_k_anonymity" -> Q(
+      (s, dir) => graft.operators.Pii.kAnonymity(
+          table(s, dir, "customer"), Seq("c_nationkey", "c_mktsegment"),
+          "c_acctbal", k = 8, l = 3)
+        .orderBy(col("c_nationkey"), col("c_mktsegment")),
+      Some("""SELECT c_nationkey, c_mktsegment, count(*) AS class_size,
+             |count(DISTINCT c_acctbal) AS n_sensitive,
+             |count(*) < 8 AS k_violation,
+             |count(DISTINCT c_acctbal) < 3 AS l_violation
+             |FROM customer GROUP BY 1, 2
+             |ORDER BY c_nationkey, c_mktsegment""".stripMargin.replace('\n', ' ')),
+      doc = "k-anonymity + l-diversity audit over (nation, segment) quasi-identifiers"),
+
     "q_column_stats" -> Q(
       (s, dir) => {
         table(s, dir, "lineitem")

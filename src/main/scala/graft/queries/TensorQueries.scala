@@ -496,6 +496,35 @@ object TensorQueries extends QueryModule {
              |ORDER BY l_returnflag""".stripMargin.replace('\n', ' ')),
       doc = "percentile-clipped robust statistics (winsorization at [p01, p99])"),
 
+    // ---- per-group winsorization: each return flag clamps to its own
+    // [p01, p99] (ONE grouped array-percentile agg, broadcast join back)
+    "q_winsorize_group" -> Q(
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_extendedprice").cast("double").as("p"))
+        graft.operators.Robust.winsorizeByGroup(li, "l_returnflag", "p")
+          .withColumnRenamed("__w", "w")
+          .groupBy(col("l_returnflag"))
+          .agg(round(min(col("lo")), 4).as("lo"), round(min(col("hi")), 4).as("hi"),
+            round(avg(col("p")), 4).as("avg_raw"),
+            round(avg(col("w")), 4).as("avg_winsorized"),
+            sum((col("p") =!= col("w")).cast("long")).as("n_clipped"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""WITH b AS (SELECT l_returnflag,
+             |  quantile_cont(l_extendedprice::DOUBLE, 0.01) AS lo,
+             |  quantile_cont(l_extendedprice::DOUBLE, 0.99) AS hi
+             |  FROM lineitem GROUP BY 1),
+             |c AS (SELECT l.l_returnflag, l.l_extendedprice::DOUBLE AS p,
+             |  least(greatest(l.l_extendedprice::DOUBLE, lo), hi) AS w, lo, hi
+             |  FROM lineitem l JOIN b USING (l_returnflag))
+             |SELECT l_returnflag, round(min(lo), 4) AS lo, round(min(hi), 4) AS hi,
+             |round(avg(p), 4) AS avg_raw, round(avg(w), 4) AS avg_winsorized,
+             |sum(CAST(p <> w AS BIGINT))::BIGINT AS n_clipped
+             |FROM c GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin.replace('\n', ' ')),
+      doc = "per-group winsorization: group-local [p01, p99] clamping"),
+
     // ---- MAD robust z: the outlier score a single extreme value
     // cannot corrupt (0.6745 (x - med) / MAD, flag at the standard 3.5)
     "q_robust_mad" -> Q(

@@ -276,6 +276,30 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Join"), p)
   }
 
+  test("RRF truncates via TakeOrdered before ranking; never a corpus-wide sort") {
+    val p = planOf("q_hybrid_rrf")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("trend is one map-side-combined hash agg: no window, no join") {
+    val p = planOf("q_events_trend")
+    assert(!p.contains("Window") && !p.contains("Join"), p)
+    assert(p.contains("partial_regr_slope") || p.contains("HashAggregate"), p)
+  }
+
+  test("k-anonymity is one hash agg over the quasi tuple: no join, no window") {
+    val p = planOf("q_k_anonymity")
+    assert(!p.contains("Window") && !p.contains("Join"), p)
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
+  }
+
+  test("grouped winsorize bounds join back by broadcast, never sort-merge") {
+    val p = planOf("q_winsorize_group")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("MAD score: percentile bounds attach as 1-row broadcasts, never a shuffle join") {
     val p = planOf("q_robust_mad")
     // the med/mad frames are single rows: crossJoin(broadcast(...)) is
