@@ -304,6 +304,28 @@ object TextAnalysis {
           s => s.getField("tid")).as("token_ids"))
   }
 
+  /** Model-input materialization — the last hop before tensors:
+    * fixed-length (input_ids, attention_mask) from the variable-length
+    * id sequences of [[encodeWithVocab]]. Truncates to `maxLen`,
+    * right-pads with `padId`; the mask marks real tokens 1, padding 0;
+    * `n_real` is the unpadded length. Map-side array math only — no
+    * shuffle at any corpus size. Compose with [[packSequences]] /
+    * sharded export downstream. The sequence() calls are guarded
+    * (Spark's sequence(1, 0) COUNTS DOWN; it is not empty). */
+  def modelInputs(encoded: org.apache.spark.sql.DataFrame, idsCol: String,
+      maxLen: Int, padId: Int = 0): org.apache.spark.sql.DataFrame = {
+    require(maxLen >= 1, "maxLen must be positive")
+    def rep(v: Int, cnt: Column): Column =
+      when(cnt > 0, transform(sequence(lit(1), cnt), _ => lit(v)))
+        .otherwise(array().cast("array<int>"))
+    val idsT = slice(col(idsCol).cast("array<int>"), 1, maxLen)
+    val n = size(idsT)
+    encoded
+      .withColumn("n_real", n)
+      .withColumn("input_ids", concat(idsT, rep(padId, lit(maxLen) - n)))
+      .withColumn("attention_mask", concat(rep(1, n), rep(0, lit(maxLen) - n)))
+  }
+
   /** Smoothed TF-IDF term weighting (the scikit-learn formula, public:
     * idf = ln((1+N)/(1+df)) + 1), top `perDoc` terms per doc. Plan
     * shape: one (id, term) hash-agg for tf; df derives from tf's

@@ -756,6 +756,36 @@ object DocumentQueries extends QueryModule {
              |array_to_string(list(coalesce(tok_id, -1) ORDER BY pos), ' ') AS token_ids
              |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace('\n', ' '))),
 
+    // ---- model-input materialization: truncate/pad the encoded id
+    // sequences to fixed length with an attention mask (map-side only)
+    "q_model_inputs" -> Q(
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+        val enc = TA.encodeWithVocab(d, d.filter(col("doc_id") < 60),
+          "doc_id", "text", vocabSize = 64)
+        TA.modelInputs(enc, "token_ids", maxLen = 48, padId = 0)
+          .withColumnRenamed("id", "doc_id")
+          .select(col("doc_id"), col("n_real"),
+            concat_ws(" ", col("input_ids")).as("input_ids"),
+            concat_ws(" ", col("attention_mask")).as("attention_mask"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tok AS (SELECT unnest(string_split(text,' ')) AS token FROM documents),
+             |v AS (SELECT token, count(*) AS n FROM tok GROUP BY token
+             |      ORDER BY n DESC, token LIMIT 64),
+             |vid AS (SELECT token, (row_number() OVER (ORDER BY n DESC, token) - 1)::INT AS tok_id FROM v),
+             |t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents WHERE doc_id < 60),
+             |p AS (SELECT doc_id, i AS pos, w[i] AS token FROM t, unnest(range(1, len(w)+1)) AS r(i)),
+             |j AS (SELECT doc_id, pos, tok_id FROM p LEFT JOIN vid USING (token)),
+             |d AS (SELECT doc_id, list(coalesce(tok_id, -1) ORDER BY pos) AS ids FROM j GROUP BY doc_id),
+             |m AS (SELECT doc_id, ids[1:48] AS tr, least(len(ids), 48)::INT AS n_real FROM d)
+             |SELECT doc_id, n_real,
+             |array_to_string(list_concat(tr, list_transform(range(1, 48 - n_real + 1), x -> 0)), ' ') AS input_ids,
+             |array_to_string(list_concat(list_transform(range(1, n_real + 1), x -> 1),
+             |  list_transform(range(1, 48 - n_real + 1), x -> 0)), ' ') AS attention_mask
+             |FROM m ORDER BY doc_id""".stripMargin.replace('\n', ' ')),
+      doc = "fixed-length model inputs: truncate/pad token ids + attention mask"),
+
     // ---- smoothed TF-IDF (sklearn formula), top-3 terms per doc:
     // corpus shuffles once into the (id, term) tf agg; df + doc count
     // ride as broadcasts; the rank window covers one doc's terms only.
