@@ -120,6 +120,24 @@ object EventAnalytics {
       .withColumn("rolling_n", count(lit(1)).over(w))
   }
 
+  /** Daily active / new / returning users — the product headline
+    * metrics. Two hash shuffles: the (user, day) distinct, then the
+    * per-user first-seen agg; the classification join is user-keyed
+    * and AQE co-locates it with the distinct's partitioning. Never a
+    * window, never a calendar cross join. */
+  def activeUsers(events: DataFrame, userCol: String,
+      tsCol: String): DataFrame = {
+    val byDay = events
+      .select(col(userCol).as("__u"), to_date(col(tsCol)).as("day"))
+      .distinct()
+    val firstSeen = byDay.groupBy(col("__u")).agg(min(col("day")).as("__first"))
+    byDay.join(firstSeen, "__u")
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("dau"),
+        sum(when(col("__first") === col("day"), 1L).otherwise(0L)).as("new_users"))
+      .withColumn("returning_users", col("dau") - col("new_users"))
+  }
+
   /** Per-series linear trend: OLS slope, intercept and R² of value
     * over time for each key — the "is this metric drifting" primitive
     * (the regression counterpart of [[graft.operators.Drift]]'s

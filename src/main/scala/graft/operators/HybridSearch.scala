@@ -62,4 +62,46 @@ object HybridSearch {
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_lists"), sum(col("__r")).as("rrf_score"))
   }
+
+  /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein
+    * 1998): greedily pick argmax λ·rel − (1−λ)·max-sim-to-selected —
+    * the diversification pass run AFTER retrieval. Greedy selection is
+    * inherently sequential, so it runs on the driver over the COLLECTED
+    * candidate list — a bounded n-row artifact (the retrieval top-n,
+    * same discipline as ANN centroids), never the corpus. Ties break by
+    * id; returns (id, mmr_rank, mmr_score) for the k selected.
+    * `candidates`: (id, score, vec) with unit-normalized vectors
+    * (cosine == dot). */
+  def mmr(candidates: DataFrame, k: Int, lambda: Double = 0.7,
+      maxCandidates: Int = 1000): DataFrame = {
+    require(k >= 1, "k must be positive")
+    require(0 <= lambda && lambda <= 1, "lambda in [0, 1]")
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val rows = candidates
+      .select(col("id").cast("long"), col("score").cast("double"),
+        col("vec").cast("array<double>"))
+      .orderBy(col("score").desc, col("id")).limit(maxCandidates)
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1),
+        r.getSeq[Double](2).toArray))
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Double)]
+    val chosen = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    val remaining = scala.collection.mutable.ArrayBuffer(rows: _*)
+    while (selected.length < k && remaining.nonEmpty) {
+      val scored = remaining.map { case (id, rel, v) =>
+        val maxSim = if (chosen.isEmpty) 0.0 else chosen.map(dot(_, v)).max
+        (id, lambda * rel - (1 - lambda) * maxSim, v)
+      }
+      val best = scored.minBy { case (id, s, _) => (-s, id) }
+      selected += ((best._1, selected.length + 1, best._2))
+      chosen += best._3
+      remaining.remove(remaining.indexWhere(_._1 == best._1))
+    }
+    selected.toSeq.toDF("id", "mmr_rank", "mmr_score")
+  }
 }

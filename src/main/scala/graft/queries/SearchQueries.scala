@@ -83,6 +83,27 @@ object SearchQueries extends QueryModule {
       },
       doc = "reciprocal-rank fusion of cosine + BM25 top-100 lists (k = 60)"),
 
+    // ---- MMR diversification: greedy λ·rel − (1−λ)·max-sim re-rank
+    // over the retrieval top-100 (bounded driver artifact; greedy is
+    // inherently sequential). Deterministic — spec-gated laws.
+    "q_search_mmr" -> Q(
+      (s, dir) => {
+        val norm = graft.operators.EmbeddingOps.matryoshka(
+          table(s, dir, "embeddings"), "embedding", 4096, outCol = "nv")
+        val qv = norm.filter(col("vec_id") === 0).select(col("nv").as("qv"))
+        val cands = norm.filter(col("vec_id") =!= 0).crossJoin(broadcast(qv))
+          .select(col("vec_id").as("id"),
+            aggregate(zip_with(col("nv"), col("qv"), (a, b) => a * b),
+              lit(0.0), (acc, x) => acc + x).as("score"),
+            col("nv").as("vec"))
+        HybridSearch.mmr(cands, k = 10, lambda = 0.7, maxCandidates = 100)
+          .select(col("id"), col("mmr_rank"),
+            round(col("mmr_score"), 6).as("mmr_score"))
+          .orderBy(col("mmr_rank"))
+      },
+      None,
+      doc = "MMR-diversified top-10 over the cosine top-100 (lambda = 0.7)"),
+
     // ---- hybrid search: cosine + BM25, softmax-fused 0.5/0.5
     "q_hybrid_search" -> Q(
       (s, dir) => {

@@ -325,6 +325,23 @@ object SequenceQueries extends QueryModule {
              |ORDER BY event_id""".stripMargin.replace('\n', ' ')),
       doc = "per-user trailing-24h rolling sum/count (RANGE window frame)"),
 
+    // ---- daily active/new/returning users: (user, day) distinct +
+    // first-seen agg, user-keyed join — never a window or calendar join
+    "q_events_dau" -> Q(
+      (s, dir) => graft.operators.EventAnalytics.activeUsers(
+          table(s, dir, "events"), "user_id", "ts")
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("dau"), col("new_users"), col("returning_users"))
+        .orderBy(col("day")),
+      Some("""WITH bd AS (SELECT DISTINCT user_id AS u, ts::DATE AS day FROM events),
+             |fs AS (SELECT u, min(day) AS first_day FROM bd GROUP BY u)
+             |SELECT strftime(day, '%Y-%m-%d') AS day, count(*) AS dau,
+             |sum(CASE WHEN first_day = day THEN 1 ELSE 0 END)::BIGINT AS new_users,
+             |(count(*) - sum(CASE WHEN first_day = day THEN 1 ELSE 0 END))::BIGINT AS returning_users
+             |FROM bd JOIN fs USING (u) GROUP BY day
+             |ORDER BY day""".stripMargin.replace('\n', ' ')),
+      doc = "daily active / new / returning users (first-seen classification)"),
+
     // ---- per-type linear trend: algebraic regr_* aggregates, one
     // map-side-combined hash agg (the "is this metric drifting" check)
     "q_events_trend" -> Q(

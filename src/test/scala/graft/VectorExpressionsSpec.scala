@@ -112,6 +112,28 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(empty.select(gf.tavg(col("a"))).head().isNullAt(0))
   }
 
+  test("MMR: diversity defers redundant results; lambda=1 is pure relevance; deterministic") {
+    import spark.implicits._
+    import graft.operators.HybridSearch
+    // B duplicates A's vector; C is orthogonal but less relevant
+    val cands = Seq(
+      (1L, 1.00, Array(1.0, 0.0)),
+      (2L, 0.95, Array(1.0, 0.0)),
+      (3L, 0.50, Array(0.0, 1.0))
+    ).toDF("id", "score", "vec")
+    def order(lambda: Double): Seq[Long] =
+      HybridSearch.mmr(cands, k = 3, lambda = lambda)
+        .orderBy(col("mmr_rank")).collect().map(_.getLong(0)).toSeq
+    // diversity-weighted: the orthogonal C overtakes the duplicate B
+    assert(order(0.5) === Seq(1L, 3L, 2L))
+    // pure relevance: plain score order
+    assert(order(1.0) === Seq(1L, 2L, 3L))
+    // deterministic across runs
+    assert(order(0.5) === order(0.5))
+    // k caps the output
+    assert(HybridSearch.mmr(cands, k = 2).count() === 2L)
+  }
+
   test("matryoshka: unit norm, full-dims identity ranking, zero prefix -> NULL") {
     import spark.implicits._
     import graft.operators.EmbeddingOps
