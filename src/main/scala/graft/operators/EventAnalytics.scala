@@ -268,6 +268,92 @@ object EventAnalytics {
         sum(col("n")).over(totals), 6))
   }
 
+  /** Entity-aware temporal train/test split with an embargo gap
+    * (purged time split — the leakage-safe protocol for sequential
+    * data, cf. combinatorial purged CV): entities are assigned
+    * train/test by a deterministic hash (held-out users), train keeps
+    * only train-entity events BEFORE `cutoff`, test keeps only
+    * test-entity events AT/AFTER `cutoff + embargo`, and everything
+    * else is excluded — so no entity spans both splits AND no train
+    * event lies within `embargo` of any test event (double leakage
+    * guard: entity overlap and temporal adjacency). Pure map-side
+    * classification — zero shuffles; the md5 assignment makes the
+    * split reproducible across engines and appends. Returns the
+    * tagged rows with a `split` column. */
+  def entityTemporalSplit(events: DataFrame, entityCol: String,
+      tsCol: String, cutoff: String, embargoDays: Int,
+      trainPct: Int = 80, salt: String = "split"): DataFrame = {
+    require(embargoDays >= 0, "embargo must be non-negative")
+    require(trainPct > 0 && trainPct < 100, "trainPct in (0,100)")
+    val cut = to_timestamp(lit(cutoff))
+    val embargoEnd = to_timestamp(lit(cutoff)) +
+      expr(s"INTERVAL $embargoDays DAYS")
+    val bucket = conv(substring(
+      md5(concat(col(entityCol).cast("string"), lit("|" + salt))), 1, 8),
+      16, 10).cast("long") % 100
+    val isTrainEntity = bucket < trainPct
+    events.withColumn("split",
+      when(isTrainEntity && col(tsCol) < cut, lit("train"))
+        .when(!isTrainEntity && col(tsCol) >= embargoEnd, lit("test"))
+        .otherwise(lit("excluded")))
+  }
+
+  /** Last-touch attribution: each conversion event is credited to the
+    * most recent NON-conversion event of the same user within
+    * `lookbackNs`, or 'unattributed' when none qualifies — the
+    * marketing-analytics sibling of the as-of join, expressed as ONE
+    * window over the user key (running last-ignoring-nulls touch type
+    * and time), never a per-conversion self-join. Ties at equal
+    * timestamps break on `idCol` so the credited touch is
+    * deterministic. Returns `(touch, n, share)`. */
+  def attributionLastTouch(events: DataFrame, userCol: String,
+      tsNsCol: String, typeCol: String, idCol: String,
+      conversionType: String, lookbackNs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsNsCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val isTouch = col(typeCol) =!= conversionType
+    val conv = events
+      .withColumn("__touch_type",
+        last(when(isTouch, col(typeCol)), ignoreNulls = true).over(w))
+      .withColumn("__touch_t",
+        last(when(isTouch, col(tsNsCol)), ignoreNulls = true).over(w))
+      .filter(col(typeCol) === conversionType)
+      .withColumn("touch",
+        when(col("__touch_t").isNotNull &&
+          col(tsNsCol) - col("__touch_t") <= lookbackNs, col("__touch_type"))
+          .otherwise(lit("unattributed")))
+    val counts = conv.groupBy(col("touch")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("__t"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("share", round(col("n") / col("__t"), 6))
+      .drop("__t")
+  }
+
+  /** Inter-arrival profile: per event type, the count and p50/p90 of
+    * the gap (seconds) between consecutive events of the same
+    * (user, type) series — the arrival-rate fingerprint feeding
+    * debounce thresholds and anomaly baselines. One lag window on the
+    * (user, type) key, then one hash agg with a single array-quantile
+    * buffer per group. */
+  def interArrival(events: DataFrame, userCol: String, tsNsCol: String,
+      typeCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol), col(typeCol))
+      .orderBy(col(tsNsCol))
+    events
+      .withColumn("__gap",
+        (col(tsNsCol) - lag(col(tsNsCol), 1).over(w)) / 1e9)
+      .filter(col("__gap").isNotNull)
+      .groupBy(col(typeCol))
+      .agg(count(lit(1)).as("n_gaps"),
+        expr("percentile(__gap, array(0.5, 0.9))").as("__q"))
+      .select(col(typeCol), col("n_gaps"),
+        round(element_at(col("__q"), 1), 4).as("p50_gap_s"),
+        round(element_at(col("__q"), 2), 4).as("p90_gap_s"))
+  }
+
   /** Lag-debounce: suppress events closer than `gapNs` nanoseconds to
     * the PREVIOUS event of the same (user, type) — telemetry
     * double-fire cleaning. Predecessor-distance semantics (each event

@@ -67,4 +67,26 @@ object Pii {
       .withColumn("k_violation", col("class_size") < k)
       .withColumn("l_violation", col("n_sensitive") < l)
   }
+
+  /** Differentially-private count release (Dwork et al. 2006): per-key
+    * counts with Laplace(Δf/ε) noise, Δf = 1 for a counting query.
+    * The noise is DERIVED from the key via md5 (inverse-CDF transform
+    * of a hash-uniform), so the release is deterministic and
+    * reproducible across engines — the property a data-card pipeline
+    * needs for its published aggregates to be re-verifiable. One hash
+    * aggregate; the noise is a map-side expression on the (bounded)
+    * key frame. Returns `(key, n, n_dp)`. */
+  def dpNoisedCounts(df: org.apache.spark.sql.DataFrame, keyCol: String,
+      epsilon: Double = 0.5, seed: Int = 42): org.apache.spark.sql.DataFrame = {
+    require(epsilon > 0, "epsilon must be positive")
+    val b = 1.0 / epsilon
+    // hash-uniform in [0,1): first 8 md5 hex chars / 2^32
+    val u = (conv(substring(md5(concat(col(keyCol), lit("|" + seed))), 1, 8),
+      16, 10).cast("double") / 4294967296.0) - 0.5
+    val noise = -lit(b) * signum(u) *
+      log(greatest(lit(1e-12), lit(1.0) - lit(2.0) * abs(u)))
+    df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_dp", round(col("n") + noise, 4))
+  }
 }

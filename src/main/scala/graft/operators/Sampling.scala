@@ -258,4 +258,39 @@ object Sampling {
       .drop("__h")
       .withColumnRenamed("__dom", "domain")
   }
+
+  /** Token-budget mixture plan: given per-domain TARGET WEIGHTS and a
+    * total token budget, compute each domain's available tokens,
+    * budgeted target, sampling rate (capped at 1 without replacement)
+    * and epoch factor (>1 ⇒ the domain must repeat to meet its
+    * target — the "how many epochs of code vs web" planning table
+    * every LLM data mix starts from). ONE data-sized hash agg on the
+    * domain; all mixture math runs on the #domains frame with the
+    * weights broadcast. Domains absent from `weights` get weight 0
+    * (available but unbudgeted). */
+  def tokenBudget(df: DataFrame, domainCol: String, tokensCol: String,
+      weights: Map[String, Double], budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(weights.values.forall(_ >= 0), "weights must be non-negative")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wdf = weights.toSeq.toDF("__dom", "__w")
+    val avail = df.groupBy(col(domainCol))
+      .agg(sum(col(tokensCol)).cast("long").as("available_tokens"))
+    val joined = avail
+      .join(broadcast(wdf), col(domainCol) === col("__dom"), "left")
+      .withColumn("__w", coalesce(col("__w"), lit(0.0)))
+      .drop("__dom")
+    val totalW = joined.agg(sum(col("__w")).as("__sw"))
+    joined.crossJoin(broadcast(totalW))
+      .withColumn("target_tokens",
+        floor(lit(budget.toDouble) * col("__w") / col("__sw")).cast("long"))
+      .withColumn("rate", round(least(lit(1.0),
+        col("target_tokens") / col("available_tokens")), 6))
+      .withColumn("epochs", round(
+        col("target_tokens") / col("available_tokens"), 4))
+      .withColumn("sampled_tokens",
+        least(col("target_tokens"), col("available_tokens")))
+      .drop("__w", "__sw")
+  }
 }

@@ -1146,6 +1146,86 @@ object DocumentQueries extends QueryModule {
       Some("""SELECT lang, count(*) AS n FROM documents
              |WHERE list_contains(string_split(text,' '), 'spark')
              |AND list_contains(string_split(text,' '), 'join')
-             |GROUP BY lang ORDER BY lang""".stripMargin.replace('\n', ' ')))
+             |GROUP BY lang ORDER BY lang""".stripMargin.replace('\n', ' '))),
+
+    // ---- mutual information between categorical columns: the
+    // feature-redundancy audit before training a filter model. One
+    // data-sized hash agg on the pair; all entropy math on the
+    // |X|·|Y| category frame with broadcast marginals
+    "q_feature_mi" -> Q(
+      (s, dir) => graft.operators.InfoTheory.categoricalMi(
+        table(s, dir, "documents"), "lang", "source"),
+      Some("""WITH j AS (SELECT coalesce(lang, ' null') AS x,
+             |  coalesce(source, ' null') AS y, count(*)::DOUBLE AS nxy
+             |  FROM documents GROUP BY 1, 2),
+             |t AS (SELECT sum(nxy) AS n FROM j),
+             |mx AS (SELECT x, sum(nxy) AS nx FROM j GROUP BY x),
+             |my AS (SELECT y, sum(nxy) AS ny FROM j GROUP BY y)
+             |SELECT
+             |(SELECT round(sum(j.nxy/t.n * log2(j.nxy*t.n/(mx.nx*my.ny))), 6)
+             |  FROM j, t, mx, my WHERE j.x = mx.x AND j.y = my.y) AS mi_bits,
+             |(SELECT round(-sum(nx/n * log2(nx/n)), 6) FROM mx, t) AS h_x,
+             |(SELECT round(-sum(ny/n * log2(ny/n)), 6) FROM my, t) AS h_y,
+             |(SELECT round((SELECT -sum(nxy/n * log2(nxy/n)) FROM j, t)
+             |  - (SELECT -sum(nx/n * log2(nx/n)) FROM mx, t), 6)) AS h_y_given_x
+             |""".stripMargin.replace('\n', ' ')),
+      doc = "mutual information + entropies between lang and source"),
+
+    // ---- Zipf slope of the token-frequency distribution: OLS fit of
+    // log10(freq) ~ log10(rank) over the top-1000 vocabulary — the
+    // "does this corpus look like natural language" fingerprint
+    "q_zipf_slope" -> Q(
+      (s, dir) => graft.operators.InfoTheory.zipfSlope(
+        table(s, dir, "documents"), "text", topK = 1000),
+      Some("""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
+             |  FROM documents),
+             |cnt AS (SELECT token, count(*) AS n FROM tok GROUP BY token
+             |  ORDER BY n DESC, token LIMIT 1000),
+             |rk AS (SELECT n, row_number() OVER (ORDER BY n DESC, token) AS r
+             |  FROM cnt)
+             |SELECT count(*) AS n_tokens,
+             |round(regr_slope(log10(n::DOUBLE), log10(r::DOUBLE)), 6) AS slope,
+             |round(regr_r2(log10(n::DOUBLE), log10(r::DOUBLE)), 6) AS r2
+             |FROM rk""".stripMargin.replace('\n', ' ')),
+      doc = "Zipf-law OLS fit over the top-1000 token frequencies"),
+
+    // ---- differentially-private count release: Laplace(1/eps) noise
+    // derived deterministically from md5(key) so the release is
+    // re-verifiable; pairs with q_k_anonymity as the privacy gate
+    "q_dp_release" -> Q(
+      (s, dir) => graft.operators.Pii.dpNoisedCounts(
+          table(s, dir, "documents"), "source", epsilon = 0.5, seed = 42)
+        .orderBy(col("source")),
+      Some("""WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+             |u AS (SELECT source, n,
+             |  (('0x' || substr(md5(source || '|42'), 1, 8))::BIGINT
+             |    / 4294967296.0) - 0.5 AS c
+             |  FROM c)
+             |SELECT source, n,
+             |round(n - 2.0 * sign(c) * ln(greatest(1e-12, 1 - 2*abs(c))), 4) AS n_dp
+             |FROM u ORDER BY source""".stripMargin.replace('\n', ' ')),
+      doc = "deterministic DP Laplace count release per source (eps=0.5)"),
+
+    // ---- token-budget mixture plan: the "how many epochs of each
+    // domain" table a data mix starts from. One domain agg; mixture
+    // math on the #domains frame with broadcast weights
+    "q_token_budget" -> Q(
+      (s, dir) => graft.operators.Sampling.tokenBudget(
+          table(s, dir, "documents")
+            .withColumn("n_tokens", size(split(col("text"), " "))),
+          "source", "n_tokens",
+          weights = (0 to 19).map(i => s"src$i" -> 1.0).toMap,
+          budget = 20000L)
+        .orderBy(col("source")),
+      Some("""WITH a AS (SELECT source,
+             |  sum(len(string_split(text, ' ')))::BIGINT AS available_tokens
+             |  FROM documents GROUP BY source)
+             |SELECT source, available_tokens,
+             |floor(20000.0 * 1.0 / 20.0)::BIGINT AS target_tokens,
+             |round(least(1.0, floor(20000.0 / 20.0) / available_tokens), 6) AS rate,
+             |round(floor(20000.0 / 20.0) / available_tokens, 4) AS epochs,
+             |least(floor(20000.0 / 20.0)::BIGINT, available_tokens) AS sampled_tokens
+             |FROM a ORDER BY source""".stripMargin.replace('\n', ' ')),
+      doc = "per-domain token budget: targets, rates, epoch factors under uniform weights")
   )
 }

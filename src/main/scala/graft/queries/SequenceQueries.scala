@@ -569,6 +569,77 @@ object SequenceQueries extends QueryModule {
           .orderBy(col("l_returnflag"))
       },
       None,
-      doc = "R-flag rows weighted 10x; sampled composition skews accordingly")
+      doc = "R-flag rows weighted 10x; sampled composition skews accordingly"),
+
+    // ---- entity-aware temporal split with embargo (purged time
+    // split): users held out by deterministic md5 hash, a 2-day
+    // embargo gap between the train and test periods, no user spans
+    // both splits. Pure map-side tags — zero shuffles before the
+    // summary agg
+    "q_split_temporal_embargo" -> Q(
+      (s, dir) => graft.operators.EventAnalytics.entityTemporalSplit(
+          table(s, dir, "events"), "user_id", "ts",
+          cutoff = "2024-01-22 00:00:00", embargoDays = 2)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          floor(unix_timestamp(min(col("ts")))).as("first_epoch"),
+          floor(unix_timestamp(max(col("ts")))).as("last_epoch"))
+        .orderBy(col("split")),
+      Some("""WITH s AS (SELECT user_id, ts, CASE
+             |  WHEN ('0x' || substr(md5(user_id::VARCHAR || '|split'), 1, 8))::BIGINT
+             |    % 100 < 80 AND ts < TIMESTAMP '2024-01-22 00:00:00' THEN 'train'
+             |  WHEN ('0x' || substr(md5(user_id::VARCHAR || '|split'), 1, 8))::BIGINT
+             |    % 100 >= 80 AND ts >= TIMESTAMP '2024-01-24 00:00:00' THEN 'test'
+             |  ELSE 'excluded' END AS split FROM events)
+             |SELECT split, count(*) AS n_events,
+             |count(DISTINCT user_id)::BIGINT AS n_users,
+             |floor(epoch(min(ts)))::BIGINT AS first_epoch,
+             |floor(epoch(max(ts)))::BIGINT AS last_epoch
+             |FROM s GROUP BY split ORDER BY split""".stripMargin.replace('\n', ' ')),
+      doc = "purged entity-temporal split: held-out users + embargo gap, map-side tags"),
+
+    // ---- last-touch attribution: conversions credited to the latest
+    // preceding non-conversion touch within 24h — one user-key window,
+    // never a per-conversion self-join
+    "q_attribution" -> Q(
+      (s, dir) => graft.operators.EventAnalytics.attributionLastTouch(
+          table(s, dir, "events"), "user_id", "ts_ns", "event_type",
+          "event_id", conversionType = "purchase",
+          lookbackNs = 86400L * 1000000000L)
+        .orderBy(col("touch")),
+      Some("""WITH t AS (SELECT user_id, epoch_ns(ts) AS tn, event_id, event_type,
+             |  last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+             |    IGNORE NULLS) OVER w AS touch_type,
+             |  last_value(CASE WHEN event_type <> 'purchase' THEN epoch_ns(ts) END
+             |    IGNORE NULLS) OVER w AS touch_t
+             |  FROM events WINDOW w AS (PARTITION BY user_id
+             |    ORDER BY epoch_ns(ts), event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+             |c AS (SELECT CASE WHEN touch_t IS NOT NULL
+             |    AND tn - touch_t <= 86400000000000 THEN touch_type
+             |  ELSE 'unattributed' END AS touch
+             |  FROM t WHERE event_type = 'purchase')
+             |SELECT touch, count(*) AS n,
+             |round(count(*) * 1.0 / (SELECT count(*) FROM c), 6) AS share
+             |FROM c GROUP BY touch ORDER BY touch""".stripMargin.replace('\n', ' ')),
+      doc = "last-touch attribution of purchases within a 24h lookback"),
+
+    // ---- inter-arrival profile: gap quantiles per event type — the
+    // arrival-rate fingerprint feeding debounce/anomaly thresholds
+    "q_event_gaps" -> Q(
+      (s, dir) => graft.operators.EventAnalytics.interArrival(
+          table(s, dir, "events"), "user_id", "ts_ns", "event_type")
+        .orderBy(col("event_type")),
+      Some("""WITH g AS (SELECT event_type,
+             |  (epoch_ns(ts) - lag(epoch_ns(ts), 1) OVER (
+             |    PARTITION BY user_id, event_type ORDER BY epoch_ns(ts))) / 1e9
+             |    AS gap FROM events)
+             |SELECT event_type, count(*) AS n_gaps,
+             |round(quantile_cont(gap, 0.5), 4) AS p50_gap_s,
+             |round(quantile_cont(gap, 0.9), 4) AS p90_gap_s
+             |FROM g WHERE gap IS NOT NULL
+             |GROUP BY event_type ORDER BY event_type""".stripMargin.replace('\n', ' ')),
+      doc = "per-type inter-arrival gap count and p50/p90 seconds")
   )
 }

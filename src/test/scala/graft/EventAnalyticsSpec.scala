@@ -266,4 +266,104 @@ class EventAnalyticsSpec extends AnyFunSuite {
     val (n207, _, z207, f207) = got(207L)
     assert(n207 === 6L && z207.isEmpty && !f207)
   }
+
+  test("entityTemporalSplit: no entity spans splits; embargo gap enforced") {
+    import spark.implicits._
+    // 40 users x 4 events spanning the cutoff and embargo window
+    val ev = (1L to 40L).flatMap { u =>
+      Seq((u, java.sql.Timestamp.valueOf("2024-01-10 00:00:00")),
+        (u, java.sql.Timestamp.valueOf("2024-01-22 12:00:00")),   // in gap
+        (u, java.sql.Timestamp.valueOf("2024-01-23 23:59:59")),   // in gap
+        (u, java.sql.Timestamp.valueOf("2024-01-25 00:00:00")))
+    }.toDF("user_id", "ts")
+    val tagged = EventAnalytics.entityTemporalSplit(
+      ev, "user_id", "ts", "2024-01-22 00:00:00", embargoDays = 2)
+    // law 1: no user appears in both train and test
+    val both = tagged.filter(col("split") =!= "excluded")
+      .groupBy("user_id").agg(countDistinct(col("split")).as("k"))
+      .filter(col("k") > 1).count()
+    assert(both === 0L)
+    // law 2: every train event < cutoff; every test event >= cutoff+2d
+    val badTrain = tagged.filter(col("split") === "train" &&
+      col("ts") >= to_timestamp(lit("2024-01-22 00:00:00"))).count()
+    val badTest = tagged.filter(col("split") === "test" &&
+      col("ts") < to_timestamp(lit("2024-01-24 00:00:00"))).count()
+    assert(badTrain === 0L && badTest === 0L)
+    // law 3: all in-gap events excluded; both splits non-empty at 80/20
+    val splits = tagged.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(splits.getOrElse("train", 0L) > 0 && splits.getOrElse("test", 0L) > 0)
+    assert(splits("excluded") >= 80L) // the 2x40 in-gap events at minimum
+  }
+
+  test("attributionLastTouch: lookback boundary, conversion-only history, ties") {
+    import spark.implicits._
+    val ev = Seq(
+      // u1: click at t=100, purchase at t=100+86400e9 (exactly lookback):
+      // attributed (<= boundary)
+      (1L, 100L, "click", 1L),
+      (1L, 100L + 86400L * 1000000000L, "purchase", 2L),
+      // u2: touch 1ns beyond lookback: unattributed
+      (2L, 100L, "view", 3L),
+      (2L, 101L + 86400L * 1000000000L, "purchase", 4L),
+      // u3: only a previous PURCHASE before this purchase: unattributed
+      (3L, 100L, "purchase", 5L), (3L, 200L, "purchase", 6L),
+      // u4: two touches at the SAME ts: higher event_id wins (last in order)
+      (4L, 100L, "view", 7L), (4L, 100L, "click", 8L),
+      (4L, 200L, "purchase", 9L)
+    ).toDF("user_id", "ts_ns", "event_type", "event_id")
+    val got = EventAnalytics.attributionLastTouch(ev, "user_id", "ts_ns",
+        "event_type", "event_id", "purchase", 86400L * 1000000000L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("click" -> 2L, "unattributed" -> 3L))
+  }
+
+  test("tokenBudget: oversubscribed domain capped at rate 1, epochs > 1") {
+    import spark.implicits._
+    val df = Seq.fill(10)(("big", 100)) ++ Seq.fill(2)(("small", 10)) ++
+      Seq(("unweighted", 50))
+    val out = graft.operators.Sampling.tokenBudget(
+        df.toDF("dom", "toks"), "dom", "toks",
+        weights = Map("big" -> 1.0, "small" -> 1.0), budget = 1000L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).sortBy(_._1).toList
+    // big: 1000 avail, 500 target -> rate 0.5, epochs 0.5
+    // small: 20 avail, 500 target -> rate capped 1.0, epochs 25
+    // unweighted: weight 0 -> target 0
+    assert(out === List(
+      ("big", 1000L, 500L, 0.5, 0.5),
+      ("small", 20L, 500L, 1.0, 25.0),
+      ("unweighted", 50L, 0L, 0.0, 0.0)))
+  }
+
+  test("categoricalMi: independence gives 0 bits; identity gives H(X)") {
+    import spark.implicits._
+    // independent: every (x, y) combination equally likely -> MI = 0
+    val ind = (for { x <- Seq("a", "b"); y <- Seq("p", "q"); _ <- 1 to 5 }
+      yield (x, y)).toDF("x", "y")
+    val r1 = graft.operators.InfoTheory.categoricalMi(ind, "x", "y").head()
+    assert(math.abs(r1.getDouble(0)) < 1e-9)       // mi_bits = 0
+    assert(math.abs(r1.getDouble(1) - 1.0) < 1e-9) // h_x = 1 bit
+    assert(math.abs(r1.getDouble(3) - 1.0) < 1e-9) // h_y_given_x = h_y
+    // deterministic copy: y = f(x) -> MI = H(X), H(Y|X) = 0
+    val cp = Seq(("a", "p"), ("a", "p"), ("b", "q"), ("b", "q"))
+      .toDF("x", "y")
+    val r2 = graft.operators.InfoTheory.categoricalMi(cp, "x", "y").head()
+    assert(math.abs(r2.getDouble(0) - 1.0) < 1e-9)
+    assert(math.abs(r2.getDouble(3)) < 1e-9)
+  }
+
+  test("dpNoisedCounts: noise bounded by b*ln(1/1e-12); deterministic") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => s"k${i % 7}").toDF("k")
+    val eps = 0.5
+    val out = graft.operators.Pii.dpNoisedCounts(df, "k", epsilon = eps)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val bound = (1.0 / eps) * math.log(1e12)
+    out.foreach { case (_, n, ndp) => assert(math.abs(ndp - n) <= bound) }
+    // reproducible: second run returns identical noise
+    val out2 = graft.operators.Pii.dpNoisedCounts(df, "k", epsilon = eps)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.sortBy(_._1).toSeq === out2.sortBy(_._1).toSeq)
+  }
 }
