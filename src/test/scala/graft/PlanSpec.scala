@@ -308,4 +308,29 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), s"bounds must broadcast, not shuffle:\n$p")
   }
+
+  test("temporal split tags are map-side: no window, no join before the summary agg") {
+    val p = planOf("q_split_temporal_embargo")
+    assert(!p.contains("Window"), s"hash-assignment split needs no window:\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("MI: one data-sized pair agg; marginals and totals ride broadcasts") {
+    val p = planOf("q_feature_mi")
+    assert(!p.contains("SortMergeJoin"),
+      s"category-frame joins must broadcast, never shuffle:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("attribution is one user-key window, never a per-conversion self-join") {
+    val p = planOf("q_attribution")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("SortMergeJoin"), s"no self-join:\n$p")
+  }
+
+  test("token budget: weights broadcast onto the domain agg, no shuffle join") {
+    val p = planOf("q_token_budget")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
