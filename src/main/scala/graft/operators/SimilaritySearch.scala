@@ -56,4 +56,38 @@ object SimilaritySearch {
       .withColumn("rank", row_number().over(Window.partitionBy(col("qid")).orderBy(ord: _*)))
       .filter(col("rank") <= k)
   }
+
+  /** Hard-negative mining for contrastive training (the DPR/Contriever
+    * practice, public): for each anchor row, the top-k most-similar
+    * corpus vectors carrying a DIFFERENT label — the "close but wrong"
+    * examples a bi-encoder learns the most from. Same scale shape as
+    * [[bruteForceTopK]]: anchors broadcast, label mismatch filtered
+    * map-side inside the scoring projection, per-partition local top-k
+    * then global top-k over survivors — the corpus is never shuffled.
+    * Scores round to 6dp BEFORE ranking so the ranking is stable across
+    * float-summation orders. Returns `(qid, id, hn_sim, rank)`. */
+  def hardNegatives(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, anchorPred: Column, k: Int): DataFrame = {
+    val anchors = broadcast(df.filter(anchorPred)
+      .select(col(idCol).as("qid"), col(vecCol).as("q_vec"),
+        col(labelCol).as("q_label")))
+    val scored = df
+      .select(col(idCol).as("id"), col(vecCol).as("c_vec"),
+        col(labelCol).as("c_label"))
+      .crossJoin(anchors)
+      .filter(col("c_label") =!= col("q_label"))
+      .select(col("qid"), col("id"),
+        round(gf.cosine_similarity(col("c_vec"), col("q_vec")), 6).as("hn_sim"))
+    val ord = Seq(col("hn_sim").desc, col("id").asc)
+    val local = scored
+      .withColumn("p", spark_partition_id())
+      .withColumn("lr", row_number().over(
+        Window.partitionBy(col("qid"), col("p")).orderBy(ord: _*)))
+      .filter(col("lr") <= k)
+      .drop("p", "lr")
+    local
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(ord: _*)))
+      .filter(col("rank") <= k)
+  }
 }

@@ -33,6 +33,26 @@ object VectorQueries extends QueryModule {
              |FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
              |ORDER BY cos_sim DESC, e.vec_id LIMIT 10""".stripMargin.replace('\n', ' '))),
 
+    // ---- hard-negative mining (DPR/Contriever practice): per anchor,
+    // the top-5 most-similar OTHER-label vectors — anchors broadcast,
+    // label filter map-side, two-phase top-k, corpus never shuffled
+    "q_hard_negatives" -> Q(
+      (s, dir) => graft.operators.SimilaritySearch.hardNegatives(
+          table(s, dir, E), "vec_id", "embedding", "label",
+          anchorPred = col("vec_id") < 5, k = 5)
+        .orderBy(col("qid"), col("rank")),
+      Some("""WITH a AS (SELECT vec_id AS qid, embedding AS qv, label AS ql
+             |  FROM embeddings WHERE vec_id < 5),
+             |sc AS (SELECT a.qid, e.vec_id AS id,
+             |  round(list_cosine_similarity(e.embedding::DOUBLE[], a.qv::DOUBLE[]), 6)
+             |    AS hn_sim
+             |  FROM embeddings e JOIN a ON e.label <> a.ql),
+             |rk AS (SELECT qid, id, hn_sim, row_number() OVER (
+             |    PARTITION BY qid ORDER BY hn_sim DESC, id) AS rank FROM sc)
+             |SELECT qid, id, hn_sim, rank FROM rk WHERE rank <= 5
+             |ORDER BY qid, rank""".stripMargin.replace('\n', ' ')),
+      doc = "top-5 other-label hard negatives per anchor (contrastive mining)"),
+
     // ---- Matryoshka prefix retrieval: cosine over the truncated+
     // renormalized 16-dim prefix (the MRL search-short/rerank-full
     // lever); renormed dot == prefix cosine by scale invariance

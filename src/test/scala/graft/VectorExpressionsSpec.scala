@@ -163,4 +163,25 @@ class VectorExpressionsSpec extends AnyFunSuite {
       .collect()
     x.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-6))
   }
+
+  test("hardNegatives: other-label only, anchor excluded, contiguous ranks") {
+    import spark.implicits._
+    import graft.operators.SimilaritySearch
+    // 3 labels x 4 vectors; anchor 0 (label 0) — its nearest same-label
+    // twin (id 1, identical vector) must NOT appear
+    val df = (0L to 11L).map { i =>
+      val lab = (i % 3).toInt
+      (i, Array.tabulate(4)(d => if (d == lab) 1.0f else 0.001f * i), lab)
+    }.toDF("id", "vec", "label")
+    val out = SimilaritySearch.hardNegatives(df, "id", "vec", "label",
+        anchorPred = col("id") === 0, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    assert(out.length === 5)
+    val labels = df.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    out.foreach { case (qid, id, _) =>
+      assert(id !== qid)
+      assert(labels(id) !== labels(qid), s"negative $id shares anchor label")
+    }
+    assert(out.map(_._3).sorted.toSeq === Seq(1, 2, 3, 4, 5))
+  }
 }
