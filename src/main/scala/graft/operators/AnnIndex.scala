@@ -160,6 +160,16 @@ object AnnIndex {
     index.copy(assignments = index.assignments.unionByName(
       assignDelta(index, newEmb, idCol, vecCol)))
 
+  /** O(delta) maintenance on DELETE (right-to-be-forgotten): one
+    * anti-join removes the vectors' cluster assignments; centroids are
+    * deliberately left as-built — they are a routing artifact, not a
+    * result surface, and the reference likewise re-clusters only on
+    * OPTIMIZE, not per-delete. The id set is a bounded request batch
+    * (AQE broadcasts it). */
+  def deleteAssign(index: Index, deletedIds: DataFrame, idKey: String): Index =
+    index.copy(assignments = index.assignments.join(
+      deletedIds.select(col(idKey).as("id")).distinct(), Seq("id"), "left_anti"))
+
   /** Two-phase per-query top-n (same pattern as
     * SimilaritySearch.bruteForceTopK): local top-n inside each input
     * partition, then global top-n over the n×numPartitions survivors —

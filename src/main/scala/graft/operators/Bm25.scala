@@ -104,6 +104,34 @@ object Bm25 {
     Index(index.postings.unionByName(post2), docStats, termDf)
   }
 
+  /** O(delta) maintenance on DELETE (the right-to-be-forgotten path):
+    * no re-tokenization — the deleted docs' own postings already carry
+    * exactly the counts to subtract. Stats reverse algebraically:
+    * n_docs and per-term df subtract, avgdl un-mixes as a
+    * count-weighted mean; terms whose df reaches 0 drop from the
+    * dictionary. The surviving corpus is never re-read. The id set is
+    * a bounded request batch (AQE broadcasts it); a full-corpus purge
+    * should rebuild instead. */
+  def deleteFromIndex(index: Index, deletedIds: DataFrame,
+      idKey: String): Index = {
+    val ids = deletedIds.select(col(idKey).as("doc_id")).distinct()
+    val deadPost = index.postings.join(ids, Seq("doc_id"), "left_semi")
+    val (dsDead, tdfDead) = corpusStats(deadPost)
+    val docStats = index.docStats.select(col("n_docs"), col("avgdl"))
+      .crossJoin(broadcast(dsDead.select(col("n_docs").as("__dn"),
+        coalesce(col("avgdl"), lit(0.0)).as("__davg"))))
+      .select((col("n_docs") - col("__dn")).as("n_docs"),
+        when(col("n_docs") - col("__dn") > 0,
+          (col("n_docs") * col("avgdl") - col("__dn") * col("__davg")) /
+            (col("n_docs") - col("__dn")))
+          .otherwise(lit(0.0)).as("avgdl"))
+    val termDf = index.termDf
+      .join(tdfDead.select(col("term"), col("df").as("__ddf")), Seq("term"), "left")
+      .select(col("term"), (col("df") - coalesce(col("__ddf"), lit(0L))).as("df"))
+      .filter(col("df") > 0)
+    Index(index.postings.join(ids, Seq("doc_id"), "left_anti"), docStats, termDf)
+  }
+
   def load(spark: SparkSession, dir: String): Index = Index(
     spark.read.parquet(s"$dir/postings"),
     spark.read.parquet(s"$dir/doc_stats"),

@@ -41,6 +41,16 @@ object InvertedIndex {
       textCol: String): DataFrame =
     index.unionByName(build(newDocs, idCol, textCol))
 
+  /** O(delta) maintenance on DELETE (right-to-be-forgotten): postings
+    * are per-doc, so removal is one anti-join on the id — no
+    * re-tokenization of the surviving corpus. Works on every per-doc
+    * index frame in this file (text/exact/numeric/json/positional all
+    * carry `doc_id`). The id set is a bounded request batch (AQE
+    * broadcasts it). */
+  def delete(index: DataFrame, deletedIds: DataFrame, idKey: String): DataFrame =
+    index.join(deletedIds.select(col(idKey).as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+
   /** Build a numeric index: (value, doc_id), sorted-by-value analog of the
     * reference's NumericIndex (`types.pyi:180`). */
   def buildNumeric(df: DataFrame, idCol: String, valueCol: String): DataFrame =

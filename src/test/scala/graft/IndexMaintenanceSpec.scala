@@ -187,6 +187,54 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     assert(top1.forall(r => r.getLong(0) === r.getLong(1)))
   }
 
+  test("inverted index: delete equals rebuild without the deleted docs") {
+    val dead = docs.filter(col("doc_id") % 5 === 0).select(col("doc_id"))
+    val pruned = InvertedIndex.delete(
+      InvertedIndex.build(docs, "doc_id", "text"), dead, "doc_id")
+    val rebuilt = InvertedIndex.build(
+      docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text")
+    assert(pruned.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(pruned).isEmpty)
+  }
+
+  test("bm25 index: delete un-mixes stats exactly (scores match rebuild)") {
+    val survivors = docs.filter(col("doc_id") % 5 =!= 0)
+    val dead = docs.filter(col("doc_id") % 5 === 0).select(col("doc_id"))
+    val pruned = Bm25.deleteFromIndex(
+      Bm25.buildIndex(docs, "doc_id", "text"), dead, "doc_id")
+    val rebuilt = Bm25.buildIndex(survivors, "doc_id", "text")
+    val terms = Seq("spark", "join", "data")
+    def scores(ix: Bm25.Index) = Bm25.scoreWithIndex(ix, terms)
+      .select(col("doc_id"), round(col("score"), 9).as("score"))
+      .orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
+    assert(scores(pruned) === scores(rebuilt))
+    // the dictionary drops terms that lived only in deleted docs
+    val prunedTerms = pruned.termDf.select("term")
+    val rebuiltTerms = rebuilt.termDf.select("term")
+    assert(prunedTerms.exceptAll(rebuiltTerms).isEmpty &&
+      rebuiltTerms.exceptAll(prunedTerms).isEmpty)
+  }
+
+  test("ann index: deleted vectors never surface; survivors keep self-recall") {
+    val idx = AnnIndex.build(emb, "vec_id", "embedding", nClusters = 8)
+    val dead = emb.filter(col("vec_id") % 5 === 0).select(col("vec_id"))
+    val pruned = AnnIndex.deleteAssign(idx, dead, "vec_id")
+    assert(pruned.assignments.count() ===
+      emb.filter(col("vec_id") % 5 =!= 0).count())
+    // deleted ids are gone from every probe, even exhaustive ones
+    val deadQueries = emb.filter(col("vec_id") % 5 === 0).limit(10)
+      .select(col("vec_id"), col("embedding"))
+    val res = AnnIndex.search(pruned, deadQueries, "vec_id", "embedding", k = 3,
+      AnnIndex.SearchConfig(clusterSearchFactor = 8.0)).collect()
+    assert(res.nonEmpty)
+    assert(res.forall(r => r.getAs[Long]("id") % 5 != 0))
+    // survivors still find themselves at rank 1
+    val alive = emb.filter(col("vec_id") % 5 =!= 0).limit(10)
+      .select(col("vec_id"), col("embedding"))
+    val self = AnnIndex.search(pruned, alive, "vec_id", "embedding", k = 1,
+      AnnIndex.SearchConfig(clusterSearchFactor = 8.0)).collect()
+    assert(self.forall(r => r.getAs[Long]("qid") == r.getAs[Long]("id")))
+  }
+
   test("streaming near-dup: accumulated pairs equal the single-shot batch LSH") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("neardupstream").toString
