@@ -711,6 +711,30 @@ object Dedup {
     labels.select(col("id"), col("lbl").as("component_id"))
   }
 
+  /** Quality-aware near-dup keeper selection: every document maps to
+    * the BEST-quality member of its duplicate component (highest
+    * `qualityCol`, ties on lowest id) — the policy step between pair
+    * detection and corpus rewrite when "keep the longest/cleanest
+    * copy" beats min-id. Singletons keep themselves. One shuffle on
+    * the component key (a single ordered window yields the keeper for
+    * every member); the component computation itself is pairs-sized.
+    * Returns `(doc_id, component_id, keeper_id, is_keeper)`. */
+  def nearDupKeeper(docs: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String, bCol: String, qualityCol: String): DataFrame = {
+    val cc = connectedComponents(pairs, aCol, bCol)
+      .select(col("id").as(idCol), col("component_id"))
+    val withComp = docs.join(cc, Seq(idCol), "left")
+      .withColumn("component_id",
+        coalesce(col("component_id"), col(idCol).cast("long")))
+    val wOrd = Window.partitionBy(col("component_id"))
+      .orderBy(col(qualityCol).desc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withComp
+      .withColumn("keeper_id", first(col(idCol)).over(wOrd))
+      .withColumn("is_keeper", col(idCol) === col("keeper_id"))
+      .select(col(idCol), col("component_id"), col("keeper_id"), col("is_keeper"))
+  }
+
   /** Semantic deduplication (SemDeDup — Abbas et al. 2023, public):
     * prune embedding-space near-duplicates keeping ONE representative
     * per duplicate group. Composition of the engine's pieces — cluster-

@@ -386,6 +386,42 @@ object DocumentQueries extends QueryModule {
               |count(*) OVER (PARTITION BY component_id) AS component_size
               |FROM lab ORDER BY doc_id""".stripMargin.replace('\n', ' '))),
 
+    // ---- quality-aware keeper selection: each near-dup component
+    // keeps its highest-quality member (longest doc, min-id ties) —
+    // the rewrite policy between pair detection and corpus rewrite
+    "q_dedup_keeper" -> Q(
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+        val pairs = Dedup.minhashLshPairs(d, "doc_id", "text", threshold = 0.8)
+        Dedup.nearDupKeeper(d, "doc_id", pairs, "id_a", "id_b", "n_chars")
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE $shingleCte,
+              |m AS (SELECT doc_id, $sigSql AS sig FROM s),
+              |bd AS (SELECT doc_id, i AS band_idx, md5(sig[2*i+1] || sig[2*i+2]) AS band_key
+              |       FROM m, range(4) AS r(i)),
+              |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              |         FROM bd a JOIN bd b ON a.band_idx = b.band_idx
+              |         AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+              |pr AS (SELECT id_a, id_b FROM (
+              |  SELECT c.id_a, c.id_b, round($jacSql, 6) AS jac
+              |  FROM cand c JOIN s sa ON sa.doc_id = c.id_a JOIN s sb ON sb.doc_id = c.id_b) p
+              |  WHERE jac >= 0.8),
+              |e AS (SELECT id_a AS a, id_b AS b FROM pr UNION SELECT id_b, id_a FROM pr),
+              |walk(a, b) AS (SELECT a, b FROM e
+              |  UNION SELECT w.a, e2.b FROM walk w JOIN e e2 ON w.b = e2.a),
+              |lab AS (SELECT a AS doc_id, least(a, min(b)) AS component_id FROM walk GROUP BY a),
+              |g AS (SELECT d.doc_id, d.n_chars,
+              |      coalesce(lab.component_id, d.doc_id) AS component_id
+              |      FROM documents d LEFT JOIN lab USING (doc_id))
+              |SELECT doc_id, component_id,
+              |first_value(doc_id) OVER (PARTITION BY component_id
+              |  ORDER BY n_chars DESC, doc_id) AS keeper_id,
+              |doc_id = first_value(doc_id) OVER (PARTITION BY component_id
+              |  ORDER BY n_chars DESC, doc_id) AS is_keeper
+              |FROM g ORDER BY doc_id""".stripMargin.replace('\n', ' ')),
+      doc = "per-component best-quality keeper mapping over LSH near-dup groups"),
+
     // ---- leakage-safe split: near-duplicates (LSH pairs -> connected
     // components) bucket by COMPONENT id, so every near-dup group lands
     // in one split — the dedup-aware split that prevents train/test
