@@ -39,6 +39,41 @@ object Features {
       .drop("__edges")
   }
 
+  /** Percentile-normalized quality blend: each signal is mapped to its
+    * equal-frequency decile bin (the [[discretize]] edge rule) and the
+    * bins combine as a weighted mean scaled to [0,1] — the standard
+    * way to fuse incommensurable quality signals (length, token count,
+    * ratios) into ONE ranking score without hand-tuned scale factors.
+    * All edges come from a single 1-row aggregate that broadcasts onto
+    * the rows; the blend itself is map-side array math. Returns df +
+    * `bin_<signal>` per signal + `q_blend`. NULL in any signal ⇒ NULL
+    * blend (an unscorable row, not a zero-quality row). */
+  def percentileBlend(df: DataFrame, signalCols: Seq[String],
+      weights: Seq[Double], bins: Int = 10): DataFrame = {
+    require(signalCols.nonEmpty, "need at least one signal")
+    require(signalCols.length == weights.length, "one weight per signal")
+    require(weights.forall(_ >= 0) && weights.sum > 0, "weights must be non-negative, sum > 0")
+    val qs = (1 until bins).map(_.toDouble / bins)
+    val qArr = qs.mkString("array(", ", ", ")")
+    val edgeAggs = signalCols.zipWithIndex.map { case (c, i) =>
+      expr(s"percentile($c, $qArr)").as(s"__e_$i")
+    }
+    val edges = df.agg(edgeAggs.head, edgeAggs.tail: _*)
+    val binned = signalCols.zipWithIndex.foldLeft(
+      df.crossJoin(broadcast(edges))) { case (acc, (c, i)) =>
+      acc.withColumn(s"bin_$c",
+        when(col(c).isNotNull,
+          aggregate(col(s"__e_$i"), lit(0),
+            (n, e) => n + when(col(c) >= e, 1).otherwise(0))))
+    }
+    val blend = signalCols.zipWithIndex
+      .map { case (c, i) => col(s"bin_$c") * weights(i) }
+      .reduce(_ + _) / (weights.sum * (bins - 1))
+    binned
+      .withColumn("q_blend", round(blend, 6))
+      .drop(signalCols.indices.map(i => s"__e_$i"): _*)
+  }
+
   /** Smoothed target encoding + frequency encoding of a categorical:
     *   target_enc = (Σ target + prior · smoothing) / (n + smoothing)
     *   freq_enc   = n / N

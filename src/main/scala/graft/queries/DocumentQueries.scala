@@ -1262,6 +1262,29 @@ object DocumentQueries extends QueryModule {
              |round(floor(20000.0 / 20.0) / available_tokens, 4) AS epochs,
              |least(floor(20000.0 / 20.0)::BIGINT, available_tokens) AS sampled_tokens
              |FROM a ORDER BY source""".stripMargin.replace('\n', ' ')),
-      doc = "per-domain token budget: targets, rates, epoch factors under uniform weights")
+      doc = "per-domain token budget: targets, rates, epoch factors under uniform weights"),
+
+    // ---- percentile-normalized quality blend: decile-bin each signal
+    // against ONE broadcast edge row, weighted-mean to a [0,1] score —
+    // scale-free fusion of incommensurable quality signals
+    "q_quality_blend" -> Q(
+      (s, dir) => graft.operators.Features.percentileBlend(
+          table(s, dir, "documents")
+            .select(col("doc_id"), col("n_chars").cast("double").as("chars"),
+              size(split(col("text"), " ")).cast("double").as("toks")),
+          signalCols = Seq("chars", "toks"), weights = Seq(1.0, 1.0))
+        .select(col("doc_id"), col("bin_chars"), col("bin_toks"), col("q_blend"))
+        .orderBy(col("doc_id")),
+      Some("""WITH sig AS (SELECT doc_id, n_chars::DOUBLE AS c,
+             |  len(string_split(text, ' '))::DOUBLE AS t FROM documents),
+             |e AS (SELECT quantile_cont(c, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS ec,
+             |  quantile_cont(t, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS et FROM sig)
+             |SELECT doc_id,
+             |len(list_filter(ec, x -> c >= x))::INT AS bin_chars,
+             |len(list_filter(et, x -> t >= x))::INT AS bin_toks,
+             |round((len(list_filter(ec, x -> c >= x))
+             |  + len(list_filter(et, x -> t >= x))) / 18.0, 6) AS q_blend
+             |FROM sig, e ORDER BY doc_id""".stripMargin.replace('\n', ' ')),
+      doc = "two-signal decile quality blend (equal weights) per document")
   )
 }
