@@ -336,6 +336,32 @@ class EventAnalyticsSpec extends AnyFunSuite {
       ("unweighted", 50L, 0L, 0.0, 0.0)))
   }
 
+  test("percentileBlend: NULL signals unscorable; zero-weight signal inert; monotone") {
+    import spark.implicits._
+    val df = Seq[(java.lang.Long, java.lang.Double, java.lang.Double)](
+      (1L, 10.0, 1.0), (2L, 20.0, 2.0), (3L, 30.0, 3.0), (4L, 40.0, 4.0),
+      (5L, 50.0, 5.0), (6L, 60.0, 6.0), (7L, 70.0, 7.0), (8L, 80.0, 8.0),
+      (9L, 90.0, 9.0), (10L, 100.0, 10.0), (11L, null, 5.0)
+    ).toDF("id", "a", "b")
+    val out = graft.operators.Features.percentileBlend(
+        df, Seq("a", "b"), Seq(1.0, 1.0))
+      .collect().map(r => r.getLong(0) ->
+        Option(r.get(r.fieldIndex("q_blend"))).map(_.asInstanceOf[Double])).toMap
+    assert(out(11L).isEmpty, "NULL signal must yield NULL blend")
+    // perfectly correlated signals: blend strictly increases with rank
+    val ranked = (1L to 10L).map(out(_).get)
+    assert(ranked.zip(ranked.tail).forall { case (x, y) => x < y })
+    assert(ranked.head === 0.0 && ranked.last === 1.0)
+    // zero weight: signal b alone decides nothing when its weight is 0
+    val w0 = graft.operators.Features.percentileBlend(
+        df.filter(col("a").isNotNull), Seq("a", "b"), Seq(1.0, 0.0))
+      .collect().map(r => r.getLong(0) -> r.getDouble(r.fieldIndex("q_blend"))).toMap
+    val wa = graft.operators.Features.percentileBlend(
+        df.filter(col("a").isNotNull), Seq("a"), Seq(1.0))
+      .collect().map(r => r.getLong(0) -> r.getDouble(r.fieldIndex("q_blend"))).toMap
+    assert(w0 === wa)
+  }
+
   test("categoricalMi: independence gives 0 bits; identity gives H(X)") {
     import spark.implicits._
     // independent: every (x, y) combination equally likely -> MI = 0
