@@ -333,4 +333,22 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("SortMergeJoin"), p)
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("hard negatives: anchors broadcast; corpus never shuffle-joined") {
+    val p = planOf("q_hard_negatives")
+    assert(!p.contains("SortMergeJoin"), s"corpus must not shuffle:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("quality blend: edge row broadcasts onto the scan, no shuffle join") {
+    val p = planOf("q_quality_blend")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("inter-arrival gaps: one fine-key window + one agg, no join") {
+    val p = planOf("q_event_gaps")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+  }
 }
