@@ -336,19 +336,26 @@ object EventAnalytics {
     * (user, type) series — the arrival-rate fingerprint feeding
     * debounce thresholds and anomaly baselines. One lag window on the
     * (user, type) key, then one hash agg with a single array-quantile
-    * buffer per group. */
+    * buffer per group. Exact percentile state is a value→count map
+    * that grows with distinct gap cardinality (gaps are near-unique
+    * doubles); `approxBounds` swaps in the fixed-width sketch — the
+    * 100 TB posture, same convention as `Robust.winsorize` and
+    * `Features.discretize`. Exact stays default for the oracle. */
   def interArrival(events: DataFrame, userCol: String, tsNsCol: String,
-      typeCol: String): DataFrame = {
+      typeCol: String, approxBounds: Boolean = false,
+      accuracy: Int = 10000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(userCol), col(typeCol))
       .orderBy(col(tsNsCol))
+    val qAgg =
+      if (approxBounds) expr(s"approx_percentile(__gap, array(0.5, 0.9), $accuracy)")
+      else expr("percentile(__gap, array(0.5, 0.9))")
     events
       .withColumn("__gap",
         (col(tsNsCol) - lag(col(tsNsCol), 1).over(w)) / 1e9)
       .filter(col("__gap").isNotNull)
       .groupBy(col(typeCol))
-      .agg(count(lit(1)).as("n_gaps"),
-        expr("percentile(__gap, array(0.5, 0.9))").as("__q"))
+      .agg(count(lit(1)).as("n_gaps"), qAgg.as("__q"))
       .select(col(typeCol), col("n_gaps"),
         round(element_at(col("__q"), 1), 4).as("p50_gap_s"),
         round(element_at(col("__q"), 2), 4).as("p90_gap_s"))

@@ -47,16 +47,21 @@ object Features {
     * All edges come from a single 1-row aggregate that broadcasts onto
     * the rows; the blend itself is map-side array math. Returns df +
     * `bin_<signal>` per signal + `q_blend`. NULL in any signal ⇒ NULL
-    * blend (an unscorable row, not a zero-quality row). */
+    * blend (an unscorable row, not a zero-quality row). `approxBounds`
+    * swaps the exact percentile (value→count map state) for the
+    * fixed-width sketch — the 100 TB posture, same convention as
+    * [[discretize]]; exact stays default for the oracle. */
   def percentileBlend(df: DataFrame, signalCols: Seq[String],
-      weights: Seq[Double], bins: Int = 10): DataFrame = {
+      weights: Seq[Double], bins: Int = 10,
+      approxBounds: Boolean = false, accuracy: Int = 10000): DataFrame = {
     require(signalCols.nonEmpty, "need at least one signal")
     require(signalCols.length == weights.length, "one weight per signal")
     require(weights.forall(_ >= 0) && weights.sum > 0, "weights must be non-negative, sum > 0")
     val qs = (1 until bins).map(_.toDouble / bins)
     val qArr = qs.mkString("array(", ", ", ")")
     val edgeAggs = signalCols.zipWithIndex.map { case (c, i) =>
-      expr(s"percentile($c, $qArr)").as(s"__e_$i")
+      (if (approxBounds) expr(s"approx_percentile($c, $qArr, $accuracy)")
+       else expr(s"percentile($c, $qArr)")).as(s"__e_$i")
     }
     val edges = df.agg(edgeAggs.head, edgeAggs.tail: _*)
     val binned = signalCols.zipWithIndex.foldLeft(

@@ -362,6 +362,31 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(w0 === wa)
   }
 
+  test("approx posture: interArrival and percentileBlend track exact within rank error") {
+    import spark.implicits._
+    // gaps: 1..2000 seconds, one user per series to make gaps exact
+    val ev = (0 until 2000).flatMap { i =>
+      Seq((i.toLong, 0L, "a", 100L), (i.toLong, (1L + i) * 1000000000L, "a", 101L))
+    }.toDF("user_id", "ts_ns", "event_type", "event_id")
+      .select(col("user_id"), col("ts_ns"), col("event_type"))
+    def gaps(a: Boolean) = EventAnalytics.interArrival(
+        ev, "user_id", "ts_ns", "event_type", approxBounds = a)
+      .head()
+    val (e50, e90) = { val r = gaps(false); (r.getDouble(2), r.getDouble(3)) }
+    val (a50, a90) = { val r = gaps(true); (r.getDouble(2), r.getDouble(3)) }
+    // accuracy=10000 over n=2000 -> approx lands within a few order stats
+    assert(math.abs(a50 - e50) <= 3.0, s"p50: $e50 vs $a50")
+    assert(math.abs(a90 - e90) <= 3.0, s"p90: $e90 vs $a90")
+    // blend: approx bins differ from exact by at most one decile per row
+    val df = (1 to 1000).map(i => (i.toLong, i.toDouble)).toDF("id", "s")
+    val ex = graft.operators.Features.percentileBlend(df, Seq("s"), Seq(1.0))
+      .select(col("id"), col("bin_s")).collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val ap = graft.operators.Features.percentileBlend(df, Seq("s"), Seq(1.0),
+        approxBounds = true)
+      .select(col("id"), col("bin_s")).collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(ex.keys.forall(k => math.abs(ex(k) - ap(k)) <= 1))
+  }
+
   test("categoricalMi: independence gives 0 bits; identity gives H(X)") {
     import spark.implicits._
     // independent: every (x, y) combination equally likely -> MI = 0
