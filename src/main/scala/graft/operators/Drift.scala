@@ -132,11 +132,13 @@ object Drift {
     *      is one max aggregation.
     * The collapsed frame is persisted between the totals pass and the
     * gap pass — AQE may otherwise coalesce the range shuffle
-    * differently across the two jobs and shift partition ids. Callers
-    * that keep the returned frame lazy should `unpersistKs` when done;
-    * [[ks]] does so itself. */
+    * differently across the two jobs and shift partition ids. The
+    * persisted intermediate travels WITH the result (no hidden
+    * thread-local state, so two in-flight gap frames on one thread
+    * each keep their own release handle): call [[KsResult.release]]
+    * once the gaps have been consumed; [[ks]] does so itself. */
   def ksGaps(ref: DataFrame, cur: DataFrame, valueCol: String,
-      nRef: Double, nCur: Double): DataFrame = {
+      nRef: Double, nCur: Double): KsResult = {
     import org.apache.spark.sql.expressions.Window
     val u = ref.select(col(valueCol).cast("double").as("__ks_v"),
         lit(1L).as("__r"), lit(0L).as("__c"))
@@ -168,18 +170,14 @@ object Drift {
         ((col("__or") + sum(col("__r")).over(w)) / nRef).as("f_ref"),
         ((col("__oc") + sum(col("__c")).over(w)) / nCur).as("f_cur"))
       .withColumn("gap", abs(col("f_ref") - col("f_cur")))
-    lastKsParts.set(parts)
-    gaps
+    KsResult(gaps, parts)
   }
 
-  // the persisted collapsed frame of the most recent ksGaps on this
-  // thread, so eager callers can release it after their action
-  private val lastKsParts = new ThreadLocal[DataFrame]
-
-  /** release the persisted intermediate of this thread's last [[ksGaps]] */
-  def unpersistKs(): Unit = {
-    val p = lastKsParts.get()
-    if (p != null) { p.unpersist(false); lastKsParts.remove() }
+  /** a [[ksGaps]] result: the gap frame plus its own persisted
+    * intermediate, released explicitly per call */
+  final case class KsResult(gaps: DataFrame, intermediate: DataFrame) {
+    /** unpersist this call's cached collapsed frame */
+    def release(): Unit = intermediate.unpersist(false)
   }
 
   /** the scalar D = max over [[ksGaps]] */
@@ -187,8 +185,8 @@ object Drift {
     val nr = ref.count().toDouble
     val nc = cur.count().toDouble
     require(nr > 0 && nc > 0, "both samples must be non-empty")
-    try ksGaps(ref, cur, valueCol, nr, nc)
-      .agg(max(col("gap"))).head().getDouble(0)
-    finally unpersistKs()
+    val r = ksGaps(ref, cur, valueCol, nr, nc)
+    try r.gaps.agg(max(col("gap"))).head().getDouble(0)
+    finally r.release()
   }
 }

@@ -29,6 +29,7 @@ object MaterializedAgg {
 
   /** merge-on-read current state (one row per key) */
   def state(spark: SparkSession, dir: String, keys: Seq[String]): DataFrame = {
+    recover(java.nio.file.Paths.get(dir))
     val segs = spark.read.parquet(dir)
     // a single groupBy IS the algebraic merge of however many segments
     // have accumulated
@@ -53,40 +54,115 @@ object MaterializedAgg {
       .start()
 
   /** Fold the accumulated segments back to one (bounds read cost).
-    * Concurrent-append-safe: the segment FILES are snapshotted first,
-    * only those files are merged, and only those files are deleted —
-    * a segment appended mid-compaction (e.g. by a [[maintain]]
-    * micro-batch) is neither read nor removed, it simply survives.
-    * Crash window: a crash after the compacted segment lands but
-    * before the old files are dropped leaves a transient double count
-    * that the next [[compact]] repairs; there is no ordering that
-    * loses appended state. */
-  def compact(spark: SparkSession, dir: String, keys: Seq[String]): Unit = {
-    import java.nio.file.{Files, Path, Paths}
-    import scala.jdk.CollectionConverters._
-    def partFiles(root: Path): Seq[Path] = {
-      val walk = Files.walk(root)
-      try walk.iterator().asScala.filter(p => Files.isRegularFile(p) &&
-        p.getFileName.toString.startsWith("part-")).toList
-      finally walk.close()
-    }
-    val snapshot = partFiles(Paths.get(dir))
+    * Concurrent-append-safe: the segment FILES are snapshotted first
+    * (both raw `part-*` appends AND previous `compacted-*` outputs, so
+    * the pile stays bounded across repeated compactions), only those
+    * files are merged, and only those files are deleted — a segment
+    * appended mid-compaction (e.g. by a [[maintain]] micro-batch) is
+    * neither read nor removed, it simply survives.
+    *
+    * Crash safety is a replayable journal: BEFORE any file moves, a
+    * `_compact-<txid>` journal (written atomically via rename) records
+    * the staging dir and the exact snapshot being replaced. The swap
+    * then is (a) move staged files in as `compacted-<txid>-*`, (b)
+    * delete the snapshot, (c) delete the journal. A crash at any point
+    * is repaired by [[recover]] — run at the start of every [[compact]]
+    * and [[state]] — which replays (a)–(c) idempotently: moves are
+    * skip-if-present, deletes are delete-if-exists. No ordering bakes
+    * in a double count (the journal lands before any compacted file
+    * does) and none loses appended state (the snapshot is only dropped
+    * after every staged file is in place). Readers may double-count
+    * only inside the (a)→(b) window, as before. */
+  def compact(spark: SparkSession, dir: String, keys: Seq[String]): Unit = synchronized {
+    import java.nio.file.{Files, Paths}
+    recover(Paths.get(dir))
+    val snapshot = segmentFiles(Paths.get(dir))
     if (snapshot.nonEmpty) {
+      val txid = java.util.UUID.randomUUID().toString
+      val tmp = s"$dir.compacting-$txid"
       val segs = spark.read.parquet(snapshot.map(_.toString): _*)
-      val tmp = s"$dir.compacting"
       IncrementalAgg.merge(segs.limit(0), segs, keys)
         .write.mode("overwrite").parquet(tmp)
-      // swap in: new compacted files first (readers may double-count for
-      // an instant), then drop exactly the snapshotted segments
-      partFiles(Paths.get(tmp)).foreach { p =>
-        Files.move(p, Paths.get(dir).resolve(
-          s"compacted-${java.util.UUID.randomUUID()}-${p.getFileName}"))
+      // commit point: journal the staging dir + snapshot atomically
+      val journal = Paths.get(dir).resolve(s"_compact-$txid")
+      val jtmp = Paths.get(dir).resolve(s"_compact-$txid.tmp")
+      Files.write(jtmp, (tmp +: snapshot.map(_.toString))
+        .mkString("\n").getBytes("UTF-8"))
+      Files.move(jtmp, journal, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      replay(Paths.get(dir), journal)
+    }
+  }
+
+  /** live segment files: raw appended state plus prior compaction output */
+  private def segmentFiles(root: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    import scala.jdk.CollectionConverters._
+    val walk = java.nio.file.Files.walk(root)
+    try walk.iterator().asScala.filter { p =>
+      val n = p.getFileName.toString
+      java.nio.file.Files.isRegularFile(p) &&
+        (n.startsWith("part-") || n.startsWith("compacted-"))
+    }.toList
+    finally walk.close()
+  }
+
+  /** replay any interrupted compaction's journal (idempotent) */
+  private def recover(root: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.isDirectory(root)) {
+      val walk = java.nio.file.Files.list(root)
+      val journals = try walk.iterator().asScala.filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith("_compact-") && !n.endsWith(".tmp")
+      }.toList finally walk.close()
+      journals.foreach(replay(root, _))
+      // a .tmp journal never committed: it and its staging dir are garbage
+      val walk2 = java.nio.file.Files.list(root)
+      val tmps = try walk2.iterator().asScala.filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith("_compact-") && n.endsWith(".tmp")
+      }.toList finally walk2.close()
+      tmps.foreach { t =>
+        val first = new String(java.nio.file.Files.readAllBytes(t), "UTF-8")
+          .split("\n").headOption.getOrElse("")
+        val stage = java.nio.file.Paths.get(first)
+        if (first.nonEmpty && java.nio.file.Files.isDirectory(stage)) {
+          val sw = java.nio.file.Files.walk(stage)
+          try sw.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+          finally sw.close()
+        }
+        java.nio.file.Files.deleteIfExists(t)
       }
-      snapshot.foreach(Files.deleteIfExists(_))
-      val tw = Files.walk(Paths.get(tmp))
+    }
+  }
+
+  /** execute a journal's swap: stage-in (skip-if-present), drop the
+    * snapshot, drop the staging dir, drop the journal — all idempotent */
+  private def replay(root: java.nio.file.Path, journal: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val lines = new String(Files.readAllBytes(journal), "UTF-8")
+      .split("\n").toSeq.filter(_.nonEmpty)
+    val txid = journal.getFileName.toString.stripPrefix("_compact-")
+    val tmp = Paths.get(lines.head)
+    if (Files.isDirectory(tmp)) {
+      val tw = Files.walk(tmp)
+      val staged = try tw.iterator().asScala.filter(p =>
+        Files.isRegularFile(p) &&
+          p.getFileName.toString.startsWith("part-")).toList
+      finally tw.close()
+      staged.foreach { p =>
+        val dest = root.resolve(s"compacted-$txid-${p.getFileName}")
+        if (!Files.exists(dest)) Files.move(p, dest)
+      }
+    }
+    lines.tail.foreach(f => Files.deleteIfExists(Paths.get(f)))
+    if (Files.isDirectory(tmp)) {
+      val tw = Files.walk(tmp)
       try tw.iterator().asScala.toSeq.sortBy(-_.getNameCount)
         .foreach(Files.deleteIfExists(_))
       finally tw.close()
     }
+    Files.deleteIfExists(journal)
   }
 }

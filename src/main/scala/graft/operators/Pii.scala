@@ -68,16 +68,22 @@ object Pii {
       .withColumn("l_violation", col("n_sensitive") < l)
   }
 
-  /** Differentially-private count release (Dwork et al. 2006): per-key
-    * counts with Laplace(Δf/ε) noise, Δf = 1 for a counting query.
-    * The noise is DERIVED from the key via md5 (inverse-CDF transform
-    * of a hash-uniform), so the release is deterministic and
-    * reproducible across engines — the property a data-card pipeline
-    * needs for its published aggregates to be re-verifiable. One hash
-    * aggregate; the noise is a map-side expression on the (bounded)
-    * key frame. Returns `(key, n, n_dp)`. */
+  /** Laplace-noised count release in the shape of the DP counting
+    * mechanism (Dwork et al. 2006): per-key counts plus Laplace(Δf/ε)
+    * noise, Δf = 1. The noise is a PRF of `(key, seed)` — md5 →
+    * inverse-CDF — so the release is reproducible across engines given
+    * the seed, which is why a data card can re-verify its published
+    * aggregates. PRIVACY CAVEAT: the guarantee is only as good as the
+    * seed's secrecy. With a secret seed the noise is unpredictable to
+    * an observer (computational-DP posture); with a PUBLISHED seed
+    * anyone can recompute the noise from the key and subtract it, so
+    * the release is reproducible pseudo-noise and NOT a differential-
+    * privacy guarantee. There is deliberately no default seed — the
+    * caller must decide (and protect) it. One hash aggregate; the
+    * noise is a map-side expression on the (bounded) key frame.
+    * Returns `(key, n, n_dp)`. */
   def dpNoisedCounts(df: org.apache.spark.sql.DataFrame, keyCol: String,
-      epsilon: Double = 0.5, seed: Int = 42): org.apache.spark.sql.DataFrame = {
+      epsilon: Double, seed: Long): org.apache.spark.sql.DataFrame = {
     require(epsilon > 0, "epsilon must be positive")
     val b = 1.0 / epsilon
     // hash-uniform in [0,1): first 8 md5 hex chars / 2^32

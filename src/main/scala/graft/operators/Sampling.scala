@@ -272,6 +272,8 @@ object Sampling {
       weights: Map[String, Double], budget: Long): DataFrame = {
     require(budget > 0, "budget must be positive")
     require(weights.values.forall(_ >= 0), "weights must be non-negative")
+    require(weights.nonEmpty && weights.values.sum > 0,
+      "weights must sum > 0")
     val spark = df.sparkSession
     import spark.implicits._
     val wdf = weights.toSeq.toDF("__dom", "__w")

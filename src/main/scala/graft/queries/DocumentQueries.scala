@@ -1225,12 +1225,13 @@ object DocumentQueries extends QueryModule {
              |FROM rk""".stripMargin.replace('\n', ' ')),
       doc = "Zipf-law OLS fit over the top-1000 token frequencies"),
 
-    // ---- differentially-private count release: Laplace(1/eps) noise
-    // derived deterministically from md5(key) so the release is
-    // re-verifiable; pairs with q_k_anonymity as the privacy gate
+    // ---- Laplace-noised count release: PRF(key, seed) noise so the
+    // release replays in the oracle. The seed is PUBLIC here (test
+    // fixture), so this exercises the reproducible-pseudo-noise mode —
+    // a real DP release keeps the seed secret (see Pii.dpNoisedCounts)
     "q_dp_release" -> Q(
       (s, dir) => graft.operators.Pii.dpNoisedCounts(
-          table(s, dir, "documents"), "source", epsilon = 0.5, seed = 42)
+          table(s, dir, "documents"), "source", epsilon = 0.5, seed = 42L)
         .orderBy(col("source")),
       Some("""WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
              |u AS (SELECT source, n,
@@ -1240,7 +1241,7 @@ object DocumentQueries extends QueryModule {
              |SELECT source, n,
              |round(n - 2.0 * sign(c) * ln(greatest(1e-12, 1 - 2*abs(c))), 4) AS n_dp
              |FROM u ORDER BY source""".stripMargin.replace('\n', ' ')),
-      doc = "deterministic DP Laplace count release per source (eps=0.5)"),
+      doc = "seeded pseudo-Laplace count release per source (eps=0.5; DP only with a secret seed)"),
 
     // ---- token-budget mixture plan: the "how many epochs of each
     // domain" table a data mix starts from. One domain agg; mixture

@@ -408,12 +408,12 @@ class EventAnalyticsSpec extends AnyFunSuite {
     import spark.implicits._
     val df = (1 to 100).map(i => s"k${i % 7}").toDF("k")
     val eps = 0.5
-    val out = graft.operators.Pii.dpNoisedCounts(df, "k", epsilon = eps)
+    val out = graft.operators.Pii.dpNoisedCounts(df, "k", epsilon = eps, seed = 42L)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
     val bound = (1.0 / eps) * math.log(1e12)
     out.foreach { case (_, n, ndp) => assert(math.abs(ndp - n) <= bound) }
-    // reproducible: second run returns identical noise
-    val out2 = graft.operators.Pii.dpNoisedCounts(df, "k", epsilon = eps)
+    // reproducible: second run with the same seed returns identical noise
+    val out2 = graft.operators.Pii.dpNoisedCounts(df, "k", epsilon = eps, seed = 42L)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
     assert(out.sortBy(_._1).toSeq === out2.sortBy(_._1).toSeq)
   }

@@ -76,6 +76,67 @@ class IncrementalAggSpec extends AnyFunSuite with BeforeAndAfterAll {
     val full2 = readout(IncrementalAgg.readout(
       IncrementalAgg.state(rows(0, 330), keys, "x"), keys))
     assert(got2 === full2)
+    // a SECOND compaction must fold the first one's compacted-* output
+    // too (not just raw part-* appends): the live-segment pile stays
+    // bounded across repeated compactions instead of growing
+    def liveSegs(): Seq[java.nio.file.Path] = {
+      import scala.jdk.CollectionConverters._
+      val w = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try w.iterator().asScala.filter { p =>
+        val n = p.getFileName.toString
+        java.nio.file.Files.isRegularFile(p) &&
+          (n.startsWith("part-") || n.startsWith("compacted-"))
+      }.toList finally w.close()
+    }
+    MaterializedAgg.compact(spark, dir, keys)
+    val afterSecond = liveSegs()
+    MaterializedAgg.compact(spark, dir, keys)
+    assert(liveSegs().size <= afterSecond.size,
+      "repeated compaction must not grow the segment pile")
+    assert(liveSegs().forall(_.getFileName.toString.startsWith("compacted-")),
+      "after compaction every live segment is a compaction output")
+    assert(readout(MaterializedAgg.read(spark, dir, keys)) === full2)
+  }
+
+  test("materialized view: interrupted compaction is replayed, never double-counted") {
+    import graft.operators.MaterializedAgg
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("matcrash").toString + "/v"
+    val keys = Seq("g")
+    def rows(lo: Int, hi: Int) =
+      (lo until hi).map(i => (s"g${i % 3}", i.toDouble)).toDF("g", "x")
+    MaterializedAgg.create(rows(0, 100), keys, "x", dir)
+    MaterializedAgg.refresh(rows(100, 200), keys, "x", dir)
+    def readout() = MaterializedAgg.read(spark, dir, keys)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val truth = readout()
+    // simulate a crash mid-compaction: merged state staged and journal
+    // committed, but no file was moved in and nothing was deleted —
+    // exactly the state compact() leaves if it dies right after its
+    // atomic journal rename
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val snapshot = {
+      val w = Files.walk(Paths.get(dir))
+      try w.iterator().asScala.filter { p =>
+        Files.isRegularFile(p) && p.getFileName.toString.startsWith("part-")
+      }.toList finally w.close()
+    }
+    val txid = "deadbeef-0000-0000-0000-000000000000"
+    val tmp = s"$dir.compacting-$txid"
+    val segs = spark.read.parquet(snapshot.map(_.toString): _*)
+    IncrementalAgg.merge(segs.limit(0), segs, keys)
+      .write.mode("overwrite").parquet(tmp)
+    Files.write(Paths.get(dir).resolve(s"_compact-$txid"),
+      (tmp +: snapshot.map(_.toString)).mkString("\n").getBytes("UTF-8"))
+    // the next read replays the journal: same totals, no doubling, and
+    // the snapshot the journal names is gone
+    assert(readout() === truth, "replayed compaction must not double-count")
+    assert(!Files.exists(Paths.get(dir).resolve(s"_compact-$txid")))
+    assert(snapshot.forall(!Files.exists(_)),
+      "journaled snapshot files must be dropped by replay")
+    assert(readout() === truth)
   }
 
   test("streaming view maintenance: micro-batches fold into the same state files") {

@@ -77,10 +77,11 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("exact KS running ECDFs are distributed (per-partition window + broadcast offsets)") {
     val ev = graft.sources.Tables(spark, dir, "events")
-    val g = graft.operators.Drift.ksGaps(
+    val r = graft.operators.Drift.ksGaps(
       ev.filter(col("event_type") === "click"),
       ev.filter(col("event_type") === "purchase"), "value", 100.0, 100.0)
-    val p = g.queryExecution.executedPlan.toString
+    val p = r.gaps.queryExecution.executedPlan.toString
+    r.release()
     assert(p.contains("spark_partition_id") || p.contains("SPARK_PARTITION_ID"), p)
     assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"), p)
     // every window ordered by the value column must partition by the
