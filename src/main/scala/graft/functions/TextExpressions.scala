@@ -139,6 +139,74 @@ object MinHashSignature {
   }
 }
 
+/** SIMHASH64(tokens): 64-bit SimHash as a 64-char '0'/'1' string — bit
+  * 4d+j (0-indexed) is the majority vote over all tokens of bit (3-j)
+  * of hex digit d+1 of md5Hex(token): every bit of the first 16 md5
+  * nibbles, a 2^64 signature space. Native codegen replaces the
+  * composed-HOF form (md5 transform + 64-wide aggregate/zip_with),
+  * which evaluates interpreted and allocates a 64-element array per
+  * token; one tight loop accumulates all 64 bit counts per doc.
+  * Identical values to the HOF composition (DedupSpec gates it); the
+  * DuckDB oracle replays the same bit rule over list_transform(w, md5).
+  * Null token entries are skipped in the counts but stay in the
+  * majority denominator, matching size(w). */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"input must be array<string>, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    SimHash64.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val helper = SimHash64.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $helper.compute($a);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  /** shared tight loop: 64 bit-majority counters (called from codegen) */
+  def compute(arr: ArrayData): UTF8String = {
+    val num = arr.numElements()
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < num) {
+      if (!arr.isNullAt(i)) {
+        val hex = org.apache.commons.codec.digest.DigestUtils
+          .md5Hex(arr.getUTF8String(i).getBytes)
+        var d = 0
+        while (d < 16) {
+          val c = hex.charAt(d)
+          val v = if (c <= '9') c - '0' else c - 'a' + 10
+          val base = d << 2
+          counts(base) += (v >> 3) & 1
+          counts(base + 1) += (v >> 2) & 1
+          counts(base + 2) += (v >> 1) & 1
+          counts(base + 3) += v & 1
+          d += 1
+        }
+      }
+      i += 1
+    }
+    val out = new Array[Byte](64)
+    var p = 0
+    while (p < 64) {
+      out(p) = if (counts(p) * 2 >= num) '1'.toByte else '0'.toByte
+      p += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+}
+
 /** NORMALIZE_UNICODE(text): Unicode normalization (NFC/NFD/NFKC/NFKD)
   * via `java.text.Normalizer` as a native codegen expression — Spark
   * has no builtin normalizer, and web-crawl text mixes composed and

@@ -219,7 +219,7 @@ object Dedup {
       .filter(col("jac") >= threshold)
   }
 
-  /** SimHash bucket groups: docs sharing a 16-bit simhash signature.
+  /** SimHash bucket groups: docs sharing a 64-bit simhash signature.
     * Same parallelize+materialize-tokens shape as `shingled` (the sig
     * references the token array per bit position).
     *
@@ -255,21 +255,10 @@ object Dedup {
     * for consumers that need every bucket member */
   def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.repartition(docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
-      .select(col(idCol).as("id"), tokens(col(textCol)).as("__toks"))
-      // md5 once per token; the naive form (md5 inside each of the 16
-      // bit-position lambdas) hashes every token 16x
-      .select(col("id"), size(col("__toks")).as("__n"),
-        transform(col("__toks"), t => md5(t)).as("__h"))
-      // one aggregate pass accumulates all 16 bit counts
-      .select(col("id"), col("__n"),
-        aggregate(col("__h"), array_repeat(lit(0), 16),
-          (acc, h) => zip_with(acc, sequence(lit(1), lit(16)),
-            (a, p) => a + when(h.substr(p, lit(1)) >= "8", 1).otherwise(0)))
-          .as("__ones"))
-      .select(col("id"),
-        concat((1 to 16).map(p =>
-          when(element_at(col("__ones"), p) * 2 >= col("__n"), lit("1"))
-            .otherwise(lit("0"))): _*).as("sig"))
+      .select(col(idCol).as("id"),
+        // md5 staged once per token inside simhash64; one aggregate
+        // accumulates all 64 bit counts
+        TextAnalysis.simhash64(tokens(col(textCol))).as("sig"))
 
   /** embedding-cosine near-dup pairs via LOSSLESS angular cluster
     * blocking. Every vector gets a primary block (nearest centroid by
@@ -437,34 +426,50 @@ object Dedup {
   /** Banded hamming near-dup pairs over fixed-width bit fingerprints
     * (array<int> of 0/1 — SimHash, image aHash, any binary sketch):
     * all (a, b) with hamming(bits) <= maxDist, WITHOUT an all-pairs
-    * scan and with COMPLETE blocking by pigeonhole — the bits split
-    * into maxDist+1 contiguous bands, and <= maxDist differing bits
-    * cannot touch all of them, so every true pair shares at least one
-    * band EXACTLY. Candidates come from the usual salted band
-    * equi-join; only candidates pay the exact HAMMING_DISTANCE kernel.
-    * The exactness argument is the same pigeonhole as the PassJoin
-    * fuzzy join ([[fuzzyJoin]]), transplanted from edit space to
-    * Hamming space. */
+    * scan and with COMPLETE blocking by pigeonhole. The bits split into
+    * `blocks` contiguous blocks and each doc emits one key per
+    * (blocks - maxDist)-SUBSET of blocks (the key is those blocks'
+    * bits concatenated): <= maxDist differing bits touch at most
+    * maxDist blocks, so at least blocks - maxDist blocks are untouched
+    * on both sides — some enumerated subset is entirely clean, and
+    * every true pair shares that subset's key EXACTLY. With the
+    * default blocks = maxDist+1 this degenerates to classic banding
+    * (C(d+1, 1) = d+1 single-block keys). Raising `blocks` is the
+    * Manku et al. 2007 (WWW, public) scale posture: at 64-bit / d=3,
+    * blocks=6 gives C(6,3)=20 keys of ~32 bits each — 5x key fan-out
+    * buys a 2^16x sparser bucket space, the difference between linear
+    * and quadratic candidates on a 10^10-doc corpus. Candidates come
+    * from the usual salted band equi-join; only candidates pay the
+    * exact HAMMING_DISTANCE kernel. The exactness argument is the same
+    * pigeonhole as the PassJoin fuzzy join ([[fuzzyJoin]]),
+    * transplanted from edit space to Hamming space. */
   def hammingNearDupPairs(fps: DataFrame, idCol: String, bitsCol: String,
       maxDist: Int, hotKeyThreshold: Int = 100000,
-      numSalts: Int = 16): DataFrame = {
+      numSalts: Int = 16, blocks: Int = 0): DataFrame = {
     require(maxDist >= 0, "maxDist must be >= 0")
-    val nBands = maxDist + 1
+    val nBlocks = if (blocks > 0) blocks else maxDist + 1
+    require(nBlocks > maxDist,
+      "blocks must exceed maxDist (pigeonhole completeness)")
     val v = fps.select(col(idCol).as("id"), col(bitsCol).as("bits"))
     val width = v.select(size(col("bits"))).limit(1).collect()
       .headOption.map(_.getInt(0)).getOrElse(0)
     if (width == 0) return v.sparkSession.emptyDataFrame
       .selectExpr("CAST(NULL AS BIGINT) id_a", "CAST(NULL AS BIGINT) id_b",
         "CAST(NULL AS INT) dist").limit(0)
-    // band i covers [start_i, start_i + len_i): first (width % nBands)
-    // bands get the extra bit, same split rule as PassJoin segments
-    val base = width / nBands
-    val extra = width % nBands
-    val bandCols = (0 until nBands).map { i =>
+    require(nBlocks <= width, s"more blocks ($nBlocks) than bits ($width)")
+    // block i covers [start_i, start_i + len_i): first (width % nBlocks)
+    // blocks get the extra bit, same split rule as PassJoin segments
+    val base = width / nBlocks
+    val extra = width % nBlocks
+    def blockSlice(i: Int) = {
       val start = i * base + math.min(i, extra)
       val len = base + (if (i < extra) 1 else 0)
       concat_ws("", slice(col("bits"), start + 1, len))
     }
+    // one key per subset of (nBlocks - maxDist) blocks; subset identity
+    // rides in band_idx via posexplode so keys never cross subsets
+    val bandCols = (0 until nBlocks).combinations(nBlocks - maxDist)
+      .map(c => concat_ws("|", c.map(blockSlice): _*)).toSeq
     val banded = v.select(col("id"),
       posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_key")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

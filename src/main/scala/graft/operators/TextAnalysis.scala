@@ -36,21 +36,25 @@ object TextAnalysis {
   def bandKeys(sig: Seq[Column], rowsPerBand: Int): Seq[Column] =
     sig.grouped(rowsPerBand).map(g => md5(concat(g: _*))).toSeq
 
-  /** 16-bit SimHash as a '0'/'1' string: bit p is the majority vote of
-    * (p-th hex digit of md5(token) >= '8') over all tokens. Hex digits
-    * 8-9,a-f are exactly the ">= '8'" range in ASCII order.
-    * md5 runs ONCE per token (one aggregate accumulates all 16 bit
-    * counts) — a per-bit formulation would hash every token 16x. */
-  def simhash16(w: Column): Column = {
-    val n = size(w)
-    val ones = aggregate(
-      transform(w, t => md5(t)),
-      array_repeat(lit(0), 16),
-      (acc, h) => zip_with(acc, sequence(lit(1), lit(16)),
-        (a, p) => a + when(h.substr(p, lit(1)) >= "8", 1).otherwise(0)))
-    concat_ws("",
-      transform(ones, c => when(c * 2 >= n, lit("1")).otherwise(lit("0"))))
-  }
+  /** 64-bit SimHash as a '0'/'1' string: bit 4d+j (0-indexed) is the
+    * majority vote of bit (3-j) of hex digit d+1 of md5(token) over all
+    * tokens — every bit of the first 16 md5 nibbles, so the signature
+    * space is 2^64. (An earlier 16-bit variant used only each nibble's
+    * high bit; its 2^16 keyspace made banded hamming blocking quadratic
+    * at corpus scale — band buckets held n/256 docs — and stopped
+    * discriminating at ~10^5 docs. 64 bits gives 2^32-key bands at
+    * maxDist=1: sparse buckets, linear candidates, same posture as the
+    * aHash64 image fingerprint.)
+    * Native codegen expression (graft.functions.SimHash64): one tight
+    * loop hashes each token ONCE and accumulates all 64 bit counts —
+    * the composed-HOF equivalent (md5 transform + 64-wide
+    * aggregate/zip_with) evaluates interpreted and allocates a
+    * 64-element array per token (measured ~6x slower); DedupSpec gates
+    * value-equality between the two forms. */
+  def simhash64(w: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.SimHash64(
+        org.apache.spark.sql.graft.Bridge.expression(w)))
 
   /** token-set Jaccard similarity between two distinct-element arrays */
   def jaccard(a: Column, b: Column): Column =

@@ -30,9 +30,20 @@ object DocumentQueries extends QueryModule {
     .map(i => s"list_aggregate(list_transform(sh, x -> md5('$i:'||x)),'min')")
     .mkString("[", ", ", "]")
 
-  private val simhashSql = (1 to 16)
-    .map(p => s"CASE WHEN 2*list_aggregate(list_transform(w, x -> CASE WHEN substring(md5(x),$p,1) >= '8' THEN 1 ELSE 0 END),'sum') >= len(w) THEN '1' ELSE '0' END")
-    .mkString("concat(", ", ", ")")
+  // 64-bit simhash replay over PRE-HASHED token arrays (column `hw` =
+  // list_transform(w, md5), column `nw` = len(w)): bit p = majority of
+  // bit (3 - p%4) of hex digit (p/4 + 1) — in lockstep with
+  // TextAnalysis.simhash64
+  private val simhash64Sql = (0 until 64).map { p =>
+    val d = p / 4 + 1; val s = 3 - (p % 4)
+    s"CASE WHEN 2*list_aggregate(list_transform(hw, x -> (('0x'||substring(x,$d,1))::INTEGER >> $s) & 1),'sum') >= nw THEN '1' ELSE '0' END"
+  }.mkString("concat(", ", ", ")")
+
+  // shared CTE staging the per-token md5 once (the 64 bit terms above
+  // each re-substring it, but never re-hash)
+  private val simhashCte =
+    """t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+      |hh AS (SELECT doc_id, len(w) AS nw, list_transform(w, x -> md5(x)) AS hw FROM t)""".stripMargin.replace('\n', ' ')
 
   private val langScoreSql = TA.langMarkers.map { case (lang, ms) =>
     s"len(list_filter(w, x -> x IN (${ms.map(m => s"'$m'").mkString(",")}))) AS s_$lang"
@@ -242,34 +253,35 @@ object DocumentQueries extends QueryModule {
       (s, dir) => Dedup.simhashBuckets(table(s, dir, "documents"), "doc_id", "text")
         .withColumn("member_sample", concat_ws(",", col("member_sample")))
         .orderBy(col("sig")),
-      Some(s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
-              |sg AS (SELECT doc_id, $simhashSql AS sig FROM t)
+      Some(s"""WITH $simhashCte,
+              |sg AS (SELECT doc_id, $simhash64Sql AS sig FROM hh)
               |SELECT sig, count(*) AS n, array_to_string((list(doc_id ORDER BY doc_id))[1:100], ',') AS member_sample
               |FROM sg GROUP BY sig HAVING count(*) > 1 ORDER BY sig""".stripMargin.replace('\n', ' '))),
 
-    // ---- simhash near-dup PAIRS within hamming distance 2: the banded
-    // hamming join (complete pigeonhole blocking, maxDist+1 bands) over
-    // 16-bit simhash fingerprints; oracle brute-forces the same
-    // distance over the replicated simhash in DuckDB. dist <= 1: in a
-    // 16-bit space dist <= 2 admits ~0.2% of RANDOM pairs, which on a
-    // template-heavy corpus is a quadratic output for no extra signal
+    // ---- simhash near-dup PAIRS within hamming distance 3: the
+    // multi-block pigeonhole hamming join (Manku et al. 2007) over
+    // 64-bit simhash fingerprints; oracle brute-forces the same
+    // distance over the replicated simhash in DuckDB. In a 2^64 space
+    // dist <= 3 admits ~2^-47 of RANDOM pairs — only true near-dups
+    // survive — and blocks=6 keys on C(6,3)=20 three-block subsets of
+    // ~32 bits each, so band buckets stay sparse at corpus scale
     "q_dedup_simhash_hamming" -> Q(
       (s, dir) => {
         val fps = table(s, dir, "documents").select(col("doc_id").as("id"),
-          split(TA.simhash16(TA.tokens(col("text"))), "")
+          split(TA.simhash64(TA.tokens(col("text"))), "")
             .cast("array<tinyint>").as("bits"))
-        Dedup.hammingNearDupPairs(fps, "id", "bits", maxDist = 1)
+        Dedup.hammingNearDupPairs(fps, "id", "bits", maxDist = 3, blocks = 6)
           .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("dist"))
           .orderBy(col("doc_a"), col("doc_b"))
       },
-      Some(s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
-              |sg AS (SELECT doc_id, $simhashSql AS sig FROM t)
+      Some(s"""WITH $simhashCte,
+              |sg AS (SELECT doc_id, $simhash64Sql AS sig FROM hh)
               |SELECT doc_a, doc_b, dist FROM (
               |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-              |len(list_filter(range(1,17), p -> substring(a.sig,p,1) != substring(b.sig,p,1)))::INTEGER AS dist
+              |len(list_filter(range(1,65), p -> substring(a.sig,p,1) != substring(b.sig,p,1)))::INTEGER AS dist
               |FROM sg a JOIN sg b ON a.doc_id < b.doc_id) x
-              |WHERE dist <= 1 ORDER BY doc_a, doc_b""".stripMargin.replace('\n', ' ')),
-      doc = "complete banded hamming pairs over simhash bits (dist <= 1)"),
+              |WHERE dist <= 3 ORDER BY doc_a, doc_b""".stripMargin.replace('\n', ' ')),
+      doc = "complete banded hamming pairs over 64-bit simhash (dist <= 3)"),
 
     // ---- embedding-cosine near-dup pairs (cluster-blocked; centroids
     // come from the persisted ANN index so no KMeans fit at query time)

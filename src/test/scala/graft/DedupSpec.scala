@@ -286,10 +286,64 @@ class DedupSpec extends AnyFunSuite {
     assert(native.toSeq.map(_.toSeq) == hof.toSeq.map(_.toSeq))
   }
 
+  test("native SimHash64 matches the composed-HOF bit rule") {
+    import spark.implicits._
+    import graft.operators.{TextAnalysis => TA}
+    val texts = docs(sf001).select(col("doc_id"), col("text")).limit(50)
+    val native = texts.orderBy("doc_id")
+      .select(TA.simhash64(TA.tokens(col("text"))).as("sig"))
+      .collect().map(_.getString(0))
+    // the documented rule, composed from builtins: md5 once per token,
+    // one aggregate accumulating all 64 nibble-bit counts
+    val w = TA.tokens(col("text"))
+    val bitsPerToken = transform(transform(w, t => md5(t)),
+      h => flatten(transform(sequence(lit(1), lit(16)), d => {
+        val v = conv(h.substr(d, lit(1)), 16, 10).cast("int")
+        array(shiftright(v, 3).bitwiseAND(lit(1)),
+          shiftright(v, 2).bitwiseAND(lit(1)),
+          shiftright(v, 1).bitwiseAND(lit(1)),
+          v.bitwiseAND(lit(1)))
+      })))
+    val ones = aggregate(bitsPerToken, array_repeat(lit(0), 64),
+      (acc, b) => zip_with(acc, b, (a, x) => a + x))
+    val hof = texts.orderBy("doc_id")
+      .select(concat_ws("", transform(ones,
+        c => when(c * 2 >= size(w), lit("1")).otherwise(lit("0")))).as("sig"))
+      .collect().map(_.getString(0))
+    assert(native.toSeq === hof.toSeq)
+    assert(native.forall(s => s.length == 64 && s.forall(c => c == '0' || c == '1')))
+  }
+
   test("simhash buckets only contain groups of 2+") {
     val b = Dedup.simhashBuckets(docs(sf001), "doc_id", "text").collect()
     assert(b.forall(_.getLong(1) >= 2))
-    assert(b.forall(r => r.getString(0).length === 16 && r.getString(0).forall(c => c == '0' || c == '1')))
+    assert(b.forall(r => r.getString(0).length === 64 && r.getString(0).forall(c => c == '0' || c == '1')))
+  }
+
+  test("multi-block pigeonhole hamming join equals classic banding (complete at wider keys)") {
+    import spark.implicits._
+    // planted cluster structure: base patterns plus <=3-bit perturbations
+    val rnd = new scala.util.Random(7)
+    val bases = (0 until 6).map(_ => Array.fill(64)(rnd.nextInt(2)))
+    val rows = (0 until 120).map { i =>
+      val b = bases(i % 6).clone()
+      (0 until rnd.nextInt(5)).foreach(_ => { val p = rnd.nextInt(64); b(p) = 1 - b(p) })
+      (i.toLong, b.toSeq)
+    }
+    val fps = rows.toDF("id", "bits")
+      .withColumn("bits", col("bits").cast("array<tinyint>"))
+    def pairs(blocks: Int) = Dedup.hammingNearDupPairs(fps, "id", "bits",
+        maxDist = 3, blocks = blocks)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val classic = pairs(0)          // default: maxDist+1 = 4 single-block bands
+    val manku = pairs(6)            // C(6,3) = 20 three-block subset keys
+    assert(manku === classic, "subset keys must find exactly the banded pair set")
+    // brute-force ground truth on the driver certifies completeness
+    val brute = (for {
+      (a, ba) <- rows; (b, bb) <- rows if a < b
+      d = ba.zip(bb).count { case (x, y) => x != y } if d <= 3
+    } yield (a, b, d)).toSet
+    assert(manku === brute, "pigeonhole blocking must be lossless")
   }
 
   test("simhash megabucket: member list is a capped sample, count stays exact") {
