@@ -51,11 +51,10 @@ object HybridSearch {
   def rrf(sets: Seq[DataFrame], n: Int = 100, k: Int = 60): DataFrame = {
     require(sets.nonEmpty, "need at least one result set")
     require(n >= 1 && k >= 0, "bad truncation/constant")
-    import org.apache.spark.sql.expressions.Window
     val ranked = sets.map { s =>
-      s.orderBy(col("score").desc, col("id")).limit(n)
-        .withColumn("__rk", row_number().over(
-          Window.orderBy(col("score").desc, col("id"))))
+      val top = s.orderBy(col("score").desc, col("id")).limit(n)
+      BoundedWindow.rank(top, "__rk", n, zeroBased = false,
+        col("score").desc, col("id"))
         .select(col("id"), (lit(1.0) / (lit(k) + col("__rk"))).as("__r"))
     }
     ranked.reduce(_.unionByName(_))

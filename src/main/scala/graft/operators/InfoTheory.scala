@@ -55,15 +55,14 @@ object InfoTheory {
     * R² of log10(frequency) against log10(rank). One row:
     * `(n_tokens, slope, r2)`. The token aggregate is the only
     * data-sized stage; the rank window runs on the bounded top-K frame
-    * (post-LIMIT single partition — deliberate, K rows). */
+    * ([[BoundedWindow]]-enforced ≤ topK rows). */
   def zipfSlope(df: DataFrame, textCol: String, topK: Int = 1000): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val top = df
       .select(explode(TextAnalysis.tokens(col(textCol))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token")).limit(topK)
-    val ranked = top.withColumn("rank",
-      row_number().over(Window.orderBy(col("n").desc, col("token"))))
+    val ranked = BoundedWindow.rank(top, "rank", topK, zeroBased = false,
+      col("n").desc, col("token"))
     ranked
       .select(log10(col("rank").cast("double")).as("lr"),
         log10(col("n").cast("double")).as("lf"))

@@ -32,13 +32,16 @@ object RowNumber {
     val stamped = df
       .withColumn(pid, spark_partition_id())
       .withColumn(mid, monotonically_increasing_id())
-    // per-partition counts -> cumulative offsets; the unpartitioned window
-    // here runs over numPartitions rows, not the data
-    val offsets = stamped.groupBy(col(pid)).agg(count(lit(1)).as("__cnt"))
-      .withColumn(off,
-        coalesce(sum(col("__cnt")).over(
-          Window.orderBy(col(pid)).rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
+    // per-partition counts -> cumulative offsets; the global prefix-sum
+    // window runs over numPartitions rows, not the data
+    // (BoundedWindow-enforced)
+    val offsets = BoundedWindow.over(
+      stamped.groupBy(col(pid)).agg(count(lit(1)).as("__cnt")), 1L << 21) {
+        (d, w) =>
+          d.withColumn(off,
+            coalesce(sum(col("__cnt")).over(w.orderBy(col(pid))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      }
       .select(col(pid), col(off))
     val w = Window.partitionBy(col(pid)).orderBy(col(mid))
     stamped.join(broadcast(offsets), pid)

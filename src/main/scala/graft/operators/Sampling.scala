@@ -246,9 +246,12 @@ object Sampling {
   def interleaveDomains(df: DataFrame, domain: Column, key: Column,
       seed: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val slots = df.select(domain.as("__dom")).distinct()
-      .withColumn("slot",
-        (row_number().over(Window.orderBy(col("__dom"))) - 1).cast("int"))
+    // distinct-domain frame: bounded by the domain cardinality (a mixture
+    // has dozens of sources, not millions — BoundedWindow enforces 1M)
+    val slots = BoundedWindow.rank(
+      df.select(domain.as("__dom")).distinct(), "slot", 1L << 20,
+      zeroBased = true, col("__dom"))
+      .withColumn("slot", col("slot").cast("int"))
     val h = md5(concat_ws(":", lit(seed.toString), key.cast("string")))
     df.withColumn("__dom", domain).withColumn("__h", h)
       .join(broadcast(slots), "__dom")

@@ -274,16 +274,17 @@ object TextAnalysis {
   /** Exact top-`vocabSize` corpus vocabulary with dense ids 0..V-1
     * (count desc, token asc — fully deterministic). The top-k is
     * TakeOrderedAndProject over a map-side-combined hash-agg; the id
-    * assignment windows over the ALREADY-LIMITED vocab frame (≤ V rows),
-    * never the corpus. Output: (token, n, tok_id). */
+    * assignment windows over the ALREADY-LIMITED vocab frame (≤ V rows,
+    * [[BoundedWindow]]-enforced), never the corpus.
+    * Output: (token, n, tok_id). */
   def vocabulary(train: org.apache.spark.sql.DataFrame, textCol: String,
       vocabSize: Int): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    train.select(explode(tokens(col(textCol))).as("token"))
+    val top = train.select(explode(tokens(col(textCol))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token")).limit(vocabSize)
-      .withColumn("tok_id", (row_number().over(
-        Window.orderBy(col("n").desc, col("token"))) - 1).cast("int"))
+    BoundedWindow.rank(top, "tok_id", vocabSize, zeroBased = true,
+      col("n").desc, col("token"))
+      .withColumn("tok_id", col("tok_id").cast("int"))
   }
 
   /** Tokenizer-apply: encode each doc's token sequence as an int-id

@@ -352,4 +352,22 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("Window"), p)
     assert(!p.contains("Join"), p)
   }
+
+  test("NO registered query plans an unpartitioned window (generalizes the KS gate)") {
+    // Every legitimate whole-frame rank goes through BoundedWindow (a
+    // literal-keyed partition + runtime row-count assert), so ANY Window
+    // with an empty partitionSpec in ANY registered query is a bug — an
+    // accidental data-sized global sort funneling through one task.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val plan = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.optimizedPlan
+      plan.collectWithSubqueries {
+        case w: LWindow if w.partitionSpec.isEmpty =>
+          s"$name: ${w.windowExpressions.mkString(",").take(120)}"
+      }
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned windows:\n${offenders.mkString("\n")}")
+  }
 }
