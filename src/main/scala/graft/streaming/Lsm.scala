@@ -1,0 +1,82 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared LSM plumbing for the streaming index maintainers: tombstone
+  * segments (the delete path) and the stop-the-world segment swap
+  * (the compaction path).
+  *
+  * Deletes append one parquet segment of ids per request —
+  * right-to-be-forgotten without read-modify-writing any history, the
+  * exact mirror of how appends land. Readers fold tombstones at
+  * merge-on-read (an anti-join on a fixed-width id column — AQE
+  * broadcasts the request-sized tombstone set); compaction rewrites the
+  * folded state into one segment and drops the tombstones.
+  *
+  * Compaction contract: the caller pauses the maintainer (no concurrent
+  * foreachBatch commit — same stop-the-world contract as
+  * [[StreamingSketch.compact]]). The swap itself is crash-safe: the new
+  * segment is fully written to `<name>__compact` BEFORE the live dir
+  * moves aside, and [[recover]] (run by every reader) completes an
+  * interrupted swap — at no point is the only copy of the data mid-write.
+  */
+private[streaming] object Lsm {
+
+  def tombstone(ids: DataFrame, idKey: String, dir: String): Unit =
+    ids.select(col(idKey).as("id")).distinct()
+      .write.mode("append").parquet(s"$dir/tombstones")
+
+  def tombstones(spark: SparkSession, dir: String): Option[DataFrame] =
+    if (new java.io.File(s"$dir/tombstones").exists())
+      Some(spark.read.parquet(s"$dir/tombstones").distinct())
+    else None
+
+  /** anti-join `df` against the tombstone set on `idColName` */
+  def dropTombstoned(spark: SparkSession, dir: String, df: DataFrame,
+      idColName: String): DataFrame =
+    tombstones(spark, dir) match {
+      case Some(t) =>
+        df.join(t.select(col("id").as(idColName)), Seq(idColName), "left_anti")
+      case None => df
+    }
+
+  def clearTombstones(dir: String): Unit =
+    rmTree(Paths.get(dir, "tombstones"))
+
+  /** Replace segment dir `name` under `dir` with the fully-written
+    * contents of `<name>__compact`:
+    * move live → `<name>__trash`, atomically move compact → live, drop
+    * trash. A crash between the two moves leaves no live dir but a
+    * complete `__compact`; [[recover]] finishes the swap. */
+  def swapIn(dir: String, name: String): Unit = {
+    val live = Paths.get(dir, name)
+    val compact = Paths.get(dir, s"${name}__compact")
+    val trash = Paths.get(dir, s"${name}__trash")
+    require(Files.exists(compact), s"no compacted segment at $compact")
+    rmTree(trash)
+    if (Files.exists(live)) Files.move(live, trash)
+    Files.move(compact, live, StandardCopyOption.ATOMIC_MOVE)
+    rmTree(trash)
+  }
+
+  /** Reader-side repair: complete a swap interrupted between its two
+    * moves (live dir missing, `__compact` fully written), and clear
+    * leftover trash. Idempotent, cheap (two existence checks). */
+  def recover(dir: String, name: String): Unit = {
+    val live = Paths.get(dir, name)
+    val compact = Paths.get(dir, s"${name}__compact")
+    if (!Files.exists(live) && Files.exists(compact))
+      Files.move(compact, live, StandardCopyOption.ATOMIC_MOVE)
+    rmTree(Paths.get(dir, s"${name}__trash"))
+  }
+
+  def rmTree(p: Path): Unit =
+    if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(Files.deleteIfExists(_))
+    }
+}

@@ -47,7 +47,32 @@ object StreamingAnn {
   }
 
   /** The up-to-date searchable index (base build + every absorbed
-    * micro-batch so far). */
-  def current(spark: SparkSession, dir: String): AnnIndex.Index =
-    AnnIndex.load(spark, dir)
+    * micro-batch so far, minus every tombstoned id). */
+  def current(spark: SparkSession, dir: String): AnnIndex.Index = {
+    Lsm.recover(dir, "assignments")
+    val base = AnnIndex.load(spark, dir)
+    Lsm.tombstones(spark, dir) match {
+      case Some(t) => AnnIndex.deleteAssign(base, t, "id")
+      case None => base
+    }
+  }
+
+  /** Tombstone the vectors (one appended id segment — O(request), no
+    * history rewrite); [[current]] folds them at merge-on-read, so
+    * deleted ids never surface from any probe. Centroids stay as-built —
+    * a routing artifact, refreshed only by a rebuild (the reference
+    * re-clusters on OPTIMIZE, not per-delete). */
+  def delete(spark: SparkSession, dir: String, ids: DataFrame,
+      idKey: String): Unit =
+    Lsm.tombstone(ids, idKey, dir)
+
+  /** Stop-the-world LSM merge: rewrite the assignment segments minus
+    * the tombstones into ONE segment and drop the tombstones. Caller
+    * pauses the maintainer first. */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    current(spark, dir).assignments
+      .write.mode("overwrite").parquet(s"$dir/assignments__compact")
+    Lsm.swapIn(dir, "assignments")
+    Lsm.clearTombstones(dir)
+  }
 }

@@ -123,7 +123,14 @@ object StreamingDedup {
     * at any history size the shuffled rows are fixed-width hashes, and
     * the batch side broadcasts; the seen-set scan is O(history) IO per
     * batch, amortized by batch size), emit survivors to `dir/unique`,
-    * append their hashes. First arrival wins (dedupe-on-ingest). */
+    * append their (hash, keeper id) rows. First arrival wins
+    * (dedupe-on-ingest).
+    *
+    * DELETE mirrors append ([[deleteFromExactDedup]]): a tombstoned
+    * keeper vanishes from [[currentUnique]] AND its hash re-opens at
+    * ingest (the seen-set anti-joins the tombstones), so a later
+    * arrival of the same text is admitted — exactly the rebuild-without
+    * semantics, with no history rewrite. */
   def maintainExactDedup(stream: DataFrame, dir: String, idCol: String,
       textCol: String, checkpoint: String): StreamingQuery =
     stream.writeStream
@@ -139,17 +146,45 @@ object StreamingDedup {
           .filter(col("__rk") === 1).drop("__rk")
         val fresh =
           (if (!new java.io.File(s"$dir/hashes").exists()) keepers
-           else keepers.join(spark.read.parquet(s"$dir/hashes"),
+           else keepers.join(
+             Lsm.dropTombstoned(spark, dir,
+               spark.read.parquet(s"$dir/hashes"), "id")
+               .select(col("__h")),
              Seq("__h"), "left_anti"))
             .localCheckpoint()
         fresh.drop("__h").write.mode("append").parquet(s"$dir/unique")
-        fresh.select(col("__h")).write.mode("append").parquet(s"$dir/hashes")
+        fresh.select(col("__h"), col(idCol).as("id"))
+          .write.mode("append").parquet(s"$dir/hashes")
         ()
       }
       .start()
 
-  def currentUnique(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/unique")
+  def currentUnique(spark: SparkSession, dir: String,
+      idCol: String = "doc_id"): DataFrame = {
+    Lsm.recover(dir, "unique")
+    Lsm.dropTombstoned(spark, dir,
+      spark.read.parquet(s"$dir/unique"), idCol)
+  }
+
+  /** Tombstone previously-emitted keepers (one appended id segment).
+    * Readers fold it; the next batches may re-admit the same text. */
+  def deleteFromExactDedup(spark: SparkSession, dir: String,
+      ids: DataFrame, idKey: String): Unit =
+    Lsm.tombstone(ids, idKey, dir)
+
+  /** Stop-the-world LSM merge for the exact-dedup state: rewrite
+    * `unique` and `hashes` minus the tombstones as one segment each and
+    * drop the tombstones. Caller pauses the maintainer first. */
+  def compactExactDedup(spark: SparkSession, dir: String,
+      idCol: String): Unit = {
+    currentUnique(spark, dir, idCol)
+      .write.mode("overwrite").parquet(s"$dir/unique__compact")
+    Lsm.dropTombstoned(spark, dir,
+      spark.read.parquet(s"$dir/hashes"), "id")
+      .write.mode("overwrite").parquet(s"$dir/hashes__compact")
+    Seq("unique", "hashes").foreach(Lsm.swapIn(dir, _))
+    Lsm.clearTombstones(dir)
+  }
 
   /** Streaming CHUNK-level dedup (the paragraph dedup of
     * [[Dedup.chunkDedup]] at ingest time): the seen-set is chunk

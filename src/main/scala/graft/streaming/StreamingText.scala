@@ -18,13 +18,20 @@ import graft.operators.{Bm25, InvertedIndex}
   * parquet files. Readers merge segments on load: the same algebra as
   * [[Bm25.appendToIndex]] (doc counts and dfs are additive over
   * disjoint doc sets; avgdl is a count-weighted mean), executed over a
-  * segment table that grows by ONE ROW per batch. Periodic compaction
-  * (a plain [[Bm25.save]]) rewrites segments into one, exactly like an
-  * LSM merge.
+  * segment table that grows by ONE ROW per batch.
+  *
+  * DELETE mirrors append ([[delete]]): ids land as a tombstone segment,
+  * readers fold it at merge-on-read (postings anti-join; BM25 stats
+  * un-mix algebraically through [[Bm25.deleteFromIndex]] — the dead
+  * docs' own postings carry exactly the counts to subtract, so the
+  * surviving corpus is never re-read), and [[compactInverted]] /
+  * [[compactBm25]] rewrite segments into one and drop the tombstones —
+  * an LSM merge, right-to-be-forgotten included.
   */
 object StreamingText {
 
-  /** inverted postings: (term, doc_id) rows are a pure append */
+  /** inverted postings: (term, doc_id) rows are a pure append into
+    * `dir/postings` */
   def maintainInverted(stream: DataFrame, dir: String, idCol: String,
       textCol: String, checkpoint: String): StreamingQuery =
     stream.writeStream
@@ -32,13 +39,33 @@ object StreamingText {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         InvertedIndex.build(batch, idCol, textCol)
-          .write.mode("append").parquet(dir)
+          .write.mode("append").parquet(s"$dir/postings")
         ()
       }
       .start()
 
-  def currentInverted(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(dir)
+  def currentInverted(spark: SparkSession, dir: String): DataFrame = {
+    Lsm.recover(dir, "postings")
+    Lsm.dropTombstoned(spark, dir,
+      spark.read.parquet(s"$dir/postings"), "doc_id")
+  }
+
+  /** Tombstone the docs (one appended id segment — O(request), no
+    * history rewrite). Serves BOTH layouts: [[currentInverted]] and
+    * [[currentBm25]] fold the same tombstone set. */
+  def delete(spark: SparkSession, dir: String, ids: DataFrame,
+      idKey: String): Unit =
+    Lsm.tombstone(ids, idKey, dir)
+
+  /** Stop-the-world LSM merge for the inverted layout: fold every
+    * postings segment + the tombstones into ONE segment, drop the
+    * tombstones. Caller pauses the maintainer first. */
+  def compactInverted(spark: SparkSession, dir: String): Unit = {
+    currentInverted(spark, dir)
+      .write.mode("overwrite").parquet(s"$dir/postings__compact")
+    Lsm.swapIn(dir, "postings")
+    Lsm.clearTombstones(dir)
+  }
 
   /** BM25: postings append + one partial-stats segment per batch */
   def maintainBm25(stream: DataFrame, dir: String, idCol: String,
@@ -58,14 +85,34 @@ object StreamingText {
       .start()
 
   /** merge-on-read over the segment tables: weighted-mean avgdl and
-    * summed dfs — a tiny aggregate (one row / term-df row per batch) */
+    * summed dfs — a tiny aggregate (one row / term-df row per batch) —
+    * then the tombstone fold: [[Bm25.deleteFromIndex]] un-mixes the
+    * dead docs out of the merged stats from their own postings. */
   def currentBm25(spark: SparkSession, dir: String): Bm25.Index = {
+    Seq("postings", "doc_stats", "term_df").foreach(Lsm.recover(dir, _))
     val docStats = spark.read.parquet(s"$dir/doc_stats")
       .agg((sum(col("n_docs") * col("avgdl")) / sum(col("n_docs"))).as("avgdl"),
         sum(col("n_docs")).as("n_docs"))
       .select(col("n_docs"), col("avgdl"))
     val termDf = spark.read.parquet(s"$dir/term_df")
       .groupBy(col("term")).agg(sum(col("df")).as("df"))
-    Bm25.Index(spark.read.parquet(s"$dir/postings"), docStats, termDf)
+    val merged = Bm25.Index(spark.read.parquet(s"$dir/postings"),
+      docStats, termDf)
+    Lsm.tombstones(spark, dir) match {
+      case Some(t) => Bm25.deleteFromIndex(merged, t, "id")
+      case None => merged
+    }
+  }
+
+  /** Stop-the-world LSM merge for the BM25 layout: rewrite the folded
+    * index (segments merged, tombstones un-mixed) as one segment set and
+    * drop the tombstones. Caller pauses the maintainer first. */
+  def compactBm25(spark: SparkSession, dir: String): Unit = {
+    val idx = currentBm25(spark, dir)
+    idx.postings.write.mode("overwrite").parquet(s"$dir/postings__compact")
+    idx.docStats.write.mode("overwrite").parquet(s"$dir/doc_stats__compact")
+    idx.termDf.write.mode("overwrite").parquet(s"$dir/term_df__compact")
+    Seq("postings", "doc_stats", "term_df").foreach(Lsm.swapIn(dir, _))
+    Lsm.clearTombstones(dir)
   }
 }

@@ -47,7 +47,7 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     val fresh = docs.filter(col("doc_id") % 5 === 0)
     // batch-built base; the stream appends segments on top of it
     Bm25.save(spark, old, "doc_id", "text", s"$tmp/bm25")
-    InvertedIndex.build(old, "doc_id", "text").write.parquet(s"$tmp/inv")
+    InvertedIndex.build(old, "doc_id", "text").write.parquet(s"$tmp/inv/postings")
     fresh.write.parquet(s"$tmp/in")
     val q1 = StreamingText.maintainBm25(
       spark.readStream.schema(fresh.schema).parquet(s"$tmp/in"),
@@ -297,5 +297,115 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     assert(uniq.map(_._1).sorted.toSeq == Seq("alpha", "beta", "gamma"))
     assert(uniq.toMap.get("alpha").contains(1L))
     assert(uniq.toMap.get("gamma").contains(11L))
+  }
+
+  test("streaming text-index delete: mid-stream tombstones == rebuild without; compaction drops them") {
+    import graft.streaming.StreamingText
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("textdel").toString
+    val b1 = docs.filter(col("doc_id") % 3 === 0)
+    val b2 = docs.filter(col("doc_id") % 3 === 1)
+    def run(in: String, ck: String): Unit = {
+      val s1 = StreamingText.maintainBm25(
+        spark.readStream.schema(b1.schema).parquet(in),
+        s"$tmp/bm25", "doc_id", "text", s"$ck/bm")
+      s1.processAllAvailable(); s1.stop()
+      val s2 = StreamingText.maintainInverted(
+        spark.readStream.schema(b1.schema).parquet(in),
+        s"$tmp/inv", "doc_id", "text", s"$ck/inv")
+      s2.processAllAvailable(); s2.stop()
+    }
+    b1.write.parquet(s"$tmp/in1"); run(s"$tmp/in1", s"$tmp/ck1")
+    // MID-STREAM delete: some batch-1 docs + a non-existent id (no-op)
+    val dead = docs.filter(col("doc_id") % 6 === 0).select(col("doc_id"))
+      .unionByName(Seq(-999L).toDF("doc_id"))
+    StreamingText.delete(spark, s"$tmp/bm25", dead, "doc_id")
+    StreamingText.delete(spark, s"$tmp/inv", dead, "doc_id")
+    b2.write.parquet(s"$tmp/in2"); run(s"$tmp/in2", s"$tmp/ck2")
+
+    val survivors = docs.filter(
+      (col("doc_id") % 3 === 0 || col("doc_id") % 3 === 1) &&
+        col("doc_id") % 6 =!= 0)
+    val wantInv = InvertedIndex.build(survivors, "doc_id", "text")
+    def checkBoth(): Unit = {
+      val gotInv = StreamingText.currentInverted(spark, s"$tmp/inv")
+      assert(gotInv.exceptAll(wantInv).isEmpty && wantInv.exceptAll(gotInv).isEmpty)
+      val terms = Seq("spark", "join", "data")
+      def scores(ix: Bm25.Index) = Bm25.scoreWithIndex(ix, terms)
+        .select(col("doc_id"), round(col("score"), 9).as("score"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+      assert(scores(StreamingText.currentBm25(spark, s"$tmp/bm25")) ===
+        scores(Bm25.buildIndex(survivors, "doc_id", "text")))
+    }
+    checkBoth()
+    // compaction folds segments + tombstones into one and drops them
+    StreamingText.compactInverted(spark, s"$tmp/inv")
+    StreamingText.compactBm25(spark, s"$tmp/bm25")
+    assert(!new java.io.File(s"$tmp/inv/tombstones").exists())
+    assert(!new java.io.File(s"$tmp/bm25/tombstones").exists())
+    checkBoth()
+  }
+
+  test("streaming ANN delete: tombstoned vectors never surface; compaction drops them") {
+    val tmp = java.nio.file.Files.createTempDirectory("anndel").toString
+    val idxDir = s"$tmp/index"
+    val old = emb.filter(col("vec_id") % 5 =!= 0)
+    val fresh = emb.filter(col("vec_id") % 5 === 0)
+    AnnIndex.save(AnnIndex.build(old, "vec_id", "embedding", 8), idxDir)
+    fresh.write.parquet(s"$tmp/in")
+    val q = graft.streaming.StreamingAnn.maintain(
+      spark.readStream.schema(fresh.schema).parquet(s"$tmp/in"),
+      idxDir, "vec_id", "embedding", s"$tmp/ck")
+    q.processAllAvailable(); q.stop()
+    // delete spans BOTH the base build and the absorbed stream
+    val dead = emb.filter(col("vec_id") % 10 === 0).select(col("vec_id"))
+    graft.streaming.StreamingAnn.delete(spark, idxDir, dead, "vec_id")
+    def check(): Unit = {
+      val idx = graft.streaming.StreamingAnn.current(spark, idxDir)
+      assert(idx.assignments.count() ===
+        emb.filter(col("vec_id") % 10 =!= 0).count())
+      val deadQ = emb.filter(col("vec_id") % 10 === 0).limit(10)
+        .select(col("vec_id"), col("embedding"))
+      val res = AnnIndex.search(idx, deadQ, "vec_id", "embedding", k = 3,
+        AnnIndex.SearchConfig(clusterSearchFactor = 8.0)).collect()
+      assert(res.nonEmpty)
+      assert(res.forall(r => r.getAs[Long]("id") % 10 != 0))
+    }
+    check()
+    graft.streaming.StreamingAnn.compact(spark, idxDir)
+    assert(!new java.io.File(s"$idxDir/tombstones").exists())
+    check()
+  }
+
+  test("streaming exact-dedup delete: tombstoned keeper re-opens its hash (== rebuild without)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("exdel").toString
+    def run(in: String, ck: String): Unit = {
+      val q = graft.streaming.StreamingDedup.maintainExactDedup(
+        spark.readStream.schema("doc_id LONG, text STRING").parquet(in),
+        s"$tmp/xd", "doc_id", "text", ck)
+      q.processAllAvailable(); q.stop()
+    }
+    Seq((1L, "alpha"), (2L, "beta"))
+      .toDF("doc_id", "text").write.parquet(s"$tmp/in1")
+    run(s"$tmp/in1", s"$tmp/ck1")
+    // forget doc 1 mid-stream: its hash must re-open
+    graft.streaming.StreamingDedup.deleteFromExactDedup(
+      spark, s"$tmp/xd", Seq(1L).toDF("doc_id"), "doc_id")
+    Seq((10L, "alpha"), (11L, "beta"))
+      .toDF("doc_id", "text").write.parquet(s"$tmp/in2")
+    run(s"$tmp/in2", s"$tmp/ck2")
+    def check(): Unit = {
+      val uniq = graft.streaming.StreamingDedup
+        .currentUnique(spark, s"$tmp/xd", "doc_id")
+        .collect().map(r => r.getAs[String]("text") -> r.getAs[Long]("doc_id"))
+        .toMap
+      // rebuild-without(1): alpha re-admitted as 10, beta keeps 2 (11 dropped)
+      assert(uniq === Map("alpha" -> 10L, "beta" -> 2L))
+    }
+    check()
+    graft.streaming.StreamingDedup.compactExactDedup(spark, s"$tmp/xd", "doc_id")
+    assert(!new java.io.File(s"$tmp/xd/tombstones").exists())
+    check()
   }
 }
