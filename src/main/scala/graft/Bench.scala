@@ -46,7 +46,11 @@ object Headline {
     "q_winsorize", "q_vec_ann_pq", "q_resample_fill",
     // round-8 additions: the new heavy operators track from day one
     "q_dsir_weights", "q_vec_label_outliers", "q_dedup_simhash_hamming",
-    "q_dedup_chunks", "q_corpus_overlap")
+    "q_dedup_chunks", "q_corpus_overlap",
+    // round-9 promotions (r8 verdict): the vector-path queries whose
+    // single-rep numbers drifted 1.5-1.9x on untouched code get 3-rep
+    // medians so suite-pressure noise and real regressions separate
+    "q_vec_pca", "q_vec_knn_bulk", "q_vec_ann_quantized")
 }
 
 object Bench {
