@@ -61,10 +61,18 @@ object Multimodal {
   }
 
   private[graft] def decodeOne(id: Long, bytes: Array[Byte]): DecodedImage = {
+    val (w, h, c, px) = decodePixels(bytes)
+    DecodedImage(id, w, h, c, px)
+  }
+
+  /** (width, height, channels, pixels) or (-1, -1, 0, empty) when
+    * ImageIO cannot decode the payload — the shared pixel path behind
+    * [[decodeImages]] and [[decodeVideoFrames]]. */
+  private[graft] def decodePixels(bytes: Array[Byte]): (Int, Int, Int, Array[Float]) = {
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       catch { case _: Exception => null }
-    if (img == null) DecodedImage(id, -1, -1, 0, Array.empty[Float])
+    if (img == null) (-1, -1, 0, Array.empty[Float])
     else {
       val w = img.getWidth
       val h = img.getHeight
@@ -86,7 +94,7 @@ object Multimodal {
           }
           y += 1
         }
-        DecodedImage(id, w, h, 3, px)
+        (w, h, 3, px)
       } else {
         val raster = img.getRaster
         val c = raster.getNumBands
@@ -104,7 +112,7 @@ object Multimodal {
           while (j < w * c) { px(i) = row(j) / maxSample; i += 1; j += 1 }
           y += 1
         }
-        DecodedImage(id, w, h, c, px)
+        (w, h, c, px)
       }
     }
   }
@@ -495,5 +503,171 @@ object Multimodal {
     }
     if (b.length >= 8) walk(0, b.length)
     (brand, dur, w, h)
+  }
+
+  // ── video frame decode (MJPEG) ───────────────────────────────────────
+
+  final case class VideoFrame(id: Long, frame_idx: Int, width: Int,
+      height: Int, channels: Int, pixels: Array[Float])
+
+  /** REAL frame decode for the one video codec the JVM can do natively:
+    * MJPEG — JPEG-compressed frames in an MP4 or AVI container. The
+    * reference decodes video through native codecs
+    * (`cpp/codecs/compression.hpp`; `types.pyi:1310` Video); pure-JVM
+    * parity is exactly the JPEG-in-container subset, so this resolves
+    * the container's REAL frame layout — the MP4 sample tables (stsd
+    * codec check, stsz sizes, stsc sample→chunk mapping, stco/co64
+    * chunk offsets) or the AVI `movi` chunk list — slices each frame's
+    * bytes and feeds the same ImageIO pixel path as [[decodeImages]].
+    * Inter-coded codecs (H.264/VP9) need decoders the JDK lacks; those
+    * payloads still surface through [[videoInfo]] metadata and the
+    * [[sampleFrames]] array contract.
+    *
+    * `stride` samples every n-th frame (`frame_idx` keeps the original
+    * numbering) — the usual training-data frame-extraction shape, and
+    * it skips the DECODE of unsampled frames, not just their emission.
+    * Corrupt tolerance matches [[decodeImages]]: a payload with no
+    * decodable JPEG track yields ONE sentinel row (frame_idx = -1),
+    * an individually corrupt frame yields its own sentinel row
+    * (width = -1), and nothing fails the batch. */
+  def decodeVideoFrames(df: DataFrame, idCol: String,
+      payloadCol: String = "payload", stride: Int = 1): DataFrame = {
+    require(stride >= 1, "stride must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(payloadCol).as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, b) =>
+        val spans = jpegFrameSpans(b)
+        if (spans.isEmpty)
+          Seq(VideoFrame(id, -1, -1, -1, 0, Array.empty[Float]))
+        else spans.zipWithIndex.collect {
+          case ((off, len), idx) if idx % stride == 0 =>
+            val (w, h, c, px) =
+              decodePixels(java.util.Arrays.copyOfRange(b, off, off + len))
+            VideoFrame(id, idx, w, h, c, px)
+        }
+      })
+      .toDF()
+  }
+
+  /** (offset, length) of each JPEG frame in an MJPEG MP4/AVI payload;
+    * empty when the payload is neither container or has no JPEG track.
+    * Any structural corruption aborts to empty rather than throwing. */
+  private[graft] def jpegFrameSpans(b: Array[Byte]): Seq[(Int, Int)] =
+    try {
+      if (b.length >= 12 && new String(b, 0, 4, "US-ASCII") == "RIFF" &&
+          new String(b, 8, 4, "US-ASCII") == "AVI ") aviJpegSpans(b)
+      else mp4JpegSpans(b)
+    } catch { case _: Exception => Seq.empty }
+
+  private def be64(b: Array[Byte], i: Int): Long =
+    (be32(b, i).toLong << 32) | (be32(b, i + 4).toLong & 0xFFFFFFFFL)
+
+  /** Walk moov→trak→mdia→minf→stbl and resolve the sample tables of
+    * every track whose stsd sample-entry fourcc is a JPEG codec. */
+  private def mp4JpegSpans(b: Array[Byte]): Seq[(Int, Int)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var isJpeg = false
+    var sizes: Array[Int] = Array.empty
+    var chunkOffsets: Array[Long] = Array.empty
+    var sampleToChunk: Array[(Int, Int)] = Array.empty // (first_chunk 1-based, samples_per_chunk)
+    def reset(): Unit = {
+      isJpeg = false; sizes = Array.empty
+      chunkOffsets = Array.empty; sampleToChunk = Array.empty
+    }
+    def flushTrack(): Unit = {
+      if (isJpeg && sizes.nonEmpty && chunkOffsets.nonEmpty &&
+          sampleToChunk.nonEmpty) {
+        var sample = 0
+        var chunk = 0 // 0-based
+        var si = 0
+        while (sample < sizes.length && chunk < chunkOffsets.length) {
+          // stsc runs: entry si applies from its first_chunk until the
+          // next entry's first_chunk (first_chunk is nondecreasing)
+          while (si + 1 < sampleToChunk.length &&
+              sampleToChunk(si + 1)._1 <= chunk + 1) si += 1
+          val perChunk = sampleToChunk(si)._2
+          var off = chunkOffsets(chunk)
+          var k = 0
+          while (k < perChunk && sample < sizes.length) {
+            val len = sizes(sample)
+            if (off >= 0 && len > 0 && off + len <= b.length)
+              out += ((off.toInt, len))
+            off += len
+            sample += 1; k += 1
+          }
+          chunk += 1
+        }
+      }
+      reset()
+    }
+    def walk(from: Int, to: Int): Unit = {
+      var i = from
+      while (i + 8 <= to) {
+        val size = be32(b, i).toLong & 0xFFFFFFFFL
+        val tpe = new String(b, i + 4, 4, "US-ASCII")
+        val end = if (size == 0) to else (i + size).toInt
+        if (size != 0 && (size < 8 || end > to)) return
+        tpe match {
+          case "moov" | "mdia" | "minf" | "stbl" => walk(i + 8, end)
+          case "trak" => reset(); walk(i + 8, end); flushTrack()
+          case "stsd" =>
+            // verflags(4) entry_count(4), entry: size(4) fourcc(4) …
+            if (i + 24 <= end) {
+              val fmt = new String(b, i + 20, 4, "US-ASCII")
+              isJpeg = fmt == "jpeg" || fmt == "mjpa" || fmt == "mjpb" ||
+                fmt == "MJPG"
+            }
+          case "stsz" if i + 20 <= end =>
+            val fixed = be32(b, i + 12)
+            val n = math.min(be32(b, i + 16),
+              if (fixed != 0) Int.MaxValue else (end - i - 20) / 4)
+            sizes =
+              if (fixed != 0) Array.fill(math.min(n, (b.length / math.max(fixed, 1)) + 1))(fixed)
+              else Array.tabulate(n)(k => be32(b, i + 20 + 4 * k))
+          case "stco" if i + 16 <= end =>
+            val n = math.min(be32(b, i + 12), (end - i - 16) / 4)
+            chunkOffsets = Array.tabulate(n)(k =>
+              be32(b, i + 16 + 4 * k).toLong & 0xFFFFFFFFL)
+          case "co64" if i + 16 <= end =>
+            val n = math.min(be32(b, i + 12), (end - i - 16) / 8)
+            chunkOffsets = Array.tabulate(n)(k => be64(b, i + 16 + 8 * k))
+          case "stsc" if i + 16 <= end =>
+            val n = math.min(be32(b, i + 12), (end - i - 16) / 12)
+            sampleToChunk = Array.tabulate(n)(k =>
+              (be32(b, i + 16 + 12 * k), be32(b, i + 20 + 12 * k)))
+          case _ => ()
+        }
+        i = end
+      }
+    }
+    if (b.length >= 8) walk(0, b.length)
+    out.toSeq
+  }
+
+  /** Scan RIFF-AVI `movi` (and `rec `) LISTs for `..dc`/`..db` stream
+    * chunks whose payload starts with a JPEG SOI marker. */
+  private def aviJpegSpans(b: Array[Byte]): Seq[(Int, Int)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    def walk(from: Int, to: Int): Unit = {
+      var i = from
+      while (i + 8 <= to) {
+        val id = new String(b, i, 4, "US-ASCII")
+        val size = le32(b, i + 4)
+        val dataEnd = i + 8 + size
+        if (size < 0 || dataEnd > to) return
+        if (id == "LIST" && size >= 4) {
+          val listType = new String(b, i + 8, 4, "US-ASCII")
+          if (listType == "movi" || listType == "rec ") walk(i + 12, dataEnd)
+        } else if ((id.endsWith("dc") || id.endsWith("db")) && size >= 2 &&
+            (b(i + 8) & 0xFF) == 0xFF && (b(i + 9) & 0xFF) == 0xD8) {
+          out += ((i + 8, size))
+        }
+        i = dataEnd + (size & 1) // RIFF chunks pad to even
+      }
+    }
+    walk(12, b.length)
+    out.toSeq
   }
 }

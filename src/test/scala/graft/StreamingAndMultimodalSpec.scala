@@ -618,6 +618,74 @@ class StreamingAndMultimodalSpec extends AnyFunSuite {
     assert(rows(1).getString(1) === "unknown")
   }
 
+  test("multimodal video: MJPEG frame decode (MP4 sample tables + AVI movi) matches ImageIO ground truth") {
+    val spark2 = spark
+    import spark2.implicits._
+    // three solid-color JPEG frames (JPEG is lossy; ground truth is the
+    // SAME bytes decoded through the image path, so compare is exact)
+    def jpeg(r: Int, g: Int, bl: Int): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(16, 12,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val gr = im.createGraphics()
+      gr.setColor(new java.awt.Color(r, g, bl)); gr.fillRect(0, 0, 16, 12); gr.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "jpg", bos)
+      bos.toByteArray
+    }
+    val frames = Seq(jpeg(200, 30, 30), jpeg(30, 200, 30), jpeg(30, 30, 200))
+    def box(tpe: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length).put(tpe.getBytes("US-ASCII")).put(payload)
+      bb.array()
+    }
+    def be(i: Int): Array[Byte] =
+      java.nio.ByteBuffer.allocate(4).putInt(i).array()
+    // MP4: ftyp ++ mdat(frames) ++ moov/trak/mdia/minf/stbl with REAL
+    // sample tables — stsd 'jpeg', per-sample stsz, one-chunk stsc/stco
+    val ftyp = box("ftyp", "isom".getBytes ++ Array.fill[Byte](4)(0))
+    val mdatDataOff = ftyp.length + 8
+    val mdat = box("mdat", frames.reduce(_ ++ _))
+    val stsd = box("stsd", be(0) ++ be(1) ++
+      box("jpeg", Array.fill[Byte](70)(0))) // entry: size+fourcc+dontcare
+    val stsz = box("stsz", be(0) ++ be(0) ++ be(frames.size) ++
+      frames.flatMap(f => be(f.length)).toArray)
+    val stsc = box("stsc", be(0) ++ be(1) ++ be(1) ++ be(frames.size) ++ be(1))
+    val stco = box("stco", be(0) ++ be(1) ++ be(mdatDataOff))
+    val mp4 = ftyp ++ mdat ++
+      box("moov", box("trak", box("mdia", box("minf",
+        box("stbl", stsd ++ stsz ++ stsc ++ stco)))))
+    // AVI: RIFF('AVI ' LIST('movi' 00dc-chunks)) with RIFF even-padding
+    def riffChunk(id: String, data: Array[Byte]): Array[Byte] = {
+      val pad = if (data.length % 2 == 1) Array[Byte](0) else Array.empty[Byte]
+      val bb = java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(id.getBytes("US-ASCII")).putInt(data.length)
+      bb.array() ++ data ++ pad
+    }
+    val movi = "movi".getBytes ++ frames.flatMap(f => riffChunk("00dc", f)).toArray
+    val aviBody = "AVI ".getBytes ++ riffChunk("LIST", movi)
+    val avi = riffChunk("RIFF", aviBody)
+
+    val df = Seq((1L, mp4), (2L, avi), (3L, "nope".getBytes ++ Array.fill[Byte](20)(7)))
+      .toDF("id", "payload")
+    val got = Multimodal.decodeVideoFrames(df, "id")
+      .orderBy("id", "frame_idx").collect()
+    val want = frames.map(f => Multimodal.decodeOne(0L, f))
+    assert(want.forall(_.width === 16)) // ground truth itself decodes
+    assert(got.length === frames.size * 2 + 1)
+    for (container <- 0 to 1; k <- frames.indices) {
+      val r = got(container * frames.size + k)
+      assert(r.getInt(1) === k && r.getInt(2) === 16 && r.getInt(3) === 12)
+      assert(r.getSeq[Float](5) === want(k).pixels.toSeq)
+    }
+    // undecodable payload → ONE sentinel row, batch survives
+    val s = got.last
+    assert(s.getLong(0) === 3L && s.getInt(1) === -1 && s.getInt(2) === -1)
+    // stride=2 decodes frames 0 and 2 only, keeping original numbering
+    val strided = Multimodal.decodeVideoFrames(df.filter($"id" === 1L), "id", stride = 2)
+      .orderBy("frame_idx").collect()
+    assert(strided.map(_.getInt(1)).toSeq === Seq(0, 2))
+  }
+
   test("image near-dup: aHash + banded hamming pairs match brute force on real pixels") {
     val spark2 = spark
     import spark2.implicits._
