@@ -71,4 +71,45 @@ object InfoTheory {
         round(expr("regr_slope(lf, lr)"), 6).as("slope"),
         round(expr("regr_r2(lf, lr)"), 6).as("r2"))
   }
+
+  /** Per-source token-distribution divergence vs the whole corpus:
+    * Jensen-Shannon divergence (nats, bounded [0, ln 2]) between each
+    * source's unigram distribution p and the corpus-wide distribution q
+    * (which INCLUDES the source — the "how unlike the mixture is this
+    * ingredient" curation audit; an outlier source is boilerplate, spam,
+    * or a different register worth inspecting before mixing).
+    *
+    * Scale shape: ONE (source, term) hash aggregate does all the
+    * data-sized work; the corpus term table derives from it (vocab-sized
+    * re-agg), per-source totals broadcast. Terms the source does NOT
+    * contain are never materialized: their total JS contribution is
+    * 0.5·ln2·(1 − Σ_present q), folded in algebraically — no
+    * source × vocabulary cross join exists. */
+  def sourceDivergence(docs: DataFrame, srcCol: String,
+      textCol: String): DataFrame = {
+    val st = docs
+      .select(col(srcCol).as("src"),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy(col("src"), col("term"))
+      .agg(count(lit(1)).cast("double").as("c"))
+    val corpus = st.groupBy(col("term")).agg(sum(col("c")).as("ct"))
+    val srcTot = st.groupBy(col("src")).agg(sum(col("c")).as("n_src"))
+    val total = corpus.agg(sum(col("ct")).as("n_all"))
+    val p = col("c") / col("n_src")
+    val q = col("ct") / col("n_all")
+    val m = (p + q) / 2.0
+    st.join(corpus, "term")
+      .join(broadcast(srcTot), "src")
+      .crossJoin(broadcast(total))
+      .groupBy(col("src"))
+      .agg(
+        sum(p / 2.0 * log(p / m) + q / 2.0 * log(q / m)).as("js_present"),
+        sum(q).as("q_present"),
+        count(lit(1)).cast("long").as("n_terms"),
+        first(col("n_src")).cast("long").as("n_tokens"))
+      .select(col("src"),
+        round(col("js_present") + (lit(1.0) - col("q_present")) * math.log(2.0) / 2.0,
+          6).as("js"),
+        col("n_terms"), col("n_tokens"))
+  }
 }

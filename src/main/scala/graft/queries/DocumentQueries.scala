@@ -1298,6 +1298,53 @@ object DocumentQueries extends QueryModule {
              |round((len(list_filter(ec, x -> c >= x))
              |  + len(list_filter(et, x -> t >= x))) / 18.0, 6) AS q_blend
              |FROM sig, e ORDER BY doc_id""".stripMargin.replace('\n', ' ')),
-      doc = "two-signal decile quality blend (equal weights) per document")
+      doc = "two-signal decile quality blend (equal weights) per document"),
+
+    // ---- per-source JS divergence vs the corpus token mixture: the
+    // "which ingredient doesn't belong" audit before mixing sources
+    "q_source_divergence" -> Q(
+      (s, dir) => graft.operators.InfoTheory.sourceDivergence(
+          table(s, dir, "documents"), "source", "text")
+        .orderBy(col("src")),
+      Some("""WITH tok AS (SELECT source AS src,
+             |  unnest(string_split(text, ' ')) AS term FROM documents),
+             |st AS (SELECT src, term, count(*)::DOUBLE AS c FROM tok GROUP BY 1, 2),
+             |corpus AS (SELECT term, sum(c) AS ct FROM st GROUP BY 1),
+             |stot AS (SELECT src, sum(c) AS n_src FROM st GROUP BY 1),
+             |tot AS (SELECT sum(ct) AS n_all FROM corpus)
+             |SELECT src,
+             |round(sum((c/n_src)/2 * ln((c/n_src) / (((c/n_src)+(ct/n_all))/2))
+             |    + (ct/n_all)/2 * ln((ct/n_all) / (((c/n_src)+(ct/n_all))/2)))
+             |  + (1 - sum(ct/n_all)) * ln(2) / 2, 6) AS js,
+             |count(*)::BIGINT AS n_terms, any_value(n_src)::BIGINT AS n_tokens
+             |FROM st JOIN corpus USING (term) JOIN stot USING (src), tot
+             |GROUP BY src ORDER BY src""".stripMargin.replace('\n', ' ')),
+      doc = "per-source unigram JS divergence vs corpus mixture (absent terms folded algebraically)"),
+
+    // ---- tokenizer fertility: chars-per-token by language — the
+    // "how expensive is each language to tokenize" planning number
+    "q_token_fertility" -> Q(
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+        d.select(col("lang"), col("n_chars"),
+            size(graft.operators.TextAnalysis.tokens(col("text"))).as("toks"),
+            graft.operators.TextAnalysis.estTokenCount(col("text")).as("bpe"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("toks")).cast("long").as("n_tokens"),
+            round(sum(col("n_chars")).cast("double") / sum(col("toks")), 4)
+              .as("chars_per_token"),
+            round(sum(col("bpe")).cast("double") / sum(col("toks")), 4)
+              .as("bpe_fertility"))
+          .orderBy(col("lang"))
+      },
+      Some("""SELECT lang, count(*) AS n_docs,
+             |sum(len(string_split(text, ' ')))::BIGINT AS n_tokens,
+             |round(sum(n_chars)::DOUBLE / sum(len(string_split(text, ' '))), 4)
+             |  AS chars_per_token,
+             |round(sum((len(string_split(text,' ')) + ceil(length(text)/16.0))::INTEGER)::DOUBLE
+             |  / sum(len(string_split(text, ' '))), 4) AS bpe_fertility
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin.replace('\n', ' ')),
+      doc = "per-language whitespace-token and BPE-estimate fertility ratios")
   )
 }

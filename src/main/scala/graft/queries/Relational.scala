@@ -654,6 +654,135 @@ object Relational extends QueryModule {
              |round(sum(l_extendedprice)/count(*),4) AS mean,
              |round(min(l_extendedprice),2) AS mn, round(max(l_extendedprice),2) AS mx
              |FROM lineitem GROUP BY l_returnflag, l_linestatus
-             |ORDER BY l_returnflag, l_linestatus""".stripMargin.replace('\n', ' ')))
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin.replace('\n', ' '))),
+
+    // ---- explicit GROUPING SETS (the general form behind rollup/cube):
+    // three chosen granularities in ONE pass — Catalyst expands to a
+    // single Expand + hash-agg, never three scans. gid computed as
+    // grouping(a)*2+grouping(b) explicitly so the bit order is pinned
+    // identically in both engines.
+    "q_grouping_sets" -> Q(
+      (s, dir) => {
+        table(s, dir, "lineitem")
+          .groupingSets(
+            Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+              Seq(col("l_returnflag")), Seq.empty[org.apache.spark.sql.Column]),
+            col("l_returnflag"), col("l_linestatus"))
+          .agg((grouping(col("l_returnflag")) * 2 +
+              grouping(col("l_linestatus"))).as("gid"),
+            count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+          .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+            coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+            col("gid"), col("n"), col("qty"))
+          .orderBy(col("gid"), col("returnflag"), col("linestatus"))
+      },
+      Some("""SELECT coalesce(l_returnflag,'ALL') AS returnflag,
+             |coalesce(l_linestatus,'ALL') AS linestatus,
+             |(grouping(l_returnflag)*2 + grouping(l_linestatus))::INT AS gid,
+             |count(*) AS n, round(sum(l_quantity),2) AS qty
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+             |ORDER BY gid, returnflag, linestatus""".stripMargin.replace('\n', ' ')),
+      doc = "one Expand + one hash-agg for all three granularities"),
+
+    // ---- CUBE: every granularity combination over (source, lang)
+    "q_cube" -> Q(
+      (s, dir) => {
+        table(s, dir, "documents")
+          .cube(col("source"), col("lang"))
+          .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+          .select(coalesce(col("source"), lit("ALL")).as("src"),
+            coalesce(col("lang"), lit("ALL")).as("lng"),
+            col("n"), col("chars"))
+          .orderBy(col("src"), col("lng"))
+      },
+      Some("""SELECT coalesce(source,'ALL') AS src, coalesce(lang,'ALL') AS lng,
+             |count(*) AS n, sum(n_chars) AS chars
+             |FROM documents GROUP BY CUBE(source, lang)
+             |ORDER BY src, lng""".stripMargin.replace('\n', ' '))),
+
+    // ---- distribution window functions: ntile / percent_rank / cume_dist.
+    // The ORDER BY is the tie-free (value, event_id) total order — ntile
+    // assigns buckets by ROW POSITION, so a tied sort key would make the
+    // assignment engine-dependent.
+    "q_window_ntile" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("value"), col("event_id"))
+        table(s, dir, "events")
+          .filter(col("user_id") < 20)
+          .select(col("event_type"), col("event_id"),
+            ntile(4).over(w).as("quartile"),
+            round(percent_rank().over(w), 6).as("pct_rank"),
+            round(cume_dist().over(w), 6).as("cume"))
+          .orderBy(col("event_type"), col("event_id"))
+      },
+      Some("""SELECT event_type, event_id,
+             |ntile(4) OVER w AS quartile,
+             |round(percent_rank() OVER w, 6) AS pct_rank,
+             |round(cume_dist() OVER w, 6) AS cume
+             |FROM events WHERE user_id < 20
+             |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+             |ORDER BY event_type, event_id""".stripMargin.replace('\n', ' '))),
+
+    // ---- ordered string aggregation (listagg): deterministic via
+    // sort_array of the collected set, not collection order
+    "q_string_agg" -> Q(
+      (s, dir) => {
+        table(s, dir, "documents")
+          .groupBy(col("source"))
+          .agg(array_join(array_sort(collect_set(col("lang"))), ",").as("langs"),
+            count(lit(1)).as("n"))
+          .orderBy(col("source"))
+      },
+      Some("""SELECT source, string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs,
+             |count(*) AS n FROM documents GROUP BY source
+             |ORDER BY source""".stripMargin.replace('\n', ' '))),
+
+    // ---- PIVOT: event-type counts as columns per user bucket — Spark's
+    // pivot with an EXPLICIT value list stays one pass (no distinct-scan
+    // to discover columns); the oracle is the equivalent conditional agg
+    "q_pivot" -> Q(
+      (s, dir) => {
+        table(s, dir, "events")
+          .withColumn("bucket", (col("user_id") % 10).cast("long"))
+          .groupBy(col("bucket"))
+          .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+          .count()
+          .select(col("bucket"),
+            coalesce(col("click"), lit(0L)).as("click"),
+            coalesce(col("error"), lit(0L)).as("error"),
+            coalesce(col("purchase"), lit(0L)).as("purchase"),
+            coalesce(col("signup"), lit(0L)).as("signup"),
+            coalesce(col("view"), lit(0L)).as("view"))
+          .orderBy(col("bucket"))
+      },
+      Some("""SELECT (user_id % 10) AS bucket,
+             |count(*) FILTER (WHERE event_type='click') AS click,
+             |count(*) FILTER (WHERE event_type='error') AS error,
+             |count(*) FILTER (WHERE event_type='purchase') AS purchase,
+             |count(*) FILTER (WHERE event_type='signup') AS signup,
+             |count(*) FILTER (WHERE event_type='view') AS view
+             |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin.replace('\n', ' '))),
+
+    // ---- referential-integrity audit: quantify join loss BEFORE an
+    // inner-join pipeline silently drops orphaned rows
+    "q_fk_audit" -> Q(
+      (s, dir) => graft.operators.Integrity.fkAudit(
+        table(s, dir, "lineitem"), "l_orderkey",
+        table(s, dir, "orders"), "o_orderkey"),
+      Some("""WITH fk AS (SELECT l_orderkey AS k FROM lineitem),
+             |tot AS (SELECT count(*)::BIGINT AS child_rows,
+             |  count(k)::BIGINT AS nonnull_rows FROM fk),
+             |per AS (SELECT k, count(*) AS n FROM fk WHERE k IS NOT NULL GROUP BY 1),
+             |dk AS (SELECT count(*)::BIGINT AS distinct_fk FROM per),
+             |orph AS (SELECT coalesce(sum(n), 0)::BIGINT AS orphan_rows,
+             |  count(*)::BIGINT AS orphan_keys FROM per
+             |  WHERE k NOT IN (SELECT o_orderkey FROM orders))
+             |SELECT child_rows, nonnull_rows, distinct_fk, orphan_rows, orphan_keys,
+             |round(CASE WHEN nonnull_rows = 0 THEN 1.0
+             |  ELSE 1.0 - orphan_rows::DOUBLE / nonnull_rows END, 6) AS fk_coverage
+             |FROM tot, dk, orph""".stripMargin.replace('\n', ' ')),
+      doc = "lineitem.l_orderkey -> orders.o_orderkey coverage audit (anti-join on key-sized frames)")
   )
 }

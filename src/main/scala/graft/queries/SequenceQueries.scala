@@ -640,6 +640,26 @@ object SequenceQueries extends QueryModule {
              |round(quantile_cont(gap, 0.9), 4) AS p90_gap_s
              |FROM g WHERE gap IS NOT NULL
              |GROUP BY event_type ORDER BY event_type""".stripMargin.replace('\n', ' ')),
-      doc = "per-type inter-arrival gap count and p50/p90 seconds")
+      doc = "per-type inter-arrival gap count and p50/p90 seconds"),
+
+    // ---- key-skew audit: the distribution report that justifies (or
+    // rules out) salting before a 100 TB shuffle on this key
+    "q_key_skew" -> Q(
+      (s, dir) => graft.operators.Profiling.keyProfile(
+        table(s, dir, "events"), "user_id", topK = 10),
+      Some("""WITH c AS (SELECT user_id::VARCHAR AS k, count(*) AS n
+             |  FROM events GROUP BY 1),
+             |s AS (SELECT sum(n)::BIGINT AS n_rows, count(*)::BIGINT AS n_keys,
+             |  max(n) AS max_n, sum(n * ln(n)) AS nlogn FROM c),
+             |t AS (SELECT sum(n) AS top_n FROM
+             |  (SELECT n, k FROM c ORDER BY n DESC, k LIMIT 10))
+             |SELECT n_rows, n_keys,
+             |round(max_n::DOUBLE / n_rows, 6) AS top1_share,
+             |round(top_n::DOUBLE / n_rows, 6) AS topk_share,
+             |round(ln(n_rows) - nlogn / n_rows, 6) AS entropy,
+             |round(CASE WHEN n_keys = 1 THEN 1.0
+             |  ELSE (ln(n_rows) - nlogn / n_rows) / ln(n_keys) END, 6) AS uniformity
+             |FROM s, t""".stripMargin.replace('\n', ' ')),
+      doc = "one-row key-distribution profile of events.user_id (top shares, entropy)")
   )
 }

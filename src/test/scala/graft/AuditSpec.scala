@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Integrity, InfoTheory, Profiling}
+
+/** Laws for the operational audit operators (key skew, FK integrity,
+  * source divergence) on hand-built frames where the right answer is
+  * computable by inspection. */
+class AuditSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  test("keyProfile: uniform keys report uniformity ~1 and exact top shares") {
+    val df = (0 until 100).map(i => (i % 10).toLong).toDF("k")
+    val r = Profiling.keyProfile(df, "k", topK = 3).collect().head
+    assert(r.getAs[Long]("n_rows") === 100L && r.getAs[Long]("n_keys") === 10L)
+    assert(r.getAs[Double]("top1_share") === 0.1)
+    assert(r.getAs[Double]("topk_share") === 0.3)
+    assert(math.abs(r.getAs[Double]("uniformity") - 1.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("entropy") - math.log(10)) < 1e-6)
+  }
+
+  test("keyProfile: planted hot key dominates top1_share; single key degenerates to uniformity 1") {
+    val skewed = (Seq.fill(90)(1L) ++ (2L to 11L)).toDF("k")
+    val r = Profiling.keyProfile(skewed, "k", topK = 1).collect().head
+    assert(r.getAs[Double]("top1_share") === 0.9)
+    assert(r.getAs[Double]("uniformity") < 0.25)
+    val one = Profiling.keyProfile(Seq(5L, 5L, 5L).toDF("k"), "k").collect().head
+    assert(one.getAs[Long]("n_keys") === 1L &&
+      one.getAs[Double]("uniformity") === 1.0 &&
+      one.getAs[Double]("entropy") === 0.0)
+    // NULL keys count as their own key
+    val withNull = Seq(Some(1L), Some(1L), None).toDF("k")
+    assert(Profiling.keyProfile(withNull, "k").collect().head
+      .getAs[Long]("n_keys") === 2L)
+  }
+
+  test("fkAudit: planted orphans and NULLs count exactly; intact relation reports coverage 1") {
+    val child = Seq(Some(1L), Some(1L), Some(2L), Some(99L), Some(99L),
+      Some(98L), None).toDF("fk")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val r = Integrity.fkAudit(child, "fk", parent, "pk").collect().head
+    assert(r.getAs[Long]("child_rows") === 7L)
+    assert(r.getAs[Long]("nonnull_rows") === 6L)
+    assert(r.getAs[Long]("distinct_fk") === 4L)
+    assert(r.getAs[Long]("orphan_rows") === 3L) // 99,99,98
+    assert(r.getAs[Long]("orphan_keys") === 2L)
+    assert(r.getAs[Double]("fk_coverage") === 0.5)
+    val intact = Integrity.fkAudit(
+      Seq(1L, 2L, 2L).toDF("fk"), "fk", parent, "pk").collect().head
+    assert(intact.getAs[Long]("orphan_rows") === 0L &&
+      intact.getAs[Double]("fk_coverage") === 1.0)
+  }
+
+  test("sourceDivergence: identical sources diverge 0 from the mixture; disjoint sources are symmetric and bounded") {
+    val same = Seq(("a", "x y z"), ("b", "x y z")).toDF("src", "text")
+    val r0 = InfoTheory.sourceDivergence(same, "src", "text")
+      .collect().map(_.getAs[Double]("js"))
+    assert(r0.forall(_ === 0.0))
+    val disjoint = Seq(("a", "x y"), ("b", "u v")).toDF("src", "text")
+    val r1 = InfoTheory.sourceDivergence(disjoint, "src", "text")
+      .collect().map(r => r.getAs[String]("src") -> r.getAs[Double]("js")).toMap
+    assert(r1("a") === r1("b")) // equal-size disjoint halves are symmetric
+    assert(r1("a") > 0.0 && r1("a") < math.log(2.0))
+  }
+}
