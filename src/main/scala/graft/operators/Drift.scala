@@ -189,4 +189,90 @@ object Drift {
     try r.gaps.agg(max(col("gap"))).head().getDouble(0)
     finally r.release()
   }
+
+  /** Bucket-over-bucket PSI timeline: for every bucket (day, hour,
+    * ingest batch, …) the PSI of its value distribution against the
+    * PREVIOUS bucket's — the "which day did the feed change" monitor,
+    * where [[psi]] answers only "did it change vs one fixed reference".
+    * Output per bucket (first bucket has no predecessor and is absent):
+    * `(bucket, prev_bucket, n_ref, n_cur, psi)`.
+    *
+    * Plan shape: ONE grouped exact-percentile aggregate computes every
+    * bucket's decile edges (the only data-sized aggregation); the
+    * predecessor pairing is a lag over the BOUNDED bucket frame
+    * ([[BoundedWindow]], ≤ maxBuckets); rows then bin map-side against
+    * the broadcast pair table — twice, once as each pair's current side
+    * (own rows vs predecessor edges) and once as its reference side
+    * (predecessor rows vs their own edges, exact tie behavior instead of
+    * the assumed-uniform shortcut) — each a (bucket, bin) hash agg.
+    * Rows never join rows. */
+  def psiTimeline(df: DataFrame, bucketCol: String, valueCol: String,
+      nBins: Int = 10, eps: Double = 1e-4,
+      maxBuckets: Long = 100000): DataFrame = {
+    require(nBins >= 2, "need at least 2 bins")
+    val nn = df.filter(col(valueCol).isNotNull)
+      .select(col(bucketCol).as("bucket"), col(valueCol).cast("double").as("__v"))
+    val qs = (1 until nBins).map(_.toDouble / nBins)
+    val qArr = qs.mkString("array(", ", ", ")")
+    val edges = nn.groupBy(col("bucket"))
+      .agg(expr(s"percentile(__v, $qArr)").as("edges"), count(lit(1)).as("n"))
+    val paired = BoundedWindow.over(edges, maxBuckets) { (d, w) =>
+      val byBucket = w.orderBy(col("bucket"))
+      d.withColumn("prev_bucket", lag(col("bucket"), 1).over(byBucket))
+        .withColumn("prev_edges", lag(col("edges"), 1).over(byBucket))
+        .withColumn("n_ref", lag(col("n"), 1).over(byBucket))
+    }.filter(col("prev_bucket").isNotNull)
+      .select(col("bucket"), col("prev_bucket"), col("prev_edges"),
+        col("n").as("n_cur"), col("n_ref"))
+    def binAgg(joinKey: Column, side: String): DataFrame =
+      nn.join(broadcast(paired.select(col("bucket").as("__target"),
+          joinKey.as("__rows_from"), col("prev_edges"))),
+          col("bucket") === col("__rows_from"))
+        .select(col("__target"),
+          size(filter(col("prev_edges"), e => col("__v") > e)).as("bin"))
+        .groupBy(col("__target"), col("bin"))
+        .agg(count(lit(1)).as(s"n_${side}_bin"))
+    val curB = binAgg(col("bucket"), "cur")
+    val refB = binAgg(col("prev_bucket"), "ref")
+    curB.join(refB, Seq("__target", "bin"), "full")
+      .select(col("__target"), col("bin"),
+        coalesce(col("n_cur_bin"), lit(0L)).as("ncb"),
+        coalesce(col("n_ref_bin"), lit(0L)).as("nrb"))
+      .join(broadcast(paired), col("__target") === col("bucket"))
+      .withColumn("p_cur", greatest(col("ncb") / col("n_cur"), lit(eps)))
+      .withColumn("p_ref", greatest(col("nrb") / col("n_ref"), lit(eps)))
+      .groupBy(col("bucket"), col("prev_bucket"), col("n_ref"), col("n_cur"))
+      .agg(round(sum((col("p_cur") - col("p_ref")) *
+        log(col("p_cur") / col("p_ref"))), 6).as("psi"))
+  }
+
+  /** Embedding-space drift between two snapshots: the rebuild trigger
+    * for [[AnnIndex]] ("centroids drift only under distribution shift,
+    * so periodic rebuilds bracket many cheap absorbs" — this is the
+    * monitor that says WHEN). One row: `(n_ref, n_cur, centroid_cosine,
+    * centroid_shift, norm_ref, norm_cur)` — cosine between the two mean
+    * vectors (direction drift), L2 distance between them (magnitude),
+    * and each mean's own norm (a collapsed-embedding symptom: norms near
+    * 0 mean the population has no dominant direction).
+    *
+    * Plan shape: each side is ONE Summarizer.mean aggregate (fixed
+    * d-double buffer, map-side combine); everything after runs on two
+    * 1-row frames. */
+  def embeddingDrift(ref: DataFrame, cur: DataFrame,
+      vecCol: String): DataFrame = {
+    import org.apache.spark.ml.stat.Summarizer
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    def side(df: DataFrame, s: String): DataFrame =
+      df.select(array_to_vector(col(vecCol).cast("array<double>")).as("__v"))
+        .agg(Summarizer.mean(col("__v")).as("__m"), count(lit(1)).as(s"n_$s"))
+        .select(vector_to_array(col("__m")).as(s"m_$s"), col(s"n_$s"))
+    side(ref, "ref").crossJoin(side(cur, "cur"))
+      .select(col("n_ref"), col("n_cur"),
+        round(graft.functions.gf.cosine_similarity(col("m_ref"), col("m_cur")), 6)
+          .as("centroid_cosine"),
+        round(graft.functions.gf.l2_norm(col("m_ref"), col("m_cur")), 6)
+          .as("centroid_shift"),
+        round(graft.functions.gf.l2_norm(col("m_ref")), 6).as("norm_ref"),
+        round(graft.functions.gf.l2_norm(col("m_cur")), 6).as("norm_cur"))
+  }
 }

@@ -377,4 +377,26 @@ object EventAnalytics {
         col(tsNsCol) - col("__prev") >= gapNs)
       .drop("__prev")
   }
+
+  /** CDC latest-state materialization: collapse an event/change log to
+    * the LATEST row per key — the "current state" view every CDC
+    * pipeline derives (Debezium compaction, SCD type-1, [[Snapshots]]'
+    * merge-on-read sibling for plain logs). Ties on `orderCol` break by
+    * descending `idCol` (later-written wins), so the result is
+    * deterministic and engine-replayable.
+    *
+    * Plan shape: ONE max_by hash aggregate over a (order, id) struct —
+    * map-side combinable, so each partition contributes one candidate
+    * per key and the shuffle carries keys, not history. A window +
+    * rn=1 filter would sort every key's whole history instead. */
+  def latestSnapshot(log: DataFrame, keyCols: Seq[String],
+      orderCol: String, idCol: String): DataFrame = {
+    val payload = log.columns.filterNot(keyCols.contains)
+    log.groupBy(keyCols.map(col): _*)
+      .agg(max_by(
+        struct(payload.map(col): _*),
+        struct(col(orderCol), col(idCol))).as("__latest"))
+      .select(keyCols.map(col) ++
+        payload.map(c => col(s"__latest.$c").as(c)): _*)
+  }
 }

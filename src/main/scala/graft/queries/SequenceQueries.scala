@@ -660,6 +660,65 @@ object SequenceQueries extends QueryModule {
              |round(CASE WHEN n_keys = 1 THEN 1.0
              |  ELSE (ln(n_rows) - nlogn / n_rows) / ln(n_keys) END, 6) AS uniformity
              |FROM s, t""".stripMargin.replace('\n', ' ')),
-      doc = "one-row key-distribution profile of events.user_id (top shares, entropy)")
+      doc = "one-row key-distribution profile of events.user_id (top shares, entropy)"),
+
+    // ---- day-over-day PSI timeline: WHICH day the feed changed, not
+    // just whether it differs from one fixed reference
+    "q_drift_psi_timeline" -> Q(
+      (s, dir) => graft.operators.Drift.psiTimeline(
+          table(s, dir, "events").withColumn("day", to_date(col("ts"))),
+          "day", "value", nBins = 10)
+        .select(col("bucket").cast("string").as("day"),
+          col("prev_bucket").cast("string").as("prev_day"),
+          col("n_ref"), col("n_cur"), col("psi"))
+        .orderBy(col("day")),
+      Some("""WITH nn AS (SELECT date_trunc('day', ts)::DATE AS bucket,
+             |  value::DOUBLE AS v FROM events WHERE value IS NOT NULL),
+             |e AS (SELECT bucket,
+             |  quantile_cont(v, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS edges,
+             |  count(*) AS n FROM nn GROUP BY 1),
+             |p AS (SELECT bucket, edges, n,
+             |  lag(bucket) OVER (ORDER BY bucket) AS prev_bucket,
+             |  lag(edges) OVER (ORDER BY bucket) AS prev_edges,
+             |  lag(n) OVER (ORDER BY bucket) AS n_ref FROM e),
+             |pp AS (SELECT bucket, prev_bucket, prev_edges, n AS n_cur, n_ref
+             |  FROM p WHERE prev_bucket IS NOT NULL),
+             |curb AS (SELECT pp.bucket AS t,
+             |  len(list_filter(pp.prev_edges, x -> nn.v > x)) AS bin, count(*) AS ncb
+             |  FROM nn JOIN pp ON nn.bucket = pp.bucket GROUP BY 1, 2),
+             |refb AS (SELECT pp.bucket AS t,
+             |  len(list_filter(pp.prev_edges, x -> nn.v > x)) AS bin, count(*) AS nrb
+             |  FROM nn JOIN pp ON nn.bucket = pp.prev_bucket GROUP BY 1, 2),
+             |j AS (SELECT coalesce(curb.t, refb.t) AS t,
+             |  coalesce(curb.bin, refb.bin) AS bin,
+             |  coalesce(ncb, 0) AS ncb, coalesce(nrb, 0) AS nrb
+             |  FROM curb FULL JOIN refb ON curb.t = refb.t AND curb.bin = refb.bin)
+             |SELECT pp.bucket::VARCHAR AS day, pp.prev_bucket::VARCHAR AS prev_day,
+             |pp.n_ref::BIGINT AS n_ref, pp.n_cur::BIGINT AS n_cur,
+             |round(sum((greatest(ncb / pp.n_cur::DOUBLE, 0.0001)
+             |    - greatest(nrb / pp.n_ref::DOUBLE, 0.0001))
+             |  * ln(greatest(ncb / pp.n_cur::DOUBLE, 0.0001)
+             |    / greatest(nrb / pp.n_ref::DOUBLE, 0.0001))), 6) AS psi
+             |FROM j JOIN pp ON j.t = pp.bucket
+             |GROUP BY 1, 2, 3, 4 ORDER BY day""".stripMargin.replace('\n', ' ')),
+      doc = "bucket-over-bucket PSI of event values by day (prev-day deciles)"),
+
+    // ---- CDC latest-state view: one max_by hash agg, shuffle carries
+    // keys not history (vs a window that sorts every key's past)
+    "q_cdc_latest" -> Q(
+      (s, dir) => graft.operators.EventAnalytics.latestSnapshot(
+          table(s, dir, "events")
+            .select(col("user_id"), col("event_type"), col("event_id"),
+              col("ts_ns"), col("value")),
+          Seq("user_id", "event_type"), "ts_ns", "event_id")
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          round(col("value"), 6).as("value"))
+        .orderBy(col("user_id"), col("event_type")),
+      Some("""SELECT user_id, event_type, event_id, round(value, 6) AS value
+             |FROM (SELECT user_id, event_type, event_id, value,
+             |  row_number() OVER (PARTITION BY user_id, event_type
+             |    ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn FROM events)
+             |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin.replace('\n', ' ')),
+      doc = "latest row per (user, event_type) — CDC current-state materialization")
   )
 }

