@@ -377,6 +377,44 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     check()
   }
 
+  test("streaming CDC view: any batch split == batch latestSnapshot; as-of delete forgets then re-opens") {
+    import graft.streaming.StreamingCdc
+    import graft.operators.EventAnalytics
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("cdc").toString
+    def run(rows: Seq[(Long, String, Long, String)], in: String, ck: String): Unit = {
+      rows.toDF("id", "key", "ord", "state").write.parquet(in)
+      val q = StreamingCdc.maintain(
+        spark.readStream.schema("id LONG, key STRING, ord LONG, state STRING").parquet(in),
+        s"$tmp/v", Seq("key"), "ord", "id", ck)
+      q.processAllAvailable(); q.stop()
+    }
+    run(Seq((1L, "a", 10L, "a1"), (2L, "b", 10L, "b1"), (3L, "a", 20L, "a2")),
+      s"$tmp/in1", s"$tmp/ck1")
+    run(Seq((4L, "b", 30L, "b2"), (5L, "c", 5L, "c1")), s"$tmp/in2", s"$tmp/ck2")
+    def view(): Map[String, String] =
+      StreamingCdc.current(spark, s"$tmp/v", Seq("key"), "ord", "id")
+        .collect().map(r => r.getAs[String]("key") -> r.getAs[String]("state")).toMap
+    assert(view() === Map("a" -> "a2", "b" -> "b2", "c" -> "c1"))
+    // forget 'a' up to ord 25: vanishes now...
+    StreamingCdc.delete(spark, s"$tmp/v", Seq("a").toDF("key"), "key", asOf = 25L)
+    assert(view() === Map("b" -> "b2", "c" -> "c1"))
+    // ...but a LATER arrival re-opens it with only the new state
+    run(Seq((6L, "a", 30L, "a3")), s"$tmp/in3", s"$tmp/ck3")
+    assert(view() === Map("a" -> "a3", "b" -> "b2", "c" -> "c1"))
+    // compaction folds segments + tombstones into one and drops them
+    StreamingCdc.compact(spark, s"$tmp/v", Seq("key"), "ord", "id")
+    assert(!new java.io.File(s"$tmp/v/tombstones").exists())
+    assert(view() === Map("a" -> "a3", "b" -> "b2", "c" -> "c1"))
+    // the streamed view == the batch operator over the surviving log
+    val batch = EventAnalytics.latestSnapshot(
+      Seq((2L, "b", 10L, "b1"), (4L, "b", 30L, "b2"), (5L, "c", 5L, "c1"),
+        (6L, "a", 30L, "a3")).toDF("id", "key", "ord", "state"),
+      Seq("key"), "ord", "id")
+      .collect().map(r => r.getAs[String]("key") -> r.getAs[String]("state")).toMap
+    assert(view() === batch)
+  }
+
   test("streaming exact-dedup delete: tombstoned keeper re-opens its hash (== rebuild without)") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("exdel").toString
