@@ -17,11 +17,13 @@ object Integrity {
     * rows whose key resolves (NULL keys are excluded from coverage —
     * SQL FK semantics — but reported via child_rows − nonnull_rows).
     *
-    * Scale shape: the child collapses to per-key counts in ONE hash
-    * aggregate (both the distinct count and the orphan branch reuse that
-    * exchange); orphan detection is an anti-join of the KEY-sized frame
-    * against the parent's distinct keys — the child's raw rows never
-    * join anything, and the parent is never scanned twice. */
+    * Scale shape: Catalyst specializes each consumer of the per-key
+    * frame — the distinct count becomes a plain distinct aggregate (no
+    * per-key counts carried), and the orphan branch's anti-join pushes
+    * BELOW its aggregate — so every branch is scan → partial agg →
+    * scalar, and orphan detection anti-joins against the parent's
+    * distinct keys (broadcast or shuffled by AQE at the parent's real
+    * size). No branch pays more than one scan + one aggregate. */
   def fkAudit(child: DataFrame, fkCol: String,
       parent: DataFrame, pkCol: String): DataFrame = {
     val fk = child.select(col(fkCol).as("__fk"))

@@ -353,6 +353,55 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Join"), p)
   }
 
+  test("CDC latest-state is one partial-combined aggregate: no window, no join") {
+    val p = planOf("q_cdc_latest")
+    // the property that matters at scale: a PARTIAL max_by runs before
+    // the exchange (each partition ships one candidate per key, not its
+    // history), and no window sorts any key's past. Spark plans the
+    // struct-ordered max_by as SortAggregate — the partial is the point.
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("partial_max_by"), p)
+  }
+
+  test("key skew + FK audit reuse the key-count exchange across consumers") {
+    // exchange reuse is an AQE runtime decision — assert on the FINAL
+    // adaptive plan after an action on the query's own execution (a
+    // noop write would spawn a separate QueryExecution)
+    def finalPlan(name: String): String = {
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    }
+    val ps = finalPlan("q_key_skew")
+    assert(ps.contains("isFinalPlan=true"), ps)
+    assert(ps.contains("ReusedExchange"), ps) // key counts computed ONCE
+    assert(!ps.contains("SortMergeJoin"), ps)
+    // fk audit: Catalyst SPECIALIZES the consumers instead (distinct-only
+    // agg; anti-join pushed below the orphan count) — assert the anti
+    // join exists and nothing degenerates to a cartesian product
+    val pf = finalPlan("q_fk_audit")
+    assert(pf.contains("LeftAnti"), pf)
+    assert(!pf.contains("CartesianProduct"), pf)
+  }
+
+  test("PSI timeline: rows bin against broadcast pair tables, rows never join rows") {
+    val p = planOf("q_drift_psi_timeline")
+    // the data-sized joins (row binning) must broadcast the bucket pair
+    // table; the one full-outer merge of the two (buckets x bins)-sized
+    // bin-count frames cannot broadcast and legitimately sort-merges a
+    // BOUNDED frame — so gate the count, not the existence
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.sliding("SortMergeJoin".length).count(_ == "SortMergeJoin") <= 1, p)
+  }
+
+  test("embedding drift: two fixed-width aggregates, no shuffle join") {
+    val p = planOf("q_vec_embedding_drift")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("NO registered query plans an unpartitioned window (generalizes the KS gate)") {
     // Every legitimate whole-frame rank goes through BoundedWindow (a
     // literal-keyed partition + runtime row-count assert), so ANY Window
