@@ -246,6 +246,46 @@ object Drift {
         log(col("p_cur") / col("p_ref"))), 6).as("psi"))
   }
 
+  /** Per-group PSI: WHICH segment drifted, not just whether the whole
+    * feed did — each group's current distribution scores against that
+    * group's OWN reference deciles. Output per group present on both
+    * sides: `(group, n_ref, n_cur, psi)`.
+    *
+    * Plan shape: the reference pays ONE grouped exact-percentile
+    * aggregate (edges + counts per group); both sides then bin map-side
+    * against the broadcast group-edge table (group-cardinality rows) and
+    * pay one (group, bin) hash agg each. Rows never join rows — the
+    * [[psiBins]] posture with a group key. */
+  def psiBinsByGroup(ref: DataFrame, cur: DataFrame, valueCol: String,
+      groupCol: String, nBins: Int = 10, eps: Double = 1e-4): DataFrame = {
+    require(nBins >= 2, "need at least 2 bins")
+    def nn(df: DataFrame) = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("group"), col(valueCol).cast("double").as("__v"))
+    val qs = (1 until nBins).map(_.toDouble / nBins)
+    val qArr = qs.mkString("array(", ", ", ")")
+    val edges = nn(ref).groupBy(col("group"))
+      .agg(expr(s"percentile(__v, $qArr)").as("__edges"),
+        count(lit(1)).as("n_ref"))
+    val curTot = nn(cur).groupBy(col("group")).agg(count(lit(1)).as("n_cur"))
+    def binAgg(df: DataFrame, side: String): DataFrame =
+      df.join(broadcast(edges.select(col("group"), col("__edges"))), "group")
+        .select(col("group"),
+          size(filter(col("__edges"), e => col("__v") > e)).as("bin"))
+        .groupBy(col("group"), col("bin"))
+        .agg(count(lit(1)).as(s"n_${side}_bin"))
+    binAgg(nn(ref), "ref").join(binAgg(nn(cur), "cur"), Seq("group", "bin"), "full")
+      .select(col("group"), col("bin"),
+        coalesce(col("n_ref_bin"), lit(0L)).as("nrb"),
+        coalesce(col("n_cur_bin"), lit(0L)).as("ncb"))
+      .join(broadcast(edges.select(col("group"), col("n_ref"))), "group")
+      .join(broadcast(curTot), "group")
+      .withColumn("p_ref", greatest(col("nrb") / col("n_ref"), lit(eps)))
+      .withColumn("p_cur", greatest(col("ncb") / col("n_cur"), lit(eps)))
+      .groupBy(col("group"), col("n_ref"), col("n_cur"))
+      .agg(round(sum((col("p_cur") - col("p_ref")) *
+        log(col("p_cur") / col("p_ref"))), 6).as("psi"))
+  }
+
   /** Embedding-space drift between two snapshots: the rebuild trigger
     * for [[AnnIndex]] ("centroids drift only under distribution shift,
     * so periodic rebuilds bracket many cheap absorbs" — this is the

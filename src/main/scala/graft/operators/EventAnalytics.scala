@@ -399,4 +399,79 @@ object EventAnalytics {
       .select(keyCols.map(col) ++
         payload.map(c => col(s"__latest.$c").as(c)): _*)
   }
+
+  /** Time-weighted average per key — the correct mean of an
+    * irregularly-sampled signal (a gauge read every few minutes holds
+    * its value BETWEEN reads; the row-mean over-weights bursty
+    * intervals). Each observation carries its value until the next one:
+    * TWA = Σ vᵢ·(tᵢ₊₁ − tᵢ) / (t_last − t_first); the final observation
+    * spans zero time. Keys with one observation (no span) report that
+    * value. Output: `(key, n_obs, span_s, twa, row_mean)` — row_mean
+    * included because the GAP between the two is the burstiness signal.
+    *
+    * Plan shape: one lead window over the key + one hash agg. */
+  def timeWeightedAvg(events: DataFrame, keyCol: String, tsNsCol: String,
+      valueCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsNsCol), col(idCol))
+    events
+      .select(col(keyCol), col(tsNsCol), col(idCol),
+        col(valueCol).cast("double").as("__v"))
+      .withColumn("__next", lead(col(tsNsCol), 1).over(w))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_obs"),
+        ((max(col(tsNsCol)) - min(col(tsNsCol))) / 1e9).as("__span"),
+        sum(when(col("__next").isNotNull,
+          col("__v") * (col("__next") - col(tsNsCol))).otherwise(0.0)).as("__wsum"),
+        avg(col("__v")).as("__mean"))
+      .select(col(keyCol), col("n_obs"),
+        round(col("__span"), 4).as("span_s"),
+        // zero-span keys (single observation, or all at one instant)
+        // have no holding intervals — the row mean IS the answer there
+        round(when(col("__span") > 0, col("__wsum") / (col("__span") * 1e9))
+          .otherwise(col("__mean")), 6).as("twa"),
+        round(col("__mean"), 6).as("row_mean"))
+  }
+
+  /** Association rules (market-basket co-occurrence): for every ordered
+    * item pair (a → b), `(n_ab, n_a, n_b, support, confidence, lift)` —
+    * the "users who error also purchase?" correlation audit. A basket is
+    * one distinct `basketCols` tuple; items dedupe within a basket.
+    *
+    * Plan shape: baskets collapse to sorted distinct-item SETS in one
+    * hash agg (bounded by the item vocabulary, NOT basket size in
+    * rows); unordered pairs generate MAP-SIDE from each set (the
+    * [[TextAnalysis.pmiPairs]] nested-transform idiom — never a
+    * positions self-join); item counts and the basket total ride as
+    * broadcasts. Both rule directions emit from the one unordered-pair
+    * aggregate. */
+  def assocRules(df: DataFrame, basketCols: Seq[String], itemCol: String,
+      minSupport: Double = 0.0): DataFrame = {
+    val b = df.select(struct(basketCols.map(col): _*).as("__b"),
+      col(itemCol).cast("string").as("__i")).distinct()
+    val sets = b.groupBy(col("__b"))
+      .agg(sort_array(collect_set(col("__i"))).as("items"))
+    val nB = sets.agg(count(lit(1)).as("n_baskets"))
+    val itemN = b.groupBy(col("__i")).agg(count(lit(1)).as("n_item"))
+    val pairs = sets.select(explode(flatten(
+        transform(sequence(lit(1), size(col("items"))), i =>
+          transform(slice(col("items"), i + 1, size(col("items"))),
+            y => struct(element_at(col("items"), i).as("a"), y.as("b"))))))
+        .as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+    val directed = pairs.unionByName(pairs.select(
+      col("b").as("a"), col("a").as("b"), col("n_ab")))
+    directed
+      .join(broadcast(itemN.select(col("__i").as("a"), col("n_item").as("n_a"))), Seq("a"))
+      .join(broadcast(itemN.select(col("__i").as("b"), col("n_item").as("n_b"))), Seq("b"))
+      .crossJoin(broadcast(nB))
+      .filter(col("n_ab") / col("n_baskets") >= minSupport)
+      .select(col("a").as("antecedent"), col("b").as("consequent"),
+        col("n_ab"), col("n_a"), col("n_b"),
+        round(col("n_ab") / col("n_baskets"), 6).as("support"),
+        round(col("n_ab") / col("n_a"), 6).as("confidence"),
+        round(col("n_ab") * col("n_baskets") /
+          (col("n_a") * col("n_b")), 6).as("lift"))
+  }
 }

@@ -90,4 +90,36 @@ object SimilaritySearch {
         Window.partitionBy(col("qid")).orderBy(ord: _*)))
       .filter(col("rank") <= k)
   }
+
+  /** Ranking-agreement audit between two top-k result sets of the SAME
+    * queries — the retrieval-quality monitor (does the cheap index /
+    * truncated embedding / new scorer still return what the expensive
+    * one does?). Per query: `(qid, n_a, n_b, n_common, overlap_at_k,
+    * jaccard, top1_match)`.
+    *
+    * Plan shape: both inputs are result-set artifacts (≤ queries × k
+    * rows), so the full join and per-query agg are bounded by
+    * construction — nothing here touches a corpus. */
+  def rankingAgreement(a: DataFrame, b: DataFrame, qCol: String,
+      idCol: String, rankCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val an = a.select(col(qCol).as("qid"), col(idCol).as("id"),
+      col(rankCol).as("rank_a"))
+    val bn = b.select(col(qCol).as("qid"), col(idCol).as("id"),
+      col(rankCol).as("rank_b"))
+    an.join(bn, Seq("qid", "id"), "full")
+      .groupBy(col("qid"))
+      .agg(
+        count(col("rank_a")).as("n_a"),
+        count(col("rank_b")).as("n_b"),
+        sum(when(col("rank_a").isNotNull && col("rank_b").isNotNull, 1)
+          .otherwise(0)).as("n_common"),
+        max(when(col("rank_a") === 1 && col("rank_b") === 1, 1)
+          .otherwise(0)).as("top1_match"))
+      .select(col("qid"), col("n_a"), col("n_b"), col("n_common"),
+        round(col("n_common").cast("double") / k, 6).as("overlap_at_k"),
+        round(col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")), 6).as("jaccard"),
+        col("top1_match"))
+  }
 }

@@ -719,6 +719,94 @@ object SequenceQueries extends QueryModule {
              |  row_number() OVER (PARTITION BY user_id, event_type
              |    ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn FROM events)
              |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin.replace('\n', ' ')),
-      doc = "latest row per (user, event_type) — CDC current-state materialization")
+      doc = "latest row per (user, event_type) — CDC current-state materialization"),
+
+    // ---- association rules over (user, day) baskets: map-side pair
+    // generation from per-basket item SETS, never a positions self-join
+    "q_assoc_rules" -> Q(
+      (s, dir) => graft.operators.EventAnalytics.assocRules(
+          table(s, dir, "events").withColumn("day", to_date(col("ts"))),
+          Seq("user_id", "day"), "event_type")
+        .orderBy(col("antecedent"), col("consequent")),
+      Some("""WITH b AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day,
+             |  event_type AS i FROM events),
+             |nb AS (SELECT count(*)::BIGINT AS n FROM
+             |  (SELECT DISTINCT user_id, day FROM b)),
+             |it AS (SELECT i, count(*) AS n_i FROM b GROUP BY 1),
+             |pc AS (SELECT x.i AS a, y.i AS b, count(*) AS n_ab FROM b x JOIN b y
+             |  ON x.user_id = y.user_id AND x.day = y.day AND x.i < y.i
+             |  GROUP BY 1, 2),
+             |d AS (SELECT a, b, n_ab FROM pc
+             |  UNION ALL SELECT b, a, n_ab FROM pc)
+             |SELECT d.a AS antecedent, d.b AS consequent, d.n_ab::BIGINT AS n_ab,
+             |ia.n_i::BIGINT AS n_a, ib.n_i::BIGINT AS n_b,
+             |round(d.n_ab::DOUBLE / nb.n, 6) AS support,
+             |round(d.n_ab::DOUBLE / ia.n_i, 6) AS confidence,
+             |round(d.n_ab::DOUBLE * nb.n / (ia.n_i::DOUBLE * ib.n_i), 6) AS lift
+             |FROM d JOIN it ia ON d.a = ia.i JOIN it ib ON d.b = ib.i, nb
+             |ORDER BY antecedent, consequent""".stripMargin.replace('\n', ' ')),
+      doc = "event-type association rules (support/confidence/lift) over (user, day) baskets"),
+
+    // ---- per-segment PSI: WHICH user segment drifted (each segment's
+    // current values vs that segment's OWN reference deciles)
+    "q_drift_psi_group" -> Q(
+      (s, dir) => {
+        val ev = table(s, dir, "events")
+          .withColumn("segment", pmod(col("user_id"), lit(5)))
+        graft.operators.Drift.psiBinsByGroup(
+            ev.filter(col("event_type") === "click"),
+            ev.filter(col("event_type") === "purchase"),
+            "value", "segment", nBins = 10)
+          .select(col("group").as("segment"), col("n_ref"), col("n_cur"),
+            col("psi"))
+          .orderBy(col("segment"))
+      },
+      Some("""WITH ref AS (SELECT (user_id % 5) AS grp, value::DOUBLE AS v
+             |  FROM events WHERE event_type = 'click' AND value IS NOT NULL),
+             |cur AS (SELECT (user_id % 5) AS grp, value::DOUBLE AS v
+             |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+             |e AS (SELECT grp,
+             |  quantile_cont(v, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS edges,
+             |  count(*) AS n_ref FROM ref GROUP BY 1),
+             |ct AS (SELECT grp, count(*) AS n_cur FROM cur GROUP BY 1),
+             |rb AS (SELECT ref.grp, len(list_filter(edges, x -> v > x)) AS bin,
+             |  count(*) AS nrb FROM ref JOIN e ON ref.grp = e.grp GROUP BY 1, 2),
+             |cb AS (SELECT cur.grp, len(list_filter(edges, x -> v > x)) AS bin,
+             |  count(*) AS ncb FROM cur JOIN e ON cur.grp = e.grp GROUP BY 1, 2),
+             |j AS (SELECT coalesce(rb.grp, cb.grp) AS grp,
+             |  coalesce(rb.bin, cb.bin) AS bin,
+             |  coalesce(nrb, 0) AS nrb, coalesce(ncb, 0) AS ncb
+             |  FROM rb FULL JOIN cb ON rb.grp = cb.grp AND rb.bin = cb.bin)
+             |SELECT j.grp AS segment, e.n_ref::BIGINT AS n_ref,
+             |ct.n_cur::BIGINT AS n_cur,
+             |round(sum((greatest(ncb / ct.n_cur::DOUBLE, 0.0001)
+             |    - greatest(nrb / e.n_ref::DOUBLE, 0.0001))
+             |  * ln(greatest(ncb / ct.n_cur::DOUBLE, 0.0001)
+             |    / greatest(nrb / e.n_ref::DOUBLE, 0.0001))), 6) AS psi
+             |FROM j JOIN e ON j.grp = e.grp JOIN ct ON j.grp = ct.grp
+             |GROUP BY 1, 2, 3 ORDER BY segment""".stripMargin.replace('\n', ' ')),
+      doc = "per-segment PSI (click reference vs purchase current, user_id % 5 segments)"),
+
+    // ---- time-weighted average: the correct mean of an irregularly
+    // sampled signal (each reading holds until the next)
+    "q_twap" -> Q(
+      (s, dir) => graft.operators.EventAnalytics.timeWeightedAvg(
+          table(s, dir, "events").filter(col("user_id") < 100),
+          "user_id", "ts_ns", "value", "event_id")
+        .orderBy(col("user_id")),
+      Some("""WITH e AS (SELECT user_id, epoch_ns(ts) AS t, event_id,
+             |  value::DOUBLE AS v FROM events WHERE user_id < 100),
+             |l AS (SELECT user_id, t, v,
+             |  lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS nt
+             |  FROM e),
+             |a AS (SELECT user_id, count(*) AS n_obs,
+             |  (max(t) - min(t)) / 1e9 AS span,
+             |  sum(CASE WHEN nt IS NOT NULL THEN v * (nt - t) ELSE 0 END) AS wsum,
+             |  avg(v) AS mean FROM l GROUP BY 1)
+             |SELECT user_id, n_obs, round(span, 4) AS span_s,
+             |round(CASE WHEN span > 0 THEN wsum / (span * 1e9) ELSE mean END, 6)
+             |  AS twa,
+             |round(mean, 6) AS row_mean FROM a ORDER BY user_id""".stripMargin.replace('\n', ' ')),
+      doc = "per-user time-weighted average event value vs the plain row mean")
   )
 }

@@ -74,6 +74,51 @@ object VectorQueries extends QueryModule {
              |ORDER BY cos_sim DESC, e.vec_id LIMIT 20""".stripMargin.replace('\n', ' ')),
       doc = "Matryoshka 16-dim prefix cosine retrieval (truncate + renormalize)"),
 
+    // ---- retrieval-quality monitor: does 16-dim prefix retrieval
+    // still return what full-dim retrieval does? Scores rounded to 6dp
+    // BEFORE ranking on both engines for cross-engine rank stability
+    "q_vec_rank_agreement" -> Q(
+      (s, dir) => {
+        val e = table(s, dir, E)
+        val qs = e.filter(col("vec_id") < 10)
+        val full = graft.operators.SimilaritySearch.bruteForceTopK(
+          e, "vec_id", "embedding", qs, "vec_id", "embedding", 10,
+          (a, b) => round(gf.cosine_similarity(a, b), 6))
+        val tr = graft.operators.EmbeddingOps.matryoshka(e, "embedding", 16)
+        val pref = graft.operators.SimilaritySearch.bruteForceTopK(
+          tr, "vec_id", "vec_trunc", tr.filter(col("vec_id") < 10),
+          "vec_id", "vec_trunc", 10,
+          (a, b) => round(gf.dot(a, b), 6))
+        graft.operators.SimilaritySearch.rankingAgreement(
+            full, pref, "qid", "id", "rank", 10)
+          .orderBy(col("qid"))
+      },
+      Some("""WITH q AS (SELECT vec_id AS qid, embedding AS qv
+             |  FROM embeddings WHERE vec_id < 10),
+             |fa AS (SELECT qid, e.vec_id AS id, row_number() OVER (PARTITION BY qid
+             |  ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[],
+             |    qv::DOUBLE[]), 6) DESC, e.vec_id) AS r FROM embeddings e, q),
+             |a AS (SELECT qid, id, r FROM fa WHERE r <= 10),
+             |fb AS (SELECT qid, e.vec_id AS id, row_number() OVER (PARTITION BY qid
+             |  ORDER BY round(list_cosine_similarity(e.embedding[1:16]::DOUBLE[],
+             |    qv[1:16]::DOUBLE[]), 6) DESC, e.vec_id) AS r FROM embeddings e, q),
+             |b AS (SELECT qid, id, r FROM fb WHERE r <= 10),
+             |j AS (SELECT coalesce(a.qid, b.qid) AS qid, coalesce(a.id, b.id) AS id,
+             |  a.r AS ra, b.r AS rb
+             |  FROM a FULL JOIN b ON a.qid = b.qid AND a.id = b.id)
+             |SELECT qid, count(ra)::BIGINT AS n_a, count(rb)::BIGINT AS n_b,
+             |sum(CASE WHEN ra IS NOT NULL AND rb IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+             |  AS n_common,
+             |round(sum(CASE WHEN ra IS NOT NULL AND rb IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+             |  / 10, 6) AS overlap_at_k,
+             |round(sum(CASE WHEN ra IS NOT NULL AND rb IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+             |  / (count(ra) + count(rb)
+             |    - sum(CASE WHEN ra IS NOT NULL AND rb IS NOT NULL THEN 1 ELSE 0 END)), 6)
+             |  AS jaccard,
+             |max(CASE WHEN ra = 1 AND rb = 1 THEN 1 ELSE 0 END)::INT AS top1_match
+             |FROM j GROUP BY qid ORDER BY qid""".stripMargin.replace('\n', ' ')),
+      doc = "per-query overlap/jaccard/top1 agreement: full-dim vs 16-dim prefix retrieval"),
+
     // ---- euclidean nearest (ascending distance)
     "q_vec_l2_topk" -> Q(
       (s, dir) => {

@@ -95,6 +95,34 @@ class AuditSpec extends AnyFunSuite {
     assert(r === Map("k1" -> "new", "k2" -> "b", "k3" -> "only"))
   }
 
+  test("assocRules: hand-built baskets give exact support/confidence/lift; within-basket dupes collapse") {
+    import graft.operators.EventAnalytics
+    // baskets: {x,y}, {x,y}, {x}, {y,z} — n_xy=2, n_x=3, n_y=3, n_yz=1
+    val rows = Seq(
+      (1, "x"), (1, "y"), (1, "y"), // dupe y in basket 1 collapses
+      (2, "x"), (2, "y"),
+      (3, "x"),
+      (4, "y"), (4, "z")).map { case (b, i) => (b.toLong, i) }
+    val df = rows.toDF("basket", "item")
+    val r = EventAnalytics.assocRules(df, Seq("basket"), "item")
+      .collect().map(x => (x.getAs[String]("antecedent"), x.getAs[String]("consequent")) -> x).toMap
+    val xy = r(("x", "y"))
+    assert(xy.getAs[Long]("n_ab") === 2L && xy.getAs[Long]("n_a") === 3L)
+    assert(xy.getAs[Double]("support") === 0.5) // 2 of 4 baskets
+    assert(xy.getAs[Double]("confidence") === 0.666667)
+    assert(xy.getAs[Double]("lift") === 0.888889) // 2*4/(3*3)
+    // both directions present, symmetric n_ab, direction-specific confidence
+    val yx = r(("y", "x"))
+    assert(yx.getAs[Long]("n_ab") === 2L &&
+      yx.getAs[Double]("confidence") === 0.666667)
+    assert(r(("y", "z")).getAs[Double]("lift") === 1.333333) // 1*4/(3*1)
+    assert(!r.contains(("x", "z")))
+    // minSupport prunes the rare pair in BOTH directions
+    val pruned = EventAnalytics.assocRules(df, Seq("basket"), "item", minSupport = 0.4)
+      .collect().map(x => (x.getAs[String]("antecedent"), x.getAs[String]("consequent")))
+    assert(pruned.toSet === Set(("x", "y"), ("y", "x")))
+  }
+
   test("embeddingDrift: identical snapshots report cosine 1 / shift 0; opposite directions report cosine -1") {
     import graft.operators.Drift
     val a = Seq(Array(1f, 0f, 0f), Array(1f, 0.1f, 0f)).toDF("embedding")
