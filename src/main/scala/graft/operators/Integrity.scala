@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.NumericType
 
 /** Referential-integrity audit (the dbt-test / Deequ-style relationship
   * check): does every foreign key in a child table resolve to a parent
@@ -48,5 +49,66 @@ object Integrity {
         round(when(col("nonnull_rows") === 0, 1.0)
           .otherwise(lit(1.0) - col("orphan_rows").cast("double") /
             col("nonnull_rows")), 6).as("fk_coverage"))
+  }
+
+  /** Schema-drift audit between two snapshots of "the same" table —
+    * the data-contract check an ingest pipeline runs before swapping a
+    * new partition in. One row per column in EITHER schema:
+    * `(column, type_ref, type_cur, status, null_rate_ref, null_rate_cur,
+    * mean_ref, mean_cur)` with status ∈ added | removed | type_changed |
+    * ok; means only for numeric columns (NULL otherwise), so a silent
+    * unit change (ms → s) surfaces as a mean shift even when the type
+    * and null profile look identical.
+    *
+    * Scale shape: each side pays ONE aggregate computing every column's
+    * null count (+ mean for numerics) in a single pass — a 1-row,
+    * schema-wide result. The schema comparison itself is metadata.
+    * Output is schema-sized (bounded), assembled driver-side. */
+  def schemaDrift(ref: DataFrame, cur: DataFrame): DataFrame = {
+    val spark = ref.sparkSession
+    import spark.implicits._
+    def profile(df: DataFrame): Map[String, (Double, Option[Double])] = {
+      val fields = df.schema.fields
+      val exprs = count(lit(1)).cast("double").as("__n") +:
+        fields.toSeq.flatMap { f =>
+          sum(when(col(f.name).isNull, 1).otherwise(0)).cast("double")
+            .as(s"__null_${f.name}") +:
+            (if (f.dataType.isInstanceOf[NumericType])
+              Seq(avg(col(f.name).cast("double")).as(s"__mean_${f.name}"))
+            else Nil)
+        }
+      val row = df.agg(exprs.head, exprs.tail: _*).head()
+      val n = row.getAs[Double]("__n")
+      fields.map { f =>
+        val nulls = row.getAs[Double](s"__null_${f.name}")
+        val rate = if (n > 0) nulls / n else 0.0
+        val mean =
+          if (f.dataType.isInstanceOf[NumericType])
+            Option(row.getAs[Any](s"__mean_${f.name}"))
+              .map(_.asInstanceOf[Double])
+          else None
+        f.name -> (rate, mean)
+      }.toMap
+    }
+    val refTypes = ref.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    val curTypes = cur.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    val rp = profile(ref)
+    val cp = profile(cur)
+    // HALF_UP to match Spark's round() / the DuckDB oracle's round()
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = (refTypes.keySet ++ curTypes.keySet).toSeq.sorted.map { c =>
+      val status = (refTypes.get(c), curTypes.get(c)) match {
+        case (None, Some(_)) => "added"
+        case (Some(_), None) => "removed"
+        case (Some(a), Some(b)) if a != b => "type_changed"
+        case _ => "ok"
+      }
+      (c, refTypes.get(c), curTypes.get(c), status,
+        rp.get(c).map(v => r6(v._1)), cp.get(c).map(v => r6(v._1)),
+        rp.get(c).flatMap(_._2).map(r6), cp.get(c).flatMap(_._2).map(r6))
+    }
+    rows.toDF("column", "type_ref", "type_cur", "status",
+      "null_rate_ref", "null_rate_cur", "mean_ref", "mean_cur")
   }
 }

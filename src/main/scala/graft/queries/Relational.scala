@@ -783,6 +783,55 @@ object Relational extends QueryModule {
              |round(CASE WHEN nonnull_rows = 0 THEN 1.0
              |  ELSE 1.0 - orphan_rows::DOUBLE / nonnull_rows END, 6) AS fk_coverage
              |FROM tot, dk, orph""".stripMargin.replace('\n', ' ')),
-      doc = "lineitem.l_orderkey -> orders.o_orderkey coverage audit (anti-join on key-sized frames)")
+      doc = "lineitem.l_orderkey -> orders.o_orderkey coverage audit (anti-join on key-sized frames)"),
+
+    // ---- schema-drift audit: the data contract between two snapshots
+    // (planted: one added, one removed, one type-changed column)
+    "q_schema_drift" -> Q(
+      (s, dir) => {
+        val ev = table(s, dir, "events")
+        graft.operators.Integrity.schemaDrift(
+            ev.filter(col("user_id") % 2 === 0)
+              .select(col("user_id"), col("event_type"), col("value"), col("props")),
+            ev.filter(col("user_id") % 2 === 1)
+              .select(col("user_id"), col("value").cast("float").as("value"),
+                col("props"), to_date(col("ts")).as("day")))
+          .orderBy(col("column"))
+      },
+      Some("""WITH r AS (SELECT user_id, event_type, value, props FROM events
+             |  WHERE user_id % 2 = 0),
+             |c AS (SELECT user_id, value::FLOAT AS value, props,
+             |  date_trunc('day', ts)::DATE AS day FROM events WHERE user_id % 2 = 1)
+             |SELECT * FROM (
+             |SELECT 'day' AS "column", NULL::VARCHAR AS type_ref,
+             |  'date' AS type_cur, 'added' AS status,
+             |  NULL::DOUBLE AS null_rate_ref,
+             |  (SELECT round(sum(CASE WHEN day IS NULL THEN 1 ELSE 0 END)::DOUBLE
+             |    / count(*), 6) FROM c) AS null_rate_cur,
+             |  NULL::DOUBLE AS mean_ref, NULL::DOUBLE AS mean_cur
+             |UNION ALL SELECT 'event_type', 'string', NULL, 'removed',
+             |  (SELECT round(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)::DOUBLE
+             |    / count(*), 6) FROM r), NULL, NULL, NULL
+             |UNION ALL SELECT 'props', 'string', 'string', 'ok',
+             |  (SELECT round(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END)::DOUBLE
+             |    / count(*), 6) FROM r),
+             |  (SELECT round(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END)::DOUBLE
+             |    / count(*), 6) FROM c), NULL, NULL
+             |UNION ALL SELECT 'user_id', 'bigint', 'bigint', 'ok',
+             |  (SELECT round(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)::DOUBLE
+             |    / count(*), 6) FROM r),
+             |  (SELECT round(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)::DOUBLE
+             |    / count(*), 6) FROM c),
+             |  (SELECT round(avg(user_id), 6) FROM r),
+             |  (SELECT round(avg(user_id), 6) FROM c)
+             |UNION ALL SELECT 'value', 'double', 'float', 'type_changed',
+             |  (SELECT round(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)::DOUBLE
+             |    / count(*), 6) FROM r),
+             |  (SELECT round(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)::DOUBLE
+             |    / count(*), 6) FROM c),
+             |  (SELECT round(avg(value), 6) FROM r),
+             |  (SELECT round(avg(value::DOUBLE), 6) FROM c)
+             |) ORDER BY "column"""".stripMargin.replace('\n', ' ')),
+      doc = "per-column contract audit: types, null rates, mean shifts between snapshots")
   )
 }

@@ -58,6 +58,29 @@ class AuditSpec extends AnyFunSuite {
       intact.getAs[Double]("fk_coverage") === 1.0)
   }
 
+  test("schemaDrift: added/removed/type-changed columns flagged; null rates and mean shifts exact") {
+    val ref = Seq((1L, Some(1.0), "a"), (2L, None, "b"), (3L, Some(5.0), "c"))
+      .toDF("id", "x", "gone")
+    val cur = Seq((1L, 2.0f, "n"), (2L, 4.0f, "n"))
+      .toDF("id", "x", "fresh") // x double -> float; gone removed; fresh added
+    val r = Integrity.schemaDrift(ref, cur)
+      .collect().map(x => x.getAs[String]("column") -> x).toMap
+    assert(r("gone").getAs[String]("status") === "removed" &&
+      r("gone").getAs[Any]("type_cur") === null)
+    assert(r("fresh").getAs[String]("status") === "added" &&
+      r("fresh").getAs[Any]("null_rate_ref") === null)
+    assert(r("x").getAs[String]("status") === "type_changed")
+    assert(r("x").getAs[Double]("null_rate_ref") === 0.333333)
+    assert(r("x").getAs[Double]("null_rate_cur") === 0.0)
+    assert(r("x").getAs[Double]("mean_ref") === 3.0) // nulls excluded from avg
+    assert(r("x").getAs[Double]("mean_cur") === 3.0) // the unit DIDN'T shift
+    assert(r("id").getAs[String]("status") === "ok" &&
+      r("id").getAs[Double]("mean_ref") === 2.0 &&
+      r("id").getAs[Double]("mean_cur") === 1.5)
+    // string columns profile null rate but never a mean
+    assert(r("gone").getAs[Any]("mean_ref") === null)
+  }
+
   test("sourceDivergence: identical sources diverge 0 from the mixture; disjoint sources are symmetric and bounded") {
     val same = Seq(("a", "x y z"), ("b", "x y z")).toDF("src", "text")
     val r0 = InfoTheory.sourceDivergence(same, "src", "text")
