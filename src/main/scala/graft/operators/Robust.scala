@@ -8,14 +8,18 @@ import org.apache.spark.sql.functions._
   * broadcast 1-row frame — no driver action — and the clamp is
   * map-side math.
   *
-  * Two bound postures:
+  * Three bound postures:
   *   - exact (default): Spark's `percentile`, whose aggregation state
-  *     is a value→count map — bit-exact against a SQL oracle, but the
-  *     state grows with distinct-value cardinality, the wrong trade at
-  *     100 TB on high-cardinality doubles;
+  *     is a value→count map — bit-exact against a SQL oracle and lazy
+  *     (rides inside one plan), but the final map merge funnels through
+  *     one reducer proportional to distinct cardinality;
   *   - `approxBounds = true`: `approx_percentile` (Greenwald-Khanna),
-  *     fixed-size state with rank error ≤ 1/accuracy — the scale
-  *     posture, same plan shape otherwise.
+  *     fixed-size state with rank error ≤ 1/accuracy — the sketch
+  *     posture, same plan shape otherwise;
+  *   - [[Quantiles.exactQuantiles]]: exact AND funnel-free (range-
+  *     partition rank selection, bit-identical results, spec-gated) at
+  *     the price of eager driver-bound literals — the 100 TB posture
+  *     when exactness is required on high-cardinality columns.
   */
 object Robust {
 

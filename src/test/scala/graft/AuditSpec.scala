@@ -146,6 +146,29 @@ class AuditSpec extends AnyFunSuite {
     assert(pruned.toSet === Set(("x", "y"), ("y", "x")))
   }
 
+  test("exactQuantiles: bit-identical to percentile() on random, dup-heavy, and NULL-bearing data") {
+    import graft.operators.Quantiles
+    val qs = Seq(0.0, 0.01, 0.25, 0.5, 0.75, 0.99, 1.0)
+    def viaPercentile(df: org.apache.spark.sql.DataFrame): Array[Double] =
+      df.agg(expr(s"percentile(v, array(${qs.mkString(",")}))"))
+        .head().getSeq[Double](0).toArray
+    // seeded pseudo-random doubles (mostly distinct)
+    val rnd = spark.range(5000).select(
+      (pmod(xxhash64(col("id"), lit(3L)), lit(100000L)) / 7.0).as("v"))
+    assert(Quantiles.exactQuantiles(rnd, "v", qs).toSeq === viaPercentile(rnd).toSeq)
+    // duplicate-heavy (interpolation lands INSIDE value runs)
+    val dup = spark.range(5000).select(pmod(col("id"), lit(7L)).cast("double").as("v"))
+    assert(Quantiles.exactQuantiles(dup, "v", qs).toSeq === viaPercentile(dup).toSeq)
+    // NULLs excluded on both sides
+    val withNull = spark.range(5000).select(
+      when(col("id") % 3 === 0, col("id").cast("double")).as("v"))
+    assert(Quantiles.exactQuantiles(withNull, "v", qs).toSeq ===
+      viaPercentile(withNull).toSeq)
+    // single row: every quantile is that value
+    val one = Seq(42.0).toDF("v")
+    assert(Quantiles.exactQuantiles(one, "v", qs).toSeq === Seq.fill(qs.size)(42.0))
+  }
+
   test("embeddingDrift: identical snapshots report cosine 1 / shift 0; opposite directions report cosine -1") {
     import graft.operators.Drift
     val a = Seq(Array(1f, 0f, 0f), Array(1f, 0.1f, 0f)).toDF("embedding")
