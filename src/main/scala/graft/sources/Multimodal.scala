@@ -72,6 +72,12 @@ object Multimodal {
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       catch { case _: Exception => null }
+    imagePixels(img)
+  }
+
+  /** the BufferedImage → normalized-pixel conversion shared by the
+    * single-image and per-frame decoders; null → the corrupt sentinel */
+  private[graft] def imagePixels(img: java.awt.image.BufferedImage): (Int, Int, Int, Array[Float]) = {
     if (img == null) (-1, -1, 0, Array.empty[Float])
     else {
       val w = img.getWidth
@@ -539,16 +545,51 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, b) =>
         val spans = jpegFrameSpans(b)
-        if (spans.isEmpty)
-          Seq(VideoFrame(id, -1, -1, -1, 0, Array.empty[Float]))
-        else spans.zipWithIndex.collect {
-          case ((off, len), idx) if idx % stride == 0 =>
-            val (w, h, c, px) =
-              decodePixels(java.util.Arrays.copyOfRange(b, off, off + len))
-            VideoFrame(id, idx, w, h, c, px)
+        if (spans.nonEmpty)
+          spans.zipWithIndex.collect {
+            case ((off, len), idx) if idx % stride == 0 =>
+              val (w, h, c, px) =
+                decodePixels(java.util.Arrays.copyOfRange(b, off, off + len))
+              VideoFrame(id, idx, w, h, c, px)
+          }
+        else {
+          val frames = multiImageFrames(b, stride)
+          if (frames.isEmpty) Seq(VideoFrame(id, -1, -1, -1, 0, Array.empty[Float]))
+          else frames.map { case (idx, (w, h, c, px)) => VideoFrame(id, idx, w, h, c, px) }
         }
       })
       .toDF()
+  }
+
+  /** Frames of a multi-image payload through ImageIO's multi-image
+    * readers — animated GIF and multi-page TIFF, the formats the JDK
+    * ships whole-sequence decoders for. Frames come back as STORED
+    * rasters (GIF delta frames are not composited onto predecessors —
+    * the training-data contract is per-frame pixels, not playback).
+    * Empty when the payload is not a readable image at all; a
+    * SINGLE-image payload yields its one frame (a degenerate video). */
+  private def multiImageFrames(b: Array[Byte],
+      stride: Int): Seq[(Int, (Int, Int, Int, Array[Float]))] = {
+    val iis =
+      try javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(b))
+      catch { case _: Exception => null }
+    if (iis == null) return Seq.empty
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return Seq.empty
+      val reader = readers.next()
+      try {
+        reader.setInput(iis)
+        val n = try reader.getNumImages(true) catch { case _: Exception => -1 }
+        if (n <= 0) return Seq.empty
+        (0 until n).collect {
+          case i if i % stride == 0 =>
+            i -> (try imagePixels(reader.read(i))
+            catch { case _: Exception => (-1, -1, 0, Array.empty[Float]) })
+        }
+      } finally reader.dispose()
+    } finally iis.close()
   }
 
   /** (offset, length) of each JPEG frame in an MJPEG MP4/AVI payload;

@@ -686,6 +686,45 @@ class StreamingAndMultimodalSpec extends AnyFunSuite {
     assert(strided.map(_.getInt(1)).toSeq === Seq(0, 2))
   }
 
+  test("multimodal video: multi-page TIFF frames decode via ImageIO sequence readers; single image degenerates to one frame") {
+    val spark2 = spark
+    import spark2.implicits._
+    def img(r: Int, g: Int, b: Int): java.awt.image.BufferedImage = {
+      val im = new java.awt.image.BufferedImage(8, 6,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val gr = im.createGraphics()
+      gr.setColor(new java.awt.Color(r, g, b)); gr.fillRect(0, 0, 8, 6); gr.dispose()
+      im
+    }
+    val frames = Seq(img(250, 10, 10), img(10, 250, 10), img(10, 10, 250))
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
+    w.setOutput(ios)
+    w.prepareWriteSequence(null)
+    frames.foreach(f => w.writeToSequence(new javax.imageio.IIOImage(f, null, null), null))
+    w.endWriteSequence(); w.dispose(); ios.close()
+    val tiff = bos.toByteArray
+    // single-image payload: a PNG degenerates to one frame at idx 0
+    val pbos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img(77, 88, 99), "png", pbos)
+    val df = Seq((1L, tiff), (2L, pbos.toByteArray)).toDF("id", "payload")
+    val got = Multimodal.decodeVideoFrames(df, "id").orderBy("id", "frame_idx").collect()
+    assert(got.length === 4)
+    for ((f, k) <- frames.zipWithIndex) {
+      val r = got(k)
+      assert(r.getInt(1) === k && r.getInt(2) === 8 && r.getInt(3) === 6)
+      val want = Multimodal.imagePixels(f)._4.toSeq // TIFF is lossless
+      assert(r.getSeq[Float](5) === want)
+    }
+    assert(got(3).getLong(0) === 2L && got(3).getInt(1) === 0 &&
+      got(3).getInt(2) === 8)
+    // stride skips the decode of unsampled frames, keeps original numbering
+    val strided = Multimodal.decodeVideoFrames(df.filter($"id" === 1L), "id", stride = 2)
+      .orderBy("frame_idx").collect()
+    assert(strided.map(_.getInt(1)).toSeq === Seq(0, 2))
+  }
+
   test("image near-dup: aHash + banded hamming pairs match brute force on real pixels") {
     val spark2 = spark
     import spark2.implicits._
