@@ -230,6 +230,46 @@ object TextAnalysis {
         concat_ws(" ", col("__chunk")).as("chunk_text"))
   }
 
+  /** Content-defined chunking (the FastCDC/rolling-hash idea behind
+    * insertion-robust dedup): a chunk boundary falls AFTER character i
+    * whenever the md5 of the trailing `window`-char substring starts
+    * with `prefix` — a content-local rule, so inserting text early in a
+    * document shifts only the chunks it touches and every later chunk
+    * re-aligns (fixed-size chunking shifts ALL of them, defeating
+    * chunk-level dedup across edits). Expected chunk length is
+    * 16^len(prefix) characters. Boundary hash = md5 so a SQL oracle
+    * replays it verbatim; at 100 TB the same rule compiles to one
+    * rolling-hash pass (the HOF here recomputes the window per
+    * position, O(n·window) map-side — still shuffle-free).
+    *
+    * Output: (id, chunk_idx, chunk) with chunks concatenating back to
+    * the original text; docs shorter than `window` are one chunk. */
+  def cdcChunks(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, window: Int = 16,
+      prefix: String = "00"): org.apache.spark.sql.DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    require(prefix.nonEmpty && prefix.matches("[0-9a-f]+"), "prefix is lowercase hex")
+    val t = col(textCol)
+    val n = length(t)
+    // boundary positions (1-based char index the chunk ENDS at); Spark's
+    // sequence(a, b) DESCENDS when a > b, so guard the short-doc case
+    val bps = when(n >= window,
+      filter(sequence(lit(window), n),
+        i => md5(t.substr(i - lit(window - 1), lit(window)))
+          .startsWith(prefix)))
+      .otherwise(array().cast("array<int>"))
+    val starts = concat(array(lit(1)), transform(bps, b => b + 1))
+    val ends = concat(bps, array(n))
+    docs.select(col(idCol).as("id"),
+        zip_with(starts, ends, (s, e) =>
+          when(e >= s, t.substr(s, e - s + 1))).as("__chunks"))
+      // a boundary on the final character leaves an empty tail slot —
+      // drop it BEFORE numbering so chunk_idx is dense
+      .select(col("id"),
+        posexplode(filter(col("__chunks"), c => c.isNotNull))
+          .as(Seq("chunk_idx", "chunk")))
+  }
+
   /** Sequence packing (pretraining batch prep): assign every doc to a
     * packed bin of at most `maxTokens` tokens, minimizing padding waste.
     * First-fit-decreasing INSIDE each partition (genuine per-partition

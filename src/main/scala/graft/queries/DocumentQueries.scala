@@ -1345,6 +1345,35 @@ object DocumentQueries extends QueryModule {
              |round(sum((len(string_split(text,' ')) + ceil(length(text)/16.0))::INTEGER)::DOUBLE
              |  / sum(len(string_split(text, ' '))), 4) AS bpe_fertility
              |FROM documents GROUP BY lang ORDER BY lang""".stripMargin.replace('\n', ' ')),
-      doc = "per-language whitespace-token and BPE-estimate fertility ratios")
+      doc = "per-language whitespace-token and BPE-estimate fertility ratios"),
+
+    // ---- content-defined chunking: boundary after char i when
+    // md5(trailing 16 chars) starts '0' (P=1/16 -> ~16-char chunks on
+    // this fixture) — insertion-robust chunk-dedup prep
+    "q_text_cdc_chunks" -> Q(
+      (s, dir) => graft.operators.TextAnalysis.cdcChunks(
+          table(s, dir, "documents").filter(col("doc_id") < 100),
+          "doc_id", "text", window = 16, prefix = "0")
+        .select(col("id").as("doc_id"), col("chunk_idx"),
+          length(col("chunk")).as("chunk_len"), md5(col("chunk")).as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_idx")),
+      Some("""WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents
+             |  WHERE doc_id < 100),
+             |b AS (SELECT doc_id, text, n,
+             |  list_filter(range(16, n + 1),
+             |    i -> md5(text[i-15:i]) LIKE '0%') AS bps FROM d),
+             |s AS (SELECT doc_id, text,
+             |  list_prepend(1, list_transform(bps, x -> x + 1)) AS starts,
+             |  list_append(bps, n) AS ends FROM b),
+             |c AS (SELECT doc_id, unnest(range(1, len(starts) + 1)) AS k,
+             |  starts, ends, text FROM s),
+             |ch AS (SELECT doc_id, k, text[starts[k]:ends[k]] AS chunk FROM c
+             |  WHERE ends[k] >= starts[k])
+             |SELECT doc_id,
+             |(row_number() OVER (PARTITION BY doc_id ORDER BY k) - 1)::INT
+             |  AS chunk_idx,
+             |length(chunk)::INT AS chunk_len, md5(chunk) AS chunk_md5
+             |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin.replace('\n', ' ')),
+      doc = "content-defined chunk boundaries (md5 window rule) per document")
   )
 }

@@ -169,6 +169,48 @@ class AuditSpec extends AnyFunSuite {
     assert(Quantiles.exactQuantiles(one, "v", qs).toSeq === Seq.fill(qs.size)(42.0))
   }
 
+  test("timeWeightedAvg: holding intervals weight the mean; constant signals equal the row mean") {
+    import graft.operators.EventAnalytics
+    // v=10 held for 10s, then v=0 for 1s: twa = 100/11, row mean = 10/3
+    val bursty = Seq((1L, 0L, 10.0), (2L, 10L * 1000000000L, 0.0),
+      (3L, 11L * 1000000000L, 0.0)).toDF("id", "ts_ns", "v")
+    val b = EventAnalytics.timeWeightedAvg(
+      bursty.withColumn("k", lit(1L)), "k", "ts_ns", "v", "id").collect().head
+    assert(b.getAs[Double]("twa") === 9.090909)
+    assert(b.getAs[Double]("row_mean") === 3.333333)
+    assert(b.getAs[Double]("span_s") === 11.0)
+    // constant signal: twa == row mean regardless of spacing
+    val const = Seq((1L, 0L, 5.0), (2L, 999L, 5.0), (3L, 7L * 1000000000L, 5.0))
+      .toDF("id", "ts_ns", "v").withColumn("k", lit(1L))
+    val c = EventAnalytics.timeWeightedAvg(const, "k", "ts_ns", "v", "id").collect().head
+    assert(c.getAs[Double]("twa") === 5.0 && c.getAs[Double]("row_mean") === 5.0)
+    // single observation: zero span falls back to that value
+    val one = Seq((1L, 5L, 42.0)).toDF("id", "ts_ns", "v").withColumn("k", lit(1L))
+    assert(EventAnalytics.timeWeightedAvg(one, "k", "ts_ns", "v", "id")
+      .collect().head.getAs[Double]("twa") === 42.0)
+  }
+
+  test("cdcChunks: chunks reassemble to the text; an insertion only disturbs chunks before re-alignment") {
+    import graft.operators.TextAnalysis
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep dark woods to sleep until morning comes again"
+    val edited = "XXINSERTXX " + base // prefix insertion
+    val df = Seq((1L, base), (2L, edited)).toDF("doc_id", "text")
+    val rows = TextAnalysis.cdcChunks(df, "doc_id", "text", window = 8, prefix = "0")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Int]("chunk_idx"),
+        r.getAs[String]("chunk")))
+    // chunks concatenate back to the original, in chunk_idx order
+    def joined(id: Long) = rows.filter(_._1 == id).sortBy(_._2).map(_._3).mkString
+    assert(joined(1L) === base && joined(2L) === edited)
+    // content-defined: the two docs share a SUFFIX of identical chunks
+    // (fixed-size chunking would share none after a prefix insertion)
+    val c1 = rows.filter(_._1 == 1L).sortBy(_._2).map(_._3)
+    val c2 = rows.filter(_._1 == 2L).sortBy(_._2).map(_._3)
+    val sharedSuffix = c1.reverse.zip(c2.reverse).takeWhile { case (a, b) => a == b }.length
+    assert(sharedSuffix >= 2,
+      s"expected re-aligned suffix chunks, got $sharedSuffix\n${c1.toSeq}\n${c2.toSeq}")
+  }
+
   test("embeddingDrift: identical snapshots report cosine 1 / shift 0; opposite directions report cosine -1") {
     import graft.operators.Drift
     val a = Seq(Array(1f, 0f, 0f), Array(1f, 0.1f, 0f)).toDF("embedding")
