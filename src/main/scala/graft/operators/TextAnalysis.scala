@@ -210,6 +210,56 @@ object TextAnalysis {
         round(avg(col("bits")), 6).as("bits_per_bigram"))
   }
 
+  /** Interpolated Kneser-Ney bigram scoring — the STANDARD n-gram
+    * smoothing (Kneser & Ney 1995; Chen & Goodman 1999) upgrading the
+    * add-α filter in [[bigramLmScore]]: instead of spreading α mass
+    * uniformly over the vocabulary, the backoff weight of a word is its
+    * CONTINUATION probability (how many distinct contexts it follows —
+    * "Francisco" is frequent but follows almost nothing, so it backs
+    * off near zero where add-α overrates it). With discount D:
+    *   P(w2|w1) = (max(c(w1w2) − D, 0) + D·N1+(w1·)·Pcont(w2)) / c(w1·)
+    *   Pcont(w2) = N1+(·w2) / N1+(··)
+    * Unseen contexts fall back to Pcont; the per-context distribution
+    * sums to exactly 1 (spec-gated). Per doc: −avg log2 P.
+    *
+    * Plan shape: ONE bigram-type aggregate over the train corpus; the
+    * context, continuation, and type-total tables all derive from that
+    * (bigram-type-table sized re-aggs, persisted once); scoring is
+    * explode + three key joins + per-doc re-agg. No driver action. */
+  def knBigramLmScore(train: org.apache.spark.sql.DataFrame,
+      score: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      discount: Double = 0.75, eps: Double = 1e-10): org.apache.spark.sql.DataFrame = {
+    require(discount > 0 && discount < 1, "discount must be in (0,1)")
+    def pairs(w: Column): Column =
+      when(size(w) < 2, array().cast("array<struct<w1:string,w2:string>>"))
+        .otherwise(transform(sequence(lit(1), size(w) - 1),
+          i => struct(element_at(w, i).as("w1"), element_at(w, i + 1).as("w2"))))
+    val cb = train.select(explode(pairs(tokens(col(textCol)))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ctx = cb.groupBy(col("w1"))
+      .agg(sum(col("c")).as("cu"), count(lit(1)).as("n1f"))
+    val cont = cb.groupBy(col("w2")).agg(count(lit(1)).as("n1b"))
+    val types = cb.agg(count(lit(1)).as("nt"))
+    val docBg = score
+      .select(col(idCol).as("id"), explode(pairs(tokens(col(textCol)))).as("p"))
+      .select(col("id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val pcont = coalesce(col("n1b"), lit(0L)).cast("double") / col("nt")
+    val p = when(col("cu").isNotNull,
+      (greatest(coalesce(col("c"), lit(0L)) - discount, lit(0.0)) +
+        lit(discount) * col("n1f") * pcont) / col("cu"))
+      .otherwise(pcont)
+    docBg.join(cb, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .crossJoin(broadcast(types))
+      .select(col("id"), (-log2(greatest(p, lit(eps)))).as("bits"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(col("bits")), 6).as("kn_bits"))
+  }
+
   /** Overlapping token-window chunking (pretraining/RAG prep): one row
     * per (doc, chunk); chunk i covers tokens [1 + i*stride,
     * 1 + i*stride + chunkSize - 1], stride = chunkSize - overlap; the

@@ -1374,6 +1374,36 @@ object DocumentQueries extends QueryModule {
              |  AS chunk_idx,
              |length(chunk)::INT AS chunk_len, md5(chunk) AS chunk_md5
              |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin.replace('\n', ' ')),
-      doc = "content-defined chunk boundaries (md5 window rule) per document")
+      doc = "content-defined chunk boundaries (md5 window rule) per document"),
+
+    // ---- Kneser-Ney bigram scoring: the standard smoothing (backoff
+    // mass from continuation counts, not uniform alpha)
+    "q_kn_perplexity" -> Q(
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+        graft.operators.TextAnalysis.knBigramLmScore(
+            d, d.filter(col("doc_id") < 100), "doc_id", "text")
+          .select(col("id").as("doc_id"), col("n_bigrams"), col("kn_bits"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |bg AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2 FROM tok,
+             |  unnest(range(1, len(w))) AS r(i) WHERE len(w) >= 2),
+             |cb AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2),
+             |ctx AS (SELECT w1, sum(c) AS cu, count(*) AS n1f FROM cb GROUP BY 1),
+             |cont AS (SELECT w2, count(*) AS n1b FROM cb GROUP BY 1),
+             |t AS (SELECT count(*) AS nt FROM cb),
+             |sc AS (SELECT doc_id, coalesce(cb.c, 0) AS c, ctx.cu, ctx.n1f,
+             |  coalesce(cont.n1b, 0) AS n1b, nt
+             |  FROM bg LEFT JOIN cb USING (w1, w2) LEFT JOIN ctx USING (w1)
+             |  LEFT JOIN cont USING (w2), t
+             |  WHERE doc_id < 100),
+             |p AS (SELECT doc_id, CASE WHEN cu IS NOT NULL
+             |  THEN (greatest(c - 0.75, 0) + 0.75 * n1f * (n1b::DOUBLE / nt)) / cu
+             |  ELSE n1b::DOUBLE / nt END AS p FROM sc)
+             |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+             |round(avg(-log2(greatest(p, 1e-10))), 6) AS kn_bits
+             |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace('\n', ' ')),
+      doc = "interpolated Kneser-Ney bigram bits-per-bigram, docs < 100 scored on the full-corpus LM")
   )
 }

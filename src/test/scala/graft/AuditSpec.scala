@@ -211,6 +211,27 @@ class AuditSpec extends AnyFunSuite {
       s"expected re-aligned suffix chunks, got $sharedSuffix\n${c1.toSeq}\n${c2.toSeq}")
   }
 
+  test("knBigramLmScore: per-context probabilities sum to 1; frequent-but-predictable words back off low") {
+    import graft.operators.TextAnalysis
+    val train = Seq((1L, "a b a c b c"), (2L, "b a a b")).toDF("doc_id", "text")
+    val vocab = Seq("a", "b", "c")
+    // one probe doc per (context, next) pair: each has exactly ONE
+    // bigram, so P(next|context) = 2^(-kn_bits)
+    val probes = (for {
+      (w1, i) <- vocab.zipWithIndex; (w2, j) <- vocab.zipWithIndex
+    } yield ((i * 3 + j).toLong, s"$w1 $w2")).toDF("doc_id", "text")
+    val bits = TextAnalysis.knBigramLmScore(train, probes, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("kn_bits")).toMap
+    for (i <- vocab.indices) {
+      val sum = vocab.indices.map(j => math.pow(2.0, -bits(i * 3L + j))).sum
+      assert(math.abs(sum - 1.0) < 1e-4,
+        s"P(.|${vocab(i)}) sums to $sum")
+    }
+    // interpolation: an unseen bigram over a seen context still gets
+    // backoff mass (finite bits, below the eps floor's 33.2)
+    assert(bits.values.forall(b => b > 0 && b < 33.0))
+  }
+
   test("embeddingDrift: identical snapshots report cosine 1 / shift 0; opposite directions report cosine -1") {
     import graft.operators.Drift
     val a = Seq(Array(1f, 0f, 0f), Array(1f, 0.1f, 0f)).toDF("embedding")
