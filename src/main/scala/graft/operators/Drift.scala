@@ -246,6 +246,52 @@ object Drift {
         log(col("p_cur") / col("p_ref"))), 6).as("psi"))
   }
 
+  /** Bucket-over-bucket JS timeline — the categorical sibling of
+    * [[psiTimeline]] (WHICH day did the label/source/event-type MIX
+    * change): per bucket, the Jensen-Shannon divergence of its category
+    * shares against the previous bucket's. Output per bucket with a
+    * predecessor: `(bucket, prev_bucket, n_ref, n_cur, js)`.
+    *
+    * Plan shape: ONE (bucket, category) hash aggregate does all the
+    * data-sized work; totals, predecessor pairing (bounded-frame lag),
+    * the share full-join and the JS sum all run on bucket×category-
+    * sized frames. Same ε-smoothing and term formula as [[jsBins]]. */
+  def jsTimeline(df: DataFrame, bucketCol: String, catCol: String,
+      eps: Double = 1e-6, maxBuckets: Long = 100000): DataFrame = {
+    val counts = df
+      .select(col(bucketCol).as("bucket"),
+        col(catCol).cast("string").as("category"))
+      .groupBy(col("bucket"), col("category"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(col("bucket")).agg(sum(col("n")).as("tot"))
+    val paired = BoundedWindow.over(totals, maxBuckets) { (d, w) =>
+      val byBucket = w.orderBy(col("bucket"))
+      d.withColumn("prev_bucket", lag(col("bucket"), 1).over(byBucket))
+        .withColumn("n_ref", lag(col("tot"), 1).over(byBucket))
+    }.filter(col("prev_bucket").isNotNull)
+      .select(col("bucket"), col("prev_bucket"),
+        col("tot").as("n_cur"), col("n_ref"))
+    val curS = counts.join(paired.select(col("bucket")), "bucket")
+      .select(col("bucket"), col("category"), col("n").as("nc"))
+    val refS = counts.join(
+        paired.select(col("bucket").as("__target"),
+          col("prev_bucket").as("bucket")), "bucket")
+      .select(col("__target").as("bucket"), col("category"), col("n").as("nr"))
+    curS.join(refS, Seq("bucket", "category"), "full")
+      .select(col("bucket"), col("category"),
+        coalesce(col("nc"), lit(0L)).as("nc"),
+        coalesce(col("nr"), lit(0L)).as("nr"))
+      .join(paired, "bucket")
+      .withColumn("p_cur", greatest(col("nc") / col("n_cur"), lit(eps)))
+      .withColumn("p_ref", greatest(col("nr") / col("n_ref"), lit(eps)))
+      .withColumn("__m", (col("p_ref") + col("p_cur")) / 2)
+      .withColumn("__t",
+        (col("p_ref") * log(col("p_ref") / col("__m")) +
+          col("p_cur") * log(col("p_cur") / col("__m"))) / 2)
+      .groupBy(col("bucket"), col("prev_bucket"), col("n_ref"), col("n_cur"))
+      .agg(round(sum(col("__t")), 6).as("js"))
+  }
+
   /** Per-group PSI: WHICH segment drifted, not just whether the whole
     * feed did — each group's current distribution scores against that
     * group's OWN reference deciles. Output per group present on both

@@ -807,6 +807,47 @@ object SequenceQueries extends QueryModule {
              |round(CASE WHEN span > 0 THEN wsum / (span * 1e9) ELSE mean END, 6)
              |  AS twa,
              |round(mean, 6) AS row_mean FROM a ORDER BY user_id""".stripMargin.replace('\n', ' ')),
-      doc = "per-user time-weighted average event value vs the plain row mean")
+      doc = "per-user time-weighted average event value vs the plain row mean"),
+
+    // ---- day-over-day JS timeline: WHICH day the event-type MIX
+    // changed (categorical sibling of the PSI timeline)
+    "q_drift_js_timeline" -> Q(
+      (s, dir) => graft.operators.Drift.jsTimeline(
+          table(s, dir, "events").withColumn("day", to_date(col("ts"))),
+          "day", "event_type")
+        .select(col("bucket").cast("string").as("day"),
+          col("prev_bucket").cast("string").as("prev_day"),
+          col("n_ref"), col("n_cur"), col("js"))
+        .orderBy(col("day")),
+      Some("""WITH c AS (SELECT date_trunc('day', ts)::DATE AS bucket,
+             |  event_type AS category, count(*) AS n FROM events GROUP BY 1, 2),
+             |t AS (SELECT bucket, sum(n) AS tot FROM c GROUP BY 1),
+             |p AS (SELECT bucket, tot,
+             |  lag(bucket) OVER (ORDER BY bucket) AS prev_bucket,
+             |  lag(tot) OVER (ORDER BY bucket) AS n_ref FROM t),
+             |pp AS (SELECT bucket, prev_bucket, tot AS n_cur, n_ref FROM p
+             |  WHERE prev_bucket IS NOT NULL),
+             |cur AS (SELECT c.bucket, category, n AS nc FROM c
+             |  JOIN pp ON c.bucket = pp.bucket),
+             |ref AS (SELECT pp.bucket, category, n AS nr FROM c
+             |  JOIN pp ON c.bucket = pp.prev_bucket),
+             |j AS (SELECT coalesce(cur.bucket, ref.bucket) AS bucket,
+             |  coalesce(cur.category, ref.category) AS category,
+             |  coalesce(nc, 0) AS nc, coalesce(nr, 0) AS nr
+             |  FROM cur FULL JOIN ref ON cur.bucket = ref.bucket
+             |    AND cur.category = ref.category)
+             |SELECT pp.bucket::VARCHAR AS day, pp.prev_bucket::VARCHAR AS prev_day,
+             |pp.n_ref::BIGINT AS n_ref, pp.n_cur::BIGINT AS n_cur,
+             |round(sum((greatest(nr / pp.n_ref::DOUBLE, 1e-6)
+             |    * ln(greatest(nr / pp.n_ref::DOUBLE, 1e-6)
+             |      / ((greatest(nr / pp.n_ref::DOUBLE, 1e-6)
+             |        + greatest(nc / pp.n_cur::DOUBLE, 1e-6)) / 2))
+             |  + greatest(nc / pp.n_cur::DOUBLE, 1e-6)
+             |    * ln(greatest(nc / pp.n_cur::DOUBLE, 1e-6)
+             |      / ((greatest(nr / pp.n_ref::DOUBLE, 1e-6)
+             |        + greatest(nc / pp.n_cur::DOUBLE, 1e-6)) / 2))) / 2), 6) AS js
+             |FROM j JOIN pp USING (bucket)
+             |GROUP BY 1, 2, 3, 4 ORDER BY day""".stripMargin.replace('\n', ' ')),
+      doc = "bucket-over-bucket JS divergence of the event-type mix by day")
   )
 }

@@ -107,6 +107,18 @@ class AuditSpec extends AnyFunSuite {
     assert(r(4) > 1.0, s"planted shift day psi = ${r(4)}") // half the mass leaves every old decile
   }
 
+  test("jsTimeline: identical consecutive mixes score 0; a planted mix flip spikes within [0, ln 2]") {
+    import graft.operators.Drift
+    val rows = (for (b <- 1 to 3; i <- 0 until 90)
+      yield (b, if (i % 3 == 0) "x" else "y")) ++ // buckets 1-3: 30/60 mix
+      (for (i <- 0 until 90) yield (4, if (i % 3 == 0) "y" else "x")) // flipped
+    val r = Drift.jsTimeline(rows.toDF("bucket", "cat"), "bucket", "cat")
+      .collect().map(x => x.getAs[Int]("bucket") -> x.getAs[Double]("js")).toMap
+    assert(!r.contains(1))
+    assert(r(2) === 0.0 && r(3) === 0.0)
+    assert(r(4) > 0.05 && r(4) < math.log(2.0), s"flip day js = ${r(4)}")
+  }
+
   test("latestSnapshot: latest order wins, ties break by id, one row per key") {
     import graft.operators.EventAnalytics
     val log = Seq(
