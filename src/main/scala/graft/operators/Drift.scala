@@ -257,12 +257,20 @@ object Drift {
     * the share full-join and the JS sum all run on bucket×category-
     * sized frames. Same ε-smoothing and term formula as [[jsBins]]. */
   def jsTimeline(df: DataFrame, bucketCol: String, catCol: String,
-      eps: Double = 1e-6, maxBuckets: Long = 100000): DataFrame = {
-    val counts = df
+      eps: Double = 1e-6, maxBuckets: Long = 100000): DataFrame =
+    jsTimelineFromCounts(df
       .select(col(bucketCol).as("bucket"),
         col(catCol).cast("string").as("category"))
       .groupBy(col("bucket"), col("category"))
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n")), eps, maxBuckets)
+
+  /** [[jsTimeline]] over a pre-aggregated `(bucket, category, n)` count
+    * frame — counts are algebraic, so partial counts from micro-batches
+    * (the streaming maintainer's LSM segments) sum to the same input. */
+  def jsTimelineFromCounts(counts0: DataFrame, eps: Double = 1e-6,
+      maxBuckets: Long = 100000): DataFrame = {
+    val counts = counts0.groupBy(col("bucket"), col("category"))
+      .agg(sum(col("n")).as("n"))
     val totals = counts.groupBy(col("bucket")).agg(sum(col("n")).as("tot"))
     val paired = BoundedWindow.over(totals, maxBuckets) { (d, w) =>
       val byBucket = w.orderBy(col("bucket"))

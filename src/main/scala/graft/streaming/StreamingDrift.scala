@@ -92,4 +92,34 @@ object StreamingDrift {
   def currentPsi(spark: SparkSession, dir: String, eps: Double = 1e-4): Double =
     currentPsiBins(spark, dir, eps)
       .agg(sum(col("psi_term"))).head.getDouble(0)
+
+  /** Streaming mix-timeline maintenance (the categorical timeline's
+    * ingest half): per micro-batch, the batch's PARTIAL
+    * (bucket, category) counts append as one LSM segment — counts are
+    * algebraic, so merged segments equal the batch aggregate for ANY
+    * split, even when one bucket's rows span many batches.
+    * `bucketCol` must be event-time derived (a day column), never
+    * arrival-derived. */
+  def maintainMix(stream: DataFrame, bucketCol: String, catCol: String,
+      dir: String, checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.select(col(bucketCol).as("bucket"),
+            col(catCol).cast("string").as("category"))
+          .groupBy(col("bucket"), col("category"))
+          .agg(count(lit(1)).as("n"))
+          .write.mode("append").parquet(s"$dir/mix_counts")
+        ()
+      }
+      .start()
+
+  /** bucket-over-bucket JS timeline over everything streamed so far —
+    * the EXACT batch [[graft.operators.Drift.jsTimeline]] math over the
+    * merged count segments (spec-gated: any split == batch) */
+  def currentJsTimeline(spark: SparkSession, dir: String,
+      eps: Double = 1e-6): DataFrame =
+    graft.operators.Drift.jsTimelineFromCounts(
+      spark.read.parquet(s"$dir/mix_counts"), eps)
 }

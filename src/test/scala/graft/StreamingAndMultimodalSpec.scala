@@ -259,6 +259,48 @@ class StreamingAndMultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming JS mix timeline equals the batch operator, split MID-bucket") {
+    import graft.streaming.StreamingDrift
+    val ev = graft.sources.Tables(spark, dir, "events")
+      .withColumn("day", to_date(col("ts")))
+      .select(col("event_id"), col("day"), col("event_type"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_mix").toFile
+    val landDir = new java.io.File(tmp, "in"); landDir.mkdirs()
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = new java.io.File(tmp, s"stage_$name")
+      df.coalesce(1).write.parquet(stage.toString)
+      val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(landDir, s"$name.parquet").toPath)
+    }
+    try {
+      // split on event_id PARITY: every day's rows straddle both batches
+      land(ev.filter(col("event_id") % 2 === 0), "a")
+      val stream = spark.readStream.schema(ev.schema).parquet(landDir.toString)
+      val q = StreamingDrift.maintainMix(stream, "day", "event_type",
+        s"$tmp/state", s"$tmp/ckpt")
+      try {
+        q.processAllAvailable()
+        land(ev.filter(col("event_id") % 2 === 1), "b")
+        q.processAllAvailable()
+      } finally q.stop()
+      def key(r: org.apache.spark.sql.Row) = r.get(0).toString
+      val streamed = StreamingDrift.currentJsTimeline(spark, s"$tmp/state")
+        .collect().map(r => key(r) ->
+          (r.getAs[Long]("n_ref"), r.getAs[Long]("n_cur"), r.getAs[Double]("js"))).toMap
+      val batch = graft.operators.Drift.jsTimeline(ev, "day", "event_type")
+        .collect().map(r => key(r) ->
+          (r.getAs[Long]("n_ref"), r.getAs[Long]("n_cur"), r.getAs[Double]("js"))).toMap
+      assert(streamed === batch)
+      assert(batch.nonEmpty)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(tmp)
+    }
+  }
+
   test("stream-static dimension enrichment matches the batch join exactly") {
     import spark.implicits._
     val dim = (0L until 50L).map(u => (u, s"seg${u % 3}")).toDF("user_id", "segment")
