@@ -876,12 +876,23 @@ object Dedup {
   def chunkDedup(docs: DataFrame, idCol: String, textCol: String,
       chunkWords: Int): DataFrame = {
     require(chunkWords > 0, "chunkWords must be positive")
+    chunkDedupFrom(TextAnalysis
+      .chunkTokens(docs, idCol, textCol, chunkWords, 0)
+      .select(col(idCol).as("id"), col("chunk_idx"),
+        col("chunk_text")), sep = " ")
+  }
+
+  /** [[chunkDedup]] over ANY `(id, chunk_idx, chunk_text)` frame —
+    * fixed token windows ([[TextAnalysis.chunkTokens]]) or
+    * insertion-robust content-defined chunks
+    * ([[TextAnalysis.cdcChunks]], `sep = ""` since CDC chunks carry
+    * their original spacing). Same keeper/rebuild machinery. */
+  def chunkDedupFrom(chunks0: DataFrame, sep: String): DataFrame = {
     // the chunk frame feeds the keeper agg AND the rebuild join —
     // persist so the corpus-wide explode happens once (staged-frame
     // pattern of the MinHash/DSIR operators)
-    val chunks = TextAnalysis
-      .chunkTokens(docs, idCol, textCol, chunkWords, 0)
-      .select(col(idCol).as("id"), col("chunk_idx"), col("chunk_text"),
+    val chunks = chunks0
+      .select(col("id"), col("chunk_idx"), col("chunk_text"),
         md5(col("chunk_text")).as("__h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keeper = chunks
@@ -897,7 +908,7 @@ object Dedup {
           struct(col("chunk_idx"), col("chunk_text"))))).as("__surv"))
       .withColumn("text_clean",
         when(col("n_kept") > 0,
-          array_join(transform(col("__surv"), _.getField("chunk_text")), " ")))
+          array_join(transform(col("__surv"), _.getField("chunk_text")), sep)))
       .drop("__surv")
   }
 

@@ -1404,6 +1404,50 @@ object DocumentQueries extends QueryModule {
              |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
              |round(avg(-log2(greatest(p, 1e-10))), 6) AS kn_bits
              |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace('\n', ' ')),
-      doc = "interpolated Kneser-Ney bigram bits-per-bigram, docs < 100 scored on the full-corpus LM")
+      doc = "interpolated Kneser-Ney bigram bits-per-bigram, docs < 100 scored on the full-corpus LM"),
+
+    // ---- CDC chunk dedup: boilerplate planted at VARYING offsets still
+    // dedupes because content-defined boundaries re-align (the case
+    // fixed-window chunking structurally misses)
+    "q_dedup_cdc_chunks" -> Q(
+      (s, dir) => {
+        val p = "standard boilerplate disclaimer repeated across many " +
+          "documents verbatim and long enough to span several chunks"
+        val d = table(s, dir, "documents").filter(col("doc_id") < 150)
+          .select(col("doc_id"),
+            concat(when(col("doc_id") % 3 === 0, lit(p + " ")).otherwise(lit("")),
+              col("text")).as("text"))
+        val chunks = graft.operators.TextAnalysis.cdcChunks(
+            d, "doc_id", "text", window = 16, prefix = "0")
+          .select(col("id"), col("chunk_idx"), col("chunk").as("chunk_text"))
+        graft.operators.Dedup.chunkDedupFrom(chunks, sep = "")
+          .select(col("id").as("doc_id"), col("n_chunks"), col("n_kept"),
+            col("text_clean"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |  (CASE WHEN doc_id % 3 = 0 THEN 'standard boilerplate disclaimer repeated across many documents verbatim and long enough to span several chunks ' ELSE '' END)
+             |  || text AS text FROM documents WHERE doc_id < 150),
+             |dd AS (SELECT doc_id, text, length(text) AS n FROM d),
+             |b AS (SELECT doc_id, text, n, list_filter(range(16, n + 1),
+             |  i -> md5(text[i-15:i]) LIKE '0%') AS bps FROM dd),
+             |s AS (SELECT doc_id, text,
+             |  list_prepend(1, list_transform(bps, x -> x + 1)) AS starts,
+             |  list_append(bps, n) AS ends FROM b),
+             |c0 AS (SELECT doc_id, unnest(range(1, len(starts) + 1)) AS k,
+             |  starts, ends, text FROM s),
+             |ch AS (SELECT doc_id, k, text[starts[k]:ends[k]] AS chunk_text
+             |  FROM c0 WHERE ends[k] >= starts[k]),
+             |cx AS (SELECT doc_id,
+             |  row_number() OVER (PARTITION BY doc_id ORDER BY k) - 1 AS chunk_idx,
+             |  chunk_text FROM ch),
+             |kk AS (SELECT *, row_number() OVER (PARTITION BY chunk_text
+             |  ORDER BY doc_id, chunk_idx) AS rn FROM cx)
+             |SELECT doc_id, count(*) AS n_chunks,
+             |sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+             |string_agg(CASE WHEN rn = 1 THEN chunk_text END, ''
+             |  ORDER BY chunk_idx) AS text_clean
+             |FROM kk GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace('\n', ' ')),
+      doc = "chunk dedup over content-defined boundaries: planted boilerplate dedupes at any offset")
   )
 }
