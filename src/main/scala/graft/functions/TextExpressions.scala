@@ -240,7 +240,61 @@ case class NormalizeUnicode(child: Expression, form: String) extends UnaryExpres
 
 /** Static kernel shared by DeflateRatio's interpreted and generated
   * paths (codegen calls it by fully-qualified name). */
+/** GEAR_BOUNDARIES(text, bits): 1-based char positions where a Gear
+  * rolling hash (h = (h << 1) + G[char & 0xFF]) masks to zero over the
+  * trailing window — TRUE O(n) content-defined chunk boundaries (one
+  * table lookup + shift + add per char), the 100 TB complement to
+  * [[graft.operators.TextAnalysis.cdcChunks]]' oracle-replayable
+  * md5-window rule (which recomputes a hash per position). Expected
+  * chunk length is 2^bits chars. Deterministic: the 256-entry gear
+  * table derives from a fixed xorshift64 seed.
+  */
+case class GearBoundaries(child: Expression, bits: Int) extends UnaryExpression {
+  require(bits >= 1 && bits <= 30, s"bits must be in [1,30], got $bits")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"input must be string, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.gearBoundaries(input.asInstanceOf[UTF8String], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TextKernels.gearBoundaries($a, $bits);")
+
+  override protected def withNewChildInternal(newChild: Expression): GearBoundaries =
+    copy(child = newChild)
+}
+
 object TextKernels {
+  /** the Gear random table: 256 fixed u64s from a seeded xorshift64 */
+  val gearTable: Array[Long] = {
+    var x = 0x9E3779B97F4A7C15L
+    Array.fill(256) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17; x
+    }
+  }
+
+  /** see [[GearBoundaries]]; shared by interpreted eval and codegen */
+  def gearBoundaries(s: UTF8String, bits: Int): ArrayData = {
+    val mask = (1L << bits) - 1
+    val str = s.toString
+    val out = new java.util.ArrayList[Any]()
+    var h = 0L
+    var i = 0
+    while (i < str.length) {
+      h = (h << 1) + gearTable(str.charAt(i) & 0xFF)
+      if ((h & mask) == 0L) out.add(i + 1)
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** deflate(bytes).length / bytes.length at zlib level 6 (raw stream,
     * no header), the Gopher/Dolma compression-ratio quality heuristic:
     * templated/repetitive junk compresses far below natural text.

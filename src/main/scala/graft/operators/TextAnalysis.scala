@@ -308,6 +308,30 @@ object TextAnalysis {
         i => md5(t.substr(i - lit(window - 1), lit(window)))
           .startsWith(prefix)))
       .otherwise(array().cast("array<int>"))
+    chunksFromBoundaries(docs, idCol, t, bps)
+  }
+
+  /** Gear-hash content-defined chunking — the TRUE O(n) rolling form of
+    * [[cdcChunks]] (one table lookup + shift + add per char, native
+    * codegen [[graft.functions.GearBoundaries]]) for when the corpus is
+    * too big to pay a hash per position. Different boundary rule than
+    * the md5-window (so no SQL oracle — spec-gated against a
+    * per-char Scala reference instead); same insertion-robustness and
+    * reassembly laws. Expected chunk length 2^bits chars. */
+  def gearChunks(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, bits: Int = 8): org.apache.spark.sql.DataFrame = {
+    val t = col(textCol)
+    val bps = org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.GearBoundaries(
+        org.apache.spark.sql.graft.Bridge.expression(t), bits))
+    chunksFromBoundaries(docs, idCol, t, bps)
+  }
+
+  /** slice `t` at 1-based boundary END positions `bps` into dense
+    * (id, chunk_idx, chunk) rows — shared by both chunkers */
+  private def chunksFromBoundaries(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, t: Column, bps: Column): org.apache.spark.sql.DataFrame = {
+    val n = length(t)
     val starts = concat(array(lit(1)), transform(bps, b => b + 1))
     val ends = concat(bps, array(n))
     docs.select(col(idCol).as("id"),

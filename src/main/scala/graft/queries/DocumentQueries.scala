@@ -1448,6 +1448,19 @@ object DocumentQueries extends QueryModule {
              |string_agg(CASE WHEN rn = 1 THEN chunk_text END, ''
              |  ORDER BY chunk_idx) AS text_clean
              |FROM kk GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace('\n', ' ')),
-      doc = "chunk dedup over content-defined boundaries: planted boilerplate dedupes at any offset")
+      doc = "chunk dedup over content-defined boundaries: planted boilerplate dedupes at any offset"),
+
+    // ---- Gear rolling-hash chunking: the O(n) scale path (native
+    // codegen; no SQL gear hash -> rows-only, spec-gated vs a per-char
+    // reference implementation)
+    "q_text_gear_chunks" -> Q(
+      (s, dir) => graft.operators.TextAnalysis.gearChunks(
+          table(s, dir, "documents").filter(col("doc_id") < 100),
+          "doc_id", "text", bits = 5)
+        .select(col("id").as("doc_id"), col("chunk_idx"),
+          length(col("chunk")).as("chunk_len"), md5(col("chunk")).as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_idx")),
+      None,
+      doc = "O(n) Gear-hash content-defined chunks (native codegen boundary expression)")
   )
 }

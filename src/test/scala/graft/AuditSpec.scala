@@ -244,6 +244,39 @@ class AuditSpec extends AnyFunSuite {
     assert(bits.values.forall(b => b > 0 && b < 33.0))
   }
 
+  test("gearChunks: native boundaries == per-char reference; reassembly; insertion re-aligns; sane mean length") {
+    import graft.operators.TextAnalysis
+    import graft.functions.TextKernels
+    val base = (1 to 400).map(i => s"w${i * 7 % 97}").mkString(" ")
+    val edited = "XXINSERTXX " + base
+    val df = Seq((1L, base), (2L, edited)).toDF("doc_id", "text")
+    val rows = TextAnalysis.gearChunks(df, "doc_id", "text", bits = 5)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Int]("chunk_idx"),
+        r.getAs[String]("chunk")))
+    def chunksOf(id: Long) = rows.filter(_._1 == id).sortBy(_._2).map(_._3).toSeq
+    // independent per-char reference of the SAME gear rule
+    def refChunks(s: String): Seq[String] = {
+      var h = 0L
+      val bps = s.zipWithIndex.flatMap { case (c, i) =>
+        h = (h << 1) + TextKernels.gearTable(c & 0xFF)
+        if ((h & 31L) == 0L) Some(i + 1) else None
+      }
+      val starts = 1 +: bps.map(_ + 1)
+      val ends = bps :+ s.length
+      starts.zip(ends).collect { case (a, e) if e >= a => s.substring(a - 1, e) }
+    }
+    assert(chunksOf(1L) === refChunks(base))
+    assert(chunksOf(2L) === refChunks(edited))
+    assert(chunksOf(1L).mkString === base && chunksOf(2L).mkString === edited)
+    // content-defined: prefix insertion leaves a shared chunk suffix
+    val shared = chunksOf(1L).reverse.zip(chunksOf(2L).reverse)
+      .takeWhile { case (a, b) => a == b }.length
+    assert(shared >= 2, s"suffix re-alignment: $shared")
+    // expected chunk length 2^5 = 32: allow [8, 128] for hash variance
+    val mean = base.length.toDouble / chunksOf(1L).size
+    assert(mean > 8 && mean < 128, s"mean chunk length $mean")
+  }
+
   test("embeddingDrift: identical snapshots report cosine 1 / shift 0; opposite directions report cosine -1") {
     import graft.operators.Drift
     val a = Seq(Array(1f, 0f, 0f), Array(1f, 0.1f, 0f)).toDF("embedding")
