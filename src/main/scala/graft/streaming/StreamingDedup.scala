@@ -199,14 +199,27 @@ object StreamingDedup {
     * mid-corpus split). */
   def maintainChunkDedup(stream: DataFrame, dir: String, idCol: String,
       textCol: String, chunkWords: Int, checkpoint: String): StreamingQuery =
+    maintainChunkDedupFrom(stream, dir,
+      batch => graft.operators.TextAnalysis
+        .chunkTokens(batch, idCol, textCol, chunkWords, 0)
+        .select(col(idCol).as("id"), col("chunk_idx"), col("chunk_text")),
+      sep = " ", checkpoint = checkpoint)
+
+  /** [[maintainChunkDedup]] over ANY per-batch chunker (`batch →
+    * (id, chunk_idx, chunk_text)`) — fixed token windows or the
+    * content-defined chunkers ([[graft.operators.TextAnalysis.cdcChunks]]
+    * / `gearChunks` with `sep = ""`), mirroring the batch
+    * [[Dedup.chunkDedupFrom]] generalization. */
+  def maintainChunkDedupFrom(stream: DataFrame, dir: String,
+      chunker: DataFrame => DataFrame, sep: String,
+      checkpoint: String): StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        val chunks = graft.operators.TextAnalysis
-          .chunkTokens(batch, idCol, textCol, chunkWords, 0)
-          .select(col(idCol).as("id"), col("chunk_idx"), col("chunk_text"),
+        val chunks = chunker(batch)
+          .select(col("id"), col("chunk_idx"), col("chunk_text"),
             md5(col("chunk_text")).as("__h"))
           .localCheckpoint()
         val keeper = chunks.groupBy(col("__h"))
@@ -226,7 +239,7 @@ object StreamingDedup {
               struct(col("chunk_idx"), col("chunk_text"))))).as("__surv"))
           .withColumn("text_clean",
             when(col("n_kept") > 0, array_join(
-              transform(col("__surv"), _.getField("chunk_text")), " ")))
+              transform(col("__surv"), _.getField("chunk_text")), sep)))
           .drop("__surv")
         rebuilt.write.mode("append").parquet(s"$dir/docs")
         freshKeeper.select(col("__h"))

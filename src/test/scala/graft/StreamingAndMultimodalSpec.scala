@@ -207,6 +207,53 @@ class StreamingAndMultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming CDC chunk dedup equals the batch composition for id-ordered arrival") {
+    import graft.streaming.StreamingDedup
+    val p1 = "standard boilerplate disclaimer repeated across many documents verbatim"
+    val docs = graft.sources.Tables(spark, dir, "documents")
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id"), concat(
+        when(col("doc_id") % 3 === 0, lit(p1 + " ")).otherwise(lit("")),
+        col("text")).as("text"))
+    def cdc(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.TextAnalysis.cdcChunks(df, "doc_id", "text", 16, "0")
+        .select(col("id"), col("chunk_idx"), col("chunk").as("chunk_text"))
+    val expected = graft.operators.Dedup.chunkDedupFrom(cdc(docs), sep = "")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.getString(3)))).toMap
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_cdc").toFile
+    val landDir = new java.io.File(tmp, "in"); landDir.mkdirs()
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = new java.io.File(tmp, s"stage_$name")
+      df.coalesce(1).write.parquet(stage.toString)
+      val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(landDir, s"$name.parquet").toPath)
+    }
+    try {
+      land(docs.filter(col("doc_id") <= 100), "a")
+      val stream = spark.readStream.schema(docs.schema).parquet(landDir.toString)
+      val q = StreamingDedup.maintainChunkDedupFrom(stream, s"$tmp/state",
+        cdc, sep = "", s"$tmp/ckpt")
+      try {
+        q.processAllAvailable()
+        land(docs.filter(col("doc_id") > 100), "b")
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = StreamingDedup.currentChunkDeduped(spark, s"$tmp/state")
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), Option(r.getString(3)))).toMap
+      assert(got === expected)
+      // the CDC dedup actually bit across documents
+      assert(expected.values.exists { case (n, k, _) => k < n })
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(tmp)
+    }
+  }
+
   test("streaming PSI drift equals the batch operator across micro-batches") {
     import graft.streaming.StreamingDrift
     val ev = graft.sources.Tables(spark, dir, "events")
