@@ -33,11 +33,15 @@ object BoundedWindow {
   def over(df: DataFrame, maxRows: Long)(
       f: (DataFrame, WindowSpec) => DataFrame): DataFrame = {
     val base = Window.partitionBy(col(G))
-    // the key must be constant-0 (coalesce(1) guarantees it) yet
-    // NON-FOLDABLE — Catalyst strips literal partition keys, which would
-    // silently restore the unpartitioned WindowExec this helper exists to
-    // eliminate; spark_partition_id() is nondeterministic so it survives
-    val framed = df.coalesce(1).withColumn(G, spark_partition_id())
+    // the key must be constant-0 (the 1-partition exchange guarantees
+    // it) yet NON-FOLDABLE — Catalyst strips literal partition keys,
+    // which would silently restore the unpartitioned WindowExec this
+    // helper exists to eliminate; spark_partition_id() is
+    // nondeterministic so it survives. repartition(1), NOT coalesce(1):
+    // coalesce fuses the UPSTREAM plan (often a data-sized aggregation)
+    // into a single task, serializing it; repartition adds a stage
+    // boundary so only the bounded output crosses to one partition.
+    val framed = df.repartition(1).withColumn(G, spark_partition_id())
       .withColumn(N, count(lit(1)).over(base))
       // assert_true returns NULL iff the bound holds; the filter keeps it
       // un-prunable (a dropped column would be optimized away unevaluated)

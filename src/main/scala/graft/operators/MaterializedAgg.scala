@@ -105,8 +105,15 @@ object MaterializedAgg {
     finally walk.close()
   }
 
-  /** replay any interrupted compaction's journal (idempotent) */
-  private def recover(root: java.nio.file.Path): Unit = {
+  /** Replay any interrupted compaction's journal (idempotent).
+    * Synchronized on the SAME monitor as [[compact]]: an un-serialized
+    * reader-side recover could race a live compaction — two threads
+    * replaying one journal both pass the skip-if-present check and the
+    * loser's move throws, and the .tmp cleanup would read an in-flight
+    * compaction's staging dir as crash garbage and delete it out from
+    * under the commit. In-JVM only, like the rest of the file protocol;
+    * cross-process writers remain the caller's stop-the-world contract. */
+  private def recover(root: java.nio.file.Path): Unit = synchronized {
     import scala.jdk.CollectionConverters._
     if (java.nio.file.Files.isDirectory(root)) {
       val walk = java.nio.file.Files.list(root)

@@ -234,10 +234,14 @@ object TextAnalysis {
       when(size(w) < 2, array().cast("array<struct<w1:string,w2:string>>"))
         .otherwise(transform(sequence(lit(1), size(w) - 1),
           i => struct(element_at(w, i).as("w1"), element_at(w, i + 1).as("w2"))))
+    // NOT persisted: all four consumers (the doc join + ctx + cont +
+    // types) live in ONE returned plan, so Spark's exchange reuse
+    // computes the bigram aggregate once per action — a persist here
+    // would pin corpus-bigram-sized cache with no release handle
+    // (the ksGaps leak this repo already fixed once)
     val cb = train.select(explode(pairs(tokens(col(textCol)))).as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ctx = cb.groupBy(col("w1"))
       .agg(sum(col("c")).as("cu"), count(lit(1)).as("n1f"))
     val cont = cb.groupBy(col("w2")).agg(count(lit(1)).as("n1b"))
@@ -335,12 +339,16 @@ object TextAnalysis {
     val starts = concat(array(lit(1)), transform(bps, b => b + 1))
     val ends = concat(bps, array(n))
     docs.select(col(idCol).as("id"),
-        zip_with(starts, ends, (s, e) =>
-          when(e >= s, t.substr(s, e - s + 1))).as("__chunks"))
+        filter(zip_with(starts, ends, (s, e) =>
+          when(e >= s, t.substr(s, e - s + 1))), c => c.isNotNull).as("__cs"))
       // a boundary on the final character leaves an empty tail slot —
-      // drop it BEFORE numbering so chunk_idx is dense
+      // dropped BEFORE numbering so chunk_idx is dense. An EMPTY text
+      // filters to zero slots; restore one "" chunk so the doc never
+      // silently vanishes from chunked output (or from a chunk-dedup
+      // rebuild downstream)
       .select(col("id"),
-        posexplode(filter(col("__chunks"), c => c.isNotNull))
+        posexplode(when(size(col("__cs")) === 0, array(lit("")))
+          .otherwise(col("__cs")))
           .as(Seq("chunk_idx", "chunk")))
   }
 

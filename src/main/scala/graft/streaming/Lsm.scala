@@ -46,16 +46,30 @@ private[streaming] object Lsm {
   def clearTombstones(dir: String): Unit =
     rmTree(Paths.get(dir, "tombstones"))
 
+  /** One JVM-wide monitor serializes every swap/recover transition:
+    * without it, a reader's [[recover]] interleaving between
+    * [[swapIn]]'s two moves completes the swap itself and the writer's
+    * second move throws, aborting a compaction that in fact succeeded
+    * (and skipping its tombstone cleanup). Cross-JVM writers remain the
+    * caller's stop-the-world responsibility, as documented. */
+  private val lock = new Object
+
   /** Replace segment dir `name` under `dir` with the fully-written
     * contents of `<name>__compact`:
     * move live → `<name>__trash`, atomically move compact → live, drop
     * trash. A crash between the two moves leaves no live dir but a
-    * complete `__compact`; [[recover]] finishes the swap. */
-  def swapIn(dir: String, name: String): Unit = {
+    * complete `__compact`; [[recover]] finishes the swap. Idempotent:
+    * if the compact dir is gone but live exists, a recover already
+    * completed this swap and the call is a no-op. */
+  def swapIn(dir: String, name: String): Unit = lock.synchronized {
     val live = Paths.get(dir, name)
     val compact = Paths.get(dir, s"${name}__compact")
     val trash = Paths.get(dir, s"${name}__trash")
-    require(Files.exists(compact), s"no compacted segment at $compact")
+    if (!Files.exists(compact)) {
+      require(Files.exists(live),
+        s"neither $compact nor $live exists — nothing to swap in")
+      return
+    }
     rmTree(trash)
     if (Files.exists(live)) Files.move(live, trash)
     Files.move(compact, live, StandardCopyOption.ATOMIC_MOVE)
@@ -65,12 +79,52 @@ private[streaming] object Lsm {
   /** Reader-side repair: complete a swap interrupted between its two
     * moves (live dir missing, `__compact` fully written), and clear
     * leftover trash. Idempotent, cheap (two existence checks). */
-  def recover(dir: String, name: String): Unit = {
+  def recover(dir: String, name: String): Unit = lock.synchronized {
     val live = Paths.get(dir, name)
     val compact = Paths.get(dir, s"${name}__compact")
     if (!Files.exists(live) && Files.exists(compact))
       Files.move(compact, live, StandardCopyOption.ATOMIC_MOVE)
     rmTree(Paths.get(dir, s"${name}__trash"))
+  }
+
+  /** MULTI-directory commit for layouts whose segment dirs must change
+    * together (BM25: postings + doc_stats + term_df + the tombstone
+    * drop — per-dir swaps are each crash-safe but a crash BETWEEN them
+    * leaves new postings with old stats, and the stats un-mix is not
+    * idempotent). Protocol: every `<name>__compact` must be fully
+    * written; a COMMIT marker then makes the compacted copies
+    * canonical, after which lives are replaced, tombstones dropped,
+    * and the marker removed. A crash anywhere re-runs from the marker
+    * ([[recoverAll]]) — each step is idempotent. */
+  def swapInAll(dir: String, names: Seq[String]): Unit = lock.synchronized {
+    names.foreach(n => require(Files.exists(Paths.get(dir, s"${n}__compact")),
+      s"missing compacted segment $n under $dir"))
+    Files.write(Paths.get(dir, CommitMarker),
+      names.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    completeCommit(dir, names)
+  }
+
+  /** reader-side: finish an interrupted [[swapInAll]] (marker present),
+    * then any interrupted single-dir swaps */
+  def recoverAll(dir: String, names: Seq[String]): Unit = lock.synchronized {
+    if (Files.exists(Paths.get(dir, CommitMarker))) completeCommit(dir, names)
+    names.foreach(recover(dir, _))
+  }
+
+  private val CommitMarker = "__compact_COMMIT"
+
+  private def completeCommit(dir: String, names: Seq[String]): Unit = {
+    names.foreach { n =>
+      val live = Paths.get(dir, n)
+      val compact = Paths.get(dir, s"${n}__compact")
+      if (Files.exists(compact)) {
+        rmTree(live) // marker ⇒ the compacted copy is canonical
+        Files.move(compact, live, StandardCopyOption.ATOMIC_MOVE)
+      }
+    }
+    clearTombstones(dir)
+    Files.deleteIfExists(Paths.get(dir, CommitMarker))
+    ()
   }
 
   def rmTree(p: Path): Unit =

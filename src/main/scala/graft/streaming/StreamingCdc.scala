@@ -40,7 +40,13 @@ object StreamingCdc {
       .start()
 
   /** The up-to-date view: segments merged through the same semilattice
-    * aggregate, as-of tombstones folded first. */
+    * aggregate, as-of tombstones folded first. Tombstone segments carry
+    * a FIXED schema `(__key_name, __key, __as_of)` — the key value is
+    * string-normalized — so deletes issued under DIFFERENT key columns
+    * coexist in one directory (heterogeneous parquet schemas would make
+    * an arbitrary file's schema win and silently drop the other
+    * deletes' tombstones). One fold pass per distinct key name (≤ the
+    * key-column count). */
   def current(spark: SparkSession, dir: String, keyCols: Seq[String],
       orderCol: String, idCol: String): DataFrame = {
     Lsm.recover(dir, "state")
@@ -48,22 +54,30 @@ object StreamingCdc {
     val live =
       if (new java.io.File(s"$dir/tombstones").exists()) {
         val t = spark.read.parquet(s"$dir/tombstones")
-        val keyName = t.columns.filterNot(_ == "__as_of").head
-        // several deletes of one key: the latest as_of wins
-        val t1 = t.groupBy(col(keyName)).agg(max(col("__as_of")).as("__as_of"))
-        segs.join(broadcast(t1), Seq(keyName), "left")
-          .filter(col("__as_of").isNull || col(orderCol) > col("__as_of"))
-          .drop("__as_of")
+        val keyNames = t.select(col("__key_name")).distinct()
+          .collect().map(_.getString(0))
+        keyNames.foldLeft(segs) { (acc, keyName) =>
+          // several deletes of one key: the latest as_of wins
+          val t1 = t.filter(col("__key_name") === keyName)
+            .groupBy(col("__key")).agg(max(col("__as_of")).as("__as_of"))
+          acc.join(broadcast(t1),
+              acc(keyName).cast("string") === t1("__key"), "left")
+            .filter(col("__as_of").isNull || col(orderCol) > col("__as_of"))
+            .drop("__key", "__as_of")
+        }
       } else segs
     EventAnalytics.latestSnapshot(live, keyCols, orderCol, idCol)
   }
 
   /** Tombstone the entities' state up to `asOf` (one appended segment —
     * O(request), no history rewrite). `idKey` must be one of the view's
-    * key columns; its name rides in the segment so readers join it back. */
+    * key columns; it is stored under the FIXED tombstone schema so
+    * mixed-key deletes never produce heterogeneous parquet. */
   def delete(spark: SparkSession, dir: String, ids: DataFrame,
       idKey: String, asOf: Long): Unit =
-    ids.select(col(idKey)).distinct().withColumn("__as_of", lit(asOf))
+    ids.select(col(idKey).cast("string").as("__key")).distinct()
+      .withColumn("__key_name", lit(idKey))
+      .withColumn("__as_of", lit(asOf))
       .write.mode("append").parquet(s"$dir/tombstones")
 
   /** Stop-the-world LSM merge: rewrite the folded view as ONE segment,

@@ -89,7 +89,7 @@ object StreamingText {
     * then the tombstone fold: [[Bm25.deleteFromIndex]] un-mixes the
     * dead docs out of the merged stats from their own postings. */
   def currentBm25(spark: SparkSession, dir: String): Bm25.Index = {
-    Seq("postings", "doc_stats", "term_df").foreach(Lsm.recover(dir, _))
+    Lsm.recoverAll(dir, Seq("postings", "doc_stats", "term_df"))
     val docStats = spark.read.parquet(s"$dir/doc_stats")
       .agg((sum(col("n_docs") * col("avgdl")) / sum(col("n_docs"))).as("avgdl"),
         sum(col("n_docs")).as("n_docs"))
@@ -106,13 +106,16 @@ object StreamingText {
 
   /** Stop-the-world LSM merge for the BM25 layout: rewrite the folded
     * index (segments merged, tombstones un-mixed) as one segment set and
-    * drop the tombstones. Caller pauses the maintainer first. */
+    * drop the tombstones. Caller pauses the maintainer first. The three
+    * dirs + the tombstone drop commit TOGETHER ([[Lsm.swapInAll]]'s
+    * marker protocol) — per-dir swaps are each crash-safe, but a crash
+    * between them would pair new postings with old stats, and the
+    * algebraic stats un-mix is not idempotent. */
   def compactBm25(spark: SparkSession, dir: String): Unit = {
     val idx = currentBm25(spark, dir)
     idx.postings.write.mode("overwrite").parquet(s"$dir/postings__compact")
     idx.docStats.write.mode("overwrite").parquet(s"$dir/doc_stats__compact")
     idx.termDf.write.mode("overwrite").parquet(s"$dir/term_df__compact")
-    Seq("postings", "doc_stats", "term_df").foreach(Lsm.swapIn(dir, _))
-    Lsm.clearTombstones(dir)
+    Lsm.swapInAll(dir, Seq("postings", "doc_stats", "term_df"))
   }
 }

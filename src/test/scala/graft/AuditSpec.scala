@@ -221,6 +221,13 @@ class AuditSpec extends AnyFunSuite {
     val sharedSuffix = c1.reverse.zip(c2.reverse).takeWhile { case (a, b) => a == b }.length
     assert(sharedSuffix >= 2,
       s"expected re-aligned suffix chunks, got $sharedSuffix\n${c1.toSeq}\n${c2.toSeq}")
+    // an EMPTY document must not vanish: it keeps one "" chunk (so a
+    // downstream chunk-dedup rebuild still emits a row for it)
+    val empty = TextAnalysis.cdcChunks(
+      Seq((9L, "")).toDF("doc_id", "text"), "doc_id", "text", 8, "0")
+      .collect()
+    assert(empty.length === 1 && empty.head.getAs[String]("chunk") === "" &&
+      empty.head.getAs[Int]("chunk_idx") === 0)
   }
 
   test("knBigramLmScore: per-context probabilities sum to 1; frequent-but-predictable words back off low") {
