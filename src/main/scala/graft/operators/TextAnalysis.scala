@@ -234,11 +234,14 @@ object TextAnalysis {
       when(size(w) < 2, array().cast("array<struct<w1:string,w2:string>>"))
         .otherwise(transform(sequence(lit(1), size(w) - 1),
           i => struct(element_at(w, i).as("w1"), element_at(w, i + 1).as("w2"))))
-    // NOT persisted: all four consumers (the doc join + ctx + cont +
-    // types) live in ONE returned plan, so Spark's exchange reuse
-    // computes the bigram aggregate once per action — a persist here
-    // would pin corpus-bigram-sized cache with no release handle
-    // (the ksGaps leak this repo already fixed once)
+    // NOT persisted: a persist here would pin corpus-bigram-sized cache
+    // with no release handle (the ksGaps leak this repo already fixed
+    // once — the returned frame is lazy, so the operator can never
+    // unpersist). The price of staying leak-free: Catalyst SPECIALIZES
+    // the four consumers (cont becomes a distinct, types a count of it)
+    // and the corpus pays up to four scan+explode passes per action.
+    // Callers scoring repeatedly against one train corpus should
+    // persist/checkpoint `train` themselves and keep the handle.
     val cb = train.select(explode(pairs(tokens(col(textCol)))).as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
