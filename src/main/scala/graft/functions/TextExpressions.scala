@@ -280,17 +280,26 @@ object TextKernels {
     }
   }
 
-  /** see [[GearBoundaries]]; shared by interpreted eval and codegen */
+  /** see [[GearBoundaries]]; shared by interpreted eval and codegen.
+    * Walks CODE POINTS and emits 1-based code-point positions, because the
+    * consumer ([[graft.operators.TextAnalysis.chunksFromBoundaries]]) slices
+    * with Spark `substr`/`length`, which count code points — a UTF-16
+    * char-unit walk would shift every boundary after a supplementary-plane
+    * character (emoji are routine in web corpora) and could emit positions
+    * past `length(text)`. */
   def gearBoundaries(s: UTF8String, bits: Int): ArrayData = {
     val mask = (1L << bits) - 1
     val str = s.toString
     val out = new java.util.ArrayList[Any]()
     var h = 0L
     var i = 0
+    var cp = 0
     while (i < str.length) {
-      h = (h << 1) + gearTable(str.charAt(i) & 0xFF)
-      if ((h & mask) == 0L) out.add(i + 1)
-      i += 1
+      val c = str.codePointAt(i)
+      i += Character.charCount(c)
+      cp += 1
+      h = (h << 1) + gearTable(c & 0xFF)
+      if ((h & mask) == 0L) out.add(cp)
     }
     new GenericArrayData(out.toArray)
   }

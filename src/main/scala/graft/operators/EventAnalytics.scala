@@ -471,7 +471,10 @@ object EventAnalytics {
         col("n_ab"), col("n_a"), col("n_b"),
         round(col("n_ab") / col("n_baskets"), 6).as("support"),
         round(col("n_ab") / col("n_a"), 6).as("confidence"),
-        round(col("n_ab") * col("n_baskets") /
-          (col("n_a") * col("n_b")), 6).as("lift"))
+        // promote BEFORE multiplying: n_ab*n_baskets (and n_a*n_b) in
+        // LongType silently overflow at billions of baskets; the DuckDB
+        // oracle's ::DOUBLE arithmetic never does
+        round(col("n_ab").cast("double") * col("n_baskets").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double")), 6).as("lift"))
   }
 }

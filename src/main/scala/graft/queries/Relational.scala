@@ -697,7 +697,7 @@ object Relational extends QueryModule {
           .orderBy(col("src"), col("lng"))
       },
       Some("""SELECT coalesce(source,'ALL') AS src, coalesce(lang,'ALL') AS lng,
-             |count(*) AS n, sum(n_chars) AS chars
+             |count(*) AS n, sum(n_chars)::BIGINT AS chars
              |FROM documents GROUP BY CUBE(source, lang)
              |ORDER BY src, lng""".stripMargin.replace('\n', ' '))),
 

@@ -25,12 +25,29 @@ import org.apache.spark.sql.functions._
   */
 private[streaming] object Lsm {
 
-  def tombstone(ids: DataFrame, idKey: String, dir: String): Unit =
+  /** Segment reads/writes go through Spark's Hadoop FS, but tombstone
+    * existence checks and the swap/recover moves use java.nio — on a
+    * non-local URI (s3://, hdfs://) the parquet side would succeed while
+    * tombstones() / dropTombstoned / recover silently no-op, resurfacing
+    * DELETEd ids (a silent right-to-be-forgotten violation). Fail loudly
+    * at every entry point instead: maintainer state dirs must be local
+    * paths. Distributed deployments put them on a shared local mount or
+    * port this object to Hadoop FileSystem first. */
+  private def requireLocal(dir: String): String = {
+    require(!dir.matches("^[a-zA-Z][a-zA-Z0-9+.\\-]*://.*"),
+      s"Lsm maintainer dirs must be local filesystem paths (java.nio side " +
+        s"of the swap/tombstone protocol cannot address a URI): got $dir")
+    dir
+  }
+
+  def tombstone(ids: DataFrame, idKey: String, dir: String): Unit = {
+    requireLocal(dir)
     ids.select(col(idKey).as("id")).distinct()
       .write.mode("append").parquet(s"$dir/tombstones")
+  }
 
   def tombstones(spark: SparkSession, dir: String): Option[DataFrame] =
-    if (new java.io.File(s"$dir/tombstones").exists())
+    if (new java.io.File(s"${requireLocal(dir)}/tombstones").exists())
       Some(spark.read.parquet(s"$dir/tombstones").distinct())
     else None
 
@@ -44,7 +61,7 @@ private[streaming] object Lsm {
     }
 
   def clearTombstones(dir: String): Unit =
-    rmTree(Paths.get(dir, "tombstones"))
+    rmTree(Paths.get(requireLocal(dir), "tombstones"))
 
   /** One JVM-wide monitor serializes every swap/recover transition:
     * without it, a reader's [[recover]] interleaving between
@@ -62,6 +79,7 @@ private[streaming] object Lsm {
     * if the compact dir is gone but live exists, a recover already
     * completed this swap and the call is a no-op. */
   def swapIn(dir: String, name: String): Unit = lock.synchronized {
+    requireLocal(dir)
     val live = Paths.get(dir, name)
     val compact = Paths.get(dir, s"${name}__compact")
     val trash = Paths.get(dir, s"${name}__trash")
@@ -80,6 +98,7 @@ private[streaming] object Lsm {
     * moves (live dir missing, `__compact` fully written), and clear
     * leftover trash. Idempotent, cheap (two existence checks). */
   def recover(dir: String, name: String): Unit = lock.synchronized {
+    requireLocal(dir)
     val live = Paths.get(dir, name)
     val compact = Paths.get(dir, s"${name}__compact")
     if (!Files.exists(live) && Files.exists(compact))
@@ -97,6 +116,7 @@ private[streaming] object Lsm {
     * and the marker removed. A crash anywhere re-runs from the marker
     * ([[recoverAll]]) — each step is idempotent. */
   def swapInAll(dir: String, names: Seq[String]): Unit = lock.synchronized {
+    requireLocal(dir)
     names.foreach(n => require(Files.exists(Paths.get(dir, s"${n}__compact")),
       s"missing compacted segment $n under $dir"))
     Files.write(Paths.get(dir, CommitMarker),
@@ -107,6 +127,7 @@ private[streaming] object Lsm {
   /** reader-side: finish an interrupted [[swapInAll]] (marker present),
     * then any interrupted single-dir swaps */
   def recoverAll(dir: String, names: Seq[String]): Unit = lock.synchronized {
+    requireLocal(dir)
     if (Files.exists(Paths.get(dir, CommitMarker))) completeCommit(dir, names)
     names.foreach(recover(dir, _))
   }

@@ -161,7 +161,7 @@ object StreamingDedup {
 
   def currentUnique(spark: SparkSession, dir: String,
       idCol: String = "doc_id"): DataFrame = {
-    Lsm.recover(dir, "unique")
+    Lsm.recoverAll(dir, Seq("unique", "hashes"))
     Lsm.dropTombstoned(spark, dir,
       spark.read.parquet(s"$dir/unique"), idCol)
   }
@@ -174,7 +174,12 @@ object StreamingDedup {
 
   /** Stop-the-world LSM merge for the exact-dedup state: rewrite
     * `unique` and `hashes` minus the tombstones as one segment each and
-    * drop the tombstones. Caller pauses the maintainer first. */
+    * drop the tombstones. Caller pauses the maintainer first.
+    * `unique` and `hashes` are ONE logical state (the seen-set and its
+    * keepers), so both dirs commit through the [[Lsm.swapInAll]] marker
+    * protocol — two independent swapIns would let a crash between them
+    * strand a stale `hashes__compact` that a later recover could move
+    * into place, regressing the seen-set and re-admitting duplicates. */
   def compactExactDedup(spark: SparkSession, dir: String,
       idCol: String): Unit = {
     currentUnique(spark, dir, idCol)
@@ -182,8 +187,7 @@ object StreamingDedup {
     Lsm.dropTombstoned(spark, dir,
       spark.read.parquet(s"$dir/hashes"), "id")
       .write.mode("overwrite").parquet(s"$dir/hashes__compact")
-    Seq("unique", "hashes").foreach(Lsm.swapIn(dir, _))
-    Lsm.clearTombstones(dir)
+    Lsm.swapInAll(dir, Seq("unique", "hashes"))
   }
 
   /** Streaming CHUNK-level dedup (the paragraph dedup of

@@ -256,25 +256,36 @@ class AuditSpec extends AnyFunSuite {
     import graft.functions.TextKernels
     val base = (1 to 400).map(i => s"w${i * 7 % 97}").mkString(" ")
     val edited = "XXINSERTXX " + base
-    val df = Seq((1L, base), (2L, edited)).toDF("doc_id", "text")
+    // non-BMP fixture: supplementary-plane code points (2 UTF-16 units each)
+    // interleaved through ASCII — boundaries must stay code-point positions,
+    // never exceed codePointCount, and chunks must reassemble exactly
+    val emoji = new String(Character.toChars(0x1F600)) +
+      new String(Character.toChars(0x1F680))
+    val nonBmp = (1 to 120).map(i => s"w${i * 7 % 97}$emoji").mkString(" ")
+    val df = Seq((1L, base), (2L, edited), (3L, nonBmp)).toDF("doc_id", "text")
     val rows = TextAnalysis.gearChunks(df, "doc_id", "text", bits = 5)
       .collect().map(r => (r.getAs[Long]("id"), r.getAs[Int]("chunk_idx"),
         r.getAs[String]("chunk")))
     def chunksOf(id: Long) = rows.filter(_._1 == id).sortBy(_._2).map(_._3).toSeq
-    // independent per-char reference of the SAME gear rule
+    // independent per-CODE-POINT reference of the SAME gear rule
     def refChunks(s: String): Seq[String] = {
       var h = 0L
-      val bps = s.zipWithIndex.flatMap { case (c, i) =>
+      val cps = s.codePoints().toArray.toSeq
+      val bps = cps.zipWithIndex.flatMap { case (c, i) =>
         h = (h << 1) + TextKernels.gearTable(c & 0xFF)
         if ((h & 31L) == 0L) Some(i + 1) else None
       }
       val starts = 1 +: bps.map(_ + 1)
-      val ends = bps :+ s.length
-      starts.zip(ends).collect { case (a, e) if e >= a => s.substring(a - 1, e) }
+      val ends = bps :+ cps.length
+      def sub(a: Int, e: Int) =
+        new String(cps.slice(a - 1, e).flatMap(c => Character.toChars(c).toSeq).toArray)
+      starts.zip(ends).collect { case (a, e) if e >= a => sub(a, e) }
     }
     assert(chunksOf(1L) === refChunks(base))
     assert(chunksOf(2L) === refChunks(edited))
+    assert(chunksOf(3L) === refChunks(nonBmp))
     assert(chunksOf(1L).mkString === base && chunksOf(2L).mkString === edited)
+    assert(chunksOf(3L).mkString === nonBmp)
     // content-defined: prefix insertion leaves a shared chunk suffix
     val shared = chunksOf(1L).reverse.zip(chunksOf(2L).reverse)
       .takeWhile { case (a, b) => a == b }.length

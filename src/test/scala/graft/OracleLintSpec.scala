@@ -1,0 +1,151 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Static lint over every registered oracle SQL string, guarding the repo's
+  * #1 recurring correctness pitfall: DuckDB `sum(<integer expr>)` returns
+  * HUGEINT, which the driver's comparison harness coerces to float64
+  * (`149174.0` vs Spark's `149174`) and the hash compare goes red even when
+  * both answers are right. Bit us in r7 (`q_expectations`), again in r9
+  * (`q_cube`). The fix is always the same — `::BIGINT` (or float math) on
+  * the aggregate output — so make the gate find the NEXT one at `sbt test`
+  * time instead of at driver-compare time.
+  *
+  * Heuristic, tuned to this repo's oracle corpus: a `sum(...)` is risky iff
+  * its argument is integer-typed (references a known INT test-table column,
+  * or `len(`/`strlen(`, or integer literals only — and no float column, no
+  * decimal literal, no `::double` inside) AND the enclosing output
+  * expression shows no promotion (`::` cast, a decimal literal like `1.0`,
+  * or a `/` division — all of which leave HUGEINT territory in DuckDB).
+  */
+object OracleLint {
+
+  private val intCols = Set(
+    "c_custkey", "c_nationkey", "doc_id", "event_id", "l_linenumber",
+    "l_orderkey", "l_partkey", "l_suppkey", "label", "n_chars",
+    "n_nationkey", "n_regionkey", "o_custkey", "o_orderkey", "p_partkey",
+    "p_size", "r_regionkey", "s_nationkey", "s_suppkey", "user_id", "vec_id")
+
+  private val floatCols = Set(
+    "c_acctbal", "l_discount", "l_extendedprice", "l_quantity", "l_tax",
+    "o_totalprice", "p_retailprice", "s_acctbal", "value")
+
+  private val word = "[a-z_][a-z_0-9]*".r
+  private val decimalLit = """\d\.\d|\d\.\s|\d\.$|\de[+-]?\d""".r
+
+  private def referencedWords(expr: String): Set[String] =
+    word.findAllIn(expr).toSet
+
+  /** Is the sum argument integer-typed in DuckDB (→ sum yields HUGEINT)? */
+  private def intTyped(arg: String): Boolean = {
+    val a = arg.toLowerCase
+    if (decimalLit.findFirstIn(a).isDefined) return false
+    if (a.contains("::double") || a.contains("::float") || a.contains("::real"))
+      return false
+    val refs = referencedWords(a)
+    if (refs.exists(floatCols)) return false
+    val hasIntCol = refs.exists(intCols)
+    val hasLen = a.contains("len(") || a.contains("strlen(") ||
+      a.contains("length(") || a.contains("count(")
+    val intLiteralOnly = """\b\d+\b""".r.findFirstIn(a).isDefined
+    hasIntCol || hasLen || intLiteralOnly
+  }
+
+  /** Index of the close paren matching the open paren at `open`. */
+  private def matching(sql: String, open: Int): Int = {
+    var d = 0; var i = open
+    while (i < sql.length) {
+      sql.charAt(i) match {
+        case '(' => d += 1
+        case ')' => d -= 1; if (d == 0) return i
+        case _ =>
+      }
+      i += 1
+    }
+    sql.length - 1
+  }
+
+  /** The enclosing output expression around [from, to]: extend left/right
+    * until a comma/paren at a depth below the sum's own, or a depth-0
+    * clause keyword. Over-extension is harmless — the window only needs to
+    * witness a promotion token if one exists in the same expression.
+    */
+  private def exprWindow(sql: String, from: Int, to: Int): String = {
+    val depth = new Array[Int](sql.length + 1)
+    var d = 0
+    for (i <- sql.indices) {
+      if (sql.charAt(i) == '(') d += 1
+      depth(i) = d
+      if (sql.charAt(i) == ')') d -= 1
+    }
+    val dSum = depth(from)
+    var lo = from
+    while (lo > 0 && !(("(,".contains(sql.charAt(lo - 1)) && depth(lo - 1) < dSum)
+      || sql.toLowerCase.regionMatches(math.max(0, lo - 7), "select ", 0, 7))) lo -= 1
+    var hi = to
+    val low = sql.toLowerCase
+    def clauseAt(i: Int): Boolean =
+      Seq(" from ", " order ", " group ", " where ", " window ", " having ")
+        .exists(k => low.regionMatches(i, k, 0, k.length))
+    while (hi < sql.length - 1 && !((",)".contains(sql.charAt(hi + 1)) && depth(hi + 1) < dSum)
+      || clauseAt(hi + 1)) && !clauseAt(hi + 1)) hi += 1
+    sql.substring(lo, hi + 1)
+  }
+
+  private val promoted = """::|\d\.\d|/""".r
+
+  /** All risky sum( sites in one oracle SQL; empty = clean. */
+  def risks(sql: String): Seq[String] = {
+    val low = sql.toLowerCase
+    val out = Seq.newBuilder[String]
+    var i = low.indexOf("sum(")
+    while (i >= 0) {
+      val boundaryOk = i == 0 || !low.charAt(i - 1).isLetterOrDigit && low.charAt(i - 1) != '_'
+      if (boundaryOk) {
+        val close = matching(sql, i + 3)
+        val arg = sql.substring(i + 4, close)
+        if (intTyped(arg)) {
+          val window = exprWindow(sql, i, close)
+          if (promoted.findFirstIn(window).isEmpty)
+            out += s"uncast integer sum → DuckDB HUGEINT: `$window`"
+        }
+      }
+      i = low.indexOf("sum(", i + 1)
+    }
+    out.result()
+  }
+}
+
+class OracleLintSpec extends AnyFunSuite {
+
+  test("every registered oracle SQL is free of uncast integer sums") {
+    val bad = SparkEntry.oracleSql.toSeq.sortBy(_._1).flatMap { case (name, sql) =>
+      OracleLint.risks(sql).map(r => s"$name: $r")
+    }
+    assert(bad.isEmpty,
+      s"HUGEINT-risk oracle expressions (add ::BIGINT / ::DOUBLE):\n${bad.mkString("\n")}")
+  }
+
+  test("the lint catches the exact r9 q_cube failure") {
+    val r9 = "SELECT coalesce(source,'ALL') AS src, coalesce(lang,'ALL') AS lng, " +
+      "count(*) AS n, sum(n_chars) AS chars FROM documents GROUP BY CUBE(source, lang) " +
+      "ORDER BY src, lng"
+    assert(OracleLint.risks(r9).nonEmpty)
+    val fixed = r9.replace("sum(n_chars)", "sum(n_chars)::BIGINT")
+    assert(OracleLint.risks(fixed).isEmpty)
+  }
+
+  test("the lint is not fooled by safe shapes") {
+    // float column sum
+    assert(OracleLint.risks("SELECT sum(l_quantity) AS q FROM lineitem").isEmpty)
+    // promotion via float multiply inside round()
+    assert(OracleLint.risks(
+      "SELECT round(sum(n_chars) * 1.0, 1) AS c FROM documents").isEmpty)
+    // promotion via division
+    assert(OracleLint.risks(
+      "SELECT sum(n_chars)::DOUBLE / sum(len(string_split(text,' '))) AS r FROM documents").isEmpty)
+    // CASE-WHEN integer sum must be flagged
+    assert(OracleLint.risks(
+      "SELECT sum(CASE WHEN lang='en' THEN 1 ELSE 0 END) AS n FROM documents").nonEmpty)
+  }
+}
