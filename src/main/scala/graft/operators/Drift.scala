@@ -23,10 +23,12 @@ import org.apache.spark.sql.functions._
 object Drift {
 
   /** per-bin breakdown: (bin, n_ref, n_cur, p_ref, p_cur, psi_term).
-    * `approxEdges` swaps the exact percentile (value→count map state,
-    * grows with distinct cardinality) for approx_percentile's
-    * fixed-size sketch — the 100 TB posture; exact stays the default
-    * for oracle parity. */
+    * Exact edges (default) come from [[Quantiles.exactQuantiles]] —
+    * funnel-free rank selection, bit-identical to `percentile()` (the
+    * oracle arithmetic) without its value→count map whose final merge
+    * funnels through one reducer at distinct-cardinality cost;
+    * `approxEdges` swaps in approx_percentile's fixed-size sketch
+    * (lazy, rides inside one plan). */
   def psiBins(ref: DataFrame, cur: DataFrame, valueCol: String,
       nBins: Int = 10, eps: Double = 1e-4,
       approxEdges: Boolean = false, accuracy: Int = 10000): DataFrame = {
@@ -38,23 +40,27 @@ object Drift {
     val refNn = ref.filter(col(valueCol).isNotNull)
     val curNn = cur.filter(col(valueCol).isNotNull)
     val qs = (1 until nBins).map(_.toDouble / nBins)
-    // ONE percentile aggregate over the quantile array — nBins-1
-    // separate percentile() calls would each carry their own
-    // value->count map state
-    val qArr = qs.mkString("array(", ", ", ")")
-    val edgeArr =
-      if (approxEdges) expr(s"approx_percentile($valueCol, $qArr, $accuracy)")
-      else expr(s"percentile($valueCol, $qArr)")
-    val edges = refNn.agg(edgeArr.as("__earr"))
-      .select(qs.indices.map(i =>
-        element_at(col("__earr"), i + 1).cast("double").as(s"__e$i")): _*)
+    // edge frame: a broadcast 1-row sketch frame (approx) or the exact
+    // rank-selected edges bound as literals on a dummy 1-row frame —
+    // either way `binned` crossJoins it and reads __e0..__e{n-2}
+    val edgeFrame: DataFrame =
+      if (approxEdges) {
+        val qArr = qs.mkString("array(", ", ", ")")
+        refNn.agg(expr(s"approx_percentile($valueCol, $qArr, $accuracy)").as("__earr"))
+          .select(qs.indices.map(i =>
+            element_at(col("__earr"), i + 1).cast("double").as(s"__e$i")): _*)
+      } else {
+        val es = graft.operators.Quantiles.exactQuantiles(refNn, valueCol, qs)
+        ref.sparkSession.range(1)
+          .select(es.toSeq.zipWithIndex.map { case (e, i) => lit(e).as(s"__e$i") }: _*)
+      }
     def binned(df: DataFrame, side: String): DataFrame = {
       // bin = number of edges strictly below the value — map-side math
       // against the broadcast 1-row edge frame
       val b = (0 until nBins - 1).map(i =>
         when(col(valueCol) > col(s"__e$i"), 1).otherwise(0))
         .reduce[Column](_ + _)
-      df.select(col(valueCol)).crossJoin(broadcast(edges))
+      df.select(col(valueCol)).crossJoin(broadcast(edgeFrame))
         .select(b.as("bin"))
         .groupBy(col("bin")).agg(count(lit(1)).as(s"n_$side"))
     }

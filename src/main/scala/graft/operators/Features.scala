@@ -17,26 +17,32 @@ object Features {
 
   /** Equal-frequency discretization: bin(x) = number of quantile edges
     * at or below x, for k bins (edges at 1/k … (k−1)/k). Returns df +
-    * `bin` (0-based; NULL values get NULL bins). The edges are ONE
-    * array-percentile aggregate (never k−1 separate map states);
-    * `approxBounds` swaps in the fixed-state sketch — the 100 TB
-    * posture for high-cardinality doubles, exactly as
-    * [[Robust.winsorize]]. */
+    * `bin` (0-based; NULL values get NULL bins). Exact edges (default)
+    * come from [[graft.operators.Quantiles.exactQuantiles]] — funnel-
+    * free rank selection, bit-identical to `percentile()` — and bind
+    * as literals; `approxBounds` swaps in the fixed-state sketch
+    * (lazy), exactly as [[Robust.winsorize]]. */
   def discretize(df: DataFrame, valueCol: String, bins: Int,
       approxBounds: Boolean = false, accuracy: Int = 10000): DataFrame = {
     require(bins >= 2, "need at least 2 bins")
     val qs = (1 until bins).map(_.toDouble / bins)
-    val qArr = qs.mkString("array(", ", ", ")")
-    val edgeArr =
-      if (approxBounds) expr(s"approx_percentile($valueCol, $qArr, $accuracy)")
-      else expr(s"percentile($valueCol, $qArr)")
-    val edges = df.filter(col(valueCol).isNotNull).agg(edgeArr.as("__edges"))
-    df.crossJoin(broadcast(edges))
-      .withColumn("bin",
+    if (approxBounds) {
+      val qArr = qs.mkString("array(", ", ", ")")
+      val edges = df.filter(col(valueCol).isNotNull)
+        .agg(expr(s"approx_percentile($valueCol, $qArr, $accuracy)").as("__edges"))
+      df.crossJoin(broadcast(edges))
+        .withColumn("bin",
+          when(col(valueCol).isNotNull,
+            aggregate(col("__edges"), lit(0),
+              (acc, e) => acc + when(col(valueCol) >= e, 1).otherwise(0))))
+        .drop("__edges")
+    } else {
+      val es = graft.operators.Quantiles.exactQuantiles(df, valueCol, qs)
+      df.withColumn("bin",
         when(col(valueCol).isNotNull,
-          aggregate(col("__edges"), lit(0),
-            (acc, e) => acc + when(col(valueCol) >= e, 1).otherwise(0))))
-      .drop("__edges")
+          es.map(e => when(col(valueCol) >= e, 1).otherwise(0))
+            .reduce[Column](_ + _)))
+    }
   }
 
   /** Percentile-normalized quality blend: each signal is mapped to its
@@ -44,13 +50,14 @@ object Features {
     * bins combine as a weighted mean scaled to [0,1] — the standard
     * way to fuse incommensurable quality signals (length, token count,
     * ratios) into ONE ranking score without hand-tuned scale factors.
-    * All edges come from a single 1-row aggregate that broadcasts onto
-    * the rows; the blend itself is map-side array math. Returns df +
-    * `bin_<signal>` per signal + `q_blend`. NULL in any signal ⇒ NULL
-    * blend (an unscorable row, not a zero-quality row). `approxBounds`
-    * swaps the exact percentile (value→count map state) for the
-    * fixed-width sketch — the 100 TB posture, same convention as
-    * [[discretize]]; exact stays default for the oracle. */
+    * Exact edges (default) come from ONE keyed rank-selection pass over
+    * all signals ([[graft.operators.Quantiles.exactQuantilesByKey]] —
+    * funnel-free, bit-identical to `percentile()`) and bind as
+    * literals; `approxBounds` swaps in per-signal fixed-width sketches
+    * in a single 1-row broadcast aggregate. The blend itself is
+    * map-side array math either way. Returns df + `bin_<signal>` per
+    * signal + `q_blend`. NULL in any signal ⇒ NULL blend (an
+    * unscorable row, not a zero-quality row). */
   def percentileBlend(df: DataFrame, signalCols: Seq[String],
       weights: Seq[Double], bins: Int = 10,
       approxBounds: Boolean = false, accuracy: Int = 10000): DataFrame = {
@@ -58,25 +65,45 @@ object Features {
     require(signalCols.length == weights.length, "one weight per signal")
     require(weights.forall(_ >= 0) && weights.sum > 0, "weights must be non-negative, sum > 0")
     val qs = (1 until bins).map(_.toDouble / bins)
-    val qArr = qs.mkString("array(", ", ", ")")
-    val edgeAggs = signalCols.zipWithIndex.map { case (c, i) =>
-      (if (approxBounds) expr(s"approx_percentile($c, $qArr, $accuracy)")
-       else expr(s"percentile($c, $qArr)")).as(s"__e_$i")
-    }
-    val edges = df.agg(edgeAggs.head, edgeAggs.tail: _*)
-    val binned = signalCols.zipWithIndex.foldLeft(
-      df.crossJoin(broadcast(edges))) { case (acc, (c, i)) =>
-      acc.withColumn(s"bin_$c",
-        when(col(c).isNotNull,
-          aggregate(col(s"__e_$i"), lit(0),
-            (n, e) => n + when(col(c) >= e, 1).otherwise(0))))
-    }
+    val binned =
+      if (approxBounds) {
+        val qArr = qs.mkString("array(", ", ", ")")
+        val edgeAggs = signalCols.zipWithIndex.map { case (c, i) =>
+          expr(s"approx_percentile($c, $qArr, $accuracy)").as(s"__e_$i")
+        }
+        val edges = df.agg(edgeAggs.head, edgeAggs.tail: _*)
+        signalCols.zipWithIndex.foldLeft(
+          df.crossJoin(broadcast(edges))) { case (acc, (c, i)) =>
+          acc.withColumn(s"bin_$c",
+            when(col(c).isNotNull,
+              aggregate(col(s"__e_$i"), lit(0),
+                (n, e) => n + when(col(c) >= e, 1).otherwise(0))))
+        }.drop(signalCols.indices.map(i => s"__e_$i"): _*)
+      } else {
+        // exact edges for EVERY signal in ONE corpus pass: explode to
+        // (signal, value) rows and rank-select per key — funnel-free
+        // ([[graft.operators.Quantiles.exactQuantilesByKey]]), unlike
+        // percentile()'s per-signal value→count map merges. A signal
+        // with no non-NULL values has no edges (percentile's NULL) and
+        // bins NULL.
+        val kv = df.select(explode(array(signalCols.map(c =>
+            struct(lit(c).as("__k"), col(c).cast("double").as("__v"))): _*)).as("__s"))
+          .select(col("__s.__k").as("__k"), col("__s.__v").as("__v"))
+        val edgesByKey =
+          graft.operators.Quantiles.exactQuantilesByKey(kv, "__k", "__v", qs)
+        signalCols.foldLeft(df) { case (acc, c) =>
+          acc.withColumn(s"bin_$c", edgesByKey.get(c) match {
+            case Some(es) => when(col(c).isNotNull,
+              es.map(e => when(col(c) >= e, 1).otherwise(0))
+                .reduce[Column](_ + _))
+            case None => lit(null).cast("int")
+          })
+        }
+      }
     val blend = signalCols.zipWithIndex
       .map { case (c, i) => col(s"bin_$c") * weights(i) }
       .reduce(_ + _) / (weights.sum * (bins - 1))
-    binned
-      .withColumn("q_blend", round(blend, 6))
-      .drop(signalCols.indices.map(i => s"__e_$i"): _*)
+    binned.withColumn("q_blend", round(blend, 6))
   }
 
   /** Smoothed target encoding + frequency encoding of a categorical:

@@ -39,55 +39,84 @@ object Quantiles {
     * empty (all-NULL) input like percentile returns NULL — caller
     * checks. */
   def exactQuantiles(df: DataFrame, valueCol: String,
-      qs: Seq[Double]): Array[Double] = {
+      qs: Seq[Double]): Array[Double] =
+    exactQuantilesByKey(
+      df.select(lit("").as("__k"), col(valueCol).as("__val")), "__k", "__val", qs)
+      .getOrElse("", throw new IllegalArgumentException(
+        s"requirement failed: no non-NULL values in $valueCol"))
+
+  /** [[exactQuantiles]] for SEVERAL value populations in ONE corpus
+    * pass: `df` carries (key, value) rows — e.g. the per-signal explode
+    * of [[graft.operators.Features.percentileBlend]] — and every key
+    * gets its own exact interpolated quantiles. Same rank-selection
+    * machinery, keys simply prepend the range-partition ordering; the
+    * driver artifacts grow to numPartitions × |keys| rows (keys are
+    * signals/metrics — a handful — never data-sized). Keys with no
+    * non-NULL values are absent from the result (percentile's NULL). */
+  def exactQuantilesByKey(df: DataFrame, keyCol: String, valueCol: String,
+      qs: Seq[Double]): Map[String, Array[Double]] = {
     require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
       s"quantiles must be in [0,1]: $qs")
-    val perV = df.filter(col(valueCol).isNotNull)
-      .select(col(valueCol).cast("double").as("__v"))
-      .groupBy(col("__v")).agg(count(lit(1)).as("__c"))
-    val parts = perV.repartitionByRange(col("__v"))
-      .sortWithinPartitions(col("__v"))
+    val perKV = df.filter(col(valueCol).isNotNull && col(keyCol).isNotNull)
+      .select(col(keyCol).cast("string").as("__k"),
+        col(valueCol).cast("double").as("__v"))
+      .groupBy(col("__k"), col("__v")).agg(count(lit(1)).as("__c"))
+    val parts = perKV.repartitionByRange(col("__k"), col("__v"))
+      .sortWithinPartitions(col("__k"), col("__v"))
       .withColumn("__pid", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val totals = parts.groupBy(col("__pid")).agg(sum(col("__c")).as("__t"))
-        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-      val n = totals.map(_._2).sum
-      require(n > 0, s"no non-NULL values in $valueCol")
-      val offRows = {
+      val totals = parts.groupBy(col("__pid"), col("__k"))
+        .agg(sum(col("__c")).as("__t"))
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+      if (totals.isEmpty) return Map.empty
+      val byKey = totals.groupBy(_._2)
+      val offRows = byKey.toSeq.flatMap { case (k, rows) =>
         var o = 0L
-        totals.map { case (pid, t) => val row = (pid, o); o += t; row }.toSeq
+        rows.sortBy(_._1).map { case (pid, _, t) =>
+          val row = (pid, k, o); o += t; row
+        }
       }
-      val ranks = qs.map(q => q * (n - 1))
-      val targets = ranks
-        .flatMap(r => Seq(math.floor(r).toLong, math.ceil(r).toLong))
-        .distinct.sorted
+      val ranksByKey = byKey.map { case (k, rows) =>
+        val n = rows.map(_._3).sum
+        k -> qs.map(q => q * (n - 1))
+      }
+      val targetsByKey = ranksByKey.map { case (k, rs) =>
+        k -> rs.flatMap(r => Seq(math.floor(r).toLong, math.ceil(r).toLong))
+          .distinct.sorted
+      }
       val spark = df.sparkSession
       import spark.implicits._
-      val offs = offRows.toDF("__pid", "__off")
-      val w = Window.partitionBy(col("__pid")).orderBy(col("__v"))
+      val offs = offRows.toDF("__pid", "__k", "__off")
+      val w = Window.partitionBy(col("__pid"), col("__k")).orderBy(col("__v"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val hits = parts.join(broadcast(offs), "__pid")
+      val hits = parts.join(broadcast(offs), Seq("__pid", "__k"))
         .withColumn("__start",
           col("__off") + sum(col("__c")).over(w) - col("__c"))
-        .filter(targets.map(k =>
-          col("__start") <= k && col("__start") + col("__c") > k)
-          .reduce(_ || _))
-        .select(col("__v"), col("__start"), col("__c"))
+        .filter(targetsByKey.toSeq.map { case (k, ts) =>
+          col("__k") === k && ts.map(t =>
+            col("__start") <= t && col("__start") + col("__c") > t)
+            .reduce(_ || _)
+        }.reduce(_ || _))
+        .select(col("__k"), col("__v"), col("__start"), col("__c"))
         .collect()
-        .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
-      def valueAt(k: Long): Double =
-        hits.find(h => h._2 <= k && k < h._2 + h._3)
-          .getOrElse(sys.error(s"rank $k not covered — bug"))._1
-      ranks.map { r =>
-        val lo = valueAt(math.floor(r).toLong)
-        val hi = valueAt(math.ceil(r).toLong)
-        // Spark Percentile's exact arithmetic (lo·(1−f) + hi·f), NOT
-        // lo + f·(hi−lo) — the two differ in the last bit and the specs
-        // gate bit-identity against percentile()
-        val f = r - math.floor(r)
-        lo * (1.0 - f) + hi * f
-      }.toArray
+        .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+        .groupBy(_._1)
+      ranksByKey.map { case (k, ranks) =>
+        val hs = hits.getOrElse(k, Array.empty)
+        def valueAt(t: Long): Double =
+          hs.find(h => h._3 <= t && t < h._3 + h._4)
+            .getOrElse(sys.error(s"rank $t not covered for key $k — bug"))._2
+        k -> ranks.map { r =>
+          val lo = valueAt(math.floor(r).toLong)
+          val hi = valueAt(math.ceil(r).toLong)
+          // Spark Percentile's exact arithmetic (lo·(1−f) + hi·f), NOT
+          // lo + f·(hi−lo) — the two differ in the last bit and the
+          // specs gate bit-identity against percentile()
+          val f = r - math.floor(r)
+          lo * (1.0 - f) + hi * f
+        }.toArray
+      }
     } finally { parts.unpersist(false); () }
   }
 }

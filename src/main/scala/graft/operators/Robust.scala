@@ -4,22 +4,22 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Outlier-robust numeric cleaning (winsorization): clamp a value
-  * column to its [loQ, hiQ] quantile bounds. The bounds ride as a
-  * broadcast 1-row frame — no driver action — and the clamp is
-  * map-side math.
+  * column to its [loQ, hiQ] quantile bounds. The bounds bind as
+  * literals (exact) or ride as a broadcast 1-row frame (approx) and
+  * the clamp is map-side math.
   *
-  * Three bound postures:
-  *   - exact (default): Spark's `percentile`, whose aggregation state
-  *     is a value→count map — bit-exact against a SQL oracle and lazy
-  *     (rides inside one plan), but the final map merge funnels through
-  *     one reducer proportional to distinct cardinality;
+  * Two bound postures:
+  *   - exact (default): [[Quantiles.exactQuantiles]] — exact AND
+  *     funnel-free (range-partition rank selection; bit-identical to
+  *     `percentile()` by AuditSpec, so the SQL oracle holds). The
+  *     bounds are eager driver-bound literals, which is what the clamp
+  *     broadcast wanted anyway. Spark's own exact `percentile` is NOT
+  *     used here: its aggregation state is a value→count map whose
+  *     final merge funnels through one reducer proportional to global
+  *     distinct cardinality — a 100 TB killer on continuous columns;
   *   - `approxBounds = true`: `approx_percentile` (Greenwald-Khanna),
   *     fixed-size state with rank error ≤ 1/accuracy — the sketch
-  *     posture, same plan shape otherwise;
-  *   - [[Quantiles.exactQuantiles]]: exact AND funnel-free (range-
-  *     partition rank selection, bit-identical results, spec-gated) at
-  *     the price of eager driver-bound literals — the 100 TB posture
-  *     when exactness is required on high-cardinality columns.
+  *     posture, fully lazy (rides inside one plan).
   */
 object Robust {
 
@@ -29,19 +29,23 @@ object Robust {
       loQ: Double = 0.01, hiQ: Double = 0.99,
       approxBounds: Boolean = false, accuracy: Int = 10000): DataFrame = {
     require(0 <= loQ && loQ < hiQ && hiQ <= 1, s"bad quantiles [$loQ, $hiQ]")
-    // ONE percentile aggregate with an array of quantiles: separate
-    // percentile() calls each carry their own value->count map state —
-    // the array form shares a single map for both bounds
-    val both =
-      if (approxBounds)
-        expr(s"approx_percentile($valueCol, array($loQ, $hiQ), $accuracy)")
-      else expr(s"percentile($valueCol, array($loQ, $hiQ))")
-    val bounds = df.agg(both.as("__b"))
-      .select(element_at(col("__b"), 1).cast("double").as("lo"),
-        element_at(col("__b"), 2).cast("double").as("hi"))
-    df.crossJoin(broadcast(bounds))
-      .withColumn("__w",
-        least(greatest(col(valueCol).cast("double"), col("lo")), col("hi")))
+    if (approxBounds) {
+      // ONE sketch aggregate with an array of quantiles (separate calls
+      // would each carry their own state), riding as a 1-row broadcast
+      val bounds = df
+        .agg(expr(s"approx_percentile($valueCol, array($loQ, $hiQ), $accuracy)")
+          .as("__b"))
+        .select(element_at(col("__b"), 1).cast("double").as("lo"),
+          element_at(col("__b"), 2).cast("double").as("hi"))
+      df.crossJoin(broadcast(bounds))
+        .withColumn("__w",
+          least(greatest(col(valueCol).cast("double"), col("lo")), col("hi")))
+    } else {
+      val Array(lo, hi) = Quantiles.exactQuantiles(df, valueCol, Seq(loQ, hiQ))
+      df.withColumn("lo", lit(lo)).withColumn("hi", lit(hi))
+        .withColumn("__w",
+          least(greatest(col(valueCol).cast("double"), lit(lo)), lit(hi)))
+    }
   }
 
   /** Per-group winsorization: each group clamps to ITS OWN quantile
@@ -69,24 +73,32 @@ object Robust {
 
   /** Median-absolute-deviation outlier scoring — the robust z-score
     * (0.6745 · (x − median) / MAD) that a single extreme value cannot
-    * corrupt the way it corrupts mean/stddev. Two percentile aggregates
-    * (median, then median of |x − median|), each a broadcast 1-row
-    * frame, the score map-side; `approxBounds` swaps both to the
-    * fixed-state sketch exactly as [[winsorize]]. A zero/NULL MAD
-    * (constant-majority column) scores NULL — never a division blowup.
-    * Returns df + `med`, `mad`, `robust_z`. */
+    * corrupt the way it corrupts mean/stddev. Two median passes
+    * (median, then median of |x − median|) — funnel-free exact
+    * [[Quantiles.exactQuantiles]] literals by default, the fixed-state
+    * sketch under `approxBounds` exactly as [[winsorize]]. A zero/NULL
+    * MAD (constant-majority column) scores NULL — never a division
+    * blowup. Returns df + `med`, `mad`, `robust_z`. */
   def madScore(df: DataFrame, valueCol: String,
-      approxBounds: Boolean = false, accuracy: Int = 10000): DataFrame = {
-    def med(c: String) =
-      if (approxBounds) expr(s"approx_percentile($c, 0.5, $accuracy)")
-      else expr(s"percentile($c, 0.5)")
-    val m = df.agg(med(valueCol).cast("double").as("med"))
-    val withMed = df.crossJoin(broadcast(m))
-    val a = withMed.select(abs(col(valueCol).cast("double") - col("med")).as("__d"))
-      .agg(med("__d").cast("double").as("mad"))
-    withMed.crossJoin(broadcast(a))
-      .withColumn("robust_z",
-        when(col("mad") > 0,
-          lit(0.6745) * (col(valueCol).cast("double") - col("med")) / col("mad")))
-  }
+      approxBounds: Boolean = false, accuracy: Int = 10000): DataFrame =
+    if (approxBounds) {
+      def med(c: String) = expr(s"approx_percentile($c, 0.5, $accuracy)")
+      val m = df.agg(med(valueCol).cast("double").as("med"))
+      val withMed = df.crossJoin(broadcast(m))
+      val a = withMed.select(abs(col(valueCol).cast("double") - col("med")).as("__d"))
+        .agg(med("__d").cast("double").as("mad"))
+      withMed.crossJoin(broadcast(a))
+        .withColumn("robust_z",
+          when(col("mad") > 0,
+            lit(0.6745) * (col(valueCol).cast("double") - col("med")) / col("mad")))
+    } else {
+      val med = Quantiles.exactQuantiles(df, valueCol, Seq(0.5)).head
+      val mad = Quantiles.exactQuantiles(
+        df.select(abs(col(valueCol).cast("double") - med).as("__d")),
+        "__d", Seq(0.5)).head
+      df.withColumn("med", lit(med)).withColumn("mad", lit(mad))
+        .withColumn("robust_z",
+          when(lit(mad) > 0,
+            lit(0.6745) * (col(valueCol).cast("double") - med) / mad))
+    }
 }

@@ -494,11 +494,11 @@ object TensorQueries extends QueryModule {
              |ORDER BY l_returnflag""".stripMargin.replace('\n', ' '))),
 
     // ---- winsorized (percentile-clipped) statistics: outlier-robust
-    // feature cleaning — exact [p01, p99] bounds ride as a broadcast
-    // 1-row frame (no driver action), clamping is map-side math;
-    // Spark's exact percentile == DuckDB quantile_cont, so fully
-    // oracle-checked. operators.Robust also offers approxBounds
-    // (fixed-size sketch state) for high-cardinality columns at scale.
+    // feature cleaning — exact [p01, p99] bounds come from funnel-free
+    // rank selection (operators.Quantiles, bit-identical to DuckDB
+    // quantile_cont so fully oracle-checked) and bind as literals;
+    // clamping is map-side math. operators.Robust also offers
+    // approxBounds (fixed-size sketch state) as the lazy posture.
     "q_winsorize" -> Q(
       (s, dir) => {
         val li = table(s, dir, "lineitem")

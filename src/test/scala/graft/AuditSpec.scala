@@ -181,6 +181,29 @@ class AuditSpec extends AnyFunSuite {
     assert(Quantiles.exactQuantiles(one, "v", qs).toSeq === Seq.fill(qs.size)(42.0))
   }
 
+  test("exactQuantilesByKey: one pass == per-key percentile(); all-NULL keys absent") {
+    import graft.operators.Quantiles
+    val qs = Seq(0.1, 0.5, 0.9)
+    // three keyed populations with different shapes + one all-NULL key
+    val kv = spark.range(6000).select(
+      concat(lit("k"), pmod(col("id"), lit(3L))).as("k"),
+      when(col("id") % 3 =!= 2,
+        (pmod(xxhash64(col("id"), lit(7L)), lit(1000L)) / 3.0))
+        .as("v"))
+      .unionByName(spark.range(10).select(lit("knull").as("k"),
+        lit(null).cast("double").as("v")))
+    val got = Quantiles.exactQuantilesByKey(kv, "k", "v", qs)
+    assert(!got.contains("knull"))
+    for (k <- Seq("k0", "k1")) {
+      val expected = kv.filter(col("k") === k)
+        .agg(expr(s"percentile(v, array(${qs.mkString(",")}))"))
+        .head().getSeq[Double](0)
+      assert(got(k).toSeq === expected, s"key $k")
+    }
+    // k2 is all-NULL by construction (id % 3 == 2 rows) — absent
+    assert(!got.contains("k2"))
+  }
+
   test("timeWeightedAvg: holding intervals weight the mean; constant signals equal the row mean") {
     import graft.operators.EventAnalytics
     // v=10 held for 10s, then v=0 for 1s: twa = 100/11, row mean = 10/3

@@ -301,13 +301,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
-  test("MAD score: percentile bounds attach as 1-row broadcasts, never a shuffle join") {
+  test("MAD score: med/mad bind as literals — no join, no percentile map state") {
     val p = planOf("q_robust_mad")
-    // the med/mad frames are single rows: crossJoin(broadcast(...)) is
-    // the CORRECT plan shape for them (a keyed shuffle join would be
-    // pure overhead); the row-scoring side must never sort-merge
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
-    assert(!p.contains("SortMergeJoin"), s"bounds must broadcast, not shuffle:\n$p")
+    // exact bounds come from funnel-free rank selection and bind as
+    // in-plan literals: the scoring plan is scan → project → agg with
+    // no join of any kind and no value→count percentile aggregate
+    assert(!p.contains("Join"), s"bounds must bind as literals:\n$p")
+    assert(!p.toLowerCase.contains("percentile"),
+      s"exact default must not carry percentile() map state:\n$p")
   }
 
   test("temporal split tags are map-side: no window, no join before the summary agg") {
@@ -341,10 +342,24 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
-  test("quality blend: edge row broadcasts onto the scan, no shuffle join") {
+  test("quality blend: edges bind as literals — no join, no percentile map state") {
     val p = planOf("q_quality_blend")
-    assert(!p.contains("SortMergeJoin"), p)
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Join"), s"edges must bind as literals:\n$p")
+    assert(!p.toLowerCase.contains("percentile"), p)
+  }
+
+  test("exact-default quantile consumers carry NO percentile() single-reducer state") {
+    // the SURVEY's own 100 TB killer: exact percentile()'s value→count
+    // map funnels its final merge through ONE reducer proportional to
+    // global distinct cardinality. The exact defaults now rank-select
+    // (Quantiles.exactQuantiles, bit-identical) and bind literals —
+    // so no plan here may contain a percentile aggregate of any kind.
+    for (q <- Seq("q_winsorize", "q_robust_mad", "q_drift_psi",
+        "q_discretize", "q_quality_blend")) {
+      val p = planOf(q)
+      assert(!p.toLowerCase.contains("percentile"),
+        s"$q still plans a percentile aggregate:\n$p")
+    }
   }
 
   test("inter-arrival gaps: one fine-key window + one agg, no join") {
