@@ -274,6 +274,40 @@ class AuditSpec extends AnyFunSuite {
     assert(bits.values.forall(b => b > 0 && b < 33.0))
   }
 
+  test("KN maintained counts: state-scored == inline to 1e-9; absorb == rebuild") {
+    import graft.operators.TextAnalysis
+    val vocab = Seq("the", "cat", "sat", "on", "mat", "a", "dog", "ran")
+    def sent(i: Int) = (0 until 6).map(j => vocab((i * 7 + j * 3) % vocab.size)).mkString(" ")
+    val trainA = (1 to 60).map(i => (i.toLong, sent(i))).toDF("doc_id", "text")
+    val trainB = (61 to 90).map(i => (i.toLong, sent(i * 11))).toDF("doc_id", "text")
+    val probes = (1 to 20).map(i => (i.toLong, sent(i * 5 + 2))).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("kn_counts").toString + "/bigrams"
+    // segment zero from corpus A, absorb delta B — one O(delta) explode each
+    TextAnalysis.writeKnCounts(trainA, "text", dir)
+    TextAnalysis.absorbKnCounts(trainB, "text", dir)
+    val merged = TextAnalysis.readKnCounts(spark, dir)
+    // absorb == rebuild: merged segments carry exactly the union corpus counts
+    val rebuilt = trainA.unionByName(trainB)
+      .select(explode(expr("transform(sequence(1, size(split(text,' '))-1)," +
+        " i -> struct(split(text,' ')[i-1] as w1, split(text,' ')[i] as w2))")).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+    assert(merged.join(rebuilt, Seq("w1", "w2"), "full")
+      .filter(merged("c") =!= rebuilt("c") ||
+        merged("c").isNull || rebuilt("c").isNull)
+      .count() === 0)
+    // state-scored == inline on the union corpus, to 1e-9
+    val viaState = TextAnalysis.knFromCounts(merged, probes, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("kn_bits")).toMap
+    val inline = TextAnalysis.knBigramLmScore(
+      trainA.unionByName(trainB), probes, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("kn_bits")).toMap
+    assert(viaState.keySet === inline.keySet)
+    viaState.foreach { case (id, b) =>
+      assert(math.abs(b - inline(id)) < 1e-9, s"doc $id: $b vs ${inline(id)}")
+    }
+  }
+
   test("gearChunks: native boundaries == per-char reference; reassembly; insertion re-aligns; sane mean length") {
     import graft.operators.TextAnalysis
     import graft.functions.TextKernels
