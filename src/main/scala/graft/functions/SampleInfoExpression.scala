@@ -12,9 +12,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * `sample_info` tensor property (`cpp/tql/tensor_property.hpp:7-12`,
   * surfaced per-sample in python as `sample.sample_info`).
   *
-  * Detection order image -> WAV -> MP4 over the real byte headers
-  * (graft.sources.Multimodal parsers — no codec library, pure header
-  * walks). The struct carries the union of the modality fields; fields a
+  * Detection order image -> WAV -> MP4 -> NIfTI -> DICOM over the real
+  * byte headers (graft.sources.Multimodal parsers — no codec library,
+  * pure header walks; medical htypes per `cpp/base/htype.hpp:16-17`).
+  * The struct carries the union of the modality fields; fields a
   * format doesn't define are null. Unknown payloads yield
   * format="unknown" with all-null fields rather than failing the batch.
   *
@@ -38,20 +39,34 @@ case class SampleInfo(child: Expression)
     val b = input.asInstanceOf[Array[Byte]]
     val (imgFmt, w, h) = graft.sources.Multimodal.parseImageHeader(b)
     if (imgFmt != "unknown")
-      InternalRow(UTF8String.fromString(imgFmt), w, h, null, null, null)
+      InternalRow(UTF8String.fromString(imgFmt), w, h, null, null, null,
+        null, null, null)
     else {
       val (wavFmt, ch, rate, _, frames) = graft.sources.Multimodal.parseWavHeader(b)
       if (wavFmt != "unknown")
         InternalRow(UTF8String.fromString(wavFmt), null, null, ch, rate,
-          if (rate > 0) frames.toDouble / rate else null)
+          if (rate > 0) frames.toDouble / rate else null, null, null, null)
       else {
         val (brand, dur, vw, vh) = graft.sources.Multimodal.parseMp4(b)
         if (brand != "unknown")
           InternalRow(UTF8String.fromString(brand),
             if (vw >= 0) vw else null, if (vh >= 0) vh else null,
-            null, null, dur)
-        else InternalRow(UTF8String.fromString("unknown"),
-          null, null, null, null, null)
+            null, null, dur, null, null, null)
+        else {
+          val m = {
+            val n = graft.sources.Multimodal.parseNifti(b)
+            if (n._1 != "unknown") n else graft.sources.Multimodal.parseDicom(b)
+          }
+          if (m._1 != "unknown")
+            InternalRow(UTF8String.fromString(m._1),
+              if (m._3 >= 0) m._3 else null, if (m._4 >= 0) m._4 else null,
+              null, null, null,
+              if (m._5 >= 0) m._5 else null,
+              if (m._6 >= 0) m._6 else null,
+              if (m._2.nonEmpty) UTF8String.fromString(m._2) else null)
+          else InternalRow(UTF8String.fromString("unknown"),
+            null, null, null, null, null, null, null, null)
+        }
       }
     }
   }
@@ -67,5 +82,10 @@ object SampleInfo {
     StructField("height", IntegerType, nullable = true),
     StructField("channels", IntegerType, nullable = true),
     StructField("sample_rate", IntegerType, nullable = true),
-    StructField("duration", DoubleType, nullable = true)))
+    StructField("duration", DoubleType, nullable = true),
+    // medical (NIfTI/DICOM) fields: slice/frame depth, stored bit
+    // width, DICOM modality code (CT/MR/...)
+    StructField("depth", IntegerType, nullable = true),
+    StructField("bits", IntegerType, nullable = true),
+    StructField("modality", StringType, nullable = true)))
 }

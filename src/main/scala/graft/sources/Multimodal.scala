@@ -711,4 +711,135 @@ object Multimodal {
     walk(12, b.length)
     out.toSeq
   }
+
+  // ---------------------------------------------------------- medical
+
+  /** metadata fast path for the reference's medical htypes
+    * (`cpp/base/htype.hpp:16-17` nifti/dicom, `types.pyi:1371`
+    * Medical): parse NIfTI-1's fixed 348-byte header and DICOM's
+    * Part-10 group/element stream — pure byte walks, no codec, same
+    * corrupt-tolerant-sentinel contract as [[videoInfo]]. Voxel decode
+    * (the reference routes it through native codecs) is out of
+    * pure-JVM scope; the header metadata here is real.
+    *
+    * Output: (id, format, modality, width, height, depth, bits,
+    * voxel_x, voxel_y, voxel_z). NIfTI: dims 1-3 + pixdim voxel sizes,
+    * modality "". DICOM: Columns/Rows/NumberOfFrames + PixelSpacing
+    * (col, row) as voxel_x/voxel_y, Modality tag. Unknown payloads
+    * yield ("unknown", "", -1, -1, -1, -1, 0, 0, 0). */
+  def medicalInfo(df: DataFrame, idCol: String,
+      payloadCol: String = "payload"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(payloadCol).as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) =>
+        val n = parseNifti(b)
+        val m = if (n._1 != "unknown") n else parseDicom(b)
+        (id, m._1, m._2, m._3, m._4, m._5, m._6, m._7, m._8, m._9)
+      })
+      .toDF("id", "format", "modality", "width", "height", "depth",
+        "bits", "voxel_x", "voxel_y", "voxel_z")
+  }
+
+  private val medicalUnknown =
+    ("unknown", "", -1, -1, -1, -1, 0.0, 0.0, 0.0)
+
+  /** NIfTI-1 (348-byte header; nifti.nimh.nih.gov/nifti-1): sizeof_hdr
+    * at 0 must read 348 in EITHER endianness (the spec's own byte-order
+    * probe), magic at 344 is "ni1\0" (.hdr) or "n+1\0" (.nii); dim[0]
+    * in 1..7 validates. Emits dim[1..3], bitpix, pixdim[1..3]. */
+  private[graft] def parseNifti(b: Array[Byte])
+      : (String, String, Int, Int, Int, Int, Double, Double, Double) = {
+    if (b.length < 348) return medicalUnknown
+    val little =
+      if (le32(b, 0) == 348) true
+      else if (be32(b, 0) == 348) false
+      else return medicalUnknown
+    def s16(i: Int): Int = {
+      val v = if (little) le16(b, i) else be16(b, i)
+      if (v >= 0x8000) v - 0x10000 else v
+    }
+    def f32(i: Int): Double = {
+      val bits = if (little) le32(b, i) else be32(b, i)
+      java.lang.Float.intBitsToFloat(bits).toDouble
+    }
+    val magic = new String(b, 344, 3, "US-ASCII")
+    if (magic != "ni1" && magic != "n+1") return medicalUnknown
+    val ndim = s16(40)
+    if (ndim < 1 || ndim > 7) return medicalUnknown
+    def dim(k: Int): Int = if (k <= ndim) math.max(s16(40 + 2 * k), 1) else 1
+    val bitpix = s16(72)
+    def vox(k: Int): Double = {
+      val v = f32(76 + 4 * k)
+      if (java.lang.Double.isFinite(v) && v > 0) v else 0.0
+    }
+    ("nifti", "", dim(1), dim(2), dim(3), bitpix, vox(1), vox(2), vox(3))
+  }
+
+  /** DICOM Part-10: 128-byte preamble + "DICM", explicit-VR-LE meta
+    * group (0002,xxxx), then a group/element walk of the dataset —
+    * explicit VR LE by default, implicit VR LE when the transfer
+    * syntax says so (1.2.840.10008.1.2). Reads Modality (0008,0060),
+    * NumberOfFrames (0028,0008), Rows/Columns (0028,0010/0011),
+    * PixelSpacing (0028,0030, "row\col" decimal strings) and
+    * BitsAllocated (0028,0100); stops at PixelData (7FE0,0010), any
+    * undefined-length sequence, or structural corruption — returning
+    * whatever parsed so far rather than throwing. */
+  private[graft] def parseDicom(b: Array[Byte])
+      : (String, String, Int, Int, Int, Int, Double, Double, Double) = {
+    if (b.length < 140 || new String(b, 128, 4, "US-ASCII") != "DICM")
+      return medicalUnknown
+    val longVrs = Set("OB", "OW", "OF", "OL", "OV", "OD", "SQ", "UC", "UR", "UT", "UN")
+    var modality = ""; var rows = -1; var cols = -1; var bits = -1
+    var frames = 1; var vx = 0.0; var vy = 0.0
+    var implicitVr = false
+    var i = 132
+    var done = false
+    while (!done && i + 8 <= b.length) {
+      val group = le16(b, i)
+      val elem = le16(b, i + 2)
+      // meta group is always explicit LE; dataset encoding follows the
+      // transfer syntax announced in (0002,0010)
+      val explicitHere = group == 0x0002 || !implicitVr
+      var valueAt = 0; var len = 0L
+      if (explicitHere) {
+        val vr = new String(b, i + 4, 2, "US-ASCII")
+        if (!vr.forall(c => c >= 'A' && c <= 'Z')) { done = true }
+        else if (longVrs(vr)) {
+          if (i + 12 > b.length) done = true
+          else { len = le32(b, i + 8).toLong & 0xFFFFFFFFL; valueAt = i + 12 }
+        } else { len = le16(b, i + 6); valueAt = i + 8 }
+      } else {
+        len = le32(b, i + 4).toLong & 0xFFFFFFFFL; valueAt = i + 8
+      }
+      if (done || len == 0xFFFFFFFFL || valueAt + len > b.length ||
+          (group == 0x7FE0 && elem == 0x0010)) {
+        done = true
+      } else {
+        def str: String =
+          new String(b, valueAt, len.toInt, "US-ASCII").trim
+        (group, elem) match {
+          case (0x0002, 0x0010) =>
+            implicitVr = str.stripSuffix(" ") == "1.2.840.10008.1.2"
+          case (0x0008, 0x0060) => modality = str
+          case (0x0028, 0x0008) =>
+            frames = scala.util.Try(str.toInt).getOrElse(1)
+          case (0x0028, 0x0010) if len >= 2 => rows = le16(b, valueAt)
+          case (0x0028, 0x0011) if len >= 2 => cols = le16(b, valueAt)
+          case (0x0028, 0x0030) =>
+            val parts = str.split("\\\\")
+            if (parts.length == 2) {
+              vy = scala.util.Try(parts(0).trim.toDouble).getOrElse(0.0)
+              vx = scala.util.Try(parts(1).trim.toDouble).getOrElse(0.0)
+            }
+          case (0x0028, 0x0100) if len >= 2 => bits = le16(b, valueAt)
+          case _ => ()
+        }
+        i = (valueAt + len).toInt
+      }
+    }
+    if (rows < 0 && cols < 0 && modality.isEmpty) medicalUnknown
+    else ("dicom", modality, cols, rows, frames, bits, vx, vy, 0.0)
+  }
 }

@@ -411,6 +411,102 @@ class StreamingAndMultimodalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("medical headers: NIfTI-1 (both endiannesses) and DICOM explicit/implicit VR parse; corrupt yields sentinels") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def nifti(order: ByteOrder): Array[Byte] = {
+      val b = ByteBuffer.allocate(352).order(order)
+      b.putInt(0, 348)
+      b.putShort(40, 3.toShort)            // dim[0] = 3 dims
+      b.putShort(42, 64.toShort)           // dim[1]
+      b.putShort(44, 96.toShort)           // dim[2]
+      b.putShort(46, 32.toShort)           // dim[3]
+      b.putShort(72, 16.toShort)           // bitpix
+      b.putFloat(80, 1.5f)                 // pixdim[1]
+      b.putFloat(84, 1.25f)                // pixdim[2]
+      b.putFloat(88, 3.0f)                 // pixdim[3]
+      b.position(344); b.put("n+1".getBytes); b.put(0.toByte)
+      b.array()
+    }
+    for (o <- Seq(ByteOrder.LITTLE_ENDIAN, ByteOrder.BIG_ENDIAN))
+      assert(Multimodal.parseNifti(nifti(o)) ===
+        (("nifti", "", 64, 96, 32, 16, 1.5, 1.25, 3.0)), o.toString)
+    // bad magic / bad sizeof_hdr / short buffer -> sentinel
+    val badMagic = nifti(ByteOrder.LITTLE_ENDIAN); badMagic(344) = 'x'.toByte
+    assert(Multimodal.parseNifti(badMagic)._1 === "unknown")
+    assert(Multimodal.parseNifti(new Array[Byte](100))._1 === "unknown")
+
+    def dicomExplicit(transferSyntax: String): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(new Array[Byte](128)); out.write("DICM".getBytes)
+      def el16(g: Int, e: Int, vr: String, v: Array[Byte]): Unit = {
+        val b = ByteBuffer.allocate(8 + v.length).order(ByteOrder.LITTLE_ENDIAN)
+        b.putShort(g.toShort).putShort(e.toShort)
+        b.put(vr.getBytes).putShort(v.length.toShort).put(v)
+        out.write(b.array())
+      }
+      def us(x: Int) = ByteBuffer.allocate(2)
+        .order(ByteOrder.LITTLE_ENDIAN).putShort(x.toShort).array()
+      val ts = (transferSyntax + (if (transferSyntax.length % 2 == 1) " " else "")).getBytes
+      el16(0x0002, 0x0010, "UI", ts)
+      val implicitDs = transferSyntax == "1.2.840.10008.1.2"
+      if (implicitDs) {
+        def imp(g: Int, e: Int, v: Array[Byte]): Unit = {
+          val b = ByteBuffer.allocate(8 + v.length).order(ByteOrder.LITTLE_ENDIAN)
+          b.putShort(g.toShort).putShort(e.toShort).putInt(v.length).put(v)
+          out.write(b.array())
+        }
+        imp(0x0008, 0x0060, "MR".getBytes)
+        imp(0x0028, 0x0010, us(512))
+        imp(0x0028, 0x0011, us(256))
+        imp(0x0028, 0x0100, us(12))
+      } else {
+        el16(0x0008, 0x0060, "CS", "CT".getBytes)
+        el16(0x0028, 0x0008, "IS", "12".getBytes)
+        el16(0x0028, 0x0010, "US", us(512))
+        el16(0x0028, 0x0011, "US", us(256))
+        el16(0x0028, 0x0030, "DS", "0.5\\0.75".getBytes)
+        el16(0x0028, 0x0100, "US", us(16))
+        // PixelData with a long-VR header terminates the walk
+        val pd = ByteBuffer.allocate(12).order(ByteOrder.LITTLE_ENDIAN)
+        pd.putShort(0x7FE0.toShort).putShort(0x0010.toShort)
+        pd.put("OW".getBytes).putShort(0.toShort).putInt(0)
+        out.write(pd.array())
+      }
+      out.toByteArray
+    }
+    assert(Multimodal.parseDicom(dicomExplicit("1.2.840.10008.1.2.1")) ===
+      (("dicom", "CT", 256, 512, 12, 16, 0.75, 0.5, 0.0)))
+    assert(Multimodal.parseDicom(dicomExplicit("1.2.840.10008.1.2")) ===
+      (("dicom", "MR", 256, 512, 1, 12, 0.0, 0.0, 0.0)))
+    assert(Multimodal.parseDicom("nope".getBytes)._1 === "unknown")
+    // NIfTI payloads must not false-positive as DICOM and vice versa
+    assert(Multimodal.parseDicom(nifti(ByteOrder.LITTLE_ENDIAN))._1 === "unknown")
+    assert(Multimodal.parseNifti(dicomExplicit("1.2.840.10008.1.2.1"))._1 === "unknown")
+
+    // the distributed metadata op + the TQL SAMPLE_INFO surface
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(
+      (1L, nifti(ByteOrder.LITTLE_ENDIAN)),
+      (2L, dicomExplicit("1.2.840.10008.1.2.1")),
+      (3L, "garbage".getBytes)).toDF("doc_id", "payload")
+    val rows = Multimodal.medicalInfo(df, "doc_id")
+      .orderBy("id").collect()
+    assert(rows.map(r => (r.getAs[Long]("id"), r.getAs[String]("format"),
+      r.getAs[Int]("width"), r.getAs[Int]("depth"))).toSeq ===
+      Seq((1L, "nifti", 64, 32), (2L, "dicom", 256, 12), (3L, "unknown", -1, -1)))
+    val info = df.select(col("doc_id"), org.apache.spark.sql.graft.Bridge.column(
+        graft.functions.SampleInfo(
+          org.apache.spark.sql.graft.Bridge.expression(col("payload")))).as("i"))
+      .orderBy("doc_id")
+      .select(col("i.format"), col("i.width"), col("i.depth"),
+        col("i.bits"), col("i.modality"))
+      .collect().map(_.toSeq)
+    assert(info(0) === Seq("nifti", 64, 32, 16, null))
+    assert(info(1) === Seq("dicom", 256, 12, 16, "CT"))
+    assert(info(2) === Seq("unknown", null, null, null, null))
+  }
+
   test("multimodal: real header parsing extracts format + dimensions from bytes") {
     def png(w: Int, h: Int): Array[Byte] = {
       val b = new java.io.ByteArrayOutputStream()
