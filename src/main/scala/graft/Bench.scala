@@ -50,7 +50,12 @@ object Headline {
     // round-9 promotions (r8 verdict): the vector-path queries whose
     // single-rep numbers drifted 1.5-1.9x on untouched code get 3-rep
     // medians so suite-pressure noise and real regressions separate
-    "q_vec_pca", "q_vec_knn_bulk", "q_vec_ann_quantized")
+    "q_vec_pca", "q_vec_knn_bulk", "q_vec_ann_quantized",
+    // round-10 promotions (r9 verdict): new heavy operators get 3-rep
+    // visibility before anyone trusts their tail numbers. q_dedup_simhash
+    // stays retired from candidacy: its capped member-list output makes
+    // its wall-time a poor proxy for the operator.
+    "q_kn_perplexity", "q_cdc_latest")
 }
 
 object Bench {
@@ -264,6 +269,29 @@ object Bench {
     val degraded = ratio(sentinels) > 3.0
     phase(f"measured loop done; sentinel end: $sentinelEnd%.2fs degraded=$degraded")
 
+    // post-suite ECHO pass: one more rep per headliner AFTER the whole
+    // suite has run — the block manager is quiet and nothing else is
+    // churning, so these reps approximate a BenchOne isolated re-time.
+    // Every round so far burned judge time re-adjudicating phantom
+    // "regressions" that were in-suite pressure (up to 2x drift on
+    // untouched code); the artifact now carries the suite-median /
+    // echo ratio per headliner, so a drifted number self-explains.
+    // Budget-aware: a blown budget shrinks this to however many fit.
+    val echoBudgetSec = benchBudgetSec + 60
+    val echo: Map[String, Double] = headlineNames.flatMap { n =>
+      if (errors.contains(s"query:$n") || elapsed() > echoBudgetSec) None
+      else run1(n).map(n -> _)
+    }.toMap
+    val isolationDelta: Map[String, Double] = headMedians.flatMap { case (n, m) =>
+      echo.get(n).filter(_ > 1e-9).map(e => n -> m / e)
+    }
+    if (isolationDelta.nonEmpty) {
+      System.err.println("[bench] suite-median/echo ratios: " +
+        isolationDelta.toSeq.sortBy(-_._2)
+          .map { case (k, v) => f"$k=$v%.2f" }.mkString(" "))
+      phase("echo pass done")
+    }
+
     val results = headMedians.toSeq ++ tailResults
     // Per-query detail goes to stderr (full suite); the single stdout JSON
     // line carries the total plus a headline subset only — the driver's
@@ -279,9 +307,15 @@ object Bench {
     val total = results.map(_._2).sum
     val sentinelJson = sentinels.map(s => f"$s%.3f").mkString("[", ",", "]")
     val errorsJson = errors.map(e => "\"" + e + "\"").mkString("[", ",", "]")
+    // isolation summary on the stdout line (scalars — the capture window
+    // is finite); the FULL per-headliner delta map rides in bench_out.json
+    val deltaSorted = isolationDelta.values.toSeq.sorted
+    val deltaMax = if (deltaSorted.isEmpty) 1.0 else deltaSorted.last
+    val deltaP50 = median(deltaSorted)
     val meta =
       s""""measured":${results.size},"skipped":$budgetSkipped,"unknown_headliners":${unknownHeadliners.size},""" +
-        s""""errors":$errorsJson,"degraded":$degraded,"sentinel_sec":$sentinelJson,"head_reps":$headReps"""
+        s""""errors":$errorsJson,"degraded":$degraded,"sentinel_sec":$sentinelJson,"head_reps":$headReps,""" +
+        f""""isolation_delta_max":$deltaMax%.2f,"isolation_delta_p50":$deltaP50%.2f,"echoed":${echo.size}"""
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec",$meta,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
@@ -289,8 +323,10 @@ object Bench {
     // the machine-readable copy (with the FULL per-query map) goes to a file
     val fullQs = results.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    val deltaJson = isolationDelta.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
     val fullLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec",$meta,"queries":$fullQs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec",$meta,"isolation_delta":$deltaJson,"queries":$fullQs,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
       (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
