@@ -335,30 +335,58 @@ object EventAnalytics {
     * the gap (seconds) between consecutive events of the same
     * (user, type) series — the arrival-rate fingerprint feeding
     * debounce thresholds and anomaly baselines. One lag window on the
-    * (user, type) key, then one hash agg with a single array-quantile
-    * buffer per group. Exact percentile state is a value→count map
-    * that grows with distinct gap cardinality (gaps are near-unique
-    * doubles); `approxBounds` swaps in the fixed-width sketch — the
-    * 100 TB posture, same convention as `Robust.winsorize` and
-    * `Features.discretize`. Exact stays default for the oracle. */
+    * (user, type) key, then per-type quantiles.
+    *
+    * Gaps are near-unique doubles, so exact `percentile()`'s per-group
+    * value→count map grows with the group's ROW count — a hot event
+    * type funnels its whole history through one reducer buffer. The
+    * exact default therefore rank-selects
+    * ([[Quantiles.exactQuantilesByKey]], bit-identical, every stage
+    * parallel; two window passes instead of one, nothing data-sized
+    * funnels) and assembles the type-count-bounded result locally.
+    * `approxBounds` keeps the lazy one-window plan with a fixed-width
+    * sketch per group — same convention as `Robust.winsorize`. */
   def interArrival(events: DataFrame, userCol: String, tsNsCol: String,
       typeCol: String, approxBounds: Boolean = false,
       accuracy: Int = 10000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(userCol), col(typeCol))
       .orderBy(col(tsNsCol))
-    val qAgg =
-      if (approxBounds) expr(s"approx_percentile(__gap, array(0.5, 0.9), $accuracy)")
-      else expr("percentile(__gap, array(0.5, 0.9))")
-    events
+    val gapped = events
       .withColumn("__gap",
         (col(tsNsCol) - lag(col(tsNsCol), 1).over(w)) / 1e9)
       .filter(col("__gap").isNotNull)
-      .groupBy(col(typeCol))
-      .agg(count(lit(1)).as("n_gaps"), qAgg.as("__q"))
-      .select(col(typeCol), col("n_gaps"),
-        round(element_at(col("__q"), 1), 4).as("p50_gap_s"),
-        round(element_at(col("__q"), 2), 4).as("p90_gap_s"))
+    if (approxBounds) {
+      gapped
+        .groupBy(col(typeCol))
+        .agg(count(lit(1)).as("n_gaps"),
+          expr(s"approx_percentile(__gap, array(0.5, 0.9), $accuracy)").as("__q"))
+        .select(col(typeCol), col("n_gaps"),
+          round(element_at(col("__q"), 1), 4).as("p50_gap_s"),
+          round(element_at(col("__q"), 2), 4).as("p90_gap_s"))
+    } else {
+      val gaps = gapped.select(col(typeCol), col("__gap"))
+      val qsByType = Quantiles.exactQuantilesByKey(gaps, typeCol, "__gap", Seq(0.5, 0.9))
+      val counts = gaps.groupBy(col(typeCol))
+        .agg(count(lit(1)).as("n_gaps")).collect()
+      def round4(v: Double): Double =
+        BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val spark = events.sparkSession
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        gaps.schema(typeCol),
+        org.apache.spark.sql.types.StructField("n_gaps",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("p50_gap_s",
+          org.apache.spark.sql.types.DoubleType, nullable = false),
+        org.apache.spark.sql.types.StructField("p90_gap_s",
+          org.apache.spark.sql.types.DoubleType, nullable = false)))
+      val rows = counts.toSeq.map { r =>
+        val q = qsByType(String.valueOf(r.get(0)))
+        org.apache.spark.sql.Row(r.get(0), r.getLong(1), round4(q(0)), round4(q(1)))
+      }
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema)
+    }
   }
 
   /** Lag-debounce: suppress events closer than `gapNs` nanoseconds to

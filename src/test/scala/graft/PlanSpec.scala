@@ -362,8 +362,17 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("inter-arrival gaps: one fine-key window + one agg, no join") {
-    val p = planOf("q_event_gaps")
+  test("inter-arrival gaps: lazy sketch posture is one fine-key window + one agg; exact default funnel-free") {
+    // the exact default rank-selects per type and assembles a
+    // type-count-bounded local result — no plan to window-audit, but it
+    // must never carry a percentile aggregate either
+    val exact = planOf("q_event_gaps")
+    assert(!exact.toLowerCase.contains("percentile"), exact)
+    // the approx (lazy, in-plan) posture keeps the audited shape
+    val p = graft.operators.EventAnalytics.interArrival(
+        graft.sources.Tables(spark, dir, "events"),
+        "user_id", "ts_ns", "event_type", approxBounds = true)
+      .queryExecution.executedPlan.toString
     assert(p.contains("Window"), p)
     assert(!p.contains("Join"), p)
   }
