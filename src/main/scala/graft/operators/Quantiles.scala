@@ -57,10 +57,14 @@ object Quantiles {
       qs: Seq[Double]): Map[String, Array[Double]] = {
     require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
       s"quantiles must be in [0,1]: $qs")
+    // perKV persists FIRST: repartitionByRange runs a range-boundary
+    // sampling job over its input, which would otherwise re-execute the
+    // whole tie-collapse aggregate (the corpus scan) a second time
     val perKV = df.filter(col(valueCol).isNotNull && col(keyCol).isNotNull)
       .select(col(keyCol).cast("string").as("__k"),
         col(valueCol).cast("double").as("__v"))
       .groupBy(col("__k"), col("__v")).agg(count(lit(1)).as("__c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val parts = perKV.repartitionByRange(col("__k"), col("__v"))
       .sortWithinPartitions(col("__k"), col("__v"))
       .withColumn("__pid", spark_partition_id())
@@ -117,6 +121,6 @@ object Quantiles {
           lo * (1.0 - f) + hi * f
         }.toArray
       }
-    } finally { parts.unpersist(false); () }
+    } finally { parts.unpersist(false); perKV.unpersist(false); () }
   }
 }
