@@ -232,18 +232,21 @@ object TextAnalysis {
   def knBigramLmScore(train: org.apache.spark.sql.DataFrame,
       score: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
       discount: Double = 0.75, eps: Double = 1e-10): org.apache.spark.sql.DataFrame = {
-    // One-shot inline form: cb is NOT persisted (a persist here would
-    // pin corpus-bigram-sized cache with no release handle — the ksGaps
-    // leak this repo already fixed once), so Catalyst specializes the
-    // four consumers and the corpus pays up to four scan+explode passes
-    // PER ACTION. That is fine for score-once; anything scoring
-    // repeatedly or at corpus scale should use the MAINTAINED state
-    // ([[writeKnCounts]] / [[absorbKnCounts]] / [[knFromCounts]]): the
-    // corpus explodes once per absorb and scoring reads only the
-    // bounded bigram-type table. Spec-gated equal to 1e-9.
+    // One-shot inline form: the bigram-type table materializes through
+    // an EAGER localCheckpoint, so the corpus pays its scan+explode
+    // ONCE and the scorer's four consumers read the (much smaller)
+    // checkpointed table. localCheckpoint — not persist — because a
+    // persist here would pin cache with no release handle (the ksGaps
+    // leak this repo already fixed once); checkpoint blocks are
+    // reclaimed by the ContextCleaner when the frame becomes
+    // unreachable. Anything scoring repeatedly should still use the
+    // MAINTAINED state ([[writeKnCounts]] / [[absorbKnCounts]] /
+    // [[knFromCounts]]): one explode per absorb, zero per score.
+    // Spec-gated equal to 1e-9 between the two forms.
     val cb = train.select(explode(knPairs(tokens(col(textCol)))).as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     knFromCounts(cb, score, idCol, textCol, discount, eps)
   }
 
