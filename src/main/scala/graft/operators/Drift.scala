@@ -203,7 +203,7 @@ object Drift {
     * Output per bucket (first bucket has no predecessor and is absent):
     * `(bucket, prev_bucket, n_ref, n_cur, psi)`.
     *
-    * Plan shape: ONE grouped exact-percentile aggregate computes every
+    * Plan shape: ONE grouped percentile aggregate computes every
     * bucket's decile edges (the only data-sized aggregation); the
     * predecessor pairing is a lag over the BOUNDED bucket frame
     * ([[BoundedWindow]], ≤ maxBuckets); rows then bin map-side against
@@ -214,14 +214,24 @@ object Drift {
     * Rows never join rows. */
   def psiTimeline(df: DataFrame, bucketCol: String, valueCol: String,
       nBins: Int = 10, eps: Double = 1e-4,
-      maxBuckets: Long = 100000): DataFrame = {
+      maxBuckets: Long = 100000,
+      approxEdges: Boolean = false, accuracy: Int = 10000): DataFrame = {
     require(nBins >= 2, "need at least 2 bins")
     val nn = df.filter(col(valueCol).isNotNull)
       .select(col(bucketCol).as("bucket"), col(valueCol).cast("double").as("__v"))
     val qs = (1 until nBins).map(_.toDouble / nBins)
+    // per-bucket edges: ONE grouped aggregate. Exact per-bucket state
+    // parallelizes across buckets (each value→count map is bounded by
+    // ITS bucket's distinct values); `approxEdges` swaps in the
+    // fixed-width sketch — the posture when a single hot bucket's value
+    // set outgrows a reducer. [[Quantiles.exactQuantilesByKey]] is the
+    // bit-identical funnel-free third option for exact-at-any-skew.
     val qArr = qs.mkString("array(", ", ", ")")
+    val edgeAgg =
+      if (approxEdges) expr(s"approx_percentile(__v, $qArr, $accuracy)")
+      else expr(s"percentile(__v, $qArr)")
     val edges = nn.groupBy(col("bucket"))
-      .agg(expr(s"percentile(__v, $qArr)").as("edges"), count(lit(1)).as("n"))
+      .agg(edgeAgg.as("edges"), count(lit(1)).as("n"))
     val paired = BoundedWindow.over(edges, maxBuckets) { (d, w) =>
       val byBucket = w.orderBy(col("bucket"))
       d.withColumn("prev_bucket", lag(col("bucket"), 1).over(byBucket))
@@ -311,21 +321,28 @@ object Drift {
     * group's OWN reference deciles. Output per group present on both
     * sides: `(group, n_ref, n_cur, psi)`.
     *
-    * Plan shape: the reference pays ONE grouped exact-percentile
-    * aggregate (edges + counts per group); both sides then bin map-side
+    * Plan shape: the reference pays ONE grouped percentile aggregate
+    * (edges + counts per group); both sides then bin map-side
     * against the broadcast group-edge table (group-cardinality rows) and
     * pay one (group, bin) hash agg each. Rows never join rows — the
     * [[psiBins]] posture with a group key. */
   def psiBinsByGroup(ref: DataFrame, cur: DataFrame, valueCol: String,
-      groupCol: String, nBins: Int = 10, eps: Double = 1e-4): DataFrame = {
+      groupCol: String, nBins: Int = 10, eps: Double = 1e-4,
+      approxEdges: Boolean = false, accuracy: Int = 10000): DataFrame = {
     require(nBins >= 2, "need at least 2 bins")
     def nn(df: DataFrame) = df.filter(col(valueCol).isNotNull)
       .select(col(groupCol).as("group"), col(valueCol).cast("double").as("__v"))
     val qs = (1 until nBins).map(_.toDouble / nBins)
+    // per-group reference edges: ONE grouped aggregate (the
+    // [[psiTimeline]] posture — exact maps parallelize across groups;
+    // `approxEdges` is the hot-group swap, exactQuantilesByKey the
+    // exact-at-any-skew one)
     val qArr = qs.mkString("array(", ", ", ")")
+    val edgeAgg =
+      if (approxEdges) expr(s"approx_percentile(__v, $qArr, $accuracy)")
+      else expr(s"percentile(__v, $qArr)")
     val edges = nn(ref).groupBy(col("group"))
-      .agg(expr(s"percentile(__v, $qArr)").as("__edges"),
-        count(lit(1)).as("n_ref"))
+      .agg(edgeAgg.as("__edges"), count(lit(1)).as("n_ref"))
     val curTot = nn(cur).groupBy(col("group")).agg(count(lit(1)).as("n_cur"))
     def binAgg(df: DataFrame, side: String): DataFrame =
       df.join(broadcast(edges.select(col("group"), col("__edges"))), "group")

@@ -92,17 +92,25 @@ object Quantiles {
       val spark = df.sparkSession
       import spark.implicits._
       val offs = offRows.toDF("__pid", "__k", "__off")
+      // target ranks ride as a broadcast (key, rank) table and the
+      // covering-row test is a hash join on key + a range filter — a
+      // per-row cost of |qs|·2 comparisons for the row's OWN key. (A
+      // literal OR-chain over every key's targets would cost
+      // |keys|·|qs|·2 predicates per row — disastrous for the
+      // many-bucket keyed consumers.)
+      val targetRows = targetsByKey.toSeq
+        .flatMap { case (k, ts) => ts.map(t => (k, t)) }
+        .toDF("__k", "__t")
       val w = Window.partitionBy(col("__pid"), col("__k")).orderBy(col("__v"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val hits = parts.join(broadcast(offs), Seq("__pid", "__k"))
         .withColumn("__start",
           col("__off") + sum(col("__c")).over(w) - col("__c"))
-        .filter(targetsByKey.toSeq.map { case (k, ts) =>
-          col("__k") === k && ts.map(t =>
-            col("__start") <= t && col("__start") + col("__c") > t)
-            .reduce(_ || _)
-        }.reduce(_ || _))
+        .join(broadcast(targetRows), Seq("__k"))
+        .filter(col("__start") <= col("__t") &&
+          col("__start") + col("__c") > col("__t"))
         .select(col("__k"), col("__v"), col("__start"), col("__c"))
+        .dropDuplicates("__k", "__start")
         .collect()
         .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
         .groupBy(_._1)

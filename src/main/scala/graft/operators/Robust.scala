@@ -53,7 +53,11 @@ object Robust {
     * heavy-tailed domain set everyone's limits). ONE grouped
     * array-percentile aggregate (group-count rows) joins back by
     * broadcast, the clamp stays map-side; `approxBounds` as in
-    * [[winsorize]]. Adds `lo`, `hi`, `__w`. */
+    * [[winsorize]]. Per-group exact state parallelizes across groups
+    * (each map is bounded by ITS group's distinct values, merged on
+    * that group's reducer); if one group's value set itself outgrows a
+    * reducer, [[Quantiles.exactQuantilesByKey]] is the bit-identical
+    * funnel-free swap. Adds `lo`, `hi`, `__w`. */
   def winsorizeByGroup(df: DataFrame, groupCol: String, valueCol: String,
       loQ: Double = 0.01, hiQ: Double = 0.99,
       approxBounds: Boolean = false, accuracy: Int = 10000): DataFrame = {
