@@ -96,10 +96,18 @@ object Robust {
           when(col("mad") > 0,
             lit(0.6745) * (col(valueCol).cast("double") - col("med")) / col("mad")))
     } else {
-      val med = Quantiles.exactQuantiles(df, valueCol, Seq(0.5)).head
-      val mad = Quantiles.exactQuantiles(
-        df.select(abs(col(valueCol).cast("double") - med).as("__d")),
-        "__d", Seq(0.5)).head
+      // one persisted value projection feeds BOTH median passes (the
+      // second otherwise re-scans the source); released before return —
+      // the returned frame reads the source directly
+      val vals = df.select(col(valueCol).cast("double").as("__x"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val (med, mad) =
+        try {
+          val m = Quantiles.exactQuantiles(vals, "__x", Seq(0.5)).head
+          val a = Quantiles.exactQuantiles(
+            vals.select(abs(col("__x") - m).as("__d")), "__d", Seq(0.5)).head
+          (m, a)
+        } finally { vals.unpersist(false); () }
       df.withColumn("med", lit(med)).withColumn("mad", lit(mad))
         .withColumn("robust_z",
           when(lit(mad) > 0,

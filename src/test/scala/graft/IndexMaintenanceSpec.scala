@@ -446,4 +446,33 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$tmp/xd/tombstones").exists())
     check()
   }
+
+  test("streaming KN counts: mid-corpus split scores == inline over the full corpus") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("knstream").toString
+    val vocab = Seq("the", "cat", "sat", "on", "mat", "a", "dog", "ran")
+    def sent(i: Int) = (0 until 6).map(j => vocab((i * 7 + j * 3) % vocab.size)).mkString(" ")
+    val half1 = (1 to 40).map(i => (i.toLong, sent(i)))
+    val half2 = (41 to 70).map(i => (i.toLong, sent(i * 11)))
+    half1.toDF("doc_id", "text").repartition(1).write.parquet(s"$tmp/in/f=1")
+    half2.toDF("doc_id", "text").repartition(1).write.parquet(s"$tmp/in/f=2")
+    val probes = (1 to 15).map(i => (i.toLong, sent(i * 5 + 2))).toDF("doc_id", "text")
+
+    val q = graft.streaming.StreamingLm.maintainKnCounts(
+      spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in/*"),
+      "text", s"$tmp/kn", s"$tmp/ck")
+    q.processAllAvailable(); q.stop()
+
+    val streamed = graft.streaming.StreamingLm
+      .currentScores(spark, s"$tmp/kn", probes, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("kn_bits")).toMap
+    val inline = graft.operators.TextAnalysis.knBigramLmScore(
+      (half1 ++ half2).toDF("doc_id", "text"), probes, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("kn_bits")).toMap
+    assert(streamed.keySet === inline.keySet)
+    streamed.foreach { case (id, b) =>
+      assert(math.abs(b - inline(id)) < 1e-9, s"doc $id: $b vs ${inline(id)}")
+    }
+  }
 }
