@@ -12,9 +12,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * `sample_info` tensor property (`cpp/tql/tensor_property.hpp:7-12`,
   * surfaced per-sample in python as `sample.sample_info`).
   *
-  * Detection order image -> WAV -> MP4 -> NIfTI -> DICOM over the real
-  * byte headers (graft.sources.Multimodal parsers — no codec library,
-  * pure header walks; medical htypes per `cpp/base/htype.hpp:16-17`).
+  * Detection order image -> WAV -> MP4 -> NIfTI -> DICOM -> PLY -> STL
+  * over the real byte headers (graft.sources.Multimodal parsers — no
+  * codec library, pure header walks; medical htypes per
+  * `cpp/base/htype.hpp:16-17`, mesh/point_cloud per
+  * `cpp/base/htype.hpp:26,35` with the reference's ply/stl
+  * compressions, `cpp/codecs/compression.hpp:31-32`).
   * The struct carries the union of the modality fields; fields a
   * format doesn't define are null. Unknown payloads yield
   * format="unknown" with all-null fields rather than failing the batch.
@@ -40,18 +43,19 @@ case class SampleInfo(child: Expression)
     val (imgFmt, w, h) = graft.sources.Multimodal.parseImageHeader(b)
     if (imgFmt != "unknown")
       InternalRow(UTF8String.fromString(imgFmt), w, h, null, null, null,
-        null, null, null)
+        null, null, null, null, null)
     else {
       val (wavFmt, ch, rate, _, frames) = graft.sources.Multimodal.parseWavHeader(b)
       if (wavFmt != "unknown")
         InternalRow(UTF8String.fromString(wavFmt), null, null, ch, rate,
-          if (rate > 0) frames.toDouble / rate else null, null, null, null)
+          if (rate > 0) frames.toDouble / rate else null, null, null, null,
+          null, null)
       else {
         val (brand, dur, vw, vh) = graft.sources.Multimodal.parseMp4(b)
         if (brand != "unknown")
           InternalRow(UTF8String.fromString(brand),
             if (vw >= 0) vw else null, if (vh >= 0) vh else null,
-            null, null, dur, null, null, null)
+            null, null, dur, null, null, null, null, null)
         else {
           val m = {
             val n = graft.sources.Multimodal.parseNifti(b)
@@ -63,9 +67,21 @@ case class SampleInfo(child: Expression)
               null, null, null,
               if (m._5 >= 0) m._5 else null,
               if (m._6 >= 0) m._6 else null,
-              if (m._2.nonEmpty) UTF8String.fromString(m._2) else null)
-          else InternalRow(UTF8String.fromString("unknown"),
-            null, null, null, null, null, null, null, null)
+              if (m._2.nonEmpty) UTF8String.fromString(m._2) else null,
+              null, null)
+          else {
+            val g = {
+              val p = graft.sources.Multimodal.parsePly(b)
+              if (p._1 != "unknown") p else graft.sources.Multimodal.parseStl(b)
+            }
+            if (g._1 != "unknown")
+              InternalRow(UTF8String.fromString(g._1),
+                null, null, null, null, null, null, null, null,
+                if (g._3 >= 0) g._3 else null,
+                if (g._4 >= 0) g._4 else null)
+            else InternalRow(UTF8String.fromString("unknown"),
+              null, null, null, null, null, null, null, null, null, null)
+          }
         }
       }
     }
@@ -87,5 +103,8 @@ object SampleInfo {
     // width, DICOM modality code (CT/MR/...)
     StructField("depth", IntegerType, nullable = true),
     StructField("bits", IntegerType, nullable = true),
-    StructField("modality", StringType, nullable = true)))
+    StructField("modality", StringType, nullable = true),
+    // geometry (PLY/STL mesh & point-cloud) fields
+    StructField("vertices", LongType, nullable = true),
+    StructField("faces", LongType, nullable = true)))
 }

@@ -542,6 +542,75 @@ object Dedup {
           greatest(col("n_tokens"), lit(1)), 6).as("dup_frac"))
   }
 
+  /** Exact duplicated-span REMOVAL — the rewrite that
+    * [[repeatedSpanProfile]]'s scaladoc promises ("the span bounds feed
+    * span-removal rewrites"; Lee et al. 2022 ExactSubstr, public):
+    * every n-token window occurring >= `minCount` times across the
+    * corpus keeps its FIRST occurrence (minimum (id, pos) — one
+    * canonical copy survives, so no content class vanishes) and every
+    * OTHER occurrence is cut from its document. Overlapping/adjacent
+    * cut windows merge into maximal spans per doc; the cleaned text is
+    * the surviving tokens rejoined. Returns one row per doc:
+    * (id, text_clean, n_tokens, n_spans_removed, removed_tokens).
+    *
+    * Plan shape at 100 TB: identical skeleton to
+    * [[repeatedSpanProfile]] — grams are 64-bit hashes map-side, ONE
+    * partially-aggregated hash shuffle computes per-gram (count,
+    * min-occurrence) with fixed-width state, flagged positions come
+    * back via a hash join on the gram key, and the span merge is
+    * gaps-and-islands windowed PER DOCUMENT (fine-grained key — never
+    * a global sort). The rewrite itself is map-side: merged spans ride
+    * home as a bounded per-doc array and one higher-order filter drops
+    * covered tokens. Nothing quadratic, no driver state. */
+  def removeDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 50, minCount: Int = 2): DataFrame = {
+    require(n >= 1, "span window size must be >= 1")
+    require(minCount >= 2, "minCount < 2 would flag every window")
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val toks = docs.repartition(par, col(idCol))
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("w"))
+    // (id, pos, gram) exactly as repeatedSpanProfile: pos is the
+    // 0-based token index of the window start
+    val grams = toks.select(col("id"),
+      posexplode(when(size(col("w")) >= n,
+        transform(sequence(lit(1), size(col("w")) - (n - 1)),
+          i => xxhash64(concat_ws(" ", slice(col("w"), i, lit(n))))))
+        .otherwise(array().cast("array<bigint>")))
+        .as(Seq("pos", "gram")))
+    // keeper = min (id, pos) per duplicated gram; struct-min keeps the
+    // aggregate state fixed-width (count + one (id,pos) pair per gram)
+    val keepers = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("c"), min(struct(col("id"), col("pos"))).as("k"))
+      .filter(col("c") >= minCount)
+      .select(col("gram"), col("k.id").as("kid"), col("k.pos").as("kpos"))
+    val flagged = grams.join(keepers, Seq("gram"))
+      .filter(!(col("id") === col("kid") && col("pos") === col("kpos")))
+      .select(col("id"), col("pos"))
+    // gaps-and-islands span merge (same recurrence as repeatedSpanProfile)
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val prevEnd = max(col("pos") + n)
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val spans = flagged
+      .withColumn("ni", when(col("pos") > coalesce(prevEnd, lit(-1)), 1).otherwise(0))
+      .withColumn("isl", sum(col("ni")).over(w))
+      .groupBy(col("id"), col("isl"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + n).as("e"))
+    val perDoc = spans.groupBy(col("id"))
+      .agg(collect_list(struct(col("s"), col("e"))).as("spans"),
+        count(lit(1)).as("n_spans_removed"),
+        sum(col("e") - col("s")).as("removed_tokens"))
+    toks.join(perDoc, Seq("id"), "left")
+      .withColumn("spans",
+        coalesce(col("spans"), array().cast("array<struct<s:int,e:int>>")))
+      .select(col("id"),
+        concat_ws(" ", filter(col("w"), (_, i) =>
+          !exists(col("spans"), sp =>
+            i >= sp.getField("s") && i < sp.getField("e")))).as("text_clean"),
+        size(col("w")).as("n_tokens"),
+        coalesce(col("n_spans_removed"), lit(0L)).as("n_spans_removed"),
+        coalesce(col("removed_tokens"), lit(0L)).as("removed_tokens"))
+  }
+
   /** Per-doc n-gram novelty profile — the inverse lens of
     * [[repeatedSpanProfile]]: instead of measuring how much of a doc is
     * duplicated elsewhere, measure how much of it is UNIQUE to the

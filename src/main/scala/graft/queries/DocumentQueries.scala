@@ -341,6 +341,50 @@ object DocumentQueries extends QueryModule {
              |ORDER BY doc_id""".stripMargin.replace('\n', ' ')),
       doc = "corpus-duplicated 5-gram spans per doc (exact substring dedup metric)"),
 
+    // ---- exact duplicated-span REMOVAL (the rewrite of the profile
+    // above, Lee et al. 2022 ExactSubstr): 8-token windows occurring
+    // >= 2 times keep their first occurrence (min doc_id, pos) and
+    // every other occurrence is cut; overlapping cuts merge to maximal
+    // spans; the cleaned text is hash-compared against DuckDB replaying
+    // the SAME keeper + islands + token-filter rules on gram STRINGS
+    "q_dedup_span_removal" -> Q(
+      (s, dir) => Dedup.removeDuplicateSpans(table(s, dir, "documents"),
+          "doc_id", "text", n = 8)
+        .select(col("id").as("doc_id"), col("text_clean"), col("n_tokens"),
+          col("n_spans_removed"), col("removed_tokens"))
+        .orderBy(col("doc_id")),
+      Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |g0 AS (SELECT doc_id, w, unnest(range(1, greatest(len(w) - 6, 1))) AS i
+             |       FROM tok WHERE len(w) >= 8),
+             |g AS (SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+7], ' ') AS gram FROM g0),
+             |k AS (SELECT doc_id, pos,
+             |      row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn,
+             |      count(*) OVER (PARTITION BY gram) AS c FROM g),
+             |f AS (SELECT doc_id, pos FROM k WHERE c >= 2 AND rn > 1),
+             |m AS (SELECT doc_id, pos, CASE WHEN pos > coalesce(max(pos + 8) OVER
+             |        (PARTITION BY doc_id ORDER BY pos
+             |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+             |      THEN 1 ELSE 0 END AS ni FROM f),
+             |i2 AS (SELECT doc_id, pos, sum(ni) OVER
+             |        (PARTITION BY doc_id ORDER BY pos) AS isl FROM m),
+             |sp AS (SELECT doc_id, isl, min(pos) AS s, max(pos) + 8 AS e
+             |       FROM i2 GROUP BY doc_id, isl),
+             |pd AS (SELECT doc_id, count(*)::BIGINT AS n_spans_removed,
+             |       sum(e - s)::BIGINT AS removed_tokens FROM sp GROUP BY doc_id),
+             |ti AS (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM tok),
+             |keep AS (SELECT t.doc_id, t.i, t.w[t.i] AS tk FROM ti t
+             |         WHERE NOT EXISTS (SELECT 1 FROM sp WHERE sp.doc_id = t.doc_id
+             |           AND t.i - 1 >= sp.s AND t.i - 1 < sp.e)),
+             |ct AS (SELECT doc_id, coalesce(string_agg(tk, ' ' ORDER BY i), '') AS text_clean
+             |       FROM keep GROUP BY doc_id)
+             |SELECT t.doc_id, coalesce(ct.text_clean, '') AS text_clean,
+             |len(t.w)::INTEGER AS n_tokens,
+             |coalesce(pd.n_spans_removed, 0)::BIGINT AS n_spans_removed,
+             |coalesce(pd.removed_tokens, 0)::BIGINT AS removed_tokens
+             |FROM tok t LEFT JOIN pd USING (doc_id) LEFT JOIN ct USING (doc_id)
+             |ORDER BY doc_id""".stripMargin.replace('\n', ' ')),
+      doc = "exact duplicated-span removal: keep-first ExactSubstr rewrite with cleaned text"),
+
     // ---- per-doc n-gram novelty: inverse of the repeated-span lens —
     // what fraction of a doc's distinct 5-grams exist nowhere else
     "q_ngram_novelty" -> Q(

@@ -842,4 +842,99 @@ object Multimodal {
     if (rows < 0 && cols < 0 && modality.isEmpty) medicalUnknown
     else ("dicom", modality, cols, rows, frames, bits, vx, vy, 0.0)
   }
+
+  // ---------------------------------------------------------- geometry
+
+  /** metadata fast path for the reference's mesh/point_cloud htypes
+    * (`cpp/base/htype.hpp:26,35`; `types.pyi:1430` Mesh lists ply+stl —
+    * the exact compressions of `cpp/codecs/compression.hpp:31-32`):
+    * parse PLY's self-describing ASCII header and STL's fixed binary
+    * layout / ASCII facet grammar — pure byte walks, no geometry
+    * library, same corrupt-tolerant-sentinel contract as [[videoInfo]]
+    * and [[medicalInfo]]. Vertex-payload decode stays out of scope; the
+    * counts and encoding here are what a 100 TB manifest scan needs.
+    *
+    * Output: (id, format, encoding, kind, n_vertices, n_faces). A PLY
+    * with no face element (or zero faces) is a point cloud; any STL is
+    * a mesh. Unknown payloads yield ("unknown", "", "", -1, -1). */
+  def geometryInfo(df: DataFrame, idCol: String,
+      payloadCol: String = "payload"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(payloadCol).as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) =>
+        val p = parsePly(b)
+        val g = if (p._1 != "unknown") p else parseStl(b)
+        val kind =
+          if (g._1 == "unknown") ""
+          else if (g._1 == "ply" && g._4 <= 0L) "point_cloud"
+          else "mesh"
+        (id, g._1, g._2, kind, g._3, g._4)
+      })
+      .toDF("id", "format", "encoding", "kind", "n_vertices", "n_faces")
+  }
+
+  private val geometryUnknown = ("unknown", "", -1L, -1L)
+
+  /** PLY (the Stanford polygon format): the header is ALWAYS ASCII
+    * lines — "ply", "format ascii|binary_little_endian|
+    * binary_big_endian 1.0", "element <name> <count>" declarations,
+    * "end_header" — even when the vertex payload that follows is
+    * binary, so counts parse without touching geometry bytes. Header
+    * scan is bounded (64 KiB): a missing end_header inside the bound
+    * is corruption, not a reason to walk the payload. */
+  private[graft] def parsePly(b: Array[Byte]): (String, String, Long, Long) = {
+    if (b.length < 14 || b(0) != 'p' || b(1) != 'l' || b(2) != 'y') return geometryUnknown
+    // bounded header window; tolerate \r\n
+    val window = new String(b, 0, math.min(b.length, 1 << 16), "US-ASCII")
+    val headerEnd = window.indexOf("end_header")
+    if (headerEnd < 0) return geometryUnknown
+    val lines = window.substring(0, headerEnd).split("\r?\n").iterator.map(_.trim)
+    if (!lines.hasNext || lines.next() != "ply") return geometryUnknown
+    var encoding = ""; var vertices = 0L; var faces = 0L
+    lines.foreach { line =>
+      val t = line.split("\\s+")
+      t(0) match {
+        case "format" if t.length >= 2 => encoding = t(1)
+        case "element" if t.length >= 3 =>
+          val n = scala.util.Try(t(2).toLong).getOrElse(-1L)
+          if (n >= 0) t(1) match {
+            case "vertex" => vertices = n
+            case "face"   => faces = n
+            case _        => ()
+          }
+        case _ => ()
+      }
+    }
+    if (encoding.isEmpty) geometryUnknown
+    else ("ply", encoding, vertices, faces)
+  }
+
+  /** STL: binary is an 80-byte free-text header + uint32 LE triangle
+    * count + 50 bytes per triangle — the length equation
+    * `84 + 50*n == size` is the discriminator, checked FIRST because a
+    * binary header may legally begin with the bytes "solid" (the
+    * classic STL-sniffing trap). ASCII is the `solid`/`facet normal`/
+    * `endsolid` grammar; facets are counted with one bounded substring
+    * walk. STL has no shared-vertex table, so n_vertices = 3·faces. */
+  private[graft] def parseStl(b: Array[Byte]): (String, String, Long, Long) = {
+    if (b.length >= 84) {
+      val n = le32(b, 80).toLong & 0xFFFFFFFFL
+      if (84L + 50L * n == b.length.toLong)
+        return ("stl", "binary", 3L * n, n)
+    }
+    // ASCII: skip leading whitespace, require the "solid" keyword
+    var s = 0
+    while (s < b.length && (b(s) == ' ' || b(s) == '\t' ||
+      b(s) == '\r' || b(s) == '\n')) s += 1
+    if (s + 5 > b.length ||
+      new String(b, s, 5, "US-ASCII") != "solid") return geometryUnknown
+    val text = new String(b, 0, b.length, "US-ASCII")
+    if (!text.contains("endsolid")) return geometryUnknown
+    var faces = 0L
+    var i = text.indexOf("facet normal")
+    while (i >= 0) { faces += 1; i = text.indexOf("facet normal", i + 12) }
+    ("stl", "ascii", 3L * faces, faces)
+  }
 }

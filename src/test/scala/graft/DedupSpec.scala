@@ -645,4 +645,41 @@ class DedupSpec extends AnyFunSuite {
     // a dfCap below the shared shingle's source count removes the pair
     assert(Dedup.corpusOverlap(d, "source", "text", dfCap = 1).count() === 0L)
   }
+
+  test("removeDuplicateSpans: keeper survives verbatim, copies lose the span, idempotent, clean docs untouched") {
+    import spark.implicits._
+    val boiler = (1 to 10).map(i => s"b$i").mkString(" ") // 10-token boilerplate
+    def uniq(seed: Int, k: Int) = (1 to k).map(i => s"u${seed}_$i").mkString(" ")
+    val df = Seq(
+      (1L, s"${uniq(1, 6)} $boiler ${uniq(11, 6)}"), // keeper (min doc_id)
+      (2L, s"${uniq(2, 4)} $boiler ${uniq(22, 8)}"), // copy -> span removed
+      (3L, s"$boiler ${uniq(3, 9)}"),                // copy at doc start
+      (4L, uniq(4, 20))                              // no duplication
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(df, "doc_id", "text", n = 8)
+      .orderBy("id").collect()
+    def row(i: Int) = (out(i).getAs[String]("text_clean"),
+      out(i).getAs[Long]("n_spans_removed"), out(i).getAs[Long]("removed_tokens"))
+    // doc 1 is the first occurrence of every duplicated window: untouched
+    assert(row(0) === ((s"${uniq(1, 6)} $boiler ${uniq(11, 6)}", 0L, 0L)))
+    // docs 2 and 3 lose exactly the 10 boilerplate tokens, one span each
+    assert(row(1) === ((s"${uniq(2, 4)} ${uniq(22, 8)}", 1L, 10L)))
+    assert(row(2) === ((s"${uniq(3, 9)}", 1L, 10L)))
+    // the clean doc is byte-identical
+    assert(row(3) === ((uniq(4, 20), 0L, 0L)))
+    // idempotence: a second pass over the cleaned corpus removes nothing
+    val again = Dedup.removeDuplicateSpans(
+      out.map(r => (r.getAs[Long]("id"), r.getAs[String]("text_clean")))
+        .toSeq.toDF("doc_id", "text"), "doc_id", "text", n = 8)
+      .agg(sum("removed_tokens")).head().getLong(0)
+    assert(again === 0L)
+    // within-doc repetition dedupes too: the SECOND occurrence inside
+    // one doc is removed, the first kept
+    val selfDup = Seq((9L, s"$boiler ${uniq(9, 5)} $boiler"))
+      .toDF("doc_id", "text")
+    val sd = Dedup.removeDuplicateSpans(selfDup, "doc_id", "text", n = 8)
+      .head()
+    assert(sd.getAs[String]("text_clean") === s"$boiler ${uniq(9, 5)}")
+    assert(sd.getAs[Long]("removed_tokens") === 10L)
+  }
 }

@@ -507,6 +507,97 @@ class StreamingAndMultimodalSpec extends AnyFunSuite {
     assert(info(2) === Seq("unknown", null, null, null, null))
   }
 
+  test("geometry headers: PLY ascii/binary + STL binary/ascii parse; the solid-prefixed binary STL trap; corrupt yields sentinels") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def ply(encoding: String, vertices: Long, faces: Long): Array[Byte] = {
+      val sb = new StringBuilder
+      sb ++= "ply\n"
+      sb ++= s"format $encoding 1.0\n"
+      sb ++= "comment made by hand\n"
+      sb ++= s"element vertex $vertices\n"
+      sb ++= "property float x\nproperty float y\nproperty float z\n"
+      if (faces > 0) {
+        sb ++= s"element face $faces\n"
+        sb ++= "property list uchar int vertex_indices\n"
+      }
+      sb ++= "end_header\n"
+      // payload bytes are opaque to the header walk — arbitrary filler
+      sb.toString.getBytes("US-ASCII") ++ Array.fill(32)(0x7F.toByte)
+    }
+    assert(Multimodal.parsePly(ply("ascii", 8, 12)) ===
+      (("ply", "ascii", 8L, 12L)))
+    assert(Multimodal.parsePly(ply("binary_little_endian", 1000000, 0)) ===
+      (("ply", "binary_little_endian", 1000000L, 0L)))
+    // corruption: truncated before end_header; wrong magic
+    assert(Multimodal.parsePly("ply\nformat ascii 1.0\nelement vertex 5\n"
+      .getBytes)._1 === "unknown")
+    assert(Multimodal.parsePly("plx\nend_header\n".getBytes)._1 === "unknown")
+
+    def stlBinary(tris: Int, headerText: String): Array[Byte] = {
+      val b = ByteBuffer.allocate(84 + 50 * tris).order(ByteOrder.LITTLE_ENDIAN)
+      b.put(headerText.getBytes.take(80))
+      b.position(80); b.putInt(tris)
+      b.array()
+    }
+    // the classic trap: binary STL whose 80-byte header begins "solid"
+    assert(Multimodal.parseStl(stlBinary(7, "solid exported-from-cad")) ===
+      (("stl", "binary", 21L, 7L)))
+    assert(Multimodal.parseStl(stlBinary(0, "empty")) === (("stl", "binary", 0L, 0L)))
+    val stlAscii =
+      """solid cube
+        |facet normal 0 0 1
+        | outer loop
+        |  vertex 0 0 0
+        |  vertex 1 0 0
+        |  vertex 0 1 0
+        | endloop
+        |endfacet
+        |facet normal 0 0 -1
+        | outer loop
+        |  vertex 0 0 0
+        |  vertex 0 1 0
+        |  vertex 1 0 0
+        | endloop
+        |endfacet
+        |endsolid cube
+        |""".stripMargin.getBytes("US-ASCII")
+    assert(Multimodal.parseStl(stlAscii) === (("stl", "ascii", 6L, 2L)))
+    // truncated binary (length equation fails) and ascii without endsolid
+    assert(Multimodal.parseStl(stlBinary(7, "x").dropRight(3))._1 === "unknown")
+    assert(Multimodal.parseStl("solid cube\nfacet normal 0 0 1\n".getBytes)._1
+      === "unknown")
+    // cross-format guards
+    assert(Multimodal.parseStl(ply("ascii", 3, 1))._1 === "unknown")
+    assert(Multimodal.parsePly(stlBinary(2, "solid"))._1 === "unknown")
+
+    // the distributed metadata op + the TQL SAMPLE_INFO surface
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(
+      (1L, ply("binary_little_endian", 5000, 9000)),
+      (2L, ply("ascii", 250, 0)),             // vertex-only -> point cloud
+      (3L, stlBinary(4, "solid part")),
+      (4L, "garbage".getBytes)).toDF("doc_id", "payload")
+    val rows = Multimodal.geometryInfo(df, "doc_id").orderBy("id").collect()
+    assert(rows.map(r => (r.getAs[Long]("id"), r.getAs[String]("format"),
+      r.getAs[String]("kind"), r.getAs[Long]("n_vertices"),
+      r.getAs[Long]("n_faces"))).toSeq === Seq(
+      (1L, "ply", "mesh", 5000L, 9000L),
+      (2L, "ply", "point_cloud", 250L, 0L),
+      (3L, "stl", "mesh", 12L, 4L),
+      (4L, "unknown", "", -1L, -1L)))
+    val info = df.select(col("doc_id"), org.apache.spark.sql.graft.Bridge.column(
+        graft.functions.SampleInfo(
+          org.apache.spark.sql.graft.Bridge.expression(col("payload")))).as("i"))
+      .orderBy("doc_id")
+      .select(col("i.format"), col("i.vertices"), col("i.faces"))
+      .collect().map(_.toSeq)
+    assert(info(0) === Seq("ply", 5000L, 9000L))
+    assert(info(1) === Seq("ply", 250L, 0L))
+    assert(info(2) === Seq("stl", 12L, 4L))
+    assert(info(3) === Seq("unknown", null, null))
+  }
+
   test("multimodal: real header parsing extracts format + dimensions from bytes") {
     def png(w: Int, h: Int): Array[Byte] = {
       val b = new java.io.ByteArrayOutputStream()
