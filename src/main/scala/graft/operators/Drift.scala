@@ -50,9 +50,14 @@ object Drift {
           .select(qs.indices.map(i =>
             element_at(col("__earr"), i + 1).cast("double").as(s"__e$i")): _*)
       } else {
-        val es = graft.operators.Quantiles.exactQuantiles(refNn, valueCol, qs)
+        // None (empty/all-NULL reference) mirrors percentile()'s NULL
+        // edges: binning proceeds against NULL edges, never a crash
+        val es = graft.operators.Quantiles
+          .exactQuantilesOpt(refNn, valueCol, qs)
+          .map(_.toSeq.map(e => lit(e)))
+          .getOrElse(qs.map(_ => lit(null).cast("double")))
         ref.sparkSession.range(1)
-          .select(es.toSeq.zipWithIndex.map { case (e, i) => lit(e).as(s"__e$i") }: _*)
+          .select(es.zipWithIndex.map { case (e, i) => e.as(s"__e$i") }: _*)
       }
     def binned(df: DataFrame, side: String): DataFrame = {
       // bin = number of edges strictly below the value — map-side math
@@ -72,11 +77,18 @@ object Drift {
       .select(col("bin"),
         coalesce(col("n_ref"), lit(0L)).as("n_ref"),
         coalesce(col("n_cur"), lit(0L)).as("n_cur"))
-      .withColumn("p_ref", greatest(col("n_ref") / nr, lit(eps)))
-      .withColumn("p_cur", greatest(col("n_cur") / nc, lit(eps)))
+      .withColumn("p_ref", pShare(col("n_ref"), nr, eps))
+      .withColumn("p_cur", pShare(col("n_cur"), nc, eps))
       .withColumn("psi_term",
         (col("p_cur") - col("p_ref")) * log(col("p_cur") / col("p_ref")))
   }
+
+  /** bin share with an empty-side guard: an EMPTY reference or current
+    * window has no distribution to compare (and `n / 0` is an ANSI-mode
+    * runtime error) — its shares and psi_terms go NULL instead of
+    * failing the job */
+  private def pShare(nCol: Column, n: Double, eps: Double): Column =
+    if (n > 0) greatest(nCol / n, lit(eps)) else lit(null).cast("double")
 
   /** the scalar PSI */
   def psi(ref: DataFrame, cur: DataFrame, valueCol: String,

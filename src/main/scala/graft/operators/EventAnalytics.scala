@@ -365,15 +365,22 @@ object EventAnalytics {
           round(element_at(col("__q"), 1), 4).as("p50_gap_s"),
           round(element_at(col("__q"), 2), 4).as("p90_gap_s"))
     } else {
-      val gaps = gapped.select(col(typeCol), col("__gap"))
-      val qsByType = Quantiles.exactQuantilesByKey(gaps, typeCol, "__gap", Seq(0.5, 0.9))
-      val counts = gaps.groupBy(col(typeCol))
-        .agg(count(lit(1)).as("n_gaps")).collect()
+      // the quantile lookup key must be SPARK's string rendering of the
+      // type value (exactQuantilesByKey casts its key col to string),
+      // never the JVM's — String.valueOf(a Timestamp/Double) can differ
+      // — and a NULL type (its own group under groupBy, exactly like the
+      // percentile path) needs a sentinel the cast can't produce
+      val nullKey = " __null_type__"
+      val keyExpr = coalesce(col(typeCol).cast("string"), lit(nullKey))
+      val gaps = gapped.select(keyExpr.as("__k"), col("__gap"))
+      val qsByType = Quantiles.exactQuantilesByKey(gaps, "__k", "__gap", Seq(0.5, 0.9))
+      val counts = gapped.groupBy(col(typeCol))
+        .agg(count(lit(1)).as("n_gaps"), first(keyExpr).as("__k")).collect()
       def round4(v: Double): Double =
         BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
       val spark = events.sparkSession
       val schema = org.apache.spark.sql.types.StructType(Seq(
-        gaps.schema(typeCol),
+        gapped.schema(typeCol),
         org.apache.spark.sql.types.StructField("n_gaps",
           org.apache.spark.sql.types.LongType, nullable = false),
         org.apache.spark.sql.types.StructField("p50_gap_s",
@@ -381,7 +388,7 @@ object EventAnalytics {
         org.apache.spark.sql.types.StructField("p90_gap_s",
           org.apache.spark.sql.types.DoubleType, nullable = false)))
       val rows = counts.toSeq.map { r =>
-        val q = qsByType(String.valueOf(r.get(0)))
+        val q = qsByType(r.getString(2))
         org.apache.spark.sql.Row(r.get(0), r.getLong(1), round4(q(0)), round4(q(1)))
       }
       spark.createDataFrame(

@@ -37,11 +37,16 @@ object Features {
               (acc, e) => acc + when(col(valueCol) >= e, 1).otherwise(0))))
         .drop("__edges")
     } else {
-      val es = graft.operators.Quantiles.exactQuantiles(df, valueCol, qs)
-      df.withColumn("bin",
-        when(col(valueCol).isNotNull,
-          es.map(e => when(col(valueCol) >= e, 1).otherwise(0))
-            .reduce[Column](_ + _)))
+      // None (empty/all-NULL input) mirrors percentile()'s NULL edges:
+      // every bin is NULL, never a crash
+      graft.operators.Quantiles.exactQuantilesOpt(df, valueCol, qs) match {
+        case Some(es) =>
+          df.withColumn("bin",
+            when(col(valueCol).isNotNull,
+              es.map(e => when(col(valueCol) >= e, 1).otherwise(0))
+                .reduce[Column](_ + _)))
+        case None => df.withColumn("bin", lit(null).cast("int"))
+      }
     }
   }
 

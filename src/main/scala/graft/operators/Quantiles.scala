@@ -40,10 +40,21 @@ object Quantiles {
     * checks. */
   def exactQuantiles(df: DataFrame, valueCol: String,
       qs: Seq[Double]): Array[Double] =
+    exactQuantilesOpt(df, valueCol, qs)
+      .getOrElse(throw new IllegalArgumentException(
+        s"requirement failed: no non-NULL values in $valueCol"))
+
+  /** [[exactQuantiles]] that mirrors percentile()'s NULL-on-empty
+    * instead of throwing: None when `valueCol` has no non-NULL values.
+    * The graceful-degradation entry point for the exact-DEFAULT
+    * consumers (winsorize/madScore/psiBins/discretize), whose old
+    * percentile() plans produced NULL bounds on empty input rather
+    * than failing the job. */
+  def exactQuantilesOpt(df: DataFrame, valueCol: String,
+      qs: Seq[Double]): Option[Array[Double]] =
     exactQuantilesByKey(
       df.select(lit("").as("__k"), col(valueCol).as("__val")), "__k", "__val", qs)
-      .getOrElse("", throw new IllegalArgumentException(
-        s"requirement failed: no non-NULL values in $valueCol"))
+      .get("")
 
   /** [[exactQuantiles]] for SEVERAL value populations in ONE corpus
     * pass: `df` carries (key, value) rows — e.g. the per-signal explode

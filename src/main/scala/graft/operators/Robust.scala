@@ -41,10 +41,18 @@ object Robust {
         .withColumn("__w",
           least(greatest(col(valueCol).cast("double"), col("lo")), col("hi")))
     } else {
-      val Array(lo, hi) = Quantiles.exactQuantiles(df, valueCol, Seq(loQ, hiQ))
-      df.withColumn("lo", lit(lo)).withColumn("hi", lit(hi))
-        .withColumn("__w",
-          least(greatest(col(valueCol).cast("double"), lit(lo)), lit(hi)))
+      // None (empty / all-NULL input) mirrors percentile()'s NULL
+      // bounds: rows keep flowing with NULL lo/hi/__w, never a crash
+      Quantiles.exactQuantilesOpt(df, valueCol, Seq(loQ, hiQ)) match {
+        case Some(Array(lo, hi)) =>
+          df.withColumn("lo", lit(lo)).withColumn("hi", lit(hi))
+            .withColumn("__w",
+              least(greatest(col(valueCol).cast("double"), lit(lo)), lit(hi)))
+        case _ =>
+          df.withColumn("lo", lit(null).cast("double"))
+            .withColumn("hi", lit(null).cast("double"))
+            .withColumn("__w", lit(null).cast("double"))
+      }
     }
   }
 
@@ -98,19 +106,28 @@ object Robust {
     } else {
       // one persisted value projection feeds BOTH median passes (the
       // second otherwise re-scans the source); released before return —
-      // the returned frame reads the source directly
+      // the returned frame reads the source directly. None (empty /
+      // all-NULL input) mirrors percentile()'s NULL medians.
       val vals = df.select(col(valueCol).cast("double").as("__x"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val (med, mad) =
+      val stats =
         try {
-          val m = Quantiles.exactQuantiles(vals, "__x", Seq(0.5)).head
-          val a = Quantiles.exactQuantiles(
-            vals.select(abs(col("__x") - m).as("__d")), "__d", Seq(0.5)).head
-          (m, a)
+          Quantiles.exactQuantilesOpt(vals, "__x", Seq(0.5)).map { m0 =>
+            val m = m0.head
+            (m, Quantiles.exactQuantiles(
+              vals.select(abs(col("__x") - m).as("__d")), "__d", Seq(0.5)).head)
+          }
         } finally { vals.unpersist(false); () }
-      df.withColumn("med", lit(med)).withColumn("mad", lit(mad))
-        .withColumn("robust_z",
-          when(lit(mad) > 0,
-            lit(0.6745) * (col(valueCol).cast("double") - med) / mad))
+      stats match {
+        case Some((med, mad)) =>
+          df.withColumn("med", lit(med)).withColumn("mad", lit(mad))
+            .withColumn("robust_z",
+              when(lit(mad) > 0,
+                lit(0.6745) * (col(valueCol).cast("double") - med) / mad))
+        case None =>
+          df.withColumn("med", lit(null).cast("double"))
+            .withColumn("mad", lit(null).cast("double"))
+            .withColumn("robust_z", lit(null).cast("double"))
+      }
     }
 }

@@ -801,7 +801,7 @@ object SequenceQueries extends QueryModule {
              |  FROM e),
              |a AS (SELECT user_id, count(*) AS n_obs,
              |  (max(t) - min(t)) / 1e9 AS span,
-             |  sum(CASE WHEN nt IS NOT NULL THEN v * (nt - t) ELSE 0 END) AS wsum,
+             |  sum(CASE WHEN nt IS NOT NULL THEN v * (nt - t) ELSE 0.0 END) AS wsum,
              |  avg(v) AS mean FROM l GROUP BY 1)
              |SELECT user_id, n_obs, round(span, 4) AS span_s,
              |round(CASE WHEN span > 0 THEN wsum / (span * 1e9) ELSE mean END, 6)

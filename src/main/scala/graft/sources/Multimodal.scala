@@ -924,17 +924,28 @@ object Multimodal {
       if (84L + 50L * n == b.length.toLong)
         return ("stl", "binary", 3L * n, n)
     }
-    // ASCII: skip leading whitespace, require the "solid" keyword
+    // ASCII: skip leading whitespace, require the "solid" keyword; the
+    // facet/endsolid scan walks the BYTES directly — a corrupt
+    // multi-hundred-MB payload must not pay a 2x String materialization
+    // (STL keywords are pure ASCII, so byte match == text match)
     var s = 0
     while (s < b.length && (b(s) == ' ' || b(s) == '\t' ||
       b(s) == '\r' || b(s) == '\n')) s += 1
-    if (s + 5 > b.length ||
-      new String(b, s, 5, "US-ASCII") != "solid") return geometryUnknown
-    val text = new String(b, 0, b.length, "US-ASCII")
-    if (!text.contains("endsolid")) return geometryUnknown
-    var faces = 0L
-    var i = text.indexOf("facet normal")
-    while (i >= 0) { faces += 1; i = text.indexOf("facet normal", i + 12) }
+    def asciiAt(i: Int, kw: String): Boolean =
+      i >= 0 && i + kw.length <= b.length &&
+        kw.indices.forall(j => b(i + j) == kw.charAt(j).toByte)
+    def countFrom(kw: String): (Long, Boolean) = {
+      var n = 0L; var seen = false; var i = s
+      val endKw = "endsolid"
+      while (i < b.length) {
+        if (asciiAt(i, kw)) { n += 1; i += kw.length }
+        else { if (!seen && asciiAt(i, endKw)) seen = true; i += 1 }
+      }
+      (n, seen)
+    }
+    if (!asciiAt(s, "solid")) return geometryUnknown
+    val (faces, sawEnd) = countFrom("facet normal")
+    if (!sawEnd) return geometryUnknown
     ("stl", "ascii", 3L * faces, faces)
   }
 }

@@ -417,4 +417,45 @@ class EventAnalyticsSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
     assert(out.sortBy(_._1).toSeq === out2.sortBy(_._1).toSeq)
   }
+
+  test("exact-default quantile consumers degrade like percentile() on empty/all-NULL input — never crash") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, java.lang.Double)].toDF("id", "value")
+    val allNull = Seq((1L, null: java.lang.Double), (2L, null: java.lang.Double))
+      .toDF("id", "value")
+    // winsorize: rows flow with NULL bounds (percentile's NULL), no throw
+    assert(graft.operators.Robust.winsorize(empty, "value").count() === 0L)
+    val wn = graft.operators.Robust.winsorize(allNull, "value").select("lo", "hi", "__w").collect()
+    assert(wn.length === 2 && wn.forall(r => r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2)))
+    // madScore: NULL med/mad/z
+    val mn = graft.operators.Robust.madScore(allNull, "value").select("med", "mad", "robust_z").collect()
+    assert(mn.length === 2 && mn.forall(r => (0 to 2).forall(r.isNullAt)))
+    // discretize: NULL bins
+    val dn = graft.operators.Features.discretize(allNull, "value", 4)
+      .select("bin").collect()
+    assert(dn.length === 2 && dn.forall(_.isNullAt(0)))
+    assert(graft.operators.Features.discretize(empty, "value", 4).count() === 0L)
+    // psiBins: empty reference must not throw
+    val cur = (1 to 50).map(i => (i.toLong, i.toDouble)).toDF("id", "value")
+    graft.operators.Drift.psiBins(empty, cur, "value", 4).collect()
+  }
+
+  test("interArrival exact default: NULL event types and non-string type columns survive") {
+    import spark.implicits._
+    // NULL type group: its own row, percentiles over its own gaps
+    val ev = Seq(
+      (1L, 0L, "a"), (1L, 1000000000L, "a"), (1L, 3000000000L, "a"),
+      (2L, 0L, null: String), (2L, 5000000000L, null: String),
+      (2L, 6000000000L, null: String))
+      .toDF("user_id", "ts_ns", "event_type")
+    val rows = EventAnalytics.interArrival(ev, "user_id", "ts_ns", "event_type")
+      .collect().map(r => (Option(r.get(0)), r.getLong(1), r.getDouble(2))).toSet
+    // "a": gaps 1s, 2s -> p50 = 1.5; NULL: gaps 5s, 1s -> p50 = 3.0
+    assert(rows === Set((Some("a"), 2L, 1.5), (None, 2L, 3.0)))
+    // integer-typed type column: Spark's cast, not JVM toString, keys the lookup
+    val evI = Seq((1L, 0L, 7), (1L, 1000000000L, 7), (1L, 3000000000L, 7))
+      .toDF("user_id", "ts_ns", "etype")
+    val ri = EventAnalytics.interArrival(evI, "user_id", "ts_ns", "etype").head()
+    assert(ri.getInt(0) === 7 && ri.getDouble(2) === 1.5)
+  }
 }

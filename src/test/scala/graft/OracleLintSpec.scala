@@ -66,10 +66,15 @@ object OracleLint {
   }
 
   /** The enclosing output expression around [from, to]: extend left/right
-    * until a comma/paren at a depth below the sum's own, or a depth-0
-    * clause keyword. Over-extension is harmless — the window only needs to
-    * witness a promotion token if one exists in the same expression.
-    */
+    * until a comma/paren at a depth at-or-below the sum's own, or a
+    * depth-0 clause keyword. The boundary must be `<=` — select-list
+    * commas sit at the SAME depth as a top-level sum, so a `<` test
+    * never stops there and the window would swallow sibling
+    * expressions, letting a neighbor's `::` cast mask a genuinely
+    * uncast sum (the exact r7/r9 failure this lint exists to catch).
+    * If the window's immediate wrapper is `round(`, that is a
+    * promotion too (DuckDB round() returns DOUBLE even for HUGEINT
+    * input), reported via a sentinel prefix. */
   private def exprWindow(sql: String, from: Int, to: Int): String = {
     val depth = new Array[Int](sql.length + 1)
     var d = 0
@@ -80,16 +85,28 @@ object OracleLint {
     }
     val dSum = depth(from)
     var lo = from
-    while (lo > 0 && !(("(,".contains(sql.charAt(lo - 1)) && depth(lo - 1) < dSum)
+    while (lo > 0 && !(("(,".contains(sql.charAt(lo - 1)) && depth(lo - 1) <= dSum)
       || sql.toLowerCase.regionMatches(math.max(0, lo - 7), "select ", 0, 7))) lo -= 1
     var hi = to
     val low = sql.toLowerCase
     def clauseAt(i: Int): Boolean =
       Seq(" from ", " order ", " group ", " where ", " window ", " having ")
         .exists(k => low.regionMatches(i, k, 0, k.length))
-    while (hi < sql.length - 1 && !((",)".contains(sql.charAt(hi + 1)) && depth(hi + 1) < dSum)
+    while (hi < sql.length - 1 && !((",)".contains(sql.charAt(hi + 1)) && depth(hi + 1) <= dSum)
       || clauseAt(hi + 1)) && !clauseAt(hi + 1)) hi += 1
-    sql.substring(lo, hi + 1)
+    // promotions that live just OUTSIDE the window's enclosing group:
+    // `round(<win>)` (DuckDB round() returns DOUBLE even on HUGEINT),
+    // `(<win>)::BIGINT` (group-level cast), `... / (<win>)` (the whole
+    // group is a divisor — division promotes)
+    val roundWrapped = lo >= 6 && low.regionMatches(lo - 6, "round(", 0, 6)
+    val groupCast = lo >= 1 && sql.charAt(lo - 1) == '(' && {
+      val close = matching(sql, lo - 1)
+      close + 2 < sql.length && sql.substring(close + 1, close + 3) == "::"
+    }
+    val groupDivided = lo >= 2 && sql.charAt(lo - 1) == '(' &&
+      sql.substring(0, lo - 1).trim.endsWith("/")
+    (if (roundWrapped || groupCast || groupDivided) "1.0 " else "") +
+      sql.substring(lo, hi + 1)
   }
 
   private val promoted = """::|\d\.\d|/""".r
@@ -147,5 +164,16 @@ class OracleLintSpec extends AnyFunSuite {
     // CASE-WHEN integer sum must be flagged
     assert(OracleLint.risks(
       "SELECT sum(CASE WHEN lang='en' THEN 1 ELSE 0 END) AS n FROM documents").nonEmpty)
+    // a SIBLING expression's cast must not mask an uncast sum (the
+    // select-list comma sits at the sum's own depth — boundary is <=)
+    assert(OracleLint.risks(
+      "SELECT count(*)::BIGINT AS n, sum(n_chars) AS chars FROM documents").nonEmpty)
+    // group-level promotions just outside the window
+    assert(OracleLint.risks(
+      "SELECT (count(*) - sum(n_chars))::BIGINT AS d FROM documents").isEmpty)
+    assert(OracleLint.risks(
+      "SELECT round(sum(n_chars), 1) AS c FROM documents").isEmpty)
+    assert(OracleLint.risks(
+      "SELECT x / (count(*) + sum(n_chars)) AS r FROM documents").isEmpty)
   }
 }
