@@ -113,12 +113,22 @@ object AnnIndex {
     * queries must never pay the KMeans build). */
   def save(index: Index, dir: String): Unit = {
     index.centroids.write.mode("overwrite").parquet(s"$dir/centroids")
-    index.assignments.write.mode("overwrite").parquet(s"$dir/assignments")
+    // assignments live under a batch=base segment so a streaming
+    // maintainer ([[graft.streaming.StreamingAnn]]) can absorb
+    // batch-id-keyed delta segments into the SAME directory (parquet
+    // discovery rejects mixed flat + partitioned layouts); the reset
+    // clears any stale delta segments from a previous index lifetime
+    val p = new org.apache.hadoop.fs.Path(s"$dir/assignments")
+    val fs = p.getFileSystem(
+      index.assignments.sparkSession.sessionState.newHadoopConf())
+    if (fs.exists(p)) fs.delete(p, true)
+    index.assignments.write.mode("overwrite").parquet(s"$dir/assignments/batch=base")
   }
 
   def load(spark: SparkSession, dir: String): Index = {
     val centroids = spark.read.parquet(s"$dir/centroids")
-    val assignments = spark.read.parquet(s"$dir/assignments")
+    // drop is a no-op on a pre-segment flat layout (old saved indexes)
+    val assignments = spark.read.parquet(s"$dir/assignments").drop("batch")
     Index(centroids, assignments, centroids.count().toInt,
       quantized = assignments.columns.contains("vec_q"))
   }

@@ -74,14 +74,24 @@ object Bm25 {
 
   /** Persist as three parquet tables. The postings are written FIRST and
     * the stats derived from the written parquet, so the corpus is
-    * tokenized exactly once across all three artifacts. */
+    * tokenized exactly once across all three artifacts. Each table is a
+    * `batch=base` base segment so [[graft.streaming.StreamingText]] can
+    * absorb batch-id-keyed delta segments into the same directory
+    * (parquet discovery rejects mixed flat + partitioned layouts). */
   def save(spark: SparkSession, docs: DataFrame, idCol: String, textCol: String,
       dir: String): Unit = {
-    postings(docs, idCol, textCol).write.mode("overwrite").parquet(s"$dir/postings")
-    val post = spark.read.parquet(s"$dir/postings")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    Seq("postings", "doc_stats", "term_df").foreach { n =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$n")
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    postings(docs, idCol, textCol).write.mode("overwrite")
+      .parquet(s"$dir/postings/batch=base")
+    val post = spark.read.parquet(s"$dir/postings").drop("batch")
     val (docStats, termDf) = corpusStats(post)
-    docStats.write.mode("overwrite").parquet(s"$dir/doc_stats")
-    termDf.write.mode("overwrite").parquet(s"$dir/term_df")
+    docStats.write.mode("overwrite").parquet(s"$dir/doc_stats/batch=base")
+    termDf.write.mode("overwrite").parquet(s"$dir/term_df/batch=base")
   }
 
   /** O(delta) index maintenance on append: tokenize ONLY the new docs,
@@ -133,9 +143,10 @@ object Bm25 {
   }
 
   def load(spark: SparkSession, dir: String): Index = Index(
-    spark.read.parquet(s"$dir/postings"),
-    spark.read.parquet(s"$dir/doc_stats"),
-    spark.read.parquet(s"$dir/term_df"))
+    // drop is a no-op on a pre-segment flat layout (old saved indexes)
+    spark.read.parquet(s"$dir/postings").drop("batch"),
+    spark.read.parquet(s"$dir/doc_stats").drop("batch"),
+    spark.read.parquet(s"$dir/term_df").drop("batch"))
 
   /** BM25 scores for a bag of query terms against a maintained index:
     * (doc_id, score) for every doc containing at least one query term.

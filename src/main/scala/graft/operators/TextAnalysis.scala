@@ -263,21 +263,29 @@ object TextAnalysis {
   // across segments, but they re-derive from the MERGED bigram table —
   // bigram-type-table-sized re-aggs, never corpus scans.
 
-  /** materialize a train corpus's bigram counts: segment zero */
+  /** materialize a train corpus's bigram counts: the `batch=base`
+    * segment (streaming absorbs use lineage-keyed segment names) */
   def writeKnCounts(train: org.apache.spark.sql.DataFrame, textCol: String,
-      dir: String): Unit =
-    knSegment(train, textCol).write.mode("overwrite").parquet(dir)
+      dir: String): Unit = {
+    graft.streaming.Lsm.resetDir(dir)
+    graft.streaming.Lsm.absorbSegment(knSegment(train, textCol), dir, "base")
+  }
 
-  /** absorb appended docs: count ONLY the delta, append its segment */
+  /** Absorb appended docs: count ONLY the delta, write its segment.
+    * `segment` keys the write ([[graft.streaming.Lsm.absorbSegment]]):
+    * re-absorbing the same delta under the same key is a no-op rewrite,
+    * which is what makes the streaming maintainer's at-least-once
+    * foreachBatch replay safe — counts are algebraic, so a blind
+    * append would double-count forever. */
   def absorbKnCounts(delta: org.apache.spark.sql.DataFrame, textCol: String,
-      dir: String): Unit =
-    knSegment(delta, textCol).write.mode("append").parquet(dir)
+      dir: String, segment: String): Unit =
+    graft.streaming.Lsm.absorbSegment(knSegment(delta, textCol), dir, segment)
 
   /** merge-on-read current bigram counts (w1, w2, c) — one groupBy IS
     * the algebraic merge of however many segments accumulated */
   def readKnCounts(spark: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
-    spark.read.parquet(dir)
+    graft.streaming.Lsm.readSegments(spark, dir)
       .groupBy(col("w1"), col("w2")).agg(sum(col("c")).as("c"))
 
   private def knSegment(docs: org.apache.spark.sql.DataFrame,

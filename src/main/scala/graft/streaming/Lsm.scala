@@ -23,7 +23,69 @@ import org.apache.spark.sql.functions._
   * moves aside, and [[recover]] (run by every reader) completes an
   * interrupted swap — at no point is the only copy of the data mid-write.
   */
-private[streaming] object Lsm {
+private[graft] object Lsm {
+
+  /** Exactly-once segment absorb for maintainer state: `foreachBatch`
+    * is AT-LEAST-ONCE (a crash between the sink write and the
+    * checkpoint's offset commit re-delivers the batch), so a plain
+    * `mode("append")` write double-counts a replayed batch — fatal for
+    * ALGEBRAIC state (bigram counts, bin counts, sketch segments),
+    * where duplicate segments change the merged answer. Each batch's
+    * partial therefore writes to its OWN `batch=<id>` subdirectory
+    * with overwrite: a replay rewrites the same segment instead of
+    * adding a second copy. Readers go through [[readSegments]] (strips
+    * the partition-discovery `batch` column); a maintainer that must
+    * read state WITHOUT its own in-flight batch (the self-join hazard)
+    * uses [[readSegmentsExcept]]. Compactions write their merged
+    * output under `batch=compact` inside the usual `__compact` swap dir so
+    * a directory stays uniformly partitioned for its whole lifetime
+    * (parquet discovery rejects mixed flat + partitioned layouts).
+    *
+    * Contract: a maintainer dir binds to ONE checkpoint lineage (the
+    * standard Structured Streaming sink rule — a fresh checkpoint
+    * restarts batch ids at 0 and re-reads the source), and compaction
+    * runs only with the maintainer stopped and fully committed
+    * (already every compactor's documented stop-the-world contract). */
+  def absorbSegment(part: DataFrame, dir: String, key: String): Unit = {
+    requireLocal(dir)
+    part.write.mode("overwrite").parquet(s"$dir/batch=$key")
+  }
+
+  /** The segment key for one micro-batch: checkpoint-lineage hash +
+    * batch id. The batch id alone is NOT unique across a maintainer
+    * dir's lifetime — separate ingest runs (each with its own
+    * checkpoint: a new source, a resumed pipeline) all restart at
+    * batch 0 and would clobber each other's segments. Within ONE
+    * lineage the key is replay-stable, which is the idempotence that
+    * matters. Keys are deliberately non-numeric so the partition
+    * column always discovers as string. */
+  def segmentKey(checkpoint: String, batchId: Long): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpoint.getBytes("UTF-8"))
+    "b" + md.take(4).map(b => f"$b%02x").mkString + "-" + batchId
+  }
+
+  /** merged view over every absorbed segment (batch column stripped) */
+  def readSegments(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir).drop("batch")
+
+  /** [[readSegments]] minus `key`'s own segment — the state view a
+    * replayed batch must see (its first delivery's segment is already
+    * on disk; joining against it would differ from the first run and,
+    * worse, self-pair the batch) */
+  def readSegmentsExcept(spark: SparkSession, dir: String,
+      key: String): DataFrame =
+    spark.read.parquet(dir).filter(col("batch") =!= key).drop("batch")
+
+  /** [[swapIn]] addressed by the full segment-dir path */
+  def swapInPath(path: String): Unit = {
+    val f = new java.io.File(requireLocal(path))
+    swapIn(f.getParent, f.getName)
+  }
+
+  /** delete a maintainer dir outright (the segment-zero reset) */
+  def resetDir(dir: String): Unit =
+    rmTree(Paths.get(requireLocal(dir)))
 
   /** Segment reads/writes go through Spark's Hadoop FS, but tombstone
     * existence checks and the swap/recover moves use java.nio — on a

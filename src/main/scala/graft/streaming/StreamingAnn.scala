@@ -38,9 +38,12 @@ object StreamingAnn {
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        AnnIndex.assignDelta(base, batch, idCol, vecCol)
-          .write.mode("append").parquet(s"$dir/assignments")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // lineage-keyed: an at-least-once replay rewrites its own
+        // delta segment — duplicate assignment rows would surface the
+        // same id twice from every probe
+        Lsm.absorbSegment(AnnIndex.assignDelta(base, batch, idCol, vecCol),
+          s"$dir/assignments", Lsm.segmentKey(checkpoint, batchId))
         ()
       }
       .start()
@@ -71,7 +74,7 @@ object StreamingAnn {
     * pauses the maintainer first. */
   def compact(spark: SparkSession, dir: String): Unit = {
     current(spark, dir).assignments
-      .write.mode("overwrite").parquet(s"$dir/assignments__compact")
+      .write.mode("overwrite").parquet(s"$dir/assignments__compact/batch=compact")
     Lsm.swapIn(dir, "assignments")
     Lsm.clearTombstones(dir)
   }

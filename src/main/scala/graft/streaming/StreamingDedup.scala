@@ -63,48 +63,60 @@ object StreamingDedup {
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val (s0, banded0) = shinglesAndBands(batch, idCol, textCol,
-          numHashes, rowsPerBand)
-        // shingle/sign the batch ONCE; both the pair math and the
-        // artifact appends read the materialized forms
-        val s = s0.localCheckpoint()
-        val banded = banded0.localCheckpoint()
-        val internal = Dedup.minhashLshPairs(batch, idCol, textCol,
-          threshold, numHashes, rowsPerBand)
-        val cross =
-          if (!new java.io.File(s"$dir/postings").exists()) internal.limit(0)
-          else {
-            val hist = spark.read.parquet(s"$dir/postings")
-            val histSh = spark.read.parquet(s"$dir/shingles")
-            banded
-              .join(hist.select(col("id").as("old_id"),
-                col("band_idx"), col("band_key")), Seq("band_idx", "band_key"))
-              .select(col("old_id"), col("id").as("new_id"))
-              .filter(col("old_id") =!= col("new_id"))
-              .distinct()
-              .join(histSh.select(col("id").as("old_id"), col("sh").as("sh_a")), "old_id")
-              .join(s.select(col("id").as("new_id"), col("sh").as("sh_b")), "new_id")
-              .select(
-                least(col("old_id"), col("new_id")).as("id_a"),
-                greatest(col("old_id"), col("new_id")).as("id_b"),
-                round(TextAnalysis.jaccard(col("sh_a"), col("sh_b")), 6).as("jac"))
-              .filter(col("jac") >= threshold)
-          }
-        // pairs first, then the state appends: a batch must never
-        // candidate-join against its own postings
-        internal.unionByName(cross)
-          .write.mode("append").parquet(s"$dir/pairs")
-        banded.write.mode("append").parquet(s"$dir/postings")
-        s.write.mode("append").parquet(s"$dir/shingles")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        absorbNearDupBatch(batch, Lsm.segmentKey(checkpoint, batchId), dir,
+          idCol, textCol, threshold, numHashes, rowsPerBand)
         ()
       }
       .start()
 
+  /** One batch's near-dup absorb, batch-id keyed so an at-least-once
+    * foreachBatch replay is EXACT: the history view excludes the
+    * batch's own first-delivery segments (else the replay would
+    * candidate-join the batch against its own postings — the
+    * self-join the original "pairs first, then state" ordering
+    * prevented) and every write rewrites `batch=<id>` instead of
+    * appending a second copy. Package-private so the replay spec can
+    * drive it directly. */
+  private[graft] def absorbNearDupBatch(batch: DataFrame, segKey: String,
+      dir: String, idCol: String, textCol: String, threshold: Double,
+      numHashes: Int, rowsPerBand: Int): Unit = {
+    val spark = batch.sparkSession
+    val (s0, banded0) = shinglesAndBands(batch, idCol, textCol,
+      numHashes, rowsPerBand)
+    // shingle/sign the batch ONCE; both the pair math and the
+    // artifact writes read the materialized forms
+    val s = s0.localCheckpoint()
+    val banded = banded0.localCheckpoint()
+    val internal = Dedup.minhashLshPairs(batch, idCol, textCol,
+      threshold, numHashes, rowsPerBand)
+    val cross =
+      if (!new java.io.File(s"$dir/postings").exists()) internal.limit(0)
+      else {
+        val hist = Lsm.readSegmentsExcept(spark, s"$dir/postings", segKey)
+        val histSh = Lsm.readSegmentsExcept(spark, s"$dir/shingles", segKey)
+        banded
+          .join(hist.select(col("id").as("old_id"),
+            col("band_idx"), col("band_key")), Seq("band_idx", "band_key"))
+          .select(col("old_id"), col("id").as("new_id"))
+          .filter(col("old_id") =!= col("new_id"))
+          .distinct()
+          .join(histSh.select(col("id").as("old_id"), col("sh").as("sh_a")), "old_id")
+          .join(s.select(col("id").as("new_id"), col("sh").as("sh_b")), "new_id")
+          .select(
+            least(col("old_id"), col("new_id")).as("id_a"),
+            greatest(col("old_id"), col("new_id")).as("id_b"),
+            round(TextAnalysis.jaccard(col("sh_a"), col("sh_b")), 6).as("jac"))
+          .filter(col("jac") >= threshold)
+      }
+    Lsm.absorbSegment(internal.unionByName(cross), s"$dir/pairs", segKey)
+    Lsm.absorbSegment(banded, s"$dir/postings", segKey)
+    Lsm.absorbSegment(s, s"$dir/shingles", segKey)
+  }
+
   /** all near-dup pairs found so far (accumulates across batches) */
   def currentPairs(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/pairs")
+    Lsm.readSegments(spark, s"$dir/pairs")
 
   /** duplicate GROUPS over everything seen so far: connected components
     * of the accumulated pair table. The pair table is matches-sized
@@ -220,39 +232,52 @@ object StreamingDedup {
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val chunks = chunker(batch)
-          .select(col("id"), col("chunk_idx"), col("chunk_text"),
-            md5(col("chunk_text")).as("__h"))
-          .localCheckpoint()
-        val keeper = chunks.groupBy(col("__h"))
-          .agg(min(struct(col("id"), col("chunk_idx"))).as("__keep"))
-        val freshKeeper =
-          (if (!new java.io.File(s"$dir/chunk_hashes").exists()) keeper
-           else keeper.join(spark.read.parquet(s"$dir/chunk_hashes"),
-             Seq("__h"), "left_anti"))
-            .localCheckpoint()
-        val rebuilt = chunks.join(freshKeeper, Seq("__h"), "left")
-          .withColumn("__kept", col("__keep.id") === col("id") &&
-            col("__keep.chunk_idx") === col("chunk_idx"))
-          .groupBy(col("id"))
-          .agg(count(lit(1)).as("n_chunks"),
-            sum(when(col("__kept"), 1L).otherwise(0L)).as("n_kept"),
-            array_sort(collect_list(when(col("__kept"),
-              struct(col("chunk_idx"), col("chunk_text"))))).as("__surv"))
-          .withColumn("text_clean",
-            when(col("n_kept") > 0, array_join(
-              transform(col("__surv"), _.getField("chunk_text")), sep)))
-          .drop("__surv")
-        rebuilt.write.mode("append").parquet(s"$dir/docs")
-        freshKeeper.select(col("__h"))
-          .write.mode("append").parquet(s"$dir/chunk_hashes")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        absorbChunkBatch(batch, Lsm.segmentKey(checkpoint, batchId), dir,
+          chunker, sep)
         ()
       }
       .start()
 
+  /** One batch's chunk-dedup absorb, batch-id keyed: the seen-set view
+    * excludes the batch's own first-delivery hash segment — a plain
+    * replay would find every batch chunk "already seen" and rebuild
+    * every doc EMPTY while appending the docs a second time. With the
+    * exclusion the replay recomputes the identical rebuild and
+    * rewrites its own segments. Package-private for the replay spec. */
+  private[graft] def absorbChunkBatch(batch: DataFrame, segKey: String,
+      dir: String, chunker: DataFrame => DataFrame, sep: String): Unit = {
+    val spark = batch.sparkSession
+    val chunks = chunker(batch)
+      .select(col("id"), col("chunk_idx"), col("chunk_text"),
+        md5(col("chunk_text")).as("__h"))
+      .localCheckpoint()
+    val keeper = chunks.groupBy(col("__h"))
+      .agg(min(struct(col("id"), col("chunk_idx"))).as("__keep"))
+    val freshKeeper =
+      (if (!new java.io.File(s"$dir/chunk_hashes").exists()) keeper
+       else keeper.join(
+         Lsm.readSegmentsExcept(spark, s"$dir/chunk_hashes", segKey),
+         Seq("__h"), "left_anti"))
+        .localCheckpoint()
+    val rebuilt = chunks.join(freshKeeper, Seq("__h"), "left")
+      .withColumn("__kept", col("__keep.id") === col("id") &&
+        col("__keep.chunk_idx") === col("chunk_idx"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("__kept"), 1L).otherwise(0L)).as("n_kept"),
+        array_sort(collect_list(when(col("__kept"),
+          struct(col("chunk_idx"), col("chunk_text"))))).as("__surv"))
+      .withColumn("text_clean",
+        when(col("n_kept") > 0, array_join(
+          transform(col("__surv"), _.getField("chunk_text")), sep)))
+      .drop("__surv")
+    Lsm.absorbSegment(rebuilt, s"$dir/docs", segKey)
+    Lsm.absorbSegment(freshKeeper.select(col("__h")),
+      s"$dir/chunk_hashes", segKey)
+  }
+
   /** every streamed doc's rebuilt form so far */
   def currentChunkDeduped(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/docs")
+    Lsm.readSegments(spark, s"$dir/docs")
 }

@@ -26,10 +26,10 @@ object StreamingDrift {
     require(nBins >= 2, "need at least 2 bins")
     val spark = ref.sparkSession
     val refNn = ref.filter(col(valueCol).isNotNull)
-    val qArr = (1 until nBins).map(_.toDouble / nBins)
-      .mkString("array(", ", ", ")")
-    val edges = refNn.agg(expr(s"percentile($valueCol, $qArr)").as("e"))
-      .head.getSeq[Double](0).toArray
+    // rank-selected exact edges (bit-identical to percentile(), no
+    // value-map single-reducer state — the repo's exact-default rule)
+    val edges = graft.operators.Quantiles.exactQuantiles(
+      refNn, valueCol, (1 until nBins).map(_.toDouble / nBins))
     binCounts(refNn, valueCol, edges)
       .write.mode("overwrite").parquet(s"$dir/ref_bins")
     import spark.implicits._
@@ -54,15 +54,16 @@ object StreamingDrift {
   }
 
   /** per micro-batch: bin the arrivals against the frozen edges and
-    * append the k-row count segment */
+    * write the k-row count segment, batch-id keyed (bin counts are
+    * algebraic — an at-least-once replay must rewrite, never re-add) */
   def maintainPsi(stream: DataFrame, valueCol: String,
       edges: Array[Double], dir: String, checkpoint: String): StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        binCounts(batch, valueCol, edges)
-          .write.mode("append").parquet(s"$dir/cur_bins")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Lsm.absorbSegment(binCounts(batch, valueCol, edges),
+          s"$dir/cur_bins", Lsm.segmentKey(checkpoint, batchId))
         ()
       }
       .start()
@@ -74,7 +75,7 @@ object StreamingDrift {
       eps: Double = 1e-4): DataFrame = {
     val r = spark.read.parquet(s"$dir/ref_bins")
       .groupBy(col("bin")).agg(sum(col("n")).as("n_ref"))
-    val c = spark.read.parquet(s"$dir/cur_bins")
+    val c = Lsm.readSegments(spark, s"$dir/cur_bins")
       .groupBy(col("bin")).agg(sum(col("n")).as("n_cur"))
     val nr = r.agg(sum(col("n_ref"))).head.getLong(0).toDouble
     val nc = c.agg(sum(col("n_cur"))).head.getLong(0).toDouble
@@ -105,12 +106,13 @@ object StreamingDrift {
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.select(col(bucketCol).as("bucket"),
-            col(catCol).cast("string").as("category"))
-          .groupBy(col("bucket"), col("category"))
-          .agg(count(lit(1)).as("n"))
-          .write.mode("append").parquet(s"$dir/mix_counts")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Lsm.absorbSegment(
+          batch.select(col(bucketCol).as("bucket"),
+              col(catCol).cast("string").as("category"))
+            .groupBy(col("bucket"), col("category"))
+            .agg(count(lit(1)).as("n")),
+          s"$dir/mix_counts", Lsm.segmentKey(checkpoint, batchId))
         ()
       }
       .start()
@@ -121,5 +123,5 @@ object StreamingDrift {
   def currentJsTimeline(spark: SparkSession, dir: String,
       eps: Double = 1e-6): DataFrame =
     graft.operators.Drift.jsTimelineFromCounts(
-      spark.read.parquet(s"$dir/mix_counts"), eps)
+      Lsm.readSegments(spark, s"$dir/mix_counts"), eps)
 }

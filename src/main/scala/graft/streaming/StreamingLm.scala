@@ -20,14 +20,17 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object StreamingLm {
 
-  /** per micro-batch: one bigram-count segment append (O(batch)) */
+  /** per micro-batch: one bigram-count segment write (O(batch)),
+    * keyed by the batch id so an at-least-once replay rewrites the
+    * same segment instead of double-counting it */
   def maintainKnCounts(stream: DataFrame, textCol: String, dir: String,
       checkpoint: String): StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.operators.TextAnalysis.absorbKnCounts(batch, textCol, dir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.TextAnalysis.absorbKnCounts(batch, textCol, dir,
+          Lsm.segmentKey(checkpoint, batchId))
         ()
       }
       .start()

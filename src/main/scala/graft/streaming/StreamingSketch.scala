@@ -26,15 +26,17 @@ object StreamingSketch {
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         import spark.implicits._
         val mg = new Sketches.MisraGries(k)
         val summary = batch
           .agg(udaf(mg, Encoders.STRING)(col(itemCol).cast("string")))
           .head().getMap[String, Long](0)
-        summary.toSeq.toDF("item", "cnt")
-          .coalesce(1).write.mode("append").parquet(dir)
+        // lineage-keyed: MG summaries merge by SUM, so a replayed
+        // batch must rewrite its segment, never add a second one
+        Lsm.absorbSegment(summary.toSeq.toDF("item", "cnt").coalesce(1),
+          dir, Lsm.segmentKey(checkpoint, batchId))
         ()
       }
       .start()
@@ -44,20 +46,23 @@ object StreamingSketch {
     * the driver-side shrink is bounded — it never sees item-level data. */
   def currentHeavyHitters(spark: SparkSession, dir: String, k: Int): DataFrame = {
     import spark.implicits._
-    val summed = spark.read.parquet(dir)
+    val summed = Lsm.readSegments(spark, dir)
       .groupBy(col("item")).agg(sum(col("cnt")).as("cnt"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val mg = new Sketches.MisraGries(k)
     mg.merge(mg.zero, summed).toSeq.toDF("item", "cnt")
   }
 
-  /** compaction: rewrite all segments as the single merged summary */
+  /** compaction: rewrite all segments as the single merged summary
+    * (under `batch=compact` through the crash-safe swap, keeping the dir
+    * uniformly batch-partitioned) */
   def compact(spark: SparkSession, dir: String, k: Int): Unit = {
     val merged = currentHeavyHitters(spark, dir, k)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     import spark.implicits._
     merged.toDF("item", "cnt")
-      .coalesce(1).write.mode("overwrite").parquet(dir)
+      .coalesce(1).write.mode("overwrite").parquet(s"${dir}__compact/batch=compact")
+    Lsm.swapInPath(dir)
   }
 
   // ------------------------------------------- streaming percentiles
@@ -79,7 +84,7 @@ object StreamingSketch {
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         import spark.implicits._
         val n = batch.count()
@@ -89,8 +94,11 @@ object StreamingSketch {
               col(valueCol).cast("double"),
               array(qs.map(lit(_)): _*), lit(10000)).as("v"))
             .head().getSeq[Double](0)
-          vals.map(v => (v, n.toDouble / numPoints)).toDF("value", "weight")
-            .coalesce(1).write.mode("append").parquet(dir)
+          // lineage-keyed: summaries merge by weighted union, so a
+          // replayed batch must rewrite, never add rank mass twice
+          Lsm.absorbSegment(
+            vals.map(v => (v, n.toDouble / numPoints)).toDF("value", "weight")
+              .coalesce(1), dir, Lsm.segmentKey(checkpoint, batchId))
         }
         ()
       }
@@ -102,7 +110,7 @@ object StreamingSketch {
     * like [[currentHeavyHitters]], it never touches item-level data. */
   def currentPercentiles(spark: SparkSession, dir: String,
       ps: Seq[Double]): Map[Double, Double] = {
-    val pts = spark.read.parquet(dir).collect()
+    val pts = Lsm.readSegments(spark, dir).select("value", "weight").collect()
       .map(r => (r.getDouble(0), r.getDouble(1))).sortBy(_._1)
     require(pts.nonEmpty, s"no percentile summary at $dir")
     val total = pts.map(_._2).sum
@@ -118,7 +126,7 @@ object StreamingSketch {
     * `numPoints` rows (weighted quantile points of the merged summary) */
   def compactPercentiles(spark: SparkSession, dir: String,
       numPoints: Int): Unit = {
-    val pts = spark.read.parquet(dir).collect()
+    val pts = Lsm.readSegments(spark, dir).select("value", "weight").collect()
       .map(r => (r.getDouble(0), r.getDouble(1))).sortBy(_._1)
     if (pts.nonEmpty) {
       val total = pts.map(_._2).sum
@@ -130,7 +138,8 @@ object StreamingSketch {
       }
       import spark.implicits._
       merged.toDF("value", "weight")
-        .coalesce(1).write.mode("overwrite").parquet(dir)
+        .coalesce(1).write.mode("overwrite").parquet(s"${dir}__compact/batch=compact")
+      Lsm.swapInPath(dir)
     }
   }
 }

@@ -37,9 +37,9 @@ object StreamingText {
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        InvertedIndex.build(batch, idCol, textCol)
-          .write.mode("append").parquet(s"$dir/postings")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Lsm.absorbSegment(InvertedIndex.build(batch, idCol, textCol),
+          s"$dir/postings", Lsm.segmentKey(checkpoint, batchId))
         ()
       }
       .start()
@@ -47,7 +47,7 @@ object StreamingText {
   def currentInverted(spark: SparkSession, dir: String): DataFrame = {
     Lsm.recover(dir, "postings")
     Lsm.dropTombstoned(spark, dir,
-      spark.read.parquet(s"$dir/postings"), "doc_id")
+      Lsm.readSegments(spark, s"$dir/postings"), "doc_id")
   }
 
   /** Tombstone the docs (one appended id segment — O(request), no
@@ -62,7 +62,7 @@ object StreamingText {
     * tombstones. Caller pauses the maintainer first. */
   def compactInverted(spark: SparkSession, dir: String): Unit = {
     currentInverted(spark, dir)
-      .write.mode("overwrite").parquet(s"$dir/postings__compact")
+      .write.mode("overwrite").parquet(s"$dir/postings__compact/batch=compact")
     Lsm.swapIn(dir, "postings")
     Lsm.clearTombstones(dir)
   }
@@ -73,13 +73,16 @@ object StreamingText {
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val post = Bm25.postings(batch, idCol, textCol)
           .localCheckpoint() // tokenize once, feed both writes
         val (ds, tdf) = Bm25.corpusStats(post)
-        post.write.mode("append").parquet(s"$dir/postings")
-        ds.write.mode("append").parquet(s"$dir/doc_stats")
-        tdf.write.mode("append").parquet(s"$dir/term_df")
+        // lineage-keyed: doc counts/avgdl/dfs merge algebraically, so
+        // an at-least-once replay must rewrite, never re-add stats
+        val key = Lsm.segmentKey(checkpoint, batchId)
+        Lsm.absorbSegment(post, s"$dir/postings", key)
+        Lsm.absorbSegment(ds, s"$dir/doc_stats", key)
+        Lsm.absorbSegment(tdf, s"$dir/term_df", key)
         ()
       }
       .start()
@@ -90,13 +93,13 @@ object StreamingText {
     * dead docs out of the merged stats from their own postings. */
   def currentBm25(spark: SparkSession, dir: String): Bm25.Index = {
     Lsm.recoverAll(dir, Seq("postings", "doc_stats", "term_df"))
-    val docStats = spark.read.parquet(s"$dir/doc_stats")
+    val docStats = Lsm.readSegments(spark, s"$dir/doc_stats")
       .agg((sum(col("n_docs") * col("avgdl")) / sum(col("n_docs"))).as("avgdl"),
         sum(col("n_docs")).as("n_docs"))
       .select(col("n_docs"), col("avgdl"))
-    val termDf = spark.read.parquet(s"$dir/term_df")
+    val termDf = Lsm.readSegments(spark, s"$dir/term_df")
       .groupBy(col("term")).agg(sum(col("df")).as("df"))
-    val merged = Bm25.Index(spark.read.parquet(s"$dir/postings"),
+    val merged = Bm25.Index(Lsm.readSegments(spark, s"$dir/postings"),
       docStats, termDf)
     Lsm.tombstones(spark, dir) match {
       case Some(t) => Bm25.deleteFromIndex(merged, t, "id")
@@ -113,9 +116,12 @@ object StreamingText {
     * algebraic stats un-mix is not idempotent. */
   def compactBm25(spark: SparkSession, dir: String): Unit = {
     val idx = currentBm25(spark, dir)
-    idx.postings.write.mode("overwrite").parquet(s"$dir/postings__compact")
-    idx.docStats.write.mode("overwrite").parquet(s"$dir/doc_stats__compact")
-    idx.termDf.write.mode("overwrite").parquet(s"$dir/term_df__compact")
+    idx.postings.write.mode("overwrite")
+      .parquet(s"$dir/postings__compact/batch=compact")
+    idx.docStats.write.mode("overwrite")
+      .parquet(s"$dir/doc_stats__compact/batch=compact")
+    idx.termDf.write.mode("overwrite")
+      .parquet(s"$dir/term_df__compact/batch=compact")
     Lsm.swapInAll(dir, Seq("postings", "doc_stats", "term_df"))
   }
 }

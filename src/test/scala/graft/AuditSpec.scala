@@ -284,7 +284,11 @@ class AuditSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("kn_counts").toString + "/bigrams"
     // segment zero from corpus A, absorb delta B — one O(delta) explode each
     TextAnalysis.writeKnCounts(trainA, "text", dir)
-    TextAnalysis.absorbKnCounts(trainB, "text", dir)
+    TextAnalysis.absorbKnCounts(trainB, "text", dir, segment = "b0")
+    // replay idempotence: re-absorbing the SAME delta under the SAME
+    // segment id rewrites, never double-counts (the at-least-once
+    // foreachBatch contract StreamingLm relies on)
+    TextAnalysis.absorbKnCounts(trainB, "text", dir, segment = "b0")
     val merged = TextAnalysis.readKnCounts(spark, dir)
     // absorb == rebuild: merged segments carry exactly the union corpus counts
     val rebuilt = trainA.unionByName(trainB)

@@ -47,7 +47,9 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     val fresh = docs.filter(col("doc_id") % 5 === 0)
     // batch-built base; the stream appends segments on top of it
     Bm25.save(spark, old, "doc_id", "text", s"$tmp/bm25")
-    InvertedIndex.build(old, "doc_id", "text").write.parquet(s"$tmp/inv/postings")
+    // base postings seed as a batch=base segment — the streamed dir's layout
+    graft.streaming.Lsm.absorbSegment(
+      InvertedIndex.build(old, "doc_id", "text"), s"$tmp/inv/postings", "base")
     fresh.write.parquet(s"$tmp/in")
     val q1 = StreamingText.maintainBm25(
       spark.readStream.schema(fresh.schema).parquet(s"$tmp/in"),
@@ -474,5 +476,67 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     streamed.foreach { case (id, b) =>
       assert(math.abs(b - inline(id)) < 1e-9, s"doc $id: $b vs ${inline(id)}")
     }
+  }
+
+  test("at-least-once replay: re-delivered batches leave every maintainer's state EXACTLY unchanged") {
+    import spark.implicits._
+    // foreachBatch is at-least-once: a crash between the sink write and
+    // the offset commit re-delivers the batch. Every absorb is keyed by
+    // batch id, so the replay must REWRITE its own segment — algebraic
+    // state (counts, stats, sketches) would otherwise double silently.
+    val tmp = java.nio.file.Files.createTempDirectory("replay").toString
+
+    // near-dup LSH: batch 0 then batch 1, then batch 1 REPLAYED
+    val b0 = Seq((1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "totally unrelated content about spark plans and shuffles here"))
+      .toDF("doc_id", "text")
+    val b1 = Seq((3L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (4L, "fresh unique text that matches nothing else in the corpus"))
+      .toDF("doc_id", "text")
+    def lshState = (
+      graft.streaming.StreamingDedup.currentPairs(spark, s"$tmp/lsh")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq,
+      spark.read.parquet(s"$tmp/lsh/postings").count(),
+      spark.read.parquet(s"$tmp/lsh/shingles").count())
+    graft.streaming.StreamingDedup.absorbNearDupBatch(
+      b0, "b0", s"$tmp/lsh", "doc_id", "text", 0.5, 8, 2)
+    graft.streaming.StreamingDedup.absorbNearDupBatch(
+      b1, "b1", s"$tmp/lsh", "doc_id", "text", 0.5, 8, 2)
+    val lshOnce = lshState
+    assert(lshOnce._1.contains((1L, 3L)), "planted cross-batch pair found")
+    graft.streaming.StreamingDedup.absorbNearDupBatch(
+      b1, "b1", s"$tmp/lsh", "doc_id", "text", 0.5, 8, 2) // replay
+    assert(lshState === lshOnce, "near-dup replay changed state")
+
+    // chunk dedup: the replay must NOT see its own hashes as "seen"
+    // (that would rebuild every doc empty) nor duplicate doc rows
+    val boiler = (1 to 12).map(i => s"b$i").mkString(" ")
+    val c0 = Seq((1L, s"$boiler alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text")
+    val c1 = Seq((2L, s"$boiler iota kappa lambda mu nu xi omicron pi")).toDF("doc_id", "text")
+    def chunker(b: org.apache.spark.sql.DataFrame) =
+      graft.operators.TextAnalysis.chunkTokens(b, "doc_id", "text", 4, 0)
+        .select(col("doc_id").as("id"), col("chunk_idx"), col("chunk_text"))
+    def chunkState = graft.streaming.StreamingDedup
+      .currentChunkDeduped(spark, s"$tmp/chunks")
+      .collect().map(r => (r.getLong(0), r.getAs[String]("text_clean"),
+        r.getLong(r.fieldIndex("n_kept")))).sortBy(_._1).toSeq
+    graft.streaming.StreamingDedup.absorbChunkBatch(c0, "b0", s"$tmp/chunks", chunker, " ")
+    graft.streaming.StreamingDedup.absorbChunkBatch(c1, "b1", s"$tmp/chunks", chunker, " ")
+    val chunkOnce = chunkState
+    assert(chunkOnce.length === 2 && chunkOnce(1)._2 != null
+      && !chunkOnce(1)._2.contains("b1 b2 b3 b4"), "doc 2 lost the shared boilerplate chunks")
+    graft.streaming.StreamingDedup.absorbChunkBatch(c1, "b1", s"$tmp/chunks", chunker, " ") // replay
+    assert(chunkState === chunkOnce, "chunk-dedup replay changed state")
+
+    // KN counts: algebraic sums — replay must not double (also gated in
+    // AuditSpec; here against the streaming maintainer's reader)
+    graft.operators.TextAnalysis.writeKnCounts(c0, "text", s"$tmp/kn")
+    graft.operators.TextAnalysis.absorbKnCounts(c1, "text", s"$tmp/kn", "b1")
+    val knOnce = graft.operators.TextAnalysis.readKnCounts(spark, s"$tmp/kn")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    graft.operators.TextAnalysis.absorbKnCounts(c1, "text", s"$tmp/kn", "b1") // replay
+    assert(graft.operators.TextAnalysis.readKnCounts(spark, s"$tmp/kn")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).sorted.toSeq
+      === knOnce, "KN replay double-counted")
   }
 }
