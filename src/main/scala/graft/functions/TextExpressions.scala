@@ -304,6 +304,150 @@ object TextKernels {
     new GenericArrayData(out.toArray)
   }
 
+  /** One HTML block: visible text + how many of its chars came from
+    * inside <a> anchors (the link-density signal boilerplate removal
+    * keys on). */
+  final case class HtmlBlock(text: String, linkChars: Int)
+
+  private val blockTags = Set("p", "div", "br", "li", "ul", "ol", "tr",
+    "td", "th", "table", "h1", "h2", "h3", "h4", "h5", "h6", "section",
+    "article", "header", "footer", "nav", "aside", "blockquote", "pre",
+    "form", "main", "figure", "figcaption", "hr", "dl", "dt", "dd")
+  private val dropTags = Set("script", "style", "noscript", "template",
+    "svg", "head", "iframe")
+
+  /** Segment an HTML document into visible-text blocks with per-block
+    * anchor-char counts — ONE deterministic O(n) index walk, no regex
+    * (regex tag-stripping backtracks catastrophically on adversarial
+    * web junk). Handles: `<script>/<style>/<head>/…` containers dropped
+    * whole, `<!-- -->` comments, CDATA, block-level tags as block
+    * boundaries, named + decimal + hex entities, tag-soup tolerance
+    * (an unclosed `<` near EOF is literal text; attributes may contain
+    * `>` inside quotes). */
+  def htmlBlocks(html: String): Array[HtmlBlock] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[HtmlBlock]
+    val sb = new java.lang.StringBuilder
+    var linkChars = 0
+    var inA = 0
+    var lastSpace = true
+    def flush(): Unit = {
+      // trim trailing space
+      while (sb.length > 0 && sb.charAt(sb.length - 1) == ' ')
+        sb.setLength(sb.length - 1)
+      if (sb.length > 0) out += HtmlBlock(sb.toString, math.min(linkChars, sb.length))
+      sb.setLength(0); linkChars = 0; lastSpace = true
+    }
+    def emit(c: Char): Unit =
+      if (c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\u00A0') {
+        if (!lastSpace && sb.length > 0) { sb.append(' '); if (inA > 0) linkChars += 1 }
+        lastSpace = true
+      } else {
+        sb.append(c); if (inA > 0) linkChars += 1; lastSpace = false
+      }
+    val n = html.length
+    var i = 0
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        if (html.regionMatches(i + 1, "!--", 0, 3)) {
+          val e = html.indexOf("-->", i + 4)
+          i = if (e < 0) n else e + 3
+        } else if (html.regionMatches(true, i + 1, "![CDATA[", 0, 8)) {
+          val e = html.indexOf("]]>", i + 9)
+          i = if (e < 0) n else e + 3
+        } else {
+          // tag name
+          var j = i + 1
+          val closing = j < n && html.charAt(j) == '/'
+          if (closing) j += 1
+          val ns = j
+          while (j < n && (html.charAt(j).isLetterOrDigit)) j += 1
+          val name = html.substring(ns, j).toLowerCase
+          if (ns == j && !closing) { emit('<'); i += 1 } // bare '<': literal
+          else {
+            // advance past the tag, honoring quoted attribute values
+            var q = ' '
+            while (j < n && (q != ' ' || html.charAt(j) != '>')) {
+              val ch = html.charAt(j)
+              if (q == ' ' && (ch == '"' || ch == '\'')) q = ch
+              else if (ch == q) q = ' '
+              j += 1
+            }
+            val selfClosed = j <= n && j > i && html.charAt(math.max(i, j - 1)) == '/'
+            i = if (j < n) j + 1 else n
+            if (!closing && dropTags(name) && !selfClosed) {
+              // skip the whole container to its close tag
+              val close = s"</$name"
+              val e = indexOfIgnoreCase(html, close, i)
+              if (e < 0) i = n
+              else {
+                val gt = html.indexOf('>', e)
+                i = if (gt < 0) n else gt + 1
+              }
+            } else if (name == "a") {
+              if (closing) inA = math.max(0, inA - 1) else if (!selfClosed) inA += 1
+            } else if (blockTags(name)) flush()
+          }
+        }
+      } else if (c == '&') {
+        val (decoded, len) = decodeEntity(html, i)
+        decoded.foreach(emit)
+        i += len
+      } else { emit(c); i += 1 }
+    }
+    flush()
+    out.toArray
+  }
+
+  private def indexOfIgnoreCase(s: String, needle: String, from: Int): Int = {
+    var i = math.max(0, from)
+    val last = s.length - needle.length
+    while (i <= last) {
+      if (s.regionMatches(true, i, needle, 0, needle.length)) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** decode the entity starting at `i` ('&'); returns (text, consumed).
+    * Unknown entities pass through literally (web reality). */
+  private def decodeEntity(s: String, i: Int): (String, Int) = {
+    val semi = s.indexOf(';', i + 1)
+    if (semi < 0 || semi - i > 12) return ("&", 1)
+    val body = s.substring(i + 1, semi)
+    val decoded = body match {
+      case "amp" => "&"
+      case "lt" => "<"
+      case "gt" => ">"
+      case "quot" => "\""
+      case "apos" => "'"
+      case "nbsp" => " "
+      case b if b.startsWith("#x") || b.startsWith("#X") =>
+        try new String(Character.toChars(Integer.parseInt(b.drop(2), 16)))
+        catch { case _: Exception => null }
+      case b if b.startsWith("#") =>
+        try new String(Character.toChars(Integer.parseInt(b.drop(1))))
+        catch { case _: Exception => null }
+      case _ => null
+    }
+    if (decoded == null) ("&", 1) else (decoded, semi - i + 1)
+  }
+
+  /** all visible text, blocks joined with newlines — the plain
+    * tag-strip (see [[StripHtml]]) */
+  def stripHtml(s: UTF8String): UTF8String =
+    UTF8String.fromString(htmlBlocks(s.toString).map(_.text).mkString("\n"))
+
+  /** boilerplate-filtered main content (see [[ExtractMainContent]]):
+    * keep blocks long enough AND not link-dominated */
+  def extractMain(s: UTF8String, minChars: Int, maxLinkDensity: Double): UTF8String =
+    UTF8String.fromString(
+      htmlBlocks(s.toString).collect {
+        case b if b.text.length >= minChars &&
+          b.linkChars.toDouble / math.max(b.text.length, 1) <= maxLinkDensity =>
+          b.text
+      }.mkString("\n"))
+
   /** deflate(bytes).length / bytes.length at zlib level 6 (raw stream,
     * no header), the Gopher/Dolma compression-ratio quality heuristic:
     * templated/repetitive junk compresses far below natural text.
@@ -345,5 +489,66 @@ case class DeflateRatio(child: Expression) extends UnaryExpression {
       s"${ev.value} = graft.functions.TextKernels.deflateRatio($a);")
 
   override protected def withNewChildInternal(newChild: Expression): DeflateRatio =
+    copy(child = newChild)
+}
+
+/** STRIP_HTML(html): all visible text of an HTML document — containers
+  * (`script/style/head/...`) dropped whole, comments/CDATA removed,
+  * entities decoded, block-level tags become newlines, whitespace
+  * collapsed. ONE O(n) native walk per row ([[TextKernels.htmlBlocks]]),
+  * no regex (regex tag-stripping backtracks catastrophically on
+  * adversarial web junk), map-side only — the first step of every
+  * web-corpus ingest (C4/RefinedWeb/FineWeb start here). */
+case class StripHtml(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"input must be string, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.stripHtml(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TextKernels.stripHtml($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): StripHtml =
+    copy(child = newChild)
+}
+
+/** EXTRACT_TEXT(html[, minChars, maxLinkDensity]): boilerplate-filtered
+  * main content — the jusText/boilerpipe heuristic in its
+  * distribution-friendly form: segment into blocks at block-level tags,
+  * then keep only blocks that are (a) long enough to be prose
+  * (>= minChars visible chars) and (b) not link-dominated (anchor-text
+  * chars / total chars <= maxLinkDensity). Navigation bars, footers,
+  * tag clouds and related-links rails are short and link-dense, so both
+  * tests reject them; article paragraphs pass. Same single O(n) walk as
+  * [[StripHtml]] plus a per-block filter — map-side, no shuffle. */
+case class ExtractMainContent(child: Expression, minChars: Int,
+    maxLinkDensity: Double) extends UnaryExpression {
+  require(minChars >= 0, "minChars must be >= 0")
+  require(maxLinkDensity >= 0 && maxLinkDensity <= 1,
+    "maxLinkDensity must be in [0,1]")
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"input must be string, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.extractMain(input.asInstanceOf[UTF8String], minChars, maxLinkDensity)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TextKernels.extractMain($a, $minChars, $maxLinkDensity);")
+
+  override protected def withNewChildInternal(newChild: Expression): ExtractMainContent =
     copy(child = newChild)
 }

@@ -41,6 +41,17 @@ object gf {
   def deflate_ratio(c: Column): Column =
     Bridge.column(DeflateRatio(Bridge.expression(c)))
 
+  /** all visible text of an HTML document (tags/containers/entities
+    * handled natively, one O(n) walk per row) */
+  def strip_html(c: Column): Column =
+    Bridge.column(StripHtml(Bridge.expression(c)))
+
+  /** boilerplate-filtered main content: keep blocks >= minChars visible
+    * chars with anchor-char density <= maxLinkDensity (jusText-style) */
+  def extract_text(c: Column, minChars: Int = 25,
+      maxLinkDensity: Double = 0.35): Column =
+    Bridge.column(ExtractMainContent(Bridge.expression(c), minChars, maxLinkDensity))
+
   def strip_accents(c: Column): Column =
     org.apache.spark.sql.functions.regexp_replace(
       normalize_unicode(c, "NFD"), "\\p{Mn}", "")

@@ -787,6 +787,35 @@ object DocumentQueries extends QueryModule {
              |strip_accents(nfc_normalize(text2)) AS folded
              |FROM t ORDER BY doc_id""".stripMargin.replace('\n', ' '))),
 
+    // ---- HTML main-content extraction (the C4/RefinedWeb ingest step):
+    // each doc is wrapped in a deterministic page template (nav + ad +
+    // article + footer boilerplate) and the native O(n) walker must
+    // return EXACTLY the original text as main content (prose block
+    // passes the length/link-density tests; every boilerplate block is
+    // short or link-dense and drops), while STRIP_HTML keeps the known
+    // boilerplate too — both ends oracle-checkable without an HTML
+    // parser on the DuckDB side because the expected output is closed-form
+    "q_text_html_extract" -> Q(
+      (s, dir) => {
+        val html = concat(
+          lit("<html><head><title>t</title><script>var x = 1 < 2;</script></head>" +
+            "<body><nav><a href=\"/\">Home</a> <a href=\"/x\">More</a></nav>" +
+            "<div class=\"ad\">Buy&nbsp;now!</div><article><p>"),
+          col("text"),
+          lit("</p></article><!-- tracking --><footer><a href=\"/t\">Terms</a>" +
+            "</footer></body></html>"))
+        table(s, dir, "documents")
+          .select(col("doc_id"),
+            graft.functions.gf.extract_text(html).as("main"),
+            graft.functions.gf.strip_html(html).as("visible"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, text AS main,
+             |'Home More' || chr(10) || 'Buy now!' || chr(10) || text || chr(10) || 'Terms'
+             |  AS visible
+             |FROM documents ORDER BY doc_id""".stripMargin.replace('\n', ' ')),
+      doc = "HTML strip + jusText-style main-content extraction over a templated page"),
+
     // ---- CCNet-style perplexity quality filter: bits-per-bigram under
     // an add-0.5-smoothed bigram LM trained on the corpus itself (low
     // bits = fluent, high = rare/garbled). LM trained in-engine; scored

@@ -179,4 +179,61 @@ class QualityRulesSpec extends AnyFunSuite {
     val tql = via.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(tql(1L) === got(1L).doubleValue && tql(2L) === got(2L).doubleValue)
   }
+
+  test("stripHtml: tags/containers/comments/entities handled; tag soup never throws") {
+    import graft.functions.TextKernels
+    def strip(h: String): String =
+      TextKernels.stripHtml(org.apache.spark.unsafe.types.UTF8String.fromString(h)).toString
+    // block tags become newlines; inline tags do not break words
+    assert(strip("<p>Hello <b>world</b></p><p>Second para</p>")
+      === "Hello world\nSecond para")
+    // script/style/head containers vanish whole; comments and CDATA too
+    assert(strip("<head><title>T</title></head><body><script>var x = '<p>no</p>';" +
+      "</script><style>p { color: red }</style><!-- note --><p>Real</p></body>")
+      === "Real")
+    // entities: named, decimal, hex, unknown-passthrough
+    assert(strip("a &amp; b &lt;c&gt; &#65; &#x42; &bogus; &nbsp;end")
+      === "a & b <c> A B &bogus; end")
+    // whitespace collapses; nbsp is whitespace
+    assert(strip("  lots \n\t of   space  ") === "lots of space")
+    // tag soup: unclosed tags, bare '<', attribute '>' inside quotes
+    assert(strip("""3 < 5 and <a href="x>y" title='q>'>link</a> done""")
+      === "3 < 5 and link done")
+    assert(strip("<div><p>never closed") === "never closed")
+    assert(strip("<script>while(1){}") === "") // unclosed container -> EOF
+    assert(strip("") === "")
+    // non-BMP content survives (entity + literal)
+    assert(strip("<p>&#x1F600; ok</p>") === new String(Character.toChars(0x1F600)) + " ok")
+  }
+
+  test("extractMain: nav/footer link rails and short blocks drop; prose survives; TQL-reachable") {
+    import spark.implicits._
+    val prose1 = "This opening paragraph carries the actual substance of the page " +
+      "with several full sentences of natural running text for the extractor."
+    val prose2 = "A second substantial paragraph continues the article with more " +
+      "than enough characters to clear the minimum block length threshold."
+    val html =
+      s"""<html><head><title>Page</title></head><body>
+         |<nav><a href="/">Home</a> <a href="/a">Products</a> <a href="/b">About</a></nav>
+         |<div class="ad">Buy now!</div>
+         |<article><p>$prose1</p><p>$prose2</p></article>
+         |<div class="related"><a href="/1">Read this next long teaser line</a>
+         |<a href="/2">And also this other related article link</a></div>
+         |<footer><a href="/tos">Terms</a> | <a href="/priv">Privacy</a></footer>
+         |</body></html>""".stripMargin
+    val df = Seq((1L, html)).toDF("id", "html")
+    val got = df.select(graft.functions.gf.extract_text(col("html")).as("t"))
+      .head().getString(0)
+    assert(got === s"$prose1\n$prose2",
+      s"extractor kept boilerplate or dropped prose:\n$got")
+    // strip_html keeps everything (the superset)
+    val all = df.select(graft.functions.gf.strip_html(col("html")).as("t"))
+      .head().getString(0)
+    assert(all.contains("Home") && all.contains("Terms") && all.contains(prose1))
+    // TQL surface
+    val tql = graft.dialect.Tql.queryDataset(df,
+      "SELECT id, EXTRACT_TEXT(html) AS main ORDER BY id")
+      .head().getString(1)
+    assert(tql === s"$prose1\n$prose2")
+  }
 }
