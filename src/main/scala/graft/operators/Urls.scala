@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization + domain analysis — the step a crawl pipeline
+  * runs BEFORE URL-level dedup (two fetches of one page differ only by
+  * tracking params, case, default ports and fragments; CommonCrawl-
+  * derived corpora like C4/RefinedWeb dedupe on the canonical form).
+  * Everything here is a map-side projection composed from Spark's own
+  * string/array functions — no UDF, no shuffle, safe inside any scan.
+  */
+object Urls {
+
+  /** query params that identify a CAMPAIGN, not a resource */
+  private val trackingParams =
+    "^(utm_[^=]*|fbclid|gclid|msclkid|mc_cid|mc_eid|ref|ref_src|igshid)="
+
+  private def part(c: Column, re: String): Column = regexp_extract(c, re, 1)
+
+  /** scheme (lowercased); empty when the string has none */
+  def scheme(c: Column): Column =
+    lower(part(c, "^([a-zA-Z][a-zA-Z0-9+.\\-]*)://"))
+
+  /** host (lowercased, port stripped); empty when not a hierarchical URL */
+  def host(c: Column): Column =
+    lower(part(c, "^[a-zA-Z][a-zA-Z0-9+.\\-]*://([^/:?#]+)"))
+
+  /** explicit port or empty */
+  def port(c: Column): Column =
+    part(c, "^[a-zA-Z][a-zA-Z0-9+.\\-]*://[^/:?#]+:(\\d+)")
+
+  /** path starting at '/'; empty when absent */
+  def path(c: Column): Column =
+    part(c, "^[a-zA-Z][a-zA-Z0-9+.\\-]*://[^/?#]*(/[^?#]*)")
+
+  /** raw query string (no '?'); empty when absent */
+  def query(c: Column): Column = part(c, "\\?([^#]*)")
+
+  /** Registrable-domain heuristic (eTLD+1 without shipping the full
+    * Public Suffix List): the last TWO labels, or the last THREE when
+    * the middle label is a well-known second-level registry (co/com/
+    * org/net/ac/gov/edu under a 2-letter ccTLD — co.uk, com.au, ...).
+    * Covers the overwhelming mass of web hosts; PSL exotica (e.g.
+    * private suffixes like github.io) group under their operator's
+    * apex, which is usually what corpus-level domain stats want. */
+  def apexDomain(c: Column): Column = {
+    val labels = split(host(c), "\\.")
+    val n = size(labels)
+    val last = element_at(labels, -1)
+    val mid = when(n >= 3, element_at(labels, -2)).otherwise(lit(""))
+    val secondLevel = mid.isin("co", "com", "org", "net", "ac", "gov", "edu") &&
+      length(last) === 2
+    when(n <= 2, concat_ws(".", labels))
+      .when(secondLevel, concat_ws(".",
+        element_at(labels, -3), element_at(labels, -2), element_at(labels, -1)))
+      .otherwise(concat_ws(".", element_at(labels, -2), element_at(labels, -1)))
+  }
+
+  /** Canonical form:
+    *  1. scheme + host lowercased
+    *  2. default ports dropped (http:80, https:443); others kept
+    *  3. fragment dropped (client-side only)
+    *  4. tracking params dropped (utm_*, fbclid, gclid, ...)
+    *  5. surviving query params SORTED (param order is not meaningful,
+    *     but it breaks byte-equality dedup)
+    *  6. empty path becomes "/" so `http://a.com` == `http://a.com/`
+    * Strings without a scheme pass through unchanged (not a URL). */
+  def canonicalize(c: Column): Column = {
+    val sch = scheme(c)
+    val h = host(c)
+    val p = port(c)
+    val keepPort = p =!= "" &&
+      !((sch === "http" && p === "80") || (sch === "https" && p === "443"))
+    val pth = when(path(c) === "", "/").otherwise(path(c))
+    val q = array_join(array_sort(filter(split(query(c), "&"),
+      kv => kv =!= "" && !kv.rlike(trackingParams))), "&")
+    when(sch === "", c).otherwise(concat(
+      sch, lit("://"), h,
+      when(keepPort, concat(lit(":"), p)).otherwise(lit("")),
+      pth,
+      when(q =!= "", concat(lit("?"), q)).otherwise(lit(""))))
+  }
+}

@@ -816,6 +816,51 @@ object DocumentQueries extends QueryModule {
              |FROM documents ORDER BY doc_id""".stripMargin.replace('\n', ' ')),
       doc = "HTML strip + jusText-style main-content extraction over a templated page"),
 
+    // ---- URL canonicalization (the step before crawl URL-dedup):
+    // doc_id-derived URL fixtures (the PII/normalize enrichment
+    // pattern) cover case folding, default vs explicit ports, tracking
+    // params, param sorting, fragments, bare hosts and non-URLs; the
+    // oracle states the expected canonical/host/apex in closed form —
+    // if any canonicalization rule drifts, the hash goes red
+    "q_url_canonicalize" -> Q(
+      (s, dir) => {
+        val u = when(col("doc_id") % 4 === 0,
+            concat(lit("HTTP://WWW.Site"), col("doc_id") % 7,
+              lit(".COM:80/p/"), col("doc_id"),
+              lit("?utm_source=x&b=2&a=1#frag")))
+          .when(col("doc_id") % 4 === 1,
+            concat(lit("https://news.site"), col("doc_id") % 7,
+              lit(".co.uk:8443/a/"), col("doc_id")))
+          .when(col("doc_id") % 4 === 2,
+            concat(lit("https://site"), col("doc_id") % 7,
+              lit(".org?fbclid=xyz"), col("doc_id")))
+          .otherwise(concat(lit("not a url "), col("doc_id")))
+        table(s, dir, "documents")
+          .select(col("doc_id"),
+            graft.operators.Urls.canonicalize(u).as("canonical"),
+            graft.operators.Urls.host(u).as("host"),
+            graft.operators.Urls.apexDomain(u).as("apex"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |CASE doc_id % 4
+             |  WHEN 0 THEN 'http://www.site' || (doc_id % 7) || '.com/p/' || doc_id || '?a=1&b=2'
+             |  WHEN 1 THEN 'https://news.site' || (doc_id % 7) || '.co.uk:8443/a/' || doc_id
+             |  WHEN 2 THEN 'https://site' || (doc_id % 7) || '.org/'
+             |  ELSE 'not a url ' || doc_id END AS canonical,
+             |CASE doc_id % 4
+             |  WHEN 0 THEN 'www.site' || (doc_id % 7) || '.com'
+             |  WHEN 1 THEN 'news.site' || (doc_id % 7) || '.co.uk'
+             |  WHEN 2 THEN 'site' || (doc_id % 7) || '.org'
+             |  ELSE '' END AS host,
+             |CASE doc_id % 4
+             |  WHEN 0 THEN 'site' || (doc_id % 7) || '.com'
+             |  WHEN 1 THEN 'site' || (doc_id % 7) || '.co.uk'
+             |  WHEN 2 THEN 'site' || (doc_id % 7) || '.org'
+             |  ELSE '' END AS apex
+             |FROM documents ORDER BY doc_id""".stripMargin.replace('\n', ' ')),
+      doc = "URL canonicalization + host/apex extraction over doc_id-derived fixtures"),
+
     // ---- CCNet-style perplexity quality filter: bits-per-bigram under
     // an add-0.5-smoothed bigram LM trained on the corpus itself (low
     // bits = fluent, high = rare/garbled). LM trained in-engine; scored

@@ -236,4 +236,37 @@ class QualityRulesSpec extends AnyFunSuite {
       .head().getString(1)
     assert(tql === s"$prose1\n$prose2")
   }
+
+  test("URL canonicalization: case/ports/fragments/tracking params/param order collapse; non-URLs pass through") {
+    import spark.implicits._
+    import graft.operators.Urls
+    def canon(u: String): String =
+      Seq(u).toDF("u").select(Urls.canonicalize(col("u"))).head().getString(0)
+    // the same resource nine ways -> ONE canonical form
+    val expect = "https://www.example.com/a/b?q=1&z=2"
+    Seq(
+      "HTTPS://WWW.EXAMPLE.COM/a/b?q=1&z=2",
+      "https://www.example.com:443/a/b?q=1&z=2",
+      "https://www.example.com/a/b?z=2&q=1",
+      "https://www.example.com/a/b?q=1&z=2#section-3",
+      "https://www.example.com/a/b?utm_source=tw&q=1&utm_medium=x&z=2",
+      "https://www.example.com/a/b?fbclid=abc123&q=1&z=2",
+      "https://www.example.com:443/a/b?z=2&utm_campaign=c&q=1#f"
+    ).foreach(u => assert(canon(u) === expect, u))
+    // non-default port survives; http default port drops
+    assert(canon("http://h.io:8080/x") === "http://h.io:8080/x")
+    assert(canon("HTTP://H.IO:80/x") === "http://h.io/x")
+    // bare host gains the root path; all-tracking query vanishes
+    assert(canon("https://h.io") === "https://h.io/")
+    assert(canon("https://h.io?gclid=1") === "https://h.io/")
+    // not a URL: untouched
+    assert(canon("just some text") === "just some text")
+    // apex heuristic: plain TLD, ccTLD second-level, bare apex, deep subdomain
+    def apex(u: String): String =
+      Seq(u).toDF("u").select(Urls.apexDomain(col("u"))).head().getString(0)
+    assert(apex("https://a.b.news.example.com/x") === "example.com")
+    assert(apex("https://news.bbc.co.uk/x") === "bbc.co.uk")
+    assert(apex("https://example.org/") === "example.org")
+    assert(apex("https://cdn.shop.com.au/i.png") === "shop.com.au")
+  }
 }
