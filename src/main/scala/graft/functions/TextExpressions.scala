@@ -313,8 +313,13 @@ object TextKernels {
     "td", "th", "table", "h1", "h2", "h3", "h4", "h5", "h6", "section",
     "article", "header", "footer", "nav", "aside", "blockquote", "pre",
     "form", "main", "figure", "figcaption", "hr", "dl", "dt", "dd")
+  // whole-container drops. "head" is NOT here: its end tag is optional in
+  // HTML5 (auto-closes at <body>/flow content) and sloppy pages omit it, so
+  // skip-to-</head> would swallow the whole document; instead the <head> tag
+  // itself is ignored and its only text-bearing child, <title>, is dropped
+  // as a container (an unclosed <title> eating to EOF matches browsers).
   private val dropTags = Set("script", "style", "noscript", "template",
-    "svg", "head", "iframe")
+    "svg", "title", "iframe")
 
   /** Segment an HTML document into visible-text blocks with per-block
     * anchor-char counts — ONE deterministic O(n) index walk, no regex
@@ -355,6 +360,10 @@ object TextKernels {
         } else if (html.regionMatches(true, i + 1, "![CDATA[", 0, 8)) {
           val e = html.indexOf("]]>", i + 9)
           i = if (e < 0) n else e + 3
+        } else if (i + 1 < n && (html.charAt(i + 1) == '!' || html.charAt(i + 1) == '?')) {
+          // markup declaration / PI (<!DOCTYPE …>, <?xml …?>): never text
+          val e = html.indexOf('>', i + 2)
+          i = if (e < 0) n else e + 1
         } else {
           // tag name
           var j = i + 1

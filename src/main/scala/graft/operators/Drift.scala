@@ -90,12 +90,15 @@ object Drift {
   private def pShare(nCol: Column, n: Double, eps: Double): Column =
     if (n > 0) greatest(nCol / n, lit(eps)) else lit(null).cast("double")
 
-  /** the scalar PSI */
+  /** the scalar PSI; NaN when either window is empty (psiBins degrades
+    * its terms to NULL then — summing NULLs must not crash the scalar) */
   def psi(ref: DataFrame, cur: DataFrame, valueCol: String,
       nBins: Int = 10, eps: Double = 1e-4,
-      approxEdges: Boolean = false, accuracy: Int = 10000): Double =
-    psiBins(ref, cur, valueCol, nBins, eps, approxEdges, accuracy)
-      .agg(sum(col("psi_term"))).head().getDouble(0)
+      approxEdges: Boolean = false, accuracy: Int = 10000): Double = {
+    val r = psiBins(ref, cur, valueCol, nBins, eps, approxEdges, accuracy)
+      .agg(sum(col("psi_term"))).head()
+    if (r.isNullAt(0)) Double.NaN else r.getDouble(0)
+  }
 
   /** Categorical drift via Jensen-Shannon divergence — PSI's companion
     * for label/source/language columns where quantile bins make no
@@ -116,8 +119,8 @@ object Drift {
       .select(col("category"),
         coalesce(col("n_ref"), lit(0L)).as("n_ref"),
         coalesce(col("n_cur"), lit(0L)).as("n_cur"))
-      .withColumn("p_ref", greatest(col("n_ref") / nr, lit(eps)))
-      .withColumn("p_cur", greatest(col("n_cur") / nc, lit(eps)))
+      .withColumn("p_ref", pShare(col("n_ref"), nr, eps))
+      .withColumn("p_cur", pShare(col("n_cur"), nc, eps))
       .withColumn("__m", (col("p_ref") + col("p_cur")) / 2)
       .withColumn("js_term",
         (col("p_ref") * log(col("p_ref") / col("__m")) +
@@ -125,10 +128,13 @@ object Drift {
       .drop("__m")
   }
 
-  /** the scalar JS divergence (nats, in [0, ln 2]) */
+  /** the scalar JS divergence (nats, in [0, ln 2]); NaN when either
+    * window is empty (same degradation as [[psi]]) */
   def jsDivergence(ref: DataFrame, cur: DataFrame, catCol: String,
-      eps: Double = 1e-6): Double =
-    jsBins(ref, cur, catCol, eps).agg(sum(col("js_term"))).head().getDouble(0)
+      eps: Double = 1e-6): Double = {
+    val r = jsBins(ref, cur, catCol, eps).agg(sum(col("js_term"))).head()
+    if (r.isNullAt(0)) Double.NaN else r.getDouble(0)
+  }
 
   /** Exact two-sample Kolmogorov-Smirnov statistic — the bin-free
     * member of the drift family: D = sup_x |F_ref(x) − F_cur(x)|,

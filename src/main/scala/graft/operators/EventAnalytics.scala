@@ -367,11 +367,13 @@ object EventAnalytics {
     } else {
       // the quantile lookup key must be SPARK's string rendering of the
       // type value (exactQuantilesByKey casts its key col to string),
-      // never the JVM's — String.valueOf(a Timestamp/Double) can differ
-      // — and a NULL type (its own group under groupBy, exactly like the
-      // percentile path) needs a sentinel the cast can't produce
-      val nullKey = " __null_type__"
-      val keyExpr = coalesce(col(typeCol).cast("string"), lit(nullKey))
+      // never the JVM's — String.valueOf(a Timestamp/Double) can differ.
+      // INJECTIVE key encoding: every non-null value is prefixed "v" and
+      // NULL maps to bare "n" — no string value can collide with the null
+      // group (a raw sentinel could: a STRING-typed column may contain the
+      // sentinel itself, silently merging two gap populations' quantiles)
+      val keyExpr = when(col(typeCol).isNull, lit("n"))
+        .otherwise(concat(lit("v"), col(typeCol).cast("string")))
       val gaps = gapped.select(keyExpr.as("__k"), col("__gap"))
       val qsByType = Quantiles.exactQuantilesByKey(gaps, "__k", "__gap", Seq(0.5, 0.9))
       val counts = gapped.groupBy(col(typeCol))

@@ -83,6 +83,15 @@ private[graft] object Lsm {
     swapIn(f.getParent, f.getName)
   }
 
+  /** [[recover]] addressed by the full segment-dir path — every reader
+    * (and restarted maintainer) of a [[swapInPath]]-compacted dir must
+    * call this first, or a crash between the swap's two moves strands
+    * the only merged copy in `__compact` forever */
+  def recoverPath(path: String): Unit = {
+    val f = new java.io.File(requireLocal(path))
+    recover(f.getParent, f.getName)
+  }
+
   /** delete a maintainer dir outright (the segment-zero reset) */
   def resetDir(dir: String): Unit =
     rmTree(Paths.get(requireLocal(dir)))

@@ -90,8 +90,14 @@ object StreamingDedup {
     val banded = banded0.localCheckpoint()
     val internal = Dedup.minhashLshPairs(batch, idCol, textCol,
       threshold, numHashes, rowsPerBand)
+    // BOTH history dirs must exist: a batch-0 first delivery that crashed
+    // between the postings and shingles absorbs leaves postings without
+    // shingles, and a replay guarded on postings alone would wedge forever
+    // on PATH_NOT_FOUND reading shingles (history is genuinely empty then —
+    // every postings row is the replay's own excluded segment)
     val cross =
-      if (!new java.io.File(s"$dir/postings").exists()) internal.limit(0)
+      if (!new java.io.File(s"$dir/postings").exists() ||
+          !new java.io.File(s"$dir/shingles").exists()) internal.limit(0)
       else {
         val hist = Lsm.readSegmentsExcept(spark, s"$dir/postings", segKey)
         val histSh = Lsm.readSegmentsExcept(spark, s"$dir/shingles", segKey)
@@ -148,34 +154,48 @@ object StreamingDedup {
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val hashed = batch.withColumn("__h", md5(col(textCol)))
-        val keepers = hashed
-          .withColumn("__rk", row_number().over(
-            org.apache.spark.sql.expressions.Window
-              .partitionBy(col("__h")).orderBy(col(idCol))))
-          .filter(col("__rk") === 1).drop("__rk")
-        val fresh =
-          (if (!new java.io.File(s"$dir/hashes").exists()) keepers
-           else keepers.join(
-             Lsm.dropTombstoned(spark, dir,
-               spark.read.parquet(s"$dir/hashes"), "id")
-               .select(col("__h")),
-             Seq("__h"), "left_anti"))
-            .localCheckpoint()
-        fresh.drop("__h").write.mode("append").parquet(s"$dir/unique")
-        fresh.select(col("__h"), col(idCol).as("id"))
-          .write.mode("append").parquet(s"$dir/hashes")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        absorbExactDedupBatch(batch, Lsm.segmentKey(checkpoint, batchId),
+          dir, idCol, textCol)
         ()
       }
       .start()
+
+  /** One batch's exact-dedup absorb, batch-id keyed like every other
+    * maintainer here: an at-least-once replay that crashed between the
+    * unique and hashes writes would otherwise re-anti-join against a
+    * seen-set missing this batch, recompute the same survivors, and
+    * APPEND them a second time — duplicating `dir/unique` forever. With
+    * keyed absorbs (own segment excluded from the seen-set view) the
+    * replay rewrites its own segments instead. Package-private so the
+    * replay spec can drive it directly. */
+  private[graft] def absorbExactDedupBatch(batch: DataFrame, segKey: String,
+      dir: String, idCol: String, textCol: String): Unit = {
+    val spark = batch.sparkSession
+    val hashed = batch.withColumn("__h", md5(col(textCol)))
+    val keepers = hashed
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__h")).orderBy(col(idCol))))
+      .filter(col("__rk") === 1).drop("__rk")
+    val fresh =
+      (if (!new java.io.File(s"$dir/hashes").exists()) keepers
+       else keepers.join(
+         Lsm.dropTombstoned(spark, dir,
+           Lsm.readSegmentsExcept(spark, s"$dir/hashes", segKey), "id")
+           .select(col("__h")),
+         Seq("__h"), "left_anti"))
+        .localCheckpoint()
+    Lsm.absorbSegment(fresh.drop("__h"), s"$dir/unique", segKey)
+    Lsm.absorbSegment(fresh.select(col("__h"), col(idCol).as("id")),
+      s"$dir/hashes", segKey)
+  }
 
   def currentUnique(spark: SparkSession, dir: String,
       idCol: String = "doc_id"): DataFrame = {
     Lsm.recoverAll(dir, Seq("unique", "hashes"))
     Lsm.dropTombstoned(spark, dir,
-      spark.read.parquet(s"$dir/unique"), idCol)
+      Lsm.readSegments(spark, s"$dir/unique"), idCol)
   }
 
   /** Tombstone previously-emitted keepers (one appended id segment).
@@ -195,10 +215,10 @@ object StreamingDedup {
   def compactExactDedup(spark: SparkSession, dir: String,
       idCol: String): Unit = {
     currentUnique(spark, dir, idCol)
-      .write.mode("overwrite").parquet(s"$dir/unique__compact")
+      .write.mode("overwrite").parquet(s"$dir/unique__compact/batch=compact")
     Lsm.dropTombstoned(spark, dir,
-      spark.read.parquet(s"$dir/hashes"), "id")
-      .write.mode("overwrite").parquet(s"$dir/hashes__compact")
+      Lsm.readSegments(spark, s"$dir/hashes"), "id")
+      .write.mode("overwrite").parquet(s"$dir/hashes__compact/batch=compact")
     Lsm.swapInAll(dir, Seq("unique", "hashes"))
   }
 

@@ -29,6 +29,10 @@ object StreamingSketch {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         import spark.implicits._
+        // a restarted maintainer must first complete any interrupted
+        // compaction swap — absorbing into a recreated live dir would
+        // strand (then let the next compact delete) the merged summary
+        Lsm.recoverPath(dir)
         val mg = new Sketches.MisraGries(k)
         val summary = batch
           .agg(udaf(mg, Encoders.STRING)(col(itemCol).cast("string")))
@@ -46,6 +50,7 @@ object StreamingSketch {
     * the driver-side shrink is bounded — it never sees item-level data. */
   def currentHeavyHitters(spark: SparkSession, dir: String, k: Int): DataFrame = {
     import spark.implicits._
+    Lsm.recoverPath(dir) // complete an interrupted compaction swap
     val summed = Lsm.readSegments(spark, dir)
       .groupBy(col("item")).agg(sum(col("cnt")).as("cnt"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -87,6 +92,7 @@ object StreamingSketch {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         import spark.implicits._
+        Lsm.recoverPath(dir) // see maintainHeavyHitters
         val n = batch.count()
         if (n > 0) {
           val qs = (0 until numPoints).map(i => (i + 0.5) / numPoints)
@@ -110,6 +116,7 @@ object StreamingSketch {
     * like [[currentHeavyHitters]], it never touches item-level data. */
   def currentPercentiles(spark: SparkSession, dir: String,
       ps: Seq[Double]): Map[Double, Double] = {
+    Lsm.recoverPath(dir) // complete an interrupted compaction swap
     val pts = Lsm.readSegments(spark, dir).select("value", "weight").collect()
       .map(r => (r.getDouble(0), r.getDouble(1))).sortBy(_._1)
     require(pts.nonEmpty, s"no percentile summary at $dir")
@@ -126,6 +133,7 @@ object StreamingSketch {
     * `numPoints` rows (weighted quantile points of the merged summary) */
   def compactPercentiles(spark: SparkSession, dir: String,
       numPoints: Int): Unit = {
+    Lsm.recoverPath(dir) // complete an interrupted prior swap
     val pts = Lsm.readSegments(spark, dir).select("value", "weight").collect()
       .map(r => (r.getDouble(0), r.getDouble(1))).sortBy(_._1)
     if (pts.nonEmpty) {

@@ -193,6 +193,19 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(d1 > 0.05 && d1 < math.log(2))
   }
 
+  test("empty-window drift degrades to NaN, never a crash") {
+    import spark.implicits._
+    import graft.operators.Drift
+    val ref = (1 to 100).map(_.toDouble).toDF("value")
+    val empty = Seq.empty[Double].toDF("value")
+    assert(Drift.psi(ref, empty, "value").isNaN, "empty current")
+    assert(Drift.psi(empty, ref, "value").isNaN, "empty reference")
+    val cats = Seq.fill(50)("x").toDF("c")
+    val noCats = Seq.empty[String].toDF("c")
+    assert(Drift.jsDivergence(cats, noCats, "c").isNaN)
+    assert(Drift.jsDivergence(noCats, cats, "c").isNaN)
+  }
+
   test("KS statistic: exact on hand-computed samples, detects shift, 0 on identity") {
     import spark.implicits._
     import graft.operators.Drift
@@ -457,5 +470,17 @@ class EventAnalyticsSpec extends AnyFunSuite {
       .toDF("user_id", "ts_ns", "etype")
     val ri = EventAnalytics.interArrival(evI, "user_id", "ts_ns", "etype").head()
     assert(ri.getInt(0) === 7 && ri.getDouble(2) === 1.5)
+    // ADVERSARIAL: a string type value equal to the null group's key
+    // letter must stay its own population (the encoding is injective,
+    // not a collidable sentinel)
+    val evC = Seq(
+      (1L, 0L, "n"), (1L, 1000000000L, "n"), (1L, 3000000000L, "n"),
+      (2L, 0L, null: String), (2L, 5000000000L, null: String),
+      (2L, 6000000000L, null: String))
+      .toDF("user_id", "ts_ns", "event_type")
+    val rc = EventAnalytics.interArrival(evC, "user_id", "ts_ns", "event_type")
+      .collect().map(r => (Option(r.get(0)), r.getLong(1), r.getDouble(2))).toSet
+    assert(rc === Set((Some("n"), 2L, 1.5), (None, 2L, 3.0)),
+      "null group merged with a literal value")
   }
 }

@@ -107,6 +107,14 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     val after = StreamingSketch.currentHeavyHitters(spark, s"$tmp/hh", k)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(after == got)
+    // crash between swapIn's two moves (live dir gone, __compact fully
+    // written): the next READER must complete the swap, not throw
+    // PATH_NOT_FOUND forever
+    java.nio.file.Files.move(java.nio.file.Paths.get(s"$tmp/hh"),
+      java.nio.file.Paths.get(s"$tmp/hh__compact"))
+    val recovered = StreamingSketch.currentHeavyHitters(spark, s"$tmp/hh", k)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(recovered == got, "reader did not recover the interrupted swap")
   }
 
   test("streaming percentiles: merged summaries track exact quantiles within 1/B") {
@@ -527,6 +535,43 @@ class IndexMaintenanceSpec extends AnyFunSuite {
       && !chunkOnce(1)._2.contains("b1 b2 b3 b4"), "doc 2 lost the shared boilerplate chunks")
     graft.streaming.StreamingDedup.absorbChunkBatch(c1, "b1", s"$tmp/chunks", chunker, " ") // replay
     assert(chunkState === chunkOnce, "chunk-dedup replay changed state")
+
+    // exact dedup: replay must not duplicate dir/unique (the seen-set
+    // view excludes the replay's own segment, so survivors recompute
+    // identically and REWRITE, never append a second copy)
+    val e0 = Seq((1L, "same text"), (2L, "same text"), (3L, "other text"))
+      .toDF("doc_id", "text")
+    val e1 = Seq((4L, "same text"), (5L, "brand new text")).toDF("doc_id", "text")
+    def xdState = graft.streaming.StreamingDedup
+      .currentUnique(spark, s"$tmp/xd", "doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    graft.streaming.StreamingDedup.absorbExactDedupBatch(e0, "b0", s"$tmp/xd", "doc_id", "text")
+    graft.streaming.StreamingDedup.absorbExactDedupBatch(e1, "b1", s"$tmp/xd", "doc_id", "text")
+    val xdOnce = xdState
+    assert(xdOnce === Seq(1L, 3L, 5L), "first-arrival keepers")
+    graft.streaming.StreamingDedup.absorbExactDedupBatch(e1, "b1", s"$tmp/xd", "doc_id", "text") // replay
+    assert(xdState === xdOnce, "exact-dedup replay changed state")
+    // crash BETWEEN the unique and hashes writes: batch 1's hashes
+    // segment is lost, the batch re-delivers, state must converge
+    graft.streaming.Lsm.rmTree(java.nio.file.Paths.get(s"$tmp/xd/hashes/batch=b1"))
+    graft.streaming.StreamingDedup.absorbExactDedupBatch(e1, "b1", s"$tmp/xd", "doc_id", "text")
+    assert(xdState === xdOnce, "partial-crash replay changed state")
+
+    // near-dup batch-0 wedge: a first delivery that crashed AFTER the
+    // postings absorb but BEFORE the shingles absorb leaves postings
+    // without shingles — the replay must not PATH_NOT_FOUND forever
+    val w0 = Seq((1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "totally unrelated content about spark plans and shuffles here"))
+      .toDF("doc_id", "text")
+    graft.streaming.StreamingDedup.absorbNearDupBatch(
+      w0, "b0", s"$tmp/wedge", "doc_id", "text", 0.5, 8, 2)
+    val wedgeOnce = spark.read.parquet(s"$tmp/wedge/postings").count()
+    graft.streaming.Lsm.rmTree(java.nio.file.Paths.get(s"$tmp/wedge/shingles"))
+    graft.streaming.StreamingDedup.absorbNearDupBatch(
+      w0, "b0", s"$tmp/wedge", "doc_id", "text", 0.5, 8, 2) // replay
+    assert(spark.read.parquet(s"$tmp/wedge/postings").count() === wedgeOnce
+      && spark.read.parquet(s"$tmp/wedge/shingles").count() > 0,
+      "batch-0 partial-crash replay did not converge")
 
     // KN counts: algebraic sums — replay must not double (also gated in
     // AuditSpec; here against the streaming maintainer's reader)

@@ -96,16 +96,37 @@ object OracleLint {
       || clauseAt(hi + 1)) && !clauseAt(hi + 1)) hi += 1
     // promotions that live just OUTSIDE the window's enclosing group:
     // `round(<win>)` (DuckDB round() returns DOUBLE even on HUGEINT),
-    // `(<win>)::BIGINT` (group-level cast), `... / (<win>)` (the whole
-    // group is a divisor — division promotes)
-    val roundWrapped = lo >= 6 && low.regionMatches(lo - 6, "round(", 0, 6)
-    val groupCast = lo >= 1 && sql.charAt(lo - 1) == '(' && {
-      val close = matching(sql, lo - 1)
+    // `fn(<win>, <promoted sibling>)` (coalesce/greatest/if/nullif return
+    // the args' common type, so a `0.0` or `::DOUBLE` sibling promotes —
+    // the <= comma boundary cuts the window at the wrapper's comma, so
+    // siblings must be inspected here), `(<win>)::BIGINT` (group-level
+    // cast), `... / (<win>)` (the whole group is a divisor)
+    // the enclosing group's open paren: nearest '(' left of the window
+    // whose depth equals the window's (handles the sum being ANY argument
+    // of the wrapper, not only the first)
+    var wrapOpen = lo - 1
+    while (wrapOpen >= 0 && !(sql.charAt(wrapOpen) == '(' && depth(wrapOpen) == dSum))
+      wrapOpen -= 1
+    val wrapped = wrapOpen >= 0
+    val wrapperName = if (!wrapped) "" else {
+      var s = wrapOpen
+      while (s > 0 && (sql.charAt(s - 1).isLetterOrDigit || sql.charAt(s - 1) == '_')) s -= 1
+      low.substring(s, wrapOpen)
+    }
+    val roundWrapped = wrapperName == "round"
+    val siblingPromoted = wrapped && wrapperName.nonEmpty && {
+      val close = matching(sql, wrapOpen)
+      val siblings = sql.substring(wrapOpen + 1, lo) +
+        sql.substring(math.min(hi + 1, close), close)
+      promoted.findFirstIn(siblings).isDefined
+    }
+    val groupCast = wrapped && {
+      val close = matching(sql, wrapOpen)
       close + 2 < sql.length && sql.substring(close + 1, close + 3) == "::"
     }
-    val groupDivided = lo >= 2 && sql.charAt(lo - 1) == '(' &&
-      sql.substring(0, lo - 1).trim.endsWith("/")
-    (if (roundWrapped || groupCast || groupDivided) "1.0 " else "") +
+    val groupDivided = wrapped && wrapOpen >= 1 &&
+      sql.substring(0, wrapOpen).trim.endsWith("/")
+    (if (roundWrapped || siblingPromoted || groupCast || groupDivided) "1.0 " else "") +
       sql.substring(lo, hi + 1)
   }
 
@@ -175,5 +196,18 @@ class OracleLintSpec extends AnyFunSuite {
       "SELECT round(sum(n_chars), 1) AS c FROM documents").isEmpty)
     assert(OracleLint.risks(
       "SELECT x / (count(*) + sum(n_chars)) AS r FROM documents").isEmpty)
+    // a promoted SIBLING ARGUMENT of a common-type wrapper promotes the
+    // sum (coalesce/greatest return the args' common type) — in either
+    // argument position
+    assert(OracleLint.risks(
+      "SELECT coalesce(sum(n_chars), 0.0) AS c FROM documents").isEmpty)
+    assert(OracleLint.risks(
+      "SELECT greatest(0.0, sum(n_chars)) AS c FROM documents").isEmpty)
+    // …but an integer sibling does NOT promote
+    assert(OracleLint.risks(
+      "SELECT coalesce(sum(n_chars), 0) AS c FROM documents").nonEmpty)
+    // a function merely NAMED like round( must not count as a promotion
+    assert(OracleLint.risks(
+      "SELECT wround(sum(n_chars)) AS c FROM documents").nonEmpty)
   }
 }
