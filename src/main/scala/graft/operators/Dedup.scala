@@ -967,10 +967,17 @@ object Dedup {
     val keeper = chunks
       .groupBy(col("__h"))
       .agg(min(struct(col("id"), col("chunk_idx"))).as("__keep"))
-    chunks.join(keeper, "__h")
-      .withColumn("__kept", col("__keep.id") === col("id") &&
-        col("__keep.chunk_idx") === col("chunk_idx"))
-      .groupBy(col("id"))
+    rebuildFromMarked(
+      chunks.join(keeper, "__h")
+        .withColumn("__kept", col("__keep.id") === col("id") &&
+          col("__keep.chunk_idx") === col("chunk_idx")), sep)
+  }
+
+  /** doc rebuild shared by the chunk-dedup family: a marked
+    * (id, chunk_idx, chunk_text, __kept) frame → one row per doc with
+    * the surviving chunks re-joined in original order */
+  private def rebuildFromMarked(marked: DataFrame, sep: String): DataFrame =
+    marked.groupBy(col("id"))
       .agg(count(lit(1)).as("n_chunks"),
         sum(when(col("__kept"), 1L).otherwise(0L)).as("n_kept"),
         array_sort(collect_list(when(col("__kept"),
@@ -979,7 +986,62 @@ object Dedup {
         when(col("n_kept") > 0,
           array_join(transform(col("__surv"), _.getField("chunk_text")), sep)))
       .drop("__surv")
+
+  /** RefinedWeb-style BOILERPLATE removal: drop EVERY occurrence of a
+    * chunk that appears in at least `minDf` distinct documents —
+    * cookie banners, nav rails, legal footers should survive NOWHERE,
+    * unlike [[chunkDedupFrom]]'s first-occurrence keeper which leaves
+    * one copy in the corpus (RefinedWeb §Line-wise dedup, Penedo et
+    * al. 2023; the reference ships the same corpus-hygiene posture via
+    * its dataset query layer, `python/deeplake/types.pyi` text htypes).
+    * `exempt` chunks (e.g. blank lines — document STRUCTURE, not
+    * content) never count toward document frequency and are always
+    * kept. Returns (id, n_chunks, n_kept, text_clean), text_clean NULL
+    * when nothing survives.
+    *
+    * Scale shape: the df agg is a two-phase distinct on fixed-width
+    * (md5, id) pairs — a universal boilerplate chunk never funnels one
+    * reducer because the distinct keys on the PAIR; then one equi-join
+    * of chunks against the hash→df map and the per-doc rebuild agg.
+    * Everything keys on md5 or doc id: fully parallel at corpus scale. */
+  def boilerplateDedupFrom(chunks0: DataFrame, sep: String, minDf: Int = 2,
+      exempt: Column = lit(false)): DataFrame = {
+    require(minDf >= 2, "minDf < 2 would drop every chunk")
+    val chunks = chunks0
+      .select(col("id"), col("chunk_idx"), col("chunk_text"),
+        md5(col("chunk_text")).as("__h"), exempt.as("__ex"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfFrame = chunks.filter(!col("__ex"))
+      .groupBy(col("__h")).agg(countDistinct(col("id")).as("__nd"))
+    rebuildFromMarked(
+      chunks.join(dfFrame, Seq("__h"), "left")
+        .withColumn("__kept",
+          col("__ex") || coalesce(col("__nd") < minDf, lit(true))), sep)
   }
+
+  /** [[boilerplateDedupFrom]] over fixed word windows — the form that
+    * works on single-line corpora (the planted-fixture query path) */
+  def boilerplateChunkDedup(docs: DataFrame, idCol: String, textCol: String,
+      chunkWords: Int, minDf: Int = 2): DataFrame = {
+    require(chunkWords > 0, "chunkWords must be positive")
+    boilerplateDedupFrom(TextAnalysis
+      .chunkTokens(docs, idCol, textCol, chunkWords, 0)
+      .select(col(idCol).as("id"), col("chunk_idx"), col("chunk_text")),
+      sep = " ", minDf = minDf)
+  }
+
+  /** Exact LINE dedup — the literal RefinedWeb recipe: split on
+    * newlines, drop all copies of any line found in `minDf`+ distinct
+    * documents, rebuild with newlines. Blank-after-trim lines are
+    * exempt (kept everywhere): they are paragraph structure, and
+    * removing them corpus-wide would destroy formatting in every doc. */
+  def lineDedup(docs: DataFrame, idCol: String, textCol: String,
+      minDf: Int = 2): DataFrame =
+    boilerplateDedupFrom(
+      docs.select(col(idCol).as("id"),
+          posexplode(split(col(textCol), "\n")).as(Seq("chunk_idx", "chunk_text"))),
+      sep = "\n", minDf = minDf,
+      exempt = trim(col("chunk_text")) === "")
 
   /** Cross-source corpus-overlap matrix: exact Jaccard similarity of
     * the distinct 3-gram shingle sets of every pair of `groupCol`

@@ -1244,6 +1244,39 @@ object DocumentQueries extends QueryModule {
              |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace('\n', ' ')),
       doc = "chunk-level exact dedup: corpus-wide first-occurrence keeper, docs rebuilt from surviving chunks"),
 
+    // ---- RefinedWeb boilerplate removal: chunks in >= minDf distinct
+    // docs survive NOWHERE (vs q_dedup_chunks' keep-first): the planted
+    // disclaimer/header chunks vanish from EVERY doc, natural text keeps
+    "q_dedup_boilerplate" -> Q(
+      (s, dir) => {
+        val p1 = "standard boilerplate disclaimer repeated across many documents verbatim"
+        val p2 = "shared header template text appears in every feed"
+        val d = table(s, dir, "documents").select(col("doc_id"),
+          concat(
+            when(col("doc_id") % 4 === 0, lit(p2 + " ")).otherwise(lit("")),
+            when(col("doc_id") % 3 === 0, lit(p1 + " ")).otherwise(lit("")),
+            col("text")).as("text"))
+        graft.operators.Dedup.boilerplateChunkDedup(d, "doc_id", "text", 8, minDf = 2)
+          .select(col("id").as("doc_id"), col("n_chunks"), col("n_kept"),
+            col("text_clean"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |  (CASE WHEN doc_id % 4 = 0 THEN 'shared header template text appears in every feed ' ELSE '' END) ||
+             |  (CASE WHEN doc_id % 3 = 0 THEN 'standard boilerplate disclaimer repeated across many documents verbatim ' ELSE '' END) ||
+             |  text AS text FROM documents),
+             |t AS (SELECT doc_id, string_split(text, ' ') AS w FROM d),
+             |c AS (SELECT doc_id, i AS chunk_idx,
+             |  array_to_string(w[(i*8+1):(i*8+8)], ' ') AS chunk_text
+             |  FROM t, unnest(range(0, (len(w)+7)//8)) AS r(i)),
+             |f AS (SELECT chunk_text, count(DISTINCT doc_id) AS nd FROM c GROUP BY 1),
+             |k AS (SELECT c.doc_id, c.chunk_idx, c.chunk_text, f.nd FROM c JOIN f USING (chunk_text))
+             |SELECT doc_id, count(*) AS n_chunks,
+             |  sum(CASE WHEN nd < 2 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+             |  string_agg(CASE WHEN nd < 2 THEN chunk_text END, ' ' ORDER BY chunk_idx) AS text_clean
+             |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace('\n', ' ')),
+      doc = "RefinedWeb boilerplate removal: drop ALL copies of chunks in >=2 distinct docs, rebuild the rest"),
+
     // ---- cross-source overlap audit: exact shingle-set Jaccard for
     // every source pair (the "how redundant are my corpora" check run
     // before fixing mixture weights)

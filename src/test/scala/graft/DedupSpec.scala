@@ -627,6 +627,41 @@ class DedupSpec extends AnyFunSuite {
       (4L, 3L, 2L, Some("p q r")))) // within-doc repeat collapses too
   }
 
+  test("lineDedup: df>=minDf lines vanish EVERYWHERE, blank lines exempt, order kept") {
+    import spark.implicits._
+    // "cookie notice" is in all 3 docs -> dropped from ALL of them
+    // (drop-all semantics, unlike chunkDedup's keep-first); blank lines
+    // are structure and survive even though every doc has them
+    val d = Seq(
+      (1L, "unique opening one\ncookie notice\n\nunique body one"),
+      (2L, "cookie notice\nunique body two\n"),
+      (3L, "unique three\n\ncookie notice")
+    ).toDF("doc_id", "text")
+    val got = Dedup.lineDedup(d, "doc_id", "text", minDf = 2)
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.getString(3)))).toSeq
+    assert(got === Seq(
+      (1L, 4L, 3L, Some("unique opening one\n\nunique body one")),
+      (2L, 3L, 2L, Some("unique body two\n")),
+      (3L, 3L, 2L, Some("unique three\n"))))
+    // minDf=3: a 2-doc line survives, the 3-doc one still drops
+    val d2 = Seq(
+      (1L, "twice shared\nonly mine"),
+      (2L, "twice shared\nthrice shared"),
+      (3L, "thrice shared\nalso mine"),
+      (4L, "thrice shared"))
+      .toDF("doc_id", "text")
+    val g2 = Dedup.lineDedup(d2, "doc_id", "text", minDf = 3)
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), Option(r.getString(3)))).toSeq
+    assert(g2 === Seq(
+      (1L, Some("twice shared\nonly mine")),
+      (2L, Some("twice shared")),
+      (3L, Some("also mine")),
+      (4L, None)))
+  }
+
   test("corpusOverlap: exact pair Jaccard; dfCap drops universal shingles") {
     import spark.implicits._
     // 3-gram shingles: s1 = {a b c, b c d} (from "a b c d"),
