@@ -225,7 +225,8 @@ object Tql {
       "PII_REDACT" -> (a => graft.operators.Pii.redact(a.head)),
       "DEFLATE_RATIO" -> (a => graft.functions.gf.deflate_ratio(a.head)),
       "STRIP_HTML" -> (a => graft.functions.gf.strip_html(a.head)),
-      "EXTRACT_TEXT" -> (a => graft.functions.gf.extract_text(a.head)))
+      "EXTRACT_TEXT" -> (a => graft.functions.gf.extract_text(a.head)),
+      "FIX_MOJIBAKE" -> (a => graft.functions.gf.fix_mojibake(a.head)))
 
     def register(name: String, impl: Impl): Unit =
       entries += name.toUpperCase -> impl

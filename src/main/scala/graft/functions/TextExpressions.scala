@@ -457,6 +457,79 @@ object TextKernels {
           b.text
       }.mkString("\n"))
 
+  // ------------------------------------------------------- mojibake
+  // UTF-8 bytes decoded as Windows-1252/latin-1 is the dominant
+  // crawl-corpus encoding failure ("é" → "Ã©", "—" → "â€”"); the ftfy
+  // repair is to re-encode the TEXT as (sloppy) cp1252 and re-decode
+  // the bytes as STRICT UTF-8. The repair applies only when that
+  // round-trip is exact — every char maps to a byte AND the bytes form
+  // valid UTF-8 — which genuine non-ASCII text essentially never
+  // satisfies ("café" → bytes 63 61 66 E9 → E9 is an invalid UTF-8
+  // lead → unchanged), while real mojibake satisfies by construction.
+  // ASCII round-trips to itself and stops the loop. Up to
+  // `MojibakeRounds` passes unwind double-encoded text.
+
+  private val MojibakeRounds = 3
+
+  // "sloppy windows-1252" inverse (the ftfy convention): the 27 defined
+  // 0x80–0x9F specials map back to their byte; C1 controls (what a
+  // latin-1 decoder — or a WHATWG cp1252 decoder on the five undefined
+  // slots — emitted for those bytes) pass through as their own byte, so
+  // BOTH mangle flavors found in real crawls reverse exactly.
+  private val inv1252: java.util.HashMap[Character, java.lang.Byte] = {
+    val m = new java.util.HashMap[Character, java.lang.Byte]
+    val specials = Seq(
+      0x80 -> '€', 0x82 -> '‚', 0x83 -> 'ƒ', 0x84 -> '„',
+      0x85 -> '…', 0x86 -> '†', 0x87 -> '‡', 0x88 -> 'ˆ',
+      0x89 -> '‰', 0x8A -> 'Š', 0x8B -> '‹', 0x8C -> 'Œ',
+      0x8E -> 'Ž', 0x91 -> '‘', 0x92 -> '’', 0x93 -> '“',
+      0x94 -> '”', 0x95 -> '•', 0x96 -> '–', 0x97 -> '—',
+      0x98 -> '˜', 0x99 -> '™', 0x9A -> 'š', 0x9B -> '›',
+      0x9C -> 'œ', 0x9E -> 'ž', 0x9F -> 'Ÿ')
+    specials.foreach { case (b, c) => m.put(c, b.toByte) }
+    m
+  }
+
+  private val mojibakeDec = ThreadLocal.withInitial[java.nio.charset.CharsetDecoder](() =>
+    java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT))
+
+  /** one sloppy-cp1252-encode → strict-UTF-8-decode pass; null when the
+    * string does not round-trip (= is not mojibake) */
+  private def repairMojibakeOnce(s: String): String = {
+    val bytes = new Array[Byte](s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c < 0x100) bytes(i) = c.toByte // ASCII + latin-1 + C1 pass-through
+      else {
+        val b = inv1252.get(c)
+        if (b == null) return null // not a cp1252 decoder's output
+        bytes(i) = b
+      }
+      i += 1
+    }
+    try mojibakeDec.get().reset()
+      .decode(java.nio.ByteBuffer.wrap(bytes)).toString
+    catch { case _: java.nio.charset.CharacterCodingException => null }
+  }
+
+  /** FIX_MOJIBAKE kernel (see [[FixMojibake]]) */
+  def fixMojibake(s: UTF8String): UTF8String = {
+    var cur = s.toString
+    var changed = false
+    var i = 0
+    var done = false
+    while (i < MojibakeRounds && !done) {
+      val r = repairMojibakeOnce(cur)
+      if (r == null || r == cur) done = true
+      else { cur = r; changed = true }
+      i += 1
+    }
+    if (changed) UTF8String.fromString(cur) else s
+  }
+
   /** deflate(bytes).length / bytes.length at zlib level 6 (raw stream,
     * no header), the Gopher/Dolma compression-ratio quality heuristic:
     * templated/repetitive junk compresses far below natural text.
@@ -559,5 +632,31 @@ case class ExtractMainContent(child: Expression, minChars: Int,
       s"${ev.value} = graft.functions.TextKernels.extractMain($a, $minChars, $maxLinkDensity);")
 
   override protected def withNewChildInternal(newChild: Expression): ExtractMainContent =
+    copy(child = newChild)
+}
+
+/** FIX_MOJIBAKE(text): repair UTF-8-decoded-as-Windows-1252 text (the
+  * ftfy recipe, the dominant crawl-corpus encoding failure): re-encode
+  * as cp1252 and strictly re-decode as UTF-8, applied only when the
+  * round-trip is exact — genuine non-ASCII text fails the strict decode
+  * and passes through unchanged; up to three passes unwind
+  * double-encodings. Codegen'd single-row kernel, map-side only. */
+case class FixMojibake(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"input must be string, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.fixMojibake(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TextKernels.fixMojibake($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): FixMojibake =
     copy(child = newChild)
 }

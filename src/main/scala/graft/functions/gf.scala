@@ -52,6 +52,11 @@ object gf {
       maxLinkDensity: Double = 0.35): Column =
     Bridge.column(ExtractMainContent(Bridge.expression(c), minChars, maxLinkDensity))
 
+  /** repair UTF-8-decoded-as-cp1252 mojibake ("Ã©" → "é"); applied only
+    * on an exact encode/decode round-trip, so clean text never changes */
+  def fix_mojibake(c: Column): Column =
+    Bridge.column(FixMojibake(Bridge.expression(c)))
+
   def strip_accents(c: Column): Column =
     org.apache.spark.sql.functions.regexp_replace(
       normalize_unicode(c, "NFD"), "\\p{Mn}", "")

@@ -592,6 +592,42 @@ object DocumentQueries extends QueryModule {
              |(row_number() OVER (PARTITION BY shard_id ORDER BY h, doc_id) - 1) AS position
              |FROM s ORDER BY shard_id, position""".stripMargin.replace('\n', ' '))),
 
+    // ---- GPT-style concat-and-chunk packing (the zero-padding
+    // counterpart of q_pack_sequences' FFD bins): concat docs per
+    // hash-shard in id order, slice the token stream into 200-token
+    // sequences; each doc maps to the sequence holding its first
+    // token. Per-shard windows only — no global cumsum.
+    "q_pack_concat" -> Q(
+      (s, dir) => graft.sources.Batches.concatChunkPack(
+          table(s, dir, "documents")
+            .select(col("doc_id"), size(split(col("text"), " ")).as("n_toks")),
+          "doc_id", "n_toks", budget = 200, numShards = 4)
+        .orderBy(col("shard_id"), col("doc_id")),
+      Some("""WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+             |  (('0x'||substring(md5(doc_id::VARCHAR),1,8))::BIGINT % 4)::INT AS shard_id FROM documents),
+             |s AS (SELECT *, (sum(n_tokens) OVER (PARTITION BY shard_id ORDER BY doc_id
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)::BIGINT AS strt FROM t)
+             |SELECT shard_id, doc_id, n_tokens, strt // 200 AS seq_id, strt % 200 AS seq_offset
+             |FROM s ORDER BY shard_id, doc_id""".stripMargin.replace('\n', ' ')),
+      doc = "concat-and-chunk sequence packing: per-shard token cumsum sliced into fixed 200-token sequences"),
+
+    // ---- mojibake repair roundtrip: Spark mangles in-plan (UTF-8 bytes
+    // re-read as latin-1 — the classic crawl encoding failure) and
+    // FIX_MOJIBAKE must recover the original exactly, so the oracle is
+    // simply the CLEAN expected text (DuckDB never models the mangle)
+    "q_text_fix_mojibake" -> Q(
+      (s, dir) => {
+        val suffix = " résumé naïve piñata"
+        val mangled = decode(encode(
+          concat(col("text"), lit(suffix)), "UTF-8"), "ISO-8859-1")
+        table(s, dir, "documents")
+          .select(col("doc_id"), graft.functions.gf.fix_mojibake(mangled).as("fixed"))
+          .orderBy(col("doc_id"))
+      },
+      Some("SELECT doc_id, text || ' résumé naïve piñata' AS fixed " +
+        "FROM documents ORDER BY doc_id"),
+      doc = "cp1252 mojibake repair: in-plan mangled text must round-trip back to the clean original"),
+
     // ---- token counting + fingerprinting per doc
     "q_text_token_stats" -> Q(
       (s, dir) => {

@@ -63,6 +63,38 @@ object Batches {
       .drop("__h")
   }
 
+  /** GPT-style concat-and-chunk SEQUENCE PACKING: pretraining pipelines
+    * concatenate documents and slice the token stream into fixed
+    * `budget`-token training sequences (documents straddle sequence
+    * boundaries — the zero-padding posture, complementing
+    * [[graft.operators.TextAnalysis.packSequences]]'s FFD bins which
+    * never split a doc but pad the slack). Documents hash-shard
+    * deterministically (md5 — the [[epochShuffle]] convention, so the
+    * layout is bit-stable across engines and runs) and concatenate in
+    * id order WITHIN their shard: the only window partitions by shard,
+    * the parallel unit a multi-executor run needs anyway — no global
+    * cumulative sum. Returns (shard_id, id, n_tokens, seq_id,
+    * seq_offset): the per-shard zero-based sequence containing the
+    * document's FIRST token, and the token offset inside it. Integer
+    * `div`/`pmod` arithmetic throughout — no double rounding at
+    * corpus-scale cumulative counts. */
+  def concatChunkPack(docs: DataFrame, idCol: String, tokensCol: String,
+      budget: Int, numShards: Int): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(numShards > 0, "numShards must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val shard = pmod(
+      conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10).cast("long"),
+      lit(numShards.toLong)).cast("int")
+    val w = Window.partitionBy(col("shard_id")).orderBy(col(idCol))
+    docs.select(col(idCol), col(tokensCol).cast("long").as("n_tokens"),
+        shard.as("shard_id"))
+      .withColumn("__start", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("shard_id"), col(idCol), col("n_tokens"),
+        expr(s"__start DIV ${budget}L").as("seq_id"),
+        pmod(col("__start"), lit(budget.toLong)).as("seq_offset"))
+  }
+
   // ------------------------------------------------- sharded export
 
   final case class ShardInfo(shardId: Int, rows: Long, bytes: Long, path: String)

@@ -137,6 +137,35 @@ class ExtensionsAndBatchesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(moved > n / 2, s"only $moved of $n rows moved between seeds")
   }
 
+  test("concatChunkPack: contiguous token stream per shard, straddling consistent, no doc lost") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = (1L to 200L).map(i => (i, 1 + (i % 37).toInt)).toDF("doc_id", "nt")
+    val budget = 50
+    val packed = graft.sources.Batches
+      .concatChunkPack(docs, "doc_id", "nt", budget, numShards = 4)
+    // every doc exactly once
+    assert(packed.count() === 200L && packed.select("doc_id").distinct().count() === 200L)
+    // per shard in id order the stream is CONTIGUOUS: each doc starts
+    // where the previous ended (seq_id*budget + seq_offset accumulates
+    // the token counts exactly), starting at 0
+    val rows = packed.orderBy("shard_id", "doc_id")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      var expectStart = 0L
+      rs.sortBy(_._2).foreach { case (_, id, nt, seqId, off) =>
+        assert(seqId * budget + off === expectStart, s"doc $id not contiguous")
+        assert(off >= 0 && off < budget)
+        expectStart += nt
+      }
+    }
+    // deterministic across runs
+    val again = graft.sources.Batches
+      .concatChunkPack(docs, "doc_id", "nt", budget, numShards = 4)
+    assert(packed.exceptAll(again).isEmpty && again.exceptAll(packed).isEmpty)
+  }
+
   test("tar shard export: GNU tar reads the archives; layout, manifest, determinism") {
     import spark.implicits._
     import scala.sys.process._

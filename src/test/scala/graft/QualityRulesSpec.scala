@@ -248,6 +248,41 @@ class QualityRulesSpec extends AnyFunSuite {
     assert(tql === s"$prose1\n$prose2")
   }
 
+  test("fixMojibake: cp1252 mojibake repairs (single + double), clean text never changes, idempotent") {
+    import graft.functions.TextKernels
+    import java.nio.charset.StandardCharsets.UTF_8
+    def fix(s: String): String =
+      TextKernels.fixMojibake(org.apache.spark.unsafe.types.UTF8String.fromString(s)).toString
+    // the failure being repaired: UTF-8 bytes re-read as latin-1 (C1
+    // controls pass through) or as cp1252 (curly-quote specials) —
+    // both decoder flavors occur in real crawls and both must reverse
+    def mangle1(s: String): String = new String(s.getBytes(UTF_8), "ISO-8859-1")
+    def mangleW(s: String): String = new String(s.getBytes(UTF_8), "windows-1252")
+    val fixtures = Seq("café", "naïve — “thé”", "Łódź za żółć",
+      "um consórcio de ações", "日本語テキスト")
+    fixtures.foreach { s =>
+      for (mangle <- Seq(mangle1 _, mangleW _); if !mangle(s).contains('�')) {
+        assert(fix(mangle(s)) === s, s"single mojibake of '$s'")
+        assert(fix(mangle(mangle(s))) === s, s"double mojibake of '$s'")
+      }
+      // genuine text passes through UNCHANGED (strict decode rejects it)
+      assert(fix(s) === s, s"clean '$s' must not change")
+    }
+    // ASCII round-trips to itself and stops immediately
+    assert(fix("plain ascii text!") === "plain ascii text!")
+    // non-BMP content is not cp1252-mappable -> untouched
+    val emoji = "ok " + new String(Character.toChars(0x1F600))
+    assert(fix(emoji) === emoji)
+    // idempotence
+    fixtures.foreach(s => assert(fix(fix(mangle1(s))) === fix(mangle1(s))))
+    // Spark + TQL surfaces
+    import spark.implicits._
+    val df = Seq((1L, mangle1("café"))).toDF("id", "t")
+    assert(df.select(graft.functions.gf.fix_mojibake(col("t"))).head().getString(0) === "café")
+    assert(graft.dialect.Tql.queryDataset(df, "SELECT FIX_MOJIBAKE(t) AS f ORDER BY id")
+      .head().getString(0) === "café")
+  }
+
   test("URL canonicalization: case/ports/fragments/tracking params/param order collapse; non-URLs pass through") {
     import spark.implicits._
     import graft.operators.Urls
