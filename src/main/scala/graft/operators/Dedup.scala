@@ -1088,4 +1088,52 @@ object Dedup {
       .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
         col("n_common"), col("jaccard"))
   }
+
+  /** The 100 TB posture for [[corpusOverlap]]: bottom-k (KMV) shingle
+    * signatures per source instead of the exact distinct-(g, shingle)
+    * shuffle + per-shingle set agg. ONE aggregation with fixed k-longs
+    * state per source (map-side combinable — no distinct shuffle, no
+    * per-shingle fan-out, no dfCap stop-shingle needed), then pairwise
+    * estimation over the |sources| × k driver artifact (bounded like a
+    * centroid table): the k smallest of A ∪ B are a uniform sample of
+    * the union, so the fraction present in BOTH signatures estimates
+    * Jaccard; distinct sizes come from the KMV estimator (exact when a
+    * source has < k distinct shingles — then the pair's Jaccard is
+    * exact too). Emits ALL source pairs, including zero-overlap ones
+    * (the audit wants the full matrix).
+    * Output: (group_a, group_b, est_n_a, est_n_b, est_jaccard). */
+  def corpusOverlapSketch(docs: DataFrame, groupCol: String, textCol: String,
+      k: Int = 1024): DataFrame = {
+    require(k > 1, "k must exceed 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val e = docs
+      .select(col(groupCol).cast("string").as("g"), tokens(col(textCol)).as("__toks"))
+      .select(col("g"), explode(shingles(col("__toks"))).as("sh"))
+      .select(col("g"), xxhash64(col("sh")).as("h"))
+    val bk = new Sketches.BottomK(k)
+    val sigs = e.groupBy(col("g"))
+      .agg(udaf(bk, org.apache.spark.sql.Encoders.scalaLong)(col("h")).as("sig"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1).toArray)
+      .sortBy(_._1)
+    def contains(a: Array[Long], v: Long): Boolean =
+      java.util.Arrays.binarySearch(a, v) >= 0
+    val rows = for {
+      i <- sigs.indices
+      j <- (i + 1) until sigs.length
+    } yield {
+      val (ga, sa) = sigs(i)
+      val (gb, sb) = sigs(j)
+      // k smallest distinct of the union (both inputs sorted distinct)
+      val union = new Sketches.BottomK(k).merge(sa, sb)
+      val inBoth = union.count(v => contains(sa, v) && contains(sb, v))
+      val jac = if (union.isEmpty) 0.0 else inBoth.toDouble / union.length
+      (ga, gb,
+        math.round(Sketches.kmvDistinctEstimate(sa, k)),
+        math.round(Sketches.kmvDistinctEstimate(sb, k)),
+        BigDecimal(jac).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    rows.toDF("group_a", "group_b", "est_n_a", "est_n_b", "est_jaccard")
+  }
 }

@@ -103,4 +103,71 @@ object Sketches {
       .groupBy(col(itemCol)).agg(count(lit(1)).as("n"))
       .filter(col("n") >= threshold)
   }
+
+  /** Bottom-k (KMV) distinct-value sketch over 64-bit hashes: the k
+    * SMALLEST DISTINCT hash values seen (Bar-Yossef et al. 2002; Beyer
+    * et al., SIGMOD 2007). Fixed-size mergeable state (a sorted array),
+    * so it rides map-side partial aggregation — no distinct shuffle.
+    * Supports distinct-count estimation (n̂ = (k−1)/R with R the kth
+    * normalized minimum; EXACT when fewer than k distinct values exist)
+    * and set-overlap estimation: for signatures A, B the k smallest of
+    * A ∪ B form a uniform sample of the union, so |sample ∩ A ∩ B| / |sample|
+    * estimates Jaccard — the scale path for [[Dedup.corpusOverlapSketch]]. */
+  final class BottomK(k: Int)
+      extends Aggregator[Long, Array[Long], Array[Long]] {
+    require(k > 0, "k must be positive")
+
+    override def zero: Array[Long] = Array.emptyLongArray
+
+    override def reduce(b: Array[Long], h: Long): Array[Long] = {
+      val i = java.util.Arrays.binarySearch(b, h)
+      if (i >= 0) b // duplicate — DISTINCT semantics
+      else {
+        val ins = -(i + 1)
+        if (b.length < k) {
+          val out = new Array[Long](b.length + 1)
+          System.arraycopy(b, 0, out, 0, ins)
+          out(ins) = h
+          System.arraycopy(b, ins, out, ins + 1, b.length - ins)
+          out
+        } else if (ins < k) { // beats the current kth minimum
+          val out = new Array[Long](k)
+          System.arraycopy(b, 0, out, 0, ins)
+          out(ins) = h
+          System.arraycopy(b, ins, out, ins + 1, k - ins - 1)
+          out
+        } else b
+      }
+    }
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      // sorted-merge distinct, capped at k
+      val out = new Array[Long](math.min(a.length + b.length, k))
+      var i = 0; var j = 0; var n = 0
+      while (n < k && (i < a.length || j < b.length)) {
+        val v =
+          if (j >= b.length || (i < a.length && a(i) <= b(j))) { val x = a(i); i += 1; x }
+          else { val x = b(j); j += 1; x }
+        if (n == 0 || out(n - 1) != v) { out(n) = v; n += 1 }
+      }
+      if (n == out.length) out else java.util.Arrays.copyOf(out, n)
+    }
+
+    override def finish(b: Array[Long]): Array[Long] = b
+
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /** KMV distinct-count estimate from a [[BottomK]] signature: exact
+    * |sig| when the sketch never filled; (k−1)/R otherwise, with R =
+    * the kth minimum mapped to (0, 1] from the full signed-64 range. */
+  def kmvDistinctEstimate(sig: Array[Long], k: Int): Double =
+    if (sig.length < k) sig.length.toDouble
+    else {
+      val r = (sig(k - 1).toDouble - Long.MinValue.toDouble) / math.pow(2.0, 64)
+      (k - 1) / math.max(r, java.lang.Double.MIN_VALUE)
+    }
 }

@@ -1338,6 +1338,19 @@ object DocumentQueries extends QueryModule {
              |ORDER BY group_a, group_b""".stripMargin.replace('\n', ' ')),
       doc = "pairwise corpus overlap: exact 3-gram shingle Jaccard between sources"),
 
+    // ---- sketched corpus overlap (the 100 TB posture of the exact
+    // matrix above): bottom-k KMV shingle signatures per source — one
+    // fixed-state agg, no distinct shuffle — then pairwise estimation
+    // on the bounded signature artifact. Deterministic but xxhash64-
+    // keyed, so no DuckDB oracle; SketchesSpec gates exactness at
+    // covering k and tolerance at small k against the exact operator.
+    "q_corpus_overlap_sketch" -> Q(
+      (s, dir) => graft.operators.Dedup.corpusOverlapSketch(
+          table(s, dir, "documents"), "source", "text", k = 512)
+        .orderBy(col("group_a"), col("group_b")),
+      None,
+      doc = "KMV bottom-k corpus-overlap estimate: fixed sketch state per source, no distinct shuffle"),
+
     // ---- one-pass corpus data card: the dataset-summary row every
     // curation run logs. One aggregation tree (the multi-distinct
     // expands map-side); at 100 TB the distincts would swap to

@@ -75,4 +75,61 @@ class SketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
     val merged = mg.merge(l.foldLeft(mg.zero)(mg.reduce), r.foldLeft(mg.zero)(mg.reduce))
     assert(merged.size <= 8 && merged.contains("big"))
   }
+
+  test("BottomK: sorted/distinct/capped state; merge order never matters; KMV count tracks truth") {
+    val bk = new Sketches.BottomK(16)
+    val rnd = new scala.util.Random(5)
+    val stream = Seq.fill(500)(rnd.nextLong()) ++ Seq.fill(500)(42L) // heavy dup
+    val b = stream.foldLeft(bk.zero)(bk.reduce)
+    assert(b.length === 16 && b.toSeq === b.sorted.toSeq && b.distinct.length === 16)
+    assert(b.toSeq === stream.distinct.sorted.take(16), "must be the 16 smallest distinct")
+    // merge == single-stream fold, regardless of split point
+    Seq(1, 137, 499).foreach { cut =>
+      val (l, r) = stream.splitAt(cut)
+      val m = bk.merge(l.foldLeft(bk.zero)(bk.reduce), r.foldLeft(bk.zero)(bk.reduce))
+      assert(m.toSeq === b.toSeq, s"merge at $cut diverged")
+    }
+    // KMV distinct estimate: exact below k, within ~4/sqrt(k) above it
+    val k = 256
+    val big = new Sketches.BottomK(k)
+    val small = (1 to 100).map(i => s"v$i".hashCode.toLong).distinct
+    val sSig = small.foldLeft(big.zero)(big.reduce)
+    assert(Sketches.kmvDistinctEstimate(sSig, k) === small.length.toDouble)
+    // KMV assumes hashes uniform over the full 64-bit range — use a
+    // splitmix64 finalizer like the engine's xxhash64 keys
+    def mix64(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val n = 20000
+    val bSig = (1 to n).map(i => mix64(i.toLong)).foldLeft(big.zero)(big.reduce)
+    val est = Sketches.kmvDistinctEstimate(bSig, k)
+    assert(math.abs(est - n) / n < 4.0 / math.sqrt(k), s"KMV estimate $est vs $n")
+  }
+
+  test("corpusOverlapSketch: exact at covering k, tolerant estimate at small k") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // covering-k regime reproduces the exact operator bit-for-bit
+    val tiny = Seq((1L, "s1", "a b c d"), (2L, "s2", "a b c"), (3L, "s3", "x y z w"))
+      .toDF("doc_id", "source", "text")
+    val sk = Dedup.corpusOverlapSketch(tiny, "source", "text", k = 64)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(sk(("s1", "s2")) === ((2L, 1L, 0.5)))
+    assert(sk(("s1", "s3"))._3 === 0.0 && sk(("s2", "s3"))._3 === 0.0)
+    // estimation regime: planted ~1/3 overlap, k far below distinct count
+    val words = (1 to 900).map(i => s"w$i")
+    val big = Seq(
+      (1L, "a", words.take(600).mkString(" ")),
+      (2L, "b", words.slice(300, 900).mkString(" "))).toDF("doc_id", "source", "text")
+    val exact = Dedup.corpusOverlap(big, "source", "text").head()
+    val trueJac = exact.getDouble(5)
+    val got = Dedup.corpusOverlapSketch(big, "source", "text", k = 256).head()
+    assert(math.abs(got.getDouble(4) - trueJac) < 0.1,
+      s"sketch ${got.getDouble(4)} vs exact $trueJac")
+    assert(math.abs(got.getLong(2) - exact.getLong(2)).toDouble / exact.getLong(2) < 0.25)
+  }
 }
