@@ -142,6 +142,32 @@ object TextAnalysis {
       "stop_count" -> markerScore(ws, stopwords))
   }
 
+  /** Unicode SCRIPT profile — the data-card / spam-signal audit every
+    * multilingual corpus runs: per-doc letter counts by script (Latin,
+    * Cyrillic, Han, Arabic — the buckets that separate the major
+    * crawl languages) plus total letters and the dominant-script
+    * fraction (mixed-script docs are a classic spam/obfuscation
+    * signal). Pure map-side regexp counts — codegen'd, no shuffle; the
+    * "other" bucket is total-minus-named, since RE2 (the oracle
+    * dialect) has no character-class intersection. Java `\p{IsXxx}`
+    * and RE2 `\p{Xxx}` resolve the same script property. */
+  def scriptProfile(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val t = col(textCol)
+    def cnt(re: String) = regexp_count(t, lit(re))
+    val named = Seq(
+      "n_latin" -> cnt("\\p{IsLatin}"), "n_cyrillic" -> cnt("\\p{IsCyrillic}"),
+      "n_han" -> cnt("\\p{IsHan}"), "n_arabic" -> cnt("\\p{IsArabic}"))
+    df.select(col(idCol) +: (("n_letters" -> cnt("\\p{L}")) +: named)
+        .map { case (n, c) => c.as(n) }: _*)
+      .withColumn("n_other",
+        col("n_letters") - col("n_latin") - col("n_cyrillic") -
+          col("n_han") - col("n_arabic"))
+      .withColumn("dominant_frac", when(col("n_letters") > 0, round(
+        greatest(col("n_latin"), col("n_cyrillic"), col("n_han"),
+          col("n_arabic"), col("n_other")).cast("double") / col("n_letters"), 6)))
+  }
+
   /** Pass/fail flag per rule, given a resolver from metric name to the
     * ALREADY-MATERIALIZED metric column. Thresholds follow Gopher:
     * word count bounds, mean-word-length band, ≥90% alphabetic words,

@@ -611,6 +611,36 @@ object DocumentQueries extends QueryModule {
              |FROM s ORDER BY shard_id, doc_id""".stripMargin.replace('\n', ' ')),
       doc = "concat-and-chunk sequence packing: per-shard token cumsum sliced into fixed 200-token sequences"),
 
+    // ---- Unicode script profile (data-card / mixed-script spam audit):
+    // per-doc letter counts by script over planted multi-script
+    // suffixes (the ASCII corpus alone is all-Latin). Java \p{IsXxx}
+    // and DuckDB-RE2 \p{Xxx} resolve the same script property.
+    "q_text_script_profile" -> Q(
+      (s, dir) => {
+        val d = table(s, dir, "documents").select(col("doc_id"), concat(col("text"),
+          when(col("doc_id") % 3 === 0, lit(" Привет мир")).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, lit(" 日本語")).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0, lit(" مرحبا")).otherwise(lit(""))).as("text"))
+        TA.scriptProfile(d, "doc_id", "text").orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (SELECT doc_id, text ||
+             |  (CASE WHEN doc_id % 3 = 0 THEN ' Привет мир' ELSE '' END) ||
+             |  (CASE WHEN doc_id % 5 = 0 THEN ' 日本語' ELSE '' END) ||
+             |  (CASE WHEN doc_id % 7 = 0 THEN ' مرحبا' ELSE '' END) AS text FROM documents),
+             |c AS (SELECT doc_id,
+             |  len(regexp_extract_all(text, '\p{L}')) AS n_letters,
+             |  len(regexp_extract_all(text, '\p{Latin}')) AS n_latin,
+             |  len(regexp_extract_all(text, '\p{Cyrillic}')) AS n_cyrillic,
+             |  len(regexp_extract_all(text, '\p{Han}')) AS n_han,
+             |  len(regexp_extract_all(text, '\p{Arabic}')) AS n_arabic FROM d)
+             |SELECT doc_id, n_letters, n_latin, n_cyrillic, n_han, n_arabic,
+             |  n_letters - n_latin - n_cyrillic - n_han - n_arabic AS n_other,
+             |  CASE WHEN n_letters > 0 THEN round(greatest(n_latin, n_cyrillic, n_han,
+             |    n_arabic, n_letters - n_latin - n_cyrillic - n_han - n_arabic)::DOUBLE
+             |    / n_letters, 6) END AS dominant_frac
+             |FROM c ORDER BY doc_id""".stripMargin.replace('\n', ' ')),
+      doc = "per-doc Unicode script letter counts + dominant-script fraction (mixed-script spam signal)"),
+
     // ---- mojibake repair roundtrip: Spark mangles in-plan (UTF-8 bytes
     // re-read as latin-1 — the classic crawl encoding failure) and
     // FIX_MOJIBAKE must recover the original exactly, so the oracle is

@@ -248,6 +248,29 @@ class QualityRulesSpec extends AnyFunSuite {
     assert(tql === s"$prose1\n$prose2")
   }
 
+  test("scriptProfile: per-script letter counts, dominant fraction, letterless docs") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "hello world"),                    // pure latin: 10 letters
+      (2L, "hi Привет 日本 مرحبا x7"),         // mixed
+      (3L, "123 --- !!!"),                    // no letters at all
+      (4L, "ĉirkaŭ naïve")                    // accented latin stays latin
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.scriptProfile(d, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val r1 = got(0)
+    assert(r1.getInt(1) === 10 && r1.getInt(2) === 10 && r1.getDouble(7) === 1.0)
+    val r2 = got(1)
+    // hi(2)+x(1) latin, Привет(6) cyrillic, 日本(2) han, مرحبا(5) arabic
+    assert((r2.getInt(2), r2.getInt(3), r2.getInt(4), r2.getInt(5)) === ((3, 6, 2, 5)))
+    assert(r2.getInt(1) === 16 && r2.getInt(6) === 0)
+    assert(r2.getDouble(7) === 0.375) // cyrillic dominates 6/16
+    val r3 = got(2)
+    assert(r3.getInt(1) === 0 && r3.isNullAt(7), "letterless doc has NULL dominant_frac")
+    val r4 = got(3)
+    assert(r4.getInt(1) === r4.getInt(2) && r4.getDouble(7) === 1.0)
+  }
+
   test("fixMojibake: cp1252 mojibake repairs (single + double), clean text never changes, idempotent") {
     import graft.functions.TextKernels
     import java.nio.charset.StandardCharsets.UTF_8
