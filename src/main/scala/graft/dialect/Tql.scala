@@ -226,7 +226,10 @@ object Tql {
       "DEFLATE_RATIO" -> (a => graft.functions.gf.deflate_ratio(a.head)),
       "STRIP_HTML" -> (a => graft.functions.gf.strip_html(a.head)),
       "EXTRACT_TEXT" -> (a => graft.functions.gf.extract_text(a.head)),
-      "FIX_MOJIBAKE" -> (a => graft.functions.gf.fix_mojibake(a.head)))
+      "FIX_MOJIBAKE" -> (a => graft.functions.gf.fix_mojibake(a.head)),
+      "URL_CANONICALIZE" -> (a => graft.operators.Urls.canonicalize(a.head)),
+      "URL_HOST" -> (a => graft.operators.Urls.host(a.head)),
+      "APEX_DOMAIN" -> (a => graft.operators.Urls.apexDomain(a.head)))
 
     def register(name: String, impl: Impl): Unit =
       entries += name.toUpperCase -> impl

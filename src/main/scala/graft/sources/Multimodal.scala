@@ -240,6 +240,50 @@ object Multimodal {
       ("gif", le16(b, 6), le16(b, 8))
     else if (n >= 26 && b(0) == 'B' && b(1) == 'M')
       ("bmp", le32(b, 18), math.abs(le32(b, 22)))
+    else if (n >= 16 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'E' && b(10) == 'B' && b(11) == 'P') {
+      // WebP (the dominant modern crawl format): three payload flavors
+      val cc = new String(b, 12, 4, "US-ASCII")
+      if (cc == "VP8 " && n >= 30 &&
+          u8(b, 23) == 0x9D && u8(b, 24) == 0x01 && u8(b, 25) == 0x2A)
+        ("webp", le16(b, 26) & 0x3FFF, le16(b, 28) & 0x3FFF) // lossy: sync code then 14-bit dims
+      else if (cc == "VP8L" && n >= 25 && u8(b, 20) == 0x2F) {
+        // lossless: 14-bit width-1 then 14-bit height-1, bit-packed LE
+        val w = (u8(b, 21) | ((u8(b, 22) & 0x3F) << 8)) + 1
+        val h = ((u8(b, 22) >> 6) | (u8(b, 23) << 2) | ((u8(b, 24) & 0x0F) << 10)) + 1
+        ("webp", w, h)
+      } else if (cc == "VP8X" && n >= 30) {
+        // extended: 24-bit canvas width-1 / height-1
+        val w = (u8(b, 24) | (u8(b, 25) << 8) | (u8(b, 26) << 16)) + 1
+        val h = (u8(b, 27) | (u8(b, 28) << 8) | (u8(b, 29) << 16)) + 1
+        ("webp", w, h)
+      } else ("webp", -1, -1)
+    }
+    else if (n >= 8 && ((b(0) == 'I' && b(1) == 'I' && u8(b, 2) == 42 && b(3) == 0) ||
+        (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && u8(b, 3) == 42))) {
+      // TIFF: walk the first IFD for ImageWidth(256)/ImageLength(257);
+      // SHORT values sit in the HIGH-order-first position under MM
+      val le = b(0) == 'I'
+      def r16(i: Int) = if (le) le16(b, i) else be16(b, i)
+      def r32(i: Int) = if (le) le32(b, i) else be32(b, i)
+      val ifd = r32(4)
+      var w = -1; var h = -1
+      if (ifd >= 8 && ifd + 2 <= n) {
+        val cnt = r16(ifd)
+        var e = 0
+        while (e < cnt && ifd + 2 + 12 * (e + 1) <= n) {
+          val off = ifd + 2 + 12 * e
+          val tag = r16(off); val typ = r16(off + 2)
+          val v =
+            if (typ == 3) r16(off + 8)      // SHORT: first two value bytes
+            else if (typ == 4) r32(off + 8) // LONG
+            else -1
+          if (tag == 256) w = v else if (tag == 257) h = v
+          e += 1
+        }
+      }
+      ("tiff", w, h)
+    }
     else ("unknown", -1, -1)
   }
 

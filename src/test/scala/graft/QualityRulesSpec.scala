@@ -344,5 +344,11 @@ class QualityRulesSpec extends AnyFunSuite {
     assert(apex("https://news.bbc.co.uk/x") === "bbc.co.uk")
     assert(apex("https://example.org/") === "example.org")
     assert(apex("https://cdn.shop.com.au/i.png") === "shop.com.au")
+    // TQL surface
+    val tql = graft.dialect.Tql.queryDataset(
+      Seq((1L, "HTTPS://WWW.EXAMPLE.COM/a/b?utm_source=x&q=1")).toDF("id", "u"),
+      "SELECT URL_CANONICALIZE(u) AS c, URL_HOST(u) AS h, APEX_DOMAIN(u) AS a ORDER BY id").head()
+    assert(tql.getString(0) === "https://www.example.com/a/b?q=1"
+      && tql.getString(1) === "www.example.com" && tql.getString(2) === "example.com")
   }
 }

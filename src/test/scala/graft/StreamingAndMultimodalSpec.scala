@@ -627,6 +627,50 @@ class StreamingAndMultimodalSpec extends AnyFunSuite {
       0x01, 0xE0, 0x02, 0x80, 0x03).map(_.toByte)
     assert(Multimodal.parseImageHeader(jpegEoi) === (("jpeg", -1, -1)))
 
+    // WebP, all three payload flavors (hand-built per the container spec)
+    def riffWebp(cc: String, payload: Array[Byte]): Array[Byte] =
+      "RIFF".getBytes ++ Array[Byte](0, 0, 0, 0) ++ "WEBP".getBytes ++
+        cc.getBytes ++ Array[Byte](0, 0, 0, 0) ++ payload
+    val vp8 = riffWebp("VP8 ", Array(0, 0, 0, 0x9D, 0x01, 0x2A, // frame tag + sync
+      0x80, 0x02, 0xE0, 0x01).map(_.toByte)) // 640 x 480, 14-bit LE
+    assert(Multimodal.parseImageHeader(vp8) === (("webp", 640, 480)))
+    // VP8L: 0x2F sig, width-1=639 (14 bits), height-1=479 (next 14 bits)
+    val wl = 639; val hl = 479
+    val vp8l = riffWebp("VP8L", Array[Byte](0x2F,
+      (wl & 0xFF).toByte,
+      (((wl >> 8) & 0x3F) | ((hl & 0x03) << 6)).toByte,
+      ((hl >> 2) & 0xFF).toByte,
+      ((hl >> 10) & 0x0F).toByte))
+    assert(Multimodal.parseImageHeader(vp8l) === (("webp", 640, 480)))
+    val vp8x = riffWebp("VP8X", Array[Byte](0, 0, 0, 0,
+      ((640 - 1) & 0xFF).toByte, (((640 - 1) >> 8) & 0xFF).toByte, 0,
+      ((480 - 1) & 0xFF).toByte, (((480 - 1) >> 8) & 0xFF).toByte, 0))
+    assert(Multimodal.parseImageHeader(vp8x) === (("webp", 640, 480)))
+    // corrupt VP8 (bad sync code): format recognized, dims unknown
+    val vp8bad = riffWebp("VP8 ", Array(0, 0, 0, 0x11, 0x22, 0x33,
+      0x80, 0x02, 0xE0, 0x01).map(_.toByte))
+    assert(Multimodal.parseImageHeader(vp8bad) === (("webp", -1, -1)))
+
+    // TIFF, both byte orders: IFD with ImageWidth(256) SHORT and
+    // ImageLength(257) LONG
+    def tiff(le: Boolean): Array[Byte] = {
+      val ord = if (le) java.nio.ByteOrder.LITTLE_ENDIAN else java.nio.ByteOrder.BIG_ENDIAN
+      val bb = java.nio.ByteBuffer.allocate(8 + 2 + 24 + 4).order(ord)
+      if (le) bb.put('I'.toByte).put('I'.toByte).putShort(42)
+      else bb.put('M'.toByte).put('M'.toByte).putShort(42)
+      bb.putInt(8)        // IFD at offset 8
+      bb.putShort(2)      // two entries
+      bb.putShort(256).putShort(3).putInt(1).putShort(640).putShort(0) // SHORT width
+      bb.putShort(257).putShort(4).putInt(1).putInt(480)               // LONG height
+      bb.putInt(0)        // next IFD
+      bb.array()
+    }
+    assert(Multimodal.parseImageHeader(tiff(le = true)) === (("tiff", 640, 480)))
+    assert(Multimodal.parseImageHeader(tiff(le = false)) === (("tiff", 640, 480)))
+    // truncated TIFF (IFD offset beyond the buffer): format only
+    assert(Multimodal.parseImageHeader(
+      tiff(le = true).take(8)) === (("tiff", -1, -1)))
+
     // and through the distributed path
     val spark2 = spark
     import spark2.implicits._
