@@ -45,11 +45,11 @@ case class SampleInfo(child: Expression)
       InternalRow(UTF8String.fromString(imgFmt), w, h, null, null, null,
         null, null, null, null, null)
     else {
-      val (wavFmt, ch, rate, _, frames) = graft.sources.Multimodal.parseWavHeader(b)
-      if (wavFmt != "unknown")
-        InternalRow(UTF8String.fromString(wavFmt), null, null, ch, rate,
-          if (rate > 0) frames.toDouble / rate else null, null, null, null,
-          null, null)
+      val (audFmt, ch, rate, _, frames) = graft.sources.Multimodal.parseAudioHeader(b)
+      if (audFmt != "unknown")
+        InternalRow(UTF8String.fromString(audFmt), null, null, ch, rate,
+          if (rate > 0 && frames > 0) frames.toDouble / rate else null,
+          null, null, null, null, null)
       else {
         val (brand, dur, vw, vh) = graft.sources.Multimodal.parseMp4(b)
         if (brand != "unknown")

@@ -973,10 +973,11 @@ object Dedup {
           col("__keep.chunk_idx") === col("chunk_idx")), sep)
   }
 
-  /** doc rebuild shared by the chunk-dedup family: a marked
-    * (id, chunk_idx, chunk_text, __kept) frame → one row per doc with
-    * the surviving chunks re-joined in original order */
-  private def rebuildFromMarked(marked: DataFrame, sep: String): DataFrame =
+  /** doc rebuild shared by the chunk-dedup family (incl. the streaming
+    * maintainers): a marked (id, chunk_idx, chunk_text, __kept) frame →
+    * one row per doc with the surviving chunks re-joined in original
+    * order */
+  private[graft] def rebuildFromMarked(marked: DataFrame, sep: String): DataFrame =
     marked.groupBy(col("id"))
       .agg(count(lit(1)).as("n_chunks"),
         sum(when(col("__kept"), 1L).otherwise(0L)).as("n_kept"),

@@ -452,17 +452,19 @@ object Multimodal {
         transform(col("contour"), x => when(x >= col("__m"), 1).otherwise(0))
           .cast("array<tinyint>").as("bits"))
 
-  /** metadata fast path for audio: parse the RIFF/WAVE header directly
-    * (format tag, channels, sample rate, bit depth, data size →
-    * duration) without touching the PCM payload — the audio analog of
-    * [[imageInfo]]'s header-only walk. */
+  /** metadata fast path for audio: parse the container header directly
+    * (WAV chunk walk, FLAC STREAMINFO, OGG Vorbis/Opus id header, MP3
+    * first frame — channels, sample rate, bit depth, frame count →
+    * duration) without touching the payload — the audio analog of
+    * [[imageInfo]]'s header-only walk. MP3/OGG durations report 0 (a
+    * frame scan is not a header fast path). */
   def audioInfo(df: DataFrame, idCol: String, payloadCol: String = "payload"): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long").as("id"), col(payloadCol).as("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, b) =>
-        val (fmtName, ch, rate, bits, frames) = parseWavHeader(b)
+        val (fmtName, ch, rate, bits, frames) = parseAudioHeader(b)
         (id, fmtName, ch, rate, bits, frames,
           if (rate > 0) frames.toDouble / rate else 0.0)
       })
@@ -491,6 +493,63 @@ object Multimodal {
     if (ch == 0 || bits == 0) ("unknown", 0, 0, 0, 0L)
     else ("wav", ch, rate, bits,
       if (dataLen >= 0) dataLen / (ch.toLong * (bits / 8)) else 0L)
+  }
+
+  /** header dispatch across the audio formats a crawl actually serves:
+    * WAV (RIFF chunk walk), FLAC (STREAMINFO bitfields), OGG (first-page
+    * Vorbis/Opus id header), MP3 (ID3v2 skip + first frame header).
+    * Frame counts are exact for WAV/FLAC (carried in the header) and 0
+    * for MP3/OGG (a full-payload frame scan — deliberately not a
+    * header fast path). Corrupt payloads degrade to ("unknown",0,0,0,0). */
+  private[graft] def parseAudioHeader(b: Array[Byte]): (String, Int, Int, Int, Long) = {
+    val n = b.length
+    val wav = parseWavHeader(b)
+    if (wav._1 != "unknown") wav
+    else if (n >= 26 && b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C' &&
+        (u8(b, 4) & 0x7F) == 0) {
+      // STREAMINFO: rate 20 bits / channels-1 3 / bits-1 5 / samples 36
+      val rate = (u8(b, 18) << 12) | (u8(b, 19) << 4) | (u8(b, 20) >> 4)
+      val ch = ((u8(b, 20) >> 1) & 0x7) + 1
+      val bits = (((u8(b, 20) & 1) << 4) | (u8(b, 21) >> 4)) + 1
+      val frames = ((u8(b, 21) & 0x0F).toLong << 32) |
+        ((u8(b, 22).toLong << 24) | (u8(b, 23) << 16) | (u8(b, 24) << 8) | u8(b, 25))
+      if (rate == 0) ("flac", 0, 0, 0, 0L) else ("flac", ch, rate, bits, frames)
+    }
+    else if (n >= 28 && b(0) == 'O' && b(1) == 'g' && b(2) == 'g' && b(3) == 'S' && b(4) == 0) {
+      val nsegs = u8(b, 26)
+      val p = 27 + nsegs // first packet (the codec id header)
+      if (p + 19 <= n && b(p) == 1 && new String(b, p + 1, 6, "US-ASCII") == "vorbis")
+        ("ogg", u8(b, p + 11), le32(b, p + 12), 0, 0L)
+      else if (p + 16 <= n && new String(b, p, 8, "US-ASCII") == "OpusHead")
+        ("ogg", u8(b, p + 9), le32(b, p + 12), 0, 0L)
+      else ("ogg", 0, 0, 0, 0L)
+    }
+    else {
+      // MP3: skip an ID3v2 tag (syncsafe 28-bit size), then read the
+      // first frame header's version/samplerate/mode fields
+      var i = 0
+      if (n >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3')
+        i = 10 + ((u8(b, 6) << 21) | (u8(b, 7) << 14) | (u8(b, 8) << 7) | u8(b, 9))
+      if (i + 4 <= n && u8(b, i) == 0xFF && (u8(b, i + 1) & 0xE0) == 0xE0) {
+        val ver = (u8(b, i + 1) >> 3) & 0x3   // 3=MPEG1 2=MPEG2 0=MPEG2.5
+        val layer = (u8(b, i + 1) >> 1) & 0x3 // 1 = Layer III
+        val rIdx = (u8(b, i + 2) >> 2) & 0x3
+        val rates = ver match {
+          case 3 => Array(44100, 48000, 32000)
+          case 2 => Array(22050, 24000, 16000)
+          case 0 => Array(11025, 12000, 8000)
+          case _ => Array(0, 0, 0)
+        }
+        val rate = if (rIdx < 3) rates(rIdx) else 0
+        val ch = if (((u8(b, i + 3) >> 6) & 0x3) == 3) 1 else 2
+        val bIdx = u8(b, i + 2) >> 4 // free (0) and bad (15) rejected:
+        // the sync word alone is weak magic, so every frame field must
+        // be coherent before claiming mp3
+        if (layer == 1 && rate > 0 && bIdx >= 1 && bIdx <= 14)
+          ("mp3", ch, rate, 0, 0L)
+        else ("unknown", 0, 0, 0, 0L)
+      } else ("unknown", 0, 0, 0, 0L)
+    }
   }
 
   // ------------------------------------------------------------- video

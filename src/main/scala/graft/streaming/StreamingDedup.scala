@@ -300,4 +300,67 @@ object StreamingDedup {
   /** every streamed doc's rebuilt form so far */
   def currentChunkDeduped(spark: SparkSession, dir: String): DataFrame =
     Lsm.readSegments(spark, s"$dir/docs")
+
+  /** Streaming BOILERPLATE dedup (the drop-everywhere
+    * [[Dedup.boilerplateDedupFrom]] at ingest): state is the per-batch
+    * (chunk-hash, distinct-doc count) partials — algebraic under SUM,
+    * so segments absorb O(delta) with no history re-chunking. A chunk
+    * is dropped from a batch's docs when its ACCUMULATED document
+    * frequency (history + this batch) reaches `minDf`.
+    *
+    * ARRIVAL-TIME semantics, stated plainly: a doc emitted before its
+    * chunk crossed the df threshold keeps that chunk forever (streaming
+    * emit cannot retroactively rewrite history) — the same one-sided
+    * contract as [[maintainExactDedup]]'s first-arrival-wins. When
+    * every batch alone carries >= minDf copies of the boilerplate, the
+    * accumulated output equals the batch operator exactly (spec-gated).
+    * Contract: a document's chunks arrive within ONE batch (docs are
+    * batch-atomic), else its df partials double-count. */
+  def maintainBoilerplateDedup(stream: DataFrame, dir: String,
+      chunker: DataFrame => DataFrame, sep: String, minDf: Int,
+      checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        absorbBoilerplateBatch(batch, Lsm.segmentKey(checkpoint, batchId),
+          dir, chunker, sep, minDf)
+        ()
+      }
+      .start()
+
+  /** One batch's boilerplate absorb, batch-id keyed: the df view
+    * excludes the batch's own first-delivery segment, so a replay
+    * recomputes the identical rebuild and rewrites its own segments.
+    * Package-private for the replay spec. */
+  private[graft] def absorbBoilerplateBatch(batch: DataFrame, segKey: String,
+      dir: String, chunker: DataFrame => DataFrame, sep: String,
+      minDf: Int): Unit = {
+    require(minDf >= 2, "minDf < 2 would drop every chunk")
+    val spark = batch.sparkSession
+    val chunks = chunker(batch)
+      .select(col("id"), col("chunk_idx"), col("chunk_text"),
+        md5(col("chunk_text")).as("__h"))
+      .localCheckpoint()
+    val dfPart = chunks.groupBy(col("__h"))
+      .agg(countDistinct(col("id")).as("nd"))
+      .localCheckpoint()
+    val histNd =
+      (if (!new java.io.File(s"$dir/chunk_df").exists())
+         dfPart.select(col("__h"), col("nd")).limit(0)
+       else Lsm.readSegmentsExcept(spark, s"$dir/chunk_df", segKey))
+        .groupBy(col("__h")).agg(sum(col("nd")).as("h_nd"))
+    val total = dfPart.join(histNd, Seq("__h"), "left")
+      .select(col("__h"),
+        (col("nd") + coalesce(col("h_nd"), lit(0L))).as("t_nd"))
+    val rebuilt = graft.operators.Dedup.rebuildFromMarked(
+      chunks.join(total, Seq("__h"))
+        .withColumn("__kept", col("t_nd") < minDf), sep)
+    Lsm.absorbSegment(rebuilt, s"$dir/docs", segKey)
+    Lsm.absorbSegment(dfPart, s"$dir/chunk_df", segKey)
+  }
+
+  /** every streamed doc's boilerplate-filtered form so far */
+  def currentBoilerplateDeduped(spark: SparkSession, dir: String): DataFrame =
+    Lsm.readSegments(spark, s"$dir/docs")
 }

@@ -573,6 +573,49 @@ class IndexMaintenanceSpec extends AnyFunSuite {
       && spark.read.parquet(s"$tmp/wedge/shingles").count() > 0,
       "batch-0 partial-crash replay did not converge")
 
+    // streaming boilerplate dedup: cross-batch df accumulation with
+    // arrival-time semantics, and replay-exactness
+    {
+      val banner = "accept all cookies to continue reading this site"
+      def chunker(b: org.apache.spark.sql.DataFrame) =
+        graft.operators.TextAnalysis.chunkTokens(b, "doc_id", "text", 8, 0)
+          .select(col("doc_id").as("id"), col("chunk_idx"), col("chunk_text"))
+      def docs(ids: Seq[Long]) =
+        ids.map(i => (i, s"$banner unique tail for document number $i here x$i y$i z$i"))
+          .toDF("doc_id", "text")
+      // regime 1: every batch alone reaches minDf -> streamed == batch op
+      val bb0 = docs(Seq(1L, 2L)); val bb1 = docs(Seq(3L, 4L))
+      def bState(dir: String) = graft.streaming.StreamingDedup
+        .currentBoilerplateDeduped(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getAs[String]("text_clean"))).sortBy(_._1).toSeq
+      graft.streaming.StreamingDedup.absorbBoilerplateBatch(
+        bb0, "b0", s"$tmp/bp", chunker, " ", 2)
+      graft.streaming.StreamingDedup.absorbBoilerplateBatch(
+        bb1, "b1", s"$tmp/bp", chunker, " ", 2)
+      val streamed = bState(s"$tmp/bp")
+      val batchOp = graft.operators.Dedup.boilerplateDedupFrom(
+          chunker(docs(Seq(1L, 2L, 3L, 4L))), " ", 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getAs[String]("text_clean"))).sortBy(_._1).toSeq
+      assert(streamed === batchOp, "per-batch-saturated streamed != batch operator")
+      assert(streamed.forall(r => r._4 == null || !r._4.contains("accept all")),
+        "banner must be gone from every doc")
+      // replay-exactness
+      graft.streaming.StreamingDedup.absorbBoilerplateBatch(
+        bb1, "b1", s"$tmp/bp", chunker, " ", 2)
+      assert(bState(s"$tmp/bp") === streamed, "boilerplate replay changed state")
+      // regime 2: arrival-time — the first arrival keeps the chunk, the
+      // one that crosses the threshold loses it
+      graft.streaming.StreamingDedup.absorbBoilerplateBatch(
+        docs(Seq(10L)), "b0", s"$tmp/bp2", chunker, " ", 2)
+      graft.streaming.StreamingDedup.absorbBoilerplateBatch(
+        docs(Seq(11L)), "b1", s"$tmp/bp2", chunker, " ", 2)
+      val arr = bState(s"$tmp/bp2").map { case (id, _, _, t) => id -> t }.toMap
+      assert(arr(10L).contains("accept all"), "pre-threshold doc keeps the chunk")
+      assert(!arr(11L).contains("accept all"), "threshold-crossing doc loses it")
+    }
+
     // KN counts: algebraic sums — replay must not double (also gated in
     // AuditSpec; here against the streaming maintainer's reader)
     graft.operators.TextAnalysis.writeKnCounts(c0, "text", s"$tmp/kn")

@@ -906,6 +906,60 @@ class StreamingAndMultimodalSpec extends AnyFunSuite {
     assert(rows(1).getString(1) === "unknown")
   }
 
+  test("multimodal audio: FLAC/OGG/MP3 header fast paths (hand-built bytes)") {
+    // FLAC STREAMINFO: 44100 Hz, 2 ch, 16 bit, 44100 samples (1.0 s)
+    val flac = {
+      val bb = java.nio.ByteBuffer.allocate(4 + 4 + 34)
+      bb.put("fLaC".getBytes)
+      bb.put(0.toByte).put(0.toByte).put(0.toByte).put(34.toByte) // STREAMINFO, len 34
+      bb.put(new Array[Byte](10)) // block/frame sizes
+      // rate 44100 = 0x0AC44 in 20 bits; ch-1=1 (3 bits); bits-1=15 (5)
+      bb.put(0x0A.toByte).put(0xC4.toByte)
+      bb.put(((0x4 << 4) | (1 << 1)).toByte)     // rate low nibble, ch-1=1, bits hi=0
+      bb.put(((15 & 0xF) << 4).toByte)           // bits low, samples 36 hi = 0
+      bb.putInt(44100)                           // samples low 32
+      bb.put(new Array[Byte](14))                // md5 pad (truncated fine)
+      bb.array()
+    }
+    // OGG/Opus: 26-byte page header + 1-seg table + OpusHead packet
+    val opus = {
+      val head = "OpusHead".getBytes ++ Array[Byte](1, 2, 0, 0) ++ // ver, 2 ch, preskip
+        java.nio.ByteBuffer.allocate(4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          .putInt(48000).array()
+      "OggS".getBytes ++ new Array[Byte](22) ++ Array[Byte](1, head.length.toByte) ++ head
+    }
+    // OGG/Vorbis id header
+    val vorbis = {
+      val head = Array[Byte](1) ++ "vorbis".getBytes ++ Array[Byte](0, 0, 0, 0) ++
+        Array[Byte](2) ++ // channels
+        java.nio.ByteBuffer.allocate(4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          .putInt(44100).array() ++ new Array[Byte](9)
+      "OggS".getBytes ++ new Array[Byte](22) ++ Array[Byte](1, head.length.toByte) ++ head
+    }
+    // MP3: ID3v2 tag (size 5, syncsafe) then an MPEG1 Layer III frame,
+    // 44100 Hz, joint stereo
+    val mp3 = "ID3".getBytes ++ Array[Byte](4, 0, 0, 0, 0, 0, 5) ++
+      new Array[Byte](5) ++
+      Array(0xFF, 0xFB, 0x90, 0x40).map(_.toByte)
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq((1L, flac), (2L, opus), (3L, vorbis), (4L, mp3))
+      .toDF("id", "payload")
+    val rows = Multimodal.audioInfo(df, "id").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getLong(5), r.getDouble(6)))
+    assert(rows(0) === ((1L, "flac", 2, 44100, 16, 44100L, 1.0)))
+    assert(rows(1) === ((2L, "ogg", 2, 48000, 0, 0L, 0.0)))
+    assert(rows(2) === ((3L, "ogg", 2, 44100, 0, 0L, 0.0)))
+    assert(rows(3) === ((4L, "mp3", 2, 44100, 0, 0L, 0.0)))
+    // corrupt flavors stay loud-format / quiet-fields, never throw
+    assert(Multimodal.parseAudioHeader("fLaC".getBytes) === (("unknown", 0, 0, 0, 0L)))
+    assert(Multimodal.parseAudioHeader(
+      "OggS".getBytes ++ new Array[Byte](24)) === (("ogg", 0, 0, 0, 0L)))
+    assert(Multimodal.parseAudioHeader(
+      Array(0xFF, 0xE0, 0, 0).map(_.toByte).take(3)) === (("unknown", 0, 0, 0, 0L)))
+  }
+
   test("multimodal video: MP4 box walk extracts brand, duration and track dimensions") {
     val spark2 = spark
     import spark2.implicits._
