@@ -55,7 +55,11 @@ object Headline {
     // visibility before anyone trusts their tail numbers. q_dedup_simhash
     // stays retired from candidacy: its capped member-list output makes
     // its wall-time a poor proxy for the operator.
-    "q_kn_perplexity", "q_cdc_latest")
+    "q_kn_perplexity", "q_cdc_latest",
+    // round-10 additions: this round's heavy new operators track from
+    // day one (drop-everywhere dedup's countDistinct agg, the KMV
+    // signature agg, the mojibake kernel over the whole corpus)
+    "q_dedup_boilerplate", "q_corpus_overlap_sketch", "q_text_fix_mojibake")
 }
 
 object Bench {
