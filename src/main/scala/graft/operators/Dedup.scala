@@ -1113,11 +1113,16 @@ object Dedup {
       .select(col("g"), explode(shingles(col("__toks"))).as("sh"))
       .select(col("g"), xxhash64(col("sh")).as("h"))
     val bk = new Sketches.BottomK(k)
-    val sigs = e.groupBy(col("g"))
+    val withSig = e.groupBy(col("g"))
       .agg(udaf(bk, org.apache.spark.sql.Encoders.scalaLong)(col("h")).as("sig"))
       .collect()
       .map(r => r.getString(0) -> r.getSeq[Long](1).toArray)
-      .sortBy(_._1)
+      .toMap
+    // a source whose docs yield NO shingles (all sub-3-token) still owes
+    // its matrix rows — its signature is the empty set, not an absence
+    val sigs = docs.select(col(groupCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted
+      .map(g => g -> withSig.getOrElse(g, Array.emptyLongArray))
     def contains(a: Array[Long], v: Long): Boolean =
       java.util.Arrays.binarySearch(a, v) >= 0
     val rows = for {

@@ -86,7 +86,11 @@ object Batches {
     val shard = pmod(
       conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10).cast("long"),
       lit(numShards.toLong)).cast("int")
+    // explicit ROWS frame: the default RANGE frame includes ORDER BY
+    // peers, so duplicate ids would double-count each other's tokens
+    // and break stream contiguity (the oracle is ROWS-framed too)
     val w = Window.partitionBy(col("shard_id")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs.select(col(idCol), col(tokensCol).cast("long").as("n_tokens"),
         shard.as("shard_id"))
       .withColumn("__start", sum(col("n_tokens")).over(w) - col("n_tokens"))

@@ -172,6 +172,12 @@ object StreamingDedup {
   private[graft] def absorbExactDedupBatch(batch: DataFrame, segKey: String,
       dir: String, idCol: String, textCol: String): Unit = {
     val spark = batch.sparkSession
+    // a restarted maintainer must FIRST complete any compaction swap
+    // interrupted mid-[[Lsm.swapInAll]]: absorbing into a stale live dir
+    // would let the next reader's recoverAll rmTree this batch's
+    // already-checkpoint-committed segment while finishing the commit —
+    // silent data loss, not a replay
+    Lsm.recoverAll(dir, Seq("unique", "hashes"))
     val hashed = batch.withColumn("__h", md5(col(textCol)))
     val keepers = hashed
       .withColumn("__rk", row_number().over(
@@ -318,13 +324,14 @@ object StreamingDedup {
     * batch-atomic), else its df partials double-count. */
   def maintainBoilerplateDedup(stream: DataFrame, dir: String,
       chunker: DataFrame => DataFrame, sep: String, minDf: Int,
-      checkpoint: String): StreamingQuery =
+      checkpoint: String,
+      exempt: org.apache.spark.sql.Column = lit(false)): StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         absorbBoilerplateBatch(batch, Lsm.segmentKey(checkpoint, batchId),
-          dir, chunker, sep, minDf)
+          dir, chunker, sep, minDf, exempt)
         ()
       }
       .start()
@@ -335,14 +342,17 @@ object StreamingDedup {
     * Package-private for the replay spec. */
   private[graft] def absorbBoilerplateBatch(batch: DataFrame, segKey: String,
       dir: String, chunker: DataFrame => DataFrame, sep: String,
-      minDf: Int): Unit = {
+      minDf: Int,
+      exempt: org.apache.spark.sql.Column = lit(false)): Unit = {
     require(minDf >= 2, "minDf < 2 would drop every chunk")
     val spark = batch.sparkSession
+    // `exempt` mirrors the batch operator's parameter (blank lines are
+    // STRUCTURE): exempt chunks never count toward df and always survive
     val chunks = chunker(batch)
       .select(col("id"), col("chunk_idx"), col("chunk_text"),
-        md5(col("chunk_text")).as("__h"))
+        md5(col("chunk_text")).as("__h"), exempt.as("__ex"))
       .localCheckpoint()
-    val dfPart = chunks.groupBy(col("__h"))
+    val dfPart = chunks.filter(!col("__ex")).groupBy(col("__h"))
       .agg(countDistinct(col("id")).as("nd"))
       .localCheckpoint()
     val histNd =
@@ -354,8 +364,9 @@ object StreamingDedup {
       .select(col("__h"),
         (col("nd") + coalesce(col("h_nd"), lit(0L))).as("t_nd"))
     val rebuilt = graft.operators.Dedup.rebuildFromMarked(
-      chunks.join(total, Seq("__h"))
-        .withColumn("__kept", col("t_nd") < minDf), sep)
+      chunks.join(total, Seq("__h"), "left")
+        .withColumn("__kept",
+          col("__ex") || coalesce(col("t_nd") < minDf, lit(true))), sep)
     Lsm.absorbSegment(rebuilt, s"$dir/docs", segKey)
     Lsm.absorbSegment(dfPart, s"$dir/chunk_df", segKey)
   }

@@ -164,6 +164,18 @@ class ExtensionsAndBatchesSpec extends AnyFunSuite with BeforeAndAfterAll {
     val again = graft.sources.Batches
       .concatChunkPack(docs, "doc_id", "nt", budget, numShards = 4)
     assert(packed.exceptAll(again).isEmpty && again.exceptAll(packed).isEmpty)
+    // duplicate ids: the ROWS frame keeps the stream contiguous (the
+    // default RANGE frame would double-count ORDER BY peers) — starts
+    // sorted must equal the prefix sums of the token list
+    val dup = Seq((1L, 10), (1L, 7), (1L, 5), (2L, 30)).toDF("doc_id", "nt")
+    val dp = graft.sources.Batches.concatChunkPack(dup, "doc_id", "nt", budget, 1)
+      .collect().map(r => (r.getLong(3) * budget + r.getLong(4), r.getLong(2)))
+      .sortBy(_._1)
+    var at = 0L
+    dp.foreach { case (start, nt) =>
+      assert(start === at, s"non-contiguous at $start (expected $at)")
+      at += nt
+    }
   }
 
   test("tar shard export: GNU tar reads the archives; layout, manifest, determinism") {

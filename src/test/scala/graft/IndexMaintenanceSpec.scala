@@ -614,6 +614,19 @@ class IndexMaintenanceSpec extends AnyFunSuite {
       val arr = bState(s"$tmp/bp2").map { case (id, _, _, t) => id -> t }.toMap
       assert(arr(10L).contains("accept all"), "pre-threshold doc keeps the chunk")
       assert(!arr(11L).contains("accept all"), "threshold-crossing doc loses it")
+      // exempt chunks (blank lines = structure) survive even past minDf,
+      // mirroring the batch operator's lineDedup posture
+      val lineChunker = (b: org.apache.spark.sql.DataFrame) =>
+        b.select(col("doc_id").as("id"),
+          posexplode(split(col("text"), "\n")).as(Seq("chunk_idx", "chunk_text")))
+      graft.streaming.StreamingDedup.absorbBoilerplateBatch(
+        Seq((20L, "cookie notice\n\nunique a"), (21L, "cookie notice\n\nunique b"))
+          .toDF("doc_id", "text"),
+        "b0", s"$tmp/bp3", lineChunker, "\n", 2,
+        exempt = trim(col("chunk_text")) === "")
+      val ln = bState(s"$tmp/bp3").map { case (id, _, _, t) => id -> t }.toMap
+      assert(ln(20L) === "\nunique a" && ln(21L) === "\nunique b",
+        s"blank line must survive, banner must not: $ln")
     }
 
     // KN counts: algebraic sums — replay must not double (also gated in

@@ -114,7 +114,11 @@ object OracleLint {
       low.substring(s, wrapOpen)
     }
     val roundWrapped = wrapperName == "round"
-    val siblingPromoted = wrapped && wrapperName.nonEmpty && {
+    // only wrappers where EVERY argument participates in the result
+    // type: a decimal in if()'s CONDITION would falsely read as a
+    // promotion while the result stays HUGEINT-vs-INT
+    val commonTypeWrappers = Set("coalesce", "greatest", "least", "nullif", "ifnull")
+    val siblingPromoted = wrapped && commonTypeWrappers(wrapperName) && {
       val close = matching(sql, wrapOpen)
       val siblings = sql.substring(wrapOpen + 1, lo) +
         sql.substring(math.min(hi + 1, close), close)
@@ -209,5 +213,9 @@ class OracleLintSpec extends AnyFunSuite {
     // a function merely NAMED like round( must not count as a promotion
     assert(OracleLint.risks(
       "SELECT wround(sum(n_chars)) AS c FROM documents").nonEmpty)
+    // a decimal in a NON-value argument position (if's condition) does
+    // not promote the result — still flagged
+    assert(OracleLint.risks(
+      "SELECT if(doc_id > 0.5, sum(n_chars), 0) AS c FROM documents").nonEmpty)
   }
 }

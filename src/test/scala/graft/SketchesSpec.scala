@@ -120,6 +120,15 @@ class SketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
         ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
     assert(sk(("s1", "s2")) === ((2L, 1L, 0.5)))
     assert(sk(("s1", "s3"))._3 === 0.0 && sk(("s2", "s3"))._3 === 0.0)
+    // a source with NO shingles (all sub-3-token docs) still gets its
+    // full set of matrix rows, with an empty signature (n=0, jac=0)
+    val withEmpty = tiny.unionByName(
+      Seq((4L, "s4", "too short")).toDF("doc_id", "source", "text"))
+    val sk4 = Dedup.corpusOverlapSketch(withEmpty, "source", "text", k = 64)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(3), r.getDouble(4)))).toMap
+    assert(sk4.size === 6, s"full 4-source matrix expected: ${sk4.keySet}")
+    assert(sk4(("s1", "s4")) === ((0L, 0.0)))
     // estimation regime: planted ~1/3 overlap, k far below distinct count
     val words = (1 to 900).map(i => s"w$i")
     val big = Seq(
