@@ -79,8 +79,15 @@ case class SampleInfo(child: Expression)
                 null, null, null, null, null, null, null, null,
                 if (g._3 >= 0) g._3 else null,
                 if (g._4 >= 0) g._4 else null)
-            else InternalRow(UTF8String.fromString("unknown"),
-              null, null, null, null, null, null, null, null, null, null)
+            else {
+              // last: document/compressed containers by magic — format
+              // always; PDF page count rides the `depth` field
+              val (cf, pages) = graft.sources.Multimodal.parseContainer(b)
+              InternalRow(UTF8String.fromString(cf),
+                null, null, null, null, null,
+                if (cf == "pdf" && pages >= 0) pages else null,
+                null, null, null, null)
+            }
           }
         }
       }
@@ -100,7 +107,8 @@ object SampleInfo {
     StructField("sample_rate", IntegerType, nullable = true),
     StructField("duration", DoubleType, nullable = true),
     // medical (NIfTI/DICOM) fields: slice/frame depth, stored bit
-    // width, DICOM modality code (CT/MR/...)
+    // width, DICOM modality code (CT/MR/...); PDF payloads reuse
+    // `depth` for their page count
     StructField("depth", IntegerType, nullable = true),
     StructField("bits", IntegerType, nullable = true),
     StructField("modality", StringType, nullable = true),

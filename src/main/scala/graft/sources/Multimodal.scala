@@ -552,6 +552,60 @@ object Multimodal {
     }
   }
 
+  // -------------------------------------------------- document containers
+
+  /** PDF + compressed-container magic classification — the payload
+    * kinds a crawl actually stores besides media: returns (format,
+    * pages) with pages >= 0 only for PDFs whose page tree is scannable.
+    * PDF pages count "/Type /Page" leaf objects (both spellings, the
+    * "/Pages" tree node excluded); a PDF whose objects live in
+    * compressed object streams hides them → pages = −1, an honest
+    * sentinel rather than a wrong 0. Pure byte walks, map-side. */
+  private[graft] def parseContainer(b: Array[Byte]): (String, Int) = {
+    val n = b.length
+    def ascii(i: Int, s: String): Boolean =
+      i + s.length <= n && s.indices.forall(j => b(i + j) == s.charAt(j).toByte)
+    if (ascii(0, "%PDF-")) {
+      var pages = 0
+      var i = 0
+      while (i + 10 < n) {
+        if (b(i) == '/' && ascii(i, "/Type")) {
+          var j = i + 5
+          while (j < n && (b(j) == ' ' || b(j) == '\n' || b(j) == '\r' || b(j) == '\t')) j += 1
+          if (ascii(j, "/Page") &&
+              (j + 5 >= n || b(j + 5) != 's')) pages += 1
+          i = j
+        } else i += 1
+      }
+      ("pdf", if (pages > 0) pages else -1)
+    }
+    else if (n >= 2 && u8(b, 0) == 0x1F && u8(b, 1) == 0x8B) ("gzip", -1)
+    else if (n >= 4 && u8(b, 0) == 0x28 && u8(b, 1) == 0xB5 &&
+      u8(b, 2) == 0x2F && u8(b, 3) == 0xFD) ("zstd", -1)
+    else if (n >= 4 && b(0) == 'P' && b(1) == 'K' &&
+      (u8(b, 2) == 3 || u8(b, 2) == 5 || u8(b, 2) == 7)) ("zip", -1)
+    else if (n >= 6 && u8(b, 0) == 0xFD && ascii(1, "7zXZ") && b(5) == 0) ("xz", -1)
+    else if (n >= 4 && ascii(0, "BZh") && b(3) >= '1' && b(3) <= '9') ("bzip2", -1)
+    else if (n >= 262 && ascii(257, "ustar")) ("tar", -1)
+    else ("unknown", -1)
+  }
+
+  /** metadata fast path for document/container payloads: (id, format,
+    * pages) — pdf/gzip/zstd/zip/xz/bzip2/tar by magic, PDF page count
+    * when the page tree is uncompressed */
+  def containerInfo(df: DataFrame, idCol: String,
+      payloadCol: String = "payload"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(payloadCol).as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) =>
+        val (f, p) = parseContainer(b)
+        (id, f, p)
+      })
+      .toDF("id", "format", "pages")
+  }
+
   // ------------------------------------------------------------- video
 
   /** metadata fast path for video: walk the MP4/ISO-BMFF box structure

@@ -680,6 +680,53 @@ class StreamingAndMultimodalSpec extends AnyFunSuite {
     assert(info(1).getString(1) === "unknown")
   }
 
+  test("multimodal containers: PDF pages + compressed-format magics, SAMPLE_INFO fallback") {
+    // minimal classic (uncompressed page tree) 2-page PDF skeleton
+    val pdf = ("%PDF-1.4\n" +
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type /Pages /Kids [3 0 R 4 0 R] /Count 2 >> endobj\n" +
+      "3 0 obj << /Type /Page /Parent 2 0 R >> endobj\n" +
+      "4 0 obj << /Type/Page /Parent 2 0 R >> endobj\n" + // no-space spelling
+      "trailer << /Root 1 0 R >>\n%%EOF").getBytes("US-ASCII")
+    assert(Multimodal.parseContainer(pdf) === (("pdf", 2)))
+    // object-stream PDFs hide the tree: honest -1, never a wrong 0
+    assert(Multimodal.parseContainer("%PDF-1.7\nbinary junk".getBytes)
+      === (("pdf", -1)))
+    assert(Multimodal.parseContainer(Array(0x1F, 0x8B, 8, 0).map(_.toByte))
+      === (("gzip", -1)))
+    assert(Multimodal.parseContainer(Array(0x28, 0xB5, 0x2F, 0xFD).map(_.toByte))
+      === (("zstd", -1)))
+    assert(Multimodal.parseContainer(
+      "PK".getBytes ++ Array[Byte](3, 4) ++ "rest".getBytes) === (("zip", -1)))
+    // bare "PK" text is NOT a zip
+    assert(Multimodal.parseContainer("PKrest".getBytes) === (("unknown", -1)))
+    assert(Multimodal.parseContainer(
+      Array[Byte](0xFD.toByte) ++ "7zXZ".getBytes ++ Array[Byte](0))
+      === (("xz", -1)))
+    assert(Multimodal.parseContainer("BZh9block".getBytes) === (("bzip2", -1)))
+    val tarish = new Array[Byte](512)
+    "ustar".getBytes.copyToArray(tarish, 257)
+    assert(Multimodal.parseContainer(tarish) === (("tar", -1)))
+    assert(Multimodal.parseContainer("plain text".getBytes) === (("unknown", -1)))
+    // SAMPLE_INFO surfaces the format, with PDF pages in `depth`
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq((1L, pdf), (2L, Array(0x1F, 0x8B, 8, 0).map(_.toByte)))
+      .toDF("id", "payload")
+    val info = df.select(col("id"), org.apache.spark.sql.graft.Bridge.column(
+        graft.functions.SampleInfo(
+          org.apache.spark.sql.graft.Bridge.expression(col("payload")))).as("i"))
+      .orderBy("id")
+      .select(col("i.format"), col("i.depth"))
+      .collect().map(_.toSeq)
+    assert(info(0) === Seq("pdf", 2))
+    assert(info(1) === Seq("gzip", null))
+    // and through the distributed containerInfo path
+    val ci = Multimodal.containerInfo(df, "id").orderBy("id").collect()
+    assert(ci(0).getString(1) === "pdf" && ci(0).getInt(2) === 2)
+    assert(ci(1).getString(1) === "gzip" && ci(1).getInt(2) === -1)
+  }
+
   /** encode a deterministic w×h RGB test image with the given format
     * through ImageIO (the spec's ground truth comes from reading the
     * same bytes back on the driver) */
