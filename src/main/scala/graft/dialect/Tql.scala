@@ -223,6 +223,7 @@ object Tql {
       "NORMALIZE_UNICODE" -> (a => graft.functions.gf.normalize_unicode(a.head)),
       "STRIP_ACCENTS" -> (a => graft.functions.gf.strip_accents(a.head)),
       "PII_REDACT" -> (a => graft.operators.Pii.redact(a.head)),
+      "REDACT_CARDS" -> (a => graft.operators.Pii.redactCards(a.head)),
       "DEFLATE_RATIO" -> (a => graft.functions.gf.deflate_ratio(a.head)),
       "STRIP_HTML" -> (a => graft.functions.gf.strip_html(a.head)),
       "EXTRACT_TEXT" -> (a => graft.functions.gf.extract_text(a.head)),

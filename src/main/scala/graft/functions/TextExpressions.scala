@@ -530,6 +530,66 @@ object TextKernels {
     if (changed) UTF8String.fromString(cur) else s
   }
 
+  /** REDACT_CARDS kernel (see [[RedactCards]]): find runs of 13–19
+    * digits (single spaces or dashes between groups allowed), replace
+    * with `<CARD>` ONLY when the digits pass the Luhn checksum — the
+    * validation a bare payment-card regex lacks (any 16-digit id would
+    * false-positive; 90% of random digit strings fail Luhn). One O(n)
+    * scan, no regex. */
+  def redactCards(s: UTF8String): UTF8String = {
+    val str = s.toString
+    val n = str.length
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    while (i < n) {
+      val c = str.charAt(i)
+      if (c < '0' || c > '9') { sb.append(c); i += 1 }
+      else {
+        // candidate run: digits with single ' '/'-' separators between
+        // digit groups; boundaries must not be digits (checked by scan)
+        var j = i
+        var digits = 0
+        var lastDigit = i - 1
+        var ok = true
+        while (ok && j < n) {
+          val ch = str.charAt(j)
+          if (ch >= '0' && ch <= '9') { digits += 1; lastDigit = j; j += 1 }
+          else if ((ch == ' ' || ch == '-') && j + 1 < n &&
+            str.charAt(j + 1) >= '0' && str.charAt(j + 1) <= '9' &&
+            j == lastDigit + 1) j += 1
+          else ok = false
+        }
+        val run = str.substring(i, lastDigit + 1)
+        if (digits >= 13 && digits <= 19 && luhnValid(run)) {
+          sb.append("<CARD>")
+          i = lastDigit + 1
+        } else {
+          sb.append(str, i, lastDigit + 1)
+          i = lastDigit + 1
+        }
+      }
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  /** Luhn checksum over the digits of `s` (separators ignored) */
+  private def luhnValid(s: String): Boolean = {
+    var sum = 0
+    var alt = false
+    var i = s.length - 1
+    while (i >= 0) {
+      val c = s.charAt(i)
+      if (c >= '0' && c <= '9') {
+        var d = c - '0'
+        if (alt) { d *= 2; if (d > 9) d -= 9 }
+        sum += d
+        alt = !alt
+      }
+      i -= 1
+    }
+    sum % 10 == 0
+  }
+
   /** deflate(bytes).length / bytes.length at zlib level 6 (raw stream,
     * no header), the Gopher/Dolma compression-ratio quality heuristic:
     * templated/repetitive junk compresses far below natural text.
@@ -632,6 +692,31 @@ case class ExtractMainContent(child: Expression, minChars: Int,
       s"${ev.value} = graft.functions.TextKernels.extractMain($a, $minChars, $maxLinkDensity);")
 
   override protected def withNewChildInternal(newChild: Expression): ExtractMainContent =
+    copy(child = newChild)
+}
+
+/** REDACT_CARDS(text): replace Luhn-valid 13–19-digit payment-card
+  * numbers (spaces/dashes between groups allowed) with `<CARD>` — the
+  * checksum-validated PII detector a bare digit regex cannot be (any
+  * invoice/tracking number would false-positive). Codegen'd single-row
+  * kernel, map-side only. */
+case class RedactCards(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"input must be string, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.redactCards(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TextKernels.redactCards($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): RedactCards =
     copy(child = newChild)
 }
 

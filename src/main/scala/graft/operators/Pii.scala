@@ -39,6 +39,16 @@ object Pii {
   def redact(text: Column): Column =
     patterns.foldLeft(text) { case (c, (_, p, r)) => regexp_replace(c, p, r) }
 
+  /** Luhn-validated payment-card redaction (the checksum pass a regex
+    * cannot express — any 16-digit id would false-positive; see
+    * [[graft.functions.TextKernels.redactCards]]). Separate from
+    * [[redact]] because DuckDB cannot replay the checksum: the regex
+    * patterns stay oracle-checkable, this stays spec-gated. */
+  def redactCards(text: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.RedactCards(
+        org.apache.spark.sql.graft.Bridge.expression(text)))
+
   /** number of redactions performed = sentinel occurrences in the
     * scrubbed text (sentinels cannot occur pre-scrub: '<'/'>' are not in
     * any pattern's alphabet) */

@@ -611,6 +611,26 @@ object DocumentQueries extends QueryModule {
              |FROM s ORDER BY shard_id, doc_id""".stripMargin.replace('\n', ' ')),
       doc = "concat-and-chunk sequence packing: per-shard token cumsum sliced into fixed 200-token sequences"),
 
+    // ---- Luhn-validated card redaction: Spark decides by CHECKSUM,
+    // the oracle bakes the decision into constants (the planted valid
+    // number is replaced, the checksum-invalid one must survive —
+    // digit-free corpus verified, so no other runs exist)
+    "q_pii_redact_cards" -> Q(
+      (s, dir) => {
+        val d = table(s, dir, "documents").select(col("doc_id"), concat(col("text"),
+          when(col("doc_id") % 5 === 0, lit(" card 4111111111111111")).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0, lit(" ref 4111111111111112")).otherwise(lit(""))).as("text"))
+        d.select(col("doc_id"),
+            graft.operators.Pii.redactCards(col("text")).as("scrubbed"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (SELECT doc_id, text ||
+             |  (CASE WHEN doc_id % 5 = 0 THEN ' card 4111111111111111' ELSE '' END) ||
+             |  (CASE WHEN doc_id % 7 = 0 THEN ' ref 4111111111111112' ELSE '' END) AS text FROM documents)
+             |SELECT doc_id, replace(text, '4111111111111111', '<CARD>') AS scrubbed
+             |FROM d ORDER BY doc_id""".stripMargin.replace('\n', ' ')),
+      doc = "Luhn-checksum card redaction: valid numbers become <CARD>, checksum-invalid digit runs survive"),
+
     // ---- Unicode script profile (data-card / mixed-script spam audit):
     // per-doc letter counts by script over planted multi-script
     // suffixes (the ASCII corpus alone is all-Latin). Java \p{IsXxx}

@@ -248,6 +248,33 @@ class QualityRulesSpec extends AnyFunSuite {
     assert(tql === s"$prose1\n$prose2")
   }
 
+  test("redactCards: Luhn-valid card numbers redact, checksum-invalid and wrong-length digits survive") {
+    import graft.functions.TextKernels
+    def r(s: String): String =
+      TextKernels.redactCards(org.apache.spark.unsafe.types.UTF8String.fromString(s)).toString
+    // standard test numbers: Visa (16), MasterCard (16), Amex (15)
+    assert(r("pay 4111111111111111 now") === "pay <CARD> now")
+    assert(r("5555 5555 5555 4444") === "<CARD>")
+    assert(r("378-282246-310005 amex") === "<CARD> amex")
+    // checksum-invalid 16 digits: the false positive a bare regex makes
+    assert(r("id 4111111111111112 ref") === "id 4111111111111112 ref")
+    // wrong lengths survive (12 and 20 digits)
+    assert(r("123456789012") === "123456789012")
+    assert(r("12345678901234567890") === "12345678901234567890")
+    // phones / dates are short digit runs: untouched
+    assert(r("+1-555-1234 on 2026-08-15") === "+1-555-1234 on 2026-08-15")
+    // comma-separated cards both redact (the comma breaks the run)
+    assert(r("4111111111111111, 5555555555554444")
+      === "<CARD>, <CARD>")
+    // Spark + TQL surfaces
+    import spark.implicits._
+    val df = Seq((1L, "card 4111111111111111 leaked")).toDF("id", "t")
+    assert(df.select(graft.operators.Pii.redactCards(col("t"))).head().getString(0)
+      === "card <CARD> leaked")
+    assert(graft.dialect.Tql.queryDataset(df, "SELECT REDACT_CARDS(t) AS c ORDER BY id")
+      .head().getString(0) === "card <CARD> leaked")
+  }
+
   test("scriptProfile: per-script letter counts, dominant fraction, letterless docs") {
     import spark.implicits._
     val d = Seq(
