@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed graph analytics over plain edge DataFrames — the
+  * companion of [[Dedup.connectedComponents]] (pointer-jumping): link
+  * analysis for crawl corpora (domain authority from the URL graph —
+  * [[Urls.apexDomain]] provides the nodes) and influence scoring over
+  * interaction graphs.
+  *
+  * Scale shape: one iteration = one src-keyed equi-join (edge shares
+  * persisted once, partitioned by src) + one dst-keyed partial
+  * aggregation; the dangling-mass term is a 1-row aggregate per
+  * iteration (a bounded driver artifact, like the quantile offsets).
+  * Per-iteration `localCheckpoint` truncates lineage so 20 iterations
+  * stay 20 shuffles, not an exponentially re-derived plan.
+  */
+object Graphs {
+
+  /** Damped PageRank by power iteration: rank = (1−d)/n + d·(Σ
+    * incoming rank·w/outW + danglingMass/n), with parallel edges
+    * collapsed to weights and dangling nodes (no out-edges)
+    * redistributing their rank uniformly — the standard formulation,
+    * so ranks sum to exactly 1 every iteration. Returns (id, rank).
+    *
+    * Deterministic: no randomness anywhere; the spec gates the result
+    * against an independent driver-side dense power iteration. */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 20, damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1, "need at least one iteration")
+    require(damping >= 0 && damping <= 1, s"damping must be in [0,1]: $damping")
+    val spark = edges.sparkSession
+    val par = spark.sparkContext.defaultParallelism
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).cast("double").as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val outW = e.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id")))
+      .distinct()
+      .repartition(par, col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // edges annotated once with the sender's out-weight share
+    val ej = e.join(outW, "src")
+      .select(col("src"), col("dst"), (col("w") / col("ow")).as("share"))
+      .repartition(par, col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = nodes.count().toDouble
+      if (n == 0) nodes.withColumn("rank", lit(0.0))
+      else {
+        var ranks = nodes.withColumn("rank", lit(1.0 / n)).localCheckpoint()
+        var it = 0
+        while (it < iterations) {
+          // mass parked on dangling nodes (no out-edges) spreads uniformly
+          val dangling = ranks
+            .join(outW.select(col("src").as("id")), Seq("id"), "left_anti")
+            .agg(coalesce(sum(col("rank")), lit(0.0))).head().getDouble(0)
+          val contribs = ej.join(ranks.withColumnRenamed("id", "src"), "src")
+            .groupBy(col("dst").as("id"))
+            .agg(sum(col("share") * col("rank")).as("__in"))
+          ranks = nodes.join(contribs, Seq("id"), "left")
+            .select(col("id"),
+              (lit((1.0 - damping) / n) +
+                lit(damping) * (coalesce(col("__in"), lit(0.0)) + lit(dangling / n)))
+                .as("rank"))
+            .localCheckpoint()
+          it += 1
+        }
+        ranks
+      }
+    } finally {
+      ej.unpersist(false); e.unpersist(false)
+      outW.unpersist(false); nodes.unpersist(false); ()
+    }
+  }
+}

@@ -785,6 +785,25 @@ object Relational extends QueryModule {
              |FROM tot, dk, orph""".stripMargin.replace('\n', ' ')),
       doc = "lineitem.l_orderkey -> orders.o_orderkey coverage audit (anti-join on key-sized frames)"),
 
+    // ---- PageRank over the customer -> supplier purchase graph (link
+    // analysis for crawl-domain authority, exercised on the relational
+    // corpus: suppliers are all DANGLING, so the redistribution path is
+    // live). Iterative power method — no SQL oracle; GraphsSpec gates
+    // the operator against an independent dense reference to 1e-9.
+    "q_graph_pagerank" -> Q(
+      (s, dir) => {
+        val li = table(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        val o = table(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        val edges = li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("src"),
+            (col("l_suppkey") + 1000000L).as("dst")) // offset: disjoint id spaces
+        graft.operators.Graphs.pageRank(edges, "src", "dst", iterations = 10)
+          .select(col("id"), round(col("rank"), 9).as("rank"))
+          .orderBy(col("rank").desc, col("id")).limit(50)
+      },
+      None,
+      doc = "damped PageRank over the customer->supplier purchase graph, top 50 nodes"),
+
     // ---- schema-drift audit: the data contract between two snapshots
     // (planted: one added, one removed, one type-changed column)
     "q_schema_drift" -> Q(

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Graphs
+
+class GraphsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** independent driver-side dense power iteration with the same
+    * semantics (weighted parallel edges, uniform dangling spread) */
+  private def densePageRank(edges: Seq[(Long, Long)], iters: Int,
+      d: Double): Map[Long, Double] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val idx = nodes.zipWithIndex.toMap
+    val n = nodes.length
+    val w = Array.ofDim[Double](n, n)
+    edges.foreach { case (s, t) => w(idx(s))(idx(t)) += 1.0 }
+    val outW = w.map(_.sum)
+    var r = Array.fill(n)(1.0 / n)
+    for (_ <- 0 until iters) {
+      val dang = (0 until n).collect { case i if outW(i) == 0 => r(i) }.sum
+      val nr = Array.fill(n)((1 - d) / n + d * dang / n)
+      for (i <- 0 until n; j <- 0 until n; if w(i)(j) > 0)
+        nr(j) += d * r(i) * w(i)(j) / outW(i)
+      r = nr
+    }
+    nodes.zip(r).toMap
+  }
+
+  test("pageRank: cycle is uniform; general graph matches a dense reference; ranks sum to 1") {
+    import spark.implicits._
+    // a directed 3-cycle is uniform at ANY damping, exactly
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val rc = Graphs.pageRank(cyc, "src", "dst", iterations = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rc.values.foreach(v => assert(math.abs(v - 1.0 / 3) < 1e-12))
+
+    // general graph: parallel edges (weight 2), a dangling node (4),
+    // and a hub — must match the independent dense iteration to 1e-9
+    val edges = Seq((1L, 2L), (1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L),
+      (2L, 4L), (5L, 1L), (5L, 4L))
+    val got = Graphs.pageRank(edges.toDF("src", "dst"), "src", "dst",
+        iterations = 15, damping = 0.85)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = densePageRank(edges, 15, 0.85)
+    assert(got.keySet === want.keySet)
+    got.foreach { case (k, v) =>
+      assert(math.abs(v - want(k)) < 1e-9, s"node $k: $v vs ${want(k)}")
+    }
+    assert(math.abs(got.values.sum - 1.0) < 1e-9, "ranks must sum to 1")
+    // the dangling sink fed by three nodes outranks its feeders' tail
+    assert(got(4L) > got(5L), s"sink rank ${got(4L)} vs source ${got(5L)}")
+  }
+
+  test("pageRank: dangling-only graph (star into a sink) stays a distribution") {
+    import spark.implicits._
+    val star = (1L to 6L).map(i => (i, 99L)).toDF("src", "dst")
+    val got = Graphs.pageRank(star, "src", "dst", iterations = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+    assert(got(99L) > got(1L) * 3, "the sink must dominate")
+    // all leaves symmetric
+    (2L to 6L).foreach(i => assert(math.abs(got(i) - got(1L)) < 1e-12))
+  }
+}
