@@ -77,4 +77,40 @@ object Graphs {
       outW.unpersist(false); nodes.unpersist(false); ()
     }
   }
+
+  /** Exact per-node triangle counts over the UNDIRECTED graph of
+    * `edges` (direction and parallel edges ignored): the clustering
+    * signal of a link graph (domains whose neighbors interlink are
+    * communities; crawl spam rings show up as abnormal triangle
+    * density). Canonical orientation a<b<c enumerates every triangle
+    * exactly once: wedges extend ordered edges through the middle node,
+    * one hash join closes them against the edge set, and each triangle
+    * credits its three corners.
+    *
+    * Scale shape: dedupe shuffle, one wedge join keyed on the middle
+    * node, one closing join on (a, c), one corner-count agg — all hash
+    * joins on node ids. The wedge fan-out is bounded by the ordered
+    * out-degree; production graphs with power-law hubs should pre-remap
+    * ids into DEGREE order (the classic orientation bound: fan-out
+    * becomes O(sqrt(m)) per node) — the algorithm is unchanged, only
+    * the id assignment. Returns (id, n_triangles) for nodes in at
+    * least one triangle. */
+  def triangles(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges
+      .select(least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("a"),
+        greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val tri = e.as("ab")
+        .join(e.as("bc"), col("ab.b") === col("bc.a")) // a < b < c
+        .select(col("ab.a").as("a"), col("ab.b").as("b"), col("bc.b").as("c"))
+        .join(e.select(col("a").as("__ca"), col("b").as("__cb")),
+          col("a") === col("__ca") && col("c") === col("__cb"), "left_semi")
+      tri.select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+        .groupBy(col("id")).agg(count(lit(1)).as("n_triangles"))
+        .localCheckpoint()
+    } finally { e.unpersist(false); () }
+  }
 }

@@ -804,6 +804,32 @@ object Relational extends QueryModule {
       None,
       doc = "damped PageRank over the customer->supplier purchase graph, top 50 nodes"),
 
+    // ---- exact triangle counts over the supplier co-purchase graph
+    // (suppliers sharing an order interlink; orders are small cliques,
+    // so triangles abound) — the clustering/spam-ring audit of a link
+    // graph, FULL oracle: the canonical a<b<c enumeration replays in SQL
+    "q_graph_triangles" -> Q(
+      (s, dir) => {
+        val li = table(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        val edges = li.as("x").join(li.as("y"),
+            col("x.l_orderkey") === col("y.l_orderkey") &&
+              col("x.l_suppkey") < col("y.l_suppkey"))
+          .select(col("x.l_suppkey").as("src"), col("y.l_suppkey").as("dst"))
+        graft.operators.Graphs.triangles(edges, "src", "dst")
+          .orderBy(col("id"))
+      },
+      Some("""WITH raw AS (SELECT x.l_suppkey AS a, y.l_suppkey AS b
+             |  FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+             |  AND x.l_suppkey < y.l_suppkey),
+             |e AS (SELECT DISTINCT a, b FROM raw),
+             |t AS (SELECT e1.a, e1.b, e2.b AS c FROM e e1
+             |  JOIN e e2 ON e1.b = e2.a
+             |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+             |n AS (SELECT a AS id FROM t UNION ALL SELECT b FROM t UNION ALL SELECT c FROM t)
+             |SELECT id, count(*)::BIGINT AS n_triangles FROM n GROUP BY id ORDER BY id"""
+        .stripMargin.replace('\n', ' ')),
+      doc = "exact per-node triangle counts over the supplier co-purchase graph (canonical a<b<c join)"),
+
     // ---- schema-drift audit: the data contract between two snapshots
     // (planted: one added, one removed, one type-changed column)
     "q_schema_drift" -> Q(

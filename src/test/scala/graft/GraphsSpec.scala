@@ -58,6 +58,27 @@ class GraphsSpec extends AnyFunSuite {
     assert(got(4L) > got(5L), s"sink rank ${got(4L)} vs source ${got(5L)}")
   }
 
+  test("triangles: exact per-node counts; direction/parallel edges ignored; triangle-free graphs empty") {
+    import spark.implicits._
+    // K4: C(4,3)=4 triangles, every node in C(3,2)=3
+    val k4 = (for (i <- 1L to 4L; j <- 1L to 4L; if i < j) yield (i, j)).toDF("src", "dst")
+    val gk4 = Graphs.triangles(k4, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gk4 === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // a 4-cycle has none; adding one diagonal makes two triangles
+    val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    assert(Graphs.triangles(sq.toDF("src", "dst"), "src", "dst").count() === 0L)
+    val diag = (sq :+ (1L, 3L)).toDF("src", "dst")
+    val gd = Graphs.triangles(diag, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gd === Map(1L -> 2L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
+    // reversed + duplicated edges change nothing
+    val noisy = (sq ++ sq.map(_.swap) :+ (3L, 1L) :+ (1L, 3L)).toDF("src", "dst")
+    val gn = Graphs.triangles(noisy, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gn === gd)
+  }
+
   test("pageRank: dangling-only graph (star into a sink) stays a distribution") {
     import spark.implicits._
     val star = (1L to 6L).map(i => (i, 99L)).toDF("src", "dst")
