@@ -545,28 +545,57 @@ object TextKernels {
       val c = str.charAt(i)
       if (c < '0' || c > '9') { sb.append(c); i += 1 }
       else {
-        // candidate run: digits with single ' '/'-' separators between
-        // digit groups; boundaries must not be digits (checked by scan)
+        // candidate run: digit GROUPS with single ' '/'-' separators.
+        // The card may be any contiguous SPAN of groups — a card next
+        // to its CVC ("4111... 123") or after a phone number must still
+        // redact, so spans are tried greedily longest-first per start
+        // instead of only the whole run (a merged run fails Luhn or
+        // length and a whole-run-only check would LEAK the card).
+        val starts = new java.util.ArrayList[Integer]
+        val ends = new java.util.ArrayList[Integer] // exclusive
         var j = i
-        var digits = 0
         var lastDigit = i - 1
         var ok = true
         while (ok && j < n) {
           val ch = str.charAt(j)
-          if (ch >= '0' && ch <= '9') { digits += 1; lastDigit = j; j += 1 }
+          if (ch >= '0' && ch <= '9') {
+            if (starts.size == ends.size) starts.add(j)
+            lastDigit = j; j += 1
+            if (j >= n || str.charAt(j) < '0' || str.charAt(j) > '9')
+              ends.add(j)
+          }
           else if ((ch == ' ' || ch == '-') && j + 1 < n &&
             str.charAt(j + 1) >= '0' && str.charAt(j + 1) <= '9' &&
             j == lastDigit + 1) j += 1
           else ok = false
         }
-        val run = str.substring(i, lastDigit + 1)
-        if (digits >= 13 && digits <= 19 && luhnValid(run)) {
-          sb.append("<CARD>")
-          i = lastDigit + 1
-        } else {
-          sb.append(str, i, lastDigit + 1)
-          i = lastDigit + 1
+        val m = starts.size
+        def spanDigits(a: Int, b: Int): Int = { // groups [a, b]
+          var d = 0; var g = a
+          while (g <= b) { d += ends.get(g) - starts.get(g); g += 1 }
+          d
         }
+        var emitted = i
+        var g = 0
+        while (g < m) {
+          // longest Luhn-valid 13-19-digit span starting at group g
+          var hit = -1
+          var h = m - 1
+          while (hit < 0 && h >= g) {
+            val d = spanDigits(g, h)
+            if (d >= 13 && d <= 19 &&
+              luhnValid(str.substring(starts.get(g), ends.get(h)))) hit = h
+            h -= 1
+          }
+          if (hit >= 0) {
+            sb.append(str, emitted, starts.get(g).intValue)
+            sb.append("<CARD>")
+            emitted = ends.get(hit)
+            g = hit + 1
+          } else g += 1
+        }
+        sb.append(str, emitted, lastDigit + 1)
+        i = lastDigit + 1
       }
     }
     UTF8String.fromString(sb.toString)

@@ -568,7 +568,7 @@ object Multimodal {
     if (ascii(0, "%PDF-")) {
       var pages = 0
       var i = 0
-      while (i + 10 < n) {
+      while (i + 5 < n) { // ascii() bounds-checks the suffix reads
         if (b(i) == '/' && ascii(i, "/Type")) {
           var j = i + 5
           while (j < n && (b(j) == ' ' || b(j) == '\n' || b(j) == '\r' || b(j) == '\t')) j += 1
@@ -583,7 +583,8 @@ object Multimodal {
     else if (n >= 4 && u8(b, 0) == 0x28 && u8(b, 1) == 0xB5 &&
       u8(b, 2) == 0x2F && u8(b, 3) == 0xFD) ("zstd", -1)
     else if (n >= 4 && b(0) == 'P' && b(1) == 'K' &&
-      (u8(b, 2) == 3 || u8(b, 2) == 5 || u8(b, 2) == 7)) ("zip", -1)
+      ((u8(b, 2) == 3 && u8(b, 3) == 4) || (u8(b, 2) == 5 && u8(b, 3) == 6) ||
+        (u8(b, 2) == 7 && u8(b, 3) == 8))) ("zip", -1)
     else if (n >= 6 && u8(b, 0) == 0xFD && ascii(1, "7zXZ") && b(5) == 0) ("xz", -1)
     else if (n >= 4 && ascii(0, "BZh") && b(3) >= '1' && b(3) <= '9') ("bzip2", -1)
     else if (n >= 262 && ascii(257, "ustar")) ("tar", -1)

@@ -39,6 +39,9 @@ object StreamingAnn {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // restarted maintainer: complete an interrupted compaction swap
+        // before absorbing (see StreamingText.maintainInverted)
+        Lsm.recover(dir, "assignments")
         // lineage-keyed: an at-least-once replay rewrites its own
         // delta segment — duplicate assignment rows would surface the
         // same id twice from every probe

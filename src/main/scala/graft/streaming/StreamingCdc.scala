@@ -33,6 +33,12 @@ object StreamingCdc {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        // restarted maintainer: complete an interrupted compaction swap
+        // before appending — a recreated live dir would make recover
+        // refuse the move and strand the compacted state. (Plain append
+        // is replay-safe HERE because latest-state merge is a
+        // semilattice: duplicate segments cannot change the answer.)
+        Lsm.recover(dir, "state")
         EventAnalytics.latestSnapshot(batch, keyCols, orderCol, idCol)
           .write.mode("append").parquet(s"$dir/state")
         ()

@@ -38,6 +38,10 @@ object StreamingText {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // restarted maintainer: complete an interrupted compaction swap
+        // BEFORE absorbing — writing into a recreated live dir would
+        // make recover refuse the move and strand the merged history
+        Lsm.recover(dir, "postings")
         Lsm.absorbSegment(InvertedIndex.build(batch, idCol, textCol),
           s"$dir/postings", Lsm.segmentKey(checkpoint, batchId))
         ()
@@ -74,6 +78,10 @@ object StreamingText {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // restarted maintainer: finish an interrupted swapInAll first —
+        // absorbing into stale live dirs would let the next reader's
+        // recoverAll rmTree this batch's checkpoint-committed segments
+        Lsm.recoverAll(dir, Seq("postings", "doc_stats", "term_df"))
         val post = Bm25.postings(batch, idCol, textCol)
           .localCheckpoint() // tokenize once, feed both writes
         val (ds, tdf) = Bm25.corpusStats(post)

@@ -116,8 +116,11 @@ object OracleLint {
     val roundWrapped = wrapperName == "round"
     // only wrappers where EVERY argument participates in the result
     // type: a decimal in if()'s CONDITION would falsely read as a
-    // promotion while the result stays HUGEINT-vs-INT
-    val commonTypeWrappers = Set("coalesce", "greatest", "least", "nullif", "ifnull")
+    // promotion while the result stays HUGEINT-vs-INT. nullif is
+    // excluded too — DuckDB types nullif(a, b) as a's type alone
+    // (CASE WHEN a=b THEN NULL ELSE a), so a decimal second argument
+    // does NOT promote.
+    val commonTypeWrappers = Set("coalesce", "greatest", "least", "ifnull")
     val siblingPromoted = wrapped && commonTypeWrappers(wrapperName) && {
       val close = matching(sql, wrapOpen)
       val siblings = sql.substring(wrapOpen + 1, lo) +
@@ -217,5 +220,9 @@ class OracleLintSpec extends AnyFunSuite {
     // not promote the result — still flagged
     assert(OracleLint.risks(
       "SELECT if(doc_id > 0.5, sum(n_chars), 0) AS c FROM documents").nonEmpty)
+    // nullif types as its FIRST argument alone: a decimal second
+    // argument does not promote — still flagged
+    assert(OracleLint.risks(
+      "SELECT nullif(sum(n_chars), 0.0) AS c FROM documents").nonEmpty)
   }
 }

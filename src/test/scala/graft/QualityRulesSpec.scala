@@ -266,6 +266,16 @@ class QualityRulesSpec extends AnyFunSuite {
     // comma-separated cards both redact (the comma breaks the run)
     assert(r("4111111111111111, 5555555555554444")
       === "<CARD>, <CARD>")
+    // a card ADJACENT to other digit groups must still redact (the
+    // merged run fails Luhn/length; the group-span fallback finds it)
+    assert(r("4111111111111111 123") === "<CARD> 123",
+      "card followed by its CVC must not leak")
+    assert(r("555-1234 4111111111111111") === "555-1234 <CARD>",
+      "card after a phone number must not leak")
+    assert(r("4111 1111 1111 1111 123") === "<CARD> 123",
+      "grouped card keeps its grouping boundary")
+    // two space-adjacent cards: both found via successive spans
+    assert(r("4111111111111111 5555555555554444") === "<CARD> <CARD>")
     // Spark + TQL surfaces
     import spark.implicits._
     val df = Seq((1L, "card 4111111111111111 leaked")).toDF("id", "t")
