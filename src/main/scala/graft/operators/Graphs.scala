@@ -78,6 +78,66 @@ object Graphs {
     }
   }
 
+  /** HITS hubs & authorities (Kleinberg) by power iteration with L2
+    * normalization per half-step: authority(j) = Σ hub over in-edges,
+    * then hub(i) = Σ authority over out-edges — the natural ranking
+    * for BIPARTITE interaction graphs (buyers↔suppliers,
+    * crawlers↔domains) where PageRank's single score conflates the two
+    * roles. Parallel edges collapse to weights. Per iteration: two
+    * src/dst-keyed joins + two partial aggs + two 1-row norm
+    * aggregates; per-iteration localCheckpoint keeps lineage linear.
+    * Returns (id, hub, authority), each vector L2-normalized. */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 20): DataFrame = {
+    require(iterations >= 1, "need at least one iteration")
+    val spark = edges.sparkSession
+    val par = spark.sparkContext.defaultParallelism
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).cast("double").as("w"))
+      .repartition(par, col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id")))
+      .distinct()
+      .repartition(par, col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (nodes.isEmpty) return nodes
+        .withColumn("hub", lit(0.0)).withColumn("authority", lit(0.0))
+      def normalize(df: DataFrame, c: String): DataFrame = {
+        val norm = math.sqrt(
+          df.agg(sum(col(c) * col(c))).head().getDouble(0))
+        if (norm == 0.0) df
+        else df.select(col("id"), (col(c) / norm).as(c))
+      }
+      var hub = nodes.withColumn("hub", lit(1.0)).localCheckpoint()
+      var auth = nodes.withColumn("authority", lit(1.0))
+      var it = 0
+      while (it < iterations) {
+        auth = normalize(
+          nodes.join(
+            e.join(hub.withColumnRenamed("id", "src"), "src")
+              .groupBy(col("dst").as("id"))
+              .agg(sum(col("w") * col("hub")).as("authority")),
+            Seq("id"), "left")
+            .select(col("id"), coalesce(col("authority"), lit(0.0)).as("authority")),
+          "authority").localCheckpoint()
+        hub = normalize(
+          nodes.join(
+            e.join(auth.withColumnRenamed("id", "dst"), "dst")
+              .groupBy(col("src").as("id"))
+              .agg(sum(col("w") * col("authority")).as("hub")),
+            Seq("id"), "left")
+            .select(col("id"), coalesce(col("hub"), lit(0.0)).as("hub")),
+          "hub").localCheckpoint()
+        it += 1
+      }
+      hub.join(auth, "id").select(col("id"), col("hub"), col("authority"))
+        .localCheckpoint()
+    } finally { e.unpersist(false); nodes.unpersist(false); () }
+  }
+
   /** Exact per-node triangle counts over the UNDIRECTED graph of
     * `edges` (direction and parallel edges ignored): the clustering
     * signal of a link graph (domains whose neighbors interlink are

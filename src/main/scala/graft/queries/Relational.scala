@@ -804,6 +804,25 @@ object Relational extends QueryModule {
       None,
       doc = "damped PageRank over the customer->supplier purchase graph, top 50 nodes"),
 
+    // ---- HITS on the same purchase graph: the bipartite ranking
+    // PageRank conflates (buyers are hubs, suppliers authorities).
+    // Iterative with per-step normalization — no SQL oracle; GraphsSpec
+    // gates vs a dense reference to 1e-9.
+    "q_graph_hits" -> Q(
+      (s, dir) => {
+        val li = table(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        val o = table(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        val edges = li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("src"),
+            (col("l_suppkey") + 1000000L).as("dst"))
+        graft.operators.Graphs.hits(edges, "src", "dst", iterations = 8)
+          .select(col("id"), round(col("hub"), 9).as("hub"),
+            round(col("authority"), 9).as("authority"))
+          .orderBy(col("authority").desc, col("hub").desc, col("id")).limit(50)
+      },
+      None,
+      doc = "HITS hubs/authorities over the purchase graph, top 50 by authority"),
+
     // ---- exact triangle counts over the supplier co-purchase graph
     // (suppliers sharing an order interlink; orders are small cliques,
     // so triangles abound) — the clustering/spam-ring audit of a link

@@ -79,6 +79,47 @@ class GraphsSpec extends AnyFunSuite {
     assert(gn === gd)
   }
 
+  test("hits: matches a dense reference; bipartite roles separate cleanly") {
+    import spark.implicits._
+    // independent dense HITS with the same semantics
+    def denseHits(edges: Seq[(Long, Long)], iters: Int): Map[Long, (Double, Double)] = {
+      val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+      val idx = nodes.zipWithIndex.toMap
+      val n = nodes.length
+      val w = Array.ofDim[Double](n, n)
+      edges.foreach { case (s, t) => w(idx(s))(idx(t)) += 1.0 }
+      var hub = Array.fill(n)(1.0)
+      var auth = Array.fill(n)(1.0)
+      def norm(a: Array[Double]): Array[Double] = {
+        val m = math.sqrt(a.map(x => x * x).sum)
+        if (m == 0) a else a.map(_ / m)
+      }
+      for (_ <- 0 until iters) {
+        auth = norm(Array.tabulate(n)(j => (0 until n).map(i => w(i)(j) * hub(i)).sum))
+        hub = norm(Array.tabulate(n)(i => (0 until n).map(j => w(i)(j) * auth(j)).sum))
+      }
+      nodes.map(k => k -> ((hub(idx(k)), auth(idx(k))))).toMap
+    }
+    val edges = Seq((1L, 10L), (1L, 10L), (1L, 11L), (2L, 10L), (2L, 12L),
+      (3L, 11L), (3L, 12L), (10L, 12L))
+    val got = Graphs.hits(edges.toDF("src", "dst"), "src", "dst", iterations = 12)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val want = denseHits(edges, 12)
+    assert(got.keySet === want.keySet)
+    got.foreach { case (k, (h, a)) =>
+      assert(math.abs(h - want(k)._1) < 1e-9 && math.abs(a - want(k)._2) < 1e-9,
+        s"node $k: ($h,$a) vs ${want(k)}")
+    }
+    // a pure bipartite buyer->supplier graph: buyers are hubs with zero
+    // authority, suppliers the reverse
+    val bip = Seq((1L, 10L), (1L, 11L), (2L, 10L)).toDF("src", "dst")
+    val gb = Graphs.hits(bip, "src", "dst", iterations = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(gb(1L)._2 === 0.0 && gb(10L)._1 === 0.0)
+    assert(gb(1L)._1 > gb(2L)._1, "two-edge buyer out-hubs the one-edge buyer")
+    assert(gb(10L)._2 > gb(11L)._2, "two-buyer supplier out-ranks the one-buyer one")
+  }
+
   test("pageRank: dangling-only graph (star into a sink) stays a distribution") {
     import spark.implicits._
     val star = (1L to 6L).map(i => (i, 99L)).toDF("src", "dst")
