@@ -55,20 +55,29 @@ object Graphs {
         var ranks = nodes.withColumn("rank", lit(1.0 / n)).localCheckpoint()
         var it = 0
         while (it < iterations) {
-          // mass parked on dangling nodes (no out-edges) spreads uniformly
+          // mass parked on dangling nodes (no out-edges) spreads
+          // uniformly — computed as a broadcast 1-ROW FRAME riding the
+          // iteration's own plan, never a driver-side action (per-
+          // iteration collects double the job count)
           val dangling = ranks
             .join(outW.select(col("src").as("id")), Seq("id"), "left_anti")
-            .agg(coalesce(sum(col("rank")), lit(0.0))).head().getDouble(0)
+            .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dang"))
           val contribs = ej.join(ranks.withColumnRenamed("id", "src"), "src")
             .groupBy(col("dst").as("id"))
             .agg(sum(col("share") * col("rank")).as("__in"))
-          ranks = nodes.join(contribs, Seq("id"), "left")
+          val next = nodes.join(contribs, Seq("id"), "left")
+            .crossJoin(broadcast(dangling))
             .select(col("id"),
               (lit((1.0 - damping) / n) +
-                lit(damping) * (coalesce(col("__in"), lit(0.0)) + lit(dangling / n)))
-                .as("rank"))
-            .localCheckpoint()
+                lit(damping) * (coalesce(col("__in"), lit(0.0)) +
+                  col("__dang") / n)).as("rank"))
           it += 1
+          // one materialization per iteration is REQUIRED, not just
+          // lineage hygiene: the next iteration reads `ranks` twice
+          // (dangling + contribs), so a lazy chain re-executes every
+          // prior step exponentially. With the dangling scalar riding
+          // in-plan, each iteration is exactly ONE job.
+          ranks = next.localCheckpoint()
         }
         ranks
       }
@@ -105,11 +114,14 @@ object Graphs {
     try {
       if (nodes.isEmpty) return nodes
         .withColumn("hub", lit(0.0)).withColumn("authority", lit(0.0))
+      // materialize the propagation join FIRST (it is read by both the
+      // norm and the next half-step — lazy, it would execute twice per
+      // reference), then the norm is a tiny aggregate over node-sized
+      // cached partitions and the scaling a lazy map over them
       def normalize(df: DataFrame, c: String): DataFrame = {
-        val norm = math.sqrt(
-          df.agg(sum(col(c) * col(c))).head().getDouble(0))
-        if (norm == 0.0) df
-        else df.select(col("id"), (col(c) / norm).as(c))
+        val m = df.localCheckpoint()
+        val nrm = math.sqrt(m.agg(sum(col(c) * col(c))).head().getDouble(0))
+        if (nrm == 0.0) m else m.select(col("id"), (col(c) / nrm).as(c))
       }
       var hub = nodes.withColumn("hub", lit(1.0)).localCheckpoint()
       var auth = nodes.withColumn("authority", lit(1.0))
@@ -122,7 +134,7 @@ object Graphs {
               .agg(sum(col("w") * col("hub")).as("authority")),
             Seq("id"), "left")
             .select(col("id"), coalesce(col("authority"), lit(0.0)).as("authority")),
-          "authority").localCheckpoint()
+          "authority")
         hub = normalize(
           nodes.join(
             e.join(auth.withColumnRenamed("id", "dst"), "dst")
@@ -130,7 +142,7 @@ object Graphs {
               .agg(sum(col("w") * col("authority")).as("hub")),
             Seq("id"), "left")
             .select(col("id"), coalesce(col("hub"), lit(0.0)).as("hub")),
-          "hub").localCheckpoint()
+          "hub")
         it += 1
       }
       hub.join(auth, "id").select(col("id"), col("hub"), col("authority"))

@@ -797,7 +797,7 @@ object Relational extends QueryModule {
         val edges = li.join(o, col("l_orderkey") === col("o_orderkey"))
           .select(col("o_custkey").as("src"),
             (col("l_suppkey") + 1000000L).as("dst")) // offset: disjoint id spaces
-        graft.operators.Graphs.pageRank(edges, "src", "dst", iterations = 10)
+        graft.operators.Graphs.pageRank(edges, "src", "dst", iterations = 6)
           .select(col("id"), round(col("rank"), 9).as("rank"))
           .orderBy(col("rank").desc, col("id")).limit(50)
       },
@@ -815,7 +815,7 @@ object Relational extends QueryModule {
         val edges = li.join(o, col("l_orderkey") === col("o_orderkey"))
           .select(col("o_custkey").as("src"),
             (col("l_suppkey") + 1000000L).as("dst"))
-        graft.operators.Graphs.hits(edges, "src", "dst", iterations = 8)
+        graft.operators.Graphs.hits(edges, "src", "dst", iterations = 5)
           .select(col("id"), round(col("hub"), 9).as("hub"),
             round(col("authority"), 9).as("authority"))
           .orderBy(col("authority").desc, col("hub").desc, col("id")).limit(50)
