@@ -829,7 +829,13 @@ object Relational extends QueryModule {
     // graph, FULL oracle: the canonical a<b<c enumeration replays in SQL
     "q_graph_triangles" -> Q(
       (s, dir) => {
-        val li = table(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        // a 1/4 order slice: co-purchase graphs densify toward a clique
+        // as orders multiply (every order is a supplier clique), and
+        // exact triangle counting on a near-clique is Θ(n³) for ANY
+        // engine — the slice keeps the measured work graph-shaped
+        val li = table(s, dir, "lineitem")
+          .filter(col("l_orderkey") % 4 === 0)
+          .select(col("l_orderkey"), col("l_suppkey"))
         val edges = li.as("x").join(li.as("y"),
             col("x.l_orderkey") === col("y.l_orderkey") &&
               col("x.l_suppkey") < col("y.l_suppkey"))
@@ -839,7 +845,8 @@ object Relational extends QueryModule {
       },
       Some("""WITH raw AS (SELECT x.l_suppkey AS a, y.l_suppkey AS b
              |  FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
-             |  AND x.l_suppkey < y.l_suppkey),
+             |  AND x.l_suppkey < y.l_suppkey
+             |  WHERE x.l_orderkey % 4 = 0 AND y.l_orderkey % 4 = 0),
              |e AS (SELECT DISTINCT a, b FROM raw),
              |t AS (SELECT e1.a, e1.b, e2.b AS c FROM e e1
              |  JOIN e e2 ON e1.b = e2.a
