@@ -11,8 +11,8 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: one iteration = one src-keyed equi-join (edge shares
   * persisted once, partitioned by src) + one dst-keyed partial
-  * aggregation; the dangling-mass term is a 1-row aggregate per
-  * iteration (a bounded driver artifact, like the quantile offsets).
+  * aggregation; the dangling-mass term rides each iteration's own plan
+  * as a broadcast 1-row frame — no per-iteration driver collect.
   * Per-iteration `localCheckpoint` truncates lineage so 20 iterations
   * stay 20 shuffles, not an exponentially re-derived plan.
   */
@@ -106,6 +106,10 @@ object Graphs {
       .groupBy(col("src"), col("dst")).agg(count(lit(1)).cast("double").as("w"))
       .repartition(par, col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the hub half-step joins on dst — a dst-partitioned cached copy
+    // saves one full edge re-shuffle PER ITERATION
+    val eDst = e.repartition(par, col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("id"))
       .unionByName(e.select(col("dst").as("id")))
       .distinct()
@@ -116,12 +120,15 @@ object Graphs {
         .withColumn("hub", lit(0.0)).withColumn("authority", lit(0.0))
       // materialize the propagation join FIRST (it is read by both the
       // norm and the next half-step — lazy, it would execute twice per
-      // reference), then the norm is a tiny aggregate over node-sized
-      // cached partitions and the scaling a lazy map over them
+      // reference), then the norm rides downstream plans as a broadcast
+      // 1-row frame over the cached partitions: ONE job per half-step,
+      // no driver-side collect
       def normalize(df: DataFrame, c: String): DataFrame = {
         val m = df.localCheckpoint()
-        val nrm = math.sqrt(m.agg(sum(col(c) * col(c))).head().getDouble(0))
-        if (nrm == 0.0) m else m.select(col("id"), (col(c) / nrm).as(c))
+        val nrm = m.agg(sqrt(sum(col(c) * col(c))).as("__n"))
+        m.crossJoin(broadcast(nrm))
+          .select(col("id"),
+            when(col("__n") > 0, col(c) / col("__n")).otherwise(col(c)).as(c))
       }
       var hub = nodes.withColumn("hub", lit(1.0)).localCheckpoint()
       var auth = nodes.withColumn("authority", lit(1.0))
@@ -137,7 +144,7 @@ object Graphs {
           "authority")
         hub = normalize(
           nodes.join(
-            e.join(auth.withColumnRenamed("id", "dst"), "dst")
+            eDst.join(auth.withColumnRenamed("id", "dst"), "dst")
               .groupBy(col("src").as("id"))
               .agg(sum(col("w") * col("authority")).as("hub")),
             Seq("id"), "left")
@@ -147,7 +154,9 @@ object Graphs {
       }
       hub.join(auth, "id").select(col("id"), col("hub"), col("authority"))
         .localCheckpoint()
-    } finally { e.unpersist(false); nodes.unpersist(false); () }
+    } finally {
+      eDst.unpersist(false); e.unpersist(false); nodes.unpersist(false); ()
+    }
   }
 
   /** Exact per-node triangle counts over the UNDIRECTED graph of
@@ -178,8 +187,11 @@ object Graphs {
       .filter(col("a") =!= col("b"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persisted: deg feeds TWO joins into e's plan (the a-side and the
+    // b-side annotation) — unpersisted, the explode+agg would run twice
     val deg = und.select(explode(array(col("a"), col("b"))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("d"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // orient by (degree, id); carry the head's rank key for the wedge order
     val lowFirst = col("da") < col("db") ||
       (col("da") === col("db") && col("a") < col("b"))
@@ -202,6 +214,8 @@ object Graphs {
       tri.select(explode(array(col("u"), col("v"), col("w"))).as("id"))
         .groupBy(col("id")).agg(count(lit(1)).as("n_triangles"))
         .localCheckpoint()
-    } finally { e.unpersist(false); und.unpersist(false); () }
+    } finally {
+      e.unpersist(false); deg.unpersist(false); und.unpersist(false); ()
+    }
   }
 }
