@@ -570,17 +570,22 @@ object TextKernels {
           else ok = false
         }
         val m = starts.size
-        def spanDigits(a: Int, b: Int): Int = { // groups [a, b]
-          var d = 0; var g = a
-          while (g <= b) { d += ends.get(g) - starts.get(g); g += 1 }
-          d
+        // digit prefix-sums: digitsUpTo(k) = digits in groups [0, k)
+        val pre = new Array[Int](m + 1)
+        var gp = 0
+        while (gp < m) {
+          pre(gp + 1) = pre(gp) + (ends.get(gp) - starts.get(gp)); gp += 1
         }
+        def spanDigits(a: Int, b: Int): Int = pre(b + 1) - pre(a)
         var emitted = i
         var g = 0
         while (g < m) {
-          // longest Luhn-valid 13-19-digit span starting at group g
+          // longest Luhn-valid 13-19-digit span starting at group g.
+          // Every group holds >=1 digit, so a <=19-digit span covers at
+          // most 19 groups: cap h at g+18 — keeps the scan O(m*19) even
+          // on adversarial thousand-group runs ("1 2 3 ... 20000").
           var hit = -1
-          var h = m - 1
+          var h = math.min(g + 18, m - 1)
           while (hit < 0 && h >= g) {
             val d = spanDigits(g, h)
             if (d >= 13 && d <= 19 &&

@@ -1008,10 +1008,14 @@ object Dedup {
   def boilerplateDedupFrom(chunks0: DataFrame, sep: String, minDf: Int = 2,
       exempt: Column = lit(false)): DataFrame = {
     require(minDf >= 2, "minDf < 2 would drop every chunk")
+    // Eager localCheckpoint, not persist: the returned frame keeps no
+    // release handle, so a persist would pin a corpus-chunk-sized cache
+    // entry for the session (the ksGaps leak shape). Checkpoint blocks
+    // are reclaimed by the ContextCleaner once the frame is unreachable.
     val chunks = chunks0
       .select(col("id"), col("chunk_idx"), col("chunk_text"),
         md5(col("chunk_text")).as("__h"), exempt.as("__ex"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val dfFrame = chunks.filter(!col("__ex"))
       .groupBy(col("__h")).agg(countDistinct(col("id")).as("__nd"))
     rebuildFromMarked(

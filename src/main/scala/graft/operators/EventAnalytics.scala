@@ -345,10 +345,15 @@ object EventAnalytics {
     * parallel; two window passes instead of one, nothing data-sized
     * funnels) and assembles the type-count-bounded result locally.
     * `approxBounds` keeps the lazy one-window plan with a fixed-width
-    * sketch per group — same convention as `Robust.winsorize`. */
+    * sketch per group — same convention as `Robust.winsorize`.
+    *
+    * The exact path is driver-bounded by the TYPE cardinality (one
+    * collected row per type), so it is guarded: past `maxExactTypes`
+    * distinct types the call falls back to the approx plan instead of
+    * funneling an unbounded result through the driver. */
   def interArrival(events: DataFrame, userCol: String, tsNsCol: String,
       typeCol: String, approxBounds: Boolean = false,
-      accuracy: Int = 10000): DataFrame = {
+      accuracy: Int = 10000, maxExactTypes: Int = 100000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(userCol), col(typeCol))
       .orderBy(col(tsNsCol))
@@ -356,7 +361,11 @@ object EventAnalytics {
       .withColumn("__gap",
         (col(tsNsCol) - lag(col(tsNsCol), 1).over(w)) / 1e9)
       .filter(col("__gap").isNotNull)
-    if (approxBounds) {
+    // cheap HLL probe: is the exact path's driver-side result bounded?
+    val exactOk = !approxBounds && gapped
+      .agg(approx_count_distinct(col(typeCol)).as("c"))
+      .head.getLong(0) <= maxExactTypes
+    if (approxBounds || !exactOk) {
       gapped
         .groupBy(col(typeCol))
         .agg(count(lit(1)).as("n_gaps"),
@@ -393,8 +402,10 @@ object EventAnalytics {
         val q = qsByType(r.getString(2))
         org.apache.spark.sql.Row(r.get(0), r.getLong(1), round4(q(0)), round4(q(1)))
       }
+      // default slicing, not 1 partition: downstream ops shouldn't
+      // inherit a single-partition frame from a profile step
       spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, 1), schema)
+        spark.sparkContext.parallelize(rows), schema)
     }
   }
 

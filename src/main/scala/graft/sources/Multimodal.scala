@@ -557,28 +557,21 @@ object Multimodal {
   /** PDF + compressed-container magic classification — the payload
     * kinds a crawl actually stores besides media: returns (format,
     * pages) with pages >= 0 only for PDFs whose page tree is scannable.
-    * PDF pages count "/Type /Page" leaf objects (both spellings, the
-    * "/Pages" tree node excluded); a PDF whose objects live in
-    * compressed object streams hides them → pages = −1, an honest
-    * sentinel rather than a wrong 0. Pure byte walks, map-side. */
+    * PDF pages count "/Type /Page" leaf objects (any inter-token
+    * whitespace, "/Pages" tree nodes excluded, and a PDF delimiter
+    * required after the token so "/PageLabels" never counts).
+    * `stream`…`endstream` payloads are skipped — compressed content
+    * bytes can never contribute — EXCEPT object streams
+    * (`/Type /ObjStm /Filter /FlateDecode`, the PDF-1.5+ default home
+    * of page objects), which are inflated and their object dicts
+    * counted; the root page tree's `/Count` is kept as a cross-check
+    * fallback when no leaf is visible → −1 only when the tree is
+    * truly unscannable. Pure byte walks + zlib, map-side. */
   private[graft] def parseContainer(b: Array[Byte]): (String, Int) = {
     val n = b.length
     def ascii(i: Int, s: String): Boolean =
       i + s.length <= n && s.indices.forall(j => b(i + j) == s.charAt(j).toByte)
-    if (ascii(0, "%PDF-")) {
-      var pages = 0
-      var i = 0
-      while (i + 5 < n) { // ascii() bounds-checks the suffix reads
-        if (b(i) == '/' && ascii(i, "/Type")) {
-          var j = i + 5
-          while (j < n && (b(j) == ' ' || b(j) == '\n' || b(j) == '\r' || b(j) == '\t')) j += 1
-          if (ascii(j, "/Page") &&
-              (j + 5 >= n || b(j + 5) != 's')) pages += 1
-          i = j
-        } else i += 1
-      }
-      ("pdf", if (pages > 0) pages else -1)
-    }
+    if (ascii(0, "%PDF-")) ("pdf", pdfPages(b))
     else if (n >= 2 && u8(b, 0) == 0x1F && u8(b, 1) == 0x8B) ("gzip", -1)
     else if (n >= 4 && u8(b, 0) == 0x28 && u8(b, 1) == 0xB5 &&
       u8(b, 2) == 0x2F && u8(b, 3) == 0xFD) ("zstd", -1)
@@ -589,6 +582,108 @@ object Multimodal {
     else if (n >= 4 && ascii(0, "BZh") && b(3) >= '1' && b(3) <= '9') ("bzip2", -1)
     else if (n >= 262 && ascii(257, "ustar")) ("tar", -1)
     else ("unknown", -1)
+  }
+
+  /** PDF leaf-page count (see [[parseContainer]]), or the page tree's
+    * max `/Count` when no leaf dict is visible, or −1. */
+  private[graft] def pdfPages(b: Array[Byte]): Int = {
+    val n = b.length
+    var pages = 0
+    var maxCount = -1 // /Count appears on every /Pages node; the root's
+    // (= the document total) is the max over intermediate nodes
+    def isWs(c: Byte): Boolean =
+      c == ' ' || c == '\n' || c == '\r' || c == '\t' || c == '\f' || c == 0
+    // PDF delimiters: token boundary after a name like /Page
+    def isDelim(c: Byte): Boolean = isWs(c) || c == '/' || c == '>' ||
+      c == '<' || c == '[' || c == ']' || c == '(' || c == ')' || c == '%'
+    def scan(buf: Array[Byte], from: Int, to: Int): Unit = {
+      def a(i: Int, s: String): Boolean =
+        i + s.length <= to && s.indices.forall(j => buf(i + j) == s.charAt(j).toByte)
+      var i = from
+      while (i < to) {
+        if (buf(i) == '/' && a(i, "/Type")) {
+          var j = i + 5
+          while (j < to && isWs(buf(j))) j += 1
+          if (a(j, "/Pages") && (j + 6 >= to || isDelim(buf(j + 6)))) i = j + 6
+          else if (a(j, "/Page") && (j + 5 >= to || isDelim(buf(j + 5)))) {
+            pages += 1; i = j + 5
+          } else i = j
+        } else if (buf(i) == '/' && a(i, "/Count") &&
+            (i + 6 >= to || isDelim(buf(i + 6)) || isWs(buf(i + 6)))) {
+          var j = i + 6
+          while (j < to && isWs(buf(j))) j += 1
+          var v = 0; var any = false
+          while (j < to && buf(j) >= '0' && buf(j) <= '9') {
+            v = v * 10 + (buf(j) - '0'); any = true; j += 1
+          }
+          if (any && v > maxCount) maxCount = v
+          i = j
+        } else i += 1
+      }
+    }
+    def indexOf(s: String, from: Int): Int = {
+      val t = s.getBytes("US-ASCII")
+      var i = from
+      while (i + t.length <= n) {
+        var j = 0
+        while (j < t.length && b(i + j) == t(j)) j += 1
+        if (j == t.length) return i
+        i += 1
+      }
+      -1
+    }
+    var i = 0
+    var regionStart = 0 // start of the current non-stream text region
+    while (i < n) {
+      // the `stream` KEYWORD: delimiter before, EOL after (bare text
+      // "streams" inside a name or comment never starts a payload)
+      if (b(i) == 's' && i > 0 && i + 6 <= n && isDelim(b(i - 1)) &&
+          b(i + 1) == 't' && b(i + 2) == 'r' && b(i + 3) == 'e' &&
+          b(i + 4) == 'a' && b(i + 5) == 'm' &&
+          (i + 6 >= n || b(i + 6) == '\r' || b(i + 6) == '\n')) {
+        scan(b, regionStart, i)
+        var p = i + 6
+        if (p < n && b(p) == '\r') p += 1
+        if (p < n && b(p) == '\n') p += 1
+        val e = indexOf("endstream", p)
+        val end = if (e < 0) n else e
+        // the stream's own dict is the text since the last `obj`
+        // keyword in this region — inflate + scan if it is a Flate
+        // object stream (where PDF 1.5+ keeps the page dicts)
+        val dictFrom = {
+          var k = i - 3; var at = regionStart
+          while (k >= regionStart) {
+            if (b(k) == 'o' && b(k + 1) == 'b' && b(k + 2) == 'j') { at = k; k = regionStart - 1 }
+            else k -= 1
+          }
+          at
+        }
+        val dict = new String(b, dictFrom, i - dictFrom, "US-ASCII")
+        if (dict.contains("/ObjStm") && dict.contains("/FlateDecode")) {
+          try {
+            val inf = new java.util.zip.Inflater()
+            inf.setInput(b, p, end - p)
+            val out = new java.io.ByteArrayOutputStream()
+            val buf = new Array[Byte](8192)
+            var total = 0L
+            while (!inf.finished() && total < (16L << 20)) { // bomb cap
+              val k = inf.inflate(buf)
+              if (k == 0 && inf.needsInput()) total = 16L << 20
+              else { out.write(buf, 0, k); total += k }
+            }
+            inf.end()
+            val d = out.toByteArray
+            scan(d, 0, d.length)
+          } catch { case _: Exception => () } // corrupt stream: skip
+        }
+        i = if (e < 0) n else e + 9
+        regionStart = i
+      } else i += 1
+    }
+    scan(b, regionStart, n)
+    if (pages > 0) pages
+    else if (maxCount > 0) maxCount
+    else -1
   }
 
   /** metadata fast path for document/container payloads: (id, format,

@@ -276,6 +276,16 @@ class QualityRulesSpec extends AnyFunSuite {
       "grouped card keeps its grouping boundary")
     // two space-adjacent cards: both found via successive spans
     assert(r("4111111111111111 5555555555554444") === "<CARD> <CARD>")
+    // adversarial: one separator-joined run of MANY digit groups must
+    // stay near-linear (the span search is capped at 19 groups — a
+    // >=13-digit Luhn span never covers more) and still find a card
+    // buried mid-run
+    val junk = (1 to 20000).map(_ % 10).mkString(" ")
+    val withCard = junk + " 4111 1111 1111 1111 " + junk
+    val t0 = System.nanoTime()
+    val out = r(withCard)
+    assert((System.nanoTime() - t0) < 2e9, "group-run scan must be O(m*19), not O(m^3)")
+    assert(out.contains("<CARD>"), "card inside a long digit-group run must redact")
     // Spark + TQL surfaces
     import spark.implicits._
     val df = Seq((1L, "card 4111111111111111 leaked")).toDF("id", "t")

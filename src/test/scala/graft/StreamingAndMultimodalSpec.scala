@@ -727,6 +727,48 @@ class StreamingAndMultimodalSpec extends AnyFunSuite {
     assert(ci(1).getString(1) === "gzip" && ci(1).getInt(2) === -1)
   }
 
+  test("PDF pages: object streams inflate, content streams never count, delimiter-checked names") {
+    def deflate(s: String): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(s.getBytes("US-ASCII")); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end(); out.toByteArray
+    }
+    // PDF-1.5 object-stream layout: the page dicts live ONLY inside a
+    // FlateDecode /ObjStm payload — the modern default the old walk
+    // reported as -1
+    val objStmBody = "3 0 4 64 5 96 " +
+      "<< /Type /Pages /Kids [4 0 R 5 0 R] /Count 2 >> " +
+      "<< /Type /Page /Parent 3 0 R >> << /Type/Page /Parent 3 0 R >>"
+    val z = deflate(objStmBody)
+    val objStmPdf = "%PDF-1.5\n1 0 obj << /Type /Catalog /Pages 3 0 R >> endobj\n".getBytes("US-ASCII") ++
+      s"2 0 obj << /Type /ObjStm /N 3 /First 14 /Filter /FlateDecode /Length ${z.length} >> stream\n".getBytes("US-ASCII") ++
+      z ++ "\nendstream endobj\ntrailer << /Root 1 0 R >>\n%%EOF".getBytes("US-ASCII")
+    assert(Multimodal.parseContainer(objStmPdf) === (("pdf", 2)))
+    // literal "/Type /Page" inside a CONTENT stream must not count,
+    // and "/PageXyz" (delimiter check) must not count either
+    val contentPdf = ("%PDF-1.4\n" +
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+      "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R /Misc /PageXyz >> endobj\n" +
+      "4 0 obj << /Length 34 >> stream\n" +
+      "BT (/Type /Page /Type /Page) Tj ET\n" +
+      "endstream endobj\n" +
+      "trailer << /Root 1 0 R >>\n%%EOF").getBytes("US-ASCII")
+    assert(Multimodal.parseContainer(contentPdf) === (("pdf", 1)))
+    // no visible leaf but a /Pages /Count survives: cross-check wins
+    val countOnly = ("%PDF-1.5\n" +
+      "2 0 obj << /Type /Pages /Kids [9 0 R] /Count 7 >> endobj\n" +
+      "%%EOF").getBytes("US-ASCII")
+    assert(Multimodal.parseContainer(countOnly) === (("pdf", 7)))
+    // corrupt Flate payload in an ObjStm: walk survives, honest -1
+    val corrupt = "%PDF-1.5\n2 0 obj << /Type /ObjStm /Filter /FlateDecode >> stream\n".getBytes("US-ASCII") ++
+      Array[Byte](1, 2, 3, 4) ++ "\nendstream endobj\n%%EOF".getBytes("US-ASCII")
+    assert(Multimodal.parseContainer(corrupt) === (("pdf", -1)))
+  }
+
   /** encode a deterministic w×h RGB test image with the given format
     * through ImageIO (the spec's ground truth comes from reading the
     * same bytes back on the driver) */
