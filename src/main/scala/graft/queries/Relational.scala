@@ -788,8 +788,13 @@ object Relational extends QueryModule {
     // ---- PageRank over the customer -> supplier purchase graph (link
     // analysis for crawl-domain authority, exercised on the relational
     // corpus: suppliers are all DANGLING, so the redistribution path is
-    // live). Iterative power method — no SQL oracle; GraphsSpec gates
-    // the operator against an independent dense reference to 1e-9.
+    // live). FULL oracle: the damping iteration count is fixed, so the
+    // power method UNROLLS into chained DuckDB CTEs (one dangling-mass
+    // scalar + one contribution agg per step — exactly the operator's
+    // per-iteration plan); scores round to 6dp on BOTH engines before
+    // ranking (float last-bit summation order differs otherwise).
+    // GraphsSpec additionally gates the operator against an
+    // independent dense reference to 1e-9.
     "q_graph_pagerank" -> Q(
       (s, dir) => {
         val li = table(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
@@ -798,16 +803,18 @@ object Relational extends QueryModule {
           .select(col("o_custkey").as("src"),
             (col("l_suppkey") + 1000000L).as("dst")) // offset: disjoint id spaces
         graft.operators.Graphs.pageRank(edges, "src", "dst", iterations = 6)
-          .select(col("id"), round(col("rank"), 9).as("rank"))
+          .select(col("id"), round(col("rank"), 6).as("rank"))
           .orderBy(col("rank").desc, col("id")).limit(50)
       },
-      None,
-      doc = "damped PageRank over the customer->supplier purchase graph, top 50 nodes"),
+      Some(pageRankOracle(iterations = 6, damping = 0.85)),
+      doc = "damped PageRank over the customer->supplier purchase graph, top 50 nodes (unrolled-CTE oracle)"),
 
     // ---- HITS on the same purchase graph: the bipartite ranking
     // PageRank conflates (buyers are hubs, suppliers authorities).
-    // Iterative with per-step normalization — no SQL oracle; GraphsSpec
-    // gates vs a dense reference to 1e-9.
+    // FULL oracle: the fixed 5 iterations unroll into chained CTEs —
+    // two propagation aggs + two L2-norm scalars per step, the same
+    // half-step math as the operator; 6dp rounding before ranking on
+    // both engines. GraphsSpec gates vs a dense reference to 1e-9.
     "q_graph_hits" -> Q(
       (s, dir) => {
         val li = table(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
@@ -816,12 +823,12 @@ object Relational extends QueryModule {
           .select(col("o_custkey").as("src"),
             (col("l_suppkey") + 1000000L).as("dst"))
         graft.operators.Graphs.hits(edges, "src", "dst", iterations = 5)
-          .select(col("id"), round(col("hub"), 9).as("hub"),
-            round(col("authority"), 9).as("authority"))
+          .select(col("id"), round(col("hub"), 6).as("hub"),
+            round(col("authority"), 6).as("authority"))
           .orderBy(col("authority").desc, col("hub").desc, col("id")).limit(50)
       },
-      None,
-      doc = "HITS hubs/authorities over the purchase graph, top 50 by authority"),
+      Some(hitsOracle(iterations = 5)),
+      doc = "HITS hubs/authorities over the purchase graph, top 50 by authority (unrolled-CTE oracle)"),
 
     // ---- exact triangle counts over the supplier co-purchase graph
     // (suppliers sharing an order interlink; orders are small cliques,
@@ -905,4 +912,63 @@ object Relational extends QueryModule {
              |) ORDER BY "column"""".stripMargin.replace('\n', ' ')),
       doc = "per-column contract audit: types, null rates, mean shifts between snapshots")
   )
+
+  /** DuckDB oracle for `q_graph_pagerank`: the purchase-graph edges,
+    * then the damped power iteration UNROLLED into one CTE per step —
+    * dangling mass as a scalar subquery, contributions as a grouped
+    * join — replaying [[graft.operators.Graphs.pageRank]]'s exact math
+    * (deterministic, so hash-comparable after 6dp rounding). */
+  private def pageRankOracle(iterations: Int, damping: Double): String = {
+    val steps = (1 to iterations).map { k =>
+      s"""r$k AS MATERIALIZED (SELECT n.id,
+         |  ((1.0 - $damping) / nn.n) + $damping *
+         |    (coalesce(c.contrib, 0.0) + d.dang / nn.n) AS rank
+         |  FROM nodes n CROSS JOIN cnt nn
+         |  CROSS JOIN (SELECT coalesce(sum(rank), 0.0) AS dang FROM r${k - 1} p
+         |    WHERE p.id NOT IN (SELECT src FROM ow)) d
+         |  LEFT JOIN (SELECT ej.dst AS id, sum(ej.share * p.rank) AS contrib
+         |    FROM ej JOIN r${k - 1} p ON ej.src = p.id GROUP BY 1) c
+         |    ON n.id = c.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH raw AS (SELECT o_custkey AS src, l_suppkey + 1000000 AS dst
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |e AS MATERIALIZED (SELECT src, dst, count(*)::DOUBLE AS w FROM raw GROUP BY 1, 2),
+       |ow AS MATERIALIZED (SELECT src, sum(w) AS ow FROM e GROUP BY 1),
+       |nodes AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
+       |cnt AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+       |ej AS MATERIALIZED (SELECT e.src, e.dst, e.w / ow.ow AS share FROM e JOIN ow ON e.src = ow.src),
+       |r0 AS MATERIALIZED (SELECT id, 1.0 / (SELECT n FROM cnt) AS rank FROM nodes),
+       |$steps
+       |SELECT id, round(rank, 6) AS rank FROM r$iterations
+       |ORDER BY round(rank, 6) DESC, id LIMIT 50""".stripMargin.replace('\n', ' ')
+  }
+
+  /** DuckDB oracle for `q_graph_hits`: Kleinberg's two half-steps per
+    * iteration unrolled — an in-edge hub-sum then L2 normalization for
+    * authorities, the dual for hubs — replaying
+    * [[graft.operators.Graphs.hits]] exactly. */
+  private def hitsOracle(iterations: Int): String = {
+    val steps = (1 to iterations).map { k =>
+      s"""a${k}r AS MATERIALIZED (SELECT n.id, coalesce(s.v, 0.0) AS v FROM nodes n
+         |  LEFT JOIN (SELECT e.dst AS id, sum(e.w * h.hub) AS v
+         |    FROM e JOIN h${k - 1} h ON e.src = h.id GROUP BY 1) s ON n.id = s.id),
+         |a$k AS MATERIALIZED (SELECT id, CASE WHEN nn.nrm > 0 THEN v / nn.nrm ELSE v END AS authority
+         |  FROM a${k}r CROSS JOIN (SELECT sqrt(sum(v * v)) AS nrm FROM a${k}r) nn),
+         |h${k}r AS MATERIALIZED (SELECT n.id, coalesce(s.v, 0.0) AS v FROM nodes n
+         |  LEFT JOIN (SELECT e.src AS id, sum(e.w * a.authority) AS v
+         |    FROM e JOIN a$k a ON e.dst = a.id GROUP BY 1) s ON n.id = s.id),
+         |h$k AS MATERIALIZED (SELECT id, CASE WHEN nn.nrm > 0 THEN v / nn.nrm ELSE v END AS hub
+         |  FROM h${k}r CROSS JOIN (SELECT sqrt(sum(v * v)) AS nrm FROM h${k}r) nn)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH raw AS (SELECT o_custkey AS src, l_suppkey + 1000000 AS dst
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |e AS MATERIALIZED (SELECT src, dst, count(*)::DOUBLE AS w FROM raw GROUP BY 1, 2),
+       |nodes AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
+       |h0 AS MATERIALIZED (SELECT id, 1.0 AS hub FROM nodes),
+       |$steps
+       |SELECT h.id, round(h.hub, 6) AS hub, round(a.authority, 6) AS authority
+       |FROM h$iterations h JOIN a$iterations a ON h.id = a.id
+       |ORDER BY round(a.authority, 6) DESC, round(h.hub, 6) DESC, h.id
+       |LIMIT 50""".stripMargin.replace('\n', ' ')
+  }
 }
