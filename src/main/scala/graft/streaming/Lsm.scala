@@ -1,7 +1,7 @@
 package graft.streaming
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -16,6 +16,19 @@ import org.apache.spark.sql.functions._
   * broadcasts the request-sized tombstone set); compaction rewrites the
   * folded state into one segment and drops the tombstones.
   *
+  * ALL filesystem metadata operations (existence checks, the
+  * swap/recover moves, the commit marker) go through Hadoop
+  * `FileSystem`, the same abstraction Spark's parquet reads/writes
+  * already use — so maintainer state dirs address any Hadoop-visible
+  * store: a local path, a `file://` URI, `hdfs://`, or an object store
+  * with a Hadoop connector. At the 100 TB posture this state belongs
+  * on shared storage, not an executor-local disk. (Crash-safety
+  * caveat, inherited from the store: `rename` is atomic on local/HDFS;
+  * on S3-style stores it is copy+delete, so the [[recover]] protocol's
+  * "no point where the only copy is mid-write" guarantee holds because
+  * the COMPACTED copy persists until the final delete, not because the
+  * rename is atomic.)
+  *
   * Compaction contract: the caller pauses the maintainer (no concurrent
   * foreachBatch commit — same stop-the-world contract as
   * [[StreamingSketch.compact]]). The swap itself is crash-safe: the new
@@ -24,6 +37,23 @@ import org.apache.spark.sql.functions._
   * interrupted swap — at no point is the only copy of the data mid-write.
   */
 private[graft] object Lsm {
+
+  /** The active session's Hadoop conf (falls back to a bare
+    * `Configuration` for JVM-side tooling outside a session). */
+  private def hadoopConf: Configuration =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
+
+  private def fsOf(p: HPath): FileSystem = p.getFileSystem(hadoopConf)
+
+  /** Hadoop-FS existence check for maintainer sub-dirs — the check the
+    * maintainers use instead of `java.io.File` so `file://`/`hdfs://`
+    * URIs behave identically to bare paths. */
+  def exists(path: String): Boolean = {
+    val p = new HPath(path)
+    fsOf(p).exists(p)
+  }
 
   /** Exactly-once segment absorb for maintainer state: `foreachBatch`
     * is AT-LEAST-ONCE (a crash between the sink write and the
@@ -46,10 +76,8 @@ private[graft] object Lsm {
     * restarts batch ids at 0 and re-reads the source), and compaction
     * runs only with the maintainer stopped and fully committed
     * (already every compactor's documented stop-the-world contract). */
-  def absorbSegment(part: DataFrame, dir: String, key: String): Unit = {
-    requireLocal(dir)
+  def absorbSegment(part: DataFrame, dir: String, key: String): Unit =
     part.write.mode("overwrite").parquet(s"$dir/batch=$key")
-  }
 
   /** The segment key for one micro-batch: checkpoint-lineage hash +
     * batch id. The batch id alone is NOT unique across a maintainer
@@ -79,8 +107,8 @@ private[graft] object Lsm {
 
   /** [[swapIn]] addressed by the full segment-dir path */
   def swapInPath(path: String): Unit = {
-    val f = new java.io.File(requireLocal(path))
-    swapIn(f.getParent, f.getName)
+    val p = new HPath(path)
+    swapIn(p.getParent.toString, p.getName)
   }
 
   /** [[recover]] addressed by the full segment-dir path — every reader
@@ -88,37 +116,19 @@ private[graft] object Lsm {
     * call this first, or a crash between the swap's two moves strands
     * the only merged copy in `__compact` forever */
   def recoverPath(path: String): Unit = {
-    val f = new java.io.File(requireLocal(path))
-    recover(f.getParent, f.getName)
+    val p = new HPath(path)
+    recover(p.getParent.toString, p.getName)
   }
 
   /** delete a maintainer dir outright (the segment-zero reset) */
-  def resetDir(dir: String): Unit =
-    rmTree(Paths.get(requireLocal(dir)))
+  def resetDir(dir: String): Unit = rmTree(new HPath(dir))
 
-  /** Segment reads/writes go through Spark's Hadoop FS, but tombstone
-    * existence checks and the swap/recover moves use java.nio — on a
-    * non-local URI (s3://, hdfs://) the parquet side would succeed while
-    * tombstones() / dropTombstoned / recover silently no-op, resurfacing
-    * DELETEd ids (a silent right-to-be-forgotten violation). Fail loudly
-    * at every entry point instead: maintainer state dirs must be local
-    * paths. Distributed deployments put them on a shared local mount or
-    * port this object to Hadoop FileSystem first. */
-  private def requireLocal(dir: String): String = {
-    require(!dir.matches("^[a-zA-Z][a-zA-Z0-9+.\\-]*://.*"),
-      s"Lsm maintainer dirs must be local filesystem paths (java.nio side " +
-        s"of the swap/tombstone protocol cannot address a URI): got $dir")
-    dir
-  }
-
-  def tombstone(ids: DataFrame, idKey: String, dir: String): Unit = {
-    requireLocal(dir)
+  def tombstone(ids: DataFrame, idKey: String, dir: String): Unit =
     ids.select(col(idKey).as("id")).distinct()
       .write.mode("append").parquet(s"$dir/tombstones")
-  }
 
   def tombstones(spark: SparkSession, dir: String): Option[DataFrame] =
-    if (new java.io.File(s"${requireLocal(dir)}/tombstones").exists())
+    if (exists(s"$dir/tombstones"))
       Some(spark.read.parquet(s"$dir/tombstones").distinct())
     else None
 
@@ -132,7 +142,7 @@ private[graft] object Lsm {
     }
 
   def clearTombstones(dir: String): Unit =
-    rmTree(Paths.get(requireLocal(dir), "tombstones"))
+    rmTree(new HPath(s"$dir/tombstones"))
 
   /** One JVM-wide monitor serializes every swap/recover transition:
     * without it, a reader's [[recover]] interleaving between
@@ -142,26 +152,32 @@ private[graft] object Lsm {
     * caller's stop-the-world responsibility, as documented. */
   private val lock = new Object
 
+  /** rename that fails LOUDLY: Hadoop `rename` signals some failures
+    * by returning false instead of throwing (dst exists, src missing —
+    * both protocol violations here, never conditions to paper over) */
+  private def mv(fs: FileSystem, src: HPath, dst: HPath): Unit =
+    require(fs.rename(src, dst), s"rename $src -> $dst failed")
+
   /** Replace segment dir `name` under `dir` with the fully-written
     * contents of `<name>__compact`:
-    * move live → `<name>__trash`, atomically move compact → live, drop
+    * move live → `<name>__trash`, move compact → live, drop
     * trash. A crash between the two moves leaves no live dir but a
     * complete `__compact`; [[recover]] finishes the swap. Idempotent:
     * if the compact dir is gone but live exists, a recover already
     * completed this swap and the call is a no-op. */
   def swapIn(dir: String, name: String): Unit = lock.synchronized {
-    requireLocal(dir)
-    val live = Paths.get(dir, name)
-    val compact = Paths.get(dir, s"${name}__compact")
-    val trash = Paths.get(dir, s"${name}__trash")
-    if (!Files.exists(compact)) {
-      require(Files.exists(live),
+    val live = new HPath(dir, name)
+    val compact = new HPath(dir, s"${name}__compact")
+    val trash = new HPath(dir, s"${name}__trash")
+    val fs = fsOf(live)
+    if (!fs.exists(compact)) {
+      require(fs.exists(live),
         s"neither $compact nor $live exists — nothing to swap in")
       return
     }
     rmTree(trash)
-    if (Files.exists(live)) Files.move(live, trash)
-    Files.move(compact, live, StandardCopyOption.ATOMIC_MOVE)
+    if (fs.exists(live)) mv(fs, live, trash)
+    mv(fs, compact, live)
     rmTree(trash)
   }
 
@@ -169,12 +185,11 @@ private[graft] object Lsm {
     * moves (live dir missing, `__compact` fully written), and clear
     * leftover trash. Idempotent, cheap (two existence checks). */
   def recover(dir: String, name: String): Unit = lock.synchronized {
-    requireLocal(dir)
-    val live = Paths.get(dir, name)
-    val compact = Paths.get(dir, s"${name}__compact")
-    if (!Files.exists(live) && Files.exists(compact))
-      Files.move(compact, live, StandardCopyOption.ATOMIC_MOVE)
-    rmTree(Paths.get(dir, s"${name}__trash"))
+    val live = new HPath(dir, name)
+    val compact = new HPath(dir, s"${name}__compact")
+    val fs = fsOf(live)
+    if (!fs.exists(live) && fs.exists(compact)) mv(fs, compact, live)
+    rmTree(new HPath(dir, s"${name}__trash"))
   }
 
   /** MULTI-directory commit for layouts whose segment dirs must change
@@ -187,42 +202,44 @@ private[graft] object Lsm {
     * and the marker removed. A crash anywhere re-runs from the marker
     * ([[recoverAll]]) — each step is idempotent. */
   def swapInAll(dir: String, names: Seq[String]): Unit = lock.synchronized {
-    requireLocal(dir)
-    names.foreach(n => require(Files.exists(Paths.get(dir, s"${n}__compact")),
+    val fs = fsOf(new HPath(dir))
+    names.foreach(n => require(fs.exists(new HPath(dir, s"${n}__compact")),
       s"missing compacted segment $n under $dir"))
-    Files.write(Paths.get(dir, CommitMarker),
-      names.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val marker = new HPath(dir, CommitMarker)
+    val out = fs.create(marker, true)
+    try out.write(names.mkString("\n").getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
     completeCommit(dir, names)
   }
 
   /** reader-side: finish an interrupted [[swapInAll]] (marker present),
     * then any interrupted single-dir swaps */
   def recoverAll(dir: String, names: Seq[String]): Unit = lock.synchronized {
-    requireLocal(dir)
-    if (Files.exists(Paths.get(dir, CommitMarker))) completeCommit(dir, names)
+    val fs = fsOf(new HPath(dir))
+    if (fs.exists(new HPath(dir, CommitMarker))) completeCommit(dir, names)
     names.foreach(recover(dir, _))
   }
 
   private val CommitMarker = "__compact_COMMIT"
 
   private def completeCommit(dir: String, names: Seq[String]): Unit = {
+    val fs = fsOf(new HPath(dir))
     names.foreach { n =>
-      val live = Paths.get(dir, n)
-      val compact = Paths.get(dir, s"${n}__compact")
-      if (Files.exists(compact)) {
+      val live = new HPath(dir, n)
+      val compact = new HPath(dir, s"${n}__compact")
+      if (fs.exists(compact)) {
         rmTree(live) // marker ⇒ the compacted copy is canonical
-        Files.move(compact, live, StandardCopyOption.ATOMIC_MOVE)
+        mv(fs, compact, live)
       }
     }
     clearTombstones(dir)
-    Files.deleteIfExists(Paths.get(dir, CommitMarker))
+    fs.delete(new HPath(dir, CommitMarker), false)
     ()
   }
 
-  def rmTree(p: Path): Unit =
-    if (Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(Files.deleteIfExists(_))
-    }
+  def rmTree(p: HPath): Unit = {
+    val fs = fsOf(p)
+    if (fs.exists(p)) { fs.delete(p, true); () }
+  }
 }

@@ -58,7 +58,7 @@ object StreamingCdc {
     Lsm.recover(dir, "state")
     val segs = spark.read.parquet(s"$dir/state")
     val live =
-      if (new java.io.File(s"$dir/tombstones").exists()) {
+      if (Lsm.exists(s"$dir/tombstones")) {
         val t = spark.read.parquet(s"$dir/tombstones")
         val keyNames = t.select(col("__key_name")).distinct()
           .collect().map(_.getString(0))

@@ -96,8 +96,8 @@ object StreamingDedup {
     // on PATH_NOT_FOUND reading shingles (history is genuinely empty then —
     // every postings row is the replay's own excluded segment)
     val cross =
-      if (!new java.io.File(s"$dir/postings").exists() ||
-          !new java.io.File(s"$dir/shingles").exists()) internal.limit(0)
+      if (!Lsm.exists(s"$dir/postings") ||
+          !Lsm.exists(s"$dir/shingles")) internal.limit(0)
       else {
         val hist = Lsm.readSegmentsExcept(spark, s"$dir/postings", segKey)
         val histSh = Lsm.readSegmentsExcept(spark, s"$dir/shingles", segKey)
@@ -185,7 +185,7 @@ object StreamingDedup {
           .partitionBy(col("__h")).orderBy(col(idCol))))
       .filter(col("__rk") === 1).drop("__rk")
     val fresh =
-      (if (!new java.io.File(s"$dir/hashes").exists()) keepers
+      (if (!Lsm.exists(s"$dir/hashes")) keepers
        else keepers.join(
          Lsm.dropTombstoned(spark, dir,
            Lsm.readSegmentsExcept(spark, s"$dir/hashes", segKey), "id")
@@ -281,7 +281,7 @@ object StreamingDedup {
     val keeper = chunks.groupBy(col("__h"))
       .agg(min(struct(col("id"), col("chunk_idx"))).as("__keep"))
     val freshKeeper =
-      (if (!new java.io.File(s"$dir/chunk_hashes").exists()) keeper
+      (if (!Lsm.exists(s"$dir/chunk_hashes")) keeper
        else keeper.join(
          Lsm.readSegmentsExcept(spark, s"$dir/chunk_hashes", segKey),
          Seq("__h"), "left_anti"))
@@ -356,7 +356,7 @@ object StreamingDedup {
       .agg(countDistinct(col("id")).as("nd"))
       .localCheckpoint()
     val histNd =
-      (if (!new java.io.File(s"$dir/chunk_df").exists())
+      (if (!Lsm.exists(s"$dir/chunk_df"))
          dfPart.select(col("__h"), col("nd")).limit(0)
        else Lsm.readSegmentsExcept(spark, s"$dir/chunk_df", segKey))
         .groupBy(col("__h")).agg(sum(col("nd")).as("h_nd"))

@@ -356,6 +356,49 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     checkBoth()
   }
 
+  test("maintainer state on a file:// URI: full lifecycle through Hadoop FileSystem (no java.nio path remains)") {
+    // the whole LSM protocol — absorb, tombstone existence checks,
+    // swap/recover/commit-marker moves — addressed by URI, which
+    // java.io.File/java.nio cannot resolve: any leftover local-path
+    // assumption fails this test loudly instead of silently no-oping
+    // (the pre-port hazard requireLocal existed to guard)
+    import graft.streaming.{Lsm, StreamingText}
+    import spark.implicits._
+    val local = java.nio.file.Files.createTempDirectory("uristate")
+    val tmp = "file://" + local.toString
+    val b1 = docs.filter(col("doc_id") % 3 === 0)
+    b1.write.parquet(s"$tmp/in1")
+    val q = StreamingText.maintainBm25(
+      spark.readStream.schema(b1.schema).parquet(s"$tmp/in1"),
+      s"$tmp/bm25", "doc_id", "text", s"$tmp/ck")
+    q.processAllAvailable(); q.stop()
+    val dead = b1.filter(col("doc_id") % 6 === 0).select(col("doc_id"))
+    StreamingText.delete(spark, s"$tmp/bm25", dead, "doc_id")
+    assert(Lsm.exists(s"$tmp/bm25/tombstones"),
+      "tombstone existence must resolve through the URI")
+    StreamingText.compactBm25(spark, s"$tmp/bm25")
+    assert(!Lsm.exists(s"$tmp/bm25/tombstones"),
+      "compaction must drop tombstones through the URI")
+    val survivors = docs.filter(col("doc_id") % 3 === 0 && col("doc_id") % 6 =!= 0)
+    val terms = Seq("spark", "join", "data")
+    def scores(ix: Bm25.Index) = Bm25.scoreWithIndex(ix, terms)
+      .select(col("doc_id"), round(col("score"), 9).as("score"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    assert(scores(StreamingText.currentBm25(spark, s"$tmp/bm25")) ===
+      scores(Bm25.buildIndex(survivors, "doc_id", "text")))
+    // bare swap/recover protocol on URIs: interrupted-swap repair works
+    Seq((1L, "a")).toDF("id", "v").write.parquet(s"$tmp/seg__compact/batch=compact")
+    Lsm.recover(s"$tmp", "seg") // live missing + compact present -> completes
+    assert(Lsm.exists(s"$tmp/seg") && !Lsm.exists(s"$tmp/seg__compact"))
+    Seq((2L, "b")).toDF("id", "v").write.parquet(s"$tmp/seg__compact/batch=compact")
+    Lsm.swapIn(s"$tmp", "seg") // live present -> trash dance, then replace
+    assert(Lsm.readSegments(spark, s"$tmp/seg").as[(Long, String)].collect()
+      .toSeq === Seq((2L, "b")))
+    assert(!Lsm.exists(s"$tmp/seg__trash"))
+    Lsm.resetDir(tmp)
+    assert(!Lsm.exists(tmp))
+  }
+
   test("streaming ANN delete: tombstoned vectors never surface; compaction drops them") {
     val tmp = java.nio.file.Files.createTempDirectory("anndel").toString
     val idxDir = s"$tmp/index"
@@ -553,7 +596,7 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     assert(xdState === xdOnce, "exact-dedup replay changed state")
     // crash BETWEEN the unique and hashes writes: batch 1's hashes
     // segment is lost, the batch re-delivers, state must converge
-    graft.streaming.Lsm.rmTree(java.nio.file.Paths.get(s"$tmp/xd/hashes/batch=b1"))
+    graft.streaming.Lsm.rmTree(new org.apache.hadoop.fs.Path(s"$tmp/xd/hashes/batch=b1"))
     graft.streaming.StreamingDedup.absorbExactDedupBatch(e1, "b1", s"$tmp/xd", "doc_id", "text")
     assert(xdState === xdOnce, "partial-crash replay changed state")
 
@@ -566,7 +609,7 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     graft.streaming.StreamingDedup.absorbNearDupBatch(
       w0, "b0", s"$tmp/wedge", "doc_id", "text", 0.5, 8, 2)
     val wedgeOnce = spark.read.parquet(s"$tmp/wedge/postings").count()
-    graft.streaming.Lsm.rmTree(java.nio.file.Paths.get(s"$tmp/wedge/shingles"))
+    graft.streaming.Lsm.rmTree(new org.apache.hadoop.fs.Path(s"$tmp/wedge/shingles"))
     graft.streaming.StreamingDedup.absorbNearDupBatch(
       w0, "b0", s"$tmp/wedge", "doc_id", "text", 0.5, 8, 2) // replay
     assert(spark.read.parquet(s"$tmp/wedge/postings").count() === wedgeOnce
