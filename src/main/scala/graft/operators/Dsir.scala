@@ -158,13 +158,23 @@ object Dsir {
   def select(raw: DataFrame, target: DataFrame, idCol: String,
       textCol: String, n: Int, alpha: Double = 0.5,
       hashBuckets: Option[Int] = None, temperature: Double = 1.0,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L, hashKeyed: Boolean = false): DataFrame = {
     require(temperature > 0, "temperature must be positive")
     val w = logWeights(raw, target, idCol, textCol, alpha, hashBuckets)
-    val u = (pmod(xxhash64(col("id"), lit(seed)), lit(1000000000L))
-      .cast("double") + lit(0.5)) / lit(1e9)
-    w.withColumn("gumbel_key",
-        col("log_weight") / lit(temperature) - log(-log(u)))
+    // hashKeyed = the ORACLE-REPLAYABLE mode: the Gumbel uniform comes
+    // from the engine-independent md5 fold (strictly interior — a u of
+    // exactly 1.0 would blow up the double log), and the key rounds to
+    // 6dp BEFORE the top-n cut so both engines rank identical doubles
+    // (cross-engine fp drift in the log-weight sum stays ~1e-12, far
+    // under the rounding quantum). Default mode keeps the cheaper
+    // xxhash64 uniform.
+    val u =
+      if (hashKeyed) graft.operators.Sampling.hashUniformOpen(
+        concat_ws(":", lit(seed.toString), col("id")))
+      else (pmod(xxhash64(col("id"), lit(seed)), lit(1000000000L))
+        .cast("double") + lit(0.5)) / lit(1e9)
+    val key = col("log_weight") / lit(temperature) - log(-log(u))
+    w.withColumn("gumbel_key", if (hashKeyed) round(key, 6) else key)
       .orderBy(col("gumbel_key").desc, col("id"))
       .limit(n)
   }

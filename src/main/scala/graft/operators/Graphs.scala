@@ -159,6 +159,101 @@ object Graphs {
     }
   }
 
+  /** Synchronous label-propagation community detection (Raghavan et al.
+    * 2007, the LPA baseline every graph library ships): labels start as
+    * node ids; each iteration every node adopts the label occurring most
+    * among its neighbors, ties to the SMALLEST label — fully
+    * deterministic (no random visit order), so a fixed iteration count
+    * replays exactly in any engine: the DuckDB oracle unrolls the
+    * iterations like [[pageRank]]'s, and the math is all-integer (no
+    * float rounding anywhere). Returns (id, label).
+    *
+    * Scale shape: the undirected adjacency persists once partitioned on
+    * the JOIN key (`nb`); one iteration = one equi-join + one
+    * (id,label) count agg + one max-struct agg — the majority pick is
+    * an aggregate, NOT a per-node window sort. localCheckpoint per
+    * iteration keeps lineage linear (same discipline as pageRank). */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 5): DataFrame = {
+    require(iterations >= 1, "need at least one iteration")
+    val spark = edges.sparkSession
+    val par = spark.sparkContext.defaultParallelism
+    val und = edges
+      .select(least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("a"),
+        greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val adj = und.select(col("a").as("id"), col("b").as("nb"))
+      .unionByName(und.select(col("b").as("id"), col("a").as("nb")))
+      .repartition(par, col("nb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // every node in `adj` has >= 1 neighbor (isolated nodes can't come
+      // from an edge list), so the vote inner-join covers all nodes
+      var labels = adj.select(col("id")).distinct()
+        .withColumn("label", col("id")).localCheckpoint()
+      var it = 0
+      while (it < iterations) {
+        val votes = adj
+          .join(labels.withColumnRenamed("id", "nb"), "nb")
+          .groupBy(col("id"), col("label"))
+          .agg(count(lit(1)).as("c"))
+        // majority label, ties -> smallest: max(struct(count, -label))
+        // — ids are non-negative, so -label inverts the tie order
+        labels = votes.groupBy(col("id"))
+          .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+          .select(col("id"), (-col("m.nl")).as("label"))
+          .localCheckpoint()
+        it += 1
+      }
+      labels
+    } finally { adj.unpersist(false); () }
+  }
+
+  /** Adamic-Adar link prediction (Adamic & Adar 2003 — the classic
+    * common-neighbor recommender): for every non-adjacent pair (u, v),
+    * score = Σ over common neighbors w of 1/ln(deg(w)), plus the raw
+    * common-neighbor count. Pairs enumerate by WEDGE at the middle node
+    * (u —w— v with u < v), so each common neighbor contributes exactly
+    * one row to the pair's aggregate; existing edges drop by anti-join.
+    *
+    * Scale shape: the wedge fan-out is Σ deg(w)², which one hub makes
+    * quadratic — `maxDegree` caps middle-node degree (the standard
+    * hub-cap: a celebrity node's common-neighbor signal is worthless
+    * anyway, and its 1/ln(deg) weight is ~0). The cap is part of the
+    * operator's contract and the oracle applies it identically. Degree
+    * ≥ 2 is structural for any middle (a wedge needs two neighbors), so
+    * ln(deg) is never 0. Returns (u, v, common_neighbors, adamic_adar). */
+  def adamicAdar(edges: DataFrame, srcCol: String, dstCol: String,
+      maxDegree: Int = 10000): DataFrame = {
+    require(maxDegree >= 2, "maxDegree must be >= 2")
+    val und = edges
+      .select(least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("a"),
+        greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val adj = und.select(col("a").as("id"), col("b").as("nb"))
+      .unionByName(und.select(col("b").as("id"), col("a").as("nb")))
+    val deg = adj.groupBy(col("id")).agg(count(lit(1)).as("d"))
+    try {
+      val mid = adj.join(deg.filter(col("d") <= maxDegree), "id")
+      val wedges = mid.as("m1").join(mid.as("m2"),
+          col("m1.id") === col("m2.id") && col("m1.nb") < col("m2.nb"))
+        .select(col("m1.nb").as("u"), col("m2.nb").as("v"),
+          col("m1.d").as("dw"))
+      val nonEdges = wedges.join(
+        und.select(col("a").as("u"), col("b").as("v")),
+        Seq("u", "v"), "left_anti")
+      // eager materialization (like triangles): the finally-unpersist
+      // below would otherwise yank `und` from under the lazy plan
+      nonEdges.groupBy(col("u"), col("v"))
+        .agg(count(lit(1)).as("common_neighbors"),
+          sum(lit(1.0) / log(col("dw"))).as("adamic_adar"))
+        .localCheckpoint()
+    } finally { und.unpersist(false); () }
+  }
+
   /** Exact per-node triangle counts over the UNDIRECTED graph of
     * `edges` (direction and parallel edges ignored): the clustering
     * signal of a link graph (domains whose neighbors interlink are

@@ -70,35 +70,60 @@ object HybridSearch {
     * same discipline as ANN centroids), never the corpus. Ties break by
     * id; returns (id, mmr_rank, mmr_score) for the k selected.
     * `candidates`: (id, score, vec) with unit-normalized vectors
-    * (cosine == dot). */
+    * (cosine == dot).
+    *
+    * `simDecimals >= 0` makes the greedy ORACLE-REPLAYABLE: the pairwise
+    * sims come from the ENGINE, round()ed to that many decimals (the same
+    * round() a SQL oracle applies), so a DuckDB unrolled-CTE replay of the
+    * greedy sees bit-identical inputs and picks the same rows. Pass
+    * engine-rounded rel scores for the same reason. The sim matrix is a
+    * bounded maxCandidates² artifact — same discipline as the candidate
+    * collect itself. */
   def mmr(candidates: DataFrame, k: Int, lambda: Double = 0.7,
-      maxCandidates: Int = 1000): DataFrame = {
+      maxCandidates: Int = 1000, simDecimals: Int = -1): DataFrame = {
     require(k >= 1, "k must be positive")
     require(0 <= lambda && lambda <= 1, "lambda in [0, 1]")
     val spark = candidates.sparkSession
     import spark.implicits._
-    val rows = candidates
-      .select(col("id").cast("long"), col("score").cast("double"),
-        col("vec").cast("array<double>"))
+    val top = candidates
+      .select(col("id").cast("long").as("id"),
+        col("score").cast("double").as("score"),
+        col("vec").cast("array<double>").as("vec"))
       .orderBy(col("score").desc, col("id")).limit(maxCandidates)
-      .collect()
+    val rows = top.collect()
       .map(r => (r.getLong(0), r.getDouble(1),
         r.getSeq[Double](2).toArray))
     def dot(a: Array[Double], b: Array[Double]): Double = {
       var s = 0.0; var i = 0
       while (i < a.length) { s += a(i) * b(i); i += 1 }; s
     }
+    val simLookup: Map[(Long, Long), Double] =
+      if (simDecimals < 0) Map.empty
+      else {
+        val a = top.select(col("id").as("ai"), col("vec").as("va"))
+        val b = top.select(col("id").as("bi"), col("vec").as("vb"))
+        a.crossJoin(b).filter(col("ai") =!= col("bi"))
+          .select(col("ai"), col("bi"),
+            round(graft.functions.gf.dot(col("va"), col("vb")),
+              simDecimals).as("sim"))
+          .collect()
+          .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      }
     val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Double)]
-    val chosen = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    val chosen = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
     val remaining = scala.collection.mutable.ArrayBuffer(rows: _*)
     while (selected.length < k && remaining.nonEmpty) {
       val scored = remaining.map { case (id, rel, v) =>
-        val maxSim = if (chosen.isEmpty) 0.0 else chosen.map(dot(_, v)).max
+        val maxSim =
+          if (chosen.isEmpty) 0.0
+          else chosen.map { case (cid, cv) =>
+            if (simDecimals < 0) dot(cv, v) else simLookup((cid, id))
+          }.max
         (id, lambda * rel - (1 - lambda) * maxSim, v)
       }
       val best = scored.minBy { case (id, s, _) => (-s, id) }
       selected += ((best._1, selected.length + 1, best._2))
-      chosen += best._3
+      chosen += ((best._1, best._3))
       remaining.remove(remaining.indexWhere(_._1 == best._1))
     }
     selected.toSeq.toDF("id", "mmr_rank", "mmr_score")

@@ -27,6 +27,33 @@ object Sampling {
       .limit(n)
       .drop("__w", "__key")
 
+  /** Weighted sample without replacement keyed on a ROW IDENTITY instead of
+    * rand(seed): the A-ExpJ key -ln(u)/w with u = [[hashUniform]](key).
+    * Exactly the Efraimidis-Spirakis weighted-reservoir distribution when
+    * keys are distinct, but layout-independent, stable under re-runs/appends,
+    * and replayable in any engine with string md5 — so the driver's DuckDB
+    * oracle checks it row-for-row, unlike the rand(seed) variant whose value
+    * depends on the physical partition layout. Distributed cost is one
+    * TakeOrdered (per-partition top-n heaps, then an n-row merge). */
+  def weightedHashSample(df: DataFrame, key: Column, weight: Column,
+      n: Int): DataFrame =
+    df.withColumn("__w", weight.cast("double"))
+      .filter(col("__w") > 0)
+      .withColumn("__key", -log(hashUniform(key)) / col("__w"))
+      .orderBy(col("__key").asc, key)
+      .limit(n)
+      .drop("__w", "__key")
+
+  /** Bernoulli fraction sample keyed on row identity: keep iff
+    * [[hashUniform]](key) < fraction. Same marginal distribution as
+    * `df.sample(fraction, seed)` but deterministic across engines and
+    * layouts (oracle-checkable), and pure map-side — the filter pushes
+    * into the scan, no RNG state per partition. */
+  def fractionHashSample(df: DataFrame, key: Column, fraction: Double): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, "fraction in [0, 1]")
+    df.filter(hashUniform(key) < fraction)
+  }
+
   /** SAMPLE BY weight REPLACE true LIMIT n: expected-count replication —
     * each row is emitted Poisson-ish floor(n*w/W + u) times. One pass +
     * a generator; exact multinomial would need a driver-side cumsum. */
@@ -68,6 +95,18 @@ object Sampling {
       transform(sequence(lit(1), lit(32)), i => ascii(h.substr(i, lit(1))).cast("long")),
       lit(0L), (a, x) => (a * 31L + x) % 1000003L)
     (code + lit(1)).cast("double") / 1000004.0
+  }
+
+  /** [[hashUniform]] shifted to the OPEN interval (0, 1): u can hit
+    * exactly 1.0 in the closed variant, which double-log transforms
+    * (Gumbel keys: -ln(-ln(u))) turn into an infinity. Same md5 fold,
+    * +0.5 offset — equally engine-expressible. */
+  def hashUniformOpen(key: Column): Column = {
+    val h = md5(key.cast("string"))
+    val code = aggregate(
+      transform(sequence(lit(1), lit(32)), i => ascii(h.substr(i, lit(1))).cast("long")),
+      lit(0L), (a, x) => (a * 31L + x) % 1000003L)
+    (code.cast("double") + lit(0.5)) / 1000004.0
   }
 
   /** Weighted per-group sampling without replacement (the per-stratum

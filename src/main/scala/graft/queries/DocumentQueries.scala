@@ -1286,13 +1286,34 @@ object DocumentQueries extends QueryModule {
         val d = table(s, dir, "documents")
         graft.operators.Dsir.select(
             d, d.filter(col("source") === "src0"), "doc_id", "text",
-            n = 100, temperature = 2.0, seed = 42L)
+            n = 100, temperature = 2.0, seed = 42L, hashKeyed = true)
           .select(col("id").as("doc_id"),
-            round(col("log_weight"), 6).as("log_weight"))
+            round(col("log_weight"), 6).as("log_weight"),
+            col("gumbel_key"))
           .orderBy(col("doc_id"))
       },
-      None,
-      doc = "Gumbel-top-k DSIR resample: P(select) proportional to w^(1/T), seeded"),
+      Some {
+        val uu = uuOpenSql("md5('42:' || doc_id::VARCHAR)")
+        s"""WITH t AS (SELECT doc_id, source, string_split(text,' ') AS w FROM documents),
+           |gr AS (SELECT doc_id, source, unnest(w) AS g FROM t
+           |  UNION ALL
+           |  SELECT doc_id, source, w[i]||' '||w[i+1] FROM t, unnest(range(1, len(w))) AS r(i)),
+           |rcnt AS (SELECT g, count(*) AS rc FROM gr GROUP BY g),
+           |tcnt AS (SELECT g, count(*) AS tc FROM gr WHERE source = 'src0' GROUP BY g),
+           |ratio AS (SELECT coalesce(rcnt.g, tcnt.g) AS g, coalesce(rc, 0) AS rc,
+           |  coalesce(tc, 0) AS tc FROM rcnt FULL JOIN tcnt ON rcnt.g = tcnt.g),
+           |c AS (SELECT sum(rc) AS nr, sum(tc) AS nt, count(*) AS v FROM ratio),
+           |sc AS (SELECT doc_id, ln((tc + 0.5)/(nt + 0.5*v)) - ln((rc + 0.5)/(nr + 0.5*v)) AS lr
+           |  FROM gr JOIN ratio USING (g) CROSS JOIN c),
+           |wq AS (SELECT doc_id, sum(lr) AS lw FROM sc GROUP BY doc_id),
+           |k AS (SELECT doc_id, lw,
+           |  round(lw / 2.0 - ln(-ln($uu)), 6) AS gumbel_key FROM wq),
+           |top AS (SELECT doc_id, lw, gumbel_key FROM k
+           |  ORDER BY gumbel_key DESC, doc_id LIMIT 100)
+           |SELECT doc_id, round(lw, 6) AS log_weight, gumbel_key
+           |FROM top ORDER BY doc_id""".stripMargin.replace('\n', ' ')
+      },
+      doc = "Gumbel-top-k DSIR resample: P(select) proportional to w^(1/T); md5-keyed, full-oracle"),
 
     // ---- chunk-level exact dedup with doc reassembly (the paragraph
     // dedup of RefinedWeb/Dolma). The synthetic corpus has no naturally

@@ -21,4 +21,20 @@ trait QueryModule {
 
   protected def table(spark: SparkSession, dir: String, name: String): DataFrame =
     graft.sources.Tables(spark, dir, name)
+
+  /** DuckDB replay of [[graft.operators.Sampling.hashUniform]] — the 31-ary
+    * fold of the md5 hex chars of expression `h` (already an md5 hex string),
+    * yielding the same uniform in (0, 1] bit-for-bit. Shared by every
+    * hash-seeded sampler oracle. */
+  protected def uuSql(h: String): String =
+    s"(list_reduce(list_prepend(0, list_transform(range(1,33), " +
+      s"i -> ascii(substr($h, CAST(i AS INT), 1)))), " +
+      s"(a, b) -> (a*31 + b) % 1000003) + 1) / 1000004.0"
+
+  /** DuckDB replay of [[graft.operators.Sampling.hashUniformOpen]] — the
+    * open-interval (+0.5) variant Gumbel keys need. */
+  protected def uuOpenSql(h: String): String =
+    s"(list_reduce(list_prepend(0, list_transform(range(1,33), " +
+      s"i -> ascii(substr($h, CAST(i AS INT), 1)))), " +
+      s"(a, b) -> (a*31 + b) % 1000003) + 0.5) / 1000004.0"
 }

@@ -863,6 +863,64 @@ object Relational extends QueryModule {
         .stripMargin.replace('\n', ' ')),
       doc = "exact per-node triangle counts over the supplier co-purchase graph (canonical a<b<c join)"),
 
+    // ---- label-propagation communities over the co-purchase graph —
+    // synchronous LPA with smallest-label tie-break is fully
+    // deterministic and ALL-INTEGER, so the fixed 4 iterations unroll
+    // into exact (no rounding) DuckDB CTEs
+    "q_graph_lpa" -> Q(
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+          .filter(col("l_orderkey") % 4 === 0)
+          .select(col("l_orderkey"), col("l_suppkey"))
+        val edges = li.as("x").join(li.as("y"),
+            col("x.l_orderkey") === col("y.l_orderkey") &&
+              col("x.l_suppkey") < col("y.l_suppkey"))
+          .select(col("x.l_suppkey").as("src"), col("y.l_suppkey").as("dst"))
+        graft.operators.Graphs.labelPropagation(edges, "src", "dst",
+            iterations = 4)
+          .orderBy(col("id"))
+      },
+      Some(lpaOracle(iterations = 4)),
+      doc = "synchronous LPA communities over the supplier co-purchase graph (exact unrolled-CTE oracle)"),
+
+    // ---- Adamic-Adar link prediction on the same graph: recommend the
+    // supplier pairs most likely to co-occur next, scored by
+    // Σ 1/ln(deg) over common neighbors — full SQL oracle
+    "q_graph_adamic_adar" -> Q(
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+          .filter(col("l_orderkey") % 4 === 0)
+          .select(col("l_orderkey"), col("l_suppkey"))
+        val edges = li.as("x").join(li.as("y"),
+            col("x.l_orderkey") === col("y.l_orderkey") &&
+              col("x.l_suppkey") < col("y.l_suppkey"))
+          .select(col("x.l_suppkey").as("src"), col("y.l_suppkey").as("dst"))
+        graft.operators.Graphs.adamicAdar(edges, "src", "dst")
+          .select(col("u"), col("v"), col("common_neighbors"),
+            round(col("adamic_adar"), 6).as("adamic_adar"))
+          .orderBy(col("adamic_adar").desc, col("u"), col("v"))
+          .limit(50)
+      },
+      Some("""WITH raw AS (SELECT x.l_suppkey AS a, y.l_suppkey AS b
+             |  FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+             |  AND x.l_suppkey < y.l_suppkey
+             |  WHERE x.l_orderkey % 4 = 0 AND y.l_orderkey % 4 = 0),
+             |e AS MATERIALIZED (SELECT DISTINCT a, b FROM raw),
+             |adj AS MATERIALIZED (SELECT a AS id, b AS nb FROM e
+             |  UNION ALL SELECT b, a FROM e),
+             |deg AS MATERIALIZED (SELECT id, count(*) AS d FROM adj GROUP BY id),
+             |mid AS MATERIALIZED (SELECT a.id, a.nb, g.d FROM adj a
+             |  JOIN deg g USING (id) WHERE g.d <= 10000),
+             |w AS (SELECT m1.nb AS u, m2.nb AS v, m1.d AS dw
+             |  FROM mid m1 JOIN mid m2 ON m1.id = m2.id AND m1.nb < m2.nb),
+             |ne AS (SELECT u, v, dw FROM w WHERE NOT EXISTS (
+             |  SELECT 1 FROM e WHERE e.a = w.u AND e.b = w.v))
+             |SELECT u, v, count(*)::BIGINT AS common_neighbors,
+             |  round(sum(1.0 / ln(dw)), 6) AS adamic_adar
+             |FROM ne GROUP BY u, v
+             |ORDER BY adamic_adar DESC, u, v LIMIT 50""".stripMargin.replace('\n', ' ')),
+      doc = "Adamic-Adar common-neighbor link prediction, hub-capped wedge enumeration"),
+
     // ---- schema-drift audit: the data contract between two snapshots
     // (planted: one added, one removed, one type-changed column)
     "q_schema_drift" -> Q(
@@ -941,6 +999,33 @@ object Relational extends QueryModule {
        |$steps
        |SELECT id, round(rank, 6) AS rank FROM r$iterations
        |ORDER BY round(rank, 6) DESC, id LIMIT 50""".stripMargin.replace('\n', ' ')
+  }
+
+  /** DuckDB oracle for `q_graph_lpa`: synchronous label propagation
+    * unrolled — per step, each node takes the most frequent neighbor
+    * label (ties to the smallest), replaying
+    * [[graft.operators.Graphs.labelPropagation]] exactly (all-integer:
+    * no float tolerance anywhere). */
+  private def lpaOracle(iterations: Int): String = {
+    val steps = (1 to iterations).map { k =>
+      s"""l$k AS MATERIALIZED (SELECT id, label FROM (
+         |  SELECT a.id, l.label,
+         |    row_number() OVER (PARTITION BY a.id
+         |      ORDER BY count(*) DESC, l.label) AS rk
+         |  FROM adj a JOIN l${k - 1} l ON a.nb = l.id
+         |  GROUP BY a.id, l.label) t WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH raw AS (SELECT x.l_suppkey AS a, y.l_suppkey AS b
+       |  FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+       |  AND x.l_suppkey < y.l_suppkey
+       |  WHERE x.l_orderkey % 4 = 0 AND y.l_orderkey % 4 = 0),
+       |e AS MATERIALIZED (SELECT DISTINCT a, b FROM raw),
+       |adj AS MATERIALIZED (SELECT a AS id, b AS nb FROM e
+       |  UNION ALL SELECT b, a FROM e),
+       |l0 AS MATERIALIZED (SELECT DISTINCT id, id AS label FROM adj),
+       |$steps
+       |SELECT id, label FROM l$iterations ORDER BY id"""
+      .stripMargin.replace('\n', ' ')
   }
 
   /** DuckDB oracle for `q_graph_hits`: Kleinberg's two half-steps per

@@ -85,7 +85,9 @@ object SearchQueries extends QueryModule {
 
     // ---- MMR diversification: greedy λ·rel − (1−λ)·max-sim re-rank
     // over the retrieval top-100 (bounded driver artifact; greedy is
-    // inherently sequential). Deterministic — spec-gated laws.
+    // inherently sequential). rel + pairwise sims are ENGINE-rounded to
+    // 6dp before the greedy, so the DuckDB oracle replays the selection
+    // bit-identically via 10 unrolled pick-CTEs (the PageRank posture)
     "q_search_mmr" -> Q(
       (s, dir) => {
         val norm = graft.operators.EmbeddingOps.matryoshka(
@@ -93,16 +95,50 @@ object SearchQueries extends QueryModule {
         val qv = norm.filter(col("vec_id") === 0).select(col("nv").as("qv"))
         val cands = norm.filter(col("vec_id") =!= 0).crossJoin(broadcast(qv))
           .select(col("vec_id").as("id"),
-            aggregate(zip_with(col("nv"), col("qv"), (a, b) => a * b),
-              lit(0.0), (acc, x) => acc + x).as("score"),
+            round(gf.dot(col("nv"), col("qv")), 6).as("score"),
             col("nv").as("vec"))
-        HybridSearch.mmr(cands, k = 10, lambda = 0.7, maxCandidates = 100)
+        HybridSearch.mmr(cands, k = 10, lambda = 0.7, maxCandidates = 100,
+            simDecimals = 6)
           .select(col("id"), col("mmr_rank"),
             round(col("mmr_score"), 6).as("mmr_score"))
           .orderBy(col("mmr_rank"))
       },
-      None,
-      doc = "MMR-diversified top-10 over the cosine top-100 (lambda = 0.7)"),
+      Some {
+        // replay the greedy: pick_i = argmax over unselected of
+        // λ·rel − (1−λ)·max sim-to-selected, ties on id — 10 unrolled
+        // steps, doubles matching the Scala arithmetic exactly
+        // (0.7::DOUBLE and (1 - 0.7::DOUBLE) reproduce the binary64
+        // lambda values; rel/sim arrive round()ed identically)
+        val steps = (2 to 10).map { i =>
+          s"""p$i AS MATERIALIZED (SELECT c.id, 0.7::DOUBLE * c.rel
+             |    - (1 - 0.7::DOUBLE) * max(p.sim) AS s
+             |  FROM cands c JOIN pairs p ON p.ai = c.id
+             |    AND p.bi IN (SELECT id FROM sel${i - 1})
+             |  WHERE c.id NOT IN (SELECT id FROM sel${i - 1})
+             |  GROUP BY c.id, c.rel ORDER BY s DESC, c.id LIMIT 1),
+             |sel$i AS MATERIALIZED (SELECT * FROM sel${i - 1}
+             |  UNION ALL SELECT id, $i, s FROM p$i)""".stripMargin
+        }.mkString(", ")
+        s"""WITH nrm AS MATERIALIZED (SELECT vec_id,
+           |  list_transform(v, x -> x / sqrt(list_sum(
+           |    list_transform(v, y -> y * y)))) AS nv
+           |  FROM (SELECT vec_id, (embedding::DOUBLE[])[1:4096] AS v
+           |        FROM embeddings)),
+           |cands AS MATERIALIZED (SELECT n.vec_id AS id,
+           |    round(list_dot_product(n.nv, q.nv), 6) AS rel, n.nv
+           |  FROM nrm n, (SELECT nv FROM nrm WHERE vec_id = 0) q
+           |  WHERE n.vec_id <> 0 ORDER BY rel DESC, id LIMIT 100),
+           |pairs AS MATERIALIZED (SELECT a.id AS ai, b.id AS bi,
+           |    round(list_dot_product(a.nv, b.nv), 6) AS sim
+           |  FROM cands a, cands b WHERE a.id <> b.id),
+           |p1 AS MATERIALIZED (SELECT id, 0.7::DOUBLE * rel AS s FROM cands
+           |  ORDER BY s DESC, id LIMIT 1),
+           |sel1 AS MATERIALIZED (SELECT id, 1 AS mmr_rank, s AS mmr_score FROM p1),
+           |$steps
+           |SELECT id, mmr_rank, round(mmr_score, 6) AS mmr_score
+           |FROM sel10 ORDER BY mmr_rank""".stripMargin.replace('\n', ' ')
+      },
+      doc = "MMR-diversified top-10 over the cosine top-100; full-oracle replay"),
 
     // ---- hybrid search: cosine + BM25, softmax-fused 0.5/0.5
     "q_hybrid_search" -> Q(

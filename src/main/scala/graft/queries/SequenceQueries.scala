@@ -543,22 +543,37 @@ object SequenceQueries extends QueryModule {
              |FROM c ORDER BY from_type, to_type""".stripMargin.replace('\n', ' ')),
       doc = "event-type Markov transition counts + row-normalized probabilities"),
 
-    // ---- SAMPLE BY weight LIMIT n (seeded; not SQL-expressible -> rows-only)
+    // ---- SAMPLE BY weight LIMIT n — A-ExpJ key -ln(u)/w with the
+    // md5-derived uniform keyed on row identity: the weighted-reservoir
+    // distribution, yet layout-independent and replayed exactly by the
+    // DuckDB oracle (rand(seed) stays available in the TQL dialect)
     "q_sample_weighted" -> Q(
       (s, dir) => {
-        Sampling.weightedSample(
-            table(s, dir, "lineitem"), col("l_quantity"), n = 100)
+        Sampling.weightedHashSample(
+            table(s, dir, "lineitem"),
+            concat_ws(":", col("l_orderkey"), col("l_linenumber")),
+            col("l_quantity"), n = 100)
           .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
           .orderBy(col("l_orderkey"), col("l_linenumber"))
       },
-      None,
-      doc = "A-ExpJ weighted reservoir; deterministic under the fixed seed"),
+      Some {
+        val uu = uuSql("md5(l_orderkey::VARCHAR || ':' || l_linenumber::VARCHAR)")
+        s"""WITH u AS (SELECT l_orderkey, l_linenumber, l_quantity,
+           |  $uu AS uu FROM lineitem WHERE l_quantity > 0),
+           |r AS (SELECT l_orderkey, l_linenumber, l_quantity FROM u
+           |  ORDER BY -ln(uu) / l_quantity::DOUBLE,
+           |  l_orderkey::VARCHAR || ':' || l_linenumber::VARCHAR LIMIT 100)
+           |SELECT l_orderkey, l_linenumber, l_quantity FROM r
+           |ORDER BY l_orderkey, l_linenumber""".stripMargin.replace('\n', ' ')
+      },
+      doc = "A-ExpJ weighted reservoir on the md5 uniform; full-oracle"),
 
     // ---- SAMPLE BY MAX_WEIGHT(cond: w, ...) (tql.md:336-347)
     "q_sample_max_weight" -> Q(
       (s, dir) => {
         val li = table(s, dir, "lineitem")
-        Sampling.weightedSample(li,
+        Sampling.weightedHashSample(li,
+            concat_ws(":", col("l_orderkey"), col("l_linenumber")),
             Sampling.maxWeight(
               (col("l_returnflag") === "R") -> 10.0,
               (col("l_quantity") > 40) -> 5.0,
@@ -568,8 +583,18 @@ object SequenceQueries extends QueryModule {
           .agg(count(lit(1)).as("n"))
           .orderBy(col("l_returnflag"))
       },
-      None,
-      doc = "R-flag rows weighted 10x; sampled composition skews accordingly"),
+      Some {
+        val uu = uuSql("md5(l_orderkey::VARCHAR || ':' || l_linenumber::VARCHAR)")
+        s"""WITH u AS (SELECT l_returnflag,
+           |  greatest(CASE WHEN l_returnflag = 'R' THEN 10.0 ELSE 0.0 END,
+           |    CASE WHEN l_quantity > 40 THEN 5.0 ELSE 0.0 END, 1.0)::DOUBLE AS w,
+           |  l_orderkey::VARCHAR || ':' || l_linenumber::VARCHAR AS k,
+           |  $uu AS uu FROM lineitem),
+           |r AS (SELECT l_returnflag FROM u ORDER BY -ln(uu) / w, k LIMIT 200)
+           |SELECT l_returnflag, count(*) AS n FROM r
+           |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin.replace('\n', ' ')
+      },
+      doc = "R-flag rows weighted 10x; composition skews accordingly; full-oracle"),
 
     // ---- entity-aware temporal split with embargo (purged time
     // split): users held out by deterministic md5 hash, a 2-day

@@ -275,17 +275,21 @@ object TensorQueries extends QueryModule {
              |FROM (SELECT p_brand, count(*) AS c FROM part GROUP BY p_brand) t
              |ORDER BY c DESC, p_brand LIMIT 10""".stripMargin.replace('\n', ' '))),
 
-    // ---- SAMPLE BY fraction (tql.md:641-643) — seeded Bernoulli sample;
-    // not SQL-reproducible across engines -> rows-only check
+    // ---- SAMPLE BY fraction (tql.md:641-643) — Bernoulli keep-test on the
+    // md5-derived uniform keyed on vec_id: same marginal distribution as a
+    // seeded sample but layout-independent, map-side (pushes into the scan),
+    // and replayed exactly by the DuckDB oracle
     "q_sample_fraction" -> Q(
       (s, dir) => {
-        table(s, dir, E)
-          .sample(withReplacement = false, fraction = 0.1, seed = 42L)
+        graft.operators.Sampling.fractionHashSample(
+            table(s, dir, E), col("vec_id"), 0.1)
           .select(col("vec_id"), col("label"))
           .orderBy(col("vec_id"))
       },
-      None,
-      doc = "seeded Bernoulli sample; engine-specific RNG -> rows-only check"),
+      Some(s"""SELECT vec_id, label FROM embeddings
+              |WHERE ${uuSql("md5(vec_id::VARCHAR)")} < 0.1
+              |ORDER BY vec_id""".stripMargin.replace('\n', ' ')),
+      doc = "hash-Bernoulli 10% sample; deterministic and full-oracle"),
 
     // ---- deterministic stratified sample: n-per-stratum by md5 order —
     // random in distribution yet engine-independent, so FULLY

@@ -120,6 +120,57 @@ class GraphsSpec extends AnyFunSuite {
     assert(gb(10L)._2 > gb(11L)._2, "two-buyer supplier out-ranks the one-buyer one")
   }
 
+  test("labelPropagation: two planted cliques get two labels; bridge node joins the larger") {
+    import spark.implicits._
+    // clique {1,2,3} + clique {10,11,12,13} + bridge edge 3-10: the
+    // 4-clique's min label (10) wins its side; the triangle keeps 1
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    val edges = (clique(Seq(1L, 2L, 3L)) ++ clique(Seq(10L, 11L, 12L, 13L)) ++
+      Seq((3L, 10L))).toDF("src", "dst")
+    val got = Graphs.labelPropagation(edges, "src", "dst", iterations = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 10L, 11L, 12L, 13L))
+    val big = Set(10L, 11L, 12L, 13L).map(got)
+    assert(big.size == 1, s"the 4-clique must agree on one label: $big")
+    val small = Set(1L, 2L).map(got)
+    assert(small.size == 1, s"the triangle interior must agree: $small")
+    assert(big.head != small.head, "the cliques must keep distinct communities")
+    // determinism: repartitioned input gives bit-identical labels
+    val again = Graphs.labelPropagation(edges.repartition(7), "src", "dst",
+        iterations = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == got)
+  }
+
+  test("adamicAdar: scores match a hand-computed wedge census; existing edges excluded") {
+    import spark.implicits._
+    // path 1-2-3 plus 2-4: middle 2 has deg 3, so pairs {1,3},{1,4},{3,4}
+    // each score 1/ln(3); pair (1,3) also shares no other neighbor
+    val edges = Seq((1L, 2L), (2L, 3L), (2L, 4L)).toDF("src", "dst")
+    val got = Graphs.adamicAdar(edges, "src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet == Set((1L, 3L), (1L, 4L), (3L, 4L)))
+    got.values.foreach { case (cn, aa) =>
+      assert(cn == 1L)
+      assert(math.abs(aa - 1.0 / math.log(3.0)) < 1e-12)
+    }
+    // square 1-2-3-4-1: diagonal pairs share TWO degree-2 neighbors
+    val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val g2 = Graphs.adamicAdar(sq, "src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(g2.keySet == Set((1L, 3L), (2L, 4L)), "adjacent pairs must be excluded")
+    g2.values.foreach { case (cn, aa) =>
+      assert(cn == 2L)
+      assert(math.abs(aa - 2.0 / math.log(2.0)) < 1e-12)
+    }
+    // hub cap: middles above maxDegree contribute nothing
+    val capped = Graphs.adamicAdar(edges, "src", "dst", maxDegree = 2)
+    assert(capped.count() == 0L, "deg-3 middle capped out -> no wedges")
+  }
+
   test("pageRank: dangling-only graph (star into a sink) stays a distribution") {
     import spark.implicits._
     val star = (1L to 6L).map(i => (i, 99L)).toDF("src", "dst")
