@@ -22,7 +22,8 @@ object SparkEntry {
     SequenceQueries,
     SearchQueries,
     IndexQueries,
-    AnnQueries)
+    AnnQueries,
+    PipelineQueries)
 
   private lazy val allQs: Seq[(String, Q)] = {
     val qs = modules.flatMap(_.qs)

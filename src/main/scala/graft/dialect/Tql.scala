@@ -225,6 +225,7 @@ object Tql {
       "PII_REDACT" -> (a => graft.operators.Pii.redact(a.head)),
       "REDACT_CARDS" -> (a => graft.operators.Pii.redactCards(a.head)),
       "DEFLATE_RATIO" -> (a => graft.functions.gf.deflate_ratio(a.head)),
+      "CHAR_ENTROPY" -> (a => graft.functions.gf.char_entropy(a.head)),
       "STRIP_HTML" -> (a => graft.functions.gf.strip_html(a.head)),
       "EXTRACT_TEXT" -> (a => graft.functions.gf.extract_text(a.head)),
       "FIX_MOJIBAKE" -> (a => graft.functions.gf.fix_mojibake(a.head)),

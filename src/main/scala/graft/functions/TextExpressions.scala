@@ -530,6 +530,37 @@ object TextKernels {
     if (changed) UTF8String.fromString(cur) else s
   }
 
+  /** CHAR_ENTROPY kernel (see [[CharEntropy]]): Shannon entropy in bits
+    * over the CODE-POINT distribution of the string — the classic
+    * gibberish/low-information signal (near-0 for repeated filler like
+    * "aaaa…", ~log2(alphabet) for keyboard mash or base64 blobs; natural
+    * prose sits in between). Code points, not UTF-16 units, so a
+    * supplementary-plane emoji counts once, matching engines whose
+    * character unit is the code point (DuckDB's `string_split(s,'')`
+    * oracle replay). Accumulation runs in sorted-code-point order so the
+    * float sum is deterministic across JVMs and row orders. */
+  def charEntropy(s: UTF8String): Double = {
+    val str = s.toString
+    if (str.isEmpty) return 0.0
+    val counts = new java.util.TreeMap[Integer, Integer]()
+    var i = 0
+    var n = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      counts.merge(cp, 1, (a, b) => a + b)
+      i += Character.charCount(cp)
+      n += 1
+    }
+    var h = 0.0
+    val it = counts.values().iterator()
+    val ln2 = math.log(2.0)
+    while (it.hasNext) {
+      val p = it.next().toDouble / n
+      h -= p * (math.log(p) / ln2)
+    }
+    h
+  }
+
   /** REDACT_CARDS kernel (see [[RedactCards]]): find runs of 13–19
     * digits (single spaces or dashes between groups allowed), replace
     * with `<CARD>` ONLY when the digits pass the Luhn checksum — the
@@ -642,6 +673,32 @@ object TextKernels {
       } finally d.end()
     }
   }
+}
+
+/** CHAR_ENTROPY(text): Shannon entropy (bits) of the code-point
+  * distribution — a map-side, shuffle-free gibberish detector (Dolma /
+  * Gopher-style quality filters pair it with [[DeflateRatio]]: entropy
+  * catches low-diversity filler, deflate catches long-range repetition).
+  * One O(n) pass per row, codegen'd; kernel in
+  * [[TextKernels.charEntropy]]. */
+case class CharEntropy(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"input must be string, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.charEntropy(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TextKernels.charEntropy($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): CharEntropy =
+    copy(child = newChild)
 }
 
 /** DEFLATE_RATIO(text): compressed-size / raw-size quality signal

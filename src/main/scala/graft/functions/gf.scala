@@ -41,6 +41,11 @@ object gf {
   def deflate_ratio(c: Column): Column =
     Bridge.column(DeflateRatio(Bridge.expression(c)))
 
+  /** Shannon entropy (bits) of the code-point distribution — map-side
+    * gibberish signal; see [[graft.functions.CharEntropy]] */
+  def char_entropy(c: Column): Column =
+    Bridge.column(CharEntropy(Bridge.expression(c)))
+
   /** all visible text of an HTML document (tags/containers/entities
     * handled natively, one O(n) walk per row) */
   def strip_html(c: Column): Column =

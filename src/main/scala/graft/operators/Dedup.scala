@@ -731,6 +731,54 @@ object Dedup {
         round(col("containment"), 6).as("containment"))
   }
 
+  /** [[crossCorpusContainment]] with a broadcast Bloom prefilter on the
+    * train-shingle stream — the 100 TB posture of decontamination. The
+    * exact operator shuffles EVERY train shingle into the equi-join even
+    * though almost none occur in the (small, benchmark-sized) eval
+    * corpus; here a Bloom filter built over the eval shingles is
+    * broadcast to the scan, and only train shingles that *might* occur
+    * in eval survive to the shuffle — at `fpp`=1% that cuts the shuffled
+    * volume by ~99% on a clean corpus. Output is IDENTICAL to the exact
+    * operator (same DuckDB oracle): false positives die in the eval
+    * equi-join, and per-shingle document frequencies are unchanged by
+    * dropping other shingles, so the stop-shingle cap decides the same
+    * way. Bloom size is set by the eval corpus (bounded by definition —
+    * a benchmark suite, not the crawl), never by the 100 TB side. */
+  def crossCorpusContainmentBloom(train: DataFrame, trainIdCol: String,
+      trainTextCol: String, evalDf: DataFrame, evalIdCol: String,
+      evalTextCol: String, n: Int = 3, threshold: Double = 0.8,
+      maxShingleDf: Long = 100000L, expectedEvalShingles: Long = 1000000L,
+      fpp: Double = 0.01): DataFrame = {
+    val spark = train.sparkSession
+    val par = spark.sparkContext.defaultParallelism
+    def prep(df: DataFrame, id: String, text: String): DataFrame =
+      df.repartition(par, col(id))
+        .select(col(id).as("id"), tokens(col(text)).as("__toks"))
+        .select(col("id"), shingles(col("__toks"), n).as("sh"))
+    val ePost = prep(evalDf, evalIdCol, evalTextCol)
+      .withColumn("n_sh", size(col("sh")))
+      .filter(col("n_sh") > 0)
+      .select(col("id").as("eval_id"), col("n_sh"), explode(col("sh")).as("s"))
+    // one pass over the SMALL side builds the filter (treeAggregate to
+    // the driver, ~1.2 MB at 1M shingles / 1% fpp), then it rides to
+    // every scan task as a broadcast — no shuffle is added anywhere
+    val bloom = ePost.stat.bloomFilter("s", expectedEvalShingles, fpp)
+    val bloomB = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((s: String) => s != null && bloomB.value.mightContainString(s))
+    val tPost = prep(train, trainIdCol, trainTextCol)
+      .select(col("id").as("train_id"), explode(col("sh")).as("s"))
+      .filter(mightContain(col("s")))
+    val dfCounts = tPost.groupBy("s").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxShingleDf).select("s")
+    tPost.join(dfCounts, "s")
+      .join(ePost, "s")
+      .groupBy("train_id", "eval_id", "n_sh").agg(count(lit(1)).as("overlap"))
+      .withColumn("containment", col("overlap") / col("n_sh"))
+      .filter(col("containment") >= threshold)
+      .select(col("eval_id"), col("train_id"),
+        round(col("containment"), 6).as("containment"))
+  }
+
   /** Connected components over an undirected near-dup pair list:
     * (id, component_id) where component_id = min id reachable, for every
     * id that appears in `pairs`. Turns pair output of any near-dup
@@ -1106,6 +1154,11 @@ object Dedup {
     * source has < k distinct shingles — then the pair's Jaccard is
     * exact too). Emits ALL source pairs, including zero-overlap ones
     * (the audit wants the full matrix).
+    *
+    * Hash keys are the first 60 bits of md5(shingle) — uniform like
+    * xxhash64, but replayable in ANY engine with string md5 (DuckDB
+    * folds the same 15 hex chars), which upgrades the driver check
+    * from spec-only to a FULL oracle.
     * Output: (group_a, group_b, est_n_a, est_n_b, est_jaccard). */
   def corpusOverlapSketch(docs: DataFrame, groupCol: String, textCol: String,
       k: Int = 1024): DataFrame = {
@@ -1115,7 +1168,8 @@ object Dedup {
     val e = docs
       .select(col(groupCol).cast("string").as("g"), tokens(col(textCol)).as("__toks"))
       .select(col("g"), explode(shingles(col("__toks"))).as("sh"))
-      .select(col("g"), xxhash64(col("sh")).as("h"))
+      .select(col("g"),
+        conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long").as("h"))
     val bk = new Sketches.BottomK(k)
     val withSig = e.groupBy(col("g"))
       .agg(udaf(bk, org.apache.spark.sql.Encoders.scalaLong)(col("h")).as("sig"))
@@ -1140,8 +1194,8 @@ object Dedup {
       val inBoth = union.count(v => contains(sa, v) && contains(sb, v))
       val jac = if (union.isEmpty) 0.0 else inBoth.toDouble / union.length
       (ga, gb,
-        math.round(Sketches.kmvDistinctEstimate(sa, k)),
-        math.round(Sketches.kmvDistinctEstimate(sb, k)),
+        math.round(Sketches.kmvDistinctEstimate60(sa, k)),
+        math.round(Sketches.kmvDistinctEstimate60(sb, k)),
         BigDecimal(jac).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
     }
     rows.toDF("group_a", "group_b", "est_n_a", "est_n_b", "est_jaccard")

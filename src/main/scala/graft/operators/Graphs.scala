@@ -313,4 +313,60 @@ object Graphs {
       e.unpersist(false); deg.unpersist(false); und.unpersist(false); ()
     }
   }
+
+  /** Deterministic seeded random walks — the corpus generator for
+    * DeepWalk/node2vec-style graph embeddings (Perozzi et al. 2014):
+    * one fixed-length walk per start node over the SYMMETRIZED edge
+    * set. At each step the walker at node u moves to the neighbor v
+    * minimizing the md5-fold uniform of `"<seed>:<walk>:<step>:<v>"` —
+    * an exactly-uniform neighbor choice that, unlike Spark's rand(),
+    * is layout-independent, identical under task retry, and replayable
+    * in any engine with string md5 (the DuckDB oracle unrolls the
+    * steps). Walks terminate early at nodes with no neighbors.
+    *
+    * Plan shape: the deduped symmetric edge list is partitioned by src
+    * once and persisted; every step is one src-keyed equi-join plus a
+    * per-walk argmin window on walk_id (bounded keys — one row per
+    * walk survives). Per-step localCheckpoint keeps each step ONE job
+    * instead of an O(steps²) re-derived chain. Returns
+    * (walk_id, step, node) with step 0 = the start node. */
+  def randomWalks(edges: DataFrame, srcCol: String, dstCol: String,
+      starts: DataFrame, startCol: String, steps: Int = 4,
+      seed: String = "rw42"): DataFrame = {
+    require(steps >= 1, "need at least one step")
+    val spark = edges.sparkSession
+    val par = spark.sparkContext.defaultParallelism
+    val dir = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val e = dir
+      .unionByName(dir.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .repartition(par, col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var cur = starts
+        .select(col(startCol).cast("long").as("walk_id")).distinct()
+        .select(col("walk_id"), col("walk_id").as("node"), lit(0).as("step"))
+        .localCheckpoint()
+      val frames = scala.collection.mutable.ArrayBuffer(cur)
+      var t = 1
+      while (t <= steps) {
+        val key = Sampling.hashUniform(concat_ws(":",
+          lit(seed), col("walk_id"), lit(t), col("dst")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("walk_id")).orderBy(key, col("dst"))
+        cur = cur.join(e, cur("node") === e("src"))
+          .select(col("walk_id"), col("dst"))
+          .withColumn("__rk", row_number().over(w))
+          .filter(col("__rk") === 1)
+          .select(col("walk_id"), col("dst").as("node"), lit(t).as("step"))
+          .localCheckpoint()
+        frames += cur
+        t += 1
+      }
+      frames.reduce(_ unionByName _)
+    } finally {
+      e.unpersist(false); ()
+    }
+  }
 }

@@ -170,4 +170,14 @@ object Sketches {
       val r = (sig(k - 1).toDouble - Long.MinValue.toDouble) / math.pow(2.0, 64)
       (k - 1) / math.max(r, java.lang.Double.MIN_VALUE)
     }
+
+  /** [[kmvDistinctEstimate]] for NON-NEGATIVE 60-bit hashes (the
+    * md5-prefix keys [[Dedup.corpusOverlapSketch]] uses so its DuckDB
+    * oracle can replay the hash): n̂ = (k−1)·2⁶⁰ / h₍ₖ₎. The expression
+    * multiplies BEFORE dividing — (k−1)·2⁶⁰ is exact in double for any
+    * practical k — so an engine replaying `(k-1) * 2^60 / h` gets the
+    * bit-identical result. */
+  def kmvDistinctEstimate60(sig: Array[Long], k: Int): Double =
+    if (sig.length < k) sig.length.toDouble
+    else (k - 1).toDouble * 1152921504606846976.0d / sig(k - 1).toDouble
 }

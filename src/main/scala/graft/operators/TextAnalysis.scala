@@ -609,4 +609,55 @@ object TextAnalysis {
         round(log2((col("c_ab") / col("t_pair")) /
           ((col("c_a") / col("t_tok")) * (col("c_b") / col("t_tok")))), 6).as("pmi"))
   }
+
+  /** Blocklist scoring — the wordlist-ratio safety/NSFW filter every
+    * web-corpus pipeline runs before model-based scoring (C4 dropped
+    * pages on a public "bad words" list; RefinedWeb/FineWeb keep a URL +
+    * wordlist stage ahead of the classifiers). Per doc: token count,
+    * blocklisted-token count, blocked fraction, and the `flagged`
+    * decision at `threshold`. The list rides inside the plan as an array
+    * literal — map-side, shuffle-free, codegen'd higher-order filter; at
+    * 100 TB this is a pure scan. */
+  def blocklistScore(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, blocklist: Seq[String],
+      threshold: Double = 0.1): org.apache.spark.sql.DataFrame = {
+    require(blocklist.nonEmpty, "blocklist must be non-empty")
+    val listed = array(blocklist.map(lit): _*)
+    df.select(col(idCol).as("id"), tokens(col(textCol)).as("w"))
+      .select(col("id"), size(col("w")).as("n_tokens"),
+        size(filter(col("w"), t => array_contains(listed, t))).as("n_blocked"))
+      .withColumn("blocked_frac",
+        round(col("n_blocked") / greatest(col("n_tokens"), lit(1)), 6))
+      .withColumn("flagged", col("blocked_frac") >= threshold)
+  }
+
+  /** Sentence-level statistics: split on a boundary regex, trim, drop
+    * empties, then per doc report sentence count, mean words per
+    * sentence, and the fraction of this doc's sentences that occur in
+    * ≥2 documents corpus-wide — the sentence-granularity cousin of
+    * RefinedWeb's line dedup signal (boilerplate sentences repeat across
+    * pages; original prose does not). One explode + one sentence-key
+    * aggregate + one equi-join back — the corpus-frequency table is the
+    * only shuffle, keyed by sentence hash, and skew-safe because a
+    * sentence repeated across the whole corpus still groups to a single
+    * counter row. Docs with zero non-empty sentences produce no row
+    * (there is nothing to average). */
+  def sentenceStats(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String,
+      boundary: String = "[.!?]+"): org.apache.spark.sql.DataFrame = {
+    val sents = df.select(col(idCol).as("id"),
+      filter(transform(split(col(textCol), boundary), s => trim(s)),
+        s => s =!= "").as("ss"))
+    val ex = sents.filter(size(col("ss")) > 0)
+      .select(col("id"), size(col("ss")).as("n_sent"), explode(col("ss")).as("sent"))
+    val freq = ex.groupBy(col("sent"))
+      .agg(countDistinct(col("id")).as("n_docs"))
+    ex.join(freq, "sent")
+      .groupBy(col("id"), col("n_sent"))
+      .agg(
+        round(avg(size(split(col("sent"), " "))), 6).as("avg_sent_words"),
+        round(avg(when(col("n_docs") >= 2, 1.0).otherwise(0.0)), 6)
+          .as("dup_sent_frac"))
+      .select(col("id"), col("n_sent"), col("avg_sent_words"), col("dup_sent_frac"))
+  }
 }

@@ -198,6 +198,34 @@ object DocumentQueries extends QueryModule {
               |FROM m WHERE overlap * 1.0 / n_sh >= 0.5
               |ORDER BY eval_id, train_id""".stripMargin.replace('\n', ' '))),
 
+    // ---- Bloom-prefiltered decontamination — the 100 TB posture of
+    // q_decontaminate: a Bloom filter over the (bounded, benchmark-
+    // sized) eval shingles broadcasts to the train scan, so only train
+    // shingles that might occur in eval ever reach the shuffle. The
+    // output is IDENTICAL to the exact operator (false positives die in
+    // the eval equi-join), so it shares the exact query's FULL oracle;
+    // DedupSpec additionally asserts the parity and measures the
+    // prefilter's surviving fraction.
+    "q_decontaminate_bloom" -> Q(
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+        Dedup.crossCorpusContainmentBloom(
+            d.filter(col("doc_id") % 3 =!= 0), "doc_id", "text",
+            d.filter(col("doc_id") % 3 === 0), "doc_id", "text",
+            n = 3, threshold = 0.5)
+          .orderBy(col("eval_id"), col("train_id"))
+      },
+      Some(s"""WITH $shingleCte,
+              |tp AS (SELECT doc_id AS train_id, unnest(sh) AS sg FROM s WHERE doc_id % 3 <> 0),
+              |ep AS (SELECT doc_id AS eval_id, len(sh) AS n_sh, unnest(sh) AS sg
+              |       FROM s WHERE doc_id % 3 = 0 AND len(sh) > 0),
+              |m AS (SELECT train_id, eval_id, n_sh, count(*) AS overlap
+              |      FROM tp JOIN ep USING (sg) GROUP BY 1, 2, 3)
+              |SELECT eval_id, train_id, round(overlap * 1.0 / n_sh, 6) AS containment
+              |FROM m WHERE overlap * 1.0 / n_sh >= 0.5
+              |ORDER BY eval_id, train_id""".stripMargin.replace('\n', ' ')),
+      doc = "broadcast-Bloom prefiltered decontamination; output == exact operator"),
+
     // ---- semantic decontamination: the embedding-space twin of the
     // n-gram audit — paraphrased eval leakage that shares no exact
     // shingles still lands nearby in embedding space. Exact brute-force
@@ -1412,15 +1440,47 @@ object DocumentQueries extends QueryModule {
     // ---- sketched corpus overlap (the 100 TB posture of the exact
     // matrix above): bottom-k KMV shingle signatures per source — one
     // fixed-state agg, no distinct shuffle — then pairwise estimation
-    // on the bounded signature artifact. Deterministic but xxhash64-
-    // keyed, so no DuckDB oracle; SketchesSpec gates exactness at
-    // covering k and tolerance at small k against the exact operator.
+    // on the bounded signature artifact. The keys are 60-bit md5
+    // prefixes, so the whole sketch REPLAYS in DuckDB (base-16 fold +
+    // window bottom-k): a FULL oracle for an approximation operator —
+    // the estimator itself is deterministic given the hash. SketchesSpec
+    // additionally gates exactness at covering k and tolerance at small
+    // k against the exact operator.
     "q_corpus_overlap_sketch" -> Q(
       (s, dir) => graft.operators.Dedup.corpusOverlapSketch(
           table(s, dir, "documents"), "source", "text", k = 512)
         .orderBy(col("group_a"), col("group_b")),
-      None,
-      doc = "KMV bottom-k corpus-overlap estimate: fixed sketch state per source, no distinct shuffle"),
+      Some(s"""WITH t AS (SELECT doc_id, source, string_split(text,' ') AS w FROM documents),
+              |s AS (SELECT doc_id, source, CASE WHEN len(w) >= 3
+              |  THEN list_distinct(list_transform(range(1, len(w)-1), i -> w[i]||' '||w[i+1]||' '||w[i+2]))
+              |  ELSE []::VARCHAR[] END AS sh FROM t),
+              |hx AS (SELECT DISTINCT source, ${hex60Sql("md5(g)")} AS h
+              |  FROM (SELECT source, unnest(sh) AS g FROM s)),
+              |sig AS (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rk FROM hx),
+              |bk AS MATERIALIZED (SELECT source, h FROM sig WHERE rk <= 512),
+              |cnt AS (SELECT source, count(*) AS c, max(h) AS hk FROM bk GROUP BY source),
+              |est AS (SELECT source, CASE WHEN c < 512 THEN c
+              |  ELSE CAST(floor(511 * 1152921504606846976.0 / hk + 0.5) AS BIGINT) END AS est_n FROM cnt),
+              |srcs AS (SELECT DISTINCT source FROM documents),
+              |pairs AS (SELECT a.source AS ga, b.source AS gb FROM srcs a JOIN srcs b ON a.source < b.source),
+              |uni0 AS (SELECT p.ga, p.gb, k.h FROM pairs p JOIN bk k ON k.source = p.ga
+              |  UNION SELECT p.ga, p.gb, k.h FROM pairs p JOIN bk k ON k.source = p.gb),
+              |uni AS (SELECT ga, gb, h, row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rk FROM uni0),
+              |uk AS (SELECT ga, gb, h FROM uni WHERE rk <= 512),
+              |ib AS (SELECT u.ga, u.gb, count(*) AS usz,
+              |    count(*) FILTER (WHERE ha.h IS NOT NULL AND hb.h IS NOT NULL) AS inboth
+              |  FROM uk u LEFT JOIN bk ha ON ha.source = u.ga AND ha.h = u.h
+              |            LEFT JOIN bk hb ON hb.source = u.gb AND hb.h = u.h
+              |  GROUP BY u.ga, u.gb)
+              |SELECT p.ga AS group_a, p.gb AS group_b,
+              |  coalesce(ea.est_n, 0) AS est_n_a, coalesce(eb.est_n, 0) AS est_n_b,
+              |  round(coalesce(ib.inboth * 1.0 / ib.usz, 0.0), 6) AS est_jaccard
+              |FROM pairs p
+              |LEFT JOIN est ea ON ea.source = p.ga
+              |LEFT JOIN est eb ON eb.source = p.gb
+              |LEFT JOIN ib ON ib.ga = p.ga AND ib.gb = p.gb
+              |ORDER BY group_a, group_b""".stripMargin.replace('\n', ' ')),
+      doc = "KMV bottom-k corpus-overlap estimate: fixed sketch state per source, no distinct shuffle; md5-prefix keys -> full oracle"),
 
     // ---- one-pass corpus data card: the dataset-summary row every
     // curation run logs. One aggregation tree (the multi-distinct

@@ -1,0 +1,159 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.gf
+import graft.operators.{TextAnalysis => TA}
+
+/** Round-11 corpus-pipeline additions: map-side quality signals
+  * (code-point entropy, blocklist ratios), sentence-level boilerplate
+  * statistics, CCNet-style perplexity bucketing, and length-bucketed
+  * batch planning. Every query here carries a FULL DuckDB oracle —
+  * the Spark side is plain Column composition (plus one codegen'd
+  * native kernel for entropy), so the semantics replay 1:1 in SQL.
+  */
+object PipelineQueries extends QueryModule {
+
+  /** corpus-real blocklist (the synthetic fixture's vocabulary is the
+    * 31 DB words, so the "unwanted" terms must come from it) */
+  private val blocklist = Seq("slow", "dup", "big")
+
+  def qs: Seq[(String, Q)] = Seq(
+
+    // ---- code-point Shannon entropy (Dolma/Gopher-style gibberish
+    // signal): near-0 for repeated filler, ~log2(alphabet) for random
+    // junk. One codegen'd O(n) kernel per row — a pure map over the
+    // 100 TB scan, no shuffle. Oracle replays the distribution with
+    // string_split(text,'') (DuckDB's unit is the code point, matching
+    // the kernel's code-point walk).
+    "q_text_entropy" -> Q(
+      (s, dir) => table(s, dir, "documents")
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("n_cp"),
+          round(gf.char_entropy(col("text")), 6).as("entropy"))
+        .orderBy(col("doc_id")),
+      Some("""WITH c AS (SELECT doc_id, unnest(string_split(text,'')) AS ch
+             |  FROM documents WHERE doc_id < 200),
+             |f AS (SELECT doc_id, ch, count(*)::DOUBLE AS n FROM c GROUP BY 1, 2),
+             |tot AS (SELECT doc_id, sum(n) AS t FROM f GROUP BY 1)
+             |SELECT doc_id, CAST(t AS BIGINT) AS n_cp,
+             |  round(sum(-(n/t) * log2(n/t)), 6) AS entropy
+             |FROM f JOIN tot USING (doc_id)
+             |GROUP BY doc_id, t ORDER BY doc_id""".stripMargin.replace('\n', ' ')),
+      doc = "code-point Shannon entropy per doc — codegen kernel, map-side"),
+
+    // ---- blocklist ratio filter (C4's wordlist stage; RefinedWeb/
+    // FineWeb run it ahead of model scoring): the list rides in the
+    // plan as an array literal, the count is a codegen'd higher-order
+    // filter — map-side, shuffle-free.
+    "q_text_blocklist" -> Q(
+      (s, dir) => TA.blocklistScore(table(s, dir, "documents"),
+          "doc_id", "text", blocklist, threshold = 0.1)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id")),
+      Some(s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents)
+              |SELECT doc_id, len(w) AS n_tokens,
+              |  len(list_filter(w, x -> x IN (${blocklist.map(b => s"'$b'").mkString(",")}))) AS n_blocked,
+              |  round(len(list_filter(w, x -> x IN (${blocklist.map(b => s"'$b'").mkString(",")})))
+              |    * 1.0 / greatest(len(w), 1), 6) AS blocked_frac,
+              |  round(len(list_filter(w, x -> x IN (${blocklist.map(b => s"'$b'").mkString(",")})))
+              |    * 1.0 / greatest(len(w), 1), 6) >= 0.1 AS flagged
+              |FROM t ORDER BY doc_id""".stripMargin.replace('\n', ' ')),
+      doc = "blocklisted-token ratio + flag per doc — array-literal filter, map-side"),
+
+    // ---- sentence-level statistics (the sentence-granularity cousin
+    // of RefinedWeb line dedup): the fixture corpus has no punctuation,
+    // so the query first sentence-ifies deterministically (every ' the '
+    // becomes a boundary — same regexp_replace in both engines), then
+    // reports per-doc sentence count, mean words/sentence, and the
+    // fraction of sentences shared with ≥2 docs (boilerplate signal).
+    "q_text_sentences" -> Q(
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+          .withColumn("sent_text",
+            regexp_replace(col("text"), " the ", ". "))
+        TA.sentenceStats(d, "doc_id", "sent_text")
+          .withColumnRenamed("id", "doc_id")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (SELECT doc_id, regexp_replace(text, ' the ', '. ', 'g') AS st FROM documents),
+             |sp AS (SELECT doc_id, list_filter(list_transform(
+             |  string_split_regex(st, '[.!?]+'), x -> trim(x)), x -> x <> '') AS ss FROM d),
+             |ex AS (SELECT doc_id, len(ss) AS n_sent, unnest(ss) AS sent
+             |       FROM sp WHERE len(ss) > 0),
+             |fr AS (SELECT sent, count(DISTINCT doc_id) AS n_docs FROM ex GROUP BY 1)
+             |SELECT doc_id, n_sent,
+             |  round(avg(len(string_split(sent,' '))), 6) AS avg_sent_words,
+             |  round(avg(CASE WHEN n_docs >= 2 THEN 1.0 ELSE 0.0 END), 6) AS dup_sent_frac
+             |FROM ex JOIN fr USING (sent)
+             |GROUP BY doc_id, n_sent ORDER BY doc_id""".stripMargin.replace('\n', ' ')),
+      doc = "sentence count / mean length / cross-doc dup fraction per doc"),
+
+    // ---- CCNet perplexity buckets (Wenzek et al. 2020): score every
+    // doc with the corpus bigram LM, then split each language into
+    // head/middle/tail perplexity terciles — the classic quality
+    // stratification before sampling. ntile runs on the 6dp-rounded
+    // score (float summation order differs across engines) with doc_id
+    // as the tiebreaker, so bucket assignment is engine-exact.
+    "q_ccnet_buckets" -> Q(
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+        val scored = TA.bigramLmScore(d, d, "doc_id", "text")
+        val j = scored.join(
+          d.select(col("doc_id").as("id"), col("lang")), "id")
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(col("bits_per_bigram"), col("id"))
+        j.withColumn("b", ntile(3).over(w))
+          .withColumn("bucket", element_at(
+            array(lit("head"), lit("middle"), lit("tail")), col("b")))
+          .groupBy(col("lang"), col("bucket"))
+          .agg(count(lit(1)).as("n_docs"),
+            round(avg(col("bits_per_bigram")), 6).as("avg_bits"))
+          .orderBy(col("lang"), col("bucket"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+             |uni AS (SELECT w1, count(*) AS u FROM (SELECT unnest(w) AS w1 FROM t) GROUP BY w1),
+             |v AS (SELECT count(*) AS nv FROM uni),
+             |bg AS (SELECT doc_id, w[i]||' '||w[i+1] AS bgs, w[i] AS w1
+             |       FROM t, unnest(range(1, len(w))) AS r(i)),
+             |bc AS (SELECT bgs, count(*) AS b FROM bg GROUP BY bgs),
+             |sc AS (SELECT doc_id, -log2((b + 0.5) / (u + 0.5 * nv)) AS bits
+             |       FROM bg JOIN bc USING (bgs) JOIN uni USING (w1) CROSS JOIN v),
+             |ds AS (SELECT doc_id, round(avg(bits), 6) AS bpb FROM sc GROUP BY doc_id),
+             |l AS (SELECT ds.doc_id, d.lang, ds.bpb, ntile(3) OVER (
+             |  PARTITION BY d.lang ORDER BY ds.bpb, ds.doc_id) AS b
+             |  FROM ds JOIN documents d USING (doc_id))
+             |SELECT lang, CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+             |  ELSE 'tail' END AS bucket,
+             |  count(*) AS n_docs, round(avg(bpb), 6) AS avg_bits
+             |FROM l GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin.replace('\n', ' ')),
+      doc = "CCNet head/middle/tail perplexity terciles per language"),
+
+    // ---- length-bucketed batch planning: group docs into 128-token
+    // buckets and account the padding waste of batching each bucket to
+    // its ceiling — the standard dataloader prep that motivates
+    // sequence packing (q_pack_concat). One map + one bounded-key agg.
+    "q_length_buckets" -> Q(
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+          .select(col("doc_id"), TA.estTokenCount(col("text")).as("nt"))
+        d.withColumn("bucket_lo", (floor(col("nt") / lit(128)) * 128).cast("long"))
+          .groupBy(col("bucket_lo"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("nt")).cast("long").as("sum_tokens"),
+            sum(col("bucket_lo") + lit(128L) - col("nt")).cast("long")
+              .as("padding_waste"))
+          .orderBy(col("bucket_lo"))
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |  len(string_split(text,' ')) + CAST(ceil(length(text)/16.0) AS INT) AS nt
+             |  FROM documents),
+             |b AS (SELECT doc_id, nt, CAST(floor(nt/128.0)*128 AS BIGINT) AS bucket_lo FROM d)
+             |SELECT bucket_lo, count(*) AS n_docs,
+             |  sum(nt)::BIGINT AS sum_tokens,
+             |  sum(bucket_lo + 128 - nt)::BIGINT AS padding_waste
+             |FROM b GROUP BY bucket_lo ORDER BY bucket_lo""".stripMargin.replace('\n', ' ')),
+      doc = "128-token length buckets with padding-waste accounting")
+  )
+}

@@ -37,4 +37,15 @@ trait QueryModule {
     s"(list_reduce(list_prepend(0, list_transform(range(1,33), " +
       s"i -> ascii(substr($h, CAST(i AS INT), 1)))), " +
       s"(a, b) -> (a*31 + b) % 1000003) + 0.5) / 1000004.0"
+
+  /** DuckDB replay of the 60-bit md5-prefix hash key (Spark:
+    * `conv(substring(md5(x),1,15),16,10)::long`) — base-16 fold of the
+    * first 15 lowercase hex chars of md5 expression `m`, exact in
+    * BIGINT. Shared by every KMV-sketch oracle. */
+  protected def hex60Sql(m: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1,16), " +
+      s"i -> CAST(CASE WHEN ascii(substr($m, CAST(i AS INT), 1)) >= 97 " +
+      s"THEN ascii(substr($m, CAST(i AS INT), 1)) - 87 " +
+      s"ELSE ascii(substr($m, CAST(i AS INT), 1)) - 48 END AS BIGINT))), " +
+      s"(a, b) -> a*16 + b)"
 }

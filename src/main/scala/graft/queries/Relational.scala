@@ -921,6 +921,29 @@ object Relational extends QueryModule {
              |ORDER BY adamic_adar DESC, u, v LIMIT 50""".stripMargin.replace('\n', ' ')),
       doc = "Adamic-Adar common-neighbor link prediction, hub-capped wedge enumeration"),
 
+    // ---- deterministic random walks over the symmetrized purchase
+    // graph — the DeepWalk/node2vec corpus generator. Neighbor choice
+    // is argmin of the md5-fold uniform keyed by (seed, walk, step,
+    // candidate): exactly uniform, layout/retry-independent, and
+    // replayable in SQL, so the fixed 4 steps unroll into a FULL
+    // DuckDB oracle (one join + one per-walk argmin per step — the
+    // operator's own plan).
+    "q_graph_walks" -> Q(
+      (s, dir) => {
+        val li = table(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        val o = table(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        val edges = li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("src"),
+            (col("l_suppkey") + 1000000L).as("dst"))
+        val starts = edges.select(col("src"))
+          .filter(col("src") % 100 === 0).distinct()
+        graft.operators.Graphs.randomWalks(edges, "src", "dst",
+            starts, "src", steps = 4, seed = "rw42")
+          .orderBy(col("walk_id"), col("step"))
+      },
+      Some(walksOracle(steps = 4, seed = "rw42")),
+      doc = "seeded deterministic random walks (DeepWalk corpus) over the purchase graph"),
+
     // ---- schema-drift audit: the data contract between two snapshots
     // (planted: one added, one removed, one type-changed column)
     "q_schema_drift" -> Q(
@@ -976,6 +999,30 @@ object Relational extends QueryModule {
     * dangling mass as a scalar subquery, contributions as a grouped
     * join — replaying [[graft.operators.Graphs.pageRank]]'s exact math
     * (deterministic, so hash-comparable after 6dp rounding). */
+  /** DuckDB oracle for `q_graph_walks`: the symmetrized purchase-graph
+    * edges, then one chained CTE per step — a frontier join plus a
+    * per-walk argmin on the shared md5-fold uniform — exactly the
+    * operator's per-step plan ([[graft.operators.Graphs.randomWalks]]). */
+  private def walksOracle(steps: Int, seed: String): String = {
+    val stepCtes = (1 to steps).map { t =>
+      s"""c$t AS (SELECT p.walk_id, e.dst,
+         |  md5('$seed:' || p.walk_id::VARCHAR || ':$t:' || e.dst::VARCHAR) AS h
+         |  FROM s${t - 1} p JOIN e ON p.node = e.src),
+         |s$t AS MATERIALIZED (SELECT walk_id, dst AS node, $t AS step FROM (
+         |  SELECT walk_id, dst, row_number() OVER (PARTITION BY walk_id
+         |    ORDER BY ${uuSql("h")}, dst) AS rk FROM c$t) WHERE rk = 1)""".stripMargin
+    }.mkString(", ")
+    val unions = (0 to steps).map(t => s"SELECT * FROM s$t").mkString(" UNION ALL ")
+    s"""WITH de AS (SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |e AS MATERIALIZED (SELECT src, dst FROM de UNION SELECT dst, src FROM de),
+       |s0 AS MATERIALIZED (SELECT DISTINCT src AS walk_id, src AS node, 0 AS step
+       |  FROM de WHERE src % 100 = 0),
+       |$stepCtes
+       |SELECT walk_id, step, node FROM ($unions) ORDER BY walk_id, step"""
+      .stripMargin.replace('\n', ' ')
+  }
+
   private def pageRankOracle(iterations: Int, damping: Double): String = {
     val steps = (1 to iterations).map { k =>
       s"""r$k AS MATERIALIZED (SELECT n.id,

@@ -710,15 +710,27 @@ object TensorQueries extends QueryModule {
              |SELECT doc_id, lang, n_chars FROM r WHERE rk <= 5
              |ORDER BY lang, doc_id""".stripMargin.replace('\n', ' '))),
 
-    // ---- ORDER BY RANDOM() shuffle (tql.md:523-532) — seeded, rows-only
+    // ---- ORDER BY RANDOM() shuffle (tql.md:523-532) — seeded via the
+    // same md5-fold uniform the samplers use, NOT Spark's rand():
+    // hash-of-key ordering is layout-independent (a repartitioned or
+    // task-retried 100 TB scan shuffles identically), and replayable in
+    // any engine with string md5, so the check upgrades from rows-only
+    // to a FULL DuckDB oracle. TakeOrderedAndProject keeps the limit a
+    // per-partition top-k, never a global sort.
     "q_shuffle_random" -> Q(
       (s, dir) => {
+        val key = graft.operators.Sampling.hashUniform(
+          concat_ws(":", lit("shuf42"), col("event_id")))
         table(s, dir, "events")
-          .orderBy(rand(42L), col("event_id"))
+          .orderBy(key, col("event_id"))
           .select(col("event_id"), col("event_type"))
           .limit(20)
       },
-      None,
-      doc = "seeded random shuffle; engine-specific RNG -> rows-only check")
+      Some(s"""WITH t AS (SELECT event_id, event_type,
+              |  md5('shuf42:' || event_id::VARCHAR) AS h FROM events)
+              |SELECT event_id, event_type FROM t
+              |ORDER BY ${uuSql("h")}, event_id LIMIT 20"""
+        .stripMargin.replace('\n', ' ')),
+      doc = "seeded hash shuffle; md5-fold key -> full oracle, layout-independent")
   )
 }

@@ -204,6 +204,37 @@ class DedupSpec extends AnyFunSuite {
       ev, "doc_id", "text", n = 3, threshold = 0.5, maxShingleDf = 0).count() === 0)
   }
 
+  test("Bloom-prefiltered decontamination: output identical to exact; prefilter actually prunes") {
+    import graft.operators.{TextAnalysis => TA}
+    val d = docs(sf001)
+    val train = d.filter(col("doc_id") % 3 =!= 0)
+    val ev = d.filter(col("doc_id") % 3 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = rows(Dedup.crossCorpusContainment(train, "doc_id", "text",
+      ev, "doc_id", "text", n = 3, threshold = 0.5))
+    val bloomed = rows(Dedup.crossCorpusContainmentBloom(train, "doc_id", "text",
+      ev, "doc_id", "text", n = 3, threshold = 0.5))
+    assert(bloomed === exact,
+      s"missing ${exact -- bloomed take 5}; spurious ${bloomed -- exact take 5}")
+    // the prefilter must prune: on DISJOINT corpora (eval texts mangled
+    // so no train shingle can be present) nearly every train shingle
+    // dies map-side — allow only fpp-level false-positive leakage
+    val mangled = ev.withColumn("text",
+      regexp_replace(col("text"), " ", "x "))
+    val shTrain = train
+      .select(explode(TA.shingles(TA.tokens(col("text")), 3)).as("s"))
+    val total = shTrain.count()
+    val bloom = mangled
+      .select(explode(TA.shingles(TA.tokens(col("text")), 3)).as("s"))
+      .stat.bloomFilter("s", 100000L, 0.01)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val mc = udf((s: String) => s != null && bc.value.mightContainString(s))
+    val surviving = shTrain.filter(mc(col("s"))).count()
+    assert(surviving.toDouble / total < 0.05,
+      s"prefilter kept $surviving of $total train shingles on disjoint corpora")
+  }
+
   test("RP-LSH embedding blocking: perfect precision, high recall vs the lossless set") {
     val e = graft.sources.Tables(spark, sf001, "embeddings")
     val exact = Dedup.embeddingNearDupPairs(e, "vec_id", "embedding", 0.4)

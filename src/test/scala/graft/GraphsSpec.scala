@@ -181,4 +181,58 @@ class GraphsSpec extends AnyFunSuite {
     // all leaves symmetric
     (2L to 6L).foreach(i => assert(math.abs(got(i) - got(1L)) < 1e-12))
   }
+
+  test("randomWalks: exact match vs a driver-side md5 replay; edge + determinism laws") {
+    import spark.implicits._
+    // driver-side replica of Sampling.hashUniform's md5 fold
+    def uu(s: String): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val code = hex.foldLeft(0L)((a, c) => (a * 31 + c.toInt) % 1000003L)
+      (code + 1).toDouble / 1000004.0
+    }
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (5L, 5L),
+      (2L, 4L), (4L, 1L)).toDF("src", "dst")
+    val starts = Seq(1L, 5L, 3L).toDF("n")
+    val got = Graphs.randomWalks(edges, "src", "dst", starts, "n",
+        steps = 3, seed = "t7")
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(1))).toSet
+    // replay: symmetrized distinct adjacency, argmin-of-uu neighbor choice
+    val sym = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (5L, 5L), (2L, 4L), (4L, 1L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct
+    val adj = sym.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val expect = scala.collection.mutable.Set[(Long, Int, Long)]()
+    for (w <- Seq(1L, 3L, 5L)) {
+      var cur = w
+      expect += ((w, 0, w))
+      var t = 1
+      var alive = true
+      while (t <= 3 && alive) {
+        adj.get(cur) match {
+          case Some(nbrs) =>
+            cur = nbrs.minBy(v => (uu(s"t7:$w:$t:$v"), v))
+            expect += ((w, t, cur)); t += 1
+          case None => alive = false
+        }
+      }
+    }
+    assert(got === expect.toSet, s"missing ${expect.toSet -- got}; spurious ${got -- expect.toSet}")
+    // every transition must follow a symmetrized edge
+    val byWalk = got.groupBy(_._1)
+    byWalk.values.foreach { steps =>
+      val ord = steps.toSeq.sortBy(_._2).map(_._3)
+      ord.zip(ord.tail).foreach { case (u, v) =>
+        assert(sym.contains((u, v)), s"non-edge transition $u -> $v") }
+    }
+    // determinism across re-execution
+    val again = Graphs.randomWalks(edges, "src", "dst", starts, "n",
+        steps = 3, seed = "t7")
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(1))).toSet
+    assert(again === got)
+    // a different seed changes at least one choice on this graph
+    val other = Graphs.randomWalks(edges, "src", "dst", starts, "n",
+        steps = 3, seed = "t8")
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(1))).toSet
+    assert(other !== got, "seed must steer the walk")
+  }
 }

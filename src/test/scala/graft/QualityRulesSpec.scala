@@ -400,4 +400,67 @@ class QualityRulesSpec extends AnyFunSuite {
     assert(tql.getString(0) === "https://www.example.com/a/b?q=1"
       && tql.getString(1) === "www.example.com" && tql.getString(2) === "example.com")
   }
+
+  test("charEntropy: uniform/constant/empty laws, code-point counting, TQL-reachable") {
+    import spark.implicits._
+    import graft.functions.TextKernels
+    import org.apache.spark.unsafe.types.UTF8String
+    def e(s: String): Double = TextKernels.charEntropy(UTF8String.fromString(s))
+    assert(e("") === 0.0, "empty string has zero entropy")
+    assert(e("aaaaaaa") === 0.0, "single-symbol string has zero entropy")
+    // k equiprobable symbols -> exactly log2(k)
+    assert(math.abs(e("abcd") - 2.0) < 1e-12)
+    assert(math.abs(e("abcdefgh") - 3.0) < 1e-12)
+    // distribution matters, length does not
+    assert(math.abs(e("abab" * 50) - 1.0) < 1e-12)
+    // CODE POINTS: a supplementary-plane char is ONE symbol, not two
+    // surrogates — "a𝄞" must be two equiprobable symbols, entropy 1
+    assert(math.abs(e("a𝄞") - 1.0) < 1e-12,
+      "surrogate pair must count as one code point")
+    // codegen path (DataFrame select) matches the kernel, null stays null
+    val df = Seq((1L, "abcd"), (2L, null: String)).toDF("id", "t")
+    val got = df.select(col("id"), graft.functions.gf.char_entropy(col("t")).as("h"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else java.lang.Double.valueOf(r.getDouble(1)))).toMap
+    assert(math.abs(got(1L).doubleValue - 2.0) < 1e-12 && got(2L) == null)
+    // TQL surface
+    val tql = graft.dialect.Tql.queryDataset(
+      Seq((1L, "aabb")).toDF("id", "t"),
+      "SELECT CHAR_ENTROPY(t) AS h ORDER BY id").head()
+    assert(math.abs(tql.getDouble(0) - 1.0) < 1e-12)
+  }
+
+  test("blocklistScore: counts, fraction, threshold flag; empty-token guard") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "good words only here"),
+      (2L, "bad worse bad fine"),
+      (3L, "bad bad bad bad")).toDF("id", "text")
+    val got = TA.blocklistScore(df, "id", "text", Seq("bad", "worse"), 0.5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(got(1L) === ((4, 0, 0.0, false)))
+    assert(got(2L) === ((4, 3, 0.75, true)))
+    assert(got(3L) === ((4, 4, 1.0, true)))
+  }
+
+  test("sentenceStats: boundaries, trims, cross-doc dup fraction; no-sentence docs drop") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat sat. the dog ran! the cat sat."),
+      (2L, "the cat sat. something else entirely?"),
+      (3L, "...")).toDF("id", "text")
+    val got = TA.sentenceStats(df, "id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // doc 1: three sentences ("the cat sat", "the dog ran", "the cat sat");
+    // "the cat sat" also occurs in doc 2 -> 2/3 of doc-1 sentences are dups
+    assert(got(1L)._1 === 3)
+    assert(math.abs(got(1L)._2 - 3.0) < 1e-9)
+    assert(math.abs(got(1L)._3 - 2.0 / 3) < 1e-6)
+    // doc 2: one shared + one unique sentence
+    assert(got(2L)._1 === 2 && math.abs(got(2L)._3 - 0.5) < 1e-9)
+    // doc 3: punctuation only -> zero sentences -> no row
+    assert(!got.contains(3L))
+  }
 }
