@@ -1168,8 +1168,7 @@ object Dedup {
     val e = docs
       .select(col(groupCol).cast("string").as("g"), tokens(col(textCol)).as("__toks"))
       .select(col("g"), explode(shingles(col("__toks"))).as("sh"))
-      .select(col("g"),
-        conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long").as("h"))
+      .select(col("g"), md5Hash60(col("sh")).as("h"))
     val bk = new Sketches.BottomK(k)
     val withSig = e.groupBy(col("g"))
       .agg(udaf(bk, org.apache.spark.sql.Encoders.scalaLong)(col("h")).as("sig"))
@@ -1181,6 +1180,26 @@ object Dedup {
     val sigs = docs.select(col(groupCol).cast("string")).distinct()
       .collect().map(_.getString(0)).sorted
       .map(g => g -> withSig.getOrElse(g, Array.emptyLongArray))
+    overlapFromSignatures(spark, sigs, k)
+  }
+
+  /** 60-bit md5-prefix hash key (first 15 hex chars, base-16) — the
+    * KMV sketch key: uniform like xxhash64 but replayable in any
+    * engine with string md5 (DuckDB folds the same chars), shared by
+    * the batch sketch and the streaming maintainer. */
+  private[graft] def md5Hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Pairwise overlap matrix from per-group BottomK signatures (sorted
+    * distinct 60-bit hashes, ≤ k each) — the shared estimation tail of
+    * [[corpusOverlapSketch]] and the streaming maintainer
+    * ([[graft.streaming.StreamingSketch]]): both routes MUST emit
+    * identical numbers given the same signatures, so the math lives
+    * once. Driver-side over the bounded |groups| × k artifact. */
+  private[graft] def overlapFromSignatures(
+      spark: org.apache.spark.sql.SparkSession,
+      sigs: Seq[(String, Array[Long])], k: Int): DataFrame = {
+    import spark.implicits._
     def contains(a: Array[Long], v: Long): Boolean =
       java.util.Arrays.binarySearch(a, v) >= 0
     val rows = for {

@@ -26,6 +26,16 @@ object Ingest {
   def toCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
     df.write.option("header", header.toString).mode("overwrite").csv(path)
 
+  /** ORC — the other columnar interchange format large warehouses emit
+    * (Hive/Trino lakes). Spark's native vectorized ORC reader gives the
+    * same pushdown/pruning surface as parquet; round-trip is
+    * spec-gated. */
+  def fromOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def toOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   /** JSONL (one JSON object per line) — the dominant interchange format
     * of text-pipeline corpora (Dolma, RedPajama, OpenWebText dumps all
     * ship as JSONL shards). Line-delimited is Spark's native json mode:

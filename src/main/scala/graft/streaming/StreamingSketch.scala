@@ -150,4 +150,83 @@ object StreamingSketch {
       Lsm.swapInPath(dir)
     }
   }
+
+  // --------------------------------------- streaming corpus-overlap KMV
+  // Per-source bottom-k shingle signatures in the same LSM posture:
+  // each micro-batch reduces (map-side combinable BottomK agg) to at
+  // most k (g, h) rows per source — 60-bit md5-prefix keys, identical
+  // to the batch sketch — plus one (g, NULL) presence row per source,
+  // so a source whose batch yields no shingles still owes its matrix
+  // rows. Bottom-k of a union IS the bottom-k of the unioned bottom-ks
+  // (any of the union's k smallest is among the k smallest of its own
+  // set), so merge-on-read = distinct + per-source window bottom-k:
+  // the maintained matrix is EXACTLY the batch operator's output over
+  // everything absorbed, regardless of batch splits — spec-gated.
+
+  /** per-batch (source, hash) signature rows appended to `dir` */
+  def maintainKmvOverlap(stream: DataFrame, dir: String, groupCol: String,
+      textCol: String, k: Int, checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Lsm.recoverPath(dir)
+        val bk = new Sketches.BottomK(k)
+        val sig = batch
+          .select(col(groupCol).cast("string").as("g"),
+            graft.operators.TextAnalysis.tokens(col(textCol)).as("__t"))
+          .select(col("g"),
+            explode(graft.operators.TextAnalysis.shingles(col("__t"))).as("sh"))
+          .select(col("g"), graft.operators.Dedup.md5Hash60(col("sh")).as("h"))
+          .groupBy(col("g"))
+          .agg(udaf(bk, Encoders.scalaLong)(col("h")).as("sig"))
+          .select(col("g"), explode(col("sig")).as("h"))
+        val presence = batch
+          .select(col(groupCol).cast("string").as("g")).distinct()
+          .withColumn("h", lit(null).cast("long"))
+        Lsm.absorbSegment(sig.unionByName(presence).coalesce(1),
+          dir, Lsm.segmentKey(checkpoint, batchId))
+        ()
+      }
+      .start()
+
+  /** Merge-on-read: distinct hashes per source, ONE window bottom-k,
+    * then the SAME pairwise estimation the batch sketch uses
+    * ([[graft.operators.Dedup]]); the collected artifact is bounded at
+    * |sources| × k longs. */
+  def currentKmvOverlap(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    Lsm.recoverPath(dir)
+    val segs = Lsm.readSegments(spark, dir)
+    val groups = segs.select(col("g")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("h"))
+    val bottom = segs.filter(col("h").isNotNull)
+      .select(col("g"), col("h")).distinct()
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (g, hs) => g -> hs.map(_._2).sorted }
+    graft.operators.Dedup.overlapFromSignatures(spark,
+      groups.map(g => g -> bottom.getOrElse(g, Array.emptyLongArray)).toSeq, k)
+  }
+
+  /** compaction: rewrite all segments as the merged per-source bottom-k
+    * (+ presence rows) through the crash-safe swap */
+  def compactKmvOverlap(spark: SparkSession, dir: String, k: Int): Unit = {
+    Lsm.recoverPath(dir)
+    val segs = Lsm.readSegments(spark, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("h"))
+    val bottom = segs.filter(col("h").isNotNull)
+      .select(col("g"), col("h")).distinct()
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .select(col("g"), col("h"))
+    val presence = segs.select(col("g")).distinct()
+      .withColumn("h", lit(null).cast("long"))
+    bottom.unionByName(presence)
+      .coalesce(1).write.mode("overwrite").parquet(s"${dir}__compact/batch=compact")
+    Lsm.swapInPath(dir)
+  }
 }

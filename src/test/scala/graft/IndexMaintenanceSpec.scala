@@ -159,6 +159,36 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming KMV corpus overlap: maintained matrix == batch sketch; compaction preserves") {
+    import graft.streaming.StreamingSketch
+    import graft.operators.Dedup
+    val tmp = java.nio.file.Files.createTempDirectory("kmvstream").toString
+    val k = 64
+    // write the corpus as three arrival batches, split ACROSS sources
+    // so no single batch sees a whole source's shingle set
+    (0 until 3).foreach { b =>
+      docs.filter(col("doc_id") % 3 === b)
+        .select(col("source"), col("text"))
+        .write.mode("append").parquet(s"$tmp/in")
+    }
+    val q = StreamingSketch.maintainKmvOverlap(
+      spark.readStream.schema("source STRING, text STRING")
+        .option("maxFilesPerTrigger", 2).parquet(s"$tmp/in"),
+      s"$tmp/kmv", "source", "text", k, s"$tmp/ck")
+    q.processAllAvailable(); q.stop()
+
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val streamed = m(StreamingSketch.currentKmvOverlap(spark, s"$tmp/kmv", k))
+    val batch = m(Dedup.corpusOverlapSketch(docs, "source", "text", k))
+    assert(streamed === batch,
+      s"diverged on ${batch.keySet.filter(p => streamed.get(p) != batch.get(p)).take(3)}")
+    // compaction folds segments to |sources| x k rows, same matrix
+    StreamingSketch.compactKmvOverlap(spark, s"$tmp/kmv", k)
+    assert(m(StreamingSketch.currentKmvOverlap(spark, s"$tmp/kmv", k)) === batch)
+  }
+
   test("inverted index: append equals full rebuild") {
     val old = docs.filter(col("doc_id") % 5 =!= 0)
     val fresh = docs.filter(col("doc_id") % 5 === 0)

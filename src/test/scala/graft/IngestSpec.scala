@@ -37,6 +37,23 @@ class IngestSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("orc round-trip preserves rows, schema, and pushdown surface") {
+    val dir = Files.createTempDirectory("graft-orc").toString
+    val src = graft.sources.Tables(spark, "/root/testdata/sf0.001", "nation")
+    Ingest.toOrc(src, s"$dir/nation_orc")
+    val back = Ingest.fromOrc(spark, s"$dir/nation_orc")
+    assert(back.schema == src.schema, "ORC must preserve the exact schema")
+    val a = src.orderBy("n_nationkey").collect().map(_.toSeq)
+    val b = back.orderBy("n_nationkey").collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+    // predicate pushdown reaches the ORC scan like it does for parquet
+    val plan = back.filter(col("n_regionkey") === 1)
+      .select("n_name").queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(n_regionkey), EqualTo(n_regionkey,1)]")
+      || plan.toLowerCase.contains("pushedfilters"),
+      s"no pushdown evidence in ORC scan plan:\n$plan")
+  }
+
   test("coco json ingest explodes into images/annotations/categories") {
     val dir = Files.createTempDirectory("graft-coco")
     val coco =
