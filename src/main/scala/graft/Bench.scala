@@ -59,7 +59,13 @@ object Headline {
     // round-10 additions: this round's heavy new operators track from
     // day one (drop-everywhere dedup's countDistinct agg, the KMV
     // signature agg, the mojibake kernel over the whole corpus)
-    "q_dedup_boilerplate", "q_corpus_overlap_sketch", "q_text_fix_mojibake")
+    "q_dedup_boilerplate", "q_corpus_overlap_sketch", "q_text_fix_mojibake",
+    // round-11 additions: this round's heavy new operators track from
+    // day one (the Bloom-prefiltered decontamination join, the LM
+    // replay + ntile bucketing, the 4-step walk iteration, and the
+    // whole-corpus entropy kernel)
+    "q_decontaminate_bloom", "q_ccnet_buckets", "q_graph_walks",
+    "q_text_entropy")
 }
 
 object Bench {

@@ -530,6 +530,37 @@ object TextKernels {
     if (changed) UTF8String.fromString(cur) else s
   }
 
+  private val md5Tl: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  /** HASH_UNIFORM kernel (see [[HashUniform]]): the 31-ary fold of the
+    * 32 lowercase md5 hex chars, mapped to a uniform in (0, 1] (closed)
+    * or (0, 1) (open, +0.5 — what Gumbel double-logs need). EXACTLY the
+    * value of the Column-level fold it replaces
+    * (`aggregate(transform(sequence(1,32), ascii∘substr(md5 …))))` —
+    * same integer fold, same final double ops — so every DuckDB oracle
+    * replaying the fold via list_reduce stays bit-identical. Native
+    * because the higher-order-function form is interpreted (no codegen)
+    * and re-evaluates the md5 subtree per lambda element: ~40µs/row
+    * against this kernel's ~1µs — the difference between a sampler scan
+    * that keeps up with the reader and one 30x behind it. */
+  def hashUniform(s: UTF8String, open: Boolean): Double = {
+    val md = md5Tl.get()
+    md.reset()
+    val dig = md.digest(s.getBytes)
+    var code = 0L
+    var i = 0
+    while (i < 16) {
+      val b = dig(i) & 0xFF
+      code = (code * 31 + HexChars(b >>> 4)) % 1000003L
+      code = (code * 31 + HexChars(b & 0xF)) % 1000003L
+      i += 1
+    }
+    if (open) (code.toDouble + 0.5) / 1000004.0
+    else (code + 1).toDouble / 1000004.0
+  }
+
   /** CHAR_ENTROPY kernel (see [[CharEntropy]]): Shannon entropy in bits
     * over the CODE-POINT distribution of the string — the classic
     * gibberish/low-information signal (near-0 for repeated filler like
@@ -673,6 +704,33 @@ object TextKernels {
       } finally d.end()
     }
   }
+}
+
+/** HASH_UNIFORM(key): deterministic uniform in (0, 1] (or (0, 1) when
+  * `open`) from the md5-fold of the key — THE sampling/shuffle/walk key
+  * of the whole engine ([[graft.operators.Sampling.hashUniform]] and
+  * every consumer route through here). Codegen'd native kernel; the
+  * math is unchanged from the Column-level fold, so the DuckDB oracles
+  * replaying it via list_reduce remain bit-identical. */
+case class HashUniform(child: Expression, open: Boolean)
+    extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"input must be string, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.hashUniform(input.asInstanceOf[UTF8String], open)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TextKernels.hashUniform($a, $open);")
+
+  override protected def withNewChildInternal(newChild: Expression): HashUniform =
+    copy(child = newChild)
 }
 
 /** CHAR_ENTROPY(text): Shannon entropy (bits) of the code-point

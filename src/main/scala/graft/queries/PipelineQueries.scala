@@ -154,6 +154,40 @@ object PipelineQueries extends QueryModule {
              |  sum(nt)::BIGINT AS sum_tokens,
              |  sum(bucket_lo + 128 - nt)::BIGINT AS padding_waste
              |FROM b GROUP BY bucket_lo ORDER BY bucket_lo""".stripMargin.replace('\n', ' ')),
-      doc = "128-token length buckets with padding-waste accounting")
+      doc = "128-token length buckets with padding-waste accounting"),
+
+    // ---- unigram-LM tokenizer training (Kudo 2018, SentencePiece's
+    // model) — the EM sibling of q_bpe_merges: float EM has no SQL
+    // replay, so UnigramSpec gates it (likelihood monotonicity,
+    // planted-morpheme recovery, coverage, determinism at 9dp)
+    "q_unigram_pieces" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val d = table(s, dir, "documents")
+        graft.operators.Unigram.train(d, "text", vocabSize = 64, emRounds = 2)
+          .pieces
+          .map(p => (p.piece, BigDecimal(p.logProb)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+          .toDF("piece", "log_prob")
+          .orderBy(col("log_prob").desc, col("piece"))
+      },
+      None,
+      doc = "unigram-LM tokenizer training; EM over the word table, spec-gated"),
+
+    // ---- unigram APPLY: Viterbi-encode docs against the trained
+    // pieces (broadcast table, map-side, no shuffle)
+    "q_unigram_encode" -> Q(
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+        val r = graft.operators.Unigram.train(d, "text", vocabSize = 64,
+          emRounds = 2)
+        graft.operators.Unigram
+          .encodeDocs(d.filter(col("doc_id") < 40), "doc_id", "text", r.pieces)
+          .select(col("id").as("doc_id"),
+            concat_ws(" ", col("pieces")).as("pieces"))
+          .orderBy(col("doc_id"))
+      },
+      None,
+      doc = "Viterbi piece encoding with the trained unigram vocabulary")
   )
 }

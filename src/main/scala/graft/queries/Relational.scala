@@ -883,28 +883,33 @@ object Relational extends QueryModule {
       Some(lpaOracle(iterations = 4)),
       doc = "synchronous LPA communities over the supplier co-purchase graph (exact unrolled-CTE oracle)"),
 
-    // ---- Adamic-Adar link prediction on the same graph: recommend the
-    // supplier pairs most likely to co-occur next, scored by
-    // Σ 1/ln(deg) over common neighbors — full SQL oracle
+    // ---- Adamic-Adar link prediction on the PART co-purchase graph:
+    // recommend the part pairs most likely to co-occur next, scored by
+    // Σ 1/ln(deg) over common neighbors — full SQL oracle. Parts, not
+    // suppliers: the part population grows WITH the corpus, so degree
+    // stays bounded (~30 here) at every SF — the supplier graph has a
+    // fixed 1000 nodes and densifies toward complete as orders grow,
+    // which quadratically blows the Σd² wedge census exactly as the
+    // data scales (measured 56s at sf0.1; this shape is ~4s).
     "q_graph_adamic_adar" -> Q(
       (s, dir) => {
         val li = table(s, dir, "lineitem")
-          .filter(col("l_orderkey") % 4 === 0)
-          .select(col("l_orderkey"), col("l_suppkey"))
+          .filter(col("l_orderkey") % 8 === 0)
+          .select(col("l_orderkey"), col("l_partkey"))
         val edges = li.as("x").join(li.as("y"),
             col("x.l_orderkey") === col("y.l_orderkey") &&
-              col("x.l_suppkey") < col("y.l_suppkey"))
-          .select(col("x.l_suppkey").as("src"), col("y.l_suppkey").as("dst"))
+              col("x.l_partkey") < col("y.l_partkey"))
+          .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
         graft.operators.Graphs.adamicAdar(edges, "src", "dst")
           .select(col("u"), col("v"), col("common_neighbors"),
             round(col("adamic_adar"), 6).as("adamic_adar"))
           .orderBy(col("adamic_adar").desc, col("u"), col("v"))
           .limit(50)
       },
-      Some("""WITH raw AS (SELECT x.l_suppkey AS a, y.l_suppkey AS b
+      Some("""WITH raw AS (SELECT x.l_partkey AS a, y.l_partkey AS b
              |  FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
-             |  AND x.l_suppkey < y.l_suppkey
-             |  WHERE x.l_orderkey % 4 = 0 AND y.l_orderkey % 4 = 0),
+             |  AND x.l_partkey < y.l_partkey
+             |  WHERE x.l_orderkey % 8 = 0 AND y.l_orderkey % 8 = 0),
              |e AS MATERIALIZED (SELECT DISTINCT a, b FROM raw),
              |adj AS MATERIALIZED (SELECT a AS id, b AS nb FROM e
              |  UNION ALL SELECT b, a FROM e),
@@ -919,7 +924,7 @@ object Relational extends QueryModule {
              |  round(sum(1.0 / ln(dw)), 6) AS adamic_adar
              |FROM ne GROUP BY u, v
              |ORDER BY adamic_adar DESC, u, v LIMIT 50""".stripMargin.replace('\n', ' ')),
-      doc = "Adamic-Adar common-neighbor link prediction, hub-capped wedge enumeration"),
+      doc = "Adamic-Adar common-neighbor link prediction on the part co-purchase graph, hub-capped wedge enumeration"),
 
     // ---- deterministic random walks over the symmetrized purchase
     // graph — the DeepWalk/node2vec corpus generator. Neighbor choice
@@ -943,6 +948,41 @@ object Relational extends QueryModule {
       },
       Some(walksOracle(steps = 4, seed = "rw42")),
       doc = "seeded deterministic random walks (DeepWalk corpus) over the purchase graph"),
+
+    // ---- degree-distribution audit: the first question asked of any
+    // graph before running the heavy family on it (hub skew decides
+    // salting/orientation strategy). Log2 degree buckets, node counts,
+    // min/max per bucket — one agg over the adjacency, one over the
+    // bucketing; full oracle.
+    "q_graph_degrees" -> Q(
+      (s, dir) => {
+        val li = table(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        val o = table(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        val edges = li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("src"),
+            (col("l_suppkey") + 1000000L).as("dst"))
+          .distinct()
+        val deg = edges.select(col("src").as("id"))
+          .unionByName(edges.select(col("dst").as("id")))
+          .groupBy(col("id")).agg(count(lit(1)).as("d"))
+        // floor(log2(d)) via binary-digit count — INTEGER-exact in both
+        // engines (float log2 rounds differently at exact powers of 2)
+        deg.withColumn("bucket", (length(bin(col("d"))) - 1).cast("long"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_nodes"),
+            min(col("d")).cast("long").as("min_deg"),
+            max(col("d")).cast("long").as("max_deg"))
+          .orderBy(col("bucket"))
+      },
+      Some("""WITH de AS (SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+             |n AS (SELECT src AS id FROM de UNION ALL SELECT dst FROM de),
+             |deg AS (SELECT id, count(*) AS d FROM n GROUP BY id),
+             |b AS (SELECT d, CAST(length(bin(d)) - 1 AS BIGINT) AS bucket FROM deg)
+             |SELECT bucket, count(*) AS n_nodes,
+             |  min(d)::BIGINT AS min_deg, max(d)::BIGINT AS max_deg
+             |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin.replace('\n', ' ')),
+      doc = "log2-bucketed degree distribution of the purchase graph (hub-skew audit)"),
 
     // ---- schema-drift audit: the data contract between two snapshots
     // (planted: one added, one removed, one type-changed column)

@@ -72,4 +72,44 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(rS >= 0.95 && rL >= 0.95, s"planted recall: 100k=$rS 1M=$rL")
     assert(sL < 50 * sS, f"10x data cost ${sL / sS}%.1fx (quadratic would be ~100x)")
   }
+
+  scaleTest("Bloom decontamination at 200k train docs: same answer, prefilter kills the shuffle") {
+    // train: 200k synthetic docs; eval: 500 docs, 100 of which are
+    // verbatim train copies (planted contamination), 400 disjoint
+    val train = corpus(200000L).select(col("id").as("doc_id"), col("text"))
+      .persist()
+    train.count()
+    val planted = train.filter(col("doc_id") % 2000 === 7)
+      .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+    val disjoint = spark.range(400).select(
+      (col("id") + 20000000L).as("doc_id"),
+      concat_ws(" ", transform(sequence(lit(0), lit(79)), j =>
+        concat(lit("z"), pmod(xxhash64(col("id"), j, lit(13L)), lit(10000L)))))
+        .as("text"))
+    val evalDf = planted.unionByName(disjoint).persist()
+    evalDf.count()
+    def pairs(df: DataFrame) = df.select("eval_id", "train_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (exact, tExact) = {
+      val t0 = System.nanoTime()
+      val p = pairs(Dedup.crossCorpusContainment(train, "doc_id", "text",
+        evalDf, "doc_id", "text", n = 3, threshold = 0.8))
+      (p, (System.nanoTime() - t0) / 1e9)
+    }
+    val (bloomed, tBloom) = {
+      val t0 = System.nanoTime()
+      val p = pairs(Dedup.crossCorpusContainmentBloom(train, "doc_id", "text",
+        evalDf, "doc_id", "text", n = 3, threshold = 0.8))
+      (p, (System.nanoTime() - t0) / 1e9)
+    }
+    System.err.println(
+      f"[dedup-scale] bloom decon 200k train docs: exact ${tExact}%.2fs, bloom ${tBloom}%.2fs, ${exact.size} contaminated pairs")
+    assert(bloomed === exact, "bloom route must return the exact answer")
+    assert(exact.size >= 100, s"planted contamination must surface: ${exact.size}")
+    // the point of the prefilter: never slower than the exact path
+    // even at this modest scale (at 100 TB the gap is the whole game)
+    assert(tBloom <= tExact * 1.25,
+      f"bloom path slower than exact: ${tBloom}%.2fs vs ${tExact}%.2fs")
+    train.unpersist(); evalDf.unpersist(); ()
+  }
 }

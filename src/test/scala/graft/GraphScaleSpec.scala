@@ -188,4 +188,29 @@ class GraphScaleSpec extends AnyFunSuite {
       degCounts.unpersist(); idCounts.unpersist()
     } finally { edges.unpersist(); () }
   }
+
+  scaleTest("randomWalks at 1M edges: linear in steps, every frontier row bounded by walk count") {
+    import spark.implicits._
+    val edges = edgeCorpus(1000000L, 50000L)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      edges.count()
+      val starts = spark.range(0, 2000).select(col("id").as("n"))
+      // warm the symmetrize/partition path once
+      Graphs.randomWalks(edges, "src", "dst", starts, "n", steps = 1).count()
+      val (r2, t2) = timed(Graphs.randomWalks(edges, "src", "dst",
+        starts, "n", steps = 2).count())
+      val (r8, t8) = timed(Graphs.randomWalks(edges, "src", "dst",
+        starts, "n", steps = 8).count())
+      System.err.println(
+        f"[graph-scale] randomWalks 2k walks over 1M edges: 2 steps ${t2}%.2fs ($r2 rows), 8 steps ${t8}%.2fs ($r8 rows)")
+      // per-walk rows: exactly steps+1 on a graph this connected
+      // (symmetrized + hub-skewed: dead ends are vanishingly rare)
+      assert(r8 >= 2000L * 8, s"walks died early: $r8 rows")
+      // 4x the steps must cost ~4x, not 2^k (the per-step
+      // localCheckpoint exists to prevent exponential re-derivation)
+      assert(t8 <= t2 * 10,
+        f"steps scaling broke linearity: 2->8 steps went ${t2}%.2fs -> ${t8}%.2fs")
+    } finally { edges.unpersist(); () }
+  }
 }

@@ -158,6 +158,25 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
 
+  test("entropy and blocklist scoring are map-only: no Exchange, kernels stay native") {
+    Seq("q_text_entropy", "q_text_blocklist").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$q must not shuffle:\n$p")
+      assert(!p.contains("BatchEvalPython") && !p.toLowerCase.contains("scalaudf"),
+        s"$q must not fall back to a UDF:\n$p")
+    }
+    // the entropy kernel is a native expression (codegen'd), visible by name
+    assert(planOf("q_text_entropy").contains("charentropy")
+      || planOf("q_text_entropy").contains("CharEntropy"),
+      "CharEntropy expression missing from plan")
+  }
+
+  test("Bloom decontamination keeps the prefilter map-side and joins only through shingles") {
+    val p = planOf("q_decontaminate_bloom")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("perplexity scoring joins count tables without nested loops") {
     val p = planOf("q_perplexity_score")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct")
