@@ -33,6 +33,41 @@ object VectorQueries extends QueryModule {
              |FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
              |ORDER BY cos_sim DESC, e.vec_id LIMIT 10""".stripMargin.replace('\n', ' '))),
 
+    // ---- KNN-Shapley data valuation (Jia et al. 2019): the exact
+    // Shapley value of every training vector under the KNN utility —
+    // negative values flag mislabeled/poisoned rows. The closed-form
+    // recursion is a suffix sum over neighbor ranks, so it runs as ONE
+    // window frame per validation point and replays 1:1 in SQL (FULL
+    // oracle); DedupSpec additionally gates it against an exhaustive
+    // 2^N Shapley enumeration.
+    "q_vec_knn_shapley" -> Q(
+      (s, dir) => graft.operators.EmbeddingOps.knnShapley(
+          table(s, dir, E), "vec_id", "embedding", "label",
+          valPred = col("vec_id") % 10 === 0, k = 5)
+        .orderBy(col("id")),
+      Some("""WITH b AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v, label::BIGINT AS y FROM embeddings),
+             |va AS (SELECT id AS vid, v AS vv, y AS vy FROM b WHERE id % 10 = 0),
+             |tr AS (SELECT * FROM b WHERE id % 10 <> 0),
+             |sim AS (SELECT va.vid, va.vy, tr.id, tr.y,
+             |  round(list_cosine_similarity(tr.v, va.vv), 6) AS sim FROM tr, va),
+             |rk AS (SELECT vid, vy, id, y, sim,
+             |  row_number() OVER (PARTITION BY vid ORDER BY sim DESC, id) AS j,
+             |  count(*) OVER (PARTITION BY vid) AS n,
+             |  CASE WHEN y = vy THEN 1.0 ELSE 0.0 END AS i FROM sim),
+             |t AS (SELECT vid, id, y, j, n, i,
+             |  lead(i, 1) OVER (PARTITION BY vid ORDER BY j) AS i_next FROM rk),
+             |u AS (SELECT vid, id, y, j, n, i,
+             |  CASE WHEN j < n THEN (i - i_next)/5 * (least(5, j) * 1.0 / j)
+             |  ELSE 0.0 END AS tt FROM t),
+             |sfx AS (SELECT vid, id, y,
+             |  sum(tt) OVER (PARTITION BY vid ORDER BY j
+             |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+             |  + last_value(i) OVER (PARTITION BY vid ORDER BY j
+             |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) / n AS s FROM u)
+             |SELECT id, y AS label, round(avg(s), 6) AS shapley
+             |FROM sfx GROUP BY id, y ORDER BY id""".stripMargin.replace('\n', ' ')),
+      doc = "exact KNN-Shapley data valuation over the embedding table (suffix-sum window form)"),
+
     // ---- hard-negative mining (DPR/Contriever practice): per anchor,
     // the top-5 most-similar OTHER-label vectors — anchors broadcast,
     // label filter map-side, two-phase top-k, corpus never shuffled

@@ -204,6 +204,50 @@ class DedupSpec extends AnyFunSuite {
       ev, "doc_id", "text", n = 3, threshold = 0.5, maxShingleDf = 0).count() === 0)
   }
 
+  test("knnShapley: matches exhaustive 2^N Shapley enumeration; efficiency axiom holds") {
+    import spark.implicits._
+    import graft.operators.EmbeddingOps
+    // one val point at (1,0); seven train points at distinct angles
+    val k = 3
+    val pts = Seq(
+      (0L, Array(1.0f, 0.0f), 1),
+      (1L, Array(0.98f, 0.20f), 1), (2L, Array(0.92f, 0.39f), 0),
+      (3L, Array(0.83f, 0.56f), 1), (4L, Array(0.71f, 0.71f), 0),
+      (5L, Array(0.56f, 0.83f), 0), (6L, Array(0.39f, 0.92f), 1),
+      (7L, Array(0.20f, 0.98f), 0))
+    val df = pts.toDF("vec_id", "embedding", "label")
+    val got = EmbeddingOps.knnShapley(df, "vec_id", "embedding", "label",
+        valPred = col("vec_id") === 0, k = k)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // driver reference: rank train by cosine to the val point (all
+    // distinct here), exhaustive Shapley of v(S) = (hits in S's top-k)/k
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val vy = 1
+    val ranked = pts.tail.sortBy(p => (-cos(p._2, pts.head._2), p._1))
+    val ids = ranked.map(_._1)
+    val hit = ranked.map(p => if (p._3 == vy) 1.0 else 0.0)
+    val n = ids.length
+    def v(s: Seq[Int]): Double = s.sorted.take(k).map(hit).sum / k
+    def fact(x: Int): Double = (1 to x).map(_.toDouble).product
+    val exact = (0 until n).map { i =>
+      val rest = (0 until n).filter(_ != i)
+      var tot = 0.0
+      for (r <- 0 to rest.length; comb <- rest.combinations(r)) {
+        val w = fact(r) * fact(n - r - 1) / fact(n)
+        tot += w * (v(comb :+ i) - v(comb))
+      }
+      ids(i) -> tot
+    }.toMap
+    exact.foreach { case (id, s) =>
+      assert(math.abs(got(id) - s) < 1e-5, s"id $id: ${got(id)} vs exact $s") }
+    // efficiency axiom: values sum to the utility of the full set
+    assert(math.abs(got.values.sum - v(0 until n)) < 1e-5)
+  }
+
   test("Bloom-prefiltered decontamination: output identical to exact; prefilter actually prunes") {
     import graft.operators.{TextAnalysis => TA}
     val d = docs(sf001)
