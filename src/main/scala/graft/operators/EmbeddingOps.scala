@@ -110,6 +110,54 @@ object EmbeddingOps {
       when(n > 0, transform(t, x => x / n)))
   }
 
+  /** Greedy k-center coreset selection (Gonzalez 1985 farthest-first
+    * traversal; the data-selection workhorse of Sener & Savarese 2018
+    * active learning): starting from `startId`, repeatedly pick the
+    * point FARTHEST (max min-cosine-distance) from everything selected
+    * so far — a diversity-maximizing subset with a 2-approximation
+    * guarantee for the k-center objective.
+    *
+    * Distances round to 6dp (id tiebreak) so the greedy choice is
+    * engine-exact, and k is fixed — the selection UNROLLS into one
+    * DuckDB CTE per step (FULL oracle), exactly the [[Graphs.randomWalks]]
+    * posture for a sequential algorithm.
+    *
+    * Scale shape: the selected set is ≤ k vectors and rides the plan
+    * as literal arrays (a `least` over ≤ k codegen'd cosine kernels —
+    * map-side, no shuffle, no crossJoin); each step is ONE distributed
+    * argmax (TakeOrdered, never a global sort) collecting a single
+    * row. k driver round-trips for k selections is the algorithm's
+    * intrinsic sequentiality — each choice depends on the last.
+    * Returns (rank, id, dist): dist = the min-distance to the
+    * previously selected set at selection time (0 for the start). */
+  def kCenterGreedy(df: DataFrame, idCol: String, vecCol: String,
+      startId: Long, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    val startVec = base.filter(col("id") === startId).head().getSeq[Float](1)
+    val picked = scala.collection.mutable.ArrayBuffer(
+      (0, startId, 0.0, startVec))
+    var t = 1
+    while (t < k) {
+      val selIds = picked.map(_._2)
+      val dists = picked.map { case (_, _, _, sv) =>
+        round(lit(1.0) - graft.functions.gf.cosine_similarity(col("v"),
+          array(sv.map(x => lit(x)): _*)), 6)
+      }
+      val md = if (dists.size == 1) dists.head else least(dists.toSeq: _*)
+      val next = base.filter(!col("id").isInCollection(selIds))
+        .withColumn("__md", md)
+        .orderBy(col("__md").desc, col("id"))
+        .limit(1).head()
+      picked += ((t, next.getLong(0), next.getDouble(2), next.getSeq[Float](1)))
+      t += 1
+    }
+    picked.toSeq.map { case (r, id, d, _) => (r, id, d) }
+      .toDF("sel_rank", "id", "dist")
+  }
+
   /** Exact KNN-Shapley data valuation (Jia et al., VLDB 2019 — the
     * closed-form Shapley value of every training point under the
     * K-nearest-neighbor utility, computed in O(N log N) per validation

@@ -33,6 +33,17 @@ object VectorQueries extends QueryModule {
              |FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
              |ORDER BY cos_sim DESC, e.vec_id LIMIT 10""".stripMargin.replace('\n', ' '))),
 
+    // ---- greedy k-center coreset (farthest-first traversal): the
+    // diversity-maximizing subset selection of active-learning /
+    // data-selection pipelines. Fixed k unrolls the sequential greedy
+    // into one CTE per step — FULL oracle, the q_graph_walks posture.
+    "q_vec_kcenter" -> Q(
+      (s, dir) => graft.operators.EmbeddingOps.kCenterGreedy(
+          table(s, dir, E), "vec_id", "embedding", startId = 0L, k = 6)
+        .orderBy(col("sel_rank")),
+      Some(kCenterOracle(startId = 0L, k = 6)),
+      doc = "greedy k-center selection over embeddings (unrolled-step oracle)"),
+
     // ---- KNN-Shapley data valuation (Jia et al. 2019): the exact
     // Shapley value of every training vector under the KNN utility —
     // negative values flag mislabeled/poisoned rows. The closed-form
@@ -408,4 +419,28 @@ object VectorQueries extends QueryModule {
              |round(avg(list_aggregate(list_transform(embedding, x -> CASE WHEN x >= 0 THEN 1.0 ELSE -1.0 END), 'sum')),6) AS avg_sign_balance,
              |count(*) AS n FROM embeddings GROUP BY label ORDER BY label""".stripMargin.replace('\n', ' ')))
   )
+
+  /** DuckDB oracle for `q_vec_kcenter`: one CTE pair per greedy step —
+    * min-distance census against the selected-so-far set, then the
+    * 6dp-rounded argmax — replaying
+    * [[graft.operators.EmbeddingOps.kCenterGreedy]] exactly. */
+  private def kCenterOracle(startId: Long, k: Int): String = {
+    val steps = (1 until k).map { t =>
+      s"""c$t AS (SELECT b.id,
+         |  min(round(1.0 - list_cosine_similarity(b.v, sv.v), 6)) AS md
+         |  FROM b, b sv
+         |  WHERE sv.id IN (SELECT id FROM sel${t - 1})
+         |    AND b.id NOT IN (SELECT id FROM sel${t - 1})
+         |  GROUP BY b.id),
+         |s$t AS (SELECT id, $t AS sel_rank, md AS dist FROM c$t
+         |  ORDER BY md DESC, id LIMIT 1),
+         |sel$t AS (SELECT * FROM sel${t - 1} UNION ALL SELECT * FROM s$t)"""
+        .stripMargin
+    }.mkString(", ")
+    s"""WITH b AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |sel0 AS (SELECT $startId AS id, 0 AS sel_rank, 0.0 AS dist),
+       |$steps
+       |SELECT sel_rank, id, dist FROM sel${k - 1} ORDER BY sel_rank"""
+      .stripMargin.replace('\n', ' ')
+  }
 }

@@ -248,6 +248,39 @@ class DedupSpec extends AnyFunSuite {
     assert(math.abs(got.values.sum - v(0 until n)) < 1e-5)
   }
 
+  test("kCenterGreedy: farthest-first laws — monotone radii, cover bound, start first") {
+    import graft.operators.EmbeddingOps
+    val e = graft.sources.Tables(spark, sf001, "embeddings")
+    val k = 5
+    val sel = EmbeddingOps.kCenterGreedy(e, "vec_id", "embedding", 3L, k)
+      .orderBy(col("sel_rank")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(sel.length === k && sel.head === ((0, 3L, 0.0)))
+    assert(sel.map(_._2).distinct.length === k, "selections must be distinct")
+    // greedy radii are non-increasing: each pick is the farthest point,
+    // and adding centers can only shrink min-distances
+    sel.drop(1).map(_._3).sliding(2).filter(_.length == 2).foreach { w =>
+      assert(w(1) <= w(0) + 1e-9, s"radii must not increase: ${w(0)} -> ${w(1)}")
+    }
+    // cover bound: after k picks, no remaining point is farther from the
+    // selected set than the last pick was at ITS selection time
+    val ids = sel.map(_._2)
+    val vecs = e.filter(col("vec_id").isInCollection(ids))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val rest = e.filter(!col("vec_id").isInCollection(ids))
+      .collect().map(r => r.getSeq[Float](1))
+    val maxMin = rest.map(v => ids.map(i =>
+      BigDecimal(1.0 - cos(v, vecs(i))).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble).min).max
+    assert(maxMin <= sel.last._3 + 1e-9,
+      s"uncovered point at $maxMin beyond last radius ${sel.last._3}")
+  }
+
   test("Bloom-prefiltered decontamination: output identical to exact; prefilter actually prunes") {
     import graft.operators.{TextAnalysis => TA}
     val d = docs(sf001)
