@@ -648,14 +648,20 @@ object TextAnalysis {
     val sents = df.select(col(idCol).as("id"),
       filter(transform(split(col(textCol), boundary), s => trim(s)),
         s => s =!= "").as("ss"))
+    // shuffle fixed-width md5 keys, never the sentence text: the word
+    // count is computed map-side before the join, so the corpus-freq
+    // join moves (id, counts, 16-byte key) rows only — at 100 TB the
+    // sentence strings stay in the scan stage
     val ex = sents.filter(size(col("ss")) > 0)
       .select(col("id"), size(col("ss")).as("n_sent"), explode(col("ss")).as("sent"))
-    val freq = ex.groupBy(col("sent"))
+      .select(col("id"), col("n_sent"),
+        size(split(col("sent"), " ")).as("wc"), md5(col("sent")).as("h"))
+    val freq = ex.groupBy(col("h"))
       .agg(countDistinct(col("id")).as("n_docs"))
-    ex.join(freq, "sent")
+    ex.join(freq, "h")
       .groupBy(col("id"), col("n_sent"))
       .agg(
-        round(avg(size(split(col("sent"), " "))), 6).as("avg_sent_words"),
+        round(avg(col("wc")), 6).as("avg_sent_words"),
         round(avg(when(col("n_docs") >= 2, 1.0).otherwise(0.0)), 6)
           .as("dup_sent_frac"))
       .select(col("id"), col("n_sent"), col("avg_sent_words"), col("dup_sent_frac"))
