@@ -755,10 +755,15 @@ object Dedup {
       df.repartition(par, col(id))
         .select(col(id).as("id"), tokens(col(text)).as("__toks"))
         .select(col("id"), shingles(col("__toks"), n).as("sh"))
+    // eager localCheckpoint: the Bloom build is an ACTION over the eval
+    // prep (tokenize + shingle + explode), and the final join reads the
+    // same frame — without materialization the bounded eval side would
+    // tokenize twice
     val ePost = prep(evalDf, evalIdCol, evalTextCol)
       .withColumn("n_sh", size(col("sh")))
       .filter(col("n_sh") > 0)
       .select(col("id").as("eval_id"), col("n_sh"), explode(col("sh")).as("s"))
+      .localCheckpoint()
     // one pass over the SMALL side builds the filter (treeAggregate to
     // the driver, ~1.2 MB at 1M shingles / 1% fpp), then it rides to
     // every scan task as a broadcast — no shuffle is added anywhere

@@ -162,8 +162,9 @@ object Dsir {
     require(temperature > 0, "temperature must be positive")
     val w = logWeights(raw, target, idCol, textCol, alpha, hashBuckets)
     // hashKeyed = the ORACLE-REPLAYABLE mode: the Gumbel uniform comes
-    // from the engine-independent md5 fold (strictly interior — a u of
-    // exactly 1.0 would blow up the double log), and the key rounds to
+    // from the engine-independent md5 fold (the open +0.5 lattice keeps
+    // u interior by construction, not by fold-constant accident — the
+    // double log must never see an endpoint), and the key rounds to
     // 6dp BEFORE the top-n cut so both engines rank identical doubles
     // (cross-engine fp drift in the log-weight sum stays ~1e-12, far
     // under the rounding quantum). Default mode keeps the cheaper

@@ -135,12 +135,18 @@ object EmbeddingOps {
     require(k >= 1, "k must be >= 1")
     val spark = df.sparkSession
     import spark.implicits._
-    val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
-    val startVec = base.filter(col("id") === startId).head().getSeq[Float](1)
+    // canonicalize to array<double> so float AND double inputs (e.g.
+    // matryoshka()'s output) both work, and the engine-side cosine runs
+    // in the same width the oracle's ::DOUBLE[] cast uses
+    val base = df.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val startRow = base.filter(col("id") === startId).collect()
+    require(startRow.nonEmpty, s"startId $startId not present in $idCol")
     val picked = scala.collection.mutable.ArrayBuffer(
-      (0, startId, 0.0, startVec))
+      (0, startId, 0.0, startRow.head.getSeq[Double](1)))
     var t = 1
-    while (t < k) {
+    var exhausted = false
+    while (t < k && !exhausted) {
       val selIds = picked.map(_._2)
       val dists = picked.map { case (_, _, _, sv) =>
         round(lit(1.0) - graft.functions.gf.cosine_similarity(col("v"),
@@ -150,9 +156,13 @@ object EmbeddingOps {
       val next = base.filter(!col("id").isInCollection(selIds))
         .withColumn("__md", md)
         .orderBy(col("__md").desc, col("id"))
-        .limit(1).head()
-      picked += ((t, next.getLong(0), next.getDouble(2), next.getSeq[Float](1)))
-      t += 1
+        .limit(1).collect()
+      if (next.isEmpty) exhausted = true // k exceeds the point count
+      else {
+        picked += ((t, next.head.getLong(0), next.head.getDouble(2),
+          next.head.getSeq[Double](1)))
+        t += 1
+      }
     }
     picked.toSeq.map { case (r, id, d, _) => (r, id, d) }
       .toDF("sel_rank", "id", "dist")

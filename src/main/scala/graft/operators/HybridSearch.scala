@@ -97,18 +97,18 @@ object HybridSearch {
       var s = 0.0; var i = 0
       while (i < a.length) { s += a(i) * b(i); i += 1 }; s
     }
+    // engine-rounding (BigDecimal HALF_UP — exactly Spark's round())
+    // applied on the DRIVER over the already-collected candidate
+    // vectors: the previous Spark crossJoin shuffled maxCandidates²
+    // pairs and re-executed the candidate plan a second time for the
+    // same numbers
     val simLookup: Map[(Long, Long), Double] =
       if (simDecimals < 0) Map.empty
-      else {
-        val a = top.select(col("id").as("ai"), col("vec").as("va"))
-        val b = top.select(col("id").as("bi"), col("vec").as("vb"))
-        a.crossJoin(b).filter(col("ai") =!= col("bi"))
-          .select(col("ai"), col("bi"),
-            round(graft.functions.gf.dot(col("va"), col("vb")),
-              simDecimals).as("sim"))
-          .collect()
-          .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
-      }
+      else (for {
+        (ai, _, va) <- rows.iterator
+        (bi, _, vb) <- rows.iterator if bi != ai
+      } yield ((ai, bi), BigDecimal(dot(va, vb))
+        .setScale(simDecimals, BigDecimal.RoundingMode.HALF_UP).toDouble)).toMap
     val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Double)]
     val chosen = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
     val remaining = scala.collection.mutable.ArrayBuffer(rows: _*)

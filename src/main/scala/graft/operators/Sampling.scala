@@ -98,10 +98,13 @@ object Sampling {
         org.apache.spark.sql.graft.Bridge.expression(key.cast("string")),
         open = false))
 
-  /** [[hashUniform]] shifted to the OPEN interval (0, 1): u can hit
-    * exactly 1.0 in the closed variant, which double-log transforms
-    * (Gumbel keys: -ln(-ln(u))) turn into an infinity. Same md5 fold,
-    * +0.5 offset — equally engine-expressible. */
+  /** [[hashUniform]] centered on the OPEN interval (0, 1): the +0.5
+    * lattice offset keeps both endpoints unattainable BY CONSTRUCTION
+    * (the closed variant's extremes, 1/1000004 and 1000003/1000004,
+    * happen to be interior too, but only because of the current fold
+    * constants — double-log consumers like Gumbel keys -ln(-ln(u))
+    * should not depend on that accident surviving a fold change).
+    * Same md5 fold, equally engine-expressible. */
   def hashUniformOpen(key: Column): Column =
     org.apache.spark.sql.graft.Bridge.column(
       graft.functions.HashUniform(

@@ -1034,11 +1034,6 @@ object Relational extends QueryModule {
       doc = "per-column contract audit: types, null rates, mean shifts between snapshots")
   )
 
-  /** DuckDB oracle for `q_graph_pagerank`: the purchase-graph edges,
-    * then the damped power iteration UNROLLED into one CTE per step —
-    * dangling mass as a scalar subquery, contributions as a grouped
-    * join — replaying [[graft.operators.Graphs.pageRank]]'s exact math
-    * (deterministic, so hash-comparable after 6dp rounding). */
   /** DuckDB oracle for `q_graph_walks`: the symmetrized purchase-graph
     * edges, then one chained CTE per step — a frontier join plus a
     * per-walk argmin on the shared md5-fold uniform — exactly the
@@ -1063,6 +1058,11 @@ object Relational extends QueryModule {
       .stripMargin.replace('\n', ' ')
   }
 
+  /** DuckDB oracle for `q_graph_pagerank`: the purchase-graph edges,
+    * then the damped power iteration UNROLLED into one CTE per step —
+    * dangling mass as a scalar subquery, contributions as a grouped
+    * join — replaying [[graft.operators.Graphs.pageRank]]'s exact math
+    * (deterministic, so hash-comparable after 6dp rounding). */
   private def pageRankOracle(iterations: Int, damping: Double): String = {
     val steps = (1 to iterations).map { k =>
       s"""r$k AS MATERIALIZED (SELECT n.id,

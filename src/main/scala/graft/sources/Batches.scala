@@ -176,13 +176,17 @@ object Batches {
       }
     val schema = df.schema
     val tz = spark.conf.get("spark.sql.session.timeZone", "UTC")
+    // captured driver-side: the stream header must declare the same
+    // var-type width the batch encoder used, or the shards are
+    // undecodable under spark.sql.execution.arrow.useLargeVarTypes=true
+    val largeVar = org.apache.spark.sql.graft.Bridge.arrowLargeVarTypes(spark)
     val outDirB = outDir
     val stats = rdd.mapPartitionsWithIndex { case (pid, batches) =>
       val path = Paths.get(outDirB, f"part-$pid%05d.arrows")
       val os = new java.io.BufferedOutputStream(Files.newOutputStream(path))
       var nBatches = 0L
       try org.apache.spark.sql.graft.Bridge.writeArrowStream(
-        schema, tz, batches.map { b => nBatches += 1; b }, os)
+        schema, tz, batches.map { b => nBatches += 1; b }, os, largeVar)
       finally os.close()
       Iterator.single((pid, nBatches, Files.size(path)))
     }.collect().sortBy(_._1)
@@ -203,8 +207,11 @@ object Batches {
     * reader). */
   def readArrowShards(spark: org.apache.spark.sql.SparkSession,
       dir: String, schemaJson: String): DataFrame = {
-    val files = Files.list(Paths.get(dir)).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".arrows")).toSeq.sortBy(_.toString)
+    val listing = Files.list(Paths.get(dir))
+    val files =
+      try listing.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".arrows")).toSeq.sortBy(_.toString)
+      finally listing.close() // Files.list holds a directory handle open
     val batches = files.iterator.flatMap(p =>
       org.apache.spark.sql.graft.Bridge.readArrowStream(p.toString).iterator)
     org.apache.spark.sql.graft.Bridge.dataFrameFromArrowBatches(

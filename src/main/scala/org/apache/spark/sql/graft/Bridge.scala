@@ -34,14 +34,25 @@ object Bridge {
 
   /** Write one Arrow IPC STREAM — schema header, the given serialized
     * record batches, end-of-stream — to `out`. Executor-safe (no session
-    * state touched). */
+    * state touched). `largeVarTypes` MUST match the session conf the
+    * batches were encoded under (`toArrowBatchRdd` reads
+    * spark.sql.execution.arrow.useLargeVarTypes): a header declaring
+    * VarChar over LargeVarChar payloads makes the stream undecodable. */
   def writeArrowStream(schema: StructType, timeZoneId: String,
-      batches: Iterator[Array[Byte]], out: java.io.OutputStream): Unit = {
+      batches: Iterator[Array[Byte]], out: java.io.OutputStream,
+      largeVarTypes: Boolean = false): Unit = {
     val w = new ArrowBatchStreamWriter(schema, out, timeZoneId,
-      true, false)
+      true, largeVarTypes)
     w.writeBatches(batches)
     w.end()
   }
+
+  /** The session's Arrow large-var-types setting — what
+    * [[arrowBatchRdd]]'s encoder will use; capture it driver-side and
+    * pass to [[writeArrowStream]] in executor tasks. */
+  def arrowLargeVarTypes(spark: SparkSession): Boolean =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.conf.arrowUseLargeVarTypes
 
   /** The serialized record-batch messages of one IPC stream file
     * (schema header and EOS stripped). */
