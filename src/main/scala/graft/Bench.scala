@@ -16,56 +16,57 @@ import org.apache.spark.sql.SparkSession
   * Validity notes (this host has documented multi-minute degradation
   * windows where identical queries swing 0.7s <-> 30s):
   *  - a cheap fixed-shape sentinel is timed at run start, after the
-  *    headline block, and at run end; if max/min sentinel time > 3x
-  *    the run stamps "degraded":true in the JSON so the artifact
+  *    full pass, and at run end; if max/min sentinel time > 3x the
+  *    run stamps "degraded":true in the JSON so the artifact
   *    self-discloses that its numbers are untrustworthy
-  *  - if degradation is detected right after the headline block, the
-  *    run pauses and re-measures the headline block once; the cleaner
-  *    pass (by sentinel ratio) is reported
-  *  - headline queries are measured with >=3 reps and report the
-  *    MEDIAN; they are exempt from the bench budget so the per-query
-  *    numbers the harness records are always present (reps 2..n are
-  *    the only part of the headline block a blown budget may skip)
-  *  - only the non-headline tail is budget-skippable, and the JSON
-  *    separates "skipped" (budget) from unknown headline names
+  *  - EVERY registered query gets one unconditional measured rep (the
+  *    full pass) — coverage can no longer be budget-starved; r11 left
+  *    135/282 queries unmeasured because 42 headliners x 3 reps ate
+  *    the whole budget before the tail started
+  *  - headline queries then get reps 2..n (median reported) while the
+  *    budget lasts, and a post-suite ECHO rep while the echo budget
+  *    lasts; both refinement passes are the ONLY budget-skippable work
+  *  - the stdout result line carries scalars + the headline medians
+  *    map ONLY (the driver's output capture is ~2000 chars; r11's line
+  *    with the echo map aboard truncated mid-JSON and parsed as null).
+  *    The full per-query / echo / isolation maps ride in bench_out.json.
   */
 object Headline {
-  /** the per-query numbers the harness records in BENCH_r{N}.json */
+  /** The queries that get multi-rep medians + an isolated echo rep —
+    * the numbers the judge regression-calls on. Retirement policy
+    * (r11 verdict): the list had grown monotonically for five rounds
+    * (18 -> 42) and its 3-rep cost starved the tail; names whose
+    * numbers were flat for 3+ rounds go back to the single-rep full
+    * pass (still measured every round, just not repped). Kept: the
+    * slowest TPC-H shapes, one representative per heavy operator
+    * family, queries with open regression history (q_winsorize), and
+    * the current round's new heavy operators.
+    *
+    * Retired to the tail in r12: q3/q6/q13/q18, q_dedup_embedding,
+    * q_dedup_ngram_jaccard, q_dedup_repeated_spans, q_dedup_chunks,
+    * q_corpus_overlap, q_vec_cosine_topk, q_vec_pca, q_vec_knn_bulk,
+    * q_vec_ann_quantized, q_vec_label_outliers, q_inverted_contains_all,
+    * q_text_langid, q_text_fix_mojibake, q_events_hourly, q_window_rank,
+    * q_funnel, q_phrase_search, q_dsir_weights, q_cdc_latest.
+    */
   val names: Set[String] = Set(
-    "q1_pricing_summary", "q3_top_revenue_orders", "q6_revenue_forecast",
-    "q9_product_profit", "q13_customer_distribution", "q18_large_volume_customers",
-    "q21_waiting_suppliers", "q_dedup_minhash_lsh", "q_dedup_embedding",
-    "q_dedup_ngram_jaccard", "q_vec_cosine_topk", "q_vec_ann_topk",
-    "q_hybrid_search", "q_bm25_topk", "q_inverted_contains_all",
-    "q_text_langid", "q_events_hourly", "q_window_rank",
-    // round-7 surface: event analytics, phrase search, repeated spans
-    "q_funnel", "q_phrase_search", "q_rolling_window",
-    "q_dedup_repeated_spans",
-    // round-8 promotions (r7 verdict): the slowest registered query and
-    // the heavy ANN/resample shapes join the tracked set
-    "q_winsorize", "q_vec_ann_pq", "q_resample_fill",
-    // round-8 additions: the new heavy operators track from day one
-    "q_dsir_weights", "q_vec_label_outliers", "q_dedup_simhash_hamming",
-    "q_dedup_chunks", "q_corpus_overlap",
-    // round-9 promotions (r8 verdict): the vector-path queries whose
-    // single-rep numbers drifted 1.5-1.9x on untouched code get 3-rep
-    // medians so suite-pressure noise and real regressions separate
-    "q_vec_pca", "q_vec_knn_bulk", "q_vec_ann_quantized",
-    // round-10 promotions (r9 verdict): new heavy operators get 3-rep
-    // visibility before anyone trusts their tail numbers. q_dedup_simhash
-    // stays retired from candidacy: its capped member-list output makes
-    // its wall-time a poor proxy for the operator.
-    "q_kn_perplexity", "q_cdc_latest",
-    // round-10 additions: this round's heavy new operators track from
-    // day one (drop-everywhere dedup's countDistinct agg, the KMV
-    // signature agg, the mojibake kernel over the whole corpus)
-    "q_dedup_boilerplate", "q_corpus_overlap_sketch", "q_text_fix_mojibake",
-    // round-11 additions: this round's heavy new operators track from
-    // day one (the Bloom-prefiltered decontamination join, the LM
-    // replay + ntile bucketing, the 4-step walk iteration, and the
-    // whole-corpus entropy kernel)
-    "q_decontaminate_bloom", "q_ccnet_buckets", "q_graph_walks",
-    "q_text_entropy")
+    // slowest TPC-H shapes (q9/q21 are the suite-pressure bellwethers)
+    "q1_pricing_summary", "q9_product_profit", "q21_waiting_suppliers",
+    // dedup family: LSH band join, hamming self-join, drop-everywhere
+    // boilerplate, Bloom-prefiltered decontamination, KMV overlap
+    "q_dedup_minhash_lsh", "q_dedup_simhash_hamming", "q_dedup_boilerplate",
+    "q_decontaminate_bloom", "q_corpus_overlap_sketch",
+    // vector family: clustered-index probe + IVF-PQ probe
+    "q_vec_ann_topk", "q_vec_ann_pq",
+    // search family: BM25 indexed route + fused hybrid
+    "q_bm25_topk", "q_hybrid_search",
+    // LM scoring family: CCNet buckets (r12: scores from maintained
+    // counts), KN perplexity, whole-corpus entropy kernel
+    "q_ccnet_buckets", "q_kn_perplexity", "q_text_entropy",
+    // graph family: the heaviest iterative shape
+    "q_graph_walks",
+    // window/resample family + the query with open regression history
+    "q_rolling_window", "q_resample_fill", "q_winsorize")
 }
 
 object Bench {
@@ -144,7 +145,7 @@ object Bench {
       // so it must never eat the harness's bench budget; queries not
       // warmed in time just compile inside their measured run, exactly as
       // before this pass existed.
-      val warmBudgetSec = sys.env.getOrElse("SPARK_GRAFT_WARM_BUDGET", "120").toInt
+      val warmBudgetSec = sys.env.getOrElse("SPARK_GRAFT_WARM_BUDGET", "180").toInt
       val warmT0 = System.nanoTime()
       var skipped = 0
       val warmOrder = SparkEntry.queries.toSeq.sortBy { case (n, _) =>
@@ -206,33 +207,10 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }))
 
-    val benchBudgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "450").toInt
+    val benchBudgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "900").toInt
     val headReps = sys.env.getOrElse("SPARK_GRAFT_HEAD_REPS", "3").toInt
     val loop0 = System.nanoTime()
     def elapsed(): Double = (System.nanoTime() - loop0) / 1e9
-
-    // Headline block: rep 1 is unconditional (per-query numbers must
-    // always be present); reps 2..n refine the median while the budget
-    // allows. Returns (per-query medians, sentinel-after).
-    def headlinePass(): (Map[String, Double], Double) = {
-      val reps = headlineNames.map { n =>
-        n -> scala.collection.mutable.ArrayBuffer(run1(n).toSeq: _*)
-      }.toMap
-      (2 to headReps).foreach { _ =>
-        headlineNames.foreach { n =>
-          // a query that already failed is not retried — its error is
-          // recorded once and its slot yields to the rest of the pass
-          if (elapsed() < benchBudgetSec && !errors.contains(s"query:$n"))
-            reps(n) ++= run1(n)
-        }
-      }
-      headlineNames.foreach { n =>
-        System.err.println(s"[bench] headline reps $n: " +
-          (if (reps(n).isEmpty) "FAILED" else reps(n).map(t => f"$t%.2f").mkString(" ")))
-      }
-      val meds = reps.collect { case (n, ts) if ts.nonEmpty => n -> median(ts.toSeq) }.toMap
-      (meds, sentinel())
-    }
 
     // three unmeasured sentinel runs so codegen compile + JIT warmup on
     // the sentinel shape aren't billed to the first measured checkpoint
@@ -246,34 +224,49 @@ object Bench {
     }
     val sentinelStart = sentinel()
     phase(f"sentinel start: $sentinelStart%.2fs")
-    var (headMedians, sentinelMid) = headlinePass()
-    phase(f"headline pass done; sentinel: $sentinelMid%.2fs")
-    var sentinels = Seq(sentinelStart, sentinelMid)
-    def ratio(xs: Seq[Double]): Double = xs.max / math.max(xs.min, 1e-9)
-    // degradation right after the headline block: pause, let the host
-    // window pass, and re-measure the headline block once
-    if (ratio(sentinels) > 3.0 && elapsed() < benchBudgetSec) {
-      System.err.println(
-        f"[bench] sentinel drift ${ratio(sentinels)}%.1fx after headline block — pausing 20s and retrying once")
-      Thread.sleep(20000)
-      val s = sentinel()
-      if (s / math.max(math.min(sentinelStart, s), 1e-9) < 3.0) {
-        val (h2, s2) = headlinePass()
-        headMedians = h2
-        sentinels = Seq(s, s2)
-        phase(f"headline retry done; sentinel: $s2%.2fs")
+
+    // FULL PASS: one unconditional rep of EVERY registered query,
+    // headliners first. This is the coverage guarantee — no budget can
+    // starve it, so "skipped" is structurally zero. Headliner times
+    // seed their rep buffers.
+    val reps = headlineNames.map(n =>
+      n -> scala.collection.mutable.ArrayBuffer.empty[Double]).toMap
+    val tailBuf = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    (headlineNames ++ tailNames).foreach { n =>
+      run1(n).foreach { t =>
+        reps.get(n) match {
+          case Some(buf) => buf += t
+          case None      => tailBuf += (n -> t)
+        }
       }
     }
+    val tailResults: Seq[(String, Double)] = tailBuf.toSeq
+    val sentinelMid = sentinel()
+    phase(f"full pass done; sentinel: $sentinelMid%.2fs")
+    var sentinels = Seq(sentinelStart, sentinelMid)
+    def ratio(xs: Seq[Double]): Double = xs.max / math.max(xs.min, 1e-9)
 
-    // non-headline tail: single rep, budget-skippable
-    var tailAttempted = 0
-    val tailResults = tailNames.flatMap { n =>
-      if (elapsed() > benchBudgetSec) None
-      else { tailAttempted += 1; run1(n).map(n -> _) }
+    // HEADLINE REPS 2..n: budget-gated refinement of the medians. If the
+    // host degraded during the full pass, pause once and let the window
+    // pass before spending reps on noisy numbers.
+    if (ratio(sentinels) > 3.0) {
+      System.err.println(
+        f"[bench] sentinel drift ${ratio(sentinels)}%.1fx after full pass — pausing 20s before rep refinement")
+      Thread.sleep(20000)
     }
-    val budgetSkipped = tailNames.size - tailAttempted
-    if (budgetSkipped > 0)
-      System.err.println(s"[bench] bench budget (${benchBudgetSec}s) hit; $budgetSkipped tail queries unmeasured (budget, not stale list)")
+    (2 to headReps).foreach { _ =>
+      headlineNames.foreach { n =>
+        if (elapsed() < benchBudgetSec && !errors.contains(s"query:$n"))
+          reps(n) ++= run1(n)
+      }
+    }
+    headlineNames.foreach { n =>
+      System.err.println(s"[bench] headline reps $n: " +
+        (if (reps(n).isEmpty) "FAILED" else reps(n).map(t => f"$t%.2f").mkString(" ")))
+    }
+    val headMedians: Map[String, Double] =
+      reps.collect { case (n, ts) if ts.nonEmpty => n -> median(ts.toSeq) }.toMap
+    val budgetSkipped = 0 // the full pass is unconditional; kept for driver continuity
     val sentinelEnd = sentinel()
     sentinels = sentinels :+ sentinelEnd
     val degraded = ratio(sentinels) > 3.0
@@ -284,14 +277,21 @@ object Bench {
     // churning, so these reps approximate a BenchOne isolated re-time.
     // Every round so far burned judge time re-adjudicating phantom
     // "regressions" that were in-suite pressure (up to 2x drift on
-    // untouched code); the artifact now carries the suite-median /
-    // echo ratio per headliner, so a drifted number self-explains.
+    // untouched code); the artifact carries the suite-median / echo
+    // ratio per headliner, so a drifted number self-explains.
     // Budget-aware: a blown budget shrinks this to however many fit.
-    val echoBudgetSec = benchBudgetSec + 60
+    val echoBudgetSec = benchBudgetSec + 120
     val echo: Map[String, Double] = headlineNames.flatMap { n =>
       if (errors.contains(s"query:$n") || elapsed() > echoBudgetSec) None
       else run1(n).map(n -> _)
     }.toMap
+    // r11 verdict #9: a shortfall must be loudly visible, not inferred
+    val unechoed = headlineNames.filterNot(n =>
+      echo.contains(n) || errors.contains(s"query:$n"))
+    if (unechoed.nonEmpty)
+      System.err.println(s"[bench] ECHO SHORTFALL: ${unechoed.size}/${headlineNames.size} headliners got no echo rep: ${unechoed.mkString(",")}")
+    else
+      System.err.println(s"[bench] echo complete: ${echo.size}/${headlineNames.size} headliners echoed")
     val isolationDelta: Map[String, Double] = headMedians.flatMap { case (n, m) =>
       echo.get(n).filter(_ > 1e-9).map(e => n -> m / e)
     }
@@ -323,7 +323,8 @@ object Bench {
     val deltaMax = if (deltaSorted.isEmpty) 1.0 else deltaSorted.last
     val deltaP50 = median(deltaSorted)
     // the echo pass's RAW wall-times (not just ratios): the judge
-    // regression-calls directly on isolated numbers (r10 verdict #8)
+    // regression-calls directly on isolated numbers (r10 verdict #8).
+    // File-only — r11's stdout line truncated mid-JSON with this aboard.
     val echoQs = echo.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
@@ -331,8 +332,12 @@ object Bench {
       s""""measured":${results.size},"skipped":$budgetSkipped,"unknown_headliners":${unknownHeadliners.size},""" +
         s""""errors":$errorsJson,"degraded":$degraded,"sentinel_sec":$sentinelJson,"head_reps":$headReps,""" +
         f""""isolation_delta_max":$deltaMax%.2f,"isolation_delta_p50":$deltaP50%.2f,"echoed":${echo.size}"""
+    // COMPACT stdout line: scalars + the headline medians map only. The
+    // driver's tail capture is ~2000 chars; this must stay well under it.
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec",$meta,"echo_queries":$echoQs,"queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec",$meta,"queries":$qs,"sf":"$sfDir"}"""
+    if (line.length > 1800)
+      System.err.println(s"[bench] WARNING: stdout result line is ${line.length} chars — nearing the driver's ~2000-char capture window")
     println(line)
     // stdout under sbt arrives prefixed with "[info] " and never parses —
     // the machine-readable copy (with the FULL per-query map) goes to a file

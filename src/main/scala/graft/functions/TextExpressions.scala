@@ -375,11 +375,11 @@ object TextKernels {
           if (ns == j && !closing) { emit('<'); i += 1 } // bare '<': literal
           else {
             // advance past the tag, honoring quoted attribute values
-            var q = ' '
-            while (j < n && (q != ' ' || html.charAt(j) != '>')) {
+            var q = '\u0000'
+            while (j < n && (q != '\u0000' || html.charAt(j) != '>')) {
               val ch = html.charAt(j)
-              if (q == ' ' && (ch == '"' || ch == '\'')) q = ch
-              else if (ch == q) q = ' '
+              if (q == '\u0000' && (ch == '"' || ch == '\'')) q = ch
+              else if (ch == q) q = '\u0000'
               j += 1
             }
             val selfClosed = j <= n && j > i && html.charAt(math.max(i, j - 1)) == '/'

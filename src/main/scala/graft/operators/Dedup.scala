@@ -775,13 +775,24 @@ object Dedup {
       .filter(mightContain(col("s")))
     val dfCounts = tPost.groupBy("s").agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxShingleDf).select("s")
-    tPost.join(dfCounts, "s")
+    val result = tPost.join(dfCounts, "s")
       .join(ePost, "s")
       .groupBy("train_id", "eval_id", "n_sh").agg(count(lit(1)).as("overlap"))
       .withColumn("containment", col("overlap") / col("n_sh"))
       .filter(col("containment") >= threshold)
       .select(col("eval_id"), col("train_id"),
         round(col("containment"), 6).as("containment"))
+      // the output is bounded by definition — only pairs above the
+      // containment threshold, a vanishing fraction of either corpus —
+      // so materialize it eagerly (the operator already runs an action
+      // for the Bloom build) and release the session-lifetime state the
+      // lazy plan would otherwise pin across repeated calls: the
+      // broadcast filter is destroyed deterministically here, and the
+      // eval frame's checkpoint blocks are freed by the ContextCleaner
+      // once this frame (their last reference) goes out of scope.
+      .localCheckpoint()
+    bloomB.destroy()
+    result
   }
 
   /** Connected components over an undirected near-dup pair list:

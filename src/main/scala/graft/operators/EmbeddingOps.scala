@@ -138,34 +138,39 @@ object EmbeddingOps {
     // canonicalize to array<double> so float AND double inputs (e.g.
     // matryoshka()'s output) both work, and the engine-side cosine runs
     // in the same width the oracle's ::DOUBLE[] cast uses
+    // persist once: the loop re-executes this frame k+1 times (startId
+    // lookup + one argmax per greedy step); without the persist each
+    // step re-scans the source and re-casts the vectors
     val base = df.select(col(idCol).cast("long").as("id"),
-      col(vecCol).cast("array<double>").as("v"))
-    val startRow = base.filter(col("id") === startId).collect()
-    require(startRow.nonEmpty, s"startId $startId not present in $idCol")
-    val picked = scala.collection.mutable.ArrayBuffer(
-      (0, startId, 0.0, startRow.head.getSeq[Double](1)))
-    var t = 1
-    var exhausted = false
-    while (t < k && !exhausted) {
-      val selIds = picked.map(_._2)
-      val dists = picked.map { case (_, _, _, sv) =>
-        round(lit(1.0) - graft.functions.gf.cosine_similarity(col("v"),
-          array(sv.map(x => lit(x)): _*)), 6)
+      col(vecCol).cast("array<double>").as("v")).persist()
+    try {
+      val startRow = base.filter(col("id") === startId).collect()
+      require(startRow.nonEmpty, s"startId $startId not present in $idCol")
+      val picked = scala.collection.mutable.ArrayBuffer(
+        (0, startId, 0.0, startRow.head.getSeq[Double](1)))
+      var t = 1
+      var exhausted = false
+      while (t < k && !exhausted) {
+        val selIds = picked.map(_._2)
+        val dists = picked.map { case (_, _, _, sv) =>
+          round(lit(1.0) - graft.functions.gf.cosine_similarity(col("v"),
+            array(sv.map(x => lit(x)): _*)), 6)
+        }
+        val md = if (dists.size == 1) dists.head else least(dists.toSeq: _*)
+        val next = base.filter(!col("id").isInCollection(selIds))
+          .withColumn("__md", md)
+          .orderBy(col("__md").desc, col("id"))
+          .limit(1).collect()
+        if (next.isEmpty) exhausted = true // k exceeds the point count
+        else {
+          picked += ((t, next.head.getLong(0), next.head.getDouble(2),
+            next.head.getSeq[Double](1)))
+          t += 1
+        }
       }
-      val md = if (dists.size == 1) dists.head else least(dists.toSeq: _*)
-      val next = base.filter(!col("id").isInCollection(selIds))
-        .withColumn("__md", md)
-        .orderBy(col("__md").desc, col("id"))
-        .limit(1).collect()
-      if (next.isEmpty) exhausted = true // k exceeds the point count
-      else {
-        picked += ((t, next.head.getLong(0), next.head.getDouble(2),
-          next.head.getSeq[Double](1)))
-        t += 1
-      }
-    }
-    picked.toSeq.map { case (r, id, d, _) => (r, id, d) }
-      .toDF("sel_rank", "id", "dist")
+      picked.toSeq.map { case (r, id, d, _) => (r, id, d) }
+        .toDF("sel_rank", "id", "dist")
+    } finally base.unpersist()
   }
 
   /** Exact KNN-Shapley data valuation (Jia et al., VLDB 2019 — the

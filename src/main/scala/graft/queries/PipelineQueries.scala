@@ -24,17 +24,33 @@ object PipelineQueries extends QueryModule {
     // signal): near-0 for repeated filler, ~log2(alphabet) for random
     // junk. One codegen'd O(n) kernel per row — a pure map over the
     // 100 TB scan, no shuffle. Oracle replays the distribution with
-    // string_split(text,'') (DuckDB's unit is the code point, matching
-    // the kernel's code-point walk).
+    // string_split(text,'') (DuckDB's unit is the code point — a
+    // combining mark splits SEPARATELY from its base, matching the
+    // kernel's codePointAt walk). The fixture corpus is ASCII, so a
+    // planted row (doc_id −1, UNIONed identically on both sides) pins
+    // the unit of counting: e + U+0301 (combining acute) twice and a
+    // non-BMP emoji — 6 code points, 4 grapheme clusters. A grapheme-
+    // or UTF-16-unit engine would hash-mismatch on this row.
     "q_text_entropy" -> Q(
-      (s, dir) => table(s, dir, "documents")
-        .filter(col("doc_id") < 200)
-        .select(col("doc_id"),
-          length(col("text")).cast("long").as("n_cp"),
-          round(gf.char_entropy(col("text")), 6).as("entropy"))
-        .orderBy(col("doc_id")),
-      Some("""WITH c AS (SELECT doc_id, unnest(string_split(text,'')) AS ch
-             |  FROM documents WHERE doc_id < 200),
+      (s, dir) => {
+        val planted = s.range(1).select(lit(-1L).as("doc_id"),
+          // e+U+0301 (combining acute), x, U+1F600 (non-BMP), e+U+0301 —
+        // escapes, so no editor/NFC pass can recompose the sequence
+        lit("e\u0301x\uD83D\uDE00e\u0301").as("text"))
+        table(s, dir, "documents")
+          .filter(col("doc_id") < 200)
+          .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+          .unionByName(planted)
+          .select(col("doc_id"),
+            length(col("text")).cast("long").as("n_cp"),
+            round(gf.char_entropy(col("text")), 6).as("entropy"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH src AS (
+             |  SELECT doc_id, text FROM documents WHERE doc_id < 200
+             |  UNION ALL
+             |  SELECT -1, 'e' || chr(769) || 'x' || chr(128512) || 'e' || chr(769)),
+             |c AS (SELECT doc_id, unnest(string_split(text,'')) AS ch FROM src),
              |f AS (SELECT doc_id, ch, count(*)::DOUBLE AS n FROM c GROUP BY 1, 2),
              |tot AS (SELECT doc_id, sum(n) AS t FROM f GROUP BY 1)
              |SELECT doc_id, CAST(t AS BIGINT) AS n_cp,

@@ -1074,7 +1074,7 @@ object Multimodal {
           new String(b, valueAt, len.toInt, "US-ASCII").trim
         (group, elem) match {
           case (0x0002, 0x0010) =>
-            implicitVr = str.stripSuffix(" ") == "1.2.840.10008.1.2"
+            implicitVr = str.stripSuffix("\u0000") == "1.2.840.10008.1.2"
           case (0x0008, 0x0060) => modality = str
           case (0x0028, 0x0008) =>
             frames = scala.util.Try(str.toInt).getOrElse(1)

@@ -106,10 +106,25 @@ class DedupScaleSpec extends AnyFunSuite {
       f"[dedup-scale] bloom decon 200k train docs: exact ${tExact}%.2fs, bloom ${tBloom}%.2fs, ${exact.size} contaminated pairs")
     assert(bloomed === exact, "bloom route must return the exact answer")
     assert(exact.size >= 100, s"planted contamination must surface: ${exact.size}")
-    // the point of the prefilter: never slower than the exact path
-    // even at this modest scale (at 100 TB the gap is the whole game)
-    assert(tBloom <= tExact * 1.25,
-      f"bloom path slower than exact: ${tBloom}%.2fs vs ${tExact}%.2fs")
+    // STRUCTURAL gate (wall-clock ratios were machine-noise flaky even
+    // opt-in — r11 advice): measure what the prefilter is FOR — the
+    // fraction of train shingles that survive into the shuffle. On this
+    // ~0.05%-contaminated corpus at 1% fpp the survivors are planted
+    // shingles + FPs, a few percent at most; gate at 10%. Timing above
+    // stays as logged evidence only.
+    import graft.operators.TextAnalysis.{tokens, shingles}
+    val evalSh = evalDf.select(explode(shingles(tokens(col("text")), 3)).as("s"))
+    val bloom = evalSh.stat.bloomFilter("s", 1000000L, 0.01)
+    val bloomB = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((s: String) => s != null && bloomB.value.mightContainString(s))
+    val trainSh = train.select(explode(shingles(tokens(col("text")), 3)).as("s")).persist()
+    val totalSh = trainSh.count().toDouble
+    val survivors = trainSh.filter(mightContain(col("s"))).count().toDouble
+    trainSh.unpersist(); bloomB.destroy()
+    System.err.println(
+      f"[dedup-scale] prefilter: ${survivors}%.0f of ${totalSh}%.0f train shingles survive (${100 * survivors / totalSh}%.2f%%)")
+    assert(survivors <= 0.10 * totalSh,
+      f"bloom prefilter must cut >=90%% of the train-shingle shuffle; survived ${100 * survivors / totalSh}%.1f%%")
     train.unpersist(); evalDf.unpersist(); ()
   }
 }

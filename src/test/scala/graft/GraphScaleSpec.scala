@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.Graphs
@@ -93,7 +93,9 @@ class GraphScaleSpec extends AnyFunSuite {
         Graphs.pageRank(big, "src", "dst", iterations = 6).count())
       System.err.println(
         f"[graph-scale] pageRank 1M edges: 2 iters ${t2}%.2fs, 6 iters ${t6}%.2fs (ratio ${t6 / t2}%.2f, linear = 3x)")
-      assert(t6 / t2 < 6.0,
+      // margin widened to 8x (r11 advice: timing gates are noise-flaky
+      // even opt-in) — linear is 3x, exponential lineage would be ~16x
+      assert(t6 / t2 < 8.0,
         f"pageRank must scale ~linearly in iterations: 3x iters took ${t6 / t2}%.2fx")
     } finally { small.unpersist(); big.unpersist(); () }
   }
@@ -181,10 +183,34 @@ class GraphScaleSpec extends AnyFunSuite {
       assert(degCounts.exceptAll(idCounts).isEmpty &&
         idCounts.exceptAll(degCounts).isEmpty,
         "orientation must not change triangle counts")
-      // the whole point of degree orientation: never slower than id
-      // order on a hub graph (1.25 slack for host noise)
-      assert(tDeg <= tId * 1.25,
-        f"degree orientation must beat id orientation on hubs: ${tDeg}%.2fs vs ${tId}%.2fs")
+      // STRUCTURAL gate (wall-clock comparisons were machine-noise
+      // flaky even opt-in — r11 advice): the point of degree
+      // orientation is the WEDGE COUNT Σ C(outdeg, 2) the join must
+      // materialize. Compute it for both orientations and require the
+      // degree order to kill ≥90% of the id-order wedge volume on this
+      // hub graph; the timings above stay as logged evidence only.
+      val und = edges
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .filter(col("a") =!= col("b")).distinct().persist()
+      val deg = und.select(explode(array(col("a"), col("b"))).as("id"))
+        .groupBy("id").agg(count(lit(1)).as("d"))
+      val annotated = und
+        .join(deg.select(col("id").as("a"), col("d").as("da")), "a")
+        .join(deg.select(col("id").as("b"), col("d").as("db")), "b")
+      def wedges(tail: Column): Long = annotated
+        .groupBy(tail.as("t")).agg(count(lit(1)).as("out"))
+        .agg(sum((col("out") * (col("out") - 1) / 2).cast("long")))
+        .head().getLong(0)
+      val lowFirst = col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b"))
+      val wDeg = wedges(when(lowFirst, col("a")).otherwise(col("b")))
+      val wId = wedges(col("a"))
+      und.unpersist()
+      System.err.println(
+        f"[graph-scale] wedge volume: degree-oriented $wDeg%d vs id-oriented $wId%d (cut ${100.0 - 100.0 * wDeg / wId}%.1f%%)")
+      assert(wDeg <= wId / 10,
+        s"degree orientation must cut >=90% of hub wedge volume: $wDeg vs $wId")
       degCounts.unpersist(); idCounts.unpersist()
     } finally { edges.unpersist(); () }
   }
@@ -208,8 +234,10 @@ class GraphScaleSpec extends AnyFunSuite {
       // (symmetrized + hub-skewed: dead ends are vanishingly rare)
       assert(r8 >= 2000L * 8, s"walks died early: $r8 rows")
       // 4x the steps must cost ~4x, not 2^k (the per-step
-      // localCheckpoint exists to prevent exponential re-derivation)
-      assert(t8 <= t2 * 10,
+      // localCheckpoint exists to prevent exponential re-derivation).
+      // Margin widened to 16x (r11 advice: timing gates are noise-flaky
+      // even opt-in) — exponential re-derivation would be ~64x.
+      assert(t8 <= t2 * 16,
         f"steps scaling broke linearity: 2->8 steps went ${t2}%.2fs -> ${t8}%.2fs")
     } finally { edges.unpersist(); () }
   }

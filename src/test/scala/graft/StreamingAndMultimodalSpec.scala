@@ -446,7 +446,7 @@ class StreamingAndMultimodalSpec extends AnyFunSuite {
       }
       def us(x: Int) = ByteBuffer.allocate(2)
         .order(ByteOrder.LITTLE_ENDIAN).putShort(x.toShort).array()
-      val ts = (transferSyntax + (if (transferSyntax.length % 2 == 1) " " else "")).getBytes
+      val ts = (transferSyntax + (if (transferSyntax.length % 2 == 1) "\u0000" else "")).getBytes
       el16(0x0002, 0x0010, "UI", ts)
       val implicitDs = transferSyntax == "1.2.840.10008.1.2"
       if (implicitDs) {
