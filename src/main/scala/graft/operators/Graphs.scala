@@ -369,4 +369,81 @@ object Graphs {
       e.unpersist(false); ()
     }
   }
+
+  /** node2vec-biased seeded walks (Grover & Leskovec, KDD 2016) — the
+    * (p, q) upgrade of [[randomWalks]]: at node u having arrived from
+    * `prev`, each neighbor v is weighted
+    *   α(v) = 1/p  if v = prev          (return)
+    *        = 1    if edge (prev, v)    (BFS-ish: stays near prev)
+    *        = 1/q  otherwise            (DFS-ish: moves outward)
+    * and the step samples v with probability ∝ α(v).
+    *
+    * Determinism & oracle: the weighted choice is an EXPONENTIAL RACE
+    * on the md5-fold uniform — v minimizes round(-ln(u_v)/α(v), 6)
+    * with u_v = hashUniformOpen("<seed>:<walk>:<step>:<v>") — the
+    * Efraimidis-Spirakis key already used by SAMPLE BY, so the choice
+    * is layout-independent, retry-stable, and replays 1:1 in SQL (the
+    * DuckDB oracle unrolls the steps, one frontier join + one left
+    * join against the edge set + one per-walk argmin per step). At
+    * step 1 `prev` is NULL, both engines fall through to α = 1/q for
+    * every candidate, and the race degenerates to the uniform choice —
+    * no special-casing on either side.
+    *
+    * Plan shape = [[randomWalks]] plus one LEFT join per step against
+    * the same src-partitioned persisted edge list to mark
+    * distance-1(prev) candidates: per-step cost is |frontier|·deg
+    * candidate rows through two keyed joins and a bounded-key argmin
+    * window; localCheckpoint keeps each step one job. Returns
+    * (walk_id, step, node), step 0 = start. */
+  def node2vecWalks(edges: DataFrame, srcCol: String, dstCol: String,
+      starts: DataFrame, startCol: String, steps: Int = 4,
+      p: Double = 4.0, q: Double = 0.25,
+      seed: String = "n2v42"): DataFrame = {
+    require(steps >= 1, "need at least one step")
+    require(p > 0 && q > 0, "p and q must be positive")
+    val spark = edges.sparkSession
+    val par = spark.sparkContext.defaultParallelism
+    val dir = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val e = dir
+      .unionByName(dir.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .repartition(par, col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var cur = starts
+        .select(col(startCol).cast("long").as("walk_id")).distinct()
+        .select(col("walk_id"), col("walk_id").as("node"),
+          lit(null).cast("long").as("prev"), lit(0).as("step"))
+        .localCheckpoint()
+      val frames = scala.collection.mutable.ArrayBuffer(cur)
+      val pn = e.select(col("src").as("__ps"), col("dst").as("__pd"),
+        lit(true).as("__pn"))
+      var t = 1
+      while (t <= steps) {
+        val cand = cur.join(e, cur("node") === e("src"))
+          .select(col("walk_id"), cur("node").as("u"), col("prev"), col("dst"))
+        val u = Sampling.hashUniformOpen(concat_ws(":",
+          lit(seed), col("walk_id"), lit(t), col("dst")))
+        val alpha = when(col("dst") === col("prev"), lit(1.0 / p))
+          .when(col("__pn"), lit(1.0))
+          .otherwise(lit(1.0 / q))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("walk_id")).orderBy(col("__key"), col("dst"))
+        cur = cand.join(pn,
+            cand("prev") === col("__ps") && cand("dst") === col("__pd"), "left")
+          .withColumn("__key", round(-log(u) / alpha, 6))
+          .withColumn("__rk", row_number().over(w))
+          .filter(col("__rk") === 1)
+          .select(col("walk_id"), col("dst").as("node"),
+            col("u").as("prev"), lit(t).as("step"))
+          .localCheckpoint()
+        frames += cur
+        t += 1
+      }
+      frames.reduce(_ unionByName _).select("walk_id", "step", "node")
+    } finally {
+      e.unpersist(false); ()
+    }
+  }
 }

@@ -949,6 +949,30 @@ object Relational extends QueryModule {
       Some(walksOracle(steps = 4, seed = "rw42")),
       doc = "seeded deterministic random walks (DeepWalk corpus) over the purchase graph"),
 
+    // ---- node2vec-biased walks over the part CO-PURCHASE graph (the
+    // adamic-adar graph — it has triangles, so the α=1 "neighbor of
+    // prev" branch is actually exercised; the bipartite purchase graph
+    // would never fire it). The (p,q)-weighted choice is an exponential
+    // race on the md5-fold uniform, so the fixed 4 steps + the per-step
+    // LEFT edge-join unroll into a FULL DuckDB oracle.
+    "q_graph_node2vec" -> Q(
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+          .filter(col("l_orderkey") % 8 === 0)
+          .select(col("l_orderkey"), col("l_partkey"))
+        val edges = li.as("x").join(li.as("y"),
+            col("x.l_orderkey") === col("y.l_orderkey") &&
+              col("x.l_partkey") < col("y.l_partkey"))
+          .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+        val starts = edges.select(col("src"))
+          .filter(col("src") % 100 === 0).distinct()
+        graft.operators.Graphs.node2vecWalks(edges, "src", "dst",
+            starts, "src", steps = 4, p = 4.0, q = 0.25, seed = "n2v42")
+          .orderBy(col("walk_id"), col("step"))
+      },
+      Some(node2vecOracle(steps = 4, p = 4.0, q = 0.25, seed = "n2v42")),
+      doc = "node2vec (p,q)-biased walks over the part co-purchase graph"),
+
     // ---- degree-distribution audit: the first question asked of any
     // graph before running the heavy family on it (hub skew decides
     // salting/orientation strategy). Log2 degree buckets, node counts,
@@ -1053,6 +1077,49 @@ object Relational extends QueryModule {
        |e AS MATERIALIZED (SELECT src, dst FROM de UNION SELECT dst, src FROM de),
        |s0 AS MATERIALIZED (SELECT DISTINCT src AS walk_id, src AS node, 0 AS step
        |  FROM de WHERE src % 100 = 0),
+       |$stepCtes
+       |SELECT walk_id, step, node FROM ($unions) ORDER BY walk_id, step"""
+      .stripMargin.replace('\n', ' ')
+  }
+
+  /** DuckDB oracle for `q_graph_node2vec`: the symmetrized part
+    * co-purchase edges, then one chained CTE trio per step — frontier
+    * join, LEFT edge-join to classify each candidate (return /
+    * distance-1 / distance-2 from `prev`), and a per-walk argmin on
+    * the 6dp exponential-race key round(-ln(u)/α, 6) — replaying
+    * [[graft.operators.Graphs.node2vecWalks]]'s exact per-step plan.
+    * At step 1 `prev` IS NULL: both CASE arms miss (NULL comparison
+    * and an unmatched left join) and every candidate gets α = 1/q —
+    * the same fall-through the Spark `when` chain takes. */
+  private def node2vecOracle(steps: Int, p: Double, q: Double,
+      seed: String): String = {
+    val aRet = 1.0 / p
+    val aOut = 1.0 / q
+    val stepCtes = (1 to steps).map { t =>
+      s"""c$t AS (SELECT pf.walk_id, pf.node AS u, pf.prev, e.dst,
+         |  md5('$seed:' || pf.walk_id::VARCHAR || ':$t:' || e.dst::VARCHAR) AS h
+         |  FROM s${t - 1} pf JOIN e ON pf.node = e.src),
+         |a$t AS (SELECT c.walk_id, c.u, c.dst, c.h,
+         |  CASE WHEN c.dst = c.prev THEN $aRet
+         |       WHEN pe.src IS NOT NULL THEN 1.0
+         |       ELSE $aOut END AS alpha
+         |  FROM c$t c LEFT JOIN e pe ON pe.src = c.prev AND pe.dst = c.dst),
+         |s$t AS MATERIALIZED (SELECT walk_id, dst AS node, u AS prev, $t AS step FROM (
+         |  SELECT walk_id, u, dst, row_number() OVER (PARTITION BY walk_id
+         |    ORDER BY round(-ln(${uuOpenSql("h")}) / alpha, 6), dst) AS rk
+         |  FROM a$t) WHERE rk = 1)""".stripMargin
+    }.mkString(", ")
+    val unions = (0 to steps).map(t =>
+      s"SELECT walk_id, step, node FROM s$t").mkString(" UNION ALL ")
+    s"""WITH raw AS (SELECT x.l_partkey AS a, y.l_partkey AS b
+       |  FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+       |  AND x.l_partkey < y.l_partkey
+       |  WHERE x.l_orderkey % 8 = 0 AND y.l_orderkey % 8 = 0),
+       |de AS MATERIALIZED (SELECT DISTINCT a, b FROM raw),
+       |e AS MATERIALIZED (SELECT a AS src, b AS dst FROM de
+       |  UNION SELECT b, a FROM de),
+       |s0 AS MATERIALIZED (SELECT DISTINCT a AS walk_id, a AS node,
+       |  CAST(NULL AS BIGINT) AS prev, 0 AS step FROM de WHERE a % 100 = 0),
        |$stepCtes
        |SELECT walk_id, step, node FROM ($unions) ORDER BY walk_id, step"""
       .stripMargin.replace('\n', ' ')

@@ -235,4 +235,83 @@ class GraphsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(1))).toSet
     assert(other !== got, "seed must steer the walk")
   }
+
+  test("node2vecWalks: exact match vs a driver-side replay of the (p,q) exponential race") {
+    import spark.implicits._
+    def uuOpen(s: String): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val code = hex.foldLeft(0L)((a, c) => (a * 31 + c.toInt) % 1000003L)
+      (code + 0.5) / 1000004.0
+    }
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val (p, q, seed) = (4.0, 0.25, "nv1")
+    val raw = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (2L, 4L), (4L, 5L))
+    val edges = raw.toDF("src", "dst")
+    val starts = Seq(1L, 4L).toDF("n")
+    val got = Graphs.node2vecWalks(edges, "src", "dst", starts, "n",
+        steps = 3, p = p, q = q, seed = seed)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val sym = raw.flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct
+    val adj = sym.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val edgeSet = sym.toSet
+    val expect = scala.collection.mutable.Set[(Long, Int, Long)]()
+    for (w <- Seq(1L, 4L)) {
+      var cur = w
+      var prev = -1L // sentinel: step 1 has no prev
+      expect += ((w, 0, w))
+      for (t <- 1 to 3) {
+        val nbrs = adj(cur)
+        val pick = nbrs.minBy { v =>
+          val alpha =
+            if (t > 1 && v == prev) 1.0 / p
+            else if (t > 1 && edgeSet.contains((prev, v))) 1.0
+            else 1.0 / q
+          (r6(-math.log(uuOpen(s"$seed:$w:$t:$v")) / alpha), v)
+        }
+        prev = cur; cur = pick
+        expect += ((w, t, cur))
+      }
+    }
+    assert(got === expect.toSet,
+      s"missing ${expect.toSet -- got}; spurious ${got -- expect.toSet}")
+  }
+
+  test("node2vecWalks: empirical step-2 transition frequencies follow the (p,q) bias law") {
+    import spark.implicits._
+    // N disjoint copies of the motif s-u, u-b, u-c, s-b: from u with
+    // prev = s the candidates classify as return (s, alpha = 1/p),
+    // distance-1 (b, alpha = 1 via the s-b edge), distance-2 (c,
+    // alpha = 1/q). Conditioning on walks whose step 1 went s -> u is
+    // valid: step-1 and step-2 hashes are independent.
+    val n = 6000
+    val motif = (0 until n).flatMap { k =>
+      val s = 10L * k; val u = s + 1; val b = s + 2; val c = s + 3
+      Seq((s, u), (u, b), (u, c), (s, b))
+    }
+    val edges = motif.toDF("src", "dst")
+    val starts = (0 until n).map(k => 10L * k).toDF("n")
+    def freqs(p: Double, q: Double): (Double, Double, Double) = {
+      val rows = Graphs.node2vecWalks(edges, "src", "dst", starts, "n",
+          steps = 2, p = p, q = q, seed = "law")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      val byWalk = rows.groupBy(_._1).view
+        .mapValues(_.sortBy(_._2).map(_._3)).toMap
+      val conditioned = byWalk.values.filter(w => w(1) == w(0) + 1).toSeq
+      val m = conditioned.size.toDouble
+      assert(m > n * 0.4, s"step-1 conditioning lost too many walks: $m")
+      def f(off: Long) = conditioned.count(w => w(2) == w(0) + off) / m
+      (f(0L), f(2L), f(3L)) // return to s, distance-1 b, distance-2 c
+    }
+    val (fRet, fB, fC) = freqs(p = 4.0, q = 0.25)
+    // alphas {0.25, 1, 4} -> probabilities {0.0476, 0.1905, 0.7619}
+    assert(math.abs(fRet - 0.0476) < 0.035, s"return freq $fRet")
+    assert(math.abs(fB - 0.1905) < 0.035, s"distance-1 freq $fB")
+    assert(math.abs(fC - 0.7619) < 0.035, s"distance-2 freq $fC")
+    // p = q = 1 degenerates to the uniform DeepWalk choice
+    val (uRet, uB, uC) = freqs(p = 1.0, q = 1.0)
+    Seq(uRet, uB, uC).foreach(f =>
+      assert(math.abs(f - 1.0 / 3) < 0.04, s"uniform law violated: $f"))
+  }
 }
