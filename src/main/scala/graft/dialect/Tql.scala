@@ -472,6 +472,38 @@ object Tql {
       }
     }
 
+    // ORDER BY MAXSIM(bag_col, const_bag) DESC LIMIT k — the ColPali
+    // arm of the same routing (reference pairs MAXSIM with the embedding
+    // index, `docs/docs/guide/rag.md:1377-1413`; `maxsim_pooled` is the
+    // single-vector prefilter form, `cpp/nd/norm.hpp:46-56`): the
+    // registered index holds the MEAN-POOLED doc vectors, each query
+    // vector probes it for k * accuracy_factor pooled candidates, and
+    // the exact multi-vector MAXSIM below reranks only the union of the
+    // survivors — the scan never ranks the whole corpus on the
+    // len(bag) x len(qbag) kernel.
+    if (indexRoutingEnabled.get()) maxsimRoute(sel, params).foreach { case (bagCol, qBag, k) =>
+      routeTable(sel.from) match {
+        case Some(tname) =>
+          val A = graft.operators.AnnIndex
+          A.Catalog.lookup(tname, bagCol).foreach { entry =>
+            import spark.implicits._
+            val qdf = qBag.zipWithIndex.map { case (v, i) => (i, v) }
+              .toDF("qid", "q_vec")
+            val filterIds = sel.where.map { w =>
+              env.df.filter(expr(env, w, params)).select(col(entry.idCol).as("id"))
+            }
+            val cand = A.search(entry.index, qdf, "qid", "q_vec",
+                k * math.max(entry.config.accuracyFactor, 1), entry.config,
+                idFilter = filterIds, metric = "cosine")
+              .select(col("id")).distinct()
+            env = env.copy(df = env.df.join(
+              broadcast(cand.select(col("id").as("__ann_cand_id"))),
+              env.df(entry.idCol) === col("__ann_cand_id"), "left_semi"))
+          }
+        case _ => ()
+      }
+    }
+
     // BM25_SIMILARITY(col, 'query') — the BM25 arm of the same top-k
     // routing (`cpp/deeplake_pg/index_search.cpp:135-169`): the score
     // only exists via the maintained index (idf/avgdl are corpus
@@ -736,6 +768,58 @@ object Tql {
         constVector(v, params).map(vec => (c, vec, k, "l2"))
       case _ => None
     }
+  }
+
+  /** Detect the MAXSIM indexed-top-k shape — the multi-vector sibling of
+    * [[annTopKRoute]]: primary ORDER key `MAXSIM(col, const-bag)` DESC
+    * (directly, via an alias, or through ROUND), plain LIMIT k, same
+    * structural guards. Returns (bag column, query bag, k). */
+  private def maxsimRoute(sel: ast.Select,
+      params: Seq[Any]): Option[(String, Seq[Seq[Double]], Int)] = {
+    if (sel.joins.nonEmpty || sel.groupBy.nonEmpty ||
+        sel.ungroup.nonEmpty || sel.sampleBy.nonEmpty || sel.expand.nonEmpty ||
+        sel.offset.nonEmpty || sel.orderBy.isEmpty)
+      return None
+    if (sel.where.exists(w => usesFn(w, "ROW_NUMBER") || usesFn(w, "RANDOM")))
+      return None
+    val k = sel.limit match {
+      case Some((e, false)) => evalInt(e, params)
+      case _ => return None
+    }
+    val ordExpr = sel.orderBy.head.e match {
+      case ast.Ref(Seq(n)) =>
+        sel.projs.collectFirst {
+          case ast.Proj(pe, Some(a)) if a.equalsIgnoreCase(n) => pe
+        }.getOrElse(sel.orderBy.head.e)
+      case other => other
+    }
+    val unwrapped = ordExpr match {
+      case ast.Fn("ROUND", Seq(inner, _), Seq()) => inner
+      case other => other
+    }
+    if (sel.orderBy.head.asc) return None
+    unwrapped match {
+      case ast.Fn("MAXSIM", Seq(ast.Ref(Seq(c)), v), Seq()) =>
+        constBag(v, params).map(bag => (c, bag, k))
+      case _ => None
+    }
+  }
+
+  /** a constant query BAG: ARRAY[ARRAY[...], ...] of constant vectors,
+    * or a `?` bound to a Seq of Seqs of numbers */
+  private def constBag(e: ast.Expr, params: Seq[Any]): Option[Seq[Seq[Double]]] = e match {
+    case ast.ArrayLit(items) if items.nonEmpty =>
+      val rows = items.map(constVector(_, params))
+      if (rows.forall(_.isDefined)) Some(rows.map(_.get)) else None
+    case ast.Param(i) if i < params.size => params(i) match {
+      case s: Seq[_] if s.nonEmpty && s.forall(_.isInstanceOf[Seq[_]]) =>
+        val rows = s.map(_.asInstanceOf[Seq[_]])
+        if (rows.forall(_.forall(_.isInstanceOf[Number])))
+          Some(rows.map(_.map(_.asInstanceOf[Number].doubleValue)))
+        else None
+      case _ => None
+    }
+    case _ => None
   }
 
   /** a constant query vector: ARRAY[...] of numeric literals/params, or a

@@ -85,6 +85,40 @@ object IndexStore {
         nClusters, m, ksub), d)
     })
 
+  /** Multi-vector "pages" for the MAXSIM index route (the ColPali shape:
+    * one bag of patch embeddings per page — reference pairs MAXSIM with
+    * the embedding index, `docs/docs/guide/rag.md:1377-1413`): embeddings
+    * fold into bags of 8 consecutive vectors (page_id = vec_id DIV 8,
+    * bag ordered by vec_id so the artifact is deterministic), plus the
+    * element-wise MEAN-POOLED vector the companion clustered index is
+    * built over (`maxsim_pooled` is the reference's single-vector
+    * prefilter form, `cpp/nd/norm.hpp:46-56`). */
+  private def maxsimArtifact(spark: SparkSession, sfDir: String): String =
+    ensure(artifactDir(sfDir, "maxsim_pages8")) { d =>
+      import org.apache.spark.sql.functions._
+      val e = Tables(spark, sfDir, "embeddings")
+      val bags = e
+        .groupBy(expr("vec_id DIV 8").as("page_id"))
+        .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding"))))
+          .as("sb"))
+        .select(col("page_id"),
+          transform(col("sb"), s => s("embedding")).as("bag"))
+        .withColumn("pooled", graft.functions.gf.mean_pool_rows(col("bag")))
+      bags.write.mode("overwrite").parquet(s"$d/bags")
+      AnnIndex.save(AnnIndex.build(
+        spark.read.parquet(s"$d/bags"), "page_id", "pooled", nClusters = 8),
+        s"$d/index")
+    }
+
+  /** parquet path of the MAXSIM pages table — usable directly as a TQL
+    * `FROM "<path>"` URL reference */
+  def maxsimBagsPath(spark: SparkSession, sfDir: String): String =
+    s"${maxsimArtifact(spark, sfDir)}/bags"
+
+  /** clustered index over the pages' mean-pooled vectors (id = page_id) */
+  def maxsimAnn(spark: SparkSession, sfDir: String): AnnIndex.Index =
+    AnnIndex.load(spark, s"${maxsimArtifact(spark, sfDir)}/index")
+
   /** inverted text index over documents(doc_id, text) */
   def inverted(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(ensure(artifactDir(sfDir, "inverted_text")) { d =>
@@ -128,6 +162,7 @@ object IndexStore {
     }
     timed("ann")(annQuantized(spark, sfDir)) // also serves the plain ann() projection
     timed("annPq")(annPq(spark, sfDir))
+    timed("maxsim")(maxsimAnn(spark, sfDir))
     timed("inverted")(inverted(spark, sfDir))
     timed("bm25")(bm25(spark, sfDir))
     timed("json")(json(spark, sfDir))

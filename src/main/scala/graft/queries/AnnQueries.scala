@@ -137,6 +137,30 @@ object AnnQueries extends QueryModule {
           .orderBy(col("qid"), col("rank"))
       },
       None,
-      doc = "high_accuracy preset: 2x clusters probed, 2x rerank pool on the quantized index")
+      doc = "high_accuracy preset: 2x clusters probed, 2x rerank pool on the quantized index"),
+
+    // MAXSIM arm of the dialect route (the reference's ColPali story
+    // pairs MAXSIM with the embedding index, docs/docs/guide/rag.md:
+    // 1377-1413): embeddings fold into 8-vector "pages"; the registered
+    // index holds each page's MEAN-POOLED vector; every query vector
+    // probes it and exact MAXSIM reranks only the candidate union —
+    // ORDER BY MAXSIM(...) DESC LIMIT k no longer scans the corpus.
+    "q_tql_maxsim_routed" -> Q(
+      (s, dir) => {
+        AnnIndex.Catalog.clear()
+        val bags = IndexStore.maxsimBagsPath(s, dir)
+        AnnIndex.Catalog.register(bags, "bag", "page_id",
+          IndexStore.maxsimAnn(s, dir))
+        val qbag = table(s, dir, "embeddings").filter(col("vec_id") < 3)
+          .orderBy(col("vec_id")).select(col("embedding")).collect()
+          .map(_.getSeq[Float](0).mkString("ARRAY[", ", ", "]"))
+          .mkString("ARRAY[", ", ", "]")
+        try graft.dialect.Tql.query(s, dir,
+          s"""SELECT page_id, ROUND(MAXSIM(bag, $qbag), 6) AS score
+             |FROM "$bags" ORDER BY score DESC, page_id LIMIT 10""".stripMargin)
+        finally AnnIndex.Catalog.clear()
+      },
+      None,
+      doc = "dialect-routed MAXSIM top-k: pooled-vector index probe, exact multi-vector rerank")
   )
 }

@@ -624,6 +624,58 @@ class TqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally AnnIndex.Catalog.clear()
   }
 
+  test("MAXSIM routes through a pooled-vector index: semi-join plan, recall >= 0.8 vs exact") {
+    import graft.operators.AnnIndex
+    import graft.functions.gf
+    val spark2 = spark
+    import spark2.implicits._
+    // clustered multi-vector corpus (the real shape of page/patch
+    // embeddings — a pooled prefilter is meaningless on white noise):
+    // 32 unit centers, each page = 4 noisy copies of its center
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val centers = Array.fill(32)(unit(Array.fill(dim)(rnd.nextGaussian())))
+    val pages = (0 until 2000).map { p =>
+      val c = centers(p % 32)
+      val bag = Seq.fill(4)(c.map(x => (x + 0.25 * rnd.nextGaussian()).toFloat).toSeq)
+      (p.toLong, bag)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("maxsim_route").toString
+    pages.toDF("page_id", "bag")
+      .withColumn("pooled", gf.mean_pool_rows(col("bag")))
+      .write.mode("overwrite").parquet(s"$tmp/bags")
+    val bags = spark.read.parquet(s"$tmp/bags")
+    val idx = AnnIndex.build(bags, "page_id", "pooled", nClusters = 16)
+    AnnIndex.Catalog.register(s"$tmp/bags", "bag", "page_id", idx)
+    try {
+      // 3-vector query bag near center 5
+      val qbag = Seq.fill(3)(centers(5).map(x =>
+        x + 0.25 * rnd.nextGaussian()).toSeq)
+      val exact = bags
+        .select(col("page_id"), gf.maxsim(col("bag"), typedlit(qbag)).as("s"))
+        .orderBy(col("s").desc, col("page_id")).limit(10)
+        .collect().map(_.getLong(0)).toSet
+      val arr = qbag.map(_.mkString("ARRAY[", ", ", "]"))
+        .mkString("ARRAY[", ", ", "]")
+      val routed = Tql.query(spark, dir,
+        s"""SELECT page_id, ROUND(MAXSIM(bag, $arr), 6) AS score
+           |FROM "$tmp/bags" ORDER BY score DESC, page_id LIMIT 10""".stripMargin)
+      assert(routed.queryExecution.executedPlan.toString.contains("LeftSemi"),
+        routed.queryExecution.executedPlan.toString)
+      val got = routed.collect().map(_.getLong(0))
+      assert(got.length === 10)
+      val recall = got.toSet.intersect(exact).size / 10.0
+      assert(recall >= 0.8, s"routed MAXSIM recall@10 = $recall vs exact $exact, got ${got.toSet}")
+      // survivors are ranked by the EXACT multi-vector kernel: the
+      // routed scores must be non-increasing
+      val scores = routed.collect().map(_.getDouble(1))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    } finally AnnIndex.Catalog.clear()
+  }
+
   test("EXPLAIN statement: plan text as a one-row result, query not executed") {
     val rows = Tql.query(spark, dir,
       "EXPLAIN SELECT l_orderkey, l_quantity FROM lineitem WHERE l_quantity > 45")
