@@ -119,6 +119,23 @@ object IndexStore {
   def maxsimAnn(spark: SparkSession, sfDir: String): AnnIndex.Index =
     AnnIndex.load(spark, s"${maxsimArtifact(spark, sfDir)}/index")
 
+  /** Maintained LM count state over documents(text) — the bigram +
+    * unigram LSM segments both the add-α (CCNet) and Kneser-Ney scorers
+    * serve from ([[TextAnalysis.bigramLmFromCounts]] /
+    * [[TextAnalysis.knFromCounts]]). Built once per dataset like every
+    * other index artifact; scoring queries then pay key joins against
+    * bounded count tables instead of re-exploding the train corpus. */
+  def lmCountsDir(spark: SparkSession, sfDir: String): String =
+    ensure(artifactDir(sfDir, "lm_counts")) { d =>
+      TextAnalysis.writeLmCounts(Tables(spark, sfDir, "documents"), "text", d)
+    }
+
+  def lmBigrams(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.readLmBigrams(spark, lmCountsDir(spark, sfDir))
+
+  def lmUnigrams(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.readLmUnigrams(spark, lmCountsDir(spark, sfDir))
+
   /** inverted text index over documents(doc_id, text) */
   def inverted(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(ensure(artifactDir(sfDir, "inverted_text")) { d =>
@@ -163,6 +180,7 @@ object IndexStore {
     timed("ann")(annQuantized(spark, sfDir)) // also serves the plain ann() projection
     timed("annPq")(annPq(spark, sfDir))
     timed("maxsim")(maxsimAnn(spark, sfDir))
+    timed("lmCounts")(lmCountsDir(spark, sfDir))
     timed("inverted")(inverted(spark, sfDir))
     timed("bm25")(bm25(spark, sfDir))
     timed("json")(json(spark, sfDir))

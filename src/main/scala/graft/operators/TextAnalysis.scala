@@ -216,20 +216,42 @@ object TextAnalysis {
   def bigramLmScore(train: org.apache.spark.sql.DataFrame,
       score: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
       alpha: Double = 0.5): org.apache.spark.sql.DataFrame = {
+    // One-shot convenience form: derive the two count tables inline and
+    // score through [[bigramLmFromCounts]] — identical arithmetic to the
+    // maintained-state path BY CONSTRUCTION (the serving shape; repeated
+    // or corpus-scale scoring should read persisted counts instead,
+    // [[writeLmCounts]] / [[readLmBigrams]] / [[readLmUnigrams]]).
     val trainToks = train.select(tokens(col(textCol)).as("w"))
     val uni = trainToks.select(explode(col("w")).as("w1"))
       .groupBy(col("w1")).agg(count(lit(1)).as("u"))
-    val vocab = uni.agg(count(lit(1)).as("nv"))
-    val big = trainToks.select(explode(bigrams(col("w"))).as("bg"))
-      .groupBy(col("bg")).agg(count(lit(1)).as("b"))
+    val big = trainToks.select(explode(knPairs(col("w"))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+    bigramLmFromCounts(big, uni, score, idCol, textCol, alpha)
+  }
+
+  /** [[bigramLmScore]] against MAINTAINED count state — `bigrams` =
+    * (w1, w2, c) from [[readLmBigrams]], `unigrams` = (w1, u) from
+    * [[readLmUnigrams]]: the add-α model's whole training state is two
+    * algebraic count tables, so scoring a corpus pays explode + two key
+    * joins + a per-doc re-agg and NEVER re-explodes the train corpus —
+    * the same serving posture as [[knFromCounts]], and the fix for
+    * q_ccnet_buckets retraining its LM inline on every run (6.7s of
+    * which two corpus explodes were the bulk). */
+  def bigramLmFromCounts(bigrams: org.apache.spark.sql.DataFrame,
+      unigrams: org.apache.spark.sql.DataFrame,
+      score: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      alpha: Double = 0.5): org.apache.spark.sql.DataFrame = {
+    require(alpha > 0, "alpha must be positive")
+    val vocab = unigrams.agg(count(lit(1)).as("nv"))
     val docBg = score
-      .select(col(idCol).as("id"), explode(bigrams(tokens(col(textCol)))).as("bg"))
-      .withColumn("w1", split(col("bg"), " ").getItem(0))
-    docBg.join(big, Seq("bg"), "left")
-      .join(uni, Seq("w1"), "left")
+      .select(col(idCol).as("id"), explode(knPairs(tokens(col(textCol)))).as("p"))
+      .select(col("id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    docBg.join(bigrams, Seq("w1", "w2"), "left")
+      .join(unigrams, Seq("w1"), "left")
       .crossJoin(broadcast(vocab))
       .select(col("id"),
-        (-log2((coalesce(col("b"), lit(0L)) + lit(alpha)) /
+        (-log2((coalesce(col("c"), lit(0L)) + lit(alpha)) /
           (coalesce(col("u"), lit(0L)) + lit(alpha) * col("nv")))).as("bits"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_bigrams"),
@@ -319,6 +341,51 @@ object TextAnalysis {
     docs.select(explode(knPairs(tokens(col(textCol)))).as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+
+  // ---- maintained add-α LM state: the add-α model's whole training
+  // state is bigram counts + UNIGRAM counts (U(w1) counts every token
+  // occurrence — doc-final tokens included — so it does NOT derive from
+  // the bigram table) + vocab size (a row count of the unigram table).
+  // Both tables are algebraic sums, so the same LSM segment posture as
+  // the KN counts applies: one O(delta) segment write per append,
+  // lineage-keyed so at-least-once replay can't double-count.
+
+  private def uniSegment(docs: org.apache.spark.sql.DataFrame,
+      textCol: String): org.apache.spark.sql.DataFrame =
+    docs.select(explode(tokens(col(textCol))).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c"))
+
+  /** materialize a train corpus's add-α LM counts (bigram + unigram
+    * LSM sub-dirs) as the `batch=base` segments */
+  def writeLmCounts(train: org.apache.spark.sql.DataFrame, textCol: String,
+      dir: String): Unit = {
+    writeKnCounts(train, textCol, s"$dir/bigrams")
+    graft.streaming.Lsm.resetDir(s"$dir/unigrams")
+    graft.streaming.Lsm.absorbSegment(
+      uniSegment(train, textCol), s"$dir/unigrams", "base")
+  }
+
+  /** absorb appended docs into BOTH count tables (one O(delta) segment
+    * each); `segment` keys the writes so replay is a no-op rewrite */
+  def absorbLmCounts(delta: org.apache.spark.sql.DataFrame, textCol: String,
+      dir: String, segment: String): Unit = {
+    absorbKnCounts(delta, textCol, s"$dir/bigrams", segment)
+    graft.streaming.Lsm.absorbSegment(
+      uniSegment(delta, textCol), s"$dir/unigrams", segment)
+  }
+
+  /** merge-on-read current bigram counts (w1, w2, c) — also exactly the
+    * table [[knFromCounts]] serves from, so one maintained artifact
+    * backs BOTH the add-α and the Kneser-Ney scorer */
+  def readLmBigrams(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    readKnCounts(spark, s"$dir/bigrams")
+
+  /** merge-on-read current unigram counts (w1, u) */
+  def readLmUnigrams(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    graft.streaming.Lsm.readSegments(spark, s"$dir/unigrams")
+      .groupBy(col("w1")).agg(sum(col("c")).as("u"))
 
   /** [[knBigramLmScore]] against a maintained bigram-count table
     * (`counts` = (w1, w2, c), from [[readKnCounts]]) — the serving

@@ -1711,9 +1711,13 @@ object DocumentQueries extends QueryModule {
     // mass from continuation counts, not uniform alpha)
     "q_kn_perplexity" -> Q(
       (s, dir) => {
+        // serve from the maintained bigram-count artifact (IndexStore
+        // lm_counts) — knFromCounts is the arithmetic the inline form
+        // delegates to, so the inline-replay oracle holds unchanged
         val d = table(s, dir, "documents")
-        graft.operators.TextAnalysis.knBigramLmScore(
-            d, d.filter(col("doc_id") < 100), "doc_id", "text")
+        graft.operators.TextAnalysis.knFromCounts(
+            graft.operators.IndexStore.lmBigrams(s, dir),
+            d.filter(col("doc_id") < 100), "doc_id", "text")
           .select(col("id").as("doc_id"), col("n_bigrams"), col("kn_bits"))
           .orderBy(col("doc_id"))
       },

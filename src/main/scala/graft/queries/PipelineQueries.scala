@@ -112,10 +112,16 @@ object PipelineQueries extends QueryModule {
     // stratification before sampling. ntile runs on the 6dp-rounded
     // score (float summation order differs across engines) with doc_id
     // as the tiebreaker, so bucket assignment is engine-exact.
+    // Scores come from the MAINTAINED count artifact (IndexStore
+    // lm_counts — r11 flagged the inline retrain: two corpus explodes
+    // per run for state that already persists); the arithmetic is
+    // identical by construction, so the inline-replay oracle holds.
     "q_ccnet_buckets" -> Q(
       (s, dir) => {
         val d = table(s, dir, "documents")
-        val scored = TA.bigramLmScore(d, d, "doc_id", "text")
+        val IS = graft.operators.IndexStore
+        val scored = TA.bigramLmFromCounts(
+          IS.lmBigrams(s, dir), IS.lmUnigrams(s, dir), d, "doc_id", "text")
         val j = scored.join(
           d.select(col("doc_id").as("id"), col("lang")), "id")
         val w = Window.partitionBy(col("lang"))

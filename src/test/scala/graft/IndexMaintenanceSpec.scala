@@ -712,5 +712,32 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     assert(graft.operators.TextAnalysis.readKnCounts(spark, s"$tmp/kn")
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).sorted.toSeq
       === knOnce, "KN replay double-counted")
+
+    // add-α LM counts (bigram + unigram sub-dirs): scoring from the
+    // maintained state equals the one-shot inline form EXACTLY —
+    // q_ccnet_buckets serves from this artifact on that guarantee —
+    // and cross-batch absorbs + replay converge to the whole-corpus
+    // write
+    {
+      val TA = graft.operators.TextAnalysis
+      val full = c0.unionByName(c1)
+      TA.writeLmCounts(full, "text", s"$tmp/lm")
+      def scored(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+          .sortBy(_._1).toSeq
+      val fromState = scored(TA.bigramLmFromCounts(
+        TA.readLmBigrams(spark, s"$tmp/lm"), TA.readLmUnigrams(spark, s"$tmp/lm"),
+        full, "doc_id", "text"))
+      val inline = scored(TA.bigramLmScore(full, full, "doc_id", "text"))
+      assert(fromState === inline, "maintained-state add-α scores != inline")
+      // split absorb + at-least-once replay converge to the same state
+      TA.writeLmCounts(c0, "text", s"$tmp/lm2")
+      TA.absorbLmCounts(c1, "text", s"$tmp/lm2", "b1")
+      TA.absorbLmCounts(c1, "text", s"$tmp/lm2", "b1") // replay
+      val split = scored(TA.bigramLmFromCounts(
+        TA.readLmBigrams(spark, s"$tmp/lm2"), TA.readLmUnigrams(spark, s"$tmp/lm2"),
+        full, "doc_id", "text"))
+      assert(split === inline, "split-absorb add-α state diverged (or replay double-counted)")
+    }
   }
 }
