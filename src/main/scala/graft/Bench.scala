@@ -66,7 +66,10 @@ object Headline {
     // graph family: the heaviest iterative shape
     "q_graph_walks",
     // window/resample family + the query with open regression history
-    "q_rolling_window", "q_resample_fill", "q_winsorize")
+    "q_rolling_window", "q_resample_fill", "q_winsorize",
+    // round-12 additions: this round's new heavy operators track from
+    // day one (biased-walk iteration; pooled-index MAXSIM route)
+    "q_graph_node2vec", "q_tql_maxsim_routed")
 }
 
 object Bench {

@@ -374,4 +374,116 @@ object StreamingDedup {
   /** every streamed doc's boilerplate-filtered form so far */
   def currentBoilerplateDeduped(spark: SparkSession, dir: String): DataFrame =
     Lsm.readSegments(spark, s"$dir/docs")
+
+  // ------------------------------------------------------ decontamination
+
+  /** Streaming cross-corpus decontamination — the ingestion-time form of
+    * [[Dedup.crossCorpusContainmentBloom]]: the eval suite is FIXED, so
+    * its shingle postings and Bloom filter persist once as an artifact;
+    * every arriving train batch is Bloom-prefiltered at ingest and ONLY
+    * its eval-matching (train_id, shingle) pairs land as a batch-keyed
+    * LSM segment — contamination is caught as documents arrive, not by a
+    * later whole-corpus sweep. Per-batch compute is O(batch); state
+    * grows with eval-matching pairs (+ ~fpp false positives), never with
+    * the corpus.
+    *
+    * Exactness: [[currentContaminated]] applies the stop-shingle df cap
+    * at READ time over the ACCUMULATED per-shingle counts (the cap is a
+    * whole-corpus property — freezing it at arrival time would let a
+    * shingle's verdict depend on batch order), so the merged answer
+    * equals the batch operator over the accumulated corpus for ANY
+    * batch split (spec-gated). The Bloom filter drops only shingles
+    * absent from eval, which contribute nothing to containment, and its
+    * false positives die in the eval equi-join — same argument as the
+    * batch Bloom variant sharing the exact operator's oracle. */
+  def writeDecontaminationEval(evalDf: DataFrame, evalIdCol: String,
+      evalTextCol: String, dir: String, n: Int = 3,
+      expectedEvalShingles: Long = 1000000L, fpp: Double = 0.01): Unit = {
+    val spark = evalDf.sparkSession
+    Lsm.resetDir(dir)
+    val ePost = evalDf
+      .select(col(evalIdCol).cast("long").as("eval_id"),
+        TextAnalysis.shingles(TextAnalysis.tokens(col(evalTextCol)), n).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+      .filter(col("n_sh") > 0)
+      .select(col("eval_id"), col("n_sh"), explode(col("sh")).as("s"))
+    ePost.write.mode("overwrite").parquet(s"$dir/eval_postings")
+    val bloom = spark.read.parquet(s"$dir/eval_postings")
+      .stat.bloomFilter("s", expectedEvalShingles, fpp)
+    val p = new org.apache.hadoop.fs.Path(s"$dir/eval_bloom.bin")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try bloom.writeTo(out) finally out.close()
+  }
+
+  private def readEvalBloom(spark: SparkSession,
+      dir: String): org.apache.spark.util.sketch.BloomFilter = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/eval_bloom.bin")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+    finally in.close()
+  }
+
+  def maintainDecontamination(stream: DataFrame, dir: String, idCol: String,
+      textCol: String, checkpoint: String, n: Int = 3): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        absorbDecontaminationBatch(batch,
+          Lsm.segmentKey(checkpoint, batchId), dir, idCol, textCol, n)
+        ()
+      }
+      .start()
+
+  /** One train batch's absorb: Bloom-prefilter the batch's distinct
+    * per-doc shingles against the persisted eval filter and write the
+    * survivors as the `batch=<key>` segment — a replay rewrites the
+    * same segment (at-least-once safe; counts are per-(doc, shingle)
+    * DISTINCT rows, so no absorb-order dependence either). */
+  private[graft] def absorbDecontaminationBatch(batch: DataFrame,
+      segKey: String, dir: String, idCol: String, textCol: String,
+      n: Int = 3): Unit = {
+    val spark = batch.sparkSession
+    val bloomB = spark.sparkContext.broadcast(readEvalBloom(spark, dir))
+    val mightContain = udf((s: String) =>
+      s != null && bloomB.value.mightContainString(s))
+    val tPost = batch
+      .select(col(idCol).cast("long").as("train_id"),
+        TextAnalysis.shingles(TextAnalysis.tokens(col(textCol)), n).as("sh"))
+      .select(col("train_id"), explode(col("sh")).as("s"))
+      .filter(mightContain(col("s")))
+    try Lsm.absorbSegment(tPost, s"$dir/train_postings", segKey)
+    finally bloomB.destroy()
+  }
+
+  /** Merge-on-read contamination tags over everything absorbed so far:
+    * accumulated per-shingle train df -> stop-shingle cap -> eval
+    * equi-join -> containment threshold — EXACTLY
+    * [[Dedup.crossCorpusContainment]]'s math over the accumulated
+    * corpus. Pass `onlyIds` to tag just an arriving batch (the
+    * ingest-time answer) without rescanning anything but the bounded
+    * state. */
+  def currentContaminated(spark: SparkSession, dir: String,
+      threshold: Double = 0.8, maxShingleDf: Long = 100000L,
+      onlyIds: Option[DataFrame] = None): DataFrame = {
+    val tPost0 = Lsm.readSegments(spark, s"$dir/train_postings")
+    val dfCounts = tPost0.groupBy("s").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxShingleDf).select("s")
+    val tPost = onlyIds match {
+      case Some(ids) => tPost0.join(
+        ids.select(col(ids.columns.head).cast("long").as("train_id")),
+        Seq("train_id"), "left_semi")
+      case None => tPost0
+    }
+    val ePost = spark.read.parquet(s"$dir/eval_postings")
+    tPost.join(dfCounts, "s")
+      .join(ePost, "s")
+      .groupBy("train_id", "eval_id", "n_sh").agg(count(lit(1)).as("overlap"))
+      .withColumn("containment", col("overlap") / col("n_sh"))
+      .filter(col("containment") >= threshold)
+      .select(col("eval_id"), col("train_id"),
+        round(col("containment"), 6).as("containment"))
+  }
 }

@@ -740,4 +740,54 @@ class IndexMaintenanceSpec extends AnyFunSuite {
       assert(split === inline, "split-absorb add-α state diverged (or replay double-counted)")
     }
   }
+
+  test("streaming decontamination: streamed tags == batch Bloom operator for any split; read-time df cap; replay-exact") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("deconstream").toString
+    // train: 60 synthetic docs; eval: 2 verbatim train copies + 2 disjoint
+    def word(doc: Long, j: Int) = s"w${(doc * 31 + j * 7) % 97}"
+    def text(doc: Long) = (0 until 20).map(word(doc, _)).mkString(" ")
+    val train = (0L until 60L).map(i => (i, text(i))).toDF("doc_id", "text")
+    val evalDf = Seq(
+      (1000L, text(7L)), (1001L, text(42L)),
+      (1002L, (0 until 20).map(j => s"z$j").mkString(" ")),
+      (1003L, (0 until 20).map(j => s"y$j").mkString(" "))).toDF("doc_id", "text")
+    graft.streaming.StreamingDedup.writeDecontaminationEval(
+      evalDf, "doc_id", "text", s"$tmp/decon")
+    val b0 = train.filter(col("doc_id") < 30)
+    val b1 = train.filter(col("doc_id") >= 30)
+    graft.streaming.StreamingDedup.absorbDecontaminationBatch(
+      b0, "b0", s"$tmp/decon", "doc_id", "text")
+    graft.streaming.StreamingDedup.absorbDecontaminationBatch(
+      b1, "b1", s"$tmp/decon", "doc_id", "text")
+    def tags(df: org.apache.spark.sql.DataFrame) =
+      df.select("eval_id", "train_id", "containment").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    val streamed = tags(graft.streaming.StreamingDedup.currentContaminated(
+      spark, s"$tmp/decon"))
+    val batchOp = tags(graft.operators.Dedup.crossCorpusContainmentBloom(
+      train, "doc_id", "text", evalDf, "doc_id", "text"))
+    assert(streamed === batchOp, s"streamed $streamed != batch $batchOp")
+    assert(streamed.map(_._2).toSet.intersect(Set(7L, 42L)) === Set(7L, 42L),
+      "planted contamination must surface")
+    // at-least-once replay: re-absorbing b1 rewrites its segment
+    graft.streaming.StreamingDedup.absorbDecontaminationBatch(
+      b1, "b1", s"$tmp/decon", "doc_id", "text")
+    assert(tags(graft.streaming.StreamingDedup.currentContaminated(
+      spark, s"$tmp/decon")) === streamed, "replay changed decon state")
+    // ingest-time tagging: onlyIds over batch 0 == the full answer
+    // restricted to batch-0 docs
+    val only0 = tags(graft.streaming.StreamingDedup.currentContaminated(
+      spark, s"$tmp/decon", onlyIds = Some(b0.select("doc_id"))))
+    assert(only0 === streamed.filter(_._2 < 30), "onlyIds tags diverged")
+    // the stop-shingle df cap is a READ-TIME whole-corpus property:
+    // with a cap that only binds once both batches accumulate, the
+    // streamed answer still equals the batch operator (an arrival-time
+    // cap would differ depending on the split)
+    val capStreamed = tags(graft.streaming.StreamingDedup.currentContaminated(
+      spark, s"$tmp/decon", maxShingleDf = 1L))
+    val capBatch = tags(graft.operators.Dedup.crossCorpusContainmentBloom(
+      train, "doc_id", "text", evalDf, "doc_id", "text", maxShingleDf = 1L))
+    assert(capStreamed === capBatch, "read-time df cap diverged from batch")
+  }
 }
