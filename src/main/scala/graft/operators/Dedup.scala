@@ -882,8 +882,15 @@ object Dedup {
     * `emb`. The only new cost over pair generation is the (pairs-sized,
     * tiny) component computation and one keeper anti-join. */
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, nClusters: Int = 16): DataFrame = {
-    val pairs = embeddingNearDupPairs(emb, idCol, vecCol, threshold, nClusters)
+      threshold: Double, nClusters: Int = 16,
+      centroids: Option[DataFrame] = None): DataFrame = {
+    // blocking is COMPLETE for any centroid set (triangle-inequality
+    // cluster expansion), so passing a PERSISTED artifact's centroids
+    // changes only the build cost, never the answer — queries should
+    // pass IndexStore.ann(...).centroids instead of paying an inline
+    // KMeans fit per run
+    val pairs = embeddingNearDupPairs(emb, idCol, vecCol, threshold,
+      nClusters, centroids)
     val dropped = connectedComponents(pairs, "id_a", "id_b")
       .filter(col("id") =!= col("component_id"))
       .select(col("id").as(idCol))

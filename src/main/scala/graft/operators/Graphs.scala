@@ -87,6 +87,126 @@ object Graphs {
     }
   }
 
+  /** Personalized PageRank (the random walker teleports to the SEED set
+    * instead of uniformly — Page et al. 1999 §6; the standard relevance
+    * propagation for "expand this curated set" data selection and
+    * recommendation): rank = (1−d)·p + d·(Σ incoming share·rank +
+    * danglingMass·p), p = uniform over `seeds`, start = p. Mass
+    * conserves exactly (ranks sum to 1 every iteration, spec-gated) and
+    * on a disconnected graph stays entirely in the seeds' components.
+    *
+    * Plan shape = [[pageRank]]: per iteration one src-keyed join + one
+    * dst-keyed partial agg, dangling mass as an in-plan broadcast 1-row
+    * frame, per-iteration localCheckpoint — one job per iteration, no
+    * driver action. Deterministic → the fixed iteration count unrolls
+    * into a FULL DuckDB oracle. Returns (id, rank). */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, iterations: Int = 6,
+      damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1, "need at least one iteration")
+    require(damping >= 0 && damping <= 1, s"damping must be in [0,1]: $damping")
+    val spark = edges.sparkSession
+    val par = spark.sparkContext.defaultParallelism
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).cast("double").as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val outW = e.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seedIds = seeds.select(col(seedCol).cast("long").as("id")).distinct()
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id")))
+      .unionByName(seedIds)
+      .distinct()
+      .repartition(par, col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ej = e.join(outW, "src")
+      .select(col("src"), col("dst"), (col("w") / col("ow")).as("share"))
+      .repartition(par, col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nSeeds = seedIds.count().toDouble
+      require(nSeeds > 0, "seed set is empty")
+      // the personalization vector: 1/|S| on seeds, 0 elsewhere — a
+      // node-keyed column, not a broadcast (seeds can be large)
+      val withP = nodes
+        .join(seedIds.withColumn("__p", lit(1.0 / nSeeds)), Seq("id"), "left")
+        .select(col("id"), coalesce(col("__p"), lit(0.0)).as("p"))
+        .localCheckpoint()
+      var ranks = withP.select(col("id"), col("p").as("rank")).localCheckpoint()
+      var it = 0
+      while (it < iterations) {
+        val dangling = ranks
+          .join(outW.select(col("src").as("id")), Seq("id"), "left_anti")
+          .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dang"))
+        val contribs = ej.join(ranks.withColumnRenamed("id", "src"), "src")
+          .groupBy(col("dst").as("id"))
+          .agg(sum(col("share") * col("rank")).as("__in"))
+        val next = withP.join(contribs, Seq("id"), "left")
+          .crossJoin(broadcast(dangling))
+          .select(col("id"),
+            (lit(1.0 - damping) * col("p") +
+              lit(damping) * (coalesce(col("__in"), lit(0.0)) +
+                col("__dang") * col("p"))).as("rank"))
+        it += 1
+        ranks = next.localCheckpoint()
+      }
+      ranks
+    } finally {
+      ej.unpersist(false); e.unpersist(false)
+      outW.unpersist(false); nodes.unpersist(false); ()
+    }
+  }
+
+  /** k-core decomposition membership (Seidman 1983; the standard
+    * "dense enough to matter" graph filter before community/embedding
+    * work): iteratively PEEL nodes of degree < k from the symmetrized
+    * simple graph until the remainder is stable — what survives is the
+    * maximal subgraph where every node keeps >= k neighbors. Returns
+    * (id, core_deg) for k-core members, core_deg = degree INSIDE the
+    * core (>= k by definition, spec-gated).
+    *
+    * Plan shape: each peel round is one degree hash-agg + two semi-joins
+    * of the edge list against the surviving-node table, localCheckpoint
+    * per round; convergence needs one count action per round (peeling
+    * rounds are few on real graphs — bounded by the degeneracy
+    * ordering's depth, not |V|). Early stop is SAFE for the unrolled
+    * oracle: peeling is monotone, so extra unrolled rounds past the
+    * fixpoint are no-ops and both engines agree. */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      maxIter: Int = 20): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val spark = edges.sparkSession
+    val par = spark.sparkContext.defaultParallelism
+    val und0 = edges
+      .select(least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("a"),
+        greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    var e = und0.unionByName(und0.select(col("b").as("a"), col("a").as("b")))
+      .repartition(par, col("a"))
+      .localCheckpoint()
+    var nEdges = e.count()
+    var it = 0
+    var converged = nEdges == 0L
+    while (!converged && it < maxIter) {
+      val alive = e.groupBy(col("a").as("id")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select(col("id"))
+      val next = e
+        .join(alive.withColumnRenamed("id", "a"), Seq("a"), "left_semi")
+        .join(alive.withColumnRenamed("id", "b"), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+        .localCheckpoint()
+      val n2 = next.count()
+      converged = n2 == nEdges
+      nEdges = n2
+      e = next
+      it += 1
+    }
+    e.groupBy(col("a").as("id")).agg(count(lit(1)).as("core_deg"))
+      .filter(col("core_deg") >= k)
+  }
+
   /** HITS hubs & authorities (Kleinberg) by power iteration with L2
     * normalization per half-step: authority(j) = Σ hub over in-edges,
     * then hub(i) = Σ authority over out-edges — the natural ranking

@@ -205,6 +205,58 @@ object Sampling {
       .drop("__rk", "__avail", "__quota", "__copies")
   }
 
+  /** UniMax budget allocation (Chung et al., ICLR 2023 — the fairer
+    * successor to temperature sampling for multilingual mixtures):
+    * spread a total token budget `budget` as UNIFORMLY as possible
+    * across domains, subject to a per-domain repetition cap of
+    * `maxEpochs` epochs (cap_d = maxEpochs · tokens_d). This is exact
+    * water-filling: the threshold τ with Σ min(cap_d, τ) = budget,
+    * allocation b_d = min(cap_d, τ) — small domains get their full cap
+    * (bounded repetition), large ones split the remainder evenly,
+    * with none of temperature sampling's over-repetition of tiny
+    * domains.
+    *
+    * Plan shape: one hash-agg to the per-domain token table (bounded
+    * by domain count), then the greedy waterline resolves in ONE
+    * ascending-cap window pass — capped(d) ⇔ cap_d · (#remaining) ≤
+    * budget − prefixCap (the classic exchange argument: caps below the
+    * running fair share saturate, in ascending order) — plus a 1-row
+    * broadcast for τ. Fully engine-expressible (window + CASE), so the
+    * query carries a FULL SQL oracle. Returns (domain, n_tokens, cap,
+    * alloc, epochs) with alloc/epochs rounded to 6dp. */
+  def unimaxAllocation(df: DataFrame, domain: Column, tokens: Column,
+      budget: Double, maxEpochs: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget > 0, "budget must be positive")
+    require(maxEpochs > 0, "maxEpochs must be positive")
+    val counts = df.groupBy(domain.as("domain"))
+      .agg(sum(tokens).cast("double").as("n_tokens"))
+      .withColumn("cap", col("n_tokens") * lit(maxEpochs))
+    val w = Window.orderBy(col("cap"), col("domain"))
+    val flagged = counts
+      .withColumn("__prefix", coalesce(
+        sum(col("cap")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0.0)))
+      .withColumn("__remaining",
+        count(lit(1)).over(Window.partitionBy()) -
+          row_number().over(w) + lit(1))
+      .withColumn("__capped",
+        col("cap") * col("__remaining") <= lit(budget) - col("__prefix"))
+    // coalesce BEFORE greatest: Spark's greatest skips NULLs but other
+    // engines return NULL — the oracle must see the same arithmetic
+    val tau = flagged.agg(
+      ((lit(budget) - coalesce(sum(when(col("__capped"), col("cap"))), lit(0.0))) /
+        greatest(coalesce(sum(when(!col("__capped"), lit(1L))), lit(0L)),
+          lit(1L))).as("__tau"))
+    flagged.crossJoin(broadcast(tau))
+      .withColumn("alloc", round(
+        when(col("__capped"), col("cap"))
+          .otherwise(least(col("cap"), col("__tau"))), 6))
+      .withColumn("epochs", round(col("alloc") / col("n_tokens"), 6))
+      .select(col("domain"), col("n_tokens").cast("long").as("n_tokens"),
+        round(col("cap"), 6).as("cap"), col("alloc"), col("epochs"))
+  }
+
   /** Deterministic stratified downsampling: the `n` rows per stratum
     * whose md5(key) sorts lowest. Hash order is a uniform-but-reproducible
     * shuffle, so this IS a random sample — yet engine-independent

@@ -663,9 +663,16 @@ object TextAnalysis {
               greatest(element_at(col("w"), i), element_at(col("w"), i + d)).as("b"))))))
         .as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
+    // checkpoint the two BOUNDED count tables (pair types / vocab):
+    // cooc feeds the total-pair agg AND the main select, uni feeds two
+    // broadcast joins AND the token total — unmaterialized, the corpus
+    // pair-explode would run twice and the tokenize+explode three times
+    // (measured 11.3s at sf0.1; the corpus passes were the bulk)
     val cooc = prs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+      .localCheckpoint()
     val uni = base.select(explode(col("w")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val tPair = cooc.agg(sum(col("c_ab")).as("t_pair"))
     val tTok = uni.agg(sum(col("c")).as("t_tok"))
     cooc.filter(col("c_ab") >= minCount)

@@ -1097,7 +1097,8 @@ object DocumentQueries extends QueryModule {
     "q_semantic_dedup" -> Q(
       (s, dir) => graft.operators.Dedup.semanticDedup(
           table(s, dir, "embeddings"), "vec_id", "embedding",
-          threshold = 0.99, nClusters = 16)
+          threshold = 0.99, nClusters = 16,
+          centroids = Some(graft.operators.IndexStore.ann(s, dir).centroids))
         .groupBy(col("label")).agg(count(lit(1)).as("n_kept"))
         .orderBy(col("label")),
       None,

@@ -973,6 +973,48 @@ object Relational extends QueryModule {
       Some(node2vecOracle(steps = 4, p = 4.0, q = 0.25, seed = "n2v42")),
       doc = "node2vec (p,q)-biased walks over the part co-purchase graph"),
 
+    // ---- personalized PageRank over the purchase graph: the walker
+    // teleports to a SEED set (customers ≡ 0 mod 200) instead of
+    // uniformly — "expand this curated set" relevance propagation.
+    // Deterministic power iteration → 6 steps unroll into a FULL
+    // DuckDB oracle (dangling mass returns to the seeds).
+    "q_graph_ppr" -> Q(
+      (s, dir) => {
+        val li = table(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        val o = table(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        val edges = li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("src"),
+            (col("l_suppkey") + 1000000L).as("dst"))
+        val seeds = edges.select(col("src"))
+          .filter(col("src") % 200 === 0).distinct()
+        graft.operators.Graphs.personalizedPageRank(edges, "src", "dst",
+            seeds, "src", iterations = 6)
+          .select(col("id"), round(col("rank"), 6).as("rank"))
+          .orderBy(col("rank").desc, col("id")).limit(50)
+      },
+      Some(pprOracle(iterations = 6, damping = 0.85)),
+      doc = "personalized PageRank: seed-set teleport relevance over the purchase graph"),
+
+    // ---- k-core membership of the part co-purchase graph: iterative
+    // peel of degree < k nodes until stable — the density filter run
+    // before community/embedding work. Peeling is monotone, so the
+    // oracle's FIXED unrolled rounds past the fixpoint are no-ops and
+    // both engines agree on the converged core.
+    "q_graph_kcore" -> Q(
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+          .filter(col("l_orderkey") % 8 === 0)
+          .select(col("l_orderkey"), col("l_partkey"))
+        val edges = li.as("x").join(li.as("y"),
+            col("x.l_orderkey") === col("y.l_orderkey") &&
+              col("x.l_partkey") < col("y.l_partkey"))
+          .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+        graft.operators.Graphs.kCore(edges, "src", "dst", k = 8)
+          .orderBy(col("id"))
+      },
+      Some(kCoreOracle(k = 8, rounds = 12)),
+      doc = "k-core decomposition membership (iterative peeling) of the part co-purchase graph"),
+
     // ---- degree-distribution audit: the first question asked of any
     // graph before running the heavy family on it (hub skew decides
     // salting/orientation strategy). Log2 degree buckets, node counts,
@@ -1153,6 +1195,64 @@ object Relational extends QueryModule {
        |$steps
        |SELECT id, round(rank, 6) AS rank FROM r$iterations
        |ORDER BY round(rank, 6) DESC, id LIMIT 50""".stripMargin.replace('\n', ' ')
+  }
+
+  /** DuckDB oracle for `q_graph_ppr`: [[pageRankOracle]] with the
+    * uniform teleport replaced by the seed-set personalization vector —
+    * teleport AND dangling mass both return to the seeds, replaying
+    * [[graft.operators.Graphs.personalizedPageRank]] exactly. */
+  private def pprOracle(iterations: Int, damping: Double): String = {
+    val steps = (1 to iterations).map { k =>
+      s"""r$k AS MATERIALIZED (SELECT n.id,
+         |  (1.0 - $damping) * n.p + $damping *
+         |    (coalesce(c.contrib, 0.0) + d.dang * n.p) AS rank
+         |  FROM pv n
+         |  CROSS JOIN (SELECT coalesce(sum(rank), 0.0) AS dang FROM r${k - 1} p
+         |    WHERE p.id NOT IN (SELECT src FROM ow)) d
+         |  LEFT JOIN (SELECT ej.dst AS id, sum(ej.share * p.rank) AS contrib
+         |    FROM ej JOIN r${k - 1} p ON ej.src = p.id GROUP BY 1) c
+         |    ON n.id = c.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH raw AS (SELECT o_custkey AS src, l_suppkey + 1000000 AS dst
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |e AS MATERIALIZED (SELECT src, dst, count(*)::DOUBLE AS w FROM raw GROUP BY 1, 2),
+       |ow AS MATERIALIZED (SELECT src, sum(w) AS ow FROM e GROUP BY 1),
+       |nodes AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
+       |seeds AS MATERIALIZED (SELECT DISTINCT src AS id FROM e WHERE src % 200 = 0),
+       |scnt AS (SELECT count(*)::DOUBLE AS ns FROM seeds),
+       |pv AS MATERIALIZED (SELECT n.id,
+       |  CASE WHEN s.id IS NOT NULL THEN 1.0 / (SELECT ns FROM scnt) ELSE 0.0 END AS p
+       |  FROM nodes n LEFT JOIN seeds s ON n.id = s.id),
+       |ej AS MATERIALIZED (SELECT e.src, e.dst, e.w / ow.ow AS share FROM e JOIN ow ON e.src = ow.src),
+       |r0 AS MATERIALIZED (SELECT id, p AS rank FROM pv),
+       |$steps
+       |SELECT id, round(rank, 6) AS rank FROM r$iterations
+       |ORDER BY round(rank, 6) DESC, id LIMIT 50""".stripMargin.replace('\n', ' ')
+  }
+
+  /** DuckDB oracle for `q_graph_kcore`: the symmetrized part
+    * co-purchase edges, then `rounds` unrolled peel steps (degree agg +
+    * two membership joins per step) — `rounds` exceeds this graph's
+    * peel depth, and peeling is monotone so post-fixpoint rounds are
+    * no-ops, replaying [[graft.operators.Graphs.kCore]]'s converged
+    * answer exactly. */
+  private def kCoreOracle(k: Int, rounds: Int): String = {
+    val steps = (1 to rounds).map { t =>
+      s"""n$t AS MATERIALIZED (SELECT a AS id FROM e${t - 1}
+         |  GROUP BY a HAVING count(*) >= $k),
+         |e$t AS MATERIALIZED (SELECT e.a, e.b FROM e${t - 1} e
+         |  JOIN n$t x ON e.a = x.id JOIN n$t y ON e.b = y.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH raw AS (SELECT x.l_partkey AS a, y.l_partkey AS b
+       |  FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+       |  AND x.l_partkey < y.l_partkey
+       |  WHERE x.l_orderkey % 8 = 0 AND y.l_orderkey % 8 = 0),
+       |de AS MATERIALIZED (SELECT DISTINCT a, b FROM raw),
+       |e0 AS MATERIALIZED (SELECT a, b FROM de UNION SELECT b, a FROM de),
+       |$steps
+       |SELECT a AS id, count(*)::BIGINT AS core_deg FROM e$rounds
+       |GROUP BY a HAVING count(*) >= $k ORDER BY id"""
+      .stripMargin.replace('\n', ' ')
   }
 
   /** DuckDB oracle for `q_graph_lpa`: synchronous label propagation

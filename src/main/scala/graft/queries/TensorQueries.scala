@@ -322,6 +322,35 @@ object TensorQueries extends QueryModule {
              |  WHEN 'es' THEN 40 WHEN 'zh' THEN 20 WHEN 'de' THEN 20 ELSE 0 END
              |GROUP BY lang ORDER BY lang""".stripMargin.replace('\n', ' '))),
 
+    // ---- UniMax budget allocation (Chung et al. 2023): spread a
+    // 40k-token budget uniformly across languages subject to a 2-epoch
+    // repetition cap — exact water-filling resolved in one ascending-cap
+    // window pass; the waterline CASE replays 1:1 in SQL (FULL oracle).
+    "q_domain_unimax" -> Q(
+      (s, dir) => graft.operators.Sampling.unimaxAllocation(
+          table(s, dir, "documents"), col("lang"),
+          size(split(col("text"), " ")), budget = 40000.0, maxEpochs = 2.0)
+        .withColumnRenamed("domain", "lang")
+        .orderBy(col("lang")),
+      Some("""WITH c AS (SELECT lang AS domain,
+             |  sum(len(string_split(text,' ')))::DOUBLE AS n_tokens
+             |  FROM documents GROUP BY 1),
+             |f AS (SELECT domain, n_tokens, n_tokens * 2.0 AS cap FROM c),
+             |wdw AS (SELECT domain, n_tokens, cap,
+             |  coalesce(sum(cap) OVER (ORDER BY cap, domain
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS pfx,
+             |  (count(*) OVER ()) - (row_number() OVER (ORDER BY cap, domain)) + 1 AS remaining
+             |  FROM f),
+             |flags AS (SELECT *, cap * remaining <= 40000.0 - pfx AS capped FROM wdw),
+             |tau AS (SELECT (40000.0 - coalesce(sum(CASE WHEN capped THEN cap END), 0.0))
+             |  / greatest(coalesce(sum(CASE WHEN NOT capped THEN 1 END), 0), 1) AS tau FROM flags)
+             |SELECT domain AS lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+             |  round(cap, 6) AS cap,
+             |  round(CASE WHEN capped THEN cap ELSE least(cap, tau) END, 6) AS alloc,
+             |  round(round(CASE WHEN capped THEN cap ELSE least(cap, tau) END, 6) / n_tokens, 6) AS epochs
+             |FROM flags, tau ORDER BY lang""".stripMargin.replace('\n', ' ')),
+      doc = "UniMax water-filling token-budget allocation across languages (2-epoch cap)"),
+
     // ---- round-robin domain interleave: curriculum ORDER, not
     // membership — (round, slot) coordinates spread domains one row per
     // round; md5-seeded within-domain shuffle, fully oracle-checked

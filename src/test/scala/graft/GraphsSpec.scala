@@ -236,6 +236,67 @@ class GraphsSpec extends AnyFunSuite {
     assert(other !== got, "seed must steer the walk")
   }
 
+  test("personalizedPageRank: matches a dense seed-teleport reference; mass = 1; stays in the seed component") {
+    import spark.implicits._
+    // independent driver-side dense PPR (teleport AND dangling -> seeds)
+    def densePpr(edges: Seq[(Long, Long)], seeds: Set[Long], iters: Int,
+        d: Double): Map[Long, Double] = {
+      val nodes = (edges.map(_._1) ++ edges.map(_._2) ++ seeds).distinct.sorted
+      val idx = nodes.zipWithIndex.toMap
+      val nn = nodes.length
+      val w = Array.ofDim[Double](nn, nn)
+      edges.foreach { case (s, t) => w(idx(s))(idx(t)) += 1.0 }
+      val outW = w.map(_.sum)
+      val p = nodes.map(n => if (seeds(n)) 1.0 / seeds.size else 0.0).toArray
+      var r = p.clone()
+      for (_ <- 0 until iters) {
+        val dang = (0 until nn).collect { case i if outW(i) == 0 => r(i) }.sum
+        val nr = Array.tabulate(nn)(j => (1 - d) * p(j) + d * dang * p(j))
+        for (i <- 0 until nn; j <- 0 until nn; if w(i)(j) > 0)
+          nr(j) += d * r(i) * w(i)(j) / outW(i)
+        r = nr
+      }
+      nodes.zip(r).toMap
+    }
+    // two components: {1,2,3} cyclic (seeded) and {10,11} (unseeded);
+    // node 3 dangles into 4 which dangles entirely
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (10L, 11L), (11L, 10L))
+    val got = Graphs.personalizedPageRank(edges.toDF("src", "dst"),
+        "src", "dst", Seq(1L).toDF("n"), "n", iterations = 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ref = densePpr(edges, Set(1L), iters = 8, d = 0.85)
+    assert(got.keySet === ref.keySet)
+    got.foreach { case (id, r) =>
+      assert(math.abs(r - ref(id)) < 1e-12, s"node $id: $r vs ${ref(id)}") }
+    assert(math.abs(got.values.sum - 1.0) < 1e-12, s"mass ${got.values.sum}")
+    // nothing leaks into the unseeded, unreachable component
+    assert(got(10L) === 0.0 && got(11L) === 0.0, s"leaked: ${got(10L)}, ${got(11L)}")
+  }
+
+  test("kCore: clique core survives peeling, tails peel away, core degrees >= k") {
+    import spark.implicits._
+    // K6 clique (ids 1-6) + a path tail 6-7-8-9 + an isolated edge
+    val clique = for (a <- 1L to 6L; b <- (a + 1) to 6L) yield (a, b)
+    val edges = (clique ++ Seq((6L, 7L), (7L, 8L), (8L, 9L), (20L, 21L)))
+      .toDF("src", "dst")
+    val core3 = Graphs.kCore(edges, "src", "dst", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core3.keySet === (1L to 6L).toSet, s"3-core: ${core3.keySet}")
+    // inside the surviving clique every node keeps its 5 clique edges
+    assert(core3.values.forall(_ === 5L), core3.toString)
+    val core5 = Graphs.kCore(edges, "src", "dst", k = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(core5 === (1L to 6L).toSet, s"5-core: $core5")
+    val core6 = Graphs.kCore(edges, "src", "dst", k = 6)
+    assert(core6.isEmpty, "K6 has no 6-core")
+    // general law on the sf fixture: every member's core degree >= k
+    val someCore = Graphs.kCore(
+      Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("src", "dst"),
+      "src", "dst", k = 2).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(someCore.map(_._1).toSet === Set(1L, 2L, 3L))
+    assert(someCore.forall(_._2 >= 2L))
+  }
+
   test("node2vecWalks: exact match vs a driver-side replay of the (p,q) exponential race") {
     import spark.implicits._
     def uuOpen(s: String): Double = {

@@ -112,4 +112,53 @@ class WeightedSampleSpec extends AnyFunSuite {
       .collect().map(r => (r.getInt(1), r.getLong(0))).sorted.toSeq
     assert(again === near)
   }
+
+  test("unimaxAllocation: water-filling laws + exact match vs a driver-side waterfill") {
+    import spark.implicits._
+    // independent driver-side water-filling reference
+    def waterfill(caps: Map[String, Double], budget: Double): Map[String, Double] = {
+      val sorted = caps.toSeq.sortBy { case (d, c) => (c, d) }
+      var remBudget = budget
+      var remCount = sorted.size
+      val out = scala.collection.mutable.Map[String, Double]()
+      var tau = Double.PositiveInfinity
+      sorted.foreach { case (d, c) =>
+        if (c * remCount <= remBudget) { // capped
+          out(d) = c; remBudget -= c; remCount -= 1
+        } else if (tau.isPosInfinity) tau = remBudget / remCount
+      }
+      sorted.foreach { case (d, c) => if (!out.contains(d)) out(d) = math.min(c, tau) }
+      out.toMap
+    }
+    def run(rows: Seq[(String, Long)], budget: Double, epochs: Double) =
+      Sampling.unimaxAllocation(rows.toDF("d", "t"), col("d"), col("t"),
+          budget, epochs)
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          r.getDouble(2), r.getDouble(3), r.getDouble(4))).sortBy(_._1).toSeq
+    // three random-ish instances, budget below / at / above the cap sum
+    val rnd = new scala.util.Random(11)
+    (0 until 3).foreach { trial =>
+      val domains = (0 until 6).map(i => s"d$i" -> (100L + rnd.nextInt(5000)))
+      val capSum = domains.map(_._2 * 2.0).sum
+      val budget = Seq(capSum * 0.5, capSum, capSum * 1.5)(trial)
+      val got = run(domains.flatMap { case (d, t) =>
+        Seq((d, t / 2), (d, t - t / 2)) // split rows: the agg must sum them
+      }, budget, 2.0)
+      val ref = waterfill(domains.map { case (d, t) => d -> t * 2.0 }.toMap, budget)
+      got.foreach { case (d, nTok, cap, alloc, ep) =>
+        assert(math.abs(alloc - ref(d)) < 1e-4, s"trial $trial $d: $alloc vs ${ref(d)}")
+        assert(alloc <= cap + 1e-6, s"$d over its cap")
+        assert(math.abs(ep - alloc / nTok) < 1e-4)
+      }
+      // budget conservation: Σ alloc = min(budget, Σ cap)
+      val total = got.map(_._4).sum
+      assert(math.abs(total - math.min(budget, capSum)) < 1e-3,
+        s"trial $trial: allocated $total of ${math.min(budget, capSum)}")
+      // uncapped domains all sit exactly on the waterline
+      val uncapped = got.filter { case (_, _, cap, alloc, _) => alloc < cap - 1e-6 }
+      if (uncapped.size > 1)
+        assert(uncapped.map(_._4).distinct.size === 1,
+          s"waterline not flat: ${uncapped.map(_._4)}")
+    }
+  }
 }
