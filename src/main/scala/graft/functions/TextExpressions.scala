@@ -894,3 +894,146 @@ case class FixMojibake(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): FixMojibake =
     copy(child = newChild)
 }
+
+/** Aho-Corasick automaton (Aho & Corasick 1975): simultaneous matching
+  * of a whole phrase dictionary in ONE O(n) pass per row, independent
+  * of dictionary size — the scale-correct form of wordlist filtering
+  * (a per-token IN filter handles single tokens only and re-scans per
+  * phrase; real blocklists are thousands of entries, many multi-word).
+  *
+  * Matching is char-exact and WORD-BOUNDARY aware: an occurrence
+  * [s, e] counts only when text[s-1] and text[e+1] are absent or
+  * non-word chars (word char = [0-9A-Za-z_], RE2's \b class), so
+  * "ass" never fires inside "class" — C4's wordlist semantics.
+  * Occurrences of DIFFERENT phrases may overlap and each counts;
+  * self-overlapping occurrences of one phrase all count ("aa" in
+  * "aaa" ends at positions 2 and 3). Emission order is deterministic:
+  * by end position, longest phrase first at a shared end (the output
+  * suffix-link chain's natural order).
+  *
+  * Built once on the driver from the phrase list and shipped to
+  * generated code as a codegen reference object — per-row work never
+  * rebuilds state. */
+final class AhoCorasick(phraseSeq: Seq[String]) extends Serializable {
+  require(phraseSeq.nonEmpty, "phrase list must be non-empty")
+  require(phraseSeq.forall(_.nonEmpty), "phrases must be non-empty")
+  private val phrases: Array[String] = phraseSeq.toArray
+  private val outputs: Array[UTF8String] =
+    phrases.map(UTF8String.fromString)
+  private val phraseLen: Array[Int] = phrases.map(_.length)
+
+  // trie: per-node char->child map (dictionaries are small; the text
+  // walk is one map lookup per char)
+  private val children =
+    scala.collection.mutable.ArrayBuffer(
+      new java.util.HashMap[Character, Integer]())
+  private val nodeOut = scala.collection.mutable.ArrayBuffer[List[Int]](Nil)
+  private val fail = scala.collection.mutable.ArrayBuffer[Int](0)
+
+  phrases.zipWithIndex.foreach { case (p, pi) =>
+    var s = 0
+    var i = 0
+    while (i < p.length) {
+      val c = Character.valueOf(p.charAt(i))
+      val nxt = children(s).get(c)
+      if (nxt == null) {
+        children += new java.util.HashMap[Character, Integer]()
+        nodeOut += Nil
+        fail += 0
+        children(s).put(c, children.size - 1)
+        s = children.size - 1
+      } else s = nxt
+      i += 1
+    }
+    nodeOut(s) = pi :: nodeOut(s)
+  }
+  // longest-first at a node (a node can end several identical-length
+  // phrases only if duplicated; insertion order breaks that tie)
+  (0 until nodeOut.size).foreach(s => nodeOut(s) = nodeOut(s).sortBy(identity))
+
+  locally { // BFS fail links; merge suffix outputs so emission is one list walk
+    val q = new java.util.ArrayDeque[Integer]()
+    children(0).forEach { (_, v) => fail(v) = 0; q.add(v) }
+    while (!q.isEmpty) {
+      val u = q.poll()
+      children(u).forEach { (c, v) =>
+        var f = fail(u)
+        while (f != 0 && !children(f).containsKey(c)) f = fail(f)
+        val fc = children(f).get(c)
+        fail(v) = if (fc != null && fc != v) fc.intValue() else 0
+        // longest phrase first: the node's own (deepest) outputs, then
+        // the suffix chain's (already merged, already ordered)
+        nodeOut(v) = nodeOut(v) ::: nodeOut(fail(v))
+        q.add(v)
+      }
+    }
+  }
+
+  private val childArr: Array[java.util.HashMap[Character, Integer]] =
+    children.toArray
+  private val failArr: Array[Int] = fail.toArray
+  private val outArr: Array[Array[Int]] = nodeOut.map(_.toArray).toArray
+
+  @inline private def isWordChar(c: Char): Boolean =
+    (c >= '0' && c <= '9') || (c >= 'a' && c <= 'z') ||
+      (c >= 'A' && c <= 'Z') || c == '_'
+
+  /** every boundary-valid occurrence, as an array of matched phrase
+    * strings ordered (end position, longest first) */
+  def matchAll(text: UTF8String): GenericArrayData = {
+    val str = text.toString
+    val n = str.length
+    val hits = new scala.collection.mutable.ArrayBuffer[Any]()
+    var s = 0
+    var i = 0
+    while (i < n) {
+      val c = Character.valueOf(str.charAt(i))
+      while (s != 0 && !childArr(s).containsKey(c)) s = failArr(s)
+      val nxt = childArr(s).get(c)
+      s = if (nxt != null) nxt.intValue() else 0
+      val outs = outArr(s)
+      if (outs.length > 0 && (i + 1 >= n || !isWordChar(str.charAt(i + 1)))) {
+        var j = 0
+        while (j < outs.length) {
+          val pi = outs(j)
+          val start = i - phraseLen(pi) + 1
+          if (start == 0 || !isWordChar(str.charAt(start - 1)))
+            hits += outputs(pi)
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(hits.toArray)
+  }
+}
+
+/** MATCH_KEYWORDS(text): all boundary-valid occurrences of a phrase
+  * dictionary as an array of matched phrase strings — one automaton
+  * pass per row ([[AhoCorasick]]), codegen'd via a reference object so
+  * the hot path stays inside whole-stage codegen. */
+case class MatchKeywords(child: Expression, phrases: Seq[String])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"input must be string, got ${other.catalogString}")
+  }
+
+  @transient private lazy val ac = new AhoCorasick(phrases)
+
+  override def nullSafeEval(input: Any): Any =
+    ac.matchAll(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val acRef = ctx.addReferenceObj("ahoCorasick", ac,
+        classOf[AhoCorasick].getName)
+      s"${ev.value} = $acRef.matchAll($a);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MatchKeywords =
+    copy(child = newChild)
+}

@@ -46,6 +46,11 @@ object gf {
   def char_entropy(c: Column): Column =
     Bridge.column(CharEntropy(Bridge.expression(c)))
 
+  /** all boundary-valid occurrences of a phrase dictionary (Aho-Corasick,
+    * one O(n) automaton pass per row regardless of dictionary size) */
+  def match_keywords(c: Column, phrases: Seq[String]): Column =
+    Bridge.column(MatchKeywords(Bridge.expression(c), phrases))
+
   /** all visible text of an HTML document (tags/containers/entities
     * handled natively, one O(n) walk per row) */
   def strip_html(c: Column): Column =

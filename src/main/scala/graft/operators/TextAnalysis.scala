@@ -684,6 +684,26 @@ object TextAnalysis {
           ((col("c_a") / col("t_tok")) * (col("c_b") / col("t_tok")))), 6).as("pmi"))
   }
 
+  /** Phrase-dictionary tagging — the MULTI-WORD generalization of
+    * [[blocklistScore]] (real blocklists are thousands of entries, many
+    * of them phrases): every boundary-valid occurrence of any dictionary
+    * phrase via ONE Aho-Corasick automaton pass per row
+    * ([[graft.functions.AhoCorasick]]) — O(n) per row regardless of
+    * dictionary size, where a per-phrase regex or per-token IN filter
+    * scales with the dictionary. Map-side, shuffle-free; the automaton
+    * builds once on the driver and rides to codegen as a reference
+    * object. Per doc: total occurrence count, distinct phrases hit, and
+    * the flag at `minHits`. */
+  def keywordTag(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, phrases: Seq[String],
+      minHits: Long = 1L): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol).as("id"),
+        graft.functions.gf.match_keywords(col(textCol), phrases).as("__m"))
+      .select(col("id"),
+        size(col("__m")).cast("long").as("n_hits"),
+        size(array_distinct(col("__m"))).cast("long").as("n_phrases"))
+      .withColumn("flagged", col("n_hits") >= minHits)
+
   /** Blocklist scoring — the wordlist-ratio safety/NSFW filter every
     * web-corpus pipeline runs before model-based scoring (C4 dropped
     * pages on a public "bad words" list; RefinedWeb/FineWeb keep a URL +

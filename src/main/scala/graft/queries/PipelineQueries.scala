@@ -78,6 +78,37 @@ object PipelineQueries extends QueryModule {
               |FROM t ORDER BY doc_id""".stripMargin.replace('\n', ' ')),
       doc = "blocklisted-token ratio + flag per doc — array-literal filter, map-side"),
 
+    // ---- phrase-dictionary tagging (the multi-word blocklist stage):
+    // nested ("scan slow" ⊃ "slow") and single-word phrases matched in
+    // ONE Aho-Corasick pass per doc, word-boundary aware. The oracle
+    // replays every occurrence with an exact substr position scan (all
+    // occurrences, same [0-9A-Za-z_] boundary class), so the automaton
+    // is hash-checked against first principles, not another automaton.
+    "q_text_keywords" -> Q(
+      (s, dir) => TA.keywordTag(table(s, dir, "documents"),
+          "doc_id", "text",
+          Seq("scan slow", "slow", "table hash", "big order", "dup"))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id")),
+      Some("""WITH p AS (SELECT * FROM (VALUES ('scan slow'), ('slow'),
+             |  ('table hash'), ('big order'), ('dup')) AS t(ph)),
+             |occ AS (SELECT d.doc_id, p.ph
+             |  FROM documents d, p,
+             |    unnest(range(1, len(d.text) - len(p.ph) + 2)) AS r(i)
+             |  WHERE substr(d.text, CAST(i AS INT), len(p.ph)) = p.ph
+             |  AND (i = 1 OR NOT regexp_matches(
+             |    substr(d.text, CAST(i - 1 AS INT), 1), '[0-9A-Za-z_]'))
+             |  AND (i + len(p.ph) > len(d.text) OR NOT regexp_matches(
+             |    substr(d.text, CAST(i + len(p.ph) AS INT), 1), '[0-9A-Za-z_]'))),
+             |agg AS (SELECT doc_id, count(*) AS n_hits,
+             |  count(DISTINCT ph) AS n_phrases FROM occ GROUP BY doc_id)
+             |SELECT d.doc_id, coalesce(a.n_hits, 0)::BIGINT AS n_hits,
+             |  coalesce(a.n_phrases, 0)::BIGINT AS n_phrases,
+             |  coalesce(a.n_hits, 0) >= 1 AS flagged
+             |FROM documents d LEFT JOIN agg a USING (doc_id)
+             |ORDER BY doc_id""".stripMargin.replace('\n', ' ')),
+      doc = "Aho-Corasick phrase-dictionary tagging — one automaton pass per doc"),
+
     // ---- sentence-level statistics (the sentence-granularity cousin
     // of RefinedWeb line dedup): the fixture corpus has no punctuation,
     // so the query first sentence-ifies deterministically (every ' the '

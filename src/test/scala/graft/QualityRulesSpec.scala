@@ -463,4 +463,45 @@ class QualityRulesSpec extends AnyFunSuite {
     // doc 3: punctuation only -> zero sentences -> no row
     assert(!got.contains(3L))
   }
+
+  test("matchKeywords (Aho-Corasick): boundaries, nesting, overlaps, brute-force equivalence") {
+    import spark.implicits._
+    def hits(text: String, phrases: Seq[String]): Seq[String] =
+      Seq(Tuple1(text)).toDF("t")
+        .select(graft.functions.gf.match_keywords(col("t"), phrases).as("m"))
+        .collect().head.getSeq[String](0)
+    // word boundaries: never fires inside a word
+    assert(hits("class act", Seq("ass")) === Nil)
+    assert(hits("class ass act", Seq("ass")) === Seq("ass"))
+    assert(hits("_ass ass-x", Seq("ass")) === Seq("ass"), "underscore is a word char, dash is not")
+    // nested phrases both fire at their own positions
+    assert(hits("a scan slow b", Seq("scan slow", "slow")).sorted ===
+      Seq("scan slow", "slow"))
+    // longest-first at a shared end position
+    assert(hits("x scan slow y", Seq("slow", "scan slow")).take(1) ===
+      Seq("scan slow"))
+    // overlapping occurrences of one phrase all count
+    assert(hits("a a a", Seq("a a")) === Seq("a a", "a a"))
+    // multiple occurrences + multiple phrases
+    assert(hits("dup dup big order", Seq("dup", "big order")) ===
+      Seq("dup", "dup", "big order"))
+    // non-word unicode neighbors ARE boundaries (RE2 \b class is ASCII)
+    assert(hits("caféslow", Seq("slow")) === Seq("slow"))
+    // brute-force equivalence on random word soup
+    val rnd = new scala.util.Random(13)
+    val vocab = Seq("scan", "slow", "dup", "big", "order", "table", "a")
+    val phrases = Seq("scan slow", "slow", "big order", "dup", "a a")
+    def isW(c: Char) = c.isLetterOrDigit || c == '_'
+    def brute(text: String): Int = phrases.map { p =>
+      (0 to text.length - p.length).count { s =>
+        text.regionMatches(s, p, 0, p.length) &&
+          (s == 0 || !isW(text.charAt(s - 1))) &&
+          (s + p.length == text.length || !isW(text.charAt(s + p.length)))
+      }
+    }.sum
+    (0 until 50).foreach { _ =>
+      val text = Seq.fill(30)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      assert(hits(text, phrases).size === brute(text), text)
+    }
+  }
 }
