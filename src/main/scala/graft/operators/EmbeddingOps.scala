@@ -173,6 +173,67 @@ object EmbeddingOps {
     } finally base.unpersist()
   }
 
+  /** k-means++ D² seeding (Arthur & Vassilvitskii 2007 — the O(log k)-
+    * approximation seeding every serious k-means build starts from,
+    * including this repo's ANN index): after the start center, each
+    * next center is sampled with probability ∝ D(x)², the squared
+    * min-cosine-distance to the selected set — the probabilistic
+    * cousin of [[kCenterGreedy]]'s deterministic farthest-first.
+    *
+    * The D² draw is an EXPONENTIAL RACE on the md5-fold uniform —
+    * argmin round(−ln(u_x)/D(x)², 6), u_x = hashUniformOpen
+    * ("<seed>:<step>:<id>") — so the sample is layout/retry-independent
+    * and the fixed k unrolls into a FULL SQL oracle (the same posture
+    * as node2vec's biased step). Distances round to 6dp BEFORE
+    * squaring so both engines square the same number; zero-distance
+    * points (already selected / exact duplicates) are excluded — D² of
+    * 0 must never sample, exactly the paper's distribution.
+    *
+    * Scale shape = [[kCenterGreedy]]: ≤ k literal cosine kernels
+    * map-side, one distributed argmin (TakeOrdered) per step, k driver
+    * round-trips = the algorithm's intrinsic sequentiality. Returns
+    * (sel_rank, id, dist) with dist = the min-distance at selection. */
+  def kMeansPlusPlusSeed(df: DataFrame, idCol: String, vecCol: String,
+      startId: Long, k: Int, seed: String = "kpp42"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v")).persist()
+    try {
+      val startRow = base.filter(col("id") === startId).collect()
+      require(startRow.nonEmpty, s"startId $startId not present in $idCol")
+      val picked = scala.collection.mutable.ArrayBuffer(
+        (0, startId, 0.0, startRow.head.getSeq[Double](1)))
+      var t = 1
+      var exhausted = false
+      while (t < k && !exhausted) {
+        val selIds = picked.map(_._2)
+        val dists = picked.map { case (_, _, _, sv) =>
+          round(lit(1.0) - graft.functions.gf.cosine_similarity(col("v"),
+            array(sv.map(x => lit(x)): _*)), 6)
+        }
+        val md = if (dists.size == 1) dists.head else least(dists.toSeq: _*)
+        val u = Sampling.hashUniformOpen(concat_ws(":",
+          lit(seed), lit(t), col("id")))
+        val next = base.filter(!col("id").isInCollection(selIds))
+          .withColumn("__md", md)
+          .filter(col("__md") > 0)
+          .withColumn("__key", round(-log(u) / (col("__md") * col("__md")), 6))
+          .orderBy(col("__key"), col("id"))
+          .limit(1).collect()
+        if (next.isEmpty) exhausted = true // every remaining point is a dup
+        else {
+          picked += ((t, next.head.getLong(0), next.head.getDouble(2),
+            next.head.getSeq[Double](1)))
+          t += 1
+        }
+      }
+      picked.toSeq.map { case (r, id, d, _) => (r, id, d) }
+        .toDF("sel_rank", "id", "dist")
+    } finally base.unpersist()
+  }
+
   /** Exact KNN-Shapley data valuation (Jia et al., VLDB 2019 — the
     * closed-form Shapley value of every training point under the
     * K-nearest-neighbor utility, computed in O(N log N) per validation

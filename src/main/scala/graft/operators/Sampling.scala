@@ -232,16 +232,20 @@ object Sampling {
     val counts = df.groupBy(domain.as("domain"))
       .agg(sum(tokens).cast("double").as("n_tokens"))
       .withColumn("cap", col("n_tokens") * lit(maxEpochs))
-    val w = Window.orderBy(col("cap"), col("domain"))
-    val flagged = counts
-      .withColumn("__prefix", coalesce(
-        sum(col("cap")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0.0)))
-      .withColumn("__remaining",
-        count(lit(1)).over(Window.partitionBy()) -
-          row_number().over(w) + lit(1))
-      .withColumn("__capped",
-        col("cap") * col("__remaining") <= lit(budget) - col("__prefix"))
+    // the waterline pass windows the BOUNDED per-domain table — routed
+    // through BoundedWindow (literal-keyed partition + runtime row-count
+    // assert) like every other whole-frame rank, so the PlanSpec
+    // unpartitioned-window gate holds
+    val flagged = BoundedWindow.over(counts, 1000000L) { (d, w) =>
+      val ord = w.orderBy(col("cap"), col("domain"))
+      d.withColumn("__prefix", coalesce(
+          sum(col("cap")).over(ord.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0.0)))
+        .withColumn("__remaining",
+          count(lit(1)).over(w) - row_number().over(ord) + lit(1))
+        .withColumn("__capped",
+          col("cap") * col("__remaining") <= lit(budget) - col("__prefix"))
+    }
     // coalesce BEFORE greatest: Spark's greatest skips NULLs but other
     // engines return NULL — the oracle must see the same arithmetic
     val tau = flagged.agg(

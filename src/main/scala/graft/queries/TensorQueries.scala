@@ -343,7 +343,7 @@ object TensorQueries extends QueryModule {
              |  FROM f),
              |flags AS (SELECT *, cap * remaining <= 40000.0 - pfx AS capped FROM wdw),
              |tau AS (SELECT (40000.0 - coalesce(sum(CASE WHEN capped THEN cap END), 0.0))
-             |  / greatest(coalesce(sum(CASE WHEN NOT capped THEN 1 END), 0), 1) AS tau FROM flags)
+             |  / greatest(coalesce(sum(CASE WHEN NOT capped THEN 1 END)::BIGINT, 0), 1) AS tau FROM flags)
              |SELECT domain AS lang, CAST(n_tokens AS BIGINT) AS n_tokens,
              |  round(cap, 6) AS cap,
              |  round(CASE WHEN capped THEN cap ELSE least(cap, tau) END, 6) AS alloc,

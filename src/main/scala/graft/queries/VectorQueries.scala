@@ -44,6 +44,19 @@ object VectorQueries extends QueryModule {
       Some(kCenterOracle(startId = 0L, k = 6)),
       doc = "greedy k-center selection over embeddings (unrolled-step oracle)"),
 
+    // ---- k-means++ D² seeding (Arthur & Vassilvitskii 2007): each
+    // next center samples ∝ squared min-distance via an exponential
+    // race on the md5-fold uniform — deterministic, so the fixed k
+    // unrolls into a FULL oracle (the probabilistic cousin of
+    // q_vec_kcenter's farthest-first).
+    "q_vec_kpp" -> Q(
+      (s, dir) => graft.operators.EmbeddingOps.kMeansPlusPlusSeed(
+          table(s, dir, E), "vec_id", "embedding", startId = 0L, k = 6,
+          seed = "kpp42")
+        .orderBy(col("sel_rank")),
+      Some(kppOracle(startId = 0L, k = 6, seed = "kpp42")),
+      doc = "k-means++ D² seeding over embeddings (exponential-race draw, unrolled-step oracle)"),
+
     // ---- KNN-Shapley data valuation (Jia et al. 2019): the exact
     // Shapley value of every training vector under the KNN utility —
     // negative values flag mislabeled/poisoned rows. The closed-form
@@ -424,6 +437,32 @@ object VectorQueries extends QueryModule {
     * min-distance census against the selected-so-far set, then the
     * 6dp-rounded argmax — replaying
     * [[graft.operators.EmbeddingOps.kCenterGreedy]] exactly. */
+  /** DuckDB oracle for `q_vec_kpp`: one CTE pair per D² step — the
+    * min-distance census, then the exponential-race argmin over
+    * round(−ln(u)/md², 6) with the md5-fold open uniform — replaying
+    * [[graft.operators.EmbeddingOps.kMeansPlusPlusSeed]] exactly. */
+  private def kppOracle(startId: Long, k: Int, seed: String): String = {
+    val steps = (1 until k).map { t =>
+      val h = s"md5('$seed:$t:' || id::VARCHAR)"
+      s"""c$t AS (SELECT b.id,
+         |  min(round(1.0 - list_cosine_similarity(b.v, sv.v), 6)) AS md
+         |  FROM b, b sv
+         |  WHERE sv.id IN (SELECT id FROM sel${t - 1})
+         |    AND b.id NOT IN (SELECT id FROM sel${t - 1})
+         |  GROUP BY b.id),
+         |s$t AS (SELECT id, $t AS sel_rank, md AS dist FROM c$t
+         |  WHERE md > 0
+         |  ORDER BY round(-ln(${uuOpenSql(h)}) / (md * md), 6), id LIMIT 1),
+         |sel$t AS (SELECT * FROM sel${t - 1} UNION ALL SELECT * FROM s$t)"""
+        .stripMargin
+    }.mkString(", ")
+    s"""WITH b AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |sel0 AS (SELECT $startId AS id, 0 AS sel_rank, 0.0 AS dist),
+       |$steps
+       |SELECT sel_rank, id, dist FROM sel${k - 1} ORDER BY sel_rank"""
+      .stripMargin.replace('\n', ' ')
+  }
+
   private def kCenterOracle(startId: Long, k: Int): String = {
     val steps = (1 until k).map { t =>
       s"""c$t AS (SELECT b.id,

@@ -229,4 +229,66 @@ object StreamingSketch {
       .coalesce(1).write.mode("overwrite").parquet(s"${dir}__compact/batch=compact")
     Lsm.swapInPath(dir)
   }
+
+  // -------------------------------------------------- uniform reservoir
+
+  /** Streaming uniform sample — a k-row reservoir over everything that
+    * ever arrived: the k rows with the SMALLEST md5-fold uniform key
+    * hashUniform(id). Bottom-k by a fixed id hash IS uniform sampling
+    * without replacement, but unlike the classic reservoir it is
+    * deterministic, layout/arrival-order independent, exactly-once
+    * under at-least-once replay (lineage-keyed segment rewrites), and
+    * SQL-replayable. The bottom-k-of-unions law (bottom-k of a union ==
+    * bottom-k of unioned bottom-ks) means each batch lands only ITS OWN
+    * bottom-k rows — O(k) state per batch — and merge-on-read equals
+    * the batch operator over the accumulated corpus for ANY split.
+    * A row's membership can only flip when a lower-key row arrives:
+    * the sample is append-stable, so downstream epoch caches built on
+    * it invalidate minimally. */
+  def maintainUniformSample(stream: DataFrame, dir: String, idCol: String,
+      k: Int, checkpoint: String, seed: String = "urs42"): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        absorbUniformSampleBatch(batch,
+          Lsm.segmentKey(checkpoint, batchId), dir, idCol, k, seed)
+        ()
+      }
+      .start()
+
+  /** one batch's absorb: the batch's own bottom-k rows (full payload +
+    * key) as the `batch=<key>` segment; replay rewrites it */
+  private[graft] def absorbUniformSampleBatch(batch: DataFrame,
+      segKey: String, dir: String, idCol: String, k: Int,
+      seed: String = "urs42"): Unit = {
+    Lsm.recoverPath(dir)
+    val keyed = batch.withColumn("__u",
+      graft.operators.Sampling.hashUniform(
+        concat_ws(":", lit(seed), col(idCol).cast("string"))))
+      .orderBy(col("__u"), col(idCol)).limit(k)
+    Lsm.absorbSegment(keyed.coalesce(1), dir, segKey)
+  }
+
+  /** merge-on-read: global bottom-k over ≤ k·batches accumulated rows
+    * (compaction refolds to k) — never touches the corpus */
+  def currentUniformSample(spark: SparkSession, dir: String, k: Int,
+      idCol: String): DataFrame = {
+    Lsm.recoverPath(dir)
+    Lsm.readSegments(spark, dir)
+      .orderBy(col("__u"), col(idCol)).limit(k)
+      .drop("__u")
+  }
+
+  /** compaction: rewrite all segments as the single merged bottom-k
+    * through the crash-safe swap */
+  def compactUniformSample(spark: SparkSession, dir: String, k: Int,
+      idCol: String): Unit = {
+    Lsm.recoverPath(dir)
+    Lsm.readSegments(spark, dir)
+      .orderBy(col("__u"), col(idCol)).limit(k)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"${dir}__compact/batch=compact")
+    Lsm.swapInPath(dir)
+  }
 }

@@ -281,6 +281,53 @@ class DedupSpec extends AnyFunSuite {
       s"uncovered point at $maxMin beyond last radius ${sel.last._3}")
   }
 
+  test("kMeansPlusPlusSeed: exact driver-side D² replay; dups never sample; start first") {
+    import spark.implicits._
+    import graft.operators.EmbeddingOps
+    def uuOpen(s: String): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val code = hex.foldLeft(0L)((a, c) => (a * 31 + c.toInt) % 1000003L)
+      (code + 0.5) / 1000004.0
+    }
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // 12 points on distinct rays + one EXACT DUPLICATE of the start
+    val rnd = new scala.util.Random(5)
+    val pts = (0L until 12L).map(i =>
+      (i, Seq.fill(8)(rnd.nextGaussian().toFloat))) :+ (99L, null)
+    val vecs = pts.dropRight(1).toMap
+    val data = (pts.dropRight(1) :+ (99L, vecs(0L))).toDF("vec_id", "embedding")
+    val k = 5
+    val sel = EmbeddingOps.kMeansPlusPlusSeed(data, "vec_id", "embedding",
+        startId = 0L, k = k, seed = "t9")
+      .orderBy(col("sel_rank")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(sel.head === ((0, 0L, 0.0)))
+    assert(sel.map(_._2).distinct.length === k)
+    assert(!sel.map(_._2).contains(99L),
+      "an exact duplicate has D² = 0 and must never sample")
+    // driver-side exact replay of the exponential race
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val all = vecs + (99L -> vecs(0L))
+    val selected = scala.collection.mutable.ArrayBuffer(0L)
+    (1 until k).foreach { t =>
+      val cand = all.keys.filterNot(selected.contains).flatMap { id =>
+        val md = selected.map(s => r6(1.0 - cos(all(id), all(s)))).min
+        if (md <= 0) None
+        else Some((r6(-math.log(uuOpen(s"t9:$t:$id")) / (md * md)), id, md))
+      }.toSeq
+      val (_, pick, md) = cand.minBy { case (key, id, _) => (key, id) }
+      assert(sel(t)._2 === pick && math.abs(sel(t)._3 - md) < 1e-12,
+        s"step $t: engine ${sel(t)} vs replay ($pick, $md)")
+      selected += pick
+    }
+  }
+
   test("Bloom-prefiltered decontamination: output identical to exact; prefilter actually prunes") {
     import graft.operators.{TextAnalysis => TA}
     val d = docs(sf001)

@@ -741,6 +741,46 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming uniform sample: merged reservoir == batch bottom-k for any split; replay + compaction exact; append-stable") {
+    import spark.implicits._
+    val S = graft.streaming.StreamingSketch
+    val tmp = java.nio.file.Files.createTempDirectory("urstream").toString
+    val all = (0L until 500L).map(i => (i, s"payload-$i")).toDF("doc_id", "text")
+    def batchSample(df: org.apache.spark.sql.DataFrame, k: Int) = df
+      .withColumn("__u", graft.operators.Sampling.hashUniform(
+        concat_ws(":", lit("urs42"), col("doc_id").cast("string"))))
+      .orderBy(col("__u"), col("doc_id")).limit(k).drop("__u")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    def streamed(dir: String, k: Int) =
+      S.currentUniformSample(spark, dir, k, "doc_id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    // three uneven batches == the whole-corpus bottom-k
+    val b = Seq(all.filter(col("doc_id") < 100),
+      all.filter(col("doc_id") >= 100 && col("doc_id") < 150),
+      all.filter(col("doc_id") >= 150))
+    b.zipWithIndex.foreach { case (df, i) =>
+      S.absorbUniformSampleBatch(df, s"b$i", s"$tmp/urs", "doc_id", 20) }
+    val got = streamed(s"$tmp/urs", 20)
+    assert(got === batchSample(all, 20), "streamed reservoir != batch bottom-k")
+    // at-least-once replay rewrites, never duplicates
+    S.absorbUniformSampleBatch(b(1), "b1", s"$tmp/urs", "doc_id", 20)
+    assert(streamed(s"$tmp/urs", 20) === got, "replay changed the sample")
+    // compaction refolds to k rows and preserves the sample
+    S.compactUniformSample(spark, s"$tmp/urs", 20, "doc_id")
+    assert(streamed(s"$tmp/urs", 20) === got, "compaction changed the sample")
+    assert(graft.streaming.Lsm.readSegments(spark, s"$tmp/urs").count() === 20L)
+    // append-stability: a new batch can only REPLACE members with
+    // lower-key arrivals — the union of before/after members differs by
+    // exactly the swapped rows, and survivors keep their payload
+    val extra = (1000L until 1100L).map(i => (i, s"payload-$i")).toDF("doc_id", "text")
+    S.absorbUniformSampleBatch(extra, "b3", s"$tmp/urs", "doc_id", 20)
+    val after = streamed(s"$tmp/urs", 20)
+    assert(after === batchSample(all.unionByName(extra), 20),
+      "post-append sample != batch over the grown corpus")
+    assert(after.toSet.intersect(got.toSet).size >= 20 - extra.count().toInt,
+      "append replaced more rows than it contributed")
+  }
+
   test("streaming decontamination: streamed tags == batch Bloom operator for any split; read-time df cap; replay-exact") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("deconstream").toString
