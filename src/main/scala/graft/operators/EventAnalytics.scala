@@ -218,6 +218,47 @@ object EventAnalytics {
       .drop("__sd")
   }
 
+  /** Windowed exponentially-weighted moving average — the standard
+    * trend smoother / drift baseline over per-key event series:
+    *   ewma_t = Σ_{j=0..n−1} (1−α)^j · x_{t−j}  /  Σ_{j=0..n−1} (1−α)^j
+    * over the trailing `window` observations (n = rows actually in the
+    * frame, so the leading edge normalizes correctly instead of
+    * underweighting). The TRUNCATED form, not the infinite recursion:
+    * the recursive e_t needs (1−α)^{−t} rescaling to express in a
+    * window frame, which overflows doubles on long series — the
+    * truncated sum keeps every power bounded by `window`, and with
+    * (1−α)^window ≈ 0 the two agree to float precision anyway.
+    *
+    * Plan shape: ONE ordered window per key collecting the trailing
+    * frame (bounded at `window` values), then the weighted sum is
+    * map-side array math — no self-join, engine-replayable (list
+    * window + index transform in SQL). Ties on the timestamp break on
+    * `tieCol` so frame contents are engine-exact. */
+  def ewmaSmooth(events: DataFrame, keyCols: Seq[String], tsCol: String,
+      tieCol: String, valueCol: String, alpha: Double = 0.2,
+      window: Int = 16): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1): $alpha")
+    require(window >= 1, "window must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(-(window - 1), 0)
+    val d = lit(1.0 - alpha)
+    events
+      .withColumn("__vals",
+        collect_list(col(valueCol).cast("double")).over(w))
+      .withColumn("__n", size(col("__vals")))
+      // frame order is oldest..newest: weight (1−α)^(n−k) for slot k
+      .withColumn("__num", aggregate(
+        sequence(lit(1), col("__n")), lit(0.0),
+        (acc, k) => acc + element_at(col("__vals"), k) *
+          pow(d, (col("__n") - k).cast("double"))))
+      .withColumn("__den",
+        (lit(1.0) - pow(d, col("__n").cast("double"))) / lit(alpha))
+      .withColumn("ewma", round(col("__num") / col("__den"), 6))
+      .drop("__vals", "__n", "__num", "__den")
+  }
+
   /** Time-series resampling with forward fill: per key, a REGULAR
     * `step` grid spanning that key's observed range, carrying the last
     * observed value forward across gaps — what turns irregular event

@@ -374,6 +374,35 @@ object SequenceQueries extends QueryModule {
              |GROUP BY path ORDER BY n DESC, path LIMIT 20""".stripMargin.replace('\n', ' ')),
       doc = "top-20 3-step user journeys (lead-chain path mining, TakeOrdered rank)"),
 
+    // ---- windowed EWMA trend smoothing: the standard drift baseline
+    // over each (user, type) series — truncated exponential weights
+    // over the trailing 16 observations, leading-edge normalized; ONE
+    // ordered window + map-side array math, replayed in SQL via a list
+    // window + index transform (FULL oracle)
+    "q_events_ewma" -> Q(
+      (s, dir) => graft.operators.EventAnalytics.ewmaSmooth(
+          table(s, dir, "events").filter(col("user_id") < 40)
+            .select(col("event_id"), col("user_id"), col("event_type"),
+              col("ts_ns"), col("value")),
+          Seq("user_id", "event_type"), "ts_ns", "event_id", "value",
+          alpha = 0.2, window = 16)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts_ns"), col("ewma"))
+        .orderBy(col("user_id"), col("event_type"), col("ts_ns"), col("event_id")),
+      Some("""WITH e AS (SELECT event_id, user_id, event_type, epoch_ns(ts) AS ts_ns,
+             |  value::DOUBLE AS v FROM events WHERE user_id < 40),
+             |win AS (SELECT event_id, user_id, event_type, ts_ns,
+             |  list(v) OVER (PARTITION BY user_id, event_type
+             |    ORDER BY ts_ns, event_id
+             |    ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS vals FROM e)
+             |SELECT event_id, user_id, event_type, ts_ns,
+             |  round(list_sum(list_transform(range(1, len(vals) + 1),
+             |    k -> vals[k] * pow(0.8, len(vals) - k)))
+             |    / ((1 - pow(0.8, len(vals))) / 0.2), 6) AS ewma
+             |FROM win
+             |ORDER BY user_id, event_type, ts_ns, event_id""".stripMargin.replace('\n', ' ')),
+      doc = "windowed EWMA trend smoothing per (user, type) series"),
+
     // ---- trailing z-score anomaly detection: each event scored
     // against its own (user, type) series' preceding-window stats —
     // the current row never dilutes its own baseline

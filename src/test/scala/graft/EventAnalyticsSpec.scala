@@ -483,4 +483,39 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(rc === Set((Some("n"), 2L, 1.5), (None, 2L, 3.0)),
       "null group merged with a literal value")
   }
+
+  test("ewmaSmooth: constant invariance, leading edge, step response, driver replay") {
+    import spark.implicits._
+    val alpha = 0.25
+    def run(vals: Seq[Double]): Seq[Double] = {
+      val df = vals.zipWithIndex
+        .map { case (v, i) => (1L, i.toLong, i.toLong, v) }
+        .toDF("k", "t", "id", "v")
+      EventAnalytics.ewmaSmooth(df, Seq("k"), "t", "id", "v",
+          alpha = alpha, window = 4)
+        .orderBy(col("t")).collect().map(_.getAs[Double]("ewma")).toSeq
+    }
+    // a constant series smooths to itself at every prefix length
+    assert(run(Seq.fill(8)(3.5)).forall(e => math.abs(e - 3.5) < 1e-9))
+    // leading edge: the first row IS its own average
+    assert(math.abs(run(Seq(7.0, 0.0, 0.0)).head - 7.0) < 1e-9)
+    // step response: after a 0 -> 1 step the smoothed value rises
+    // monotonically toward the new level, never overshooting
+    val step = run(Seq(0, 0, 0, 0, 1, 1, 1, 1).map(_.toDouble)).drop(4)
+    assert(step.zip(step.tail).forall { case (a, b) => b >= a - 1e-12 }, step.toString)
+    assert(step.forall(e => e <= 1.0 + 1e-12))
+    // exact driver-side replay of the truncated weighted mean
+    val vals = Seq(2.0, -1.0, 4.0, 0.5, 3.25, -2.0)
+    val got = run(vals)
+    vals.indices.foreach { t =>
+      val frame = vals.slice(math.max(0, t - 3), t + 1)
+      val n = frame.size
+      val num = frame.zipWithIndex
+        .map { case (x, k) => x * math.pow(1 - alpha, n - (k + 1)) }.sum
+      val den = (1 - math.pow(1 - alpha, n)) / alpha
+      val want = BigDecimal(num / den)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(got(t) - want) < 1e-12, s"t=$t: ${got(t)} vs $want")
+    }
+  }
 }
