@@ -245,7 +245,10 @@ object Sampling {
           count(lit(1)).over(w) - row_number().over(ord) + lit(1))
         .withColumn("__capped",
           col("cap") * col("__remaining") <= lit(budget) - col("__prefix"))
-    }
+    // checkpointed: τ's broadcast branch and the main select both read
+    // this bounded (per-domain) frame — unmaterialized, each would
+    // re-run the corpus token aggregation
+    }.localCheckpoint()
     // coalesce BEFORE greatest: Spark's greatest skips NULLs but other
     // engines return NULL — the oracle must see the same arithmetic
     val tau = flagged.agg(
