@@ -684,6 +684,56 @@ object TextAnalysis {
           ((col("c_a") / col("t_tok")) * (col("c_b") / col("t_tok")))), 6).as("pmi"))
   }
 
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003 — the MOSS copy-detection algorithm): hash every
+    * k-token gram, then from each sliding window of `window` gram
+    * hashes select the MINIMUM (rightmost on ties); the distinct
+    * selected hashes are the document's fingerprint set. The paper's
+    * guarantee: any shared token run of length >= window + k − 1
+    * yields at least one SHARED fingerprint (no false negatives above
+    * the threshold), at an expected density of 2/(window+1) — the
+    * position-robust sparse signature line/chunk dedup lacks.
+    *
+    * Hashes are the repo's md5-60bit fold ([[Dedup.md5Hash60]]), so
+    * the whole selection replays 1:1 in SQL. Map-side only (HOF over
+    * the token array, O(grams · window) per doc — a deque kernel
+    * would be O(grams), worth it only if profiling ever says so);
+    * no shuffle, pure scan at any scale. Docs shorter than k tokens
+    * fingerprint empty; docs with fewer grams than `window` winnow
+    * one whole-doc window. Returns (id, n_grams, fingerprints) with
+    * fingerprints sorted ascending. */
+  def winnowFingerprints(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, k: Int = 3,
+      window: Int = 4): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(window >= 1, "window must be >= 1")
+    val staged = docs
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("__w"))
+      .withColumn("__m", greatest(size(col("__w")) - (k - 1), lit(0)))
+      // guard __m = 0 explicitly: Spark's sequence(1, 0) DESCENDS
+      .withColumn("__g", when(col("__m") >= 1,
+        transform(sequence(lit(1), col("__m")),
+          i => Dedup.md5Hash60(concat_ws(" ", slice(col("__w"), i, lit(k))))))
+        .otherwise(array().cast("array<long>")))
+    // per window j: argmin (value, rightmost tie — `<=` keeps the later
+    // position on equal hashes, the paper's robust-winnowing rule)
+    val nw = greatest(col("__m") - (window - 1), lit(1))
+    val sel = transform(sequence(lit(1), nw), j =>
+      aggregate(
+        sequence(j, least(j + (window - 1), col("__m"))),
+        struct(lit(Long.MaxValue).as("v"), lit(0L).as("p")),
+        (acc, p) => when(element_at(col("__g"), p.cast("int")) <= acc("v"),
+          struct(element_at(col("__g"), p.cast("int")).as("v"),
+            p.cast("long").as("p")))
+          .otherwise(acc)))
+    staged
+      .withColumn("fingerprints", when(col("__m") >= 1,
+        array_sort(array_distinct(transform(sel, s => s("v")))))
+        .otherwise(array().cast("array<long>")))
+      .select(col("id"), col("__m").cast("long").as("n_grams"),
+        col("fingerprints"))
+  }
+
   /** Phrase-dictionary tagging — the MULTI-WORD generalization of
     * [[blocklistScore]] (real blocklists are thousands of entries, many
     * of them phrases): every boundary-valid occurrence of any dictionary

@@ -78,6 +78,39 @@ object PipelineQueries extends QueryModule {
               |FROM t ORDER BY doc_id""".stripMargin.replace('\n', ' ')),
       doc = "blocklisted-token ratio + flag per doc — array-literal filter, map-side"),
 
+    // ---- winnowing fingerprints (Schleimer et al. 2003 / MOSS): from
+    // each sliding window of 4 gram hashes keep the minimum (rightmost
+    // tie) — a sparse position-robust signature with the guarantee that
+    // any shared run of >= window+k−1 tokens shares a fingerprint. The
+    // md5-60bit fold replays in SQL, so selection is fully
+    // oracle-checked (min/max fingerprint pin the actual hash values).
+    "q_text_winnow" -> Q(
+      (s, dir) => TA.winnowFingerprints(table(s, dir, "documents"),
+          "doc_id", "text", k = 3, window = 4)
+        .select(col("id").as("doc_id"), col("n_grams"),
+          size(col("fingerprints")).cast("long").as("n_fp"),
+          when(size(col("fingerprints")) > 0,
+            element_at(col("fingerprints"), 1)).as("min_fp"),
+          when(size(col("fingerprints")) > 0,
+            element_at(col("fingerprints"), -1)).as("max_fp"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+              |g AS (SELECT doc_id, greatest(len(w) - 2, 0) AS m,
+              |  CASE WHEN len(w) >= 3 THEN list_transform(range(1, len(w) - 1),
+              |    gi -> ${hex60Sql("md5(array_to_string(w[gi:gi+2], ' '))")})
+              |  ELSE [] END AS gs FROM t),
+              |sel AS (SELECT doc_id, m, CASE WHEN m >= 1 THEN
+              |  list_sort(list_distinct(list_transform(range(1, greatest(m - 3, 1) + 1),
+              |    j -> list_reduce(list_prepend([9223372036854775807, CAST(0 AS BIGINT)],
+              |      list_transform(range(j, least(j + 3, m) + 1), p -> [gs[p], p])),
+              |      (a, b) -> CASE WHEN b[1] <= a[1] THEN b ELSE a END)[1])))
+              |  ELSE [] END AS fps FROM g)
+              |SELECT doc_id, CAST(m AS BIGINT) AS n_grams, len(fps)::BIGINT AS n_fp,
+              |  CASE WHEN len(fps) > 0 THEN fps[1] END AS min_fp,
+              |  CASE WHEN len(fps) > 0 THEN fps[-1] END AS max_fp
+              |FROM sel ORDER BY doc_id""".stripMargin.replace('\n', ' ')),
+      doc = "winnowing (MOSS) fingerprint selection — sparse copy-detection signatures"),
+
     // ---- phrase-dictionary tagging (the multi-word blocklist stage):
     // nested ("scan slow" ⊃ "slow") and single-word phrases matched in
     // ONE Aho-Corasick pass per doc, word-boundary aware. The oracle

@@ -281,6 +281,62 @@ class DedupSpec extends AnyFunSuite {
       s"uncovered point at $maxMin beyond last radius ${sel.last._3}")
   }
 
+  test("winnowFingerprints: shared-run guarantee, density bounds, shift robustness, exact driver replay") {
+    import spark.implicits._
+    import graft.operators.{TextAnalysis => TA}
+    val (k, w) = (3, 4)
+    def fps(texts: Seq[String]): Map[Long, (Long, Seq[Long])] =
+      TA.winnowFingerprints(
+          texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text"),
+          "doc_id", "text", k, w)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getSeq[Long](2))).toMap
+    val rnd = new scala.util.Random(17)
+    def soup(n: Int) = Seq.fill(n)(s"t${rnd.nextInt(100000)}").mkString(" ")
+    // GUARANTEE: any shared run of >= w+k-1 = 6 tokens yields a shared
+    // fingerprint, wherever it sits in either doc
+    val run = soup(6)
+    val a = s"${soup(20)} $run ${soup(20)}"
+    val b = s"${soup(5)} $run ${soup(35)}"
+    val m = fps(Seq(a, b))
+    assert(m(0L)._2.toSet.intersect(m(1L)._2.toSet).nonEmpty,
+      "6-token shared run must share a fingerprint")
+    // DENSITY on unique-gram docs: every selected position covers at
+    // most w windows, so nw/w <= n_fp <= nw
+    val d = soup(60)
+    val (mGrams, f) = fps(Seq(d))(0L)
+    val nw = mGrams - (w - 1)
+    assert(f.size <= nw && f.size * w >= nw, s"density out of bounds: ${f.size} of $nw windows")
+    // SHIFT ROBUSTNESS: a 3-token prefix insertion preserves >= 60% of
+    // fingerprints (fixed-stride sampling would lose ~all of them)
+    val shifted = fps(Seq(d, s"zz0 zz1 zz2 $d"))
+    val keep = shifted(0L)._2.toSet.intersect(shifted(1L)._2.toSet).size.toDouble /
+      shifted(0L)._2.size
+    assert(keep >= 0.6, f"prefix shift kept only ${keep * 100}%.0f%% of fingerprints")
+    // EXACT driver replay: same md5-60bit fold, same rightmost-min rule
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    def replay(text: String): Seq[Long] = {
+      val toks = text.split(" ")
+      val grams = toks.sliding(k).map(_.mkString(" ")).map(h60).toArray
+      val mm = grams.length
+      val numW = math.max(mm - (w - 1), 1)
+      (1 to numW).map { j =>
+        val win = (j to math.min(j + w - 1, mm)).map(p => (grams(p - 1), p))
+        win.reduceLeft((acc, b) => if (b._1 <= acc._1) b else acc)._1
+      }.distinct.sorted
+    }
+    Seq(a, b, d, soup(7), soup(4)).zipWithIndex.foreach { case (t, i) =>
+      val got = fps(Seq(t))(0L)._2
+      assert(got === replay(t), s"doc $i: engine $got vs replay ${replay(t)}")
+    }
+    // docs shorter than k tokens fingerprint empty, never crash
+    assert(fps(Seq("one two"))(0L) === ((0L, Seq.empty[Long])))
+  }
+
   test("kMeansPlusPlusSeed: exact driver-side D² replay; dups never sample; start first") {
     import spark.implicits._
     import graft.operators.EmbeddingOps
