@@ -448,7 +448,11 @@ object Graphs {
     * once and persisted; every step is one src-keyed equi-join plus a
     * per-walk argmin window on walk_id (bounded keys — one row per
     * walk survives). Per-step localCheckpoint keeps each step ONE job
-    * instead of an O(steps²) re-derived chain. Returns
+    * instead of an O(steps²) re-derived chain. Lifecycle note: the
+    * returned union READS the per-step checkpoint blocks, so they live
+    * as long as the result frame — caller-owned; dropping the last
+    * reference lets the ContextCleaner free them (steps+1 block sets,
+    * each bounded by walk count — never corpus-sized). Returns
     * (walk_id, step, node) with step 0 = the start node. */
   def randomWalks(edges: DataFrame, srcCol: String, dstCol: String,
       starts: DataFrame, startCol: String, steps: Int = 4,
