@@ -190,7 +190,7 @@ object Drift {
     val w = Window.partitionBy(col("__ks_pid")).orderBy(col("__ks_v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val gaps = parts.join(broadcast(offs), "__ks_pid")
-      .select(col("__ks_v").as("value"),
+      .select(col("__ks_pid"), col("__ks_v").as("value"),
         ((col("__or") + sum(col("__r")).over(w)) / nRef).as("f_ref"),
         ((col("__oc") + sum(col("__c")).over(w)) / nCur).as("f_cur"))
       .withColumn("gap", abs(col("f_ref") - col("f_cur")))
@@ -212,6 +212,51 @@ object Drift {
     val r = ksGaps(ref, cur, valueCol, nr, nc)
     try r.gaps.agg(max(col("gap"))).head().getDouble(0)
     finally r.release()
+  }
+
+  /** Exact 1-D Wasserstein-1 (earth mover's) distance — the drift
+    * metric that, unlike KS's max gap or binned PSI/JS, measures HOW
+    * FAR mass moved, in the value's own units: W1 = ∫|F_ref − F_cur|dx,
+    * the area between the two empirical CDFs. A constant shift of δ
+    * scores exactly δ (spec-gated); a tail excursion KS barely sees
+    * accumulates here.
+    *
+    * Built on [[ksGaps]]'s distributed merged-ECDF frame: between
+    * consecutive merged values the gap is constant, so
+    * W1 = Σ gap(x_i) · (x_{i+1} − x_i). The lead() stays PARTITIONED by
+    * the range-partition pid (the KS plan law); the one value each
+    * partition cannot see — its successor across the boundary — comes
+    * from a driver-collected (pid → first value) table, bounded by the
+    * partition count exactly like ksGaps' own offsets. The global last
+    * value needs no term: both ECDFs are 1 there, gap 0. */
+  def wasserstein1(ref: DataFrame, cur: DataFrame, valueCol: String): Double = {
+    import org.apache.spark.sql.expressions.Window
+    val nr = ref.count().toDouble
+    val nc = cur.count().toDouble
+    require(nr > 0 && nc > 0, "both samples must be non-empty")
+    val r = ksGaps(ref, cur, valueCol, nr, nc)
+    try {
+      val spark0 = ref.sparkSession
+      import spark0.implicits._
+      // first value per (non-empty) partition; successor-of-boundary =
+      // the NEXT non-empty partition's first value
+      val firsts = r.gaps.groupBy(col("__ks_pid"))
+        .agg(min(col("value")).as("__fv"))
+        .collect().map(x => (x.getInt(0), x.getDouble(1))).sortBy(_._1)
+      val nextFirst = firsts.zip(firsts.drop(1))
+        .map { case ((pid, _), (_, nf)) => (pid, nf) }.toSeq
+      val nf = if (nextFirst.isEmpty)
+        Seq.empty[(Int, Double)].toDF("__ks_pid", "__nf")
+      else nextFirst.toDF("__ks_pid", "__nf")
+      val w = Window.partitionBy(col("__ks_pid")).orderBy(col("value"))
+      r.gaps.join(broadcast(nf), Seq("__ks_pid"), "left")
+        .withColumn("__next",
+          coalesce(lead(col("value"), 1).over(w), col("__nf")))
+        .filter(col("__next").isNotNull)
+        .agg(coalesce(sum(col("gap") * (col("__next") - col("value"))),
+          lit(0.0)))
+        .head().getDouble(0)
+    } finally r.release()
   }
 
   /** Bucket-over-bucket PSI timeline: for every bucket (day, hour,

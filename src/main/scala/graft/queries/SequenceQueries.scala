@@ -556,6 +556,37 @@ object SequenceQueries extends QueryModule {
              |SELECT round(max(gap), 6) AS ks_stat FROM g""".stripMargin.replace('\n', ' ')),
       doc = "exact Kolmogorov-Smirnov distance between click and purchase values"),
 
+    // ---- exact 1-D Wasserstein-1 (earth mover's) distance: the area
+    // between the two ECDFs — measures HOW FAR mass moved in the
+    // value's own units (KS sees only the max gap, PSI/JS only binned
+    // shares). Same distributed ECDF machinery as KS; FULL oracle.
+    "q_drift_wasserstein" -> Q(
+      (s, dir) => {
+        val s2 = s
+        import s2.implicits._
+        val ev = table(s, dir, "events")
+        Seq(Tuple1(BigDecimal(graft.operators.Drift.wasserstein1(
+            ev.filter(col("event_type") === "click"),
+            ev.filter(col("event_type") === "purchase"), "value"))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+          .toDF("w1")
+      },
+      Some("""WITH r AS (SELECT value::DOUBLE AS v FROM events WHERE event_type = 'click'),
+             |c AS (SELECT value::DOUBLE AS v FROM events WHERE event_type = 'purchase'),
+             |u AS (SELECT v, 1 AS tr, 0 AS tc FROM r
+             |      UNION ALL SELECT v, 0, 1 FROM c),
+             |pv AS (SELECT v, sum(tr)::BIGINT AS tr, sum(tc)::BIGINT AS tc
+             |       FROM u GROUP BY v),
+             |e AS (SELECT v,
+             |  abs(sum(tr) OVER w * 1.0 / (SELECT count(*) FROM r) -
+             |      sum(tc) OVER w * 1.0 / (SELECT count(*) FROM c)) AS g,
+             |  lead(v) OVER (ORDER BY v) AS nv
+             |  FROM pv WINDOW w AS (ORDER BY v
+             |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             |SELECT round(coalesce(sum(g * (nv - v)), 0.0), 6) AS w1
+             |FROM e WHERE nv IS NOT NULL""".stripMargin.replace('\n', ' ')),
+      doc = "exact 1-D Wasserstein-1 distance between click and purchase value distributions"),
+
     // ---- first-order Markov transitions over per-user event sequences
     "q_event_transitions" -> Q(
       (s, dir) => graft.operators.EventAnalytics.transitionMatrix(

@@ -129,6 +129,33 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(bins.map(_.getInt(0)).sorted.toSeq === (0 until 10))
   }
 
+  test("wasserstein1: zero on identical samples, exactly delta on a constant shift, matches a driver-side sweep") {
+    import spark.implicits._
+    import graft.operators.Drift
+    val rnd = new scala.util.Random(23)
+    val xs = (1 to 800).map(_ => math.floor(rnd.nextGaussian() * 100) / 100)
+    val ref = xs.toDF("value")
+    // identical samples: the ECDFs coincide everywhere
+    assert(Drift.wasserstein1(ref, xs.toDF("value"), "value") === 0.0)
+    // constant shift by delta moves every unit of mass exactly delta
+    val delta = 0.75
+    val w1Shift = Drift.wasserstein1(ref, xs.map(_ + delta).toDF("value"), "value")
+    assert(math.abs(w1Shift - delta) < 1e-9, s"shift W1 $w1Shift != $delta")
+    // general case: exact driver-side area sweep over the merged ECDFs
+    val ys = (1 to 500).map(_ => math.floor((rnd.nextGaussian() * 150 + 40)) / 100)
+    val got = Drift.wasserstein1(ref, ys.toDF("value"), "value")
+    val merged = (xs ++ ys).distinct.sorted
+    val want = merged.zip(merged.tail).map { case (v, nv) =>
+      val fr = xs.count(_ <= v).toDouble / xs.size
+      val fc = ys.count(_ <= v).toDouble / ys.size
+      math.abs(fr - fc) * (nv - v)
+    }.sum
+    assert(math.abs(got - want) < 1e-9, s"engine $got vs sweep $want")
+    // symmetry (it is a metric)
+    val rev = Drift.wasserstein1(ys.toDF("value"), ref, "value")
+    assert(math.abs(rev - got) < 1e-9)
+  }
+
   test("PSI: NULLs are excluded from counts and denominators, not binned as low-decile mass") {
     import spark.implicits._
     import graft.operators.Drift
