@@ -15,6 +15,60 @@ import org.apache.spark.sql.functions._
   */
 object Features {
 
+  /** Cross-source quantile normalization (the batch-effect remover of
+    * bioinformatics, standard for fusing feature distributions across
+    * heterogeneous sources): map every group's values onto the
+    * REFERENCE group's distribution — out = Q_ref(F_group(x)), with
+    * F_group the within-group percent rank and Q_ref the reference's
+    * linearly-interpolated empirical quantile function (the
+    * percentile() convention: target rank r·(n_ref − 1), floor/ceil
+    * lerp). After the transform every group has the reference's
+    * distribution exactly at matching ranks, so downstream thresholds
+    * mean the same thing in every source.
+    *
+    * Plan shape: one percent_rank window PER GROUP (partitioned —
+    * bounded per-task by the largest group, the usual stratified
+    * contract), the reference ranks once (partitioned by the group
+    * literal, never an empty partitionSpec), and the lerp attaches by
+    * TWO rank equi-joins against the (n_ref)-row rank table. Ties take
+    * percent_rank's min-rank convention in both engines. Returns df +
+    * `q_norm` (reference rows map to themselves up to lerp; NULL
+    * values pass through NULL). */
+  def quantileNormalize(df: DataFrame, groupCol: String, valueCol: String,
+      refGroup: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = col(valueCol).cast("double")
+    // NULLs never rank (they would inflate percent_rank's n) and pass
+    // through with a NULL q_norm
+    val nn = df.filter(v.isNotNull)
+    val nulls = df.filter(v.isNull)
+      .withColumn("q_norm", lit(null).cast("double"))
+    val wg = Window.partitionBy(col(groupCol)).orderBy(v)
+    val ranked = nn.withColumn("__pr", percent_rank().over(wg))
+    // reference ranks via the DISTRIBUTED zipWithIndex-style stamp
+    // (RowNumber) over the range-sorted layout — the reference group is
+    // data-sized, so an unpartitioned row_number window is exactly the
+    // global funnel this repo bans. Tie order among equal values is
+    // irrelevant: the value AT a sorted rank is tie-invariant.
+    val ref = nn.filter(col(groupCol) === refGroup)
+      .select(v.as("__rv")).orderBy(col("__rv"))
+    val refRanks = RowNumber.withRowNumber(ref, "__rn0")
+    val nref = refRanks.agg(count(lit(1)).as("__nref"))
+    val lo = refRanks.select(col("__rn0").as("__lo_rn"), col("__rv").as("__lo_v"))
+    val hi = refRanks.select(col("__rn0").as("__hi_rn"), col("__rv").as("__hi_v"))
+    ranked.crossJoin(broadcast(nref))
+      .withColumn("__t", col("__pr") * (col("__nref") - 1))
+      .withColumn("__lo_rn", floor(col("__t")).cast("long"))
+      .withColumn("__hi_rn", ceil(col("__t")).cast("long"))
+      .join(lo, Seq("__lo_rn"), "left")
+      .join(hi, Seq("__hi_rn"), "left")
+      .withColumn("q_norm",
+        round(col("__lo_v") + (col("__t") - floor(col("__t"))) *
+          (col("__hi_v") - col("__lo_v")), 6))
+      .drop("__pr", "__t", "__lo_rn", "__hi_rn", "__lo_v", "__hi_v", "__nref")
+      .unionByName(nulls)
+  }
+
   /** Equal-frequency discretization: bin(x) = number of quantile edges
     * at or below x, for k bins (edges at 1/k … (k−1)/k). Returns df +
     * `bin` (0-based; NULL values get NULL bins). Exact edges (default)

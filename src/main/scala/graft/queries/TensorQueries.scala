@@ -615,6 +615,34 @@ object TensorQueries extends QueryModule {
 
     // ---- equal-frequency discretization: decile binning against ONE
     // broadcast array-percentile edge frame, map-side bin math
+    // ---- cross-source quantile normalization (batch-effect removal):
+    // every language's n_chars distribution maps onto English's via
+    // Q_ref(F_group(x)) with linear quantile interpolation — after the
+    // transform a threshold means the same thing in every source. The
+    // reference ranks stamp through the distributed RowNumber (never an
+    // unpartitioned window); FULL oracle.
+    "q_feature_qnorm" -> Q(
+      (s, dir) => graft.operators.Features.quantileNormalize(
+          table(s, dir, "documents")
+            .select(col("doc_id"), col("lang"), col("n_chars")),
+          "lang", "n_chars", refGroup = "en")
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("q_norm"))
+        .orderBy(col("doc_id")),
+      Some("""WITH nn AS (SELECT doc_id, lang, n_chars, n_chars::DOUBLE AS v
+             |  FROM documents WHERE n_chars IS NOT NULL),
+             |pr AS (SELECT doc_id, lang, n_chars,
+             |  percent_rank() OVER (PARTITION BY lang ORDER BY v) AS p FROM nn),
+             |ref AS (SELECT v, row_number() OVER (ORDER BY v) - 1 AS rn0
+             |  FROM nn WHERE lang = 'en'),
+             |n AS (SELECT count(*) AS nref FROM ref),
+             |t AS (SELECT doc_id, lang, n_chars, p * (nref - 1) AS t FROM pr, n)
+             |SELECT t.doc_id, t.lang, t.n_chars,
+             |  round(lo.v + (t.t - floor(t.t)) * (hi.v - lo.v), 6) AS q_norm
+             |FROM t JOIN ref lo ON lo.rn0 = CAST(floor(t.t) AS BIGINT)
+             |  JOIN ref hi ON hi.rn0 = CAST(ceil(t.t) AS BIGINT)
+             |ORDER BY doc_id""".stripMargin.replace('\n', ' ')),
+      doc = "cross-source quantile normalization of n_chars onto the English distribution"),
+
     "q_discretize" -> Q(
       (s, dir) => {
         val li = table(s, dir, "lineitem")

@@ -129,6 +129,49 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(bins.map(_.getInt(0)).sorted.toSeq === (0 until 10))
   }
 
+  test("quantileNormalize: groups inherit the reference distribution; ref maps to itself; NULLs pass through") {
+    import spark.implicits._
+    import graft.operators.Features
+    val rnd = new scala.util.Random(29)
+    // group a = reference (uniform-ish), group b = shifted+scaled, plus
+    // a NULL row — after the transform b must LOOK like a
+    val rows =
+      (1 to 400).map(i => ("a", i.toLong, Some(rnd.nextDouble() * 100))) ++
+      (1 to 300).map(i => ("b", 1000L + i, Some(rnd.nextDouble() * 30 + 500))) :+
+      (("b", 9999L, None: Option[Double]))
+    val df = rows.map { case (g, id, v) => (g, id, v.map(Double.box).orNull) }
+      .toDF("g", "id", "v").select(col("g"), col("id"), col("v").cast("double").as("v"))
+    val out = Features.quantileNormalize(df, "g", "v", refGroup = "a")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        Option(r.get(2)).map(_.toString.toDouble),
+        Option(r.get(3)).map(_.toString.toDouble)))
+    // NULL passes through with NULL q_norm
+    val nullRow = out.find(_._2 == 9999L).get
+    assert(nullRow._3.isEmpty && nullRow._4.isEmpty)
+    // the reference group maps to itself (percent_rank hits integer
+    // target ranks only approximately at duplicate-free doubles, but
+    // rank r of n maps to target r*(nref-1)/(n-1)... for the ref group
+    // n == nref so targets are integers and lerp is exact)
+    val aRows = out.filter(r => r._1 == "a" && r._3.nonEmpty)
+    aRows.foreach { case (_, id, Some(v), Some(q)) =>
+      assert(math.abs(q - v) < 1e-6, s"ref row $id: $v -> $q")
+    case _ => ()
+    }
+    // group b inherits a's distribution: compare deciles
+    val aSorted = aRows.map(_._3.get).sorted
+    val bNorm = out.filter(r => r._1 == "b" && r._4.nonEmpty).map(_._4.get).sorted
+    (1 to 9).foreach { d =>
+      val qa = aSorted(((aSorted.size - 1) * d) / 10)
+      val qb = bNorm(((bNorm.size - 1) * d) / 10)
+      assert(math.abs(qa - qb) < 2.0,
+        s"decile $d diverges after normalization: ref $qa vs normalized $qb")
+    }
+    // monotonicity within b: rank order is preserved
+    val bPairs = out.filter(r => r._1 == "b" && r._3.nonEmpty)
+      .sortBy(_._3.get).map(_._4.get)
+    assert(bPairs.zip(bPairs.tail).forall { case (x, y) => y >= x - 1e-9 })
+  }
+
   test("wasserstein1: zero on identical samples, exactly delta on a constant shift, matches a driver-side sweep") {
     import spark.implicits._
     import graft.operators.Drift
