@@ -229,7 +229,29 @@ object Drift {
     * from a driver-collected (pid → first value) table, bounded by the
     * partition count exactly like ksGaps' own offsets. The global last
     * value needs no term: both ECDFs are 1 there, gap 0. */
-  def wasserstein1(ref: DataFrame, cur: DataFrame, valueCol: String): Double = {
+  def wasserstein1(ref: DataFrame, cur: DataFrame, valueCol: String): Double =
+    ecdfAreaIntegral(ref, cur, valueCol)(gap => gap)
+
+  /** Energy distance (Székely & Rizzo 2004) between the two samples —
+    * in 1-D the defining form D² = 2E|X−Y| − E|X−X'| − E|Y−Y'|
+    * collapses to D² = 2∫(F_ref − F_cur)² dx, the L2 area between the
+    * ECDFs (vs [[wasserstein1]]'s L1): same exact integral machinery,
+    * squared integrand, sqrt at the end. More outlier-robust than W1
+    * (a far excursion of tiny mass contributes gap², not gap·distance)
+    * while still metrizing convergence in distribution. */
+  def energyDistance(ref: DataFrame, cur: DataFrame, valueCol: String): Double =
+    math.sqrt(2.0 * ecdfAreaIntegral(ref, cur, valueCol)(gap => gap * gap))
+
+  /** Shared exact ∫ integrand(|F_ref − F_cur|) dx over [[ksGaps]]'s
+    * distributed merged-ECDF frame: between consecutive merged values
+    * the gap is constant, so the integral is Σ integrand(gap)·Δx. The
+    * lead() stays PARTITIONED by the range-partition pid (the KS plan
+    * law); each partition's one cross-boundary successor comes from a
+    * driver-collected (pid → first value) table bounded by the
+    * partition count — exactly like ksGaps' own offsets. The global
+    * last value needs no term: both ECDFs are 1 there, gap 0. */
+  private def ecdfAreaIntegral(ref: DataFrame, cur: DataFrame,
+      valueCol: String)(integrand: Column => Column): Double = {
     import org.apache.spark.sql.expressions.Window
     val nr = ref.count().toDouble
     val nc = cur.count().toDouble
@@ -238,8 +260,6 @@ object Drift {
     try {
       val spark0 = ref.sparkSession
       import spark0.implicits._
-      // first value per (non-empty) partition; successor-of-boundary =
-      // the NEXT non-empty partition's first value
       val firsts = r.gaps.groupBy(col("__ks_pid"))
         .agg(min(col("value")).as("__fv"))
         .collect().map(x => (x.getInt(0), x.getDouble(1))).sortBy(_._1)
@@ -253,8 +273,8 @@ object Drift {
         .withColumn("__next",
           coalesce(lead(col("value"), 1).over(w), col("__nf")))
         .filter(col("__next").isNotNull)
-        .agg(coalesce(sum(col("gap") * (col("__next") - col("value"))),
-          lit(0.0)))
+        .agg(coalesce(sum(integrand(col("gap")) *
+          (col("__next") - col("value"))), lit(0.0)))
         .head().getDouble(0)
     } finally r.release()
   }

@@ -587,6 +587,37 @@ object SequenceQueries extends QueryModule {
              |FROM e WHERE nv IS NOT NULL""".stripMargin.replace('\n', ' ')),
       doc = "exact 1-D Wasserstein-1 distance between click and purchase value distributions"),
 
+    // ---- energy distance (Székely & Rizzo): in 1-D,
+    // D² = 2∫(F_ref − F_cur)² dx — the L2 cousin of W1's L1 area on the
+    // SAME exact ECDF integral; more outlier-robust (tiny-mass far
+    // excursions contribute gap², not gap·distance). FULL oracle.
+    "q_drift_energy" -> Q(
+      (s, dir) => {
+        val s2 = s
+        import s2.implicits._
+        val ev = table(s, dir, "events")
+        Seq(Tuple1(BigDecimal(graft.operators.Drift.energyDistance(
+            ev.filter(col("event_type") === "click"),
+            ev.filter(col("event_type") === "purchase"), "value"))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+          .toDF("energy_dist")
+      },
+      Some("""WITH r AS (SELECT value::DOUBLE AS v FROM events WHERE event_type = 'click'),
+             |c AS (SELECT value::DOUBLE AS v FROM events WHERE event_type = 'purchase'),
+             |u AS (SELECT v, 1 AS tr, 0 AS tc FROM r
+             |      UNION ALL SELECT v, 0, 1 FROM c),
+             |pv AS (SELECT v, sum(tr)::BIGINT AS tr, sum(tc)::BIGINT AS tc
+             |       FROM u GROUP BY v),
+             |e AS (SELECT v,
+             |  abs(sum(tr) OVER w * 1.0 / (SELECT count(*) FROM r) -
+             |      sum(tc) OVER w * 1.0 / (SELECT count(*) FROM c)) AS g,
+             |  lead(v) OVER (ORDER BY v) AS nv
+             |  FROM pv WINDOW w AS (ORDER BY v
+             |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             |SELECT round(sqrt(2.0 * coalesce(sum(g * g * (nv - v)), 0.0)), 6) AS energy_dist
+             |FROM e WHERE nv IS NOT NULL""".stripMargin.replace('\n', ' ')),
+      doc = "energy distance between click and purchase value distributions (L2 ECDF area)"),
+
     // ---- first-order Markov transitions over per-user event sequences
     "q_event_transitions" -> Q(
       (s, dir) => graft.operators.EventAnalytics.transitionMatrix(

@@ -197,6 +197,17 @@ class EventAnalyticsSpec extends AnyFunSuite {
     // symmetry (it is a metric)
     val rev = Drift.wasserstein1(ys.toDF("value"), ref, "value")
     assert(math.abs(rev - got) < 1e-9)
+    // energy distance: zero on identical samples, exact driver sweep of
+    // D = sqrt(2 * sum(gap^2 * dx)), symmetric
+    assert(Drift.energyDistance(ref, xs.toDF("value"), "value") === 0.0)
+    val eGot = Drift.energyDistance(ref, ys.toDF("value"), "value")
+    val eWant = math.sqrt(2.0 * merged.zip(merged.tail).map { case (v, nv) =>
+      val fr = xs.count(_ <= v).toDouble / xs.size
+      val fc = ys.count(_ <= v).toDouble / ys.size
+      (fr - fc) * (fr - fc) * (nv - v)
+    }.sum)
+    assert(math.abs(eGot - eWant) < 1e-9, s"energy $eGot vs sweep $eWant")
+    assert(math.abs(Drift.energyDistance(ys.toDF("value"), ref, "value") - eGot) < 1e-9)
   }
 
   test("PSI: NULLs are excluded from counts and denominators, not binned as low-decile mass") {
