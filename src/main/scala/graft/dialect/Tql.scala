@@ -1119,6 +1119,22 @@ object Tql {
     }
     name match {
       case "COSINE_SIMILARITY" => gf.cosine_similarity(a0, a1)
+      // MATCH_KEYWORDS(text, ARRAY['phrase', ...]): the phrase list must
+      // be a CONSTANT array of string literals — the Aho-Corasick
+      // automaton builds once at plan time from it (a per-row dictionary
+      // would rebuild per row, defeating the kernel)
+      case "MATCH_KEYWORDS" =>
+        val phrases = argsAst.lift(1) match {
+          case Some(ast.ArrayLit(items)) if items.nonEmpty =>
+            items.map {
+              case ast.Lit(s: String) => s
+              case other => throw new IllegalArgumentException(
+                s"MATCH_KEYWORDS phrases must be string literals, got $other")
+            }
+          case _ => throw new IllegalArgumentException(
+            "MATCH_KEYWORDS(text, ARRAY['phrase', ...]) needs a constant phrase array")
+        }
+        gf.match_keywords(a0, phrases)
       case "DOT" => gf.dot(a0, a1)
       case "L1_NORM" =>
         if (args.size == 2) gf.l1_norm(a0, a1)

@@ -624,6 +624,26 @@ class TqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally AnnIndex.Catalog.clear()
   }
 
+  test("MATCH_KEYWORDS is TQL-reachable with a constant phrase array; non-constant lists reject") {
+    val got = Tql.query(spark, dir,
+      """SELECT doc_id, MATCH_KEYWORDS(text, ARRAY['slow', 'big order']) AS hits
+        |FROM documents ORDER BY doc_id""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val direct = tbl("documents")
+      .select(col("doc_id"),
+        graft.functions.gf.match_keywords(col("text"),
+          Seq("slow", "big order")).as("hits"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(got === direct)
+    assert(got.values.exists(_.nonEmpty), "fixture phrases must actually hit")
+    // a non-literal phrase list cannot build the plan-time automaton
+    val e = intercept[IllegalArgumentException] {
+      Tql.query(spark, dir,
+        "SELECT MATCH_KEYWORDS(text, text) AS hits FROM documents")
+    }
+    assert(e.getMessage.contains("constant phrase array"), e.getMessage)
+  }
+
   test("MAXSIM routes through a pooled-vector index: semi-join plan, recall >= 0.8 vs exact") {
     import graft.operators.AnnIndex
     import graft.functions.gf
