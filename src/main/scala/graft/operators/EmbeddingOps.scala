@@ -289,4 +289,70 @@ object EmbeddingOps {
     scored.groupBy(col("id"), col("y").as("label"))
       .agg(round(avg(col("s")), 6).as("shapley"))
   }
+
+  /** Spherical k-means Lloyd iterations (Dhillon & Modha 2001 — the
+    * standard topic-clustering pass over document embeddings, and the
+    * batch cousin of this repo's ANN coarse quantizer): fixed seed ids,
+    * then `iters` rounds of (assign each point to the nearest centroid
+    * by cosine distance) / (recompute each centroid as the coordinate
+    * mean of its members).
+    *
+    * Cross-engine exactness contract (the [[kCenterGreedy]] posture):
+    * distances round to 6dp before the argmin (cluster-id tiebreak),
+    * and centroid COMPONENTS round to 6dp after each mean — so both
+    * engines square/compare the same numbers and the fixed iteration
+    * count UNROLLS into one assign+update CTE pair per round (FULL
+    * DuckDB oracle). A cluster that empties keeps its previous centroid
+    * (both engines).
+    *
+    * Scale shape: centroids are a k×d driver artifact (bounded by the
+    * CLUSTER count, never row count) riding the plan as literal arrays;
+    * assignment is ≤ k codegen'd cosine kernels map-side (no shuffle,
+    * no crossJoin), and each update is ONE hash-agg on (cluster, dim) —
+    * k·d groups with map-side partials. `iters` driver round-trips is
+    * Lloyd's intrinsic sequentiality. Returns (id, cluster, dist) with
+    * dist = the 6dp cosine distance to the point's FINAL centroid. */
+  def kMeansLloyd(df: DataFrame, idCol: String, vecCol: String,
+      seedIds: Seq[Long], iters: Int): DataFrame = {
+    require(seedIds.nonEmpty, "need at least one seed id")
+    require(iters >= 1, "iters must be >= 1")
+    val base = df.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v")).persist()
+    try {
+      val seedRows = base.filter(col("id").isInCollection(seedIds)).collect()
+      require(seedRows.length == seedIds.length,
+        s"missing seed ids: found ${seedRows.length} of ${seedIds.length}")
+      val byId = seedRows.map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      // cluster c = position of its seed in seedIds (stable labels)
+      var cents: Map[Int, Seq[Double]] =
+        seedIds.zipWithIndex.map { case (sid, c) => c -> byId(sid) }.toMap
+      def assigned: DataFrame = {
+        // nearest centroid: 6dp cosine distance, lower cluster id wins ties
+        val pairs = cents.toSeq.sortBy(_._1).map { case (c, cv) =>
+          struct(
+            round(lit(1.0) - graft.functions.gf.cosine_similarity(col("v"),
+              array(cv.map(x => lit(x)): _*)), 6).as("dist"),
+            lit(c).as("cluster"))
+        }
+        val best = array_min(array(pairs: _*))
+        base.withColumn("cluster", best.getField("cluster"))
+          .withColumn("dist", best.getField("dist"))
+      }
+      for (_ <- 1 to iters) {
+        val upd = assigned
+          .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
+          .groupBy(col("cluster"), col("dim"))
+          .agg(round(avg(col("x")), 6).as("xa"))
+          .groupBy(col("cluster"))
+          .agg(array_sort(collect_list(struct(col("dim"), col("xa"))))
+            .as("pairs"))
+          .select(col("cluster"),
+            transform(col("pairs"), p => p.getField("xa")).as("cv"))
+          .collect()
+          .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+        cents = cents.map { case (c, old) => c -> upd.getOrElse(c, old) }
+      }
+      assigned.select(col("id"), col("cluster"), col("dist"))
+    } finally base.unpersist()
+  }
 }

@@ -57,6 +57,19 @@ object VectorQueries extends QueryModule {
       Some(kppOracle(startId = 0L, k = 6, seed = "kpp42")),
       doc = "k-means++ D² seeding over embeddings (exponential-race draw, unrolled-step oracle)"),
 
+    // ---- spherical k-means Lloyd iterations (Dhillon & Modha 2001):
+    // the topic-clustering pass over document embeddings. Distances
+    // and centroid components both round to 6dp, so the fixed
+    // iteration count unrolls into one assign+update CTE pair per
+    // round — FULL oracle over every row's final assignment.
+    "q_vec_kmeans" -> Q(
+      (s, dir) => graft.operators.EmbeddingOps.kMeansLloyd(
+          table(s, dir, E), "vec_id", "embedding",
+          seedIds = Seq(0L, 1L, 2L, 3L), iters = 2)
+        .orderBy(col("id")),
+      Some(kmeansOracle(k = 4, iters = 2)),
+      doc = "spherical k-means (2 Lloyd rounds, k=4) over embeddings; per-point final assignment (unrolled-iteration oracle)"),
+
     // ---- KNN-Shapley data valuation (Jia et al. 2019): the exact
     // Shapley value of every training vector under the KNN utility —
     // negative values flag mislabeled/poisoned rows. The closed-form
@@ -460,6 +473,37 @@ object VectorQueries extends QueryModule {
        |sel0 AS (SELECT $startId AS id, 0 AS sel_rank, 0.0 AS dist),
        |$steps
        |SELECT sel_rank, id, dist FROM sel${k - 1} ORDER BY sel_rank"""
+      .stripMargin.replace('\n', ' ')
+  }
+
+  /** DuckDB oracle for `q_vec_kmeans`: one assign+update CTE pair per
+    * Lloyd round (6dp distances, 6dp centroid components, empty
+    * clusters keep their previous centroid via the LEFT JOIN), then a
+    * final assignment against the last centroids — replaying
+    * [[graft.operators.EmbeddingOps.kMeansLloyd]] exactly. */
+  private def kmeansOracle(k: Int, iters: Int): String = {
+    def assign(name: String, cents: String) =
+      s"""$name AS (SELECT id, v, c, dist FROM (
+         |  SELECT b.id, b.v, $cents.c,
+         |    round(1.0 - list_cosine_similarity(b.v, $cents.cv), 6) AS dist,
+         |    row_number() OVER (PARTITION BY b.id ORDER BY
+         |      round(1.0 - list_cosine_similarity(b.v, $cents.cv), 6), $cents.c) AS rn
+         |  FROM b, $cents) WHERE rn = 1)""".stripMargin
+    val steps = (1 to iters).map { t =>
+      s"""${assign(s"a$t", s"c${t - 1}")},
+         |u$t AS (SELECT c, list(xa ORDER BY i) AS cv FROM (
+         |  SELECT c, i, round(avg(x), 6) AS xa FROM (
+         |    SELECT c, unnest(v) AS x, unnest(range(1, len(v)+1)) AS i FROM a$t
+         |  ) GROUP BY c, i) GROUP BY c),
+         |c$t AS (SELECT c${t - 1}.c, coalesce(u$t.cv, c${t - 1}.cv) AS cv
+         |  FROM c${t - 1} LEFT JOIN u$t ON c${t - 1}.c = u$t.c)""".stripMargin
+    }.mkString(", ")
+    s"""WITH b AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |c0 AS (SELECT vec_id::INT AS c, embedding::DOUBLE[] AS cv
+       |  FROM embeddings WHERE vec_id < $k),
+       |$steps,
+       |${assign("af", s"c$iters")}
+       |SELECT id, c AS cluster, dist FROM af ORDER BY id"""
       .stripMargin.replace('\n', ' ')
   }
 

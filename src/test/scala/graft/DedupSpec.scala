@@ -281,6 +281,59 @@ class DedupSpec extends AnyFunSuite {
       s"uncovered point at $maxMin beyond last radius ${sel.last._3}")
   }
 
+  test("kMeansLloyd: exact driver replay + keep-old-centroid on empty cluster") {
+    import graft.operators.EmbeddingOps
+    val e = graft.sources.Tables(spark, sf001, "embeddings")
+    val got = EmbeddingOps.kMeansLloyd(e, "vec_id", "embedding",
+        seedIds = Seq(0L, 1L, 2L), iters = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      .sortBy(_._1)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val pts = e.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq)
+      .sortBy(_._1).toSeq
+    var cents: Map[Int, Seq[Double]] = Seq(0L, 1L, 2L).zipWithIndex
+      .map { case (s, c) => c -> pts.find(_._1 == s).get._2 }.toMap
+    def assign() = pts.map { case (id, v) =>
+      val (d, c) = cents.toSeq.sortBy(_._1)
+        .map { case (c, cv) => (r6(1.0 - cos(v, cv)), c) }.min
+      (id, c, d, v)
+    }
+    for (_ <- 1 to 2) {
+      val a = assign()
+      val upd = a.groupBy(_._2).map { case (c, rows) =>
+        c -> rows.map(_._4).transpose.map(col => r6(col.sum / col.size)).toSeq
+      }
+      cents = cents.map { case (c, old) => c -> upd.getOrElse(c, old) }
+    }
+    val want = assign().map { case (id, c, d, _) => (id, c, d) }
+    assert(got.length === want.length)
+    got.zip(want).foreach { case ((gi, gc, gd), (wi, wc, wd)) =>
+      assert(gi === wi && gc === wc, s"id $gi: cluster $gc vs replay $wc")
+      assert(math.abs(gd - wd) < 1e-9, s"id $gi: dist $gd vs replay $wd")
+    }
+    // empty-cluster path: duplicate seeds tie every point into cluster 0;
+    // cluster 1 keeps its seed centroid and the op stays total
+    import spark.implicits._
+    val tiny = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(0.9f, 0.1f))).toDF("vec_id", "embedding")
+    // iter 1 ties everything into cluster 0 (lower id wins), emptying
+    // cluster 1 — which must KEEP its (1,0) seed centroid and so win
+    // the exact (1,0) points back in the final assignment at dist 0
+    val t = EmbeddingOps.kMeansLloyd(tiny, "vec_id", "embedding",
+        seedIds = Seq(0L, 1L), iters = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(t.length === 3 && t.forall(r => r._2 === 0 || r._2 === 1))
+    assert(t(0) === ((0L, 1, 0.0)) && t(1) === ((1L, 1, 0.0)),
+      s"kept seed centroid must reclaim its exact points: ${t.toSeq}")
+  }
+
   test("winnowFingerprints: shared-run guarantee, density bounds, shift robustness, exact driver replay") {
     import spark.implicits._
     import graft.operators.{TextAnalysis => TA}
