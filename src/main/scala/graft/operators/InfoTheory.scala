@@ -72,6 +72,86 @@ object InfoTheory {
         round(expr("regr_r2(lf, lr)"), 6).as("r2"))
   }
 
+  /** Gini coefficient of the token-frequency distribution per group —
+    * the Lorenz-curve concentration audit ("what fraction of the corpus
+    * is its handful of most common words"): 0 = every type equally
+    * frequent, →1 = mass concentrated in a few types. Complements
+    * [[zipfSlope]] (which fits the SHAPE; Gini measures the
+    * INEQUALITY) for corpus-mix fingerprinting.
+    *
+    * Uses the exact rank form on counts sorted ascending (rank i,
+    * count c_i): G = 2·Σ i·c_i / (n·Σc) − (n+1)/n. Ranks within tied
+    * counts are interchangeable (Σ i·c_i invariant on tie blocks), so
+    * the statistic is deterministic under any tiebreak — FULL oracle.
+    *
+    * Scale shape: ONE (group, token) hash aggregate does all the
+    * data-sized work; the rank window runs per group on the
+    * vocabulary-sized count frame. */
+  def tokenGini(docs: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs
+      .select(col(groupCol).as("grp"),
+        explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .groupBy(col("grp"), col("token"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("c"), col("token"))
+    counts
+      .withColumn("i", row_number().over(w))
+      .groupBy(col("grp"))
+      .agg(
+        count(lit(1)).as("n_types"),
+        sum(col("c")).as("n_tokens"),
+        sum(col("i") * col("c")).as("ic"))
+      .select(col("grp"), col("n_types"), col("n_tokens"),
+        round(lit(2.0) * col("ic") / (col("n_types") * col("n_tokens")) -
+          (col("n_types") + lit(1.0)) / col("n_types"), 6).as("gini"))
+  }
+
+  /** Distinctive terms per source via weighted log-odds with an
+    * informative Dirichlet prior (Monroe, Colaresi & Quinn 2008 —
+    * "Fightin' Words"; the corpus-comparison statistic that fixes both
+    * tf-idf's rare-word bias and plain log-odds' variance blowup):
+    * for word w in source i vs the REST of the corpus j,
+    *   δ_w = ln((y_iw+a_w)/(n_i+a0−y_iw−a_w)) − ln((y_jw+a_w)/(n_j+a0−y_jw−a_w)),
+    *   z_w = δ_w / sqrt(1/(y_iw+a_w) + 1/(y_jw+a_w)),
+    * with the prior a_w = a0·y_w/n proportional to corpus frequency.
+    * Returns the top-`k` z terms per source (z desc, term tiebreak).
+    *
+    * Scale shape: one (source, term) hash aggregate is the only
+    * data-sized stage; term totals derive from it (vocab-sized re-agg),
+    * source totals + the grand total broadcast; the per-source top-k
+    * ranks on the vocab-sized z frame. Only terms PRESENT in the
+    * source are scored (absent terms have negative δ and can never
+    * reach a positive top-k). */
+  def logOddsTerms(docs: DataFrame, srcCol: String, textCol: String,
+      k: Int, alpha0: Double = 1000.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val st = docs
+      .select(col(srcCol).as("src"),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy(col("src"), col("term"))
+      .agg(count(lit(1)).cast("double").as("yi"))
+    val termTot = st.groupBy(col("term")).agg(sum(col("yi")).as("yw"))
+    val srcTot = st.groupBy(col("src")).agg(sum(col("yi")).as("ni"))
+    val grand = termTot.agg(sum(col("yw")).as("n_all"))
+    val aw = lit(alpha0) * col("yw") / col("n_all")
+    val yj = col("yw") - col("yi")
+    val nj = col("n_all") - col("ni")
+    val delta =
+      log((col("yi") + aw) / (col("ni") + alpha0 - col("yi") - aw)) -
+      log((yj + aw) / (nj + alpha0 - yj - aw))
+    val z = delta / sqrt(lit(1.0) / (col("yi") + aw) + lit(1.0) / (yj + aw))
+    val scored = st
+      .join(termTot, "term")
+      .join(broadcast(srcTot), "src")
+      .crossJoin(broadcast(grand))
+      .select(col("src"), col("term"), round(z, 6).as("z"))
+    val w = Window.partitionBy(col("src")).orderBy(col("z").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("src"), col("rank"), col("term"), col("z"))
+  }
+
   /** Per-source token-distribution divergence vs the whole corpus:
     * Jensen-Shannon divergence (nats, bounded [0, ln 2]) between each
     * source's unigram distribution p and the corpus-wide distribution q

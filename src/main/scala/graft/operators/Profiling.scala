@@ -47,4 +47,37 @@ object Profiling {
       round(when(col("n_keys") === 1, 1.0)
         .otherwise(h / log(col("n_keys").cast("double"))), 6).as("uniformity"))
   }
+
+  /** Benford first-significant-digit audit (Newcomb 1881 / Benford 1938
+    * — the classic screen for fabricated or truncated numeric columns:
+    * naturally-occurring magnitudes follow P(d) = log10(1 + 1/d)):
+    * per-digit observed counts/shares vs the Benford expectation and
+    * the chi-square contribution (O−E)²/E on counts.
+    *
+    * The leading digit is extracted via INTEGER string formatting of
+    * round(|v|·10^`decimals`) — never log10/pow on doubles, whose
+    * last-ulp disagreement across engines could flip the digit at exact
+    * powers of ten. `decimals` = the column's fixed decimal precision
+    * (2 for money). Engine-exact, FULL oracle.
+    *
+    * Scale shape: one map-side digit projection + one 9-group hash agg;
+    * the grand total rides back as a broadcast 1-row frame. */
+  def benfordAudit(df: DataFrame, valCol: String, decimals: Int = 2): DataFrame = {
+    val v = abs(col(valCol).cast("double"))
+    val scaled = round(v * math.pow(10, decimals), 0).cast("long")
+    val digit = substring(scaled.cast("string"), 1, 1).cast("int")
+    val counts = df.filter(v > 0)
+      .select(digit.as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).cast("double").as("n_tot"))
+    val exp = col("n_tot") * col("benford_share")
+    counts
+      .withColumn("benford_share",
+        round(log10(lit(1.0) + lit(1.0) / col("digit")), 6))
+      .crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        round(col("n") / col("n_tot"), 6).as("obs_share"),
+        col("benford_share"),
+        round(pow(col("n") - exp, 2) / exp, 6).as("chi2_term"))
+  }
 }

@@ -810,4 +810,80 @@ object TextAnalysis {
           .as("dup_sent_frac"))
       .select(col("id"), col("n_sent"), col("avg_sent_words"), col("dup_sent_frac"))
   }
+
+  /** Flesch readability scoring (Flesch 1948 / Kincaid 1975 — the
+    * length-and-syllable heuristic quality filters bucket text by):
+    * per-row word, sentence and syllable counts plus Flesch reading
+    * ease and Flesch-Kincaid grade level.
+    *
+    * Syllables use the standard vowel-group heuristic — per word,
+    * max(1, count of maximal [aeiouy]+ runs) — computed inside ONE
+    * codegen'd aggregate-over-tokens HOF (map-side, no explode);
+    * sentences = max(1, count of [.!?]+ runs). Both regexes behave
+    * identically in java.util.regex and RE2 — FULL oracle via the same
+    * DuckDB list/regexp pipeline.
+    *
+    * Returns the input plus n_words / n_sentences / n_syllables /
+    * flesch / fk_grade (4dp). */
+  def readability(df: org.apache.spark.sql.DataFrame,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val w = tokens(lower(col(textCol)))
+    val nWords = greatest(lit(1), size(w)).cast("double")
+    val nSents = greatest(lit(1),
+      size(regexp_extract_all(col(textCol), lit("[.!?]+"), lit(0)))).cast("double")
+    val nSyll = aggregate(w, lit(0), (acc, t) => acc +
+      greatest(lit(1), size(regexp_extract_all(t, lit("[aeiouy]+"), lit(0)))))
+      .cast("double")
+    df.withColumn("n_words", nWords.cast("long"))
+      .withColumn("n_sentences", nSents.cast("long"))
+      .withColumn("n_syllables", nSyll.cast("long"))
+      .withColumn("flesch", round(lit(206.835) -
+        lit(1.015) * nWords / nSents - lit(84.6) * nSyll / nWords, 4))
+      .withColumn("fk_grade", round(lit(0.39) * nWords / nSents +
+        lit(11.8) * nSyll / nWords - lit(15.59), 4))
+  }
+
+  /** ROUGE-N overlap scoring (Lin 2004 — the eval-contamination and
+    * summary-quality overlap metric): clipped n-gram precision/recall/F1
+    * between a candidate and a reference text carried on the SAME row.
+    *
+    * overlap = Σ_g min(count_cand(g), count_ref(g)) over the candidate's
+    * DISTINCT n-grams — computed entirely with codegen'd array HOFs
+    * (transform/filter/aggregate), so the whole metric is MAP-SIDE: no
+    * explode, no shuffle, no join. Per-row cost is O(|distinct grams| ×
+    * (|cand|+|ref|)) with document length bounded by contract — the
+    * plan is a pure scan at any corpus size. The same HOF pipeline
+    * replays 1:1 in DuckDB list functions (FULL oracle).
+    *
+    * Returns the input plus `rougeN_overlap / rougeN_prec / rougeN_rec /
+    * rougeN_f1` (6dp; all 0 when either side has no n-grams). */
+  def rougeN(pairs: org.apache.spark.sql.DataFrame, candCol: String,
+      refCol: String, n: Int): org.apache.spark.sql.DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    def grams(c: Column): Column = {
+      val w = tokens(c)
+      when(size(w) >= n,
+        transform(sequence(lit(0), size(w) - n),
+          i => array_join(slice(w, i + 1, lit(n)), " ")))
+        .otherwise(array().cast("array<string>"))
+    }
+    val (cg, rg) = (grams(col(candCol)), grams(col(refCol)))
+    val overlap = aggregate(
+      array_distinct(cg), lit(0),
+      (acc, g) => acc + least(
+        size(filter(cg, t => t === g)),
+        size(filter(rg, t => t === g))))
+    val p = s"rouge${n}_prec"
+    val r = s"rouge${n}_rec"
+    pairs
+      .withColumn(s"rouge${n}_overlap", overlap.cast("long"))
+      .withColumn(p, when(size(cg) > 0,
+        round(col(s"rouge${n}_overlap") / size(cg), 6)).otherwise(0.0))
+      .withColumn(r, when(size(rg) > 0,
+        round(col(s"rouge${n}_overlap") / size(rg), 6)).otherwise(0.0))
+      .withColumn(s"rouge${n}_f1",
+        when(col(p) + col(r) > 0,
+          round(lit(2.0) * col(p) * col(r) / (col(p) + col(r)), 6))
+          .otherwise(0.0))
+  }
 }

@@ -437,6 +437,41 @@ object DocumentQueries extends QueryModule {
              |ORDER BY doc_id""".stripMargin.replace('\n', ' ')),
       doc = "per-doc distinct-5-gram novelty fraction (corpus df=1 grams)"),
 
+    // ---- ROUGE-2 overlap audit (Lin 2004): clipped-bigram P/R/F1 of
+    // each candidate doc against its paired reference — the eval-set
+    // contamination / summary-overlap metric. Entirely map-side HOFs
+    // on the joined row (no explode, no gram shuffle); FULL oracle via
+    // the identical DuckDB list pipeline.
+    "q_text_rouge" -> Q(
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+        val pairs = d.filter(col("doc_id") < 100)
+          .select(col("doc_id"), col("text").as("cand"))
+          .join(d.select((col("doc_id") - 100).as("doc_id"),
+            col("text").as("ref")), "doc_id")
+        graft.operators.TextAnalysis.rougeN(pairs, "cand", "ref", n = 2)
+          .select(col("doc_id"), col("rouge2_overlap"), col("rouge2_prec"),
+            col("rouge2_rec"), col("rouge2_f1"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH p AS (SELECT a.doc_id, string_split(a.text,' ') AS cw, string_split(b.text,' ') AS rw
+             |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 100 WHERE a.doc_id < 100),
+             |g AS (SELECT doc_id,
+             |  CASE WHEN len(cw) >= 2 THEN list_transform(range(1, len(cw)), i -> array_to_string(cw[i:i+1],' ')) ELSE []::VARCHAR[] END AS cg,
+             |  CASE WHEN len(rw) >= 2 THEN list_transform(range(1, len(rw)), i -> array_to_string(rw[i:i+1],' ')) ELSE []::VARCHAR[] END AS rg
+             |  FROM p),
+             |o AS (SELECT doc_id, cg, rg,
+             |  list_reduce(list_prepend(0, list_transform(list_distinct(cg),
+             |    gg -> least(len(list_filter(cg, t -> t = gg)), len(list_filter(rg, t -> t = gg))))),
+             |    (a,b) -> a + b)::BIGINT AS rouge2_overlap FROM g),
+             |pr AS (SELECT doc_id, rouge2_overlap,
+             |  CASE WHEN len(cg) > 0 THEN round(rouge2_overlap::DOUBLE / len(cg), 6) ELSE 0.0 END AS rouge2_prec,
+             |  CASE WHEN len(rg) > 0 THEN round(rouge2_overlap::DOUBLE / len(rg), 6) ELSE 0.0 END AS rouge2_rec FROM o)
+             |SELECT doc_id, rouge2_overlap, rouge2_prec, rouge2_rec,
+             |  CASE WHEN rouge2_prec + rouge2_rec > 0 THEN round(2.0*rouge2_prec*rouge2_rec/(rouge2_prec+rouge2_rec),6) ELSE 0.0 END AS rouge2_f1
+             |FROM pr ORDER BY doc_id""".stripMargin.replace('\n', ' ')),
+      doc = "ROUGE-2 clipped-bigram P/R/F1 between paired docs (map-side HOF pipeline)"),
+
     // ---- near-dup pairs -> dedup groups: connected components with a
     // min-id keeper per component (oracle: recursive-CTE transitive
     // closure over the identical MinHash-LSH pair set)
@@ -1652,6 +1687,70 @@ object DocumentQueries extends QueryModule {
              |FROM st JOIN corpus USING (term) JOIN stot USING (src), tot
              |GROUP BY src ORDER BY src""".stripMargin.replace('\n', ' ')),
       doc = "per-source unigram JS divergence vs corpus mixture (absent terms folded algebraically)"),
+
+    // ---- per-language token-frequency Gini: the Lorenz concentration
+    // audit complementing q_zipf_slope (shape) with inequality. Exact
+    // rank form — tie blocks make the tiebreak irrelevant to the sum.
+    "q_token_gini" -> Q(
+      (s, dir) => graft.operators.InfoTheory.tokenGini(
+          table(s, dir, "documents"), "lang", "text")
+        .withColumnRenamed("grp", "lang")
+        .orderBy(col("lang")),
+      Some("""WITH tok AS (SELECT lang, unnest(string_split(text,' ')) AS token FROM documents),
+             |c AS (SELECT lang, token, count(*) AS c FROM tok GROUP BY 1, 2),
+             |r AS (SELECT lang, c, row_number() OVER (PARTITION BY lang ORDER BY c, token) AS i FROM c)
+             |SELECT lang, count(*)::BIGINT AS n_types, sum(c)::BIGINT AS n_tokens,
+             |round(2.0*sum(i*c)/(count(*)*sum(c)) - (count(*)+1.0)/count(*), 6) AS gini
+             |FROM r GROUP BY lang ORDER BY lang""".stripMargin.replace('\n', ' ')),
+      doc = "per-language token-frequency Gini coefficient (Lorenz concentration)"),
+
+    // ---- Monroe "Fightin' Words" log-odds with informative Dirichlet
+    // prior: the distinctive vocabulary of each source vs the rest —
+    // tf-idf's rare-word bias and raw log-odds' variance blowup both
+    // corrected. One (src, term) agg is the only data-sized stage.
+    "q_domain_logodds" -> Q(
+      (s, dir) => graft.operators.InfoTheory.logOddsTerms(
+          table(s, dir, "documents"), "source", "text", k = 3)
+        .orderBy(col("src"), col("rank")),
+      Some("""WITH st AS (SELECT source AS src, unnest(string_split(text,' ')) AS term FROM documents),
+             |c AS (SELECT src, term, count(*)::DOUBLE AS yi FROM st GROUP BY 1, 2),
+             |tt AS (SELECT term, sum(yi) AS yw FROM c GROUP BY 1),
+             |s AS (SELECT src, sum(yi) AS ni FROM c GROUP BY 1),
+             |g AS (SELECT sum(yw) AS n_all FROM tt),
+             |z AS (SELECT c.src, c.term,
+             |  round((ln((yi + 1000.0*yw/n_all)/(ni + 1000.0 - yi - 1000.0*yw/n_all))
+             |       - ln((yw - yi + 1000.0*yw/n_all)/(n_all - ni + 1000.0 - (yw - yi) - 1000.0*yw/n_all)))
+             |   / sqrt(1.0/(yi + 1000.0*yw/n_all) + 1.0/(yw - yi + 1000.0*yw/n_all)), 6) AS z
+             |  FROM c JOIN tt USING (term) JOIN s USING (src), g),
+             |r AS (SELECT src, term, z, row_number() OVER (PARTITION BY src ORDER BY z DESC, term) AS rank FROM z)
+             |SELECT src, rank, term, z FROM r WHERE rank <= 3
+             |ORDER BY src, rank""".stripMargin.replace('\n', ' ')),
+      doc = "top-3 distinctive terms per source via Monroe log-odds (informative Dirichlet prior)"),
+
+    // ---- Flesch readability: the length/syllable heuristic quality
+    // filters bucket by — syllables via one aggregate-over-tokens HOF
+    // (map-side, no explode), sentences via punctuation-run counting.
+    "q_text_readability" -> Q(
+      (s, dir) => graft.operators.TextAnalysis.readability(
+          table(s, dir, "documents").filter(col("doc_id") < 200), "text")
+        .select(col("doc_id"), col("n_words"), col("n_sentences"),
+          col("n_syllables"), col("flesch"), col("fk_grade"))
+        .orderBy(col("doc_id")),
+      Some("""WITH b AS (SELECT doc_id, text, string_split(lower(text),' ') AS w
+             |  FROM documents WHERE doc_id < 200),
+             |m AS (SELECT doc_id,
+             |  greatest(1, len(w))::DOUBLE AS nw,
+             |  greatest(1, len(regexp_extract_all(text, '[.!?]+')))::DOUBLE AS ns,
+             |  list_reduce(list_prepend(0, list_transform(w,
+             |    t -> greatest(1, len(regexp_extract_all(t, '[aeiouy]+'))))),
+             |    (a,b) -> a + b)::DOUBLE AS sy
+             |  FROM b)
+             |SELECT doc_id, nw::BIGINT AS n_words, ns::BIGINT AS n_sentences,
+             |  sy::BIGINT AS n_syllables,
+             |  round(206.835 - 1.015*nw/ns - 84.6*sy/nw, 4) AS flesch,
+             |  round(0.39*nw/ns + 11.8*sy/nw - 15.59, 4) AS fk_grade
+             |FROM m ORDER BY doc_id""".stripMargin.replace('\n', ' ')),
+      doc = "Flesch reading ease + FK grade per doc (vowel-group syllable heuristic)"),
 
     // ---- tokenizer fertility: chars-per-token by language — the
     // "how expensive is each language to tokenize" planning number

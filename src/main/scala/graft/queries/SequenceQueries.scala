@@ -778,6 +778,25 @@ object SequenceQueries extends QueryModule {
              |FROM s, t""".stripMargin.replace('\n', ' ')),
       doc = "one-row key-distribution profile of events.user_id (top shares, entropy)"),
 
+    // ---- Benford first-digit audit: the fabricated/truncated-number
+    // screen over a money column. Digit extraction via integer string
+    // formatting of the cent amount — no log10/pow on doubles, so the
+    // digit can never flip across engines at exact powers of ten.
+    "q_benford_audit" -> Q(
+      (s, dir) => graft.operators.Profiling.benfordAudit(
+          table(s, dir, "lineitem"), "l_extendedprice", decimals = 2)
+        .orderBy(col("digit")),
+      Some("""WITH d AS (SELECT CAST(substr(CAST(CAST(round(abs(l_extendedprice)*100, 0) AS BIGINT) AS VARCHAR),1,1) AS INT) AS digit
+             |  FROM lineitem WHERE abs(l_extendedprice) > 0),
+             |c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+             |t AS (SELECT sum(n)::DOUBLE AS n_tot FROM c)
+             |SELECT digit, n, round(n/n_tot,6) AS obs_share,
+             |round(log10(1.0 + 1.0/digit),6) AS benford_share,
+             |round(pow(n - n_tot*round(log10(1.0+1.0/digit),6), 2)
+             |  / (n_tot*round(log10(1.0+1.0/digit),6)),6) AS chi2_term
+             |FROM c, t ORDER BY digit""".stripMargin.replace('\n', ' ')),
+      doc = "Benford first-significant-digit audit of l_extendedprice (per-digit chi-square terms)"),
+
     // ---- day-over-day PSI timeline: WHICH day the feed changed, not
     // just whether it differs from one fixed reference
     "q_drift_psi_timeline" -> Q(

@@ -41,6 +41,87 @@ class AuditSpec extends AnyFunSuite {
       .getAs[Long]("n_keys") === 2L)
   }
 
+  test("benfordAudit: exact Benford data scores ~0 chi-square; uniform digits spike; digit extraction never uses log") {
+    // plant an exactly-Benford sample: digit d appears round(10000*log10(1+1/d)) times
+    val benford = (1 to 9).flatMap { d =>
+      val n = math.round(10000 * math.log10(1.0 + 1.0 / d)).toInt
+      Seq.fill(n)(d + 0.23) // value with leading digit d
+    }
+    val b = Profiling.benfordAudit(benford.toDF("v"), "v").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(4))).sortBy(_._1)
+    assert(b.map(_._1).toSeq === (1 to 9))
+    assert(b.map(_._3).sum < 1.0, s"near-Benford data must score tiny chi2: ${b.toSeq}")
+    // uniform digits: every digit share 1/9 — chi2 blows up on digit 1
+    val uni = (1 to 9).flatMap(d => Seq.fill(100)(d * 10.0 + 1))
+    val u = Profiling.benfordAudit(uni.toDF("v"), "v").collect()
+      .map(r => (r.getInt(0), r.getDouble(2))).toMap
+    assert((1 to 9).forall(d => math.abs(u(d) - 1.0 / 9) < 1e-6))
+    // power-of-ten values land on the right digit (the log10 trap):
+    // 1000.00 -> 1, 999.99 -> 9, 0.01 -> 1 at decimals=2
+    val edge = Profiling.benfordAudit(
+      Seq(1000.0, 999.99, 0.01).toDF("v"), "v").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(edge(1) === 2L && edge(9) === 1L, s"got ${edge}")
+    // zeros and negatives: 0 excluded, sign ignored
+    val sg = Profiling.benfordAudit(Seq(0.0, -2.5).toDF("v"), "v").collect()
+    assert(sg.length === 1 && sg.head.getInt(0) === 2)
+  }
+
+  test("tokenGini: uniform counts score 0; one dominant type approaches 1; scale invariance") {
+    import graft.operators.InfoTheory
+    // 4 types, equal counts -> gini exactly 0
+    val even = Seq((1L, "g", "a b c d a b c d a b c d")).toDF("id", "grp", "text")
+    val g0 = InfoTheory.tokenGini(even, "grp", "text").collect().head
+    assert(g0.getLong(1) === 4L && g0.getLong(2) === 12L && g0.getDouble(3) === 0.0)
+    // one type owns 96 of 99 tokens -> heavy concentration
+    val skew = Seq((1L, "g", (Seq.fill(96)("z") ++ Seq("a", "b", "c")).mkString(" ")))
+      .toDF("id", "grp", "text")
+    val g1 = InfoTheory.tokenGini(skew, "grp", "text").collect().head.getDouble(3)
+    assert(g1 > 0.69 && g1 < 0.75, s"expected ~0.70, got $g1")
+    // duplicating the corpus leaves gini unchanged (counts scale, shares don't)
+    val dbl = Seq((1L, "g", (Seq.fill(192)("z") ++ Seq("a","a","b","b","c","c")).mkString(" ")))
+      .toDF("id", "grp", "text")
+    val g2 = InfoTheory.tokenGini(dbl, "grp", "text").collect().head.getDouble(3)
+    assert(math.abs(g2 - g1) < 1e-6)
+  }
+
+  test("logOddsTerms: planted source-exclusive term tops its source; shared background words score near 0") {
+    import graft.operators.InfoTheory
+    val bg = "the quick brown fox jumps over the lazy dog"
+    val docs = (
+      Seq.fill(20)(("s1", s"$bg alpha alpha")) ++
+      Seq.fill(20)(("s2", s"$bg beta beta")) ++
+      Seq.fill(20)(("s3", bg))
+    ).zipWithIndex.map { case ((s, t), i) => (i.toLong, s, t) }
+      .toDF("id", "src", "text")
+    val top = InfoTheory.logOddsTerms(docs, "src", "text", k = 2)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+    val first = top.filter(_._2 == 1).map(t => t._1 -> (t._3, t._4)).toMap
+    assert(first("s1")._1 === "alpha" && first("s2")._1 === "beta",
+      s"exclusive terms must rank first: ${top.toSeq}")
+    assert(first("s1")._2 > 3.0, "planted exclusive term must be a strong z outlier")
+    // background words shared in proportion score well below the planted terms
+    val s3top = first("s3")._2
+    assert(s3top < first("s1")._2 / 2, s"no-signal source tops at $s3top")
+  }
+
+  test("readability: monosyllabic short sentences score high flesch; polysyllabic long sentences low; counts exact") {
+    import graft.operators.TextAnalysis
+    val df = Seq(
+      (1L, "the cat sat. the dog ran."),
+      (2L, "extraordinary considerations necessitate comprehensive organizational reevaluation")
+    ).toDF("id", "text")
+    val r = TextAnalysis.readability(df, "text")
+      .select("id", "n_words", "n_sentences", "n_syllables", "flesch")
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getDouble(4))).toMap
+    val (w1, s1, sy1, f1) = r(1L)
+    assert(w1 === 6L && s1 === 2L && sy1 === 6L, s"got ${r(1L)}")
+    val (w2, s2, _, f2) = r(2L)
+    assert(w2 === 6L && s2 === 1L)
+    assert(f1 > 90 && f2 < 0, s"flesch must separate: $f1 vs $f2")
+  }
+
   test("fkAudit: planted orphans and NULLs count exactly; intact relation reports coverage 1") {
     val child = Seq(Some(1L), Some(1L), Some(2L), Some(99L), Some(99L),
       Some(98L), None).toDF("fk")

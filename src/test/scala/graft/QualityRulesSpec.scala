@@ -430,6 +430,33 @@ class QualityRulesSpec extends AnyFunSuite {
     assert(math.abs(tql.getDouble(0) - 1.0) < 1e-12)
   }
 
+  test("rougeN: identity/disjoint/clipping/short-text laws") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val df = Seq(
+      (1L, "a b c d e", "a b c d e"),   // identical -> all 1
+      (2L, "a b c", "x y z"),           // disjoint -> all 0
+      (3L, "a a a b", "a b b"),         // clipping on repeated grams
+      (4L, "a", "a b c")                // cand shorter than n -> zeros
+    ).toDF("id", "cand", "ref")
+    val r1 = TextAnalysis.rougeN(df, "cand", "ref", n = 1)
+      .select("id", "rouge1_overlap", "rouge1_prec", "rouge1_rec", "rouge1_f1")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(r1(1L) === ((5L, 1.0, 1.0, 1.0)))
+    assert(r1(2L) === ((0L, 0.0, 0.0, 0.0)))
+    // clipped: min(3,1) for 'a' + min(1,2) for 'b' = 2; p=2/4, r=2/3
+    val (ov, p, rc, f1) = r1(3L)
+    assert(ov === 2L && p === 0.5 && math.abs(rc - 2.0 / 3) < 1e-6)
+    assert(math.abs(f1 - 2 * p * rc / (p + rc)) < 1e-5)
+    val r2 = TextAnalysis.rougeN(df, "cand", "ref", n = 2)
+      .select("id", "rouge2_overlap", "rouge2_prec", "rouge2_rec", "rouge2_f1")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(r2(1L) === ((4L, 1.0, 1.0, 1.0)), "4 shared bigrams, exact match")
+    assert(r2(4L) === ((0L, 0.0, 0.0, 0.0)), "cand below n yields zeros, not NULLs")
+  }
+
   test("blocklistScore: counts, fraction, threshold flag; empty-token guard") {
     import spark.implicits._
     val df = Seq(
