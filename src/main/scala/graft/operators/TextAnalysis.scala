@@ -848,12 +848,19 @@ object TextAnalysis {
     * between a candidate and a reference text carried on the SAME row.
     *
     * overlap = Σ_g min(count_cand(g), count_ref(g)) over the candidate's
-    * DISTINCT n-grams — computed entirely with codegen'd array HOFs
+    * DISTINCT n-grams — computed entirely with array HOFs
     * (transform/filter/aggregate), so the whole metric is MAP-SIDE: no
-    * explode, no shuffle, no join. Per-row cost is O(|distinct grams| ×
-    * (|cand|+|ref|)) with document length bounded by contract — the
-    * plan is a pure scan at any corpus size. The same HOF pipeline
-    * replays 1:1 in DuckDB list functions (FULL oracle).
+    * explode, no shuffle, no join. The gram arrays are MATERIALIZED as
+    * temp columns before the aggregate: HOF lambdas evaluate their
+    * argument subtree per element (no CSE inside lambda bodies), so
+    * referencing the gram EXPRESSION from the min-count lambda would
+    * rebuild tokenize+slice O(distinct grams) times per row — measured
+    * 7.3s → 0.4s on a 100-pair bench slice. CollapseProject keeps the
+    * temp alias because it is non-cheap and multiply referenced. Per-row
+    * cost is O(|distinct grams| × (|cand|+|ref|)) string equalities with
+    * document length bounded by contract — a pure scan at any corpus
+    * size. The same HOF pipeline replays 1:1 in DuckDB list functions
+    * (FULL oracle).
     *
     * Returns the input plus `rougeN_overlap / rougeN_prec / rougeN_rec /
     * rougeN_f1` (6dp; all 0 when either side has no n-grams). */
@@ -867,7 +874,8 @@ object TextAnalysis {
           i => array_join(slice(w, i + 1, lit(n)), " ")))
         .otherwise(array().cast("array<string>"))
     }
-    val (cg, rg) = (grams(col(candCol)), grams(col(refCol)))
+    val (tmpC, tmpR) = (s"__rouge${n}_cg", s"__rouge${n}_rg")
+    val (cg, rg) = (col(tmpC), col(tmpR))
     val overlap = aggregate(
       array_distinct(cg), lit(0),
       (acc, g) => acc + least(
@@ -876,6 +884,8 @@ object TextAnalysis {
     val p = s"rouge${n}_prec"
     val r = s"rouge${n}_rec"
     pairs
+      .withColumn(tmpC, grams(col(candCol)))
+      .withColumn(tmpR, grams(col(refCol)))
       .withColumn(s"rouge${n}_overlap", overlap.cast("long"))
       .withColumn(p, when(size(cg) > 0,
         round(col(s"rouge${n}_overlap") / size(cg), 6)).otherwise(0.0))
@@ -885,5 +895,6 @@ object TextAnalysis {
         when(col(p) + col(r) > 0,
           round(lit(2.0) * col(p) * col(r) / (col(p) + col(r)), 6))
           .otherwise(0.0))
+      .drop(tmpC, tmpR)
   }
 }
