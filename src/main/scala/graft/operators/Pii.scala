@@ -78,6 +78,49 @@ object Pii {
       .withColumn("l_violation", col("n_sensitive") < l)
   }
 
+  /** t-closeness audit (Li, Li & Venkatasubramanian 2007) — the third
+    * rung of the release-gate ladder after [[kAnonymity]]'s k and l:
+    * a class can be k-large and l-diverse yet still leak when its
+    * sensitive-value DISTRIBUTION skews far from the table's. Distance
+    * is the ordered-domain EMD of the paper's numeric formulation:
+    * Σ|cumP − cumQ| / (m−1) over the m ordered distinct sensitive
+    * values, where P is the class distribution and Q the global one.
+    *
+    * `sensitiveCol` should be bounded-cardinality (bucket a continuous
+    * attribute first — deciles make m=10); the class × domain frame is
+    * then classes·m rows. Data-sized work is ONE (quasi, sensitive)
+    * hash aggregate; the domain and global distribution broadcast, the
+    * cum windows run per class over m rows. Zero-observed values are
+    * cross-filled — dropping them would understate the distance
+    * exactly where the leak is worst. FULL oracle.
+    *
+    * Returns one row per class: quasi cols + `(class_size, emd,
+    * t_violation)`, emd 6dp. */
+  def tCloseness(df: org.apache.spark.sql.DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, t: Double): org.apache.spark.sql.DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier")
+    import org.apache.spark.sql.expressions.Window
+    val qc = quasiCols.map(col)
+    val obs = df.groupBy(qc :+ col(sensitiveCol).as("__s"): _*)
+      .agg(count(lit(1)).as("__o"))
+    val domain = obs.groupBy(col("__s")).agg(sum(col("__o")).as("__nq"))
+    val global = domain.crossJoin(broadcast(
+      domain.agg(sum(col("__nq")).cast("double").as("__n"),
+        count(lit(1)).as("__m"))))
+    val classes = obs.groupBy(qc: _*).agg(sum(col("__o")).as("class_size"))
+    val wCum = Window.partitionBy(qc: _*).orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    classes.crossJoin(broadcast(global))
+      .join(obs, quasiCols :+ "__s", "left")
+      .withColumn("__cp", sum(coalesce(col("__o"), lit(0L)).cast("double") /
+        col("class_size")).over(wCum))
+      .withColumn("__cq", sum(col("__nq").cast("double") / col("__n")).over(wCum))
+      .groupBy(qc :+ col("class_size"): _*)
+      .agg(round(sum(abs(col("__cp") - col("__cq"))) /
+        greatest(max(col("__m")) - lit(1.0), lit(1.0)), 6).as("emd"))
+      .withColumn("t_violation", col("emd") > t)
+  }
+
   /** Laplace-noised count release in the shape of the DP counting
     * mechanism (Dwork et al. 2006): per-key counts plus Laplace(Δf/ε)
     * noise, Δf = 1. The noise is a PRF of `(key, seed)` — md5 →

@@ -472,6 +472,45 @@ object DocumentQueries extends QueryModule {
              |FROM pr ORDER BY doc_id""".stripMargin.replace('\n', ' ')),
       doc = "ROUGE-2 clipped-bigram P/R/F1 between paired docs (map-side HOF pipeline)"),
 
+    // ---- sentence-BLEU (Papineni 2002) over the same doc pairing as
+    // q_text_rouge: clipped modified precisions n=1..4, brevity
+    // penalty, unsmoothed geometric mean. Map-side HOFs on materialized
+    // gram arrays; the per-n DuckDB CTE fragments are loop-generated.
+    "q_text_bleu" -> Q(
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+        val pairs = d.filter(col("doc_id") < 100)
+          .select(col("doc_id"), col("text").as("cand"))
+          .join(d.select((col("doc_id") - 100).as("doc_id"),
+            col("text").as("ref")), "doc_id")
+        graft.operators.TextAnalysis.bleu(pairs, "cand", "ref", maxN = 4)
+          .select(col("doc_id"), col("bleu_prec1"), col("bleu_prec2"),
+            col("bleu_prec3"), col("bleu_prec4"), col("bleu_bp"), col("bleu"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        def g(w: String, n: Int) =
+          s"CASE WHEN len($w) >= $n THEN list_transform(range(1, len($w)-$n+2), " +
+            s"i -> array_to_string($w[i:i+${n - 1}],' ')) ELSE []::VARCHAR[] END"
+        def prec(n: Int) =
+          s"CASE WHEN len(${g("cw", n)}) > 0 THEN round(" +
+            s"list_reduce(list_prepend(0, list_transform(list_distinct(${g("cw", n)}), " +
+            s"gg -> least(len(list_filter(${g("cw", n)}, t -> t = gg)), " +
+            s"len(list_filter(${g("rw", n)}, t -> t = gg))))), (a,b) -> a + b)::DOUBLE " +
+            s"/ len(${g("cw", n)}), 6) ELSE 0.0 END AS bleu_prec$n"
+        val precs = (1 to 4).map(prec).mkString(", ")
+        s"""WITH p AS (SELECT a.doc_id, string_split(a.text,' ') AS cw, string_split(b.text,' ') AS rw
+           |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 100 WHERE a.doc_id < 100),
+           |m AS (SELECT doc_id, len(cw)::DOUBLE AS c, len(rw)::DOUBLE AS r, $precs FROM p),
+           |bp AS (SELECT *, round(CASE WHEN c >= r THEN 1.0 WHEN c > 0 THEN exp(1.0 - r/c) ELSE 0.0 END, 6) AS bleu_bp FROM m)
+           |SELECT doc_id, bleu_prec1, bleu_prec2, bleu_prec3, bleu_prec4, bleu_bp,
+           |CASE WHEN bleu_prec1 > 0 AND bleu_prec2 > 0 AND bleu_prec3 > 0 AND bleu_prec4 > 0
+           |THEN round(bleu_bp * exp((ln(bleu_prec1)+ln(bleu_prec2)+ln(bleu_prec3)+ln(bleu_prec4))/4), 6)
+           |ELSE 0.0 END AS bleu
+           |FROM bp ORDER BY doc_id""".stripMargin.replace('\n', ' ')
+      },
+      doc = "sentence-BLEU (4-gram clipped precisions + brevity penalty) between paired docs"),
+
     // ---- near-dup pairs -> dedup groups: connected components with a
     // min-id keeper per component (oracle: recursive-CTE transitive
     // closure over the identical MinHash-LSH pair set)

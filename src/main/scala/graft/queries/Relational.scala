@@ -543,6 +543,69 @@ object Relational extends QueryModule {
              |ORDER BY c_nationkey, c_mktsegment""".stripMargin.replace('\n', ' ')),
       doc = "k-anonymity + l-diversity audit over (nation, segment) quasi-identifiers"),
 
+    // ---- t-closeness (Li et al. 2007): ordered-domain EMD between each
+    // class's sensitive distribution and the global one — the leak that
+    // k and l both miss. Sensitive attr bucketed to thousands (m=11).
+    "q_t_closeness" -> Q(
+      (s, dir) => graft.operators.Pii.tCloseness(
+          table(s, dir, "customer")
+            .withColumn("bal_bucket",
+              floor(col("c_acctbal") / 1000.0).cast("int")),
+          Seq("c_nationkey", "c_mktsegment"), "bal_bucket", t = 0.15)
+        .orderBy(col("c_nationkey"), col("c_mktsegment")),
+      Some("""WITH base AS (SELECT c_nationkey, c_mktsegment, CAST(floor(c_acctbal/1000.0) AS INT) AS s FROM customer),
+             |obs AS (SELECT c_nationkey, c_mktsegment, s, count(*) AS o FROM base GROUP BY 1, 2, 3),
+             |dom AS (SELECT s, sum(o) AS nq FROM obs GROUP BY 1),
+             |g AS (SELECT sum(nq)::DOUBLE AS n, count(*) AS m FROM dom),
+             |cls AS (SELECT c_nationkey, c_mktsegment, sum(o)::BIGINT AS class_size FROM obs GROUP BY 1, 2),
+             |x AS (SELECT cls.c_nationkey, cls.c_mktsegment, cls.class_size, dom.s, dom.nq, g.n, g.m, coalesce(obs.o, 0) AS o
+             |  FROM cls CROSS JOIN dom CROSS JOIN g
+             |  LEFT JOIN obs ON obs.c_nationkey = cls.c_nationkey AND obs.c_mktsegment = cls.c_mktsegment AND obs.s = dom.s),
+             |c AS (SELECT *,
+             |  sum(o::DOUBLE/class_size) OVER (PARTITION BY c_nationkey, c_mktsegment ORDER BY s ROWS UNBOUNDED PRECEDING) AS cp,
+             |  sum(nq::DOUBLE/n) OVER (PARTITION BY c_nationkey, c_mktsegment ORDER BY s ROWS UNBOUNDED PRECEDING) AS cq
+             |  FROM x)
+             |SELECT c_nationkey, c_mktsegment, class_size,
+             |round(sum(abs(cp - cq))/greatest(max(m) - 1.0, 1.0), 6) AS emd,
+             |round(sum(abs(cp - cq))/greatest(max(m) - 1.0, 1.0), 6) > 0.15 AS t_violation
+             |FROM c GROUP BY 1, 2, 3
+             |ORDER BY c_nationkey, c_mktsegment""".stripMargin.replace('\n', ' ')),
+      doc = "t-closeness audit: per-class ordered EMD of acctbal-bucket distribution vs global"),
+
+    // ---- chi-square independence + Cramér's V between two categorical
+    // facets: full margin cross product (zero cells contribute E), one
+    // data-sized hash agg, margins broadcast.
+    "q_chi2_assoc" -> Q(
+      (s, dir) => graft.operators.Profiling.chiSquareAssoc(
+          table(s, dir, "orders"), "o_orderpriority", "o_orderstatus"),
+      Some("""WITH obs AS (SELECT coalesce(CAST(o_orderpriority AS VARCHAR), ' null') AS a,
+             |  coalesce(CAST(o_orderstatus AS VARCHAR), ' null') AS b, count(*) AS o FROM orders GROUP BY 1, 2),
+             |ra AS (SELECT a, sum(o) AS na FROM obs GROUP BY 1),
+             |cb AS (SELECT b, sum(o) AS nb FROM obs GROUP BY 1),
+             |tt AS (SELECT sum(o)::DOUBLE AS n FROM obs),
+             |x AS (SELECT ra.a, cb.b, ra.na, cb.nb, tt.n, coalesce(obs.o, 0) AS o
+             |  FROM ra CROSS JOIN cb CROSS JOIN tt
+             |  LEFT JOIN obs ON obs.a = ra.a AND obs.b = cb.b),
+             |t2 AS (SELECT max(n)::BIGINT AS n, count(DISTINCT a) AS r_levels, count(DISTINCT b) AS c_levels,
+             |  sum(pow(o - na*nb/n, 2)/(na*nb/n)) AS chi2_raw FROM x)
+             |SELECT n, r_levels, c_levels, round(chi2_raw, 6) AS chi2,
+             |(r_levels - 1)*(c_levels - 1) AS dof,
+             |round(sqrt(chi2_raw/(n*(least(r_levels, c_levels) - 1))), 6) AS cramers_v
+             |FROM t2""".stripMargin.replace('\n', ' ')),
+      doc = "chi-square independence + Cramér's V between order priority and status"),
+
+    // ---- Spearman rank correlation: Pearson on distributed mid-ranks
+    // (repartitionByRange + zipWithIndex offsets, never a global window)
+    "q_spearman" -> Q(
+      (s, dir) => graft.operators.Profiling.spearmanCorr(
+          table(s, dir, "lineitem"), "l_quantity", "l_extendedprice"),
+      Some("""WITH b AS (SELECT l_quantity::DOUBLE AS x, l_extendedprice::DOUBLE AS y FROM lineitem
+             |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+             |r AS (SELECT rank() OVER (ORDER BY x) + (count(*) OVER (PARTITION BY x) - 1)/2.0 AS rx,
+             |  rank() OVER (ORDER BY y) + (count(*) OVER (PARTITION BY y) - 1)/2.0 AS ry FROM b)
+             |SELECT count(*)::BIGINT AS n, round(corr(rx, ry), 6) AS spearman FROM r""".stripMargin.replace('\n', ' ')),
+      doc = "Spearman rank correlation of quantity vs extendedprice (distributed mid-ranks)"),
+
     "q_column_stats" -> Q(
       (s, dir) => {
         table(s, dir, "lineitem")

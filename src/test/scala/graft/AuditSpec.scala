@@ -122,6 +122,72 @@ class AuditSpec extends AnyFunSuite {
     assert(f1 > 90 && f2 < 0, s"flesch must separate: $f1 vs $f2")
   }
 
+  test("chiSquareAssoc: independent columns score ~0; deterministic association maxes Cramér's V; zero cells contribute") {
+    // perfectly independent 2x2: equal counts everywhere -> chi2 = 0
+    val indep = (for (a <- Seq("x", "y"); b <- Seq("u", "v"); _ <- 1 to 25)
+      yield (a, b)).toDF("a", "b")
+    val r0 = Profiling.chiSquareAssoc(indep, "a", "b").collect().head
+    assert(r0.getAs[Long]("n") === 100L && r0.getAs[Double]("chi2") === 0.0)
+    assert(r0.getAs[Double]("cramers_v") === 0.0 && r0.getAs[Long]("dof") === 1L)
+    // deterministic mapping a->b: chi2 = n*(min(r,c)-1), V = 1
+    val det = (Seq.fill(30)(("x", "u")) ++ Seq.fill(30)(("y", "v"))).toDF("a", "b")
+    val r1 = Profiling.chiSquareAssoc(det, "a", "b").collect().head
+    assert(r1.getAs[Double]("cramers_v") === 1.0)
+    assert(math.abs(r1.getAs[Double]("chi2") - 60.0) < 1e-6)
+    // zero-observed cell must contribute its expected mass: 3 levels x 2,
+    // ("z","u") never observed -> naive observed-only sum understates
+    val withZero = (Seq.fill(10)(("x", "u")) ++ Seq.fill(10)(("x", "v")) ++
+      Seq.fill(10)(("y", "u")) ++ Seq.fill(10)(("y", "v")) ++
+      Seq.fill(10)(("z", "v"))).toDF("a", "b")
+    val r2 = Profiling.chiSquareAssoc(withZero, "a", "b").collect().head
+    // E(z,u) = 10*20/50 = 4; observed 0 contributes (0-4)^2/4 = 4
+    assert(r2.getAs[Double]("chi2") > 4.0, s"zero cell dropped: ${r2}")
+    assert(r2.getAs[Long]("r_levels") === 3L && r2.getAs[Long]("c_levels") === 2L)
+  }
+
+  test("spearmanCorr: monotone nonlinear = 1, reversed = -1, mid-ranks on ties match closed form") {
+    // y = x^3 is nonlinear but perfectly monotone -> spearman exactly 1
+    val mono = (1 to 50).map(i => (i.toDouble, math.pow(i, 3))).toDF("x", "y")
+    val r1 = Profiling.spearmanCorr(mono, "x", "y").collect().head
+    assert(r1.getAs[Long]("n") === 50L && r1.getAs[Double]("spearman") === 1.0)
+    val rev = (1 to 50).map(i => (i.toDouble, -math.pow(i, 3))).toDF("x", "y")
+    assert(Profiling.spearmanCorr(rev, "x", "y").collect().head
+      .getAs[Double]("spearman") === -1.0)
+    // tie handling: x = (1,1,2), y = (1,2,3). mid-ranks rx = (1.5,1.5,3),
+    // ry = (1,2,3) -> rho = cov/sd product = (hand computation) 0.866025
+    val ties = Seq((1.0, 1.0), (1.0, 2.0), (2.0, 3.0)).toDF("x", "y")
+    val rho = Profiling.spearmanCorr(ties, "x", "y").collect().head
+      .getAs[Double]("spearman")
+    assert(math.abs(rho - 0.866025) < 1e-6, s"mid-rank rho: $rho")
+    // NULL pairs dropped
+    val withNull = Seq((Some(1.0), Some(1.0)), (Some(2.0), Some(2.0)),
+      (Some(3.0), None)).toDF("x", "y")
+    assert(Profiling.spearmanCorr(withNull, "x", "y").collect().head
+      .getAs[Long]("n") === 2L)
+  }
+
+  test("tCloseness: class matching the global distribution scores 0; concentrated class scores (m-1)-normalized shift") {
+    import graft.operators.Pii
+    // global: values 0 and 1 equally likely. class A mirrors it (emd 0);
+    // class B holds only value 1 -> cum diff |0.5-0|=0.5 at v=0, 0 at v=1
+    // -> emd = 0.5/(2-1) = 0.5
+    val df = (Seq.fill(10)(("A", 0)) ++ Seq.fill(10)(("A", 1)) ++
+      Seq.fill(20)(("B", 1)) ++ Seq.fill(20)(("C", 0))).toDF("grp", "s")
+    val r = Pii.tCloseness(df, Seq("grp"), "s", t = 0.3)
+      .collect().map(x => x.getString(0) ->
+        (x.getAs[Long]("class_size"), x.getAs[Double]("emd"),
+         x.getAs[Boolean]("t_violation"))).toMap
+    assert(r("A") === ((20L, 0.0, false)),
+      s"A mirrors the global 50/50 exactly: ${r("A")}")
+    assert(r("B") === ((20L, 0.5, true)) && r("C") === ((20L, 0.5, true)),
+      s"one-sided classes: cum diff 0.5 at the first value, m-1=1: $r")
+    // degenerate global (single sensitive value): m=1 guard must yield
+    // exact 0, not 0/0 NaN
+    val single = Seq(("A", 1), ("B", 1)).toDF("grp", "s")
+    val rs = Pii.tCloseness(single, Seq("grp"), "s", t = 0.1).collect()
+    assert(rs.forall(x => x.getAs[Double]("emd") === 0.0))
+  }
+
   test("fkAudit: planted orphans and NULLs count exactly; intact relation reports coverage 1") {
     val child = Seq(Some(1L), Some(1L), Some(2L), Some(99L), Some(99L),
       Some(98L), None).toDF("fk")

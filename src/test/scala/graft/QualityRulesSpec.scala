@@ -457,6 +457,31 @@ class QualityRulesSpec extends AnyFunSuite {
     assert(r2(4L) === ((0L, 0.0, 0.0, 0.0)), "cand below n yields zeros, not NULLs")
   }
 
+  test("bleu: identity=1, brevity penalty, clipping, zero-precision collapse") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val df = Seq(
+      (1L, "a b c d e f", "a b c d e f"),  // identical -> bleu 1
+      (2L, "a b c", "a b c d e f"),        // perfect precisions, short cand -> bp < 1
+      (3L, "x y z w", "a b c d"),          // disjoint -> bleu 0
+      (4L, "a a a a a", "a b c d e")       // clipped unigrams: 1/5
+    ).toDF("id", "cand", "ref")
+    val r = TextAnalysis.bleu(df, "cand", "ref", maxN = 4)
+      .select("id", "bleu_prec1", "bleu_bp", "bleu")
+      .collect().map(x => x.getLong(0) ->
+        (x.getDouble(1), x.getDouble(2), x.getDouble(3))).toMap
+    assert(r(1L) === ((1.0, 1.0, 1.0)))
+    // cand 3 words of a 6-word ref: p1..p3 = 1, p4 = 0 -> bleu 0 (method0)
+    assert(r(2L)._1 === 1.0 && r(2L)._2 < 1.0 && r(2L)._3 === 0.0)
+    assert(r(3L) === ((0.0, 1.0, 0.0)), "disjoint: bp=1 (same length), bleu=0")
+    assert(r(4L)._1 === 0.2, "five 'a' clip to the single ref 'a'")
+    // bp law: exp(1 - r/c) at c=3, r=6
+    val bp2 = TextAnalysis.bleu(Seq((1L, "a b c", "a b c d e f"))
+      .toDF("id", "cand", "ref"), "cand", "ref", maxN = 2)
+      .select("bleu_bp").collect().head.getDouble(0)
+    assert(math.abs(bp2 - math.exp(1 - 2.0)) < 1e-6)
+  }
+
   test("blocklistScore: counts, fraction, threshold flag; empty-token guard") {
     import spark.implicits._
     val df = Seq(
