@@ -898,6 +898,91 @@ object TextAnalysis {
       .drop(tmpC, tmpR)
   }
 
+  /** BERT-style MLM masking plan (Devlin et al. 2019 §3.1): select
+    * ~`maskProb` of token positions, then apply the 80/10/10 rule —
+    * 80% replaced by `[MASK]`, 10% by a RANDOM token, 10% kept — and
+    * return one row per SELECTED position: `(id, pos, token, action,
+    * out)`. This is the batch-prep operator that turns a raw corpus
+    * into masked-LM training targets; emitting only selected positions
+    * keeps the output ~15% of the token count.
+    *
+    * All three draws (selection, action, random index) are
+    * [[Sampling.hashUniform]] PRFs of `(id, pos, role, seed)` — fully
+    * deterministic, reproducible across engines and re-runs, and
+    * oracle-replayable in SQL, unlike rand(seed) whose value depends
+    * on partition layout. The random replacement token is drawn from
+    * the SAME document (position ceil(u·n)), keeping the operator
+    * self-contained — no vocabulary broadcast, no second pass.
+    *
+    * Scale shape: ONE posexplode over the scan, three map-side hash
+    * kernels, a selection filter — no shuffle, no join, no state. */
+  def mlmMask(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, maskProb: Double = 0.15,
+      seed: String = "mlm"): org.apache.spark.sql.DataFrame = {
+    require(maskProb > 0 && maskProb < 1, "maskProb must be in (0,1)")
+    val w = tokens(col(textCol))
+    import graft.operators.Sampling.hashUniform
+    def key(role: String) =
+      concat(col(idCol).cast("string"), lit(":"), col("pos"),
+        lit(s":$role:$seed"))
+    docs
+      .select(col(idCol), posexplode(w).as(Seq("pos0", "token")),
+        size(w).as("__n"), w.as("__w"))
+      .withColumn("pos", (col("pos0") + 1).cast("long"))
+      .filter(hashUniform(key("sel")) < maskProb)
+      .withColumn("__ua", hashUniform(key("act")))
+      .withColumn("action",
+        when(col("__ua") <= 0.8, "mask")
+          .when(col("__ua") <= 0.9, "random")
+          .otherwise("keep"))
+      .withColumn("out",
+        when(col("action") === "mask", lit("[MASK]"))
+          .when(col("action") === "random",
+            element_at(col("__w"),
+              ceil(hashUniform(key("pos")) * col("__n")).cast("int")))
+          .otherwise(col("token")))
+      .select(col(idCol), col("pos"), col("token"), col("action"), col("out"))
+  }
+
+  /** Fill-in-the-middle transform (Bavarian et al. 2022 — the FIM
+    * augmentation code models train with): for ~`fimRate` of docs,
+    * cut the text at two hash-chosen character offsets and emit the
+    * PSM reordering `<|fim_pre|>prefix<|fim_suf|>suffix<|fim_mid|>middle`;
+    * the rest pass through unchanged. Returns `(id, fim_applied, lo,
+    * hi, out)`.
+    *
+    * The apply coin and both cut points are [[Sampling.hashUniform]]
+    * PRFs of `(id, role, seed)` — deterministic, partition-independent,
+    * SQL-replayable (the paper's uniform two-point split, quantized to
+    * the md5-fold lattice). Cut offsets are CHARACTER positions
+    * (substr semantics agree between Spark and DuckDB on the ASCII
+    * corpus; both count code points, so the contract holds for any
+    * non-combining text). Pure map over the scan — no shuffle, no
+    * state, applies identically at any corpus size. */
+  def fimTransform(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, fimRate: Double = 0.5,
+      seed: String = "fim"): org.apache.spark.sql.DataFrame = {
+    require(fimRate >= 0 && fimRate <= 1, "fimRate must be in [0,1]")
+    import graft.operators.Sampling.hashUniformOpen
+    def key(role: String) =
+      concat(col(idCol).cast("string"), lit(s":$role:$seed"))
+    val L = length(col(textCol))
+    val c1 = floor(hashUniformOpen(key("cut1")) * L).cast("int")
+    val c2 = floor(hashUniformOpen(key("cut2")) * L).cast("int")
+    docs
+      .withColumn("fim_applied",
+        hashUniformOpen(key("apply")) < fimRate && L > lit(1))
+      .withColumn("lo", when(col("fim_applied"), least(c1, c2)))
+      .withColumn("hi", when(col("fim_applied"), greatest(c1, c2)))
+      .withColumn("out",
+        when(col("fim_applied"), concat(
+          lit("<|fim_pre|>"), col(textCol).substr(lit(1), col("lo")),
+          lit("<|fim_suf|>"), col(textCol).substr(col("hi") + 1, L - col("hi")),
+          lit("<|fim_mid|>"), col(textCol).substr(col("lo") + 1, col("hi") - col("lo"))))
+          .otherwise(col(textCol)))
+      .select(col(idCol), col("fim_applied"), col("lo"), col("hi"), col("out"))
+  }
+
   /** Sentence-BLEU (Papineni et al. 2002) between a candidate and a
     * reference carried on the same row: clipped modified n-gram
     * precision for n = 1..`maxN`, brevity penalty min(1, e^(1−r/c)),

@@ -242,6 +242,54 @@ object PipelineQueries extends QueryModule {
              |FROM b GROUP BY bucket_lo ORDER BY bucket_lo""".stripMargin.replace('\n', ' ')),
       doc = "128-token length buckets with padding-waste accounting"),
 
+    // ---- BERT MLM masking plan (Devlin 2019 80/10/10): every draw is
+    // a hashUniform PRF of (doc, pos, role), so the masking REPLAYS in
+    // SQL — selection, action split, and the random-token index all
+    // hash-exact. One posexplode, three map-side kernels, no shuffle.
+    "q_mlm_mask" -> Q(
+      (s, dir) => TA.mlmMask(
+          table(s, dir, "documents").filter(col("doc_id") < 300),
+          "doc_id", "text", maskProb = 0.15)
+        .orderBy(col("doc_id"), col("pos")),
+      Some {
+        def uu(role: String) =
+          uuSql(s"md5(doc_id || ':' || pos || ':$role:mlm')")
+        s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents WHERE doc_id < 300),
+           |p AS (SELECT doc_id, i AS pos, w[i] AS token, len(w) AS n, w FROM t, unnest(range(1, len(w)+1)) AS r(i)),
+           |sel AS (SELECT doc_id, pos, token, n, w, ${uu("sel")} AS us, ${uu("act")} AS ua, ${uu("pos")} AS up FROM p)
+           |SELECT doc_id, pos, token,
+           |CASE WHEN ua <= 0.8 THEN 'mask' WHEN ua <= 0.9 THEN 'random' ELSE 'keep' END AS action,
+           |CASE WHEN ua <= 0.8 THEN '[MASK]' WHEN ua <= 0.9 THEN w[CAST(ceil(up * n) AS INT)] ELSE token END AS out
+           |FROM sel WHERE us < 0.15 ORDER BY doc_id, pos""".stripMargin.replace('\n', ' ')
+      },
+      doc = "BERT-style 80/10/10 MLM masking plan — every draw a hash PRF, SQL-replayable"),
+
+    // ---- fill-in-the-middle transform (Bavarian 2022): hash-chosen
+    // apply coin + two character cut points -> PSM reordering with
+    // sentinels; pure map, replays via substr in SQL.
+    "q_fim_transform" -> Q(
+      (s, dir) => TA.fimTransform(
+          table(s, dir, "documents").filter(col("doc_id") < 300),
+          "doc_id", "text", fimRate = 0.5)
+        .orderBy(col("doc_id")),
+      Some {
+        def uu(role: String) = uuOpenSql(s"md5(doc_id || ':$role:fim')")
+        s"""WITH b AS (SELECT doc_id, text, length(text) AS L,
+           |  (${uu("apply")} < 0.5 AND length(text) > 1) AS fim_applied,
+           |  CAST(floor(${uu("cut1")} * length(text)) AS INT) AS c1,
+           |  CAST(floor(${uu("cut2")} * length(text)) AS INT) AS c2
+           |  FROM documents WHERE doc_id < 300)
+           |SELECT doc_id, fim_applied,
+           |CASE WHEN fim_applied THEN least(c1, c2) END AS lo,
+           |CASE WHEN fim_applied THEN greatest(c1, c2) END AS hi,
+           |CASE WHEN fim_applied THEN '<|fim_pre|>' || substr(text, 1, least(c1, c2))
+           |  || '<|fim_suf|>' || substr(text, greatest(c1, c2) + 1)
+           |  || '<|fim_mid|>' || substr(text, least(c1, c2) + 1, greatest(c1, c2) - least(c1, c2))
+           |ELSE text END AS out
+           |FROM b ORDER BY doc_id""".stripMargin.replace('\n', ' ')
+      },
+      doc = "FIM PSM transform with hash-deterministic cut points (code-LM augmentation)"),
+
     // ---- unigram-LM tokenizer training (Kudo 2018, SentencePiece's
     // model) — the EM sibling of q_bpe_merges: float EM has no SQL
     // replay, so UnigramSpec gates it (likelihood monotonicity,

@@ -104,4 +104,56 @@ class PipelineSpec extends AnyFunSuite {
     }
     docs.unpersist()
   }
+
+  test("mlmMask: deterministic, ~15% selection, 80/10/10 actions, out respects action") {
+    import spark.implicits._
+    val docs = graft.sources.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val m = graft.operators.TextAnalysis.mlmMask(docs, "doc_id", "text")
+      .persist()
+    val total = docs.select(explode(split(col("text"), " "))).count().toDouble
+    val sel = m.count().toDouble
+    assert(math.abs(sel / total - 0.15) < 0.02,
+      s"selection rate ${sel / total} drifted from 0.15")
+    val byAction = m.groupBy("action").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(byAction("mask") / sel - 0.8) < 0.05)
+    assert(math.abs(byAction.getOrElse("random", 0L) / sel - 0.1) < 0.04)
+    assert(math.abs(byAction.getOrElse("keep", 0L) / sel - 0.1) < 0.04)
+    // action semantics
+    assert(m.filter(col("action") === "mask" && col("out") =!= "[MASK]").count() === 0)
+    assert(m.filter(col("action") === "keep" && col("out") =!= col("token")).count() === 0)
+    // random replacements come from the same document's token set
+    val bad = m.filter(col("action") === "random")
+      .join(docs, "doc_id")
+      .filter(!array_contains(split(col("text"), " "), col("out")))
+    assert(bad.count() === 0, "random replacement must be an in-doc token")
+    // determinism: a second build is row-identical
+    val m2 = graft.operators.TextAnalysis.mlmMask(docs, "doc_id", "text")
+    assert(m.exceptAll(m2).count() === 0 && m2.exceptAll(m).count() === 0)
+    m.unpersist(); ()
+  }
+
+  test("fimTransform: PSM parts reassemble to the original; passthrough untouched; rate respected") {
+    import spark.implicits._
+    val docs = graft.sources.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val f = graft.operators.TextAnalysis.fimTransform(docs, "doc_id", "text",
+      fimRate = 0.5).join(docs, "doc_id").persist()
+    val n = f.count().toDouble
+    val applied = f.filter(col("fim_applied")).count().toDouble
+    assert(math.abs(applied / n - 0.5) < 0.05, s"apply rate ${applied / n}")
+    // reassembly: pre + mid + suf == original text, char-exact
+    val parts = f.filter(col("fim_applied")).withColumn("pre",
+        regexp_extract(col("out"), "(?s)<\\|fim_pre\\|>(.*?)<\\|fim_suf\\|>", 1))
+      .withColumn("suf",
+        regexp_extract(col("out"), "(?s)<\\|fim_suf\\|>(.*?)<\\|fim_mid\\|>", 1))
+      .withColumn("mid", regexp_extract(col("out"), "(?s)<\\|fim_mid\\|>(.*)$", 1))
+    assert(parts.filter(concat(col("pre"), col("mid"), col("suf")) =!= col("text"))
+      .count() === 0, "PSM reassembly must be exact")
+    assert(parts.filter(col("lo") > col("hi")).count() === 0)
+    assert(f.filter(!col("fim_applied") && col("out") =!= col("text"))
+      .count() === 0, "passthrough rows must be byte-identical")
+    f.unpersist(); ()
+  }
 }
