@@ -259,6 +259,53 @@ object EventAnalytics {
       .drop("__vals", "__n", "__num", "__den")
   }
 
+  /** Holt double exponential smoothing (Holt 1957) over the trailing
+    * `window` observations per key — the level+TREND sibling of
+    * [[ewmaSmooth]] (which tracks level only and lags on trending
+    * series): l_t = α·x_t + (1−α)(l_{t−1}+b_{t−1}),
+    * b_t = β(l_t−l_{t−1}) + (1−β)b_{t−1}, initialized l=x_1, b=0 at
+    * the window's oldest row. Returns `level`, `trend`, and the
+    * one-step-ahead `forecast` = l+b (6dp each).
+    *
+    * The recursion is replayed EXACTLY in SQL: both engines fold the
+    * same (l,b) state list left-to-right over the same window list
+    * (Spark `aggregate` / DuckDB `list_reduce`) with identically-
+    * shaped arithmetic, so the doubles agree bit-for-bit — a bounded
+    * window makes the fold O(window) per row instead of an unbounded
+    * running state. Plan shape: ONE ordered window per key (ties break
+    * on `tieCol` so frame contents are engine-exact), then map-side
+    * array math — no self-join, no shuffle beyond the window's. */
+  def holtSmooth(events: DataFrame, keyCols: Seq[String], tsCol: String,
+      tieCol: String, valueCol: String, alpha: Double = 0.3,
+      beta: Double = 0.2, window: Int = 16): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1): $alpha")
+    require(beta > 0 && beta < 1, s"beta must be in (0,1): $beta")
+    require(window >= 1, "window must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(-(window - 1), 0)
+    val vals = col("__vals")
+    val fold = aggregate(
+      slice(vals, lit(2), size(vals) - 1),
+      array(element_at(vals, 1), lit(0.0)),
+      (acc, x) => {
+        val l = element_at(acc, 1)
+        val b = element_at(acc, 2)
+        val nl = lit(alpha) * x + lit(1.0 - alpha) * (l + b)
+        array(nl, lit(beta) * (nl - l) + lit(1.0 - beta) * b)
+      })
+    events
+      .withColumn("__vals",
+        collect_list(col(valueCol).cast("double")).over(w))
+      .withColumn("__s", fold)
+      .withColumn("level", round(element_at(col("__s"), 1), 6))
+      .withColumn("trend", round(element_at(col("__s"), 2), 6))
+      .withColumn("forecast", round(
+        element_at(col("__s"), 1) + element_at(col("__s"), 2), 6))
+      .drop("__vals", "__s")
+  }
+
   /** Time-series resampling with forward fill: per key, a REGULAR
     * `step` grid spanning that key's observed range, carrying the last
     * observed value forward across gaps — what turns irregular event

@@ -1260,6 +1260,34 @@ object DocumentQueries extends QueryModule {
     // row only to the driver. Deterministic (exact long scores, total
     // tie-break) but iterative — not SQL-expressible, so the oracle is
     // the single-node reference implementation in BpeSpec.
+    // ---- WordPiece (Schuster & Nakajima 2012 / BERT): likelihood-gain
+    // merges count(ab)/(count(a)count(b)) under the ## continuation
+    // scheme — completes the trainer triad (BPE counts, Unigram EM,
+    // WordPiece likelihood). Spec-gated vs a single-node reference.
+    "q_wordpiece_merges" -> Q(
+      (s, dir) => graft.operators.WordPiece
+        .trainDF(table(s, dir, "documents"), "text", numMerges = 12)
+        .orderBy(col("rank")),
+      None,
+      doc = "WordPiece likelihood-scored merge training (BERT tokenizer)"),
+
+    // ---- WordPiece APPLY: greedy longest-match-first against the
+    // trained vocab; distinct words segment once, corpus joins the
+    // broadcast segmentation table
+    "q_wordpiece_encode" -> Q(
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+        val train = d.filter(col("doc_id") < 200)
+        val merges = graft.operators.WordPiece.train(train, "text", numMerges = 12)
+        val vocab = graft.operators.WordPiece.vocabulary(train, "text", merges)
+        graft.operators.WordPiece.encodeDocs(
+            d.filter(col("doc_id") < 40), "doc_id", "text", vocab)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy(col("doc_id"))
+      },
+      None,
+      doc = "doc-level WordPiece greedy encode with [UNK] accounting"),
+
     "q_bpe_merges" -> Q(
       (s, dir) => graft.operators.Bpe
         .trainDF(s, table(s, dir, "documents"), "text", numMerges = 12)

@@ -403,6 +403,39 @@ object SequenceQueries extends QueryModule {
              |ORDER BY user_id, event_type, ts_ns, event_id""".stripMargin.replace('\n', ' ')),
       doc = "windowed EWMA trend smoothing per (user, type) series"),
 
+    // ---- Holt double exponential smoothing: level + trend + one-step
+    // forecast; the (l,b) recursion folds left-to-right over the same
+    // window list in both engines (aggregate / list_reduce) —
+    // bit-identical doubles, FULL oracle
+    "q_events_holt" -> Q(
+      (s, dir) => graft.operators.EventAnalytics.holtSmooth(
+          table(s, dir, "events").filter(col("user_id") < 40)
+            .select(col("event_id"), col("user_id"), col("event_type"),
+              col("ts_ns"), col("value")),
+          Seq("user_id", "event_type"), "ts_ns", "event_id", "value",
+          alpha = 0.3, beta = 0.2, window = 16)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts_ns"), col("level"), col("trend"), col("forecast"))
+        .orderBy(col("user_id"), col("event_type"), col("ts_ns"), col("event_id")),
+      Some("""WITH e AS (SELECT event_id, user_id, event_type, epoch_ns(ts) AS ts_ns,
+             |  value::DOUBLE AS v FROM events WHERE user_id < 40),
+             |win AS (SELECT event_id, user_id, event_type, ts_ns,
+             |  list(v) OVER (PARTITION BY user_id, event_type
+             |    ORDER BY ts_ns, event_id
+             |    ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS vals FROM e),
+             |st AS (SELECT event_id, user_id, event_type, ts_ns,
+             |  list_reduce(list_prepend([vals[1], 0.0],
+             |    list_transform(vals[2:], x -> [x, 0.0])),
+             |    (acc, e) -> [0.3*e[1] + 0.7*(acc[1]+acc[2]),
+             |      0.2*((0.3*e[1] + 0.7*(acc[1]+acc[2])) - acc[1]) + 0.8*acc[2]]) AS s
+             |  FROM win)
+             |SELECT event_id, user_id, event_type, ts_ns,
+             |  round(s[1], 6) AS level, round(s[2], 6) AS trend,
+             |  round(s[1] + s[2], 6) AS forecast
+             |FROM st
+             |ORDER BY user_id, event_type, ts_ns, event_id""".stripMargin.replace('\n', ' ')),
+      doc = "Holt level+trend smoothing with one-step forecast per (user, type) series"),
+
     // ---- trailing z-score anomaly detection: each event scored
     // against its own (user, type) series' preceding-window stats —
     // the current row never dilutes its own baseline

@@ -565,6 +565,36 @@ class EventAnalyticsSpec extends AnyFunSuite {
       "null group merged with a literal value")
   }
 
+  test("holtSmooth: constant fixed point, linear trend capture, driver-fold replay") {
+    import spark.implicits._
+    import graft.operators.EventAnalytics
+    // constant series: l stays at c, b stays 0, forecast = c
+    val const = (1 to 20).map(i => (1L, i.toLong, i.toLong, 5.0)).toDF("k", "ts", "id", "v")
+    val rc = EventAnalytics.holtSmooth(const, Seq("k"), "ts", "id", "v",
+      alpha = 0.3, beta = 0.2, window = 16).orderBy(col("ts")).collect()
+    assert(rc.forall(r => r.getAs[Double]("level") === 5.0 &&
+      r.getAs[Double]("trend") === 0.0 && r.getAs[Double]("forecast") === 5.0))
+    // linear series x_t = 2t: trend converges toward slope 2 and the
+    // one-step forecast beats the EWMA-style lag (forecast > level)
+    val lin = (1 to 40).map(i => (1L, i.toLong, i.toLong, 2.0 * i)).toDF("k", "ts", "id", "v")
+    val rl = EventAnalytics.holtSmooth(lin, Seq("k"), "ts", "id", "v",
+      alpha = 0.3, beta = 0.2, window = 16).orderBy(col("ts")).collect()
+    val last = rl.last
+    assert(last.getAs[Double]("trend") > 1.0 && last.getAs[Double]("trend") < 3.0,
+      s"trend should approach slope 2: ${last.getAs[Double]("trend")}")
+    assert(last.getAs[Double]("forecast") > last.getAs[Double]("level"))
+    // exact replay of the window fold in driver scala
+    def fold(xs: Seq[Double]): (Double, Double) =
+      xs.tail.foldLeft((xs.head, 0.0)) { case ((l, b), x) =>
+        val nl = 0.3 * x + 0.7 * (l + b); (nl, 0.2 * (nl - l) + 0.8 * b)
+      }
+    val xs = (1 to 10).map(i => 2.0 * i)
+    val expect = fold(xs.takeRight(16))
+    val r10 = rl(9)
+    assert(math.abs(r10.getAs[Double]("level") -
+      BigDecimal(expect._1).setScale(6, BigDecimal.RoundingMode.HALF_EVEN).toDouble) < 1e-9)
+  }
+
   test("ewmaSmooth: constant invariance, leading edge, step response, driver replay") {
     import spark.implicits._
     val alpha = 0.25
