@@ -152,6 +152,62 @@ object InfoTheory {
       .select(col("src"), col("rank"), col("term"), col("z"))
   }
 
+  /** DoReMi-flavored domain reweighting (Xie et al. 2023's recipe,
+    * with the repo's add-0.5 bigram LM standing in for the trained
+    * proxy/reference pair): per domain, the EXCESS bits-per-bigram of
+    * the corpus-generalist LM over the domain-specialist LM — how much
+    * a one-size-fits-all model underserves the domain — exponentiated
+    * through a `tau`-tempered softmax and blended with uniform by
+    * `epsilon` (DoReMi's smoothing): w_d = (1−ε)·softmax(excess/τ)_d
+    * + ε/K. Domains whose text a generalist models WORSE relative to
+    * their own structure get upweighted.
+    *
+    * Scale shape: the two LM replays share ONE (domain, bigram)
+    * exploded pass — global counts are a re-agg of per-domain counts,
+    * never a second corpus scan; scoring joins on bigram/unigram keys
+    * (data-sized hash joins), and everything after the per-domain avg
+    * runs on the K-row domain frame. FULL oracle. */
+  def doremiWeights(docs: DataFrame, srcCol: String, textCol: String,
+      tau: Double = 0.5, epsilon: Double = 0.1): DataFrame = {
+    require(tau > 0, "tau must be positive")
+    require(epsilon >= 0 && epsilon <= 1, "epsilon must be in [0,1]")
+    val w = TextAnalysis.tokens(col(textCol))
+    val bg = docs
+      .select(col(srcCol).as("src"), w.as("__w"))
+      .select(col("src"), posexplode(col("__w")).as(Seq("i", "w1")),
+        size(col("__w")).as("__n"), col("__w"))
+      .filter(col("i") < col("__n") - 1)
+      .select(col("src"), col("w1"),
+        concat(col("w1"), lit(" "), element_at(col("__w"), col("i") + 2)).as("bgs"))
+    // per-domain counts; global = re-agg (one corpus pass total)
+    val uniD = bg.groupBy(col("src"), col("w1")).agg(count(lit(1)).as("ud"))
+    val bcD = bg.groupBy(col("src"), col("bgs")).agg(count(lit(1)).as("bd"))
+    val vD = uniD.groupBy(col("src")).agg(count(lit(1)).as("nvd"))
+    val uniG = uniD.groupBy(col("w1")).agg(sum(col("ud")).as("ug"))
+    val bcG = bcD.groupBy(col("bgs")).agg(sum(col("bd")).as("bg"))
+    val vG = uniG.agg(count(lit(1)).as("nvg"))
+    val scored = bg
+      .join(bcD, Seq("src", "bgs")).join(uniD, Seq("src", "w1"))
+      .join(bcG, "bgs").join(uniG, "w1")
+      .crossJoin(broadcast(vG)).join(broadcast(vD), "src")
+      .select(col("src"),
+        (-log2((col("bg") + 0.5) / (col("ug") + lit(0.5) * col("nvg")))).as("bits_g"),
+        (-log2((col("bd") + 0.5) / (col("ud") + lit(0.5) * col("nvd")))).as("bits_d"))
+    val perDomain = scored.groupBy(col("src"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        avg(col("bits_g")).as("__bg"), avg(col("bits_d")).as("__bd"))
+      .withColumn("excess_bits", col("__bg") - col("__bd"))
+    val k = perDomain.agg(count(lit(1)).as("__k"),
+      sum(exp(col("excess_bits") / tau)).as("__z"))
+    perDomain.crossJoin(broadcast(k))
+      .select(col("src"), col("n_bigrams"),
+        round(col("__bg"), 6).as("generalist_bits"),
+        round(col("__bd"), 6).as("specialist_bits"),
+        round(col("excess_bits"), 6).as("excess_bits"),
+        round(lit(1.0 - epsilon) * exp(col("excess_bits") / tau) / col("__z") +
+          lit(epsilon) / col("__k"), 6).as("weight"))
+  }
+
   /** Per-source token-distribution divergence vs the whole corpus:
     * Jensen-Shannon divergence (nats, bounded [0, ln 2]) between each
     * source's unigram distribution p and the corpus-wide distribution q

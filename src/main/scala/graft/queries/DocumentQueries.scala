@@ -1755,6 +1755,25 @@ object DocumentQueries extends QueryModule {
              |GROUP BY src ORDER BY src""".stripMargin.replace('\n', ' ')),
       doc = "per-source unigram JS divergence vs corpus mixture (absent terms folded algebraically)"),
 
+    // ---- selection-rate fairness audit (four-fifths rule + parity
+    // diff): did the length filter select some language at a
+    // structurally lower rate than the best-selected one
+    "q_selection_rates" -> Q(
+      (s, dir) => graft.operators.Profiling.selectionRateAudit(
+          table(s, dir, "documents"), "lang", length(col("text")) >= 500)
+        .orderBy(col("lang")),
+      Some("""WITH g AS (SELECT lang, count(*) AS n,
+             |  sum(CASE WHEN length(text) >= 500 THEN 1 ELSE 0 END)::BIGINT AS n_pos
+             |  FROM documents GROUP BY 1),
+             |r AS (SELECT max(n_pos*1.0/n) AS max_rate FROM g),
+             |o AS (SELECT sum(n_pos)*1.0/sum(n) AS overall_rate FROM g)
+             |SELECT lang, n, n_pos, round(n_pos*1.0/n, 6) AS rate,
+             |round((n_pos*1.0/n)/max_rate, 6) AS impact_ratio,
+             |round(n_pos*1.0/n - overall_rate, 6) AS parity_diff,
+             |(n_pos*1.0/n)/max_rate < 0.8 AS flagged
+             |FROM g, r, o ORDER BY lang""".stripMargin.replace('\n', ' ')),
+      doc = "per-language selection-rate audit of a length filter (disparate impact + parity)"),
+
     // ---- per-language token-frequency Gini: the Lorenz concentration
     // audit complementing q_zipf_slope (shape) with inequality. Exact
     // rank form — tie blocks make the tiebreak irrelevant to the sum.
@@ -1770,6 +1789,38 @@ object DocumentQueries extends QueryModule {
              |round(2.0*sum(i*c)/(count(*)*sum(c)) - (count(*)+1.0)/count(*), 6) AS gini
              |FROM r GROUP BY lang ORDER BY lang""".stripMargin.replace('\n', ' ')),
       doc = "per-language token-frequency Gini coefficient (Lorenz concentration)"),
+
+    // ---- DoReMi-flavored domain reweighting (Xie 2023): excess bits
+    // of the corpus-generalist bigram LM over each domain's specialist
+    // LM -> tempered softmax + uniform blend. One exploded pass feeds
+    // BOTH LMs (global counts re-agg the per-domain ones).
+    "q_doremi_weights" -> Q(
+      (s, dir) => graft.operators.InfoTheory.doremiWeights(
+          table(s, dir, "documents"), "source", "text",
+          tau = 0.5, epsilon = 0.1)
+        .orderBy(col("src")),
+      Some("""WITH t AS (SELECT source AS src, string_split(text,' ') AS w FROM documents),
+             |b AS (SELECT src, w[i] AS w1, w[i]||' '||w[i+1] AS bgs FROM t, unnest(range(1, len(w))) AS r(i)),
+             |und AS (SELECT src, w1, count(*) AS ud FROM b GROUP BY 1, 2),
+             |bcd AS (SELECT src, bgs, count(*) AS bd FROM b GROUP BY 1, 2),
+             |vd AS (SELECT src, count(*) AS nvd FROM und GROUP BY 1),
+             |ung AS (SELECT w1, sum(ud) AS ug FROM und GROUP BY 1),
+             |bcg AS (SELECT bgs, sum(bd) AS bgc FROM bcd GROUP BY 1),
+             |vg AS (SELECT count(*) AS nvg FROM ung),
+             |sc AS (SELECT b.src,
+             |  -log2((bcg.bgc + 0.5)/(ung.ug + 0.5*vg.nvg)) AS bits_g,
+             |  -log2((bcd.bd + 0.5)/(und.ud + 0.5*vd.nvd)) AS bits_d
+             |  FROM b JOIN bcd ON bcd.src = b.src AND bcd.bgs = b.bgs
+             |  JOIN und ON und.src = b.src AND und.w1 = b.w1
+             |  JOIN bcg ON bcg.bgs = b.bgs JOIN ung ON ung.w1 = b.w1
+             |  CROSS JOIN vg JOIN vd ON vd.src = b.src),
+             |pd AS (SELECT src, count(*) AS n_bigrams, avg(bits_g) AS ga, avg(bits_d) AS da FROM sc GROUP BY 1),
+             |k AS (SELECT count(*) AS kk, sum(exp((ga - da)/0.5)) AS z FROM pd)
+             |SELECT src, n_bigrams, round(ga, 6) AS generalist_bits,
+             |round(da, 6) AS specialist_bits, round(ga - da, 6) AS excess_bits,
+             |round(0.9*exp((ga - da)/0.5)/z + 0.1/kk, 6) AS weight
+             |FROM pd, k ORDER BY src""".stripMargin.replace('\n', ' ')),
+      doc = "DoReMi-style domain weights from generalist-vs-specialist LM excess bits"),
 
     // ---- Monroe "Fightin' Words" log-odds with informative Dirichlet
     // prior: the distinctive vocabulary of each source vs the rest —

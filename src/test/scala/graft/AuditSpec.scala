@@ -188,6 +188,49 @@ class AuditSpec extends AnyFunSuite {
     assert(rs.forall(x => x.getAs[Double]("emd") === 0.0))
   }
 
+  test("selectionRateAudit: equal rates pass, planted disparity flags under the 0.8 floor") {
+    // A selects 8/10, B selects 2/10 -> impact ratio 0.25, flagged
+    val df = ((1 to 10).map(i => ("A", i <= 8)) ++
+      (1 to 10).map(i => ("B", i <= 2))).toDF("grp", "sel")
+    val r = Profiling.selectionRateAudit(df, "grp", col("sel"))
+      .collect().map(x => x.getString(0) ->
+        (x.getAs[Double]("rate"), x.getAs[Double]("impact_ratio"),
+         x.getAs[Boolean]("flagged"))).toMap
+    assert(r("A") === ((0.8, 1.0, false)))
+    assert(r("B") === ((0.2, 0.25, true)))
+    // equal rates: both ratio 1, nothing flagged, parity diff 0
+    val eq = ((1 to 10).map(i => ("A", i <= 5)) ++
+      (1 to 10).map(i => ("B", i <= 5))).toDF("grp", "sel")
+    val re = Profiling.selectionRateAudit(eq, "grp", col("sel")).collect()
+    assert(re.forall(x => x.getAs[Double]("impact_ratio") === 1.0 &&
+      !x.getAs[Boolean]("flagged") && x.getAs[Double]("parity_diff") === 0.0))
+  }
+
+  test("doremiWeights: weights sum to 1; symmetric domains split evenly; distinctive domain upweighted") {
+    // two domains with IDENTICAL text: excess equal -> weights 0.5/0.5
+    val sym = Seq(("a", "x y x y z w"), ("b", "x y x y z w"))
+      .toDF("src", "text")
+    val rs = InfoTheory.doremiWeights(sym, "src", "text")
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("weight")).toMap
+    assert(math.abs(rs("a") - 0.5) < 1e-6 && math.abs(rs("b") - 0.5) < 1e-6)
+    // weights normalize, follow the excess_bits ordering through the
+    // softmax, and epsilon=1 collapses to uniform regardless of excess
+    val docs = (Seq.fill(5)(("a", "the quick brown fox jumps over a lazy dog")) ++
+      Seq.fill(5)(("b", "pack my box with five dozen brown quick jugs")) ++
+      Seq.fill(5)(("c", "qq ww qq ww qq ww qq ww"))).toDF("src", "text")
+    val rows = InfoTheory.doremiWeights(docs, "src", "text").collect()
+      .map(r => (r.getString(0), r.getAs[Double]("excess_bits"),
+        r.getAs[Double]("weight")))
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-5,
+      s"weights must normalize: ${rows.toSeq}")
+    assert(rows.sortBy(_._2).map(_._1) === rows.sortBy(_._3).map(_._1),
+      s"weight order must track excess order: ${rows.toSeq}")
+    val uni = InfoTheory.doremiWeights(docs, "src", "text", epsilon = 1.0)
+      .collect().map(_.getAs[Double]("weight"))
+    assert(uni.forall(w => math.abs(w - 1.0 / 3) < 1e-6),
+      s"epsilon=1 must be uniform: ${uni.toSeq}")
+  }
+
   test("fkAudit: planted orphans and NULLs count exactly; intact relation reports coverage 1") {
     val child = Seq(Some(1L), Some(1L), Some(2L), Some(99L), Some(99L),
       Some(98L), None).toDF("fk")
