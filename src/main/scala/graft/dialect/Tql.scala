@@ -766,6 +766,11 @@ object Tql {
         constVector(v, params).map(vec => (c, vec, k, "cosine"))
       case ast.Fn("L2_NORM", Seq(ast.Bin("-", ast.Ref(Seq(c)), v)), Seq()) if asc =>
         constVector(v, params).map(vec => (c, vec, k, "l2"))
+      // MIPS: ORDER BY DOT(col, const) DESC — probes clusters by
+      // q·centroid (faiss IVF inner-product posture), exact-scores
+      // probed candidates
+      case ast.Fn("DOT", Seq(ast.Ref(Seq(c)), v), Seq()) if !asc =>
+        constVector(v, params).map(vec => (c, vec, k, "dot"))
       case _ => None
     }
   }

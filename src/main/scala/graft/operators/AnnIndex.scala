@@ -215,23 +215,32 @@ object AnnIndex {
     * The adaptive loop runs driver-side actions, so a filtered search
     * is eager where an unfiltered one is lazy.
     *
-    * `metric` is "cosine" (descending similarity — the default) or "l2"
+    * `metric` is "cosine" (descending similarity — the default), "l2"
     * (ascending Euclidean distance, the reference's
     * `ORDER BY L2_NORM(emb - ARRAY[...]) ASC` shape with
-    * order_type::ascending — `cpp/query_core/top_k_search_info.hpp:35`).
-    * The same index serves both: KMeans centroids ARE Euclidean cells,
-    * so L2 probes the closest-centroid clusters directly. The int8
-    * candidate gate is cosine-only (per-vector quantization scale
-    * cancels under cosine but not under L2), so an L2 search on a
-    * quantized index scores the probed candidates exactly. */
+    * order_type::ascending — `cpp/query_core/top_k_search_info.hpp:35`),
+    * or "dot" (descending inner product — MIPS). The same index serves
+    * all three: KMeans centroids ARE Euclidean cells, so L2 probes the
+    * closest-centroid clusters directly, and for MIPS the probe ranks
+    * clusters by `q·centroid` — the centroid is the cell's mean, so
+    * q·centroid is exactly the cell's MEAN inner product with q, which
+    * is the faiss IVF/METRIC_INNER_PRODUCT coarse-probe posture
+    * (high-|x| directions q favors rank first). The int8 candidate
+    * gate is cosine-only (per-vector quantization scale cancels under
+    * cosine but not under L2/dot), so l2/dot searches score the probed
+    * candidates exactly. */
   def search(index: Index, queries: DataFrame, qIdCol: String, qVecCol: String,
       k: Int, config: SearchConfig = SearchConfig(),
       idFilter: Option[DataFrame] = None, metric: String = "cosine"): DataFrame = {
-    require(metric == "cosine" || metric == "l2", s"unknown metric $metric")
+    require(metric == "cosine" || metric == "l2" || metric == "dot",
+      s"unknown metric $metric")
     val cosine = metric == "cosine"
-    def score(a: Column, b: Column): Column =
-      if (cosine) gf.cosine_similarity(a, b) else gf.l2_norm(a, b)
-    def ord(c: Column): Column = if (cosine) c.desc else c.asc
+    def score(a: Column, b: Column): Column = metric match {
+      case "cosine" => gf.cosine_similarity(a, b)
+      case "dot" => gf.dot(a, b)
+      case _ => gf.l2_norm(a, b)
+    }
+    def ord(c: Column): Column = if (metric == "l2") c.asc else c.desc
     val q = queries.select(col(qIdCol).as("qid"), col(qVecCol).as("q_vec"))
     val assignBase = idFilter match {
       case Some(ids) =>

@@ -94,6 +94,53 @@ object EmbeddingOps {
         ((col("dist") - col("__mu")) / col("__sigma")).as("z"))
   }
 
+  /** kNN label-agreement noise score (Wilson 1972's edited
+    * nearest-neighbor rule, the instance-level complement to
+    * [[labelOutliers]]'s per-class centroid z): for each audited
+    * sample, the fraction of its k nearest neighbors (cosine,
+    * self-excluded) that share its label, plus the neighborhood's
+    * majority label. A sample whose neighbors overwhelmingly disagree
+    * is a mislabel candidate regardless of where its class centroid
+    * sits — catching the swap-noise cases centroid distance misses.
+    *
+    * Scale shape: the audit set is bounded by contract and broadcasts;
+    * the corpus is scanned ONCE through a broadcast nested-loop score
+    * (the [[knnShapley]] posture), the per-query top-k is a window
+    * over qid keys, and everything after runs on |audit|·k rows.
+    * Returns (id, label, agreement, majority_label, suspect). FULL
+    * oracle. */
+  def knnLabelAgreement(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, auditIds: DataFrame, k: Int,
+      minAgreement: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = emb.select(col(idCol).as("id"), col(labelCol).as("label"),
+      col(vecCol).cast("array<double>").as("__v"))
+    val audit = base.join(
+        auditIds.select(col(auditIds.columns.head).as("id")), Seq("id"), "left_semi")
+      .select(col("id").as("qid"), col("label").as("qlabel"),
+        col("__v").as("__qv"))
+    val scored = base.crossJoin(broadcast(audit))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("qlabel"), col("id"), col("label"),
+        graft.functions.gf.cosine_similarity(col("__v"), col("__qv")).as("sim"))
+    val top = scored.withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id"))))
+      .filter(col("rk") <= k)
+    val maj = top.groupBy(col("qid"), col("label"))
+      .agg(count(lit(1)).as("nl"))
+      .withColumn("mr", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("nl").desc, col("label"))))
+      .filter(col("mr") === 1)
+      .select(col("qid"), col("label").as("majority_label"))
+    top.groupBy(col("qid").as("id"), col("qlabel").as("label"))
+      .agg(round(avg((col("label") === col("qlabel")).cast("double")), 6)
+        .as("agreement"))
+      .join(maj.withColumnRenamed("qid", "id"), "id")
+      .withColumn("suspect", col("agreement") < minAgreement)
+      .select(col("id"), col("label"), col("agreement"),
+        col("majority_label"), col("suspect"))
+  }
+
   /** Matryoshka truncation (Kusupati et al. 2022): keep the first
     * `dims` components and L2-renormalize — the storage/latency lever
     * of MRL-trained embeddings (search the short prefix, rerank with

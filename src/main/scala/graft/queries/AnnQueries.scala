@@ -74,6 +74,23 @@ object AnnQueries extends QueryModule {
       None,
       doc = "dialect-routed L2 ascending indexed top-k (reference order_type::ascending)"),
 
+    // MIPS arm of the same route: ORDER BY DOT(col, const) DESC LIMIT k
+    // probes clusters by q·centroid (the faiss IVF/METRIC_INNER_PRODUCT
+    // coarse-probe posture) and exact-scores probed candidates
+    "q_tql_ann_dot" -> Q(
+      (s, dir) => {
+        AnnIndex.Catalog.register("embeddings", "embedding", "vec_id",
+          IndexStore.ann(s, dir))
+        val qv = table(s, dir, "embeddings").filter(col("vec_id") === 0)
+          .select(col("embedding")).collect()(0).getSeq[Float](0)
+        val arr = qv.mkString("ARRAY[", ", ", "]")
+        graft.dialect.Tql.query(s, dir,
+          s"""SELECT vec_id, ROUND(DOT(embedding, $arr), 6) AS ip
+             |FROM embeddings ORDER BY ip DESC, vec_id LIMIT 10""".stripMargin)
+      },
+      None,
+      doc = "dialect-routed MIPS top-k: DOT DESC probes clusters by q·centroid"),
+
     // WHERE composes into the index search as a candidate pre-filter
     // (reference runs index queries against a filter bitmap,
     // `cpp/query_core/index_holder.hpp:33`): only filter survivors are

@@ -379,6 +379,34 @@ object VectorQueries extends QueryModule {
              |FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id < 5) q
              |WHERE e.vec_id >= 5) t WHERE rank <= 3 ORDER BY qid, rank""".stripMargin.replace('\n', ' '))),
 
+    // ---- kNN label-agreement noise audit (Wilson 1972 edited-NN):
+    // fraction of each audited sample's 10 cosine-nearest neighbors
+    // sharing its label + the neighborhood majority — the swap-noise
+    // catch that centroid z-scores (q_vec_label_outliers) miss.
+    "q_vec_label_agreement" -> Q(
+      (s, dir) => {
+        val e = table(s, dir, E)
+        graft.operators.EmbeddingOps.knnLabelAgreement(
+            e, "vec_id", "embedding", "label",
+            e.filter(col("vec_id") < 50).select(col("vec_id")), k = 10)
+          .orderBy(col("id"))
+      },
+      Some("""WITH b AS (SELECT vec_id AS id, label, embedding FROM embeddings),
+             |q AS (SELECT id AS qid, label AS qlabel, embedding AS qv FROM b WHERE id < 50),
+             |sc AS (SELECT q.qid, q.qlabel, b.id, b.label,
+             |  list_cosine_similarity(b.embedding::DOUBLE[], q.qv::DOUBLE[]) AS sim
+             |  FROM b, q WHERE b.id <> q.qid),
+             |top AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rk FROM sc) WHERE rk <= 10),
+             |ag AS (SELECT qid, qlabel, round(avg(CASE WHEN label = qlabel THEN 1.0 ELSE 0.0 END), 6) AS agreement
+             |  FROM top GROUP BY qid, qlabel),
+             |mj AS (SELECT qid, label AS majority_label FROM (
+             |  SELECT qid, label, row_number() OVER (PARTITION BY qid ORDER BY count(*) DESC, label) AS mr
+             |  FROM top GROUP BY qid, label) WHERE mr = 1)
+             |SELECT ag.qid AS id, ag.qlabel AS label, agreement, majority_label,
+             |agreement < 0.5 AS suspect
+             |FROM ag JOIN mj USING (qid) ORDER BY id""".stripMargin.replace('\n', ' ')),
+      doc = "kNN label-agreement mislabel audit over the embedding space"),
+
     // ---- array indexing + slicing (tql.md:587-604): col[0], col[-1], col[0:8]
     "q_array_indexing" -> Q(
       (s, dir) => {

@@ -216,4 +216,25 @@ class AnnSpec extends AnyFunSuite {
       .select("qid", "id")
     assert(exact.intersect(r).count().toDouble / exact.count() === 1.0)
   }
+
+  test("dot metric (MIPS): exhaustive probe equals exact max inner product, default probe recalls >= 0.6") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.gf
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("q_vec"))
+    val exact = emb.crossJoin(queries)
+      .withColumn("ip", gf.dot(col("embedding"), col("q_vec")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("ip").desc, col("vec_id"))))
+      .filter(col("rk") <= 10).select(col("qid"), col("vec_id").as("id"))
+    val idx = AnnIndex.build(emb, "vec_id", "embedding", nClusters = 16)
+    def recall(cfg: AnnIndex.SearchConfig): Double = {
+      val approx = AnnIndex.search(idx, queries, "qid", "q_vec", 10, cfg,
+        metric = "dot").select("qid", "id")
+      exact.intersect(approx).count().toDouble / exact.count()
+    }
+    assert(recall(AnnIndex.SearchConfig(clusterSearchFactor = 8.0)) === 1.0,
+      "probing every cluster must recover the exact MIPS answer")
+    assert(recall(AnnIndex.SearchConfig()) >= 0.6)
+  }
 }

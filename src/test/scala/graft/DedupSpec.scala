@@ -750,6 +750,35 @@ class DedupSpec extends AnyFunSuite {
     assert(got == want, s"got=$got want=$want")
   }
 
+  test("knnLabelAgreement: a swapped label scores agreement 0 with the true majority; clean points score 1") {
+    import graft.operators.EmbeddingOps
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // two tight DIRECTIONAL clusters (cosine metric), one point of
+    // cluster A mislabeled as B — centroid-distance auditing would
+    // need the distance tail, but its NEIGHBORS vote it out directly
+    def around(base: Array[Float]) =
+      base.zipWithIndex.map { case (v, _) => v + rnd.nextGaussian().toFloat * 0.02f }
+    val a = Array(1f, 0f, 0f, 0f)
+    val b = Array(0f, 1f, 0f, 0f)
+    val rows = (1L to 30L).map(i => (i, 0, around(a))) ++
+      (31L to 60L).map(i => (i, 1, around(b))) :+
+      ((999L, 1, around(a))) // sits in A, labeled B
+    val emb = rows.toDF("vec_id", "label", "embedding")
+    val audit = Seq(1L, 31L, 999L).toDF("vec_id")
+    val out = EmbeddingOps.knnLabelAgreement(emb, "vec_id", "embedding",
+        "label", audit, k = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(2), r.getInt(3), r.getBoolean(4))).toMap
+    // the planted B-labeled point sits inside A, so a clean A point may
+    // count it among its 10 neighbors: 0.9 agreement, still unflagged
+    assert(out(1L)._1 >= 0.9 && out(1L)._2 === 0 && !out(1L)._3,
+      s"clean A point: ${out(1L)}")
+    assert(out(31L) === ((1.0, 1, false)), s"clean B point: ${out(31L)}")
+    assert(out(999L) === ((0.0, 0, true)),
+      s"swapped label must be voted out by its neighborhood: ${out(999L)}")
+  }
+
   test("labelOutliers: a planted far sample tops its label's z-scores") {
     import graft.operators.EmbeddingOps
     import spark.implicits._

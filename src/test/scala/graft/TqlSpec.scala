@@ -864,4 +864,32 @@ class TqlSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(!backwards.queryExecution.executedPlan.toString.contains("LeftSemi"))
     } finally AnnIndex.Catalog.clear()
   }
+
+  test("DOT descending top-k routes to the index (MIPS); DOT ASC does not") {
+    import graft.operators.AnnIndex
+    val emb = graft.sources.Tables(spark, dir, "embeddings")
+    val idx = AnnIndex.build(emb, "vec_id", "embedding", 8)
+    AnnIndex.Catalog.register("embeddings", "embedding", "vec_id", idx)
+    try {
+      val qv = emb.filter(col("vec_id") === 0).select(col("embedding"))
+        .collect()(0).getSeq[Float](0).map(_.toDouble)
+      val arr = qv.mkString("ARRAY[", ", ", "]")
+      val routed = Tql.query(spark, dir,
+        s"""SELECT vec_id, ROUND(DOT(embedding, $arr), 6) AS ip
+           |FROM embeddings ORDER BY ip DESC, vec_id LIMIT 5""".stripMargin)
+      assert(routed.queryExecution.executedPlan.toString.contains("LeftSemi"),
+        routed.queryExecution.executedPlan.toString)
+      val spark2 = spark
+      import spark2.implicits._
+      val direct = AnnIndex.search(idx,
+          Seq((0, qv)).toDF("qid", "q_vec"), "qid", "q_vec", 5, metric = "dot")
+        .select(col("id")).collect().map(_.getLong(0)).toSet
+      assert(routed.collect().map(_.getLong(0)).toSet === direct)
+      // inner product ASCENDING is not a MIPS query — must not route
+      val backwards = Tql.query(spark, dir,
+        s"""SELECT vec_id FROM embeddings
+           |ORDER BY DOT(embedding, $arr) ASC LIMIT 5""".stripMargin)
+      assert(!backwards.queryExecution.executedPlan.toString.contains("LeftSemi"))
+    } finally AnnIndex.Catalog.clear()
+  }
 }
