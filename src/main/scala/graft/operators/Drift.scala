@@ -214,6 +214,76 @@ object Drift {
     finally r.release()
   }
 
+  /** Multiple-testing-controlled drift screen: per-key two-sample KS
+    * with asymptotic p-values and Benjamini-Hochberg (1995) FDR
+    * selection — the answer to "we monitor HUNDREDS of features; which
+    * ones actually drifted" that per-feature thresholds can't give
+    * without either drowning in false alarms (no correction) or
+    * missing everything (Bonferroni). Keys = monitored features,
+    * bounded by contract.
+    *
+    * p-values use the standard asymptotic Kolmogorov distribution with
+    * the small-sample effective-N correction λ = (√Ne + 0.12 +
+    * 0.11/√Ne)·D, Ne = n·m/(n+m), Q(λ) = 2Σ_{j≥1}(−1)^{j−1}e^{−2j²λ²}
+    * truncated at 20 terms (|term 21| < e^{−882λ²} — below double
+    * noise for any λ the screen could reject). The series only
+    * converges usefully for λ bounded away from 0 (at λ=0 twenty
+    * alternating unit terms cancel to 0, not the true Q=1), so
+    * λ < 0.3 short-circuits to p = 1 — the true Q(0.3) ≈ 0.9999, and
+    * no such key could ever reject. BH then ranks the m p-values and
+    * rejects every key up to the largest rank r with p_(r) ≤ r·q/m.
+    *
+    * Scale shape: ONE tagged pass collapses to (key, value) partial
+    * counts (map-side combined); the cumulative-ECDF window runs per
+    * key (keys are the parallel unit — the m-row frames after the
+    * per-key max are bounded); the BH windows rank m rows. The series
+    * sum is an in-plan HOF over sequence(1,20) — both engines fold the
+    * same 20 terms in the same order. FULL oracle. */
+  def ksScreenFdr(df: DataFrame, keyCol: String, valueCol: String,
+      refPred: Column, curPred: Column, fdrQ: Double = 0.05): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(fdrQ > 0 && fdrQ < 1, "fdrQ must be in (0,1)")
+    val u = df.filter(refPred || curPred)
+      .select(col(keyCol).as("k"), col(valueCol).cast("double").as("v"),
+        refPred.cast("long").as("__r"), curPred.cast("long").as("__c"))
+    val perV = u.groupBy(col("k"), col("v"))
+      .agg(sum(col("__r")).as("r"), sum(col("__c")).as("c"))
+    val tot = perV.groupBy(col("k"))
+      .agg(sum(col("r")).as("n_ref"), sum(col("c")).as("n_cur"))
+    val wc = Window.partitionBy(col("k")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val d = perV.join(broadcast(tot), "k")
+      .withColumn("gap", abs(
+        sum(col("r")).over(wc) / col("n_ref") -
+        sum(col("c")).over(wc) / col("n_cur")))
+      .groupBy(col("k"))
+      .agg(max(col("gap")).as("d"),
+        max(col("n_ref")).as("n_ref"), max(col("n_cur")).as("n_cur"))
+    val ne = col("n_ref").cast("double") * col("n_cur") /
+      (col("n_ref") + col("n_cur"))
+    val lam = (sqrt(ne) + lit(0.12) + lit(0.11) / sqrt(ne)) * col("d")
+    val series = aggregate(sequence(lit(1), lit(20)), lit(0.0),
+      (acc, j) => acc +
+        pow(lit(-1.0), (j - 1).cast("double")) *
+        exp(lit(-2.0) * (j * j).cast("double") * col("__lam") * col("__lam")))
+    val withP = d.withColumn("__lam", lam)
+      .withColumn("p_value",
+        when(col("__lam") < 0.3, 1.0)
+          .otherwise(least(lit(1.0), greatest(lit(0.0), lit(2.0) * series))))
+    val m = Window.orderBy(lit(1)).rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val ranked = withP
+      .withColumn("rank", row_number().over(Window.orderBy(col("p_value"), col("k"))))
+      .withColumn("__m", count(lit(1)).over(m))
+      .withColumn("__pass",
+        col("p_value") <= col("rank").cast("double") * fdrQ / col("__m"))
+      .withColumn("__cut", max(when(col("__pass"), col("rank"))).over(m))
+    ranked.select(col("k").as(keyCol), col("n_ref"), col("n_cur"),
+      round(col("d"), 6).as("d"), round(col("p_value"), 6).as("p_value"),
+      col("rank").cast("long").as("rank"),
+      coalesce(col("rank") <= col("__cut"), lit(false)).as("rejected"))
+  }
+
   /** Exact 1-D Wasserstein-1 (earth mover's) distance — the drift
     * metric that, unlike KS's max gap or binned PSI/JS, measures HOW
     * FAR mass moved, in the value's own units: W1 = ∫|F_ref − F_cur|dx,

@@ -306,6 +306,48 @@ object EventAnalytics {
       .drop("__vals", "__s")
   }
 
+  /** Two-sided CUSUM changepoint detector (Page 1954) over the
+    * trailing `window` observations per key: s⁺_t = max(0, s⁺_{t−1} +
+    * x_t − μ0 − κ), s⁻_t = max(0, s⁻_{t−1} + μ0 − x_t − κ), alarm when
+    * either exceeds `h` — the standard sustained-shift monitor that a
+    * z-score (one bad point) and EWMA (lagging level) both miss. μ0/κ/h
+    * are the caller's reference mean, slack, and decision threshold in
+    * the value's units (κ ≈ half the shift to detect, h ≈ 4–5σ).
+    *
+    * Window-local semantics: the state resets at the trailing window's
+    * oldest row, so memory is bounded at `window` and the fold replays
+    * EXACTLY in SQL (same left-to-right (s⁺,s⁻) state-list fold as
+    * [[holtSmooth]] — Spark `aggregate` / DuckDB `list_reduce`,
+    * bit-identical); a shift persisting ≥ window rows still alarms
+    * every row once the statistic accumulates. Plan: one ordered
+    * window per key, map-side array math. Returns `cusum_pos`,
+    * `cusum_neg`, `alarm`. */
+  def cusum(events: DataFrame, keyCols: Seq[String], tsCol: String,
+      tieCol: String, valueCol: String, mu0: Double, kappa: Double,
+      h: Double, window: Int = 64): DataFrame = {
+    require(kappa >= 0, "kappa must be >= 0")
+    require(h > 0, "h must be positive")
+    require(window >= 1, "window must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(-(window - 1), 0)
+    val fold = aggregate(
+      col("__vals"), array(lit(0.0), lit(0.0)),
+      (acc, x) => array(
+        greatest(lit(0.0), element_at(acc, 1) + (x - lit(mu0) - lit(kappa))),
+        greatest(lit(0.0), element_at(acc, 2) + (lit(mu0) - x - lit(kappa)))))
+    events
+      .withColumn("__vals",
+        collect_list(col(valueCol).cast("double")).over(w))
+      .withColumn("__s", fold)
+      .withColumn("cusum_pos", round(element_at(col("__s"), 1), 6))
+      .withColumn("cusum_neg", round(element_at(col("__s"), 2), 6))
+      .withColumn("alarm",
+        element_at(col("__s"), 1) > h || element_at(col("__s"), 2) > h)
+      .drop("__vals", "__s")
+  }
+
   /** Time-series resampling with forward fill: per key, a REGULAR
     * `step` grid spanning that key's observed range, carrying the last
     * observed value forward across gaps — what turns irregular event

@@ -578,8 +578,8 @@ object Relational extends QueryModule {
     "q_chi2_assoc" -> Q(
       (s, dir) => graft.operators.Profiling.chiSquareAssoc(
           table(s, dir, "orders"), "o_orderpriority", "o_orderstatus"),
-      Some("""WITH obs AS (SELECT coalesce(CAST(o_orderpriority AS VARCHAR), ' null') AS a,
-             |  coalesce(CAST(o_orderstatus AS VARCHAR), ' null') AS b, count(*) AS o FROM orders GROUP BY 1, 2),
+      Some("""WITH obs AS (SELECT coalesce(CAST(o_orderpriority AS VARCHAR), chr(0)||'null') AS a,
+             |  coalesce(CAST(o_orderstatus AS VARCHAR), chr(0)||'null') AS b, count(*) AS o FROM orders GROUP BY 1, 2),
              |ra AS (SELECT a, sum(o) AS na FROM obs GROUP BY 1),
              |cb AS (SELECT b, sum(o) AS nb FROM obs GROUP BY 1),
              |tt AS (SELECT sum(o)::DOUBLE AS n FROM obs),

@@ -565,6 +565,78 @@ object SequenceQueries extends QueryModule {
              |FROM p ORDER BY category""".stripMargin.replace('\n', ' ')),
       doc = "Jensen-Shannon category drift: event-type mix, first vs second half-month"),
 
+    // ---- FDR-controlled drift screen (Benjamini-Hochberg 1995 over
+    // per-key KS p-values): WHICH monitored keys actually drifted,
+    // with the false-discovery rate held at q=0.05 — per-key
+    // thresholds either drown in false alarms or Bonferroni-miss.
+    // Kolmogorov p via the 20-term series, identical fold both engines.
+    "q_drift_ks_fdr" -> Q(
+      (s, dir) => graft.operators.Drift.ksScreenFdr(
+          table(s, dir, "events"), "event_type", "value",
+          col("ts") < lit("2024-01-16").cast("timestamp"),
+          col("ts") >= lit("2024-01-16").cast("timestamp"), fdrQ = 0.05)
+        .orderBy(col("rank")),
+      Some("""WITH u AS (SELECT event_type AS k, value::DOUBLE AS v,
+             |  CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS tr,
+             |  CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS tc
+             |  FROM events),
+             |pv AS (SELECT k, v, sum(tr) AS r, sum(tc) AS c FROM u GROUP BY 1, 2),
+             |tt AS (SELECT k, sum(r)::BIGINT AS n_ref, sum(c)::BIGINT AS n_cur FROM pv GROUP BY 1),
+             |g AS (SELECT pv.k, abs(
+             |  sum(r) OVER w * 1.0 / tt.n_ref - sum(c) OVER w * 1.0 / tt.n_cur) AS gap
+             |  FROM pv JOIN tt USING (k)
+             |  WINDOW w AS (PARTITION BY pv.k ORDER BY v ROWS UNBOUNDED PRECEDING)),
+             |d AS (SELECT g.k, max(gap) AS d, max(n_ref) AS n_ref, max(n_cur) AS n_cur
+             |  FROM g JOIN tt ON tt.k = g.k GROUP BY 1),
+             |lamt AS (SELECT *, (sqrt(n_ref*1.0*n_cur/(n_ref+n_cur)) + 0.12 +
+             |  0.11/sqrt(n_ref*1.0*n_cur/(n_ref+n_cur))) * d AS lam FROM d),
+             |p AS (SELECT k, n_ref, n_cur, d,
+             |  CASE WHEN lam < 0.3 THEN 1.0
+             |  ELSE least(1.0, greatest(0.0, 2.0 * list_reduce(list_prepend(0.0,
+             |    list_transform(range(1, 21),
+             |      j -> pow(-1.0, (j-1)::DOUBLE) * exp(-2.0 * (j*j)::DOUBLE * lam * lam))),
+             |    (a, b) -> a + b))) END AS p_value FROM lamt),
+             |r AS (SELECT *, row_number() OVER (ORDER BY p_value, k) AS rank,
+             |  count(*) OVER () AS m FROM p),
+             |cut AS (SELECT *, max(CASE WHEN p_value <= rank*1.0*0.05/m THEN rank END) OVER () AS mx FROM r)
+             |SELECT k AS event_type, n_ref, n_cur, round(d, 6) AS d,
+             |round(p_value, 6) AS p_value, rank,
+             |coalesce(rank <= mx, false) AS rejected
+             |FROM cut ORDER BY rank""".stripMargin.replace('\n', ' ')),
+      doc = "BH-FDR drift screen: per-event-type KS p-values, q=0.05 selection"),
+
+    // ---- two-sided CUSUM changepoint monitor (Page 1954): sustained
+    // shifts accumulate past h where z-scores see only single points;
+    // the (s+, s-) fold replays exactly in SQL like q_events_holt
+    "q_events_cusum" -> Q(
+      (s, dir) => graft.operators.EventAnalytics.cusum(
+          table(s, dir, "events").filter(col("user_id") < 40)
+            .select(col("event_id"), col("user_id"), col("event_type"),
+              col("ts_ns"), col("value")),
+          Seq("user_id", "event_type"), "ts_ns", "event_id", "value",
+          mu0 = 50.0, kappa = 5.0, h = 200.0, window = 64)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts_ns"), col("cusum_pos"), col("cusum_neg"), col("alarm"))
+        .orderBy(col("user_id"), col("event_type"), col("ts_ns"), col("event_id")),
+      Some("""WITH e AS (SELECT event_id, user_id, event_type, epoch_ns(ts) AS ts_ns,
+             |  value::DOUBLE AS v FROM events WHERE user_id < 40),
+             |win AS (SELECT event_id, user_id, event_type, ts_ns,
+             |  list(v) OVER (PARTITION BY user_id, event_type
+             |    ORDER BY ts_ns, event_id
+             |    ROWS BETWEEN 63 PRECEDING AND CURRENT ROW) AS vals FROM e),
+             |st AS (SELECT event_id, user_id, event_type, ts_ns,
+             |  list_reduce(list_prepend([0.0, 0.0],
+             |    list_transform(vals, x -> [x, 0.0])),
+             |    (acc, e) -> [greatest(0.0, acc[1] + (e[1] - 50.0 - 5.0)),
+             |      greatest(0.0, acc[2] + (50.0 - e[1] - 5.0))]) AS s
+             |  FROM win)
+             |SELECT event_id, user_id, event_type, ts_ns,
+             |  round(s[1], 6) AS cusum_pos, round(s[2], 6) AS cusum_neg,
+             |  (s[1] > 200.0 OR s[2] > 200.0) AS alarm
+             |FROM st
+             |ORDER BY user_id, event_type, ts_ns, event_id""".stripMargin.replace('\n', ' ')),
+      doc = "two-sided CUSUM sustained-shift monitor per (user, type) series"),
+
     // ---- exact two-sample KS statistic (bin-free drift): one tagged
     // union + one value-ordered RANGE window + a max
     "q_drift_ks" -> Q(

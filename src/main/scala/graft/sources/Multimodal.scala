@@ -438,6 +438,116 @@ object Multimodal {
     }
   }
 
+  final case class AudioSpectral(id: Long, sample_rate: Int,
+      n_frames: Long, dominant_hz: Double, centroid_hz: Double,
+      rolloff_hz: Double, flatness: Double)
+
+  /** REAL spectral features over decoded PCM (WAV/AIFF/AU via the JDK,
+    * same decode posture as [[decodeAudio]]): per clip, the Goertzel
+    * power at 64 log-spaced analysis frequencies (40 Hz .. Nyquist)
+    * over the first `maxFrames` mono samples, reduced to
+    *  - dominant_hz: argmax-power frequency (the pitch-ish peak)
+    *  - centroid_hz: power-weighted mean frequency (brightness — the
+    *    standard spectral centroid)
+    *  - rolloff_hz: lowest analysis frequency containing 85% of the
+    *    cumulative power
+    *  - flatness: geometric/arithmetic power mean ratio in [0,1]
+    *    (≈1 white noise, ≈0 pure tone) — the tonality screen
+    * Goertzel evaluates each bin in O(n) with no FFT dependency; 64
+    * bins × `maxFrames` caps per-clip cost regardless of clip length.
+    * Undecodable/compressed payloads yield sample_rate=-1 rows (the
+    * corrupt-sample posture). mapPartitions because bytes need a JVM
+    * decoder; one pass, no shuffle. */
+  def audioSpectral(df: DataFrame, idCol: String,
+      payloadCol: String = "payload", maxFrames: Int = 65536): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(payloadCol).as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        audioSpectralOne(id, bytes, maxFrames) })
+      .toDF()
+  }
+
+  private[graft] def audioSpectralOne(id: Long, bytes: Array[Byte],
+      maxFrames: Int): AudioSpectral = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    try {
+      val ais = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+      val fmt = ais.getFormat
+      val enc = fmt.getEncoding
+      require(enc == AudioFormat.Encoding.PCM_SIGNED ||
+        enc == AudioFormat.Encoding.PCM_UNSIGNED, s"non-PCM encoding $enc")
+      val bits = fmt.getSampleSizeInBits
+      require(bits == 8 || bits == 16, s"unsupported sample size $bits")
+      val ch = fmt.getChannels
+      val frameSize = fmt.getFrameSize
+      val rate = fmt.getSampleRate.toDouble
+      val bytesPerSample = bits / 8
+      val data = ais.readNBytes(frameSize * maxFrames)
+      val n = data.length / frameSize
+      val mono = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        var c = 0; var mix = 0.0
+        while (c < ch) {
+          val o = i * frameSize + c * bytesPerSample
+          val v =
+            if (bits == 8) {
+              if (enc == AudioFormat.Encoding.PCM_UNSIGNED) ((data(o) & 0xFF) - 128) / 128.0
+              else data(o) / 128.0
+            } else {
+              val (lo, hi) = if (fmt.isBigEndian) (o + 1, o) else (o, o + 1)
+              (((data(hi) << 8) | (data(lo) & 0xFF)).toShort) / 32768.0
+            }
+          mix += v; c += 1
+        }
+        mono(i) = mix / ch
+        i += 1
+      }
+      // 64 log-spaced bins from 40 Hz to Nyquist; Goertzel power each
+      val nyquist = rate / 2.0
+      val f0 = 40.0
+      val nBins = 64
+      val freqs = Array.tabulate(nBins)(k =>
+        f0 * math.pow(nyquist / f0, k.toDouble / (nBins - 1)))
+      val power = freqs.map { f =>
+        val w = 2.0 * math.Pi * f / rate
+        val coeff = 2.0 * math.cos(w)
+        var s0 = 0.0; var s1 = 0.0; var s2 = 0.0
+        var j = 0
+        while (j < n) {
+          s0 = mono(j) + coeff * s1 - s2
+          s2 = s1; s1 = s0
+          j += 1
+        }
+        val p = s1 * s1 + s2 * s2 - coeff * s1 * s2
+        if (p > 0) p / math.max(1, n) else 0.0
+      }
+      val tot = power.sum
+      if (n == 0 || tot <= 0)
+        AudioSpectral(id, rate.toInt, n.toLong, 0.0, 0.0, 0.0, 0.0)
+      else {
+        val dominant = freqs(power.indexOf(power.max))
+        val centroid = freqs.zip(power).map { case (f, p) => f * p }.sum / tot
+        var cum = 0.0
+        val rolloff = freqs.zip(power).collectFirst {
+          case (f, p) if { cum += p; cum >= 0.85 * tot } => f
+        }.getOrElse(freqs.last)
+        val gm = math.exp(power.map(p => math.log(math.max(p, 1e-300))).sum / nBins)
+        val am = tot / nBins
+        AudioSpectral(id, rate.toInt, n.toLong,
+          round6(dominant), round6(centroid), round6(rolloff),
+          round6(if (am > 0) gm / am else 0.0))
+      }
+    } catch {
+      case _: Exception => AudioSpectral(id, -1, 0L, 0.0, 0.0, 0.0, 0.0)
+    }
+  }
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_EVEN).toDouble
+
   /** 64-bit perceptual audio fingerprint: bit k = (window-k RMS >= clip
     * mean RMS) over the 64-window loudness envelope — pitch-invariant,
     * envelope-sensitive, the audio analog of [[aHash64]]. Same contract:

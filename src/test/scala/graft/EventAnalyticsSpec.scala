@@ -172,6 +172,69 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(bPairs.zip(bPairs.tail).forall { case (x, y) => y >= x - 1e-9 })
   }
 
+  test("ksScreenFdr: only the planted-shift key rejects at q=0.05; null keys report p ~ 1") {
+    import graft.operators.Drift
+    import spark.implicits._
+    // 4 keys x 400 rows per period; key "k0" shifts +3 in the second
+    // period, the rest reuse IDENTICAL samples in both periods (exactly
+    // exchangeable -> D = 0, p = 1 by construction, never a random
+    // near-miss that BH would legitimately reject at its 5% FDR)
+    val rows = for {
+      key <- Seq("k0", "k1", "k2", "k3")
+      i <- 1 to 400
+      period <- Seq(0, 1)
+    } yield {
+      val base = math.abs(key.hashCode * 31 + i) % 1000 / 100.0
+      (key, period, if (key == "k0" && period == 1) base + 3.0 else base)
+    }
+    val df = rows.toDF("k", "period", "v")
+    val out = Drift.ksScreenFdr(df, "k", "v",
+        col("period") === 0, col("period") === 1, fdrQ = 0.05)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(4), r.getBoolean(6))).toMap
+    assert(out("k0")._2, s"planted 3-sigma shift must reject: $out")
+    assert(Seq("k1", "k2", "k3").forall(!out(_)._2),
+      s"null keys must survive BH at q=0.05: $out")
+    assert(out("k0")._1 < 0.001 && Seq("k1", "k2", "k3").forall(out(_)._1 > 0.01))
+    // identical ref/cur on every key: nothing rejects, p = 1
+    val same = df.filter(col("period") === 0)
+    val none = Drift.ksScreenFdr(same.withColumn("period", lit(0))
+        .unionByName(same.withColumn("period", lit(1))), "k", "v",
+        col("period") === 0, col("period") === 1)
+      .collect()
+    assert(none.forall(r => !r.getBoolean(6) && r.getDouble(4) > 0.99))
+  }
+
+  test("cusum: flat-at-target stays zero; sustained shift accumulates and alarms; brief spike does not") {
+    import graft.operators.EventAnalytics
+    import spark.implicits._
+    def series(vs: Seq[Double]) = vs.zipWithIndex
+      .map { case (v, i) => (1L, i.toLong, i.toLong, v) }
+      .toDF("k", "ts", "id", "v")
+    def run(vs: Seq[Double]) = EventAnalytics.cusum(series(vs), Seq("k"),
+      "ts", "id", "v", mu0 = 10.0, kappa = 1.0, h = 12.0, window = 64)
+      .orderBy(col("ts")).collect()
+    // exactly on target: both sides pinned at 0
+    val flat = run(Seq.fill(30)(10.0))
+    assert(flat.forall(r => r.getAs[Double]("cusum_pos") === 0.0 &&
+      r.getAs[Double]("cusum_neg") === 0.0 && !r.getAs[Boolean]("alarm")))
+    // +5 shift after row 10: s+ grows by (5-1)=4/row, alarms at row 14
+    val shift = run(Seq.fill(10)(10.0) ++ Seq.fill(20)(15.0))
+    val firstAlarm = shift.indexWhere(_.getAs[Boolean]("alarm"))
+    assert(firstAlarm === 13, s"s+ = 4*(t-9) crosses 12 at the 4th shifted row")
+    assert(shift.last.getAs[Double]("cusum_pos") === 4.0 * 20)
+    // one spike of +100 then back: s+ jumps but decays by kappa each
+    // on-target row; with h above the spike the monitor never alarms
+    val spike = run(Seq.fill(10)(10.0) ++ Seq(20.0) ++ Seq.fill(10)(10.0))
+    assert(spike.count(_.getAs[Boolean]("alarm")) === 0)
+    assert(spike(10).getAs[Double]("cusum_pos") === 9.0)
+    assert(spike(15).getAs[Double]("cusum_pos") === 4.0, "decays by kappa per row")
+    // sustained NEGATIVE shift lands on the other side
+    val down = run(Seq.fill(10)(10.0) ++ Seq.fill(10)(5.0))
+    assert(down.last.getAs[Double]("cusum_neg") === 4.0 * 10 &&
+      down.last.getAs[Double]("cusum_pos") === 0.0)
+  }
+
   test("wasserstein1: zero on identical samples, exactly delta on a constant shift, matches a driver-side sweep") {
     import spark.implicits._
     import graft.operators.Drift

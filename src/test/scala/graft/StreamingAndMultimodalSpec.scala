@@ -982,6 +982,53 @@ class StreamingAndMultimodalSpec extends AnyFunSuite {
     assert(rows(1).getInt(1) === -1)                          // corrupt row survives
   }
 
+  test("audioSpectral: pure tones peak at their frequency; noise is flatter than a tone; bad bytes degrade") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rate = 8000
+    val a440 = sineWav(rate, 440.0, 0.5, 16000)
+    val a1k = sineWav(rate, 1000.0, 0.5, 16000)
+    // deterministic pseudo-noise (LCG), full-band
+    val noise = {
+      import javax.sound.sampled._
+      val n = 16000
+      val pcm = new Array[Byte](n * 2)
+      var seed = 12345L
+      var i = 0
+      while (i < n) {
+        seed = seed * 6364136223846793005L + 1442695040888963407L
+        val s = ((seed >>> 40).toShort / 2).toShort
+        pcm(2 * i) = (s & 0xFF).toByte
+        pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+        i += 1
+      }
+      val fmt = new AudioFormat(rate.toFloat, 16, 1, true, false)
+      val out = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+        AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val df = Seq((1L, a440), (2L, a1k), (3L, noise),
+      (4L, "junk".getBytes)).toDF("id", "payload")
+    val r = Multimodal.audioSpectral(df, "id").collect()
+      .map(x => x.getLong(0) -> x).toMap
+    // log-spaced bins: the dominant bin must be within one bin step
+    // (ratio (nyquist/40)^(1/63) ~ 1.076) of the true frequency
+    val step = math.pow(rate / 2.0 / 40.0, 1.0 / 63)
+    assert(math.abs(math.log(r(1L).getDouble(3) / 440.0)) <= math.log(step) + 1e-9,
+      s"440Hz tone peaked at ${r(1L).getDouble(3)}")
+    assert(math.abs(math.log(r(2L).getDouble(3) / 1000.0)) <= math.log(step) + 1e-9,
+      s"1kHz tone peaked at ${r(2L).getDouble(3)}")
+    // brightness orders: the 1k tone's centroid is above the 440 tone's
+    assert(r(2L).getDouble(4) > r(1L).getDouble(4))
+    // tonality: noise is much flatter than a pure tone
+    assert(r(3L).getDouble(6) > 10 * r(1L).getDouble(6),
+      s"noise flatness ${r(3L).getDouble(6)} vs tone ${r(1L).getDouble(6)}")
+    // undecodable payload degrades to the -1 row, not a failure
+    assert(r(4L).getInt(1) === -1)
+  }
+
   test("multimodal audio: header-only WAV metadata matches the encoder") {
     val spark2 = spark
     import spark2.implicits._
