@@ -83,6 +83,55 @@ object Robust {
         least(greatest(col(valueCol).cast("double"), col("lo")), col("hi")))
   }
 
+  /** Theil-Sen robust trend estimate (Theil 1950 / Sen 1968) — the
+    * median-of-slopes regression a single corrupted batch cannot bend
+    * the way it bends least squares (q6_revenue_forecast's posture):
+    * breakdown point 29% vs OLS's zero. Exact all-pairs Theil-Sen is
+    * O(n²); this is the standard RANDOM-PAIRS estimator, except the
+    * pairing is a hashUniform PRF of the row id — deterministic,
+    * partition-independent, SQL-replayable — so the "random" disjoint
+    * pairs are the same pairs in every engine and run. n/2 pairs give
+    * the estimator a √2 efficiency haircut vs all pairs, not a bias.
+    *
+    * Scale shape: rows order by their hash key (repartitionByRange +
+    * the [[RowNumber]] zipWithIndex trick — no global-window funnel),
+    * adjacent rows pair (one bounded-key agg), slopes take ONE exact
+    * distributed median ([[Quantiles.exactQuantiles]], funnel-free),
+    * and the intercept takes a second over y − m·x. Returns one row
+    * `(n_pairs, slope, intercept)` (6dp). FULL oracle. */
+  def theilSen(df: DataFrame, idCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val base = df.select(col(idCol).cast("string").as("id"),
+        col(xCol).cast("double").as("x"), col(yCol).cast("double").as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+      .withColumn("u", Sampling.hashUniform(col("id")))
+    val ordered = base.repartitionByRange(col("u"), col("id"))
+      .sortWithinPartitions(col("u"), col("id"))
+    val rn = RowNumber.withRowNumber(ordered, "rn")
+    val pairs = rn.groupBy((col("rn") / 2).cast("long").as("pr"))
+      .agg(count(lit(1)).as("c"),
+        max(when(col("rn") % 2 === 0, col("x"))).as("x1"),
+        max(when(col("rn") % 2 === 0, col("y"))).as("y1"),
+        max(when(col("rn") % 2 === 1, col("x"))).as("x2"),
+        max(when(col("rn") % 2 === 1, col("y"))).as("y2"))
+      .filter(col("c") === 2 && col("x1") =!= col("x2"))
+      .select(((col("y2") - col("y1")) / (col("x2") - col("x1"))).as("m"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nPairs = pairs.count()
+      val slope = Quantiles.exactQuantiles(pairs, "m", Seq(0.5)).head
+      val intercept = Quantiles.exactQuantiles(
+        base.select((col("y") - lit(slope) * col("x")).as("__b")),
+        "__b", Seq(0.5)).head
+      val spark0 = df.sparkSession
+      import spark0.implicits._
+      Seq((nPairs,
+        BigDecimal(slope).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(intercept).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        .toDF("n_pairs", "slope", "intercept")
+    } finally { pairs.unpersist(false); () }
+  }
+
   /** Median-absolute-deviation outlier scoring — the robust z-score
     * (0.6745 · (x − median) / MAD) that a single extreme value cannot
     * corrupt the way it corrupts mean/stddev. Two median passes

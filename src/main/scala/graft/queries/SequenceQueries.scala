@@ -565,6 +565,35 @@ object SequenceQueries extends QueryModule {
              |FROM p ORDER BY category""".stripMargin.replace('\n', ' ')),
       doc = "Jensen-Shannon category drift: event-type mix, first vs second half-month"),
 
+    // ---- Theil-Sen robust trend of value over time: median of slopes
+    // on hash-deterministic disjoint pairs — one corrupted batch can't
+    // bend it the way it bends the OLS forecast. Full SQL replay
+    // (row_number pairing on the md5 key + quantile_cont medians).
+    "q_theil_sen" -> Q(
+      (s, dir) => graft.operators.Robust.theilSen(
+          table(s, dir, "events")
+            .select(col("event_id"),
+              (col("ts_ns") / lit(8.64e13)).as("x_days"),
+              col("value"))
+            .filter(col("value").isNotNull),
+          "event_id", "x_days", "value"),
+      Some {
+        val uu = uuSql("md5(event_id::VARCHAR)")
+        s"""WITH b AS (SELECT event_id::VARCHAR AS id, epoch_ns(ts)/86400000000000.0 AS x,
+           |  value::DOUBLE AS y, $uu AS u FROM events WHERE value IS NOT NULL),
+           |r AS (SELECT *, row_number() OVER (ORDER BY u, id) - 1 AS rn FROM b),
+           |p AS (SELECT CAST(floor(rn/2.0) AS BIGINT) AS pr, count(*) AS c,
+           |  max(CASE WHEN rn%2=0 THEN x END) AS x1, max(CASE WHEN rn%2=0 THEN y END) AS y1,
+           |  max(CASE WHEN rn%2=1 THEN x END) AS x2, max(CASE WHEN rn%2=1 THEN y END) AS y2
+           |  FROM r GROUP BY 1),
+           |s AS (SELECT (y2-y1)/(x2-x1) AS m FROM p WHERE c = 2 AND x1 <> x2),
+           |mm AS (SELECT count(*)::BIGINT AS n_pairs, quantile_cont(m, 0.5) AS slope FROM s)
+           |SELECT n_pairs, round(slope, 6) AS slope,
+           |round((SELECT quantile_cont(y - mm.slope * x, 0.5) FROM b), 6) AS intercept
+           |FROM mm""".stripMargin.replace('\n', ' ')
+      },
+      doc = "Theil-Sen robust value-over-time trend (hash-paired median of slopes)"),
+
     // ---- FDR-controlled drift screen (Benjamini-Hochberg 1995 over
     // per-key KS p-values): WHICH monitored keys actually drifted,
     // with the false-discovery rate held at q=0.05 — per-key

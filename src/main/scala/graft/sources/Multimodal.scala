@@ -438,6 +438,64 @@ object Multimodal {
     }
   }
 
+  final case class SsimRow(id: Long, width: Int, height: Int, ssim: Double)
+
+  /** Structural similarity (SSIM, Wang et al. 2004) between two image
+    * payloads carried on the same row — the perceptual near-dup /
+    * re-encode detector a pixel-diff or [[aHash64]] Hamming bucket
+    * hands its candidate pairs to for exact scoring. Global SSIM on
+    * the luminance channel with the standard constants (K1=0.01,
+    * K2=0.03 on unit dynamic range):
+    * ((2μaμb+C1)(2σab+C2)) / ((μa²+μb²+C1)(σa²+σb²+C2)) ∈ [−1, 1];
+    * 1 iff pixel-identical. Mismatched dimensions or an undecodable
+    * side yield ssim = −2 with width/height = −1 (the corrupt-sample
+    * posture — the row survives, the score is impossible).
+    *
+    * REAL decode via ImageIO (PNG/JPEG/GIF/BMP — the same
+    * [[decodePixels]] path as [[decodeImages]]); luminance is the
+    * channel mean. mapPartitions because bytes need a JVM decoder;
+    * one pass over the pair table, no shuffle. */
+  def ssimPairs(df: DataFrame, idCol: String, aCol: String,
+      bCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(aCol), col(bCol))
+      .as[(Long, Array[Byte], Array[Byte])]
+      .mapPartitions(_.map { case (id, a, b) => ssimOne(id, a, b) })
+      .toDF()
+  }
+
+  private[graft] def ssimOne(id: Long, a: Array[Byte], b: Array[Byte]): SsimRow = {
+    val (wa, ha, ca, pa) = decodePixels(a)
+    val (wb, hb, cb, pb) = decodePixels(b)
+    if (wa <= 0 || wb <= 0 || wa != wb || ha != hb) SsimRow(id, -1, -1, -2.0)
+    else {
+      val n = wa * ha
+      def lum(px: Array[Float], ch: Int, i: Int): Double = {
+        var c = 0; var s = 0.0
+        while (c < ch) { s += px(i * ch + c); c += 1 }
+        s / ch
+      }
+      var sa = 0.0; var sb = 0.0
+      var i = 0
+      while (i < n) { sa += lum(pa, ca, i); sb += lum(pb, cb, i); i += 1 }
+      val ma = sa / n; val mb = sb / n
+      var va = 0.0; var vb = 0.0; var cov = 0.0
+      i = 0
+      while (i < n) {
+        val da = lum(pa, ca, i) - ma
+        val db = lum(pb, cb, i) - mb
+        va += da * da; vb += db * db; cov += da * db
+        i += 1
+      }
+      va /= n; vb /= n; cov /= n
+      val c1 = 0.01 * 0.01; val c2 = 0.03 * 0.03
+      val ssim = ((2 * ma * mb + c1) * (2 * cov + c2)) /
+        ((ma * ma + mb * mb + c1) * (va + vb + c2))
+      SsimRow(id, wa, ha, round6(ssim))
+    }
+  }
+
   final case class AudioSpectral(id: Long, sample_rate: Int,
       n_frames: Long, dominant_hz: Double, centroid_hz: Double,
       rolloff_hz: Double, flatness: Double)

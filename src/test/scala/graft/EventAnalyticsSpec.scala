@@ -172,6 +172,34 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(bPairs.zip(bPairs.tail).forall { case (x, y) => y >= x - 1e-9 })
   }
 
+  test("theilSen: exact on a perfect line; 20% wild outliers barely bend it where OLS folds") {
+    import graft.operators.Robust
+    import spark.implicits._
+    // perfect line y = 3x + 7: every pair slope is exactly 3
+    val line = (1 to 200).map(i => (i.toLong, i.toDouble, 3.0 * i + 7))
+      .toDF("id", "x", "y")
+    val r = Robust.theilSen(line, "id", "x", "y").collect().head
+    assert(r.getAs[Long]("n_pairs") === 100L)
+    assert(r.getAs[Double]("slope") === 3.0 && r.getAs[Double]("intercept") === 7.0)
+    // corrupt 20% with +1000: the slope median holds near 3 while OLS
+    // (regr_slope) is dragged far off
+    val dirty = (1 to 200).map { i =>
+      val y = 3.0 * i + 7 + (if (i % 5 == 0) 1000.0 else 0.0)
+      (i.toLong, i.toDouble, y)
+    }.toDF("id", "x", "y")
+    val rd = Robust.theilSen(dirty, "id", "x", "y").collect().head
+    assert(math.abs(rd.getAs[Double]("slope") - 3.0) < 0.5,
+      s"robust slope: ${rd.getAs[Double]("slope")}")
+    val ols = dirty.selectExpr("regr_slope(y, x) AS b").collect().head.getDouble(0)
+    assert(math.abs(ols - 3.0) > math.abs(rd.getAs[Double]("slope") - 3.0) * 2,
+      s"OLS must be visibly worse: ols=$ols")
+    // NULLs drop; duplicate x inside a pair contributes no slope but
+    // the run still completes
+    val withNull = Seq((1L, Some(1.0), Some(1.0)), (2L, Some(1.0), Some(2.0)),
+      (3L, None, Some(3.0)), (4L, Some(2.0), Some(5.0))).toDF("id", "x", "y")
+    assert(Robust.theilSen(withNull, "id", "x", "y").collect().length === 1)
+  }
+
   test("ksScreenFdr: only the planted-shift key rejects at q=0.05; null keys report p ~ 1") {
     import graft.operators.Drift
     import spark.implicits._

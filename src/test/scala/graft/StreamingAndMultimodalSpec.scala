@@ -782,6 +782,47 @@ class StreamingAndMultimodalSpec extends AnyFunSuite {
     out.toByteArray
   }
 
+  test("ssimPairs: identical=1, brightness shift < 1, unrelated ~ low, size mismatch and junk degrade") {
+    val spark2 = spark
+    import spark2.implicits._
+    val base = testImage(16, 12, "png")
+    // +16/255 brightness shift of the same structure
+    val brighter = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(base))
+      val out = new java.awt.image.BufferedImage(16, 12,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 12; x <- 0 until 16) {
+        val rgb = img.getRGB(x, y)
+        def cl(v: Int) = math.min(255, v + 16)
+        out.setRGB(x, y, (cl((rgb >> 16) & 0xFF) << 16) |
+          (cl((rgb >> 8) & 0xFF) << 8) | cl(rgb & 0xFF))
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos); bos.toByteArray
+    }
+    // unrelated: inverted-gradient checkerboard, same size
+    val unrelated = {
+      val img = new java.awt.image.BufferedImage(16, 12,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 12; x <- 0 until 16)
+        img.setRGB(x, y, if ((x + y) % 2 == 0) 0xFFFFFF else 0)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos); bos.toByteArray
+    }
+    val small = testImage(8, 8, "png")
+    val df = Seq(
+      (1L, base, base), (2L, base, brighter),
+      (3L, base, unrelated), (4L, base, small),
+      (5L, base, "junk".getBytes)).toDF("id", "a", "b")
+    val r = Multimodal.ssimPairs(df, "id", "a", "b").collect()
+      .map(x => x.getLong(0) -> x.getDouble(3)).toMap
+    assert(r(1L) === 1.0, s"self-SSIM must be exactly 1: ${r(1L)}")
+    assert(r(2L) > 0.5 && r(2L) < 1.0,
+      s"brightness shift keeps structure: ${r(2L)}")
+    assert(r(3L) < r(2L), s"unrelated must score below the shifted copy: $r")
+    assert(r(4L) === -2.0 && r(5L) === -2.0, "mismatch/junk take the sentinel")
+  }
+
   test("multimodal: real decode (javax.imageio) matches ImageIO ground truth pixel-for-pixel") {
     val spark2 = spark
     import spark2.implicits._
