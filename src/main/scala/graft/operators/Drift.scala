@@ -270,18 +270,94 @@ object Drift {
       .withColumn("p_value",
         when(col("__lam") < 0.3, 1.0)
           .otherwise(least(lit(1.0), greatest(lit(0.0), lit(2.0) * series))))
+    bhSelect(withP, "k", fdrQ)
+      .select(col("k").as(keyCol), col("n_ref"), col("n_cur"),
+        round(col("d"), 6).as("d"), round(col("p_value"), 6).as("p_value"),
+        col("rank"), col("rejected"))
+  }
+
+  /** Benjamini-Hochberg step-up selection over a bounded frame carrying
+    * `p_value`: adds `rank` (by p ascending, key tiebreak) and
+    * `rejected` (rank ≤ the largest r with p_(r) ≤ r·q/m). The whole-
+    * frame windows run on the m-row screen frame, never on data. */
+  private def bhSelect(df: DataFrame, keyCol: String, fdrQ: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val m = Window.orderBy(lit(1)).rowsBetween(
       Window.unboundedPreceding, Window.unboundedFollowing)
-    val ranked = withP
-      .withColumn("rank", row_number().over(Window.orderBy(col("p_value"), col("k"))))
+    df.withColumn("rank",
+        row_number().over(Window.orderBy(col("p_value"), col(keyCol))).cast("long"))
       .withColumn("__m", count(lit(1)).over(m))
       .withColumn("__pass",
         col("p_value") <= col("rank").cast("double") * fdrQ / col("__m"))
       .withColumn("__cut", max(when(col("__pass"), col("rank"))).over(m))
-    ranked.select(col("k").as(keyCol), col("n_ref"), col("n_cur"),
-      round(col("d"), 6).as("d"), round(col("p_value"), 6).as("p_value"),
-      col("rank").cast("long").as("rank"),
-      coalesce(col("rank") <= col("__cut"), lit(false)).as("rejected"))
+      .withColumn("rejected", coalesce(col("rank") <= col("__cut"), lit(false)))
+      .drop("__m", "__pass", "__cut")
+  }
+
+  /** Mann-Whitney U rank-sum drift screen (Mann & Whitney 1947) with
+    * the same per-key + BH-FDR posture as [[ksScreenFdr]] — the
+    * LOCATION-shift-sensitive companion: KS reacts to any CDF gap
+    * (shape, variance, tails); the rank-sum statistic concentrates its
+    * power on "did the values move up or down", and ships the effect
+    * size KS lacks (rank-biserial r = 2U/(n₁n₂) − 1 ∈ [−1,1], sign =
+    * direction of the shift).
+    *
+    * Mid-ranks come from ONE per-key cumulative window over the (key,
+    * value) count frame (avg rank of a tie block = cum − (t+1)/2 + 1);
+    * the tie-corrected normal approximation gives z, and Φ uses the
+    * Abramowitz-Stegun 7.1.26 erf polynomial — identical arithmetic in
+    * both engines (|ε| < 1.5e-7, far below the 6dp compare). FULL
+    * oracle. */
+  def rankSumScreenFdr(df: DataFrame, keyCol: String, valueCol: String,
+      refPred: Column, curPred: Column, fdrQ: Double = 0.05): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(fdrQ > 0 && fdrQ < 1, "fdrQ must be in (0,1)")
+    val u = df.filter(refPred || curPred)
+      .select(col(keyCol).as("k"), col(valueCol).cast("double").as("v"),
+        refPred.cast("long").as("__r"), curPred.cast("long").as("__c"))
+    val perV = u.groupBy(col("k"), col("v"))
+      .agg(sum(col("__r")).as("r"), sum(col("__c")).as("c"))
+      .withColumn("t", col("r") + col("c"))
+    val wc = Window.partitionBy(col("k")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // mid-rank of every row in this tie block: cum − (t−1)/2
+    val midRank = sum(col("t")).over(wc).cast("double") -
+      (col("t").cast("double") - 1.0) / 2.0
+    val perKey = perV
+      .withColumn("__mr", midRank)
+      .groupBy(col("k"))
+      .agg(sum(col("r")).as("n_ref"), sum(col("c")).as("n_cur"),
+        sum(col("__mr") * col("r")).as("__rsum"),
+        sum(col("t") * col("t") * col("t") - col("t")).as("__ties"))
+    val n1 = col("n_ref").cast("double")
+    val n2 = col("n_cur").cast("double")
+    val n = n1 + n2
+    val uStat = col("__rsum") - n1 * (n1 + 1.0) / 2.0
+    val varU = n1 * n2 / 12.0 *
+      ((n + 1.0) - col("__ties").cast("double") / (n * (n - 1.0)))
+    val z = (col("__u") - n1 * n2 / 2.0) / sqrt(col("__var"))
+    // Φ(|z|) via A&S 7.1.26: erf(x) = 1 − poly(t)·e^{−x²}, t = 1/(1+px)
+    val x = abs(col("__z")) / math.sqrt(2.0)
+    val t = lit(1.0) / (lit(1.0) + lit(0.3275911) * x)
+    val poly = (lit(0.254829592) * t - lit(0.284496736) * t * t +
+      lit(1.421413741) * t * t * t - lit(1.453152027) * t * t * t * t +
+      lit(1.061405429) * t * t * t * t * t)
+    val erfAbs = lit(1.0) - poly * exp(-x * x)
+    val p = lit(1.0) - erfAbs // 2·(1 − Φ(|z|)) = 1 − erf(|z|/√2)
+    val withP = perKey
+      .withColumn("__u", uStat)
+      .withColumn("__var", varU)
+      .withColumn("__z", when(col("__var") > 0, z).otherwise(0.0))
+      .withColumn("effect_r",
+        round(lit(2.0) * col("__u") / (n1 * n2) - 1.0, 6))
+      .withColumn("p_value",
+        when(col("__var") > 0, least(lit(1.0), greatest(lit(0.0), p)))
+          .otherwise(1.0))
+    bhSelect(withP, "k", fdrQ)
+      .select(col("k").as(keyCol), col("n_ref"), col("n_cur"),
+        round(col("__z"), 6).as("z"), col("effect_r"),
+        round(col("p_value"), 6).as("p_value"),
+        col("rank"), col("rejected"))
   }
 
   /** Exact 1-D Wasserstein-1 (earth mover's) distance — the drift

@@ -59,6 +59,62 @@ object QualityModel {
 
   /** held-out ROC AUC (MLlib evaluator over the P(1) score) — the spec
     * gate */
+  /** Isotonic (PAV) probability calibration (Ayer et al. 1955; Zadrozny
+    * & Elkan 2002) — the monotone recalibration step between a quality
+    * scorer and a THRESHOLD: a classifier's raw scores rank well but
+    * their values aren't probabilities, so "keep docs above 0.8" means
+    * nothing until scores are calibrated against observed label rates.
+    *
+    * Distributed shape: scores bucket into `bins` equal-width bins
+    * (ONE hash agg — the only data-sized stage), the bounded bin frame
+    * collects to the driver where pool-adjacent-violators merges
+    * neighbors until the label-rate sequence is monotone (count-
+    * weighted means — the exact PAV solution on the binned data), and
+    * the resulting step function broadcasts back as a map-side lookup
+    * join. Deterministic; no SQL oracle (PAV's pooling is inherently
+    * sequential) — gated by QualityRulesSpec laws instead.
+    *
+    * Returns df + `calibrated` ∈ [0,1], monotone in `scoreCol`. */
+  def isotonicCalibrate(df: DataFrame, scoreCol: String, labelCol: String,
+      bins: Int = 100): DataFrame = {
+    require(bins >= 2, "bins must be >= 2")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val stats = df.agg(min(col(scoreCol).cast("double")).as("lo"),
+      max(col(scoreCol).cast("double")).as("hi")).head()
+    val (lo, hi) = (stats.getDouble(0), stats.getDouble(1))
+    val width = math.max((hi - lo) / bins, 1e-12)
+    def binOf = least(greatest(
+      floor((col(scoreCol).cast("double") - lo) / width), lit(0)),
+      lit(bins - 1)).cast("int")
+    val binned = df.groupBy(binOf.as("__bin"))
+      .agg(count(lit(1)).as("n"),
+        avg(col(labelCol).cast("double")).as("rate"))
+      .orderBy(col("__bin"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    // PAV: merge adjacent pools while a violation (rate decrease) exists
+    final case class Pool(minBin: Int, maxBin: Int, n: Long, rate: Double)
+    val pools = scala.collection.mutable.ArrayBuffer[Pool]()
+    binned.foreach { case (b, n, r) =>
+      pools += Pool(b, b, n, r)
+      while (pools.length >= 2 &&
+          pools(pools.length - 2).rate > pools.last.rate) {
+        val right = pools.remove(pools.length - 1)
+        val left = pools.remove(pools.length - 1)
+        val n2 = left.n + right.n
+        pools += Pool(left.minBin, right.maxBin, n2,
+          (left.rate * left.n + right.rate * right.n) / n2)
+      }
+    }
+    val lookup = pools.flatMap(p =>
+      (p.minBin to p.maxBin).map(b => (b, p.rate))).toSeq
+      .toDF("__bin", "calibrated")
+    df.withColumn("__bin", binOf)
+      .join(broadcast(lookup), Seq("__bin"), "left")
+      .withColumn("calibrated", round(col("calibrated"), 6))
+      .drop("__bin")
+  }
+
   def auc(model: Model, labeled: DataFrame, textCol: String,
       labelCol: String): Double = {
     val scored = score(model,

@@ -1215,6 +1215,31 @@ object DocumentQueries extends QueryModule {
       None,
       doc = "rule-distilled quality classifier scores, AUC-gated in QualityRulesSpec"),
 
+    // ---- isotonic (PAV) calibration of the quality scores: raw
+    // classifier scores rank well but mean nothing as probabilities;
+    // the step function makes "keep above 0.8" a statement about
+    // observed label rates. PAV runs on the bounded bin frame.
+    "q_quality_calibrated" -> Q(
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+        val m = d.select(col("doc_id") +: col("text") +:
+          TA.ruleMetrics(col("text")).map { case (n, c) => c.as(n) }: _*)
+        val flags = TA.ruleFlags(n => col(n))
+        val labeled = m.withColumn("label",
+          TA.ruleKeep(flags.map(_._2)).cast("int"))
+        val model = graft.operators.QualityModel.train(
+          labeled.filter(col("doc_id") % 2 === 0), "text", "label", maxIter = 15)
+        val scored = graft.operators.QualityModel.score(
+          model, labeled.filter(col("doc_id") % 2 === 1), "text")
+        graft.operators.QualityModel.isotonicCalibrate(
+            scored, "quality_prob", "label", bins = 20)
+          .select(col("doc_id"), col("label"),
+            round(col("quality_prob"), 6).as("quality_prob"), col("calibrated"))
+          .orderBy(col("doc_id")).limit(100)
+      },
+      None,
+      doc = "PAV-calibrated quality probabilities (monotone step function over score bins)"),
+
     // ---- PMI collocations: +-2 skip-window pair counts, map-side pair
     // generation (no positions self-join), one hash-agg shuffle;
     // unigrams + totals ride as broadcasts.

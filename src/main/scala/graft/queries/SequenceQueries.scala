@@ -634,6 +634,44 @@ object SequenceQueries extends QueryModule {
              |FROM cut ORDER BY rank""".stripMargin.replace('\n', ' ')),
       doc = "BH-FDR drift screen: per-event-type KS p-values, q=0.05 selection"),
 
+    // ---- Mann-Whitney rank-sum drift screen: the location-shift
+    // companion to q_drift_ks_fdr, with rank-biserial effect size and
+    // the same BH-FDR selection; Φ via the A&S 7.1.26 erf polynomial,
+    // identical arithmetic both engines
+    "q_drift_ranksum" -> Q(
+      (s, dir) => graft.operators.Drift.rankSumScreenFdr(
+          table(s, dir, "events"), "event_type", "value",
+          col("ts") < lit("2024-01-16").cast("timestamp"),
+          col("ts") >= lit("2024-01-16").cast("timestamp"), fdrQ = 0.05)
+        .orderBy(col("rank")),
+      Some("""WITH u AS (SELECT event_type AS k, value::DOUBLE AS v,
+             |  CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS tr,
+             |  CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS tc
+             |  FROM events),
+             |pv AS (SELECT k, v, sum(tr) AS r, sum(tc) AS c, sum(tr)+sum(tc) AS t FROM u GROUP BY 1, 2),
+             |mr AS (SELECT *, sum(t) OVER (PARTITION BY k ORDER BY v ROWS UNBOUNDED PRECEDING) - (t - 1.0)/2.0 AS m FROM pv),
+             |pk AS (SELECT k, sum(r)::BIGINT AS n_ref, sum(c)::BIGINT AS n_cur,
+             |  sum(m*r) AS rsum, sum(t*t*t - t) AS ties FROM mr GROUP BY 1),
+             |st AS (SELECT k, n_ref, n_cur,
+             |  rsum - n_ref*1.0*(n_ref + 1.0)/2.0 AS uu,
+             |  n_ref*1.0*n_cur/12.0 * ((n_ref + n_cur + 1.0) - ties*1.0/((n_ref + n_cur)*1.0*(n_ref + n_cur - 1.0))) AS vr
+             |  FROM pk),
+             |zz AS (SELECT *, CASE WHEN vr > 0 THEN (uu - n_ref*1.0*n_cur/2.0)/sqrt(vr) ELSE 0.0 END AS z FROM st),
+             |pp AS (SELECT *, abs(z)/sqrt(2.0) AS x, 1.0/(1.0 + 0.3275911*abs(z)/sqrt(2.0)) AS tt FROM zz),
+             |p2 AS (SELECT k, n_ref, n_cur, z,
+             |  round(2.0*uu/(n_ref*1.0*n_cur) - 1.0, 6) AS effect_r,
+             |  CASE WHEN vr > 0 THEN least(1.0, greatest(0.0,
+             |    1.0 - (1.0 - (0.254829592*tt - 0.284496736*tt*tt + 1.421413741*tt*tt*tt
+             |      - 1.453152027*tt*tt*tt*tt + 1.061405429*tt*tt*tt*tt*tt)*exp(-x*x))))
+             |  ELSE 1.0 END AS p_value FROM pp),
+             |r AS (SELECT *, row_number() OVER (ORDER BY p_value, k) AS rank,
+             |  count(*) OVER () AS mm FROM p2),
+             |cut AS (SELECT *, max(CASE WHEN p_value <= rank*1.0*0.05/mm THEN rank END) OVER () AS mx FROM r)
+             |SELECT k AS event_type, n_ref, n_cur, round(z, 6) AS z, effect_r,
+             |round(p_value, 6) AS p_value, rank, coalesce(rank <= mx, false) AS rejected
+             |FROM cut ORDER BY rank""".stripMargin.replace('\n', ' ')),
+      doc = "Mann-Whitney rank-sum drift screen with rank-biserial effect + BH-FDR"),
+
     // ---- two-sided CUSUM changepoint monitor (Page 1954): sustained
     // shifts accumulate past h where z-scores see only single points;
     // the (s+, s-) fold replays exactly in SQL like q_events_holt

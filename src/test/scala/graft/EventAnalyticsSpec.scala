@@ -233,6 +233,35 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(none.forall(r => !r.getBoolean(6) && r.getDouble(4) > 0.99))
   }
 
+  test("rankSumScreenFdr: planted shift rejects with directional effect size; exchangeable nulls survive; U law on a hand case") {
+    import graft.operators.Drift
+    import spark.implicits._
+    val rows = for {
+      key <- Seq("k0", "k1", "k2", "k3")
+      i <- 1 to 400
+      period <- Seq(0, 1)
+    } yield {
+      val base = math.abs(key.hashCode * 31 + i) % 1000 / 100.0
+      (key, period, if (key == "k0" && period == 1) base + 3.0 else base)
+    }
+    val out = Drift.rankSumScreenFdr(rows.toDF("k", "period", "v"), "k", "v",
+        col("period") === 0, col("period") === 1, fdrQ = 0.05)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("effect_r"), r.getAs[Double]("p_value"),
+         r.getAs[Boolean]("rejected"))).toMap
+    assert(out("k0")._3 && out("k0")._2 < 0.001, s"shift must reject: $out")
+    // cur shifted UP -> ref ranks low -> U_ref small -> effect_r negative
+    assert(out("k0")._1 < -0.2, s"effect must be directional: ${out("k0")}")
+    assert(Seq("k1", "k2", "k3").forall(k => !out(k)._3 && out(k)._2 > 0.9),
+      s"exchangeable keys: $out")
+    // hand case: ref {1,2,3} vs cur {4,5,6}: R1 = 6, U = 0, effect -1
+    val hand = Seq(("a", 0, 1.0), ("a", 0, 2.0), ("a", 0, 3.0),
+      ("a", 1, 4.0), ("a", 1, 5.0), ("a", 1, 6.0)).toDF("k", "period", "v")
+    val h = Drift.rankSumScreenFdr(hand, "k", "v",
+      col("period") === 0, col("period") === 1).collect().head
+    assert(h.getAs[Double]("effect_r") === -1.0)
+  }
+
   test("cusum: flat-at-target stays zero; sustained shift accumulates and alarms; brief spike does not") {
     import graft.operators.EventAnalytics
     import spark.implicits._

@@ -457,6 +457,39 @@ class QualityRulesSpec extends AnyFunSuite {
     assert(r2(4L) === ((0L, 0.0, 0.0, 0.0)), "cand below n yields zeros, not NULLs")
   }
 
+  test("isotonicCalibrate: output monotone in score, pools violations to weighted means, preserves base rate") {
+    import spark.implicits._
+    import graft.operators.QualityModel
+    val rnd = new scala.util.Random(5)
+    // labels follow a NON-monotone bump: p(label) = 0.2 for s<0.5 except
+    // a violation pocket at [0.2, 0.3) with p=0.9 that PAV must pool
+    val rows = (1 to 4000).map { i =>
+      val s = rnd.nextDouble()
+      val p = if (s >= 0.5) 0.8 else if (s >= 0.2 && s < 0.3) 0.9 else 0.2
+      (i.toLong, s, if (rnd.nextDouble() < p) 1 else 0)
+    }
+    val df = rows.toDF("id", "score", "label")
+    val out = QualityModel.isotonicCalibrate(df, "score", "label", bins = 20)
+      .select("score", "calibrated").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1))).sortBy(_._1)
+    // monotone: calibrated never decreases as score increases
+    assert(out.sliding(2).forall(p => p(1)._2 >= p(0)._2 - 1e-9),
+      "calibrated output must be non-decreasing in score")
+    // range is a probability
+    assert(out.forall(p => p._2 >= 0.0 && p._2 <= 1.0))
+    // count-weighted mean of calibrated == observed base rate (PAV
+    // preserves the weighted mean on pooled blocks)
+    val base = rows.map(_._3).sum.toDouble / rows.length
+    val calMean = out.map(_._2).sum / out.length
+    assert(math.abs(calMean - base) < 0.02, s"base $base vs calibrated mean $calMean")
+    // the high-score region calibrates near its true 0.8, the pocket
+    // is pooled DOWN below its raw 0.9
+    val hi = out.filter(_._1 > 0.7).map(_._2)
+    assert(math.abs(hi.sum / hi.length - 0.8) < 0.1)
+    val pocket = out.filter(p => p._1 >= 0.2 && p._1 < 0.3).map(_._2)
+    assert(pocket.max < 0.7, s"violation pocket must pool down: ${pocket.max}")
+  }
+
   test("bleu: identity=1, brevity penalty, clipping, zero-precision collapse") {
     import spark.implicits._
     import graft.operators.TextAnalysis
