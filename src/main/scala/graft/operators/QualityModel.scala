@@ -115,6 +115,64 @@ object QualityModel {
       .drop("__bin")
   }
 
+  /** Exact tie-corrected ROC AUC from mid-ranks (the Mann-Whitney
+    * identity AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺n⁻)) — the evaluation
+    * number behind every "is this quality filter any good" decision,
+    * as a DataFrame op with a FULL SQL oracle (the MLlib-based [[auc]]
+    * gate has none). Mid-ranks come from one cumulative window over
+    * the distinct-score count frame; eval sets are bounded by
+    * contract, so the keyless window frame is the eval set's distinct
+    * scores, not the corpus. Returns one row
+    * `(n_pos, n_neg, auc)` (6dp). */
+  def aucExact(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perV = df
+      .select(col(scoreCol).cast("double").as("s"),
+        col(labelCol).cast("long").as("y"))
+      .filter(col("s").isNotNull && col("y").isNotNull)
+      .groupBy(col("s"))
+      .agg(sum(col("y")).as("p"), count(lit(1)).as("t"))
+    val wc = Window.orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val midRank = sum(col("t")).over(wc).cast("double") -
+      (col("t").cast("double") - 1.0) / 2.0
+    perV.withColumn("__mr", midRank)
+      .agg(sum(col("p")).as("n_pos"),
+        (sum(col("t")) - sum(col("p"))).as("n_neg"),
+        sum(col("__mr") * col("p")).as("__rsum"))
+      .select(col("n_pos"), col("n_neg"),
+        round((col("__rsum") - col("n_pos").cast("double") *
+          (col("n_pos") + 1.0) / 2.0) /
+          (col("n_pos").cast("double") * col("n_neg")), 6).as("auc"))
+  }
+
+  /** Reliability table + expected calibration error (Naeini et al.
+    * 2015's ECE on equal-width bins): per score bin, the mean
+    * predicted probability (confidence) vs the observed label rate
+    * (accuracy) and the bin's |gap|; the SAME weighted |gap| summed
+    * over bins is ECE — the one number that says whether
+    * [[isotonicCalibrate]] is needed. One hash agg over the bin key;
+    * FULL oracle. Returns per-bin rows
+    * `(bin, n, confidence, accuracy, gap, ece_term)`. */
+  def calibrationReport(df: DataFrame, scoreCol: String, labelCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, "bins must be >= 2")
+    val s = col(scoreCol).cast("double")
+    val b = least(greatest(floor(s * bins), lit(0)), lit(bins - 1)).cast("int")
+    val g = df.filter(s.isNotNull)
+      .groupBy(b.as("bin"))
+      .agg(count(lit(1)).as("n"), avg(s).as("__conf"),
+        avg(col(labelCol).cast("double")).as("__acc"))
+    val tot = g.agg(sum(col("n")).cast("double").as("__nt"))
+    g.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n"),
+        round(col("__conf"), 6).as("confidence"),
+        round(col("__acc"), 6).as("accuracy"),
+        round(abs(col("__acc") - col("__conf")), 6).as("gap"),
+        round(col("n") / col("__nt") * abs(col("__acc") - col("__conf")), 6)
+          .as("ece_term"))
+  }
+
   def auc(model: Model, labeled: DataFrame, textCol: String,
       labelCol: String): Double = {
     val scored = score(model,

@@ -1240,6 +1240,55 @@ object DocumentQueries extends QueryModule {
       None,
       doc = "PAV-calibrated quality probabilities (monotone step function over score bins)"),
 
+    // ---- exact tie-corrected AUC via the Mann-Whitney rank identity:
+    // does the deterministic quality score rank long documents above
+    // short ones — the filter-evaluation number with a FULL oracle
+    // (the MLlib AUC gate has none)
+    "q_auc_exact" -> Q(
+      (s, dir) => graft.operators.QualityModel.aucExact(
+          table(s, dir, "documents")
+            .select(TA.qualityScore(col("text")).as("score"),
+              (length(col("text")) >= 500).cast("int").as("label")),
+          "score", "label"),
+      Some("""WITH t AS (SELECT length(text) AS c, string_split(text,' ') AS w,
+             |  length(text) >= 500 AS y FROM documents),
+             |q AS (SELECT round(0.3*least(len(w)/50.0, 1.0)
+             |  + 0.3*(len(list_distinct(w))::DOUBLE/len(w))
+             |  + 0.2*(1.0 - len(list_filter(w, x -> x IN ('the','a','of','and','to')))::DOUBLE/len(w))
+             |  + 0.2*least(((c - len(w) + 1.0)/len(w))/6.0, 1.0), 6) AS sc,
+             |  CASE WHEN y THEN 1 ELSE 0 END AS yy FROM t),
+             |pv AS (SELECT sc, sum(yy) AS p, count(*) AS t FROM q GROUP BY sc),
+             |mr AS (SELECT *, sum(t) OVER (ORDER BY sc ROWS UNBOUNDED PRECEDING) - (t - 1.0)/2.0 AS m FROM pv)
+             |SELECT sum(p)::BIGINT AS n_pos, (sum(t) - sum(p))::BIGINT AS n_neg,
+             |round((sum(m*p) - sum(p)*1.0*(sum(p) + 1.0)/2.0)/(sum(p)*1.0*(sum(t) - sum(p))), 6) AS auc
+             |FROM mr""".stripMargin.replace('\n', ' ')),
+      doc = "exact tie-corrected AUC of the quality score against a length label"),
+
+    // ---- reliability table + ECE terms (Naeini 2015): per-bin
+    // confidence vs observed accuracy — the number that says whether
+    // calibration is needed at all
+    "q_calibration_bins" -> Q(
+      (s, dir) => graft.operators.QualityModel.calibrationReport(
+          table(s, dir, "documents")
+            .select(TA.qualityScore(col("text")).as("score"),
+              (length(col("text")) >= 500).cast("int").as("label")),
+          "score", "label", bins = 10)
+        .orderBy(col("bin")),
+      Some("""WITH t AS (SELECT length(text) AS c, string_split(text,' ') AS w,
+             |  CASE WHEN length(text) >= 500 THEN 1.0 ELSE 0.0 END AS y FROM documents),
+             |q AS (SELECT round(0.3*least(len(w)/50.0, 1.0)
+             |  + 0.3*(len(list_distinct(w))::DOUBLE/len(w))
+             |  + 0.2*(1.0 - len(list_filter(w, x -> x IN ('the','a','of','and','to')))::DOUBLE/len(w))
+             |  + 0.2*least(((c - len(w) + 1.0)/len(w))/6.0, 1.0), 6) AS sc, y FROM t),
+             |g AS (SELECT CAST(least(greatest(floor(sc*10), 0), 9) AS INT) AS bin,
+             |  count(*) AS n, avg(sc) AS conf, avg(y) AS acc FROM q GROUP BY 1),
+             |tt AS (SELECT sum(n)::DOUBLE AS nt FROM g)
+             |SELECT bin, n, round(conf, 6) AS confidence, round(acc, 6) AS accuracy,
+             |round(abs(acc - conf), 6) AS gap,
+             |round(n/nt*abs(acc - conf), 6) AS ece_term
+             |FROM g, tt ORDER BY bin""".stripMargin.replace('\n', ' ')),
+      doc = "reliability diagram bins + ECE terms for the quality score"),
+
     // ---- PMI collocations: +-2 skip-window pair counts, map-side pair
     // generation (no positions self-join), one hash-agg shuffle;
     // unigrams + totals ride as broadcasts.

@@ -457,6 +457,41 @@ class QualityRulesSpec extends AnyFunSuite {
     assert(r2(4L) === ((0L, 0.0, 0.0, 0.0)), "cand below n yields zeros, not NULLs")
   }
 
+  test("aucExact: separation=1, reversal=0, all-tied=0.5, hand-computed tie case") {
+    import spark.implicits._
+    import graft.operators.QualityModel
+    def auc(rows: Seq[(Double, Int)]): Double =
+      QualityModel.aucExact(rows.toDF("s", "y"), "s", "y")
+        .collect().head.getAs[Double]("auc")
+    assert(auc(Seq((0.1, 0), (0.2, 0), (0.8, 1), (0.9, 1))) === 1.0)
+    assert(auc(Seq((0.9, 0), (0.8, 0), (0.1, 1), (0.2, 1))) === 0.0)
+    assert(auc(Seq((0.5, 0), (0.5, 1), (0.5, 0), (0.5, 1))) === 0.5)
+    // ties straddling classes: scores (1,2,2,3), labels (0,0,1,1):
+    // pos ranks 2.5 + 4 = 6.5, U = 6.5 - 3 = 3.5, AUC = 3.5/4
+    assert(auc(Seq((1.0, 0), (2.0, 0), (2.0, 1), (3.0, 1))) === 0.875)
+  }
+
+  test("calibrationReport: perfectly calibrated scores gap ~0; constant overconfidence shows up as ECE") {
+    import spark.implicits._
+    import graft.operators.QualityModel
+    val rnd = new scala.util.Random(9)
+    // calibrated: P(y=1 | s) == s
+    val cal = (1 to 5000).map { _ =>
+      val s = rnd.nextDouble()
+      (s, if (rnd.nextDouble() < s) 1 else 0)
+    }.toDF("s", "y")
+    val r1 = QualityModel.calibrationReport(cal, "s", "y", bins = 10).collect()
+    val ece1 = r1.map(_.getAs[Double]("ece_term")).sum
+    assert(ece1 < 0.03, s"calibrated data must have small ECE: $ece1")
+    // overconfident: scores near 0.9 but true rate 0.5
+    val over = (1 to 2000).map { _ =>
+      (0.85 + rnd.nextDouble() * 0.1, if (rnd.nextDouble() < 0.5) 1 else 0)
+    }.toDF("s", "y")
+    val r2 = QualityModel.calibrationReport(over, "s", "y", bins = 10).collect()
+    val ece2 = r2.map(_.getAs[Double]("ece_term")).sum
+    assert(ece2 > 0.3, s"overconfidence must surface: $ece2")
+  }
+
   test("isotonicCalibrate: output monotone in score, pools violations to weighted means, preserves base rate") {
     import spark.implicits._
     import graft.operators.QualityModel
