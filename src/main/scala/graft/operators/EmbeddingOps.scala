@@ -94,6 +94,64 @@ object EmbeddingOps {
         ((col("dist") - col("__mu")) / col("__sigma")).as("z"))
   }
 
+  /** DBSCAN density clustering over the embedding space (Ester et al.
+    * 1996) in cosine distance — the "find the blobs AND the noise"
+    * step between near-dup pairs and corpus curation: semantic topic
+    * islands cluster, one-off outliers stay labeled noise instead of
+    * being forced into a nearest centroid the way k-means does.
+    *
+    * Composed from two already-verified distributed pieces:
+    * ε-neighbor pairs come from [[Dedup.embeddingNearDupPairs]]'
+    * LOSSLESS angular cluster blocking (threshold = 1 − eps; no
+    * all-pairs, salt-split hot clusters), and core-core edges collapse
+    * through [[Dedup.connectedComponents]]' pointer-jumping
+    * min-label propagation (O(log n) rounds). Core points have ≥
+    * minPts−1 neighbors (minPts counting the point itself — the
+    * paper's convention); borders attach to their minimum core
+    * cluster; everything else is noise (cluster −1). Border
+    * attachment to the MIN core id keeps the labeling deterministic
+    * where the paper leaves it order-dependent.
+    *
+    * Returns (id, cluster, role ∈ core|border|noise). */
+  def dbscan(emb: DataFrame, idCol: String, vecCol: String,
+      eps: Double, minPts: Int, nClusters: Int = 16): DataFrame = {
+    require(eps > 0 && eps < 1, "eps is a cosine distance in (0,1)")
+    require(minPts >= 2, "minPts must be >= 2")
+    val pairs = Dedup.embeddingNearDupPairs(emb, idCol, vecCol,
+        threshold = 1.0 - eps, nClusters)
+      .select(col("id_a").cast("long").as("a"), col("id_b").cast("long").as("b"))
+      .localCheckpoint() // three consumers (degrees, core edges, border join)
+    val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
+    val degrees = edges.groupBy(col("a").as("id"))
+      .agg(count(lit(1)).as("__deg"))
+    val ids = emb.select(col(idCol).cast("long").as("id"))
+    val cores = ids.join(degrees, Seq("id"), "left")
+      .filter(coalesce(col("__deg"), lit(0L)) >= minPts - 1)
+      .select(col("id"))
+    val coreEdges = edges
+      .join(cores.withColumnRenamed("id", "a"), Seq("a"), "left_semi")
+      .join(cores.withColumnRenamed("id", "b"), Seq("b"), "left_semi")
+    val coreClusters = Dedup.connectedComponents(coreEdges, "a", "b")
+      .select(col("id"), col("component_id").as("cluster"))
+      // isolated cores (no core neighbor) form their own singleton
+      // cluster keyed by their id
+      .unionByName(cores.join(
+          coreEdges.select(col("a").as("id")).distinct(), Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("cluster")))
+    val borderAttach = edges
+      .join(coreClusters.withColumnRenamed("id", "b")
+        .withColumnRenamed("cluster", "__bc"), Seq("b"))
+      .groupBy(col("a").as("id")).agg(min(col("__bc")).as("__battach"))
+    ids
+      .join(coreClusters, Seq("id"), "left")
+      .join(borderAttach, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("cluster"), col("__battach"), lit(-1L)).as("cluster"),
+        when(col("cluster").isNotNull, "core")
+          .when(col("__battach").isNotNull, "border")
+          .otherwise("noise").as("role"))
+  }
+
   /** kNN label-agreement noise score (Wilson 1972's edited
     * nearest-neighbor rule, the instance-level complement to
     * [[labelOutliers]]'s per-class centroid z): for each audited

@@ -379,6 +379,36 @@ object VectorQueries extends QueryModule {
              |FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id < 5) q
              |WHERE e.vec_id >= 5) t WHERE rank <= 3 ORDER BY qid, rank""".stripMargin.replace('\n', ' '))),
 
+    // ---- DBSCAN density clustering (Ester 1996) in cosine space:
+    // lossless blocked ε-pairs + pointer-jumping components for cores,
+    // min-cluster border attachment, noise = -1. Oracle replays the
+    // whole pipeline: brute-force pairs + recursive-CTE closure.
+    "q_vec_dbscan" -> Q(
+      (s, dir) => graft.operators.EmbeddingOps.dbscan(
+          table(s, dir, E), "vec_id", "embedding", eps = 0.6, minPts = 4)
+        .orderBy(col("id")),
+      Some("""WITH RECURSIVE p AS (SELECT a.vec_id AS a, b.vec_id AS b
+             |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+             |  WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) > 0.4),
+             |e AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+             |deg AS (SELECT a AS id, count(*) AS d FROM e GROUP BY 1),
+             |core AS (SELECT id FROM deg WHERE d >= 3),
+             |ce AS (SELECT e.a, e.b FROM e JOIN core ca ON ca.id = e.a JOIN core cb ON cb.id = e.b),
+             |walk(a, b) AS (SELECT a, b FROM ce UNION SELECT w.a, e2.b FROM walk w JOIN ce e2 ON w.b = e2.a),
+             |clab AS (SELECT a AS id, least(a, min(b)) AS cluster FROM walk GROUP BY a),
+             |cc AS (SELECT core.id, coalesce(clab.cluster, core.id) AS cluster
+             |  FROM core LEFT JOIN clab ON clab.id = core.id),
+             |battach AS (SELECT e.a AS id, min(cc.cluster) AS bcluster
+             |  FROM e JOIN cc ON cc.id = e.b GROUP BY 1),
+             |ids AS (SELECT vec_id AS id FROM embeddings)
+             |SELECT ids.id AS id, coalesce(cc.cluster, battach.bcluster, -1) AS cluster,
+             |CASE WHEN cc.cluster IS NOT NULL THEN 'core'
+             |WHEN battach.bcluster IS NOT NULL THEN 'border' ELSE 'noise' END AS role
+             |FROM ids LEFT JOIN cc ON cc.id = ids.id
+             |LEFT JOIN battach ON battach.id = ids.id
+             |ORDER BY ids.id""".stripMargin.replace('\n', ' ')),
+      doc = "DBSCAN over embeddings: core/border/noise with deterministic labels"),
+
     // ---- kNN label-agreement noise audit (Wilson 1972 edited-NN):
     // fraction of each audited sample's 10 cosine-nearest neighbors
     // sharing its label + the neighborhood majority — the swap-noise

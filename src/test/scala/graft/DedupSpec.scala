@@ -750,6 +750,39 @@ class DedupSpec extends AnyFunSuite {
     assert(got == want, s"got=$got want=$want")
   }
 
+  test("dbscan: planted directional blobs cluster, isolated points stay noise, borders attach; deterministic") {
+    import graft.operators.EmbeddingOps
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def around(base: Array[Float], jitter: Float) =
+      base.map(v => v + rnd.nextGaussian().toFloat * jitter)
+    val a = Array(1f, 0f, 0f, 0f)
+    val b = Array(0f, 1f, 0f, 0f)
+    // two tight blobs of 10 + far-flung noise singletons (orthogonal-ish
+    // directions, no neighbors at eps)
+    val rows = (1L to 10L).map(i => (i, around(a, 0.02f))) ++
+      (11L to 20L).map(i => (i, around(b, 0.02f))) ++
+      Seq((100L, Array(0f, 0f, 1f, 0f)), (101L, Array(0f, 0f, 0f, 1f)),
+        (102L, Array(0.7f, 0f, -0.7f, 0.2f)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val out = EmbeddingOps.dbscan(emb, "vec_id", "embedding",
+        eps = 0.1, minPts = 4, nClusters = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byId = out.map(t => t._1 -> t).toMap
+    // blob A all one cluster (min id 1), blob B another (min id 11)
+    assert((1L to 10L).forall(i => byId(i)._2 === 1L && byId(i)._3 === "core"),
+      s"blob A: ${out.filter(_._1 <= 10).toSeq}")
+    assert((11L to 20L).forall(i => byId(i)._2 === 11L && byId(i)._3 === "core"))
+    // singletons are noise with cluster -1
+    assert(Seq(100L, 101L, 102L).forall(i =>
+      byId(i)._2 === -1L && byId(i)._3 === "noise"))
+    // determinism
+    val out2 = EmbeddingOps.dbscan(emb, "vec_id", "embedding",
+      eps = 0.1, minPts = 4, nClusters = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.sortBy(_._1).toSeq === out2.sortBy(_._1).toSeq)
+  }
+
   test("knnLabelAgreement: a swapped label scores agreement 0 with the true majority; clean points score 1") {
     import graft.operators.EmbeddingOps
     import spark.implicits._
