@@ -306,6 +306,38 @@ object EventAnalytics {
       .drop("__vals", "__s")
   }
 
+  /** Eventually-follows support table (the α-algorithm's precedence
+    * relation from process mining, van der Aalst 2004 — and the
+    * gapped generalization of the ADJACENT-only bigram transitions):
+    * for every ordered type pair (a, b), how many users had SOME a
+    * event strictly before SOME b event (min_ts(a) < max_ts(b)), and
+    * the confidence against all users who had a at all. Funnels check
+    * ONE prescribed path; this surfaces every pairwise ordering the
+    * log actually contains.
+    *
+    * Scale shape: ONE (user, type) min/max hash agg does the
+    * data-sized work; the per-user type-pair join runs on the
+    * user×|types| frame (types bounded by contract), and the final
+    * agg is pair-keyed. FULL oracle. */
+  def eventualFollow(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String): DataFrame = {
+    val g = events.groupBy(col(userCol).as("u"), col(typeCol).as("t"))
+      .agg(min(col(tsCol)).as("mn"), max(col(tsCol)).as("mx"))
+    val fromUsers = g.groupBy(col("t").as("from_type"))
+      .agg(count(lit(1)).as("n_from_users"))
+    g.as("a").join(g.as("b"),
+        col("a.u") === col("b.u") && col("a.t") =!= col("b.t"))
+      .select(col("a.t").as("from_type"), col("b.t").as("to_type"),
+        (col("a.mn") < col("b.mx")).cast("long").as("f"))
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(sum(col("f")).as("n_follow"))
+      .join(broadcast(fromUsers), "from_type")
+      .select(col("from_type"), col("to_type"), col("n_follow"),
+        col("n_from_users"),
+        round(col("n_follow").cast("double") / col("n_from_users"), 6)
+          .as("confidence"))
+  }
+
   /** Two-sided CUSUM changepoint detector (Page 1954) over the
     * trailing `window` observations per key: s⁺_t = max(0, s⁺_{t−1} +
     * x_t − μ0 − κ), s⁻_t = max(0, s⁻_{t−1} + μ0 − x_t − κ), alarm when

@@ -152,6 +152,37 @@ object InfoTheory {
       .select(col("src"), col("rank"), col("term"), col("z"))
   }
 
+  /** Word burstiness (Church & Gale 1995): the Fano factor (variance /
+    * mean of per-doc counts over the docs CONTAINING the word) — the
+    * corpus-linguistics audit that separates topical content words
+    * (bursty: absent mostly, heavy where present) from function words
+    * (Poisson-ish: everywhere at steady rate). Complements the Zipf
+    * slope (frequency SHAPE) and [[tokenGini]] (frequency INEQUALITY)
+    * with the document-dispersion axis; a synthetic corpus whose
+    * "content" words aren't bursty fails this fingerprint.
+    *
+    * Scale shape: ONE (doc, token) hash agg is the data-sized stage;
+    * per-token moments re-agg from it (vocab-sized). Restricted to
+    * tokens in ≥ `minDf` docs so the sample variance is meaningful.
+    * Returns (token, df, n_total, mean_tf, fano) — FULL oracle. */
+  def burstiness(docs: DataFrame, idCol: String, textCol: String,
+      minDf: Int = 50): DataFrame = {
+    val dt = docs
+      .select(col(idCol).as("d"),
+        explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .groupBy(col("d"), col("token"))
+      .agg(count(lit(1)).cast("double").as("c"))
+    dt.groupBy(col("token"))
+      .agg(count(lit(1)).as("df"),
+        sum(col("c")).cast("long").as("n_total"),
+        avg(col("c")).as("__mean"),
+        var_samp(col("c")).as("__var"))
+      .filter(col("df") >= minDf)
+      .select(col("token"), col("df"), col("n_total"),
+        round(col("__mean"), 6).as("mean_tf"),
+        round(col("__var") / col("__mean"), 6).as("fano"))
+  }
+
   /** DoReMi-flavored domain reweighting (Xie et al. 2023's recipe,
     * with the repo's add-0.5 bigram LM standing in for the trained
     * proxy/reference pair): per domain, the EXCESS bits-per-bigram of

@@ -1848,6 +1848,23 @@ object DocumentQueries extends QueryModule {
              |FROM g, r, o ORDER BY lang""".stripMargin.replace('\n', ' ')),
       doc = "per-language selection-rate audit of a length filter (disparate impact + parity)"),
 
+    // ---- word burstiness (Church & Gale 1995): Fano factor of
+    // per-doc counts over containing docs — separates topical content
+    // words from Poisson-ish function words; the document-dispersion
+    // axis next to Zipf (shape) and Gini (inequality)
+    "q_token_burstiness" -> Q(
+      (s, dir) => graft.operators.InfoTheory.burstiness(
+          table(s, dir, "documents"), "doc_id", "text", minDf = 50)
+        .orderBy(col("token")),
+      Some("""WITH dt AS (SELECT doc_id AS d, unnest(string_split(text,' ')) AS token FROM documents),
+             |c AS (SELECT d, token, count(*)::DOUBLE AS c FROM dt GROUP BY 1, 2),
+             |m AS (SELECT token, count(*) AS df, sum(c)::BIGINT AS n_total,
+             |  avg(c) AS mean, var_samp(c) AS v FROM c GROUP BY 1)
+             |SELECT token, df, n_total, round(mean, 6) AS mean_tf,
+             |round(v/mean, 6) AS fano
+             |FROM m WHERE df >= 50 ORDER BY token""".stripMargin.replace('\n', ' ')),
+      doc = "per-token burstiness (Fano factor of per-doc counts over containing docs)"),
+
     // ---- per-language token-frequency Gini: the Lorenz concentration
     // audit complementing q_zipf_slope (shape) with inequality. Exact
     // rank form — tie blocks make the tiebreak irrelevant to the sum.

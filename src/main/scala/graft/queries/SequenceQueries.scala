@@ -565,6 +565,26 @@ object SequenceQueries extends QueryModule {
              |FROM p ORDER BY category""".stripMargin.replace('\n', ' ')),
       doc = "Jensen-Shannon category drift: event-type mix, first vs second half-month"),
 
+    // ---- eventually-follows relation (process mining / α-algorithm
+    // precedence): which orderings the log actually contains, with
+    // support and confidence — the gapped generalization of the
+    // adjacent-only q_event_transitions
+    "q_event_follow" -> Q(
+      (s, dir) => graft.operators.EventAnalytics.eventualFollow(
+          table(s, dir, "events"), "user_id", "event_type", "ts_ns")
+        .orderBy(col("from_type"), col("to_type")),
+      Some("""WITH g AS (SELECT user_id AS u, event_type AS t,
+             |  min(epoch_ns(ts)) AS mn, max(epoch_ns(ts)) AS mx FROM events GROUP BY 1, 2),
+             |fu AS (SELECT t AS from_type, count(*) AS n_from_users FROM g GROUP BY 1),
+             |f AS (SELECT a.t AS from_type, b.t AS to_type,
+             |  sum(CASE WHEN a.mn < b.mx THEN 1 ELSE 0 END)::BIGINT AS n_follow
+             |  FROM g a JOIN g b ON a.u = b.u AND a.t <> b.t GROUP BY 1, 2)
+             |SELECT from_type, to_type, n_follow, n_from_users,
+             |round(n_follow*1.0/n_from_users, 6) AS confidence
+             |FROM f JOIN fu USING (from_type)
+             |ORDER BY from_type, to_type""".stripMargin.replace('\n', ' ')),
+      doc = "eventually-follows support/confidence per event-type pair"),
+
     // ---- Theil-Sen robust trend of value over time: median of slopes
     // on hash-deterministic disjoint pairs — one corrupted batch can't
     // bend it the way it bends the OLS forecast. Full SQL replay
