@@ -111,6 +111,45 @@ object Sampling {
         org.apache.spark.sql.graft.Bridge.expression(key.cast("string")),
         open = true))
 
+  /** Negative sampling draws for skip-gram training (Mikolov et al.
+    * 2013's unigram^0.75 noise distribution): `k` deterministic
+    * negatives per (id, pos) pair, each drawn by inverting the
+    * cumulative noise CDF at a [[hashUniformOpen]] PRF of
+    * (id, pos, j, seed) — reproducible across engines, partitions and
+    * epochs, and SQL-replayable. The vocabulary CDF is ONE bounded
+    * window over the (vocab-sized) count frame ordered by token; the
+    * draw inverts it through a broadcast range join (u in the token's
+    * (lo, hi] slab), so the per-pair work is map-side against the
+    * broadcast CDF. Accidental center/context collisions are kept,
+    * matching common word2vec implementations (they resample OR keep;
+    * keeping is the deterministic choice). Returns the input pairs +
+    * (neg_j, negative). */
+  def negativeSamples(pairs: org.apache.spark.sql.DataFrame, idCol: String,
+      posCol: String, vocab: org.apache.spark.sql.DataFrame,
+      tokenCol: String, countCol: String, k: Int,
+      seed: String = "neg"): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("__t")).rowsBetween(
+      Window.unboundedPreceding, Window.currentRow)
+    val weighted = vocab.select(col(tokenCol).as("__t"),
+        pow(col(countCol).cast("double"), 0.75).as("__wt"))
+    val tot = weighted.agg(sum(col("__wt")).as("__z"))
+    val cdf = weighted.crossJoin(broadcast(tot))
+      .withColumn("__hi", sum(col("__wt")).over(w) / col("__z"))
+      .withColumn("__lo", col("__hi") - col("__wt") / col("__z"))
+      .select(col("__t"), col("__lo"), col("__hi"))
+    val drawn = pairs
+      .withColumn("neg_j", explode(sequence(lit(1), lit(k))))
+      .withColumn("__u", hashUniformOpen(concat(
+        col(idCol).cast("string"), lit(":"), col(posCol), lit(":"),
+        col("neg_j"), lit(s":$seed"))))
+    drawn.join(broadcast(cdf),
+        col("__u") > col("__lo") && col("__u") <= col("__hi"))
+      .withColumn("negative", col("__t"))
+      .drop("__t", "__lo", "__hi", "__u")
+  }
+
   /** Weighted per-group sampling without replacement (the per-stratum
     * form of SAMPLE BY): the `n` rows per group with the smallest
     * Efraimidis-Spirakis key -ln(u)/w, u = [[hashUniform]](key). Exactly

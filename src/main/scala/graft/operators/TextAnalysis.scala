@@ -898,6 +898,30 @@ object TextAnalysis {
       .drop(tmpC, tmpR)
   }
 
+  /** Skip-gram training pairs (Mikolov et al. 2013): every (center,
+    * context) token pair within ±`window` positions — the input table
+    * of word2vec/fastText-style embedding training. Entirely MAP-SIDE:
+    * per position, the context tokens come from element_at over the
+    * materialized token array at offsets −w..w (never a positions
+    * self-join), then one explode emits the pairs. Returns
+    * (id, pos, center, context) with pos 1-based. FULL oracle. */
+  def skipGramPairs(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, window: Int = 2): org.apache.spark.sql.DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val offsets = ((-window to window).filter(_ != 0)).map(o => lit(o))
+    docs
+      .withColumn("__w", tokens(col(textCol)))
+      .select(col(idCol), posexplode(col("__w")).as(Seq("pos0", "center")),
+        col("__w"))
+      .withColumn("pos", (col("pos0") + 1).cast("long"))
+      .withColumn("context", explode(filter(
+        transform(array(offsets: _*), o => element_at(col("__w"),
+          when(col("pos") + o >= 1 && col("pos") + o <= size(col("__w")),
+            (col("pos") + o).cast("int")).otherwise(lit(null)))),
+        c => c.isNotNull)))
+      .select(col(idCol), col("pos"), col("center"), col("context"))
+  }
+
   /** BERT-style MLM masking plan (Devlin et al. 2019 §3.1): select
     * ~`maskProb` of token positions, then apply the 80/10/10 rule —
     * 80% replaced by `[MASK]`, 10% by a RANDOM token, 10% kept — and

@@ -242,6 +242,59 @@ object PipelineQueries extends QueryModule {
              |FROM b GROUP BY bucket_lo ORDER BY bucket_lo""".stripMargin.replace('\n', ' ')),
       doc = "128-token length buckets with padding-waste accounting"),
 
+    // ---- skip-gram (center, context) pairs (Mikolov 2013): the
+    // word2vec training input table — map-side offset gather over the
+    // materialized token array, one explode, never a positions self-join
+    "q_skipgram_pairs" -> Q(
+      (s, dir) => TA.skipGramPairs(
+          table(s, dir, "documents").filter(col("doc_id") < 30),
+          "doc_id", "text", window = 2)
+        .orderBy(col("doc_id"), col("pos"), col("context")),
+      Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents WHERE doc_id < 30),
+             |p AS (SELECT doc_id, i AS pos, w[i] AS center, len(w) AS n, w FROM t, unnest(range(1, len(w)+1)) AS r(i)),
+             |c AS (SELECT doc_id, pos, center, w[CAST(pos + o AS INT)] AS context
+             |  FROM p, unnest([-2, -1, 1, 2]) AS u(o)
+             |  WHERE pos + o >= 1 AND pos + o <= n)
+             |SELECT doc_id, pos, center, context FROM c
+             |ORDER BY doc_id, pos, context""".stripMargin.replace('\n', ' ')),
+      doc = "skip-gram (center, context) pairs at window 2 (word2vec input table)"),
+
+    // ---- negative sampling (Mikolov 2013 unigram^0.75): k hash-PRF
+    // draws per pair invert the broadcast noise CDF — reproducible
+    // across engines/partitions/epochs, SQL-replayable
+    "q_negative_samples" -> Q(
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+        val pairs = TA.skipGramPairs(d.filter(col("doc_id") < 10),
+          "doc_id", "text", window = 2)
+        val vocab = d.select(explode(TA.tokens(col("text"))).as("token"))
+          .groupBy(col("token")).agg(count(lit(1)).as("c"))
+        graft.operators.Sampling.negativeSamples(
+            pairs, "doc_id", "pos", vocab, "token", "c", k = 2)
+          .orderBy(col("doc_id"), col("pos"), col("context"), col("neg_j"))
+      },
+      Some {
+        val uu = uuOpenSql("md5(doc_id || ':' || pos || ':' || j || ':neg')")
+        s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents WHERE doc_id < 10),
+           |p AS (SELECT doc_id, i AS pos, w[i] AS center, len(w) AS n, w FROM t, unnest(range(1, len(w)+1)) AS r(i)),
+           |pr AS (SELECT doc_id, pos, center, w[CAST(pos + o AS INT)] AS context
+           |  FROM p, unnest([-2, -1, 1, 2]) AS u(o)
+           |  WHERE pos + o >= 1 AND pos + o <= n),
+           |v AS (SELECT token, count(*) AS c FROM (SELECT unnest(string_split(text,' ')) AS token FROM documents) GROUP BY 1),
+           |wgt AS (SELECT token AS tk, pow(c::DOUBLE, 0.75) AS wt FROM v),
+           |z AS (SELECT sum(wt) AS z FROM wgt),
+           |cdf AS (SELECT tk,
+           |  sum(wt) OVER (ORDER BY tk ROWS UNBOUNDED PRECEDING)/z.z AS hi,
+           |  sum(wt) OVER (ORDER BY tk ROWS UNBOUNDED PRECEDING)/z.z - wt/z.z AS lo
+           |  FROM wgt, z),
+           |d AS (SELECT doc_id, pos, center, context, j AS neg_j, $uu AS u
+           |  FROM pr, unnest([1, 2]) AS nj(j))
+           |SELECT doc_id, pos, center, context, neg_j, cdf.tk AS negative
+           |FROM d JOIN cdf ON u > lo AND u <= hi
+           |ORDER BY doc_id, pos, context, neg_j""".stripMargin.replace('\n', ' ')
+      },
+      doc = "k=2 negative-sampling draws per skip-gram pair (unigram^0.75 CDF inversion)"),
+
     // ---- BERT MLM masking plan (Devlin 2019 80/10/10): every draw is
     // a hashUniform PRF of (doc, pos, role), so the masking REPLAYS in
     // SQL — selection, action split, and the random-token index all

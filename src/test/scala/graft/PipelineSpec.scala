@@ -156,4 +156,50 @@ class PipelineSpec extends AnyFunSuite {
       .count() === 0, "passthrough rows must be byte-identical")
     f.unpersist(); ()
   }
+
+  test("skipGramPairs: hand-checked window pairs; boundary positions truncate") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.skipGramPairs(df, "doc_id", "text", window = 2)
+      .collect().map(r => (r.getLong(1), r.getString(2), r.getString(3))).toSet
+    val want = Set(
+      (1L, "a", "b"), (1L, "a", "c"),
+      (2L, "b", "a"), (2L, "b", "c"), (2L, "b", "d"),
+      (3L, "c", "a"), (3L, "c", "b"), (3L, "c", "d"),
+      (4L, "d", "b"), (4L, "d", "c"))
+    assert(got === want, s"got $got")
+  }
+
+  test("negativeSamples: draws follow unigram^0.75, deterministic, k per pair") {
+    import spark.implicits._
+    import graft.operators.{Sampling, TextAnalysis}
+    // corpus with a heavily skewed vocab: 'x' 100, 'y' 10, 'z' 1
+    val corpus = (Seq.fill(100)("x") ++ Seq.fill(10)("y") ++ Seq("z")).mkString(" ")
+    val docs = Seq((1L, corpus)).toDF("doc_id", "text")
+    val vocab = docs.select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+    val pairs = TextAnalysis.skipGramPairs(docs, "doc_id", "text", window = 1)
+    val neg = Sampling.negativeSamples(pairs, "doc_id", "pos", vocab,
+      "token", "c", k = 4).persist()
+    // exactly k draws per (pos, context) pair
+    assert(neg.count() === pairs.count() * 4)
+    // empirical shares track the ^0.75 noise distribution
+    val byTok = neg.groupBy("negative").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val w = Map("x" -> math.pow(100, 0.75), "y" -> math.pow(10, 0.75),
+      "z" -> 1.0)
+    val z = w.values.sum
+    val n = byTok.values.sum.toDouble
+    w.foreach { case (t, wt) =>
+      val expect = wt / z
+      val gotShare = byTok.getOrElse(t, 0L) / n
+      assert(math.abs(gotShare - expect) < 0.05,
+        s"$t share $gotShare vs expected $expect")
+    }
+    // determinism
+    val neg2 = Sampling.negativeSamples(pairs, "doc_id", "pos", vocab,
+      "token", "c", k = 4)
+    assert(neg.exceptAll(neg2).count() === 0 && neg2.exceptAll(neg).count() === 0)
+    neg.unpersist(); ()
+  }
 }
