@@ -278,21 +278,25 @@ object Drift {
 
   /** Benjamini-Hochberg step-up selection over a bounded frame carrying
     * `p_value`: adds `rank` (by p ascending, key tiebreak) and
-    * `rejected` (rank ≤ the largest r with p_(r) ≤ r·q/m). The whole-
-    * frame windows run on the m-row screen frame, never on data. */
-  private def bhSelect(df: DataFrame, keyCol: String, fdrQ: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val m = Window.orderBy(lit(1)).rowsBetween(
-      Window.unboundedPreceding, Window.unboundedFollowing)
-    df.withColumn("rank",
-        row_number().over(Window.orderBy(col("p_value"), col(keyCol))).cast("long"))
-      .withColumn("__m", count(lit(1)).over(m))
-      .withColumn("__pass",
-        col("p_value") <= col("rank").cast("double") * fdrQ / col("__m"))
-      .withColumn("__cut", max(when(col("__pass"), col("rank"))).over(m))
-      .withColumn("rejected", coalesce(col("rank") <= col("__cut"), lit(false)))
-      .drop("__m", "__pass", "__cut")
-  }
+    * `rejected` (rank ≤ the largest r with p_(r) ≤ r·q/m). The
+    * whole-frame windows run on the m-row screen frame (monitored keys
+    * — bounded by contract), THROUGH [[BoundedWindow]] so the bound is
+    * a runtime assert and the plan never carries an unpartitioned
+    * window (PlanSpec's global gate). */
+  private def bhSelect(df: DataFrame, keyCol: String, fdrQ: Double): DataFrame =
+    BoundedWindow.over(df, 1L << 20) { (d, w) =>
+      val whole = w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      d.withColumn("rank",
+          row_number().over(w.orderBy(col("p_value"), col(keyCol))).cast("long"))
+        .withColumn("__m", count(lit(1)).over(whole))
+        .withColumn("__pass",
+          col("p_value") <= col("rank").cast("double") * fdrQ / col("__m"))
+        .withColumn("__cut", max(when(col("__pass"), col("rank"))).over(whole))
+        .withColumn("rejected", coalesce(col("rank") <= col("__cut"), lit(false)))
+        .drop("__m", "__pass", "__cut")
+    }
 
   /** Mann-Whitney U rank-sum drift screen (Mann & Whitney 1947) with
     * the same per-key + BH-FDR posture as [[ksScreenFdr]] — the

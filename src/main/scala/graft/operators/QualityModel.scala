@@ -119,11 +119,16 @@ object QualityModel {
     * identity AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺n⁻)) — the evaluation
     * number behind every "is this quality filter any good" decision,
     * as a DataFrame op with a FULL SQL oracle (the MLlib-based [[auc]]
-    * gate has none). Mid-ranks come from one cumulative window over
-    * the distinct-score count frame; eval sets are bounded by
-    * contract, so the keyless window frame is the eval set's distinct
-    * scores, not the corpus. Returns one row
-    * `(n_pos, n_neg, auc)` (6dp). */
+    * gate has none).
+    *
+    * Mid-ranks need a GLOBAL cumulative count over the distinct-score
+    * frame, which is computed the funnel-free ksGaps way: collapse to
+    * (score, pos, total) counts, range-repartition by score, and add
+    * each partition's driver-prefix-summed start offset to a
+    * PARTITION-local cumulative window — no unpartitioned window
+    * anywhere (PlanSpec's global gate), so the op scales to
+    * corpus-sized score columns, not just bounded eval sets.
+    * Returns one row `(n_pos, n_neg, auc)` (6dp). */
   def aucExact(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val perV = df
@@ -132,18 +137,35 @@ object QualityModel {
       .filter(col("s").isNotNull && col("y").isNotNull)
       .groupBy(col("s"))
       .agg(sum(col("y")).as("p"), count(lit(1)).as("t"))
-    val wc = Window.orderBy(col("s"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val midRank = sum(col("t")).over(wc).cast("double") -
-      (col("t").cast("double") - 1.0) / 2.0
-    perV.withColumn("__mr", midRank)
-      .agg(sum(col("p")).as("n_pos"),
-        (sum(col("t")) - sum(col("p"))).as("n_neg"),
-        sum(col("__mr") * col("p")).as("__rsum"))
-      .select(col("n_pos"), col("n_neg"),
-        round((col("__rsum") - col("n_pos").cast("double") *
-          (col("n_pos") + 1.0) / 2.0) /
-          (col("n_pos").cast("double") * col("n_neg")), 6).as("auc"))
+    val parts = perV.repartitionByRange(col("s"))
+      .sortWithinPartitions(col("s"))
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val totals = parts.groupBy(col("__pid")).agg(sum(col("t")).as("__pt"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      val offRows = {
+        var acc = 0L
+        totals.map { case (pid, pt) => val r = (pid, acc); acc += pt; r }.toSeq
+      }
+      val spark0 = df.sparkSession
+      import spark0.implicits._
+      val offs = offRows.toDF("__pid", "__off")
+      val wc = Window.partitionBy(col("__pid")).orderBy(col("s"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val midRank = (col("__off") + sum(col("t")).over(wc)).cast("double") -
+        (col("t").cast("double") - 1.0) / 2.0
+      parts.join(broadcast(offs), "__pid")
+        .withColumn("__mr", midRank)
+        .agg(sum(col("p")).as("n_pos"),
+          (sum(col("t")) - sum(col("p"))).as("n_neg"),
+          sum(col("__mr") * col("p")).as("__rsum"))
+        .select(col("n_pos"), col("n_neg"),
+          round((col("__rsum") - col("n_pos").cast("double") *
+            (col("n_pos") + 1.0) / 2.0) /
+            (col("n_pos").cast("double") * col("n_neg")), 6).as("auc"))
+        .localCheckpoint() // 1-row result; release the parts cache eagerly
+    } finally { parts.unpersist(false); () }
   }
 
   /** Reliability table + expected calibration error (Naeini et al.

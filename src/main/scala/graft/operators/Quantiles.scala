@@ -33,6 +33,34 @@ import org.apache.spark.sql.functions._
   */
 object Quantiles {
 
+  /** Split-conformal prediction threshold (Vovk et al. 2005; the
+    * finite-sample form popularized by Angelopoulos & Bates 2023):
+    * given calibration nonconformity scores, the k-th smallest score
+    * with k = ⌈(n+1)(1−α)⌉ guarantees P(new score ≤ threshold) ≥ 1−α
+    * for exchangeable data — the coverage-GUARANTEED way to set a
+    * "keep below this anomaly score" filter cutoff, where a plain
+    * quantile has no finite-sample guarantee. k-th order statistic via
+    * the funnel-free [[exactQuantiles]] rank selection at
+    * q = (k−1)/(n−1) (integer rank — interpolation weight 0).
+    * Returns one row `(n, k, alpha, threshold)` (threshold 6dp).
+    * α must satisfy k ≤ n (n ≥ (1−α)/α calibration points). */
+  def conformalThreshold(df: DataFrame, scoreCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha < 1, "alpha must be in (0,1)")
+    val vals = df.select(col(scoreCol).cast("double").as("__s"))
+      .filter(col("__s").isNotNull)
+    val n = vals.count()
+    val k = math.ceil((n + 1) * (1.0 - alpha)).toLong
+    require(k <= n, s"need more calibration points: k=$k > n=$n at alpha=$alpha")
+    val q = if (n == 1) 0.0 else (k - 1).toDouble / (n - 1).toDouble
+    val thr = exactQuantiles(vals, "__s", Seq(q)).head
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((n, k, alpha,
+      BigDecimal(thr).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .toDF("n", "k", "alpha", "threshold")
+  }
+
   /** Exact interpolated quantiles of `valueCol` (NULLs excluded), same
     * arithmetic as `percentile(col, array(qs))`: value at fractional
     * 0-based rank r = q·(n−1) is lo + (r − ⌊r⌋)·(hi − lo). Throws on an

@@ -129,16 +129,20 @@ object Sampling {
       tokenCol: String, countCol: String, k: Int,
       seed: String = "neg"): org.apache.spark.sql.DataFrame = {
     require(k >= 1, "k must be >= 1")
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col("__t")).rowsBetween(
-      Window.unboundedPreceding, Window.currentRow)
     val weighted = vocab.select(col(tokenCol).as("__t"),
         pow(col(countCol).cast("double"), 0.75).as("__wt"))
     val tot = weighted.agg(sum(col("__wt")).as("__z"))
-    val cdf = weighted.crossJoin(broadcast(tot))
-      .withColumn("__hi", sum(col("__wt")).over(w) / col("__z"))
-      .withColumn("__lo", col("__hi") - col("__wt") / col("__z"))
-      .select(col("__t"), col("__lo"), col("__hi"))
+    // the CDF frame must broadcast into the draw join anyway, so the
+    // vocabulary is bounded by that same contract — BoundedWindow makes
+    // the bound a runtime assert instead of an unpartitioned window
+    val cdf = BoundedWindow.over(
+        weighted.crossJoin(broadcast(tot)), 1L << 22) { (d, w) =>
+      val cum = w.orderBy(col("__t")).rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+      d.withColumn("__hi", sum(col("__wt")).over(cum) / col("__z"))
+        .withColumn("__lo", col("__hi") - col("__wt") / col("__z"))
+    }.select(col("__t"), col("__lo"), col("__hi"))
     val drawn = pairs
       .withColumn("neg_j", explode(sequence(lit(1), lit(k))))
       .withColumn("__u", hashUniformOpen(concat(

@@ -565,6 +565,22 @@ object SequenceQueries extends QueryModule {
              |FROM p ORDER BY category""".stripMargin.replace('\n', ' ')),
       doc = "Jensen-Shannon category drift: event-type mix, first vs second half-month"),
 
+    // ---- split-conformal threshold (Vovk 2005): the k = ceil((n+1)(1-a))
+    // order statistic of calibration scores — a finite-sample coverage
+    // GUARANTEE for "keep below this score" cutoffs, not just a quantile
+    "q_conformal_threshold" -> Q(
+      (s, dir) => graft.operators.Quantiles.conformalThreshold(
+          table(s, dir, "events").filter(col("user_id") < 40)
+            .select(col("value")),
+          "value", alpha = 0.1),
+      Some("""WITH v AS (SELECT value::DOUBLE AS s FROM events WHERE user_id < 40 AND value IS NOT NULL),
+             |nn AS (SELECT count(*) AS n FROM v),
+             |kk AS (SELECT n, CAST(ceil((n + 1) * 0.9) AS BIGINT) AS k FROM nn),
+             |r AS (SELECT s, row_number() OVER (ORDER BY s) AS rn FROM v)
+             |SELECT kk.n, kk.k, 0.1::DOUBLE AS alpha, round(r.s, 6) AS threshold
+             |FROM r, kk WHERE r.rn = kk.k""".stripMargin.replace('\n', ' ')),
+      doc = "split-conformal 90%-coverage threshold over calibration scores"),
+
     // ---- eventually-follows relation (process mining / α-algorithm
     // precedence): which orderings the log actually contains, with
     // support and confidence — the gapped generalization of the

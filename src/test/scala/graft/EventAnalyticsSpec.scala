@@ -172,6 +172,31 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(bPairs.zip(bPairs.tail).forall { case (x, y) => y >= x - 1e-9 })
   }
 
+  test("conformalThreshold: exact order statistic on a hand case; empirical coverage >= 1 - alpha") {
+    import graft.operators.Quantiles
+    import spark.implicits._
+    // n=9, alpha=0.1 -> k = ceil(10*0.9) = 9 -> the 9th smallest = max
+    val nine = (1 to 9).map(_.toDouble).toDF("s")
+    val r = Quantiles.conformalThreshold(nine, "s", alpha = 0.1).collect().head
+    assert(r.getAs[Long]("n") === 9L && r.getAs[Long]("k") === 9L &&
+      r.getAs[Double]("threshold") === 9.0)
+    // n=19, alpha=0.2 -> k = ceil(20*0.8) = 16 -> 16th smallest
+    val r2 = Quantiles.conformalThreshold((1 to 19).map(_.toDouble).toDF("s"),
+      "s", alpha = 0.2).collect().head
+    assert(r2.getAs[Long]("k") === 16L && r2.getAs[Double]("threshold") === 16.0)
+    // exchangeable split: threshold from 500 calibration points covers
+    // >= 88% of 500 held-out points at alpha = 0.1 (finite-sample
+    // guarantee is >= 90% in EXPECTATION over splits; 2% slack for the
+    // single draw)
+    val rnd = new scala.util.Random(3)
+    val all = Array.fill(1000)(rnd.nextGaussian())
+    val (cal, test0) = all.splitAt(500)
+    val thr = Quantiles.conformalThreshold(cal.toSeq.toDF("s"), "s", 0.1)
+      .collect().head.getAs[Double]("threshold")
+    val covered = test0.count(_ <= thr).toDouble / test0.length
+    assert(covered >= 0.88, s"empirical coverage $covered at alpha=0.1")
+  }
+
   test("theilSen: exact on a perfect line; 20% wild outliers barely bend it where OLS folds") {
     import graft.operators.Robust
     import spark.implicits._
