@@ -114,11 +114,12 @@ object EmbeddingOps {
     *
     * Returns (id, cluster, role ∈ core|border|noise). */
   def dbscan(emb: DataFrame, idCol: String, vecCol: String,
-      eps: Double, minPts: Int, nClusters: Int = 16): DataFrame = {
+      eps: Double, minPts: Int, nClusters: Int = 16,
+      centroids: Option[DataFrame] = None): DataFrame = {
     require(eps > 0 && eps < 1, "eps is a cosine distance in (0,1)")
     require(minPts >= 2, "minPts must be >= 2")
     val pairs = Dedup.embeddingNearDupPairs(emb, idCol, vecCol,
-        threshold = 1.0 - eps, nClusters)
+        threshold = 1.0 - eps, nClusters, centroids = centroids)
       .select(col("id_a").cast("long").as("a"), col("id_b").cast("long").as("b"))
       .localCheckpoint() // three consumers (degrees, core edges, border join)
     val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))

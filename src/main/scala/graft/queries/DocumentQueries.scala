@@ -544,6 +544,53 @@ object DocumentQueries extends QueryModule {
               |count(*) OVER (PARTITION BY component_id) AS component_size
               |FROM lab ORDER BY doc_id""".stripMargin.replace('\n', ' '))),
 
+    // ---- dedup-aware sampling weights: 1/component_size per doc
+    // (singletons weight 1) — the bridge between near-dup components
+    // and the weighted sampler, so duplicated content contributes ONE
+    // document's worth of probability mass instead of size× (the
+    // soft alternative to hard keeper deletion)
+    "q_dedup_weights" -> Q(
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+        val pairs = Dedup.minhashLshPairs(d, "doc_id", "text", threshold = 0.8)
+        val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+        val sizes = cc.groupBy(col("component_id"))
+          .agg(count(lit(1)).as("sz"))
+        d.select(col("doc_id"))
+          .join(cc.join(sizes, "component_id")
+            .select(col("id").as("doc_id"), col("component_id"), col("sz")),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("component_id"), col("doc_id")).as("component_id"),
+            coalesce(col("sz"), lit(1L)).as("component_size"),
+            round(lit(1.0) / coalesce(col("sz"), lit(1L)), 6).as("weight"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE $shingleCte,
+              |m AS (SELECT doc_id, $sigSql AS sig FROM s),
+              |bd AS (SELECT doc_id, i AS band_idx, md5(sig[2*i+1] || sig[2*i+2]) AS band_key
+              |       FROM m, range(4) AS r(i)),
+              |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              |         FROM bd a JOIN bd b ON a.band_idx = b.band_idx
+              |         AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+              |pr AS (SELECT id_a, id_b FROM (
+              |  SELECT c.id_a, c.id_b, round($jacSql, 6) AS jac
+              |  FROM cand c JOIN s sa ON sa.doc_id = c.id_a JOIN s sb ON sb.doc_id = c.id_b) p
+              |  WHERE jac >= 0.8),
+              |e AS (SELECT id_a AS a, id_b AS b FROM pr UNION SELECT id_b, id_a FROM pr),
+              |walk(a, b) AS (SELECT a, b FROM e
+              |  UNION SELECT w.a, e2.b FROM walk w JOIN e e2 ON w.b = e2.a),
+              |lab AS (SELECT a AS doc_id, least(a, min(b)) AS component_id FROM walk GROUP BY a),
+              |sz AS (SELECT component_id, count(*) AS sz FROM lab GROUP BY 1)
+              |SELECT d.doc_id,
+              |coalesce(lab.component_id, d.doc_id) AS component_id,
+              |coalesce(sz.sz, 1) AS component_size,
+              |round(1.0/coalesce(sz.sz, 1), 6) AS weight
+              |FROM documents d LEFT JOIN lab ON lab.doc_id = d.doc_id
+              |LEFT JOIN sz ON sz.component_id = lab.component_id
+              |ORDER BY d.doc_id""".stripMargin.replace('\n', ' ')),
+      doc = "dedup-aware sampling weights: 1/near-dup-component-size per doc"),
+
     // ---- quality-aware keeper selection: each near-dup component
     // keeps its highest-quality member (longest doc, min-id ties) —
     // the rewrite policy between pair detection and corpus rewrite

@@ -385,7 +385,8 @@ object VectorQueries extends QueryModule {
     // whole pipeline: brute-force pairs + recursive-CTE closure.
     "q_vec_dbscan" -> Q(
       (s, dir) => graft.operators.EmbeddingOps.dbscan(
-          table(s, dir, E), "vec_id", "embedding", eps = 0.6, minPts = 4)
+          table(s, dir, E), "vec_id", "embedding", eps = 0.6, minPts = 4,
+          centroids = Some(graft.operators.IndexStore.ann(s, dir).centroids))
         .orderBy(col("id")),
       Some("""WITH RECURSIVE p AS (SELECT a.vec_id AS a, b.vec_id AS b
              |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
