@@ -266,7 +266,13 @@ object Drift {
       (acc, j) => acc +
         pow(lit(-1.0), (j - 1).cast("double")) *
         exp(lit(-2.0) * (j * j).cast("double") * col("__lam") * col("__lam")))
-    val withP = d.withColumn("__lam", lam)
+    // a key present in only ONE period has no two-sample comparison: its
+    // ECDF gap divides by zero and the NULL p-value would sort NULLS
+    // FIRST into BH rank 1 (a rejected=true row with NULL statistics)
+    // while inflating m for every real key — drop such keys before the
+    // screen, mirroring rankSumScreenFdr's degenerate-variance guard
+    val withP = d.filter(col("n_ref") > 0 && col("n_cur") > 0)
+      .withColumn("__lam", lam)
       .withColumn("p_value",
         when(col("__lam") < 0.3, 1.0)
           .otherwise(least(lit(1.0), greatest(lit(0.0), lit(2.0) * series))))

@@ -82,9 +82,12 @@ object Profiling {
       .select(col("n"), col("r_levels"), col("c_levels"),
         round(col("__chi2"), 6).as("chi2"),
         ((col("r_levels") - 1) * (col("c_levels") - 1)).as("dof"),
-        round(sqrt(col("__chi2") /
-          (col("n") * (least(col("r_levels"), col("c_levels")) - 1))), 6)
-          .as("cramers_v"))
+        // a single-level margin makes V's denominator n·(min(r,c)−1) = 0;
+        // chi2 and dof are both 0 there, so V is defined as 0, not NaN
+        when(least(col("r_levels"), col("c_levels")) > 1,
+          round(sqrt(col("__chi2") /
+            (col("n") * (least(col("r_levels"), col("c_levels")) - 1))), 6))
+          .otherwise(0.0).as("cramers_v"))
   }
 
   /** Group selection-rate audit (the EEOC four-fifths screen, plus
@@ -168,7 +171,10 @@ object Profiling {
     val v = abs(col(valCol).cast("double"))
     val scaled = round(v * math.pow(10, decimals), 0).cast("long")
     val digit = substring(scaled.cast("string"), 1, 1).cast("int")
-    val counts = df.filter(v > 0)
+    // filter on the SCALED long, not the raw value: a value in
+    // (0, 0.5·10^-decimals) is positive but rounds to scaled 0, which
+    // would land on "digit 0" whose Benford share log10(1+1/0) is +Inf
+    val counts = df.filter(scaled > 0)
       .select(digit.as("digit"))
       .groupBy(col("digit")).agg(count(lit(1)).as("n"))
     val tot = counts.agg(sum(col("n")).cast("double").as("n_tot"))

@@ -71,8 +71,14 @@ object QualityModel {
     * neighbors until the label-rate sequence is monotone (count-
     * weighted means — the exact PAV solution on the binned data), and
     * the resulting step function broadcasts back as a map-side lookup
-    * join. Deterministic; no SQL oracle (PAV's pooling is inherently
-    * sequential) — gated by QualityRulesSpec laws instead.
+    * join. Deterministic AND oracle-able: pools carry exact (Σlabel, n)
+    * sums and compare by cross-multiplication, so every pooled rate is
+    * ONE correctly-rounded division of exact sums — identical to the
+    * minimax form max_{j≤i} min_{k≥i} Σy/Σn a SQL engine replays
+    * (Barlow et al. 1972's isotonic-regression identity); no float
+    * accumulation order to disagree on. NULL scores contribute nothing
+    * to the fit and calibrate to NULL (the [[calibrationReport]]
+    * posture); empty/all-NULL input returns NULL calibrated.
     *
     * Returns df + `calibrated` ∈ [0,1], monotone in `scoreCol`. */
   def isotonicCalibrate(df: DataFrame, scoreCol: String, labelCol: String,
@@ -80,34 +86,39 @@ object QualityModel {
     require(bins >= 2, "bins must be >= 2")
     val spark = df.sparkSession
     import spark.implicits._
-    val stats = df.agg(min(col(scoreCol).cast("double")).as("lo"),
+    val base = df.filter(col(scoreCol).isNotNull)
+    val stats = base.agg(min(col(scoreCol).cast("double")).as("lo"),
       max(col(scoreCol).cast("double")).as("hi")).head()
+    if (stats.isNullAt(0))
+      return df.withColumn("calibrated", lit(null).cast("double"))
     val (lo, hi) = (stats.getDouble(0), stats.getDouble(1))
     val width = math.max((hi - lo) / bins, 1e-12)
     def binOf = least(greatest(
       floor((col(scoreCol).cast("double") - lo) / width), lit(0)),
       lit(bins - 1)).cast("int")
-    val binned = df.groupBy(binOf.as("__bin"))
+    val binned = base.groupBy(binOf.as("__bin"))
       .agg(count(lit(1)).as("n"),
-        avg(col(labelCol).cast("double")).as("rate"))
+        sum(col(labelCol).cast("double")).as("ysum"))
       .orderBy(col("__bin"))
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
-    // PAV: merge adjacent pools while a violation (rate decrease) exists
-    final case class Pool(minBin: Int, maxBin: Int, n: Long, rate: Double)
+    // PAV: merge adjacent pools while a violation (rate decrease) exists;
+    // the violation test cross-multiplies exact sums — no pooled-mean
+    // rounding can reorder it
+    final case class Pool(minBin: Int, maxBin: Int, n: Long, ysum: Double)
     val pools = scala.collection.mutable.ArrayBuffer[Pool]()
-    binned.foreach { case (b, n, r) =>
-      pools += Pool(b, b, n, r)
-      while (pools.length >= 2 &&
-          pools(pools.length - 2).rate > pools.last.rate) {
+    binned.foreach { case (b, n, y) =>
+      pools += Pool(b, b, n, y)
+      while (pools.length >= 2 && {
+          val l = pools(pools.length - 2); val r = pools.last
+          l.ysum * r.n > r.ysum * l.n }) {
         val right = pools.remove(pools.length - 1)
         val left = pools.remove(pools.length - 1)
-        val n2 = left.n + right.n
-        pools += Pool(left.minBin, right.maxBin, n2,
-          (left.rate * left.n + right.rate * right.n) / n2)
+        pools += Pool(left.minBin, right.maxBin,
+          left.n + right.n, left.ysum + right.ysum)
       }
     }
     val lookup = pools.flatMap(p =>
-      (p.minBin to p.maxBin).map(b => (b, p.rate))).toSeq
+      (p.minBin to p.maxBin).map(b => (b, p.ysum / p.n))).toSeq
       .toDF("__bin", "calibrated")
     df.withColumn("__bin", binOf)
       .join(broadcast(lookup), Seq("__bin"), "left")

@@ -118,9 +118,13 @@ object Sampling {
     * (id, pos, j, seed) — reproducible across engines, partitions and
     * epochs, and SQL-replayable. The vocabulary CDF is ONE bounded
     * window over the (vocab-sized) count frame ordered by token; the
-    * draw inverts it through a broadcast range join (u in the token's
-    * (lo, hi] slab), so the per-pair work is map-side against the
-    * broadcast CDF. Accidental center/context collisions are kept,
+    * draw inverts it through a BUCKETED broadcast equi-join — u
+    * quantizes into 2^12 equal buckets and hash-probes only the CDF
+    * slabs overlapping its bucket (the raw (lo, hi] range predicate
+    * would plan as BroadcastNestedLoopJoin, scanning the whole
+    * vocabulary per draw; bucketed, per-draw cost is O(|V|/B), and the
+    * exact range predicate stays as the post-filter, so the drawn
+    * token is bit-identical). Accidental center/context collisions are kept,
     * matching common word2vec implementations (they resample OR keep;
     * keeping is the deterministic choice). Returns the input pairs +
     * (neg_j, negative). */
@@ -148,10 +152,20 @@ object Sampling {
       .withColumn("__u", hashUniformOpen(concat(
         col(idCol).cast("string"), lit(":"), col(posCol), lit(":"),
         col("neg_j"), lit(s":$seed"))))
-    drawn.join(broadcast(cdf),
-        col("__u") > col("__lo") && col("__u") <= col("__hi"))
+    // a token's (lo, hi] slab covers buckets floor(lo·B)..floor(hi·B)
+    // (u > lo can still land in lo's own bucket); expansion adds ~B
+    // duplicate rows across the vocab — still broadcast-sized
+    val nBuckets = 1L << 12
+    val slabs = cdf.withColumn("__bkt", explode(sequence(
+      greatest(floor(col("__lo") * nBuckets).cast("long"), lit(0L)),
+      least(floor(col("__hi") * nBuckets).cast("long"), lit(nBuckets - 1)))))
+    drawn
+      .withColumn("__bkt",
+        least(floor(col("__u") * nBuckets).cast("long"), lit(nBuckets - 1)))
+      .join(broadcast(slabs), Seq("__bkt"))
+      .filter(col("__u") > col("__lo") && col("__u") <= col("__hi"))
       .withColumn("negative", col("__t"))
-      .drop("__t", "__lo", "__hi", "__u")
+      .drop("__t", "__lo", "__hi", "__u", "__bkt")
   }
 
   /** Weighted per-group sampling without replacement (the per-stratum

@@ -590,7 +590,9 @@ object Relational extends QueryModule {
              |  sum(pow(o - na*nb/n, 2)/(na*nb/n)) AS chi2_raw FROM x)
              |SELECT n, r_levels, c_levels, round(chi2_raw, 6) AS chi2,
              |(r_levels - 1)*(c_levels - 1) AS dof,
-             |round(sqrt(chi2_raw/(n*(least(r_levels, c_levels) - 1))), 6) AS cramers_v
+             |CASE WHEN least(r_levels, c_levels) > 1
+             |  THEN round(sqrt(chi2_raw/(n*(least(r_levels, c_levels) - 1))), 6)
+             |  ELSE 0.0 END AS cramers_v
              |FROM t2""".stripMargin.replace('\n', ' ')),
       doc = "chi-square independence + Cramér's V between order priority and status"),
 

@@ -654,7 +654,8 @@ object SequenceQueries extends QueryModule {
              |d AS (SELECT g.k, max(gap) AS d, max(n_ref) AS n_ref, max(n_cur) AS n_cur
              |  FROM g JOIN tt ON tt.k = g.k GROUP BY 1),
              |lamt AS (SELECT *, (sqrt(n_ref*1.0*n_cur/(n_ref+n_cur)) + 0.12 +
-             |  0.11/sqrt(n_ref*1.0*n_cur/(n_ref+n_cur))) * d AS lam FROM d),
+             |  0.11/sqrt(n_ref*1.0*n_cur/(n_ref+n_cur))) * d AS lam FROM d
+             |  WHERE n_ref > 0 AND n_cur > 0),
              |p AS (SELECT k, n_ref, n_cur, d,
              |  CASE WHEN lam < 0.3 THEN 1.0
              |  ELSE least(1.0, greatest(0.0, 2.0 * list_reduce(list_prepend(0.0,
@@ -995,7 +996,7 @@ object SequenceQueries extends QueryModule {
           table(s, dir, "lineitem"), "l_extendedprice", decimals = 2)
         .orderBy(col("digit")),
       Some("""WITH d AS (SELECT CAST(substr(CAST(CAST(round(abs(l_extendedprice)*100, 0) AS BIGINT) AS VARCHAR),1,1) AS INT) AS digit
-             |  FROM lineitem WHERE abs(l_extendedprice) > 0),
+             |  FROM lineitem WHERE CAST(round(abs(l_extendedprice)*100, 0) AS BIGINT) > 0),
              |c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
              |t AS (SELECT sum(n)::DOUBLE AS n_tot FROM c)
              |SELECT digit, n, round(n/n_tot,6) AS obs_share,
