@@ -18,6 +18,22 @@ import org.apache.spark.sql.functions._
   */
 object Graphs {
 
+  /** shared input collapse: raw multigraph edges fold to (src, dst, w)
+    * by count; pre-collapsed input (e.g. a [[GraphStore.read]]) passes
+    * its weight column through a sum-merge — identical totals, so both
+    * forms feed the weighted operators interchangeably */
+  private def collapseWeighted(edges: DataFrame, srcCol: String,
+      dstCol: String, weightCol: Option[String]): DataFrame = weightCol match {
+    case Some(wc) => edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"), col(wc).cast("double").as("w"))
+      .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+    case None => edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).cast("double").as("w"))
+  }
+
   /** Damped PageRank by power iteration: rank = (1−d)/n + d·(Σ
     * incoming rank·w/outW + danglingMass/n), with parallel edges
     * collapsed to weights and dangling nodes (no out-edges)
@@ -25,16 +41,19 @@ object Graphs {
     * so ranks sum to exactly 1 every iteration. Returns (id, rank).
     *
     * Deterministic: no randomness anywhere; the spec gates the result
-    * against an independent driver-side dense power iteration. */
+    * against an independent driver-side dense power iteration.
+    *
+    * `weightCol`: pre-collapsed multiplicity weights (a [[GraphStore]]
+    * read) — sum-merged, so feeding collapsed counts equals feeding the
+    * raw multigraph. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int = 20, damping: Double = 0.85): DataFrame = {
+      iterations: Int = 20, damping: Double = 0.85,
+      weightCol: Option[String] = None): DataFrame = {
     require(iterations >= 1, "need at least one iteration")
     require(damping >= 0 && damping <= 1, s"damping must be in [0,1]: $damping")
     val spark = edges.sparkSession
     val par = spark.sparkContext.defaultParallelism
-    val e = edges
-      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-      .groupBy(col("src"), col("dst")).agg(count(lit(1)).cast("double").as("w"))
+    val e = collapseWeighted(edges, srcCol, dstCol, weightCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val outW = e.groupBy(col("src")).agg(sum(col("w")).as("ow"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -102,14 +121,12 @@ object Graphs {
     * into a FULL DuckDB oracle. Returns (id, rank). */
   def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
       seeds: DataFrame, seedCol: String, iterations: Int = 6,
-      damping: Double = 0.85): DataFrame = {
+      damping: Double = 0.85, weightCol: Option[String] = None): DataFrame = {
     require(iterations >= 1, "need at least one iteration")
     require(damping >= 0 && damping <= 1, s"damping must be in [0,1]: $damping")
     val spark = edges.sparkSession
     val par = spark.sparkContext.defaultParallelism
-    val e = edges
-      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-      .groupBy(col("src"), col("dst")).agg(count(lit(1)).cast("double").as("w"))
+    val e = collapseWeighted(edges, srcCol, dstCol, weightCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val outW = e.groupBy(col("src")).agg(sum(col("w")).as("ow"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -217,13 +234,11 @@ object Graphs {
     * aggregates; per-iteration localCheckpoint keeps lineage linear.
     * Returns (id, hub, authority), each vector L2-normalized. */
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int = 20): DataFrame = {
+      iterations: Int = 20, weightCol: Option[String] = None): DataFrame = {
     require(iterations >= 1, "need at least one iteration")
     val spark = edges.sparkSession
     val par = spark.sparkContext.defaultParallelism
-    val e = edges
-      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-      .groupBy(col("src"), col("dst")).agg(count(lit(1)).cast("double").as("w"))
+    val e = collapseWeighted(edges, srcCol, dstCol, weightCol)
       .repartition(par, col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the hub half-step joins on dst — a dst-partitioned cached copy

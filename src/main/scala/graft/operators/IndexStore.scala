@@ -157,6 +157,59 @@ object IndexStore {
       Bm25.save(spark, Tables(spark, sfDir, "documents"), "doc_id", "text", d)
     })
 
+  import org.apache.spark.sql.functions._
+
+  /** Purchase graph (customer → supplier via lineitem⋈orders; supplier
+    * ids offset into a disjoint space): the edge frame the link-analysis
+    * family (pagerank / hits / ppr / walks / degrees) used to re-derive
+    * from the corpus-sized source join on EVERY query. Persisted once as
+    * a [[GraphStore]] artifact (collapsed multiplicities, src-
+    * partitioned) with the same append/delete lifecycle as every other
+    * index family; the read is the merged (src, dst, w) frame. */
+  def purchaseGraph(spark: SparkSession, sfDir: String): DataFrame =
+    GraphStore.read(spark, ensure(artifactDir(sfDir, "graph_purchase")) { d =>
+      val li = Tables(spark, sfDir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val o = Tables(spark, sfDir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      GraphStore.build(
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("src"),
+            (col("l_suppkey") + 1000000L).as("dst")),
+        "src", "dst", d)
+    })
+
+  /** Part co-purchase graph (parts sharing an order, 1/8 order slice —
+    * the adamic-adar / node2vec / k-core base graph); see
+    * [[purchaseGraph]] for the artifact posture */
+  def partCopurchaseGraph(spark: SparkSession, sfDir: String): DataFrame =
+    GraphStore.read(spark, ensure(artifactDir(sfDir, "graph_part_copurchase")) { d =>
+      val li = Tables(spark, sfDir, "lineitem")
+        .filter(col("l_orderkey") % 8 === 0)
+        .select(col("l_orderkey"), col("l_partkey"))
+      GraphStore.build(
+        li.as("x").join(li.as("y"),
+            col("x.l_orderkey") === col("y.l_orderkey") &&
+              col("x.l_partkey") < col("y.l_partkey"))
+          .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst")),
+        "src", "dst", d)
+    })
+
+  /** Supplier co-purchase graph (suppliers sharing an order, 1/4 order
+    * slice — the triangles / LPA base graph) */
+  def supplierCopurchaseGraph(spark: SparkSession, sfDir: String): DataFrame =
+    GraphStore.read(spark, ensure(artifactDir(sfDir, "graph_supplier_copurchase")) { d =>
+      val li = Tables(spark, sfDir, "lineitem")
+        .filter(col("l_orderkey") % 4 === 0)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      GraphStore.build(
+        li.as("x").join(li.as("y"),
+            col("x.l_orderkey") === col("y.l_orderkey") &&
+              col("x.l_suppkey") < col("y.l_suppkey"))
+          .select(col("x.l_suppkey").as("src"), col("y.l_suppkey").as("dst")),
+        "src", "dst", d)
+    })
+
   /** Build every artifact the benchmark queries search against — called
     * from Bench warm-up so index construction is billed to the build
     * phase, exactly like the reference's maintained indexes.
@@ -184,6 +237,12 @@ object IndexStore {
     timed("inverted")(inverted(spark, sfDir))
     timed("bm25")(bm25(spark, sfDir))
     timed("json")(json(spark, sfDir))
+    timed("graphs") {
+      purchaseGraph(spark, sfDir)
+      partCopurchaseGraph(spark, sfDir)
+      supplierCopurchaseGraph(spark, sfDir)
+      ()
+    }
     failed.toSeq
   }
 }

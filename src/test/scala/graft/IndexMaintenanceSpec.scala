@@ -830,4 +830,58 @@ class IndexMaintenanceSpec extends AnyFunSuite {
       train, "doc_id", "text", evalDf, "doc_id", "text", maxShingleDf = 1L))
     assert(capStreamed === capBatch, "read-time df cap diverged from batch")
   }
+
+  test("graph artifact: absorb == rebuild; node deletes fold; compact preserves; weighted read == raw multigraph") {
+    import graft.operators.{GraphStore, Graphs}
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graphstore").toString
+    // a deterministic multigraph WITH parallel edges (weights matter)
+    val raw = (0 until 400).map { i =>
+      (i.toLong % 23, (i.toLong * 7 + 3) % 23)
+    }.toDF("src", "dst")
+    def edgeSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("src", "dst", "w").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+
+    // absorb == rebuild: half at build, two quarter-segments appended
+    val half = raw.filter(col("src") % 2 === 0)
+    val q1 = raw.filter(col("src") % 2 =!= 0 && col("dst") % 2 === 0)
+    val q2 = raw.filter(col("src") % 2 =!= 0 && col("dst") % 2 =!= 0)
+    GraphStore.build(half, "src", "dst", tmp)
+    GraphStore.absorb(q1, "src", "dst", tmp, "b1")
+    GraphStore.absorb(q2, "src", "dst", tmp, "b2")
+    val full = java.nio.file.Files.createTempDirectory("graphfull").toString
+    GraphStore.build(raw, "src", "dst", full)
+    assert(edgeSet(GraphStore.read(spark, tmp)) ===
+      edgeSet(GraphStore.read(spark, full)), "absorbed state != rebuild")
+    // replay idempotence: re-absorbing b2 rewrites its own segment
+    GraphStore.absorb(q2, "src", "dst", tmp, "b2")
+    assert(edgeSet(GraphStore.read(spark, tmp)) ===
+      edgeSet(GraphStore.read(spark, full)), "replayed absorb double-counted")
+
+    // weighted operator equivalence: pageRank over the artifact's
+    // collapsed weights == pageRank over the raw multigraph
+    def ranks(df: org.apache.spark.sql.DataFrame, wc: Option[String]) =
+      Graphs.pageRank(df, "src", "dst", iterations = 4, weightCol = wc)
+        .select(col("id"), round(col("rank"), 9).as("r")).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    assert(ranks(GraphStore.read(spark, tmp), Some("w")) === ranks(raw, None),
+      "weighted artifact read diverged from the raw multigraph")
+
+    // node deletes fold at read on both endpoints
+    GraphStore.deleteNodes(Seq(3L, 11L).toDF("id"), "id", tmp)
+    val expectAfterDelete = edgeSet(GraphStore.read(spark, full))
+      .filterNot(e => Set(3L, 11L).contains(e._1) || Set(3L, 11L).contains(e._2))
+    assert(edgeSet(GraphStore.read(spark, tmp)) === expectAfterDelete,
+      "tombstoned nodes survived the read")
+
+    // compaction folds segments + tombstones into one src-partitioned
+    // segment and the answer is unchanged
+    GraphStore.compact(spark, tmp)
+    assert(edgeSet(GraphStore.read(spark, tmp)) === expectAfterDelete,
+      "compaction changed the merged state")
+    assert(graft.streaming.Lsm.readSegments(spark, s"$tmp/edges")
+      .groupBy(col("src"), col("dst")).count()
+      .filter(col("count") > 1).isEmpty, "compaction left duplicate keys")
+  }
 }
