@@ -48,28 +48,39 @@ object Headline {
     * q_vec_ann_quantized, q_vec_label_outliers, q_inverted_contains_all,
     * q_text_langid, q_text_fix_mojibake, q_events_hourly, q_window_rank,
     * q_funnel, q_phrase_search, q_dsir_weights, q_cdc_latest.
+    *
+    * r13 (echo coverage follows COST — r12 verdict: every query
+    * >= 3.5s gets an echo rep): headlined the measured top-8
+    * (q_graph_hits/triangles/pagerank/ppr/adamic_adar, q_robust_mad,
+    * q_vec_knn_shapley, q_vec_dbscan) — the graph five also carry this
+    * round's GraphStore-artifact change, so their drop needs the
+    * isolated rep; retired an equal count of flat sub-second holdovers
+    * (q1_pricing_summary 0.39, q_bm25_topk 0.41, q_vec_ann_topk 0.51,
+    * q_rolling_window 0.38, q_resample_fill 0.47, q_text_entropy 0.21,
+    * q_kn_perplexity 0.78 — flat since its maintained-counts fix,
+    * q_corpus_overlap_sketch 0.80).
     */
   val names: Set[String] = Set(
     // slowest TPC-H shapes (q9/q21 are the suite-pressure bellwethers)
-    "q1_pricing_summary", "q9_product_profit", "q21_waiting_suppliers",
+    "q9_product_profit", "q21_waiting_suppliers",
     // dedup family: LSH band join, hamming self-join, drop-everywhere
-    // boilerplate, Bloom-prefiltered decontamination, KMV overlap
+    // boilerplate, Bloom-prefiltered decontamination
     "q_dedup_minhash_lsh", "q_dedup_simhash_hamming", "q_dedup_boilerplate",
-    "q_decontaminate_bloom", "q_corpus_overlap_sketch",
-    // vector family: clustered-index probe + IVF-PQ probe
-    "q_vec_ann_topk", "q_vec_ann_pq",
-    // search family: BM25 indexed route + fused hybrid
-    "q_bm25_topk", "q_hybrid_search",
-    // LM scoring family: CCNet buckets (r12: scores from maintained
-    // counts), KN perplexity, whole-corpus entropy kernel
-    "q_ccnet_buckets", "q_kn_perplexity", "q_text_entropy",
-    // graph family: the heaviest iterative shape
-    "q_graph_walks",
-    // window/resample family + the query with open regression history
-    "q_rolling_window", "q_resample_fill", "q_winsorize",
-    // round-12 additions: this round's new heavy operators track from
-    // day one (biased-walk iteration; pooled-index MAXSIM route)
-    "q_graph_node2vec", "q_tql_maxsim_routed")
+    "q_decontaminate_bloom",
+    // vector family: IVF-PQ probe + the two heavy audits
+    "q_vec_ann_pq", "q_vec_knn_shapley", "q_vec_dbscan",
+    // search family: fused hybrid (BM25 route retired — flat at 0.4s)
+    "q_hybrid_search",
+    // LM scoring family: CCNet buckets (scores from maintained counts)
+    "q_ccnet_buckets",
+    // graph family — the bench's top cost block, all now served from
+    // the persisted GraphStore artifact
+    "q_graph_hits", "q_graph_triangles", "q_graph_pagerank", "q_graph_ppr",
+    "q_graph_adamic_adar", "q_graph_walks", "q_graph_node2vec",
+    // exact-quantile robust stats + the open regression history
+    "q_robust_mad", "q_winsorize",
+    // pooled-index MAXSIM route
+    "q_tql_maxsim_routed")
 }
 
 object Bench {

@@ -1262,30 +1262,46 @@ object DocumentQueries extends QueryModule {
       None,
       doc = "rule-distilled quality classifier scores, AUC-gated in QualityRulesSpec"),
 
-    // ---- isotonic (PAV) calibration of the quality scores: raw
-    // classifier scores rank well but mean nothing as probabilities;
-    // the step function makes "keep above 0.8" a statement about
-    // observed label rates. PAV runs on the bounded bin frame.
+    // ---- isotonic (PAV) calibration of the quality score: raw scores
+    // rank well but mean nothing as probabilities; the step function
+    // makes "keep above 0.8" a statement about observed label rates.
+    // PAV runs on the bounded bin frame with EXACT (Σlabel, n) pooling,
+    // so the fit replays in SQL through the isotonic minimax identity
+    // ŷ_i = max_{j≤i} min_{k≥i} Σy/Σn (Barlow et al. 1972) over the
+    // ≤20-row bin table — FULL oracle (the LR-scored composition stays
+    // exercised by QualityRulesSpec's PAV laws).
     "q_quality_calibrated" -> Q(
       (s, dir) => {
-        val d = table(s, dir, "documents")
-        val m = d.select(col("doc_id") +: col("text") +:
-          TA.ruleMetrics(col("text")).map { case (n, c) => c.as(n) }: _*)
-        val flags = TA.ruleFlags(n => col(n))
-        val labeled = m.withColumn("label",
-          TA.ruleKeep(flags.map(_._2)).cast("int"))
-        val model = graft.operators.QualityModel.train(
-          labeled.filter(col("doc_id") % 2 === 0), "text", "label", maxIter = 15)
-        val scored = graft.operators.QualityModel.score(
-          model, labeled.filter(col("doc_id") % 2 === 1), "text")
+        val scored = table(s, dir, "documents")
+          .select(col("doc_id"), TA.qualityScore(col("text")).as("score"),
+            (length(col("text")) >= 500).cast("int").as("label"))
         graft.operators.QualityModel.isotonicCalibrate(
-            scored, "quality_prob", "label", bins = 20)
-          .select(col("doc_id"), col("label"),
-            round(col("quality_prob"), 6).as("quality_prob"), col("calibrated"))
+            scored, "score", "label", bins = 20)
+          .select(col("doc_id"), col("label"), col("score"), col("calibrated"))
           .orderBy(col("doc_id")).limit(100)
       },
-      None,
-      doc = "PAV-calibrated quality probabilities (monotone step function over score bins)"),
+      Some("""WITH t AS (SELECT doc_id, length(text) AS c, string_split(text,' ') AS w,
+             |  CASE WHEN length(text) >= 500 THEN 1 ELSE 0 END AS label FROM documents),
+             |q AS (SELECT doc_id, label, round(0.3*least(len(w)/50.0, 1.0)
+             |  + 0.3*(len(list_distinct(w))::DOUBLE/len(w))
+             |  + 0.2*(1.0 - len(list_filter(w, x -> x IN ('the','a','of','and','to')))::DOUBLE/len(w))
+             |  + 0.2*least(((c - len(w) + 1.0)/len(w))/6.0, 1.0), 6) AS score FROM t),
+             |st AS (SELECT min(score) AS lo,
+             |  greatest((max(score) - min(score))/20.0, 1e-12) AS width FROM q),
+             |q2 AS (SELECT doc_id, label, score,
+             |  CAST(least(greatest(floor((score - st.lo)/st.width), 0), 19) AS INT) AS bin
+             |  FROM q, st),
+             |b AS (SELECT bin, count(*) AS n, sum(label)::DOUBLE AS ysum FROM q2 GROUP BY bin),
+             |seg AS (SELECT j.bin AS bj, k.bin AS bk, sum(t2.ysum)/sum(t2.n) AS ar
+             |  FROM b j JOIN b k ON j.bin <= k.bin
+             |  JOIN b t2 ON t2.bin BETWEEN j.bin AND k.bin GROUP BY 1, 2),
+             |mm AS (SELECT i.bin AS bin, s.bj, min(s.ar) AS mn
+             |  FROM b i JOIN seg s ON s.bj <= i.bin AND s.bk >= i.bin GROUP BY 1, 2),
+             |iso AS (SELECT bin, max(mn) AS cal FROM mm GROUP BY 1)
+             |SELECT q2.doc_id, q2.label, q2.score, round(iso.cal, 6) AS calibrated
+             |FROM q2 JOIN iso USING (bin)
+             |ORDER BY doc_id LIMIT 100""".stripMargin.replace('\n', ' ')),
+      doc = "PAV-calibrated quality score (exact integer pooling; SQL replay via the isotonic minimax identity)"),
 
     // ---- exact tie-corrected AUC via the Mann-Whitney rank identity:
     // does the deterministic quality score rank long documents above
