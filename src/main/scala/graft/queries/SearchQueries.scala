@@ -181,6 +181,63 @@ object SearchQueries extends QueryModule {
            |round(coalesce(p_vec, 0)*0.5 + coalesce(p_text, 0)*0.5, 6) AS hybrid_score
            |FROM vp FULL JOIN tp ON vp.id = tp.id
            |ORDER BY hybrid_score DESC, id LIMIT 20""".stripMargin.replace('\n', ' ')
-      })
+      }),
+
+    // ---- retrieval-quality metrics (recall@k / precision@k / MRR /
+    // NDCG@k) as a first-class operator — the RAG evaluation loop. The
+    // run here is a supplier-recommendation ranking (suppliers by
+    // pre-1999 purchase count per customer), judged against the
+    // customer's actual post-1999 suppliers: integer ranks + ln
+    // discount (the log base cancels in dcg/idcg), so the whole
+    // evaluation replays in SQL. Judged queries missing from the run
+    // score 0 — the honest "retrieval found nothing".
+    "q_search_metrics" -> Q(
+      (s, dir) => {
+        val li = table(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        val o = table(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+        val joined = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        val cut = lit("1999-01-01").cast("timestamp")
+        val past = joined.filter(col("o_orderdate") < cut)
+          .groupBy(col("o_custkey").as("custkey"), col("l_suppkey").as("suppkey"))
+          .agg(count(lit(1)).as("c"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("custkey")).orderBy(col("c").desc, col("suppkey"))
+        val run = past.withColumn("rank", row_number().over(w))
+        val judged = joined.filter(col("o_orderdate") >= cut)
+          .select(col("o_custkey").as("custkey"), col("l_suppkey").as("suppkey"))
+        graft.operators.SearchMetrics.retrievalMetrics(
+            run, "custkey", "suppkey", "rank", judged, "custkey", "suppkey", k = 10)
+          .orderBy(col("custkey")).limit(200)
+      },
+      Some("""WITH j AS (SELECT o_custkey AS q, l_suppkey AS id, o_orderdate AS d
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+             |past AS (SELECT q, id, count(*) AS c FROM j
+             |  WHERE d < TIMESTAMP '1999-01-01' GROUP BY 1, 2),
+             |run AS (SELECT q, id,
+             |  row_number() OVER (PARTITION BY q ORDER BY c DESC, id) AS r FROM past),
+             |rel AS (SELECT DISTINCT q, id FROM j WHERE d >= TIMESTAMP '1999-01-01'),
+             |nrel AS (SELECT q, count(*)::BIGINT AS n_relevant FROM rel GROUP BY 1),
+             |tag AS (SELECT run.q, run.r,
+             |  CASE WHEN rel.id IS NOT NULL THEN 1 ELSE 0 END AS h
+             |  FROM run LEFT JOIN rel ON run.q = rel.q AND run.id = rel.id
+             |  WHERE run.r <= 10),
+             |pq AS (SELECT q, sum(h)::BIGINT AS hits,
+             |  max(CASE WHEN h = 1 THEN 1.0/r END) AS mrr,
+             |  sum(CASE WHEN h = 1 THEN 1.0/ln(r + 1.0) END) AS dcg
+             |  FROM tag GROUP BY q),
+             |m AS (SELECT nrel.q, nrel.n_relevant,
+             |  coalesce(pq.hits, 0)::BIGINT AS hits,
+             |  coalesce(pq.mrr, 0.0) AS mrr, coalesce(pq.dcg, 0.0) AS dcg,
+             |  list_reduce(list_prepend(0.0,
+             |    list_transform(range(1, least(nrel.n_relevant, 10) + 1),
+             |      i -> 1.0/ln(i + 1.0))), (a, b) -> a + b) AS idcg
+             |  FROM nrel LEFT JOIN pq USING (q))
+             |SELECT q AS custkey, n_relevant, hits,
+             |round(hits/10.0, 6) AS precision_at_k,
+             |round(hits*1.0/n_relevant, 6) AS recall_at_k,
+             |round(mrr, 6) AS mrr, round(dcg/idcg, 6) AS ndcg_at_k
+             |FROM m ORDER BY custkey LIMIT 200""".stripMargin.replace('\n', ' ')),
+      doc = "recall@10 / precision@10 / MRR / NDCG@10 of a supplier-recommendation run vs post-1999 judgments")
   )
 }

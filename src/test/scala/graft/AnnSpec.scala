@@ -201,20 +201,22 @@ class AnnSpec extends AnyFunSuite {
         Window.partitionBy("qid").orderBy(col("d").asc, col("vec_id"))))
       .filter(col("rk") <= 10).select(col("qid"), col("vec_id").as("id"))
     val idx = AnnIndex.build(emb, "vec_id", "embedding", nClusters = 16)
-    def recall(cfg: AnnIndex.SearchConfig): Double = {
-      val approx = AnnIndex.search(idx, queries, "qid", "q_vec", 10, cfg,
-        metric = "l2").select("qid", "id")
-      exact.intersect(approx).count().toDouble / exact.count()
-    }
-    assert(recall(AnnIndex.SearchConfig(clusterSearchFactor = 8.0)) === 1.0)
-    assert(recall(AnnIndex.SearchConfig()) >= 0.6)
+    // recall measured THROUGH the first-class evaluation operator: every
+    // query has exactly 10 exact relevants, so the macro-averaged
+    // recall@10 equals the pooled intersection count
+    def recall(res: org.apache.spark.sql.DataFrame): Double =
+      graft.operators.SearchMetrics.retrievalMetrics(
+          res, "qid", "id", "rank", exact, "qid", "id", k = 10)
+        .agg(avg(col("recall_at_k"))).head().getDouble(0)
+    def search(cfg: AnnIndex.SearchConfig) =
+      AnnIndex.search(idx, queries, "qid", "q_vec", 10, cfg, metric = "l2")
+    assert(recall(search(AnnIndex.SearchConfig(clusterSearchFactor = 8.0))) === 1.0)
+    assert(recall(search(AnnIndex.SearchConfig())) >= 0.6)
     // quantized index serves l2 too (exact scoring, no int8 gate)
     val qidx = AnnIndex.build(emb, "vec_id", "embedding", nClusters = 16,
       quantized = true)
-    val r = AnnIndex.search(qidx, queries, "qid", "q_vec", 10,
-      AnnIndex.SearchConfig(clusterSearchFactor = 8.0), metric = "l2")
-      .select("qid", "id")
-    assert(exact.intersect(r).count().toDouble / exact.count() === 1.0)
+    assert(recall(AnnIndex.search(qidx, queries, "qid", "q_vec", 10,
+      AnnIndex.SearchConfig(clusterSearchFactor = 8.0), metric = "l2")) === 1.0)
   }
 
   test("dot metric (MIPS): exhaustive probe equals exact max inner product, default probe recalls >= 0.6") {
@@ -230,8 +232,10 @@ class AnnSpec extends AnyFunSuite {
     val idx = AnnIndex.build(emb, "vec_id", "embedding", nClusters = 16)
     def recall(cfg: AnnIndex.SearchConfig): Double = {
       val approx = AnnIndex.search(idx, queries, "qid", "q_vec", 10, cfg,
-        metric = "dot").select("qid", "id")
-      exact.intersect(approx).count().toDouble / exact.count()
+        metric = "dot")
+      graft.operators.SearchMetrics.retrievalMetrics(
+          approx, "qid", "id", "rank", exact, "qid", "id", k = 10)
+        .agg(avg(col("recall_at_k"))).head().getDouble(0)
     }
     assert(recall(AnnIndex.SearchConfig(clusterSearchFactor = 8.0)) === 1.0,
       "probing every cluster must recover the exact MIPS answer")

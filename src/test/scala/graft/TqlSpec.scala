@@ -687,7 +687,13 @@ class TqlSpec extends AnyFunSuite with BeforeAndAfterAll {
         routed.queryExecution.executedPlan.toString)
       val got = routed.collect().map(_.getLong(0))
       assert(got.length === 10)
-      val recall = got.toSet.intersect(exact).size / 10.0
+      // recall@10 through the first-class evaluation operator
+      val runDf = got.zipWithIndex
+        .map { case (id, i) => (1L, id, i + 1) }.toSeq.toDF("q", "id", "rank")
+      val relDf = exact.toSeq.map(id => (1L, id)).toDF("q", "id")
+      val recall = graft.operators.SearchMetrics.retrievalMetrics(
+          runDf, "q", "id", "rank", relDf, "q", "id", k = 10)
+        .head().getAs[Double]("recall_at_k")
       assert(recall >= 0.8, s"routed MAXSIM recall@10 = $recall vs exact $exact, got ${got.toSet}")
       // survivors are ranked by the EXACT multi-vector kernel: the
       // routed scores must be non-increasing
