@@ -131,6 +131,151 @@ object DocumentQueries extends QueryModule {
       |(ellipsis_frac <= 0.3) AS f_ellipsis,
       |(stop_count >= 2) AS f_stop""".stripMargin.replace('\n', ' ')
 
+  // ---- tokenizer-oracle builders: BPE/WordPiece training is
+  // engine-replayable (pair/unit counts are exact longs; WordPiece's
+  // likelihood score is ONE division of exact longs — identically
+  // correctly-rounded in both engines), so the fixed merge rounds
+  // unroll into chained CTEs and encoding replays as the same fold.
+
+  /** word→count CTEs + initial symbol lists. `wp` switches between
+    * BPE's char+</w> symbols and WordPiece's bare-first/##-rest. */
+  private def tokHead(trainWhere: String, wp: Boolean): Seq[String] = Seq(
+    s"wc AS MATERIALIZED (SELECT w, count(*)::BIGINT AS c FROM (SELECT " +
+      s"unnest(regexp_split_to_array(text, '\\s+')) AS w FROM documents " +
+      s"$trainWhere) t WHERE len(w) > 0 GROUP BY w)",
+    if (wp)
+      "s0 AS MATERIALIZED (SELECT w, c, list_prepend(w[1], list_transform(" +
+        "range(2, length(w) + 1), i -> '##' || w[i])) AS syms FROM wc)"
+    else
+      "s0 AS MATERIALIZED (SELECT w, c, list_append(list_transform(" +
+        "range(1, length(w) + 1), i -> w[i]), '</w>') AS syms FROM wc)")
+
+  /** leftmost-first merge application as a list_reduce fold — equals
+    * the scan because a freshly merged token can never re-match the
+    * pair's left side (the right side is non-empty) */
+  private def mergeFold(name: String, src: String, b: String,
+      joined: String, keep: String): String =
+    s"$name AS MATERIALIZED (SELECT $keep, list_reduce(list_transform(syms, x -> [x]), " +
+      s"(acc, e) -> CASE WHEN acc[-1] = $b.l AND e[1] = $b.r " +
+      s"THEN list_append(acc[1:len(acc) - 1], $joined) " +
+      s"ELSE list_append(acc, e[1]) END) AS syms FROM $src, $b)"
+
+  /** one BPE round: adjacent-pair count, (score DESC, l, r) argmax,
+    * merge fold */
+  private def bpeRound(i: Int): Seq[String] = Seq(
+    s"pr$i AS (SELECT c, unnest(list_transform(range(1, len(syms)), " +
+      s"j -> [syms[j], syms[j + 1]])) AS pr FROM s$i)",
+    s"p$i AS MATERIALIZED (SELECT pr[1] AS l, pr[2] AS r, sum(c)::BIGINT AS score " +
+      s"FROM pr$i GROUP BY 1, 2)",
+    s"b$i AS MATERIALIZED (SELECT l, r, score FROM p$i ORDER BY score DESC, l, r LIMIT 1)",
+    mergeFold(s"s${i + 1}", s"s$i", s"b$i", s"b$i.l || b$i.r", "w, c"))
+
+  /** one WordPiece round: pair + unit counts, likelihood argmax
+    * (score DESC, pc DESC, l, r), ##-aware merge fold */
+  private def wpRound(i: Int): Seq[String] = Seq(
+    s"pr$i AS (SELECT c, unnest(list_transform(range(1, len(syms)), " +
+      s"j -> [syms[j], syms[j + 1]])) AS pr FROM s$i)",
+    s"p$i AS MATERIALIZED (SELECT pr[1] AS l, pr[2] AS r, sum(c)::BIGINT AS pc " +
+      s"FROM pr$i GROUP BY 1, 2)",
+    s"u$i AS MATERIALIZED (SELECT s, sum(c)::BIGINT AS uc FROM " +
+      s"(SELECT c, unnest(syms) AS s FROM s$i) t GROUP BY s)",
+    s"b$i AS MATERIALIZED (SELECT p$i.l AS l, p$i.r AS r, pc, " +
+      s"pc::DOUBLE / (ul.uc::DOUBLE * ur.uc::DOUBLE) AS score, " +
+      s"p$i.l || CASE WHEN substr(p$i.r, 1, 2) = '##' " +
+      s"THEN substr(p$i.r, 3) ELSE p$i.r END AS j " +
+      s"FROM p$i JOIN u$i ul ON ul.s = p$i.l JOIN u$i ur ON ur.s = p$i.r " +
+      s"ORDER BY score DESC, pc DESC, l, r LIMIT 1)",
+    mergeFold(s"s${i + 1}", s"s$i", s"b$i", s"b$i.j", "w, c"))
+
+  private def bpeMergesOracle(m: Int): String = {
+    val ctes = tokHead("", wp = false) ++ (0 until m).flatMap(bpeRound)
+    val union = (0 until m).map(i =>
+      s"""SELECT $i::INT AS rank, l AS "left", r AS "right", score FROM b$i""")
+      .mkString(" UNION ALL ")
+    s"WITH ${ctes.mkString(", ")} SELECT * FROM ($union) ORDER BY rank"
+  }
+
+  private def wpMergesOracle(m: Int): String = {
+    val ctes = tokHead("", wp = true) ++ (0 until m).flatMap(wpRound)
+    val union = (0 until m).map(i =>
+      s"""SELECT $i::INT AS rank, l AS "left", r AS "right", """ +
+        s"pc AS pair_count, round(score, 9) AS score FROM b$i")
+      .mkString(" UNION ALL ")
+    s"WITH ${ctes.mkString(", ")} SELECT * FROM ($union) ORDER BY rank"
+  }
+
+  private def bpeEncodeOracle(m: Int, trainWhere: String,
+      encWhere: String): String = {
+    val train = tokHead(trainWhere, wp = false) ++ (0 until m).flatMap(bpeRound)
+    val enc = Seq(
+      s"ew AS MATERIALIZED (SELECT DISTINCT w FROM (SELECT " +
+        s"unnest(regexp_split_to_array(text, '\\s+')) AS w FROM documents " +
+        s"$encWhere) t WHERE len(w) > 0)",
+      "e0 AS MATERIALIZED (SELECT w, list_append(list_transform(" +
+        "range(1, length(w) + 1), i -> w[i]), '</w>') AS syms FROM ew)") ++
+      (0 until m).map(i =>
+        mergeFold(s"e${i + 1}", s"e$i", s"b$i", s"b$i.l || b$i.r", "w")) ++ Seq(
+      s"seg AS MATERIALIZED (SELECT w, array_to_string(syms, ' ') AS segmentation, " +
+        s"len(syms)::BIGINT AS ns FROM e$m)",
+      s"dw AS (SELECT doc_id, " +
+        s"unnest(regexp_split_to_array(text, '\\s+')) AS w, " +
+        s"unnest(range(1, len(regexp_split_to_array(text, '\\s+')) + 1)) AS pos " +
+        s"FROM documents $encWhere)")
+    s"WITH ${(train ++ enc).mkString(", ")} " +
+      "SELECT doc_id, count(*)::BIGINT AS n_words, " +
+      "sum(seg.ns)::BIGINT AS n_subwords, " +
+      "string_agg(seg.segmentation, ' ' ORDER BY pos) AS subwords " +
+      "FROM dw JOIN seg USING (w) GROUP BY doc_id ORDER BY doc_id"
+  }
+
+  private def wpEncodeOracle(m: Int, trainWhere: String,
+      encWhere: String): String = {
+    val train = tokHead(trainWhere, wp = true) ++ (0 until m).flatMap(wpRound)
+    val vocabUnion = ("SELECT piece FROM alpha" +:
+      (0 until m).map(i => s"SELECT j FROM b$i")).mkString(" UNION ")
+    val enc = Seq(
+      "alpha AS MATERIALIZED (SELECT DISTINCT unnest(syms) AS piece FROM s0)",
+      s"vocab AS MATERIALIZED ($vocabUnion)",
+      s"ew AS MATERIALIZED (SELECT DISTINCT w FROM (SELECT " +
+        s"unnest(regexp_split_to_array(text, '\\s+')) AS w FROM documents " +
+        s"$encWhere) t WHERE len(w) > 0)",
+      "pos AS MATERIALIZED (SELECT w, unnest(range(1, length(w) + 1)) AS start FROM ew)",
+      // candidates: at start 1 a bare piece prefixes the word; later a
+      // ##-piece's suffix matches at the offset. adv = consumed chars.
+      "cand AS MATERIALIZED (SELECT p.w, p.start, v.piece, " +
+        "CASE WHEN p.start > 1 THEN length(v.piece) - 2 " +
+        "ELSE length(v.piece) END AS adv FROM pos p JOIN vocab v ON " +
+        "CASE WHEN p.start = 1 THEN substr(v.piece, 1, 2) <> '##' " +
+        "AND substr(p.w, 1, length(v.piece)) = v.piece " +
+        "ELSE substr(v.piece, 1, 2) = '##' AND length(v.piece) > 2 " +
+        "AND substr(p.w, p.start, length(v.piece) - 2) = substr(v.piece, 3) END)",
+      "best AS MATERIALIZED (SELECT w, start, piece, adv FROM (SELECT *, " +
+        "row_number() OVER (PARTITION BY w, start ORDER BY adv DESC) AS rk " +
+        "FROM cand) t WHERE rk = 1)",
+      // greedy longest-match walk; a stalled walk (no match at some
+      // offset) never reaches length(w)+1 -> word-level [UNK]
+      "walk AS (SELECT w, 1::BIGINT AS start, CAST([] AS VARCHAR[]) AS pieces " +
+        "FROM ew UNION ALL SELECT walk.w, walk.start + b.adv, " +
+        "list_append(walk.pieces, b.piece) FROM walk " +
+        "JOIN best b ON b.w = walk.w AND b.start = walk.start " +
+        "WHERE walk.start <= length(walk.w))",
+      "done AS MATERIALIZED (SELECT w, pieces FROM walk WHERE start = length(w) + 1)",
+      "seg AS MATERIALIZED (SELECT ew.w, CASE WHEN d.w IS NULL THEN '[UNK]' " +
+        "ELSE array_to_string(d.pieces, ' ') END AS segmentation, " +
+        "CASE WHEN d.w IS NULL THEN 1::BIGINT ELSE len(d.pieces)::BIGINT END AS np, " +
+        "CASE WHEN d.w IS NULL THEN 1 ELSE 0 END AS nu " +
+        "FROM ew LEFT JOIN done d USING (w))",
+      s"dw AS (SELECT doc_id, " +
+        s"unnest(regexp_split_to_array(text, '\\s+')) AS w, " +
+        s"unnest(range(1, len(regexp_split_to_array(text, '\\s+')) + 1)) AS pos " +
+        s"FROM documents $encWhere)")
+    s"WITH RECURSIVE ${(train ++ enc).mkString(", ")} " +
+      "SELECT doc_id, count(*)::BIGINT AS n_words, " +
+      "sum(seg.np)::BIGINT AS n_pieces, sum(seg.nu)::BIGINT AS n_unk, " +
+      "string_agg(seg.segmentation, ' ' ORDER BY pos) AS pieces " +
+      "FROM dw JOIN seg USING (w) GROUP BY doc_id ORDER BY doc_id"
+  }
+
   override def qs: Seq[(String, Q)] = Seq(
 
     // ---- exact dedup: corpus duplication profile
@@ -1394,23 +1539,32 @@ object DocumentQueries extends QueryModule {
 
     // ---- distributed BPE merge training (tokenizer prep). Runs over
     // the distinct-word table; one explode+hash-agg per round, argmax
-    // row only to the driver. Deterministic (exact long scores, total
-    // tie-break) but iterative — not SQL-expressible, so the oracle is
-    // the single-node reference implementation in BpeSpec.
+    // row only to the driver. FULLY engine-replayable: pair scores are
+    // exact long sums with a total tie-break, so the fixed 12 rounds
+    // UNROLL into chained DuckDB CTEs (pair-count agg + argmax + a
+    // list_reduce merge fold per round — the fold equals the leftmost
+    // scan because a freshly merged l||r can never re-match l).
     // ---- WordPiece (Schuster & Nakajima 2012 / BERT): likelihood-gain
     // merges count(ab)/(count(a)count(b)) under the ## continuation
     // scheme — completes the trainer triad (BPE counts, Unigram EM,
-    // WordPiece likelihood). Spec-gated vs a single-node reference.
+    // WordPiece likelihood). The score is ONE division of exact longs,
+    // correctly rounded identically in both engines, so the trainer
+    // replays like BPE's; BOTH also stay spec-gated vs single-node
+    // references.
     "q_wordpiece_merges" -> Q(
       (s, dir) => graft.operators.WordPiece
         .trainDF(table(s, dir, "documents"), "text", numMerges = 12)
         .orderBy(col("rank")),
-      None,
-      doc = "WordPiece likelihood-scored merge training (BERT tokenizer)"),
+      Some(wpMergesOracle(12)),
+      doc = "WordPiece likelihood-scored merge training (BERT tokenizer; unrolled-CTE oracle)"),
 
     // ---- WordPiece APPLY: greedy longest-match-first against the
     // trained vocab; distinct words segment once, corpus joins the
-    // broadcast segmentation table
+    // broadcast segmentation table. FULL oracle: the trained vocab
+    // replays via the unrolled merge CTEs, and the greedy walk replays
+    // as a recursive CTE over a precomputed longest-match table (a
+    // stalled walk — dead end — is the word-level [UNK], exactly the
+    // operator's semantics).
     "q_wordpiece_encode" -> Q(
       (s, dir) => {
         val d = table(s, dir, "documents")
@@ -1422,19 +1576,21 @@ object DocumentQueries extends QueryModule {
           .withColumnRenamed("id", "doc_id")
           .orderBy(col("doc_id"))
       },
-      None,
-      doc = "doc-level WordPiece greedy encode with [UNK] accounting"),
+      Some(wpEncodeOracle(12, "WHERE doc_id < 200", "WHERE doc_id < 40")),
+      doc = "doc-level WordPiece greedy encode with [UNK] accounting (recursive-CTE oracle)"),
 
     "q_bpe_merges" -> Q(
       (s, dir) => graft.operators.Bpe
         .trainDF(s, table(s, dir, "documents"), "text", numMerges = 12)
         .orderBy(col("rank")),
-      None,
-      doc = "BPE merge training, spec-gated against a single-node reference implementation"),
+      Some(bpeMergesOracle(12)),
+      doc = "BPE merge training (unrolled-CTE oracle; also spec-gated vs a single-node reference)"),
 
     // ---- tokenizer APPLY: doc-level BPE encode with the trained
     // merges — distinct words segment once, the corpus joins the
-    // (broadcast) segmentation table, one re-agg restores order
+    // (broadcast) segmentation table, one re-agg restores order.
+    // FULL oracle: the rank-ordered merge application is the same
+    // list_reduce fold chain the trainer replay uses.
     "q_bpe_encode" -> Q(
       (s, dir) => {
         val d = table(s, dir, "documents")
@@ -1445,8 +1601,8 @@ object DocumentQueries extends QueryModule {
           .withColumnRenamed("id", "doc_id")
           .orderBy(col("doc_id"))
       },
-      None,
-      doc = "doc-level BPE encoding, spec-gated (BpeSpec order/stitching test)"),
+      Some(bpeEncodeOracle(12, "WHERE doc_id < 200", "WHERE doc_id < 40")),
+      doc = "doc-level BPE encoding (unrolled-CTE oracle; BpeSpec order/stitching gate)"),
 
     // ---- END-TO-END corpus pipeline: the composition every pretraining
     // team actually ships — Gopher rule filter (raw text) → exact-dedup
