@@ -496,6 +496,43 @@ object Multimodal {
     }
   }
 
+  /** SSIM-CONFIRMED perceptual near-dup — the image analog of the
+    * MinHash-propose → Jaccard-verify text pipeline: [[aHash64]]
+    * Hamming buckets PROPOSE candidate pairs through the pigeonhole-
+    * banded, salt-guarded pair join (never all-pairs), and exact SSIM
+    * on the real decoded pixels CONFIRMS (ssim ≥ tau). An aHash
+    * collision between structurally different images dies at the
+    * verify step exactly like a banded-MinHash false positive dies at
+    * the Jaccard check; feed the verified pairs to
+    * [[graft.operators.Dedup.connectedComponents]] for keeper
+    * selection. Mismatched-dimension or undecodable candidates score
+    * ssim = −2 and drop at the threshold.
+    *
+    * Scale shape: fingerprint + banded join propose O(near-dup) pairs;
+    * only PROPOSED pairs decode for SSIM (payloads rejoin by id — two
+    * hash joins, then one map pass). Returns (id_a, id_b, dist, ssim)
+    * with ssim ≥ tau. */
+  def perceptualNearDupPairs(images: DataFrame, idCol: String,
+      payloadCol: String = "payload", maxHamming: Int = 6,
+      tau: Double = 0.9): DataFrame = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    val payloads = images.select(col(idCol).cast("long").as("id"),
+      col(payloadCol).as("__p"))
+    val fps = aHash64(decodeImages(images, idCol, payloadCol))
+    val cand = graft.operators.Dedup
+      .hammingNearDupPairs(fps, "id", "bits", maxHamming)
+    cand
+      .join(payloads.select(col("id").as("id_a"), col("__p").as("__pa")), "id_a")
+      .join(payloads.select(col("id").as("id_b"), col("__p").as("__pb")), "id_b")
+      .select(col("id_a"), col("id_b"), col("dist"), col("__pa"), col("__pb"))
+      .as[(Long, Long, Int, Array[Byte], Array[Byte])]
+      .mapPartitions(_.map { case (a, b, d, pa, pb) =>
+        (a, b, d, ssimOne(0L, pa, pb).ssim) })
+      .toDF("id_a", "id_b", "dist", "ssim")
+      .filter(col("ssim") >= tau)
+  }
+
   final case class AudioSpectral(id: Long, sample_rate: Int,
       n_frames: Long, dominant_hz: Double, centroid_hz: Double,
       rolloff_hz: Double, flatness: Double)

@@ -1321,6 +1321,81 @@ class StreamingAndMultimodalSpec extends AnyFunSuite {
     assert(!found.contains((30L, 40L)))
   }
 
+  test("SSIM-confirmed perceptual near-dup: hash-blocked pairs + SSIM verify == brute-force SSIM; no all-pairs plan") {
+    val spark2 = spark
+    import spark2.implicits._
+    // three distinct 32x32 SMOOTH gradient bases (frequency keyed by the
+    // family — aHash is a luminance-layout hash, so smooth structure is
+    // what it is stable over); per base a JPEG re-encode (x+1, lossy but
+    // structurally identical) and a light pixel perturbation (x+2);
+    // plus a CROP (different dims — must never pair) and junk bytes
+    def base(f: Int): java.awt.image.BufferedImage = {
+      val im = new java.awt.image.BufferedImage(32, 32,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 32; x <- 0 until 32) {
+        // orientation-keyed gray ramps: rightward / downward / leftward.
+        // Families are structurally DISTINCT (cross-family luminance
+        // covariance ~0 or negative -> SSIM low), while within a family
+        // a re-encode or 5-pixel perturbation keeps SSIM near 1.
+        val l = f match {
+          case 0 => 8 * x
+          case 1 => 8 * y
+          case _ => 8 * (31 - x)
+        }
+        im.setRGB(x, y, (l << 16) | (l << 8) | l)
+      }
+      im
+    }
+    def enc(im: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, fmt, out); out.toByteArray
+    }
+    def perturbed(f: Int): java.awt.image.BufferedImage = {
+      val im = base(f)
+      for (p <- 0 until 5) im.setRGB(p, (p * 7) % 32, 0xFFFFFF)
+      im
+    }
+    val crop = base(0).getSubimage(0, 0, 16, 16)
+    val rows = Seq(0, 1, 2).flatMap { f =>
+      val id = (f + 1) * 100L
+      Seq((id, enc(base(f), "png")), (id + 1, enc(base(f), "jpg")),
+        (id + 2, enc(perturbed(f), "png")))
+    } ++ Seq((900L, enc(crop, "png")), (999L, "junk".getBytes))
+    val df = rows.toDF("id", "payload")
+
+    val tau = 0.7
+    val got = Multimodal.perceptualNearDupPairs(df, "id", "payload",
+      maxHamming = 16, tau = tau)
+    // no all-pairs anywhere: the candidate join is banded + salted
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    val pairs = got.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // brute-force oracle: exact SSIM over EVERY decodable same-dims pair
+    val byId = rows.toMap
+    val decodable = rows.map(_._1).filter { id =>
+      Multimodal.ssimOne(0L, byId(id), byId(id)).ssim > -2.0 }
+    val brute = (for {
+      a <- decodable; b <- decodable if a < b
+      s = Multimodal.ssimOne(0L, byId(a), byId(b)).ssim if s >= tau
+    } yield (a, b)).toSet
+    assert(pairs === brute,
+      s"hash-blocked+verified pairs $pairs != brute-force SSIM $brute")
+    // the planted families verified; crop and junk never pair
+    for (f <- Seq(0, 1, 2); id = (f + 1) * 100L)
+      assert(pairs.contains((id, id + 1)) && pairs.contains((id, id + 2)), s"family $id")
+    assert(pairs.forall { case (a, b) => a / 100 == b / 100 },
+      "cross-family pair survived SSIM verification")
+    // components group each base with its re-encode + perturbation
+    val comps = graft.operators.Dedup
+      .connectedComponents(got, "id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._2).values.map(_.map(_._1).toSet).toSet
+    assert(comps === Set(Set(100L, 101L, 102L), Set(200L, 201L, 202L),
+      Set(300L, 301L, 302L)))
+  }
+
   test("SAMPLE_INFO: per-sample metadata as a TQL property (tensor_property.hpp:7-12)") {
     val spark2 = spark
     import spark2.implicits._
