@@ -84,6 +84,21 @@ object Quantiles {
       df.select(lit("").as("__k"), col(valueCol).as("__val")), "__k", "__val", qs)
       .get("")
 
+  /** [[exactQuantilesOpt]] over a PRE-COLLAPSED (value, weight) frame —
+    * the entry point for multi-pass consumers ([[Robust.madScore]]'s
+    * median-then-MAD): collapse the corpus to tie counts ONCE, persist
+    * that, and run every later pass over the distinct-value frame
+    * instead of re-scanning the source. Bit-identical to running
+    * [[exactQuantilesOpt]] on the exploded rows (the rank arithmetic
+    * only ever sees per-value totals). */
+  def exactQuantilesWeightedOpt(df: DataFrame, valueCol: String,
+      weightCol: String, qs: Seq[Double]): Option[Array[Double]] =
+    exactQuantilesByKey(
+      df.select(lit("").as("__k"), col(valueCol).as("__val"),
+        col(weightCol).as("__wt")),
+      "__k", "__val", qs, weightCol = Some("__wt"))
+      .get("")
+
   /** [[exactQuantiles]] for SEVERAL value populations in ONE corpus
     * pass: `df` carries (key, value) rows — e.g. the per-signal explode
     * of [[graft.operators.Features.percentileBlend]] — and every key
@@ -93,17 +108,26 @@ object Quantiles {
     * signals/metrics — a handful — never data-sized). Keys with no
     * non-NULL values are absent from the result (percentile's NULL). */
   def exactQuantilesByKey(df: DataFrame, keyCol: String, valueCol: String,
-      qs: Seq[Double]): Map[String, Array[Double]] = {
+      qs: Seq[Double], weightCol: Option[String] = None): Map[String, Array[Double]] = {
     require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
       s"quantiles must be in [0,1]: $qs")
     // perKV persists FIRST: repartitionByRange runs a range-boundary
     // sampling job over its input, which would otherwise re-execute the
-    // whole tie-collapse aggregate (the corpus scan) a second time
-    val perKV = df.filter(col(valueCol).isNotNull && col(keyCol).isNotNull)
-      .select(col(keyCol).cast("string").as("__k"),
-        col(valueCol).cast("double").as("__v"))
-      .groupBy(col("__k"), col("__v")).agg(count(lit(1)).as("__c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // whole tie-collapse aggregate (the corpus scan) a second time.
+    // With weightCol, input rows are pre-collapsed (value, weight) ties
+    // and the collapse sums weights — identical rank arithmetic.
+    val base = df.filter(col(valueCol).isNotNull && col(keyCol).isNotNull)
+    val perKV = (weightCol match {
+      case Some(wc) => base
+        .select(col(keyCol).cast("string").as("__k"),
+          col(valueCol).cast("double").as("__v"),
+          col(wc).cast("long").as("__w0"))
+        .groupBy(col("__k"), col("__v")).agg(sum(col("__w0")).as("__c"))
+      case None => base
+        .select(col(keyCol).cast("string").as("__k"),
+          col(valueCol).cast("double").as("__v"))
+        .groupBy(col("__k"), col("__v")).agg(count(lit(1)).as("__c"))
+    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val parts = perKV.repartitionByRange(col("__k"), col("__v"))
       .sortWithinPartitions(col("__k"), col("__v"))
       .withColumn("__pid", spark_partition_id())

@@ -101,10 +101,14 @@ object Robust {
     * `(n_pairs, slope, intercept)` (6dp). FULL oracle. */
   def theilSen(df: DataFrame, idCol: String, xCol: String,
       yCol: String): DataFrame = {
+    // base persists: it feeds the pairing chain AND the intercept's
+    // residual median — unpersisted, the intercept pass re-scans the
+    // source and re-hashes every key
     val base = df.select(col(idCol).cast("string").as("id"),
         col(xCol).cast("double").as("x"), col(yCol).cast("double").as("y"))
       .filter(col("x").isNotNull && col("y").isNotNull)
       .withColumn("u", Sampling.hashUniform(col("id")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ordered = base.repartitionByRange(col("u"), col("id"))
       .sortWithinPartitions(col("u"), col("id"))
     val rn = RowNumber.withRowNumber(ordered, "rn")
@@ -129,7 +133,7 @@ object Robust {
         BigDecimal(slope).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
         BigDecimal(intercept).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
         .toDF("n_pairs", "slope", "intercept")
-    } finally { pairs.unpersist(false); () }
+    } finally { pairs.unpersist(false); base.unpersist(false); () }
   }
 
   /** Median-absolute-deviation outlier scoring — the robust z-score
@@ -153,20 +157,24 @@ object Robust {
           when(col("mad") > 0,
             lit(0.6745) * (col(valueCol).cast("double") - col("med")) / col("mad")))
     } else {
-      // one persisted value projection feeds BOTH median passes (the
-      // second otherwise re-scans the source); released before return —
-      // the returned frame reads the source directly. None (empty /
-      // all-NULL input) mirrors percentile()'s NULL medians.
-      val vals = df.select(col(valueCol).cast("double").as("__x"))
+      // collapse the corpus to (value, tie-count) ONCE and run BOTH
+      // median passes weighted over that persisted distinct-value frame
+      // — the second pass (median of |x − m|) pays a distinct-value
+      // re-agg instead of a full source re-scan + re-collapse. None
+      // (empty / all-NULL input) mirrors percentile()'s NULL medians.
+      val vc = df.select(col(valueCol).cast("double").as("__x"))
+        .filter(col("__x").isNotNull)
+        .groupBy(col("__x")).agg(count(lit(1)).as("__c"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val stats =
         try {
-          Quantiles.exactQuantilesOpt(vals, "__x", Seq(0.5)).map { m0 =>
+          Quantiles.exactQuantilesWeightedOpt(vc, "__x", "__c", Seq(0.5)).map { m0 =>
             val m = m0.head
-            (m, Quantiles.exactQuantiles(
-              vals.select(abs(col("__x") - m).as("__d")), "__d", Seq(0.5)).head)
+            (m, Quantiles.exactQuantilesWeightedOpt(
+              vc.select(abs(col("__x") - m).as("__d"), col("__c")),
+              "__d", "__c", Seq(0.5)).get.head)
           }
-        } finally { vals.unpersist(false); () }
+        } finally { vc.unpersist(false); () }
       stats match {
         case Some((med, mad)) =>
           df.withColumn("med", lit(med)).withColumn("mad", lit(mad))
