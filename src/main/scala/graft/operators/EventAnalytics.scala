@@ -687,4 +687,56 @@ object EventAnalytics {
         round(col("n_ab").cast("double") * col("n_baskets").cast("double") /
           (col("n_a").cast("double") * col("n_b").cast("double")), 6).as("lift"))
   }
+
+  /** Classical additive seasonal decomposition (the moving-average
+    * method every stats package ships as decompose()): per series key,
+    * value = trend + seasonal + residual, with
+    *  - trend: the symmetric centered moving average over one full
+    *    (odd) period — NULL within period/2 of the series edges, where
+    *    the window is incomplete (honest, not zero-padded);
+    *  - seasonal: the per-phase mean of the detrended series, centered
+    *    so one period's components sum to ~0;
+    *  - residual: what remains — the de-seasonalized anomaly signal
+    *    [[cusum]]/[[anomalyScores]] should monitor instead of raw
+    *    values on any periodic feed.
+    *
+    * Scale shape: all windows partition by the SERIES key (keys are
+    * the parallel unit; no unpartitioned window), the phase means are
+    * one keys×period-sized hash agg joined back broadcast. FULL
+    * oracle: window avgs + integer phase arithmetic replay in SQL.
+    * Returns df's key cols + (orderCol, value, trend, seasonal,
+    * residual), 6dp. */
+  def seasonalDecompose(df: DataFrame, keyCols: Seq[String],
+      orderCol: String, valueCol: String, period: Int): DataFrame = {
+    require(period >= 3 && period % 2 == 1,
+      s"period must be odd and >= 3 (got $period): the symmetric centered MA")
+    require(keyCols.nonEmpty, "need at least one series key")
+    import org.apache.spark.sql.expressions.Window
+    val half = period / 2
+    val kc = keyCols.map(col)
+    val w = Window.partitionBy(kc: _*).orderBy(col(orderCol))
+    val ma = w.rowsBetween(-half, half)
+    val base = df.select(kc :+ col(orderCol) :+
+      col(valueCol).cast("double").as("__v"): _*)
+      .withColumn("__trend",
+        when(count(lit(1)).over(ma) === period, avg(col("__v")).over(ma)))
+      .withColumn("__phase",
+        ((row_number().over(w) - 1) % period).cast("int"))
+      .withColumn("__detr", col("__v") - col("__trend"))
+    val phases = base.groupBy(kc :+ col("__phase"): _*)
+      .agg(avg(col("__detr")).as("__sraw"))
+    // centering is a whole-SERIES window — partitioned by the key, so
+    // the frame is one key's period-many phase rows
+    val wk = Window.partitionBy(kc: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val centered = phases.withColumn("__s",
+      col("__sraw") - avg(col("__sraw")).over(wk))
+    base.join(broadcast(centered.select(kc :+ col("__phase") :+ col("__s"): _*)),
+        keyCols :+ "__phase")
+      .select(kc :+ col(orderCol) :+
+        round(col("__v"), 6).as("value") :+
+        round(col("__trend"), 6).as("trend") :+
+        round(col("__s"), 6).as("seasonal") :+
+        round(col("__v") - col("__trend") - col("__s"), 6).as("residual"): _*)
+  }
 }

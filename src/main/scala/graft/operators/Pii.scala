@@ -148,4 +148,38 @@ object Pii {
       .agg(count(lit(1)).as("n"))
       .withColumn("n_dp", round(col("n") + noise, 4))
   }
+
+  /** Entropy ℓ-diversity audit (Machanavajjhala et al. 2007 §3) — the
+    * rung between [[kAnonymity]]'s DISTINCT-count ℓ and
+    * [[tCloseness]]'s distributional distance: a class with ℓ distinct
+    * sensitive values still leaks when one value owns ~all its rows;
+    * entropy ℓ-diversity demands H(class) ≥ ln(ℓ), i.e. effective
+    * ℓ = e^H ≥ ℓ (e^H = the "number of equally-likely values the class
+    * behaves like").
+    *
+    * ONE (quasi, sensitive) hash aggregate is the data-sized stage; the
+    * class re-agg folds Σ o·ln o algebraically (the [[Profiling
+    * .keyProfile]] entropy shape — never a second pass). FULL oracle.
+    * Returns per class: quasi cols + (class_size, entropy,
+    * effective_l, l_violation), 6dp. */
+  def entropyLDiversity(df: org.apache.spark.sql.DataFrame,
+      quasiCols: Seq[String], sensitiveCol: String,
+      l: Double): org.apache.spark.sql.DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier")
+    require(l >= 1, "l must be >= 1")
+    val qc = quasiCols.map(col)
+    val obs = df.groupBy(qc :+
+        coalesce(col(sensitiveCol).cast("string"), lit("\u0000null")).as("__s"): _*)
+      .agg(count(lit(1)).as("__o"))
+    val h = log(col("class_size").cast("double")) -
+      col("__nlogn") / col("class_size")
+    obs.groupBy(qc: _*)
+      .agg(sum(col("__o")).as("class_size"),
+        sum(col("__o").cast("double") * log(col("__o").cast("double")))
+          .as("__nlogn"))
+      .select(qc :+ col("class_size") :+
+        round(h, 6).as("entropy") :+
+        round(exp(h), 6).as("effective_l") :+
+        (exp(h) < l).as("l_violation"): _*)
+  }
 }

@@ -206,6 +206,32 @@ object QualityModel {
           .as("ece_term"))
   }
 
+  /** Unbiased pass@k (Chen et al. 2021, Codex eq. 1) — THE reporting
+    * number for sampled generation evals: per task with n attempts and
+    * c successes, pass@k = 1 − C(n−c, k)/C(n, k), computed stably as
+    * 1 − Π_{i=0}^{k−1} (n−c−i)/(n−i) (never a factorial overflow).
+    * Estimator is unbiased for P(≥1 success in k draws without
+    * replacement); n−c < k short-circuits to 1 exactly.
+    *
+    * ONE task-keyed hash agg is the data-sized stage; the product is a
+    * bounded in-plan fold (same left-to-right order as SQL's
+    * list_reduce — FULL oracle). Tasks with n < k drop: the estimator
+    * is undefined there, and silently clamping k would overstate.
+    * Returns (task, n, c, pass_at_k), 6dp. */
+  def passAtK(df: DataFrame, taskCol: String, successCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val perTask = df.groupBy(col(taskCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col(successCol).cast("long")).as("c"))
+      .filter(col("n") >= k)
+    val prod = aggregate(sequence(lit(0), lit(k - 1)), lit(1.0),
+      (acc, i) => acc *
+        (col("n") - col("c") - i).cast("double") / (col("n") - i).cast("double"))
+    perTask.withColumn("pass_at_k",
+      round(when(col("n") - col("c") < k, 1.0).otherwise(lit(1.0) - prod), 6))
+  }
+
   def auc(model: Model, labeled: DataFrame, textCol: String,
       labelCol: String): Double = {
     val scored = score(model,

@@ -572,6 +572,52 @@ object Relational extends QueryModule {
              |ORDER BY c_nationkey, c_mktsegment""".stripMargin.replace('\n', ' ')),
       doc = "t-closeness audit: per-class ordered EMD of acctbal-bucket distribution vs global"),
 
+    // ---- entropy l-diversity (Machanavajjhala 2007 §3): the rung
+    // between distinct-count l and t-closeness — a class with l distinct
+    // sensitive values still leaks when one value owns ~all rows;
+    // effective_l = e^H is "how many equally-likely values the class
+    // behaves like". Algebraic entropy fold, one hash agg.
+    "q_l_diversity" -> Q(
+      (s, dir) => graft.operators.Pii.entropyLDiversity(
+          table(s, dir, "customer")
+            .withColumn("bal_bucket",
+              floor(col("c_acctbal") / 1000.0).cast("int")),
+          Seq("c_nationkey", "c_mktsegment"), "bal_bucket", l = 8.0)
+        .orderBy(col("c_nationkey"), col("c_mktsegment")),
+      Some("""WITH base AS (SELECT c_nationkey, c_mktsegment,
+             |  coalesce(CAST(CAST(floor(c_acctbal/1000.0) AS INT) AS VARCHAR), chr(0)||'null') AS s FROM customer),
+             |obs AS (SELECT c_nationkey, c_mktsegment, s, count(*) AS o FROM base GROUP BY 1, 2, 3),
+             |cls AS (SELECT c_nationkey, c_mktsegment, sum(o)::BIGINT AS class_size,
+             |  sum(o::DOUBLE * ln(o::DOUBLE)) AS nlogn FROM obs GROUP BY 1, 2)
+             |SELECT c_nationkey, c_mktsegment, class_size,
+             |round(ln(class_size::DOUBLE) - nlogn/class_size, 6) AS entropy,
+             |round(exp(ln(class_size::DOUBLE) - nlogn/class_size), 6) AS effective_l,
+             |exp(ln(class_size::DOUBLE) - nlogn/class_size) < 8.0 AS l_violation
+             |FROM cls ORDER BY c_nationkey, c_mktsegment""".stripMargin.replace('\n', ' ')),
+      doc = "entropy l-diversity audit: effective_l = e^H per quasi-identifier class vs l = 8"),
+
+    // ---- Bradley-Terry pairwise-preference ranking (the LLM-eval
+    // win-rate leaderboard aggregation): supplier strengths from
+    // within-order quantity comparisons, Hunter 2004 MM iterations.
+    // Deterministic fixed rounds -> the iterations UNROLL into a FULL
+    // DuckDB oracle exactly like q_graph_pagerank's.
+    "q_rank_bradley_terry" -> Q(
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+          .filter(col("l_orderkey") % 16 === 0)
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity"))
+        val comp = li.as("x").join(li.as("y"),
+            col("x.l_orderkey") === col("y.l_orderkey") &&
+              col("x.l_suppkey") =!= col("y.l_suppkey") &&
+              col("x.l_quantity") > col("y.l_quantity"))
+          .select(col("x.l_suppkey").as("winner"), col("y.l_suppkey").as("loser"))
+        graft.operators.Ranking.bradleyTerry(comp, "winner", "loser",
+            iterations = 8)
+          .orderBy(col("strength").desc, col("id")).limit(50)
+      },
+      Some(bradleyTerryOracle(iterations = 8)),
+      doc = "Bradley-Terry strengths from within-order supplier quantity comparisons (unrolled MM oracle)"),
+
     // ---- chi-square independence + Cramér's V between two categorical
     // facets: full margin cross product (zero cells contribute E), one
     // data-sized hash agg, margins broadcast.
@@ -1192,6 +1238,40 @@ object Relational extends QueryModule {
     * dangling mass as a scalar subquery, contributions as a grouped
     * join — replaying [[graft.operators.Graphs.pageRank]]'s exact math
     * (deterministic, so hash-comparable after 6dp rounding). */
+  /** DuckDB oracle for `q_rank_bradley_terry`: the within-order quantity
+    * comparisons collapse to win counts + a symmetric pair table, then
+    * the fixed MM rounds unroll — per round one (i, j) strength join +
+    * per-item denominator agg + sum normalization, replaying
+    * [[graft.operators.Ranking.bradleyTerry]] exactly (6dp rounding
+    * before ranking absorbs summation-order float noise, the
+    * pageRankOracle posture). */
+  private def bradleyTerryOracle(iterations: Int): String = {
+    val head = Seq(
+      "comp AS (SELECT x.l_suppkey AS w, y.l_suppkey AS l " +
+        "FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey " +
+        "AND x.l_suppkey <> y.l_suppkey AND x.l_quantity > y.l_quantity " +
+        "WHERE x.l_orderkey % 16 = 0 AND y.l_orderkey % 16 = 0)",
+      "wins AS MATERIALIZED (SELECT w AS id, count(*)::BIGINT AS wi FROM comp GROUP BY 1)",
+      "pc AS (SELECT least(w, l) AS a, greatest(w, l) AS b, count(*)::DOUBLE AS nij " +
+        "FROM comp GROUP BY 1, 2)",
+      "sym AS MATERIALIZED (SELECT a AS i, b AS j, nij FROM pc " +
+        "UNION ALL SELECT b, a, nij FROM pc)",
+      "items AS MATERIALIZED (SELECT DISTINCT i AS id FROM sym)",
+      "c0 AS MATERIALIZED (SELECT id, 1.0 AS p FROM items)")
+    val rounds = (0 until iterations).flatMap { t => Seq(
+      s"d$t AS MATERIALIZED (SELECT s.i AS id, sum(s.nij / (ci.p + cj.p)) AS d " +
+        s"FROM sym s JOIN c$t ci ON ci.id = s.i JOIN c$t cj ON cj.id = s.j GROUP BY 1)",
+      s"r$t AS MATERIALIZED (SELECT it.id, coalesce(w.wi, 0)::DOUBLE / d.d AS p " +
+        s"FROM items it LEFT JOIN wins w ON w.id = it.id JOIN d$t d ON d.id = it.id)",
+      s"c${t + 1} AS MATERIALIZED (SELECT id, p / (SELECT sum(p) FROM r$t) AS p FROM r$t)")
+    }
+    s"WITH ${(head ++ rounds).mkString(", ")} " +
+      s"SELECT c$iterations.id, coalesce(w.wi, 0)::BIGINT AS wins, " +
+      s"round(c$iterations.p, 6) AS strength " +
+      s"FROM c$iterations LEFT JOIN wins w ON w.id = c$iterations.id " +
+      "ORDER BY strength DESC, 1 LIMIT 50"
+  }
+
   private def pageRankOracle(iterations: Int, damping: Double): String = {
     val steps = (1 to iterations).map { k =>
       s"""r$k AS MATERIALIZED (SELECT n.id,

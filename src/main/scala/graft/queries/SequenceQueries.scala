@@ -407,6 +407,62 @@ object SequenceQueries extends QueryModule {
     // forecast; the (l,b) recursion folds left-to-right over the same
     // window list in both engines (aggregate / list_reduce) —
     // bit-identical doubles, FULL oracle
+    // ---- classical additive seasonal decomposition over the per-type
+    // daily series: value = trend (centered 7-day MA, NULL at edges) +
+    // seasonal (centered phase means) + residual — the de-seasonalized
+    // signal CUSUM/anomaly monitors should watch on a periodic feed.
+    // All windows partition by the series key; FULL oracle.
+    "q_events_seasonal" -> Q(
+      (s, dir) => {
+        val daily = table(s, dir, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(avg(col("value")).as("daily_mean"))
+        graft.operators.EventAnalytics.seasonalDecompose(
+            daily, Seq("event_type"), "day", "daily_mean", period = 7)
+          .withColumn("day", col("day").cast("string"))
+          .orderBy(col("event_type"), col("day"))
+      },
+      Some("""WITH daily AS (SELECT event_type, date_trunc('day', ts)::DATE AS day,
+             |  avg(value::DOUBLE) AS v FROM events GROUP BY 1, 2),
+             |r AS (SELECT event_type, day, v,
+             |  row_number() OVER (PARTITION BY event_type ORDER BY day) - 1 AS idx,
+             |  CASE WHEN count(*) OVER w7 = 7 THEN avg(v) OVER w7 END AS trend
+             |  FROM daily
+             |  WINDOW w7 AS (PARTITION BY event_type ORDER BY day
+             |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+             |ph AS (SELECT event_type, idx % 7 AS phase, avg(v - trend) AS sraw
+             |  FROM r GROUP BY 1, 2),
+             |ctr AS (SELECT event_type, phase,
+             |  sraw - avg(sraw) OVER (PARTITION BY event_type) AS s FROM ph)
+             |SELECT r.event_type AS event_type, CAST(r.day AS VARCHAR) AS day,
+             |round(r.v, 6) AS value, round(r.trend, 6) AS trend,
+             |round(c.s, 6) AS seasonal,
+             |round(r.v - r.trend - c.s, 6) AS residual
+             |FROM r JOIN ctr c ON c.event_type = r.event_type AND c.phase = r.idx % 7
+             |ORDER BY 1, 2""".stripMargin.replace('\n', ' ')),
+      doc = "additive seasonal decomposition (period-7 centered MA) of per-type daily means"),
+
+    // ---- unbiased pass@k (Chen et al. 2021 eq. 1): per task with n
+    // attempts / c successes, 1 - C(n-c,k)/C(n,k) via the stable
+    // product form — the sampled-generation eval number; one task agg,
+    // bounded in-plan fold, FULL oracle (list_reduce product).
+    "q_pass_at_k" -> Q(
+      (s, dir) => graft.operators.QualityModel.passAtK(
+          table(s, dir, "events")
+            .select(col("user_id").as("task"),
+              (coalesce(col("value"), lit(0.0)) > 75).cast("int").as("success")),
+          "task", "success", k = 5)
+        .orderBy(col("task")).limit(300),
+      Some("""WITH t AS (SELECT user_id AS task,
+             |  CASE WHEN coalesce(value::DOUBLE, 0) > 75 THEN 1 ELSE 0 END AS s FROM events),
+             |pt AS (SELECT task, count(*)::BIGINT AS n, sum(s)::BIGINT AS c
+             |  FROM t GROUP BY 1 HAVING count(*) >= 5)
+             |SELECT task, n, c, round(CASE WHEN n - c < 5 THEN 1.0 ELSE
+             |  1.0 - list_reduce(list_prepend(1.0, list_transform(range(0, 5),
+             |    i -> (n - c - i)::DOUBLE / (n - i)::DOUBLE)), (a, b) -> a * b) END, 6) AS pass_at_k
+             |FROM pt ORDER BY task LIMIT 300""".stripMargin.replace('\n', ' ')),
+      doc = "unbiased pass@5 per task (stable product form) over value>75 successes"),
+
     "q_events_holt" -> Q(
       (s, dir) => graft.operators.EventAnalytics.holtSmooth(
           table(s, dir, "events").filter(col("user_id") < 40)

@@ -557,4 +557,47 @@ class AuditSpec extends AnyFunSuite {
     assert(r2.getAs[Double]("centroid_cosine") === -1.0)
     assert(r2.getAs[Double]("norm_ref") === r2.getAs[Double]("norm_cur"))
   }
+
+  test("entropy l-diversity: uniform class scores effective_l = m; skew collapses it; distinct-l is blind to the skew") {
+    import graft.operators.Pii
+    // class A: 8 values uniform (2 each); class B: same 8 DISTINCT
+    // values but one owns 93% of rows — distinct-l sees 8 in both
+    val rows =
+      (0 until 8).flatMap(v => Seq(("A", v), ("A", v))) ++
+      (0 until 8).map(v => ("B", v)) ++ Seq.fill(93)(("B", 0))
+    val df = rows.toDF("qid", "s")
+    val got = Pii.entropyLDiversity(df, Seq("qid"), "s", l = 6.0)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getAs[Double]("effective_l"), r.getBoolean(4))).toMap
+    val (nA, elA, vA) = got("A")
+    assert(nA === 16L && math.abs(elA - 8.0) < 1e-9 && !vA,
+      s"uniform class: $elA")
+    val (nB, elB, vB) = got("B")
+    assert(nB === 101L && elB < 2.0 && vB,
+      s"skewed class must collapse below l: $elB")
+    // distinct-count l-diversity is blind to exactly this leak
+    val kl = Pii.kAnonymity(df, Seq("qid"), "s", k = 1, l = 6)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n_sensitive")).toMap
+    assert(kl("B") === 8L, "distinct-l sees 8 values in the skewed class")
+  }
+
+  test("Bradley-Terry: dominance orders strengths, symmetric record equalizes, strengths sum to 1, never-winner -> 0") {
+    import graft.operators.Ranking
+    // round-robin: 1 beats everyone; 2 beats 3, 4; 3 beats 4; plus a
+    // symmetric 5<->6 record and a never-winning 7
+    val comp = (
+      Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)) ++
+      Seq.fill(5)((5L, 6L)) ++ Seq.fill(5)((6L, 5L)) ++
+      Seq((4L, 7L))).toDF("w", "l")
+    val got = Ranking.bradleyTerry(comp, "w", "l", iterations = 12)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val s = got.view.mapValues(_._2).toMap
+    assert(s(1L) > s(2L) && s(2L) > s(3L) && s(3L) > s(4L),
+      s"dominance chain must order strengths: $s")
+    assert(math.abs(s(5L) - s(6L)) < 1e-6, "symmetric record must equalize")
+    assert(s(7L) === 0.0, "a never-winning item's MLE strength is 0")
+    assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-4,
+      "strengths sum-normalize to 1")
+    assert(got(1L)._1 === 3L && got(7L)._1 === 0L, "win counts carried")
+  }
 }

@@ -774,4 +774,36 @@ class EventAnalyticsSpec extends AnyFunSuite {
       assert(math.abs(got(t) - want) < 1e-12, s"t=$t: ${got(t)} vs $want")
     }
   }
+
+  test("seasonal decomposition: planted trend+seasonal recovers; components sum back; edges honest NULL") {
+    import spark.implicits._
+    // planted series: linear trend 2t + weekly pattern, ZERO noise ->
+    // in the interior the centered 7-MA reproduces the trend exactly
+    // (the seasonal pattern sums to 0 over any full period) and the
+    // residual is ~0
+    val pat = Array(5.0, -3.0, 1.0, 4.0, -2.0, -6.0, 1.0) // sums to 0
+    val rows = (0 until 28).map(t => ("s", t, 2.0 * t + pat(t % 7)))
+    val df = rows.toDF("k", "t", "v")
+    val got = graft.operators.EventAnalytics
+      .seasonalDecompose(df, Seq("k"), "t", "v", period = 7)
+      .orderBy(col("t")).collect()
+    assert(got.length === 28)
+    // edges: first/last 3 rows carry NULL trend + residual
+    for (i <- Seq(0, 1, 2, 25, 26, 27)) {
+      assert(got(i).isNullAt(3) && got(i).isNullAt(5), s"edge $i must be NULL")
+    }
+    for (i <- 3 until 25) {
+      val r = got(i)
+      assert(math.abs(r.getDouble(3) - 2.0 * i) < 1e-6, s"trend at $i: ${r.getDouble(3)}")
+      assert(math.abs(r.getDouble(4) - pat(i % 7)) < 1e-6, s"seasonal at $i")
+      assert(math.abs(r.getDouble(5)) < 1e-6, s"residual at $i: ${r.getDouble(5)}")
+      // exact additivity: value == trend + seasonal + residual (6dp)
+      assert(math.abs(r.getDouble(2) -
+        (r.getDouble(3) + r.getDouble(4) + r.getDouble(5))) < 5e-6)
+    }
+    // even/low periods rejected (the symmetric MA needs odd)
+    intercept[IllegalArgumentException] {
+      graft.operators.EventAnalytics.seasonalDecompose(df, Seq("k"), "t", "v", 6)
+    }
+  }
 }

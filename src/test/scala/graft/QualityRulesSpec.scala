@@ -624,4 +624,24 @@ class QualityRulesSpec extends AnyFunSuite {
       assert(hits(text, phrases).size === brute(text), text)
     }
   }
+
+  test("pass@k: closed-form binomial identity, boundary cases, n<k tasks drop") {
+    import spark.implicits._
+    def choose(n: Int, k: Int): Double =
+      (0 until k).map(i => (n - i).toDouble / (i + 1)).product
+    // tasks: (n, c) pairs realized as success flags
+    val rows =
+      (0 until 10).map(i => ("a", if (i < 3) 1 else 0)) ++   // n=10 c=3
+      (0 until 10).map(_ => ("b", 0)) ++                     // n=10 c=0
+      (0 until 10).map(i => ("c", if (i < 8) 1 else 0)) ++   // n-c=2 < k -> 1
+      (0 until 4).map(_ => ("d", 1))                         // n=4 < k -> drops
+    val got = graft.operators.QualityModel
+      .passAtK(rows.toDF("task", "ok"), "task", "ok", k = 5)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(!got.contains("d"), "n < k tasks are undefined and must drop")
+    val wantA = BigDecimal(1.0 - choose(7, 5) / choose(10, 5))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got("a") === wantA, s"unbiased estimator: ${got("a")} vs $wantA")
+    assert(got("b") === 0.0 && got("c") === 1.0)
+  }
 }
