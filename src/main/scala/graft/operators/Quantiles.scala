@@ -114,15 +114,17 @@ object Quantiles {
     // perKV persists FIRST: repartitionByRange runs a range-boundary
     // sampling job over its input, which would otherwise re-execute the
     // whole tie-collapse aggregate (the corpus scan) a second time.
-    // With weightCol, input rows are pre-collapsed (value, weight) ties
-    // and the collapse sums weights — identical rank arithmetic.
+    // With weightCol, rows arrive as (value, weight) tie runs and skip
+    // the collapse ENTIRELY — the rank machinery never needed unique
+    // values (each row covers its own [start, start+c) rank range, ties
+    // or not; the collapse was only a row-count optimization), so the
+    // weighted path costs zero extra shuffles.
     val base = df.filter(col(valueCol).isNotNull && col(keyCol).isNotNull)
     val perKV = (weightCol match {
       case Some(wc) => base
         .select(col(keyCol).cast("string").as("__k"),
           col(valueCol).cast("double").as("__v"),
-          col(wc).cast("long").as("__w0"))
-        .groupBy(col("__k"), col("__v")).agg(sum(col("__w0")).as("__c"))
+          col(wc).cast("long").as("__c"))
       case None => base
         .select(col(keyCol).cast("string").as("__k"),
           col(valueCol).cast("double").as("__v"))

@@ -121,6 +121,17 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("negative sampling inverts the CDF through a bucketed hash join, never a per-draw vocabulary scan") {
+    val p = planOf("q_negative_samples")
+    // the only nested-loop allowed is the 1-row grand-total crossJoin
+    // (the repo-wide broadcast-scalar pattern); a CONDITIONED BNLJ would
+    // mean the draw is scanning the vocabulary per row again
+    val bnlj = p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.forall(_.contains("Cross")), s"conditioned BNLJ:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p) // the bucket equi-probe
+  }
+
   test("ann search top-k is two-phase (no single-reducer per-query window over probed candidates)") {
     // the candidate-ranking window must partition by (qid, input
     // partition) first — a window on qid alone would funnel every
