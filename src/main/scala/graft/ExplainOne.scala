@@ -1,17 +1,16 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** scratch plan inspector: print a registered query's formatted plan */
 object ExplainOne {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+    val name = args(0)
+    val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    args.foreach { name =>
-      println(s"===== $name =====")
-      val p = SparkEntry.queries(name)(spark, "/root/testdata/sf0.01")
-        .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
-      println(p.split("\n").take(40).mkString("\n"))
-    }
+    SparkEntry.queries(name)(spark, dir).explain("formatted")
     spark.stop()
   }
 }

@@ -688,6 +688,59 @@ object EventAnalytics {
           (col("n_a").cast("double") * col("n_b").cast("double")), 6).as("lift"))
   }
 
+  /** Autocorrelation function + Ljung-Box portmanteau (Box & Pierce
+    * 1970; Ljung & Box 1978) — the periodicity / whiteness screen run
+    * BEFORE committing to a [[seasonalDecompose]] period, and the
+    * residual-whiteness check run after: per series key and lag
+    * k = 1..maxLag,
+    *   r_k = Σ (x_t − x̄)(x_{t−k} − x̄) / (n·σ²_pop)
+    * (the standard biased Box-Jenkins estimator) and the cumulative
+    * Ljung-Box Q_k = n(n+2) Σ_{j≤k} r_j²/(n−j), which under whiteness
+    * is χ²_k — a large Q at some lag says "structure here".
+    *
+    * Scale shape: per-key mean/variance is ONE hash agg joined back on
+    * the key; all maxLag lagged copies come from ONE key-partitioned
+    * window pass (maxLag expressions, not maxLag shuffles); the lag
+    * unpivot and the cumulative Q window run on the keys×maxLag frame.
+    * Series with n ≤ maxLag drop (their top lags are undefined). FULL
+    * oracle. Returns (key cols, lag, n, r, q_lb), 6dp. */
+  def autocorrelation(df: DataFrame, keyCols: Seq[String], orderCol: String,
+      valueCol: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 1, "maxLag must be >= 1")
+    require(keyCols.nonEmpty, "need at least one series key")
+    import org.apache.spark.sql.expressions.Window
+    val kc = keyCols.map(col)
+    val w = Window.partitionBy(kc: _*).orderBy(col(orderCol))
+    val base = df.select(kc :+ col(orderCol) :+
+      col(valueCol).cast("double").as("__v"): _*)
+    val stats = base.groupBy(kc: _*)
+      .agg(count(lit(1)).as("__n"), avg(col("__v")).as("__m"),
+        var_pop(col("__v")).as("__vp"))
+      .filter(col("__n") > maxLag && col("__vp") > 0)
+    val lagged = base.select((kc :+ col("__v")) ++
+      (1 to maxLag).map(k => lag(col("__v"), k).over(w).as(s"__l$k")): _*)
+    val nums = lagged.join(stats, keyCols)
+      .groupBy(kc: _*)
+      .agg(max(col("__n")).as("n"), max(col("__m")).as("__m"),
+        max(col("__vp")).as("__vp"),
+        array((1 to maxLag).map(k =>
+          sum((col("__v") - col("__m")) *
+            (col(s"__l$k") - col("__m")))): _*).as("__nums"))
+    val wLag = Window.partitionBy(kc: _*).orderBy(col("lag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    nums
+      .select(kc :+ col("n") :+
+        posexplode(col("__nums")).as(Seq("__k0", "__num")) :+
+        col("__vp"): _*)
+      .withColumn("lag", (col("__k0") + 1).cast("int"))
+      .withColumn("__r", col("__num") / (col("__vp") * col("n")))
+      .withColumn("q_lb",
+        round(col("n") * (col("n") + lit(2.0)) *
+          sum(col("__r") * col("__r") / (col("n") - col("lag"))).over(wLag), 6))
+      .select(kc :+ col("lag") :+ col("n") :+
+        round(col("__r"), 6).as("r") :+ col("q_lb"): _*)
+  }
+
   /** Classical additive seasonal decomposition (the moving-average
     * method every stats package ships as decompose()): per series key,
     * value = trend + seasonal + residual, with

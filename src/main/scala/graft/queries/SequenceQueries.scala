@@ -442,6 +442,43 @@ object SequenceQueries extends QueryModule {
              |ORDER BY 1, 2""".stripMargin.replace('\n', ' ')),
       doc = "additive seasonal decomposition (period-7 centered MA) of per-type daily means"),
 
+    // ---- ACF + Ljung-Box over the per-type daily series: the
+    // periodicity/whiteness screen run before picking a seasonal
+    // period and after, on residuals. One key agg + one multi-lag
+    // window pass; FULL oracle.
+    "q_events_acf" -> Q(
+      (s, dir) => {
+        val daily = table(s, dir, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(avg(col("value")).as("daily_mean"))
+        graft.operators.EventAnalytics.autocorrelation(
+            daily, Seq("event_type"), "day", "daily_mean", maxLag = 10)
+          .orderBy(col("event_type"), col("lag"))
+      },
+      Some {
+        val lagCols = (1 to 10).map(k => s"lag(v, $k) OVER w AS l$k").mkString(", ")
+        val numCols = (1 to 10).map(k => s"sum((v-m)*(l$k-m)) AS x$k").mkString(", ")
+        val numArr = (1 to 10).map(k => s"x$k").mkString("[", ", ", "]")
+        s"""WITH daily AS (SELECT event_type, date_trunc('day', ts)::DATE AS day,
+           |  avg(value::DOUBLE) AS v FROM events GROUP BY 1, 2),
+           |st AS (SELECT event_type, count(*)::BIGINT AS n, avg(v) AS m,
+           |  var_pop(v) AS vp FROM daily GROUP BY 1
+           |  HAVING count(*) > 10 AND var_pop(v) > 0),
+           |lg AS (SELECT d.event_type, v, m, n, vp, $lagCols
+           |  FROM daily d JOIN st USING (event_type)
+           |  WINDOW w AS (PARTITION BY d.event_type ORDER BY day)),
+           |nums AS (SELECT event_type, max(n) AS n, max(vp) AS vp, $numCols
+           |  FROM lg GROUP BY 1),
+           |a AS (SELECT event_type, n,
+           |  CAST(unnest(range(1, 11)) AS INT) AS lag,
+           |  unnest($numArr) / (vp * n) AS r FROM nums)
+           |SELECT event_type, lag, n, round(r, 6) AS r,
+           |round(n*(n+2.0)*sum(r*r/(n - lag)) OVER (PARTITION BY event_type
+           |  ORDER BY lag ROWS UNBOUNDED PRECEDING), 6) AS q_lb
+           |FROM a ORDER BY event_type, lag""".stripMargin.replace('\n', ' ')
+      },
+      doc = "lag-1..10 autocorrelation + cumulative Ljung-Box Q per event type (daily means)"),
+
     // ---- unbiased pass@k (Chen et al. 2021 eq. 1): per task with n
     // attempts / c successes, 1 - C(n-c,k)/C(n,k) via the stable
     // product form — the sampled-generation eval number; one task agg,

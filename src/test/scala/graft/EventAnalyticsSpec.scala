@@ -806,4 +806,38 @@ class EventAnalyticsSpec extends AnyFunSuite {
       graft.operators.EventAnalytics.seasonalDecompose(df, Seq("k"), "t", "v", 6)
     }
   }
+
+  test("ACF/Ljung-Box: planted period spikes at its lag; hash-noise stays white; short/constant series drop") {
+    import spark.implicits._
+    // period-7 sawtooth: ACF must spike at lag 7; the md5-derived
+    // series is white noise: all |r| small, Q below the chi2 critical
+    val rows =
+      (0 until 70).map(t => ("saw", t, (t % 7).toDouble)) ++
+      (0 until 70).map { t =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"acf:$t".getBytes("UTF-8"))
+        ("white", t, ((md(0) & 0xff) * 256 + (md(1) & 0xff)).toDouble)
+      } ++
+      (0 until 5).map(t => ("short", t, t.toDouble)) ++
+      (0 until 30).map(t => ("const", t, 1.0))
+    val df = rows.toDF("k", "t", "v")
+    val got = graft.operators.EventAnalytics
+      .autocorrelation(df, Seq("k"), "t", "v", maxLag = 10)
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getDouble(3), r.getDouble(4))).toMap
+    val keys = got.keys.map(_._1).toSet
+    assert(keys === Set("saw", "white"), s"short/constant series must drop: $keys")
+    // the sawtooth: lag-7 ACF near 1, lag 1..3 well below it
+    val r7 = got(("saw", 7))._1
+    assert(r7 > 0.8, s"period-7 spike: $r7")
+    assert((1 to 3).forall(k => got(("saw", k))._1 < r7 - 0.5))
+    // Ljung-Box at lag 10: sawtooth huge, white modest (chi2_10 0.999
+    // critical ~ 29.6)
+    assert(got(("saw", 10))._2 > 100.0)
+    assert(got(("white", 10))._2 < 29.6,
+      s"white noise Q10 = ${got(("white", 10))._2}")
+    // Q is cumulative: non-decreasing in lag
+    for (k <- 2 to 10; key <- Seq("saw", "white"))
+      assert(got((key, k))._2 >= got((key, k - 1))._2 - 1e-9)
+  }
 }
