@@ -214,6 +214,92 @@ object Drift {
     finally r.release()
   }
 
+  /** Two-sample Anderson-Darling statistic, tie-adjusted (the A²_akN of
+    * Scholz & Stephens 1987, eq. 7, k = 2) — the TAIL-sensitive member
+    * of the drift family: KS reacts to the single largest CDF gap
+    * (which lives near the median, where CDFs move fastest), while AD
+    * integrates the squared gap weighted by 1/(F(1−F)) — small tail
+    * discrepancies, exactly where contamination and truncation hide,
+    * dominate the statistic. Rank-based, so it is invariant to any
+    * monotone transform of the values (spec law).
+    *
+    * The statistic is the oracle-checked output; significance uses the
+    * paper's critical table (under H₀, A² ≈ 1 = k−1; the α=0.05
+    * standardized critical is ~1.96σ above it) — the exact variance
+    * normalization needs O(N²) harmonic double sums the paper itself
+    * tabulates, so behavior is spec-gated rather than p-valued.
+    * Degenerate tie blocks covering the whole pooled sample have a
+    * zero AD weight denominator and are skipped (A² = 0 when every
+    * value is identical — nothing to discriminate).
+    *
+    * Scale shape: ONE tagged pass collapses to (value, n1, n2) tie
+    * counts; the cumulative mid-rank terms use the funnel-free
+    * range-partition + driver-prefix-offset machinery (the aucExact /
+    * ksGaps pattern — no unpartitioned window anywhere); one final agg.
+    * Returns one row (n_ref, n_cur, a2), 6dp. */
+  def andersonDarling(df: DataFrame, valueCol: String, refPred: Column,
+      curPred: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = df.filter(refPred || curPred)
+      .select(col(valueCol).cast("double").as("v"),
+        refPred.cast("long").as("__r"), curPred.cast("long").as("__c"))
+      .filter(col("v").isNotNull)
+    val perV = u.groupBy(col("v"))
+      .agg(sum(col("__r")).as("n1"), sum(col("__c")).as("n2"))
+      .withColumn("l", col("n1") + col("n2"))
+    val parts = perV.repartitionByRange(col("v"))
+      .sortWithinPartitions(col("v"))
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val totals = parts.groupBy(col("__pid"))
+        .agg(sum(col("n1")).as("t1"), sum(col("n2")).as("t2"),
+          sum(col("l")).as("tl"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1)
+      var o1 = 0L; var o2 = 0L; var ol = 0L
+      val offRows = totals.map { case (pid, t1, t2, tl) =>
+        val row = (pid, o1, o2, ol); o1 += t1; o2 += t2; ol += tl; row
+      }.toSeq
+      val (m1, m2, nn) = (o1, o2, ol)
+      require(m1 > 0 && m2 > 0, "both samples must be non-empty")
+      val spark0 = df.sparkSession
+      import spark0.implicits._
+      val offs = offRows.toDF("__pid", "o1", "o2", "ol")
+      val wc = Window.partitionBy(col("__pid")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val nD = nn.toDouble
+      val ba = (col("ol") + sum(col("l")).over(wc)).cast("double") -
+        col("l").cast("double") / 2.0
+      val ma1 = (col("o1") + sum(col("n1")).over(wc)).cast("double") -
+        col("n1").cast("double") / 2.0
+      val ma2 = (col("o2") + sum(col("n2")).over(wc)).cast("double") -
+        col("n2").cast("double") / 2.0
+      val row = parts.join(broadcast(offs), Seq("__pid"))
+        .withColumn("__ba", ba).withColumn("__ma1", ma1).withColumn("__ma2", ma2)
+        .withColumn("__den",
+          col("__ba") * (lit(nD) - col("__ba")) -
+            lit(nD) * col("l").cast("double") / 4.0)
+        .agg(
+          sum(when(col("__den") > 0,
+            col("l").cast("double") / nD *
+              pow(lit(nD) * col("__ma1") - lit(m1.toDouble) * col("__ba"), 2) /
+              col("__den"))).as("s1"),
+          sum(when(col("__den") > 0,
+            col("l").cast("double") / nD *
+              pow(lit(nD) * col("__ma2") - lit(m2.toDouble) * col("__ba"), 2) /
+              col("__den"))).as("s2"))
+        .head()
+      val a2 =
+        if (row.isNullAt(0) || row.isNullAt(1)) 0.0
+        else (nD - 1.0) / nD *
+          (row.getDouble(0) / m1 + row.getDouble(1) / m2)
+      Seq((m1, m2,
+        BigDecimal(a2).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        .toDF("n_ref", "n_cur", "a2")
+    } finally { parts.unpersist(false); () }
+  }
+
   /** Multiple-testing-controlled drift screen: per-key two-sample KS
     * with asymptotic p-values and Benjamini-Hochberg (1995) FDR
     * selection — the answer to "we monitor HUNDREDS of features; which

@@ -723,6 +723,40 @@ object SequenceQueries extends QueryModule {
       },
       doc = "Theil-Sen robust value-over-time trend (hash-paired median of slopes)"),
 
+    // ---- two-sample Anderson-Darling (tie-adjusted Scholz-Stephens
+    // A²): the TAIL-weighted drift statistic — KS reacts to the median-
+    // area gap, AD integrates squared gaps weighted 1/(F(1−F)), so tail
+    // contamination dominates. Rank-based (monotone-invariant), funnel-
+    // free cumulative machinery; FULL oracle on the statistic.
+    "q_drift_ad" -> Q(
+      (s, dir) => graft.operators.Drift.andersonDarling(
+          table(s, dir, "events"), "value",
+          col("ts") < lit("2024-01-16").cast("timestamp"),
+          col("ts") >= lit("2024-01-16").cast("timestamp")),
+      Some("""WITH u AS (SELECT value::DOUBLE AS v,
+             |  CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS tr,
+             |  CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS tc
+             |  FROM events WHERE value IS NOT NULL),
+             |pv AS (SELECT v, sum(tr)::BIGINT AS n1, sum(tc)::BIGINT AS n2,
+             |  (sum(tr) + sum(tc))::BIGINT AS l FROM u GROUP BY v),
+             |tt AS (SELECT sum(n1)::BIGINT AS m1, sum(n2)::BIGINT AS m2,
+             |  sum(l)::BIGINT AS nn FROM pv),
+             |cw AS (SELECT pv.*, tt.m1, tt.m2, tt.nn,
+             |  sum(l) OVER wv - l/2.0 AS ba,
+             |  sum(n1) OVER wv - n1/2.0 AS ma1,
+             |  sum(n2) OVER wv - n2/2.0 AS ma2
+             |  FROM pv, tt WINDOW wv AS (ORDER BY v ROWS UNBOUNDED PRECEDING)),
+             |t2 AS (SELECT max(m1) AS m1, max(m2) AS m2, max(nn) AS nn,
+             |  sum(CASE WHEN ba*(nn - ba) - nn*l/4.0 > 0
+             |    THEN (l::DOUBLE/nn) * pow(nn*ma1 - m1*ba, 2) / (ba*(nn - ba) - nn*l/4.0) END) AS s1,
+             |  sum(CASE WHEN ba*(nn - ba) - nn*l/4.0 > 0
+             |    THEN (l::DOUBLE/nn) * pow(nn*ma2 - m2*ba, 2) / (ba*(nn - ba) - nn*l/4.0) END) AS s2
+             |  FROM cw)
+             |SELECT m1 AS n_ref, m2 AS n_cur,
+             |round((nn - 1.0)/nn * (coalesce(s1, 0)/m1 + coalesce(s2, 0)/m2), 6) AS a2
+             |FROM t2""".stripMargin.replace('\n', ' ')),
+      doc = "tie-adjusted two-sample Anderson-Darling A2 between the two event periods"),
+
     // ---- FDR-controlled drift screen (Benjamini-Hochberg 1995 over
     // per-key KS p-values): WHICH monitored keys actually drifted,
     // with the false-discovery rate held at q=0.05 — per-key

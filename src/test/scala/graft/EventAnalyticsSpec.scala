@@ -840,4 +840,49 @@ class EventAnalyticsSpec extends AnyFunSuite {
     for (k <- 2 to 10; key <- Seq("saw", "white"))
       assert(got((key, k))._2 >= got((key, k - 1))._2 - 1e-9)
   }
+
+  test("Anderson-Darling: same-split small, shift large, tail-sensitive vs KS, monotone-invariant, symmetric") {
+    import spark.implicits._
+    import graft.operators.Drift
+    def ad(df: org.apache.spark.sql.DataFrame): Double =
+      Drift.andersonDarling(df, "v", col("g") === 0, col("g") === 1)
+        .head().getDouble(2)
+    // deterministic "continuous" base sample via md5 folds
+    def noise(i: Int, salt: String): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$salt:$i".getBytes("UTF-8"))
+      ((md(0) & 0xff) * 256 + (md(1) & 0xff)).toDouble / 65536.0
+    }
+    val base = (0 until 2000).map(i => noise(i, "ad"))
+    // (a) even/odd split of one sample: A2 stays near its H0 mean (k-1=1)
+    val sameSplit = base.zipWithIndex.map { case (v, i) => (i % 2, v) }.toDF("g", "v")
+    val aSame = ad(sameSplit)
+    assert(aSame < 4.0, s"same-distribution split A2 = $aSame")
+    // (b) location shift: A2 large
+    val shifted = (base.map(v => (0, v)) ++ base.map(v => (1, v + 0.3))).toDF("g", "v")
+    assert(ad(shifted) > 50.0)
+    // (c) pure TAIL contamination: 2.5% of sample 1 pushed far right --
+    // AD's relative gain over its H0 level exceeds KS's (tail weighting)
+    val tail = (base.map(v => (0, v)) ++
+      base.zipWithIndex.map { case (v, i) =>
+        (1, if (i % 40 == 0) v + 50.0 else v) }).toDF("g", "v")
+    val aTail = ad(tail)
+    val ksTail = Drift.ks(tail.filter(col("g") === 0), tail.filter(col("g") === 1), "v")
+    // AD rejects (H0 mean is 1, sd ~0.7 for k=2: 2.0 is past the a=0.05
+    // standardized critical) while the SAME contamination leaves KS
+    // under ITS a=0.05 critical 1.358*sqrt(2/n) = 0.043 — the
+    // tail-weighting claim, quantified
+    assert(aTail > 2.0, s"tail contamination must push AD past critical: $aTail")
+    assert(ksTail < 1.358 * math.sqrt(2.0 / 2000),
+      s"KS stays under its own critical on a 2.5% tail shift: $ksTail")
+    // (d) rank statistic: invariant under a monotone transform
+    val mono = shifted.withColumn("v", exp(col("v")))
+    assert(math.abs(ad(mono) - ad(shifted)) < 1e-6)
+    // (e) symmetric in the two samples
+    val swapped = shifted.withColumn("g", lit(1) - col("g"))
+    assert(math.abs(ad(swapped) - ad(shifted)) < 1e-6)
+    // (f) all-identical values degenerate to 0
+    val const = (0 until 100).map(i => (i % 2, 5.0)).toDF("g", "v")
+    assert(ad(const) === 0.0)
+  }
 }
