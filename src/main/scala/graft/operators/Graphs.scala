@@ -224,14 +224,24 @@ object Graphs {
       .filter(col("core_deg") >= k)
   }
 
-  /** HITS hubs & authorities (Kleinberg) by power iteration with L2
-    * normalization per half-step: authority(j) = Σ hub over in-edges,
-    * then hub(i) = Σ authority over out-edges — the natural ranking
-    * for BIPARTITE interaction graphs (buyers↔suppliers,
-    * crawlers↔domains) where PageRank's single score conflates the two
-    * roles. Parallel edges collapse to weights. Per iteration: two
-    * src/dst-keyed joins + two partial aggs + two 1-row norm
-    * aggregates; per-iteration localCheckpoint keeps lineage linear.
+  /** HITS hubs & authorities (Kleinberg) by power iteration:
+    * authority(j) = Σ hub over in-edges, then hub(i) = Σ authority over
+    * out-edges — the natural ranking for BIPARTITE interaction graphs
+    * (buyers↔suppliers, crawlers↔domains) where PageRank's single score
+    * conflates the two roles. Parallel edges collapse to weights.
+    *
+    * Normalization happens ONCE at the end: power iteration is
+    * scale-invariant, so end-L2-normalizing the raw recurrences yields
+    * EXACTLY the per-half-step-normalized vectors (auth_i ∝ AᵀHUB_{i−1}
+    * whatever the intermediate scaling) while cutting each iteration
+    * from four jobs (2 propagation checkpoints + 2 norm aggregates) to
+    * ONE — the half-steps stay lazy, one checkpoint per full iteration
+    * bounds the lineage. Overflow envelope: raw values grow ~‖A‖₂ per
+    * half-step; doubles hold ‖A‖₂^(2·iterations) up to 1e308 — beyond
+    * ~60 iterations on a petascale graph, normalize in blocks (HITS
+    * converges in far fewer).
+    *
+    * Per iteration: two src/dst-keyed joins + two partial aggs.
     * Returns (id, hub, authority), each vector L2-normalized. */
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 20, weightCol: Option[String] = None): DataFrame = {
@@ -253,41 +263,38 @@ object Graphs {
     try {
       if (nodes.isEmpty) return nodes
         .withColumn("hub", lit(0.0)).withColumn("authority", lit(0.0))
-      // materialize the propagation join FIRST (it is read by both the
-      // norm and the next half-step — lazy, it would execute twice per
-      // reference), then the norm rides downstream plans as a broadcast
-      // 1-row frame over the cached partitions: ONE job per half-step,
-      // no driver-side collect
-      def normalize(df: DataFrame, c: String): DataFrame = {
-        val m = df.localCheckpoint()
-        val nrm = m.agg(sqrt(sum(col(c) * col(c))).as("__n"))
-        m.crossJoin(broadcast(nrm))
-          .select(col("id"),
-            when(col("__n") > 0, col(c) / col("__n")).otherwise(col(c)).as(c))
-      }
       var hub = nodes.withColumn("hub", lit(1.0)).localCheckpoint()
       var auth = nodes.withColumn("authority", lit(1.0))
       var it = 0
       while (it < iterations) {
-        auth = normalize(
-          nodes.join(
+        auth = nodes.join(
             e.join(hub.withColumnRenamed("id", "src"), "src")
               .groupBy(col("dst").as("id"))
               .agg(sum(col("w") * col("hub")).as("authority")),
             Seq("id"), "left")
-            .select(col("id"), coalesce(col("authority"), lit(0.0)).as("authority")),
-          "authority")
-        hub = normalize(
-          nodes.join(
+          .select(col("id"), coalesce(col("authority"), lit(0.0)).as("authority"))
+        hub = nodes.join(
             eDst.join(auth.withColumnRenamed("id", "dst"), "dst")
               .groupBy(col("src").as("id"))
               .agg(sum(col("w") * col("authority")).as("hub")),
             Seq("id"), "left")
-            .select(col("id"), coalesce(col("hub"), lit(0.0)).as("hub")),
-          "hub")
+          .select(col("id"), coalesce(col("hub"), lit(0.0)).as("hub"))
+          .localCheckpoint() // one materialization per full iteration
         it += 1
       }
-      hub.join(auth, "id").select(col("id"), col("hub"), col("authority"))
+      // the last auth is read twice below (its norm + the output join):
+      // materialize it once — one extra propagation join total, not per
+      // iteration
+      val authM = auth.localCheckpoint()
+      val hn = hub.agg(sqrt(sum(col("hub") * col("hub"))).as("__hn"))
+      val an = authM.agg(sqrt(sum(col("authority") * col("authority"))).as("__an"))
+      hub.join(authM, "id")
+        .crossJoin(broadcast(hn)).crossJoin(broadcast(an))
+        .select(col("id"),
+          when(col("__hn") > 0, col("hub") / col("__hn"))
+            .otherwise(col("hub")).as("hub"),
+          when(col("__an") > 0, col("authority") / col("__an"))
+            .otherwise(col("authority")).as("authority"))
         .localCheckpoint()
     } finally {
       eDst.unpersist(false); e.unpersist(false); nodes.unpersist(false); ()

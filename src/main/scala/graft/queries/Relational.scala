@@ -1386,28 +1386,35 @@ object Relational extends QueryModule {
     * iteration unrolled — an in-edge hub-sum then L2 normalization for
     * authorities, the dual for hubs — replaying
     * [[graft.operators.Graphs.hits]] exactly. */
+  /** DuckDB oracle for `q_graph_hits`: the RAW (unnormalized) half-step
+    * recurrences with ONE final L2 normalization — power iteration is
+    * scale-invariant, so this equals per-half-step normalization
+    * exactly (and replays [[graft.operators.Graphs.hits]]'s r13 plan,
+    * which cut the per-step norm aggregates for the same reason). */
   private def hitsOracle(iterations: Int): String = {
     val steps = (1 to iterations).map { k =>
-      s"""a${k}r AS MATERIALIZED (SELECT n.id, coalesce(s.v, 0.0) AS v FROM nodes n
+      s"""a$k AS MATERIALIZED (SELECT n.id, coalesce(s.v, 0.0) AS authority FROM nodes n
          |  LEFT JOIN (SELECT e.dst AS id, sum(e.w * h.hub) AS v
          |    FROM e JOIN h${k - 1} h ON e.src = h.id GROUP BY 1) s ON n.id = s.id),
-         |a$k AS MATERIALIZED (SELECT id, CASE WHEN nn.nrm > 0 THEN v / nn.nrm ELSE v END AS authority
-         |  FROM a${k}r CROSS JOIN (SELECT sqrt(sum(v * v)) AS nrm FROM a${k}r) nn),
-         |h${k}r AS MATERIALIZED (SELECT n.id, coalesce(s.v, 0.0) AS v FROM nodes n
+         |h$k AS MATERIALIZED (SELECT n.id, coalesce(s.v, 0.0) AS hub FROM nodes n
          |  LEFT JOIN (SELECT e.src AS id, sum(e.w * a.authority) AS v
-         |    FROM e JOIN a$k a ON e.dst = a.id GROUP BY 1) s ON n.id = s.id),
-         |h$k AS MATERIALIZED (SELECT id, CASE WHEN nn.nrm > 0 THEN v / nn.nrm ELSE v END AS hub
-         |  FROM h${k}r CROSS JOIN (SELECT sqrt(sum(v * v)) AS nrm FROM h${k}r) nn)""".stripMargin
+         |    FROM e JOIN a$k a ON e.dst = a.id GROUP BY 1) s ON n.id = s.id)""".stripMargin
     }.mkString(",\n")
     s"""WITH raw AS (SELECT o_custkey AS src, l_suppkey + 1000000 AS dst
        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
        |e AS MATERIALIZED (SELECT src, dst, count(*)::DOUBLE AS w FROM raw GROUP BY 1, 2),
        |nodes AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
        |h0 AS MATERIALIZED (SELECT id, 1.0 AS hub FROM nodes),
-       |$steps
-       |SELECT h.id, round(h.hub, 6) AS hub, round(a.authority, 6) AS authority
+       |$steps,
+       |hn AS (SELECT sqrt(sum(hub * hub)) AS nrm FROM h$iterations),
+       |an AS (SELECT sqrt(sum(authority * authority)) AS nrm FROM a$iterations)
+       |SELECT h.id,
+       |round(CASE WHEN hn.nrm > 0 THEN h.hub / hn.nrm ELSE h.hub END, 6) AS hub,
+       |round(CASE WHEN an.nrm > 0 THEN a.authority / an.nrm ELSE a.authority END, 6) AS authority
        |FROM h$iterations h JOIN a$iterations a ON h.id = a.id
-       |ORDER BY round(a.authority, 6) DESC, round(h.hub, 6) DESC, h.id
+       |CROSS JOIN hn CROSS JOIN an
+       |ORDER BY round(CASE WHEN an.nrm > 0 THEN a.authority / an.nrm ELSE a.authority END, 6) DESC,
+       |round(CASE WHEN hn.nrm > 0 THEN h.hub / hn.nrm ELSE h.hub END, 6) DESC, h.id
        |LIMIT 50""".stripMargin.replace('\n', ' ')
   }
 }
