@@ -2314,8 +2314,14 @@ object DocumentQueries extends QueryModule {
       doc = "chunk dedup over content-defined boundaries: planted boilerplate dedupes at any offset"),
 
     // ---- Gear rolling-hash chunking: the O(n) scale path (native
-    // codegen; no SQL gear hash -> rows-only, spec-gated vs a per-char
-    // reference implementation)
+    // codegen). r13: FULL oracle after all — the gear table is a fixed
+    // deterministic constant (embedded below verbatim from
+    // TextKernels.gearTable, one source of truth) and the 64-bit
+    // wrapping hash replays in DuckDB as a HUGEINT fold mod 2^64
+    // ((h & mask) == 0 is h mod 2^bits = 0 on the unsigned value).
+    // The per-char list_reduce carries [h, position, ...boundaries] as
+    // one HUGEINT-list accumulator. Also spec-gated vs a per-char
+    // reference implementation.
     "q_text_gear_chunks" -> Q(
       (s, dir) => graft.operators.TextAnalysis.gearChunks(
           table(s, dir, "documents").filter(col("doc_id") < 100),
@@ -2323,7 +2329,42 @@ object DocumentQueries extends QueryModule {
         .select(col("id").as("doc_id"), col("chunk_idx"),
           length(col("chunk")).as("chunk_len"), md5(col("chunk")).as("chunk_md5"))
         .orderBy(col("doc_id"), col("chunk_idx")),
-      None,
-      doc = "O(n) Gear-hash content-defined chunks (native codegen boundary expression)")
+      Some {
+        val gt = graft.functions.TextKernels.gearTable
+          .map(v => java.lang.Long.toUnsignedString(v) + "::HUGEINT")
+          .mkString("[", ", ", "]")
+        // newH appears twice in the lambda (DuckDB lambdas cannot bind
+        // intermediates); mask 2^5 = 32, wrap at 2^64
+        val newH = "(acc[1]*2 + g[(e[1] % 256 + 1)::INT]) % " +
+          "18446744073709551616::HUGEINT"
+        s"""WITH gt AS (SELECT $gt AS g),
+           |d AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+           |f AS (SELECT doc_id, text, length(text) AS n,
+           |  list_reduce(list_prepend([0::HUGEINT, 0::HUGEINT],
+           |    list_transform(range(1, length(text) + 1),
+           |      i -> [unicode(text[i])::HUGEINT, 0::HUGEINT])),
+           |    (acc, e) -> list_concat(
+           |      [$newH, acc[2] + 1],
+           |      CASE WHEN ($newH) % 32 = 0
+           |        THEN list_append(acc[3:], acc[2] + 1)
+           |        ELSE acc[3:] END)) AS st
+           |  FROM d, gt),
+           |b AS (SELECT doc_id, text, n,
+           |  list_transform(st[3:], x -> x::BIGINT) AS bps FROM f),
+           |s AS (SELECT doc_id, text,
+           |  list_prepend(1::BIGINT, list_transform(bps, x -> x + 1)) AS starts,
+           |  list_append(bps, n::BIGINT) AS ends FROM b),
+           |c0 AS (SELECT doc_id, unnest(range(1, len(starts) + 1)) AS k,
+           |  starts, ends, text FROM s),
+           |ch AS (SELECT doc_id, k, text[starts[k]:ends[k]] AS chunk
+           |  FROM c0 WHERE ends[k] >= starts[k]),
+           |cx AS (SELECT doc_id,
+           |  (row_number() OVER (PARTITION BY doc_id ORDER BY k) - 1)::INT AS chunk_idx,
+           |  chunk FROM ch)
+           |SELECT doc_id, chunk_idx, length(chunk)::INT AS chunk_len,
+           |md5(chunk) AS chunk_md5
+           |FROM cx ORDER BY doc_id, chunk_idx""".stripMargin.replace('\n', ' ')
+      },
+      doc = "O(n) Gear-hash content-defined chunks (HUGEINT-fold oracle replaying the wrapping rolling hash)")
   )
 }
