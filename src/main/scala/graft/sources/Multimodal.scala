@@ -657,6 +657,54 @@ object Multimodal {
         transform(col("contour"), x => when(x >= col("__m"), 1).otherwise(0))
           .cast("array<tinyint>").as("bits"))
 
+  /** Envelope-confirmed perceptual AUDIO near-dup — the audio member of
+    * the propose-verify family next to [[perceptualNearDupPairs]] and
+    * the MinHash→Jaccard text pipeline: [[audioFingerprint64]] Hamming
+    * buckets PROPOSE candidate pairs (pigeonhole-banded, salted — no
+    * all-pairs) and the Pearson correlation of the two 64-window
+    * loudness contours CONFIRMS (ρ ≥ tau). A re-encoded, re-normalized
+    * or pitch-shifted copy keeps its envelope SHAPE (correlation is
+    * offset/scale-invariant), while a different-shape clip whose
+    * above/below-mean bit pattern happens to collide dies at the
+    * verify step. Constant-envelope clips (zero contour variance) have
+    * no shape to confirm and never pair.
+    *
+    * Scale shape: one decode pass (checkpointed — fingerprints and the
+    * verify join both read it), the banded pair join, then map-side
+    * correlation over 64-element arrays (staged sums — no per-element
+    * recompute). Returns (id_a, id_b, dist, contour_corr ≥ tau). */
+  def audioNearDupPairs(clips: DataFrame, idCol: String,
+      payloadCol: String = "payload", maxHamming: Int = 6,
+      tau: Double = 0.99): DataFrame = {
+    val decoded = decodeAudio(clips, idCol, payloadCol)
+      .filter(col("sample_rate") > 0 && size(col("contour")) === 64)
+      .select(col("id"), col("sample_rate"), col("contour"))
+      .localCheckpoint()
+    val fps = audioFingerprint64(decoded)
+    val cand = graft.operators.Dedup
+      .hammingNearDupPairs(fps, "id", "bits", maxHamming)
+    def s1(c: org.apache.spark.sql.Column) =
+      aggregate(c, lit(0.0d), (a, x) => a + x)
+    def s2(c: org.apache.spark.sql.Column) =
+      aggregate(c, lit(0.0d), (a, x) => a + x * x)
+    val joined = cand
+      .join(decoded.select(col("id").as("id_a"), col("contour").as("__ca")), "id_a")
+      .join(decoded.select(col("id").as("id_b"), col("contour").as("__cb")), "id_b")
+      .withColumn("__sa", s1(col("__ca"))).withColumn("__sb", s1(col("__cb")))
+      .withColumn("__saa", s2(col("__ca"))).withColumn("__sbb", s2(col("__cb")))
+      .withColumn("__sab", s1(zip_with(col("__ca"), col("__cb"), (x, y) => x * y)))
+    val n = lit(64.0)
+    val va = n * col("__saa") - col("__sa") * col("__sa")
+    val vb = n * col("__sbb") - col("__sb") * col("__sb")
+    joined
+      .withColumn("contour_corr",
+        when(va > 0 && vb > 0,
+          round((n * col("__sab") - col("__sa") * col("__sb")) /
+            sqrt(va * vb), 6)))
+      .filter(col("contour_corr") >= tau)
+      .select(col("id_a"), col("id_b"), col("dist"), col("contour_corr"))
+  }
+
   /** metadata fast path for audio: parse the container header directly
     * (WAV chunk walk, FLAC STREAMINFO, OGG Vorbis/Opus id header, MP3
     * first frame — channels, sample rate, bit depth, frame count →

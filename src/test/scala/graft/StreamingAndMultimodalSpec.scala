@@ -1007,6 +1007,55 @@ class StreamingAndMultimodalSpec extends AnyFunSuite {
       "same envelope pairs across pitch; a reversed envelope does not")
   }
 
+  test("audio near-dup propose-verify: contour correlation confirms copies and kills bit-pattern collisions") {
+    val spark2 = spark
+    import spark2.implicits._
+    def amWav(freq: Double, env: Double => Double): Array[Byte] = {
+      import javax.sound.sampled._
+      val rate = 8000; val nFrames = 8000
+      val pcm = new Array[Byte](nFrames * 2)
+      for (i <- 0 until nFrames) {
+        val amp = env(i.toDouble / nFrames)
+        val s = (amp * math.sin(2 * math.Pi * freq * i / rate) * 32767).toInt.toShort
+        pcm(2 * i) = (s & 0xFF).toByte
+        pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+      }
+      val fmt = new AudioFormat(rate.toFloat, 16, 1, true, false)
+      val out = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong),
+        AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val ramp = (t: Double) => 0.1 + 0.8 * t
+    val quad = (t: Double) => 0.1 + 0.8 * t * t // SAME >=mean bit shape,
+                                                // different contour shape
+    val pulse = (t: Double) => if ((t * 8).toInt % 2 == 0) 0.1 else 0.9
+    val df = Seq(
+      (10L, amWav(440.0, ramp)),             // base
+      (11L, amWav(523.25, ramp)),            // pitch-shifted copy
+      (12L, amWav(440.0, t => ramp(t) * 0.5)), // re-normalized copy
+      (20L, amWav(440.0, quad)),             // bit-collision, not a copy
+      (30L, amWav(440.0, pulse)),            // unrelated family
+      (31L, amWav(660.0, pulse)),
+      (99L, "junk".getBytes)).toDF("id", "payload")
+    val tau = 0.995
+    val got = Multimodal.audioNearDupPairs(df, "id", "payload",
+        maxHamming = 6, tau = tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((10L, 11L), (10L, 12L), (11L, 12L), (30L, 31L)),
+      s"verified pairs: $got")
+    // the quadratic ramp COLLIDES with the linear family at the bit
+    // level (both envelopes cross their mean once, mid-clip) — assert
+    // it was genuinely proposed, then killed by the correlation verify
+    val fps = Multimodal.audioFingerprint64(Multimodal.decodeAudio(df, "id"))
+    val proposed = graft.operators.Dedup
+      .hammingNearDupPairs(fps, "id", "bits", maxDist = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(proposed.exists(p => p._1 == 20L || p._2 == 20L),
+      s"the collision fixture must actually collide: $proposed")
+  }
+
   test("multimodal audio: real WAV decode (javax.sound.sampled) yields correct signal features") {
     val spark2 = spark
     import spark2.implicits._
