@@ -80,7 +80,11 @@ object Headline {
     // exact-quantile robust stats + the open regression history
     "q_robust_mad", "q_winsorize",
     // pooled-index MAXSIM route
-    "q_tql_maxsim_routed")
+    "q_tql_maxsim_routed",
+    // r13 addition: the round's new heavy single (comparison self-join
+    // + 8 MM rounds, ~4s) tracks from day one per the cost-follows-echo
+    // policy
+    "q_rank_bradley_terry")
 }
 
 object Bench {
