@@ -831,6 +831,36 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     assert(capStreamed === capBatch, "read-time df cap diverged from batch")
   }
 
+  test("streaming graph maintenance: absorbed edge micro-batches == batch rebuild; ranks stay fresh; replay-exact") {
+    import graft.operators.{GraphStore, Graphs}
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graphstream").toString
+    val raw = (0 until 300).map(i =>
+      (i.toLong % 17, (i.toLong * 5 + 2) % 17)).toDF("src", "dst")
+    // half lands at build, half arrives as a stream
+    GraphStore.build(raw.filter(col("src") % 2 === 0), "src", "dst", s"$tmp/g")
+    raw.filter(col("src") % 2 =!= 0).write.parquet(s"$tmp/in")
+    val q = graft.streaming.StreamingGraph.maintain(
+      spark.readStream.schema(raw.schema).parquet(s"$tmp/in"),
+      s"$tmp/g", "src", "dst", s"$tmp/ck")
+    q.processAllAvailable(); q.stop()
+    def edgeSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("src", "dst", "w").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val full = java.nio.file.Files.createTempDirectory("graphfull2").toString
+    GraphStore.build(raw, "src", "dst", full)
+    val streamed = graft.streaming.StreamingGraph.current(spark, s"$tmp/g")
+    assert(edgeSet(streamed) === edgeSet(GraphStore.read(spark, full)),
+      "streamed artifact != batch rebuild")
+    // the analytics family serves fresh state: pageRank over the
+    // streamed artifact == pageRank over the raw multigraph
+    def ranks(df: org.apache.spark.sql.DataFrame, wc: Option[String]) =
+      Graphs.pageRank(df, "src", "dst", iterations = 3, weightCol = wc)
+        .select(col("id"), round(col("rank"), 9).as("r")).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    assert(ranks(streamed, Some("w")) === ranks(raw, None))
+  }
+
   test("graph artifact: absorb == rebuild; node deletes fold; compact preserves; weighted read == raw multigraph") {
     import graft.operators.{GraphStore, Graphs}
     import spark.implicits._
