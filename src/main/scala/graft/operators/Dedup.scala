@@ -769,6 +769,10 @@ object Dedup {
     // every scan task as a broadcast — no shuffle is added anywhere
     val bloom = ePost.stat.bloomFilter("s", expectedEvalShingles, fpp)
     val bloomB = spark.sparkContext.broadcast(bloom)
+    // deliberate udf (one of two in main, both this shape): probing an
+    // ALREADY-BUILT broadcast BloomFilter has no DataFrame-expression
+    // form, and the row cost is a single hash probe — nothing for
+    // codegen to win back
     val mightContain = udf((s: String) => s != null && bloomB.value.mightContainString(s))
     val tPost = prep(train, trainIdCol, trainTextCol)
       .select(col("id").as("train_id"), explode(col("sh")).as("s"))

@@ -447,6 +447,8 @@ object StreamingDedup {
       n: Int = 3): Unit = {
     val spark = batch.sparkSession
     val bloomB = spark.sparkContext.broadcast(readEvalBloom(spark, dir))
+    // deliberate udf: broadcast-BloomFilter probe, no expression form
+    // (see Dedup.crossCorpusContainmentBloom)
     val mightContain = udf((s: String) =>
       s != null && bloomB.value.mightContainString(s))
     val tPost = batch
