@@ -298,6 +298,44 @@ object TextAnalysis {
     knFromCounts(cb, score, idCol, textCol, discount, eps)
   }
 
+  /** Jelinek-Mercer interpolated bigram scoring (Jelinek & Mercer 1980)
+    * — the third smoothing next to add-α ([[bigramLmFromCounts]]) and
+    * Kneser-Ney ([[knFromCounts]]), all serving from the SAME
+    * maintained count artifact:
+    *   P(w2|w1) = λ·c(w1w2)/c(w1·) + (1−λ)·U(w2)/N
+    * the fixed-weight linear interpolation between the ML bigram and
+    * the unigram — simpler than KN's discounting, stronger than add-α's
+    * uniform mass. A context unseen in training backs off entirely to
+    * the unigram term; OOV words hit the same eps floor as
+    * [[knFromCounts]]. Prefer λ with an exact binary 1−λ (0.75, 0.5)
+    * so both engines' complements agree bit-for-bit.
+    *
+    * Serving shape: context totals c(w1·) are ONE bigram-table re-agg
+    * (never a corpus scan); scoring = explode + three key joins +
+    * per-doc re-agg — zero train-corpus re-explodes, the maintained-
+    * state posture. Returns (id, n_bigrams, jm_bits), 6dp. */
+  def jmFromCounts(bigrams: org.apache.spark.sql.DataFrame,
+      unigrams: org.apache.spark.sql.DataFrame,
+      score: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      lambda: Double = 0.75, eps: Double = 1e-10): org.apache.spark.sql.DataFrame = {
+    require(lambda > 0 && lambda < 1, "lambda must be in (0,1)")
+    val ctx = bigrams.groupBy(col("w1")).agg(sum(col("c")).as("cw1"))
+    val tot = unigrams.agg(sum(col("u")).cast("double").as("nt"))
+    val docBg = score
+      .select(col(idCol).as("id"), explode(knPairs(tokens(col(textCol)))).as("p"))
+      .select(col("id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val p = lit(lambda) * coalesce(col("c").cast("double") / col("cw1"), lit(0.0)) +
+      lit(1 - lambda) * coalesce(col("u2").cast("double"), lit(0.0)) / col("nt")
+    docBg.join(bigrams, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .join(unigrams.select(col("w1").as("w2"), col("u").as("u2")), Seq("w2"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("id"), (-log2(greatest(p, lit(eps)))).as("bits"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(col("bits")), 6).as("jm_bits"))
+  }
+
   private def knPairs(w: Column): Column =
     when(size(w) < 2, array().cast("array<struct<w1:string,w2:string>>"))
       .otherwise(transform(sequence(lit(1), size(w) - 1),

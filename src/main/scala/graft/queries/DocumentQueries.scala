@@ -2269,6 +2269,38 @@ object DocumentQueries extends QueryModule {
              |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace('\n', ' ')),
       doc = "interpolated Kneser-Ney bigram bits-per-bigram, docs < 100 scored on the full-corpus LM"),
 
+    // ---- Jelinek-Mercer interpolated perplexity: the smoothing triad's
+    // third member (add-alpha / KN / JM), served from the SAME
+    // maintained lm_counts artifact — context totals re-agg from the
+    // bigram table, scoring is key joins only. FULL oracle.
+    "q_jm_perplexity" -> Q(
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+        graft.operators.TextAnalysis.jmFromCounts(
+            graft.operators.IndexStore.lmBigrams(s, dir),
+            graft.operators.IndexStore.lmUnigrams(s, dir),
+            d.filter(col("doc_id") < 100), "doc_id", "text", lambda = 0.75)
+          .select(col("id").as("doc_id"), col("n_bigrams"), col("jm_bits"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |bg AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2 FROM tok,
+             |  unnest(range(1, len(w))) AS r(i) WHERE len(w) >= 2),
+             |cb AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2),
+             |ctx AS (SELECT w1, sum(c) AS cw1 FROM cb GROUP BY 1),
+             |uni AS (SELECT t AS w, count(*) AS u FROM
+             |  (SELECT unnest(w) AS t FROM tok) z GROUP BY 1),
+             |tt AS (SELECT sum(u)::DOUBLE AS nt FROM uni),
+             |sc AS (SELECT doc_id,
+             |  0.75 * coalesce(cb.c::DOUBLE / ctx.cw1, 0) +
+             |  0.25 * coalesce(uni.u::DOUBLE, 0) / nt AS p
+             |  FROM bg LEFT JOIN cb USING (w1, w2) LEFT JOIN ctx USING (w1)
+             |  LEFT JOIN uni ON uni.w = bg.w2, tt WHERE doc_id < 100)
+             |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+             |round(avg(-log2(greatest(p, 1e-10))), 6) AS jm_bits
+             |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace('\n', ' ')),
+      doc = "Jelinek-Mercer interpolated bigram bits-per-bigram from the maintained count artifact"),
+
     // ---- CDC chunk dedup: boilerplate planted at VARYING offsets still
     // dedupes because content-defined boundaries re-align (the case
     // fixed-window chunking structurally misses)

@@ -831,6 +831,41 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     assert(capStreamed === capBatch, "read-time df cap diverged from batch")
   }
 
+  test("JM scoring from maintained counts: split absorbs == single build; backoff math hand-checked") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val a = Seq((1L, "the cat sat"), (2L, "the cat ran")).toDF("doc_id", "text")
+    val b = Seq((3L, "a dog sat"), (4L, "the dog ran far")).toDF("doc_id", "text")
+    val one = java.nio.file.Files.createTempDirectory("jmone").toString
+    val split = java.nio.file.Files.createTempDirectory("jmsplit").toString
+    TextAnalysis.writeLmCounts(a.unionByName(b), "text", one)
+    TextAnalysis.writeLmCounts(a, "text", split)
+    TextAnalysis.absorbLmCounts(b, "text", split, "b1")
+    val eval = Seq((10L, "the cat sat"), (11L, "zz the cat")).toDF("doc_id", "text")
+    def score(dir: String) = TextAnalysis.jmFromCounts(
+        TextAnalysis.readLmBigrams(spark, dir),
+        TextAnalysis.readLmUnigrams(spark, dir),
+        eval, "doc_id", "text", lambda = 0.75)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val sOne = score(one)
+    assert(score(split) === sOne, "split-absorbed counts diverged from single build")
+    // hand math: corpus = 13 tokens; "the cat" c=2, c(the·)=3, U(cat)=2
+    // p(cat|the) = .75*2/3 + .25*2/13; "cat sat" c=1, c(cat·)=2, U(sat)=2
+    // p(sat|cat) = .75*1/2 + .25*2/13; doc 10 bits = avg(-log2 p)
+    val p1 = 0.75 * 2.0 / 3 + 0.25 * 2.0 / 13
+    val p2 = 0.75 * 1.0 / 2 + 0.25 * 2.0 / 13
+    val want = BigDecimal((-math.log(p1) / math.log(2) - math.log(p2) / math.log(2)) / 2)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(sOne(10L)._1 === 2L && math.abs(sOne(10L)._2 - want) < 2e-6,
+      s"${sOne(10L)} vs $want")
+    // "zz the": unseen context zz backs off entirely to .25*U(the)/N
+    val pz = 0.25 * 3.0 / 13
+    val pc = 0.75 * 2.0 / 3 + 0.25 * 2.0 / 13 // "the cat" again
+    val wantZ = BigDecimal((-math.log(pz) / math.log(2) - math.log(pc) / math.log(2)) / 2)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(sOne(11L)._2 - wantZ) < 2e-6, s"${sOne(11L)} vs $wantZ")
+  }
+
   test("streaming graph maintenance: absorbed edge micro-batches == batch rebuild; ranks stay fresh; replay-exact") {
     import graft.operators.{GraphStore, Graphs}
     import spark.implicits._
