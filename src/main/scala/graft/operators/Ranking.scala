@@ -9,9 +9,16 @@ import org.apache.spark.sql.functions._
   * comparisons, estimate item strengths π with
   * P(i beats j) = π_i / (π_i + π_j).
   *
-  * Update, from π ≡ 1, sum-normalized each round so the scale is
-  * pinned (the likelihood is scale-invariant):
+  * Update, from π ≡ 1:
   *   π_i ← W_i / Σ_{j: n_ij>0} n_ij / (π_i + π_j)
+  * The update is homogeneous of degree 1 (scaling π by c scales every
+  * denominator by 1/c and hence the whole update by c), so the
+  * likelihood's scale gauge is fixed ONCE at the end by a single
+  * sum-normalization instead of per round — the same end-normalization
+  * win as [[Graphs.hits]]: each round drops an agg + broadcast
+  * crossJoin + one checkpointed frame. Scale drift is bounded: with
+  * strengths at scale s the new scale is ≈ 2s·W_i/n_i ≈ s (win rates
+  * hover around 1/2), so 8–100 rounds stay far inside double range.
   * Fixed iteration count + deterministic input ⇒ the rounds UNROLL
   * into a SQL oracle exactly like [[Graphs.pageRank]]'s.
   *
@@ -69,17 +76,18 @@ object Ranking {
           .join(cur.select(col("id").as("j"), col("p").as("pj")), "j")
           .groupBy(col("i").as("id"))
           .agg(sum(col("nij") / (col("pi") + col("pj"))).as("d"))
-        val raw = items
+        cur = reset(items
           .join(wins, Seq("id"), "left")
           .join(denom, Seq("id"))
           .select(col("id"),
-            (coalesce(col("wi"), lit(0L)).cast("double") / col("d")).as("p"))
-        val tot = raw.agg(sum(col("p")).as("__t"))
-        cur = reset(raw.crossJoin(broadcast(tot))
-          .select(col("id"), (col("p") / col("__t")).as("p")))
+            (coalesce(col("wi"), lit(0L)).cast("double") / col("d")).as("p")))
         it += 1
       }
-      cur.join(wins, Seq("id"), "left")
+      // gauge fixed once: strengths sum to 1 after the loop
+      val tot = cur.agg(sum(col("p")).as("__t"))
+      cur.crossJoin(broadcast(tot))
+        .select(col("id"), (col("p") / col("__t")).as("p"))
+        .join(wins, Seq("id"), "left")
         .select(col("id"), coalesce(col("wi"), lit(0L)).as("wins"),
           round(col("p"), 6).as("strength"))
         .localCheckpoint()

@@ -1241,7 +1241,9 @@ object Relational extends QueryModule {
   /** DuckDB oracle for `q_rank_bradley_terry`: the within-order quantity
     * comparisons collapse to win counts + a symmetric pair table, then
     * the fixed MM rounds unroll — per round one (i, j) strength join +
-    * per-item denominator agg + sum normalization, replaying
+    * per-item denominator agg, sum-normalized ONCE at the end (the
+    * update is homogeneous degree 1; r14 moved the gauge fix outside
+    * the loop in lockstep with the engine), replaying
     * [[graft.operators.Ranking.bradleyTerry]] exactly (6dp rounding
     * before ranking absorbs summation-order float noise, the
     * pageRankOracle posture). */
@@ -1261,13 +1263,12 @@ object Relational extends QueryModule {
     val rounds = (0 until iterations).flatMap { t => Seq(
       s"d$t AS MATERIALIZED (SELECT s.i AS id, sum(s.nij / (ci.p + cj.p)) AS d " +
         s"FROM sym s JOIN c$t ci ON ci.id = s.i JOIN c$t cj ON cj.id = s.j GROUP BY 1)",
-      s"r$t AS MATERIALIZED (SELECT it.id, coalesce(w.wi, 0)::DOUBLE / d.d AS p " +
-        s"FROM items it LEFT JOIN wins w ON w.id = it.id JOIN d$t d ON d.id = it.id)",
-      s"c${t + 1} AS MATERIALIZED (SELECT id, p / (SELECT sum(p) FROM r$t) AS p FROM r$t)")
+      s"c${t + 1} AS MATERIALIZED (SELECT it.id, coalesce(w.wi, 0)::DOUBLE / d.d AS p " +
+        s"FROM items it LEFT JOIN wins w ON w.id = it.id JOIN d$t d ON d.id = it.id)")
     }
     s"WITH ${(head ++ rounds).mkString(", ")} " +
       s"SELECT c$iterations.id, coalesce(w.wi, 0)::BIGINT AS wins, " +
-      s"round(c$iterations.p, 6) AS strength " +
+      s"round(c$iterations.p / (SELECT sum(p) FROM c$iterations), 6) AS strength " +
       s"FROM c$iterations LEFT JOIN wins w ON w.id = c$iterations.id " +
       "ORDER BY strength DESC, 1 LIMIT 50"
   }
