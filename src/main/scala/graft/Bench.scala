@@ -23,9 +23,11 @@ import org.apache.spark.sql.SparkSession
   *    full pass) — coverage can no longer be budget-starved; r11 left
   *    135/282 queries unmeasured because 42 headliners x 3 reps ate
   *    the whole budget before the tail started
-  *  - headline queries then get reps 2..n (median reported) while the
-  *    budget lasts, and a post-suite ECHO rep while the echo budget
-  *    lasts; both refinement passes are the ONLY budget-skippable work
+  *  - headline queries run ALL their reps consecutively at suite start
+  *    (median reported; a first rep at/above the warm floor is demoted
+  *    to an untimed JIT-warm rep), plus a post-suite ECHO rep while the
+  *    echo budget lasts; reps 2..n and the echo are the ONLY
+  *    budget-skippable work
   *  - the stdout result line carries scalars + the headline medians
   *    map ONLY (the driver's output capture is ~2000 chars; r11's line
   *    with the echo map aboard truncated mid-JSON and parsed as null).
@@ -63,9 +65,10 @@ object Headline {
   val names: Set[String] = Set(
     // slowest TPC-H shapes (q9/q21 are the suite-pressure bellwethers)
     "q9_product_profit", "q21_waiting_suppliers",
-    // dedup family: LSH band join, hamming self-join, drop-everywhere
-    // boilerplate, Bloom-prefiltered decontamination
-    "q_dedup_minhash_lsh", "q_dedup_simhash_hamming", "q_dedup_boilerplate",
+    // dedup family: hamming self-join, drop-everywhere boilerplate,
+    // Bloom-prefiltered decontamination (LSH band join retired r14 —
+    // flat at 0.98s)
+    "q_dedup_simhash_hamming", "q_dedup_boilerplate",
     "q_decontaminate_bloom",
     // vector family: IVF-PQ probe + the two heavy audits
     "q_vec_ann_pq", "q_vec_knn_shapley", "q_vec_dbscan",
@@ -79,12 +82,15 @@ object Headline {
     "q_graph_adamic_adar", "q_graph_walks", "q_graph_node2vec",
     // exact-quantile robust stats + the open regression history
     "q_robust_mad", "q_winsorize",
-    // pooled-index MAXSIM route
-    "q_tql_maxsim_routed",
     // r13 addition: the round's new heavy single (comparison self-join
     // + 8 MM rounds, ~4s) tracks from day one per the cost-follows-echo
     // policy
-    "q_rank_bradley_terry")
+    "q_rank_bradley_terry",
+    // r14 rotation (r13 verdict #5): q_theil_sen (3.74s) and
+    // q_graph_kcore (3.61s) crossed the 3.5s echo line unheadlined —
+    // in; retired the two sub-second holdovers q_dedup_minhash_lsh
+    // (0.98s) and q_tql_maxsim_routed (0.93s)
+    "q_theil_sen", "q_graph_kcore")
 }
 
 object Bench {
@@ -195,8 +201,14 @@ object Bench {
     def run1(name: String): Option[Double] = {
       // drop persisted frames from the previous query: leftover cache
       // blocks from 100+ earlier queries otherwise evict-churn the block
-      // manager and couple one query's timing to another's footprint
+      // manager and couple one query's timing to another's footprint.
+      // clearCache only drops CATALOG-cached Datasets; operators'
+      // df.persist()/localCheckpoint leftovers live in the block manager
+      // until GC'd, so sweep those explicitly too (r13 verdict #1: the
+      // accumulated blocks ran late-suite iterative heavies at ~2x their
+      // fresh-JVM warm time)
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       val t0 = System.nanoTime()
       try {
         SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -247,20 +259,41 @@ object Bench {
     val sentinelStart = sentinel()
     phase(f"sentinel start: $sentinelStart%.2fs")
 
-    // FULL PASS: one unconditional rep of EVERY registered query,
-    // headliners first. This is the coverage guarantee — no budget can
-    // starve it, so "skipped" is structurally zero. Headliner times
-    // seed their rep buffers.
+    // HEADLINER PASS (restructured r14, verdict #1): all of a
+    // headliner's reps run CONSECUTIVELY at suite start, not spread
+    // around the ~300-query tail — r13's rep 1 ran early but reps 2..3
+    // ran after the whole tail, where accumulated JVM pressure (GC /
+    // code-cache churn) priced iterative heavies at ~2x their fresh-JVM
+    // warm time (judge-measured: q_graph_hits 8.2s suite vs 3.8s warm).
+    // For a query whose first rep lands at/above the warm floor the
+    // first rep is demoted to an UNTIMED JIT-warm rep (fresh-JVM TimeOne
+    // shows rep1 carrying 2-3x of one-time compile on exactly these
+    // shapes), so the median prices warm steady state — the number
+    // TimeOne reports and the judge regression-calls on. Coverage stays
+    // unconditional: every headliner keeps >= 1 measured rep even with
+    // a blown budget.
+    val warmRepFloorSec = sys.env.getOrElse("SPARK_GRAFT_WARM_REP_FLOOR", "3.0").toDouble
     val reps = headlineNames.map(n =>
       n -> scala.collection.mutable.ArrayBuffer.empty[Double]).toMap
-    val tailBuf = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
-    (headlineNames ++ tailNames).foreach { n =>
-      run1(n).foreach { t =>
-        reps.get(n) match {
-          case Some(buf) => buf += t
-          case None      => tailBuf += (n -> t)
+    headlineNames.foreach { n =>
+      run1(n).foreach { t1 =>
+        val demoted = t1 >= warmRepFloorSec
+        if (demoted)
+          System.err.println(f"[bench] $n first rep $t1%.2fs >= floor — demoted to untimed warm rep")
+        else reps(n) += t1
+        val want = if (demoted) headReps else headReps - 1
+        (1 to want).foreach { _ =>
+          if (elapsed() < benchBudgetSec) reps(n) ++= run1(n)
         }
+        if (reps(n).isEmpty) reps(n) += t1 // budget blown mid-group: keep coverage
       }
+    }
+    // TAIL PASS: one unconditional rep of EVERY remaining query — the
+    // coverage guarantee; no budget can starve it, "skipped" stays
+    // structurally zero.
+    val tailBuf = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    tailNames.foreach { n =>
+      run1(n).foreach(t => tailBuf += (n -> t))
     }
     // ADAPTIVE tail re-measure: a tail single that looks slow is, far
     // more often than not, suite pressure (GC / cache churn from 280
@@ -286,20 +319,6 @@ object Bench {
     var sentinels = Seq(sentinelStart, sentinelMid)
     def ratio(xs: Seq[Double]): Double = xs.max / math.max(xs.min, 1e-9)
 
-    // HEADLINE REPS 2..n: budget-gated refinement of the medians. If the
-    // host degraded during the full pass, pause once and let the window
-    // pass before spending reps on noisy numbers.
-    if (ratio(sentinels) > 3.0) {
-      System.err.println(
-        f"[bench] sentinel drift ${ratio(sentinels)}%.1fx after full pass — pausing 20s before rep refinement")
-      Thread.sleep(20000)
-    }
-    (2 to headReps).foreach { _ =>
-      headlineNames.foreach { n =>
-        if (elapsed() < benchBudgetSec && !errors.contains(s"query:$n"))
-          reps(n) ++= run1(n)
-      }
-    }
     headlineNames.foreach { n =>
       System.err.println(s"[bench] headline reps $n: " +
         (if (reps(n).isEmpty) "FAILED" else reps(n).map(t => f"$t%.2f").mkString(" ")))
@@ -320,6 +339,13 @@ object Bench {
     // untouched code); the artifact carries the suite-median / echo
     // ratio per headliner, so a drifted number self-explains.
     // Budget-aware: a blown budget shrinks this to however many fit.
+    // One explicit full GC first: after ~300 queries the heap carries
+    // collectible block/broadcast/codegen garbage whose lazy collection
+    // otherwise lands inside the first echoed heavies (r13 verdict #1 —
+    // q_rank_bradley_terry echoed at 15.0s vs 3.8s fresh-JVM warm).
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    System.gc()
     val echoBudgetSec = benchBudgetSec + 120
     val echo: Map[String, Double] = headlineNames.flatMap { n =>
       if (errors.contains(s"query:$n") || elapsed() > echoBudgetSec) None
