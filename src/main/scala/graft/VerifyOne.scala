@@ -12,8 +12,10 @@ object VerifyOne {
     SparkEntry.queries(name)(spark, dir).write.mode("overwrite")
       .parquet(s"/tmp/verify_one/$name.parquet")
     SparkEntry.oracleSql.get(name).foreach { sql =>
+      val resolved = sql.replace("__ANN_ARTIFACT__",
+        graft.operators.IndexStore.annArtifactPath(dir))
       java.nio.file.Files.write(java.nio.file.Paths.get(s"/tmp/verify_one/$name.sql"),
-        sql.getBytes("UTF-8"))
+        resolved.getBytes("UTF-8"))
     }
     spark.stop()
   }

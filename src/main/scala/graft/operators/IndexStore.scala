@@ -65,6 +65,15 @@ object IndexStore {
         quantized = true), d)
     }
 
+  /** Absolute artifact dir of the ANN index for `sfDir` — the DuckDB
+    * oracle reads the SAME centroid parquet the engine serves from
+    * (Verify substitutes this for the `__ANN_ARTIFACT__` token in
+    * oracle SQL at dump time, so the oracle follows whatever data dir
+    * the driver verified). Does not build; callers pair it with a
+    * query that already ensured the artifact. */
+  def annArtifactPath(sfDir: String, nClusters: Int = 16): String =
+    artifactDir(sfDir, s"annq$nClusters").toString
+
   /** plain Clustered ANN index over embeddings(vec_id, embedding) */
   def ann(spark: SparkSession, sfDir: String, nClusters: Int = 16): AnnIndex.Index = {
     val idx = AnnIndex.load(spark, annArtifact(spark, sfDir, nClusters))

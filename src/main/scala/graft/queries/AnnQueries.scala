@@ -16,6 +16,12 @@ import graft.operators.{AnnIndex, IndexStore}
 object AnnQueries extends QueryModule {
 
   override def qs: Seq[(String, Q)] = Seq(
+    // FULL oracle (r13 verdict #4): the oracle reads the SAME artifact
+    // parquet (centroids + cluster assignments) the engine serves from
+    // and replays the route itself — probe the top-4 clusters per query
+    // (cosine desc, cluster_id tiebreak; nProbe = ceil(sqrt(16))), score
+    // probed candidates exactly, top-10 per query. The ANN ROUTING is
+    // thereby oracle-checked, not just recall-gated.
     "q_vec_ann_topk" -> Q(
       (s, dir) => {
         val idx = IndexStore.ann(s, dir)
@@ -25,8 +31,23 @@ object AnnQueries extends QueryModule {
             round(col("score"), 6).as("cos_sim"))
           .orderBy(col("qid"), col("rank"))
       },
-      None,
-      doc = "KMeans-clustered ANN: probe sqrt(n_clusters) clusters, exact rerank"),
+      Some("""WITH c AS (SELECT cluster_id, centroid::DOUBLE[] AS cv
+             |  FROM read_parquet('__ANN_ARTIFACT__/centroids/*.parquet')),
+             |a AS (SELECT id, cluster_id, vec::DOUBLE[] AS v
+             |  FROM read_parquet('__ANN_ARTIFACT__/assignments/**/*.parquet')),
+             |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+             |pr AS (SELECT qid, qv, cluster_id FROM (
+             |  SELECT q.qid, q.qv, c.cluster_id, row_number() OVER (PARTITION BY q.qid
+             |    ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cluster_id) AS cr
+             |  FROM q CROSS JOIN c) t WHERE cr <= 4),
+             |sc AS (SELECT pr.qid, a.id, list_cosine_similarity(a.v, pr.qv) AS score
+             |  FROM pr JOIN a USING (cluster_id)),
+             |r AS (SELECT qid, id, score, row_number() OVER
+             |  (PARTITION BY qid ORDER BY score DESC, id) AS rank FROM sc)
+             |SELECT qid, rank::INT AS rank, id AS neighbor_id,
+             |round(score, 6) AS cos_sim FROM r WHERE rank <= 10
+             |ORDER BY qid, rank""".stripMargin.replace('\n', ' ')),
+      doc = "KMeans-clustered ANN: probe sqrt(n_clusters) clusters, exact rerank (oracle replays the route over the artifact)"),
 
     "q_vec_ann_quantized" -> Q(
       (s, dir) => {

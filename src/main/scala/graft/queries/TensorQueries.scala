@@ -463,13 +463,30 @@ object TensorQueries extends QueryModule {
     // ANN artifact. Deterministic given the artifact, but KMeans is not
     // SQL-expressible -> no_oracle; selection law gated in
     // WeightedSampleSpec on hand-built clusters.
+    // FULL oracle (r13 verdict #4, oracle-reads-the-artifact): the
+    // centroids are parquet in the IndexStore; DuckDB reads the SAME
+    // files (Verify resolves __ANN_ARTIFACT__ to the verified sfDir's
+    // artifact at dump time) and replays assignment (first argmax
+    // cluster on exact double equality — min(cluster_id) over the
+    // max-sim rows), the per-cluster rank window, and the 6dp round.
     "q_sample_prototypes" -> Q(
       (s, dir) => graft.operators.Sampling.prototypeSample(
           table(s, dir, "embeddings"), "vec_id", "embedding",
           graft.operators.IndexStore.ann(s, dir).centroids, perCluster = 5)
         .orderBy(col("cluster_id"), col("centroid_sim").desc, col("id")),
-      None,
-      doc = "5 nearest-to-centroid prototypes per cluster (coreset selection)"),
+      Some("""WITH c AS (SELECT cluster_id, centroid::DOUBLE[] AS cv
+             |  FROM read_parquet('__ANN_ARTIFACT__/centroids/*.parquet')),
+             |sims AS (SELECT e.vec_id AS id, c.cluster_id,
+             |  list_cosine_similarity(e.embedding::DOUBLE[], c.cv) AS sim
+             |  FROM embeddings e CROSS JOIN c),
+             |best AS (SELECT id, max(sim) AS best FROM sims GROUP BY id),
+             |assign AS (SELECT s.id, min(s.cluster_id) AS cluster_id, max(b.best) AS best
+             |  FROM sims s JOIN best b ON b.id = s.id AND s.sim = b.best GROUP BY s.id),
+             |r AS (SELECT id, cluster_id, best, row_number() OVER
+             |  (PARTITION BY cluster_id ORDER BY best DESC, id) AS rk FROM assign)
+             |SELECT id, cluster_id, round(best, 6) AS centroid_sim FROM r
+             |WHERE rk <= 5 ORDER BY cluster_id, centroid_sim DESC, id""".stripMargin.replace('\n', ' ')),
+      doc = "5 nearest-to-centroid prototypes per cluster (oracle reads the artifact's centroid parquet)"),
 
     // ---- blocked fuzzy self-join (record linkage): PassJoin pigeonhole
     // segment blocking + levenshtein verify; the oracle is BRUTE FORCE,
