@@ -711,8 +711,14 @@ object EventAnalytics {
     import org.apache.spark.sql.expressions.Window
     val kc = keyCols.map(col)
     val w = Window.partitionBy(kc: _*).orderBy(col(orderCol))
+    // NULL values are dropped up front (r13 advice): n, mean, and
+    // variance must be computed over the SAME sample — count(lit(1))
+    // would count null rows that avg/var_pop exclude, inflating the
+    // n·σ² denominator and shifting the Ljung-Box dof. The ACF is then
+    // the ACF of the observed (gap-compacted) series.
     val base = df.select(kc :+ col(orderCol) :+
       col(valueCol).cast("double").as("__v"): _*)
+      .filter(col("__v").isNotNull)
     val stats = base.groupBy(kc: _*)
       .agg(count(lit(1)).as("__n"), avg(col("__v")).as("__m"),
         var_pop(col("__v")).as("__vp"))
@@ -767,7 +773,12 @@ object EventAnalytics {
     import org.apache.spark.sql.expressions.Window
     val half = period / 2
     val kc = keyCols.map(col)
-    val w = Window.partitionBy(kc: _*).orderBy(col(orderCol))
+    // phase assignment and the centered MA both ride row position, so
+    // orderCol ties would make them nondeterministic run-to-run (r13
+    // advice); the value tie-break pins the order, and rows tied on
+    // BOTH (orderCol, value) are interchangeable — the output multiset
+    // is identical whichever one the window visits first
+    val w = Window.partitionBy(kc: _*).orderBy(col(orderCol), col("__v"))
     val ma = w.rowsBetween(-half, half)
     val base = df.select(kc :+ col(orderCol) :+
       col(valueCol).cast("double").as("__v"): _*)

@@ -33,9 +33,17 @@ object SearchMetrics {
       rankCol: String, judgments: DataFrame, relQueryCol: String,
       relIdCol: String, k: Int): DataFrame = {
     require(k >= 1, "k must be >= 1")
+    // the run is deduped on (query, id) keeping the best rank (r13
+    // advice): a retriever that returns the same document twice inside
+    // the top-k must not double-count it — precision/recall stay <= 1
+    // and NDCG credits each relevant document once, per TREC convention.
+    // A map-side partial agg over <= k rows per query; no-op (and thus
+    // oracle-invariant) for the row_number-generated runs the registered
+    // queries feed it.
     val r = run.select(col(queryCol).as("__q"), col(idCol).as("__id"),
         col(rankCol).cast("long").as("__r"))
       .filter(col("__r") <= k)
+      .groupBy(col("__q"), col("__id")).agg(min(col("__r")).as("__r"))
     val rel = judgments.select(col(relQueryCol).as("__q"),
       col(relIdCol).as("__id")).distinct()
     val nRel = rel.groupBy(col("__q")).agg(count(lit(1)).as("n_relevant"))

@@ -600,4 +600,26 @@ class AuditSpec extends AnyFunSuite {
       "strengths sum-normalize to 1")
     assert(got(1L)._1 === 3L && got(7L)._1 === 0L, "win counts carried")
   }
+
+  test("retrievalMetrics: a duplicated run document counts once (precision stays <= 1)") {
+    import graft.operators.SearchMetrics
+    // retriever echoes doc 100 three times inside the top-3 for query 1;
+    // query 2's run is clean. Judgments: q1 -> {100}, q2 -> {200, 201}.
+    val run = Seq((1L, 100L, 1L), (1L, 100L, 2L), (1L, 100L, 3L),
+      (2L, 200L, 1L), (2L, 999L, 2L), (2L, 201L, 3L)).toDF("q", "id", "rank")
+    val rel = Seq((1L, 100L), (2L, 200L), (2L, 201L)).toDF("q", "id")
+    val m = SearchMetrics.retrievalMetrics(run, "q", "id", "rank",
+        rel, "q", "id", k = 3)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(m(1L).getAs[Long]("hits") === 1L, "triple echo counts once")
+    assert(m(1L).getAs[Double]("precision_at_k") === round6(1.0 / 3))
+    assert(m(1L).getAs[Double]("recall_at_k") === 1.0)
+    assert(m(1L).getAs[Double]("mrr") === 1.0, "best rank of the dup is kept")
+    assert(m(1L).getAs[Double]("ndcg_at_k") === 1.0,
+      "one relevant found at rank 1 is ideal; the echoes add no dcg")
+    assert(m(2L).getAs[Long]("hits") === 2L, "clean run unchanged")
+  }
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }

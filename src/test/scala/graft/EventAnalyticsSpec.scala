@@ -841,6 +841,23 @@ class EventAnalyticsSpec extends AnyFunSuite {
       assert(got((key, k))._2 >= got((key, k - 1))._2 - 1e-9)
   }
 
+  test("autocorrelation: NULL values drop from the sample — n, mean, and variance agree") {
+    import spark.implicits._
+    // nulls interspersed in a 4-point series; the estimator must equal
+    // the hand-computed biased ACF of the OBSERVED series 1,2,3,4
+    // (mean 2.5, n*var_pop = 5): r1 = (0.75-0.25+0.75)/5 = 0.25,
+    // r2 = (-0.75-0.75)/5 = -0.3 — a null-counting n would deflate both
+    val df = Seq(("a", 1L, Some(1.0)), ("a", 2L, None), ("a", 3L, Some(2.0)),
+      ("a", 4L, Some(3.0)), ("a", 5L, None), ("a", 6L, Some(4.0)))
+      .toDF("k", "t", "v")
+    val got = graft.operators.EventAnalytics
+      .autocorrelation(df, Seq("k"), "t", "v", maxLag = 2)
+      .collect().map(r => r.getInt(1) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(got(1)._1 === 4L, "n counts only observed values")
+    assert(got(1)._2 === 0.25, s"r1: ${got(1)._2}")
+    assert(got(2)._2 === -0.3, s"r2: ${got(2)._2}")
+  }
+
   test("Anderson-Darling: same-split small, shift large, tail-sensitive vs KS, monotone-invariant, symmetric") {
     import spark.implicits._
     import graft.operators.Drift
