@@ -85,6 +85,14 @@ object GraphStore {
     * parquet as-is. */
   def read(spark: SparkSession, dir: String): DataFrame = {
     Lsm.recoverPath(s"$dir/edges")
+    // no absorbed segments yet (fresh dir, or deleteNodes before any
+    // build): the graph IS empty — return the empty edge frame instead
+    // of letting spark.read throw on the missing path (r13 advice)
+    if (segmentCount(dir) == 0)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "src LONG, dst LONG, w LONG"))
     val raw = Lsm.readSegments(spark, s"$dir/edges")
     val hasTombs = Lsm.exists(s"$dir/tombstones")
     val merged =
@@ -93,6 +101,40 @@ object GraphStore {
     if (!hasTombs) merged
     else Lsm.dropTombstoned(spark, dir,
       Lsm.dropTombstoned(spark, dir, merged, "src"), "dst")
+  }
+
+  /** Persist a converged rank vector next to the edges — the warm-start
+    * artifact for the iterative analytics family: the damped power
+    * iteration is a contraction, so after an O(delta) absorb a handful
+    * of iterations FROM THE LAST FIXPOINT replaces a cold re-run —
+    * the rank analog of [[Bm25]] merging stats instead of rebuilding.
+    * Overwrite-idempotent (replays land the same state). */
+  def saveRanks(ranks: DataFrame, dir: String, name: String = "pagerank"): Unit = {
+    val par = ranks.sparkSession.sparkContext.defaultParallelism
+    ranks.select(col("id").cast("long").as("id"),
+        col("rank").cast("double").as("rank"))
+      .repartition(par, col("id"))
+      .write.mode("overwrite").parquet(s"$dir/ranks/$name")
+  }
+
+  /** last persisted rank vector, if any */
+  def loadRanks(spark: SparkSession, dir: String,
+      name: String = "pagerank"): Option[DataFrame] =
+    if (Lsm.exists(s"$dir/ranks/$name"))
+      Some(spark.read.parquet(s"$dir/ranks/$name"))
+    else None
+
+  /** Warm-start maintenance hook (run after [[absorb]]): re-converge
+    * pageRank over the CURRENT merged edges starting from the last
+    * persisted vector (cold uniform start if none), persist and return
+    * the refreshed ranks. New nodes enter at uniform; the init is
+    * renormalized inside [[Graphs.pageRank]]. */
+  def refreshPageRank(spark: SparkSession, dir: String, iterations: Int = 5,
+      damping: Double = 0.85): DataFrame = {
+    val ranks = Graphs.pageRank(read(spark, dir), "src", "dst", iterations,
+      damping, weightCol = Some("w"), init = loadRanks(spark, dir))
+    saveRanks(ranks, dir)
+    ranks
   }
 
   /** fold segments + tombstones into one src-partitioned segment via

@@ -45,10 +45,23 @@ object Graphs {
     *
     * `weightCol`: pre-collapsed multiplicity weights (a [[GraphStore]]
     * read) — sum-merged, so feeding collapsed counts equals feeding the
-    * raw multigraph. */
+    * raw multigraph.
+    *
+    * `init`: optional WARM-START vector (id, rank) — typically the last
+    * converged ranks persisted next to a [[GraphStore]] artifact
+    * ([[GraphStore.loadRanks]]). The damped iteration is a contraction
+    * (error shrinks ×d per step toward the unique fixpoint), so after a
+    * small append, a handful of iterations from the previous fixpoint
+    * reaches the accuracy a cold start needs ~4× the iterations for.
+    * Nodes absent from `init` (the append's new arrivals) start at the
+    * uniform 1/n; the vector is renormalized to sum 1 so per-iteration
+    * mass conservation holds exactly. The REGISTERED queries stay
+    * cold-start (their oracles unroll from uniform); warm-start is the
+    * maintenance path, gated by IndexMaintenanceSpec. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 20, damping: Double = 0.85,
-      weightCol: Option[String] = None): DataFrame = {
+      weightCol: Option[String] = None,
+      init: Option[DataFrame] = None): DataFrame = {
     require(iterations >= 1, "need at least one iteration")
     require(damping >= 0 && damping <= 1, s"damping must be in [0,1]: $damping")
     val spark = edges.sparkSession
@@ -71,32 +84,57 @@ object Graphs {
       val n = nodes.count().toDouble
       if (n == 0) nodes.withColumn("rank", lit(0.0))
       else {
-        var ranks = nodes.withColumn("rank", lit(1.0 / n)).localCheckpoint()
-        var it = 0
-        while (it < iterations) {
-          // mass parked on dangling nodes (no out-edges) spreads
-          // uniformly — computed as a broadcast 1-ROW FRAME riding the
-          // iteration's own plan, never a driver-side action (per-
-          // iteration collects double the job count)
-          val dangling = ranks
+        // stats-leaf reset (the Bradley-Terry lesson): each step reads
+        // the rank frame TWICE (dangling + contribs), so checkpoint-
+        // preserved origin stats would compound geometrically across
+        // iterations; the re-wrap pins them to the materialized leaf
+        def reset(df: DataFrame): DataFrame = {
+          val ck = df.localCheckpoint()
+          spark.createDataFrame(ck.rdd, ck.schema)
+        }
+        var ranks = reset(init match {
+          case None => nodes.withColumn("rank", lit(1.0 / n))
+          case Some(warm) =>
+            // absent ids (new nodes since the ranks were saved) start
+            // uniform; renormalize so the vector sums to exactly 1
+            val filled = nodes
+              .join(warm.select(col("id"), col("rank").as("__w")), Seq("id"), "left")
+              .select(col("id"), coalesce(col("__w"), lit(1.0 / n)).as("rank"))
+            val tot = filled.agg(sum(col("rank")).as("__t"))
+            filled.crossJoin(broadcast(tot))
+              .select(col("id"), (col("rank") / col("__t")).as("rank"))
+        })
+        // mass parked on dangling nodes (no out-edges) spreads
+        // uniformly — computed as a broadcast 1-ROW FRAME riding the
+        // iteration's own plan, never a driver-side action (per-
+        // iteration collects double the job count)
+        def step(r: DataFrame): DataFrame = {
+          val dangling = r
             .join(outW.select(col("src").as("id")), Seq("id"), "left_anti")
             .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dang"))
-          val contribs = ej.join(ranks.withColumnRenamed("id", "src"), "src")
+          val contribs = ej.join(r.withColumnRenamed("id", "src"), "src")
             .groupBy(col("dst").as("id"))
             .agg(sum(col("share") * col("rank")).as("__in"))
-          val next = nodes.join(contribs, Seq("id"), "left")
+          nodes.join(contribs, Seq("id"), "left")
             .crossJoin(broadcast(dangling))
             .select(col("id"),
               (lit((1.0 - damping) / n) +
                 lit(damping) * (coalesce(col("__in"), lit(0.0)) +
                   col("__dang") / n)).as("rank"))
-          it += 1
-          // one materialization per iteration is REQUIRED, not just
-          // lineage hygiene: the next iteration reads `ranks` twice
-          // (dangling + contribs), so a lazy chain re-executes every
-          // prior step exponentially. With the dangling scalar riding
-          // in-plan, each iteration is exactly ONE job.
-          ranks = next.localCheckpoint()
+        }
+        var it = 0
+        while (it < iterations) {
+          // TWO iterations fuse per materialization (same arithmetic,
+          // half the jobs): the second step reads the first's frame
+          // lazily — its two reads carry identical shuffle subplans, so
+          // ReuseExchange dedupes them inside the one job. Periodic
+          // materialization stays REQUIRED: an unbounded lazy chain
+          // re-executes every prior step exponentially (each level is
+          // read twice), so the fusion depth is capped at 2.
+          val next =
+            if (it + 2 <= iterations) { it += 2; step(step(ranks)) }
+            else { it += 1; step(ranks) }
+          ranks = reset(next)
         }
         ranks
       }
@@ -150,23 +188,33 @@ object Graphs {
         .join(seedIds.withColumn("__p", lit(1.0 / nSeeds)), Seq("id"), "left")
         .select(col("id"), coalesce(col("__p"), lit(0.0)).as("p"))
         .localCheckpoint()
-      var ranks = withP.select(col("id"), col("p").as("rank")).localCheckpoint()
-      var it = 0
-      while (it < iterations) {
-        val dangling = ranks
+      def reset(df: DataFrame): DataFrame = {
+        val ck = df.localCheckpoint()
+        spark.createDataFrame(ck.rdd, ck.schema)
+      }
+      var ranks = reset(withP.select(col("id"), col("p").as("rank")))
+      def step(r: DataFrame): DataFrame = {
+        val dangling = r
           .join(outW.select(col("src").as("id")), Seq("id"), "left_anti")
           .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dang"))
-        val contribs = ej.join(ranks.withColumnRenamed("id", "src"), "src")
+        val contribs = ej.join(r.withColumnRenamed("id", "src"), "src")
           .groupBy(col("dst").as("id"))
           .agg(sum(col("share") * col("rank")).as("__in"))
-        val next = withP.join(contribs, Seq("id"), "left")
+        withP.join(contribs, Seq("id"), "left")
           .crossJoin(broadcast(dangling))
           .select(col("id"),
             (lit(1.0 - damping) * col("p") +
               lit(damping) * (coalesce(col("__in"), lit(0.0)) +
                 col("__dang") * col("p"))).as("rank"))
-        it += 1
-        ranks = next.localCheckpoint()
+      }
+      var it = 0
+      while (it < iterations) {
+        // two iterations per materialization, ReuseExchange dedupes the
+        // second step's double read of the first — see [[pageRank]]
+        val next =
+          if (it + 2 <= iterations) { it += 2; step(step(ranks)) }
+          else { it += 1; step(ranks) }
+        ranks = reset(next)
       }
       ranks
     } finally {
@@ -236,10 +284,18 @@ object Graphs {
     * whatever the intermediate scaling) while cutting each iteration
     * from four jobs (2 propagation checkpoints + 2 norm aggregates) to
     * ONE — the half-steps stay lazy, one checkpoint per full iteration
-    * bounds the lineage. Overflow envelope: raw values grow ~‖A‖₂ per
-    * half-step; doubles hold ‖A‖₂^(2·iterations) up to 1e308 — beyond
-    * ~60 iterations on a petascale graph, normalize in blocks (HITS
-    * converges in far fewer).
+    * bounds the lineage. Overflow envelope, ENFORCED: raw values grow
+    * ~‖A‖₂ per half-step and the renorm SQUARES them, so the hub
+    * vector is renormalized every B iterations with B sized from the
+    * spectral bound ‖A‖₂ ≤ √(‖A‖₁·‖A‖∞) (two O(edges) aggs, computed
+    * once) such that a block's growth stays under 1e140 — safe for any
+    * weights at any iteration count (two small per-block jobs, never
+    * per-iteration). On the registered count-weighted graphs B ≥ the
+    * default 20 iterations, so the oracle arithmetic is untouched;
+    * scale invariance makes the block renorm a no-op on the final
+    * vectors regardless. (Sub-unit-weight graphs that DECAY >1e140 per
+    * block underflow to the zero vector and return zeros — outside the
+    * envelope, norm-guarded rather than NaN.)
     *
     * Per iteration: two src/dst-keyed joins + two partial aggs.
     * Returns (id, hub, authority), each vector L2-normalized. */
@@ -263,6 +319,16 @@ object Graphs {
     try {
       if (nodes.isEmpty) return nodes
         .withColumn("hub", lit(0.0)).withColumn("authority", lit(0.0))
+      // renorm block size from the spectral bound ‖A‖₂ ≤ √(‖A‖₁·‖A‖∞)
+      // (max weighted in-degree × max weighted out-degree): one full
+      // iteration multiplies scale by ≤ bound², so B iterations stay
+      // under 1e140 (squares under 1e280, n-term square sums safe)
+      val normBound = math.max(2.0, math.sqrt(
+        e.groupBy(col("src")).agg(sum(col("w")).as("s"))
+          .agg(max(col("s")).cast("double")).head().getDouble(0) *
+        e.groupBy(col("dst")).agg(sum(col("w")).as("s"))
+          .agg(max(col("s")).cast("double")).head().getDouble(0)))
+      val renormEvery = math.max(1, (140.0 / (2.0 * math.log10(normBound))).toInt)
       var hub = nodes.withColumn("hub", lit(1.0)).localCheckpoint()
       var auth = nodes.withColumn("authority", lit(1.0))
       var it = 0
@@ -281,6 +347,15 @@ object Graphs {
           .select(col("id"), coalesce(col("hub"), lit(0.0)).as("hub"))
           .localCheckpoint() // one materialization per full iteration
         it += 1
+        // overflow envelope enforced (r13 advice): block renorm, not
+        // per-step, so the one-job-per-iteration win stands
+        if (it % renormEvery == 0 && it < iterations) {
+          val bn = hub.agg(sqrt(sum(col("hub") * col("hub"))).as("__n"))
+          hub = hub.crossJoin(broadcast(bn))
+            .select(col("id"), when(col("__n") > 0, col("hub") / col("__n"))
+              .otherwise(col("hub")).as("hub"))
+            .localCheckpoint()
+        }
       }
       // the last auth is read twice below (its norm + the output join):
       // materialize it once — one extra propagation join total, not per

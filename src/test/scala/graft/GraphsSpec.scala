@@ -120,6 +120,32 @@ class GraphsSpec extends AnyFunSuite {
     assert(gb(10L)._2 > gb(11L)._2, "two-buyer supplier out-ranks the one-buyer one")
   }
 
+  test("hits: 65 heavy-weighted iterations stay finite (block renorm enforces the overflow envelope)") {
+    import spark.implicits._
+    // ||A||_2 ~ 3e3 here, so 65 raw iterations reach ~1e450 — past
+    // double range, and the L2 renorm's SQUARES overflow past 1e154 —
+    // without the spectral-bound-sized block renorm; the final vectors
+    // must still be the scale-invariant fixpoint (the 20-iteration run
+    // has long converged on this 5-node graph, and B >= 20 keeps its
+    // arithmetic renorm-free)
+    val we = Seq((1L, 10L, 1000.0), (1L, 11L, 2000.0), (2L, 10L, 1500.0),
+      (2L, 12L, 500.0)).toDF("src", "dst", "w")
+    def run(iters: Int) = Graphs.hits(we, "src", "dst", iterations = iters,
+        weightCol = Some("w"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val deep = run(65)
+    deep.values.foreach { case (h, a) =>
+      assert(java.lang.Double.isFinite(h) && java.lang.Double.isFinite(a),
+        s"overflow leaked through: $deep")
+    }
+    val converged = run(20)
+    deep.foreach { case (k, (h, a)) =>
+      assert(math.abs(h - converged(k)._1) < 1e-9 &&
+        math.abs(a - converged(k)._2) < 1e-9,
+        s"node $k drifted from the fixpoint: ($h,$a) vs ${converged(k)}")
+    }
+  }
+
   test("labelPropagation: two planted cliques get two labels; bridge node joins the larger") {
     import spark.implicits._
     // clique {1,2,3} + clique {10,11,12,13} + bridge edge 3-10: the

@@ -949,4 +949,69 @@ class IndexMaintenanceSpec extends AnyFunSuite {
       .groupBy(col("src"), col("dst")).count()
       .filter(col("count") > 1).isEmpty, "compaction left duplicate keys")
   }
+
+  test("graph artifact: warm-started ranks reconverge after an append (and beat a cold start at equal iterations)") {
+    import graft.operators.{GraphStore, Graphs}
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graphwarm").toString
+    // ~2000 nodes so a 4-edge append is a GENUINELY small delta (the
+    // teleport base (1-d)/n barely moves); damping 0.5 so 35 iterations
+    // contract any init error below 1e-10 (0.5^35 ~ 3e-11)
+    val d05 = 0.5
+    // quadratic dst skews in-degrees hard, so the fixpoint is far from
+    // uniform and a cold start genuinely has distance to cover
+    val base = (0 until 8000).map(i =>
+      (i.toLong % 1997, (i.toLong * i.toLong * 7 + 13) % 1997)).toDF("src", "dst")
+    GraphStore.build(base, "src", "dst", tmp)
+    // converge cold on the base graph and persist the fixpoint
+    GraphStore.saveRanks(Graphs.pageRank(GraphStore.read(spark, tmp),
+      "src", "dst", iterations = 35, damping = d05, weightCol = Some("w")), tmp)
+    // planted O(delta) append: a few edges touching two new nodes
+    GraphStore.absorb(Seq((1997L, 1998L), (1998L, 3L), (7L, 1997L), (1997L, 3L))
+      .toDF("src", "dst"), "src", "dst", tmp, "delta")
+    def ranks(iters: Int, warm: Boolean): Map[Long, Double] =
+      Graphs.pageRank(GraphStore.read(spark, tmp), "src", "dst",
+          iterations = iters, damping = d05, weightCol = Some("w"),
+          init = if (warm) GraphStore.loadRanks(spark, tmp) else None)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def dist(a: Map[Long, Double], b: Map[Long, Double]): Double = {
+      assert(a.keySet === b.keySet)
+      a.map { case (k, v) => math.abs(v - b(k)) }.max
+    }
+    // the post-append fixpoint, cold
+    val fix = ranks(35, warm = false)
+    // the warm path converges to the SAME unique fixpoint (init
+    // plumbing, new-node fill, and renormalization are all sound)
+    assert(dist(ranks(35, warm = true), fix) < 1e-9,
+      "warm start must reconverge to the post-append fixpoint")
+    // iteration economy — the maintenance value proposition: at EQUAL
+    // (small) budget, starting from the pre-append fixpoint lands far
+    // closer to the post-append fixpoint than a cold uniform start
+    // (the contraction shrinks INITIAL error; the planted delta left
+    // the warm init orders of magnitude nearer than uniform)
+    val warm6 = dist(ranks(6, warm = true), fix)
+    val cold6 = dist(ranks(6, warm = false), fix)
+    assert(warm6 < cold6 / 10,
+      s"warm-6 ($warm6) should beat cold-6 ($cold6) by >=10x")
+    // the refresh hook persists its own output: after a deep refresh,
+    // a 2-iteration warm read serves the fixpoint
+    GraphStore.refreshPageRank(spark, tmp, iterations = 35, damping = d05)
+    assert(dist(ranks(2, warm = true), fix) < 1e-9,
+      "refreshed artifact serves the fixpoint (2 warm iterations hold it)")
+  }
+
+  test("graph artifact: reading a dir with no absorbed segments returns the empty edge frame") {
+    import graft.operators.GraphStore
+    import spark.implicits._
+    // fresh dir: nothing ever written
+    val fresh = java.nio.file.Files.createTempDirectory("graphempty").toString
+    val r0 = GraphStore.read(spark, fresh)
+    assert(r0.columns.toSeq === Seq("src", "dst", "w") && r0.isEmpty)
+    // deleteNodes before any build: tombstones exist, segments don't —
+    // still the empty frame, not an AnalysisException on the missing path
+    val tombed = java.nio.file.Files.createTempDirectory("graphtomb").toString
+    GraphStore.deleteNodes(Seq(1L, 2L).toDF("id"), "id", tombed)
+    val r1 = GraphStore.read(spark, tombed)
+    assert(r1.columns.toSeq === Seq("src", "dst", "w") && r1.isEmpty)
+  }
 }
