@@ -12,8 +12,13 @@ object VerifyOne {
     SparkEntry.queries(name)(spark, dir).write.mode("overwrite")
       .parquet(s"/tmp/verify_one/$name.parquet")
     SparkEntry.oracleSql.get(name).foreach { sql =>
-      val resolved = sql.replace("__ANN_ARTIFACT__",
-        graft.operators.IndexStore.annArtifactPath(dir))
+      val resolved = sql
+        .replace("__ANN_ARTIFACT__",
+          graft.operators.IndexStore.annArtifactPath(dir))
+        .replace("__MAXSIM_ARTIFACT__",
+          graft.operators.IndexStore.maxsimArtifactPath(dir))
+        .replace("__ANNPQ_ARTIFACT__",
+          graft.operators.IndexStore.annPqArtifactPath(dir))
       java.nio.file.Files.write(java.nio.file.Paths.get(s"/tmp/verify_one/$name.sql"),
         resolved.getBytes("UTF-8"))
     }

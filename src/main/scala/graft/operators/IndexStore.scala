@@ -124,6 +124,17 @@ object IndexStore {
   def maxsimBagsPath(spark: SparkSession, sfDir: String): String =
     s"${maxsimArtifact(spark, sfDir)}/bags"
 
+  /** absolute MAXSIM artifact dir (bags + pooled-vector index) for the
+    * `__MAXSIM_ARTIFACT__` oracle token — see [[annArtifactPath]] */
+  def maxsimArtifactPath(sfDir: String): String =
+    artifactDir(sfDir, "maxsim_pages8").toString
+
+  /** absolute IVF-PQ artifact dir for the `__ANNPQ_ARTIFACT__` oracle
+    * token — see [[annArtifactPath]] */
+  def annPqArtifactPath(sfDir: String, nClusters: Int = 16, m: Int = 8,
+      ksub: Int = 64): String =
+    artifactDir(sfDir, s"annpq2-$nClusters-$m-$ksub").toString
+
   /** clustered index over the pages' mean-pooled vectors (id = page_id) */
   def maxsimAnn(spark: SparkSession, sfDir: String): AnnIndex.Index =
     AnnIndex.load(spark, s"${maxsimArtifact(spark, sfDir)}/index")
