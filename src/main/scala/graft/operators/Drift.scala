@@ -717,4 +717,46 @@ object Drift {
         round(graft.functions.gf.l2_norm(col("m_ref")), 6).as("norm_ref"),
         round(graft.functions.gf.l2_norm(col("m_cur")), 6).as("norm_cur"))
   }
+
+  /** Welch's unequal-variance t statistic (Welch 1947) — the parametric
+    * mean-shift complement to the distribution-shape tests above (KS /
+    * AD / rank-sum detect ANY distributional change; Welch answers the
+    * narrower production question "did the MEAN move, given unequal
+    * variances", with the Welch–Satterthwaite effective dof):
+    *   t = (x̄_a − x̄_b) / √(s²_a/n_a + s²_b/n_b),
+    *   dof = (s²_a/n_a + s²_b/n_b)² /
+    *         ((s²_a/n_a)²/(n_a−1) + (s²_b/n_b)²/(n_b−1)).
+    * `bigShift` flags |t| above the 3.29 two-sided z ≈ 0.001 level (at
+    * production sample sizes t is effectively normal; the repo policy
+    * of exact-arithmetic statistics + a threshold flag, not a p-value
+    * needing the incomplete beta — the [[andersonDarling]] posture).
+    *
+    * Scale shape: ONE conditional aggregate computes both sides' n,
+    * mean, and sample variance in a single pass; everything after is
+    * 1-row arithmetic. Returns (n_a, n_b, mean_a, mean_b, t, dof,
+    * big_shift), 6dp. FULL oracle (avg/var_samp replay in SQL). */
+  def welchT(df: DataFrame, valueCol: String, aPred: Column,
+      bPred: Column, zFlag: Double = 3.29): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val base = df.filter(v.isNotNull && (aPred || bPred))
+    val agg = base.agg(
+      count(when(aPred, 1)).as("n_a"),
+      count(when(bPred, 1)).as("n_b"),
+      avg(when(aPred, v)).as("__ma"),
+      avg(when(bPred, v)).as("__mb"),
+      var_samp(when(aPred, v)).as("__va"),
+      var_samp(when(bPred, v)).as("__vb"))
+    val sa = col("__va") / col("n_a")
+    val sb = col("__vb") / col("n_b")
+    agg.select(col("n_a"), col("n_b"),
+        round(col("__ma"), 6).as("mean_a"),
+        round(col("__mb"), 6).as("mean_b"),
+        (((col("__ma") - col("__mb")) / sqrt(sa + sb))).as("__t"),
+        ((sa + sb) * (sa + sb) /
+          (sa * sa / (col("n_a") - 1) + sb * sb / (col("n_b") - 1))).as("__dof"))
+      .select(col("n_a"), col("n_b"), col("mean_a"), col("mean_b"),
+        round(col("__t"), 6).as("t"),
+        round(col("__dof"), 6).as("dof"),
+        (abs(col("__t")) > zFlag).as("big_shift"))
+  }
 }

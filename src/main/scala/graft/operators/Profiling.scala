@@ -90,6 +90,51 @@ object Profiling {
           .otherwise(0.0).as("cramers_v"))
   }
 
+  /** Cohen's kappa (Cohen 1960) — chance-corrected inter-annotator
+    * agreement between two label columns over the SAME items: the
+    * standard sanity check before trusting LLM-judge or heuristic
+    * labels (two raters agreeing 80% of the time means little if one
+    * label dominates; kappa subtracts the agreement chance predicts
+    * from the raters' marginal label rates).
+    *   kappa = (p_o − p_e) / (1 − p_e),
+    *   p_o = Σ_k n_kk / n, p_e = Σ_k (row_k/n)(col_k/n).
+    * NULL labels are a category of their own (the [[chiSquareAssoc]]
+    * sentinel posture). Degenerate case: p_e = 1 (both raters constant
+    * and identical) has kappa undefined → NULL, not NaN.
+    *
+    * Scale shape: ONE data-sized hash agg to the (a, b) contingency
+    * table; margins and totals are label-count-sized aggregates of it.
+    * Returns one row: (n, n_labels, po, pe, kappa), 6dp. */
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val obs = df.select(
+        coalesce(col(aCol).cast("string"), lit("\u0000null")).as("a"),
+        coalesce(col(bCol).cast("string"), lit("\u0000null")).as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("o"))
+    val ra = obs.groupBy(col("a").as("l")).agg(sum(col("o")).as("na"))
+    val cb = obs.groupBy(col("b").as("l")).agg(sum(col("o")).as("nb"))
+    // label universe = union of both sides' labels; a label missing
+    // from one side has margin 0 and contributes nothing to p_e
+    val margins = ra.join(cb, Seq("l"), "full_outer")
+      .select(col("l"), coalesce(col("na"), lit(0L)).as("na"),
+        coalesce(col("nb"), lit(0L)).as("nb"))
+    val tot = obs.agg(sum(col("o")).cast("double").as("n"))
+    val diag = obs.filter(col("a") === col("b"))
+      .agg(coalesce(sum(col("o")), lit(0L)).cast("double").as("agree"))
+    margins.crossJoin(broadcast(tot)).crossJoin(broadcast(diag))
+      .select(col("n"), col("agree"),
+        ((col("na") / col("n")) * (col("nb") / col("n"))).as("__pk"))
+      .agg(max(col("n")).cast("long").as("n"),
+        count(lit(1)).as("n_labels"),
+        max(col("agree") / col("n")).as("__po"),
+        sum(col("__pk")).as("__pe"))
+      .select(col("n"), col("n_labels"),
+        round(col("__po"), 6).as("po"),
+        round(col("__pe"), 6).as("pe"),
+        when(col("__pe") < 1.0,
+          round((col("__po") - col("__pe")) / (lit(1.0) - col("__pe")), 6))
+          .as("kappa"))
+  }
+
   /** Group selection-rate audit (the EEOC four-fifths screen, plus
     * statistical parity difference — Feldman et al. 2015's disparate-
     * impact formulation): per group, the rate at which `positiveCol`

@@ -307,6 +307,35 @@ object DocumentQueries extends QueryModule {
       "ORDER BY id_a, id_b"
   }
 
+  /** DuckDB oracle for `q_bootstrap_ci`: the per-(replicate, doc)
+    * uniform replays via [[uuSql]], buckets through the SAME Poisson(1)
+    * CDF constants the engine folds over
+    * ([[graft.operators.Resampling.poissonCdf]], printed at full
+    * round-trip precision), and the percentile ranks replay as a
+    * row_number over the replicate means (ties broken by replicate). */
+  private def bootstrapOracle(replicates: Int, loRank: Int,
+      hiRank: Int): String = {
+    val cdf = graft.operators.Resampling.poissonCdf
+    val caseChain = cdf.zipWithIndex
+      .map { case (c, k) => s"WHEN u <= $c THEN $k.0" }
+      .mkString("CASE ", " ", " ELSE 9.0 END")
+    val uu = uuSql("md5('42:' || rep || ':' || k || ':boot')")
+    s"WITH b AS (SELECT doc_id::VARCHAR AS k, " +
+      "len(string_split(text, ' '))::DOUBLE AS x FROM documents), " +
+      s"r AS (SELECT k, x, unnest(range($replicates)) AS rep FROM b), " +
+      s"u AS (SELECT rep, x, $uu AS u FROM r), " +
+      s"w AS (SELECT rep, x, $caseChain AS w FROM u), " +
+      "m AS (SELECT rep, sum(w*x)/sum(w) AS mean FROM w GROUP BY rep HAVING sum(w) > 0), " +
+      "s AS (SELECT mean, row_number() OVER (ORDER BY mean, rep) AS rk, " +
+      "count(*) OVER () AS nr FROM m), " +
+      s"f AS (SELECT max(nr)::INT AS n_replicates, " +
+      s"min(CASE WHEN rk = $loRank THEN mean END) AS lo, " +
+      s"min(CASE WHEN rk = $hiRank THEN mean END) AS hi FROM s), " +
+      "p AS (SELECT count(*)::BIGINT AS n_rows, sum(x)/count(*) AS pmean FROM b) " +
+      "SELECT p.n_rows, f.n_replicates, round(p.pmean, 6) AS mean, " +
+      "round(f.lo, 6) AS ci_lo, round(f.hi, 6) AS ci_hi FROM p CROSS JOIN f"
+  }
+
   override def qs: Seq[(String, Q)] = Seq(
 
     // ---- exact dedup: corpus duplication profile
@@ -941,6 +970,54 @@ object DocumentQueries extends QueryModule {
              |SELECT shard_id, doc_id, n_tokens, strt // 200 AS seq_id, strt % 200 AS seq_offset
              |FROM s ORDER BY shard_id, doc_id""".stripMargin.replace('\n', ' ')),
       doc = "concat-and-chunk sequence packing: per-shard token cumsum sliced into fixed 200-token sequences"),
+
+    // ---- Poisson bootstrap CI (Chamandy et al. 2012): the scalable
+    // bootstrap — per-(replicate, row) Poisson(1) weights from the
+    // hashUniform PRF, so the resample is map-side and the whole draw
+    // REPLAYS in SQL (shared CDF constants, uuSql uniform replay)
+    "q_bootstrap_ci" -> Q(
+      (s, dir) => graft.operators.Resampling.poissonBootstrapMean(
+          table(s, dir, "documents")
+            .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens")),
+          "doc_id", "n_tokens", replicates = 40),
+      Some(bootstrapOracle(replicates = 40, loRank = 1, hiRank = 39)),
+      doc = "Poisson-bootstrap 95% CI for mean tokens/doc (40 hash-PRF replicates, fully SQL-replayable)"),
+
+    // ---- Cohen's kappa between two heuristic length raters: the
+    // chance-corrected agreement audit run before trusting LLM-judge /
+    // heuristic labels; both raters are deterministic buckets so the
+    // contingency table, margins, and kappa replay exactly
+    "q_rater_kappa" -> Q(
+      (s, dir) => {
+        val nt = size(split(col("text"), " "))
+        val ch = length(col("text"))
+        graft.operators.Profiling.cohenKappa(
+          table(s, dir, "documents").select(
+            when(nt < 40, "short").when(nt < 80, "medium").otherwise("long")
+              .as("rater_a"),
+            when(ch < 250, "short").when(ch < 500, "medium").otherwise("long")
+              .as("rater_b")),
+          "rater_a", "rater_b")
+      },
+      Some("""WITH l AS (SELECT
+             |  CASE WHEN len(string_split(text, ' ')) < 40 THEN 'short'
+             |    WHEN len(string_split(text, ' ')) < 80 THEN 'medium' ELSE 'long' END AS a,
+             |  CASE WHEN length(text) < 250 THEN 'short'
+             |    WHEN length(text) < 500 THEN 'medium' ELSE 'long' END AS b FROM documents),
+             |obs AS (SELECT a, b, count(*) AS o FROM l GROUP BY 1, 2),
+             |ra AS (SELECT a AS lab, sum(o) AS na FROM obs GROUP BY 1),
+             |cb AS (SELECT b AS lab, sum(o) AS nb FROM obs GROUP BY 1),
+             |m AS (SELECT coalesce(ra.lab, cb.lab) AS lab, coalesce(na, 0) AS na,
+             |  coalesce(nb, 0) AS nb FROM ra FULL OUTER JOIN cb ON ra.lab = cb.lab),
+             |tt AS (SELECT sum(o)::DOUBLE AS n FROM obs),
+             |dg AS (SELECT coalesce(sum(CASE WHEN a = b THEN o END), 0)::DOUBLE AS agree FROM obs),
+             |x AS (SELECT n, agree, (na/n)*(nb/n) AS pk FROM m CROSS JOIN tt CROSS JOIN dg),
+             |f AS (SELECT max(n)::BIGINT AS n, count(*) AS n_labels,
+             |  max(agree/n) AS po, sum(pk) AS pe FROM x)
+             |SELECT n, n_labels, round(po, 6) AS po, round(pe, 6) AS pe,
+             |CASE WHEN pe < 1.0 THEN round((po - pe)/(1.0 - pe), 6) END AS kappa
+             |FROM f""".stripMargin.replace('\n', ' ')),
+      doc = "Cohen's kappa inter-rater agreement between two deterministic length raters"),
 
     // ---- Luhn-validated card redaction: Spark decides by CHECKSUM,
     // the oracle bakes the decision into constants (the planted valid

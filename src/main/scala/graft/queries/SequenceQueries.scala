@@ -723,6 +723,30 @@ object SequenceQueries extends QueryModule {
       },
       doc = "Theil-Sen robust value-over-time trend (hash-paired median of slopes)"),
 
+    // ---- Welch's unequal-variance t (parametric mean-shift arm of the
+    // drift family; Welch-Satterthwaite dof): one conditional agg, all
+    // arithmetic exact -> FULL oracle
+    "q_drift_welch" -> Q(
+      (s, dir) => graft.operators.Drift.welchT(
+          table(s, dir, "events"), "value",
+          col("ts") < lit("2024-01-16").cast("timestamp"),
+          col("ts") >= lit("2024-01-16").cast("timestamp")),
+      Some("""WITH u AS (SELECT value::DOUBLE AS v,
+             |  ts < TIMESTAMP '2024-01-16' AS pa, ts >= TIMESTAMP '2024-01-16' AS pb
+             |  FROM events WHERE value IS NOT NULL),
+             |a AS (SELECT count(CASE WHEN pa THEN 1 END)::BIGINT AS n_a,
+             |  count(CASE WHEN pb THEN 1 END)::BIGINT AS n_b,
+             |  avg(CASE WHEN pa THEN v END) AS ma, avg(CASE WHEN pb THEN v END) AS mb,
+             |  var_samp(CASE WHEN pa THEN v END) AS va, var_samp(CASE WHEN pb THEN v END) AS vb
+             |  FROM u)
+             |SELECT n_a, n_b, round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+             |round((ma - mb)/sqrt(va/n_a + vb/n_b), 6) AS t,
+             |round((va/n_a + vb/n_b)*(va/n_a + vb/n_b) /
+             |  ((va/n_a)*(va/n_a)/(n_a - 1) + (vb/n_b)*(vb/n_b)/(n_b - 1)), 6) AS dof,
+             |abs((ma - mb)/sqrt(va/n_a + vb/n_b)) > 3.29 AS big_shift
+             |FROM a""".stripMargin.replace('\n', ' ')),
+      doc = "Welch unequal-variance t statistic + Welch-Satterthwaite dof across the mid-January split"),
+
     // ---- two-sample Anderson-Darling (tie-adjusted Scholz-Stephens
     // A²): the TAIL-weighted drift statistic — KS reacts to the median-
     // area gap, AD integrates squared gaps weighted 1/(F(1−F)), so tail

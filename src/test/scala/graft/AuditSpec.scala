@@ -601,6 +601,74 @@ class AuditSpec extends AnyFunSuite {
     assert(got(1L)._1 === 3L && got(7L)._1 === 0L, "win counts carried")
   }
 
+  test("cohenKappa: perfect agreement 1; hand-computed 2x2; constant-vs-varying rater lands at 0") {
+    import graft.operators.Profiling
+    val same = (1 to 50).map(i => (s"l${i % 3}", s"l${i % 3}")).toDF("a", "b")
+    val rs = Profiling.cohenKappa(same, "a", "b").collect().head
+    assert(rs.getAs[Double]("po") === 1.0 && rs.getAs[Double]("kappa") === 1.0)
+    // the textbook 2x2: agree on 20 yes + 15 no, disagree 10 + 5
+    // po = 35/50 = 0.7; pe = (25/50)(30/50) + (25/50)(20/50) = 0.5
+    // kappa = (0.7-0.5)/0.5 = 0.4
+    val hand = (Seq.fill(20)(("y", "y")) ++ Seq.fill(15)(("n", "n")) ++
+      Seq.fill(10)(("y", "n")) ++ Seq.fill(5)(("n", "y"))).toDF("a", "b")
+    val rh = Profiling.cohenKappa(hand, "a", "b").collect().head
+    assert(rh.getAs[Long]("n") === 50L && rh.getAs[Long]("n_labels") === 2L)
+    assert(rh.getAs[Double]("po") === 0.7 && rh.getAs[Double]("pe") === 0.5)
+    assert(rh.getAs[Double]("kappa") === 0.4)
+    // one rater constant: whatever agreement happens is exactly what
+    // chance predicts (po = pe = rater B's marginal) -> kappa 0
+    val const = (1 to 40).map(i => ("k", if (i % 4 == 0) "k" else "x")).toDF("a", "b")
+    val rc = Profiling.cohenKappa(const, "a", "b").collect().head
+    assert(rc.getAs[Double]("kappa") === 0.0)
+    // both constant and identical: pe = 1, kappa undefined -> NULL
+    val degen = Seq.fill(5)(("k", "k")).toDF("a", "b")
+    assert(Profiling.cohenKappa(degen, "a", "b").collect().head.isNullAt(4))
+  }
+
+  test("welchT: null shift ~0 and unflagged; planted shift flags; Welch dof below pooled dof under variance imbalance") {
+    import graft.operators.Drift
+    def gauss(i: Int, salt: String): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$salt:$i".getBytes("UTF-8"))
+      val u1 = (((md(0) & 0xff) * 256 + (md(1) & 0xff)) + 1).toDouble / 65537.0
+      val u2 = (((md(2) & 0xff) * 256 + (md(3) & 0xff)) + 1).toDouble / 65537.0
+      math.sqrt(-2 * math.log(u1)) * math.cos(2 * math.Pi * u2)
+    }
+    val same = ((1 to 400).map(i => (0, gauss(i, "a"))) ++
+      (1 to 400).map(i => (1, gauss(i, "b")))).toDF("g", "v")
+    val r0 = Drift.welchT(same, "v", col("g") === 0, col("g") === 1).collect().head
+    assert(math.abs(r0.getAs[Double]("t")) < 3.29 && !r0.getAs[Boolean]("big_shift"))
+    // planted mean shift of 1 sigma on n=400: t ~ 14, flagged
+    val shift = ((1 to 400).map(i => (0, gauss(i, "a"))) ++
+      (1 to 400).map(i => (1, gauss(i, "b") + 1.0))).toDF("g", "v")
+    val r1 = Drift.welchT(shift, "v", col("g") === 0, col("g") === 1).collect().head
+    assert(math.abs(r1.getAs[Double]("t")) > 5 && r1.getAs[Boolean]("big_shift"))
+    assert(r1.getAs[Double]("mean_b") - r1.getAs[Double]("mean_a") > 0.7)
+    // unequal variances: Welch dof < pooled n_a+n_b-2, >= min(n)-1
+    val skewed = ((1 to 300).map(i => (0, gauss(i, "a") * 5)) ++
+      (1 to 30).map(i => (1, gauss(i, "b") * 0.1))).toDF("g", "v")
+    val r2 = Drift.welchT(skewed, "v", col("g") === 0, col("g") === 1).collect().head
+    val dof = r2.getAs[Double]("dof")
+    assert(dof < 328.0 && dof >= 29.0, s"Welch dof out of envelope: $dof")
+  }
+
+  test("poissonBootstrapMean: constant data collapses the CI; spread data brackets the mean; deterministic") {
+    import graft.operators.Resampling
+    val const = (1L to 300L).map(i => (i, 7.5)).toDF("id", "x")
+    val rc = Resampling.poissonBootstrapMean(const, "id", "x").collect().head
+    assert(rc.getAs[Double]("mean") === 7.5 &&
+      rc.getAs[Double]("ci_lo") === 7.5 && rc.getAs[Double]("ci_hi") === 7.5)
+    assert(rc.getAs[Long]("n_rows") === 300L && rc.getAs[Int]("n_replicates") === 40)
+    val spread = (1L to 500L).map(i => (i, (i % 37).toDouble)).toDF("id", "x")
+    val rs = Resampling.poissonBootstrapMean(spread, "id", "x").collect().head
+    val (m, lo, hi) = (rs.getAs[Double]("mean"), rs.getAs[Double]("ci_lo"),
+      rs.getAs[Double]("ci_hi"))
+    assert(lo < m && m < hi, s"CI must bracket the point mean: $lo $m $hi")
+    assert(hi - lo < 4.0, "95% CI of a bounded 500-row mean is tight")
+    val rs2 = Resampling.poissonBootstrapMean(spread, "id", "x").collect().head
+    assert(rs2 === rs, "hash-PRF bootstrap is deterministic")
+  }
+
   test("retrievalMetrics: a duplicated run document counts once (precision stays <= 1)") {
     import graft.operators.SearchMetrics
     // retriever echoes doc 100 three times inside the top-3 for query 1;
