@@ -688,6 +688,42 @@ object EventAnalytics {
           (col("n_a").cast("double") * col("n_b").cast("double")), 6).as("lift"))
   }
 
+  /** CUPED variance reduction (Deng et al. 2013, "Improving the
+    * sensitivity of online controlled experiments") — the standard
+    * pre-period adjustment for A/B metrics: per unit, regress the
+    * experiment-period metric y on the pre-period covariate x and
+    * analyze y_adj = y − θ(x − x̄) with θ = cov(x,y)/var(x); the
+    * adjusted metric has the same mean but variance shrunk by the
+    * squared correlation, so the same experiment detects smaller
+    * effects.
+    *
+    * Scale shape: one per-unit hash agg builds (x, y) for units present
+    * in BOTH periods; one 1-row agg computes θ and the variances.
+    * Returns (n_units, theta, mean_y, var_y, var_adj, var_reduction
+    * pct), 6dp — var_adj = var(y) − cov²/var(x) (the algebraic identity
+    * for var(y − θx), so no second pass over the data). */
+  def cupedAdjust(df: DataFrame, unitCol: String, valueCol: String,
+      prePred: Column, expPred: Column): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val per = df.filter(v.isNotNull && (prePred || expPred))
+      .groupBy(col(unitCol).as("unit"))
+      .agg(avg(when(prePred, v)).as("__x"), avg(when(expPred, v)).as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+    per.agg(count(lit(1)).as("n_units"),
+        avg(col("__y")).as("__my"),
+        covar_samp(col("__x"), col("__y")).as("__cxy"),
+        var_samp(col("__x")).as("__vx"),
+        var_samp(col("__y")).as("__vy"))
+      .select(col("n_units"),
+        round(col("__cxy") / col("__vx"), 6).as("theta"),
+        round(col("__my"), 6).as("mean_y"),
+        round(col("__vy"), 6).as("var_y"),
+        round(col("__vy") - col("__cxy") * col("__cxy") / col("__vx"), 6)
+          .as("var_adj"),
+        round(lit(100.0) * (col("__cxy") * col("__cxy") / col("__vx")) /
+          col("__vy"), 6).as("var_reduction_pct"))
+  }
+
   /** Autocorrelation function + Ljung-Box portmanteau (Box & Pierce
     * 1970; Ljung & Box 1978) — the periodicity / whiteness screen run
     * BEFORE committing to a [[seasonalDecompose]] period, and the

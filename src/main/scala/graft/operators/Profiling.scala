@@ -135,6 +135,45 @@ object Profiling {
           .as("kappa"))
   }
 
+  /** Empirical-Bayes beta-binomial rate shrinkage (Robbins 1956;
+    * the method-of-moments prior everyone uses for "small domains lie"
+    * rate tables): a domain with 3/4 docs passing a filter should NOT
+    * outrank one with 700/1000 — each domain's raw rate shrinks toward
+    * the cross-domain prior in proportion to its sample size:
+    *   prior Beta(α, β) by MoM over the per-domain rates:
+    *     K = (m(1−m) − v) / v,  α = mK, β = (1−m)K
+    *   shrunk_k = (x_k + α) / (n_k + α + β).
+    * Degenerate priors (v = 0, or v ≥ m(1−m) — overdispersion beyond
+    * what a beta can carry) shrink nothing: shrunk = raw.
+    *
+    * Scale shape: ONE data-sized hash agg to (domain, x, n); the MoM
+    * prior is a 1-row agg of the domain-sized frame, broadcast back.
+    * Returns (domain, n, successes, rate, shrunk_rate), 6dp, plus the
+    * prior's (alpha, beta) on every row for auditability. */
+  def ebBetaBinomialRates(df: DataFrame, domainCol: String,
+      successCol: String): DataFrame = {
+    val per = df.select(
+        coalesce(col(domainCol).cast("string"), lit("\u0000null")).as("domain"),
+        col(successCol).cast("double").as("__s"))
+      .filter(col("__s").isNotNull)
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n"), sum(col("__s")).as("x"))
+      .withColumn("__r", col("x") / col("n"))
+    val prior = per.agg(avg(col("__r")).as("__m"),
+      var_samp(col("__r")).as("__v"))
+    val k = (col("__m") * (lit(1.0) - col("__m")) - col("__v")) / col("__v")
+    val usable = col("__v") > 0 && k > 0
+    per.crossJoin(broadcast(prior))
+      .select(col("domain"), col("n"),
+        col("x").cast("long").as("successes"),
+        round(col("__r"), 6).as("rate"),
+        when(usable, round(col("__m") * k, 6)).as("alpha"),
+        when(usable, round((lit(1.0) - col("__m")) * k, 6)).as("beta"),
+        round(when(usable,
+            (col("x") + col("__m") * k) / (col("n") + k))
+          .otherwise(col("__r")), 6).as("shrunk_rate"))
+  }
+
   /** Group selection-rate audit (the EEOC four-fifths screen, plus
     * statistical parity difference — Feldman et al. 2015's disparate-
     * impact formulation): per group, the rate at which `positiveCol`

@@ -1019,6 +1019,28 @@ object DocumentQueries extends QueryModule {
              |FROM f""".stripMargin.replace('\n', ' ')),
       doc = "Cohen's kappa inter-rater agreement between two deterministic length raters"),
 
+    // ---- empirical-Bayes beta-binomial shrinkage of per-source pass
+    // rates (small sources stop lying): MoM prior over source rates,
+    // counts-proportional shrinkage; exact arithmetic -> FULL oracle
+    "q_eb_source_rates" -> Q(
+      (s, dir) => graft.operators.Profiling.ebBetaBinomialRates(
+          table(s, dir, "documents")
+            .select(col("source"), (col("n_chars") >= 300).cast("double").as("pass")),
+          "source", "pass")
+        .orderBy(col("domain")),
+      Some("""WITH per AS (SELECT coalesce(source, chr(0)||'null') AS domain,
+             |  count(*)::BIGINT AS n, sum(CASE WHEN n_chars >= 300 THEN 1.0 ELSE 0.0 END) AS x
+             |  FROM documents GROUP BY 1),
+             |r AS (SELECT *, x/n AS rate FROM per),
+             |p AS (SELECT avg(rate) AS m, var_samp(rate) AS v FROM r),
+             |kk AS (SELECT m, v, (m*(1.0-m) - v)/v AS k FROM p)
+             |SELECT domain, n, x::BIGINT AS successes, round(rate, 6) AS rate,
+             |CASE WHEN v > 0 AND k > 0 THEN round(m*k, 6) END AS alpha,
+             |CASE WHEN v > 0 AND k > 0 THEN round((1.0-m)*k, 6) END AS beta,
+             |round(CASE WHEN v > 0 AND k > 0 THEN (x + m*k)/(n + k) ELSE rate END, 6) AS shrunk_rate
+             |FROM r CROSS JOIN kk ORDER BY domain""".stripMargin.replace('\n', ' ')),
+      doc = "empirical-Bayes shrunk per-source pass rates (beta-binomial MoM prior)"),
+
     // ---- Luhn-validated card redaction: Spark decides by CHECKSUM,
     // the oracle bakes the decision into constants (the planted valid
     // number is replaced, the checksum-invalid one must survive —

@@ -723,6 +723,28 @@ object SequenceQueries extends QueryModule {
       },
       doc = "Theil-Sen robust value-over-time trend (hash-paired median of slopes)"),
 
+    // ---- CUPED variance reduction (Deng 2013): per-user pre-period
+    // covariate regression-adjusts the experiment metric; one per-unit
+    // agg + one 1-row agg, exact arithmetic -> FULL oracle
+    "q_cuped" -> Q(
+      (s, dir) => graft.operators.EventAnalytics.cupedAdjust(
+          table(s, dir, "events"), "user_id", "value",
+          col("ts") < lit("2024-01-16").cast("timestamp"),
+          col("ts") >= lit("2024-01-16").cast("timestamp")),
+      Some("""WITH u AS (SELECT user_id, value::DOUBLE AS v,
+             |  ts < TIMESTAMP '2024-01-16' AS pa, ts >= TIMESTAMP '2024-01-16' AS pb
+             |  FROM events WHERE value IS NOT NULL),
+             |per AS (SELECT user_id, avg(CASE WHEN pa THEN v END) AS x,
+             |  avg(CASE WHEN pb THEN v END) AS y FROM u GROUP BY 1
+             |  HAVING x IS NOT NULL AND y IS NOT NULL),
+             |a AS (SELECT count(*)::BIGINT AS n_units, avg(y) AS my,
+             |  covar_samp(x, y) AS cxy, var_samp(x) AS vx, var_samp(y) AS vy FROM per)
+             |SELECT n_units, round(cxy/vx, 6) AS theta, round(my, 6) AS mean_y,
+             |round(vy, 6) AS var_y, round(vy - cxy*cxy/vx, 6) AS var_adj,
+             |round(100.0*(cxy*cxy/vx)/vy, 6) AS var_reduction_pct
+             |FROM a""".stripMargin.replace('\n', ' ')),
+      doc = "CUPED pre-period variance reduction for the per-user value metric"),
+
     // ---- Welch's unequal-variance t (parametric mean-shift arm of the
     // drift family; Welch-Satterthwaite dof): one conditional agg, all
     // arithmetic exact -> FULL oracle

@@ -669,6 +669,59 @@ class AuditSpec extends AnyFunSuite {
     assert(rs2 === rs, "hash-PRF bootstrap is deterministic")
   }
 
+  test("ebBetaBinomialRates: small samples shrink harder; shrunk stays between raw and prior; flat rates shrink nothing") {
+    import graft.operators.Profiling
+    // three big domains anchor the prior near 0.5; two extreme-rate
+    // domains at different n: the small one must travel further back
+    val rows =
+      (1 to 1000).map(i => ("big1", if (i % 2 == 0) 1.0 else 0.0)) ++
+      (1 to 1000).map(i => ("big2", if (i % 5 < 3) 1.0 else 0.0)) ++
+      (1 to 1000).map(i => ("big3", if (i % 5 < 2) 1.0 else 0.0)) ++
+      (1 to 4).map(_ => ("tiny", 1.0)) ++
+      (1 to 400).map(_ => ("large", 1.0))
+    val got = Profiling.ebBetaBinomialRates(rows.toDF("d", "s"), "d", "s")
+      .collect().map(r => r.getAs[String]("domain") ->
+        (r.getAs[Double]("rate"), r.getAs[Double]("shrunk_rate"))).toMap
+    val priorMean = got.values.map(_._1).sum / got.size // MoM m = avg of rates
+    got.foreach { case (d, (raw, shrunk)) =>
+      val lo = math.min(raw, priorMean) - 1e-9
+      val hi = math.max(raw, priorMean) + 1e-9
+      assert(shrunk >= lo && shrunk <= hi, s"$d: $shrunk outside [$lo,$hi]")
+    }
+    assert(got("tiny")._1 === 1.0 && got("large")._1 === 1.0)
+    assert(got("tiny")._2 < got("large")._2,
+      "4/4 must shrink further toward the prior than 400/400")
+    // flat per-domain rates: v = 0 -> no usable prior -> raw rates kept
+    val flat = (1 to 90).map(i => (s"d${i % 3}", if (i % 2 == 0) 1.0 else 0.0))
+    Profiling.ebBetaBinomialRates(flat.toDF("d", "s"), "d", "s")
+      .collect().foreach { r =>
+        assert(r.getAs[Double]("shrunk_rate") === r.getAs[Double]("rate"))
+        assert(r.isNullAt(r.fieldIndex("alpha")))
+      }
+  }
+
+  test("cupedAdjust: a perfectly predictive covariate removes all variance; an orthogonal one removes none") {
+    import graft.operators.EventAnalytics
+    // unit i: pre value i, post value i + 10 (y = x + const, corr 1)
+    val perfect = (1L to 100L).flatMap(i => Seq(
+      (i, 0, i.toDouble), (i, 1, i.toDouble + 10.0))).toDF("u", "ph", "v")
+    val rp = EventAnalytics.cupedAdjust(perfect, "u", "v",
+      col("ph") === 0, col("ph") === 1).collect().head
+    assert(rp.getAs[Long]("n_units") === 100L)
+    assert(rp.getAs[Double]("theta") === 1.0)
+    assert(rp.getAs[Double]("var_adj") === 0.0 &&
+      rp.getAs[Double]("var_reduction_pct") === 100.0)
+    // orthogonal covariate: x alternates independently of y's pattern
+    val orth = (1L to 200L).flatMap(i => Seq(
+      (i, 0, (i % 2).toDouble), (i, 1, (i % 5).toDouble))).toDF("u", "ph", "v")
+    val ro = EventAnalytics.cupedAdjust(orth, "u", "v",
+      col("ph") === 0, col("ph") === 1).collect().head
+    assert(math.abs(ro.getAs[Double]("var_reduction_pct")) < 10.0,
+      s"near-orthogonal covariate must not fake a big reduction: $ro")
+    assert(math.abs(ro.getAs[Double]("var_y") - ro.getAs[Double]("var_adj")) <
+      0.1 * ro.getAs[Double]("var_y") + 1e-9)
+  }
+
   test("retrievalMetrics: a duplicated run document counts once (precision stays <= 1)") {
     import graft.operators.SearchMetrics
     // retriever echoes doc 100 three times inside the top-3 for query 1;
