@@ -154,9 +154,10 @@ object Graphs {
     *
     * Plan shape = [[pageRank]]: per iteration one src-keyed join + one
     * dst-keyed partial agg, dangling mass as an in-plan broadcast 1-row
-    * frame, per-iteration localCheckpoint — one job per iteration, no
-    * driver action. Deterministic → the fixed iteration count unrolls
-    * into a FULL DuckDB oracle. Returns (id, rank). */
+    * frame, one materialization per TWO iterations (fused; ReuseExchange
+    * dedupes the second step's double read) — no driver action.
+    * Deterministic → the fixed iteration count unrolls into a FULL
+    * DuckDB oracle. Returns (id, rank). */
   def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
       seeds: DataFrame, seedCol: String, iterations: Int = 6,
       damping: Double = 0.85, weightCol: Option[String] = None): DataFrame = {
@@ -329,32 +330,43 @@ object Graphs {
         e.groupBy(col("dst")).agg(sum(col("w")).as("s"))
           .agg(max(col("s")).cast("double")).head().getDouble(0)))
       val renormEvery = math.max(1, (140.0 / (2.0 * math.log10(normBound))).toInt)
-      var hub = nodes.withColumn("hub", lit(1.0)).localCheckpoint()
+      def reset(df: DataFrame): DataFrame = {
+        val ck = df.localCheckpoint()
+        spark.createDataFrame(ck.rdd, ck.schema)
+      }
+      var hub = reset(nodes.withColumn("hub", lit(1.0)))
       var auth = nodes.withColumn("authority", lit(1.0))
+      def authStep(h: DataFrame): DataFrame = nodes.join(
+          e.join(h.withColumnRenamed("id", "src"), "src")
+            .groupBy(col("dst").as("id"))
+            .agg(sum(col("w") * col("hub")).as("authority")),
+          Seq("id"), "left")
+        .select(col("id"), coalesce(col("authority"), lit(0.0)).as("authority"))
+      def hubStep(a: DataFrame): DataFrame = nodes.join(
+          eDst.join(a.withColumnRenamed("id", "dst"), "dst")
+            .groupBy(col("src").as("id"))
+            .agg(sum(col("w") * col("authority")).as("hub")),
+          Seq("id"), "left")
+        .select(col("id"), coalesce(col("hub"), lit(0.0)).as("hub"))
+      // one materialization per full iteration (the pageRank-style
+      // two-iteration fusion is a WASH here: hits is already one job
+      // per iteration, and fusing leaves the final auth a 3-join chain
+      // that re-executes at the output materialization — measured
+      // net-zero-to-negative, so not taken)
       var it = 0
+      var lastRenorm = 0
       while (it < iterations) {
-        auth = nodes.join(
-            e.join(hub.withColumnRenamed("id", "src"), "src")
-              .groupBy(col("dst").as("id"))
-              .agg(sum(col("w") * col("hub")).as("authority")),
-            Seq("id"), "left")
-          .select(col("id"), coalesce(col("authority"), lit(0.0)).as("authority"))
-        hub = nodes.join(
-            eDst.join(auth.withColumnRenamed("id", "dst"), "dst")
-              .groupBy(col("src").as("id"))
-              .agg(sum(col("w") * col("authority")).as("hub")),
-            Seq("id"), "left")
-          .select(col("id"), coalesce(col("hub"), lit(0.0)).as("hub"))
-          .localCheckpoint() // one materialization per full iteration
+        auth = authStep(hub)
+        hub = reset(hubStep(auth))
         it += 1
         // overflow envelope enforced (r13 advice): block renorm, not
         // per-step, so the one-job-per-iteration win stands
-        if (it % renormEvery == 0 && it < iterations) {
+        if (it - lastRenorm >= renormEvery && it < iterations) {
+          lastRenorm = it
           val bn = hub.agg(sqrt(sum(col("hub") * col("hub"))).as("__n"))
-          hub = hub.crossJoin(broadcast(bn))
+          hub = reset(hub.crossJoin(broadcast(bn))
             .select(col("id"), when(col("__n") > 0, col("hub") / col("__n"))
-              .otherwise(col("hub")).as("hub"))
-            .localCheckpoint()
+              .otherwise(col("hub")).as("hub")))
         }
       }
       // the last auth is read twice below (its norm + the output join):
@@ -407,21 +419,30 @@ object Graphs {
     try {
       // every node in `adj` has >= 1 neighbor (isolated nodes can't come
       // from an edge list), so the vote inner-join covers all nodes
-      var labels = adj.select(col("id")).distinct()
-        .withColumn("label", col("id")).localCheckpoint()
+      def reset(df: DataFrame): DataFrame = {
+        val ck = df.localCheckpoint()
+        spark.createDataFrame(ck.rdd, ck.schema)
+      }
+      var labels = reset(adj.select(col("id")).distinct()
+        .withColumn("label", col("id")))
+      // majority label, ties -> smallest: max(struct(count, -label))
+      // — ids are non-negative, so -label inverts the tie order
+      def step(l: DataFrame): DataFrame = adj
+        .join(l.withColumnRenamed("id", "nb"), "nb")
+        .groupBy(col("id"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("id"))
+        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+        .select(col("id"), (-col("m.nl")).as("label"))
       var it = 0
       while (it < iterations) {
-        val votes = adj
-          .join(labels.withColumnRenamed("id", "nb"), "nb")
-          .groupBy(col("id"), col("label"))
-          .agg(count(lit(1)).as("c"))
-        // majority label, ties -> smallest: max(struct(count, -label))
-        // — ids are non-negative, so -label inverts the tie order
-        labels = votes.groupBy(col("id"))
-          .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
-          .select(col("id"), (-col("m.nl")).as("label"))
-          .localCheckpoint()
-        it += 1
+        // the label frame is read ONCE per step, so two iterations
+        // chain lazily with no re-execution — one materialization per
+        // two rounds halves the job count at identical arithmetic
+        val next =
+          if (it + 2 <= iterations) { it += 2; step(step(labels)) }
+          else { it += 1; step(labels) }
+        labels = reset(next)
       }
       labels
     } finally { adj.unpersist(false); () }
