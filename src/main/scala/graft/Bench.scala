@@ -89,8 +89,10 @@ object Headline {
     // r14 rotation (r13 verdict #5): q_theil_sen (3.74s) and
     // q_graph_kcore (3.61s) crossed the 3.5s echo line unheadlined —
     // in; retired the two sub-second holdovers q_dedup_minhash_lsh
-    // (0.98s) and q_tql_maxsim_routed (0.93s)
-    "q_theil_sen", "q_graph_kcore")
+    // (0.98s) and q_tql_maxsim_routed (0.93s). q_semantic_dedup joined
+    // the heavies (4.1s) when its threshold moved to the load-bearing
+    // 0.4 for the full-oracle flip — cost-follows-echo puts it here.
+    "q_theil_sen", "q_graph_kcore", "q_semantic_dedup")
 }
 
 object Bench {
@@ -279,7 +281,7 @@ object Bench {
       run1(n).foreach { t1 =>
         val demoted = t1 >= warmRepFloorSec
         if (demoted)
-          System.err.println(f"[bench] $n first rep $t1%.2fs >= floor — demoted to untimed warm rep")
+          System.err.println(f"[bench] $n first rep $t1%.2fs >= floor -> demoted to untimed warm rep")
         else reps(n) += t1
         val want = if (demoted) headReps else headReps - 1
         (1 to want).foreach { _ =>
