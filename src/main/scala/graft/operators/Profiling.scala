@@ -135,6 +135,49 @@ object Profiling {
           .as("kappa"))
   }
 
+  /** Fleiss' kappa (Fleiss 1971) — [[cohenKappa]]'s generalization to
+    * m raters per item (the LLM-judge-ensemble agreement audit): with
+    * n_ij = raters assigning item i to category j,
+    *   P_i = (Σ_j n_ij² − m) / (m(m−1))  (observed pairwise agreement),
+    *   P̄_e = Σ_j p_j²,  p_j = Σ_i n_ij / (N·m),
+    *   kappa = (P̄ − P̄_e) / (1 − P̄_e).
+    * Requires the SAME rater count m on every item (enforced — a
+    * ragged panel silently biases P_i).
+    *
+    * Scale shape: ONE (item, label) hash agg, an item-sized P_i re-agg,
+    * a label-sized margin agg; everything joins broadcast. Returns one
+    * row: (n_items, m_raters, p_bar, p_e, kappa), 6dp; p_e = 1 (all
+    * raters constant and identical) → kappa NULL. */
+  def fleissKappa(df: DataFrame, itemCol: String, labelCol: String): DataFrame = {
+    val cnt = df.select(col(itemCol).as("i"),
+        coalesce(col(labelCol).cast("string"), lit("\u0000null")).as("j"))
+      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val perItem = cnt.groupBy(col("i"))
+        .agg(sum(col("n")).as("m"), sum(col("n") * col("n")).as("s2"))
+      val mChk = perItem.agg(min(col("m")).as("lo"), max(col("m")).as("hi"))
+        .head()
+      require(mChk.getLong(0) == mChk.getLong(1),
+        s"every item needs the same rater count (saw ${mChk.getLong(0)}..${mChk.getLong(1)})")
+      val m = mChk.getLong(0).toDouble
+      require(m >= 2, s"need >= 2 raters per item (got $m)")
+      val pbar = perItem.agg(count(lit(1)).as("n_items"),
+        avg((col("s2") - m) / lit(m * (m - 1.0))).as("__pbar"))
+      val pe = cnt.groupBy(col("j")).agg(sum(col("n")).as("nj"))
+        .crossJoin(broadcast(pbar.select(col("n_items"))))
+        .select((col("nj") / (col("n_items") * m)).as("pj"))
+        .agg(sum(col("pj") * col("pj")).as("__pe"))
+      pbar.crossJoin(broadcast(pe))
+        .select(col("n_items"), lit(m.toLong).as("m_raters"),
+          round(col("__pbar"), 6).as("p_bar"),
+          round(col("__pe"), 6).as("p_e"),
+          when(col("__pe") < 1.0,
+            round((col("__pbar") - col("__pe")) / (lit(1.0) - col("__pe")), 6))
+            .as("kappa"))
+    } finally { cnt.unpersist(false); () }
+  }
+
   /** Empirical-Bayes beta-binomial rate shrinkage (Robbins 1956;
     * the method-of-moments prior everyone uses for "small domains lie"
     * rate tables): a domain with 3/4 docs passing a filter should NOT

@@ -458,6 +458,55 @@ object TextAnalysis {
         round(avg(col("bits")), 6).as("kn_bits"))
   }
 
+  /** Good-Turing frequency-of-frequencies smoothing (Good 1953; the
+    * SGT preprocessing of Gale & Sampson 1995) — the smoothing family's
+    * third member next to add-α and Kneser-Ney, and the standard answer
+    * to "how much probability mass belongs to tokens we have NEVER
+    * seen": for each observed frequency class r, the Turing-adjusted
+    * count r* = (r+1)·N_{r+1}/N_r, and the unseen (r = 0) class gets
+    * total mass N_1/N. Serves from the SAME maintained unigram count
+    * artifact the other scorers use — no corpus re-explode.
+    *
+    * Output, one row per class r = 0..maxR: (r, n_r, r_star,
+    * raw_mass, smoothed_mass), 6dp. The r = 0 row reports the unseen
+    * mass (n_r = 0 — the unseen TYPE count is unknowable; r_star NULL).
+    * Classes whose successor class is empty (N_{r+1} = 0, common in the
+    * sparse high-r tail) keep r* = r — the standard truncation before
+    * fitting a smoothed law to the tail.
+    *
+    * Scale shape: the input count table is vocab-sized; ONE hash agg to
+    * the frequency-of-frequencies table (classes-sized, tiny), a
+    * self-join on r+1, and a broadcast 1-row total.
+    *
+    * `counts`: any (item, count) table — maintained unigram counts, a
+    * bigram table, shingle counts; `countCol` names the count. */
+  def goodTuring(counts: org.apache.spark.sql.DataFrame,
+      countCol: String = "u", maxR: Int = 10): org.apache.spark.sql.DataFrame = {
+    require(maxR >= 1, "need at least class r = 1")
+    val u = col(countCol).cast("long")
+    val nr = counts.groupBy(u.as("r")).agg(count(lit(1)).as("n_r"))
+    val tot = counts.agg(
+      sum(u).cast("double").as("__n"),
+      coalesce(sum(when(u === 1, lit(1L))), lit(0L)).as("__n1"))
+    val nxt = nr.select((col("r") - 1).as("r"), col("n_r").as("__nr1"))
+    val observed = nr.join(nxt, Seq("r"), "left")
+      .crossJoin(broadcast(tot))
+      .filter(col("r") <= maxR)
+      .select(col("r").cast("long").as("r"), col("n_r"),
+        round(when(col("__nr1").isNotNull,
+            (col("r") + 1) * col("__nr1").cast("double") / col("n_r"))
+          .otherwise(col("r").cast("double")), 6).as("r_star"),
+        round(col("r") * col("n_r") / col("__n"), 6).as("raw_mass"),
+        round(when(col("__nr1").isNotNull,
+            (col("r") + 1) * col("__nr1").cast("double") / col("__n"))
+          .otherwise(col("r") * col("n_r") / col("__n")), 6).as("smoothed_mass"))
+    val unseen = tot.select(lit(0L).as("r"), lit(0L).as("n_r"),
+      lit(null).cast("double").as("r_star"),
+      lit(0.0).as("raw_mass"),
+      round(col("__n1").cast("double") / col("__n"), 6).as("smoothed_mass"))
+    unseen.unionByName(observed)
+  }
+
   /** Overlapping token-window chunking (pretraining/RAG prep): one row
     * per (doc, chunk); chunk i covers tokens [1 + i*stride,
     * 1 + i*stride + chunkSize - 1], stride = chunkSize - overlap; the

@@ -1041,6 +1041,80 @@ object DocumentQueries extends QueryModule {
              |FROM r CROSS JOIN kk ORDER BY domain""".stripMargin.replace('\n', ' ')),
       doc = "empirical-Bayes shrunk per-source pass rates (beta-binomial MoM prior)"),
 
+    // ---- Good-Turing frequency-of-frequencies over corpus 5-gram
+    // counts (the smoothing family's third member): Turing-adjusted
+    // counts per class + the unseen shingle mass — "how much of the
+    // 5-gram space have we NOT seen" (the synthetic corpus's 31-token
+    // unigram vocab has no low-frequency classes, so the statistic
+    // lives on shingles here)
+    "q_good_turing" -> Q(
+      (s, dir) => {
+        val tok = split(col("text"), " ")
+        val grams = table(s, dir, "documents")
+          .filter(size(tok) >= 5)
+          .select(explode(transform(
+            sequence(lit(1), size(tok) - 4),
+            i => array_join(slice(tok, i, lit(5)), " "))).as("g"))
+          .groupBy(col("g")).agg(count(lit(1)).as("u"))
+        graft.operators.TextAnalysis.goodTuring(grams, "u", maxR = 10)
+          .orderBy(col("r"))
+      },
+      Some("""WITH tok AS (SELECT string_split(text, ' ') AS w FROM documents),
+             |g0 AS (SELECT w, unnest(range(1, len(w) - 3)) AS i FROM tok WHERE len(w) >= 5),
+             |uni AS (SELECT array_to_string(w[i:i+4], ' ') AS g, count(*)::BIGINT AS u
+             |  FROM g0 GROUP BY 1),
+             |nr AS (SELECT u AS r, count(*)::BIGINT AS n_r FROM uni GROUP BY 1),
+             |tt AS (SELECT sum(u)::DOUBLE AS n,
+             |  coalesce(sum(CASE WHEN u = 1 THEN 1 END), 0)::BIGINT AS n1 FROM uni),
+             |obs AS (SELECT nr.r, nr.n_r,
+             |  round(CASE WHEN nx.n_r IS NOT NULL THEN (nr.r + 1)*nx.n_r::DOUBLE/nr.n_r
+             |    ELSE nr.r::DOUBLE END, 6) AS r_star,
+             |  round(nr.r*nr.n_r/tt.n, 6) AS raw_mass,
+             |  round(CASE WHEN nx.n_r IS NOT NULL THEN (nr.r + 1)*nx.n_r::DOUBLE/tt.n
+             |    ELSE nr.r*nr.n_r/tt.n END, 6) AS smoothed_mass
+             |  FROM nr LEFT JOIN nr nx ON nx.r = nr.r + 1 CROSS JOIN tt WHERE nr.r <= 10),
+             |z AS (SELECT 0::BIGINT AS r, 0::BIGINT AS n_r, NULL::DOUBLE AS r_star,
+             |  0.0::DOUBLE AS raw_mass, round(n1/n, 6) AS smoothed_mass FROM tt)
+             |SELECT * FROM z UNION ALL SELECT * FROM obs ORDER BY r""".stripMargin.replace('\n', ' ')),
+      doc = "Good-Turing class-count smoothing + unseen mass over corpus 5-gram counts"),
+
+    // ---- Fleiss' kappa: the multi-rater agreement audit (LLM-judge
+    // ensembles) over three deterministic length/punctuation raters
+    "q_rater_fleiss" -> Q(
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+        def lab(c: org.apache.spark.sql.Column, lo: Int, hi: Int) =
+          when(c < lo, "short").when(c < hi, "medium").otherwise("long")
+        val nt = size(split(col("text"), " "))
+        val ch = length(col("text"))
+        val dots = length(col("text")) - length(translate(col("text"), ".", ""))
+        graft.operators.Profiling.fleissKappa(
+          d.select(col("doc_id").as("item"), lab(nt, 40, 80).as("label"))
+            .unionByName(d.select(col("doc_id").as("item"),
+              lab(ch, 250, 500).as("label")))
+            .unionByName(d.select(col("doc_id").as("item"),
+              lab(dots, 3, 6).as("label"))),
+          "item", "label")
+      },
+      Some("""WITH l AS (SELECT doc_id AS i, unnest([
+             |  CASE WHEN len(string_split(text, ' ')) < 40 THEN 'short'
+             |    WHEN len(string_split(text, ' ')) < 80 THEN 'medium' ELSE 'long' END,
+             |  CASE WHEN length(text) < 250 THEN 'short'
+             |    WHEN length(text) < 500 THEN 'medium' ELSE 'long' END,
+             |  CASE WHEN length(text) - length(replace(text, '.', '')) < 3 THEN 'short'
+             |    WHEN length(text) - length(replace(text, '.', '')) < 6 THEN 'medium' ELSE 'long' END]) AS j
+             |  FROM documents),
+             |cnt AS (SELECT i, j, count(*) AS n FROM l GROUP BY 1, 2),
+             |pi AS (SELECT i, sum(n) AS m, sum(n*n) AS s2 FROM cnt GROUP BY 1),
+             |pb AS (SELECT count(*)::BIGINT AS n_items, avg((s2 - 3)/6.0) AS pbar FROM pi),
+             |pj AS (SELECT sum(n) AS nj FROM cnt GROUP BY j),
+             |pe AS (SELECT sum((nj/(n_items*3.0))*(nj/(n_items*3.0))) AS pe FROM pj CROSS JOIN pb)
+             |SELECT n_items, 3::BIGINT AS m_raters, round(pbar, 6) AS p_bar,
+             |round(pe, 6) AS p_e,
+             |CASE WHEN pe < 1.0 THEN round((pbar - pe)/(1.0 - pe), 6) END AS kappa
+             |FROM pb CROSS JOIN pe""".stripMargin.replace('\n', ' ')),
+      doc = "Fleiss' kappa across three deterministic raters (length, chars, punctuation density)"),
+
     // ---- Luhn-validated card redaction: Spark decides by CHECKSUM,
     // the oracle bakes the decision into constants (the planted valid
     // number is replaced, the checksum-invalid one must survive —

@@ -722,6 +722,42 @@ class AuditSpec extends AnyFunSuite {
       0.1 * ro.getAs[Double]("var_y") + 1e-9)
   }
 
+  test("goodTuring: hand-computed classes, unseen mass N1/N, truncated tail keeps raw r") {
+    import graft.operators.TextAnalysis
+    // counts [1,1,1,2,2,3]: N1=3 N2=2 N3=1, N=10
+    val counts = Seq(("a", 1L), ("b", 1L), ("c", 1L), ("d", 2L), ("e", 2L),
+      ("f", 3L)).toDF("w", "u")
+    val got = TextAnalysis.goodTuring(counts, "u", maxR = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+          r.getDouble(3), r.getDouble(4))).toMap
+    assert(got.keySet === Set(0L, 1L, 2L, 3L))
+    assert(got(0L) === ((0L, None, 0.0, 0.3)), "unseen mass = N1/N")
+    assert(got(1L) === ((3L, Some(1.333333), 0.3, 0.4)), "r*=2*N2/N1")
+    assert(got(2L) === ((2L, Some(1.5), 0.4, 0.3)), "r*=3*N3/N2")
+    assert(got(3L) === ((1L, Some(3.0), 0.3, 0.3)),
+      "empty successor class truncates to raw r")
+  }
+
+  test("fleissKappa: unanimity 1; hand-computed 2-item panel -0.2 exactly; ragged panel rejected") {
+    import graft.operators.Profiling
+    val unanimous = (1 to 30).flatMap(i =>
+      Seq.fill(3)((i.toLong, s"l${i % 2}"))).toDF("item", "lab")
+    val ru = Profiling.fleissKappa(unanimous, "item", "lab").collect().head
+    assert(ru.getAs[Double]("p_bar") === 1.0 && ru.getAs[Double]("kappa") === 1.0)
+    assert(ru.getAs[Long]("m_raters") === 3L)
+    // item1 (a,a,b): P=1/3; item2 (a,a,a): P=1 -> Pbar=2/3
+    // p_a=5/6, p_b=1/6 -> Pe=26/36 -> kappa=(2/3-26/36)/(1-26/36)=-0.2
+    val hand = Seq((1L, "a"), (1L, "a"), (1L, "b"),
+      (2L, "a"), (2L, "a"), (2L, "a")).toDF("item", "lab")
+    val rh = Profiling.fleissKappa(hand, "item", "lab").collect().head
+    assert(rh.getAs[Double]("kappa") === -0.2, s"hand kappa: $rh")
+    val ragged = hand.unionByName(Seq((2L, "b")).toDF("item", "lab"))
+    intercept[IllegalArgumentException] {
+      Profiling.fleissKappa(ragged, "item", "lab").collect()
+    }
+  }
+
   test("retrievalMetrics: a duplicated run document counts once (precision stays <= 1)") {
     import graft.operators.SearchMetrics
     // retriever echoes doc 100 three times inside the top-3 for query 1;
