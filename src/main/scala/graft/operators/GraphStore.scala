@@ -137,6 +137,33 @@ object GraphStore {
     ranks
   }
 
+  /** [[refreshPageRank]]'s personalized sibling: warm-starts from the
+    * per-seed-set rank slot (different seed sets converge to DIFFERENT
+    * fixpoints, so the caller names the slot). */
+  def refreshPpr(spark: SparkSession, dir: String, seeds: DataFrame,
+      seedCol: String, slot: String, iterations: Int = 6,
+      damping: Double = 0.85): DataFrame = {
+    val ranks = Graphs.personalizedPageRank(read(spark, dir), "src", "dst",
+      seeds, seedCol, iterations, damping, weightCol = Some("w"),
+      init = loadRanks(spark, dir, s"ppr_$slot"))
+    saveRanks(ranks, dir, s"ppr_$slot")
+    ranks
+  }
+
+  /** [[refreshPageRank]]'s HITS sibling: the hub vector warm-starts the
+    * power iteration (scale-invariant — [[Graphs.hits]] rescales it);
+    * both end-normalized vectors persist for serving. */
+  def refreshHits(spark: SparkSession, dir: String,
+      iterations: Int = 20): DataFrame = {
+    val ha = Graphs.hits(read(spark, dir), "src", "dst", iterations,
+      weightCol = Some("w"),
+      init = loadRanks(spark, dir, "hits_hub")).localCheckpoint()
+    saveRanks(ha.select(col("id"), col("hub").as("rank")), dir, "hits_hub")
+    saveRanks(ha.select(col("id"), col("authority").as("rank")), dir,
+      "hits_authority")
+    ha
+  }
+
   /** fold segments + tombstones into one src-partitioned segment via
     * the crash-safe [[Lsm.swapIn]] protocol (stop-the-world contract:
     * no concurrent absorb) */

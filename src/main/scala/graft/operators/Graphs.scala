@@ -160,7 +160,8 @@ object Graphs {
     * DuckDB oracle. Returns (id, rank). */
   def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
       seeds: DataFrame, seedCol: String, iterations: Int = 6,
-      damping: Double = 0.85, weightCol: Option[String] = None): DataFrame = {
+      damping: Double = 0.85, weightCol: Option[String] = None,
+      init: Option[DataFrame] = None): DataFrame = {
     require(iterations >= 1, "need at least one iteration")
     require(damping >= 0 && damping <= 1, s"damping must be in [0,1]: $damping")
     val spark = edges.sparkSession
@@ -193,7 +194,21 @@ object Graphs {
         val ck = df.localCheckpoint()
         spark.createDataFrame(ck.rdd, ck.schema)
       }
-      var ranks = reset(withP.select(col("id"), col("p").as("rank")))
+      // warm start (the [[pageRank]] init posture): nodes absent from
+      // the saved vector start at their personalization value, then the
+      // whole vector renormalizes to sum exactly 1 so per-iteration
+      // mass conservation holds; the damped iteration is a contraction,
+      // so any start reaches the unique fixpoint
+      var ranks = reset(init match {
+        case None => withP.select(col("id"), col("p").as("rank"))
+        case Some(warm) =>
+          val filled = withP
+            .join(warm.select(col("id"), col("rank").as("__w")), Seq("id"), "left")
+            .select(col("id"), coalesce(col("__w"), col("p")).as("rank"))
+          val tot = filled.agg(sum(col("rank")).as("__t"))
+          filled.crossJoin(broadcast(tot))
+            .select(col("id"), (col("rank") / col("__t")).as("rank"))
+      })
       def step(r: DataFrame): DataFrame = {
         val dangling = r
           .join(outW.select(col("src").as("id")), Seq("id"), "left_anti")
@@ -301,7 +316,8 @@ object Graphs {
     * Per iteration: two src/dst-keyed joins + two partial aggs.
     * Returns (id, hub, authority), each vector L2-normalized. */
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int = 20, weightCol: Option[String] = None): DataFrame = {
+      iterations: Int = 20, weightCol: Option[String] = None,
+      init: Option[DataFrame] = None): DataFrame = {
     require(iterations >= 1, "need at least one iteration")
     val spark = edges.sparkSession
     val par = spark.sparkContext.defaultParallelism
@@ -334,7 +350,22 @@ object Graphs {
         val ck = df.localCheckpoint()
         spark.createDataFrame(ck.rdd, ck.schema)
       }
-      var hub = reset(nodes.withColumn("hub", lit(1.0)))
+      // warm start: a previously converged hub vector (id, rank) — the
+      // iteration is scale-invariant, so the warm vector rescales to
+      // MEAN 1 (matching the cold all-ones scale) and nodes absent from
+      // it (post-append arrivals) enter at 1; power iteration from a
+      // near-fixpoint direction needs a fraction of the cold count
+      var hub = reset(init match {
+        case None => nodes.withColumn("hub", lit(1.0))
+        case Some(warm) =>
+          val w = warm.select(col("id"), col("rank").as("__w"))
+          val mean = w.agg((sum(col("__w")) / count(lit(1))).as("__m"))
+          nodes.join(w, Seq("id"), "left")
+            .crossJoin(broadcast(mean))
+            .select(col("id"),
+              when(col("__w").isNotNull && col("__m") > 0,
+                col("__w") / col("__m")).otherwise(lit(1.0)).as("hub"))
+      })
       var auth = nodes.withColumn("authority", lit(1.0))
       def authStep(h: DataFrame): DataFrame = nodes.join(
           e.join(h.withColumnRenamed("id", "src"), "src")

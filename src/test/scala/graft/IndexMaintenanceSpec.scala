@@ -998,6 +998,38 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     GraphStore.refreshPageRank(spark, tmp, iterations = 35, damping = d05)
     assert(dist(ranks(2, warm = true), fix) < 1e-9,
       "refreshed artifact serves the fixpoint (2 warm iterations hold it)")
+
+    // the personalized sibling: seed-set-keyed rank slot reconverges
+    val seeds = Seq(3L, 7L, 11L).toDF("id")
+    def pprRanks(iters: Int, init: Option[org.apache.spark.sql.DataFrame]) =
+      Graphs.personalizedPageRank(GraphStore.read(spark, tmp), "src", "dst",
+          seeds, "id", iterations = iters, damping = d05,
+          weightCol = Some("w"), init = init)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val pprFix = pprRanks(35, None)
+    GraphStore.refreshPpr(spark, tmp, seeds, "id", "s3_7_11", iterations = 35,
+      damping = d05)
+    assert(dist(pprRanks(4,
+        GraphStore.loadRanks(spark, tmp, "ppr_s3_7_11")), pprFix) < 1e-9,
+      "PPR warm slot serves its seed set's fixpoint")
+
+    // the HITS sibling: warm-starting from a saved run CONTINUES it —
+    // k warm iterations from the persisted 60-iteration hub equal one
+    // cold 60+k run (scale invariance absorbs both the end
+    // normalization the artifact stores and the mean-1 init rescale)
+    def hitsVecs(iters: Int, init: Option[org.apache.spark.sql.DataFrame]) =
+      Graphs.hits(GraphStore.read(spark, tmp), "src", "dst",
+          iterations = iters, weightCol = Some("w"), init = init)
+        .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    GraphStore.refreshHits(spark, tmp, iterations = 60)
+    val warmHits = hitsVecs(8, GraphStore.loadRanks(spark, tmp, "hits_hub"))
+    val cold68 = hitsVecs(68, None)
+    val hubErr = cold68.map { case (k, (h, _)) =>
+      math.abs(h - warmHits(k)._1) }.max
+    val authErr = cold68.map { case (k, (_, a)) =>
+      math.abs(a - warmHits(k)._2) }.max
+    assert(hubErr < 1e-9 && authErr < 1e-9,
+      s"HITS warm continuation must equal the cold 68-run: hub $hubErr auth $authErr")
   }
 
   test("graph artifact: reading a dir with no absorbed segments returns the empty edge frame") {
