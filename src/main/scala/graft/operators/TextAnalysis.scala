@@ -597,40 +597,47 @@ object TextAnalysis {
 
   /** Sequence packing (pretraining batch prep): assign every doc to a
     * packed bin of at most `maxTokens` tokens, minimizing padding waste.
-    * First-fit-decreasing INSIDE each partition (genuine per-partition
-    * imperative logic — the rare mapPartitions case), so packing is
-    * embarrassingly parallel: no shuffle beyond one deterministic
-    * repartition by id, and bin ids are globally unique as
-    * (partition << 32 | local bin). FFD within a partition wastes at
-    * most ~2/9 over that partition's optimum; cross-partition packing
-    * would serialize the corpus for a few percent of padding.
-    * Docs longer than `maxTokens` get a dedicated bin (callers chunk
-    * them first — [[chunkTokens]]).
+    * First-fit-decreasing inside each of `numShards` md5-keyed shards
+    * (genuine per-group imperative logic — the rare flatMapGroups
+    * case), so packing is embarrassingly parallel: one shuffle on the
+    * shard key, and bin ids are globally unique as
+    * (shard << 32 | local bin). The shard key is the ENGINE-INDEPENDENT
+    * md5 fold (the [[graft.sources.Batches.concatChunkPack]] posture,
+    * r14 — a Spark-hash partition id made the assignment depend on
+    * cluster parallelism, which barred a SQL oracle), so the whole
+    * packing REPLAYS: DuckDB walks each shard's (n desc, id) order
+    * through the identical first-fit fold as a recursive CTE. FFD
+    * within a shard wastes at most ~2/9 over that shard's optimum;
+    * cross-shard packing would serialize the corpus for a few percent
+    * of padding. Docs longer than `maxTokens` get a dedicated bin
+    * (callers chunk them first — [[chunkTokens]]).
     * Output: (id, bin_id, n_tokens). */
   def packSequences(docs: org.apache.spark.sql.DataFrame, idCol: String,
-      nTokensCol: String, maxTokens: Int): org.apache.spark.sql.DataFrame = {
+      nTokensCol: String, maxTokens: Int,
+      numShards: Int = 32): org.apache.spark.sql.DataFrame = {
     require(maxTokens > 0, "maxTokens must be positive")
+    require(numShards > 0, "numShards must be positive")
     val spark = docs.sparkSession
     import spark.implicits._
-    val par = spark.sparkContext.defaultParallelism
+    val shard = pmod(
+      conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10).cast("long"),
+      lit(numShards.toLong)).cast("int")
     docs.select(col(idCol).cast("long").as("id"),
-        col(nTokensCol).cast("int").as("n"))
-      .repartition(par, col("id"))
-      .as[(Long, Int)]
-      .mapPartitions { it =>
-        val pid = org.apache.spark.TaskContext.getPartitionId()
-        // FFD: longest-first (id tiebreak keeps packing deterministic
-        // for a fixed partitioning)
-        val rows = it.toArray.sortBy { case (id, n) => (-n, id) }
+        col(nTokensCol).cast("int").as("n"), shard.as("s"))
+      .as[(Long, Int, Int)]
+      .groupByKey(_._3)
+      .flatMapGroups { (sh, it) =>
+        // FFD: longest-first (id tiebreak keeps packing deterministic)
+        val rows = it.toArray.sortBy { case (id, n, _) => (-n, id) }
         val space = scala.collection.mutable.ArrayBuffer.empty[Int]
-        rows.iterator.map { case (id, n) =>
+        rows.iterator.map { case (id, n, _) =>
           val b =
             if (n >= maxTokens) { space += 0; space.length - 1 }
             else space.indexWhere(_ >= n) match {
               case -1 => space += (maxTokens - n); space.length - 1
               case i => space(i) -= n; i
             }
-          (id, (pid.toLong << 32) | b.toLong, n)
+          (id, (sh.toLong << 32) | b.toLong, n)
         }
       }
       .toDF("id", "bin_id", "n_tokens")

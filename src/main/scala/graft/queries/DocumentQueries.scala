@@ -336,6 +336,37 @@ object DocumentQueries extends QueryModule {
       "round(f.lo, 6) AS ci_lo, round(f.hi, 6) AS ci_hi FROM p CROSS JOIN f"
   }
 
+  /** DuckDB oracle for `q_pack_sequences`: per md5 shard, walk the
+    * (n desc, id) order through the IDENTICAL first-fit fold the engine
+    * runs — the recursive CTE carries the bin-capacity list; DuckDB's
+    * list_position returns 0 (not NULL) on no-fit, hence the
+    * coalesce-and-compare-0 guard. bin_id = shard·2³² + local index
+    * (equal to the engine's shard << 32 | b for non-negative values). */
+  private def packSequencesOracle(maxTokens: Int, numShards: Int): String = {
+    val pos = "coalesce(list_position(list_transform(w.bins, b2 -> b2 >= o.n), true), 0)"
+    s"WITH RECURSIVE t AS (SELECT doc_id AS id, " +
+      "(len(string_split(text, ' ')) + CAST(ceil(length(text)/16.0) AS INT))::INT AS n, " +
+      s"(('0x'||substring(md5(doc_id::VARCHAR),1,8))::BIGINT % $numShards)::INT AS shard " +
+      "FROM documents), " +
+      "ord AS (SELECT *, row_number() OVER (PARTITION BY shard ORDER BY n DESC, id) AS k FROM t), " +
+      "cnt AS (SELECT shard, count(*) AS m FROM ord GROUP BY 1), " +
+      "walk(shard, k, bins, ids, assigns) AS (" +
+      "SELECT shard, 0::BIGINT, CAST([] AS INT[]), CAST([] AS BIGINT[]), CAST([] AS INT[]) FROM cnt " +
+      "UNION ALL SELECT w.shard, w.k + 1, " +
+      s"CASE WHEN o.n >= $maxTokens THEN list_append(w.bins, 0) " +
+      s"WHEN $pos = 0 THEN list_append(w.bins, $maxTokens - o.n) " +
+      s"ELSE list_transform(w.bins, (b, i) -> CASE WHEN i = $pos THEN b - o.n ELSE b END) END, " +
+      "list_append(w.ids, o.id), " +
+      s"list_append(w.assigns, CASE WHEN o.n >= $maxTokens OR $pos = 0 " +
+      s"THEN len(w.bins) ELSE $pos - 1 END) " +
+      "FROM walk w JOIN ord o ON o.shard = w.shard AND o.k = w.k + 1), " +
+      "done AS (SELECT w.shard, w.ids, w.assigns FROM walk w " +
+      "JOIN cnt c ON c.shard = w.shard AND w.k = c.m), " +
+      "z AS (SELECT shard AS zshard, unnest(ids) AS zid, unnest(assigns) AS zb FROM done) " +
+      "SELECT z.zid AS id, (z.zshard::BIGINT * 4294967296 + z.zb) AS bin_id, " +
+      "t.n AS n_tokens FROM z JOIN t ON t.id = z.zid ORDER BY 1"
+  }
+
   override def qs: Seq[(String, Q)] = Seq(
 
     // ---- exact dedup: corpus duplication profile
@@ -369,17 +400,19 @@ object DocumentQueries extends QueryModule {
               |WHERE jac >= 0.8 ORDER BY id_a, id_b""".stripMargin.replace('\n', ' '))),
 
     // ---- sequence packing (pretraining batch prep): FFD bins inside
-    // each partition, no shuffle; seeded only by the deterministic
-    // id-hash partitioning (no oracle: bin ids are engine-internal)
+    // md5-keyed shards. FULL oracle since r14 (the shard key moved from
+    // the Spark-hash partition id — engine-internal — to the
+    // engine-independent md5 fold): DuckDB replays the exact first-fit
+    // fold per shard as a recursive CTE over the (n desc, id) order.
     "q_pack_sequences" -> Q(
       (s, dir) => {
         val d = table(s, dir, "documents")
           .select(col("doc_id"), TA.estTokenCount(col("text")).as("nt"))
-        TA.packSequences(d, "doc_id", "nt", maxTokens = 2048)
+        TA.packSequences(d, "doc_id", "nt", maxTokens = 2048, numShards = 8)
           .orderBy(col("id"))
       },
-      None,
-      doc = "first-fit-decreasing sequence packing into 2048-token bins, per-partition imperative"),
+      Some(packSequencesOracle(maxTokens = 2048, numShards = 8)),
+      doc = "first-fit-decreasing sequence packing into 2048-token bins (md5 shards; FFD replays as a recursive-CTE fold)"),
 
     // ---- cross-corpus decontamination (train/eval n-gram containment):
     // the pre-ship audit every pretraining pipeline runs — which eval
