@@ -285,7 +285,10 @@ object Bench {
         else reps(n) += t1
         val want = if (demoted) headReps else headReps - 1
         (1 to want).foreach { _ =>
-          if (elapsed() < benchBudgetSec) reps(n) ++= run1(n)
+          // the errors guard stops re-running a query that failed on an
+          // earlier rep — each retry would burn the shared budget again
+          if (elapsed() < benchBudgetSec && !errors.contains(s"query:$n"))
+            reps(n) ++= run1(n)
         }
         if (reps(n).isEmpty) reps(n) += t1 // budget blown mid-group: keep coverage
       }

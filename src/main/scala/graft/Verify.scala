@@ -42,13 +42,8 @@ object Verify {
     // artifact-reading oracles carry a path token resolved at dump time,
     // so the SQL points at the SAME index parquet the verified queries
     // just built/served from, for whatever data dir the driver chose
-    def resolve(sql: String): String = sql
-      .replace("__ANN_ARTIFACT__",
-        graft.operators.IndexStore.annArtifactPath(sfDir))
-      .replace("__MAXSIM_ARTIFACT__",
-        graft.operators.IndexStore.maxsimArtifactPath(sfDir))
-      .replace("__ANNPQ_ARTIFACT__",
-        graft.operators.IndexStore.annPqArtifactPath(sfDir))
+    def resolve(sql: String): String =
+      graft.operators.IndexStore.resolveArtifactTokens(sql, sfDir)
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(resolve(v))}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -12,13 +12,8 @@ object VerifyOne {
     SparkEntry.queries(name)(spark, dir).write.mode("overwrite")
       .parquet(s"/tmp/verify_one/$name.parquet")
     SparkEntry.oracleSql.get(name).foreach { sql =>
-      val resolved = sql
-        .replace("__ANN_ARTIFACT__",
-          graft.operators.IndexStore.annArtifactPath(dir))
-        .replace("__MAXSIM_ARTIFACT__",
-          graft.operators.IndexStore.maxsimArtifactPath(dir))
-        .replace("__ANNPQ_ARTIFACT__",
-          graft.operators.IndexStore.annPqArtifactPath(dir))
+      val resolved =
+        graft.operators.IndexStore.resolveArtifactTokens(sql, dir)
       java.nio.file.Files.write(java.nio.file.Paths.get(s"/tmp/verify_one/$name.sql"),
         resolved.getBytes("UTF-8"))
     }

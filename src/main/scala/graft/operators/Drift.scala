@@ -748,12 +748,18 @@ object Drift {
       var_samp(when(bPred, v)).as("__vb"))
     val sa = col("__va") / col("n_a")
     val sb = col("__vb") / col("n_b")
+    // zero pooled variance (both sides constant) leaves t undefined —
+    // 0/0 is NaN, and Spark sorts NaN above every number, so an
+    // unguarded abs(t) > z would flag a FALSE drift on perfectly
+    // unchanged data; the degenerate posture is NULL, never NaN
     agg.select(col("n_a"), col("n_b"),
         round(col("__ma"), 6).as("mean_a"),
         round(col("__mb"), 6).as("mean_b"),
-        (((col("__ma") - col("__mb")) / sqrt(sa + sb))).as("__t"),
-        ((sa + sb) * (sa + sb) /
-          (sa * sa / (col("n_a") - 1) + sb * sb / (col("n_b") - 1))).as("__dof"))
+        when(sa + sb > 0,
+          (col("__ma") - col("__mb")) / sqrt(sa + sb)).as("__t"),
+        when(sa + sb > 0,
+          (sa + sb) * (sa + sb) /
+            (sa * sa / (col("n_a") - 1) + sb * sb / (col("n_b") - 1))).as("__dof"))
       .select(col("n_a"), col("n_b"), col("mean_a"), col("mean_b"),
         round(col("__t"), 6).as("t"),
         round(col("__dof"), 6).as("dof"),

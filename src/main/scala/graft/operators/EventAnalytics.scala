@@ -709,19 +709,23 @@ object EventAnalytics {
       .groupBy(col(unitCol).as("unit"))
       .agg(avg(when(prePred, v)).as("__x"), avg(when(expPred, v)).as("__y"))
       .filter(col("__x").isNotNull && col("__y").isNotNull)
+    // a zero-variance covariate leaves theta undefined (0/0 = NaN) —
+    // degenerate posture is NULL, never NaN (the welchT guard)
+    val usable = col("__vx") > 0
     per.agg(count(lit(1)).as("n_units"),
         avg(col("__y")).as("__my"),
         covar_samp(col("__x"), col("__y")).as("__cxy"),
         var_samp(col("__x")).as("__vx"),
         var_samp(col("__y")).as("__vy"))
       .select(col("n_units"),
-        round(col("__cxy") / col("__vx"), 6).as("theta"),
+        when(usable, round(col("__cxy") / col("__vx"), 6)).as("theta"),
         round(col("__my"), 6).as("mean_y"),
         round(col("__vy"), 6).as("var_y"),
-        round(col("__vy") - col("__cxy") * col("__cxy") / col("__vx"), 6)
-          .as("var_adj"),
-        round(lit(100.0) * (col("__cxy") * col("__cxy") / col("__vx")) /
-          col("__vy"), 6).as("var_reduction_pct"))
+        when(usable, round(col("__vy") -
+          col("__cxy") * col("__cxy") / col("__vx"), 6)).as("var_adj"),
+        when(usable && col("__vy") > 0,
+          round(lit(100.0) * (col("__cxy") * col("__cxy") / col("__vx")) /
+            col("__vy"), 6)).as("var_reduction_pct"))
   }
 
   /** Autocorrelation function + Ljung-Box portmanteau (Box & Pierce

@@ -135,6 +135,15 @@ object IndexStore {
       ksub: Int = 64): String =
     artifactDir(sfDir, s"annpq2-$nClusters-$m-$ksub").toString
 
+  /** The ONE place oracle-SQL artifact tokens resolve (Verify and
+    * VerifyOne both call this at dump time) — a token added here can
+    * never diverge between the full verify pass and the single-query
+    * debug loop. */
+  def resolveArtifactTokens(sql: String, sfDir: String): String = sql
+    .replace("__ANN_ARTIFACT__", annArtifactPath(sfDir))
+    .replace("__MAXSIM_ARTIFACT__", maxsimArtifactPath(sfDir))
+    .replace("__ANNPQ_ARTIFACT__", annPqArtifactPath(sfDir))
+
   /** clustered index over the pages' mean-pooled vectors (id = page_id) */
   def maxsimAnn(spark: SparkSession, sfDir: String): AnnIndex.Index =
     AnnIndex.load(spark, s"${maxsimArtifact(spark, sfDir)}/index")

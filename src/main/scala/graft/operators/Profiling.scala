@@ -158,6 +158,7 @@ object Profiling {
         .agg(sum(col("n")).as("m"), sum(col("n") * col("n")).as("s2"))
       val mChk = perItem.agg(min(col("m")).as("lo"), max(col("m")).as("hi"))
         .head()
+      require(!mChk.isNullAt(0), "fleissKappa: empty rating frame")
       require(mChk.getLong(0) == mChk.getLong(1),
         s"every item needs the same rater count (saw ${mChk.getLong(0)}..${mChk.getLong(1)})")
       val m = mChk.getLong(0).toDouble

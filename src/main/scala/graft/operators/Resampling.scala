@@ -46,7 +46,11 @@ object Resampling {
     * (n_rows, n_replicates, mean, ci_lo, ci_hi), 6dp; the CI is the
     * percentile interval over the replicate means (sorted ascending,
     * ranks max(1, ceil((1-level)/2 ·R)) and ceil((1+level)/2 ·R), ties
-    * broken by replicate id). */
+    * broken by replicate id). Degenerate tiny inputs (a few rows):
+    * all-zero replicates drop with probability e^-n each, so the fixed
+    * percentile ranks can land past the survivors and the affected CI
+    * bound reports NULL — honest "too few rows to bootstrap" (the SQL
+    * oracle replays identically), not a fabricated interval. */
   def poissonBootstrapMean(df: DataFrame, keyCol: String, valueCol: String,
       replicates: Int = 40, seed: Long = 42L,
       level: Double = 0.95): DataFrame = {

@@ -611,6 +611,12 @@ object TextAnalysis {
     * cross-shard packing would serialize the corpus for a few percent
     * of padding. Docs longer than `maxTokens` get a dedicated bin
     * (callers chunk them first — [[chunkTokens]]).
+    *
+    * Sizing: one task holds ONE shard's (id, n) rows in memory (the
+    * same per-task footprint the previous per-partition form had at
+    * partitions == shards) — size `numShards` to the cluster, roughly
+    * corpusRows × 16 bytes / numShards per task; the default 32
+    * matches the local parallelism.
     * Output: (id, bin_id, n_tokens). */
   def packSequences(docs: org.apache.spark.sql.DataFrame, idCol: String,
       nTokensCol: String, maxTokens: Int,

@@ -98,27 +98,43 @@ object AnnQueries extends QueryModule {
       "lut AS (SELECT q.qid, cb.subspace, list(list_dot_product(q.qnv[cb.subspace*8+1:cb.subspace*8+8], cb.bc) ORDER BY cb.code) AS tbl " +
         "FROM qn q CROSS JOIN cb GROUP BY 1, 2), " +
       "lutq AS (SELECT qid, list(tbl ORDER BY subspace) AS luts FROM lut GROUP BY 1), " +
-      "pr AS (SELECT qid, qv, cluster_id, qc FROM (SELECT q.qid, q.qv, c0.cluster_id, " +
-        "list_dot_product(q.qnv, c0.cnv) AS qc, " +
-        "row_number() OVER (PARTITION BY q.qid ORDER BY list_cosine_similarity(q.qv, c0.cv) DESC, c0.cluster_id) AS cr " +
-        s"FROM qn q CROSS JOIN c0) t WHERE cr <= $nProbe), " +
-      "g AS (SELECT qid, qv, id FROM (SELECT pr.qid, pr.qv, a.id, " +
-        "row_number() OVER (PARTITION BY pr.qid ORDER BY " +
-        "pr.qc + list_reduce(list_prepend(0.0, list_transform(range(1, 9), j -> lq.luts[j][a.codes[j] + 1])), (x, y) -> x + y) DESC, a.id) AS rk " +
-        s"FROM pr JOIN a USING (cluster_id) JOIN lutq lq ON lq.qid = pr.qid) t WHERE rk <= $pool), " +
-      "r AS (SELECT g.qid, g.id, list_cosine_similarity(a2.v, g.qv) AS score " +
-        "FROM g JOIN a a2 ON a2.id = g.id), " +
-      "f AS (SELECT qid, id, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rank FROM r)"
+      attempt("", nProbe, pool)
+    // the filtered TQL arm replays AnnIndex.adaptiveSearch's widening,
+    // not a hard-coded fixpoint: if the first attempt leaves the (one)
+    // query short of min(k, filtered survivors) results, the probe
+    // doubles to all 16 clusters — replayed as a second chain plus a
+    // count-gated selector, so the oracle tracks the route on ANY corpus
+    val widened = attempt("w", 16, pool)
     val finalSel =
       if (tqlFinal)
-        "SELECT e.vec_id, round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS score " +
-          "FROM embeddings e JOIN (SELECT id FROM f WHERE rank <= 10) cd ON cd.id = e.vec_id " +
+        s", $widened, " +
+          "want AS (SELECT least(10, (SELECT count(*) FROM a)) AS w), " +
+          "ok AS (SELECT (SELECT count(*) FROM f WHERE rank <= 10) >= (SELECT w FROM want) AS u), " +
+          "sel AS (SELECT id FROM f WHERE rank <= 10 AND (SELECT u FROM ok) " +
+          "UNION ALL SELECT id FROM fw WHERE rank <= 10 AND NOT (SELECT u FROM ok)) " +
+          "SELECT e.vec_id, round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS score " +
+          "FROM embeddings e JOIN sel cd ON cd.id = e.vec_id " +
           "CROSS JOIN (SELECT qv FROM q0) q ORDER BY score DESC, vec_id LIMIT 10"
       else
         "SELECT qid, rank::INT AS rank, id AS neighbor_id, round(score, 6) AS cos_sim " +
           "FROM f WHERE rank <= 10 ORDER BY qid, rank"
     s"WITH $core $finalSel"
   }
+
+  /** one probe-gate-rerank chain of [[pqRouteOracle]], CTE names
+    * suffixed so the adaptive second attempt can coexist */
+  private def attempt(sfx: String, nProbe: Int, pool: Int): String =
+    s"pr$sfx AS (SELECT qid, qv, cluster_id, qc FROM (SELECT q.qid, q.qv, c0.cluster_id, " +
+      "list_dot_product(q.qnv, c0.cnv) AS qc, " +
+      "row_number() OVER (PARTITION BY q.qid ORDER BY list_cosine_similarity(q.qv, c0.cv) DESC, c0.cluster_id) AS cr " +
+      s"FROM qn q CROSS JOIN c0) t WHERE cr <= $nProbe), " +
+      s"g$sfx AS (SELECT qid, qv, id FROM (SELECT pr$sfx.qid, pr$sfx.qv, a.id, " +
+      s"row_number() OVER (PARTITION BY pr$sfx.qid ORDER BY " +
+      s"pr$sfx.qc + list_reduce(list_prepend(0.0, list_transform(range(1, 9), j -> lq.luts[j][a.codes[j] + 1])), (x, y) -> x + y) DESC, a.id) AS rk " +
+      s"FROM pr$sfx JOIN a USING (cluster_id) JOIN lutq lq ON lq.qid = pr$sfx.qid) t WHERE rk <= $pool), " +
+      s"r$sfx AS (SELECT g$sfx.qid, g$sfx.id, list_cosine_similarity(a2.v, g$sfx.qv) AS score " +
+      s"FROM g$sfx JOIN a a2 ON a2.id = g$sfx.id), " +
+      s"f$sfx AS (SELECT qid, id, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rank FROM r$sfx)"
 
   override def qs: Seq[(String, Q)] = Seq(
     // FULL oracle (r13 verdict #4): the oracle reads the SAME artifact
@@ -265,8 +281,9 @@ object AnnQueries extends QueryModule {
     // WHERE pre-filter) searches the PQ artifact
     // FULL oracle: same ADC replay, candidates pre-filtered to the
     // WHERE survivors; selectivity 1/2 widens the adaptive probe's
-    // first step to ceil(4/0.5) = 8 clusters, which already yields a
-    // full top-10 on this corpus, so 8 is the route's fixpoint
+    // first step to ceil(4/0.5) = 8 clusters, and the oracle ALSO
+    // replays the deficiency widening (a second full-probe chain behind
+    // a count gate), so it tracks the route on any corpus
     "q_tql_ann_pq" -> Q(
       (s, dir) => {
         AnnIndex.Catalog.clear()

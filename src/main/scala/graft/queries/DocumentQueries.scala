@@ -408,10 +408,10 @@ object DocumentQueries extends QueryModule {
       (s, dir) => {
         val d = table(s, dir, "documents")
           .select(col("doc_id"), TA.estTokenCount(col("text")).as("nt"))
-        TA.packSequences(d, "doc_id", "nt", maxTokens = 2048, numShards = 8)
+        TA.packSequences(d, "doc_id", "nt", maxTokens = 2048)
           .orderBy(col("id"))
       },
-      Some(packSequencesOracle(maxTokens = 2048, numShards = 8)),
+      Some(packSequencesOracle(maxTokens = 2048, numShards = 32)),
       doc = "first-fit-decreasing sequence packing into 2048-token bins (md5 shards; FFD replays as a recursive-CTE fold)"),
 
     // ---- cross-corpus decontamination (train/eval n-gram containment):
@@ -1063,7 +1063,7 @@ object DocumentQueries extends QueryModule {
         .orderBy(col("domain")),
       Some("""WITH per AS (SELECT coalesce(source, chr(0)||'null') AS domain,
              |  count(*)::BIGINT AS n, sum(CASE WHEN n_chars >= 300 THEN 1.0 ELSE 0.0 END) AS x
-             |  FROM documents GROUP BY 1),
+             |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
              |r AS (SELECT *, x/n AS rate FROM per),
              |p AS (SELECT avg(rate) AS m, var_samp(rate) AS v FROM r),
              |kk AS (SELECT m, v, (m*(1.0-m) - v)/v AS k FROM p)

@@ -459,8 +459,10 @@ object SequenceQueries extends QueryModule {
         val lagCols = (1 to 10).map(k => s"lag(v, $k) OVER w AS l$k").mkString(", ")
         val numCols = (1 to 10).map(k => s"sum((v-m)*(l$k-m)) AS x$k").mkString(", ")
         val numArr = (1 to 10).map(k => s"x$k").mkString("[", ", ", "]")
-        s"""WITH daily AS (SELECT event_type, date_trunc('day', ts)::DATE AS day,
-           |  avg(value::DOUBLE) AS v FROM events GROUP BY 1, 2),
+        s"""WITH daily AS (SELECT event_type, day, v FROM (
+           |  SELECT event_type, date_trunc('day', ts)::DATE AS day,
+           |  avg(value::DOUBLE) AS v FROM events GROUP BY 1, 2) t
+           |  WHERE v IS NOT NULL),
            |st AS (SELECT event_type, count(*)::BIGINT AS n, avg(v) AS m,
            |  var_pop(v) AS vp FROM daily GROUP BY 1
            |  HAVING count(*) > 10 AND var_pop(v) > 0),
@@ -739,9 +741,11 @@ object SequenceQueries extends QueryModule {
              |  HAVING x IS NOT NULL AND y IS NOT NULL),
              |a AS (SELECT count(*)::BIGINT AS n_units, avg(y) AS my,
              |  covar_samp(x, y) AS cxy, var_samp(x) AS vx, var_samp(y) AS vy FROM per)
-             |SELECT n_units, round(cxy/vx, 6) AS theta, round(my, 6) AS mean_y,
-             |round(vy, 6) AS var_y, round(vy - cxy*cxy/vx, 6) AS var_adj,
-             |round(100.0*(cxy*cxy/vx)/vy, 6) AS var_reduction_pct
+             |SELECT n_units,
+             |CASE WHEN vx > 0 THEN round(cxy/vx, 6) END AS theta,
+             |round(my, 6) AS mean_y, round(vy, 6) AS var_y,
+             |CASE WHEN vx > 0 THEN round(vy - cxy*cxy/vx, 6) END AS var_adj,
+             |CASE WHEN vx > 0 AND vy > 0 THEN round(100.0*(cxy*cxy/vx)/vy, 6) END AS var_reduction_pct
              |FROM a""".stripMargin.replace('\n', ' ')),
       doc = "CUPED pre-period variance reduction for the per-user value metric"),
 
@@ -762,10 +766,13 @@ object SequenceQueries extends QueryModule {
              |  var_samp(CASE WHEN pa THEN v END) AS va, var_samp(CASE WHEN pb THEN v END) AS vb
              |  FROM u)
              |SELECT n_a, n_b, round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
-             |round((ma - mb)/sqrt(va/n_a + vb/n_b), 6) AS t,
-             |round((va/n_a + vb/n_b)*(va/n_a + vb/n_b) /
-             |  ((va/n_a)*(va/n_a)/(n_a - 1) + (vb/n_b)*(vb/n_b)/(n_b - 1)), 6) AS dof,
-             |abs((ma - mb)/sqrt(va/n_a + vb/n_b)) > 3.29 AS big_shift
+             |CASE WHEN va/n_a + vb/n_b > 0
+             |  THEN round((ma - mb)/sqrt(va/n_a + vb/n_b), 6) END AS t,
+             |CASE WHEN va/n_a + vb/n_b > 0
+             |  THEN round((va/n_a + vb/n_b)*(va/n_a + vb/n_b) /
+             |  ((va/n_a)*(va/n_a)/(n_a - 1) + (vb/n_b)*(vb/n_b)/(n_b - 1)), 6) END AS dof,
+             |CASE WHEN va/n_a + vb/n_b > 0
+             |  THEN abs((ma - mb)/sqrt(va/n_a + vb/n_b)) > 3.29 END AS big_shift
              |FROM a""".stripMargin.replace('\n', ' ')),
       doc = "Welch unequal-variance t statistic + Welch-Satterthwaite dof across the mid-January split"),
 

@@ -650,6 +650,13 @@ class AuditSpec extends AnyFunSuite {
     val r2 = Drift.welchT(skewed, "v", col("g") === 0, col("g") === 1).collect().head
     val dof = r2.getAs[Double]("dof")
     assert(dof < 328.0 && dof >= 29.0, s"Welch dof out of envelope: $dof")
+    // degenerate: both sides the same constant -> 0/0 would be NaN, and
+    // Spark sorts NaN above every number, so an unguarded flag fires a
+    // FALSE drift alarm; the posture is NULL, never NaN
+    val const = (1 to 10).map(i => (i % 2, 5.0)).toDF("g", "v")
+    val rc = Drift.welchT(const, "v", col("g") === 0, col("g") === 1).collect().head
+    assert(rc.isNullAt(rc.fieldIndex("t")) && rc.isNullAt(rc.fieldIndex("big_shift")),
+      s"zero-variance data must not flag: $rc")
   }
 
   test("poissonBootstrapMean: constant data collapses the CI; spread data brackets the mean; deterministic") {
@@ -720,6 +727,14 @@ class AuditSpec extends AnyFunSuite {
       s"near-orthogonal covariate must not fake a big reduction: $ro")
     assert(math.abs(ro.getAs[Double]("var_y") - ro.getAs[Double]("var_adj")) <
       0.1 * ro.getAs[Double]("var_y") + 1e-9)
+    // degenerate: constant covariate -> theta is 0/0; NULL, never NaN
+    val flat = (1L to 50L).flatMap(i => Seq(
+      (i, 0, 1.0), (i, 1, i.toDouble))).toDF("u", "ph", "v")
+    val rf = EventAnalytics.cupedAdjust(flat, "u", "v",
+      col("ph") === 0, col("ph") === 1).collect().head
+    assert(rf.isNullAt(rf.fieldIndex("theta")) &&
+      rf.isNullAt(rf.fieldIndex("var_adj")),
+      s"zero-variance covariate must degrade to NULL: $rf")
   }
 
   test("goodTuring: hand-computed classes, unseen mass N1/N, truncated tail keeps raw r") {
