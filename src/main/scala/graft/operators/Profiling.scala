@@ -135,6 +135,43 @@ object Profiling {
           .as("kappa"))
   }
 
+  /** Simpson's-paradox audit (Simpson 1951; the Berkeley-admissions
+    * trap, Bickel et al. 1975) — does the AGGREGATE association between
+    * a binary treatment and a binary outcome reverse inside strata?
+    * The data-curation instance is constant: "English docs pass the
+    * quality filter more often" can be pure source-mix confounding that
+    * flips inside every source. Per stratum: both rates, the rate
+    * difference, the shared aggregate difference, and `reversed`
+    * (strict sign flip: diff·agg_diff < 0; NULL when a stratum lacks
+    * one side, where the contrast is undefined).
+    *
+    * Scale shape: ONE conditional hash agg per stratum + a broadcast
+    * 1-row aggregate. Returns (stratum, n_treat, n_ctrl, rate_treat,
+    * rate_ctrl, diff, agg_diff, reversed), 6dp. */
+  def simpsonAudit(df: DataFrame, treatPred: Column, outcomePred: Column,
+      strataCol: String): DataFrame = {
+    val t = treatPred
+    val y = outcomePred.cast("int").cast("double")
+    val base = df.select(
+      coalesce(col(strataCol).cast("string"), lit("\u0000null")).as("stratum"),
+      t.as("__t"), y.as("__y"))
+    def rates(g: org.apache.spark.sql.RelationalGroupedDataset) = g.agg(
+      count(when(col("__t"), 1)).as("n_treat"),
+      count(when(!col("__t"), 1)).as("n_ctrl"),
+      avg(when(col("__t"), col("__y"))).as("__rt"),
+      avg(when(!col("__t"), col("__y"))).as("__rc"))
+    val agg = rates(base.groupBy())
+      .select((col("__rt") - col("__rc")).as("__agg_diff"))
+    rates(base.groupBy(col("stratum")))
+      .crossJoin(broadcast(agg))
+      .select(col("stratum"), col("n_treat"), col("n_ctrl"),
+        round(col("__rt"), 6).as("rate_treat"),
+        round(col("__rc"), 6).as("rate_ctrl"),
+        round(col("__rt") - col("__rc"), 6).as("diff"),
+        round(col("__agg_diff"), 6).as("agg_diff"),
+        ((col("__rt") - col("__rc")) * col("__agg_diff") < 0).as("reversed"))
+  }
+
   /** Fleiss' kappa (Fleiss 1971) — [[cohenKappa]]'s generalization to
     * m raters per item (the LLM-judge-ensemble agreement audit): with
     * n_ij = raters assigning item i to category j,

@@ -1148,6 +1148,31 @@ object DocumentQueries extends QueryModule {
              |FROM pb CROSS JOIN pe""".stripMargin.replace('\n', ' ')),
       doc = "Fleiss' kappa across three deterministic raters (length, chars, punctuation density)"),
 
+    // ---- Simpson's-paradox audit: is the en-vs-other pass-rate gap a
+    // source-mix artifact? Per source: both rates, the per-stratum
+    // contrast vs the aggregate one, reversal flag. Exact arithmetic.
+    "q_simpson_audit" -> Q(
+      (s, dir) => graft.operators.Profiling.simpsonAudit(
+          table(s, dir, "documents"),
+          col("lang") === "en", col("n_chars") >= 300, "source")
+        .orderBy(col("stratum")),
+      Some("""WITH b AS (SELECT coalesce(source, chr(0)||'null') AS stratum,
+             |  lang = 'en' AS t,
+             |  CASE WHEN n_chars >= 300 THEN 1.0 WHEN n_chars < 300 THEN 0.0 END AS y
+             |  FROM documents),
+             |a AS (SELECT avg(CASE WHEN t THEN y END) - avg(CASE WHEN NOT t THEN y END) AS ad FROM b),
+             |st AS (SELECT stratum,
+             |  count(CASE WHEN t THEN 1 END)::BIGINT AS n_treat,
+             |  count(CASE WHEN NOT t THEN 1 END)::BIGINT AS n_ctrl,
+             |  avg(CASE WHEN t THEN y END) AS rt,
+             |  avg(CASE WHEN NOT t THEN y END) AS rc FROM b GROUP BY 1)
+             |SELECT stratum, n_treat, n_ctrl,
+             |round(rt, 6) AS rate_treat, round(rc, 6) AS rate_ctrl,
+             |round(rt - rc, 6) AS diff, round(a.ad, 6) AS agg_diff,
+             |(rt - rc) * a.ad < 0 AS reversed
+             |FROM st CROSS JOIN a ORDER BY stratum""".stripMargin.replace('\n', ' ')),
+      doc = "Simpson's-paradox audit: per-source en-vs-other pass-rate contrast vs the aggregate"),
+
     // ---- Luhn-validated card redaction: Spark decides by CHECKSUM,
     // the oracle bakes the decision into constants (the planted valid
     // number is replaced, the checksum-invalid one must survive —

@@ -773,6 +773,29 @@ class AuditSpec extends AnyFunSuite {
     }
   }
 
+  test("simpsonAudit: planted Berkeley reversal flags every stratum; no-confounding data flags none") {
+    import graft.operators.Profiling
+    // stratum A: treat 10/100 pass 90%, ctrl 90/100 pass 80%
+    // stratum B: treat 90/100 pass 30%, ctrl 10/100 pass 20%
+    // within BOTH strata treat wins (+10pp); aggregate: treat
+    // (9+27)/100 = 36%, ctrl (72+2)/100 = 74% -> aggregate REVERSES
+    def rows(st: String, t: Boolean, n: Int, pass: Int) =
+      (1 to n).map(i => (st, t, i <= pass))
+    val planted = (rows("A", true, 10, 9) ++ rows("A", false, 90, 72) ++
+      rows("B", true, 90, 27) ++ rows("B", false, 10, 2)).toDF("s", "t", "y")
+    val got = Profiling.simpsonAudit(planted, col("t"), col("y"), "s")
+      .collect().map(r => r.getAs[String]("stratum") -> r).toMap
+    assert(got("A").getAs[Double]("diff") > 0 && got("B").getAs[Double]("diff") > 0)
+    assert(got("A").getAs[Double]("agg_diff") < 0)
+    assert(got("A").getAs[Boolean]("reversed") && got("B").getAs[Boolean]("reversed"),
+      "both strata must flag the reversal")
+    // no confounding: same treat share everywhere, treat always +20pp
+    val clean = (rows("A", true, 50, 40) ++ rows("A", false, 50, 30) ++
+      rows("B", true, 50, 20) ++ rows("B", false, 50, 10)).toDF("s", "t", "y")
+    Profiling.simpsonAudit(clean, col("t"), col("y"), "s")
+      .collect().foreach(r => assert(!r.getAs[Boolean]("reversed"), s"$r"))
+  }
+
   test("retrievalMetrics: a duplicated run document counts once (precision stays <= 1)") {
     import graft.operators.SearchMetrics
     // retriever echoes doc 100 three times inside the top-3 for query 1;
