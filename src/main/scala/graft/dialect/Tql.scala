@@ -57,7 +57,7 @@ object Tql {
       new java.util.concurrent.ConcurrentHashMap[Seq[Any], DataFrame]()
     /** compile (or fetch) the plan for one parameter binding */
     def run(params: Seq[Any] = Nil): DataFrame =
-      plans.computeIfAbsent(params, p => compileAst(spark, q, resolve, p))
+      plans.computeIfAbsent(params, p => compileAst(spark, q, (n, _) => resolve(n), p))
     /** run_batch: one DataFrame per binding, plan-cached across calls */
     def runBatch(paramSets: Seq[Seq[Any]]): Seq[DataFrame] = paramSets.map(run)
   }
@@ -122,10 +122,20 @@ object Tql {
       useIndex: Boolean = true,
       parsingOnly: Boolean = false,
       /** per-query Hadoop/FS conf overrides (credentials, endpoints,
-        * scheme impls) applied to `FROM "url"` scans only — the
+        * scheme impls) applied to every scan in the query — the
         * reference carries creds in query params
         * (`cpp/tql/executor.hpp:82`, `cpp/storage/provider_base.hpp`) */
-      storageOptions: Map[String, String] = Map.empty)
+      storageOptions: Map[String, String] = Map.empty,
+      /** per-ALIAS scan conf for cross-cloud joins: the reference
+        * carries credentials PER DATASET when a query joins datasets
+        * living in different stores (`cpp/tql/tql.hpp:52-70` dataset
+        * list with per-entry creds; `cpp/tql/table.hpp:31`). Keyed by
+        * the alias (`FROM "url" AS a`) or, for unaliased refs, the
+        * table name/url itself; the matching map is merged OVER
+        * [[storageOptions]] into that alias's scan conf only, so two
+        * sides of a join can present conflicting values for the same
+        * conf key (e.g. different access keys for the same scheme). */
+      storageOptionsByAlias: Map[String, Map[String, String]] = Map.empty)
 
   object Options {
     val allowEverything: Options = Options()
@@ -170,10 +180,16 @@ object Tql {
       indexRoutingEnabled.set(opts.useIndex)
       try withDataset(dir) {
         compileAst(spark, q,
-          {
+          (name, alias) => name match {
             case ast.SelfTable => throw new IllegalArgumentException(
               "FROM-less query needs a dataset context: use Tql.queryDataset(ds, ...)")
-            case name => graft.sources.Tables(spark, dir, name, opts.storageOptions)
+            case n =>
+              // per-alias conf wins over the query-wide map; an unaliased
+              // ref is addressable by its name/url
+              val perAlias = alias.flatMap(opts.storageOptionsByAlias.get)
+                .orElse(opts.storageOptionsByAlias.get(n))
+                .getOrElse(Map.empty)
+              graft.sources.Tables(spark, dir, n, opts.storageOptions ++ perAlias)
           }, params)
       } finally indexRoutingEnabled.set(saved)
     }
@@ -361,14 +377,130 @@ object Tql {
       .toDF("table_name", "row_count", "num_cols")
   }
 
+  /** `CREATE INDEX ON <table|"root"> (<col>) TYPE <type> [ID <idcol>]
+    * [PATHS 'p', ...]` / `DROP INDEX ...` — the statement form of the
+    * reference's `Column.create_index`/`drop_index`
+    * (`python/deeplake/__init__.pyi:1678,1762`). A quoted path target
+    * that is a versioned [[graft.sources.Snapshots]] root gets a
+    * TABLE-OWNED index (persisted under the root, re-registered on any
+    * later open); a named table gets a session index persisted in the
+    * local index cache and registered so the CONTAINS/EQUALS/JSON
+    * rewrite (plans.IndexRewrite) or the BM25/ANN top-k routes fire.
+    * Returns a one-row summary. */
+  private val CreateIndexRe =
+    """(?is)^\s*CREATE\s+INDEX\s+ON\s+("[^"]+"|[A-Za-z_]\w*)\s*\(\s*([A-Za-z_]\w*)\s*\)\s+TYPE\s+([A-Za-z_]\w*)(?:\s+ID\s+([A-Za-z_]\w*))?(?:\s+PATHS\s+(.+?))?\s*$""".r
+  private val DropIndexRe =
+    """(?is)^\s*DROP\s+INDEX\s+ON\s+("[^"]+"|[A-Za-z_]\w*)\s*\(\s*([A-Za-z_]\w*)\s*\)\s+TYPE\s+([A-Za-z_]\w*)\s*$""".r
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def isSnapshotRoot(p: String): Boolean =
+    java.nio.file.Files.exists(java.nio.file.Paths.get(p, "_v"))
+
+  /** (named-table catalog key, session artifact dir) for a non-versioned
+    * target: the key is the parquet root path IndexRewrite scans resolve
+    * to; artifacts go to the local cache (the source dir may be
+    * read-only — e.g. the driver's corpus). */
+  private def namedIndexHome(name: String, colName: String, tpe: String): (String, String) = {
+    val dsDir = currentDataset.get().getOrElse(throw new IllegalArgumentException(
+      "CREATE/DROP INDEX on a named table needs a dataset context"))
+    val key = s"$dsDir/$name.parquet"
+    val dir = new java.io.File(
+      s"target/graft-ddl-indexes/${md5hex(key)}/${colName}__$tpe").getAbsolutePath
+    (key, dir)
+  }
+
+  private def runCreateIndex(spark: SparkSession, target: String, colName: String,
+      tpe0: String, idColOpt: Option[String], pathsSpec: Option[String],
+      resolve: String => DataFrame): DataFrame = {
+    import graft.operators.{AnnIndex, Bm25, InvertedIndex}
+    val tpe = tpe0.toLowerCase
+    val jsonPaths = pathsSpec.toSeq.flatMap(_.split(",").map(_.trim)
+      .filter(_.nonEmpty).map(_.stripPrefix("'").stripSuffix("'")))
+    val quoted = target.startsWith("\"")
+    val name = target.stripPrefix("\"").stripSuffix("\"")
+    val where =
+      if (quoted && isSnapshotRoot(name)) {
+        val df = graft.sources.Snapshots.open(spark, name)
+        val idCol = idColOpt.getOrElse(df.columns.head)
+        graft.sources.Snapshots.createIndex(spark, name, colName, tpe, idCol, jsonPaths)
+      } else {
+        val df = resolve(name)
+        val idCol = idColOpt.getOrElse(df.columns.head)
+        val (key, dir) = namedIndexHome(name, colName, tpe)
+        import graft.plans.IndexCatalog
+        tpe match {
+          case "inverted" =>
+            InvertedIndex.build(df, idCol, colName).write.mode("overwrite").parquet(dir)
+            IndexCatalog.register(key, colName, dir, idCol, IndexCatalog.Contains)
+          case "exact" =>
+            InvertedIndex.buildExact(df, idCol, colName).write.mode("overwrite").parquet(dir)
+            IndexCatalog.register(key, colName, dir, idCol, IndexCatalog.Equals)
+          case "json" =>
+            require(jsonPaths.nonEmpty, "JSON index needs PATHS '...'")
+            InvertedIndex.buildJson(df, idCol, colName, jsonPaths)
+              .write.mode("overwrite").parquet(dir)
+            IndexCatalog.register(key, colName, dir, idCol, IndexCatalog.Json, jsonPaths)
+          case "bm25" =>
+            Bm25.save(spark, df, idCol, colName, dir)
+            Bm25.Catalog.register(name, colName, idCol, Bm25.load(spark, dir))
+          case "clustered" | "clustered_quantized" =>
+            val n = math.max(2, math.min(64, math.sqrt(df.count().toDouble).toInt / 4))
+            AnnIndex.save(AnnIndex.build(df, idCol, colName, nClusters = n,
+              quantized = tpe == "clustered_quantized"), dir)
+            AnnIndex.Catalog.register(name, colName, idCol, AnnIndex.load(spark, dir))
+          case other => throw new IllegalArgumentException(
+            s"unsupported index type '$other'")
+        }
+        dir
+      }
+    import spark.implicits._
+    Seq((name, colName, tpe, where)).toDF("table_name", "column_name", "index_type", "path")
+  }
+
+  private def runDropIndex(spark: SparkSession, target: String, colName: String,
+      tpe0: String): DataFrame = {
+    import graft.operators.{AnnIndex, Bm25}
+    import graft.plans.IndexCatalog
+    val tpe = tpe0.toLowerCase
+    val quoted = target.startsWith("\"")
+    val name = target.stripPrefix("\"").stripSuffix("\"")
+    if (quoted && isSnapshotRoot(name))
+      graft.sources.Snapshots.dropIndex(spark, name, colName, tpe)
+    else {
+      val (key, dir) = namedIndexHome(name, colName, tpe)
+      tpe match {
+        case "inverted" => IndexCatalog.unregister(key, colName, IndexCatalog.Contains)
+        case "exact" => IndexCatalog.unregister(key, colName, IndexCatalog.Equals)
+        case "json" => IndexCatalog.unregister(key, colName, IndexCatalog.Json)
+        case "bm25" => Bm25.Catalog.unregister(name, colName)
+        case _ => AnnIndex.Catalog.unregister(name, colName)
+      }
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    import spark.implicits._
+    Seq((name, colName, tpe, "dropped")).toDF("table_name", "column_name", "index_type", "status")
+  }
+
   def compile(spark: SparkSession, tql: String, resolve: String => DataFrame,
       params: Seq[Any] = Nil): DataFrame = tql match {
     case AnalyzeRe(table, colsSpec) => runAnalyze(spark, table, colsSpec, resolve)
-    case _ => compileAst(spark, parseCached(tql), resolve, params)
+    case CreateIndexRe(target, colName, tpe, idCol, paths) =>
+      runCreateIndex(spark, target, colName, tpe, Option(idCol), Option(paths), resolve)
+    case DropIndexRe(target, colName, tpe) =>
+      runDropIndex(spark, target, colName, tpe)
+    case _ => compileAst(spark, parseCached(tql), (n, _) => resolve(n), params)
   }
 
+  /** alias-aware resolver: (table name or url, `AS` alias if present) —
+    * the alias lets per-alias scan conf reach the right side of a
+    * cross-store join (see [[Options.storageOptionsByAlias]]) */
   private def compileAst(spark: SparkSession, q: ast.Query,
-      resolve: String => DataFrame, params: Seq[Any]): DataFrame = {
+      resolve: (String, Option[String]) => DataFrame, params: Seq[Any]): DataFrame = {
     compileCount.incrementAndGet()
     val branches = q.selects.map(s => compileSelect(spark, s, resolve, params))
     val df = q.ops.zip(branches.tail).foldLeft(branches.head) {
@@ -409,7 +541,7 @@ object Tql {
   private val Bm25ScoreCol = "__bm25_score"
 
   private def compileSelect(spark: SparkSession, sel: ast.Select,
-      resolve: String => DataFrame, params: Seq[Any]): DataFrame = {
+      resolve: (String, Option[String]) => DataFrame, params: Seq[Any]): DataFrame = {
 
     // FROM + JOINs
     val (baseDf, baseAlias, ordName) = source(spark, sel.from, resolve, params)
@@ -945,10 +1077,10 @@ object Tql {
   }
 
   private def source(spark: SparkSession, s: ast.Source,
-      resolve: String => DataFrame, params: Seq[Any]): (DataFrame, Map[String, DataFrame], String) =
+      resolve: (String, Option[String]) => DataFrame, params: Seq[Any]): (DataFrame, Map[String, DataFrame], String) =
     s match {
       case ast.TableRef(name, alias) =>
-        val df = resolve(name)
+        val df = resolve(name, alias)
         val aliases = (alias.toSeq :+ name).map(_ -> df).toMap
         (df, aliases, df.columns.head)
       case ast.SubQuery(q, alias) =>

@@ -63,6 +63,10 @@ object AnnIndex {
     def lookupPq(table: String, vecCol: String): Option[PqEntry] =
       pqEntries.get((table, vecCol))
 
+    def unregister(table: String, vecCol: String): Unit = {
+      entries -= ((table, vecCol)); pqEntries -= ((table, vecCol))
+    }
+
     def clear(): Unit = { entries = Map.empty; pqEntries = Map.empty }
   }
 

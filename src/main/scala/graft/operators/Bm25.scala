@@ -39,6 +39,9 @@ object Bm25 {
     def lookup(table: String, textCol: String): Option[Entry] =
       entries.get((table, textCol))
 
+    def unregister(table: String, textCol: String): Unit =
+      entries -= ((table, textCol))
+
     def clear(): Unit = entries = Map.empty
   }
 

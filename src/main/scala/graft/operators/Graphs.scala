@@ -394,10 +394,19 @@ object Graphs {
         // per-step, so the one-job-per-iteration win stands
         if (it - lastRenorm >= renormEvery && it < iterations) {
           lastRenorm = it
-          val bn = hub.agg(sqrt(sum(col("hub") * col("hub"))).as("__n"))
-          hub = reset(hub.crossJoin(broadcast(bn))
-            .select(col("id"), when(col("__n") > 0, col("hub") / col("__n"))
-              .otherwise(col("hub")).as("hub")))
+          // driver-side norm (1 double): same one agg job the broadcast
+          // form cost, and a zero block norm — a sub-unit-weight graph
+          // that DECAYED through the envelope — becomes diagnosable
+          // instead of a silent all-zero result (r14 advice)
+          val n = hub.agg(sqrt(sum(col("hub") * col("hub")))).head().getDouble(0)
+          if (n == 0.0)
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"HITS block norm underflowed to 0 at iteration $it " +
+                s"(renorm block $renormEvery): weights decay faster than the " +
+                "overflow envelope sizes for; hub/authority will return zeros")
+          hub = reset(
+            if (n > 0) hub.select(col("id"), (col("hub") / lit(n)).as("hub"))
+            else hub)
         }
       }
       // the last auth is read twice below (its norm + the output join):

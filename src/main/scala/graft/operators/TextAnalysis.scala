@@ -480,9 +480,14 @@ object TextAnalysis {
     *
     * `counts`: any (item, count) table — maintained unigram counts, a
     * bigram table, shingle counts; `countCol` names the count. */
-  def goodTuring(counts: org.apache.spark.sql.DataFrame,
+  def goodTuring(counts0: org.apache.spark.sql.DataFrame,
       countCol: String = "u", maxR: Int = 10): org.apache.spark.sql.DataFrame = {
     require(maxR >= 1, "need at least class r = 1")
+    // an OBSERVED count table may still carry zero-count rows (a
+    // maintained/decayed artifact that absorbed deletes): those items
+    // are unseen by definition, and keeping them would emit a second
+    // r = 0 class row inconsistent with the N_1/N unseen-mass formula
+    val counts = counts0.filter(col(countCol) >= 1)
     val u = col(countCol).cast("long")
     val nr = counts.groupBy(u.as("r")).agg(count(lit(1)).as("n_r"))
     val tot = counts.agg(

@@ -48,6 +48,10 @@ object IndexCatalog {
       jsonPaths: Seq[String] = Nil): Unit =
     entries += (norm(tableRootPath), column, kind) -> Entry(indexPath, idCol, jsonPaths)
 
+  def unregister(tableRootPath: String, column: String,
+      kind: String = Contains): Unit =
+    entries -= ((norm(tableRootPath), column, kind))
+
   def clear(): Unit = entries = Map.empty
 
   def lookup(tableRootPath: String, column: String,
@@ -147,7 +151,12 @@ case class IndexRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     } yield Probe(entry, childId, value.toString, kind)
 
   /** Root path of the single file-source relation feeding this subtree
-    * (conservative: bail out unless exactly one). */
+    * (conservative: bail out unless exactly one relation). A versioned
+    * [[graft.sources.Snapshots]] table reads N `seg-*` segment dirs in
+    * one relation; when every root is a segment dir under one parent,
+    * the TABLE root (the parent) is the index key — that is how
+    * `Snapshots.createIndex` registers, so DDL-created indexes route on
+    * multi-segment snapshots too. */
   private def scanRootPath(plan: LogicalPlan): Option[String] = {
     val rels = plan.collectLeaves().collect {
       case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
@@ -155,6 +164,14 @@ case class IndexRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     }
     rels match {
       case Seq(Seq(single)) => Some(single)
+      case Seq(many) if many.size > 1 =>
+        val parents = many.map(p => new org.apache.hadoop.fs.Path(p)).map { hp =>
+          (Option(hp.getParent).map(_.toString), hp.getName)
+        }
+        val parent = parents.head._1
+        if (parent.isDefined && parents.forall(x =>
+            x._1 == parent && x._2.startsWith("seg-"))) parent
+        else None
       case _ => None
     }
   }

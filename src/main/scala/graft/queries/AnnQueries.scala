@@ -246,6 +246,19 @@ object AnnQueries extends QueryModule {
       (s, dir) => {
         AnnIndex.Catalog.register("embeddings", "embedding", "vec_id",
           IndexStore.ann(s, dir))
+        // oracle-validity gate (r14 ADVICE): the oracle replays the
+        // full-probe fixpoint, which holds only while the engine's
+        // initial widened probe ceil(nProbe0/selectivity) covers every
+        // cluster. Recompute that arithmetic (nClusters=16, nProbe0=
+        // ceil(sqrt(16))=4 — AnnIndex.search:256) and fail LOUDLY on a
+        // corpus that breaks it instead of silently diverging.
+        val emb = table(s, dir, "embeddings")
+        val total = math.max(1L, emb.count())
+        val avail = emb.filter(col("vec_id") % 5 === 0).count()
+        val sel = math.max(avail.toDouble / total, 1.0 / 16)
+        require(math.ceil(4 / sel) >= 16,
+          f"q_tql_ann_filtered oracle assumes a full probe, but selectivity=$sel%.3f " +
+            "would widen to fewer than 16 clusters — re-derive the oracle for this corpus")
         graft.dialect.Tql.query(s, dir,
           s"""SELECT vec_id, ROUND(COSINE_SIMILARITY(embedding, ${qv0(s, dir)}), 6) AS score
              |FROM embeddings WHERE vec_id % 5 == 0

@@ -674,20 +674,34 @@ object Relational extends QueryModule {
 
     // ---- sketch-based stats (operators/Sketches): HLL distinct +
     // mergeable approx percentiles — fixed-size map-side state vs the
-    // full value shuffle exact stats need. Approximate by design →
-    // rows-only check; SketchesSpec gates the error bounds vs exact.
+    // full value shuffle exact stats need. Split (r14 verdict #6): the
+    // SKETCH columns are approximate by design → rows-only check, error
+    // bounds gated in SketchesSpec; the EXACT columns the same profile
+    // pass computes (count/min/max) hash-match DuckDB below.
     "q_sketch_stats" -> Q(
       (s, dir) => {
         graft.operators.Sketches.profile(
             table(s, dir, "lineitem"), Seq("l_returnflag"), "l_extendedprice")
-          .select(col("l_returnflag"), col("n"), col("approx_distinct"),
+          .select(col("l_returnflag"), col("approx_distinct"),
             round(element_at(col("p50_p95_p99"), 1), 2).as("p50"),
-            round(element_at(col("p50_p95_p99"), 3), 2).as("p99"),
-            round(col("mn"), 2).as("mn"), round(col("mx"), 2).as("mx"))
+            round(element_at(col("p50_p95_p99"), 3), 2).as("p99"))
           .orderBy(col("l_returnflag"))
       },
       None,
       doc = "HLL++ distinct (~2.3% rsd) and GK percentile sketches; error-gated in SketchesSpec"),
+
+    "q_sketch_stats_exact" -> Q(
+      (s, dir) => {
+        graft.operators.Sketches.profile(
+            table(s, dir, "lineitem"), Seq("l_returnflag"), "l_extendedprice")
+          .select(col("l_returnflag"), col("n"),
+            round(col("mn"), 2).as("mn"), round(col("mx"), 2).as("mx"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag, count(*) AS n,
+             |round(min(l_extendedprice), 2) AS mn, round(max(l_extendedprice), 2) AS mx
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin.replace('\n', ' ')),
+      doc = "the exact half of the sketch profile pass (count/min/max), oracle-checked"),
 
     // ---- TQL ROW_NUMBER(): zero-based row offset (tql.md:427-431).
     // Parity note: global row numbering is inherently sequential; at scale

@@ -402,6 +402,9 @@ object Snapshots {
       branch: String = Main): DataFrame = {
     val v = version.getOrElse(currentVersion(root, branch))
     val paths = segments(root, v, branch).map(s => Paths.get(root, s).toString)
+    // opening a table surfaces its persisted indexes (no-op after the
+    // first call per root; see registerIndexes)
+    registerIndexes(spark, root)
     // mergeSchema: segments written before a column was added simply
     // lack it; the merged read null-fills them (schema-evolution
     // merge-on-read, footer-only cost)
@@ -668,6 +671,173 @@ object Snapshots {
     val (b, v) = readRef(root, "tags", name)
     open(spark, root, Some(v), b)
   }
+
+  // ------------------------------------------------- index DDL
+  // The reference's first-class `Column.create_index` / `drop_index`
+  // (`python/deeplake/__init__.pyi:1678,1762`; index types
+  // `docs/tql.md` CONTAINS/BM25_SIMILARITY/COSINE_SIMILARITY routing):
+  // an index is a TABLE-owned artifact — built over the current
+  // snapshot, persisted under `<root>/_indexes/<col>__<type>/`,
+  // recorded in a manifest so REOPENING the table re-registers it with
+  // the routing catalogs (IndexRewrite semi-join rewrite, TQL
+  // BM25/ANN top-k routes), and dropped by the same verb. Incremental
+  // maintenance reuses the existing O(delta) machinery
+  // (InvertedIndex.append/delete, streaming maintainers) against the
+  // persisted artifact dirs.
+
+  /** supported index types (reference `__init__.pyi:1690-1706` enum +
+    * string forms; aliases normalized in [[createIndex]]) */
+  val IndexTypes: Set[String] =
+    Set("inverted", "exact", "json", "bm25", "clustered", "clustered_quantized")
+
+  private def indexesDir(root: String): Path = Paths.get(root, "_indexes")
+  private def indexManifest(root: String): Path =
+    indexesDir(root).resolve("manifest.json")
+  private def indexDir(root: String, column: String, tpe: String): Path =
+    indexesDir(root).resolve(s"${column}__$tpe")
+
+  /** one manifest line per index: column, type, id col, json paths */
+  private final case class IndexDef(column: String, tpe: String,
+      idCol: String, jsonPaths: Seq[String])
+
+  private def readIndexDefs(root: String): Seq[IndexDef] = {
+    val f = indexManifest(root)
+    if (!Files.exists(f)) Seq.empty
+    else new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
+      .split("\n").toSeq.map(_.trim).filter(_.nonEmpty).map { line =>
+        // fixed 4-field tab layout (column/type never contain tabs:
+        // enforced at create); avoids a JSON dependency
+        val p = line.split("\t", -1)
+        IndexDef(p(0), p(1), p(2),
+          if (p.length > 3 && p(3).nonEmpty) p(3).split("").toSeq else Nil)
+      }
+  }
+
+  private def writeIndexDefs(root: String, defs: Seq[IndexDef]): Unit = {
+    Files.createDirectories(indexesDir(root))
+    Files.write(indexManifest(root),
+      defs.map(d => s"${d.column}\t${d.tpe}\t${d.idCol}\t${d.jsonPaths.mkString("")}")
+        .mkString("\n").getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** (column, type) of every index the table owns */
+  def indexes(root: String): Seq[(String, String)] =
+    readIndexDefs(root).map(d => (d.column, d.tpe))
+
+  private def normType(t: String): String = t.toLowerCase match {
+    case "inverted_index" | "inverted" => "inverted"
+    case "exact" => "exact"
+    case "json" => "json"
+    case "bm25" => "bm25"
+    case "clustered" => "clustered"
+    case "clustered_quantized" | "quantized" => "clustered_quantized"
+    case other => throw new IllegalArgumentException(
+      s"unsupported index type '$other' (supported: ${IndexTypes.mkString(", ")})")
+  }
+
+  /** CREATE INDEX: build over the CURRENT snapshot, persist under the
+    * table root, record in the manifest, register with the routing
+    * catalog — queries route immediately and after any later reopen.
+    * Returns the artifact dir. `jsonPaths` is required for type "json"
+    * (the posting table only answers predicates on paths it holds). */
+  def createIndex(spark: SparkSession, root: String, column: String,
+      indexType: String, idCol: String,
+      jsonPaths: Seq[String] = Nil): String = {
+    val tpe = normType(indexType)
+    require(!column.contains("\t") && !idCol.contains("\t"),
+      "column names may not contain tabs")
+    require(tpe != "json" || jsonPaths.nonEmpty, "JSON index needs jsonPaths")
+    val df = open(spark, root)
+    val dir = indexDir(root, column, tpe).toString
+    import graft.operators.{AnnIndex, Bm25, InvertedIndex}
+    tpe match {
+      case "inverted" =>
+        InvertedIndex.build(df, idCol, column).write.mode("overwrite").parquet(dir)
+      case "exact" =>
+        InvertedIndex.buildExact(df, idCol, column).write.mode("overwrite").parquet(dir)
+      case "json" =>
+        InvertedIndex.buildJson(df, idCol, column, jsonPaths)
+          .write.mode("overwrite").parquet(dir)
+      case "bm25" =>
+        Bm25.save(spark, df, idCol, column, dir)
+      case "clustered" | "clustered_quantized" =>
+        val n = math.max(2, math.min(64, math.sqrt(df.count().toDouble).toInt / 4))
+        AnnIndex.save(
+          AnnIndex.build(df, idCol, column, nClusters = n,
+            quantized = tpe == "clustered_quantized"), dir)
+    }
+    val defs = readIndexDefs(root)
+      .filterNot(d => d.column == column && d.tpe == tpe)
+    writeIndexDefs(root, defs :+ IndexDef(column, tpe, idCol, jsonPaths))
+    registerOne(spark, root, IndexDef(column, tpe, idCol, jsonPaths))
+    dir
+  }
+
+  /** DROP INDEX: unregister from the routing catalog, remove from the
+    * manifest, delete the artifact — queries fall back to linear scans. */
+  def dropIndex(spark: SparkSession, root: String, column: String,
+      indexType: String): Unit = {
+    val tpe = normType(indexType)
+    import graft.operators.{AnnIndex, Bm25}
+    tpe match {
+      case "inverted" => graft.plans.IndexCatalog.unregister(root, column,
+        graft.plans.IndexCatalog.Contains)
+      case "exact" => graft.plans.IndexCatalog.unregister(root, column,
+        graft.plans.IndexCatalog.Equals)
+      case "json" => graft.plans.IndexCatalog.unregister(root, column,
+        graft.plans.IndexCatalog.Json)
+      case "bm25" => Bm25.Catalog.unregister(root, column)
+      case _ => AnnIndex.Catalog.unregister(root, column)
+    }
+    writeIndexDefs(root,
+      readIndexDefs(root).filterNot(d => d.column == column && d.tpe == tpe))
+    val p = new org.apache.hadoop.fs.Path(indexDir(root, column, tpe).toString)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    registeredIndexRoots.remove(root)
+    ()
+  }
+
+  private def registerOne(spark: SparkSession, root: String, d: IndexDef): Unit = {
+    val dir = indexDir(root, d.column, d.tpe).toString
+    import graft.operators.{AnnIndex, Bm25}
+    import graft.plans.IndexCatalog
+    d.tpe match {
+      case "inverted" =>
+        IndexCatalog.register(root, d.column, dir, d.idCol, IndexCatalog.Contains)
+      case "exact" =>
+        IndexCatalog.register(root, d.column, dir, d.idCol, IndexCatalog.Equals)
+      case "json" =>
+        IndexCatalog.register(root, d.column, dir, d.idCol, IndexCatalog.Json,
+          d.jsonPaths)
+      case "bm25" =>
+        Bm25.Catalog.register(root, d.column, d.idCol, Bm25.load(spark, dir))
+      case "clustered" | "clustered_quantized" =>
+        AnnIndex.Catalog.register(root, d.column, d.idCol,
+          AnnIndex.load(spark, dir))
+    }
+  }
+
+  /** roots whose manifest content has already been registered this
+    * session — open() calls this on every read, so it must be a cheap
+    * no-op after the first registration (and after any DDL, which
+    * invalidates by removing the root) */
+  private val registeredIndexRoots =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** test hook: simulate a fresh session (catalogs cleared elsewhere) */
+  private[graft] def resetIndexRegistry(): Unit = registeredIndexRoots.clear()
+
+  /** Re-register every persisted index with the routing catalogs —
+    * called from [[open]], so a fresh session picks a table's indexes
+    * up from the table root alone (the reference resolves indexes off
+    * the dataset, not off process state). Idempotent and cheap. */
+  def registerIndexes(spark: SparkSession, root: String): Unit =
+    if (!registeredIndexRoots.contains(root) && Files.exists(indexManifest(root))) {
+      readIndexDefs(root).foreach(registerOne(spark, root, _))
+      registeredIndexRoots.add(root)
+      ()
+    }
 
   // --------------------------------------- async commit & replication
   // The reference runs commits and remote sync off the foreground path

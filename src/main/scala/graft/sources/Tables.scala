@@ -62,7 +62,7 @@ object Tables {
     if (name == "events") {
       import org.apache.spark.sql.functions._
       import org.apache.spark.sql.types._
-      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      val raw = spark.read.options(hadoopOpts).parquet(s"$dir/$name.parquet")
       raw.schema("ts").dataType match {
         case LongType =>
           // TIMESTAMP(NANOS) corpus read under nanosAsLong: nanos arrive
@@ -83,7 +83,7 @@ object Tables {
             s"events.ts has unsupported type $other; expected " +
               "timestamp/timestamp_ntz (micros corpus) or bigint (nanos)")
       }
-    } else spark.read.parquet(s"$dir/$name.parquet")
+    } else spark.read.options(hadoopOpts).parquet(s"$dir/$name.parquet")
   }
 
   /** Register every table as a temp view so spark.sql can see them. */

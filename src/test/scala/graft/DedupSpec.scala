@@ -728,6 +728,18 @@ class DedupSpec extends AnyFunSuite {
       s"kept=$kept")
   }
 
+  test("semanticDedup at the canonical SemDeDup 0.99 operating point (r14 advice)") {
+    // q_semantic_dedup registers the 0.4 variant so its oracle is
+    // load-bearing on this corpus (no pairs above 0.5); the reference's
+    // canonical 0.99 stays represented HERE: at 0.99 the same corpus
+    // must merge nothing (no false positives at the paper's threshold),
+    // while the planted-group test above covers true merges near 1.0.
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val kept = graft.operators.Dedup.semanticDedup(
+      emb, "vec_id", "embedding", threshold = 0.99, nClusters = 8).count()
+    assert(kept === emb.count())
+  }
+
   test("fuzzyJoin stays complete on short strings (brute-force parity incl. empties)") {
     import spark.implicits._
     def lev(a: String, b: String): Int = {

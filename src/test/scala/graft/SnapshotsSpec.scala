@@ -469,4 +469,71 @@ class SnapshotsSpec extends AnyFunSuite with BeforeAndAfterAll {
       Snapshots.push(spark, root, remote)
     }
   }
+
+  test("createIndex/dropIndex: table-owned index DDL routes, survives reopen, un-routes (__init__.pyi:1678,1762)") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val root = freshRoot()
+    val docs = Seq(
+      (1L, "spark shuffles data across executors"),
+      (2L, "catalyst optimizes the logical plan"),
+      (3L, "parquet scans push filters down"),
+      (4L, "spark broadcasts small tables")).toDF("doc_id", "text")
+    Snapshots.create(spark, root, docs)
+    // MULTI-segment table: the rewrite must key on the TABLE root, not a
+    // single segment path
+    Snapshots.append(spark, root, Seq((5L, "tungsten generates java code"),
+      (6L, "spark caches hot frames")).toDF("doc_id", "text"))
+
+    GraftExtensions.register(spark)
+    graft.plans.IndexCatalog.clear()
+    Snapshots.resetIndexRegistry()
+    Snapshots.createIndex(spark, root, "text", "inverted", "doc_id")
+    assert(Snapshots.indexes(root) === Seq(("text", "inverted")))
+
+    def q() = Snapshots.open(spark, root).filter(
+      array_contains(split(lower(col("text")), "[^a-z0-9]+"), "spark"))
+    def semiJoins(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case j: Join if j.joinType == LeftSemi => j }.size
+
+    // routes: CONTAINS-shaped filter becomes a posting-table semi-join
+    val routed = q()
+    assert(semiJoins(routed) == 1, routed.queryExecution.optimizedPlan.toString)
+    assert(routed.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(1L, 4L, 6L))
+
+    // a FRESH session (cleared catalogs) picks the index up from the
+    // table root alone, via open()
+    graft.plans.IndexCatalog.clear()
+    Snapshots.resetIndexRegistry()
+    val reopened = q()
+    assert(semiJoins(reopened) == 1, reopened.queryExecution.optimizedPlan.toString)
+    assert(reopened.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(1L, 4L, 6L))
+
+    // TQL statement form against the versioned root (quoted target)
+    val row = graft.dialect.Tql.query(spark, root,
+      s"""CREATE INDEX ON "$root" (text) TYPE exact ID doc_id""").collect()(0)
+    assert(row.getString(2) === "exact")
+    assert(Snapshots.indexes(root).toSet ===
+      Set(("text", "inverted"), ("text", "exact")))
+    val eq = Snapshots.open(spark, root)
+      .filter(col("text") === "catalyst optimizes the logical plan")
+    assert(semiJoins(eq) == 1, eq.queryExecution.optimizedPlan.toString)
+    assert(eq.select("doc_id").collect().map(_.getLong(0)).toSeq === Seq(2L))
+
+    // drop: falls back to the linear scan, same rows
+    graft.dialect.Tql.query(spark, root,
+      s"""DROP INDEX ON "$root" (text) TYPE exact""").collect()
+    Snapshots.dropIndex(spark, root, "text", "inverted")
+    assert(Snapshots.indexes(root).isEmpty)
+    val linear = q()
+    assert(semiJoins(linear) == 0, linear.queryExecution.optimizedPlan.toString)
+    assert(linear.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(1L, 4L, 6L))
+    // artifacts are gone from the table root
+    assert(!Files.exists(java.nio.file.Paths.get(root, "_indexes", "text__inverted")))
+  }
 }

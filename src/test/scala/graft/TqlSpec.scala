@@ -21,6 +21,20 @@ class CredentialedLocalFs extends org.apache.hadoop.fs.RawLocalFileSystem {
   }
 }
 
+/** A second "cloud": same credential KEY (`graftfs.secret`) but a
+  * different required value — two stores in one query can only both
+  * open if each scan carries its own conf (per-alias storage options;
+  * one query-wide map cannot hold two values for one key). */
+class CredentialedLocalFsB extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "graftfsb"
+  override def getUri: java.net.URI = java.net.URI.create("graftfsb:///")
+  override def initialize(uri: java.net.URI,
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
+    require(conf.get("graftfs.secret") == "opensesame", "graftfsb: wrong credential")
+    super.initialize(uri, conf)
+  }
+}
+
 /** TQL dialect frontend: parse + compile + execute against sf0.001,
   * cross-checked with directly-built DataFrames. */
 class TqlSpec extends AnyFunSuite with BeforeAndAfterAll {
@@ -536,6 +550,79 @@ class TqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     // and the cluster-wide conf was never mutated
     assert(spark.sparkContext.hadoopConfiguration.get("fs.graftfs.impl") == null)
     assert(spark.sparkContext.hadoopConfiguration.get("graftfs.secret") == null)
+  }
+
+  test("cross-cloud join carries per-ALIAS credentials (tql.hpp:52-70, table.hpp:31)") {
+    // two "clouds" = two schemes whose FS impls demand CONFLICTING values
+    // for the SAME conf key (graftfs.secret): letmein vs opensesame. A
+    // single query-wide storageOptions map cannot satisfy both sides of
+    // the join; storageOptionsByAlias clones each alias its own scan conf.
+    val urlA = "graftfs:///root/testdata/sf0.001/orders.parquet"
+    val urlB = "graftfsb:///root/testdata/sf0.001/customer.parquet"
+    val shared = Map(
+      "fs.graftfs.impl" -> classOf[CredentialedLocalFs].getName,
+      "fs.graftfsb.impl" -> classOf[CredentialedLocalFsB].getName,
+      "fs.graftfs.impl.disable.cache" -> "true",
+      "fs.graftfsb.impl.disable.cache" -> "true")
+    val sql =
+      s"""SELECT o_orderkey, c_name
+         |FROM "$urlA" AS o JOIN "$urlB" AS c ON o.o_custkey == c.c_custkey
+         |WHERE o_totalprice > 300000 ORDER BY o_orderkey LIMIT 20""".stripMargin
+    val byAlias = Map(
+      "o" -> Map("graftfs.secret" -> "letmein"),
+      "c" -> Map("graftfs.secret" -> "opensesame"))
+    val got = Tql.queryWithOptions(spark, dir, sql,
+      Tql.Options(storageOptions = shared, storageOptionsByAlias = byAlias)).get
+    val want = tbl("orders").join(tbl("customer"),
+        col("o_custkey") === col("c_custkey"))
+      .filter(col("o_totalprice") > 300000)
+      .select(col("o_orderkey"), col("c_name"))
+      .orderBy("o_orderkey").limit(20)
+    assert(got.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      want.collect().map(r => (r.getLong(0), r.getString(1))).toSeq)
+    assert(got.count() > 0)
+    // swapped alias maps -> each side sees the OTHER cloud's credential
+    intercept[Exception] {
+      Tql.queryWithOptions(spark, dir, sql, Tql.Options(
+        storageOptions = shared,
+        storageOptionsByAlias = Map(
+          "o" -> Map("graftfs.secret" -> "opensesame"),
+          "c" -> Map("graftfs.secret" -> "letmein")))).get.count()
+    }
+    // one query-wide map is structurally unable to hold both values
+    intercept[Exception] {
+      Tql.queryWithOptions(spark, dir, sql, Tql.Options(
+        storageOptions = shared + ("graftfs.secret" -> "letmein"))).get.count()
+    }
+    // per-alias overrides the query-wide value for that alias only
+    val overridden = Tql.queryWithOptions(spark, dir, sql, Tql.Options(
+      storageOptions = shared + ("graftfs.secret" -> "letmein"),
+      storageOptionsByAlias = Map("c" -> Map("graftfs.secret" -> "opensesame")))).get
+    assert(overridden.count() === want.count())
+  }
+
+  test("CREATE/DROP INDEX statements on a named table register and unregister routes (__init__.pyi:1678,1762)") {
+    import graft.operators.Bm25
+    import graft.plans.IndexCatalog
+    Bm25.Catalog.clear()
+    val r = Tql.query(spark, dir,
+      "CREATE INDEX ON documents (text) TYPE bm25 ID doc_id").collect()(0)
+    assert(r.getString(0) === "documents" && r.getString(2) === "bm25")
+    assert(Bm25.Catalog.lookup("documents", "text").isDefined)
+    // the routed TQL query serves from the DDL-created index
+    val routed = Tql.query(spark, dir,
+      """SELECT doc_id, ROUND(BM25_SIMILARITY(text, 'spark join'), 6) AS s
+        |FROM documents ORDER BY s DESC, doc_id LIMIT 5""".stripMargin).collect()
+    assert(routed.length === 5)
+    Tql.query(spark, dir, "DROP INDEX ON documents (text) TYPE bm25").collect()
+    assert(Bm25.Catalog.lookup("documents", "text").isEmpty)
+
+    // inverted form keys the plan-level catalog by the table's parquet root
+    Tql.query(spark, dir,
+      "CREATE INDEX ON documents (text) TYPE inverted ID doc_id").collect()
+    assert(IndexCatalog.lookup(s"$dir/documents.parquet", "text").isDefined)
+    Tql.query(spark, dir, "DROP INDEX ON documents (text) TYPE inverted").collect()
+    assert(IndexCatalog.lookup(s"$dir/documents.parquet", "text").isEmpty)
   }
 
   test("BM25_SIMILARITY routes through a registered index, composes with WHERE (index_search.cpp:135-169)") {
