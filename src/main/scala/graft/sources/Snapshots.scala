@@ -434,9 +434,13 @@ object Snapshots {
       if (allowSchemaEvolution)
         df.select((shared ++ df.columns.filterNot(cur.columns.contains)).map(col): _*)
       else df.select(cur.columns.map(col): _*)
-    commit(root,
+    val v = commit(root,
       segments(root, currentVersion(root, branch), branch) :+ newSegment(root, aligned),
       branch)
+    // owned indexes absorb exactly the delta (Main only: the artifacts
+    // index the main-branch table; branch readers fall back to scans)
+    if (branch == Main) maintainIndexesOnAppend(spark, root, aligned)
+    v
   }
 
   /** Expectations-enforced append (the DLT ingest gate): rows meeting
@@ -497,15 +501,22 @@ object Snapshots {
       s"merge schema mismatch: ${source.columns.mkString(",")} vs ${cur.columns.mkString(",")}")
     val aligned = source.select(cur.columns.map(col): _*)
     if (insertOnly) {
+      // the anti-join delta lands as ONE segment and the owned indexes
+      // absorb exactly it — pin first so maintenance reuses the rows the
+      // commit wrote rather than re-running the anti-join
       val fresh = aligned.join(cur.select(keyCols.map(col): _*).distinct(),
-        keyCols, "left_anti")
-      commit(root,
+        keyCols, "left_anti").localCheckpoint()
+      val v = commit(root,
         segments(root, currentVersion(root, branch), branch) :+ newSegment(root, fresh),
         branch)
+      if (branch == Main) maintainIndexesOnAppend(spark, root, fresh)
+      v
     } else {
       val survivors = cur.join(aligned.select(keyCols.map(col): _*).distinct(),
         keyCols, "left_anti")
-      commit(root, Seq(newSegment(root, survivors.unionByName(aligned))), branch)
+      val v = commit(root, Seq(newSegment(root, survivors.unionByName(aligned))), branch)
+      if (branch == Main) rebuildIndexes(spark, root)
+      v
     }
   }
 
@@ -523,8 +534,14 @@ object Snapshots {
     rewrite(spark, root, _.withColumnRenamed(from, to), branch)
 
   private def rewrite(spark: SparkSession, root: String,
-      f: DataFrame => DataFrame, branch: String): Long =
-    commit(root, Seq(newSegment(root, f(open(spark, root, branch = branch)))), branch)
+      f: DataFrame => DataFrame, branch: String): Long = {
+    val v = commit(root,
+      Seq(newSegment(root, f(open(spark, root, branch = branch)))), branch)
+    // COW already rewrote the table; owned indexes rebuild from the new
+    // snapshot (same cost class; see rebuildIndexes)
+    if (branch == Main) rebuildIndexes(spark, root)
+    v
+  }
 
   // ------------------------------------------------- table maintenance
 
@@ -747,25 +764,8 @@ object Snapshots {
     require(!column.contains("\t") && !idCol.contains("\t"),
       "column names may not contain tabs")
     require(tpe != "json" || jsonPaths.nonEmpty, "JSON index needs jsonPaths")
-    val df = open(spark, root)
+    buildIndexArtifact(spark, root, IndexDef(column, tpe, idCol, jsonPaths))
     val dir = indexDir(root, column, tpe).toString
-    import graft.operators.{AnnIndex, Bm25, InvertedIndex}
-    tpe match {
-      case "inverted" =>
-        InvertedIndex.build(df, idCol, column).write.mode("overwrite").parquet(dir)
-      case "exact" =>
-        InvertedIndex.buildExact(df, idCol, column).write.mode("overwrite").parquet(dir)
-      case "json" =>
-        InvertedIndex.buildJson(df, idCol, column, jsonPaths)
-          .write.mode("overwrite").parquet(dir)
-      case "bm25" =>
-        Bm25.save(spark, df, idCol, column, dir)
-      case "clustered" | "clustered_quantized" =>
-        val n = math.max(2, math.min(64, math.sqrt(df.count().toDouble).toInt / 4))
-        AnnIndex.save(
-          AnnIndex.build(df, idCol, column, nClusters = n,
-            quantized = tpe == "clustered_quantized"), dir)
-    }
     val defs = readIndexDefs(root)
       .filterNot(d => d.column == column && d.tpe == tpe)
     writeIndexDefs(root, defs :+ IndexDef(column, tpe, idCol, jsonPaths))
@@ -797,6 +797,100 @@ object Snapshots {
     registeredIndexRoots.remove(root)
     ()
   }
+
+  /** (re)build one index artifact from the table's CURRENT snapshot */
+  private def buildIndexArtifact(spark: SparkSession, root: String,
+      d: IndexDef): Unit = {
+    val df = open(spark, root)
+    val dir = indexDir(root, d.column, d.tpe).toString
+    import graft.operators.{AnnIndex, Bm25, InvertedIndex}
+    d.tpe match {
+      case "inverted" =>
+        InvertedIndex.build(df, d.idCol, d.column).write.mode("overwrite").parquet(dir)
+      case "exact" =>
+        InvertedIndex.buildExact(df, d.idCol, d.column).write.mode("overwrite").parquet(dir)
+      case "json" =>
+        InvertedIndex.buildJson(df, d.idCol, d.column, d.jsonPaths)
+          .write.mode("overwrite").parquet(dir)
+      case "bm25" =>
+        Bm25.save(spark, df, d.idCol, d.column, dir)
+      case "clustered" | "clustered_quantized" =>
+        val n = math.max(2, math.min(64, math.sqrt(df.count().toDouble).toInt / 4))
+        AnnIndex.save(
+          AnnIndex.build(df, d.idCol, d.column, nClusters = n,
+            quantized = d.tpe == "clustered_quantized"), dir)
+    }
+  }
+
+  /** O(delta) maintenance when `delta` rows land ([[append]] /
+    * insert-only [[mergeInto]]): the per-doc posting families
+    * (inverted/exact/json) absorb exactly the delta's own rows as new
+    * parquet files — the existing corpus is never re-read; BM25
+    * tokenizes ONLY the delta and merges stats algebraically
+    * ([[graft.operators.Bm25.appendToIndex]]), re-persisting the merged
+    * artifact (write is O(index), tokenize O(delta)); clustered ANN
+    * assigns the delta to the EXISTING centroids
+    * ([[graft.operators.AnnIndex.assignDelta]]) as one absorbed batch
+    * segment — the same recall envelope as the streaming maintainer.
+    * Failures never poison the committed data: the index is advisory,
+    * so a broken maintenance pass logs and leaves the artifact to a
+    * rebuild. */
+  private def maintainIndexesOnAppend(spark: SparkSession, root: String,
+      delta: DataFrame): Unit =
+    readIndexDefs(root).foreach { d =>
+      val dir = indexDir(root, d.column, d.tpe).toString
+      import graft.operators.{AnnIndex, Bm25, InvertedIndex}
+      try {
+        d.tpe match {
+          case "inverted" =>
+            InvertedIndex.build(delta, d.idCol, d.column)
+              .write.mode("append").parquet(dir)
+          case "exact" =>
+            InvertedIndex.buildExact(delta, d.idCol, d.column)
+              .write.mode("append").parquet(dir)
+          case "json" =>
+            InvertedIndex.buildJson(delta, d.idCol, d.column, d.jsonPaths)
+              .write.mode("append").parquet(dir)
+          case "bm25" =>
+            Bm25.saveIndex(
+              Bm25.appendToIndex(Bm25.load(spark, dir), delta, d.idCol, d.column),
+              dir)
+          case "clustered" | "clustered_quantized" =>
+            AnnIndex.assignDelta(AnnIndex.load(spark, dir), delta, d.idCol, d.column)
+              .write.mode("overwrite")
+              .parquet(s"$dir/assignments/batch=seg${System.nanoTime()}")
+        }
+        refreshRegistration(spark, root, d)
+      } catch { case e: Throwable =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"index maintenance (${d.column}__${d.tpe}) failed on append under $root: " +
+            s"${e.getMessage}; dropIndex + createIndex to rebuild")
+      }
+    }
+
+  /** COW mutations (delete/update/column DDL/full merge) rebuild each
+    * owned index from the new snapshot: the mutation itself is already
+    * an O(table) rewrite, so the rebuild matches its cost class (and
+    * the delete==rebuild-without law is what IndexMaintenanceSpec holds
+    * for the streaming path). */
+  private def rebuildIndexes(spark: SparkSession, root: String): Unit =
+    readIndexDefs(root).foreach { d =>
+      try {
+        buildIndexArtifact(spark, root, d)
+        refreshRegistration(spark, root, d)
+      } catch { case e: Throwable =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"index rebuild (${d.column}__${d.tpe}) failed under $root: ${e.getMessage}")
+      }
+    }
+
+  /** bm25/ann catalog entries hold LOADED frames — refresh them after
+    * the artifact moved under them (plan-level entries read the path
+    * fresh per query and need nothing) */
+  private def refreshRegistration(spark: SparkSession, root: String,
+      d: IndexDef): Unit =
+    if (d.tpe == "bm25" || d.tpe == "clustered" || d.tpe == "clustered_quantized")
+      registerOne(spark, root, d)
 
   private def registerOne(spark: SparkSession, root: String, d: IndexDef): Unit = {
     val dir = indexDir(root, d.column, d.tpe).toString

@@ -536,4 +536,56 @@ class SnapshotsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // artifacts are gone from the table root
     assert(!Files.exists(java.nio.file.Paths.get(root, "_indexes", "text__inverted")))
   }
+
+  test("table-owned indexes: O(delta) absorb on append, rebuild on COW delete") {
+    import spark.implicits._
+    import graft.operators.{Bm25, InvertedIndex}
+    val root = freshRoot()
+    Snapshots.create(spark, root, Seq(
+      (1L, "spark shuffles data"),
+      (2L, "catalyst optimizes plans"),
+      (3L, "parquet pushes filters")).toDF("doc_id", "text"))
+    GraftExtensions.register(spark)
+    graft.plans.IndexCatalog.clear()
+    Snapshots.resetIndexRegistry()
+    Snapshots.createIndex(spark, root, "text", "inverted", "doc_id")
+    Snapshots.createIndex(spark, root, "text", "bm25", "doc_id")
+
+    // append: postings absorb exactly the delta; the routed query sees
+    // the new doc without any rebuild
+    Snapshots.append(spark, root, Seq(
+      (4L, "spark broadcasts tables"),
+      (5L, "tungsten compiles code")).toDF("doc_id", "text"))
+    val routed = Snapshots.open(spark, root).filter(
+        array_contains(split(lower(col("text")), "[^a-z0-9]+"), "spark"))
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(routed === Seq(1L, 4L))
+
+    // absorb == rebuild: the live posting set matches a from-scratch build
+    val live = spark.read.parquet(s"$root/_indexes/text__inverted")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val rebuilt = InvertedIndex.build(Snapshots.open(spark, root), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(live === rebuilt)
+
+    // BM25 stats merged algebraically == full rebuild (catalog refreshed)
+    val entry = Bm25.Catalog.lookup(root, "text").get
+    val fromMaintained = Bm25.scoreWithIndex(entry.index, Seq("spark"))
+      .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e6))).toSet
+    val fromRebuild = Bm25.scoreWithIndex(
+        Bm25.buildIndex(Snapshots.open(spark, root), "doc_id", "text"), Seq("spark"))
+      .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e6))).toSet
+    assert(fromMaintained === fromRebuild && fromMaintained.nonEmpty)
+
+    // COW delete rebuilds: the dropped doc leaves the index, the route
+    // stays correct
+    Snapshots.deleteWhere(spark, root, col("doc_id") === 1L)
+    val afterDelete = Snapshots.open(spark, root).filter(
+        array_contains(split(lower(col("text")), "[^a-z0-9]+"), "spark"))
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(afterDelete === Seq(4L))
+    val postDocIds = spark.read.parquet(s"$root/_indexes/text__inverted")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(!postDocIds.contains(1L))
+  }
 }
