@@ -96,6 +96,12 @@ object Headline {
     // q_wordpiece_encode (2.30s) are the largest unechoed steady-state
     // tails — in; retired q_hybrid_search (flat at 0.69s since its r14
     // fused-route win).
+    //
+    // Echo-noise annotation (r15): the sub-second bellwethers (q9, q21)
+    // can show |head-echo| > 30% purely from constant per-run overhead
+    // (~0.2s of scheduler/cache-sweep noise dominates a 0.5s query) —
+    // read their RATIOS as diagnostics only; the >2s headliners are the
+    // regression-callable numbers.
     "q_dsir_sample", "q_wordpiece_encode")
 }
 

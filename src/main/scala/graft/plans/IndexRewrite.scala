@@ -143,8 +143,8 @@ case class IndexRewrite(spark: SparkSession) extends Rule[LogicalPlan]
   private def lookup(child: LogicalPlan, attr: AttributeReference, value: Any,
       kind: String): Option[Probe] =
     for {
-      rootPath <- scanRootPath(child)
-      entry <- IndexCatalog.lookup(rootPath, attr.name, kind)
+      entry <- scanRootPaths(child)
+        .flatMap(IndexCatalog.lookup(_, attr.name, kind)).headOption
       childId <- child.output.collectFirst {
         case a: AttributeReference if a.name == entry.idCol => a
       }
@@ -157,22 +157,27 @@ case class IndexRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     * the TABLE root (the parent) is the index key — that is how
     * `Snapshots.createIndex` registers, so DDL-created indexes route on
     * multi-segment snapshots too. */
-  private def scanRootPath(plan: LogicalPlan): Option[String] = {
+  private def scanRootPaths(plan: LogicalPlan): Seq[String] = {
     val rels = plan.collectLeaves().collect {
       case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
         fs.location.rootPaths.map(_.toString)
     }
+    def segParent(paths: Seq[String]): Option[String] = {
+      val parsed = paths.map(p => new org.apache.hadoop.fs.Path(p)).map { hp =>
+        (Option(hp.getParent).map(_.toString), hp.getName)
+      }
+      val parent = parsed.head._1
+      if (parent.isDefined && parsed.forall(x =>
+          x._1 == parent && x._2.startsWith("seg-"))) parent
+      else None
+    }
     rels match {
-      case Seq(Seq(single)) => Some(single)
-      case Seq(many) if many.size > 1 =>
-        val parents = many.map(p => new org.apache.hadoop.fs.Path(p)).map { hp =>
-          (Option(hp.getParent).map(_.toString), hp.getName)
-        }
-        val parent = parents.head._1
-        if (parent.isDefined && parents.forall(x =>
-            x._1 == parent && x._2.startsWith("seg-"))) parent
-        else None
-      case _ => None
+      // a lone root is itself a candidate; a lone SEGMENT dir (a
+      // single-segment snapshot) is additionally addressable by its
+      // table root — DDL indexes register under the root
+      case Seq(Seq(single)) => single +: segParent(Seq(single)).toSeq
+      case Seq(many) if many.size > 1 => segParent(many).toSeq
+      case _ => Nil
     }
   }
 }

@@ -713,6 +713,12 @@ object Snapshots {
   private def indexDir(root: String, column: String, tpe: String): Path =
     indexesDir(root).resolve(s"${column}__$tpe")
 
+  /** json-path list separator inside the tab-framed manifest line: the
+    * ASCII unit separator, constructed in code (source hygiene: no raw
+    * control bytes in source, no unicode escapes for the scanner to
+    * pre-process) */
+  private val PathSep = 31.toChar.toString
+
   /** one manifest line per index: column, type, id col, json paths */
   private final case class IndexDef(column: String, tpe: String,
       idCol: String, jsonPaths: Seq[String])
@@ -726,14 +732,14 @@ object Snapshots {
         // enforced at create); avoids a JSON dependency
         val p = line.split("\t", -1)
         IndexDef(p(0), p(1), p(2),
-          if (p.length > 3 && p(3).nonEmpty) p(3).split("").toSeq else Nil)
+          if (p.length > 3 && p(3).nonEmpty) p(3).split(PathSep).toSeq else Nil)
       }
   }
 
   private def writeIndexDefs(root: String, defs: Seq[IndexDef]): Unit = {
     Files.createDirectories(indexesDir(root))
     Files.write(indexManifest(root),
-      defs.map(d => s"${d.column}\t${d.tpe}\t${d.idCol}\t${d.jsonPaths.mkString("")}")
+      defs.map(d => s"${d.column}\t${d.tpe}\t${d.idCol}\t${d.jsonPaths.mkString(PathSep)}")
         .mkString("\n").getBytes(StandardCharsets.UTF_8))
   }
 

@@ -588,4 +588,34 @@ class SnapshotsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
     assert(!postDocIds.contains(1L))
   }
+
+  test("json index DDL: path list survives the manifest round-trip and routes after reopen") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val root = freshRoot()
+    Snapshots.create(spark, root, Seq(
+      (1L, """{"k": "a", "x": 1}"""),
+      (2L, """{"k": "b", "x": 2}"""),
+      (3L, """{"k": "a", "x": 3}""")).toDF("doc_id", "props"))
+    GraftExtensions.register(spark)
+    graft.plans.IndexCatalog.clear()
+    Snapshots.resetIndexRegistry()
+    Snapshots.createIndex(spark, root, "props", "json", "doc_id",
+      jsonPaths = Seq("$.k", "$.x"))
+    // fresh session: paths must come back from the persisted manifest
+    graft.plans.IndexCatalog.clear()
+    Snapshots.resetIndexRegistry()
+    val q = Snapshots.open(spark, root)
+      .filter(get_json_object(col("props"), "$.k") === "a")
+    val semis = q.queryExecution.optimizedPlan.collect {
+      case j: Join if j.joinType == LeftSemi => j }.size
+    assert(semis == 1, q.queryExecution.optimizedPlan.toString)
+    assert(q.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 3L))
+    // a path the index does NOT hold stays a linear scan (correctness guard)
+    val other = Snapshots.open(spark, root)
+      .filter(get_json_object(col("props"), "$.missing") === "a")
+    assert(other.queryExecution.optimizedPlan.collect {
+      case j: Join if j.joinType == LeftSemi => j }.isEmpty)
+  }
 }
