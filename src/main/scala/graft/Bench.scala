@@ -102,6 +102,14 @@ object Headline {
     // (~0.2s of scheduler/cache-sweep noise dominates a 0.5s query) —
     // read their RATIOS as diagnostics only; the >2s headliners are the
     // regression-callable numbers.
+    //
+    // Cross-round comparability (r15): with the full-scale prewarm in
+    // place, head medians now price fresh-JVM STEADY STATE (TimeOne
+    // reps 2-3). A few r14 heads were flattered by favorable suite-
+    // start state and tick UP in r15 without any code change —
+    // verified: q_graph_triangles r14 head 2.77 vs TimeOne steady 3.6
+    // (r15 head 3.96, echo 4.86), q_robust_mad r14 2.01 vs r15 2.53.
+    // Their r14 echoes (4.24 / 3.73) already showed the honest number.
     "q_dsir_sample", "q_wordpiece_encode")
 }
 
