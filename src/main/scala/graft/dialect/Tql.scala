@@ -392,23 +392,25 @@ object Tql {
   private val DropIndexRe =
     """(?is)^\s*DROP\s+INDEX\s+ON\s+("[^"]+"|[A-Za-z_]\w*)\s*\(\s*([A-Za-z_]\w*)\s*\)\s+TYPE\s+([A-Za-z_]\w*)\s*$""".r
 
-  private def md5hex(s: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-
   private def isSnapshotRoot(p: String): Boolean =
     java.nio.file.Files.exists(java.nio.file.Paths.get(p, "_v"))
 
-  /** (named-table catalog key, session artifact dir) for a non-versioned
-    * target: the key is the parquet root path IndexRewrite scans resolve
-    * to; artifacts go to the local cache (the source dir may be
+  /** (catalog key, session artifact dir) for a non-versioned target.
+    * The key must equal the root path the table's SCANS resolve to
+    * (that is what IndexRewrite looks up): the URL itself for a quoted
+    * path/URL target, `<dataset dir>/<name>.parquet` for a named
+    * table. Artifacts go to the local cache (the source dir may be
     * read-only — e.g. the driver's corpus). */
   private def namedIndexHome(name: String, colName: String, tpe: String): (String, String) = {
-    val dsDir = currentDataset.get().getOrElse(throw new IllegalArgumentException(
-      "CREATE/DROP INDEX on a named table needs a dataset context"))
-    val key = s"$dsDir/$name.parquet"
+    val key =
+      if (graft.sources.Tables.isUrl(name)) name.stripPrefix("file:").stripSuffix("/")
+      else {
+        val dsDir = currentDataset.get().getOrElse(throw new IllegalArgumentException(
+          "CREATE/DROP INDEX on a named table needs a dataset context"))
+        s"$dsDir/$name.parquet"
+      }
     val dir = new java.io.File(
-      s"target/graft-ddl-indexes/${md5hex(key)}/${colName}__$tpe").getAbsolutePath
+      s"target/graft-ddl-indexes/${graft.operators.IndexStore.md5hex(key)}/${colName}__$tpe").getAbsolutePath
     (key, dir)
   }
 
@@ -465,6 +467,11 @@ object Tql {
     import graft.operators.{AnnIndex, Bm25}
     import graft.plans.IndexCatalog
     val tpe = tpe0.toLowerCase
+    require(Set("inverted", "exact", "json", "bm25", "clustered",
+        "clustered_quantized").contains(tpe),
+      s"unsupported index type '$tpe'") // a typo must not fall through to
+                                        // the ANN case and unregister a
+                                        // live clustered index
     val quoted = target.startsWith("\"")
     val name = target.stripPrefix("\"").stripSuffix("\"")
     if (quoted && isSnapshotRoot(name))

@@ -33,7 +33,7 @@ object IndexStore {
   /** bump when an artifact's on-disk layout changes */
   private val FormatVersion = "v1"
 
-  private def md5hex(s: String): String =
+  private[graft] def md5hex(s: String): String =
     MessageDigest.getInstance("MD5").digest(s.getBytes(StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString
 

@@ -168,8 +168,16 @@ case class IndexRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       }
       val parent = parsed.head._1
       if (parent.isDefined && parsed.forall(x =>
-          x._1 == parent && x._2.startsWith("seg-"))) parent
-      else None
+          x._1 == parent && x._2.startsWith("seg-"))) {
+        // table-owned indexes reflect the CURRENT main-branch version
+        // only: a branch / time-travel / stale-plan scan whose segment
+        // set differs must NOT be answered from the index (it would
+        // silently return another version's rows) — fall back to scan
+        val segs = parsed.map(_._2).toSet
+        val current = try graft.sources.Snapshots.currentMainSegments(
+          parent.get.stripPrefix("file:")) catch { case _: Throwable => Set.empty[String] }
+        if (segs == current) parent else None
+      } else None
     }
     rels match {
       // a lone root is itself a candidate; a lone SEGMENT dir (a

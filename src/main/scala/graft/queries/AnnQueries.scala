@@ -15,6 +15,10 @@ import graft.operators.{AnnIndex, IndexStore}
   */
 object AnnQueries extends QueryModule {
 
+  /** one-time-per-corpus oracle-validity gates (see q_tql_ann_filtered) */
+  private val annFilteredGate =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
   /** vec_id 0's embedding as a TQL ARRAY literal, each float printed as
     * its promoted double (so a SQL ::DOUBLE[] cast of the same source
     * row yields bit-identical values — printing the FLOAT's shortest
@@ -252,13 +256,19 @@ object AnnQueries extends QueryModule {
         // cluster. Recompute that arithmetic (nClusters=16, nProbe0=
         // ceil(sqrt(16))=4 — AnnIndex.search:256) and fail LOUDLY on a
         // corpus that breaks it instead of silently diverging.
-        val emb = table(s, dir, "embeddings")
-        val total = math.max(1L, emb.count())
-        val avail = emb.filter(col("vec_id") % 5 === 0).count()
-        val sel = math.max(avail.toDouble / total, 1.0 / 16)
-        require(math.ceil(4 / sel) >= 16,
-          f"q_tql_ann_filtered oracle assumes a full probe, but selectivity=$sel%.3f " +
-            "would widen to fewer than 16 clusters — re-derive the oracle for this corpus")
+        // static per corpus -> memoized: the two count jobs must not
+        // ride inside the TIMED query body (bench reps would price gate
+        // arithmetic, not query work)
+        annFilteredGate.computeIfAbsent(dir, { d: String =>
+          val emb = table(s, d, "embeddings")
+          val total = math.max(1L, emb.count())
+          val avail = emb.filter(col("vec_id") % 5 === 0).count()
+          val sel = math.max(avail.toDouble / total, 1.0 / 16)
+          require(math.ceil(4 / sel) >= 16,
+            f"q_tql_ann_filtered oracle assumes a full probe, but selectivity=$sel%.3f " +
+              "would widen to fewer than 16 clusters — re-derive the oracle for this corpus")
+          java.lang.Boolean.TRUE
+        })
         graft.dialect.Tql.query(s, dir,
           s"""SELECT vec_id, ROUND(COSINE_SIMILARITY(embedding, ${qv0(s, dir)}), 6) AS score
              |FROM embeddings WHERE vec_id % 5 == 0

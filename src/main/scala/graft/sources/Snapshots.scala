@@ -430,16 +430,22 @@ object Snapshots {
         s"append schema mismatch: ${df.columns.mkString(",")} vs ${cur.columns.mkString(",")}")
     }
     val shared = cur.columns.filter(df.columns.contains)
-    val aligned =
+    val aligned0 =
       if (allowSchemaEvolution)
         df.select((shared ++ df.columns.filterNot(cur.columns.contains)).map(col): _*)
       else df.select(cur.columns.map(col): _*)
+    // when owned indexes will absorb this delta, pin it FIRST: index
+    // maintenance must tokenize the exact rows the commit wrote, not a
+    // re-evaluation of a possibly non-deterministic source (same trap
+    // appendWithExpectations documents for its quarantine rows)
+    val willMaintain = branch == Main && readIndexDefs(root).nonEmpty
+    val aligned = if (willMaintain) aligned0.localCheckpoint() else aligned0
     val v = commit(root,
       segments(root, currentVersion(root, branch), branch) :+ newSegment(root, aligned),
       branch)
     // owned indexes absorb exactly the delta (Main only: the artifacts
     // index the main-branch table; branch readers fall back to scans)
-    if (branch == Main) maintainIndexesOnAppend(spark, root, aligned)
+    if (willMaintain) maintainIndexesOnAppend(spark, root, aligned)
     v
   }
 
@@ -868,9 +874,11 @@ object Snapshots {
         }
         refreshRegistration(spark, root, d)
       } catch { case e: Throwable =>
-        org.slf4j.LoggerFactory.getLogger(getClass).warn(
-          s"index maintenance (${d.column}__${d.tpe}) failed on append under $root: " +
-            s"${e.getMessage}; dropIndex + createIndex to rebuild")
+        // the semi-join rewrite ANSWERS queries from the index, so a
+        // stale index is wrong results, not slow ones: quarantine it
+        // (unregister + drop from the manifest) and fall back to scans
+        quarantineIndex(spark, root, d,
+          s"maintenance failed on append: ${e.getMessage}")
       }
     }
 
@@ -885,10 +893,32 @@ object Snapshots {
         buildIndexArtifact(spark, root, d)
         refreshRegistration(spark, root, d)
       } catch { case e: Throwable =>
-        org.slf4j.LoggerFactory.getLogger(getClass).warn(
-          s"index rebuild (${d.column}__${d.tpe}) failed under $root: ${e.getMessage}")
+        quarantineIndex(spark, root, d,
+          s"rebuild after copy-on-write failed: ${e.getMessage}")
       }
     }
+
+  /** A failed maintenance/rebuild must not leave a stale index live
+    * (routed queries would silently return another version's rows):
+    * unregister, drop from the manifest so a FRESH session cannot
+    * re-register the broken artifact, delete the artifact best-effort,
+    * and log loudly. The table data itself is untouched — queries fall
+    * back to linear scans until createIndex runs again. */
+  private def quarantineIndex(spark: SparkSession, root: String,
+      d: IndexDef, cause: String): Unit = {
+    org.slf4j.LoggerFactory.getLogger(getClass).warn(
+      s"QUARANTINING index ${d.column}__${d.tpe} under $root ($cause); " +
+        "queries fall back to linear scans; re-run createIndex to restore")
+    try dropIndex(spark, root, d.column, d.tpe)
+    catch { case e: Throwable =>
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"quarantine cleanup failed (${e.getMessage}); unregistering only")
+      try {
+        writeIndexDefs(root, readIndexDefs(root)
+          .filterNot(x => x.column == d.column && x.tpe == d.tpe))
+      } catch { case _: Throwable => () }
+    }
+  }
 
   /** bm25/ann catalog entries hold LOADED frames — refresh them after
     * the artifact moved under them (plan-level entries read the path
@@ -924,6 +954,18 @@ object Snapshots {
     * invalidates by removing the root) */
   private val registeredIndexRoots =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Segment names of the CURRENT main-branch version (empty set when
+    * the root has no versions) — [[graft.plans.IndexRewrite]] routes a
+    * snapshot scan through a table-owned index ONLY when the scanned
+    * segment set is exactly this one: a branch read, a time-travel
+    * read, or a reader holding a stale plan must fall back to the
+    * linear scan rather than answer from an index that reflects a
+    * different row set. */
+  def currentMainSegments(root: String): Set[String] = {
+    val v = currentVersion(root, Main)
+    if (v == 0L) Set.empty else segments(root, v, Main).toSet
+  }
 
   /** test hook: simulate a fresh session (catalogs cleared elsewhere) */
   private[graft] def resetIndexRegistry(): Unit = registeredIndexRoots.clear()

@@ -618,4 +618,47 @@ class SnapshotsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(other.queryExecution.optimizedPlan.collect {
       case j: Join if j.joinType == LeftSemi => j }.isEmpty)
   }
+
+  test("branch and time-travel reads never route through the main-version index") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val root = freshRoot()
+    Snapshots.create(spark, root, Seq(
+      (1L, "spark shuffles data"),
+      (2L, "catalyst optimizes plans")).toDF("doc_id", "text"))
+    GraftExtensions.register(spark)
+    graft.plans.IndexCatalog.clear()
+    Snapshots.resetIndexRegistry()
+    Snapshots.createIndex(spark, root, "text", "inverted", "doc_id")
+
+    def semis(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case j: Join if j.joinType == LeftSemi => j }.size
+    def sparkFilter(df: org.apache.spark.sql.DataFrame) = df.filter(
+      array_contains(split(lower(col("text")), "[^a-z0-9]+"), "spark"))
+
+    // a branch append is NOT absorbed into the main index — the branch
+    // read must take the linear scan and still see its own row
+    Snapshots.createBranch(root, "dev")
+    Snapshots.append(spark, root,
+      Seq((10L, "spark streams state")).toDF("doc_id", "text"), branch = "dev")
+    val dev = sparkFilter(Snapshots.open(spark, root, branch = "dev"))
+    assert(semis(dev) == 0, dev.queryExecution.optimizedPlan.toString)
+    assert(dev.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(1L, 10L))
+
+    // advance main (index absorbs the delta), then time-travel to v1:
+    // the v1 segment set differs from current -> linear scan, v1 rows
+    Snapshots.append(spark, root,
+      Seq((20L, "spark caches frames")).toDF("doc_id", "text"))
+    val v1 = sparkFilter(Snapshots.open(spark, root, Some(1L)))
+    assert(semis(v1) == 0, v1.queryExecution.optimizedPlan.toString)
+    assert(v1.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq === Seq(1L))
+    // the CURRENT read still routes and sees both spark docs
+    val cur = sparkFilter(Snapshots.open(spark, root))
+    assert(semis(cur) == 1, cur.queryExecution.optimizedPlan.toString)
+    assert(cur.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(1L, 20L))
+  }
 }
