@@ -493,6 +493,19 @@ object Tql {
     Seq((name, colName, tpe, "dropped")).toDF("table_name", "column_name", "index_type", "status")
   }
 
+  /** `SHOW INDEXES ON "<root>"` — list a versioned table's owned
+    * indexes from its manifest (one row per index). */
+  private val ShowIndexesRe =
+    """(?is)^\s*SHOW\s+INDEXES\s+ON\s+"([^"]+)"\s*$""".r
+
+  private def runShowIndexes(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    require(isSnapshotRoot(root), s"$root is not a versioned table root")
+    graft.sources.Snapshots.indexes(root)
+      .map { case (c, t) => (root, c, t) }
+      .toDF("table_root", "column_name", "index_type")
+  }
+
   def compile(spark: SparkSession, tql: String, resolve: String => DataFrame,
       params: Seq[Any] = Nil): DataFrame = tql match {
     case AnalyzeRe(table, colsSpec) => runAnalyze(spark, table, colsSpec, resolve)
@@ -500,6 +513,7 @@ object Tql {
       runCreateIndex(spark, target, colName, tpe, Option(idCol), Option(paths), resolve)
     case DropIndexRe(target, colName, tpe) =>
       runDropIndex(spark, target, colName, tpe)
+    case ShowIndexesRe(root) => runShowIndexes(spark, root)
     case _ => compileAst(spark, parseCached(tql), (n, _) => resolve(n), params)
   }
 

@@ -519,6 +519,10 @@ class SnapshotsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getString(2) === "exact")
     assert(Snapshots.indexes(root).toSet ===
       Set(("text", "inverted"), ("text", "exact")))
+    val shown = graft.dialect.Tql.query(spark, root,
+      s"""SHOW INDEXES ON "$root"""").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSet
+    assert(shown === Set(("text", "inverted"), ("text", "exact")))
     val eq = Snapshots.open(spark, root)
       .filter(col("text") === "catalyst optimizes the logical plan")
     assert(semiJoins(eq) == 1, eq.queryExecution.optimizedPlan.toString)
