@@ -678,7 +678,18 @@ object Snapshots {
       s"branch $from rewrote inherited segments; only append-only branches merge cleanly")
     val newOnBranch = fromSegs.filterNot(base.contains)
     val intoSegs = segments(root, currentVersion(root, into), into)
-    commit(root, intoSegs ++ newOnBranch.filterNot(intoSegs.contains), into)
+    val spliced = newOnBranch.filterNot(intoSegs.contains)
+    val v = commit(root, intoSegs ++ spliced, into)
+    // the spliced segments are rows the owned indexes have never seen
+    // (branch appends skip maintenance): absorb them O(delta) now —
+    // without this, the post-merge current version passes the routing
+    // gate while the index lacks the branch rows (silent wrong results)
+    if (into == Main && spliced.nonEmpty && readIndexDefs(root).nonEmpty) {
+      val delta = spark.read.option("mergeSchema", "true")
+        .parquet(spliced.map(s => Paths.get(root, s).toString): _*)
+      maintainIndexesOnAppend(spark, root, delta)
+    }
+    v
   }
 
   /** Pin `branch`@`version` (default: head) under a tag name (:2942-2952). */

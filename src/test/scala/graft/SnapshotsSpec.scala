@@ -652,6 +652,15 @@ class SnapshotsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dev.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ===
       Seq(1L, 10L))
 
+    // merging the branch into main absorbs the branch rows into the
+    // index O(delta): the post-merge current version routes AND sees
+    // the merged doc (without the absorb this would silently drop 10)
+    Snapshots.merge(spark, root, "dev")
+    val merged = sparkFilter(Snapshots.open(spark, root))
+    assert(semis(merged) == 1, merged.queryExecution.optimizedPlan.toString)
+    assert(merged.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(1L, 10L))
+
     // advance main (index absorbs the delta), then time-travel to v1:
     // the v1 segment set differs from current -> linear scan, v1 rows
     Snapshots.append(spark, root,
@@ -659,10 +668,10 @@ class SnapshotsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val v1 = sparkFilter(Snapshots.open(spark, root, Some(1L)))
     assert(semis(v1) == 0, v1.queryExecution.optimizedPlan.toString)
     assert(v1.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq === Seq(1L))
-    // the CURRENT read still routes and sees both spark docs
+    // the CURRENT read still routes and sees every spark doc
     val cur = sparkFilter(Snapshots.open(spark, root))
     assert(semis(cur) == 1, cur.queryExecution.optimizedPlan.toString)
     assert(cur.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ===
-      Seq(1L, 20L))
+      Seq(1L, 10L, 20L))
   }
 }
