@@ -1029,9 +1029,27 @@ object Snapshots {
   def push(spark: SparkSession, root: String, remote: String): Seq[String] =
     replicate(spark, root, remote)
 
-  /** Pull: fetch every version `remote` has that this root lacks. */
-  def pull(spark: SparkSession, root: String, remote: String): Seq[String] =
-    replicate(spark, remote, root)
+  /** Pull: fetch every version `remote` has that this root lacks.
+    * Locally-owned indexes absorb the pulled delta: appended history
+    * absorbs O(delta) (new segments only), a remote copy-on-write
+    * (current segments dropped) forces a rebuild — either way the
+    * routing gate never passes against an index missing pulled rows. */
+  def pull(spark: SparkSession, root: String, remote: String): Seq[String] = {
+    val before = currentMainSegments(root)
+    val shipped = replicate(spark, remote, root)
+    if (shipped.nonEmpty && readIndexDefs(root).nonEmpty) {
+      val after = currentMainSegments(root)
+      if (before.subsetOf(after)) {
+        val fresh = (after -- before).toSeq.sorted
+        if (fresh.nonEmpty) {
+          val delta = spark.read.option("mergeSchema", "true")
+            .parquet(fresh.map(s => Paths.get(root, s).toString): _*)
+          maintainIndexesOnAppend(spark, root, delta)
+        }
+      } else rebuildIndexes(spark, root)
+    }
+    shipped
+  }
 
   /** Queue a push on the sync worker (the background WAL-shipping
     * analog): ingest keeps appending while earlier versions replicate. */

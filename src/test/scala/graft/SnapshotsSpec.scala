@@ -674,4 +674,31 @@ class SnapshotsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cur.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ===
       Seq(1L, 10L, 20L))
   }
+
+  test("pull absorbs replicated versions into owned indexes (routing stays correct)") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val src = freshRoot()
+    val dst = freshRoot()
+    Snapshots.create(spark, src, Seq(
+      (1L, "spark shuffles data"),
+      (2L, "catalyst optimizes plans")).toDF("doc_id", "text"))
+    // seed the destination with v1 and index it locally
+    Snapshots.push(spark, src, dst)
+    GraftExtensions.register(spark)
+    graft.plans.IndexCatalog.clear()
+    Snapshots.resetIndexRegistry()
+    Snapshots.createIndex(spark, dst, "text", "inverted", "doc_id")
+    // remote advances; pull must absorb the new rows into the local index
+    Snapshots.append(spark, src, Seq((3L, "spark merges history")).toDF("doc_id", "text"))
+    assert(Snapshots.pull(spark, dst, src).nonEmpty)
+    val q = Snapshots.open(spark, dst).filter(
+      array_contains(split(lower(col("text")), "[^a-z0-9]+"), "spark"))
+    assert(q.queryExecution.optimizedPlan.collect {
+      case j: Join if j.joinType == LeftSemi => j }.size == 1,
+      q.queryExecution.optimizedPlan.toString)
+    assert(q.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(1L, 3L))
+  }
 }
