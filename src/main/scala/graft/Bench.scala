@@ -371,7 +371,12 @@ object Bench {
             if (t2 < t1)
               System.err.println(f"[bench] tail retry $n: $t1%.2fs -> $t2%.2fs (pressure artifact)")
             n -> math.min(t1, t2)
-          case None => n -> t1
+          case None =>
+            // the query already has a valid measured rep — a transient
+            // retry failure must not surface as a phantom query error
+            errors -= s"query:$n"
+            System.err.println(s"[bench] tail retry $n failed transiently; keeping first rep")
+            n -> t1
         }
       } else n -> t1
     }

@@ -403,7 +403,11 @@ object Tql {
     * read-only — e.g. the driver's corpus). */
   private def namedIndexHome(name: String, colName: String, tpe: String): (String, String) = {
     val key =
-      if (graft.sources.Tables.isUrl(name)) name.stripPrefix("file:").stripSuffix("/")
+      // normalize exactly like the scan side will (HadoopFsRelation
+      // rootPaths stringify through Path, "file:///x" -> "file:/x")
+      if (graft.sources.Tables.isUrl(name))
+        new org.apache.hadoop.fs.Path(name).toString
+          .stripPrefix("file:").stripSuffix("/")
       else {
         val dsDir = currentDataset.get().getOrElse(throw new IllegalArgumentException(
           "CREATE/DROP INDEX on a named table needs a dataset context"))
@@ -418,7 +422,10 @@ object Tql {
       tpe0: String, idColOpt: Option[String], pathsSpec: Option[String],
       resolve: String => DataFrame): DataFrame = {
     import graft.operators.{AnnIndex, Bm25, InvertedIndex}
-    val tpe = tpe0.toLowerCase
+    // shared normalization: aliases (INVERTED_INDEX, QUANTIZED) resolve
+    // to canonical names identically on CREATE and DROP; unknown types
+    // throw here, never fall through
+    val tpe = graft.sources.Snapshots.normType(tpe0)
     val jsonPaths = pathsSpec.toSeq.flatMap(_.split(",").map(_.trim)
       .filter(_.nonEmpty).map(_.stripPrefix("'").stripSuffix("'")))
     val quoted = target.startsWith("\"")
@@ -466,10 +473,8 @@ object Tql {
       tpe0: String): DataFrame = {
     import graft.operators.{AnnIndex, Bm25}
     import graft.plans.IndexCatalog
-    val tpe = tpe0.toLowerCase
-    require(Set("inverted", "exact", "json", "bm25", "clustered",
-        "clustered_quantized").contains(tpe),
-      s"unsupported index type '$tpe'") // a typo must not fall through to
+    val tpe = graft.sources.Snapshots.normType(tpe0) // throws on unknown:
+                                        // a typo must not fall through to
                                         // the ANN case and unregister a
                                         // live clustered index
     val quoted = target.startsWith("\"")

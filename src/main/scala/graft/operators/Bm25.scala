@@ -163,11 +163,21 @@ object Bm25 {
     pinned.termDf.write.mode("overwrite").parquet(s"$dir/term_df/batch=base")
   }
 
-  def load(spark: SparkSession, dir: String): Index = Index(
-    // drop is a no-op on a pre-segment flat layout (old saved indexes)
-    spark.read.parquet(s"$dir/postings").drop("batch"),
-    spark.read.parquet(s"$dir/doc_stats").drop("batch"),
-    spark.read.parquet(s"$dir/term_df").drop("batch"))
+  /** Load with MERGE-ON-READ over batch segments: postings union
+    * naturally (per-doc rows); doc_stats rows (one per absorbed batch)
+    * merge as a count-weighted mean; term_df rows sum per term. A
+    * single batch=base layout reduces to the identity, so flat saves
+    * load unchanged — and an append absorb can land as ONE new batch
+    * segment per table (no delete-rewrite window for readers). */
+  def load(spark: SparkSession, dir: String): Index = {
+    val ds = spark.read.parquet(s"$dir/doc_stats").drop("batch")
+      .agg((sum(col("n_docs") * col("avgdl")) / sum(col("n_docs"))).as("avgdl"),
+        sum(col("n_docs")).as("n_docs"))
+      .select(col("n_docs"), col("avgdl"))
+    val tdf = spark.read.parquet(s"$dir/term_df").drop("batch")
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+    Index(spark.read.parquet(s"$dir/postings").drop("batch"), ds, tdf)
+  }
 
   /** BM25 scores for a bag of query terms against a maintained index:
     * (doc_id, score) for every doc containing at least one query term.

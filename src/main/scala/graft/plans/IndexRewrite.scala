@@ -71,13 +71,19 @@ case class IndexRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       // becomes one semi-join (the reference ANDs roaring bitmaps and
       // leaves the residual filter in place, index_holder.hpp:33)
       val conjuncts = splitConjunctivePredicates(cond)
-      val (rewritten, residual) = conjuncts.partition(indexable(child, _).isDefined)
+      // roots once per Filter and indexable once per conjunct: the root
+      // resolution reads version-manifest metadata (the routing gate), so
+      // it must not run 2 x conjuncts times per optimizer application
+      val roots = scanRootPaths(child)
+      val probes = conjuncts.map(c => c -> indexable(child, roots, c))
+      val (rewritten, residual) = probes.partition(_._2.isDefined)
       if (rewritten.isEmpty) f
       else {
-        val base = residual.reduceOption(org.apache.spark.sql.catalyst.expressions.And)
+        val base = residual.map(_._1)
+          .reduceOption(org.apache.spark.sql.catalyst.expressions.And)
           .map(Filter(_, child)).getOrElse(child)
-        rewritten.foldLeft(base) { (acc, c) =>
-          val p = indexable(child, c).get
+        rewritten.foldLeft(base) { (acc, cp) =>
+          val p = cp._2.get
           import p.{entry, childId, value}
           val md5f = org.apache.spark.sql.functions.md5 _
           val probe = p.kind match {
@@ -113,38 +119,38 @@ case class IndexRewrite(spark: SparkSession) extends Rule[LogicalPlan]
   /** Some(probe) when `e` is a CONTAINS-, EQUALS-, or JSON-path-equality
     * shaped predicate answerable from a registered index of the matching
     * kind. */
-  private def indexable(child: LogicalPlan, e: Expression): Option[Probe] = e match {
+  private def indexable(child: LogicalPlan, roots: Seq[String],
+      e: Expression): Option[Probe] = e match {
     case ArrayContains(
         StringSplit(Lower(attr: AttributeReference),
           Literal(sep, _), Literal(limit, _)), Literal(term, _))
         if sep != null && sep.toString == IndexTokenizer &&
           limit != null && limit.toString == "-1" =>
-      lookup(child, attr, term, IndexCatalog.Contains)
+      lookup(child, roots, attr, term, IndexCatalog.Contains)
     // get_json_object(attr, path) = 'v' — answerable from a JSON path
     // index holding md5 hashes of the same textual value form, but ONLY
     // for paths the index was built with
     case EqualTo(GetJsonObject(attr: AttributeReference, Literal(path, _)), Literal(v, _))
         if v != null && path != null =>
-      lookup(child, attr, v, IndexCatalog.Json)
+      lookup(child, roots, attr, v, IndexCatalog.Json)
         .filter(_.entry.jsonPaths.contains(path.toString))
         .map(_.copy(jsonPath = Some(path.toString)))
     case EqualTo(Literal(v, _), GetJsonObject(attr: AttributeReference, Literal(path, _)))
         if v != null && path != null =>
-      lookup(child, attr, v, IndexCatalog.Json)
+      lookup(child, roots, attr, v, IndexCatalog.Json)
         .filter(_.entry.jsonPaths.contains(path.toString))
         .map(_.copy(jsonPath = Some(path.toString)))
     case EqualTo(attr: AttributeReference, Literal(v, _)) if v != null =>
-      lookup(child, attr, v, IndexCatalog.Equals)
+      lookup(child, roots, attr, v, IndexCatalog.Equals)
     case EqualTo(Literal(v, _), attr: AttributeReference) if v != null =>
-      lookup(child, attr, v, IndexCatalog.Equals)
+      lookup(child, roots, attr, v, IndexCatalog.Equals)
     case _ => None
   }
 
-  private def lookup(child: LogicalPlan, attr: AttributeReference, value: Any,
-      kind: String): Option[Probe] =
+  private def lookup(child: LogicalPlan, roots: Seq[String],
+      attr: AttributeReference, value: Any, kind: String): Option[Probe] =
     for {
-      entry <- scanRootPaths(child)
-        .flatMap(IndexCatalog.lookup(_, attr.name, kind)).headOption
+      entry <- roots.flatMap(IndexCatalog.lookup(_, attr.name, kind)).headOption
       childId <- child.output.collectFirst {
         case a: AttributeReference if a.name == entry.idCol => a
       }
@@ -169,14 +175,18 @@ case class IndexRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       val parent = parsed.head._1
       if (parent.isDefined && parsed.forall(x =>
           x._1 == parent && x._2.startsWith("seg-"))) {
-        // table-owned indexes reflect the CURRENT main-branch version
-        // only: a branch / time-travel / stale-plan scan whose segment
-        // set differs must NOT be answered from the index (it would
-        // silently return another version's rows) — fall back to scan
+        // table-owned indexes reflect the CURRENT main-branch version:
+        // routing is sound iff every SCANNED segment is part of that
+        // version (its rows are then all present in the index; extra
+        // index rows are filtered by the LEFT SEMI join back to the
+        // scanned child). Subset, not equality, so sidecar-pruned scans
+        // (openPruned/openPrunedEq) and append-only time travel still
+        // route; a branch's own segment or a pre-COW segment is not in
+        // current main -> linear scan
         val segs = parsed.map(_._2).toSet
         val current = try graft.sources.Snapshots.currentMainSegments(
           parent.get.stripPrefix("file:")) catch { case _: Throwable => Set.empty[String] }
-        if (segs == current) parent else None
+        if (segs.nonEmpty && segs.subsetOf(current)) parent else None
       } else None
     }
     rels match {

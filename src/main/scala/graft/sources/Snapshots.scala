@@ -440,13 +440,16 @@ object Snapshots {
     // appendWithExpectations documents for its quarantine rows)
     val willMaintain = branch == Main && readIndexDefs(root).nonEmpty
     val aligned = if (willMaintain) aligned0.localCheckpoint() else aligned0
-    val v = commit(root,
+    // absorb BEFORE the manifest lands: once the new version is
+    // visible, its scans pass the routing gate, so the index must
+    // already hold the delta (extra index rows before the commit are
+    // harmless — the semi-join filters ids absent from the scan). A
+    // failed absorb quarantines; a commit failure after a successful
+    // absorb leaves only those harmless extras.
+    if (willMaintain) maintainIndexesOnAppend(spark, root, aligned)
+    commit(root,
       segments(root, currentVersion(root, branch), branch) :+ newSegment(root, aligned),
       branch)
-    // owned indexes absorb exactly the delta (Main only: the artifacts
-    // index the main-branch table; branch readers fall back to scans)
-    if (willMaintain) maintainIndexesOnAppend(spark, root, aligned)
-    v
   }
 
   /** Expectations-enforced append (the DLT ingest gate): rows meeting
@@ -506,22 +509,27 @@ object Snapshots {
     require(source.columns.sorted.sameElements(cur.columns.sorted),
       s"merge schema mismatch: ${source.columns.mkString(",")} vs ${cur.columns.mkString(",")}")
     val aligned = source.select(cur.columns.map(col): _*)
+    val willMaintain = branch == Main && readIndexDefs(root).nonEmpty
     if (insertOnly) {
       // the anti-join delta lands as ONE segment and the owned indexes
-      // absorb exactly it — pin first so maintenance reuses the rows the
-      // commit wrote rather than re-running the anti-join
-      val fresh = aligned.join(cur.select(keyCols.map(col): _*).distinct(),
-        keyCols, "left_anti").localCheckpoint()
-      val v = commit(root,
+      // absorb exactly it — pin first (only when maintenance will read
+      // it) so maintenance reuses the rows the commit wrote rather than
+      // re-running the anti-join; absorb pre-commit (see append)
+      val fresh0 = aligned.join(cur.select(keyCols.map(col): _*).distinct(),
+        keyCols, "left_anti")
+      val fresh = if (willMaintain) fresh0.localCheckpoint() else fresh0
+      if (willMaintain) maintainIndexesOnAppend(spark, root, fresh)
+      commit(root,
         segments(root, currentVersion(root, branch), branch) :+ newSegment(root, fresh),
         branch)
-      if (branch == Main) maintainIndexesOnAppend(spark, root, fresh)
-      v
     } else {
       val survivors = cur.join(aligned.select(keyCols.map(col): _*).distinct(),
         keyCols, "left_anti")
+      // copy-on-write: old index content is WRONG for the new data —
+      // unregister first so readers scan linearly during the rebuild
+      if (willMaintain) unregisterIndexes(root)
       val v = commit(root, Seq(newSegment(root, survivors.unionByName(aligned))), branch)
-      if (branch == Main) rebuildIndexes(spark, root)
+      if (willMaintain) rebuildIndexes(spark, root)
       v
     }
   }
@@ -541,11 +549,15 @@ object Snapshots {
 
   private def rewrite(spark: SparkSession, root: String,
       f: DataFrame => DataFrame, branch: String): Long = {
+    val willMaintain = branch == Main && readIndexDefs(root).nonEmpty
+    // copy-on-write: between the new manifest and the rebuild, the old
+    // index content is WRONG for the new data (an updated doc's old
+    // postings would still match) — unregister first so concurrent
+    // planners take the linear scan, then rebuild + re-register
+    if (willMaintain) unregisterIndexes(root)
     val v = commit(root,
       Seq(newSegment(root, f(open(spark, root, branch = branch)))), branch)
-    // COW already rewrote the table; owned indexes rebuild from the new
-    // snapshot (same cost class; see rebuildIndexes)
-    if (branch == Main) rebuildIndexes(spark, root)
+    if (willMaintain) rebuildIndexes(spark, root)
     v
   }
 
@@ -679,17 +691,16 @@ object Snapshots {
     val newOnBranch = fromSegs.filterNot(base.contains)
     val intoSegs = segments(root, currentVersion(root, into), into)
     val spliced = newOnBranch.filterNot(intoSegs.contains)
-    val v = commit(root, intoSegs ++ spliced, into)
     // the spliced segments are rows the owned indexes have never seen
-    // (branch appends skip maintenance): absorb them O(delta) now —
-    // without this, the post-merge current version passes the routing
-    // gate while the index lacks the branch rows (silent wrong results)
+    // (branch appends skip maintenance): absorb them O(delta) BEFORE the
+    // manifest lands — otherwise the post-merge current version passes
+    // the routing gate while the index lacks the branch rows
     if (into == Main && spliced.nonEmpty && readIndexDefs(root).nonEmpty) {
       val delta = spark.read.option("mergeSchema", "true")
         .parquet(spliced.map(s => Paths.get(root, s).toString): _*)
       maintainIndexesOnAppend(spark, root, delta)
     }
-    v
+    commit(root, intoSegs ++ spliced, into)
   }
 
   /** Pin `branch`@`version` (default: head) under a tag name (:2942-2952). */
@@ -764,7 +775,7 @@ object Snapshots {
   def indexes(root: String): Seq[(String, String)] =
     readIndexDefs(root).map(d => (d.column, d.tpe))
 
-  private def normType(t: String): String = t.toLowerCase match {
+  private[graft] def normType(t: String): String = t.toLowerCase match {
     case "inverted_index" | "inverted" => "inverted"
     case "exact" => "exact"
     case "json" => "json"
@@ -864,7 +875,13 @@ object Snapshots {
       val dir = indexDir(root, d.column, d.tpe).toString
       import graft.operators.{AnnIndex, Bm25, InvertedIndex}
       try {
-        d.tpe match {
+        if (!delta.columns.contains(d.column) || !delta.columns.contains(d.idCol)) {
+          // a schema-evolution delta lacking the indexed (or id) column
+          // null-fills at read, so those rows contribute NOTHING to a
+          // per-doc index — the correct absorb is a no-op (quarantining
+          // here would destroy a valid index on a documented append)
+          ()
+        } else d.tpe match {
           case "inverted" =>
             InvertedIndex.build(delta, d.idCol, d.column)
               .write.mode("append").parquet(dir)
@@ -875,9 +892,15 @@ object Snapshots {
             InvertedIndex.buildJson(delta, d.idCol, d.column, d.jsonPaths)
               .write.mode("append").parquet(dir)
           case "bm25" =>
-            Bm25.saveIndex(
-              Bm25.appendToIndex(Bm25.load(spark, dir), delta, d.idCol, d.column),
-              dir)
+            // append-only absorb (the StreamingText batch algebra):
+            // ONE new batch segment per table — load() merges on read,
+            // and no reader ever sees a delete-rewrite window
+            val post = Bm25.postings(delta, d.idCol, d.column).localCheckpoint()
+            val (ds, tdf) = Bm25.corpusStats(post)
+            val key = s"seg${System.nanoTime()}"
+            post.write.mode("overwrite").parquet(s"$dir/postings/batch=$key")
+            ds.write.mode("overwrite").parquet(s"$dir/doc_stats/batch=$key")
+            tdf.write.mode("overwrite").parquet(s"$dir/term_df/batch=$key")
           case "clustered" | "clustered_quantized" =>
             AnnIndex.assignDelta(AnnIndex.load(spark, dir), delta, d.idCol, d.column)
               .write.mode("overwrite")
@@ -902,10 +925,30 @@ object Snapshots {
     readIndexDefs(root).foreach { d =>
       try {
         buildIndexArtifact(spark, root, d)
-        refreshRegistration(spark, root, d)
+        registerOne(spark, root, d) // ALL kinds: rewrite() unregisters
+                                    // plan-level entries pre-commit too
       } catch { case e: Throwable =>
         quarantineIndex(spark, root, d,
           s"rebuild after copy-on-write failed: ${e.getMessage}")
+      }
+    }
+
+  /** Unregister from the routing catalogs WITHOUT touching the manifest
+    * or artifact — the pre-commit step of a copy-on-write mutation:
+    * between the new manifest landing and the rebuild finishing, the old
+    * index content is WRONG for the new data (an updated doc's old
+    * postings would still match), so concurrent planners must fall back
+    * to linear scans until [[rebuildIndexes]] re-registers. */
+  private def unregisterIndexes(root: String): Unit =
+    readIndexDefs(root).foreach { d =>
+      import graft.operators.{AnnIndex, Bm25}
+      import graft.plans.IndexCatalog
+      d.tpe match {
+        case "inverted" => IndexCatalog.unregister(root, d.column, IndexCatalog.Contains)
+        case "exact" => IndexCatalog.unregister(root, d.column, IndexCatalog.Equals)
+        case "json" => IndexCatalog.unregister(root, d.column, IndexCatalog.Json)
+        case "bm25" => Bm25.Catalog.unregister(root, d.column)
+        case _ => AnnIndex.Catalog.unregister(root, d.column)
       }
     }
 

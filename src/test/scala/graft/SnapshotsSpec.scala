@@ -661,18 +661,33 @@ class SnapshotsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(merged.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ===
       Seq(1L, 10L))
 
-    // advance main (index absorbs the delta), then time-travel to v1:
-    // the v1 segment set differs from current -> linear scan, v1 rows
+    // advance main (index absorbs the delta). Append-only time travel
+    // ROUTES safely: v1's segments are all part of current main, so
+    // every v1 row is in the index and the semi-join back to the v1
+    // scan filters the later docs — result is exactly v1's rows
     Snapshots.append(spark, root,
       Seq((20L, "spark caches frames")).toDF("doc_id", "text"))
     val v1 = sparkFilter(Snapshots.open(spark, root, Some(1L)))
-    assert(semis(v1) == 0, v1.queryExecution.optimizedPlan.toString)
+    assert(semis(v1) == 1, v1.queryExecution.optimizedPlan.toString)
     assert(v1.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq === Seq(1L))
-    // the CURRENT read still routes and sees every spark doc
+    // the CURRENT read routes and sees every spark doc
     val cur = sparkFilter(Snapshots.open(spark, root))
     assert(semis(cur) == 1, cur.queryExecution.optimizedPlan.toString)
     assert(cur.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ===
       Seq(1L, 10L, 20L))
+    // a COPY-ON-WRITE breaks segment lineage: pre-COW versions scan
+    // segments no longer in current main -> linear scan, pre-COW rows
+    val vPre = Snapshots.currentVersion(root)
+    Snapshots.deleteWhere(spark, root, col("doc_id") === 20L)
+    val old = sparkFilter(Snapshots.open(spark, root, Some(vPre)))
+    assert(semis(old) == 0, old.queryExecution.optimizedPlan.toString)
+    assert(old.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(1L, 10L, 20L))
+    // post-COW current read routes against the rebuilt index
+    val cur2 = sparkFilter(Snapshots.open(spark, root))
+    assert(semis(cur2) == 1, cur2.queryExecution.optimizedPlan.toString)
+    assert(cur2.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(1L, 10L))
   }
 
   test("pull absorbs replicated versions into owned indexes (routing stays correct)") {
