@@ -120,16 +120,24 @@ object Dsir {
       rawCounts: DataFrame, targetCounts: DataFrame, alpha: Double = 0.5,
       hashBuckets: Option[Int] = None): DataFrame = {
     require(alpha > 0, "need alpha > 0")
+    // exact mode joins on xxhash64 of the stored gram string — the
+    // scoring shuffle moves fixed-width longs, not bigram strings
+    // (identical to [[logWeights]]' keying; counts are hash-invariant
+    // absent 64-bit collisions). Hashed mode joins the bucket key.
     def bucketed(c: Column): Column = hashBuckets match {
       case Some(b) => pmod(xxhash64(c), lit(b.toLong)).cast("string")
-      case None => c
+      case None => xxhash64(c)
+    }
+    def storedKey(c: Column): Column = hashBuckets match {
+      case Some(_) => c.cast("string")
+      case None => xxhash64(c.cast("string"))
     }
     val docG = raw.select(col(idCol).as("id"),
         explode(grams(col(textCol))).as("g0"))
       .select(col("id"), bucketed(col("g0")).as("g"))
-    val ratio0 = rawCounts.select(col("g").cast("string").as("g"),
+    val ratio0 = rawCounts.select(storedKey(col("g")).as("g"),
         col("c").as("rc"))
-      .join(targetCounts.select(col("g").cast("string").as("g"),
+      .join(targetCounts.select(storedKey(col("g")).as("g"),
         col("c").as("tc")), Seq("g"), "full")
       .select(col("g"), coalesce(col("rc"), lit(0L)).as("rc"),
         coalesce(col("tc"), lit(0L)).as("tc"))
@@ -169,6 +177,28 @@ object Dsir {
     // (cross-engine fp drift in the log-weight sum stays ~1e-12, far
     // under the rounding quantum). Default mode keeps the cheaper
     // xxhash64 uniform.
+    val u =
+      if (hashKeyed) graft.operators.Sampling.hashUniformOpen(
+        concat_ws(":", lit(seed.toString), col("id")))
+      else (pmod(xxhash64(col("id"), lit(seed)), lit(1000000000L))
+        .cast("double") + lit(0.5)) / lit(1e9)
+    val key = col("log_weight") / lit(temperature) - log(-log(u))
+    w.withColumn("gumbel_key", if (hashKeyed) round(key, 6) else key)
+      .orderBy(col("gumbel_key").desc, col("id"))
+      .limit(n)
+  }
+
+  /** [[select]] against MAINTAINED count state ([[readCounts]]) — same
+    * Gumbel-top-k selection, but the count tables are read, not
+    * re-aggregated from the corpus. */
+  def selectFromCounts(raw: DataFrame, idCol: String, textCol: String,
+      rawCounts: DataFrame, targetCounts: DataFrame, n: Int,
+      alpha: Double = 0.5, hashBuckets: Option[Int] = None,
+      temperature: Double = 1.0, seed: Long = 42L,
+      hashKeyed: Boolean = false): DataFrame = {
+    require(temperature > 0, "temperature must be positive")
+    val w = logWeightsFromCounts(raw, idCol, textCol, rawCounts,
+      targetCounts, alpha, hashBuckets)
     val u =
       if (hashKeyed) graft.operators.Sampling.hashUniformOpen(
         concat_ws(":", lit(seed.toString), col("id")))

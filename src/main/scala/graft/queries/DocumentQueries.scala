@@ -1931,7 +1931,14 @@ object DocumentQueries extends QueryModule {
     // selection scorer that skews a web corpus toward a target domain
     // without a trained classifier. Exact-gram mode here (full oracle);
     // the hashed-feature mode (bounded state, broadcast count tables)
-    // is spec-gated against this one in DedupSpec.
+    // is spec-gated against this one in DedupSpec. Measured r15: the
+    // maintained-counts serving path (logWeightsFromCounts over a
+    // dsir_counts artifact) is ~0.7s SLOWER here than inline — the
+    // inline path's persisted gram frame already feeds both counts and
+    // scoring, and this corpus's target is a subset of raw, so the
+    // artifact saves nothing; it wins only when the target corpus is
+    // external or counts are maintained across appends (the streaming
+    // absorb path). Queries stay inline; the API stays for that case.
     "q_dsir_weights" -> Q(
       (s, dir) => {
         val d = table(s, dir, "documents")
