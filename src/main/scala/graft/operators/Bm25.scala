@@ -145,24 +145,6 @@ object Bm25 {
     Index(index.postings.join(ids, Seq("doc_id"), "left_anti"), docStats, termDf)
   }
 
-  /** Persist an in-memory Index (e.g. an [[appendToIndex]] merge) to the
-    * [[save]] layout. The frames may READ the very files being replaced,
-    * so they are pinned with localCheckpoint before the overwrite. */
-  def saveIndex(index: Index, dir: String): Unit = {
-    val spark = index.postings.sparkSession
-    val pinned = Index(index.postings.localCheckpoint(),
-      index.docStats.localCheckpoint(), index.termDf.localCheckpoint())
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    Seq("postings", "doc_stats", "term_df").foreach { n =>
-      val p = new org.apache.hadoop.fs.Path(s"$dir/$n")
-      if (fs.exists(p)) fs.delete(p, true)
-    }
-    pinned.postings.write.mode("overwrite").parquet(s"$dir/postings/batch=base")
-    pinned.docStats.write.mode("overwrite").parquet(s"$dir/doc_stats/batch=base")
-    pinned.termDf.write.mode("overwrite").parquet(s"$dir/term_df/batch=base")
-  }
-
   /** Load with MERGE-ON-READ over batch segments: postings union
     * naturally (per-doc rows); doc_stats rows (one per absorbed batch)
     * merge as a count-weighted mean; term_df rows sum per term. A
