@@ -46,6 +46,8 @@ object AnnIndex {
     final case class PqEntry(index: PqIndex, idCol: String, config: SearchConfig)
     @volatile private var entries: Map[(String, String), Entry] = Map.empty
     @volatile private var pqEntries: Map[(String, String), PqEntry] = Map.empty
+    @volatile private var providers: Map[(String, String), () => Option[Entry]] =
+      Map.empty
 
     def register(table: String, vecCol: String, idCol: String, index: Index,
         config: SearchConfig = SearchConfig()): Unit =
@@ -57,17 +59,32 @@ object AnnIndex {
         config: SearchConfig = SearchConfig()): Unit =
       pqEntries += (table, vecCol) -> PqEntry(index, idCol, config)
 
+    /** Version-gated registration: the provider re-validates at LOOKUP
+      * time (table-owned indexes re-check their manifest + artifact
+      * stamp — see `Snapshots.annProvider`), so a drop/quarantine or
+      * absorb in another process is observed instead of serving a
+      * stale loaded frame; `None` means no route (linear fallback). An
+      * eager [[register]] for the same key wins (session indexes have
+      * no manifest to gate on). */
+    def registerProvider(table: String, vecCol: String,
+        p: () => Option[Entry]): Unit =
+      providers += (table, vecCol) -> p
+
     def lookup(table: String, vecCol: String): Option[Entry] =
       entries.get((table, vecCol))
+        .orElse(providers.get((table, vecCol)).flatMap(_.apply()))
 
     def lookupPq(table: String, vecCol: String): Option[PqEntry] =
       pqEntries.get((table, vecCol))
 
     def unregister(table: String, vecCol: String): Unit = {
       entries -= ((table, vecCol)); pqEntries -= ((table, vecCol))
+      providers -= ((table, vecCol))
     }
 
-    def clear(): Unit = { entries = Map.empty; pqEntries = Map.empty }
+    def clear(): Unit = {
+      entries = Map.empty; pqEntries = Map.empty; providers = Map.empty
+    }
   }
 
   final case class Index(centroids: DataFrame, assignments: DataFrame,

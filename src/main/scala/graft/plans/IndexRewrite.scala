@@ -182,10 +182,22 @@ case class IndexRewrite(spark: SparkSession) extends Rule[LogicalPlan]
         // scanned child). Subset, not equality, so sidecar-pruned scans
         // (openPruned/openPrunedEq) and append-only time travel still
         // route; a branch's own segment or a pre-COW segment is not in
-        // current main -> linear scan
+        // current main -> linear scan. routingMainSegments memoizes the
+        // manifest read per version-dir mtime (this rule fires per
+        // Filter per optimizer application) and reports NO segments
+        // while a copy-on-write rebuild is fenced — scans of the
+        // freshly-committed version stay linear until the rebuild
+        // lands, in every session. IO failures fall back to the linear
+        // scan but are logged, never swallowed silently (manifest
+        // corruption must surface somewhere).
         val segs = parsed.map(_._2).toSet
-        val current = try graft.sources.Snapshots.currentMainSegments(
-          parent.get.stripPrefix("file:")) catch { case _: Throwable => Set.empty[String] }
+        val current = try graft.sources.Snapshots.routingMainSegments(
+          parent.get.stripPrefix("file:"))
+        catch { case e: java.io.IOException =>
+          logWarning(s"index routing gate: manifest read failed for " +
+            s"${parent.get} (${e.getMessage}); falling back to linear scan")
+          Set.empty[String]
+        }
         if (segs.nonEmpty && segs.subsetOf(current)) parent else None
       } else None
     }

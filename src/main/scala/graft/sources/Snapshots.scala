@@ -33,6 +33,20 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   * Reads open the manifest's segment list with one
   * `spark.read.parquet(paths*)`, so partition pruning / pushdown behave
   * exactly as a plain parquet table.
+  *
+  * CONCURRENCY CONTRACT — single writer per root. Readers are always
+  * safe (manifests are immutable once written; a reader sees either the
+  * old or the new version, and index routing is version-gated +
+  * rebuild-fenced). MUTATIONS (append/delete/update/DDL/merge/
+  * createIndex/dropIndex) assume ONE writer per table root at a time —
+  * the same contract Delta's non-transactional stores document: the
+  * version-counter commit and the `_indexes/manifest.json`
+  * read-modify-write are not fenced against a concurrent writer in
+  * another JVM (two writers could both commit version N+1, last one
+  * wins). Within one JVM the [[syncWorker]] serializes queued async
+  * mutations. Index absorbs are keyed by segment name, so even a
+  * violated contract cannot double-count BM25/ANN stats — the residual
+  * hazard is a lost manifest line, not a corrupt index.
   */
 object Snapshots {
 
@@ -430,26 +444,31 @@ object Snapshots {
         s"append schema mismatch: ${df.columns.mkString(",")} vs ${cur.columns.mkString(",")}")
     }
     val shared = cur.columns.filter(df.columns.contains)
-    val aligned0 =
+    val aligned =
       if (allowSchemaEvolution)
         df.select((shared ++ df.columns.filterNot(cur.columns.contains)).map(col): _*)
       else df.select(cur.columns.map(col): _*)
-    // when owned indexes will absorb this delta, pin it FIRST: index
-    // maintenance must tokenize the exact rows the commit wrote, not a
-    // re-evaluation of a possibly non-deterministic source (same trap
-    // appendWithExpectations documents for its quarantine rows)
     val willMaintain = branch == Main && readIndexDefs(root).nonEmpty
-    val aligned = if (willMaintain) aligned0.localCheckpoint() else aligned0
-    // absorb BEFORE the manifest lands: once the new version is
-    // visible, its scans pass the routing gate, so the index must
-    // already hold the delta (extra index rows before the commit are
-    // harmless — the semi-join filters ids absent from the scan). A
-    // failed absorb quarantines; a commit failure after a successful
-    // absorb leaves only those harmless extras.
-    if (willMaintain) maintainIndexesOnAppend(spark, root, aligned)
-    commit(root,
-      segments(root, currentVersion(root, branch), branch) :+ newSegment(root, aligned),
-      branch)
+    // the delta segment is written FIRST (invisible until the manifest
+    // references it), then owned indexes absorb it keyed by the SEGMENT
+    // NAME, then the manifest commits. Order matters twice over:
+    //  - absorb-before-commit: once the new version is visible its
+    //    scans pass the routing gate, so the index must already hold
+    //    the delta (pre-commit index rows are harmless — the semi-join
+    //    filters ids absent from the scan);
+    //  - segment-name keys make the absorb IDEMPOTENT: a re-absorb of
+    //    the same segment overwrites its batch (bm25/ann) or no-ops on
+    //    its marker (posting kinds) instead of double-counting, and
+    //    orphan batches from a retry that re-wrote the data under a new
+    //    name are reconciled against the manifest (see
+    //    [[maintainIndexesOnAppend]]).
+    // Maintenance reads the delta back from the written parquet, so it
+    // indexes the exact rows the commit publishes even when the source
+    // frame is non-deterministic.
+    val base = segments(root, currentVersion(root, branch), branch)
+    val seg = newSegment(root, aligned)
+    if (willMaintain) maintainIndexesOnAppend(spark, root, Seq(seg))
+    commit(root, base :+ seg, branch)
   }
 
   /** Expectations-enforced append (the DLT ingest gate): rows meeting
@@ -512,25 +531,30 @@ object Snapshots {
     val willMaintain = branch == Main && readIndexDefs(root).nonEmpty
     if (insertOnly) {
       // the anti-join delta lands as ONE segment and the owned indexes
-      // absorb exactly it — pin first (only when maintenance will read
-      // it) so maintenance reuses the rows the commit wrote rather than
-      // re-running the anti-join; absorb pre-commit (see append)
-      val fresh0 = aligned.join(cur.select(keyCols.map(col): _*).distinct(),
+      // absorb exactly it, keyed by the segment name (idempotent absorb,
+      // pre-commit — see append): maintenance reads the rows back from
+      // the written segment, never re-runs the anti-join
+      val fresh = aligned.join(cur.select(keyCols.map(col): _*).distinct(),
         keyCols, "left_anti")
-      val fresh = if (willMaintain) fresh0.localCheckpoint() else fresh0
-      if (willMaintain) maintainIndexesOnAppend(spark, root, fresh)
-      commit(root,
-        segments(root, currentVersion(root, branch), branch) :+ newSegment(root, fresh),
-        branch)
+      val base = segments(root, currentVersion(root, branch), branch)
+      val seg = newSegment(root, fresh)
+      if (willMaintain) maintainIndexesOnAppend(spark, root, Seq(seg))
+      commit(root, base :+ seg, branch)
     } else {
       val survivors = cur.join(aligned.select(keyCols.map(col): _*).distinct(),
         keyCols, "left_anti")
       // copy-on-write: old index content is WRONG for the new data —
-      // unregister first so readers scan linearly during the rebuild
-      if (willMaintain) unregisterIndexes(root)
-      val v = commit(root, Seq(newSegment(root, survivors.unionByName(aligned))), branch)
-      if (willMaintain) rebuildIndexes(spark, root)
-      v
+      // fence the rebuild window (marker + unregister) so readers in
+      // THIS and other sessions scan linearly until the rebuild lands
+      if (willMaintain) beginIndexRebuild(root)
+      try {
+        val v = commit(root, Seq(newSegment(root, survivors.unionByName(aligned))), branch)
+        if (willMaintain) rebuildIndexes(spark, root)
+        v
+      } catch { case e: Throwable =>
+        if (willMaintain) registeredIndexRoots.remove(root)
+        throw e
+      } finally if (willMaintain) endIndexRebuild(root)
     }
   }
 
@@ -552,13 +576,23 @@ object Snapshots {
     val willMaintain = branch == Main && readIndexDefs(root).nonEmpty
     // copy-on-write: between the new manifest and the rebuild, the old
     // index content is WRONG for the new data (an updated doc's old
-    // postings would still match) — unregister first so concurrent
-    // planners take the linear scan, then rebuild + re-register
-    if (willMaintain) unregisterIndexes(root)
-    val v = commit(root,
-      Seq(newSegment(root, f(open(spark, root, branch = branch)))), branch)
-    if (willMaintain) rebuildIndexes(spark, root)
-    v
+    // postings would still match) — fence the window first
+    // (beginIndexRebuild: on-disk marker + in-process unregister +
+    // re-registration suppression), so planners here AND in other
+    // sessions take the linear scan, then rebuild + re-register
+    if (willMaintain) beginIndexRebuild(root)
+    try {
+      val v = commit(root,
+        Seq(newSegment(root, f(open(spark, root, branch = branch)))), branch)
+      if (willMaintain) rebuildIndexes(spark, root)
+      v
+    } catch { case e: Throwable =>
+      // commit/rebuild failed: current version is unchanged (or the
+      // rebuild quarantined per-def) — drop the suppression so the next
+      // open() re-registers whatever the manifest still holds
+      if (willMaintain) registeredIndexRoots.remove(root)
+      throw e
+    } finally if (willMaintain) endIndexRebuild(root)
   }
 
   // ------------------------------------------------- table maintenance
@@ -694,12 +728,11 @@ object Snapshots {
     // the spliced segments are rows the owned indexes have never seen
     // (branch appends skip maintenance): absorb them O(delta) BEFORE the
     // manifest lands — otherwise the post-merge current version passes
-    // the routing gate while the index lacks the branch rows
-    if (into == Main && spliced.nonEmpty && readIndexDefs(root).nonEmpty) {
-      val delta = spark.read.option("mergeSchema", "true")
-        .parquet(spliced.map(s => Paths.get(root, s).toString): _*)
-      maintainIndexesOnAppend(spark, root, delta)
-    }
+    // the routing gate while the index lacks the branch rows. Absorbed
+    // per segment under its own name, so a retried merge overwrites
+    // rather than double-counts (see maintainIndexesOnAppend).
+    if (into == Main && spliced.nonEmpty && readIndexDefs(root).nonEmpty)
+      maintainIndexesOnAppend(spark, root, spliced)
     commit(root, intoSegs ++ spliced, into)
   }
 
@@ -798,6 +831,9 @@ object Snapshots {
     require(!column.contains("\t") && !idCol.contains("\t"),
       "column names may not contain tabs")
     require(tpe != "json" || jsonPaths.nonEmpty, "JSON index needs jsonPaths")
+    // a crash-orphaned rebuild fence clears once no OTHER (possibly
+    // stale) index remains: this build is fresh by construction
+    if (readIndexDefs(root).isEmpty) endIndexRebuild(root)
     buildIndexArtifact(spark, root, IndexDef(column, tpe, idCol, jsonPaths))
     val dir = indexDir(root, column, tpe).toString
     val defs = readIndexDefs(root)
@@ -828,6 +864,9 @@ object Snapshots {
     val p = new org.apache.hadoop.fs.Path(indexDir(root, column, tpe).toString)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)
+    // no indexes left -> nothing can be stale: clear any crash-orphaned
+    // rebuild fence so drop-all + recreate recovers routing
+    if (readIndexDefs(root).isEmpty) endIndexRebuild(root)
     registeredIndexRoots.remove(root)
     ()
   }
@@ -856,65 +895,123 @@ object Snapshots {
     }
   }
 
-  /** O(delta) maintenance when `delta` rows land ([[append]] /
-    * insert-only [[mergeInto]]): the per-doc posting families
-    * (inverted/exact/json) absorb exactly the delta's own rows as new
-    * parquet files — the existing corpus is never re-read; BM25
-    * tokenizes ONLY the delta and merges stats algebraically
-    * ([[graft.operators.Bm25.appendToIndex]]), re-persisting the merged
-    * artifact (write is O(index), tokenize O(delta)); clustered ANN
-    * assigns the delta to the EXISTING centroids
-    * ([[graft.operators.AnnIndex.assignDelta]]) as one absorbed batch
-    * segment — the same recall envelope as the streaming maintainer.
-    * Failures never poison the committed data: the index is advisory,
-    * so a broken maintenance pass logs and leaves the artifact to a
-    * rebuild. */
+  /** O(delta) maintenance when already-written delta segments land
+    * ([[append]] / insert-only [[mergeInto]] / [[merge]] / [[pull]]):
+    * the per-doc posting families (inverted/exact/json) absorb each
+    * segment's rows as new parquet files — the existing corpus is never
+    * re-read; BM25 tokenizes ONLY the delta and lands it as ONE batch
+    * segment per stats table (merge-on-read algebra in
+    * [[graft.operators.Bm25.load]] — no delete-rewrite window for
+    * readers); clustered ANN assigns the delta to the EXISTING
+    * centroids ([[graft.operators.AnnIndex.assignDelta]]) as one
+    * absorbed batch segment — the same recall envelope as the
+    * streaming maintainer.
+    *
+    * IDEMPOTENCE: every absorb is keyed by the delta's SEGMENT NAME
+    * (the caller writes the segment before calling, commits the
+    * manifest after). A re-absorb of the same segment — commit failed,
+    * caller retried — overwrites its `batch=<seg>` dirs (bm25/ann) or
+    * no-ops on its `_absorbed_<seg>` marker (posting kinds), so BM25
+    * corpus stats are never double-counted and ANN candidates never
+    * duplicated. A retry that re-wrote the data under a NEW segment
+    * name leaves the old key orphaned; [[reconcileOrphanBatches]]
+    * drops commit-keyed batches whose segment never made the manifest
+    * before each absorb. (Posting-kind duplicates from the same race
+    * are harmless by construction: the LEFT SEMI join back to the scan
+    * dedupes doc ids.)
+    *
+    * FAILURES never poison the committed data — but the semi-join
+    * rewrite ANSWERS queries from the index, so a stale index means
+    * wrong results, not slow ones: a broken maintenance pass
+    * QUARANTINES the index (unregister + drop from the manifest +
+    * delete the artifact) and queries fall back to linear scans until
+    * createIndex runs again. */
   private def maintainIndexesOnAppend(spark: SparkSession, root: String,
-      delta: DataFrame): Unit =
-    readIndexDefs(root).foreach { d =>
-      val dir = indexDir(root, d.column, d.tpe).toString
-      import graft.operators.{AnnIndex, Bm25, InvertedIndex}
-      try {
-        if (!delta.columns.contains(d.column) || !delta.columns.contains(d.idCol)) {
-          // a schema-evolution delta lacking the indexed (or id) column
-          // null-fills at read, so those rows contribute NOTHING to a
-          // per-doc index — the correct absorb is a no-op (quarantining
-          // here would destroy a valid index on a documented append)
-          ()
-        } else d.tpe match {
-          case "inverted" =>
-            InvertedIndex.build(delta, d.idCol, d.column)
-              .write.mode("append").parquet(dir)
-          case "exact" =>
-            InvertedIndex.buildExact(delta, d.idCol, d.column)
-              .write.mode("append").parquet(dir)
-          case "json" =>
-            InvertedIndex.buildJson(delta, d.idCol, d.column, d.jsonPaths)
-              .write.mode("append").parquet(dir)
-          case "bm25" =>
-            // append-only absorb (the StreamingText batch algebra):
-            // ONE new batch segment per table — load() merges on read,
-            // and no reader ever sees a delete-rewrite window
-            val post = Bm25.postings(delta, d.idCol, d.column).localCheckpoint()
-            val (ds, tdf) = Bm25.corpusStats(post)
-            val key = s"seg${System.nanoTime()}"
-            post.write.mode("overwrite").parquet(s"$dir/postings/batch=$key")
-            ds.write.mode("overwrite").parquet(s"$dir/doc_stats/batch=$key")
-            tdf.write.mode("overwrite").parquet(s"$dir/term_df/batch=$key")
-          case "clustered" | "clustered_quantized" =>
-            AnnIndex.assignDelta(AnnIndex.load(spark, dir), delta, d.idCol, d.column)
-              .write.mode("overwrite")
-              .parquet(s"$dir/assignments/batch=seg${System.nanoTime()}")
+      segNames: Seq[String]): Unit = {
+    var live = readIndexDefs(root)
+    if (live.isEmpty || segNames.isEmpty) return
+    live.foreach(d => reconcileOrphanBatches(root, d, segNames.toSet))
+    segNames.foreach { seg =>
+      val delta = spark.read.parquet(Paths.get(root, seg).toString)
+      live = live.filter { d =>
+        try { absorbSegment(spark, root, d, delta, seg); true }
+        catch { case e: Throwable =>
+          quarantineIndex(spark, root, d,
+            s"maintenance failed on append of $seg: ${e.getMessage}")
+          false
         }
-        refreshRegistration(spark, root, d)
-      } catch { case e: Throwable =>
-        // the semi-join rewrite ANSWERS queries from the index, so a
-        // stale index is wrong results, not slow ones: quarantine it
-        // (unregister + drop from the manifest) and fall back to scans
-        quarantineIndex(spark, root, d,
-          s"maintenance failed on append: ${e.getMessage}")
       }
     }
+  }
+
+  /** posting-kind absorbs append files with no transactional overwrite,
+    * so an already-absorbed segment is skipped via a marker file (the
+    * leading underscore keeps parquet discovery away from it) */
+  private def absorbMarker(root: String, d: IndexDef, seg: String): Path =
+    indexDir(root, d.column, d.tpe).resolve(s"_absorbed_$seg")
+
+  private def absorbSegment(spark: SparkSession, root: String, d: IndexDef,
+      delta: DataFrame, seg: String): Unit = {
+    val dir = indexDir(root, d.column, d.tpe).toString
+    import graft.operators.{AnnIndex, Bm25, InvertedIndex}
+    if (!delta.columns.contains(d.column) || !delta.columns.contains(d.idCol)) {
+      // a schema-evolution delta lacking the indexed (or id) column
+      // null-fills at read, so those rows contribute NOTHING to a
+      // per-doc index — the correct absorb is a no-op (quarantining
+      // here would destroy a valid index on a documented append)
+      ()
+    } else d.tpe match {
+      case "inverted" | "exact" | "json" =>
+        if (!Files.exists(absorbMarker(root, d, seg))) {
+          val postings = d.tpe match {
+            case "inverted" => InvertedIndex.build(delta, d.idCol, d.column)
+            case "exact" => InvertedIndex.buildExact(delta, d.idCol, d.column)
+            case _ => InvertedIndex.buildJson(delta, d.idCol, d.column, d.jsonPaths)
+          }
+          postings.write.mode("append").parquet(dir)
+          Files.write(absorbMarker(root, d, seg), Array.empty[Byte])
+        }
+      case "bm25" =>
+        val post = Bm25.postings(delta, d.idCol, d.column).localCheckpoint()
+        val (ds, tdf) = Bm25.corpusStats(post)
+        post.write.mode("overwrite").parquet(s"$dir/postings/batch=$seg")
+        ds.write.mode("overwrite").parquet(s"$dir/doc_stats/batch=$seg")
+        tdf.write.mode("overwrite").parquet(s"$dir/term_df/batch=$seg")
+      case "clustered" | "clustered_quantized" =>
+        AnnIndex.assignDelta(AnnIndex.load(spark, dir), delta, d.idCol, d.column)
+          .write.mode("overwrite").parquet(s"$dir/assignments/batch=$seg")
+    }
+  }
+
+  /** Drop commit-keyed batches (`batch=seg-*`) whose segment is neither
+    * on the current main manifest nor in the incoming absorb set — the
+    * residue of a retried append whose first commit never landed, which
+    * would otherwise double-count BM25 stats / duplicate ANN
+    * candidates forever. Streaming-maintainer batches (`base`,
+    * `compact`, caller-chosen ids) never match the `seg-` prefix and
+    * are untouched. Sound under the documented single-writer-per-root
+    * contract (a second writer's in-flight absorb would look orphaned). */
+  private def reconcileOrphanBatches(root: String, d: IndexDef,
+      incoming: Set[String]): Unit = {
+    val subdirs = d.tpe match {
+      case "bm25" => Seq("postings", "doc_stats", "term_df")
+      case "clustered" | "clustered_quantized" => Seq("assignments")
+      case _ => Nil
+    }
+    if (subdirs.isEmpty) return
+    val live = currentMainSegments(root) ++ incoming
+    subdirs.foreach { sub =>
+      val p = indexDir(root, d.column, d.tpe).resolve(sub)
+      if (Files.exists(p)) Files.list(p).iterator().asScala
+        .filter { b =>
+          val n = b.getFileName.toString
+          n.startsWith("batch=seg-") && !live.contains(n.stripPrefix("batch="))
+        }.toSeq.foreach { b =>
+          Files.walk(b).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount).foreach(Files.delete(_))
+        }
+    }
+  }
 
   /** COW mutations (delete/update/column DDL/full merge) rebuild each
     * owned index from the new snapshot: the mutation itself is already
@@ -952,6 +1049,31 @@ object Snapshots {
       }
     }
 
+  /** On-disk fence for the copy-on-write rebuild window. While it
+    * exists: [[registerIndexes]] refuses to (re)register the root — in
+    * THIS session (the root also enters registeredIndexRoots so a
+    * nested open() cannot undo the unregister) and in any FRESH session
+    * opening the table; [[routingMainSegments]] reports no current
+    * segments, so plan-level routing in long-lived OTHER sessions falls
+    * back to linear scans; and the bm25/ann providers return None. A
+    * crash mid-rebuild leaves the marker — routing stays off (the
+    * artifacts are suspect), which is the safe side; the next
+    * successful COW mutation or a fresh createIndex clears it. */
+  private def rebuildMarker(root: String): Path =
+    indexesDir(root).resolve("_rebuilding")
+
+  private def beginIndexRebuild(root: String): Unit = {
+    Files.createDirectories(indexesDir(root))
+    Files.write(rebuildMarker(root), Array.empty[Byte])
+    registeredIndexRoots.add(root)
+    unregisterIndexes(root)
+  }
+
+  private def endIndexRebuild(root: String): Unit = {
+    Files.deleteIfExists(rebuildMarker(root))
+    ()
+  }
+
   /** A failed maintenance/rebuild must not leave a stale index live
     * (routed queries would silently return another version's rows):
     * unregister, drop from the manifest so a FRESH session cannot
@@ -974,13 +1096,67 @@ object Snapshots {
     }
   }
 
-  /** bm25/ann catalog entries hold LOADED frames — refresh them after
-    * the artifact moved under them (plan-level entries read the path
-    * fresh per query and need nothing) */
-  private def refreshRegistration(spark: SparkSession, root: String,
-      d: IndexDef): Unit =
-    if (d.tpe == "bm25" || d.tpe == "clustered" || d.tpe == "clustered_quantized")
-      registerOne(spark, root, d)
+  // ------------------------- version-gated bm25/ann route registration
+  // Plan-level (inverted/exact/json) entries hold only a PATH — every
+  // query reads the artifact fresh, and [[routingMainSegments]] gates
+  // the rewrite. The bm25/ann catalogs instead hold LOADED frames, so a
+  // table-owned registration is a PROVIDER closure that re-checks the
+  // manifest + artifact stamp at LOOKUP time: a drop/quarantine in
+  // another process is observed (provider returns None -> no route), an
+  // absorb in any process bumps the artifact dir mtime and triggers a
+  // reload, and an in-flight rebuild fence suppresses the route. The
+  // loaded frames cache per stamp, so steady-state lookups cost two
+  // stat calls.
+
+  private val loadedArtifacts = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, String), (Long, AnyRef)]()
+
+  private def mtimeNanos(p: Path): Long =
+    try Files.getLastModifiedTime(p).to(java.util.concurrent.TimeUnit.NANOSECONDS)
+    catch { case _: java.io.IOException => -1L }
+
+  /** change stamp for one index artifact: the index manifest (DDL) and
+    * the artifact's batch-segment dir (absorbs) both bump it */
+  private def indexStamp(root: String, d: IndexDef): Long = {
+    val dataSub = if (d.tpe == "bm25") "postings" else "assignments"
+    31L * mtimeNanos(indexManifest(root)) +
+      mtimeNanos(indexDir(root, d.column, d.tpe).resolve(dataSub))
+  }
+
+  private def loadStamped[T <: AnyRef](root: String, d: IndexDef)(
+      load: => T): T = {
+    val key = (root, d.column, d.tpe)
+    val stamp = indexStamp(root, d)
+    val cached = loadedArtifacts.get(key)
+    if (cached != null && cached._1 == stamp) cached._2.asInstanceOf[T]
+    else {
+      val v = load
+      loadedArtifacts.put(key, (stamp, v))
+      v
+    }
+  }
+
+  private def bm25Provider(spark: SparkSession, root: String,
+      column: String): Option[graft.operators.Bm25.Catalog.Entry] =
+    if (Files.exists(rebuildMarker(root))) None
+    else readIndexDefs(root).find(x => x.column == column && x.tpe == "bm25")
+      .map { d =>
+        val idx = loadStamped(root, d)(
+          graft.operators.Bm25.load(spark, indexDir(root, d.column, d.tpe).toString))
+        graft.operators.Bm25.Catalog.Entry(idx, d.idCol)
+      }
+
+  private def annProvider(spark: SparkSession, root: String,
+      column: String): Option[graft.operators.AnnIndex.Catalog.Entry] =
+    if (Files.exists(rebuildMarker(root))) None
+    else readIndexDefs(root).find(x => x.column == column &&
+        (x.tpe == "clustered" || x.tpe == "clustered_quantized"))
+      .map { d =>
+        val idx = loadStamped(root, d)(
+          graft.operators.AnnIndex.load(spark, indexDir(root, d.column, d.tpe).toString))
+        graft.operators.AnnIndex.Catalog.Entry(idx, d.idCol,
+          graft.operators.AnnIndex.SearchConfig())
+      }
 
   private def registerOne(spark: SparkSession, root: String, d: IndexDef): Unit = {
     val dir = indexDir(root, d.column, d.tpe).toString
@@ -995,10 +1171,11 @@ object Snapshots {
         IndexCatalog.register(root, d.column, dir, d.idCol, IndexCatalog.Json,
           d.jsonPaths)
       case "bm25" =>
-        Bm25.Catalog.register(root, d.column, d.idCol, Bm25.load(spark, dir))
+        Bm25.Catalog.registerProvider(root, d.column,
+          () => bm25Provider(spark, root, d.column))
       case "clustered" | "clustered_quantized" =>
-        AnnIndex.Catalog.register(root, d.column, d.idCol,
-          AnnIndex.load(spark, dir))
+        AnnIndex.Catalog.registerProvider(root, d.column,
+          () => annProvider(spark, root, d.column))
     }
   }
 
@@ -1010,26 +1187,61 @@ object Snapshots {
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** Segment names of the CURRENT main-branch version (empty set when
-    * the root has no versions) — [[graft.plans.IndexRewrite]] routes a
-    * snapshot scan through a table-owned index ONLY when the scanned
-    * segment set is exactly this one: a branch read, a time-travel
-    * read, or a reader holding a stale plan must fall back to the
-    * linear scan rather than answer from an index that reflects a
-    * different row set. */
+    * the root has no versions). Raw read — for the routing-gate form
+    * (marker-fenced + memoized) use [[routingMainSegments]]. */
   def currentMainSegments(root: String): Set[String] = {
     val v = currentVersion(root, Main)
     if (v == 0L) Set.empty else segments(root, v, Main).toSet
   }
 
+  /** Routing-gate view of [[currentMainSegments]], the one
+    * [[graft.plans.IndexRewrite]] consults per Filter: a snapshot scan
+    * routes through a table-owned index ONLY when the scanned segment
+    * set is a subset of this one — a branch read, a time-travel read,
+    * or a reader holding a stale plan falls back to the linear scan
+    * rather than answer from an index reflecting a different row set.
+    * Two extra properties over the raw read:
+    *  - an in-flight copy-on-write rebuild ([[rebuildMarker]]) reports
+    *    NO current segments, so even a scan of the freshly-committed
+    *    version cannot route through the not-yet-rebuilt artifact —
+    *    including from long-lived OTHER sessions;
+    *  - the manifest read memoizes on the version-dir mtime (a commit
+    *    creates a manifest file, bumping it), so the optimizer rule's
+    *    per-Filter calls cost two stat()s, not a manifest read. */
+  def routingMainSegments(root: String): Set[String] =
+    if (Files.exists(rebuildMarker(root))) Set.empty
+    else {
+      val stamp = mtimeNanos(vDir(root, Main))
+      val cached = routingSegCache.get(root)
+      if (cached != null && cached._1 == stamp) cached._2
+      else {
+        val s = currentMainSegments(root)
+        routingSegCache.put(root, (stamp, s))
+        s
+      }
+    }
+
+  private val routingSegCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Set[String])]()
+
   /** test hook: simulate a fresh session (catalogs cleared elsewhere) */
-  private[graft] def resetIndexRegistry(): Unit = registeredIndexRoots.clear()
+  private[graft] def resetIndexRegistry(): Unit = {
+    registeredIndexRoots.clear()
+    routingSegCache.clear()
+    loadedArtifacts.clear()
+  }
 
   /** Re-register every persisted index with the routing catalogs —
     * called from [[open]], so a fresh session picks a table's indexes
     * up from the table root alone (the reference resolves indexes off
-    * the dataset, not off process state). Idempotent and cheap. */
+    * the dataset, not off process state). Idempotent and cheap. While
+    * a copy-on-write rebuild is in flight ([[rebuildMarker]]) this is a
+    * strict no-op — it neither registers (the artifacts are mid-
+    * rebuild) nor marks the root done (so the registration happens on
+    * the first open AFTER the fence lifts). */
   def registerIndexes(spark: SparkSession, root: String): Unit =
-    if (!registeredIndexRoots.contains(root) && Files.exists(indexManifest(root))) {
+    if (!registeredIndexRoots.contains(root) && Files.exists(indexManifest(root)) &&
+        !Files.exists(rebuildMarker(root))) {
       readIndexDefs(root).foreach(registerOne(spark, root, _))
       registeredIndexRoots.add(root)
       ()
@@ -1084,11 +1296,7 @@ object Snapshots {
       val after = currentMainSegments(root)
       if (before.subsetOf(after)) {
         val fresh = (after -- before).toSeq.sorted
-        if (fresh.nonEmpty) {
-          val delta = spark.read.option("mergeSchema", "true")
-            .parquet(fresh.map(s => Paths.get(root, s).toString): _*)
-          maintainIndexesOnAppend(spark, root, delta)
-        }
+        if (fresh.nonEmpty) maintainIndexesOnAppend(spark, root, fresh)
       } else rebuildIndexes(spark, root)
     }
     shipped

@@ -46,11 +46,24 @@ object Tables {
     * bucket with its own credentials without mutating the cluster-wide
     * configuration or other concurrent queries. */
   def openUrl(spark: SparkSession, url: String,
-      hadoopOpts: Map[String, String] = Map.empty): DataFrame =
-    if (url.endsWith(".csv"))
+      hadoopOpts: Map[String, String] = Map.empty): DataFrame = {
+    // a versioned Snapshots root must resolve through its MANIFEST, not
+    // a recursive directory read: after any copy-on-write mutation the
+    // root still holds superseded seg-* dirs whose rows are deleted in
+    // the current version (and createIndex registers indexes under the
+    // root, so the natural follow-up `FROM "<root>"` would route them
+    // over the wrong base scan). Local paths only — Snapshots manifests
+    // live on the local FS; remote schemes fall through to a plain read.
+    val localPath = url.stripPrefix("file:")
+    val snapshotRoot = !localPath.contains("://") &&
+      (try java.nio.file.Files.exists(java.nio.file.Paths.get(localPath, "_v"))
+       catch { case _: Exception => false })
+    if (snapshotRoot) Snapshots.open(spark, localPath)
+    else if (url.endsWith(".csv"))
       spark.read.options(hadoopOpts)
         .option("header", "true").option("inferSchema", "true").csv(url)
     else spark.read.options(hadoopOpts).parquet(url)
+  }
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     apply(spark, dir, name, Map.empty)

@@ -716,4 +716,152 @@ class SnapshotsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(q.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ===
       Seq(1L, 3L))
   }
+
+  private def copyDir(from: java.nio.file.Path, to: java.nio.file.Path): Unit =
+    Files.walk(from).iterator().asScala.toSeq.foreach { p =>
+      val dst = to.resolve(from.relativize(p))
+      if (Files.isDirectory(p)) Files.createDirectories(dst)
+      else Files.copy(p, dst)
+    }
+
+  test("index absorbs are commit-keyed and idempotent: orphan batches reconcile, stats never double-count") {
+    import spark.implicits._
+    import graft.operators.Bm25
+    val root = freshRoot()
+    Snapshots.create(spark, root, Seq(
+      (1L, "spark shuffles data"),
+      (2L, "catalyst optimizes plans")).toDF("doc_id", "text"))
+    GraftExtensions.register(spark)
+    graft.plans.IndexCatalog.clear()
+    Snapshots.resetIndexRegistry()
+    Snapshots.createIndex(spark, root, "text", "bm25", "doc_id")
+    Snapshots.append(spark, root,
+      Seq((3L, "spark broadcasts tables")).toDF("doc_id", "text"))
+
+    // absorb batches are keyed by the COMMITTED segment names (plus the
+    // base build) — the deterministic key that makes a re-absorb
+    // overwrite instead of double-count
+    val postingsDir = java.nio.file.Paths.get(root, "_indexes", "text__bm25", "postings")
+    def batchNames() = Files.list(postingsDir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("batch=")).toSet
+    val segs = Snapshots.currentMainSegments(root)
+    assert(batchNames() === (segs.map("batch=" + _) + "batch=base" -- Set("batch=" + segs.min)),
+      s"batches ${batchNames()} vs segments $segs")
+
+    // plant an ORPHAN: a retried append whose first commit never landed
+    // left its batch behind — without reconciliation its docs would be
+    // double-counted in n_docs/avgdl/term_df forever
+    Seq("postings", "doc_stats", "term_df").foreach { sub =>
+      val d = java.nio.file.Paths.get(root, "_indexes", "text__bm25", sub)
+      val aBatch = Files.list(d).iterator().asScala
+        .find(_.getFileName.toString.startsWith("batch=seg-")).get
+      copyDir(aBatch, d.resolve("batch=seg-00000000000000000orphan"))
+    }
+    val doubled = Bm25.load(spark, s"$root/_indexes/text__bm25")
+    val nDoubled = doubled.docStats.collect()(0).getLong(0)
+    assert(nDoubled === 4L) // the orphan IS double-counting right now
+
+    // the next append reconciles the orphan and the maintained stats
+    // equal a from-scratch rebuild
+    Snapshots.append(spark, root,
+      Seq((4L, "tungsten compiles code")).toDF("doc_id", "text"))
+    assert(!batchNames().exists(_.contains("orphan")))
+    val entry = Bm25.Catalog.lookup(root, "text").get
+    assert(entry.index.docStats.collect()(0).getLong(0) === 4L)
+    val maintained = Bm25.scoreWithIndex(entry.index, Seq("spark"))
+      .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e6))).toSet
+    val rebuilt = Bm25.scoreWithIndex(
+        Bm25.buildIndex(Snapshots.open(spark, root), "doc_id", "text"), Seq("spark"))
+      .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e6))).toSet
+    assert(maintained === rebuilt && maintained.nonEmpty)
+  }
+
+  test("copy-on-write rebuild fence: the on-disk marker suppresses routing in live AND fresh sessions") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import graft.operators.Bm25
+    val root = freshRoot()
+    Snapshots.create(spark, root, Seq(
+      (1L, "spark shuffles data"),
+      (2L, "catalyst optimizes plans")).toDF("doc_id", "text"))
+    GraftExtensions.register(spark)
+    graft.plans.IndexCatalog.clear()
+    Snapshots.resetIndexRegistry()
+    Snapshots.createIndex(spark, root, "text", "inverted", "doc_id")
+    Snapshots.createIndex(spark, root, "text", "bm25", "doc_id")
+
+    def semis(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case j: Join if j.joinType == LeftSemi => j }.size
+    def q() = Snapshots.open(spark, root).filter(
+      array_contains(split(lower(col("text")), "[^a-z0-9]+"), "spark"))
+    assert(semis(q()) == 1)
+    assert(Bm25.Catalog.lookup(root, "text").nonEmpty)
+
+    // another process is mid-COW-rebuild: its fence marker lands on disk
+    val marker = java.nio.file.Paths.get(root, "_indexes", "_rebuilding")
+    Files.write(marker, Array.empty[Byte])
+    // LIVE session (catalogs already registered): the plan gate reports
+    // no current segments -> linear scan; the bm25 provider returns None
+    val fenced = q()
+    assert(semis(fenced) == 0, fenced.queryExecution.optimizedPlan.toString)
+    assert(fenced.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq === Seq(1L))
+    assert(Bm25.Catalog.lookup(root, "text").isEmpty)
+    // FRESH session: open() must NOT register the mid-rebuild artifacts
+    graft.plans.IndexCatalog.clear()
+    graft.operators.Bm25.Catalog.clear()
+    Snapshots.resetIndexRegistry()
+    val freshFenced = q()
+    assert(semis(freshFenced) == 0)
+    assert(Bm25.Catalog.lookup(root, "text").isEmpty)
+    // fence lifts: the SAME fresh session's next open registers and routes
+    Files.delete(marker)
+    val lifted = q()
+    assert(semis(lifted) == 1, lifted.queryExecution.optimizedPlan.toString)
+    assert(Bm25.Catalog.lookup(root, "text").nonEmpty)
+  }
+
+  test("bm25/ann providers observe an out-of-band drop instead of serving stale loaded frames") {
+    import spark.implicits._
+    import graft.operators.{AnnIndex, Bm25}
+    val root = freshRoot()
+    val emb = (0 until 20).map(i =>
+      (i.toLong, s"doc about topic${i % 3}", Array.fill(4)(i / 20.0f)))
+      .toDF("doc_id", "text", "embedding")
+    Snapshots.create(spark, root, emb)
+    GraftExtensions.register(spark)
+    Snapshots.resetIndexRegistry()
+    Bm25.Catalog.clear(); AnnIndex.Catalog.clear()
+    Snapshots.createIndex(spark, root, "text", "bm25", "doc_id")
+    Snapshots.createIndex(spark, root, "embedding", "clustered", "doc_id")
+    assert(Bm25.Catalog.lookup(root, "text").nonEmpty)
+    assert(AnnIndex.Catalog.lookup(root, "embedding").nonEmpty)
+
+    // ANOTHER process quarantines/drops both indexes: manifest emptied,
+    // artifacts deleted — this session's catalogs were never told
+    val man = java.nio.file.Paths.get(root, "_indexes", "manifest.json")
+    Files.write(man, Array.empty[Byte])
+    // the provider re-reads the manifest at lookup time -> no route
+    // (without the gate this would serve the deleted artifact's frames)
+    assert(Bm25.Catalog.lookup(root, "text").isEmpty)
+    assert(AnnIndex.Catalog.lookup(root, "embedding").isEmpty)
+  }
+
+  test("TQL over a versioned root resolves via the manifest, not a recursive segment read") {
+    import spark.implicits._
+    val root = freshRoot()
+    Snapshots.create(spark, root, Seq(
+      (1L, "keep one"), (2L, "drop me"), (3L, "keep two")).toDF("doc_id", "text"))
+    // copy-on-write: the superseded segment stays on disk for time travel
+    Snapshots.deleteWhere(spark, root, col("doc_id") === 2L)
+    // a quoted-root TQL scan must see ONLY the current version's rows —
+    // a recursive parquet read of the root would resurrect doc 2 (and
+    // any index registered under the root would route over that wrong
+    // base scan)
+    val rows = graft.dialect.Tql.query(spark, root,
+      s"""SELECT doc_id FROM "$root" ORDER BY doc_id""")
+      .collect().map(_.getLong(0)).toSeq
+    assert(rows === Seq(1L, 3L))
+  }
 }
