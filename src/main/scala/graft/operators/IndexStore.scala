@@ -135,6 +135,73 @@ object IndexStore {
       ksub: Int = 64): String =
     artifactDir(sfDir, s"annpq2-$nClusters-$m-$ksub").toString
 
+  /** PCA loadings artifact over embeddings(embedding): the fitted
+    * d×k principal-component matrix in long form (i, k, v) plus the
+    * per-component explained-variance table. Built once per dataset
+    * (the eigendecomposition is the expensive, non-SQL part); queries
+    * project map-side against the persisted loadings, and the DuckDB
+    * oracle replays the SAME projection from the SAME parquet — the
+    * artifact-replay pattern that turned the ANN routes into full
+    * oracles. Component sign is build-specific, but both engines read
+    * the one persisted matrix, so even signed projections agree. */
+  private def pcaArtifact(spark: SparkSession, sfDir: String, k: Int): String =
+    ensure(artifactDir(sfDir, s"pca$k")) { d =>
+      import spark.implicits._
+      val m = EmbeddingOps.fitPca(
+        Tables(spark, sfDir, "embeddings"), "vec_id", "embedding", k)
+      val pc = m.model.pc
+      (for (i <- 0 until pc.numRows; kk <- 0 until pc.numCols)
+        yield (i, kk, pc(i, kk)))
+        .toDF("i", "k", "v").coalesce(1)
+        .write.mode("overwrite").parquet(s"$d/loadings")
+      m.explainedVariance.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+        .toDF("k", "explained_variance").coalesce(1)
+        .write.mode("overwrite").parquet(s"$d/variance")
+    }
+
+  /** Rule-distilled quality-classifier artifact (q_quality_model's
+    * training baked once per dataset): every doc labeled by the Gopher
+    * rules, md5-hashed-BoW logistic regression trained on the EVEN
+    * doc_id half (L-BFGS — the non-SQL part), nonzero weights +
+    * intercept persisted. Scoring queries broadcast-join the weight
+    * table; the DuckDB oracle replays the identical join + sigmoid
+    * from the same parquet. */
+  private def qmArtifact(spark: SparkSession, sfDir: String): String =
+    ensure(artifactDir(sfDir, "qm1")) { d =>
+      import org.apache.spark.sql.functions._
+      val docs = Tables(spark, sfDir, "documents")
+      val m = docs.select(col("doc_id") +: col("text") +:
+        TextAnalysis.ruleMetrics(col("text")).map { case (n, c) => c.as(n) }: _*)
+      val flags = TextAnalysis.ruleFlags(n => col(n))
+      val labeled = m.withColumn("label",
+        TextAnalysis.ruleKeep(flags.map(_._2)).cast("int"))
+      QualityModel.save(QualityModel.train(
+        labeled.filter(col("doc_id") % 2 === 0), "text", "label", maxIter = 15),
+        spark, d)
+    }
+
+  /** nonzero (bucket, w) rows of the quality-model artifact */
+  def qmWeights(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"${qmArtifact(spark, sfDir)}/weights")
+
+  /** (intercept, dim) of the quality-model artifact */
+  def qmMeta(spark: SparkSession, sfDir: String): (Double, Int) = {
+    val r = spark.read.parquet(s"${qmArtifact(spark, sfDir)}/meta").head()
+    (r.getDouble(0), r.getInt(1))
+  }
+
+  /** absolute artifact dir for the `__QM_ARTIFACT__` oracle token */
+  def qmArtifactPath(sfDir: String): String =
+    artifactDir(sfDir, "qm1").toString
+
+  /** fitted loadings (i, k, v) for the k-component PCA artifact */
+  def pcaLoadings(spark: SparkSession, sfDir: String, k: Int = 8): DataFrame =
+    spark.read.parquet(s"${pcaArtifact(spark, sfDir, k)}/loadings")
+
+  /** absolute PCA artifact dir for the `__PCA_ARTIFACT__` oracle token */
+  def pcaArtifactPath(sfDir: String, k: Int = 8): String =
+    artifactDir(sfDir, s"pca$k").toString
+
   /** The ONE place oracle-SQL artifact tokens resolve (Verify and
     * VerifyOne both call this at dump time) — a token added here can
     * never diverge between the full verify pass and the single-query
@@ -143,6 +210,8 @@ object IndexStore {
     .replace("__ANN_ARTIFACT__", annArtifactPath(sfDir))
     .replace("__MAXSIM_ARTIFACT__", maxsimArtifactPath(sfDir))
     .replace("__ANNPQ_ARTIFACT__", annPqArtifactPath(sfDir))
+    .replace("__PCA_ARTIFACT__", pcaArtifactPath(sfDir))
+    .replace("__QM_ARTIFACT__", qmArtifactPath(sfDir))
 
   /** clustered index over the pages' mean-pooled vectors (id = page_id) */
   def maxsimAnn(spark: SparkSession, sfDir: String): AnnIndex.Index =

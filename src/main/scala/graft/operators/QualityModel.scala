@@ -1,8 +1,7 @@
 package graft.operators
 
 import org.apache.spark.ml.classification.{LogisticRegression, LogisticRegressionModel}
-import org.apache.spark.ml.feature.HashingTF
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Model-based quality filtering — the classifier step of LLM corpus
@@ -28,11 +27,35 @@ object QualityModel {
 
   final case class Model(lr: LogisticRegressionModel, dim: Int)
 
-  private def featurize(docs: DataFrame, textCol: String, dim: Int): DataFrame =
-    new HashingTF().setInputCol("__toks").setOutputCol("features")
-      .setNumFeatures(dim).setBinary(true)
-      .transform(docs.withColumn("__toks", TextAnalysis.tokens(col(textCol))))
-      .drop("__toks")
+  /** md5-fold feature hashing (the hashing trick, binary): bucket j is
+    * set iff SOME token md5-folds to j — the same semantics as
+    * HashingTF(binary=true) but with the repo's engine-portable 60-bit
+    * md5 prefix fold instead of murmur3, so the EXACT bucketing replays
+    * in the DuckDB oracle (`Registry.hex60Sql`). Sorted-distinct, ready
+    * for sparse-vector construction. Map-side, codegen'd. */
+  private[graft] def buckets(text: Column, dim: Int): Column =
+    array_sort(array_distinct(transform(TextAnalysis.tokens(text),
+      t => pmod(conv(substring(md5(t), 1, 15), 16, 10).cast("long"),
+        lit(dim.toLong)).cast("int"))))
+
+  private def featurize(docs: DataFrame, textCol: String, dim: Int): DataFrame = {
+    val withB = docs.withColumn("__bkts", buckets(col(textCol), dim))
+    val bIdx = withB.schema.fieldIndex("__bkts")
+    val schema = withB.schema.add("features",
+      org.apache.spark.ml.linalg.SQLDataTypes.VectorType)
+    // mapPartitions ONLY constructs the MLlib SparseVector (no public
+    // Column expression builds one — HashingTF does the same via an
+    // internal udf); the hashing itself stays codegen'd above
+    withB.mapPartitions { it =>
+      it.map { r =>
+        val idx = r.getSeq[Int](bIdx).toArray
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+
+          org.apache.spark.ml.linalg.Vectors.sparse(dim, idx,
+            Array.fill(idx.length)(1.0)))
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+      .drop("__bkts")
+  }
 
   /** Train on (textCol, labelCol∈{0,1}) rows. */
   def train(labeled: DataFrame, textCol: String, labelCol: String,
@@ -42,6 +65,42 @@ object QualityModel {
     Model(new LogisticRegression()
       .setMaxIter(maxIter).setRegParam(regParam)
       .fit(feat), dim)
+  }
+
+  /** Persist the trained model as a relational artifact: nonzero
+    * (bucket, w) coefficient rows + one meta row (intercept, dim).
+    * Buckets never seen in training keep their zero init under L-BFGS
+    * (zero gradient, zero L2 pull at 0), so the nonzero rows are the
+    * complete model. [[scoreRelational]] — and the DuckDB oracle — score
+    * by joining these tables. */
+  def save(model: Model, spark: SparkSession, dir: String): Unit = {
+    import spark.implicits._
+    model.lr.coefficients.toArray.zipWithIndex
+      .collect { case (w, i) if w != 0.0 => (i, w) }.toSeq
+      .toDF("bucket", "w").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/weights")
+    Seq((model.lr.intercept, model.dim)).toDF("intercept", "dim").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Score against PERSISTED weights with pure relational ops: explode
+    * the distinct md5 buckets, broadcast-join the weight table,
+    * sigmoid(intercept + Σw) — the same math the MLlib transform does
+    * on binary features, and exactly what the SQL oracle replays from
+    * the artifact parquet. Output: idCol, keepCols..., quality_prob
+    * (rounded 6dp). One broadcast join + one group-by-id agg; the
+    * weight table is bounded by the training vocabulary. */
+  def scoreRelational(docs: DataFrame, idCol: String, keepCols: Seq[String],
+      textCol: String, weights: DataFrame, intercept: Double,
+      dim: Int): DataFrame = {
+    val keyCols = (idCol +: keepCols).map(col)
+    docs.select(keyCols :+ buckets(col(textCol), dim).as("__bkts"): _*)
+      .select(keyCols :+ explode_outer(col("__bkts")).as("bucket"): _*)
+      .join(broadcast(weights.select(col("bucket"), col("w"))), Seq("bucket"), "left")
+      .groupBy(keyCols: _*)
+      .agg(round(lit(1.0) / (lit(1.0) +
+        exp(-(lit(intercept) + coalesce(sum(col("w")), lit(0.0))))), 6)
+        .as("quality_prob"))
   }
 
   /** Score docs: input columns + `quality_prob` (P(label=1), extracted

@@ -137,12 +137,24 @@ object Unigram {
     }
   }
 
-  /** Seed vocabulary: the `seedSize` most frequent substrings (length
-    * 2..maxPieceLen, weighted by word count) PLUS every single
-    * character (coverage guarantee — chars are never pruned). One
-    * flatMap + hash-agg over the word table. */
-  private def seed(words: Dataset[(String, Long)], maxPieceLen: Int,
-      seedSize: Int, minCount: Long): Map[String, Double] = {
+  /** Seed inventory as an exact-count table (p, c): every single
+    * character (coverage guarantee — chars are never pruned) PLUS the
+    * `seedSize` most frequent multi-char substrings (length
+    * 2..maxPieceLen, weighted by word count, count >= minCount, total
+    * order (c desc, p)). This is the deterministic INTEGER half of
+    * training — fully SQL-replayable (q_unigram_seed's oracle) — while
+    * the float EM refinement over it stays spec-gated. One flatMap +
+    * hash-agg over the distinct-word table. */
+  def seedCounts(docs: DataFrame, textCol: String, maxPieceLen: Int = 6,
+      seedSize: Int = 20000, minCount: Long = 2): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    seedCountTable(Bpe.wordCounts(docs, textCol).as[(String, Long)],
+      maxPieceLen, seedSize, minCount)
+  }
+
+  private def seedCountTable(words: Dataset[(String, Long)], maxPieceLen: Int,
+      seedSize: Int, minCount: Long): DataFrame = {
     val spark = words.sparkSession
     import spark.implicits._
     val subs = words.flatMap { case (w, c) =>
@@ -155,7 +167,13 @@ object Unigram {
     val chars = subs.filter(length(col("p")) === 1)
     val multi = subs.filter(length(col("p")) > 1 && col("c") >= minCount)
       .orderBy(col("c").desc, col("p")).limit(seedSize)
-    val all = chars.unionByName(multi)
+    chars.unionByName(multi)
+  }
+
+  /** Seed vocabulary log-probs from the [[seedCountTable]] inventory. */
+  private def seed(words: Dataset[(String, Long)], maxPieceLen: Int,
+      seedSize: Int, minCount: Long): Map[String, Double] = {
+    val all = seedCountTable(words, maxPieceLen, seedSize, minCount)
       .collect().map(r => r.getString(0) -> r.getLong(1).toDouble)
     val total = all.map(_._2).sum
     all.map { case (p, c) => p -> math.log(c / total) }.toMap

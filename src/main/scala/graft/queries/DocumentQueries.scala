@@ -1666,28 +1666,87 @@ object DocumentQueries extends QueryModule {
       None,
       doc = "per-doc deflate-compression ratio (low = templated/repetitive junk)"),
 
+    // ---- the exact half of the compressibility signal (the
+    // q_sketch_stats_exact split pattern): deflate = LZ77 dictionary
+    // matching + Huffman — the Huffman bound is q_text_entropy's
+    // oracle-green char entropy, and the DICTIONARY side is the
+    // distinct-window fraction below: exact integer window counts,
+    // fully SQL-replayable, low = repeated 8-char windows = what LZ77
+    // eats. Only the byte-exact Deflater output (above) stays
+    // no_oracle, law-gated in QualityRulesSpec.
+    "q_text_compression_exact" -> Q(
+      (s, dir) => {
+        val grams = transform(sequence(lit(1), length(col("text")) - 7),
+          i => col("text").substr(i, lit(8)))
+        table(s, dir, "documents")
+          .select(col("doc_id"),
+            length(col("text")).cast("long").as("n_cp"),
+            when(length(col("text")) >= 8,
+              round(size(array_distinct(grams)).cast("double") /
+                size(grams).cast("double"), 6)).as("distinct_8gram_frac"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH i1 AS (SELECT doc_id, text,
+             |  unnest(range(1, greatest(length(text) - 6, 1))) AS i
+             |  FROM documents WHERE length(text) >= 8),
+             |g AS (SELECT doc_id, substr(text, i::INT, 8) AS gr FROM i1),
+             |f AS (SELECT doc_id,
+             |  count(DISTINCT gr)::DOUBLE / count(*)::DOUBLE AS fr
+             |  FROM g GROUP BY doc_id)
+             |SELECT d.doc_id, length(d.text)::BIGINT AS n_cp,
+             |  round(f.fr, 6) AS distinct_8gram_frac
+             |FROM documents d LEFT JOIN f USING (doc_id)
+             |ORDER BY doc_id""".stripMargin.replace('\n', ' ')),
+      doc = "distinct 8-char-window fraction: the exact LZ-dictionary half of the deflate compressibility signal"),
+
     // ---- model-based quality filtering: distill the Gopher rules into
     // a hashed-BoW logistic regression (CCNet/LLaMA-style classifier),
-    // train on a labeled slice, score the rest. Deterministic (hash
-    // features, fixed L-BFGS init) but not SQL-expressible -> no_oracle;
-    // the learning itself is gated by QualityRulesSpec's AUC test.
+    // train on a labeled slice, score the rest. FULL oracle via the
+    // artifact-replay pattern (r15 verdict Next #3): the L-BFGS fit —
+    // the non-SQL part — persists ONCE as a (bucket, w) weight table
+    // (IndexStore.qm1; featurization is the md5-fold hashing trick, so
+    // the SAME buckets compute in both engines), and scoring is a
+    // broadcast weight join + sigmoid that DuckDB replays from the SAME
+    // parquet. The learning itself (AUC) stays gated in
+    // QualityRulesSpec.
     "q_quality_model" -> Q(
       (s, dir) => {
+        val w = graft.operators.IndexStore.qmWeights(s, dir)
+        val (b0, dim) = graft.operators.IndexStore.qmMeta(s, dir)
         val d = table(s, dir, "documents")
         val m = d.select(col("doc_id") +: col("text") +:
           TA.ruleMetrics(col("text")).map { case (n, c) => c.as(n) }: _*)
         val flags = TA.ruleFlags(n => col(n))
         val labeled = m.withColumn("label",
           TA.ruleKeep(flags.map(_._2)).cast("int"))
-        val model = graft.operators.QualityModel.train(
-          labeled.filter(col("doc_id") % 2 === 0), "text", "label", maxIter = 15)
-        graft.operators.QualityModel.score(
-            model, labeled.filter(col("doc_id") % 2 === 1), "text")
-          .select(col("doc_id"), col("label"), col("quality_prob"))
+        graft.operators.QualityModel.scoreRelational(
+            labeled.filter(col("doc_id") % 2 === 1), "doc_id", Seq("label"),
+            "text", w, b0, dim)
           .orderBy(col("doc_id")).limit(100)
       },
-      None,
-      doc = "rule-distilled quality classifier scores, AUC-gated in QualityRulesSpec"),
+      Some(s"""WITH W AS (SELECT bucket, w
+             |  FROM read_parquet('__QM_ARTIFACT__/weights/*.parquet')),
+             |meta AS (SELECT intercept, dim
+             |  FROM read_parquet('__QM_ARTIFACT__/meta/*.parquet')),
+             |t AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+             |w2 AS (SELECT doc_id, text, regexp_split_to_array(text, '\\s+') AS ws,
+             |  string_split(text, chr(10)) AS ln FROM t),
+             |m AS (SELECT doc_id, text, $qrMetricsSql FROM w2),
+             |lab AS (SELECT doc_id, text,
+             |  CAST((n_words >= 20 AND n_words <= 100000 AND mean_word_len >= 2.5
+             |   AND mean_word_len <= 8.0 AND alpha_frac >= 0.9 AND bullet_frac <= 0.5
+             |   AND ellipsis_frac <= 0.3 AND stop_count >= 2) AS INT) AS label FROM m),
+             |bk AS (SELECT DISTINCT doc_id,
+             |  ${hex60Sql("md5(tok)")} % (SELECT dim FROM meta) AS bucket
+             |  FROM lab, unnest(string_split(text, ' ')) AS u(tok)),
+             |z AS (SELECT bk.doc_id, coalesce(sum(W.w), 0) AS s
+             |  FROM bk LEFT JOIN W USING (bucket) GROUP BY bk.doc_id)
+             |SELECT lab.doc_id, lab.label,
+             |  round(1.0 / (1.0 + exp(-((SELECT intercept FROM meta) + z.s))), 6)
+             |    AS quality_prob
+             |FROM lab JOIN z USING (doc_id)
+             |ORDER BY doc_id LIMIT 100""".stripMargin.replace('\n', ' ')),
+      doc = "rule-distilled quality classifier scores (oracle replays scoring from the persisted weight artifact); AUC gated in QualityRulesSpec"),
 
     // ---- isotonic (PAV) calibration of the quality score: raw scores
     // rank well but mean nothing as probabilities; the step function

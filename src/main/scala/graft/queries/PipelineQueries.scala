@@ -347,6 +347,32 @@ object PipelineQueries extends QueryModule {
     // model) — the EM sibling of q_bpe_merges: float EM has no SQL
     // replay, so UnigramSpec gates it (likelihood monotonicity,
     // planted-morpheme recovery, coverage, determinism at 9dp)
+    // ---- the q_sketch_stats_exact split pattern (r15 verdict Next
+    // #3) applied to unigram training: the SEED inventory — chars plus
+    // the most frequent weighted substrings — is exact integer math
+    // over the word table and replays fully in SQL; only the float EM
+    // refinement over it (q_unigram_pieces below) stays spec-gated.
+    "q_unigram_seed" -> Q(
+      (s, dir) => graft.operators.Unigram
+        .seedCounts(table(s, dir, "documents"), "text")
+        .orderBy(col("c").desc, col("p")).limit(200)
+        .select(col("p").as("piece"), col("c")),
+      Some("""WITH words AS (SELECT w, count(*)::BIGINT AS c FROM (
+             |  SELECT unnest(regexp_split_to_array(text, '\s+')) AS w FROM documents)
+             |  WHERE length(w) > 0 GROUP BY w),
+             |s1 AS (SELECT w, c, unnest(range(0, length(w))) AS si FROM words),
+             |s2 AS (SELECT w, c, si, unnest(range(1, 7)) AS lj FROM s1),
+             |subs AS (SELECT substr(w, (si + 1)::INT, lj::INT) AS p, sum(c)::BIGINT AS c
+             |  FROM s2 WHERE si + lj <= length(w) GROUP BY 1),
+             |seedset AS (
+             |  SELECT p, c FROM subs WHERE length(p) = 1
+             |  UNION ALL
+             |  SELECT p, c FROM (SELECT p, c FROM subs WHERE length(p) > 1 AND c >= 2
+             |    ORDER BY c DESC, p LIMIT 20000))
+             |SELECT p AS piece, c FROM seedset
+             |ORDER BY c DESC, piece LIMIT 200""".stripMargin.replace('\n', ' ')),
+      doc = "unigram seed-vocab inventory: exact weighted substring counts (the SQL-replayable half of q_unigram_pieces)"),
+
     "q_unigram_pieces" -> Q(
       (s, dir) => {
         import s.implicits._

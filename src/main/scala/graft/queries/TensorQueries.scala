@@ -441,22 +441,40 @@ object TensorQueries extends QueryModule {
              |LIMIT 50""".stripMargin.replace('\n', ' ')),
       doc = "per-label outlier z-scores: distance to own class centroid (label-noise audit)"),
 
-    // ---- PCA embedding reduction (SemDeDup's pre-step): projected
-    // coordinates are sign-indeterminate across BLAS builds, so the
-    // output is the sign-INVARIANT per-row projection norm; the
-    // subspace law (planted low-rank data reconstructs exactly,
-    // variance ordering, orthonormal loadings) is gated in DedupSpec
+    // ---- PCA embedding reduction (SemDeDup's pre-step). FULL oracle
+    // via the artifact-replay pattern (r15 verdict Next #3): the
+    // eigendecomposition — the non-SQL part — persists ONCE as the
+    // loadings artifact (IndexStore.pca8); the query projects map-side
+    // against the persisted matrix (k aggregate-HOF dot products, zero
+    // shuffle, zero refit per run) and DuckDB replays the SAME
+    // projection from the SAME parquet. Output stays the per-row
+    // projection norm; the subspace law (planted low-rank data
+    // reconstructs exactly, variance ordering, orthonormal loadings)
+    // remains gated in DedupSpec against fitPca itself.
     "q_vec_pca" -> Q(
       (s, dir) => {
-        val red = graft.operators.EmbeddingOps.pcaReduce(
-          table(s, dir, "embeddings"), "vec_id", "embedding", k = 8)
-        red.select(col("vec_id"),
-            round(sqrt(aggregate(col("embedding_pca"),
-              lit(0.0), (a, x) => a + x * x)), 4).as("pca_norm"))
+        val L = graft.operators.IndexStore.pcaLoadings(s, dir, 8).collect()
+        val d = L.map(_.getInt(0)).max + 1
+        val nk = L.map(_.getInt(1)).max + 1
+        val V = Array.ofDim[Double](nk, d)
+        L.foreach(r => V(r.getInt(1))(r.getInt(0)) = r.getDouble(2))
+        val projs = (0 until nk).map { kk =>
+          aggregate(zip_with(col("embedding").cast("array<double>"),
+            typedLit(V(kk).toSeq), (a, b) => a * b),
+            lit(0.0), (acc, x) => acc + x)
+        }
+        table(s, dir, "embeddings").select(col("vec_id"),
+            round(sqrt(projs.map(p => p * p).reduce(_ + _)), 4).as("pca_norm"))
           .orderBy(col("vec_id"))
       },
-      None,
-      doc = "8-dim PCA projection norms per embedding (sign-invariant output)"),
+      Some("""WITH L AS (SELECT i, k, v
+             |  FROM read_parquet('__PCA_ARTIFACT__/loadings/*.parquet')),
+             |p AS (SELECT e.vec_id, L.k,
+             |  sum(e.embedding[L.i + 1]::DOUBLE * L.v) AS p
+             |  FROM embeddings e CROSS JOIN L GROUP BY e.vec_id, L.k)
+             |SELECT vec_id, round(sqrt(sum(p * p)), 4) AS pca_norm
+             |FROM p GROUP BY vec_id ORDER BY vec_id""".stripMargin.replace('\n', ' ')),
+      doc = "8-dim PCA projection norms per embedding (oracle replays the projection from the persisted loadings artifact)"),
 
     // ---- cluster-prototype sampling (coreset selection): nearest-to-
     // centroid representatives per embedding cluster off the persisted
