@@ -355,6 +355,8 @@ object IndexStore {
     timed("inverted")(inverted(spark, sfDir))
     timed("bm25")(bm25(spark, sfDir))
     timed("json")(json(spark, sfDir))
+    timed("pca")(pcaLoadings(spark, sfDir).count())
+    timed("qualityModel")(qmWeights(spark, sfDir).count())
     timed("graphs") {
       purchaseGraph(spark, sfDir)
       partCopurchaseGraph(spark, sfDir)

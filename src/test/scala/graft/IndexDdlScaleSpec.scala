@@ -82,4 +82,104 @@ class IndexDdlScaleSpec extends AnyFunSuite {
       q.queryExecution.optimizedPlan.toString)
     assert(q.count() === 2000L)
   }
+
+  scaleTest("bm25 DDL at 200k docs: append absorbs one batch segment O(delta); merge-on-read stats equal a rebuild") {
+    import graft.operators.Bm25
+    val root = Files.createTempDirectory("graft-ddl-scale-bm25").toString
+    GraftExtensions.register(spark)
+    Bm25.Catalog.clear()
+    Snapshots.resetIndexRegistry()
+
+    Snapshots.create(spark, root, corpus(0L, 200000L, None))
+    val t0 = System.nanoTime()
+    Snapshots.createIndex(spark, root, "text", "bm25", "doc_id")
+    val buildSec = (System.nanoTime() - t0) / 1e9
+
+    val t1 = System.nanoTime()
+    Snapshots.append(spark, root, corpus(1000000L, 2000L, Some("zmarkerz")))
+    val absorbSec = (System.nanoTime() - t1) / 1e9
+    System.err.println(
+      f"[index-scale] bm25 200k build: $buildSec%.1fs; 2k append absorb: $absorbSec%.1fs " +
+        f"(ratio ${absorbSec / buildSec}%.2f)")
+    assert(absorbSec <= buildSec / 3.0,
+      f"bm25 absorb $absorbSec%.1fs vs build $buildSec%.1fs — not O(delta)")
+
+    // merge-on-read stats algebra AT SCALE: the count-weighted avgdl
+    // mean + df sums over (base + delta) batch segments must equal a
+    // from-scratch rebuild to float precision
+    val maintained = Bm25.Catalog.lookup(root, "text").get.index
+    val rebuilt = Bm25.buildIndex(Snapshots.open(spark, root), "doc_id", "text")
+    val Array(mN, mAvg) = maintained.docStats.collect()(0).toSeq.toArray.map(_.toString)
+    val Array(rN, rAvg) = rebuilt.docStats.collect()(0).toSeq.toArray.map(_.toString)
+    assert(mN === rN && mN === "202000")
+    assert(math.abs(mAvg.toDouble - rAvg.toDouble) < 1e-9,
+      s"avgdl merge-on-read $mAvg vs rebuild $rAvg")
+    val mDf = maintained.termDf.filter(col("term") === "zmarkerz")
+      .collect().headOption.map(_.getLong(1)).getOrElse(0L)
+    assert(mDf === 2000L, s"marker df $mDf")
+    // scores from the maintained index == rebuild (6dp) on the marker term
+    val mTop = Bm25.scoreWithIndex(maintained, Seq("zmarkerz"))
+      .orderBy(col("score").desc, col("doc_id")).limit(20)
+      .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e6))).toSeq
+    val rTop = Bm25.scoreWithIndex(rebuilt, Seq("zmarkerz"))
+      .orderBy(col("score").desc, col("doc_id")).limit(20)
+      .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e6))).toSeq
+    assert(mTop === rTop && mTop.nonEmpty)
+  }
+
+  /** 16-dim deterministic vectors (xxhash64-derived, seed-stable) */
+  private def vecCorpus(from: Long, n: Long): DataFrame = {
+    val ids = spark.range(from, from + n).toDF("vec_id")
+    ids.select(col("vec_id"),
+      transform(sequence(lit(0), lit(15)),
+        j => (pmod(xxhash64(col("vec_id"), j), lit(1000)).cast("double") / 1000.0 - 0.5)
+          .cast("float")).as("embedding"))
+  }
+
+  scaleTest("clustered ANN DDL at 200k vectors: append assigns the delta to existing centroids O(delta); recall matches a rebuild") {
+    import graft.operators.AnnIndex
+    val root = Files.createTempDirectory("graft-ddl-scale-ann").toString
+    GraftExtensions.register(spark)
+    AnnIndex.Catalog.clear()
+    Snapshots.resetIndexRegistry()
+
+    Snapshots.create(spark, root, vecCorpus(0L, 200000L))
+    val t0 = System.nanoTime()
+    Snapshots.createIndex(spark, root, "embedding", "clustered", "vec_id")
+    val buildSec = (System.nanoTime() - t0) / 1e9
+
+    val t1 = System.nanoTime()
+    Snapshots.append(spark, root, vecCorpus(1000000L, 2000L))
+    val absorbSec = (System.nanoTime() - t1) / 1e9
+    System.err.println(
+      f"[index-scale] clustered 200k build: $buildSec%.1fs; 2k append absorb: $absorbSec%.1fs " +
+        f"(ratio ${absorbSec / buildSec}%.2f)")
+    assert(absorbSec <= buildSec / 3.0,
+      f"clustered absorb $absorbSec%.1fs vs build $buildSec%.1fs — not O(delta)")
+
+    // the absorbed index covers every row exactly once…
+    val idx = AnnIndex.Catalog.lookup(root, "embedding").get.index
+    assert(idx.assignments.count() === 202000L)
+    assert(idx.assignments.select("id").distinct().count() === 202000L)
+
+    // …and the absorbed delta is REACHABLE: querying with a delta
+    // vector must return that very vector (cosine 1.0 with itself) —
+    // assignDelta assigns each delta row to its nearest EXISTING
+    // centroid with the same argmax the search's cluster probe uses,
+    // so a mis-assigned delta (the failure this arm guards) would miss
+    // its own self-match. (A rebuild-vs-absorb top-10 overlap is NOT a
+    // valid gate here: two independent KMeans fits over near-uniform
+    // synthetic vectors legitimately disagree on near-equidistant
+    // neighbor sets.)
+    import spark.implicits._
+    val queries = Snapshots.open(spark, root)
+      .filter(col("vec_id") >= 1000000L && col("vec_id") < 1000020L)
+      .select(col("vec_id").cast("int").as("qid"), col("embedding").as("q_vec"))
+    val selfRecall = AnnIndex.search(idx, queries, "qid", "q_vec", 10,
+        AnnIndex.SearchConfig())
+      .collect().groupBy(_.getInt(0))
+      .count { case (q, rs) => rs.exists(_.getLong(1).toInt == q) }
+    System.err.println(f"[index-scale] clustered delta self-match recall: $selfRecall/20")
+    assert(selfRecall === 20, s"absorbed delta rows unreachable: $selfRecall/20 self-matches")
+  }
 }
