@@ -122,7 +122,12 @@ object Headline {
     // was late-suite GC/code-cache pressure on the broadcast-trie
     // segmentation, a documented diagnostic-only exception (see
     // iso_annotations in bench_out.json).
-    "q_dsir_sample", "q_wordpiece_encode")
+    "q_dsir_sample", "q_wordpiece_encode",
+    // r16 rotation: q_text_compression_exact (new this round, 3.7s
+    // TimeOne steady after its lambda-recompute fix — the distinct
+    // 8-char-window scan is the suite's heaviest map-side text metric)
+    // crosses the 3.5s echo line — in per cost-follows-echo.
+    "q_text_compression_exact")
 
   /** Documented isolation-band exceptions: headliners whose echo (post-
     * suite) rep is known to carry late-suite JVM pressure their fresh

@@ -194,6 +194,31 @@ object IndexStore {
   def qmArtifactPath(sfDir: String): String =
     artifactDir(sfDir, "qm1").toString
 
+  /** Trained unigram-LM tokenizer artifact (q_unigram_pieces'
+    * training params baked once per dataset): the EM-fitted piece
+    * table (piece, log_prob) persists with FULL double precision, so
+    * the engine's Viterbi encode and the DuckDB oracle's SQL replay of
+    * the same DP read bit-identical probabilities — the non-SQL float
+    * EM is taken as given, the ENCODING algorithm is re-derived from
+    * first principles on both sides (the ANN-centroid pattern). */
+  private def unigramArtifact(spark: SparkSession, sfDir: String): String =
+    ensure(artifactDir(sfDir, "unigram64")) { d =>
+      import spark.implicits._
+      val r = Unigram.train(Tables(spark, sfDir, "documents"), "text",
+        vocabSize = 64, emRounds = 2)
+      r.pieces.map(p => (p.piece, p.logProb)).toDF("piece", "log_prob")
+        .coalesce(1).write.mode("overwrite").parquet(s"$d/pieces")
+    }
+
+  /** the persisted piece table as the encode API's Seq[Piece] */
+  def unigramPieces(spark: SparkSession, sfDir: String): Seq[Unigram.Piece] =
+    spark.read.parquet(s"${unigramArtifact(spark, sfDir)}/pieces")
+      .collect().map(r => Unigram.Piece(r.getString(0), r.getDouble(1))).toSeq
+
+  /** absolute artifact dir for the `__UNIGRAM_ARTIFACT__` oracle token */
+  def unigramArtifactPath(sfDir: String): String =
+    artifactDir(sfDir, "unigram64").toString
+
   /** fitted loadings (i, k, v) for the k-component PCA artifact */
   def pcaLoadings(spark: SparkSession, sfDir: String, k: Int = 8): DataFrame =
     spark.read.parquet(s"${pcaArtifact(spark, sfDir, k)}/loadings")
@@ -212,6 +237,7 @@ object IndexStore {
     .replace("__ANNPQ_ARTIFACT__", annPqArtifactPath(sfDir))
     .replace("__PCA_ARTIFACT__", pcaArtifactPath(sfDir))
     .replace("__QM_ARTIFACT__", qmArtifactPath(sfDir))
+    .replace("__UNIGRAM_ARTIFACT__", unigramArtifactPath(sfDir))
 
   /** clustered index over the pages' mean-pooled vectors (id = page_id) */
   def maxsimAnn(spark: SparkSession, sfDir: String): AnnIndex.Index =
@@ -357,6 +383,7 @@ object IndexStore {
     timed("json")(json(spark, sfDir))
     timed("pca")(pcaLoadings(spark, sfDir).count())
     timed("qualityModel")(qmWeights(spark, sfDir).count())
+    timed("unigram")(unigramPieces(spark, sfDir))
     timed("graphs") {
       purchaseGraph(spark, sfDir)
       partCopurchaseGraph(spark, sfDir)

@@ -1676,6 +1676,10 @@ object DocumentQueries extends QueryModule {
     // no_oracle, law-gated in QualityRulesSpec.
     "q_text_compression_exact" -> Q(
       (s, dir) => {
+        // one HOF chain, referenced ONCE: a second reference to the
+        // gram array (e.g. size(grams) for the denominator) would
+        // recompute the whole transform per row (the lambda-recompute
+        // trap) — the window count is just len-7, no array needed
         val grams = transform(sequence(lit(1), length(col("text")) - 7),
           i => col("text").substr(i, lit(8)))
         table(s, dir, "documents")
@@ -1683,7 +1687,8 @@ object DocumentQueries extends QueryModule {
             length(col("text")).cast("long").as("n_cp"),
             when(length(col("text")) >= 8,
               round(size(array_distinct(grams)).cast("double") /
-                size(grams).cast("double"), 6)).as("distinct_8gram_frac"))
+                (length(col("text")) - 7).cast("double"), 6))
+              .as("distinct_8gram_frac"))
           .orderBy(col("doc_id"))
       },
       Some("""WITH i1 AS (SELECT doc_id, text,
