@@ -3,7 +3,10 @@ import org.apache.spark.sql.SparkSession
 object TimeOne {
   def main(args: Array[String]): Unit = {
     graft.core.FastLocalDir.install()
-    val name = args(0)
+    // comma-separated names: amortizes the JVM/session startup across a
+    // measurement batch (rep1 of each query still carries its own codegen
+    // compile; read reps 2+ for steady state)
+    val names = args(0).split(",").map(_.trim).filter(_.nonEmpty)
     val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val reps = if (args.length > 2) args(2).toInt else 3
     val spark = SparkSession.builder().master("local[32]")
@@ -11,11 +14,14 @@ object TimeOne {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    (1 to reps).foreach { r =>
-      spark.catalog.clearCache()
-      val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
-      println(f"[timeone] $name rep$r: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    names.foreach { name =>
+      (1 to reps).foreach { r =>
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
+        println(f"[timeone] $name rep$r: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      }
     }
     spark.stop()
   }

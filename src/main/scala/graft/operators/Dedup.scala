@@ -816,37 +816,57 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 30): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val par = pairs.sparkSession.sparkContext.defaultParallelism
     // materialize the pair list ONCE before symmetrizing: both union
     // branches would otherwise re-run the (expensive) candidate pipeline
     // that produced the pairs; the pair list itself is small
     val e0 = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .localCheckpoint()
+    // cached partitioned on dst — the per-round join key — so the
+    // (data-sized) edge side never re-exchanges inside the loop; only
+    // the label frame shuffles per round (guide §2.4: establish the
+    // partitioning once, reuse it every iteration)
     val edges = e0.union(e0.select(col("dst"), col("src")))
-      .distinct().persist(MEMORY_AND_DISK)
+      .distinct().repartition(par, col("dst")).persist(MEMORY_AND_DISK)
     // init: label = min(self, direct neighbors); symmetric edges mean
     // groupBy(src) enumerates every node
     var labels = edges.groupBy(col("src").as("id"))
       .agg(least(first(col("src")), min(col("dst"))).as("lbl"))
       .localCheckpoint()
+    // convergence bookkeeping: labels only ever DECREASE (every update
+    // is a `least`), so Σ labels strictly decreases iff any node
+    // lowered — one 1-row aggregate per round replaces the old
+    // jumped⋈labels change-count join (2 exchanges + a data-sized merge
+    // per round, measured the single largest per-round cost at bench
+    // scale). decimal(38,0) keeps the sum exact for any long ids.
+    def lblSum(df: DataFrame): java.math.BigDecimal = {
+      val r = df.agg(sum(col("lbl").cast("decimal(38,0)"))).head()
+      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
+    }
+    var prevSum = lblSum(labels)
     var iter = 0
-    var converged = false
+    var converged = prevSum == java.math.BigDecimal.ZERO && labels.isEmpty
     while (!converged && iter < maxIter) {
       val nbrMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("lbl")).as("nlbl"))
+      // prop checkpoints EAGERLY: the pointer-jump below reads it twice
+      // (x and y sides keyed differently), and a lazy frame would
+      // re-execute the whole propagate-join subtree once per side
       val prop = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
         .select(labels("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-      // lazy checkpoint: the convergence count below is the ONE action per
-      // round — it materializes the checkpoint as a side effect instead of
-      // paying a separate eager-checkpoint job first
+        .localCheckpoint()
+      // lazy checkpoint: the convergence aggregate below is the ONE
+      // action per round — it materializes the checkpoint as a side
+      // effect instead of paying a separate eager-checkpoint job first
       val jumped = prop.as("x")
         .join(prop.as("y"), col("x.lbl") === col("y.id"), "left")
         .select(col("x.id").as("id"),
           least(col("x.lbl"), coalesce(col("y.lbl"), col("x.lbl"))).as("lbl"))
         .localCheckpoint(eager = false)
-      val lowered = jumped.as("n").join(labels.as("o"), "id")
-        .filter(col("n.lbl") < col("o.lbl")).count()
+      val s = lblSum(jumped)
       labels = jumped
-      converged = lowered == 0
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       iter += 1
     }
     edges.unpersist()

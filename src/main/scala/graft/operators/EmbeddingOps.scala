@@ -372,13 +372,27 @@ object EmbeddingOps {
       col(vecCol).as("v"), col(labelCol).cast("long").as("y"))
     val valSet = base.filter(valPred)
       .select(col("id").as("vid"), col("v").as("vv"), col("y").as("vy"))
-    val train = base.filter(!valPred)
+    // the broadcast nested-loop score is FLOP-bound (|train|·|val| cosine
+    // kernels), not byte-bound: a narrow train scan arrives in a handful
+    // of input splits and AQE coalesces by bytes, leaving the dominant
+    // compute job nearly serial (measured: one 2.4s stage on 6 of 32
+    // cores at bench scale). Spread the train side to at least the core
+    // count before fanning out; at real scale the scan already carries
+    // >= par partitions and the round-robin repartition is a cheap,
+    // payload-light rebalance of the narrow (id, v, y) rows (guide §2.6
+    // idle capacity).
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val train = graft.core.Par.spread(base.filter(!valPred))
     val sim = train.crossJoin(broadcast(valSet))
       .select(col("vid"), col("vy"), col("id"), col("y"),
         round(graft.functions.gf.cosine_similarity(col("v"), col("vv")), 6)
           .as("sim"))
     val byVal = Window.partitionBy(col("vid"))
-    val ranked = sim
+    // explicit vid repartition: the window's own exchange would be
+    // AQE-coalesced by BYTES (the sim rows are narrow), serializing the
+    // rank/suffix-sum compute; an explicit keyed repartition is exempt
+    // from coalescing and keeps the per-vid windows spread across cores
+    val ranked = sim.repartition(par, col("vid"))
       .withColumn("j", row_number().over(
         byVal.orderBy(col("sim").desc, col("id"))))
       .withColumn("n", count(lit(1)).over(byVal))

@@ -108,8 +108,15 @@ object Graphs {
           val ck = df.localCheckpoint()
           spark.createDataFrame(ck.rdd, ck.schema)
         }
+        // the rank frame carries a has-out-edges flag (__ho) so the per-
+        // iteration dangling mass is a map-side filter + 1-row aggregate
+        // instead of an anti-join that re-exchanges the whole rank vector
+        // every step (one exchange fewer per iteration; identical sum —
+        // the filtered rows ARE the anti-join's rows)
+        val hasOut = outW.select(col("src").as("id"), lit(true).as("__ho"))
         var ranks = reset(init match {
-          case None => nodes.withColumn("rank", lit(1.0 / n))
+          case None => nodes.join(hasOut, Seq("id"), "left")
+            .withColumn("rank", lit(1.0 / n))
           case Some(warm) =>
             // absent ids (new nodes since the ranks were saved) start
             // uniform; renormalize so the vector sums to exactly 1
@@ -118,22 +125,23 @@ object Graphs {
               .select(col("id"), coalesce(col("__w"), lit(1.0 / n)).as("rank"))
             val tot = filled.agg(sum(col("rank")).as("__t"))
             filled.crossJoin(broadcast(tot))
-              .select(col("id"), (col("rank") / col("__t")).as("rank"))
+              .join(hasOut, Seq("id"), "left")
+              .select(col("id"), col("__ho"), (col("rank") / col("__t")).as("rank"))
         })
         // mass parked on dangling nodes (no out-edges) spreads
         // uniformly — computed as a broadcast 1-ROW FRAME riding the
         // iteration's own plan, never a driver-side action (per-
         // iteration collects double the job count)
         def step(r: DataFrame): DataFrame = {
-          val dangling = r
-            .join(outW.select(col("src").as("id")), Seq("id"), "left_anti")
+          val dangling = r.filter(col("__ho").isNull)
             .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dang"))
-          val contribs = ej.join(r.withColumnRenamed("id", "src"), "src")
+          val contribs = ej.join(
+              r.select(col("id").as("src"), col("rank")), "src")
             .groupBy(col("dst").as("id"))
             .agg(sum(col("share") * col("rank")).as("__in"))
-          nodes.join(contribs, Seq("id"), "left")
+          r.select(col("id"), col("__ho")).join(contribs, Seq("id"), "left")
             .crossJoin(broadcast(dangling))
-            .select(col("id"),
+            .select(col("id"), col("__ho"),
               (lit((1.0 - damping) / n) +
                 lit(damping) * (coalesce(col("__in"), lit(0.0)) +
                   col("__dang") / n)).as("rank"))
@@ -157,7 +165,7 @@ object Graphs {
           it += take
           ranks = reset(next)
         }
-        ranks
+        ranks.select(col("id"), col("rank"))
       }
     } finally {
       ej.unpersist(false); e.unpersist(false)
@@ -206,10 +214,15 @@ object Graphs {
       val nSeeds = seedIds.count().toDouble
       require(nSeeds > 0, "seed set is empty")
       // the personalization vector: 1/|S| on seeds, 0 elsewhere — a
-      // node-keyed column, not a broadcast (seeds can be large)
+      // node-keyed column, not a broadcast (seeds can be large). The
+      // has-out-edges flag rides along so the per-iteration dangling
+      // mass is a map-side filter + 1-row aggregate instead of an
+      // anti-join re-exchanging the rank vector every step (the
+      // [[pageRank]] restructure; identical sum over identical rows).
       val withP = nodes
         .join(seedIds.withColumn("__p", lit(1.0 / nSeeds)), Seq("id"), "left")
-        .select(col("id"), coalesce(col("__p"), lit(0.0)).as("p"))
+        .join(outW.select(col("src").as("id"), lit(true).as("__ho")), Seq("id"), "left")
+        .select(col("id"), coalesce(col("__p"), lit(0.0)).as("p"), col("__ho"))
         .localCheckpoint()
       def reset(df: DataFrame): DataFrame = {
         val ck = df.localCheckpoint()
@@ -221,25 +234,29 @@ object Graphs {
       // mass conservation holds; the damped iteration is a contraction,
       // so any start reaches the unique fixpoint
       var ranks = reset(init match {
-        case None => withP.select(col("id"), col("p").as("rank"))
+        case None => withP.select(col("id"), col("p"), col("__ho"),
+          col("p").as("rank"))
         case Some(warm) =>
           val filled = withP
             .join(warm.select(col("id"), col("rank").as("__w")), Seq("id"), "left")
-            .select(col("id"), coalesce(col("__w"), col("p")).as("rank"))
+            .select(col("id"), col("p"), col("__ho"),
+              coalesce(col("__w"), col("p")).as("rank"))
           val tot = filled.agg(sum(col("rank")).as("__t"))
           filled.crossJoin(broadcast(tot))
-            .select(col("id"), (col("rank") / col("__t")).as("rank"))
+            .select(col("id"), col("p"), col("__ho"),
+              (col("rank") / col("__t")).as("rank"))
       })
       def step(r: DataFrame): DataFrame = {
-        val dangling = r
-          .join(outW.select(col("src").as("id")), Seq("id"), "left_anti")
+        val dangling = r.filter(col("__ho").isNull)
           .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dang"))
-        val contribs = ej.join(r.withColumnRenamed("id", "src"), "src")
+        val contribs = ej.join(
+            r.select(col("id").as("src"), col("rank")), "src")
           .groupBy(col("dst").as("id"))
           .agg(sum(col("share") * col("rank")).as("__in"))
-        withP.join(contribs, Seq("id"), "left")
+        r.select(col("id"), col("p"), col("__ho"))
+          .join(contribs, Seq("id"), "left")
           .crossJoin(broadcast(dangling))
-          .select(col("id"),
+          .select(col("id"), col("p"), col("__ho"),
             (lit(1.0 - damping) * col("p") +
               lit(damping) * (coalesce(col("__in"), lit(0.0)) +
                 col("__dang") * col("p"))).as("rank"))
@@ -256,7 +273,7 @@ object Graphs {
         it += take
         ranks = reset(next)
       }
-      ranks
+      ranks.select(col("id"), col("rank"))
     } finally {
       ej.unpersist(false); e.unpersist(false)
       outW.unpersist(false); nodes.unpersist(false); ()
@@ -364,11 +381,20 @@ object Graphs {
       // (max weighted in-degree × max weighted out-degree): one full
       // iteration multiplies scale by ≤ bound², so B iterations stay
       // under 1e140 (squares under 1e280, n-term square sums safe)
-      val normBound = math.max(2.0, math.sqrt(
-        e.groupBy(col("src")).agg(sum(col("w")).as("s"))
-          .agg(max(col("s")).cast("double")).head().getDouble(0) *
-        e.groupBy(col("dst")).agg(sum(col("w")).as("s"))
-          .agg(max(col("s")).cast("double")).head().getDouble(0)))
+      val normBound = math.max(2.0, math.sqrt {
+        // both degree maxima in ONE job: a single explode-keyed agg over
+        // the cached edges instead of two separate head() actions
+        val r = e.select(explode(array(
+            struct(lit(0).as("side"), col("src").as("node"), col("w")),
+            struct(lit(1).as("side"), col("dst").as("node"), col("w")))).as("x"))
+          .select(col("x.side").as("side"), col("x.node").as("node"),
+            col("x.w").as("w"))
+          .groupBy(col("side"), col("node")).agg(sum(col("w")).as("s"))
+          .groupBy(col("side")).agg(max(col("s")).as("m"))
+          .agg(min(col("m")).cast("double"), max(col("m")).cast("double"))
+          .head()
+        r.getDouble(0) * r.getDouble(1)
+      })
       val renormEvery = math.max(1, (140.0 / (2.0 * math.log10(normBound))).toInt)
       def reset(df: DataFrame): DataFrame = {
         val ck = df.localCheckpoint()

@@ -244,7 +244,9 @@ object TextAnalysis {
       alpha: Double = 0.5): org.apache.spark.sql.DataFrame = {
     require(alpha > 0, "alpha must be positive")
     val vocab = unigrams.agg(count(lit(1)).as("nv"))
-    val docBg = score
+    // FLOP-bound scoring (explode + broadcast LM joins) over a narrow
+    // doc scan: spread the input or the whole chain runs single-task
+    val docBg = graft.core.Par.spread(score)
       .select(col(idCol).as("id"), explode(knPairs(tokens(col(textCol)))).as("p"))
       .select(col("id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
     docBg.join(bigrams, Seq("w1", "w2"), "left")

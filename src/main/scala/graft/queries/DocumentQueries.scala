@@ -1682,7 +1682,10 @@ object DocumentQueries extends QueryModule {
         // trap) — the window count is just len-7, no array needed
         val grams = transform(sequence(lit(1), length(col("text")) - 7),
           i => col("text").substr(i, lit(8)))
-        table(s, dir, "documents")
+        // the per-row 8-gram window scan is FLOP-bound over a one-split
+        // parquet scan — spread it across cores (measured 5 single-task
+        // stages before)
+        graft.core.Par.spread(table(s, dir, "documents"))
           .select(col("doc_id"),
             length(col("text")).cast("long").as("n_cp"),
             when(length(col("text")) >= 8,
