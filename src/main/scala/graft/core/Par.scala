@@ -21,7 +21,14 @@ import org.apache.spark.sql.DataFrame
   * cheap side of the stage by construction.
   */
 object Par {
-  /** df spread to >= defaultParallelism partitions iff it has fewer. */
+  /** df spread to >= defaultParallelism partitions iff it has fewer.
+    *
+    * ONLY for exchange-free inputs (scan/filter/project): the partition
+    * probe goes through `df.rdd`, and under AQE that finalizes the plan
+    * — on a plan with shuffles it would eagerly execute the upstream
+    * query stages just to count partitions. Downstream of a shuffle,
+    * pin parallelism with an explicit keyed `repartition(par, cols...)`
+    * instead (exempt from AQE byte-coalescing by construction). */
   def spread(df: DataFrame): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions >= par) df else df.repartition(par)

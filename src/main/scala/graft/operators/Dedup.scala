@@ -985,6 +985,14 @@ object Dedup {
     l.join(r, Seq("len_r", "i", "seg"))
       .select(col("id_l"), col("s_l"), col("id_r")).distinct()
       .join(right.select(col(rightId).as("id_r"), col(rightStr).as("s_r")), "id_r")
+      // the levenshtein verify is the FLOP-dense stage and its input
+      // arrives in the id_r join's partitioning, which AQE coalesces by
+      // BYTES (candidate rows are narrow) — id-pair templated corpora
+      // then verify nearly serially. An explicit pair-keyed repartition
+      // is exempt from coalescing and spreads the verify; the extra
+      // exchange moves only the deduped candidate pairs.
+      .repartition(left.sparkSession.sparkContext.defaultParallelism,
+        col("id_l"), col("id_r"))
       .select(col("id_l"), col("id_r"),
         levenshtein(col("s_l"), col("s_r")).as("dist"))
       .filter(col("dist") <= maxDist)

@@ -44,12 +44,15 @@ object Dsir {
     }
     // the doc-gram frame feeds BOTH the raw count table and the scoring
     // join; persisting it avoids re-exploding the corpus (the staged-
-    // frame pattern the MinHash/banded dedups use)
-    val docG = raw.select(col(idCol).as("id"),
+    // frame pattern the MinHash/banded dedups use). Both explodes are
+    // FLOP-bound over narrow scans — spread them (core.Par) or the gram
+    // tokenize+hash chain runs on the input's (few) file splits.
+    val docG = graft.core.Par.spread(raw).select(col(idCol).as("id"),
         explode(grams(col(textCol))).as("g0"))
       .select(col("id"), bucketed(col("g0")).as("g"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val tgtG = target.select(explode(grams(col(textCol))).as("g0"))
+    val tgtG = graft.core.Par.spread(target)
+      .select(explode(grams(col(textCol))).as("g0"))
       .select(bucketed(col("g0")).as("g"))
     val rc = docG.groupBy(col("g")).agg(count(lit(1)).as("rc"))
     val tc = tgtG.groupBy(col("g")).agg(count(lit(1)).as("tc"))
@@ -59,7 +62,14 @@ object Dsir {
       .select(col("g"), coalesce(col("rc"), lit(0L)).as("rc"),
         coalesce(col("tc"), lit(0L)).as("tc"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val ratio = if (hashBuckets.isDefined) broadcast(ratio0) else ratio0
+    // exact mode: the gram-count table is vocab-sized, unknowable to the
+    // planner (persisted frame, no stats) — one count() on the (already
+    // persisted) table decides whether it fits a broadcast, which turns
+    // the data-sized scoring join map-side (guide §3.1). The row gate
+    // (2M rows ~ tens of MB framed) keeps unbounded exact vocabularies
+    // on the shuffle-join path at scale.
+    val ratio = if (hashBuckets.isDefined || ratio0.count() <= 2000000L)
+      broadcast(ratio0) else ratio0
     // model constants as a broadcast 1-row frame — no driver action.
     // V = observed feature count in exact mode, the full bucket space
     // when hashing (the fixed feature domain the models live over).
@@ -132,7 +142,7 @@ object Dsir {
       case Some(_) => c.cast("string")
       case None => xxhash64(c.cast("string"))
     }
-    val docG = raw.select(col(idCol).as("id"),
+    val docG = graft.core.Par.spread(raw).select(col(idCol).as("id"),
         explode(grams(col(textCol))).as("g0"))
       .select(col("id"), bucketed(col("g0")).as("g"))
     val ratio0 = rawCounts.select(storedKey(col("g")).as("g"),
@@ -142,7 +152,14 @@ object Dsir {
       .select(col("g"), coalesce(col("rc"), lit(0L)).as("rc"),
         coalesce(col("tc"), lit(0L)).as("tc"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val ratio = if (hashBuckets.isDefined) broadcast(ratio0) else ratio0
+    // exact mode: the gram-count table is vocab-sized, unknowable to the
+    // planner (persisted frame, no stats) — one count() on the (already
+    // persisted) table decides whether it fits a broadcast, which turns
+    // the data-sized scoring join map-side (guide §3.1). The row gate
+    // (2M rows ~ tens of MB framed) keeps unbounded exact vocabularies
+    // on the shuffle-join path at scale.
+    val ratio = if (hashBuckets.isDefined || ratio0.count() <= 2000000L)
+      broadcast(ratio0) else ratio0
     val consts = broadcast(ratio0.agg(
       sum(col("rc")).as("nr"), sum(col("tc")).as("nt"),
       hashBuckets.map(b => lit(b.toLong).as("v"))

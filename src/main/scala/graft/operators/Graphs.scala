@@ -570,14 +570,21 @@ object Graphs {
           col("m1.id") === col("m2.id") && col("m1.nb") < col("m2.nb"))
         .select(col("m1.nb").as("u"), col("m2.nb").as("v"),
           col("m1.d").as("dw"))
-      val nonEdges = wedges.join(
-        und.select(col("a").as("u"), col("b").as("v")),
-        Seq("u", "v"), "left_anti")
-      // eager materialization (like triangles): the finally-unpersist
-      // below would otherwise yank `und` from under the lazy plan
-      nonEdges.groupBy(col("u"), col("v"))
+      // aggregate BEFORE the existing-edge anti-join (guide §2.3
+      // aggregate-before-shuffle): the groupBy's map-side partial
+      // aggregation collapses the wedge fan-out before it crosses the
+      // exchange, and the anti-join then probes the (much smaller)
+      // aggregated pair table — already partitioned on (u, v) by the
+      // aggregation, so the join re-shuffles only the edge list.
+      // All-or-nothing per (u, v) pair, so agg-then-anti ≡ anti-then-agg.
+      val scored = wedges.groupBy(col("u"), col("v"))
         .agg(count(lit(1)).as("common_neighbors"),
           sum(lit(1.0) / log(col("dw"))).as("adamic_adar"))
+      // eager materialization (like triangles): the finally-unpersist
+      // below would otherwise yank `und` from under the lazy plan
+      scored.join(
+          und.select(col("a").as("u"), col("b").as("v")),
+          Seq("u", "v"), "left_anti")
         .localCheckpoint()
     } finally { und.unpersist(false); () }
   }

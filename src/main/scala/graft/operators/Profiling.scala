@@ -303,19 +303,27 @@ object Profiling {
     *
     * Returns one row `(n, spearman)` (6dp). */
   def spearmanCorr(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    // base feeds THREE consumers (both rank passes + the final pairing
+    // join) — persisted, each pass reads the cached narrow projection
+    // instead of re-scanning + re-parsing the source; the 1-row result
+    // materializes eagerly so the cache can be released here
     val base = df
       .select(col(xCol).cast("double").as("x"), col(yCol).cast("double").as("y"))
       .filter(col("x").isNotNull && col("y").isNotNull)
-    def avgRanks(c: String): DataFrame = {
-      val sorted = base.select(col(c))
-        .repartitionByRange(col(c)).sortWithinPartitions(col(c))
-      RowNumber.withRowNumber(sorted, "__rn")
-        .groupBy(col(c))
-        .agg((avg(col("__rn")) + 1.0).as(s"r_$c"))
-    }
-    base.join(avgRanks("x"), "x").join(avgRanks("y"), "y")
-      .agg(count(lit(1)).as("n"),
-        round(corr(col("r_x"), col("r_y")), 6).as("spearman"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      def avgRanks(c: String): DataFrame = {
+        val sorted = base.select(col(c))
+          .repartitionByRange(col(c)).sortWithinPartitions(col(c))
+        RowNumber.withRowNumber(sorted, "__rn")
+          .groupBy(col(c))
+          .agg((avg(col("__rn")) + 1.0).as(s"r_$c"))
+      }
+      base.join(avgRanks("x"), "x").join(avgRanks("y"), "y")
+        .agg(count(lit(1)).as("n"),
+          round(corr(col("r_x"), col("r_y")), 6).as("spearman"))
+        .localCheckpoint()
+    } finally { base.unpersist(false); () }
   }
 
   /** Benford first-significant-digit audit (Newcomb 1881 / Benford 1938

@@ -68,17 +68,31 @@ object Ranking {
         val ck = df.localCheckpoint()
         spark.createDataFrame(ck.rdd, ck.schema)
       }
+      // the strengths vector is ITEM-sized (the compared population —
+      // models/annotators/suppliers — never corpus-sized, per the
+      // operator contract above), so below a hard row gate it rides the
+      // pair join as a BROADCAST: the persisted pair table then never
+      // re-exchanges inside the loop and each round is one map-side
+      // double probe + one per-item agg (guide §3.1). The re-wrapped
+      // checkpoint frame has no stats, so the planner can't make this
+      // choice itself — the gate is explicit. Above the gate the old
+      // shuffle-join shape applies unchanged.
+      val bcItems = items.count() <= 5000000L
+      def strengths(df: DataFrame): DataFrame =
+        if (bcItems) broadcast(df) else df
       var cur = reset(items.withColumn("p", lit(1.0)))
       var it = 0
       while (it < iterations) {
         val denom = sym
-          .join(cur.select(col("id").as("i"), col("p").as("pi")), "i")
-          .join(cur.select(col("id").as("j"), col("p").as("pj")), "j")
+          .join(strengths(cur.select(col("id").as("i"), col("p").as("pi"))), "i")
+          .join(strengths(cur.select(col("id").as("j"), col("p").as("pj"))), "j")
           .groupBy(col("i").as("id"))
           .agg(sum(col("nij") / (col("pi") + col("pj"))).as("d"))
-        cur = reset(items
-          .join(wins, Seq("id"), "left")
-          .join(denom, Seq("id"))
+        // denom's key set IS the item set (sym enumerates every item on
+        // its i side), so the old items re-join was a no-op — the wins
+        // left join alone completes the update
+        cur = reset(denom
+          .join(strengths(wins), Seq("id"), "left")
           .select(col("id"),
             (coalesce(col("wi"), lit(0L)).cast("double") / col("d")).as("p")))
         it += 1

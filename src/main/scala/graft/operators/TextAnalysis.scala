@@ -814,7 +814,10 @@ object TextAnalysis {
       window: Int = 4): org.apache.spark.sql.DataFrame = {
     require(k >= 1, "k must be >= 1")
     require(window >= 1, "window must be >= 1")
-    val staged = docs
+    // per-doc gram-hash + window-min towers are FLOP-bound over a
+    // narrow scan — spread across cores (core.Par; measured 5
+    // single-task stages at bench scale before)
+    val staged = graft.core.Par.spread(docs)
       .select(col(idCol).as("id"), tokens(col(textCol)).as("__w"))
       .withColumn("__m", greatest(size(col("__w")) - (k - 1), lit(0)))
       // guard __m = 0 explicitly: Spark's sequence(1, 0) DESCENDS

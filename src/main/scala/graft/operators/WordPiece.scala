@@ -82,9 +82,12 @@ object WordPiece {
         .flatMap { case (syms, c) => syms.iterator.map(s => (s, c)) }
         .toDF("s", "c")
         .groupBy(col("s")).agg(sum(col("c")).as("uc"))
+      // units is bounded by the SYMBOL inventory (alphabet + one entry
+      // per merge), never by the word table — broadcast both probes so
+      // the pair table never exchanges between its agg and the argmax
       val best = pairs
-        .join(units.withColumnRenamed("s", "l").withColumnRenamed("uc", "lc"), "l")
-        .join(units.withColumnRenamed("s", "r").withColumnRenamed("uc", "rc"), "r")
+        .join(broadcast(units.withColumnRenamed("s", "l").withColumnRenamed("uc", "lc")), "l")
+        .join(broadcast(units.withColumnRenamed("s", "r").withColumnRenamed("uc", "rc")), "r")
         .withColumn("score",
           col("pc").cast("double") / (col("lc").cast("double") * col("rc").cast("double")))
         .orderBy(col("score").desc, col("pc").desc, col("l"), col("r"))
