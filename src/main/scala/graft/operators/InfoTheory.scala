@@ -203,7 +203,10 @@ object InfoTheory {
     require(tau > 0, "tau must be positive")
     require(epsilon >= 0 && epsilon <= 1, "epsilon must be in [0,1]")
     val w = TextAnalysis.tokens(col(textCol))
-    val bg = docs
+    // bigram explode + five count joins are FLOP-bound over a narrow
+    // scan — spread it (core.Par; was 51 single-task stages at bench
+    // scale)
+    val bg = graft.core.Par.spread(docs)
       .select(col(srcCol).as("src"), w.as("__w"))
       .select(col("src"), posexplode(col("__w")).as(Seq("i", "w1")),
         size(col("__w")).as("__n"), col("__w"))

@@ -108,7 +108,17 @@ object Quantiles {
     * signals/metrics — a handful — never data-sized). Keys with no
     * non-NULL values are absent from the result (percentile's NULL). */
   def exactQuantilesByKey(df: DataFrame, keyCol: String, valueCol: String,
-      qs: Seq[Double], weightCol: Option[String] = None): Map[String, Array[Double]] = {
+      qs: Seq[Double], weightCol: Option[String] = None): Map[String, Array[Double]] =
+    exactQuantilesByKeyWithN(df, keyCol, valueCol, qs, weightCol)
+      .map { case (k, (vs, _)) => k -> vs }
+
+  /** [[exactQuantilesByKey]] also returning each key's non-NULL row
+    * count — the machinery already collects per-partition totals to
+    * build rank offsets, so consumers that need n (Theil-Sen's pair
+    * count, conformal k) read it for free instead of paying a separate
+    * count() pass over the same frame. */
+  def exactQuantilesByKeyWithN(df: DataFrame, keyCol: String, valueCol: String,
+      qs: Seq[Double], weightCol: Option[String] = None): Map[String, (Array[Double], Long)] = {
     require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
       s"quantiles must be in [0,1]: $qs")
     // perKV persists FIRST: repartitionByRange runs a range-boundary
@@ -184,7 +194,7 @@ object Quantiles {
         def valueAt(t: Long): Double =
           hs.find(h => h._3 <= t && t < h._3 + h._4)
             .getOrElse(sys.error(s"rank $t not covered for key $k — bug"))._2
-        k -> ranks.map { r =>
+        val vs = ranks.map { r =>
           val lo = valueAt(math.floor(r).toLong)
           val hi = valueAt(math.ceil(r).toLong)
           // Spark Percentile's exact arithmetic (lo·(1−f) + hi·f), NOT
@@ -193,6 +203,7 @@ object Quantiles {
           val f = r - math.floor(r)
           lo * (1.0 - f) + hi * f
         }.toArray
+        k -> (vs, byKey(k).map(_._3).sum)
       }
     } finally { parts.unpersist(false); perKV.unpersist(false); () }
   }

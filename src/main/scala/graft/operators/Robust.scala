@@ -122,8 +122,15 @@ object Robust {
       .select(((col("y2") - col("y1")) / (col("x2") - col("x1"))).as("m"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val nPairs = pairs.count()
-      val slope = Quantiles.exactQuantiles(pairs, "m", Seq(0.5)).head
+      // slope median AND the pair count from ONE rank-selection pass —
+      // the quantile machinery already sums per-partition totals, so a
+      // separate count() over the pair frame was a redundant action
+      val (slopes, nPairs) = Quantiles.exactQuantilesByKeyWithN(
+          pairs.select(lit("").as("__k"), col("m").as("__val")), "__k", "__val",
+          Seq(0.5))
+        .getOrElse("", throw new IllegalArgumentException(
+          "requirement failed: no non-NULL values in m"))
+      val slope = slopes.head
       val intercept = Quantiles.exactQuantiles(
         base.select((col("y") - lit(slope) * col("x")).as("__b")),
         "__b", Seq(0.5)).head

@@ -1083,7 +1083,8 @@ object DocumentQueries extends QueryModule {
     "q_good_turing" -> Q(
       (s, dir) => {
         val tok = split(col("text"), " ")
-        val grams = table(s, dir, "documents")
+        // 5-gram explode is FLOP-bound over a one-split scan — spread
+        val grams = graft.core.Par.spread(table(s, dir, "documents"))
           .filter(size(tok) >= 5)
           .select(explode(transform(
             sequence(lit(1), size(tok) - 4),
