@@ -41,13 +41,28 @@ object IndexStore {
     new File(s"$root/$FormatVersion/${md5hex(sfDir.stripSuffix("/"))}/$name")
 
   /** run `build` once per artifact dir (marker-file idempotence;
-    * synchronized so parallel queries in one JVM don't double-build) */
+    * synchronized so parallel queries in one JVM don't double-build, and
+    * an exclusive OS file lock so parallel JVMs — e.g. forked test
+    * groups — don't either: the second process blocks on the lock, then
+    * sees the marker and just opens the artifact) */
   private def ensure(dir: File)(build: String => Unit): String = synchronized {
     val marker = new File(dir, "_GRAFT_READY")
     if (!marker.exists()) {
-      build(dir.toString)
-      dir.mkdirs()
-      java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
+      dir.getParentFile.mkdirs()
+      val lockFile = new File(dir.getParentFile, s".${dir.getName}.lock")
+      val ch = java.nio.channels.FileChannel.open(lockFile.toPath,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val lock = ch.lock() // blocks until any concurrent builder finishes
+        try {
+          if (!marker.exists()) {
+            build(dir.toString)
+            dir.mkdirs()
+            java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
+          }
+        } finally lock.release()
+      } finally ch.close()
     }
     dir.toString
   }

@@ -284,7 +284,9 @@ class QualityRulesSpec extends AnyFunSuite {
     val withCard = junk + " 4111 1111 1111 1111 " + junk
     val t0 = System.nanoTime()
     val out = r(withCard)
-    assert((System.nanoTime() - t0) < 2e9, "group-run scan must be O(m*19), not O(m^3)")
+    // generous bound: the O(m^3) failure mode is minutes, not seconds —
+    // headroom so parallel forked test groups sharing the host never flake it
+    assert((System.nanoTime() - t0) < 8e9, "group-run scan must be O(m*19), not O(m^3)")
     assert(out.contains("<CARD>"), "card inside a long digit-group run must redact")
     // Spark + TQL surfaces
     import spark.implicits._
