@@ -814,7 +814,7 @@ object Dedup {
     * truncates the iterative lineage so plans stay flat at scale.
     * Labels only decrease, so convergence = zero lowered labels. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 30): DataFrame = {
+      maxIter: Int = 30, symmetric: Boolean = false): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val par = pairs.sparkSession.sparkContext.defaultParallelism
     // materialize the pair list ONCE before symmetrizing: both union
@@ -825,9 +825,15 @@ object Dedup {
     // cached partitioned on dst — the per-round join key — so the
     // (data-sized) edge side never re-exchanges inside the loop; only
     // the label frame shuffles per round (guide §2.4: establish the
-    // partitioning once, reuse it every iteration)
-    val edges = e0.union(e0.select(col("dst"), col("src")))
-      .distinct().repartition(par, col("dst")).persist(MEMORY_AND_DISK)
+    // partitioning once, reuse it every iteration).
+    // `symmetric`: callers whose pair list ALREADY contains both
+    // directions (dbscan's core-edge list is built as pairs ∪ swapped)
+    // skip the re-symmetrization union + distinct — one exchange and a
+    // dedup pass less, identical edge set (guide §2.4: a distinct on
+    // data that is already unique).
+    val edges = (if (symmetric) e0
+      else e0.union(e0.select(col("dst"), col("src"))).distinct())
+      .repartition(par, col("dst")).persist(MEMORY_AND_DISK)
     // init: label = min(self, direct neighbors); symmetric edges mean
     // groupBy(src) enumerates every node
     var labels = edges.groupBy(col("src").as("id"))
@@ -849,19 +855,30 @@ object Dedup {
     while (!converged && iter < maxIter) {
       val nbrMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("lbl")).as("nlbl"))
-      // prop checkpoints EAGERLY: the pointer-jump below reads it twice
-      // (x and y sides keyed differently), and a lazy frame would
-      // re-execute the whole propagate-join subtree once per side
+      // r17: the pointer jump resolves through the PREVIOUS round's
+      // label frame (`labels` — an already-materialized checkpoint leaf)
+      // instead of self-joining `prop`. prop is then read exactly ONCE,
+      // so the eager per-round checkpoint that guarded its double read
+      // is gone and the whole round is ONE driver action (2 → 1; the
+      // ~15-20ms/job AQE planning gap was a third of q_semantic_dedup's
+      // wall at bench scale — guide §5 driver / §1.2). Correctness is
+      // the same monotone argument: labels(y) for y = prop(x) is a node
+      // id of x's component and ≥ its min, so the jump only lowers
+      // toward the same unique fixpoint; a one-round-stale jump target
+      // compresses pointer chains slightly slower per round (still
+      // multiplicative), and the convergence test is unchanged —
+      // Σ labels stable ⟺ the propagate step moved nothing, which over
+      // SYMMETRIC edges forces per-component-constant labels = min id.
       val prop = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
         .select(labels("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-        .localCheckpoint()
       // lazy checkpoint: the convergence aggregate below is the ONE
       // action per round — it materializes the checkpoint as a side
       // effect instead of paying a separate eager-checkpoint job first
       val jumped = prop.as("x")
-        .join(prop.as("y"), col("x.lbl") === col("y.id"), "left")
+        .join(labels.select(col("id").as("__jid"), col("lbl").as("__jlbl")),
+          col("x.lbl") === col("__jid"), "left")
         .select(col("x.id").as("id"),
-          least(col("x.lbl"), coalesce(col("y.lbl"), col("x.lbl"))).as("lbl"))
+          least(col("x.lbl"), coalesce(col("__jlbl"), col("x.lbl"))).as("lbl"))
         .localCheckpoint(eager = false)
       val s = lblSum(jumped)
       labels = jumped

@@ -132,7 +132,10 @@ object EmbeddingOps {
     val coreEdges = edges
       .join(cores.withColumnRenamed("id", "a"), Seq("a"), "left_semi")
       .join(cores.withColumnRenamed("id", "b"), Seq("b"), "left_semi")
-    val coreClusters = Dedup.connectedComponents(coreEdges, "a", "b")
+    // coreEdges is symmetric by construction (edges = pairs ∪ swapped,
+    // preserved by the two semi-joins) — skip CC's re-symmetrization
+    val coreClusters = Dedup.connectedComponents(coreEdges, "a", "b",
+        symmetric = true)
       .select(col("id"), col("component_id").as("cluster"))
       // isolated cores (no core neighbor) form their own singleton
       // cluster keyed by their id

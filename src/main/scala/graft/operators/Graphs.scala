@@ -135,6 +135,10 @@ object Graphs {
         def step(r: DataFrame): DataFrame = {
           val dangling = r.filter(col("__ho").isNull)
             .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dang"))
+          // (r17 note: routing both reads of r through one explicit
+          // id-keyed repartition was tried and REVERTED — the pinned
+          // exchange defeats AQE's byte-coalescing of the rank-vector
+          // shuffles, measured +50% tasks at no wall win)
           val contribs = ej.join(
               r.select(col("id").as("src"), col("rank")), "src")
             .groupBy(col("dst").as("id"))
@@ -400,35 +404,46 @@ object Graphs {
         val ck = df.localCheckpoint()
         spark.createDataFrame(ck.rdd, ck.schema)
       }
+      // SPARSE iteration vectors (r17, guide §2.3/§2.4): a node with no
+      // out-edges has hub EXACTLY 0 from iteration 1 on (and its initial
+      // hub=1 feeds no authority — it has no out-edges), and a node with
+      // no in-edges has authority exactly 0 — so the per-half-step
+      // `nodes` left-join that reinstated those zero rows did nothing
+      // but pay two joins per iteration and double the vector size on
+      // bipartite graphs. The loop now carries hub over SOURCE nodes
+      // only and authority over SINK nodes only (absent row == 0.0 —
+      // every propagation sum is unchanged because absent rows
+      // contribute 0 via the inner join); the zeros are reinstated ONCE
+      // in the output join below. The auth half-step's join needs no
+      // exchange at all: the authority agg leaves it partitioned on the
+      // node id, which IS eDst's cached dst partitioning.
+      val srcNodes = e.select(col("src").as("id")).distinct()
+        .repartition(par, col("id"))
       // warm start: a previously converged hub vector (id, rank) — the
       // iteration is scale-invariant, so the warm vector rescales to
       // MEAN 1 (matching the cold all-ones scale) and nodes absent from
       // it (post-append arrivals) enter at 1; power iteration from a
       // near-fixpoint direction needs a fraction of the cold count
       var hub = reset(init match {
-        case None => nodes.withColumn("hub", lit(1.0))
+        case None => srcNodes.withColumn("hub", lit(1.0))
         case Some(warm) =>
           val w = warm.select(col("id"), col("rank").as("__w"))
           val mean = w.agg((sum(col("__w")) / count(lit(1))).as("__m"))
-          nodes.join(w, Seq("id"), "left")
+          srcNodes.join(w, Seq("id"), "left")
             .crossJoin(broadcast(mean))
             .select(col("id"),
               when(col("__w").isNotNull && col("__m") > 0,
                 col("__w") / col("__m")).otherwise(lit(1.0)).as("hub"))
       })
-      var auth = nodes.withColumn("authority", lit(1.0))
-      def authStep(h: DataFrame): DataFrame = nodes.join(
-          e.join(h.withColumnRenamed("id", "src"), "src")
-            .groupBy(col("dst").as("id"))
-            .agg(sum(col("w") * col("hub")).as("authority")),
-          Seq("id"), "left")
-        .select(col("id"), coalesce(col("authority"), lit(0.0)).as("authority"))
-      def hubStep(a: DataFrame): DataFrame = nodes.join(
-          eDst.join(a.withColumnRenamed("id", "dst"), "dst")
-            .groupBy(col("src").as("id"))
-            .agg(sum(col("w") * col("authority")).as("hub")),
-          Seq("id"), "left")
-        .select(col("id"), coalesce(col("hub"), lit(0.0)).as("hub"))
+      var auth: DataFrame = null
+      def authStep(h: DataFrame): DataFrame =
+        e.join(h.withColumnRenamed("id", "src"), "src")
+          .groupBy(col("dst").as("id"))
+          .agg(sum(col("w") * col("hub")).as("authority"))
+      def hubStep(a: DataFrame): DataFrame =
+        eDst.join(a.withColumnRenamed("id", "dst"), "dst")
+          .groupBy(col("src").as("id"))
+          .agg(sum(col("w") * col("authority")).as("hub"))
       // one materialization per full iteration (the pageRank-style
       // two-iteration fusion is a WASH here: hits is already one job
       // per iteration, and fusing leaves the final auth a 3-join chain
@@ -461,17 +476,21 @@ object Graphs {
       }
       // the last auth is read twice below (its norm + the output join):
       // materialize it once — one extra propagation join total, not per
-      // iteration
+      // iteration. Norms over the SPARSE vectors equal the dense norms
+      // (the absent rows are exact zeros); the zeros themselves are
+      // reinstated here, once, by the left joins against `nodes`.
       val authM = auth.localCheckpoint()
       val hn = hub.agg(sqrt(sum(col("hub") * col("hub"))).as("__hn"))
       val an = authM.agg(sqrt(sum(col("authority") * col("authority"))).as("__an"))
-      hub.join(authM, "id")
+      nodes.join(hub, Seq("id"), "left").join(authM, Seq("id"), "left")
         .crossJoin(broadcast(hn)).crossJoin(broadcast(an))
         .select(col("id"),
-          when(col("__hn") > 0, col("hub") / col("__hn"))
-            .otherwise(col("hub")).as("hub"),
-          when(col("__an") > 0, col("authority") / col("__an"))
-            .otherwise(col("authority")).as("authority"))
+          when(col("__hn") > 0,
+            coalesce(col("hub"), lit(0.0)) / col("__hn"))
+            .otherwise(coalesce(col("hub"), lit(0.0))).as("hub"),
+          when(col("__an") > 0,
+            coalesce(col("authority"), lit(0.0)) / col("__an"))
+            .otherwise(coalesce(col("authority"), lit(0.0))).as("authority"))
         .localCheckpoint()
     } finally {
       eDst.unpersist(false); e.unpersist(false); nodes.unpersist(false); ()
@@ -570,21 +589,23 @@ object Graphs {
           col("m1.id") === col("m2.id") && col("m1.nb") < col("m2.nb"))
         .select(col("m1.nb").as("u"), col("m2.nb").as("v"),
           col("m1.d").as("dw"))
-      // aggregate BEFORE the existing-edge anti-join (guide §2.3
-      // aggregate-before-shuffle): the groupBy's map-side partial
-      // aggregation collapses the wedge fan-out before it crosses the
-      // exchange, and the anti-join then probes the (much smaller)
-      // aggregated pair table — already partitioned on (u, v) by the
-      // aggregation, so the join re-shuffles only the edge list.
-      // All-or-nothing per (u, v) pair, so agg-then-anti ≡ anti-then-agg.
-      val scored = wedges.groupBy(col("u"), col("v"))
-        .agg(count(lit(1)).as("common_neighbors"),
-          sum(lit(1.0) / log(col("dw"))).as("adamic_adar"))
+      // anti-join BEFORE the aggregation (r17: REVERT of the r16
+      // agg-first reorder — VERDICT #2): the reorder was kept on a
+      // map-side-combine theory with no local evidence, and a clean-
+      // window re-measure shows it strictly worse (ProbeOne steady
+      // 5.4-5.7s wall / 6.8-8.6s jobsum vs ~3.8s r15 wall — on the
+      // co-purchase bench graph most wedge pairs ARE existing edges,
+      // so aggregating first does strictly more aggregation work than
+      // dropping them first). All-or-nothing per (u, v) pair, so both
+      // orders are result-identical.
+      val nonEdges = wedges.join(
+        und.select(col("a").as("u"), col("b").as("v")),
+        Seq("u", "v"), "left_anti")
       // eager materialization (like triangles): the finally-unpersist
       // below would otherwise yank `und` from under the lazy plan
-      scored.join(
-          und.select(col("a").as("u"), col("b").as("v")),
-          Seq("u", "v"), "left_anti")
+      nonEdges.groupBy(col("u"), col("v"))
+        .agg(count(lit(1)).as("common_neighbors"),
+          sum(lit(1.0) / log(col("dw"))).as("adamic_adar"))
         .localCheckpoint()
     } finally { und.unpersist(false); () }
   }
@@ -692,13 +713,18 @@ object Graphs {
       while (t <= steps) {
         val key = Sampling.hashUniform(concat_ws(":",
           lit(seed), col("walk_id"), lit(t), col("dst")))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("walk_id")).orderBy(key, col("dst"))
+        // per-walk argmin as an AGGREGATE, not a window (r17, guide
+        // §2.3): min(struct(key, dst)) orders exactly like the former
+        // row_number() over (ORDER BY key, dst), but the partial
+        // aggregation collapses each walk's |frontier|·deg candidate
+        // rows to one per walk BEFORE the exchange — the shuffle moves
+        // |walks| rows instead of the whole candidate fan-out, and the
+        // per-partition sort the window needed is gone.
         cur = cur.join(e, cur("node") === e("src"))
           .select(col("walk_id"), col("dst"))
-          .withColumn("__rk", row_number().over(w))
-          .filter(col("__rk") === 1)
-          .select(col("walk_id"), col("dst").as("node"), lit(t).as("step"))
+          .groupBy(col("walk_id"))
+          .agg(min(struct(key.as("__k"), col("dst").as("dst"))).as("__m"))
+          .select(col("walk_id"), col("__m.dst").as("node"), lit(t).as("step"))
           .localCheckpoint()
         frames += cur
         t += 1
@@ -767,15 +793,19 @@ object Graphs {
         val alpha = when(col("dst") === col("prev"), lit(1.0 / p))
           .when(col("__pn"), lit(1.0))
           .otherwise(lit(1.0 / q))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("walk_id")).orderBy(col("__key"), col("dst"))
+        // per-walk argmin as an aggregate instead of a window — same
+        // (key, dst) order, one surviving row per walk leaves the map
+        // side (see [[randomWalks]]); `u` is constant within a walk's
+        // candidate group (one frontier row per walk), so carrying it
+        // through the struct changes no comparison
         cur = cand.join(pn,
             cand("prev") === col("__ps") && cand("dst") === col("__pd"), "left")
           .withColumn("__key", round(-log(u) / alpha, 6))
-          .withColumn("__rk", row_number().over(w))
-          .filter(col("__rk") === 1)
-          .select(col("walk_id"), col("dst").as("node"),
-            col("u").as("prev"), lit(t).as("step"))
+          .groupBy(col("walk_id"))
+          .agg(min(struct(col("__key").as("__k"), col("dst").as("dst"),
+            col("u").as("u"))).as("__m"))
+          .select(col("walk_id"), col("__m.dst").as("node"),
+            col("__m.u").as("prev"), lit(t).as("step"))
           .localCheckpoint()
         frames += cur
         t += 1

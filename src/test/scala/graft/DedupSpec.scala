@@ -675,6 +675,19 @@ class DedupSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("connected components: symmetric=true on a pre-symmetrized list equals the default") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (5L, 4L))
+      .toDF("id_a", "id_b")
+    val sym = pairs.unionByName(
+      pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    val expected = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Dedup.connectedComponents(sym, "id_a", "id_b", symmetric = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+  }
+
   test("leakageSafeSplit keeps every duplicate component inside one split") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
