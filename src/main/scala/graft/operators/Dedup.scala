@@ -838,7 +838,7 @@ object Dedup {
     // groupBy(src) enumerates every node
     var labels = edges.groupBy(col("src").as("id"))
       .agg(least(first(col("src")), min(col("dst"))).as("lbl"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false) // the init lblSum materializes it
     // convergence bookkeeping: labels only ever DECREASE (every update
     // is a `least`), so Σ labels strictly decreases iff any node
     // lowered — one 1-row aggregate per round replaces the old

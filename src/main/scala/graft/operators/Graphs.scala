@@ -311,7 +311,7 @@ object Graphs {
       .distinct()
     var e = und0.unionByName(und0.select(col("b").as("a"), col("a").as("b")))
       .repartition(par, col("a"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false) // the count below materializes it
     var nEdges = e.count()
     var it = 0
     var converged = nEdges == 0L
@@ -322,7 +322,10 @@ object Graphs {
         .join(alive.withColumnRenamed("id", "a"), Seq("a"), "left_semi")
         .join(alive.withColumnRenamed("id", "b"), Seq("b"), "left_semi")
         .select(col("a"), col("b"))
-        .localCheckpoint()
+        // lazy: the convergence count below is the round's ONE action —
+        // it materializes the checkpoint as a side effect instead of
+        // paying a separate eager-checkpoint job first (r17, §1.2)
+        .localCheckpoint(eager = false)
       val n2 = next.count()
       converged = n2 == nEdges
       nEdges = n2
@@ -444,11 +447,12 @@ object Graphs {
         eDst.join(a.withColumnRenamed("id", "dst"), "dst")
           .groupBy(col("src").as("id"))
           .agg(sum(col("w") * col("authority")).as("hub"))
-      // one materialization per full iteration (the pageRank-style
-      // two-iteration fusion is a WASH here: hits is already one job
-      // per iteration, and fusing leaves the final auth a 3-join chain
-      // that re-executes at the output materialization — measured
-      // net-zero-to-negative, so not taken)
+      // one materialization per full iteration. Fusing 2 iterations per
+      // materialization was re-tried on the sparse shape (r17) and was
+      // again a measured LOSS (wall 5.1-5.5 → 7.0-8.0s, jobsum +45% at
+      // ~same stage count) — same verdict as the r16 dense-shape sweep:
+      // the rank loops' optimum on this engine is one checkpoint per
+      // iteration.
       var it = 0
       var lastRenorm = 0
       while (it < iterations) {
