@@ -450,7 +450,15 @@ object Dedup {
     val nBlocks = if (blocks > 0) blocks else maxDist + 1
     require(nBlocks > maxDist,
       "blocks must exceed maxDist (pigeonhole completeness)")
+    // persisted: THREE consumers (the banded explode and both verify
+    // sides) would each re-run the caller's fingerprint projection —
+    // typically the expensive kernel of the whole operator (tokenize +
+    // 64-bit simhash per doc, or an image aHash) — otherwise (r17,
+    // §1.2; measured: q_dedup_simhash_hamming re-tokenized the corpus
+    // three times, each pass serial). Rows are fixed-width (id + `width`
+    // tinyints), so the cache is signature-table-sized, never text-sized.
     val v = fps.select(col(idCol).as("id"), col(bitsCol).as("bits"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val width = v.select(size(col("bits"))).limit(1).collect()
       .headOption.map(_.getInt(0)).getOrElse(0)
     if (width == 0) return v.sparkSession.emptyDataFrame

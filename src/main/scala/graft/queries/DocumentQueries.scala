@@ -533,9 +533,13 @@ object DocumentQueries extends QueryModule {
     // ~32 bits each, so band buckets stay sparse at corpus scale
     "q_dedup_simhash_hamming" -> Q(
       (s, dir) => {
-        val fps = table(s, dir, "documents").select(col("doc_id").as("id"),
-          split(TA.simhash64(TA.tokens(col("text"))), "")
-            .cast("array<tinyint>").as("bits"))
+        // spread the one-split documents scan BEFORE the tokenize+simhash
+        // kernel (r17, guide §2.6): the per-doc kernel is the query's
+        // dominant cost and ran as a single serial task
+        val fps = graft.core.Par.spread(table(s, dir, "documents"))
+          .select(col("doc_id").as("id"),
+            split(TA.simhash64(TA.tokens(col("text"))), "")
+              .cast("array<tinyint>").as("bits"))
         Dedup.hammingNearDupPairs(fps, "id", "bits", maxDist = 3, blocks = 6)
           .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("dist"))
           .orderBy(col("doc_a"), col("doc_b"))
@@ -571,7 +575,12 @@ object DocumentQueries extends QueryModule {
     // SQL. DedupSpec additionally gates candidate recall vs the
     // lossless cluster-blocked pair set.
     "q_dedup_embedding_rplsh" -> Q(
-      (s, dir) => Dedup.rpLshNearDupPairs(table(s, dir, "embeddings"),
+      // spread the one-split embeddings scan before the numBits
+      // dot-product signature kernel (r17, guide §2.6 — the probe showed
+      // the whole query on 43 tasks, jobsum ≈ wall, i.e. a near-serial
+      // FLOP-bound chain)
+      (s, dir) => Dedup.rpLshNearDupPairs(
+          graft.core.Par.spread(table(s, dir, "embeddings")),
           "vec_id", "embedding", threshold = 0.4)
         .orderBy(col("id_a"), col("id_b")),
       Some(rpLshOracle(threshold = 0.4, numBits = 16, bands = 8,
