@@ -453,6 +453,13 @@ object Graphs {
       // ~same stage count) — same verdict as the r16 dense-shape sweep:
       // the rank loops' optimum on this engine is one checkpoint per
       // iteration.
+      // (r17 experiment, REVERTED: materializing hub via persist+count —
+      // hoping InMemoryRelation's preserved hash(id) partitioning would
+      // delete the per-iteration hub re-exchange — measured WORSE:
+      // 59→63 jobs, 173→248 stages, 3203→5684 tasks; AQE's coalescing of
+      // the agg's shuffle leaves the cached partitioning incompatible
+      // with e's 32-way layout, so the exchange stays and the cache
+      // build is pure overhead. Checkpoint-per-iteration stands.)
       var it = 0
       var lastRenorm = 0
       while (it < iterations) {
