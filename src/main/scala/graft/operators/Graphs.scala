@@ -666,6 +666,14 @@ object Graphs {
         when(lowFirst, col("db")).otherwise(col("da")).as("dy"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // (r17 note: widening the wedge join's key space with an explicit
+      // 4×par repartition on x was tried — the dominant wedge task-set
+      // did shrink (5.0→3.9s over 192 tasks), but the self-join cannot
+      // share the repartition across its aliases, so it costs TWO extra
+      // full exchanges of the data-sized edge table — a local wash and
+      // strictly wrong at scale. The wedge join stays at the planner's
+      // shuffle sizing; the degree orientation already bounds any
+      // corner's fan-out at O(√m).)
       val wedge = e.as("e1").join(e.as("e2"), col("e1.x") === col("e2.x") &&
           (col("e1.dy") < col("e2.dy") ||
             (col("e1.dy") === col("e2.dy") && col("e1.y") < col("e2.y"))))
